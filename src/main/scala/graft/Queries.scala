@@ -1,0 +1,494 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Coaching, Hashing, TextAnalysis, TextSplit, VectorOps}
+import graft.operators.{Dedup, MlPredict, Multimodal, SimilaritySearch}
+import graft.pipeline.CoachingPipeline
+import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
+import graft.store.BroadcastBruteForceStore
+
+/** The operator inventory (SURVEY.md §2) as driver-checkable queries.
+  *
+  * Each entry is (name, query, Option(oracleSql)): the query runs on Spark
+  * over the /root/testdata scale-factor parquet; the oracle is ANSI SQL the
+  * driver runs in DuckDB over the same files. Column names and row order
+  * are made to match exactly; doubles are rounded; sums of integers are
+  * CAST to BIGINT on the DuckDB side (it widens to HUGEINT); timestamps
+  * are reduced to epoch seconds (test parquet is ns-precision, Spark is
+  * µs) — see the per-query notes.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Epoch seconds (floor) — ns/µs-precision-proof timestamp projection. */
+  private def tsSec(c: Column): Column = unix_timestamp(c)
+
+  // =====================================================================
+  // Relational surface (inherited Spark ops — SURVEY §2.3/2.4/2.5/2.6;
+  // the reference needs none beyond W1/W2 but the engine ships them, and
+  // they are what BENCH exercises at sf0.1).
+  // =====================================================================
+
+  val relational: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q01_agg_summary", (s, dir) => {
+      // TPC-H Q1 shape: map-side combinable groupBy, 2 shuffle-light aggs.
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q02_filter_project", (s, dir) => {
+      // F1/F2/F3: predicate + projection — both push into the parquet scan.
+      T(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 50.0)
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, round(value, 4) AS value
+      FROM events WHERE event_type = 'purchase' AND value > 50.0
+      ORDER BY event_id""")),
+
+    ("q03_join_broadcast", (s, dir) => {
+      // dim-table join: part is small → explicit broadcast, no shuffle of
+      // the fact side.
+      T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    ("q04_join_multi", (s, dir) => {
+      // chained dim joins: orders⋈customer shuffles on custkey, nation is
+      // broadcast — revenue per nation.
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }, Some("""
+      SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
+
+    ("q05_semi_join", (s, dir) => {
+      // EXISTS as left_semi — no row multiplication, shuffle on the key.
+      val big = T(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      T(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      ORDER BY c_custkey""")),
+
+    ("q06_anti_join", (s, dir) => {
+      // NOT EXISTS as left_anti.
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    ("q07_window_topk_group", (s, dir) => {
+      // per-group top-k: partitioned window (scales: hash-partition by
+      // custkey, no global sort).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             CAST(rnk AS INT) AS rnk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+            FROM orders) WHERE rnk <= 3
+      ORDER BY o_custkey, rnk""")),
+
+    ("q08_rollup", (s, dir) => {
+      // multi-level aggregates; NULL grouping keys coalesced for parity.
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")),
+
+    ("q09_union_distinct", (s, dir) => {
+      T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(T(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }, Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
+
+    ("q10_sessionize", (s, dir) => {
+      // gap-based sessionization (30 min) via lag + running sum — the
+      // batch form of session windows; partitioned by user, no global
+      // state. Timestamps reduced to epoch seconds for engine parity.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsSec(col("ts")).as("ts_sec"))
+        .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(byUser))
+        .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+                        CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+                 FROM events),
+      g AS (SELECT user_id, event_id, ts_sec,
+                   ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+                     ORDER BY ts_sec, event_id) AS gap
+            FROM e),
+      sess AS (SELECT user_id, event_id,
+                      CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(event_id) AS first_event
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+  )
+
+  // =====================================================================
+  // Reference (RAG pipeline) surface — SURVEY §2.1-2.9 operators mapped
+  // onto the driver test tables.
+  // =====================================================================
+
+  val rag: Seq[(String, Q, Option[String])] = Seq(
+
+    ("rag_chunk_explode", (s, dir) => {
+      // J1+M1 oracle form: fixed-stride character chunking (size 200,
+      // stride 180 = size - overlap 20), exploded one row per chunk.
+      // Pure catalyst sequence/transform/substr → whole-stage codegen.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextSplit.chunkFixedCol(col("text"), 200, 180)))
+        .select(col("doc_id"),
+          (col("pos").cast("long") * 180 + 1).as("start_pos"), col("col").as("chunk"))
+        .orderBy(col("doc_id"), col("start_pos"))
+    }, Some("""
+      SELECT doc_id, g.s AS start_pos, substring(text, CAST(g.s AS INT), 200) AS chunk
+      FROM documents, generate_series(1, greatest(length(text), 1), 180) AS g(s)
+      ORDER BY doc_id, start_pos""")),
+
+    ("rag_splitter_udf", (s, dir) => {
+      // M1 full semantics (separator-aware splitter, reference
+      // generate_personalized_commands.sh:322-326) — not ANSI-SQL
+      // expressible → rows-only driver check + ScalaTest goldens.
+      val split = udf((t: String) => TextSplit.splitText(t, 200, 20, "###", true))
+      T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, None),
+
+    ("rag_embed_mock", (s, dir) => {
+      // M2: batched ml_predict embedding (mapPartitions, one provider call
+      // per batch) with the deterministic mock — rows-only check; vector
+      // values are asserted in ScalaTest.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      MlPredict.withEmbedding(docs, new MockEmbedder(64), "text", "embedding")
+        .select(col("doc_id"), size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    ("rag_vector_topk", (s, dir) => {
+      // M4/J3: VECTOR_SEARCH k=3 as exact cosine top-k — queries stay
+      // partitioned, corpus broadcast, rank via per-query window.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      VectorOps.bruteForceTopK(queries, corpus, 3, "qid", "qvec", "nid", "nvec")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid ASC) AS rank
+        FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    ("rag_prompt_assembly", (s, dir) => {
+      // E1-E5: exactly-3 rag array of named structs (1-based element_at)
+      // fed into the reference's CONCAT prompt; docs i, i+1, i+2 stand in
+      // for retrieval so the oracle is pure SQL. Rows at the tail with <3
+      // neighbours yield NULL prompts — Flink's NULL-concat semantics
+      // (SURVEY §7.4 #5), asserted here.
+      val w = Window.orderBy(col("doc_id"))
+      val withNext = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("t1", lead(col("text"), 1).over(w))
+        .withColumn("t2", lead(col("text"), 2).over(w))
+      val rag = array(
+        struct(concat(col("source"), lit("/d"), col("doc_id"), lit(".md")).as("document_id"),
+          substring(col("text"), 1, 60).as("chunks")),
+        struct(concat(col("source"), lit("/d"), col("doc_id") + 1, lit(".md")).as("document_id"),
+          substring(col("t1"), 1, 60).as("chunks")),
+        struct(concat(col("source"), lit("/d"), col("doc_id") + 2, lit(".md")).as("document_id"),
+          substring(col("t2"), 1, 60).as("chunks")))
+      withNext
+        .withColumn("prompt",
+          Coaching.buildCoachingPrompt(substring(col("text"), 1, 40), rag))
+        .select(col("doc_id"), col("prompt"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, source, text,
+                        lead(text, 1) OVER (ORDER BY doc_id) AS t1,
+                        lead(text, 2) OVER (ORDER BY doc_id) AS t2
+                 FROM documents)
+      SELECT doc_id,
+        '## PROSPECT MESSAGE: ' || substring(text, 1, 40) ||
+        e'\n\n## RAG DOCUMENTS:\n' ||
+        'Document 1: ' || source || '/d' || CAST(doc_id AS VARCHAR) || '.md' || e'\n' ||
+        substring(text, 1, 60) || e'\n\n' ||
+        'Document 2: ' || source || '/d' || CAST(doc_id + 1 AS VARCHAR) || '.md' || e'\n' ||
+        substring(t1, 1, 60) || e'\n\n' ||
+        'Document 3: ' || source || '/d' || CAST(doc_id + 2 AS VARCHAR) || '.md' || e'\n' ||
+        substring(t2, 1, 60) AS prompt
+      FROM d ORDER BY doc_id""")),
+
+    ("rag_recent_history", (s, dir) => {
+      // W1+W2+F4: last-6 view. orderBy(desc).limit plans
+      // TakeOrderedAndProject (per-partition top-N + 6-row merge), not a
+      // global single-partition window — the 100 TB-safe form.
+      T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), tsSec(col("ts")).as("ts_sec"))
+        .orderBy(col("ts_sec").desc, col("event_id").desc)
+        .limit(6)
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+    }, Some("""
+      WITH ranked AS (
+        SELECT event_id, event_type,
+               CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec,
+               row_number() OVER (ORDER BY ts DESC, event_id DESC) AS r
+        FROM events)
+      SELECT event_id, event_type, ts_sec FROM ranked WHERE r <= 6
+      ORDER BY ts_sec ASC, event_id ASC""")),
+
+    ("rag_cache_lookup", (s, dir) => {
+      // F5: exact-match cache short-circuit — case-insensitive trimmed
+      // equality against a broadcast cache table; misses keep NULL.
+      val docs = T(s, dir, "documents")
+      val cache = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("cache_id"), col("text").as("cached_text"))
+      docs.join(broadcast(cache),
+          lower(trim(docs("text"))) === lower(trim(col("cached_text"))), "left")
+        .select(col("doc_id"), col("cache_id"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT d.doc_id, c.cache_id
+      FROM documents d LEFT JOIN
+        (SELECT doc_id AS cache_id, text AS cached_text FROM documents
+         WHERE doc_id % 100 = 0) c
+        ON lower(trim(d.text)) = lower(trim(c.cached_text))
+      ORDER BY d.doc_id""")),
+
+    ("rag_keyword_trigger", (s, dir) => {
+      // F6: 15-keyword trigger + 4-way rule cascade
+      // (pricing > competitor > implementation > generic > NULL).
+      // Trigger phrases injected deterministically by doc_id so every
+      // class is exercised.
+      val msg = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" pricing is expensive"))
+          .when(col("doc_id") % 5 === 1, lit(" what about competitor competex"))
+          .when(col("doc_id") % 5 === 2, lit(" integration challenge ahead"))
+          .when(col("doc_id") % 5 === 3, lit(" there is a problem"))
+          .otherwise(lit("")))
+      T(s, dir, "documents")
+        .withColumn("msg", msg)
+        .select(col("doc_id"), Coaching.triggerAdviceType(col("msg")).as("advice_type"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id, lower(text ||
+          CASE WHEN doc_id % 5 = 0 THEN ' pricing is expensive'
+               WHEN doc_id % 5 = 1 THEN ' what about competitor competex'
+               WHEN doc_id % 5 = 2 THEN ' integration challenge ahead'
+               WHEN doc_id % 5 = 3 THEN ' there is a problem'
+               ELSE '' END) AS msg
+        FROM documents)
+      SELECT doc_id,
+        CASE
+          WHEN msg LIKE '%price%' OR msg LIKE '%expensive%' OR msg LIKE '%cost%'
+            OR msg LIKE '%budget%' THEN 'pricing'
+          WHEN msg LIKE '%competitor%' OR msg LIKE '%techriva%'
+            OR msg LIKE '%competex%' THEN 'competitor'
+          WHEN msg LIKE '%implementation%' OR msg LIKE '%integration%'
+            OR msg LIKE '%difficult%' OR msg LIKE '%challenge%' THEN 'implementation'
+          WHEN msg LIKE '%issue%' OR msg LIKE '%problem%' OR msg LIKE '%concern%'
+            OR msg LIKE '%roi%' THEN 'generic'
+          ELSE NULL END AS advice_type
+      FROM m ORDER BY doc_id""")),
+
+    ("rag_json_repair", (s, dir) => {
+      // E12: LLM-JSON repair chain (strip ```json fences, trailing commas)
+      // on synthesized malformed payloads.
+      val raw = concat(lit("```json\n"),
+        lit("{\"v\": "), col("doc_id"),
+        lit(", \"src\": \""), col("source"), lit("\",}\n```"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), Coaching.repairJson(raw).as("repaired"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          e'```json\n{"v": ' || CAST(doc_id AS VARCHAR) || ', "src": "' ||
+          source || e'",}\n```' AS r
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(
+               regexp_replace(regexp_replace(r, '```json', '', 'g'),
+                              '```', '', 'g'),
+               e',[ \n\r\t]*([}\\]])', '\1', 'g'), ' ') AS repaired
+      FROM raw ORDER BY doc_id""")),
+
+    ("rag_doc_path", (s, dir) => {
+      // E11: deterministic doc-path split (title = filename, path = dir/)
+      // that the reference delegates to the LLM prompt rules.
+      val docId = concat(col("source"), lit("/d"), col("doc_id"), lit(".md"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          Coaching.docTitle(docId).as("title"),
+          Coaching.docPath(docId).as("path"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+                        source || '/d' || CAST(doc_id AS VARCHAR) || '.md' AS did
+                 FROM documents)
+      SELECT doc_id, regexp_extract(did, '([^/]*)$', 1) AS title,
+             regexp_extract(did, '^(.*/)', 1) AS path
+      FROM d ORDER BY doc_id""")),
+
+    ("rag_dedup_ttl_batch", (s, dir) => {
+      // T3 batch analog: at-least-once dedup — first delivery per
+      // (user_id, event_type) wins; streaming form is
+      // dropDuplicatesWithinWatermark (StreamingOps.dedupWithTtl).
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          tsSec(col("ts")).as("ts_sec"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+                 FROM events),
+      r AS (SELECT user_id, event_type, event_id,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts_sec, event_id) AS rn
+            FROM e)
+      SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+      ORDER BY user_id, event_type""")),
+
+    ("rag_coach_e2e", (s, dir) => {
+      // §3.1 flagship path end-to-end with deterministic mocks: knowledge
+      // (from documents + the reference's own smoke fixture) → chunk →
+      // embed → index → filter prospect → embed → top-3 search → reshape
+      // → prompt → generate → JSON repair+parse. Rows-only driver check;
+      // content asserted in ScalaTest.
+      coachE2E(s, dir)
+    }, None)
+  )
+
+  /** Shared by entry() and the rag_coach_e2e query. */
+  def coachE2E(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(64)
+    val chat = new MockChat
+    val docs = T(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(concat(col("source"), lit("/d"), col("doc_id"), lit(".md")).as("document_id"),
+        concat(lit("d"), col("doc_id"), lit(".md")).as("document_name"),
+        col("source").as("document_category"),
+        col("text").as("document_text"))
+    // reference smoke fixture rows (generate_personalized_commands.sh:530-545)
+    val fixtureDoc = Seq((
+      "sample/test_document.md", "Test Document", "sample",
+      "This is a sample document for testing the RAG pipeline. It contains " +
+        "information about our product features and capabilities."))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val knowledge = docs.union(fixtureDoc)
+
+    val pipelineStub = new CoachingPipeline(embedder, chat,
+      new BroadcastBruteForceStore(Array.empty))
+    val index = pipelineStub.indexKnowledge(knowledge)
+    val store = BroadcastBruteForceStore.fromDataFrame(index)
+    val pipeline = new CoachingPipeline(embedder, chat, store)
+
+    val messages = Seq(
+      ("I am interested in your product but I am concerned about the pricing.", "prospect"),
+      ("Let me walk you through the integration options.", "salesperson"),
+      ("How does this compare to CompetEx?", "prospect"))
+      .toDF("message", "speaker")
+
+    pipeline.coach(messages)
+      .select(col("message"), col("rag_results_string"), col("coaching_response"),
+        col("coaching_parsed.suggested_response").as("suggested_response"),
+        size(col("coaching_parsed.sources")).as("n_sources"),
+        col("coaching_parsed.reasoning").as("reasoning"))
+      .orderBy(col("message"))
+  }
+}

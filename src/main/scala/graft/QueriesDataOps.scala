@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Hashing, TextAnalysis, VectorOps}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+
+/** Training-data pipeline operators (BASELINE.json north star: dedup,
+  * similarity search, multimodal, text analysis) as driver-checkable
+  * queries with DuckDB oracles. See Queries.scala for conventions.
+  */
+object QueriesDataOps {
+  import Queries.Q
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** documents ∪ deterministic duplicate variants — the test corpus has no
+    * natural dups, so dedup operators run over: exact copies (+100000),
+    * 10-char-truncated near-dups (+200000), case/whitespace-mangled
+    * formatting dups (+300000). */
+  def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
+    d.union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"), col("source")))
+      .union(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          expr("substring(text, 1, length(text) - 10)").as("text"), col("lang"), col("source")))
+      .union(d.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"), col("lang"), col("source")))
+  }
+
+  private val dwdSql: String = """
+      dwd AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL SELECT doc_id + 100000, text, lang, source
+          FROM documents WHERE doc_id % 5 = 0
+        UNION ALL SELECT doc_id + 200000, substring(text, 1, length(text) - 10),
+          lang, source FROM documents WHERE doc_id % 5 = 1
+        UNION ALL SELECT doc_id + 300000, upper(text) || '  ', lang, source
+          FROM documents WHERE doc_id % 5 = 2)"""
+
+  val dedup: Seq[(String, Q, Option[String])] = Seq(
+
+    ("dedup_exact", (s, dir) => {
+      // hash-groupBy exact dedup: one shuffle on md5 (unskewed by
+      // construction), map-side combinable.
+      Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
+        .orderBy(col("content_hash"))
+    }, Some(s"""
+      WITH $dwdSql
+      SELECT md5(text) AS content_hash, count(*) AS n_dups,
+             min(doc_id) AS keep_id
+      FROM dwd GROUP BY md5(text) ORDER BY content_hash""")),
+
+    ("dedup_fingerprint", (s, dir) => {
+      // canonicalized (lower, strip punct, collapse ws) md5 — catches the
+      // formatting-mangled variants exact md5 misses.
+      Dedup.fingerprintGroups(docsWithDups(s, dir), "text", "doc_id")
+        .orderBy(col("fingerprint"))
+    }, Some(s"""
+      WITH $dwdSql
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS fingerprint,
+             count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM dwd GROUP BY 1 ORDER BY fingerprint""")),
+
+    ("dedup_minhash_lsh", (s, dir) => {
+      // MinHash+LSH candidate pairs: 3-gram word shingles, 4 bands × 3
+      // rows. Sub-quadratic: explode band keys, equi-join on band key.
+      // MinHash = lexicographic min of md5(seed:shingle) — md5 hex is
+      // engine-portable and fixed-width, so string MIN == numeric MIN.
+      Dedup.minhashLshPairs(docsWithDups(s, dir), "text", "doc_id",
+          shingleN = 3, bands = 4, rowsPerBand = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $dwdSql,
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+               FROM dwd),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[s:s+2], ' ') AS sh
+             FROM toks, generate_series(1, greatest(len(tk) - 2, 0), 1) AS g(s)),
+      mh AS (SELECT doc_id, sd.seed AS seed,
+                    min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS m
+             FROM sh CROSS JOIN generate_series(0, 11, 1) AS sd(seed)
+             GROUP BY doc_id, sd.seed),
+      bands AS (SELECT doc_id,
+                       CAST(seed // 3 AS VARCHAR) || ':' ||
+                         string_agg(m || '|', '' ORDER BY seed) AS band_key
+                FROM mh GROUP BY doc_id, seed // 3)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""")),
+
+    ("dedup_simhash", (s, dir) => {
+      // SimHash bucket dedup: 12-bit signature from per-token md5 nibble
+      // votes; near-dups collide on the signature. Per-row map + one
+      // groupBy — linear, no pair explosion.
+      Dedup.simhashGroups(T(s, dir, "documents"), "text", "doc_id", bits = 12)
+        .orderBy(col("simhash"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents),
+      votes AS (
+        SELECT doc_id, g.j AS j,
+               sum(CASE WHEN substring(md5(tok), CAST(g.j AS INT), 1) >= '8'
+                        THEN 1 ELSE -1 END) AS v
+        FROM toks CROSS JOIN generate_series(1, 12, 1) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                 AS simhash
+        FROM votes GROUP BY doc_id)
+      SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM sig GROUP BY simhash ORDER BY simhash""")),
+
+    ("dedup_ngram_jaccard", (s, dir) => {
+      // exact 3-gram Jaccard >= 0.6 within source blocks: shingle
+      // equi-join for |A∩B|, per-doc counts for |A∪B|. Blocking bounds
+      // the pair space; at scale this verifies LSH candidates instead of
+      // running standalone.
+      Dedup.ngramJaccardPairs(docsWithDups(s, dir), "text", "doc_id",
+          blockCol = "source", shingleN = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $dwdSql,
+      toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+               FROM dwd),
+      sh AS (SELECT DISTINCT doc_id, source, array_to_string(tk[s:s+2], ' ') AS sh
+             FROM toks, generate_series(1, greatest(len(tk) - 2, 0), 1) AS g(s)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+      FROM inter
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+      WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
+      ORDER BY id_a, id_b""")),
+
+    ("dedup_embedding", (s, dir) => {
+      // embedding near-dup pairs: cosine >= 0.35 within label blocks.
+      Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              >= 0.35
+      ORDER BY id_a, id_b"""))
+  )
+
+  val similarity: Seq[(String, Q, Option[String])] = Seq(
+
+    ("ann_topk_bruteforce", (s, dir) => {
+      // exact top-5 over a disjoint corpus — the ANN baseline/oracle.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      VectorOps.bruteForceTopK(queries, corpus, 5, "qid", "qvec", "nid", "nvec")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      ranked AS (SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid ASC) AS rank
+                 FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_lsh_bucketed", (s, dir) => {
+      // sign-random-projection LSH: 8 data-derived hyperplanes (vec_id<8)
+      // → bit signature; candidates = same bucket; exact re-rank inside.
+      // One equi-join on the signature instead of a cross join.
+      val emb = T(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("nid"), col("embedding"))
+      SimilaritySearch.lshTopK(queries, corpus, planes, 3,
+          "qid", "embedding", "nid", "embedding")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH planes AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                      WHERE vec_id < 8),
+      sigs AS (
+        SELECT v.vec_id, v.embedding,
+               string_agg(CASE WHEN list_dot_product(v.embedding::DOUBLE[],
+                                     p.pvec::DOUBLE[]) > 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+        FROM embeddings v CROSS JOIN planes p GROUP BY v.vec_id, v.embedding),
+      cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM sigs q JOIN sigs c ON q.sig = c.sig
+        WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      ranked AS (SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid ASC) AS rank
+                 FROM cand)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    ("ann_ivf_assign", (s, dir) => {
+      // IVF coarse quantization: nearest of 4 data-derived centroids →
+      // cluster column for partition pruning at search time.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      SimilaritySearch.ivfAssign(emb, centroids, "embedding")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      sims AS (SELECT v.vec_id, c.cid,
+                      list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) AS sim
+               FROM embeddings v CROSS JOIN cents c),
+      ranked AS (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid DESC) AS r
+                 FROM sims)
+      SELECT vec_id, CAST(cid AS INT) AS cluster FROM ranked WHERE r = 1
+      ORDER BY vec_id"""))
+  )
+
+  val text: Seq[(String, Q, Option[String])] = Seq(
+
+    ("text_langid", (s, dir) => {
+      // n-gram-heuristic language ID: per-language function-word marker
+      // scores, argmax with fixed priority. Pure per-row map.
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      def hits(w: String) =
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        s"(${ms.map(hits).mkString(" + ")}) AS s_$l"
+      }.mkString(", ")
+      s"""
+      WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+      sc AS (SELECT doc_id, $scores FROM p0),
+      mx AS (SELECT doc_id, s_en, s_fr, s_es, s_de,
+                    greatest(s_en, s_fr, s_es, s_de) AS best FROM sc)
+      SELECT doc_id,
+        CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+             WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+             WHEN s_es > 0 AND s_es = best THEN 'es'
+             WHEN s_de > 0 AND s_de = best THEN 'de'
+             ELSE 'und' END AS lang_pred
+      FROM mx ORDER BY doc_id"""
+    }),
+
+    ("text_quality", (s, dir) => {
+      // quality features + composite score: the cheap pre-training
+      // filters (length / punctuation / stopword density).
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.wordCount(col("text")).as("n_words"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      // mirror TextAnalysis.qualityScore exactly (same operations, same
+      // double arithmetic); stopword hits use the padded length/replace
+      // trick per word.
+      def hits(w: String) =
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+        .map(hits).mkString(" + ")
+      s"""
+      WITH f AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+               length(text) * 1.0 AS n,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        FROM documents),
+      feats AS (
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+          n_words,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+          n, ($stopHits) AS stop_hits
+        FROM f)
+      SELECT doc_id, n_tokens, n_words, n_punct,
+             round((least(n / 500.0, 1.0) +
+                    greatest(0.0, 1.0 - (n_punct / greatest(n, 1.0)) * 10.0) +
+                    least((stop_hits / greatest(n_words * 1.0, 1.0)) * 4.0, 1.0)
+                   ) / 3.0, 4) AS quality
+      FROM feats ORDER BY doc_id"""
+    }),
+
+    ("text_fingerprint", (s, dir) => {
+      // canonical-form document fingerprint (rolling formatting-invariant
+      // hash) — the per-doc primitive under dedup_fingerprint.
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+  )
+
+  val multimodal: Seq[(String, Q, Option[String])] = Seq(
+
+    ("mm_metadata", (s, dir) => {
+      // multimodal plumbing: opaque binary payload + typed metadata;
+      // metadata-only queries never touch the binary column (columnar
+      // pruning). Flattened for the oracle.
+      val media = Multimodal.asMedia(T(s, dir, "documents"),
+        "doc_id", "text", "image", "source")
+      media.select(col("media_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.content_hash").as("content_hash"),
+          col("meta.source").as("source"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id, 'image' AS media_type,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash, source
+      FROM documents ORDER BY media_id""")),
+
+    ("mm_frame_sample", (s, dir) => {
+      // frame-sampling stub: 3 deterministic frame rows per video.
+      val media = Multimodal.asMedia(T(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", "video", "source")
+      Multimodal.sampleFrames(media, 3)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_hash"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      SELECT doc_id AS media_id, g.i AS frame_idx,
+             md5(md5(text) || CAST(g.i AS VARCHAR)) AS frame_hash
+      FROM documents, generate_series(0, 2, 1) AS g(i)
+      WHERE doc_id < 50 ORDER BY media_id, frame_idx""")),
+
+    ("mm_decode_features", (s, dir) => {
+      // decode/feature-extract stage (STUB codec, real plumbing):
+      // partition-local batched map appending width/height/features.
+      // Rows-only driver check; determinism asserted in ScalaTest.
+      val media = Multimodal.asMedia(T(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", "image", "source")
+      Multimodal.withDecodedFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          size(col("features")).as("feature_dim"))
+        .orderBy(col("media_id"))
+    }, None)
+  )
+}

@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2 (+ the
+  * training-data-pipeline operators from BASELINE.json's north star), one
+  * driver-checkable query per operator; `oracleSql` holds the equivalent
+  * DuckDB SQL for every SQL-expressible one. Definitions live in
+  * Queries.scala (relational + RAG surface) and QueriesDataOps.scala
+  * (dedup / similarity / text / multimodal).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val all: Seq[(String, Queries.Q, Option[String])] =
+    Queries.relational ++ Queries.rag ++
+      QueriesDataOps.dedup ++ QueriesDataOps.similarity ++
+      QueriesDataOps.text ++ QueriesDataOps.multimodal
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the reference's §3.1 coaching path end-to-end on deterministic
+    * mocks (chunk → embed → index → retrieve → prompt → generate → parse). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.coachE2E(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q._1 -> q._2).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (mock inference, UDF splitter, stub decode) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+
+  /** Headline queries for Bench (sf0.1): the scale-sensitive operators —
+    * aggregation, joins, windows, chunking, hashing dedup, vector topk. */
+  val benchQueries: Seq[String] = Seq(
+    "q01_agg_summary", "q03_join_broadcast", "q04_join_multi",
+    "q07_window_topk_group", "q10_sessionize", "rag_chunk_explode",
+    "rag_vector_topk", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_topk_bruteforce", "text_quality", "text_langid", "mm_metadata")
 }

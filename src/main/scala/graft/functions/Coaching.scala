@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Expression surface of the coaching pipeline's scalar stages:
+  * prompt assembly (reference generate_personalized_commands.sh:417-432),
+  * doc-path splitting (:251-253), LLM-JSON repair+parse (the client-side
+  * repair in reference app/static/script.js:952-961 internalized as engine
+  * columns), keyword-trigger advice (app/utils/data_utils.py:20-54).
+  * All pure column expressions — codegen'd, oracle-expressible.
+  */
+object Coaching {
+
+  /** The exact CONCAT prompt of the reference (E1): message + 3 retrieved
+    * (document_id, chunks) pairs, 1-based element_at matching Flink's
+    * 1-based subscripts; out-of-bounds yields NULL like Flink's short-hit
+    * case. `ragResults` is ARRAY<STRUCT<document_id, chunks>>. */
+  def buildCoachingPrompt(message: Column, ragResults: Column): Column = {
+    def doc(i: Int): Seq[Column] = Seq(
+      lit(s"Document $i: "), element_at(ragResults, i)("document_id"), lit("\n"),
+      element_at(ragResults, i)("chunks"))
+    concat(Seq(
+      lit("## PROSPECT MESSAGE: "), message,
+      lit("\n\n## RAG DOCUMENTS:\n")) ++
+      doc(1) ++ Seq(lit("\n\n")) ++ doc(2) ++ Seq(lit("\n\n")) ++ doc(3): _*)
+  }
+
+  /** Filename part of a slash path (reference prompt rule: from
+    * `dir/file.md` extract `file.md`). */
+  def docTitle(documentId: Column): Column =
+    regexp_extract(documentId, "([^/]*)$", 1)
+
+  /** Directory part incl. trailing slash (`objection_response_playbooks/`),
+    * empty when no directory. */
+  def docPath(documentId: Column): Column =
+    regexp_extract(documentId, "^(.*/)", 1)
+
+  /** LLM-JSON repair: strip ```json fences, trailing commas before } or ],
+    * and trim — the script.js:952-961 repair chain as engine columns.
+    * Patterns restricted to the Java∩RE2 regex subset for oracle parity. */
+  def repairJson(raw: Column): Column = {
+    val noFences = regexp_replace(regexp_replace(raw, "```json", ""), "```", "")
+    val noTrailing = regexp_replace(noFences, ",[ \n\r\t]*([}\\]])", "$1")
+    trim(noTrailing)
+  }
+
+  /** Parse a (repaired) coaching_response into the contract struct; null on
+    * unparseable payload — parse failure is a first-class row state
+    * (script.js:1097-1104 fallback). */
+  def parseCoaching(raw: Column): Column =
+    from_json(repairJson(raw), Tables.coachingResponseSchema)
+
+  /** Join non-empty used_excerpts with blank lines (script.js:970-971). */
+  def usedExcerpts(sources: Column): Column =
+    array_join(
+      transform(
+        filter(sources, s => s("used_excerpt").isNotNull && s("used_excerpt") =!= ""),
+        s => s("used_excerpt")),
+      "\n\n")
+
+  // --- Keyword triggers (reference app/utils/data_utils.py:20-54) ---
+  val triggerKeywords: Seq[String] = Seq(
+    "price", "expensive", "cost", "competitor", "issue", "problem",
+    "concern", "difficult", "challenge", "roi", "implementation",
+    "integration", "budget", "techriva", "competex")
+
+  /** True when any trigger keyword occurs in the message (lowercased). */
+  def hasTrigger(message: Column): Column =
+    triggerKeywords.map(k => lower(message).contains(k)).reduce(_ || _)
+
+  /** 4-way rule cascade: pricing > competitor > implementation > generic,
+    * mirroring data_utils.py's if/elif order. Null when no keyword hits. */
+  def triggerAdviceType(message: Column): Column = {
+    val m = lower(message)
+    val pricing = Seq("price", "expensive", "cost", "budget").map(m.contains(_)).reduce(_ || _)
+    val competitor = Seq("competitor", "techriva", "competex").map(m.contains(_)).reduce(_ || _)
+    val implem = Seq("implementation", "integration", "difficult", "challenge").map(m.contains(_)).reduce(_ || _)
+    when(pricing, "pricing")
+      .when(competitor, "competitor")
+      .when(implem, "implementation")
+      .when(hasTrigger(message), "generic")
+      .otherwise(lit(null).cast("string"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All built from catalyst `functions._` (codegen'd, no UDFs) and chosen to
+  * be expressible in ANSI SQL so each has a DuckDB oracle.
+  *
+  * At 100 TB these are embarrassingly parallel per-row maps — zero
+  * shuffles; the only cost is the scan, so predicate/column pushdown is
+  * preserved by keeping them as pure column expressions.
+  */
+object TextAnalysis {
+
+  /** Occurrences of a literal word surrounded by spaces — the classic
+    * (len - len(replace)) / len(pattern) trick, identical semantics in
+    * Spark and DuckDB. Counts on ' '||text||' ' so edge words match. */
+  private def wordHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val pat = s" $word "
+    (length(padded) - length(replace(padded, lit(pat), lit("")))) / lit(pat.length.toDouble)
+  }
+
+  /** Stopword-marker score for one language = sum of hits of its top
+    * function words. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => wordHits(text, w)).reduce(_ + _)
+
+  /** Marker sets per language (top function words; public linguistic
+    * knowledge). Kept tiny so the oracle SQL stays writable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "que", "los", "una"),
+    "de" -> Seq("der", "und", "die", "nicht"))
+
+  /** N-gram-heuristic language ID: argmax of marker scores with fixed
+    * priority ties (en > fr > es > de), "und" (undetermined) when all
+    * scores are 0. Deterministic; oracle-expressible as a CASE cascade. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace-ish token count: maximal runs of alphanumerics.
+    * regexp_extract_all exists in both Spark (3.4+) and DuckDB. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
+
+  /** Word count via space counting (fast path, exactly matched by the
+    * oracle's length/replace arithmetic). */
+  def wordCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit("")))) + lit(1)
+
+  /** Quality features: length, punctuation ratio, stopword ratio, mean
+    * token length — the standard cheap quality filters for web-scale
+    * corpora. Returns a struct; see SparkEntry for the flattened form. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  def stopwordCount(text: Column): Column =
+    langScore(text, Seq("the", "and", "of", "is", "a", "to", "in"))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * healthy stopword density and low punctuation noise. Deterministic
+    * arithmetic only (round at the call site for oracle parity). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(n, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") /
+      greatest(wordCount(text).cast("double"), lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * lit(10.0))
+    val stopScore = least(stopRatio * lit(4.0), lit(1.0))
+    (lenScore + punctScore + stopScore) / lit(3.0)
+  }
+
+  /** Canonical-form fingerprint: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim, md5. Identical md5 in Spark and
+    * DuckDB → exact-dup detection robust to formatting noise. */
+  def fingerprint(text: Column): Column = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    md5(canon)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextAnalysis, VectorOps}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: hash-groupBy — one shuffle on a 128-bit key, perfectly
+  *    balanced (md5 keys don't skew).
+  *  - fingerprint: exact on canonicalized text (formatting-invariant).
+  *  - minhashLsh: shingle→minhash→band→equi-join — the classic
+  *    sub-quadratic near-dup plan; candidate pairs only where a band
+  *    collides.
+  *  - simhash: bucket by signature; Hamming-adjacent buckets optional.
+  *  - ngramJaccard: exact Jaccard verification via shingle equi-join —
+  *    used to verify LSH candidates (or standalone on bounded groups).
+  *  - embeddingNearDup: cosine threshold within blocking groups.
+  *
+  * All emit deterministic results (stable tie-breaks, ordered pairs
+  * a < b) so every operator is oracle-checkable.
+  */
+object Dedup {
+
+  /** Keep one representative row per exact-duplicate group (min id wins —
+    * deterministic). Returns (keyCol groups collapsed). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact dedup groups: content hash → group size + representative id.
+    * Pure groupBy — map-side partial aggregation, one shuffle. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Fingerprint dedup groups (canonicalized text, TextAnalysis.fingerprint). */
+  def fingerprintGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash+LSH candidate pairs: docs sharing at least one LSH band key.
+    * Emits distinct (id_a < id_b) pairs.
+    *
+    * Plan: explode band keys (bands× blowup of a small projection), one
+    * shuffle on band key for the self-equi-join, distinct pairs. Band-key
+    * hot spots (boilerplate text) are the skew risk at scale — AQE skew
+    * join handles moderate skew; pathological keys can be count-capped
+    * upstream. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, bands: Int = 4,
+                      rowsPerBand: Int = 3): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+        Hashing.lshBandKeys(Hashing.shingles(col(textCol), shingleN), bands, rowsPerBand).as("keys"))
+      .select(col("id"), explode(col("keys")).as("band_key"))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash buckets: signature → members. Near-dups collide on the full
+    * signature (or differ in few bits; Hamming-ball probing is a client
+    * concern). */
+  def simhashGroups(df: DataFrame, textCol: String, idCol: String,
+                    bits: Int = 16): DataFrame =
+    df.groupBy(Hashing.simhash(col(textCol), bits).as("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking
+    * column (e.g. same lang/source — bounds the quadratic): emits pairs
+    * with jaccard >= threshold.
+    *
+    * Plan: explode distinct shingles, self-equi-join on (block, shingle)
+    * → |A∩B| per pair via groupBy, then |A∪B| = |A|+|B|-|A∩B| from
+    * per-doc shingle counts (broadcastable side agg). Shuffles: shingle
+    * join + pair groupBy — both on high-cardinality keys. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, shingleN: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        explode(Hashing.shingles(col(textCol), shingleN)).as("sh"))
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
+    * column (label/shard). Blocking bounds the pair space; inside a block
+    * the join is an equi-join on the block key then a cosine filter. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("vec"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("sim", VectorOps.cosine(col("a.vec"), col("b.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over embedding columns.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k (delegates to VectorOps) —
+  *    the baseline and the oracle.
+  *  - [[lshTopK]]: sign-random-projection (hyperplane) LSH — queries and
+  *    corpus bucketed by a bit signature; candidates = same bucket; exact
+  *    re-rank inside the bucket. Sub-linear candidate sets at the cost of
+  *    recall; the scale path when the corpus cannot be broadcast.
+  *
+  * Hyperplanes must be deterministic and engine-portable for the oracle,
+  * so they are *data-derived*: the first `nPlanes` corpus vectors (by id)
+  * serve as projection directions. At production scale you'd sample
+  * instead; the operator takes any plane set.
+  */
+object SimilaritySearch {
+
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "vec_id", qVec: String = "embedding",
+                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    VectorOps.bruteForceTopK(queries, corpus, k, qId, qVec, cId, cVec)
+
+  /** Bit-signature column: for each plane, 1 iff dot(vec, plane) > 0. */
+  def srpSignature(vec: Column, planes: Seq[Column]): Column =
+    concat(planes.map(p => when(VectorOps.dotD(vec, p) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH ANN: bucket queries and corpus by hyperplane signature, exact
+    * cosine top-k within each bucket.
+    *
+    * Plan shape: both sides get a narrow signature projection (no UDF, no
+    * shuffle), then one hash-partitioned equi-join on the signature and a
+    * per-query window top-k. Empty-recall queries (no bucket collision)
+    * return no rows — standard LSH semantics; multi-probe/repeated tables
+    * raise recall by unioning more signatures. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, planes: Seq[Seq[Float]],
+              k: Int,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val planeCols = planes.map(p => typedLit(p))
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      srpSignature(col(qVec), planeCols).as("sig"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"),
+      srpSignature(col(cVec), planeCols).as("sig"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    q.join(c, "sig")
+      .withColumn("sim", VectorOps.cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids`; ANN = search only the probe-nearest partitions. Returns
+    * the corpus annotated with a `cluster` id — callers co-partition /
+    * bucket by it so searches touch one partition per probe. */
+  def ivfAssign(df: DataFrame, centroids: Seq[Seq[Float]],
+                vecCol: String = "embedding"): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.cosine(col(vecCol), typedLit(c)).as("sim"),
+        lit(i).as("cid"))
+    }
+    df.withColumn("cluster", greatest(sims: _*)("cid"))
+  }
+}

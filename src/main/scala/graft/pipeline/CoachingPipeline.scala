@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Coaching, TextSplit}
+import graft.operators.MlPredict
+import graft.providers.{ChatProvider, EmbeddingProvider}
+import graft.store.{SearchHit, VectorStore}
+
+/** The reference pipeline end-to-end, Spark-first (SURVEY.md §3.1/§3.2):
+  *
+  *  knowledge ─ chunk(M1) ─ embed(M2) ─▶ knowledge_embeddings_chunked ─▶ store
+  *  messages ─ filter(F1) ─ embed(M2) ─ vector_search(M4) ─ reshape(E4/E5)
+  *           ─ prompt(E1) ─ generate(M3) ─▶ (message, rag_results_string,
+  *                                           coaching_response, parsed)
+  *
+  * Stages are composable DataFrame→DataFrame functions so the same code
+  * runs fused (one plan, Catalyst optimizes across stages) or topic-parity
+  * (each stage materialized to its own sink, mirroring the reference's
+  * per-stage Kafka topics — SURVEY.md §7.4 #3). Works identically on batch
+  * and streaming DataFrames: every stage is a narrow map/explode, so in
+  * streaming mode there is no state and no watermark requirement.
+  */
+final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
+                             store: VectorStore, k: Int = 3,
+                             numCandidates: Int = 150) extends Serializable {
+
+  /** Stage: knowledge → chunked rows (reference :315-331).
+    * CROSS JOIN UNNEST(ML_CHARACTER_TEXT_SPLITTER(...)) ≡ explode(udf). */
+  def chunkKnowledge(knowledge: DataFrame): DataFrame = {
+    val split = udf((t: String) => TextSplit.splitText(t))
+    knowledge.select(col("document_id"),
+      explode(split(col("document_text"))).as("chunks"))
+  }
+
+  /** Stage: chunked → embedded (reference :332-336). */
+  def embedChunks(chunked: DataFrame): DataFrame =
+    MlPredict.withEmbedding(chunked, embedder, "chunks", "embedding")
+
+  /** Batch indexing job: knowledge docs → chunk+embed (the content of the
+    * knowledge_embeddings_chunked topic, main.tf:575). */
+  def indexKnowledge(knowledge: DataFrame): DataFrame =
+    embedChunks(chunkKnowledge(knowledge))
+
+  /** Stage: conversation → prospect-only (reference :347-350). Applied
+    * before any model call so only prospect rows pay inference cost —
+    * the reference's hand-placed pushdown, preserved structurally. */
+  def filterProspect(messages: DataFrame): DataFrame =
+    messages.filter(col("speaker") === "prospect")
+
+  /** Stage: messages → embeddings (reference :355-362). */
+  def embedMessages(prospect: DataFrame): DataFrame =
+    MlPredict.withEmbedding(prospect, embedder, "message", "embedding")
+
+  /** Stage: embeddings → rag_results (reference :367-385): lateral
+    * VECTOR_SEARCH k=3 then reshape to exactly-3 ARRAY<STRUCT<document_id,
+    * chunks>> dropping the embeddings. element_at is 1-based like Flink
+    * subscripts; <3 hits yields NULL elements (SURVEY.md §7.4 #5). */
+  def retrieve(embedded: DataFrame): DataFrame = {
+    val st = store; val kk = k; val nc = numCandidates
+    val searchUdf = udf((q: Seq[Float]) =>
+      if (q == null) Seq.empty[SearchHit] else st.search(q.toArray, kk, nc))
+    val hits = embedded.withColumn("search_results", searchUdf(col("embedding")))
+    def entry(i: Int) = struct(
+      element_at(col("search_results"), i)("document_id").as("document_id"),
+      element_at(col("search_results"), i)("chunks").as("chunks"))
+    hits.select(col("message"), col("speaker"),
+      array(entry(1), entry(2), entry(3)).as("rag_results"))
+  }
+
+  /** Stage: rag_results → LLM response (reference :412-433). */
+  def generate(ragResults: DataFrame): DataFrame = {
+    val withPrompt = ragResults
+      .withColumn("prompt", Coaching.buildCoachingPrompt(col("message"), col("rag_results")))
+      .withColumn("rag_results_string", to_json(col("rag_results")))
+      .select("message", "rag_results_string", "prompt")
+    MlPredict.withCompletion(withPrompt, chat, "coaching_response_generator",
+        "prompt", "coaching_response")
+      .select("message", "rag_results_string", "coaching_response")
+  }
+
+  /** Full coaching chain (fused mode) + parsed contract column. */
+  def coach(messages: DataFrame): DataFrame =
+    generate(retrieve(embedMessages(filterProspect(messages))))
+      .withColumn("coaching_parsed", Coaching.parseCoaching(col("coaching_response")))
+}
+
+object CoachingPipeline {
+
+  /** recent_conversation_history view (reference :489-505): last 6
+    * messages by rowtime, re-sorted ascending.
+    *
+    * Written as orderBy(desc).limit(6) — Spark plans TakeOrderedAndProject
+    * (per-partition top-6 then a 6-row merge on the driver), NOT a global
+    * single-partition window sort, so it scales to any table size. The
+    * ROW_NUMBER() OVER (ORDER BY ...) formulation the reference uses would
+    * serialize all rows through one partition.
+    */
+  def recentHistory(messages: DataFrame, tsCol: String = "rowtime",
+                    n: Int = 6): DataFrame =
+    messages.orderBy(col(tsCol).desc).limit(n).orderBy(col(tsCol).asc)
+
+  /** Exact-match cache lookup (reference app/routes/api_routes.py:34-39,
+    * script.js:766-777): case-insensitive trimmed equality against a small
+    * cache table; cache rows broadcast so the message stream never
+    * shuffles. Returns messages annotated with cached Response columns
+    * (null = cache miss → run the LLM path). */
+  def cacheLookup(messages: DataFrame, cache: DataFrame): DataFrame =
+    messages.join(
+      broadcast(cache),
+      lower(trim(messages("message"))) === lower(trim(cache("Message"))),
+      "left")
+}

@@ -1,0 +1,203 @@
+package graft.providers
+
+import scala.util.hashing.MurmurHash3
+
+/** Model/connection catalog objects — the Spark-side equivalent of the
+  * reference's `CREATE MODEL` / `CREATE CONNECTION` DDL
+  * (reference generate_personalized_commands.sh:191-259). A model is a
+  * named spec resolved by the ml_predict surface; a connection is a named
+  * endpoint+credential bundle hydrated from config.
+  */
+final case class ConnectionSpec(name: String, connType: String,
+                                endpoint: String, apiKey: String = "",
+                                username: String = "", password: String = "")
+
+final case class ModelSpec(name: String, provider: String, task: String,
+                           connection: String, modelVersion: String = "",
+                           inputFormat: String = "", systemPrompt: String = "")
+
+object ConnectionRegistry {
+  private val conns = scala.collection.concurrent.TrieMap.empty[String, ConnectionSpec]
+  def register(c: ConnectionSpec): Unit = conns.put(c.name, c)
+  def get(name: String): ConnectionSpec =
+    conns.getOrElse(name, sys.error(s"unknown connection '$name'"))
+  def clear(): Unit = conns.clear()
+}
+
+object ModelRegistry {
+  private val models = scala.collection.concurrent.TrieMap.empty[String, ModelSpec]
+  def register(m: ModelSpec): Unit = models.put(m.name, m)
+  def get(name: String): ModelSpec =
+    models.getOrElse(name, sys.error(s"unknown model '$name'"))
+  def clear(): Unit = models.clear()
+
+  /** The reference's two models (generate_personalized_commands.sh:215-259),
+    * wired to deterministic local providers so the engine runs fully
+    * offline. The GPT-4 system prompt is the behavioural contract the
+    * mock chat provider satisfies (see FIXTURES.md §2). */
+  def registerReferenceModels(): Unit = {
+    register(ModelSpec("openaiembed", provider = "mock", task = "embedding",
+      connection = "azure-openai-embedding-connection",
+      inputFormat = "OPENAI-EMBED"))
+    register(ModelSpec("coaching_response_generator", provider = "mock",
+      task = "text_generation", connection = "gpt-4-connection",
+      modelVersion = "gpt-4",
+      systemPrompt = "You are an expert sales coach AI. Provide actionable " +
+        "sales guidance formatted as JSON with fields suggested_response " +
+        "(<=75 words), sources (3 objects: document_index, document_id, " +
+        "title, path, full_text, used_excerpt) and reasoning (<=25 words)."))
+  }
+}
+
+/** Pluggable inference backends. The engine only ever sees these traits;
+  * batching happens in the physical ml_predict (MlPredict.scala). */
+trait EmbeddingProvider extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
+  /** One RPC per batch in remote impls. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+}
+
+trait ChatProvider extends Serializable {
+  def completeBatch(prompts: Seq[String], systemPrompt: String): Seq[String]
+}
+
+/** Deterministic mock embedder: unit-norm `dim`-float vector from a
+  * seeded MurmurHash3 of the input — stable across JVMs/runs so vector
+  * search results and golden tests are reproducible (FIXTURES.md §5).
+  * Reference dim is 1536 (ada-002, terraform/main.tf:657); tests use
+  * smaller dims.
+  */
+final class MockEmbedder(override val dim: Int = 1536) extends EmbeddingProvider {
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      val raw = Array.tabulate(dim) { i =>
+        // map a 32-bit hash to [-1, 1)
+        MurmurHash3.stringHash(t, i) / Int.MaxValue.toFloat
+      }
+      val n = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+      if (n == 0f) raw else raw.map(_ / n)
+    }
+}
+
+/** Deterministic mock chat: emits the coaching-response contract JSON
+  * (FIXTURES.md §2), echoing the 3 retrieved doc ids/chunks parsed back
+  * out of the prompt — so an end-to-end run asserts prompt assembly. */
+final class MockChat extends ChatProvider {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  override def completeBatch(prompts: Seq[String], systemPrompt: String): Seq[String] =
+    prompts.map { p =>
+      // prompt shape is buildCoachingPrompt's: "Document N: <id>\n<chunks>"
+      val docRe = "(?s)Document (\\d): ([^\n]*)\n(.*?)(?=\n\nDocument |$)".r
+      val docs = docRe.findAllMatchIn(p).toSeq.take(3)
+      val msg = "## PROSPECT MESSAGE: ([^\n]*)".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      val sources = docs.map { m =>
+        val id = m.group(2)
+        val title = id.split('/').lastOption.getOrElse(id)
+        val path = if (id.contains('/')) id.substring(0, id.lastIndexOf('/') + 1) else ""
+        s"""{"document_index": ${m.group(1)}, "document_id": "${esc(id)}", """ +
+          s""""title": "${esc(title)}", "path": "${esc(path)}", """ +
+          s""""full_text": "${esc(m.group(3))}", "used_excerpt": "${esc(m.group(3).take(40))}"}"""
+      }
+      val hash = math.abs(MurmurHash3.stringHash(p)).toString
+      s"""```json
+{
+  "suggested_response": "Acknowledge the concern and reframe value (ref ${hash.take(6)}): ${esc(msg.take(60))}",
+  "sources": [${sources.mkString(", ")}],
+  "reasoning": "Grounded in the top retrieved documents.",
+}
+```"""
+    }
+}
+
+/** Azure OpenAI providers (public REST API shape). Not exercised in this
+  * offline build environment — the engine's tests run on the mocks — but
+  * kept code-complete so a deployment with real credentials only swaps the
+  * provider instance.
+  */
+final class AzureOpenAIEmbedder(connectionName: String,
+                                override val dim: Int = 1536,
+                                apiVersion: String = "2023-05-15")
+    extends EmbeddingProvider {
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    val conn = ConnectionRegistry.get(connectionName)
+    val body = texts.map(t => "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("{\"input\": [", ",", "]}")
+    val resp = Http.post(s"${conn.endpoint}?api-version=$apiVersion",
+      body, Map("api-key" -> conn.apiKey))
+    Http.parseEmbeddings(resp, texts.size)
+  }
+}
+
+final class AzureOpenAIChat(connectionName: String,
+                            apiVersion: String = "2024-02-01")
+    extends ChatProvider {
+  override def completeBatch(prompts: Seq[String], systemPrompt: String): Seq[String] = {
+    val conn = ConnectionRegistry.get(connectionName)
+    prompts.map { p =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      val body =
+        s"""{"messages": [{"role": "system", "content": "${esc(systemPrompt)}"},
+           |{"role": "user", "content": "${esc(p)}"}]}""".stripMargin
+      val resp = Http.post(s"${conn.endpoint}?api-version=$apiVersion",
+        body, Map("api-key" -> conn.apiKey))
+      Http.parseChatContent(resp)
+    }
+  }
+}
+
+/** Minimal HTTP + JSON helpers for the remote providers (JDK HttpClient,
+  * no extra deps). */
+private[providers] object Http {
+  def post(url: String, body: String, headers: Map[String, String]): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  // Narrow, dependency-free extraction for the two response shapes we use.
+  def parseEmbeddings(json: String, n: Int): Seq[Array[Float]] = {
+    val arrRe = "\"embedding\"\\s*:\\s*\\[([^\\]]*)\\]".r
+    val out = arrRe.findAllMatchIn(json).map(_.group(1).split(',').map(_.trim.toFloat)).toSeq
+    require(out.size == n, s"expected $n embeddings, got ${out.size}")
+    out
+  }
+
+  def parseChatContent(json: String): String = {
+    val re = "\"content\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    re.findFirstMatchIn(json).map(m => unescape(m.group(1))).getOrElse(json)
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

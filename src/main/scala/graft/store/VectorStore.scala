@@ -1,0 +1,80 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-store seam behind the VECTOR_SEARCH operator (reference
+  * generate_personalized_commands.sh:293-306, 377-384: a MongoDB Atlas
+  * vector index queried laterally per row, k=3, cosine, numCandidates=150).
+  *
+  * The engine talks only to this trait, so the physical store is swappable:
+  *  - [[BroadcastBruteForceStore]]: exact cosine top-k over a broadcast
+  *    snapshot — the test/oracle implementation, and the right plan
+  *    whenever the index fits on an executor (reference corpus: 27 docs).
+  *  - A remote/ANN implementation (Atlas `$vectorSearch`, or the LSH path
+  *    in operators.SimilaritySearch) plugs in for unbounded corpora.
+  */
+final case class SearchHit(document_id: String, chunks: String, score: Double)
+
+trait VectorStore extends Serializable {
+  /** Top-k by cosine similarity. `numCandidates` is the ANN recall knob —
+    * exact stores may ignore it. */
+  def search(query: Array[Float], k: Int, numCandidates: Int = 150): Seq[SearchHit]
+  def size: Int
+}
+
+/** Exact cosine top-k over an in-memory corpus; build once on the driver
+  * (or from a DataFrame) and let Spark broadcast it inside the search UDF's
+  * closure — one copy per executor, queries never shuffle.
+  */
+final class BroadcastBruteForceStore(
+    corpus: Array[(String, String, Array[Float])]) extends VectorStore {
+
+  override def size: Int = corpus.length
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def search(query: Array[Float], k: Int, numCandidates: Int): Seq[SearchHit] = {
+    // bounded priority queue: O(corpus * log k), no full sort.
+    // Head = eviction candidate: lowest sim, ties evict the larger index →
+    // deterministic results (smaller index wins ties).
+    implicit val evictionOrd: Ordering[(Double, Int)] =
+      Ordering.by[(Double, Int), (Double, Int)](t => (t._1, -t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)).reverse
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Int)]
+    var i = 0
+    while (i < corpus.length) {
+      val s = cosine(query, corpus(i)._3)
+      if (pq.size < k) pq.enqueue((s, i))
+      else if (s > pq.head._1) { pq.dequeue(); pq.enqueue((s, i)) }
+      i += 1
+    }
+    pq.dequeueAll.reverse.map { si: (Double, Int) =>
+      SearchHit(corpus(si._2)._1, corpus(si._2)._2, si._1)
+    }.toSeq
+  }
+}
+
+object BroadcastBruteForceStore {
+  /** Collect an indexed-knowledge DataFrame (document_id, chunks, embedding)
+    * into an exact store. Only for corpora that fit in memory — the
+    * reference's knowledge base is KB-scale; big corpora use the
+    * DataFrame-level search operators instead. */
+  def fromDataFrame(df: DataFrame, idCol: String = "document_id",
+                    chunkCol: String = "chunks",
+                    embCol: String = "embedding"): BroadcastBruteForceStore = {
+    val rows = df.select(col(idCol), col(chunkCol), col(embCol)).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getSeq[Float](2).toArray)
+    }
+    new BroadcastBruteForceStore(rows)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.pipeline.CoachingPipeline
+
+/** Structured-Streaming forms of the reference's streaming semantics
+  * (SURVEY.md §2.9).
+  *
+  * The coaching chain itself is stateless (map/explode only) so the same
+  * CoachingPipeline stages run unchanged on a streaming DataFrame; this
+  * object holds the genuinely stateful/streaming-specific pieces.
+  */
+object StreamingOps {
+
+  /** T3: at-least-once dedup — MD5(message) with a TTL window, the Spark
+    * equivalent of the app's 300 s in-memory dedup dict (reference
+    * app/utils/kafka_utils.py:208-249). The watermark plays the TTL role:
+    * state for keys older than `ttl` is dropped, bounding state size.
+    * Requires an event-time column `tsCol`. */
+  def dedupWithTtl(df: DataFrame, msgCol: String, tsCol: String,
+                   ttl: String = "5 minutes"): DataFrame =
+    df.withColumn("message_md5", md5(col(msgCol)))
+      .withWatermark(tsCol, ttl)
+      .dropDuplicatesWithinWatermark("message_md5")
+      .drop("message_md5")
+
+  /** W1/W2 in streaming: a global updating top-N is unsupported in
+    * append mode (SURVEY.md §7.4 #1), so the view is recomputed per
+    * micro-batch — 6 rows of state, negligible at any scale since
+    * recentHistory plans TakeOrderedAndProject (per-partition top-6). */
+  def recentHistorySink(messages: DataFrame, tsCol: String, n: Int = 6)(
+      emit: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    messages.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(CoachingPipeline.recentHistory(batch, tsCol, n))
+      }
+
+  /** Kafka-parity source: subscribe + deserialize shape for a deployment
+    * with real brokers. Options mirror the reference tables'
+    * read-uncommitted isolation (generate_personalized_commands.sh:275). */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, brokers: String,
+                  topic: String, startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("kafka.isolation.level", "read_uncommitted")
+      .load()
+}
