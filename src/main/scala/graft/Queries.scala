@@ -28,8 +28,18 @@ object Queries {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Epoch seconds (floor) — ns/µs-precision-proof timestamp projection. */
-  private def tsSec(c: Column): Column = unix_timestamp(c)
+  /** Epoch seconds from the events `ts` column, which arrives as a plain
+    * long (nanoseconds since epoch) under
+    * `spark.sql.legacy.parquet.nanosAsLong` (core.Sessions) because the
+    * test parquet stores INT64 TIMESTAMP(NANOS) that Spark 4 otherwise
+    * rejects at schema conversion. Integral `div` — a double-precision
+    * divide is off-by-one-prone at 1e18 magnitudes. */
+  private[graft] def tsSec(name: String): Column =
+    expr(s"$name div 1000000000")
+
+  /** `ts` long-nanos → TimestampType (µs) — for date/time formatting ops. */
+  private[graft] def tsStamp(name: String): Column =
+    timestamp_micros(expr(s"$name div 1000"))
 
   // =====================================================================
   // Relational surface (inherited Spark ops — SURVEY §2.3/2.4/2.5/2.6;
@@ -175,7 +185,7 @@ object Queries {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_sec"), col("event_id"))
       T(s, dir, "events")
-        .select(col("user_id"), col("event_id"), tsSec(col("ts")).as("ts_sec"))
+        .select(col("user_id"), col("event_id"), tsSec("ts").as("ts_sec"))
         .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(byUser))
         .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
         .withColumn("session_id", sum(col("is_new")).over(
@@ -220,9 +230,12 @@ object Queries {
           (col("pos").cast("long") * 180 + 1).as("start_pos"), col("col").as("chunk"))
         .orderBy(col("doc_id"), col("start_pos"))
     }, Some("""
-      SELECT doc_id, g.s AS start_pos, substring(text, CAST(g.s AS INT), 200) AS chunk
-      FROM documents, generate_series(1, greatest(length(text), 1), 180) AS g(s)
-      ORDER BY doc_id, start_pos""")),
+      WITH g AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1)::BIGINT, 180)) AS s
+        FROM documents)
+      SELECT doc_id, s AS start_pos, substring(text, CAST(s AS INT), 200) AS chunk
+      FROM g ORDER BY doc_id, start_pos""")),
 
     ("rag_splitter_udf", (s, dir) => {
       // M1 full semantics (separator-aware splitter, reference
@@ -312,7 +325,7 @@ object Queries {
       // TakeOrderedAndProject (per-partition top-N + 6-row merge), not a
       // global single-partition window — the 100 TB-safe form.
       T(s, dir, "events")
-        .select(col("event_id"), col("event_type"), tsSec(col("ts")).as("ts_sec"))
+        .select(col("event_id"), col("event_type"), tsSec("ts").as("ts_sec"))
         .orderBy(col("ts_sec").desc, col("event_id").desc)
         .limit(6)
         .orderBy(col("ts_sec").asc, col("event_id").asc)
@@ -427,7 +440,7 @@ object Queries {
         .orderBy(col("ts_sec"), col("event_id"))
       T(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("event_id"),
-          tsSec(col("ts")).as("ts_sec"))
+          tsSec("ts").as("ts_sec"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))

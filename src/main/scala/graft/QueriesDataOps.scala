@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,17 +21,27 @@ object QueriesDataOps {
   /** documents ∪ deterministic duplicate variants — the test corpus has no
     * natural dups, so dedup operators run over: exact copies (+100000),
     * 10-char-truncated near-dups (+200000), case/whitespace-mangled
-    * formatting dups (+300000). */
+    * formatting dups (+300000).
+    *
+    * Single parquet scan: each row conditionally emits its variant through
+    * one explode, instead of a 4-branch union that scans `documents` four
+    * times (r2 bench showed the 4× scan dominating dedup_exact). */
   def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
-    d.union(d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"), col("source")))
-      .union(d.filter(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          expr("substring(text, 1, length(text) - 10)").as("text"), col("lang"), col("source")))
-      .union(d.filter(col("doc_id") % 5 === 2)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(upper(col("text")), lit("  ")).as("text"), col("lang"), col("source")))
+    def v(id: Column, text: Column) = struct(id.as("doc_id"), text.as("text"))
+    val base = v(col("doc_id"), col("text"))
+    val variants =
+      when(col("doc_id") % 5 === 0,
+        array(base, v(col("doc_id") + 100000, col("text"))))
+      .when(col("doc_id") % 5 === 1,
+        array(base, v(col("doc_id") + 200000,
+          expr("substring(text, 1, length(text) - 10)"))))
+      .when(col("doc_id") % 5 === 2,
+        array(base, v(col("doc_id") + 300000, concat(upper(col("text")), lit("  ")))))
+      .otherwise(array(base))
+    d.select(explode(variants).as("v"), col("lang"), col("source"))
+      .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"),
+        col("lang"), col("source"))
   }
 
   private val dwdSql: String = """
@@ -81,8 +91,11 @@ object QueriesDataOps {
       WITH $dwdSql,
       toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
                FROM dwd),
+      idx AS (SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS s
+              FROM toks),
       sh AS (SELECT DISTINCT doc_id, array_to_string(tk[s:s+2], ' ') AS sh
-             FROM toks, generate_series(1, greatest(len(tk) - 2, 0), 1) AS g(s)),
+             FROM idx),
       mh AS (SELECT doc_id, sd.seed AS seed,
                     min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS m
              FROM sh CROSS JOIN generate_series(0, 11, 1) AS sd(seed)
@@ -132,8 +145,11 @@ object QueriesDataOps {
       WITH $dwdSql,
       toks AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
                FROM dwd),
+      idx AS (SELECT doc_id, source, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS s
+              FROM toks),
       sh AS (SELECT DISTINCT doc_id, source, array_to_string(tk[s:s+2], ' ') AS sh
-             FROM toks, generate_series(1, greatest(len(tk) - 2, 0), 1) AS g(s)),
+             FROM idx),
       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
                 FROM sh a JOIN sh b

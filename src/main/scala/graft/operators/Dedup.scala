@@ -47,20 +47,35 @@ object Dedup {
   /** MinHash+LSH candidate pairs: docs sharing at least one LSH band key.
     * Emits distinct (id_a < id_b) pairs.
     *
-    * Plan: explode band keys (bands× blowup of a small projection), one
-    * shuffle on band key for the self-equi-join, distinct pairs. Band-key
-    * hot spots (boilerplate text) are the skew risk at scale — AQE skew
-    * join handles moderate skew; pathological keys can be count-capped
-    * upstream. */
+    * Plan notes (the 100 TB shape):
+    *  - shingles are materialized ONCE per row before the 12 minhash
+    *    passes — lambda-bearing higher-order functions are not
+    *    subexpression-eliminated by Catalyst, so inlining the shingle
+    *    expression into each minhash would retokenize 12×.
+    *  - pairs come from groupBy(band_key) → sorted id list → in-bucket
+    *    pair expansion, NOT a self-join: one scan of the corpus, one
+    *    shuffle on band key, and no double evaluation of the hashing
+    *    pipeline (a self-join re-evaluates its un-persisted input on both
+    *    sides).
+    *  - band-key hot spots (boilerplate text) are the skew risk at scale:
+    *    a hot bucket of b ids expands to b²/2 pairs map-side. Moderate
+    *    skew is absorbed by AQE; pathological keys can be count-capped
+    *    upstream. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, bands: Int = 4,
                       rowsPerBand: Int = 3): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"),
-        Hashing.lshBandKeys(Hashing.shingles(col(textCol), shingleN), bands, rowsPerBand).as("keys"))
-      .select(col("id"), explode(col("keys")).as("band_key"))
-    val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b, col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val keyed = df
+      .select(col(idCol).as("id"), Hashing.shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"),
+        explode(Hashing.lshBandKeys(col("sh"), bands, rowsPerBand)).as("band_key"))
+    val buckets = keyed.groupBy(col("band_key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 

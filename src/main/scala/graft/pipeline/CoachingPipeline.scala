@@ -60,8 +60,12 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
     * subscripts; <3 hits yields NULL elements (SURVEY.md §7.4 #5). */
   def retrieve(embedded: DataFrame): DataFrame = {
     val st = store; val kk = k; val nc = numCandidates
+    // non-deterministic: the search is expensive (remote in prod) — keep
+    // Catalyst from re-executing it via CSE or reordering filters above it
+    // (SURVEY.md §7.4 #2).
     val searchUdf = udf((q: Seq[Float]) =>
       if (q == null) Seq.empty[SearchHit] else st.search(q.toArray, kk, nc))
+      .asNondeterministic()
     val hits = embedded.withColumn("search_results", searchUdf(col("embedding")))
     def entry(i: Int) = struct(
       element_at(col("search_results"), i)("document_id").as("document_id"),
