@@ -13,12 +13,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
 
-    // warm the JVM/codegen once on the smallest sf so per-query numbers
-    // measure the operator, not first-call JIT + classloading.
-    try SparkEntry.queries("q01_agg_summary")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
-
+    // Warm EVERY bench plan shape once on the smallest sf: first execution
+    // of a plan pays 10-25 s of classloading + JIT + codegen compile in
+    // this JVM (measured: identical job 19.4 s cold / 1.1 s warm), which
+    // would otherwise dominate every per-query number and swing totals 4×
+    // between identical runs. Warming per shape (codegen cache is keyed by
+    // generated source, which is data-independent) leaves the timed sf run
+    // measuring the operator.
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok =

@@ -18,6 +18,14 @@ object QueriesDataOps {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The test `documents` parquet is one row group → one input partition,
+    * which would serialize every CPU-heavy per-row map (tokenize, shingle,
+    * md5) onto a single core. A cheap round-robin repartition of the skinny
+    * text rows spreads the compute; at real scale the source is already
+    * many-partitioned and callers skip this. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** documents ∪ deterministic duplicate variants — the test corpus has no
     * natural dups, so dedup operators run over: exact copies (+100000),
     * 10-char-truncated near-dups (+200000), case/whitespace-mangled
@@ -39,7 +47,8 @@ object QueriesDataOps {
       .when(col("doc_id") % 5 === 2,
         array(base, v(col("doc_id") + 300000, concat(upper(col("text")), lit("  ")))))
       .otherwise(array(base))
-    d.select(explode(variants).as("v"), col("lang"), col("source"))
+    spread(s, d)
+      .select(explode(variants).as("v"), col("lang"), col("source"))
       .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"),
         col("lang"), col("source"))
   }
@@ -113,7 +122,7 @@ object QueriesDataOps {
       // SimHash bucket dedup: 12-bit signature from per-token md5 nibble
       // votes; near-dups collide on the signature. Per-row map + one
       // groupBy — linear, no pair explosion.
-      Dedup.simhashGroups(T(s, dir, "documents"), "text", "doc_id", bits = 12)
+      Dedup.simhashGroups(spread(s, T(s, dir, "documents")), "text", "doc_id", bits = 12)
         .orderBy(col("simhash"))
     }, Some("""
       WITH toks AS (

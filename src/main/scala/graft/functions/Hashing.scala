@@ -20,32 +20,100 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** Word-level shingles (n consecutive lowercase tokens joined by a
-    * space), distinct per document. Tokenization = runs of alphanumerics,
-    * matching TextAnalysis.tokenCount and the oracle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
-    val nShingles = greatest(size(toks) - lit(n - 1), lit(0))
-    array_distinct(transform(
-      sequence(lit(1), nShingles, lit(1)),
-      i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  /** Sentinel above any md5 hex string — the fold's identity for min. */
+  private[graft] val MinhashSentinel = "￿"
 
-  /** One MinHash value (as a 32-hex-char string) for a shingle array under
-    * seed `i`: min over shingles of md5(i:shingle). Null when no shingles. */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(seed + ":"), s))))
+  private val TokenRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+  private val HexDigits = "0123456789abcdef".toCharArray
 
-  /** LSH band keys: `bands` keys, each the concat of `rowsPerBand`
-    * consecutive MinHashes. Docs sharing any band key are candidate
-    * near-duplicates. */
-  def lshBandKeys(shingleCol: Column, bands: Int, rowsPerBand: Int): Column = {
-    val keys = (0 until bands).map { b =>
-      val mhs = (0 until rowsPerBand).map(r => minhash(shingleCol, b * rowsPerBand + r))
-      concat(lit(b + ":") +: mhs.flatMap(m => Seq(m, lit("|"))): _*)
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
     }
-    array(keys: _*)
+    new String(out)
   }
+
+  /** Word-level shingles (n consecutive lowercase tokens joined by a
+    * space), distinct, insertion-ordered. Tokenization = runs of
+    * alphanumerics, matching TextAnalysis.tokenCount and the oracle.
+    *
+    * Plain Scala, exposed through UDFs below: per-row text hashing is
+    * CPU-bound, and Catalyst higher-order functions run interpreted
+    * (no whole-stage codegen), measured 10-30× slower than JIT-compiled
+    * Scala on this workload. The semantics stay oracle-checkable because
+    * the oracle compares md5 hex values, which are engine-portable. */
+  def shinglesScala(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = TokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) toks += m.group()
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      seen.add(toks.slice(i, i + n).mkString(" "))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** All `k` MinHash values (32-hex-char strings) for a document: element
+    * `i` = min over distinct shingles of md5(i:shingle) — lexicographic
+    * min over fixed-width hex == numeric min of the 128-bit value. Docs
+    * with no shingles return all-sentinel (callers filter; the oracle's
+    * per-shingle join drops such docs implicitly). */
+  def minhashesScala(text: String, shingleN: Int, k: Int): Array[String] = {
+    val sh = shinglesScala(text, shingleN)
+    val mins = Array.fill(k)(MinhashSentinel)
+    var i = 0
+    while (i < sh.length) {
+      var seed = 0
+      while (seed < k) {
+        val h = md5Hex(seed.toString + ":" + sh(i))
+        if (h.compareTo(mins(seed)) < 0) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** LSH band keys for a document: key `b` = band index + its
+    * `rowsPerBand` consecutive MinHashes. Docs sharing any band key are
+    * candidate near-duplicates. Empty docs → empty array (no keys, no
+    * pairs — matches the oracle's per-shingle join dropping them). */
+  def bandKeysScala(text: String, shingleN: Int, bands: Int,
+                    rowsPerBand: Int): Array[String] = {
+    val mh = minhashesScala(text, shingleN, bands * rowsPerBand)
+    if (mh.length == 0 || mh(0) == MinhashSentinel) return Array.empty
+    Array.tabulate(bands) { b =>
+      val sb = new StringBuilder(b.toString).append(':')
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(mh(b * rowsPerBand + r))
+        r += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Distinct-shingle UDF (ARRAY<STRING>) for explode-based operators. */
+  def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => shinglesScala(t, n))
+
+  /** Band-key UDF: one call per row, exploded directly — keeping the whole
+    * signature computation in one JIT-compiled call avoids Catalyst
+    * re-evaluating a nested UDF once per band inside a lambda. */
+  def bandKeysUdf(shingleN: Int, bands: Int,
+                  rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => bandKeysScala(t, shingleN, bands, rowsPerBand))
 
   /** SimHash over hex-derived bits: each token contributes ±1 to `bits`
     * bit positions; bit j of the signature is 1 iff the sum is positive.

@@ -48,10 +48,13 @@ object Dedup {
     * Emits distinct (id_a < id_b) pairs.
     *
     * Plan notes (the 100 TB shape):
-    *  - shingles are materialized ONCE per row before the 12 minhash
-    *    passes — lambda-bearing higher-order functions are not
-    *    subexpression-eliminated by Catalyst, so inlining the shingle
-    *    expression into each minhash would retokenize 12×.
+    *  - all 12 minhashes come from ONE fold over the shingle array
+    *    (Hashing.minhashes) so the tokenize+shingle expression — which
+    *    CollapseProject inlines through any intermediate projection —
+    *    is evaluated once per row, not once per seed.
+    *  - docs with no shingles produce an all-sentinel minhash array and
+    *    are dropped: they have no content to collide on (the oracle's
+    *    per-shingle join drops them implicitly).
     *  - pairs come from groupBy(band_key) → sorted id list → in-bucket
     *    pair expansion, NOT a self-join: one scan of the corpus, one
     *    shuffle on band key, and no double evaluation of the hashing
@@ -64,10 +67,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, bands: Int = 4,
                       rowsPerBand: Int = 3): DataFrame = {
+    val bk = Hashing.bandKeysUdf(shingleN, bands, rowsPerBand)
     val keyed = df
-      .select(col(idCol).as("id"), Hashing.shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"),
-        explode(Hashing.lshBandKeys(col("sh"), bands, rowsPerBand)).as("band_key"))
+      .select(col(idCol).as("id"), explode(bk(col(textCol))).as("band_key"))
     val buckets = keyed.groupBy(col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -99,7 +101,7 @@ object Dedup {
                         blockCol: String, shingleN: Int = 3,
                         threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        explode(Hashing.shingles(col(textCol), shingleN)).as("sh"))
+        explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
