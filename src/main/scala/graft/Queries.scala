@@ -412,7 +412,7 @@ object Queries {
         trim(regexp_replace(
                regexp_replace(regexp_replace(r, '```json', '', 'g'),
                               '```', '', 'g'),
-               e',[ \n\r\t]*([}\\]])', '\1', 'g'), ' ') AS repaired
+               e',[ \n\r\t]*([}\\]])', '\1', 'g'), e' \n\r\t') AS repaired
       FROM raw ORDER BY doc_id""")),
 
     ("rag_doc_path", (s, dir) => {

@@ -15,13 +15,15 @@ import graft.core.Tables
 object Coaching {
 
   /** The exact CONCAT prompt of the reference (E1): message + 3 retrieved
-    * (document_id, chunks) pairs, 1-based element_at matching Flink's
-    * 1-based subscripts; out-of-bounds yields NULL like Flink's short-hit
-    * case. `ragResults` is ARRAY<STRUCT<document_id, chunks>>. */
+    * (document_id, chunks) pairs, 1-based subscripts matching Flink's.
+    * try_element_at, NOT element_at: under Spark 4's default ANSI mode a
+    * plain element_at THROWS on out-of-bounds, but the reference semantics
+    * for <3 retrieval hits are a NULL element (→ NULL prompt), per
+    * SURVEY.md §7.4 #5. `ragResults` is ARRAY<STRUCT<document_id, chunks>>. */
   def buildCoachingPrompt(message: Column, ragResults: Column): Column = {
     def doc(i: Int): Seq[Column] = Seq(
-      lit(s"Document $i: "), element_at(ragResults, i)("document_id"), lit("\n"),
-      element_at(ragResults, i)("chunks"))
+      lit(s"Document $i: "), try_element_at(ragResults, lit(i))("document_id"), lit("\n"),
+      try_element_at(ragResults, lit(i))("chunks"))
     concat(Seq(
       lit("## PROSPECT MESSAGE: "), message,
       lit("\n\n## RAG DOCUMENTS:\n")) ++
@@ -40,11 +42,13 @@ object Coaching {
 
   /** LLM-JSON repair: strip ```json fences, trailing commas before } or ],
     * and trim — the script.js:952-961 repair chain as engine columns.
-    * Patterns restricted to the Java∩RE2 regex subset for oracle parity. */
+    * Patterns restricted to the Java∩RE2 regex subset for oracle parity.
+    * Edge trim must cover newlines left by the fence lines: Spark's
+    * one-arg trim strips spaces only, so the whitespace set is explicit. */
   def repairJson(raw: Column): Column = {
     val noFences = regexp_replace(regexp_replace(raw, "```json", ""), "```", "")
     val noTrailing = regexp_replace(noFences, ",[ \n\r\t]*([}\\]])", "$1")
-    trim(noTrailing)
+    trim(noTrailing, " \n\r\t")
   }
 
   /** Parse a (repaired) coaching_response into the contract struct; null on

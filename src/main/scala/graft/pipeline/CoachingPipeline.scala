@@ -67,9 +67,11 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
       if (q == null) Seq.empty[SearchHit] else st.search(q.toArray, kk, nc))
       .asNondeterministic()
     val hits = embedded.withColumn("search_results", searchUdf(col("embedding")))
+    // try_element_at: <k hits must yield NULL entries, not an ANSI
+    // out-of-bounds error (SURVEY.md §7.4 #5; Spark 4 ANSI default).
     def entry(i: Int) = struct(
-      element_at(col("search_results"), i)("document_id").as("document_id"),
-      element_at(col("search_results"), i)("chunks").as("chunks"))
+      try_element_at(col("search_results"), lit(i))("document_id").as("document_id"),
+      try_element_at(col("search_results"), lit(i))("chunks").as("chunks"))
     hits.select(col("message"), col("speaker"),
       array(entry(1), entry(2), entry(3)).as("rag_results"))
   }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CoachingPipeline
+import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
+import graft.store.BroadcastBruteForceStore
+
+/** §3.1 flagship path, content-asserted end-to-end (SURVEY.md §5 item 3):
+  * with the deterministic mock embedder, a message equal to a knowledge
+  * doc's text retrieves that doc at rank 1 (cosine = 1), and the parsed
+  * coaching JSON names it — the Spark analog of the reference's smoke
+  * fixture (generate_personalized_commands.sh:530-545). */
+class CoachE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtureText =
+    "This is a sample document for testing the RAG pipeline. It contains " +
+      "information about our product features and capabilities."
+
+  test("coach retrieves the matching knowledge doc and answers in contract JSON") {
+    ModelRegistry.registerReferenceModels()
+    val knowledge = Seq(
+      ("sample/test_document.md", "Test Document", "sample", fixtureText),
+      ("other/one.md", "One", "other", "completely unrelated text about databases and storage"),
+      ("other/two.md", "Two", "other", "another unrelated doc about networking and protocols"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+
+    val embedder = new MockEmbedder(64)
+    val bootstrap = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val store = BroadcastBruteForceStore.fromDataFrame(
+      bootstrap.indexKnowledge(knowledge))
+    store.size should be >= 3
+
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+    val messages = Seq(
+      (fixtureText, "prospect"),             // exact-match → cosine 1 with its chunk
+      ("ignore me", "salesperson"))          // filtered by F1
+      .toDF("message", "speaker")
+
+    val out = pipeline.coach(messages)
+    val rows = out.select(col("message"),
+      element_at(col("coaching_parsed.sources"), 1)("document_id").as("top_doc"),
+      org.apache.spark.sql.functions.size(col("coaching_parsed.sources")).as("n_sources"),
+      col("coaching_parsed.suggested_response").as("sr"),
+      col("coaching_parsed.reasoning").as("reasoning"),
+      col("rag_results_string")).collect()
+
+    rows should have length 1                 // salesperson row filtered out
+    val r = rows.head
+    r.getString(0) shouldBe fixtureText
+    r.getString(1) shouldBe "sample/test_document.md"
+    r.getInt(2) shouldBe 3
+    r.getString(3) should not be empty
+    r.getString(4) should not be empty
+    // the stringified rag_results (E6: to_json) also names the fixture doc
+    r.getString(5) should include("sample/test_document.md")
+  }
+
+  test("coachE2E flagship query runs on the driver test data with parsed output") {
+    val out = Queries.coachE2E(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    rows should have length 2                 // the two prospect messages
+    rows.foreach { r =>
+      r.getAs[String]("coaching_response") should not be empty
+      r.getAs[String]("suggested_response") should not be empty
+      r.getAs[Int]("n_sources") shouldBe 3
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators over planted duplicates (the operator-level view of the
+  * dedup_* driver queries). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 1
+    (3L, "THE QUICK BROWN FOX  JUMPS OVER THE LAZY DOG ", "a"), // formatting dup
+    (4L, "an entirely different document about spark engines", "b"),
+    (5L, "", "b")) // empty doc
+    .toDF("doc_id", "text", "source")
+
+  test("exact keeps the minimum id per duplicate group") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(1L, 3L, 4L, 5L) // 2 collapses into 1
+  }
+
+  test("exactGroups counts duplicates per content hash") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").select("n_dups", "keep_id").as[(Long, Long)].collect()
+    g.toSeq shouldBe Seq((2L, 1L), (1L, 3L), (1L, 4L), (1L, 5L))
+  }
+
+  test("fingerprintGroups catches case/whitespace variants exact md5 misses") {
+    val g = Dedup.fingerprintGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").select("n_dups", "keep_id").as[(Long, Long)].collect()
+    g.toSeq shouldBe Seq((3L, 1L), (1L, 4L), (1L, 5L)) // 1,2,3 unify
+  }
+
+  test("minhashLshPairs finds planted duplicates, ordered, no self-pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // exact dups share all band keys
+    pairs.foreach { case (a, b) => a should be < b }
+    // the empty doc has no shingles → never a candidate
+    pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
+  }
+
+  test("ngramJaccardPairs: identical docs have jaccard 1.0, blocking respected") {
+    val withCrossBlockDup = docs.union(
+      Seq((6L, "the quick brown fox jumps over the lazy dog", "b"))
+        .toDF("doc_id", "text", "source"))
+    val got = Dedup.ngramJaccardPairs(withCrossBlockDup, "text", "doc_id",
+        blockCol = "source", threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    got should contain((1L, 2L, 1.0))
+    // doc 6 matches 1/2's text but sits in block "b" → no cross-block pair
+    got.map(p => (p._1, p._2)) should not contain ((1L, 6L))
+  }
+
+  test("embeddingNearDupPairs: identical vectors pass, orthogonal fail") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f), "x"),
+      (2L, Seq(1f, 0f, 0f), "x"),   // identical to 1
+      (3L, Seq(0f, 1f, 0f), "x"),   // orthogonal
+      (4L, Seq(1f, 0f, 0f), "y"))   // identical but different block
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L))
+  }
+}

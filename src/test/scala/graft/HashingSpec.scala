@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Shingle / MinHash / band-key / SimHash primitives under the dedup
+  * family. The md5-hex reference values below are computed independently
+  * (MessageDigest) so the fast path is checked against first principles. */
+class HashingSpec extends AnyFunSuite with Matchers {
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("shingles: 3-gram word shingles, lowercased, distinct, in order") {
+    Hashing.shinglesScala("The quick brown Fox jumps", 3).toSeq shouldBe
+      Seq("the quick brown", "quick brown fox", "brown fox jumps")
+    // duplicates collapse, first occurrence order kept
+    Hashing.shinglesScala("a b a b a b", 2).toSeq shouldBe Seq("a b", "b a")
+  }
+
+  test("shingles: tokenization is alphanumeric runs") {
+    Hashing.shinglesScala("one,two;three!", 2).toSeq shouldBe
+      Seq("one two", "two three")
+  }
+
+  test("shingles: fewer tokens than n yields none") {
+    Hashing.shinglesScala("only two", 3) shouldBe empty
+    Hashing.shinglesScala("", 3) shouldBe empty
+    Hashing.shinglesScala(null, 3) shouldBe empty
+  }
+
+  test("minhashes match a first-principles min over md5(seed:shingle)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val got = Hashing.minhashesScala(text, 3, 4)
+    val sh = Hashing.shinglesScala(text, 3)
+    val want = (0 until 4).map(seed => sh.map(s => md5(s"$seed:$s")).min)
+    got.toSeq shouldBe want
+  }
+
+  test("minhashes of an empty document are all-sentinel") {
+    Hashing.minhashesScala("", 3, 6).toSeq shouldBe
+      Seq.fill(6)(Hashing.MinhashSentinel)
+  }
+
+  test("band keys: bands × rowsPerBand layout, empty doc yields no keys") {
+    val keys = Hashing.bandKeysScala("a b c d e f g", 3, 2, 2)
+    keys.length shouldBe 2
+    keys(0) should startWith("0:")
+    keys(1) should startWith("1:")
+    // each key carries rowsPerBand 32-hex minhashes joined by '|'
+    keys.foreach { k =>
+      val parts = k.drop(2).split('|')
+      parts.length shouldBe 2
+      parts.foreach(_ should fullyMatch regex "[0-9a-f]{32}")
+    }
+    Hashing.bandKeysScala("", 3, 2, 2) shouldBe empty
+    Hashing.bandKeysScala("one two", 3, 2, 2) shouldBe empty // < n tokens
+  }
+
+  test("identical texts collide on every band key; disjoint texts on none") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val k1 = Hashing.bandKeysScala(t1, 3, 4, 3)
+    val k2 = Hashing.bandKeysScala(t1, 3, 4, 3)
+    k1.toSeq shouldBe k2.toSeq
+    val k3 = Hashing.bandKeysScala("uno dos tres cuatro cinco seis siete", 3, 4, 3)
+    k1.toSet.intersect(k3.toSet) shouldBe empty
+  }
+}
+
+class SimhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash is a deterministic bits-wide 0/1 string; dups collide") {
+    val df = Seq(
+      "the quick brown fox", "the quick brown fox", "totally different words here")
+      .toDF("text")
+    val sigs = df.select(Hashing.simhash(col("text"), 12)).as[String].collect()
+    sigs.foreach(_ should fullyMatch regex "[01]{12}")
+    sigs(0) shouldBe sigs(1)
+    sigs(0) should not be sigs(2)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CoachingPipeline
+import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
+import graft.store.BroadcastBruteForceStore
+import graft.streaming.StreamingOps
+
+/** T1/T3/T5: the coaching chain as a real Structured Streaming query over
+  * MemoryStream, with at-least-once input deduplicated to effectively-once
+  * output (reference kafka_utils.py:208-249's TTL dict ≡
+  * dropDuplicatesWithinWatermark) and the top-6 view recomputed per
+  * micro-batch (SURVEY.md §5 item 5, §7.4 #1). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch: an event at exactly the initial watermark (0) is
+  // treated as late and silently dropped
+  private def ts(minutes: Int): Timestamp = new Timestamp((100 + minutes) * 60000L)
+
+  private def checkpoint(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  private lazy val pipeline: CoachingPipeline = {
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(32)
+    val knowledge = Seq(
+      ("kb/pricing.md", "Pricing", "kb", "pricing objection handling guide with discount policy"),
+      ("kb/other.md", "Other", "kb", "unrelated implementation notes"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val bootstrap = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val store = BroadcastBruteForceStore.fromDataFrame(bootstrap.indexKnowledge(knowledge))
+    new CoachingPipeline(embedder, new MockChat, store)
+  }
+
+  test("streaming coach: at-least-once input yields effectively-once output") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val messages = input.toDF.toDF("message", "speaker", "ts")
+
+    val coached = pipeline.coach(
+      StreamingOps.dedupWithTtl(messages, "message", "ts", ttl = "5 minutes"))
+
+    val query = coached.writeStream.format("memory").queryName("coached_stream")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      // batch 1: a message delivered twice (at-least-once) + a salesperson row
+      input.addData(
+        ("what about the pricing", "prospect", ts(0)),
+        ("what about the pricing", "prospect", ts(0)),
+        ("let me explain", "salesperson", ts(1)))
+      query.processAllAvailable()
+      // batch 2: replay of the same message inside the TTL + one new message
+      input.addData(
+        ("what about the pricing", "prospect", ts(2)),
+        ("tell me about integration", "prospect", ts(3)))
+      query.processAllAvailable()
+
+      val out = spark.table("coached_stream")
+        .select("message", "coaching_response").collect()
+      val byMsg = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      byMsg shouldBe Map(
+        "what about the pricing" -> 1,       // dup + replay suppressed
+        "tell me about integration" -> 1)    // salesperson row filtered
+      out.foreach(_.getString(1) should not be empty)
+    } finally query.stop()
+  }
+
+  test("dedup TTL: a replay after the watermark passes the TTL is re-emitted") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp)]
+    val deduped = StreamingOps.dedupWithTtl(
+      input.toDF.toDF("message", "speaker", "ts"), "message", "ts", ttl = "5 minutes")
+
+    val query = deduped.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData(("hello", "prospect", ts(0)))
+      query.processAllAvailable()
+      // push the watermark far past ts(0) + TTL → state for "hello"
+      // dropped. Watermark propagation lags one micro-batch (batch N's
+      // watermark comes from batch N-1's max event time), so advance twice.
+      input.addData(("advance", "prospect", ts(60)))
+      query.processAllAvailable()
+      input.addData(("advance2", "prospect", ts(62)))
+      query.processAllAvailable()
+      input.addData(("hello", "prospect", ts(63)))
+      query.processAllAvailable()
+
+      val hellos = spark.table("dedup_ttl").filter($"message" === "hello").count()
+      hellos shouldBe 2 // the reference's TTL dict also forgets after 300 s
+    } finally query.stop()
+  }
+
+  test("recent-history view recomputes the top-6 per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val messages = input.toDF.toDF("message", "rowtime")
+
+    @volatile var last: Array[(String, Timestamp)] = Array.empty
+    val writer = StreamingOps.recentHistorySink(messages, "rowtime") { view =>
+      last = view.select("message", "rowtime").as[(String, Timestamp)].collect()
+    }
+    val query = writer.option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((1 to 10).map(i => (s"m$i", ts(i))): _*)
+      query.processAllAvailable()
+      // last 6 by rowtime, re-sorted ascending (W1+W2+F4)
+      last.map(_._1).toSeq shouldBe (5 to 10).map(i => s"m$i")
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.SimilaritySearch
+import graft.store.BroadcastBruteForceStore
+
+/** M4/J3 vector search: store semantics, DataFrame brute force, LSH and
+  * IVF scale paths. */
+class BroadcastStoreSpec extends AnyFunSuite with Matchers {
+
+  private val corpus = Array(
+    ("d1", "c1", Array(1f, 0f, 0f)),
+    ("d2", "c2", Array(0.9f, 0.1f, 0f)),
+    ("d3", "c3", Array(0f, 1f, 0f)),
+    ("d4", "c4", Array(0f, 0f, 1f)))
+  private val store = new BroadcastBruteForceStore(corpus)
+
+  test("search returns cosine top-k best-first") {
+    val hits = store.search(Array(1f, 0f, 0f), 2)
+    hits.map(_.document_id) shouldBe Seq("d1", "d2")
+    hits.head.score shouldBe 1.0 +- 1e-9
+    hits(1).score should be < hits.head.score
+  }
+
+  test("ties break toward the earlier corpus entry, deterministically") {
+    val tied = new BroadcastBruteForceStore(Array(
+      ("a", "", Array(1f, 0f)), ("b", "", Array(2f, 0f)), ("c", "", Array(0f, 1f))))
+    // a and b have identical cosine 1.0 — earlier index wins
+    tied.search(Array(1f, 0f), 2).map(_.document_id) shouldBe Seq("a", "b")
+  }
+
+  test("k larger than the corpus returns everything ranked") {
+    store.search(Array(0f, 1f, 0f), 10).map(_.document_id).head shouldBe "d3"
+    store.search(Array(0f, 1f, 0f), 10) should have size 4
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot expressions match scalar math") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val Array(dot, cos) = df.select(
+      VectorOps.dotD(col("a"), col("b")),
+      VectorOps.cosine(col("a"), col("b"))).collect().head.toSeq.toArray
+    dot shouldBe 32.0
+    cos.asInstanceOf[Double] shouldBe
+      (32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) +- 1e-12
+  }
+
+  test("bruteForceTopK matches the in-memory store on the same data") {
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val queries = (100 until 105).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 8 + j).toFloat)))
+    val got = VectorOps.bruteForceTopK(
+        queries.toDF("qid", "qvec"), corpus.toDF("nid", "nvec"),
+        3, "qid", "qvec", "nid", "nvec")
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    val store = new BroadcastBruteForceStore(
+      corpus.map(c => (c._1.toString, "", c._2.toArray)).toArray)
+    queries.foreach { case (qid, qvec) =>
+      got(qid) shouldBe store.search(qvec.toArray, 3).map(_.document_id.toLong)
+    }
+  }
+
+  test("lshTopK: a corpus vector identical to the query lands in its bucket at rank 1") {
+    val shared = Seq(1f, 2f, -1f, 0.5f)
+    val corpus = Seq((10L, shared), (11L, Seq(-1f, -2f, 1f, -0.5f)))
+    val queries = Seq((1L, shared))
+    val planes = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val got = SimilaritySearch.lshTopK(
+        queries.toDF("vec_id", "embedding"), corpus.toDF("vec_id", "embedding"),
+        planes, 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+    got should contain((1L, 10L, 1))
+    // the sign-flipped vector has the opposite signature → different bucket
+    got.map(_._2) should not contain 11L
+  }
+
+  test("ivfAssign maps a vector equal to a centroid to that cluster") {
+    val centroids = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.ivfAssign(df, centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    got shouldBe Map(1L -> 0, 2L -> 1, 3L -> 0)
+  }
+}
