@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{Coaching, Hashing, TextAnalysis, TextSplit, VectorOps}
+import graft.io.{AvroCodec, CsvCache}
 import graft.operators.{Dedup, MlPredict, Multimodal, SimilaritySearch}
 import graft.pipeline.CoachingPipeline
 import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
@@ -455,6 +456,150 @@ object Queries {
             FROM e)
       SELECT user_id, event_type, event_id FROM r WHERE rn = 1
       ORDER BY user_id, event_type""")),
+
+    ("rag_avro_roundtrip", (s, dir) => {
+      // S7/S8: the Avro wire codec as a driver-checked query — every row
+      // serialized to Schema-Registry-framed Avro bytes (magic + id +
+      // binary, kafka_utils.py:283-301) and decoded back; the oracle is
+      // the identity projection, so any wire corruption hash-mismatches.
+      val docs = T(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val enc = AvroCodec.encodeUdf(docs.schema, "documents-value")
+      val dec = AvroCodec.decodeUdf(docs.schema, "documents-value")
+      docs
+        .select(dec(enc(struct(col("doc_id"), col("text"), col("lang"), col("source")))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.lang").as("lang"), col("r.source").as("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""")),
+
+    ("rag_null_scrub", (s, dir) => {
+      // F7: null-scrub — NULL→'' per field, drop rows missing
+      // Message/Response (reference api_routes.py:57-78,
+      // cache_utils.py:68-75). Nulls synthesized deterministically.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("text")).as("Message"),
+          when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("source")).as("Response"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("Reasoning"))
+        .na.fill("", Seq("Message", "Response", "Reasoning"))
+        .filter(trim(col("Message")) =!= "" && trim(col("Response")) =!= "")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS m,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS r,
+               CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS rs
+        FROM documents)
+      SELECT doc_id, coalesce(m, '') AS "Message", coalesce(r, '') AS "Response",
+             coalesce(rs, '') AS "Reasoning"
+      FROM c
+      WHERE trim(coalesce(m, '')) != '' AND trim(coalesce(r, '')) != ''
+      ORDER BY doc_id""")),
+
+    ("rag_keygen", (s, dir) => {
+      // E10: UUID-shaped record keys (kafka_utils.py:323). Production
+      // producers use uuid() (random — see TopicParityPipeline); the
+      // driver-checked form derives the key deterministically from row
+      // content so both engines agree.
+      val h = md5(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+            substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+            .as("record_key"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             substring(md5(text), 1, 8) || '-' || substring(md5(text), 9, 4)
+               || '-' || substring(md5(text), 13, 4) || '-'
+               || substring(md5(text), 17, 4) || '-'
+               || substring(md5(text), 21, 12) AS record_key
+      FROM documents ORDER BY doc_id""")),
+
+    ("rag_time_format", (s, dir) => {
+      // E14: HH:mm rendering of event times (script.js:1266-1269) — the
+      // serving-layer timestamp format as an engine column (UTC session).
+      T(s, dir, "events")
+        .select(col("event_id"), date_format(tsStamp("ts"), "HH:mm").as("hhmm"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, strftime(ts, '%H:%M') AS hhmm
+      FROM events ORDER BY event_id""")),
+
+    ("rag_used_excerpts", (s, dir) => {
+      // E13: join non-empty used_excerpts with blank lines
+      // (script.js:970-971); empty and NULL entries synthesized.
+      val sources = array(
+        struct(substring(col("text"), 1, 20).as("used_excerpt")),
+        struct(when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(substring(col("text"), 21, 20)).as("used_excerpt")),
+        struct(when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(substring(col("text"), 41, 20)).as("used_excerpt")))
+      T(s, dir, "documents")
+        .select(col("doc_id"), Coaching.usedExcerpts(sources).as("excerpts"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH e AS (
+        SELECT doc_id,
+               substring(text, 1, 20) AS e1,
+               CASE WHEN doc_id % 3 = 0 THEN '' ELSE substring(text, 21, 20) END AS e2,
+               CASE WHEN doc_id % 4 = 0 THEN NULL ELSE substring(text, 41, 20) END AS e3
+        FROM documents)
+      SELECT doc_id,
+             array_to_string(
+               list_filter([e1, e2, e3], x -> x IS NOT NULL AND x != ''),
+               e'\n\n') AS excerpts
+      FROM e ORDER BY doc_id""")),
+
+    ("rag_shuffle_pick3", (s, dir) => {
+      // W5: suggested-question shuffle + take 3 (script.js:426-428).
+      // Seeded rand is reproducible within Spark but engine-specific →
+      // rows-only driver check; determinism asserted in ScalaTest.
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(rand(42), col("doc_id"))
+        .limit(3)
+    }, None),
+
+    ("rag_cache_crud", (s, dir) => {
+      // S10: the full CSV-cache CRUD cycle against a real csv directory —
+      // seed rows, append a second batch, delete one by message key,
+      // read back sanitized (cache_utils.py:32-191).
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cache")
+        .toString + "/cached"
+      val docs = T(s, dir, "documents")
+      def cacheRows(pred: Column, msg: Column) = docs.filter(pred).select(
+        msg.as("Message"),
+        concat(lit("resp "), col("doc_id")).as("Response"),
+        when(col("doc_id") % 100 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("Reasoning"),
+        lit("").as("Used Excerpts"),
+        col("source").as("RAG sources"))
+      CsvCache.append(cacheRows(col("doc_id") % 50 === 0, col("text")), tmp)
+      CsvCache.append(cacheRows(col("doc_id") % 70 === 0,
+        concat(lit("extra "), col("text"))), tmp)
+      val delMsg = docs.filter(col("doc_id") === 0)
+        .select(col("text")).first().getString(0)
+      CsvCache.delete(s, tmp, delMsg)
+      CsvCache.read(s, tmp).orderBy(col("Message"))
+    }, Some("""
+      WITH base AS (
+        SELECT text AS m, 'resp ' || CAST(doc_id AS VARCHAR) AS r,
+               CASE WHEN doc_id % 100 = 0 THEN '' ELSE lang END AS rs,
+               '' AS ue, source AS src
+        FROM documents WHERE doc_id % 50 = 0 AND doc_id != 0
+        UNION ALL
+        SELECT 'extra ' || text, 'resp ' || CAST(doc_id AS VARCHAR),
+               CASE WHEN doc_id % 100 = 0 THEN '' ELSE lang END, '', source
+        FROM documents WHERE doc_id % 70 = 0)
+      SELECT m AS "Message", r AS "Response", rs AS "Reasoning",
+             ue AS "Used Excerpts", src AS "RAG sources"
+      FROM base ORDER BY m""")),
 
     ("rag_coach_e2e", (s, dir) => {
       // §3.1 flagship path end-to-end with deterministic mocks: knowledge

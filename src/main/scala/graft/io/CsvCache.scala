@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The response-cache surface (S10/F7): the reference keeps a CSV of
+  * cached Q&A rows with header `Message, Response, Reasoning,
+  * Used Excerpts, RAG sources`, read into memory at boot, appended on
+  * Ctrl+Shift+C saves, deleted from via the cache CRUD routes, and
+  * sanitized on every pass (None→"", drop rows missing Message/Response)
+  * — reference app/utils/cache_utils.py:32-81 read, :83-132 append,
+  * :134-191 delete, :68-75,234-246 + app/routes/api_routes.py:57-78
+  * sanitize.
+  *
+  * Spark-native: the cache is a small DataFrame; reads are header-checked
+  * CSV scans, mutations rewrite the directory (CSV has no upsert — same
+  * as the reference rewriting the file), and the sanitize pass is F7's
+  * null-scrub as catalyst expressions.
+  */
+object CsvCache {
+
+  val columns: Seq[String] =
+    Seq("Message", "Response", "Reasoning", "Used Excerpts", "RAG sources")
+
+  val schema: StructType =
+    StructType(columns.map(c => StructField(c, StringType)))
+
+  /** F7: replace NULL with "" in every column, then drop rows without a
+    * usable Message and Response (api_routes.py:57-78). Columns are cast
+    * to string first: na.fill silently skips non-string columns (e.g. the
+    * NullType a literal null produces), which would leave nulls behind. */
+  def sanitize(df: DataFrame): DataFrame =
+    df.select(columns.map(c => col(c).cast("string").as(c)): _*)
+      .na.fill("", columns)
+      .filter(trim(col("Message")) =!= "" && trim(col("Response")) =!= "")
+
+  /** Header-checked read + sanitize (cache_utils.py:32-81: a cache file
+    * with a wrong header is treated as corrupt, not silently misparsed). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", true).schema(schema).csv(path)
+    val header = spark.read.option("header", false).csv(path).limit(1)
+      .collect().headOption.map(_.toSeq.map(String.valueOf))
+    header.foreach { h =>
+      require(h == columns, s"cache header mismatch: $h")
+    }
+    sanitize(raw)
+  }
+
+  /** Append rows (sanitized first, like the reference's save path). */
+  def append(df: DataFrame, path: String): Unit =
+    sanitize(df.select(columns.map(col): _*))
+      .write.mode(SaveMode.Append).option("header", true).csv(path)
+
+  /** Delete rows whose Message matches (case-insensitive, trimmed — the
+    * same key rule as the F5 lookup). CSV has no delete: read, filter,
+    * rewrite — cache_utils.py:134-191 does the same file rewrite. */
+  def delete(spark: SparkSession, path: String, message: String): Unit = {
+    val kept = read(spark, path)
+      .filter(lower(trim(col("Message"))) =!= message.trim.toLowerCase)
+      .collect() // cache is small by contract (an app-managed CSV)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(kept.toIndexedSeq), schema)
+    df.write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+  }
+}

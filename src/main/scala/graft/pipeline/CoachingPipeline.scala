@@ -76,6 +76,46 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
       array(entry(1), entry(2), entry(3)).as("rag_results"))
   }
 
+  /** Scale-path retrieval (S5): the index stays a DataFrame and the top-k
+    * search is a broadcast-corpus join (VectorOps.bruteForceTopK) instead
+    * of a collected in-memory store — no unconditional driver collect, so
+    * the knowledge index can be arbitrarily large on disk (broadcast side
+    * bounded by what an executor holds; beyond that swap in
+    * SimilaritySearch.lshTopK with the same assembly).
+    *
+    * Same output contract as [[retrieve]]: exactly-k ARRAY<STRUCT<
+    * document_id, chunks>> with NULL tail entries for <k hits. */
+  def retrieveJoin(embedded: DataFrame, index: DataFrame): DataFrame = {
+    val q = embedded.withColumn("__qid",
+      md5(concat_ws("\u0000", col("message"), col("speaker"))))
+    val queries = q.select(col("__qid"), col("embedding").as("__qvec")).distinct()
+    // chunk-unique neighbor id: document_id alone repeats across chunks;
+    // vector columns renamed apart — the cross join would otherwise see
+    // two ambiguous `embedding` attributes
+    val corpus = index.select(
+      md5(concat_ws("\u0000", col("document_id"), col("chunks"))).as("__nid"),
+      col("document_id"), col("chunks"), col("embedding").as("__nvec"))
+    val topk = graft.functions.VectorOps.bruteForceTopK(
+        queries, corpus.select("__nid", "__nvec"), k,
+        "__qid", "__qvec", "__nid", "__nvec")
+      .join(corpus.select("__nid", "document_id", "chunks"), "__nid")
+    val entries = topk.groupBy(col("__qid"))
+      .agg(array_sort(collect_list(struct(
+        col("rank"), col("document_id"), col("chunks")))).as("hits"))
+    def entry(i: Int) = struct(
+      try_element_at(col("hits"), lit(i))("document_id").as("document_id"),
+      try_element_at(col("hits"), lit(i))("chunks").as("chunks"))
+    q.join(entries, Seq("__qid"), "left")
+      .select(col("message"), col("speaker"),
+        array(entry(1), entry(2), entry(3)).as("rag_results"))
+  }
+
+  /** Full chain on the join-retrieval path — for indexes too large to
+    * collect into a broadcast store. */
+  def coachJoin(messages: DataFrame, index: DataFrame): DataFrame =
+    generate(retrieveJoin(embedMessages(filterProspect(messages)), index))
+      .withColumn("coaching_parsed", Coaching.parseCoaching(col("coaching_response")))
+
   /** Stage: rag_results → LLM response (reference :412-433). */
   def generate(ragResults: DataFrame): DataFrame = {
     val withPrompt = ragResults

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.io.{AvroCodec, LocalTopicStore}
+
+/** Topic-parity mode (SURVEY.md §7.4 #3): the reference's observable
+  * contract is a chain of Kafka topics with Avro values — each Flink CTAS
+  * materializes one stage (generate_personalized_commands.sh:347-350
+  * filter, :355-362 embed, :367-385 retrieve, :412-433 generate), and CLI
+  * tools/the app consume intermediates. This runner executes the SAME
+  * CoachingPipeline stages but Avro-encodes every stage's output to its
+  * topic and re-reads+decodes it before the next stage, so intermediate
+  * topics exist and carry wire-faithful bytes (Schema-Registry framing,
+  * nullable-union schemas — app/utils/kafka_utils.py:283-294). Keys are
+  * random UUIDs like the reference producer's (kafka_utils.py:323, E10).
+  *
+  * Fused mode (CoachingPipeline.coach) is the optimization; this is the
+  * faithful mode — both share every stage implementation, which is the
+  * point of keeping the stages composable.
+  */
+final class TopicParityPipeline(pipeline: CoachingPipeline,
+                                store: LocalTopicStore) extends Serializable {
+
+  import TopicParityPipeline._
+
+  private def publish(df: DataFrame, topic: String, st: StructType): Unit = {
+    val enc = AvroCodec.encodeUdf(st, s"$topic-value")
+    store.append(
+      df.select(expr("uuid()").as("key"),
+        enc(struct(st.fieldNames.map(col).toSeq: _*)).as("value")),
+      topic)
+  }
+
+  private def consume(spark: SparkSession, topic: String, st: StructType): DataFrame = {
+    val dec = AvroCodec.decodeUdf(st, s"$topic-value")
+    store.read(spark, topic).select(dec(col("value")).as("r")).select(col("r.*"))
+  }
+
+  /** Stage 0 (producer): conversation → F1 filter → messages_prospect.
+    * The reference app also publishes straight to messages_prospect
+    * (kafka_utils.py:161) — both entries land in the same topic. */
+  def publishProspect(messages: DataFrame): Unit =
+    publish(pipeline.filterProspect(messages), TopicProspect, Tables.messageSchema)
+
+  /** Stage 1: messages_prospect → embed → messages_prospect_embeddings. */
+  def runEmbedStage(spark: SparkSession): Unit =
+    publish(pipeline.embedMessages(consume(spark, TopicProspect, Tables.messageSchema)),
+      TopicEmbeddings, embeddingsSchema)
+
+  /** Stage 2: embeddings → vector search + reshape → rag_results topic. */
+  def runRetrieveStage(spark: SparkSession): Unit =
+    publish(pipeline.retrieve(consume(spark, TopicEmbeddings, embeddingsSchema)),
+      TopicRagResults, ragResultsSchema)
+
+  /** Stage 3: rag_results → prompt + LLM → final response topic. */
+  def runGenerateStage(spark: SparkSession): Unit =
+    publish(pipeline.generate(consume(spark, TopicRagResults, ragResultsSchema)),
+      TopicResponse, Tables.responseSchema)
+
+  /** Consumer view of the tail topic (what the app's WebSocket consumer
+    * reads, kafka_utils.py:342-455), with the parsed contract column. */
+  def consumeResponses(spark: SparkSession): DataFrame =
+    consume(spark, TopicResponse, Tables.responseSchema)
+      .withColumn("coaching_parsed",
+        graft.functions.Coaching.parseCoaching(col("coaching_response")))
+
+  /** Run the whole chain for a batch of conversation messages. */
+  def runAll(spark: SparkSession, messages: DataFrame): DataFrame = {
+    publishProspect(messages)
+    runEmbedStage(spark)
+    runRetrieveStage(spark)
+    runGenerateStage(spark)
+    consumeResponses(spark)
+  }
+}
+
+object TopicParityPipeline {
+  val TopicProspect = "messages_prospect"
+  val TopicEmbeddings = "messages_prospect_embeddings"
+  val TopicRagResults = "messages_prospect_rag_results"
+  val TopicResponse = "messages_prospect_rag_llm_response"
+
+  /** messages_prospect_embeddings — generate_personalized_commands.sh:355-362. */
+  val embeddingsSchema: StructType = Tables.messageSchema
+    .add(StructField("embedding", ArrayType(FloatType)))
+
+  /** messages_prospect_rag_results — :367-385 (3 named structs, embeddings
+    * stripped). */
+  val ragResultsSchema: StructType = Tables.messageSchema
+    .add(StructField("rag_results", ArrayType(Tables.ragResultEntry)))
+}

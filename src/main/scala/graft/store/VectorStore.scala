@@ -68,7 +68,8 @@ object BroadcastBruteForceStore {
   /** Collect an indexed-knowledge DataFrame (document_id, chunks, embedding)
     * into an exact store. Only for corpora that fit in memory — the
     * reference's knowledge base is KB-scale; big corpora use the
-    * DataFrame-level search operators instead. */
+    * DataFrame-level search operators instead (CoachingPipeline.coachJoin /
+    * VectorOps.bruteForceTopK). */
   def fromDataFrame(df: DataFrame, idCol: String = "document_id",
                     chunkCol: String = "chunks",
                     embCol: String = "embedding"): BroadcastBruteForceStore = {
@@ -76,5 +77,44 @@ object BroadcastBruteForceStore {
       (r.getString(0), r.getString(1), r.getSeq[Float](2).toArray)
     }
     new BroadcastBruteForceStore(rows)
+  }
+}
+
+/** Upsertable store — the in-process analog of the reference's MongoDB
+  * Atlas sink connector continuously upserting the vector index (S4,
+  * reference main.tf:594-635: topic → collection, ordered bulk writes).
+  * Rows are keyed by (document_id, md5(chunks)) so re-delivered chunks
+  * (at-least-once topic semantics) overwrite rather than duplicate —
+  * BsonOid-per-record in the reference, content-keyed here so replays are
+  * idempotent. Search delegates to an exact scan of the current snapshot.
+  *
+  * Bounded corpora only (one JVM's memory): the streaming sink path
+  * (StreamingOps.upsertSink) feeds it per micro-batch; unbounded indexes
+  * belong in the DataFrame-join retrieve path instead. */
+final class InMemoryVectorStore extends VectorStore {
+  private val rows =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String, Array[Float])]()
+
+  private def key(id: String, chunks: String): (String, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(Option(chunks).getOrElse("").getBytes("UTF-8"))
+    (id, md.map("%02x".format(_)).mkString)
+  }
+
+  def upsert(id: String, chunks: String, embedding: Array[Float]): Unit =
+    rows.put(key(id, chunks), (id, chunks, embedding))
+
+  /** Bulk upsert of a micro-batch / DataFrame partition collect. */
+  def upsertAll(batch: Iterable[(String, String, Array[Float])]): Unit =
+    batch.foreach { case (id, c, e) => upsert(id, c, e) }
+
+  def delete(id: String, chunks: String): Unit = rows.remove(key(id, chunks))
+
+  override def size: Int = rows.size
+
+  override def search(query: Array[Float], k: Int, numCandidates: Int): Seq[SearchHit] = {
+    import scala.jdk.CollectionConverters._
+    val snapshot = rows.values.asScala.toArray.sortBy(r => (r._1, r._2))
+    new BroadcastBruteForceStore(snapshot).search(query, k, numCandidates)
   }
 }

@@ -50,4 +50,35 @@ object StreamingOps {
       .option("startingOffsets", startingOffsets)
       .option("kafka.isolation.level", "read_uncommitted")
       .load()
+
+  /** Kafka-parity sink (S2): every derived stage materializes to its own
+    * topic (reference generate_personalized_commands.sh:315,347,355,367,412).
+    * `df` must already be (key STRING, value BINARY) — Avro-framed via
+    * io.AvroCodec, exactly the bytes the local topic store writes. */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+                checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr("CAST(key AS STRING) AS key", "value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** S4: continuous index maintenance — the Spark analog of the
+    * reference's MongoDB sink connector upserting the vector collection
+    * from the chunked-embeddings topic (main.tf:594-635). Each micro-batch
+    * of (document_id, chunks, embedding) rows is upserted into the store;
+    * replays (at-least-once) are idempotent because the store keys by
+    * (document_id, chunk hash). The per-batch collect is the sink's
+    * documented bound: this store targets broadcastable corpora. */
+  def upsertSink(indexStream: DataFrame, store: graft.store.InMemoryVectorStore)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    indexStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsertAll(
+          batch.select(col("document_id"), col("chunks"), col("embedding"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1),
+              r.getSeq[Float](2).toArray)))
+      }
 }
