@@ -633,8 +633,6 @@ object Queries {
     val pipelineStub = new CoachingPipeline(embedder, chat,
       new BroadcastBruteForceStore(Array.empty))
     val index = pipelineStub.indexKnowledge(knowledge)
-    val store = BroadcastBruteForceStore.fromDataFrame(index)
-    val pipeline = new CoachingPipeline(embedder, chat, store)
 
     val messages = Seq(
       ("I am interested in your product but I am concerned about the pricing.", "prospect"),
@@ -642,7 +640,16 @@ object Queries {
       ("How does this compare to CompetEx?", "prospect"))
       .toDF("message", "speaker")
 
-    pipeline.coach(messages)
+    // size-guarded retrieval strategy: collect-into-broadcast-store only
+    // under the documented limit, DataFrame-join path above it — the
+    // flagship never unconditionally collects the index.
+    val coached =
+      if (index.count() <= CoachingPipeline.BroadcastIndexLimit) {
+        val store = BroadcastBruteForceStore.fromDataFrame(index)
+        new CoachingPipeline(embedder, chat, store).coach(messages)
+      } else pipelineStub.coachJoin(messages, index)
+
+    coached
       .select(col("message"), col("rag_results_string"), col("coaching_response"),
         col("coaching_parsed.suggested_response").as("suggested_response"),
         size(col("coaching_parsed.sources")).as("n_sources"),

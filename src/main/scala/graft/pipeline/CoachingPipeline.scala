@@ -135,6 +135,13 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
 
 object CoachingPipeline {
 
+  /** Max index chunks for the collect-into-broadcast-store retrieval
+    * path; larger indexes take the DataFrame-join path (coachJoin). The
+    * reference corpus is 27 docs — far under; the guard exists so the
+    * flagship pipeline never unconditionally collects an unbounded
+    * index onto the driver. */
+  val BroadcastIndexLimit = 100000L
+
   /** recent_conversation_history view (reference :489-505): last 6
     * messages by rowtime, re-sorted ascending.
     *

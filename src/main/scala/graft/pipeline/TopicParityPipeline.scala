@@ -68,6 +68,22 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
       .withColumn("coaching_parsed",
         graft.functions.Coaching.parseCoaching(col("coaching_response")))
 
+  /** Ingestion-track parity (S3, §3.2): publish chunked+embedded
+    * knowledge to the explicit-schema `knowledge_embeddings_chunked`
+    * topic (DDL main.tf:575, populated by INSERT INTO ... SELECT,
+    * generate_personalized_commands.sh:315-336). The sink connector
+    * (S4) consumes this topic into the vector store. */
+  def publishIndex(knowledge: DataFrame): Unit =
+    publish(pipeline.indexKnowledge(knowledge), TopicChunked, Tables.chunkSchema)
+
+  /** Consumer half of the S4 sink connector: topic → store upsert. */
+  def upsertIndexFromTopic(spark: SparkSession,
+                           store: graft.store.InMemoryVectorStore): Unit =
+    store.upsertAll(
+      consume(spark, TopicChunked, Tables.chunkSchema)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2).toArray)))
+
   /** Run the whole chain for a batch of conversation messages. */
   def runAll(spark: SparkSession, messages: DataFrame): DataFrame = {
     publishProspect(messages)
@@ -79,6 +95,7 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
 }
 
 object TopicParityPipeline {
+  val TopicChunked = "knowledge_embeddings_chunked"
   val TopicProspect = "messages_prospect"
   val TopicEmbeddings = "messages_prospect_embeddings"
   val TopicRagResults = "messages_prospect_rag_results"

@@ -63,6 +63,21 @@ object StreamingOps {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** T6: offset management. Spark's consumer position IS the checkpoint:
+    * `startingOffsets` only applies to a fresh query, so the reference's
+    * offset-reset utility (app/scripts/kafka/reset_consumer_group.py:21-110
+    * — seek all partitions to the high watermark and commit) maps to
+    * deleting the checkpoint and restarting with startingOffsets=latest.
+    * Destructive by design, like the reset script. */
+  def resetOffsets(checkpointDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val d = new java.io.File(checkpointDir)
+    if (d.exists()) rm(d)
+  }
+
   /** S4: continuous index maintenance — the Spark analog of the
     * reference's MongoDB sink connector upserting the vector collection
     * from the chunked-embeddings topic (main.tf:594-635). Each micro-batch

@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan guards: the scale properties claimed in the operator
+  * docs, asserted against the actual planned strings so a regression
+  * (lost pushdown, join degrading to cartesian/sort-merge, top-N
+  * degrading to a global sort) fails CI instead of only showing up at
+  * 100 TB. Run on the smallest sf — plan shape is data-independent here.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    p should include("PushedFilters: [")
+    p should include("event_type")
+    // pruned read schema — the timestamp column never reaches the scan
+    p should not include "ts:"
+  }
+
+  test("q03: small dimension joins as broadcast, not shuffle") {
+    val p = plan("q03_join_broadcast")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q05/q06: semi and anti joins stay semi/anti (no row multiplication)") {
+    plan("q05_semi_join") should include("LeftSemi")
+    plan("q06_anti_join") should include("LeftAnti")
+  }
+
+  test("recent history plans TakeOrderedAndProject, not a global window sort") {
+    val p = plan("rag_recent_history")
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+  }
+
+  test("vector topk broadcasts the corpus; queries never shuffle for the join") {
+    val p = plan("rag_vector_topk")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("per-group topk window is hash-partitioned by the group key") {
+    val p = plan("q07_window_topk_group")
+    p should include("Window")
+    p should include("hashpartitioning(o_custkey")
+  }
+
+  test("exact dedup is a partial-aggregate groupBy (map-side combine)") {
+    val p = plan("dedup_exact")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
+  test("minhash LSH pair expansion has no self-join and no cartesian product") {
+    val p = plan("dedup_minhash_lsh")
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+}
