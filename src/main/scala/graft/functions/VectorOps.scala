@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Vector math over ARRAY<FLOAT> embedding columns, built from catalyst
-  * higher-order functions (zip_with / aggregate) so the hot path stays
-  * codegen-friendly and fully distributed — no UDFs, no driver loops.
+/** Vector math over ARRAY<FLOAT> embedding columns, backed by native
+  * Catalyst expressions with whole-stage codegen (org.apache.spark.sql.graft.VectorExpressions)
+  * — fully distributed, no UDFs, no driver loops, and no interpreted
+  * higher-order functions in the |queries| × |corpus| hot loop.
   *
   * Re-expresses the reference's VECTOR_SEARCH cosine semantics
   * (reference generate_personalized_commands.sh:377-384: k=3 cosine over a
@@ -14,19 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product in double precision, sequential (index-order) fold —
-    * deterministic across runs and engines. */
+  /** Dot product in double precision, sequential (index-order)
+    * accumulation — deterministic across runs and engines. */
   def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorExpressions.dot(a, b)
 
   def norm2(a: Column): Column = dotD(a, a)
 
-  /** Cosine similarity in double precision. Null/zero-norm safe: returns
-    * null when either norm is 0 (matches DuckDB list_cosine_similarity NaN
-    * avoidance by construction of our test data — vectors are non-zero). */
+  /** Cosine similarity in double precision; NULL when either norm is 0
+    * (DuckDB's list_cosine_similarity never sees that case in our data —
+    * vectors are non-zero). */
   def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    org.apache.spark.sql.graft.VectorExpressions.cosine(a, b)
 
   /** Brute-force top-k cosine neighbors of each query vector against a
     * corpus. Returns (qidName, nidName, rank, sim).

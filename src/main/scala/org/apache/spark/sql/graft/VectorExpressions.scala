@@ -1,0 +1,128 @@
+// Hosted under org.apache.spark.sql so the private[sql] pieces the
+// expression API needs (AbstractDataType for ImplicitCastInputTypes,
+// classic.ExpressionUtils for Expression↔Column bridging) are in scope —
+// the standard packaging for third-party Catalyst expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * Why not `functions.aggregate`/`zip_with`: higher-order functions are
+  * evaluated interpreted (they never enter whole-stage codegen), and in
+  * `VectorOps.bruteForceTopK` the similarity sits inside a |queries| ×
+  * |corpus| broadcast nested-loop join — the single hottest loop in the
+  * engine at scale. These expressions generate a tight primitive Java
+  * loop over the Tungsten array format instead (`doGenCode`), keeping
+  * the whole join stage inside one codegen'd span; the interpreted
+  * `nullSafeEval` path remains for completeness.
+  *
+  * Numerical contract: double-precision accumulation in index order —
+  * bit-identical to the previous fold-based formulation and to the
+  * DuckDB oracle's list_cosine_similarity on the same data. Null
+  * ARRAY elements are not supported (embeddings are dense); a NULL
+  * array yields NULL, and cosine of a zero-norm vector yields NULL.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+}
+
+case class DotProductFloat(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CosineSimilarityFloat(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullable: Boolean = true // zero-norm input → NULL
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductFloat(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarityFloat(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
