@@ -24,9 +24,22 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerUdfs(spark)
     spark
+  }
+
+  /** SQL-surface registration of the UDF-shaped operators (the
+    * expression-shaped ones are injected by GraftExtensions). Idempotent. */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("split_text",
+      (t: String, size: Int, overlap: Int, sep: String) =>
+        graft.functions.TextSplit.splitText(t, size, overlap, sep))
+    spark.udf.register("minhash_band_keys",
+      (t: String, shingleN: Int, bands: Int, rowsPerBand: Int) =>
+        graft.functions.Hashing.bandKeysScala(t, shingleN, bands, rowsPerBand))
   }
 }
