@@ -35,10 +35,14 @@ object SparkEntry {
     all.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 
   /** Headline queries for Bench (sf0.1): the scale-sensitive operators —
-    * aggregation, joins, windows, chunking, hashing dedup, vector topk. */
+    * aggregation, joins, windows, chunking, Avro wire codec, hashing
+    * dedup families, vector search paths, text/multimodal maps. */
   val benchQueries: Seq[String] = Seq(
     "q01_agg_summary", "q03_join_broadcast", "q04_join_multi",
-    "q07_window_topk_group", "q10_sessionize", "rag_chunk_explode",
-    "rag_vector_topk", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_topk_bruteforce", "text_quality", "text_langid", "mm_metadata")
+    "q05_semi_join", "q07_window_topk_group", "q10_sessionize",
+    "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
+    "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_topk_bruteforce", "ann_lsh_bucketed", "text_quality",
+    "text_langid", "mm_metadata", "mm_frame_sample")
 }
