@@ -28,6 +28,15 @@ final class LocalTopicStore(dir: String) extends Serializable {
   def read(spark: SparkSession, topic: String): DataFrame =
     spark.read.schema(recordSchema).parquet(path(topic))
 
+  /** Continuous consumer: a streaming file source over the topic
+    * directory — every appended file is a new batch of records, the
+    * subscribe-to-topic analog. The directory is created up front so the
+    * stream can start before the first producer append. */
+  def readStream(spark: SparkSession, topic: String): DataFrame = {
+    new java.io.File(path(topic)).mkdirs()
+    spark.readStream.schema(recordSchema).parquet(path(topic))
+  }
+
   def exists(topic: String): Boolean =
     new java.io.File(path(topic)).exists()
 }

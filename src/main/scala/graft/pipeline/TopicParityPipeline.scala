@@ -84,6 +84,57 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2).toArray)))
 
+  /** Pre-register every topic's wire schema, so consumers (which fetch by
+    * subject, never auto-register — kafka_utils.py:296-301) can start
+    * before the first producer publish. */
+  def registerSubjects(): Unit =
+    Seq(TopicProspect -> Tables.messageSchema,
+      TopicEmbeddings -> embeddingsSchema,
+      TopicRagResults -> ragResultsSchema,
+      TopicResponse -> Tables.responseSchema,
+      TopicChunked -> Tables.chunkSchema)
+      .foreach { case (t, st) =>
+        graft.io.SchemaRegistry.getOrRegister(s"$t-value",
+          AvroCodec.avroSchemaFor(st, t))
+      }
+
+  /** T1 — the reference's actual execution model: each stage is a
+    * STANDING continuous query (4 statements, 4 jobs, topic hops between,
+    * generate_personalized_commands.sh:315-505), here as three chained
+    * Structured Streaming queries subscribed to the previous stage's
+    * topic and appending Avro records to the next. Producers keep
+    * publishing to messages_prospect while the chain runs; the sink write
+    * is at-least-once on retry, exactly the reference's read-uncommitted
+    * delivery (T2) — duplicates are the downstream dedup's job (T3).
+    * Returns (embed, retrieve, generate) queries; stop them to tear down. */
+  def streamStages(spark: SparkSession, checkpointRoot: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    registerSubjects()
+    def stage(name: String, inTopic: String, inSchema: StructType,
+              outTopic: String, outSchema: StructType,
+              f: DataFrame => DataFrame) = {
+      val dec = AvroCodec.decodeUdf(inSchema, s"$inTopic-value")
+      val enc = AvroCodec.encodeUdf(outSchema, s"$outTopic-value")
+      val in = store.readStream(spark, inTopic)
+        .select(dec(col("value")).as("r")).select(col("r.*"))
+      f(in)
+        .select(expr("uuid()").as("key"),
+          enc(struct(outSchema.fieldNames.map(col).toSeq: _*)).as("value"))
+        .writeStream
+        .queryName(s"graft-stage-$name")
+        .foreachBatch { (batch: DataFrame, _: Long) => store.append(batch, outTopic) }
+        .option("checkpointLocation", s"$checkpointRoot/$name")
+        .start()
+    }
+    Seq(
+      stage("embed", TopicProspect, Tables.messageSchema,
+        TopicEmbeddings, embeddingsSchema, pipeline.embedMessages),
+      stage("retrieve", TopicEmbeddings, embeddingsSchema,
+        TopicRagResults, ragResultsSchema, pipeline.retrieve),
+      stage("generate", TopicRagResults, ragResultsSchema,
+        TopicResponse, Tables.responseSchema, pipeline.generate))
+  }
+
   /** Run the whole chain for a batch of conversation messages. */
   def runAll(spark: SparkSession, messages: DataFrame): DataFrame = {
     publishProspect(messages)
