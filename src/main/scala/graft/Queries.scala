@@ -240,12 +240,12 @@ object Queries {
 
     ("rag_splitter_udf", (s, dir) => {
       // M1 full semantics (separator-aware splitter, reference
-      // generate_personalized_commands.sh:322-326) — not ANSI-SQL
-      // expressible → rows-only driver check + ScalaTest goldens.
-      val split = udf((t: String) => TextSplit.splitText(t, 200, 20, "###", true))
+      // generate_personalized_commands.sh:322-326) as the native
+      // SplitTextGenerator — not ANSI-SQL expressible → rows-only driver
+      // check + ScalaTest goldens/parity.
       T(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"))))
-        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TextExpressions.splitTextGen(col("text")))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }, None),
 

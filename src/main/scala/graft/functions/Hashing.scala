@@ -115,12 +115,39 @@ object Hashing {
                   rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => bandKeysScala(t, shingleN, bands, rowsPerBand))
 
+  /** SimHash in plain Scala — identical semantics to [[simhash]] below
+    * (asserted equal in HashingSpec), used by Dedup so the per-token vote
+    * loop runs JIT-compiled instead of as an interpreted Catalyst fold. */
+  def simhashScala(text: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 32)
+    if (text == null) return "0" * bits
+    val votes = new Array[Int](bits)
+    val m = TokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) {
+      val h = md5Hex(m.group())
+      var j = 0
+      while (j < bits) {
+        if (h.charAt(j) >= '8') votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    val sb = new StringBuilder(bits)
+    var j = 0
+    while (j < bits) { sb.append(if (votes(j) > 0) '1' else '0'); j += 1 }
+    sb.toString
+  }
+
+  def simhashUdf(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => simhashScala(t, bits))
+
   /** SimHash over hex-derived bits: each token contributes ±1 to `bits`
     * bit positions; bit j of the signature is 1 iff the sum is positive.
     * Bit j of a token = 1 iff hex digit j of md5(token) >= '8' (the top
     * bit of the nibble) — a pure string comparison, so the oracle SQL is a
     * substring test in both engines. Returns a `bits`-char '0'/'1' string.
-    * bits <= 32 (md5 hex length). */
+    * bits <= 32 (md5 hex length). Column-expression form, kept as the
+    * oracle-documented reference semantics; the hot path uses
+    * [[simhashScala]]. */
   def simhash(text: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 32)
     val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))

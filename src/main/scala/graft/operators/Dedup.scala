@@ -86,7 +86,7 @@ object Dedup {
     * concern). */
   def simhashGroups(df: DataFrame, textCol: String, idCol: String,
                     bits: Int = 16): DataFrame =
-    df.groupBy(Hashing.simhash(col(textCol), bits).as("simhash"))
+    df.groupBy(Hashing.simhashUdf(bits)(col(textCol)).as("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking

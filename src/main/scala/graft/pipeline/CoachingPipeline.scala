@@ -28,12 +28,14 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
                              numCandidates: Int = 150) extends Serializable {
 
   /** Stage: knowledge → chunked rows (reference :315-331).
-    * CROSS JOIN UNNEST(ML_CHARACTER_TEXT_SPLITTER(...)) ≡ explode(udf). */
-  def chunkKnowledge(knowledge: DataFrame): DataFrame = {
-    val split = udf((t: String) => TextSplit.splitText(t))
-    knowledge.select(col("document_id"),
-      explode(split(col("document_text"))).as("chunks"))
-  }
+    * CROSS JOIN UNNEST(ML_CHARACTER_TEXT_SPLITTER(...)) as a native
+    * Generator (SplitTextGenerator) — rows stream straight into the
+    * Generate operator with no per-row chunk-array materialization. */
+  def chunkKnowledge(knowledge: DataFrame): DataFrame =
+    knowledge
+      .select(col("document_id"),
+        org.apache.spark.sql.graft.TextExpressions.splitTextGen(col("document_text")))
+      .select(col("document_id"), col("chunk").as("chunks"))
 
   /** Stage: chunked → embedded (reference :332-336). */
   def embedChunks(chunked: DataFrame): DataFrame =

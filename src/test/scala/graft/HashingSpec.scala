@@ -83,4 +83,36 @@ class SimhashSpec extends SparkSpec {
     sigs(0) shouldBe sigs(1)
     sigs(0) should not be sigs(2)
   }
+
+  test("Scala fast path equals the column-expression reference semantics") {
+    val texts = Seq("the quick brown fox", "a", "", "Mixed CASE tokens 42!",
+      "repeated repeated repeated words words")
+    val viaColumn = texts.toDF("text")
+      .select(Hashing.simhash(col("text"), 16)).as[String].collect()
+    texts.map(Hashing.simhashScala(_, 16)) shouldBe viaColumn.toSeq
+  }
+}
+
+class SplitTextGeneratorSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graft.TextExpressions
+
+  test("generator output equals explode(posexplode(udf)) semantics") {
+    val texts = Seq("alpha###beta", "x" * 450, "", "short one")
+    val viaGen = texts.toDF("text")
+      .select(col("text"), TextExpressions.splitTextGen(col("text")))
+      .select("text", "chunk_idx", "chunk")
+      .as[(String, Int, String)].collect().toSeq.sorted
+    val expected = texts.flatMap { t =>
+      graft.functions.TextSplit.splitText(t).zipWithIndex
+        .map { case (c, i) => (t, i, c) }
+    }.sorted
+    viaGen shouldBe expected
+  }
+
+  test("generator rejects non-string input at analysis time") {
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      Seq(1, 2).toDF("n")
+        .select(TextExpressions.splitTextGen(col("n"))).collect()
+  }
 }
