@@ -81,6 +81,41 @@ object Dedup {
       .distinct()
   }
 
+  /** The production near-dup plan at corpus scale: LSH proposes candidate
+    * pairs (sub-quadratic, minhashLshPairs), then exact n-gram Jaccard is
+    * computed ONLY on those candidates — never all pairs — by joining the
+    * candidate list back to per-doc shingle sets. Shuffles: the LSH band
+    * groupBy, one shingle equi-join restricted by the candidate semi-join,
+    * and the per-pair count — all on high-cardinality keys.
+    *
+    * Emits (id_a, id_b, jaccard) for candidates with jaccard >= threshold:
+    * LSH recall bounds what can be found; the verifier removes false
+    * positives. */
+  def minhashLshVerified(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, bands: Int = 4,
+                         rowsPerBand: Int = 3,
+                         threshold: Double = 0.6): DataFrame = {
+    val cand = minhashLshPairs(df, textCol, idCol, shingleN, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("id"),
+      explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // |A∩B| per candidate pair: shingles of side a semi-restricted to
+    // candidates, matched against side b on the shingle
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = cand
+      .join(a, col("id_a") === col("a.id"))
+      .join(b, col("id_b") === col("b.id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash buckets: signature → members. Near-dups collide on the full
     * signature (or differ in few bits; Hamming-ball probing is a client
     * concern). */

@@ -44,6 +44,15 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
   }
 
+  test("minhashLshVerified: candidates verified by exact jaccard, false positives cut") {
+    val verified = Dedup.minhashLshVerified(docs, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    verified.map(p => (p._1, p._2)) should contain((1L, 2L)) // exact dup survives
+    verified.foreach(_._3 should be >= 0.9)
+    // doc 4 shares no shingles with 1/2 → never verified even if banded
+    verified.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
   test("ngramJaccardPairs: identical docs have jaccard 1.0, blocking respected") {
     val withCrossBlockDup = docs.union(
       Seq((6L, "the quick brown fox jumps over the lazy dog", "b"))
