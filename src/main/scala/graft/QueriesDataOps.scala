@@ -212,6 +212,33 @@ object QueriesDataOps {
       WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
       ORDER BY id_a, id_b""")),
 
+    ("dedup_embedding_lsh", (s, dir) => {
+      // the scale path for embedding near-dup: SRP signature bucketing
+      // (one equi-join) + exact cosine verification, no label blocking.
+      val emb = T(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", planes,
+          threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH planes AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                      WHERE vec_id < 4),
+      sigs AS (
+        SELECT v.vec_id, v.embedding,
+               string_agg(CASE WHEN list_dot_product(v.embedding::DOUBLE[],
+                                     p.pvec::DOUBLE[]) > 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+        FROM embeddings v CROSS JOIN planes p GROUP BY v.vec_id, v.embedding),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                 b.embedding::DOUBLE[]) AS sim
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b FROM cand WHERE sim >= 0.35
+      ORDER BY id_a, id_b""")),
+
     ("dedup_embedding", (s, dir) => {
       // embedding near-dup pairs: cosine >= 0.35 within label blocks.
       Dedup.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id",
@@ -281,6 +308,45 @@ object QueriesDataOps {
                list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
         FROM sigs q JOIN sigs c ON q.sig = c.sig
         WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      ranked AS (SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid ASC) AS rank
+                 FROM cand)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    ("ann_ivf_topk", (s, dir) => {
+      // full IVF search: corpus bucketed by nearest centroid, queries
+      // probe their 2 nearest clusters, exact cosine top-3 within.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"))
+      SimilaritySearch.ivfTopK(queries, corpus, centroids, k = 3, nProbe = 2)
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      scored AS (SELECT v.vec_id, v.embedding, c.cid,
+                        list_cosine_similarity(v.embedding::DOUBLE[],
+                          c.cvec::DOUBLE[]) AS sim,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                            c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+                 FROM embeddings v CROSS JOIN cents c),
+      corpus AS (SELECT vec_id AS nid, embedding AS nvec, cid AS cluster
+                 FROM scored WHERE r = 1 AND vec_id >= 20),
+      probes AS (SELECT vec_id AS qid, embedding AS qvec, cid AS cluster
+                 FROM scored WHERE r <= 2 AND vec_id < 20),
+      cand AS (SELECT q.qid, c.nid,
+                      list_cosine_similarity(q.qvec::DOUBLE[],
+                        c.nvec::DOUBLE[]) AS sim
+               FROM probes q JOIN corpus c ON q.cluster = c.cluster),
       ranked AS (SELECT qid, nid,
                         row_number() OVER (PARTITION BY qid
                           ORDER BY sim DESC, nid ASC) AS rank
@@ -379,6 +445,26 @@ object QueriesDataOps {
                    ) / 3.0, 4) AS quality
       FROM feats ORDER BY doc_id"""
     }),
+
+    ("text_token_count", (s, dir) => {
+      // token counting two ways: whitespace tokens and a BPE-ish regex
+      // (letter runs / digit runs / punctuation runs, optionally
+      // space-prefixed like byte-pair vocabularies) — the cheap length
+      // estimators a training pipeline budgets with.
+      val bpe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+            .as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+            .as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[^ ]+')) AS n_ws_tokens,
+             len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+               AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""")),
 
     ("text_fingerprint", (s, dir) => {
       // canonical-form document fingerprint (rolling formatting-invariant

@@ -153,6 +153,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding near-dup at corpus scale: SRP-LSH signature bucketing
+    * replaces the label-block quadratic — candidates are pairs sharing
+    * the full hyperplane signature (one equi-join on the signature), then
+    * the exact cosine filter verifies. Recall is tuned by the plane count
+    * (fewer planes → bigger buckets → higher recall, more verification).
+    * Identical vectors always share a signature, so exact dups have
+    * recall 1. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Seq[Seq[Float]],
+                          threshold: Double): DataFrame = {
+    val sig = graft.operators.SimilaritySearch.srpSignature(
+      col(vecCol), planes.map(p => typedLit(p)))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("sig"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("sim", VectorOps.cosine(col("a.vec"), col("b.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a blocking
     * column (label/shard). Blocking bounds the pair space; inside a block
     * the join is an equi-join on the block key then a cosine filter. */

@@ -68,4 +68,42 @@ object SimilaritySearch {
     }
     df.withColumn("cluster", greatest(sims: _*)("cid"))
   }
+
+  /** Top-`nProbe` clusters of a vector (probe list for IVF search). */
+  private def probeClusters(vecCol: Column, centroids: Seq[Seq[Float]],
+                            nProbe: Int): Column = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.cosine(vecCol, typedLit(c)).as("sim"), lit(i).as("cid"))
+    }
+    // sort descending by (sim, cid) — matches ivfAssign's greatest-struct
+    // tie-break (larger cid wins ties) — and keep the first nProbe ids
+    slice(transform(reverse(array_sort(array(sims: _*))), s => s("cid")),
+      1, nProbe)
+  }
+
+  /** Full IVF ANN search: corpus bucketed by nearest centroid, each query
+    * fanned out to its `nProbe` nearest clusters, exact cosine top-k
+    * within the probed buckets.
+    *
+    * Plan shape: both sides get a narrow centroid-scoring projection
+    * (codegen'd cosine vs a literal array — no shuffle), then ONE
+    * hash-partitioned equi-join on the cluster id and a per-query window
+    * top-k. The probe fan-out multiplies the query side by nProbe, not
+    * the corpus; recall is tuned by nProbe exactly like numCandidates in
+    * the reference's index (generate_personalized_commands.sh:304). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: Seq[Seq[Float]], k: Int, nProbe: Int = 1,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val c = ivfAssign(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+      centroids, "nvec")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+        explode(probeClusters(col(qVec), centroids, nProbe)).as("cluster"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    q.join(c, "cluster")
+      .withColumn("sim", VectorOps.cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
 }

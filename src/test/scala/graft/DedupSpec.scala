@@ -65,6 +65,18 @@ class DedupSpec extends SparkSpec {
     got.map(p => (p._1, p._2)) should not contain ((1L, 6L))
   }
 
+  test("embeddingNearDupLsh: identical vectors always bucket together; sign-flips never") {
+    val vecs = Seq(
+      (1L, Seq(1f, 2f, 3f)),
+      (2L, Seq(1f, 2f, 3f)),      // exact dup → same signature, cosine 1
+      (3L, Seq(-1f, -2f, -3f)))   // flipped → opposite signature bucket
+      .toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    val got = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", planes, 0.9)
+      .as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L))
+  }
+
   test("embeddingNearDupPairs: identical vectors pass, orthogonal fail") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f), "x"),

@@ -84,6 +84,24 @@ class VectorOpsSpec extends SparkSpec {
     got.map(_._2) should not contain 11L
   }
 
+  test("ivfTopK finds an identical corpus vector through its probed cluster") {
+    val centroids = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    val shared = Seq(0.9f, 0.1f, 0f)                   // lands in cluster 0
+    val corpus = Seq((10L, shared), (11L, Seq(0.1f, 0.9f, 0f))) // 11 → cluster 1
+    val queries = Seq((1L, shared))
+    val got = SimilaritySearch.ivfTopK(
+        queries.toDF("vec_id", "embedding"), corpus.toDF("vec_id", "embedding"),
+        centroids, k = 2, nProbe = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+    got.toSeq shouldBe Seq((1L, 10L, 1)) // nProbe=1 → cluster-1 corpus unseen
+    // widening the probe list reaches the second cluster
+    val probed2 = SimilaritySearch.ivfTopK(
+        queries.toDF("vec_id", "embedding"), corpus.toDF("vec_id", "embedding"),
+        centroids, k = 2, nProbe = 2)
+      .select("nid").as[Long].collect().sorted
+    probed2.toSeq shouldBe Seq(10L, 11L)
+  }
+
   test("ivfAssign maps a vector equal to a centroid to that cluster") {
     val centroids = Seq(Seq(1f, 0f), Seq(0f, 1f))
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(0.9f, 0.1f)))
