@@ -642,12 +642,16 @@ object Queries {
 
     // size-guarded retrieval strategy: collect-into-broadcast-store only
     // under the documented limit, DataFrame-join path above it — the
-    // flagship never unconditionally collects the index.
+    // flagship never unconditionally collects the index. The index is
+    // persisted across the count + build so chunk+embed runs once.
+    index.persist()
     val coached =
-      if (index.count() <= CoachingPipeline.BroadcastIndexLimit) {
-        val store = BroadcastBruteForceStore.fromDataFrame(index)
-        new CoachingPipeline(embedder, chat, store).coach(messages)
-      } else pipelineStub.coachJoin(messages, index)
+      try {
+        if (index.count() <= CoachingPipeline.BroadcastIndexLimit) {
+          val store = BroadcastBruteForceStore.fromDataFrame(index)
+          new CoachingPipeline(embedder, chat, store).coach(messages)
+        } else pipelineStub.coachJoin(messages, index)
+      } finally index.unpersist()
 
     coached
       .select(col("message"), col("rag_results_string"), col("coaching_response"),
