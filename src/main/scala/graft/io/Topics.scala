@@ -16,13 +16,19 @@ final class LocalTopicStore(dir: String) extends Serializable {
 
   private def path(topic: String) = s"$dir/$topic"
 
+  /** Record shape: key, Avro value, and the broker-assigned record
+    * timestamp — the column Flink exposes as `$rowtime` (E7; reference
+    * generate_personalized_commands.sh:493-501). Assigned at append time
+    * like Kafka's LogAppendTime. */
   val recordSchema: StructType = StructType(Seq(
     StructField("key", StringType),
-    StructField("value", BinaryType)))
+    StructField("value", BinaryType),
+    StructField("rowtime", TimestampType)))
 
   /** Append framed records. `df` must be (key STRING, value BINARY). */
   def append(df: DataFrame, topic: String): Unit =
-    df.select(col("key").cast("string").as("key"), col("value"))
+    df.select(col("key").cast("string").as("key"), col("value"),
+        current_timestamp().as("rowtime"))
       .write.mode(SaveMode.Append).parquet(path(topic))
 
   def read(spark: SparkSession, topic: String): DataFrame =

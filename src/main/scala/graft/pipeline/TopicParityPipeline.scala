@@ -40,11 +40,31 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
     store.read(spark, topic).select(dec(col("value")).as("r")).select(col("r.*"))
   }
 
-  /** Stage 0 (producer): conversation → F1 filter → messages_prospect.
+  /** Producer A: full-meeting transcript → messages_conversation, both
+    * speakers (reference :282-288 — the transcript ingest path). */
+  def publishConversation(messages: DataFrame): Unit =
+    publish(messages, TopicConversation, Tables.messageSchema)
+
+  /** Stage 0 (producer B): conversation → F1 filter → messages_prospect.
     * The reference app also publishes straight to messages_prospect
     * (kafka_utils.py:161) — both entries land in the same topic. */
   def publishProspect(messages: DataFrame): Unit =
     publish(pipeline.filterProspect(messages), TopicProspect, Tables.messageSchema)
+
+  /** The recent_conversation_history view (W1/W2/F4/E7, reference
+    * :489-505): last `n` conversation records by the topic's `$rowtime`
+    * analog, re-sorted ascending. Batch recompute over the topic — the
+    * same TakeOrderedAndProject shape as CoachingPipeline.recentHistory,
+    * with the record timestamp as rowtime and the key as tiebreak. */
+  def recentConversationHistory(spark: SparkSession, n: Int = 6): DataFrame = {
+    val dec = AvroCodec.decodeUdf(Tables.messageSchema, s"$TopicConversation-value")
+    store.read(spark, TopicConversation)
+      .select(col("rowtime"), col("key"), dec(col("value")).as("r"))
+      .select(col("rowtime"), col("key"), col("r.message"), col("r.speaker"))
+      .orderBy(col("rowtime").desc, col("key").desc).limit(n)
+      .orderBy(col("rowtime").asc, col("key").asc)
+      .drop("key")
+  }
 
   /** Stage 1: messages_prospect → embed → messages_prospect_embeddings. */
   def runEmbedStage(spark: SparkSession): Unit =
@@ -88,7 +108,8 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
     * subject, never auto-register — kafka_utils.py:296-301) can start
     * before the first producer publish. */
   def registerSubjects(): Unit =
-    Seq(TopicProspect -> Tables.messageSchema,
+    Seq(TopicConversation -> Tables.messageSchema,
+      TopicProspect -> Tables.messageSchema,
       TopicEmbeddings -> embeddingsSchema,
       TopicRagResults -> ragResultsSchema,
       TopicResponse -> Tables.responseSchema,
@@ -127,6 +148,10 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
         .start()
     }
     Seq(
+      // the F1/F2 CTAS statement (:347-350) as its own standing query:
+      // conversation topic → WHERE speaker='prospect' → prospect topic
+      stage("filter", TopicConversation, Tables.messageSchema,
+        TopicProspect, Tables.messageSchema, pipeline.filterProspect),
       stage("embed", TopicProspect, Tables.messageSchema,
         TopicEmbeddings, embeddingsSchema, pipeline.embedMessages),
       stage("retrieve", TopicEmbeddings, embeddingsSchema,
@@ -147,6 +172,7 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
 
 object TopicParityPipeline {
   val TopicChunked = "knowledge_embeddings_chunked"
+  val TopicConversation = "messages_conversation"
   val TopicProspect = "messages_prospect"
   val TopicEmbeddings = "messages_prospect_embeddings"
   val TopicRagResults = "messages_prospect_rag_results"

@@ -34,8 +34,9 @@ class StreamingTopicParitySpec extends SparkSpec {
     try {
       def pump(): Unit = queries.foreach(_.processAllAvailable())
 
-      // wave 1: publish while the chain is standing
-      parity.publishProspect(Seq(
+      // wave 1: publish the raw transcript; the standing F1 CTAS stage
+      // routes prospect rows into the chain
+      parity.publishConversation(Seq(
         ("what does pricing look like", "prospect"),
         ("noise", "salesperson")).toDF("message", "speaker"))
       pump()
@@ -45,9 +46,16 @@ class StreamingTopicParitySpec extends SparkSpec {
       wave1.head.getString(1) should include("suggested_response")
 
       // wave 2: a later publish flows through WITHOUT restarting anything
-      parity.publishProspect(Seq(
+      parity.publishConversation(Seq(
         ("how hard is integration", "prospect")).toDF("message", "speaker"))
       pump()
+
+      // W1/W2/E7: the recent-history view over the conversation topic's
+      // record timestamps sees BOTH speakers, capped at n
+      val view = parity.recentConversationHistory(spark, n = 2)
+        .select("message").as[String].collect()
+      view should have length 2
+      view should contain("how hard is integration")
       val wave2 = parity.consumeResponses(spark)
         .select("message").as[String].collect().sorted
       wave2.toSeq shouldBe Seq("how hard is integration", "what does pricing look like")
