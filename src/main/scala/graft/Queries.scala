@@ -179,6 +179,19 @@ object Queries {
       SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
 
+    ("q11_skew_salted_agg", (s, dir) => {
+      // skew-resistant two-phase aggregation: events.event_type has a
+      // handful of hot keys; salting spreads each over 16 reducers for
+      // the partial phase. Result identical to the direct groupBy.
+      graft.operators.Skew.saltedCountSum(
+          T(s, dir, "events"), "event_type", "event_id", "value", 16)
+        .select(col("event_type"), col("n"),
+          round(col("sum_val"), 2).as("sum_val"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     ("q10_sessionize", (s, dir) => {
       // gap-based sessionization (30 min) via lag + running sum — the
       // batch form of session windows; partitioned by user, no global
