@@ -1,10 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.pipeline.CoachingPipeline
+
+/** A conversation message with its event time — the typed record for the
+  * stateful conversation-tail operator. */
+final case class ConversationMsg(message: String, speaker: String,
+                                 ts: java.sql.Timestamp)
 
 /** Structured-Streaming forms of the reference's streaming semantics
   * (SURVEY.md §2.9).
@@ -62,6 +67,32 @@ object StreamingOps {
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+
+  /** T5 (stateful form): the last-`n` conversation tail kept as explicit
+    * operator state via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state API (SURVEY.md §7.4 #1's second
+    * option). Emits the full updated tail snapshot once per micro-batch
+    * that changes it.
+    *
+    * State is a single constant-keyed group holding ≤ n rows — tiny by
+    * construction, but funneled through ONE task: correct for a 6-row
+    * view, an anti-pattern for anything larger (use the per-batch
+    * recompute in recentHistorySink instead). Ties on ts break by
+    * (message, speaker) so snapshots are deterministic. */
+  def conversationTailState(ds: Dataset[ConversationMsg], n: Int = 6)
+      : Dataset[Seq[ConversationMsg]] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_ => 0)
+      .flatMapGroupsWithState[Seq[ConversationMsg], Seq[ConversationMsg]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, msgs, state: GroupState[Seq[ConversationMsg]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ msgs)
+            .sortBy(m => (m.ts.getTime, m.message, m.speaker))
+            .takeRight(n)
+          state.update(merged)
+          Iterator.single(merged)
+      }
+  }
 
   /** T6: offset management. Spark's consumer position IS the checkpoint:
     * `startingOffsets` only applies to a fresh query, so the reference's

@@ -98,6 +98,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful conversation tail keeps the last n across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[graft.streaming.ConversationMsg]
+    val tail = StreamingOps.conversationTailState(input.toDS(), n = 3)
+
+    val query = tail.writeStream.format("memory").queryName("conv_tail")
+      .outputMode("update").option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((1 to 4).map(i =>
+        graft.streaming.ConversationMsg(s"m$i", "prospect", ts(i))): _*)
+      query.processAllAvailable()
+      input.addData(graft.streaming.ConversationMsg("m5", "salesperson", ts(5)))
+      query.processAllAvailable()
+
+      // the LAST emitted snapshot is the tail over the whole stream —
+      // state carried across batches, not per-batch recompute
+      val snapshots = spark.table("conv_tail")
+        .as[Seq[graft.streaming.ConversationMsg]].collect()
+      snapshots.last.map(_.message) shouldBe Seq("m3", "m4", "m5")
+    } finally query.stop()
+  }
+
   test("recent-history view recomputes the top-6 per micro-batch") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
