@@ -26,10 +26,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Best of two timed runs per query: a single shot still carries
+    // Best of three timed runs per query: a single shot still carries
     // residual-JIT/GC noise; the min is the operator's cost.
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
