@@ -27,6 +27,35 @@ object SimilaritySearch {
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
     VectorOps.bruteForceTopK(queries, corpus, k, qId, qVec, cId, cVec)
 
+  /** Statistics-driven top-k: the planner seam that picks the physical
+    * search strategy from Catalyst's own size estimate of the corpus plan
+    * (`optimizedPlan.stats`, the same statistic broadcast-join selection
+    * uses). Corpora under `broadcastBytes` take the exact broadcast
+    * nested-loop path — no shuffle of the query side, perfect recall;
+    * larger corpora fall back to SRP-LSH bucketing with `planes`
+    * hyperplanes — one equi-join on the signature, recall traded for not
+    * materializing |Q|×|C|.
+    *
+    * Exposed as an operator-level chooser rather than a SparkStrategy:
+    * the decision needs only plan statistics, not new physical operators,
+    * so a custom strategy would re-derive what this reads directly. */
+  def adaptiveTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   planes: Seq[Seq[Float]],
+                   broadcastBytes: Long = 64L * 1024 * 1024,
+                   qId: String = "vec_id", qVec: String = "embedding",
+                   cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val corpusBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    // rename the sides apart first — identical column names on both
+    // sides would be ambiguous in the cross join
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
+    if (corpusBytes <= broadcastBytes)
+      VectorOps.bruteForceTopK(q, c, k, "qid", "qvec", "nid", "nvec")
+        .select(col("qid"), col("nid"), col("rank"))
+    else
+      lshTopK(q, c, planes, k, "qid", "qvec", "nid", "nvec")
+  }
+
   /** Bit-signature column: for each plane, 1 iff dot(vec, plane) > 0. */
   def srpSignature(vec: Column, planes: Seq[Column]): Column =
     concat(planes.map(p => when(VectorOps.dotD(vec, p) > 0, lit("1")).otherwise(lit("0"))): _*)

@@ -102,6 +102,23 @@ class VectorOpsSpec extends SparkSpec {
     probed2.toSeq shouldBe Seq(10L, 11L)
   }
 
+  test("adaptiveTopK picks exact search for small corpora, LSH beyond the threshold") {
+    val corpus = Seq((10L, Seq(1f, 0f)), (11L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1f, 0f))
+
+    // tiny corpus, generous threshold → exact path: BOTH corpus rows rankable
+    val exact = SimilaritySearch.adaptiveTopK(queries, corpus, 2, planes)
+      .select("nid").as[Long].collect().sorted
+    exact.toSeq shouldBe Seq(10L, 11L)
+
+    // threshold 0 forces the LSH path: only the same-signature bucket is seen
+    val lsh = SimilaritySearch.adaptiveTopK(queries, corpus, 2, planes,
+        broadcastBytes = 0L)
+      .select("nid").as[Long].collect()
+    lsh.toSeq shouldBe Seq(10L) // opposite-signature neighbor unreachable
+  }
+
   test("ivfAssign maps a vector equal to a centroid to that cluster") {
     val centroids = Seq(Seq(1f, 0f), Seq(0f, 1f))
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(0.9f, 0.1f)))
