@@ -179,6 +179,36 @@ object Queries {
       SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
 
+    ("q12_shipping_priority", (s, dir) => {
+      // TPC-H Q3 shape: selective dim filter → two key joins → grouped
+      // revenue → global top-10. Date + segment predicates push into the
+      // scans; the final top-10 plans TakeOrderedAndProject.
+      val cutoff = to_timestamp(lit("1998-06-01"))
+      T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(T(s, dir, "lineitem").filter(col("l_shipdate") > cutoff),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
     ("q11_skew_salted_agg", (s, dir) => {
       // skew-resistant two-phase aggregation: events.event_type has a
       // handful of hot keys; salting spreads each over 16 reducers for
