@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     p should include("hashpartitioning(o_custkey")
   }
 
+  test("shipping priority: selective predicates reach the scans, top-10 merges") {
+    val p = plan("q12_shipping_priority")
+    p should include("TakeOrderedAndProject")
+    p should include("EqualTo(c_mktsegment,BUILDING)") // pushed to the scan
+    p should include("LessThan(o_orderdate")
+    p should include("GreaterThan(l_shipdate")
+  }
+
   test("exact dedup is a partial-aggregate groupBy (map-side combine)") {
     val p = plan("dedup_exact")
     p should include("partial_count")

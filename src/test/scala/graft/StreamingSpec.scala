@@ -98,6 +98,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked session-window aggregation sessionizes a stream") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(String, Timestamp)]
+    val sessions = input.toDF.toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+
+    val query = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      // u1: two events 5 min apart (one session), then one 60 min later
+      // (a second session); u2: a single event
+      input.addData(("u1", ts(0)), ("u1", ts(5)), ("u1", ts(65)), ("u2", ts(1)))
+      query.processAllAvailable()
+      // advance the watermark far enough to close and emit every session
+      input.addData(("u3", ts(300)))
+      query.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .select("user", "n_events").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      got("u1") shouldBe Seq(1L, 2L) // 30-min gap split into two sessions
+      got("u2") shouldBe Seq(1L)
+    } finally query.stop()
+  }
+
   test("stateful conversation tail keeps the last n across micro-batches") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
