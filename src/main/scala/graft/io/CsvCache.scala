@@ -52,6 +52,18 @@ object CsvCache {
     sanitize(df.select(columns.map(col): _*))
       .write.mode(SaveMode.Append).option("header", true).csv(path)
 
+  /** The cached-questions surface (reference api_routes.py:48-87): all
+    * cached questions alphabetically (W4). */
+  def questions(cache: DataFrame): DataFrame =
+    sanitize(cache).select(col("Message").as("question"))
+      .orderBy(col("question"))
+
+  /** Seeded shuffle of `n` suggested questions (W5, reference
+    * script.js:426-428) — deterministic for a fixed seed. */
+  def suggestQuestions(cache: DataFrame, n: Int, seed: Long = 42): DataFrame =
+    sanitize(cache).select(col("Message").as("question"))
+      .orderBy(rand(seed), col("question")).limit(n)
+
   /** Delete rows whose Message matches (case-insensitive, trimmed — the
     * same key rule as the F5 lookup). CSV has no delete: read, filter,
     * rewrite — cache_utils.py:134-191 does the same file rewrite. */

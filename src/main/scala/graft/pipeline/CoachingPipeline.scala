@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables
 import graft.functions.{Coaching, TextSplit}
 import graft.operators.MlPredict
 import graft.providers.{ChatProvider, EmbeddingProvider}
@@ -133,6 +134,30 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
   def coach(messages: DataFrame): DataFrame =
     generate(retrieve(embedMessages(filterProspect(messages))))
       .withColumn("coaching_parsed", Coaching.parseCoaching(col("coaching_response")))
+
+  /** The flagship flow WITH the response cache in front (F5, reference
+    * api_routes.py:25-45): an exact-match hit short-circuits the whole
+    * embed→search→LLM chain and answers from the cached row; misses run
+    * the normal chain. The cache is broadcast, so the hit/miss split
+    * never shuffles the message stream, and the expensive stages see
+    * only misses — the reference's hand-placed cost gate, preserved.
+    * Output schema matches [[coach]]; cached rows carry a synthesized
+    * contract struct (cached Response/Reasoning, no sources). */
+  def coachWithCache(messages: DataFrame, cache: DataFrame): DataFrame = {
+    val looked = CoachingPipeline.cacheLookup(filterProspect(messages), cache)
+    val sourcesType = Tables.coachingResponseSchema("sources").dataType
+    val hits = looked.filter(col("Response").isNotNull)
+      .select(col("message"),
+        col("RAG sources").as("rag_results_string"),
+        col("Response").as("coaching_response"),
+        struct(
+          col("Response").as("suggested_response"),
+          lit(null).cast(sourcesType).as("sources"),
+          col("Reasoning").as("reasoning")).as("coaching_parsed"))
+    val misses = looked.filter(col("Response").isNull)
+      .select(col("message"), col("speaker"))
+    coach(misses).unionByName(hits)
+  }
 }
 
 object CoachingPipeline {
@@ -167,4 +192,7 @@ object CoachingPipeline {
       broadcast(cache),
       lower(trim(messages("message"))) === lower(trim(cache("Message"))),
       "left")
+      // the matched key duplicates `message` under case-insensitive
+      // resolution — drop it so downstream references stay unambiguous
+      .drop(cache("Message"))
 }

@@ -58,6 +58,40 @@ class CoachE2ESpec extends SparkSpec {
     r.getString(5) should include("sample/test_document.md")
   }
 
+  test("cache hit short-circuits the LLM chain; misses run it (F5 flow)") {
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(32)
+    val knowledge = Seq(("kb/a.md", "A", "kb", "some knowledge text"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val boot = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val store = BroadcastBruteForceStore.fromDataFrame(boot.indexKnowledge(knowledge))
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+
+    val cache = Seq(("What about PRICING?", "Cached: volume discounts apply.",
+        "cached reasoning", "", "kb/pricing.md"))
+      .toDF("Message", "Response", "Reasoning", "Used Excerpts", "RAG sources")
+    val messages = Seq(
+      ("  what about pricing?  ", "prospect"),   // hit: trimmed, case-insensitive
+      ("something uncached", "prospect"))
+      .toDF("message", "speaker")
+
+    val out = pipeline.coachWithCache(messages, cache)
+      .select(col("message"), col("coaching_response"),
+        col("coaching_parsed.suggested_response"),
+        col("coaching_parsed.reasoning")).collect()
+      .map(r => r.getString(0).trim -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+
+    // hit answers verbatim from the cache — the mock LLM never saw it
+    out("what about pricing?") shouldBe
+      (("Cached: volume discounts apply.", "Cached: volume discounts apply.",
+        "cached reasoning"))
+    // miss went through the chain (mock LLM's signature phrasing)
+    out("something uncached")._1 should include("suggested_response")
+    out("something uncached")._2 should startWith("Acknowledge the concern")
+  }
+
   test("coachE2E flagship query runs on the driver test data with parsed output") {
     val out = Queries.coachE2E(spark, "/root/testdata/sf0.001")
     val rows = out.collect()

@@ -49,6 +49,16 @@ class CsvCacheSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy CsvCache.read(spark, path)
   }
 
+  test("questions endpoint sorts alphabetically; suggestions are seeded-stable (W4/W5)") {
+    val cache = rows("zeta" -> "r1", "alpha" -> "r2", "mid" -> "r3", "beta" -> "r4")
+    CsvCache.questions(cache).as[String].collect().toSeq shouldBe
+      Seq("alpha", "beta", "mid", "zeta")
+    val s1 = CsvCache.suggestQuestions(cache, 3).as[String].collect().toSeq
+    val s2 = CsvCache.suggestQuestions(cache, 3).as[String].collect().toSeq
+    s1 should have length 3
+    s1 shouldBe s2
+  }
+
   test("seeded shuffle-pick-3 is deterministic across executions (W5)") {
     val a = SparkEntry.queries("rag_shuffle_pick3")(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0)).toSeq
