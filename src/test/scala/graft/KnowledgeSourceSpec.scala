@@ -38,6 +38,23 @@ class KnowledgeSourceSpec extends SparkSpec {
       Seq("rootdoc.md", "Root", "", "no directory here"))
   }
 
+  test("pre-mapped JSON (the md->json output shape) reads straight into the schema") {
+    val dir = freshDir()
+    Files.write(Paths.get(dir, "doc.json"),
+      ("""{"document_id": "a/b.md", "document_name": "B", """ +
+        """"document_category": "a", "document_text": "body"}""").getBytes("UTF-8"))
+    val got = KnowledgeSource.readMappedKnowledgeDir(spark, dir).collect()
+    got.map(_.toSeq).toSeq shouldBe Seq(Seq("a/b.md", "B", "a", "body"))
+  }
+
+  test("offset reset deletes the checkpoint so a restart re-reads per startingOffsets (T6)") {
+    val ckpt = freshDir()
+    Files.write(Paths.get(ckpt, "offsets"), "state".getBytes("UTF-8"))
+    StreamingOps.resetOffsets(ckpt)
+    Files.exists(Paths.get(ckpt)) shouldBe false
+    StreamingOps.resetOffsets(ckpt) // idempotent on a missing dir
+  }
+
   test("ingestion track: file source -> chunk+embed -> chunked topic -> store (S3/S4)") {
     ModelRegistry.registerReferenceModels()
     val dir = freshDir()

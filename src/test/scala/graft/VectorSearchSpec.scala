@@ -42,14 +42,16 @@ class BroadcastStoreSpec extends AnyFunSuite with Matchers {
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("cosine/dot expressions match scalar math") {
+  test("cosine/dot/norm expressions match scalar math") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
-    val Array(dot, cos) = df.select(
+    val Array(dot, cos, n2) = df.select(
       VectorOps.dotD(col("a"), col("b")),
-      VectorOps.cosine(col("a"), col("b"))).collect().head.toSeq.toArray
+      VectorOps.cosine(col("a"), col("b")),
+      VectorOps.norm2(col("a"))).collect().head.toSeq.toArray
     dot shouldBe 32.0
     cos.asInstanceOf[Double] shouldBe
       (32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) +- 1e-12
+    n2 shouldBe 14.0
   }
 
   test("bruteForceTopK matches the in-memory store on the same data") {
