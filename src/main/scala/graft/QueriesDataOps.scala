@@ -182,6 +182,38 @@ object QueriesDataOps {
       SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
       FROM sig GROUP BY simhash ORDER BY simhash""")),
 
+    ("dedup_simhash_hamming", (s, dir) => {
+      // Hamming-≤1 simhash pairs via masked-signature bucketing — a
+      // masked-key collision proves the distance bound, no verify pass.
+      Dedup.simhashNearDupPairs(docsWithDups(s, dir), "text", "doc_id",
+          bits = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $dwdSql,
+      toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM dwd),
+      votes AS (
+        SELECT doc_id, g.j AS j,
+               sum(CASE WHEN substring(md5(tok), CAST(g.j AS INT), 1) >= '8'
+                        THEN 1 ELSE -1 END) AS v
+        FROM toks CROSS JOIN generate_series(1, 20, 1) AS g(j)
+        GROUP BY doc_id, g.j),
+      sig AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                 AS simhash
+        FROM votes GROUP BY doc_id),
+      keys AS (
+        SELECT doc_id,
+               CAST(m.j AS VARCHAR) || ':' ||
+                 substring(simhash, 1, CAST(m.j AS INT) - 1) || '_' ||
+                 substring(simhash, CAST(m.j AS INT) + 1) AS mkey
+        FROM sig CROSS JOIN generate_series(1, 20, 1) AS m(j))
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keys a JOIN keys b ON a.mkey = b.mkey AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""")),
+
     ("dedup_ngram_jaccard", (s, dir) => {
       // exact 3-gram Jaccard >= 0.6 within source blocks: shingle
       // equi-join for |A∩B|, per-doc counts for |A∪B|. Blocking bounds
@@ -511,6 +543,20 @@ object QueriesDataOps {
              md5(md5(text) || CAST(g.i AS VARCHAR)) AS frame_hash
       FROM documents, generate_series(0, 2, 1) AS g(i)
       WHERE doc_id < 50 ORDER BY media_id, frame_idx""")),
+
+    ("mm_resize", (s, dir) => {
+      // resize stage: fixed target dims + deterministic resized-content
+      // hash, metadata-only (binary column pruned from the scan).
+      val media = Multimodal.asMedia(T(s, dir, "documents"),
+        "doc_id", "text", "image", "source")
+      Multimodal.withResized(media, 224, 224)
+        .select(col("media_id"), col("resized_width"), col("resized_height"),
+          col("resized_hash"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id, 224 AS resized_width, 224 AS resized_height,
+             md5(md5(text) || ':224x224') AS resized_hash
+      FROM documents ORDER BY media_id""")),
 
     ("mm_decode_features", (s, dir) => {
       // decode/feature-extract stage (STUB codec, real plumbing):

@@ -44,7 +44,7 @@ object SparkEntry {
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_lsh",
+    "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_topk",
     "text_quality", "text_langid", "text_token_count",
     "mm_metadata", "mm_frame_sample")

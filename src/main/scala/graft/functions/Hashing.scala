@@ -140,6 +140,20 @@ object Hashing {
   def simhashUdf(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => simhashScala(t, bits))
 
+  /** Masked-signature keys for Hamming-distance-≤1 bucketing: key `j` is
+    * the signature with bit j wildcarded. Two signatures within Hamming
+    * distance 1 collide on the key that masks their (single) differing
+    * bit; equal signatures collide on every key. One UDF call per row —
+    * the signature is computed once, not once per mask position. */
+  def simhashMaskedKeysScala(text: String, bits: Int): Array[String] = {
+    val sig = simhashScala(text, bits)
+    Array.tabulate(bits)(j =>
+      s"$j:" + sig.substring(0, j) + "_" + sig.substring(j + 1))
+  }
+
+  def simhashMaskedKeysUdf(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => simhashMaskedKeysScala(t, bits))
+
   /** SimHash over hex-derived bits: each token contributes ±1 to `bits`
     * bit positions; bit j of the signature is 1 iff the sum is positive.
     * Bit j of a token = 1 iff hex digit j of md5(token) >= '8' (the top

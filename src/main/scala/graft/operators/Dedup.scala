@@ -81,6 +81,26 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup pairs within Hamming distance ≤ 1: bucket by
+    * masked signatures (bit j wildcarded in key j) so a single-bit
+    * difference still collides — the standard probing answer to "equal
+    * signatures only" recall. `bits`× key blowup of a skinny projection,
+    * one shuffle on the key, in-bucket pair expansion; a masked-key
+    * collision PROVES Hamming ≤ 1, so no verification pass is needed. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          bits: Int = 16): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      explode(Hashing.simhashMaskedKeysUdf(bits)(col(textCol))).as("mkey"))
+    keyed.groupBy(col("mkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** The production near-dup plan at corpus scale: LSH proposes candidate
     * pairs (sub-quadratic, minhashLshPairs), then exact n-gram Jaccard is
     * computed ONLY on those candidates — never all pairs — by joining the

@@ -83,6 +83,21 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize stage (STUB codec, real plumbing): appends target dims and a
+    * deterministic content hash for the resized payload — the transform
+    * a real pipeline runs before feature extraction so every image hits
+    * the model at a fixed resolution. Pure column expressions: the stub
+    * derives the new hash from (content hash, dims), so the stage is
+    * oracle-checkable; a real impl swaps in a batched codec map like
+    * withDecodedFeatures. */
+  def withResized(media: DataFrame, width: Int, height: Int): DataFrame =
+    media
+      .withColumn("resized_width", lit(width))
+      .withColumn("resized_height", lit(height))
+      .withColumn("resized_hash",
+        md5(concat(col("meta.content_hash"),
+          lit(s":${width}x$height"))))
+
   /** Frame-sampling stub for video-typed rows: emits `n` (media_id,
     * frame_idx, frame_hash) rows per video — explode-shaped, no state. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame =

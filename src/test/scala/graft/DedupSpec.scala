@@ -44,6 +44,14 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
   }
 
+  test("simhashNearDupPairs: exact dups collide on every masked key, once") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", bits = 16)
+      .as[(Long, Long)].collect()
+    pairs.toSet should contain((1L, 2L))  // identical text → identical sig
+    pairs.length shouldBe pairs.toSet.size // distinct despite 16 shared keys
+    pairs.foreach { case (a, b) => a should be < b }
+  }
+
   test("minhashLshVerified: candidates verified by exact jaccard, false positives cut") {
     val verified = Dedup.minhashLshVerified(docs, "text", "doc_id", threshold = 0.9)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet

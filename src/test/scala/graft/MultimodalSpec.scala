@@ -40,6 +40,17 @@ class MultimodalSpec extends SparkSpec {
     empty._4.foreach(_ shouldBe 0f)
   }
 
+  test("withResized derives deterministic dims + hash from content metadata") {
+    val got = Multimodal.withResized(media, 224, 224)
+      .select("media_id", "resized_width", "resized_height", "resized_hash")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    got.foreach { case (_, w, h, hash) =>
+      w shouldBe 224; h shouldBe 224
+      hash should fullyMatch regex "[0-9a-f]{32}"
+    }
+    got.map(_._4).distinct should have length 3 // per-content hashes differ
+  }
+
   test("sampleFrames emits n deterministic rows per video and none for images") {
     val videos = Multimodal.asMedia(
       Seq((7L, "vid bytes", "s")).toDF("id", "payload", "src"),
