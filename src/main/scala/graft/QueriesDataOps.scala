@@ -285,6 +285,59 @@ object QueriesDataOps {
       ORDER BY id_a, id_b"""))
   )
 
+  val curation: Seq[(String, Q, Option[String])] = Seq(
+
+    ("curate_corpus", (s, dir) => {
+      // the composed training-data flow: exact dedup → language
+      // allowlist → quality floor → token band, every surviving row
+      // annotated with its verdict (pipeline.CurationPipeline).
+      graft.pipeline.CurationPipeline.annotate(docsWithDups(s, dir))
+        .select(col("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      def hits(w: String) =
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        s"(${ms.map(hits).mkString(" + ")}) AS s_$l"
+      }.mkString(", ")
+      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+        .map(hits).mkString(" + ")
+      s"""
+      WITH $dwdSql,
+      dd AS (SELECT doc_id, text,
+                    row_number() OVER (PARTITION BY md5(text)
+                      ORDER BY doc_id) AS rn
+             FROM dwd),
+      kept AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+                      length(text) * 1.0 AS n,
+                      length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+               FROM dd WHERE rn = 1),
+      sc AS (SELECT doc_id, n, n_words, text, $scores, ($stopHits) AS stop_hits
+             FROM kept),
+      feats AS (
+        SELECT doc_id,
+          CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+               WHEN s_fr > 0 AND s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+               WHEN s_es > 0 AND s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+               WHEN s_de > 0 AND s_de = greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+               ELSE 'und' END AS lang_pred,
+          (least(n / 500.0, 1.0) +
+           greatest(0.0, 1.0 - ((length(text) -
+             length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+             greatest(n, 1.0)) * 10.0) +
+           least((stop_hits / greatest(n_words * 1.0, 1.0)) * 4.0, 1.0)
+          ) / 3.0 AS quality,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+        FROM sc)
+      SELECT doc_id,
+        CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
+             WHEN quality < 0.5 THEN 'quality'
+             WHEN n_tokens < 10 OR n_tokens > 100000 THEN 'tokens'
+             ELSE 'keep' END AS verdict
+      FROM feats ORDER BY doc_id"""
+    })
+  )
+
   val similarity: Seq[(String, Q, Option[String])] = Seq(
 
     ("ann_topk_bruteforce", (s, dir) => {

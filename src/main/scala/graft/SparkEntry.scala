@@ -15,7 +15,8 @@ object SparkEntry {
 
   val all: Seq[(String, Queries.Q, Option[String])] =
     Queries.relational ++ Queries.rag ++
-      QueriesDataOps.dedup ++ QueriesDataOps.similarity ++
+      QueriesDataOps.dedup ++ QueriesDataOps.curation ++
+      QueriesDataOps.similarity ++
       QueriesDataOps.text ++ QueriesDataOps.multimodal
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -45,6 +46,7 @@ object SparkEntry {
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
+    "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_topk",
     "text_quality", "text_langid", "text_token_count",
     "mm_metadata", "mm_frame_sample")

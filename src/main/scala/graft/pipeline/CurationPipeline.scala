@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** The training-data counterpart of CoachingPipeline: corpus curation as
+  * one declarative flow — exact dedup, language allowlist, quality floor,
+  * token-count band — producing the rows a pretraining run keeps, plus
+  * the per-stage reason for every row it drops.
+  *
+  * Plan shape at 100 TB: one shuffle (the dedup window on the content
+  * hash); every filter is a pure codegen'd column expression fused into
+  * the same stage, evaluated after dedup so surviving rows are scored
+  * once. Keep/drop accounting is a projection, not a second pass.
+  */
+object CurationPipeline {
+
+  final case class Config(minQuality: Double = 0.5,
+                          langs: Seq[String] = Seq("en"),
+                          minTokens: Int = 10,
+                          maxTokens: Int = 100000)
+
+  /** Reason column: first failed gate in a fixed order (dedup loss is
+    * encoded by absence — deduped rows never reach scoring). */
+  private def dropReason(text: Column, cfg: Config): Column =
+    when(!TextAnalysis.langId(text).isin(cfg.langs: _*), "lang")
+      .when(TextAnalysis.qualityScore(text) < cfg.minQuality, "quality")
+      .when(TextAnalysis.tokenCount(text) < cfg.minTokens ||
+        TextAnalysis.tokenCount(text) > cfg.maxTokens, "tokens")
+      .otherwise("keep")
+
+  /** Rows that survive every gate. */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    annotate(docs, cfg, textCol, idCol).filter(col("verdict") === "keep")
+
+  /** Every post-dedup row annotated with its verdict — the audit view
+    * (what was dropped, and why) a curation run reports. */
+  def annotate(docs: DataFrame, cfg: Config = Config(),
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    Dedup.exact(docs, textCol, idCol)
+      .withColumn("verdict", dropReason(col(textCol), cfg))
+}
