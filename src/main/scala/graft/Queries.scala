@@ -179,6 +179,36 @@ object Queries {
       SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""")),
 
+    ("q13_asof_join", (s, dir) => {
+      // as-of join (no Spark built-in; operators.AsOfJoin): each purchase
+      // event matched to the user's most recent view at-or-before it.
+      // Views deduped to one row per (user, second) so ties are
+      // deterministic. Oracle = DuckDB's native ASOF JOIN.
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsSec("ts").as("ts_sec"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_sec"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_sec"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+          keyCol = "user_id", tsCol = "ts_sec", payloadCols = Seq("view_event_id"))
+        .select(col("event_id"), col("user_id"), col("view_event_id"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+                 FROM events),
+      p AS (SELECT user_id, event_id, ts_sec FROM e
+            WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts_sec, max(event_id) AS view_event_id
+            FROM e WHERE event_type = 'view' GROUP BY user_id, ts_sec)
+      SELECT p.event_id, p.user_id, v.view_event_id
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
+      ORDER BY p.event_id""")),
+
     ("q12_shipping_priority", (s, dir) => {
       // TPC-H Q3 shape: selective dim filter → two key joins → grouped
       // revenue → global top-10. Date + segment predicates push into the
