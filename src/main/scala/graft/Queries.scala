@@ -209,6 +209,34 @@ object Queries {
         ON p.user_id = v.user_id AND v.ts_sec <= p.ts_sec
       ORDER BY p.event_id""")),
 
+    ("q14_range_join", (s, dir) => {
+      // interval join (operators.RangeJoin): purchase/view pairs by the
+      // same user within 15 minutes — bucketed equi-join, not a per-key
+      // cartesian. Oracle = the plain inequality join (exact semantics).
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsSec("ts").as("ts_sec"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_sec"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts_sec"))
+      graft.operators.RangeJoin.within(purchases, views,
+          keyCol = "user_id", tsCol = "ts_sec", window = 900L)
+        .select(col("purchase_id"), col("r_view_id").as("view_id"))
+        .orderBy(col("purchase_id"), col("view_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+                 FROM events),
+      p AS (SELECT user_id, event_id AS purchase_id, ts_sec FROM e
+            WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, event_id AS view_id, ts_sec FROM e
+            WHERE event_type = 'view')
+      SELECT p.purchase_id, v.view_id
+      FROM p JOIN v ON p.user_id = v.user_id
+                   AND abs(p.ts_sec - v.ts_sec) <= 900
+      ORDER BY purchase_id, view_id""")),
+
     ("q12_shipping_priority", (s, dir) => {
       // TPC-H Q3 shape: selective dim filter → two key joins → grouped
       // revenue → global top-10. Date + segment predicates push into the
