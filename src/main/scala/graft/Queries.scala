@@ -280,6 +280,41 @@ object Queries {
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_val
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    ("q15_cube", (s, dir) => {
+      // full grouping-sets lattice (CUBE) over two keys — the other half
+      // of the multi-level aggregate family next to q08's ROLLUP.
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    }, Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")),
+
+    ("q16_percentiles", (s, dir) => {
+      // exact interpolated percentiles per group (median + p90) — the
+      // sort-based exact form, not a sketch, so both engines agree
+      // bit-for-bit after rounding.
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+             round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     ("q10_sessionize", (s, dir) => {
       // gap-based sessionization (30 min) via lag + running sum — the
       // batch form of session windows; partitioned by user, no global
