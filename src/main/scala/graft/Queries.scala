@@ -315,6 +315,25 @@ object Queries {
              count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    ("q17_set_ops", (s, dir) => {
+      // INTERSECT / EXCEPT complete the set-operation family next to
+      // q09's UNION; both plan as aggregated joins over the key.
+      val custNations = T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val suppNations = T(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations).withColumn("op", lit("both"))
+        .union(custNations.except(suppNations).withColumn("op", lit("cust_only")))
+        .select(col("op"), col("nationkey"))
+        .orderBy(col("op"), col("nationkey"))
+    }, Some("""
+      SELECT 'both' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'cust_only', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier)
+      ORDER BY op, nationkey""")),
+
     ("q10_sessionize", (s, dir) => {
       // gap-based sessionization (30 min) via lag + running sum — the
       // batch form of session windows; partitioned by user, no global
