@@ -612,15 +612,22 @@ object QueriesDataOps {
       FROM documents ORDER BY media_id""")),
 
     ("mm_decode_features", (s, dir) => {
-      // decode/feature-extract stage (STUB codec, real plumbing):
-      // partition-local batched map appending width/height/features.
-      // Rows-only driver check; determinism asserted in ScalaTest.
-      val media = Multimodal.asMedia(T(s, dir, "documents").filter(col("doc_id") < 100),
-        "doc_id", "text", "image", "source")
+      // REAL decode: synthesize PNGs whose dims derive arithmetically from
+      // doc_id, then javax.imageio-decode them in the batched map. The
+      // oracle recomputes the dims without decoding — a broken decode
+      // returns 0×0 and hash-mismatches. Feature VALUES (float luminance
+      // means) are asserted in MultimodalSpec; only the dim is oracled.
+      val media = Multimodal.withSyntheticImages(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
       Multimodal.withDecodedFeatures(media)
         .select(col("media_id"), col("width"), col("height"),
           size(col("features")).as("feature_dim"))
         .orderBy(col("media_id"))
-    }, None)
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+             8 AS feature_dim
+      FROM documents WHERE doc_id < 100 ORDER BY media_id"""))
   )
 }

@@ -159,9 +159,19 @@ object SchemaRegistry {
   private val subjects = scala.collection.concurrent.TrieMap.empty[String, (Int, String)]
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
 
-  def getOrRegister(subject: String, schema: Schema): String =
-    subjects.getOrElseUpdate(subject,
-      (nextId.getAndIncrement(), schema.toString))._2
+  /** Register-or-fetch, failing LOUDLY if the subject is already bound to
+    * a different schema — silently returning a stale writer schema would
+    * let an encoder produce wire bytes its registered schema can't read
+    * (schema evolution needs an explicit re-register, not an ignore). */
+  def getOrRegister(subject: String, schema: Schema): String = {
+    val json = schema.toString
+    val existing = subjects.getOrElseUpdate(subject,
+      (nextId.getAndIncrement(), json))._2
+    require(existing == json,
+      s"subject '$subject' already registered with a different schema; " +
+        "clear() or use a new subject for an evolved type")
+    existing
+  }
 
   def get(subject: String): String =
     subjects.getOrElse(subject, sys.error(s"unknown subject '$subject'"))._2

@@ -36,21 +36,27 @@ object CsvCache {
       .filter(trim(col("Message")) =!= "" && trim(col("Response")) =!= "")
 
   /** Header-checked read + sanitize (cache_utils.py:32-81: a cache file
-    * with a wrong header is treated as corrupt, not silently misparsed). */
+    * with a wrong header is treated as corrupt, not silently misparsed).
+    *
+    * ONE scan: column names come from header inference (Spark reads just
+    * the first header line at planning time — never a data row, unlike a
+    * headerless limit(1) which has no ordering guarantee), and the same
+    * DataFrame is the data read. multiLine + escape match [[append]]'s
+    * writer so quoted embedded newlines round-trip. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("header", true).schema(schema).csv(path)
-    val header = spark.read.option("header", false).csv(path).limit(1)
-      .collect().headOption.map(_.toSeq.map(String.valueOf))
-    header.foreach { h =>
-      require(h == columns, s"cache header mismatch: $h")
-    }
+    val raw = spark.read
+      .option("header", true).option("multiLine", true).option("escape", "\"")
+      .csv(path)
+    require(raw.columns.toSeq == columns,
+      s"cache header mismatch: ${raw.columns.toSeq}")
     sanitize(raw)
   }
 
   /** Append rows (sanitized first, like the reference's save path). */
   def append(df: DataFrame, path: String): Unit =
     sanitize(df.select(columns.map(col): _*))
-      .write.mode(SaveMode.Append).option("header", true).csv(path)
+      .write.mode(SaveMode.Append)
+      .option("header", true).option("escape", "\"").csv(path)
 
   /** The cached-questions surface (reference api_routes.py:48-87): all
     * cached questions alphabetically (W4). */
@@ -73,6 +79,7 @@ object CsvCache {
       .collect() // cache is small by contract (an app-managed CSV)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(kept.toIndexedSeq), schema)
-    df.write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", true).option("escape", "\"").csv(path)
   }
 }

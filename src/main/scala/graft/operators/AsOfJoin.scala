@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for every left row, the most recent right row with
   * `rightTs <= leftTs`, matched within a key — the time-series join Spark
@@ -36,24 +37,25 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Payload rides as ONE struct column so every carried value comes from
+    // the same matched right row — per-column last(ignoreNulls) would mix
+    // rows whenever a right row holds a NULL in one payload column.
+    val payloadType = StructType(payloadCols.map(c => right.schema(c)))
     val l = left.select(
       Seq(col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        payloadCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
     val r = right.select(
       Seq(col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(
-        Seq(col("__side")) ++ leftCols.map(col) ++
-          payloadCols.map(c =>
-            last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

@@ -10,11 +10,13 @@ import scala.util.hashing.MurmurHash3
   * video payloads ride as opaque `binary` columns with a typed metadata
   * struct, and decode/feature steps run as partition-local batch maps.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubImageDecoder]] produces deterministic fake features
-  * from the bytes. Everything around it — schema, batching, partitioning,
-  * null handling — is real and tested; swapping in a real decoder changes
-  * only the function body.
+  * The image path is REAL: [[ImageCodec.decode]] runs javax.imageio (in
+  * the JDK, fully offline) over PNG/JPEG/BMP/GIF payloads and extracts
+  * width/height plus a downsampled luminance feature vector; undecodable
+  * payloads degrade to (0, 0, zeros) instead of failing the job — at
+  * corpus scale you quarantine those rows, not crash the stage. Video
+  * frame-sampling stays a deterministic stub (no container demuxer in the
+  * JDK).
   *
   * Scale: per-row maps, zero shuffle. Binary payloads dominate scan cost →
   * keep metadata in separate columns so metadata-only queries prune the
@@ -46,25 +48,71 @@ object Multimodal {
         col(sourceCol).as("source")).as("meta"))
   }
 
-  /** Deterministic stand-in for an image decode + feature extraction:
-    * "decodes" bytes into a fixed-dim feature vector + fake width/height
-    * derived from a stable hash. Replace the body with a real codec
-    * (e.g. javax.imageio / ffmpeg) in a full deployment. */
-  object StubImageDecoder extends Serializable {
+  /** Real image codec on javax.imageio (JDK-bundled, offline-capable).
+    *
+    * decode: bytes → (width, height, features) where features is the mean
+    * luminance (Rec. 601 weights, normalized to [0,1]) of `featureDim`
+    * vertical strips — the cheap fixed-dim image summary a curation
+    * pipeline buckets/near-dups on before a real vision model runs.
+    * Undecodable or empty payloads yield (0, 0, zeros): a corrupt image in
+    * a 100 TB corpus must surface as a filterable row, not a stage crash.
+    *
+    * encodePng: deterministic synthetic PNG whose pixels derive from a
+    * seed — the test/harness generator (PNG is lossless, so decode
+    * round-trips dims and pixel statistics exactly). */
+  object ImageCodec extends Serializable {
     val featureDim = 8
+
     def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      if (bytes == null || bytes.isEmpty) return (0, 0, Array.fill(featureDim)(0f))
-      val h = MurmurHash3.bytesHash(bytes, 42)
-      val width = 64 + math.floorMod(h, 1024)
-      val height = 64 + math.floorMod(h >> 10, 1024)
+      if (bytes == null || bytes.isEmpty) return (0, 0, new Array[Float](featureDim))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) return (0, 0, new Array[Float](featureDim))
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](featureDim)
+      val counts = new Array[Int](featureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+          val bin = math.min(x * featureDim / w, featureDim - 1)
+          sums(bin) += lum
+          counts(bin) += 1
+          x += 1
+        }
+        y += 1
+      }
       val feats = Array.tabulate(featureDim)(i =>
-        MurmurHash3.bytesHash(bytes, i).toFloat / Int.MaxValue.toFloat)
-      (width, height, feats)
+        if (counts(i) == 0) 0f else (sums(i) / (counts(i) * 255.0)).toFloat)
+      (w, h, feats)
+    }
+
+    def encodePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = MurmurHash3.productHash((seed, x, y)) & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
   /** Decode stage: appends (width, height, features) via a partition-local
-    * batch map — the physical shape a real GPU/codec step needs (amortize
+    * batch map — the physical shape a codec/GPU step needs (amortize
     * per-batch setup, stay off the driver). */
   def withDecodedFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
     val outSchema = media.schema
@@ -74,14 +122,46 @@ object Multimodal {
     val binIdx = media.schema.fieldIndex("content")
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
-        // real impl: one codec/GPU call for the whole batch
+        // batch boundary: a GPU codec would take all `rows` in one call
         rows.map { r =>
-          val (w, h, f) = StubImageDecoder.decode(r.getAs[Array[Byte]](binIdx))
+          val (w, h, f) = ImageCodec.decode(r.getAs[Array[Byte]](binIdx))
           Row.fromSeq(r.toSeq ++ Seq(w, h, f.toSeq))
         }
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Harness generator: media rows whose `content` is a REAL synthetic PNG
+    * with dims derived arithmetically from the id — so a downstream decode
+    * is oracle-checkable (the oracle recomputes the dims; a broken decode
+    * yields 0×0 and hash-mismatches). Runs as a partition-local map. */
+  def withSyntheticImages(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val png = ImageCodec.encodePng(id, syntheticWidth(id), syntheticHeight(id))
+        Row(id, png, "image", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Synthetic image dims: arithmetic in the id so an external oracle can
+    * recompute them without decoding. */
+  def syntheticWidth(id: Long): Int = (8 + math.floorMod(id, 9)).toInt
+  def syntheticHeight(id: Long): Int = (8 + math.floorMod(id / 9, 9)).toInt
 
   /** Resize stage (STUB codec, real plumbing): appends target dims and a
     * deterministic content hash for the resized payload — the transform

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join: all pairs with equal key and
@@ -27,14 +27,19 @@ object RangeJoin {
   def within(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
              window: Long, rightPrefix: String = "r_"): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
+    // Integral FLOOR division for the bucket id: double division rounds for
+    // ts magnitudes beyond 2^53 (raw long-nanos timestamps get there) and
+    // rows would land in the wrong bucket, silently dropping pairs.
+    // pmod is non-negative, so (ts - pmod) is an exact multiple of window
+    // and `div` (exact long division) yields floor semantics for negatives.
+    def bucket(tsName: String): Column =
+      expr(s"(`$tsName` - pmod(`$tsName`, ${window}L)) div ${window}L")
     val probes = left
       .withColumn("__b", explode(array(
-        (col(tsCol) / window).cast("long") - 1,
-        (col(tsCol) / window).cast("long"),
-        (col(tsCol) / window).cast("long") + 1)))
+        bucket(tsCol) - 1, bucket(tsCol), bucket(tsCol) + 1)))
     val bucketed = right
       .select(right.columns.map(c => col(c).as(s"$rightPrefix$c")).toSeq: _*)
-      .withColumn("__b", (col(s"$rightPrefix$tsCol") / window).cast("long"))
+      .withColumn("__b", bucket(s"$rightPrefix$tsCol"))
     probes
       .join(bucketed,
         probes("__b") === bucketed("__b") &&

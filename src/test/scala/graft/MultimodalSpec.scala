@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: typed metadata, stub decode determinism, frame
+/** Multimodal plumbing: typed metadata, real javax.imageio decode, frame
   * sampling (the mm_* driver queries' operator level). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -21,7 +21,34 @@ class MultimodalSpec extends SparkSpec {
       (1L, "image", 11L, "s1"), (2L, "image", 0L, "s2"), (3L, "image", 13L, "s3"))
   }
 
-  test("stub decode is deterministic and batch-shaped") {
+  test("ImageCodec decodes a real PNG: exact dims, exact strip luminance") {
+    // solid 16x8 mid-gray image encoded by the JDK itself
+    val img = new java.awt.image.BufferedImage(
+      16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val (w, h, f) = Multimodal.ImageCodec.decode(out.toByteArray)
+    (w, h) shouldBe ((16, 8))
+    f should have length Multimodal.ImageCodec.featureDim
+    // every strip of a solid 0x80 image has mean luminance 128/255
+    f.foreach(_ shouldBe (128f / 255f) +- 1e-6f)
+  }
+
+  test("synthetic PNGs round-trip their dims through a real decode") {
+    val docs = Seq((0L, "s"), (13L, "s"), (80L, "s")).toDF("id", "src")
+    val decoded = Multimodal.withDecodedFeatures(
+        Multimodal.withSyntheticImages(docs, "id", "src"))
+      .select("media_id", "width", "height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    decoded.toSeq shouldBe Seq(
+      (0L, Multimodal.syntheticWidth(0), Multimodal.syntheticHeight(0)),
+      (13L, Multimodal.syntheticWidth(13), Multimodal.syntheticHeight(13)),
+      (80L, Multimodal.syntheticWidth(80), Multimodal.syntheticHeight(80)))
+    decoded.foreach { case (_, w, h) => w should be >= 8; h should be >= 8 }
+  }
+
+  test("decode is deterministic, batch-shaped, and degrades on non-images") {
     val a = Multimodal.withDecodedFeatures(media, batchSize = 2)
       .select("media_id", "width", "height", "features")
       .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1)
@@ -29,15 +56,12 @@ class MultimodalSpec extends SparkSpec {
       .select("media_id", "width", "height", "features")
       .as[(Long, Int, Int, Seq[Float])].collect().sortBy(_._1)
     a.toSeq shouldBe b.toSeq // batch size never changes results
+    // text payloads are not decodable images: zero row, not a crash
     a.foreach { case (_, w, h, f) =>
-      f should have length Multimodal.StubImageDecoder.featureDim
-      w should be >= 0
-      h should be >= 0
+      f should have length Multimodal.ImageCodec.featureDim
+      (w, h) shouldBe ((0, 0))
+      f.foreach(_ shouldBe 0f)
     }
-    // empty payload decodes to the zero row, not a crash
-    val empty = a.find(_._1 == 2L).get
-    (empty._2, empty._3) shouldBe ((0, 0))
-    empty._4.foreach(_ shouldBe 0f)
   }
 
   test("withResized derives deterministic dims + hash from content metadata") {
