@@ -315,6 +315,25 @@ object Queries {
              count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    ("q16_percentiles_approx", (s, dir) => {
+      // q16's production twin: approx_percentile keeps a bounded-size
+      // sketch per group (map-side combinable) where exact `percentile`
+      // is a TypedImperativeAggregate buffering EVERY value per group —
+      // 5 priority groups at 100 TB funnel all rows into 5 reducer
+      // buffers. This is the form Bench times. Sketch outputs are
+      // engine-specific → no hash oracle; ApproxPercentileSpec pins each
+      // approx value inside the exact p49–p51 / p89–p91 band.
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2)
+            .as("median_price"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 2)
+            .as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }, None),
+
     ("q17_set_ops", (s, dir) => {
       // INTERSECT / EXCEPT complete the set-operation family next to
       // q09's UNION; both plan as aggregated joins over the key.
@@ -396,13 +415,58 @@ object Queries {
     ("rag_splitter_udf", (s, dir) => {
       // M1 full semantics (separator-aware splitter, reference
       // generate_personalized_commands.sh:322-326) as the native
-      // SplitTextGenerator — not ANSI-SQL expressible → rows-only driver
-      // check + ScalaTest goldens/parity.
+      // SplitTextGenerator. '###' separators are injected at fixed cuts
+      // (60/120) identically in both engines so all three phases — split,
+      // greedy merge, hard wrap — genuinely exercise on this corpus; the
+      // oracle replays the greedy merge with a recursive CTE.
+      val withSeps = expr("concat(substring(text, 1, 60), ' ### ', " +
+        "substring(text, 61, 60), ' ### ', substring(text, 121))")
       T(s, dir, "documents")
+        .withColumn("t2", withSeps)
         .select(col("doc_id"),
-          org.apache.spark.sql.graft.TextExpressions.splitTextGen(col("text")))
+          org.apache.spark.sql.graft.TextExpressions.splitTextGen(col("t2")))
         .orderBy(col("doc_id"), col("chunk_idx"))
-    }, None),
+    }, Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id,
+                   substring(text, 1, 60) || ' ### ' || substring(text, 61, 60)
+                     || ' ### ' || substring(text, 121) AS t2
+            FROM documents),
+      sp AS (SELECT doc_id, string_split(t2, '###') AS arr FROM d),
+      pi AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM sp),
+      p1 AS (SELECT doc_id, i, trim(arr[i]) AS piece FROM pi
+             WHERE trim(arr[i]) <> ''),
+      w AS (SELECT doc_id, i, piece,
+                   unnest(generate_series(0,
+                     CASE WHEN length(piece) <= 200 THEN 0
+                          ELSE length(piece) - 21 END, 180)) AS s
+            FROM p1),
+      wp AS (SELECT doc_id, substring(piece, CAST(s + 1 AS INT), 200) AS piece,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY i, s) AS idx
+             FROM w),
+      m AS (
+        SELECT doc_id, 1 AS i, piece AS cur, CAST(NULL AS VARCHAR) AS emitted
+        FROM wp WHERE idx = 1
+        UNION ALL
+        SELECT wp.doc_id, m.i + 1,
+               CASE WHEN length(m.cur) + 1 + length(wp.piece) <= 200
+                    THEN m.cur || ' ' || wp.piece ELSE wp.piece END,
+               CASE WHEN length(m.cur) + 1 + length(wp.piece) <= 200
+                    THEN NULL ELSE m.cur END
+        FROM m JOIN wp ON wp.doc_id = m.doc_id AND wp.idx = m.i + 1),
+      fin AS (SELECT doc_id, max(i) AS n FROM m GROUP BY doc_id),
+      ch AS (
+        SELECT doc_id, i AS ord, emitted AS chunk FROM m WHERE emitted IS NOT NULL
+        UNION ALL
+        SELECT m.doc_id, m.i + 1 AS ord, m.cur AS chunk
+        FROM m JOIN fin ON fin.doc_id = m.doc_id AND m.i = fin.n),
+      ck AS (SELECT doc_id, ord, trim(chunk) AS chunk FROM ch
+             WHERE trim(chunk) <> '')
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT)
+               AS chunk_idx,
+             chunk
+      FROM ck ORDER BY doc_id, chunk_idx""")),
 
     ("rag_embed_mock", (s, dir) => {
       // M2: batched ml_predict embedding (mapPartitions, one provider call
@@ -440,10 +504,14 @@ object Queries {
     ("rag_prompt_assembly", (s, dir) => {
       // E1-E5: exactly-3 rag array of named structs (1-based element_at)
       // fed into the reference's CONCAT prompt; docs i, i+1, i+2 stand in
-      // for retrieval so the oracle is pure SQL. Rows at the tail with <3
-      // neighbours yield NULL prompts — Flink's NULL-concat semantics
-      // (SURVEY §7.4 #5), asserted here.
-      val w = Window.orderBy(col("doc_id"))
+      // for retrieval so the oracle is pure SQL. Rows with <3 following
+      // neighbours (each 100-id block tail) yield NULL prompts — Flink's
+      // NULL-concat semantics (SURVEY §7.4 #5), asserted here.
+      // The neighbour window is PARTITIONED (doc_id div 100): a global
+      // Window.orderBy would funnel every row through one partition — fine
+      // for a harness, fatal at scale, so the harness models the real
+      // shape too.
+      val w = Window.partitionBy(expr("doc_id div 100")).orderBy(col("doc_id"))
       val withNext = T(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         .withColumn("t1", lead(col("text"), 1).over(w))
@@ -462,8 +530,10 @@ object Queries {
         .orderBy(col("doc_id"))
     }, Some("""
       WITH d AS (SELECT doc_id, source, text,
-                        lead(text, 1) OVER (ORDER BY doc_id) AS t1,
-                        lead(text, 2) OVER (ORDER BY doc_id) AS t2
+                        lead(text, 1) OVER (PARTITION BY doc_id // 100
+                          ORDER BY doc_id) AS t1,
+                        lead(text, 2) OVER (PARTITION BY doc_id // 100
+                          ORDER BY doc_id) AS t2
                  FROM documents)
       SELECT doc_id,
         '## PROSPECT MESSAGE: ' || substring(text, 1, 40) ||

@@ -42,6 +42,7 @@ object SparkEntry {
     "q01_agg_summary", "q03_join_broadcast", "q04_join_multi",
     "q05_semi_join", "q07_window_topk_group", "q10_sessionize",
     "q12_shipping_priority", "q13_asof_join", "q14_range_join",
+    "q16_percentiles_approx",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_simhash",

@@ -39,9 +39,16 @@ object Sessions {
   /** SQL-surface registration of the UDF-shaped operators (the
     * expression-shaped ones are injected by GraftExtensions). Idempotent. */
   def registerUdfs(spark: SparkSession): Unit = {
+    // full 8-arg reference signature, positional order matching
+    // ML_CHARACTER_TEXT_SPLITTER(input, chunk_size, chunk_overlap,
+    // separator, is_separator_regex, keep_separator, trim_whitespace,
+    // keep_separator_position)
     spark.udf.register("split_text",
-      (t: String, size: Int, overlap: Int, sep: String) =>
-        graft.functions.TextSplit.splitText(t, size, overlap, sep))
+      (t: String, size: Int, overlap: Int, sep: String, isRegex: Boolean,
+       keepSep: Boolean, trim: Boolean, position: String) =>
+        graft.functions.TextSplit.splitText(t, size, overlap, sep,
+          trimChunks = trim, isRegex = isRegex, keepSeparator = keepSep,
+          sepPosition = position))
     spark.udf.register("minhash_band_keys",
       (t: String, shingleN: Int, bands: Int, rowsPerBand: Int) =>
         graft.functions.Hashing.bandKeysScala(t, shingleN, bands, rowsPerBand))

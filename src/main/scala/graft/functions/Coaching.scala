@@ -21,9 +21,17 @@ object Coaching {
     * for <3 retrieval hits are a NULL element (→ NULL prompt), per
     * SURVEY.md §7.4 #5. `ragResults` is ARRAY<STRUCT<document_id, chunks>>. */
   def buildCoachingPrompt(message: Column, ragResults: Column): Column = {
+    // Field-first extraction: try_element_at over two plain string arrays
+    // instead of ExtractValue(ElementAt(array<struct>)) — identical
+    // semantics (1-based subscript, NULL out-of-bounds → NULL prompt), but
+    // the struct form trips a Janino "not an rvalue" codegen bug in Spark
+    // 4.1 and silently falls back to interpreted projection; this form
+    // stays inside whole-stage codegen.
+    val docIds = transform(ragResults, r => r("document_id"))
+    val chunks = transform(ragResults, r => r("chunks"))
     def doc(i: Int): Seq[Column] = Seq(
-      lit(s"Document $i: "), try_element_at(ragResults, lit(i))("document_id"), lit("\n"),
-      try_element_at(ragResults, lit(i))("chunks"))
+      lit(s"Document $i: "), try_element_at(docIds, lit(i)), lit("\n"),
+      try_element_at(chunks, lit(i)))
     concat(Seq(
       lit("## PROSPECT MESSAGE: "), message,
       lit("\n\n## RAG DOCUMENTS:\n")) ++

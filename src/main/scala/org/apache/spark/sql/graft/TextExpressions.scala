@@ -26,7 +26,10 @@ import graft.functions.TextSplit
   * its children.
   */
 case class SplitTextGenerator(child: Expression, size: Int, overlap: Int,
-                              sep: String)
+                              sep: String, isRegex: Boolean = false,
+                              keepSeparator: Boolean = false,
+                              trimChunks: Boolean = true,
+                              sepPosition: String = "START")
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = new StructType()
@@ -45,7 +48,8 @@ case class SplitTextGenerator(child: Expression, size: Int, overlap: Int,
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) Nil
-    else TextSplit.splitText(t.toString, size, overlap, sep)
+    else TextSplit.splitText(t.toString, size, overlap, sep, trimChunks,
+        isRegex, keepSeparator, sepPosition)
       .iterator.zipWithIndex
       .map { case (c, i) => InternalRow(i, UTF8String.fromString(c)) }
       .toSeq
@@ -59,7 +63,10 @@ object TextExpressions {
   /** Splitter-as-generator column; use in `df.select(cols..., this)` —
     * adds (chunk_idx, chunk) rows like a lateral table function. */
   def splitTextGen(text: Column, size: Int = 200, overlap: Int = 20,
-                   sep: String = "###"): Column =
+                   sep: String = "###", isRegex: Boolean = false,
+                   keepSeparator: Boolean = false, trimChunks: Boolean = true,
+                   sepPosition: String = "START"): Column =
     ExpressionUtils.column(
-      SplitTextGenerator(ExpressionUtils.expression(text), size, overlap, sep))
+      SplitTextGenerator(ExpressionUtils.expression(text), size, overlap, sep,
+        isRegex, keepSeparator, trimChunks, sepPosition))
 }

@@ -69,4 +69,12 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "SortMergeJoin"
   }
+
+  test("prompt-assembly neighbour window is hash-partitioned, not global") {
+    val p = plan("rag_prompt_assembly")
+    p should include("Window")
+    // the lead() window exchange hashes on the block key — a global
+    // Window.orderBy would show Exchange SinglePartition feeding Window
+    p should not include "SinglePartition"
+  }
 }

@@ -17,11 +17,18 @@ class SqlSurfaceSpec extends SparkSpec {
     row.isNullAt(2) shouldBe true // zero norm → NULL, not an ANSI error
   }
 
-  test("split_text is callable from SQL with reference parameters") {
+  test("split_text is callable from SQL with the full 8-arg reference call") {
+    // the exact reference invocation shape
+    // (generate_personalized_commands.sh:322-326)
     val chunks = spark.sql(
-      "SELECT split_text('alpha###beta', 200, 20, '###') AS c")
+      "SELECT split_text('alpha###beta', 200, 20, '###', false, false, true, 'START') AS c")
       .collect().head.getSeq[String](0)
     chunks shouldBe Seq("alpha beta")
+    // keep_separator + END attaches each separator to the preceding piece
+    val kept = spark.sql(
+      "SELECT split_text('alpha###beta', 6, 0, '###', false, true, true, 'END') AS c")
+      .collect().head.getSeq[String](0)
+    kept shouldBe Seq("alpha#", "##", "beta")
   }
 
   test("minhash_band_keys is callable from SQL") {

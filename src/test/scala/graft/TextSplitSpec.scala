@@ -59,6 +59,67 @@ class TextSplitSpec extends AnyFunSuite with Matchers {
       TextSplit.splitText("x", chunkSize = 0)
   }
 
+  // --- full 8-arg signature: is_separator_regex / keep_separator /
+  // keep_separator_position goldens (one per flag combination) ---
+
+  test("regex separator splits on every pattern match") {
+    TextSplit.splitText("one1two22three", sep = "[0-9]+", isRegex = true,
+      chunkSize = 5, overlap = 0) shouldBe Seq("one", "two", "three")
+    // the same string with isRegex=false finds no literal '[0-9]+'
+    TextSplit.splitText("one1two22three", sep = "[0-9]+", isRegex = false,
+      chunkSize = 20, overlap = 0) shouldBe Seq("one1two22three")
+  }
+
+  test("keep_separator START attaches each separator to the following piece") {
+    TextSplit.splitText("a###b###c", sep = "###", keepSeparator = true,
+      sepPosition = "START", chunkSize = 4, overlap = 0) shouldBe
+      Seq("a", "###b", "###c")
+  }
+
+  test("keep_separator END attaches each separator to the preceding piece") {
+    TextSplit.splitText("a###b###c", sep = "###", keepSeparator = true,
+      sepPosition = "END", chunkSize = 4, overlap = 0) shouldBe
+      Seq("a###", "b###", "c")
+  }
+
+  test("keep_separator with regex keeps the MATCHED text, not the pattern") {
+    TextSplit.splitText("one1two22three", sep = "[0-9]+", isRegex = true,
+      keepSeparator = true, sepPosition = "END", chunkSize = 6,
+      overlap = 0) shouldBe Seq("one1", "two22", "three")
+    TextSplit.splitText("one1two22three", sep = "[0-9]+", isRegex = true,
+      keepSeparator = true, sepPosition = "START", chunkSize = 7,
+      overlap = 0) shouldBe Seq("one", "1two", "22three")
+  }
+
+  test("trim_whitespace=false preserves piece whitespace") {
+    TextSplit.splitText(" a ### b ", sep = "###", trimChunks = false,
+      chunkSize = 4, overlap = 0) shouldBe Seq(" a ", " b ")
+    TextSplit.splitText(" a ### b ", sep = "###", trimChunks = true,
+      chunkSize = 4, overlap = 0) shouldBe Seq("a b")
+  }
+
+  test("keep_separator pieces reconstruct the original text exactly") {
+    // with keep_separator and no trimming, concatenating the separator
+    // pass's output must equal the input (no characters lost) for both
+    // positions — checked through small chunks that prevent merging
+    val t = "aa##bb##cc##dd"
+    Seq("START", "END").foreach { pos =>
+      val chunks = TextSplit.splitText(t, sep = "##", keepSeparator = true,
+        sepPosition = pos, trimChunks = false, chunkSize = 4, overlap = 0)
+      chunks.mkString("") shouldBe t
+    }
+  }
+
+  test("zero-width regex matches do not split (and do not loop)") {
+    TextSplit.splitText("abc", sep = "x*", isRegex = true,
+      chunkSize = 10, overlap = 0) shouldBe Seq("abc")
+  }
+
+  test("invalid keep_separator_position is rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      TextSplit.splitText("x", sepPosition = "MIDDLE")
+  }
+
   test("property: every chunk is non-empty, trimmed, and within chunkSize") {
     val rnd = new scala.util.Random(42)
     val alphabet = "ab #x".toCharArray
