@@ -1,13 +1,65 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main — driver runs this per-round with
   * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and records the single JSON
   * line against BASELINE.md. Runs the headline (scale-sensitive) subset
-  * of SparkEntry.queries; each timing covers plan + execution to a count.
+  * of SparkEntry.queries (each timing covers plan + execution to a
+  * count), then the standing 4-stage streaming chain for a rows/s
+  * throughput figure.
   */
 object Bench {
+
+  /** T1 throughput: drive the 4-stage standing chain (filter → embed →
+    * retrieve → generate, Avro-framed topic hops) over `waves` publishes
+    * of `rowsPerWave` messages, pumping every stage's micro-batches after
+    * each publish. Returns (prospect rows processed end-to-end, seconds,
+    * rows/s). One warm-up wave runs untimed (JIT + stream init). */
+  def streamingThroughput(spark: SparkSession, rowsPerWave: Int,
+                          waves: Int): (Long, Double, Double) = {
+    import graft.pipeline.{CoachingPipeline, TopicParityPipeline}
+    import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
+    import graft.store.BroadcastBruteForceStore
+
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(32)
+    val knowledge = spark.createDataFrame(Seq(
+      ("kb/pricing.md", "Pricing", "kb", "pricing objection handling with discounts"),
+      ("kb/impl.md", "Impl", "kb", "implementation rollout and integration guide"),
+      ("kb/comp.md", "Comp", "kb", "competitor comparison and differentiation")))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val boot = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val store = BroadcastBruteForceStore.fromDataFrame(boot.indexKnowledge(knowledge))
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val topics = new graft.io.LocalTopicStore(tmp("graft-bench-topics"))
+    val parity = new TopicParityPipeline(pipeline, topics)
+    val queries = parity.streamStages(spark, tmp("graft-bench-ckpt"))
+    try {
+      def wave(n: Int, salt: String): Unit = {
+        parity.publishConversation(spark.range(n).select(
+          concat(lit(s"message $salt "), col("id").cast("string"),
+            lit(" about pricing and integration")).as("message"),
+          when(col("id") % 4 === 0, "salesperson").otherwise("prospect")
+            .as("speaker")))
+        queries.foreach(_.processAllAvailable())
+      }
+      wave(rowsPerWave, "warm") // untimed: stream init + JIT
+      val t0 = System.nanoTime()
+      (1 to waves).foreach(i => wave(rowsPerWave, s"w$i"))
+      val secs = (System.nanoTime() - t0) / 1e9
+      // end-to-end evidence: count rows that reached the LAST topic
+      val out = parity.consumeResponses(spark).count()
+      val timedRows = out - parity.consumeResponses(spark)
+        .filter(col("message").startsWith("message warm")).count()
+      (timedRows, secs, timedRows / secs)
+    } finally queries.foreach(_.stop())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,7 +98,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // streaming chain throughput (independent of sf — topic-driven)
+    val streaming =
+      try {
+        val (rows, secs, rps) = streamingThroughput(spark,
+          rowsPerWave = 500, waves = 4)
+        s""","streaming":{"rows":$rows,"sec":$secs,"rows_per_sec":$rps}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        ""","streaming":null"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

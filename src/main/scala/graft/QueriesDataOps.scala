@@ -400,6 +400,48 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    ("ann_lsh_multitable", (s, dir) => {
+      // banded multi-table SRP-LSH (2 tables × 4 bits): candidates from
+      // ANY colliding table, dedup, ONE exact re-rank — the recall
+      // amplifier (1-(1-p^b)^L) production stores run; AnnRecallSpec
+      // quantifies the recall win over one long signature.
+      val emb = T(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("nid"), col("embedding"))
+      SimilaritySearch.lshTopKMultiTable(queries, corpus, planes,
+          bitsPerTable = 4, k = 3, "qid", "embedding", "nid", "embedding")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH planes AS (SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+                      WHERE vec_id < 8),
+      sigs AS (
+        SELECT v.vec_id, v.embedding,
+               CAST(p.pid // 4 AS VARCHAR) || ':' ||
+                 string_agg(CASE WHEN list_dot_product(v.embedding::DOUBLE[],
+                                       p.pvec::DOUBLE[]) > 0
+                                 THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+        FROM embeddings v CROSS JOIN planes p
+        GROUP BY v.vec_id, v.embedding, p.pid // 4),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS qid, q.embedding AS qe,
+                        c.vec_id AS nid, c.embedding AS ne
+        FROM sigs q JOIN sigs c ON q.sig = c.sig
+        WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      ranked AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) DESC,
+                          nid ASC) AS rank
+        FROM cand)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
     ("ann_ivf_topk", (s, dir) => {
       // full IVF search: corpus bucketed by nearest centroid, queries
       // probe their 2 nearest clusters, exact cosine top-3 within.

@@ -48,7 +48,8 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "curate_corpus",
-    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf_topk",
+    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
+    "ann_ivf_topk",
     "text_quality", "text_langid", "text_token_count",
     "mm_metadata", "mm_frame_sample")
 }

@@ -124,12 +124,18 @@ object AvroCodec {
     fromAvro(rec, dt).asInstanceOf[Row]
   }
 
+  /** The ONE subject → record-name rule (Avro names reject '-'). Every
+    * registration path must build schemas through this, or the strict
+    * registry rejects the second registration as an evolved schema. */
+  def schemaForSubject(st: StructType, subject: String): Schema =
+    avroSchemaFor(st, subject.replace('-', '_'))
+
   /** struct(col...) → framed Avro bytes. Row-typed UDFs go through the
     * Java UDF1 API (the untyped Scala overload is gone in Spark 4); the
     * Avro Schema is re-parsed lazily per executor from its JSON because
     * Schema itself is not serializable. */
   def encodeUdf(st: StructType, subject: String): UserDefinedFunction = {
-    val json = SchemaRegistry.getOrRegister(subject, avroSchemaFor(st, subject.replace('-', '_')))
+    val json = SchemaRegistry.getOrRegister(subject, schemaForSubject(st, subject))
     val id = SchemaRegistry.id(subject)
     val f = new org.apache.spark.sql.api.java.UDF1[Row, Array[Byte]] with Serializable {
       @transient private lazy val schema = new Schema.Parser().parse(json)

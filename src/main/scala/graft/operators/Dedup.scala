@@ -62,17 +62,32 @@ object Dedup {
     *    sides).
     *  - band-key hot spots (boilerplate text) are the skew risk at scale:
     *    a hot bucket of b ids expands to b²/2 pairs map-side. Moderate
-    *    skew is absorbed by AQE; pathological keys can be count-capped
-    *    upstream. */
+    *    skew is absorbed by AQE; `maxBucketSize` caps the pathological
+    *    case: buckets above the cap are dropped BEFORE pair expansion
+    *    (bounding any bucket's output at cap²/2) and the drop count is
+    *    published as an observed metric ("minhash_lsh_skew" /
+    *    dropped_hot_buckets — QueryExecutionListener-visible, the
+    *    droppable-work ledger a 100 TB run must emit). A bucket that hot
+    *    is boilerplate, not near-duplication signal; its pairs are noise
+    *    that exact verification would reject anyway.
+    * @param maxBucketSize 0 (default) = uncapped — the oracle-checked
+    *                      exact-recall form; > 0 = drop hotter buckets. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3, bands: Int = 4,
-                      rowsPerBand: Int = 3): DataFrame = {
+                      rowsPerBand: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val bk = Hashing.bandKeysUdf(shingleN, bands, rowsPerBand)
     val keyed = df
       .select(col(idCol).as("id"), explode(bk(col(textCol))).as("band_key"))
-    val buckets = keyed.groupBy(col("band_key"))
+    val buckets0 = keyed.groupBy(col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else buckets0
+        .observe("minhash_lsh_skew",
+          sum(when(size(col("ids")) > maxBucketSize, 1).otherwise(0))
+            .as("dropped_hot_buckets"))
+        .filter(size(col("ids")) <= maxBucketSize)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

@@ -116,7 +116,7 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
       TopicChunked -> Tables.chunkSchema)
       .foreach { case (t, st) =>
         graft.io.SchemaRegistry.getOrRegister(s"$t-value",
-          AvroCodec.avroSchemaFor(st, t))
+          AvroCodec.schemaForSubject(st, s"$t-value"))
       }
 
   /** T1 — the reference's actual execution model: each stage is a

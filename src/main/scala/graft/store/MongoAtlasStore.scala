@@ -1,0 +1,170 @@
+package graft.store
+
+/** MongoDB Atlas remote half of the store seam (S4 sink / S5 search) —
+  * code-complete against Atlas's public REST surface (the Data API), the
+  * same treatment as the Azure OpenAI providers: request builders and
+  * response parsers are pure and offline-tested; only the transport
+  * function touches the network, and tests inject a fake.
+  *
+  * Reference mapping:
+  *  - sink: the MongoDbAtlasSink connector config (main.tf:594-635) —
+  *    ordered bulk writes (`use.ordered.bulk.writes=true`), batched
+  *    (`max.batch.size`), into `database`/`collection`. Here:
+  *    [[MongoAtlasStore.upsertAll]] issues ordered batches; each document
+  *    is keyed by (document_id, md5(chunks)) so at-least-once topic
+  *    replays overwrite instead of duplicating (the same idempotency rule
+  *    as [[InMemoryVectorStore]]; the connector's BsonOidStrategy gets
+  *    this from Kafka coordinates, which a REST writer does not have).
+  *  - search: the `$vectorSearch` aggregation against the vector index
+  *    (main.tf:649-669: path = embedding field, cosine, 1536 dims;
+  *    generate_personalized_commands.sh:293-306: k=3, numCandidates=150).
+  */
+final case class MongoAtlasConfig(
+    baseUrl: String,      // https://data.mongodb-api.com/app/<app>/endpoint/data/v1
+    apiKey: String,
+    dataSource: String,   // Atlas cluster name
+    database: String,     // var.mongodb_database_name
+    collection: String,   // var.mongodb_collection_name
+    indexName: String,    // var.mongodb_index_name
+    embeddingPath: String = "embedding",
+    maxBatchSize: Int = 100)
+
+object MongoAtlasStore {
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  private def floats(v: Array[Float]): String =
+    v.mkString("[", ",", "]")
+
+  def chunkHash(chunks: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(Option(chunks).getOrElse("").getBytes("UTF-8"))
+    md.map("%02x".format(_)).mkString
+  }
+
+  // --- request builders (pure, goldens in MongoAtlasStoreSpec) ---
+
+  /** `$vectorSearch` aggregation body for POST {baseUrl}/action/aggregate:
+    * ANN over the configured index, k results from numCandidates
+    * re-ranked, score surfaced via $meta. */
+  def searchBody(cfg: MongoAtlasConfig, query: Array[Float], k: Int,
+                 numCandidates: Int): String =
+    s"""{"dataSource":"${esc(cfg.dataSource)}","database":"${esc(cfg.database)}","collection":"${esc(cfg.collection)}","pipeline":[""" +
+      s"""{"$$vectorSearch":{"index":"${esc(cfg.indexName)}","path":"${esc(cfg.embeddingPath)}","queryVector":${floats(query)},"numCandidates":$numCandidates,"limit":$k}},""" +
+      s"""{"$$project":{"_id":0,"document_id":1,"chunks":1,"score":{"$$meta":"vectorSearchScore"}}}]}"""
+
+  /** One idempotent upsert for POST {baseUrl}/action/updateOne: filter on
+    * the content key, $set the full document, upsert=true — replays of the
+    * same (id, chunks) overwrite in place. */
+  def upsertOneBody(cfg: MongoAtlasConfig, id: String, chunks: String,
+                    embedding: Array[Float]): String = {
+    val hash = chunkHash(chunks)
+    s"""{"dataSource":"${esc(cfg.dataSource)}","database":"${esc(cfg.database)}","collection":"${esc(cfg.collection)}",""" +
+      s""""filter":{"document_id":"${esc(id)}","chunk_hash":"$hash"},""" +
+      s""""update":{"$$set":{"document_id":"${esc(id)}","chunk_hash":"$hash","chunks":"${esc(chunks)}","${esc(cfg.embeddingPath)}":${floats(embedding)}}},""" +
+      s""""upsert":true}"""
+  }
+
+  /** Ordered insert batch for POST {baseUrl}/action/insertMany — the
+    * connector-parity path (BsonOid insert strategy, ordered bulk writes,
+    * main.tf:618-626) for first loads where idempotency is handled
+    * upstream. */
+  def insertManyBody(cfg: MongoAtlasConfig,
+                     batch: Seq[(String, String, Array[Float])]): String = {
+    val docs = batch.map { case (id, chunks, emb) =>
+      s"""{"document_id":"${esc(id)}","chunk_hash":"${chunkHash(chunks)}","chunks":"${esc(chunks)}","${esc(cfg.embeddingPath)}":${floats(emb)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"dataSource":"${esc(cfg.dataSource)}","database":"${esc(cfg.database)}","collection":"${esc(cfg.collection)}","documents":$docs}"""
+  }
+
+  // --- response parsers (narrow, dependency-free, offline-tested) ---
+
+  private val docIdRe = "\"document_id\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+  private val chunksRe = "\"chunks\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+  private val scoreRe = "\"score\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9eE+-]+)?)".r
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse an aggregate response `{"documents":[{document_id, chunks,
+    * score}, ...]}` into hits, in server order (already ranked by score). */
+  def parseSearchHits(json: String): Seq[SearchHit] = {
+    val ids = docIdRe.findAllMatchIn(json).map(m => unescape(m.group(1))).toSeq
+    val chunks = chunksRe.findAllMatchIn(json).map(m => unescape(m.group(1))).toSeq
+    val scores = scoreRe.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+    require(ids.size == chunks.size && ids.size == scores.size,
+      s"malformed $$vectorSearch response: ${ids.size}/${chunks.size}/${scores.size} fields")
+    ids.lazyZip(chunks).lazyZip(scores).map(SearchHit.apply)
+  }
+
+  /** Parse `{"matchedCount":N,"modifiedCount":M,"upsertedId":...}` /
+    * `{"insertedIds":[...]}` acks into an affected-row count. */
+  def parseWriteAck(json: String): Int = {
+    val n = "\"(?:matchedCount|insertedIds)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9]+)".r
+      .findFirstMatchIn(json).map(_.group(1))
+    n match {
+      case Some(arr) if arr.startsWith("[") =>
+        if (arr.replaceAll("[\\[\\]\\s]", "").isEmpty) 0
+        else arr.count(_ == ',') + 1
+      case Some(num) => num.toInt
+      case None => "\"upsertedId\"".r.findFirstIn(json).map(_ => 1).getOrElse(0)
+    }
+  }
+}
+
+/** The remote [[VectorStore]]: `$vectorSearch` per query, ordered batched
+  * upserts. `transport(url, body, headers) => responseBody` is the only
+  * effectful piece — production passes a JDK HttpClient POST; tests pass
+  * a fake and assert the requests it captured. Unreachable in this
+  * offline build (like the Azure providers) but code-complete. */
+final class MongoAtlasStore(
+    cfg: MongoAtlasConfig,
+    transport: (String, String, Map[String, String]) => String,
+    corpusSize: () => Int = () => -1) extends VectorStore {
+  import MongoAtlasStore._
+
+  private def post(action: String, body: String): String =
+    transport(s"${cfg.baseUrl}/action/$action", body,
+      Map("api-key" -> cfg.apiKey, "Content-Type" -> "application/json"))
+
+  override def search(query: Array[Float], k: Int,
+                      numCandidates: Int = 150): Seq[SearchHit] =
+    parseSearchHits(post("aggregate", searchBody(cfg, query, k, numCandidates)))
+
+  /** Idempotent upsert of one chunk row (S4). */
+  def upsert(id: String, chunks: String, embedding: Array[Float]): Int =
+    parseWriteAck(post("updateOne", upsertOneBody(cfg, id, chunks, embedding)))
+
+  /** Ordered, batched bulk load: batches of `maxBatchSize` issued in
+    * order, each batch one insertMany — the sink connector's write shape.
+    * Returns total inserted. */
+  def insertAllOrdered(batch: Seq[(String, String, Array[Float])]): Int =
+    batch.grouped(cfg.maxBatchSize).map { g =>
+      parseWriteAck(post("insertMany", insertManyBody(cfg, g)))
+    }.sum
+
+  /** Idempotent bulk upsert (replay-safe sink path), ordered within the
+    * iteration like the connector's ordered bulk writes. */
+  def upsertAll(batch: Iterable[(String, String, Array[Float])]): Unit =
+    batch.foreach { case (id, c, e) => upsert(id, c, e) }
+
+  override def size: Int = corpusSize()
+}

@@ -62,6 +62,19 @@ class AvroCodecSpec extends SparkSpec {
     SchemaRegistry.get("known-value") should include("\"message\"")
     an[RuntimeException] should be thrownBy SchemaRegistry.get("never-registered-value")
   }
+
+  test("registry rejects silent re-registration with a different schema") {
+    SchemaRegistry.getOrRegister("strict-value",
+      AvroCodec.schemaForSubject(Tables.messageSchema, "strict-value"))
+    // same subject, same schema: idempotent
+    SchemaRegistry.getOrRegister("strict-value",
+      AvroCodec.schemaForSubject(Tables.messageSchema, "strict-value"))
+    // evolved type under the same subject: loud failure, not stale bytes
+    an[IllegalArgumentException] should be thrownBy
+      SchemaRegistry.getOrRegister("strict-value",
+        AvroCodec.schemaForSubject(TopicParityPipeline.embeddingsSchema,
+          "strict-value"))
+  }
 }
 
 class TopicParitySpec extends SparkSpec {

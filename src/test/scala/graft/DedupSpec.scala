@@ -85,6 +85,27 @@ class DedupSpec extends SparkSpec {
     got shouldBe Set((1L, 2L))
   }
 
+  test("maxBucketSize drops boilerplate buckets and bounds pair output") {
+    // 40 identical boilerplate docs → every band bucket holds all 40 ids
+    // (780 pairs uncapped); one genuine duplicate pair with distinct text
+    val boiler = (1 to 40).map(i =>
+      (i.toLong, "standard legal boilerplate appended to every document here"))
+    val dup = Seq(
+      (100L, "a unique sentence about spark native analytics engines"),
+      (101L, "a unique sentence about spark native analytics engines"))
+    val corpus = (boiler ++ dup).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshPairs(corpus, "text", "doc_id").count()
+    uncapped shouldBe 780L + 1L
+
+    // cap 10 < 40: the boilerplate buckets are dropped BEFORE expansion;
+    // only the genuine pair (bucket size 2) survives
+    val capped = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    capped shouldBe Set((100L, 101L))
+  }
+
   test("embeddingNearDupPairs: identical vectors pass, orthogonal fail") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f), "x"),

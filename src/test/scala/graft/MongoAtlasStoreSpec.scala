@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.store.{MongoAtlasConfig, MongoAtlasStore, SearchHit}
+
+/** Offline tests for the Atlas remote store (S4/S5 remote half): request
+  * builders against goldens, response parsers against canned payloads, and
+  * the store driven end-to-end through a fake transport — the same
+  * no-network treatment as HttpParseSpec gives the Azure providers. */
+class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
+
+  private val cfg = MongoAtlasConfig(
+    baseUrl = "https://data.example.test/endpoint/data/v1",
+    apiKey = "k", dataSource = "Cluster0", database = "meetingcoach",
+    collection = "knowledge_embeddings", indexName = "vector_index",
+    embeddingPath = "embedding", maxBatchSize = 2)
+
+  test("searchBody is the reference $vectorSearch aggregation") {
+    val body = MongoAtlasStore.searchBody(cfg, Array(1.0f, 2.5f), k = 3,
+      numCandidates = 150)
+    body should include(""""pipeline":[{"$vectorSearch":""")
+    body should include(""""index":"vector_index"""")
+    body should include(""""path":"embedding"""")
+    body should include(""""queryVector":[1.0,2.5]""")
+    body should include(""""numCandidates":150""")
+    body should include(""""limit":3""")
+    body should include(""""score":{"$meta":"vectorSearchScore"}""")
+  }
+
+  test("upsertOneBody keys on (document_id, chunk_hash) with upsert=true") {
+    val body = MongoAtlasStore.upsertOneBody(cfg, "dir/doc.md", "some text",
+      Array(0.5f))
+    val hash = MongoAtlasStore.chunkHash("some text")
+    body should include(s""""filter":{"document_id":"dir/doc.md","chunk_hash":"$hash"}""")
+    body should include(""""upsert":true""")
+    body should include(""""$set":{"document_id":"dir/doc.md"""")
+    hash should fullyMatch regex "[0-9a-f]{32}"
+  }
+
+  test("insertManyBody escapes content and carries every document") {
+    val body = MongoAtlasStore.insertManyBody(cfg, Seq(
+      ("a.md", "line1\nline2 \"quoted\"", Array(1f, 2f)),
+      ("b.md", "plain", Array(3f))))
+    body should include("""line1\nline2 \"quoted\"""")
+    body should include(""""document_id":"a.md"""")
+    body should include(""""document_id":"b.md"""")
+    body should include(""""embedding":[1.0,2.0]""")
+  }
+
+  test("parseSearchHits reads documents in server rank order") {
+    val resp =
+      """{"documents":[
+        |{"document_id":"p/a.md","chunks":"alpha \"x\"","score":0.99},
+        |{"document_id":"p/b.md","chunks":"beta\nline","score":0.5}]}""".stripMargin
+    MongoAtlasStore.parseSearchHits(resp) shouldBe Seq(
+      SearchHit("p/a.md", "alpha \"x\"", 0.99),
+      SearchHit("p/b.md", "beta\nline", 0.5))
+  }
+
+  test("parseSearchHits rejects a response with mismatched fields") {
+    an[IllegalArgumentException] should be thrownBy
+      MongoAtlasStore.parseSearchHits(
+        """{"documents":[{"document_id":"a","score":1.0}]}""")
+  }
+
+  test("parseWriteAck covers updateOne and insertMany ack shapes") {
+    MongoAtlasStore.parseWriteAck("""{"matchedCount":1,"modifiedCount":1}""") shouldBe 1
+    MongoAtlasStore.parseWriteAck("""{"matchedCount":0,"upsertedId":"x"}""") shouldBe 0
+    MongoAtlasStore.parseWriteAck("""{"insertedIds":["a","b","c"]}""") shouldBe 3
+    MongoAtlasStore.parseWriteAck("""{"insertedIds":[]}""") shouldBe 0
+  }
+
+  test("store end-to-end through a fake transport: urls, batching, order") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val fake = (url: String, body: String, _: Map[String, String]) => {
+      calls += ((url, body))
+      if (url.endsWith("/aggregate"))
+        """{"documents":[{"document_id":"d","chunks":"c","score":0.7}]}"""
+      else if (url.endsWith("/insertMany")) """{"insertedIds":["1","2"]}"""
+      else """{"matchedCount":1,"modifiedCount":1}"""
+    }
+    val store = new MongoAtlasStore(cfg, fake)
+
+    store.search(Array(1f, 0f), k = 3) shouldBe
+      Seq(SearchHit("d", "c", 0.7))
+    calls.last._1 should endWith("/action/aggregate")
+
+    // 5 rows at maxBatchSize=2 → 3 ordered insertMany calls
+    val rows = (1 to 5).map(i => (s"doc$i", s"text$i", Array(i.toFloat)))
+    store.insertAllOrdered(rows) shouldBe 6 // fake acks 2 per batch
+    val inserts = calls.filter(_._1.endsWith("/action/insertMany")).map(_._2)
+    inserts should have length 3
+    inserts(0) should (include("doc1") and include("doc2"))
+    inserts(1) should (include("doc3") and include("doc4"))
+    inserts(2) should include("doc5")
+
+    store.upsertAll(Seq(("u", "t", Array(1f))))
+    calls.last._1 should endWith("/action/updateOne")
+  }
+}
