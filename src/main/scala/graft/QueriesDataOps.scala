@@ -593,6 +593,36 @@ object QueriesDataOps {
                AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")),
 
+    ("text_winnowing", (s, dir) => {
+      // winnowing (rolling k-gram hash, window-min selection, SIGMOD'03):
+      // the partial-overlap fingerprint — any shared substring of
+      // w+k-1 = 11 canonical chars guarantees a shared fingerprint.
+      Dedup.winnowingFingerprints(spread(s, T(s, dir, "documents")),
+          "text", "doc_id", k = 8, w = 4)
+        .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+                        trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS p
+                 FROM documents),
+      f AS (SELECT doc_id, p FROM c WHERE length(p) >= 8),
+      g AS (SELECT doc_id, p, unnest(generate_series(1, length(p) - 7)) AS pos
+            FROM f),
+      h AS (SELECT doc_id, pos,
+                   md5(substring(p, CAST(pos AS INT), 8)) || ':' ||
+                     lpad(CAST(pos AS VARCHAR), 8, '0') AS key
+            FROM g),
+      s AS (SELECT doc_id, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                   max(pos) OVER (PARTITION BY doc_id) AS n_pos
+            FROM h)
+      SELECT DISTINCT doc_id,
+             CAST(split_part(sel, ':', 2) AS INT) AS fp_pos,
+             split_part(sel, ':', 1) AS fp_hash
+      FROM s WHERE pos <= n_pos - 3
+      ORDER BY doc_id, fp_pos, fp_hash""")),
+
     ("text_fingerprint", (s, dir) => {
       // canonical-form document fingerprint (rolling formatting-invariant
       // hash) — the per-doc primitive under dedup_fingerprint.

@@ -50,6 +50,6 @@ object SparkEntry {
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk",
-    "text_quality", "text_langid", "text_token_count",
+    "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "mm_metadata", "mm_frame_sample")
 }

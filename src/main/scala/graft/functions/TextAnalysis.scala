@@ -80,12 +80,14 @@ object TextAnalysis {
     (lenScore + punctScore + stopScore) / lit(3.0)
   }
 
-  /** Canonical-form fingerprint: lowercase, strip non-alphanumerics,
-    * collapse runs of spaces, trim, md5. Identical md5 in Spark and
-    * DuckDB → exact-dup detection robust to formatting noise. */
-  def fingerprint(text: Column): Column = {
-    val canon = trim(regexp_replace(
+  /** Canonical text form: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim — the formatting-invariant view every
+    * fingerprint below hashes. */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
-    md5(canon)
-  }
+
+  /** Canonical-form fingerprint: md5 of [[canonical]]. Identical md5 in
+    * Spark and DuckDB → exact-dup detection robust to formatting noise. */
+  def fingerprint(text: Column): Column = md5(canonical(text))
 }

@@ -151,6 +151,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Winnowing document fingerprints (the rolling-hash fingerprinting of
+    * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    * k-gram of the canonical text, slide a w-position window over the
+    * hash sequence, and select each window's minimum (ties broken toward
+    * the earlier position). Guarantee: two documents sharing any
+    * substring of length >= w + k - 1 share at least one fingerprint —
+    * partial-overlap detection that whole-document hashing cannot do.
+    *
+    * Emits DISTINCT (doc_id, fp_pos, fp_hash) selections. Docs whose
+    * canonical form is shorter than k + w - 1 have no full window and
+    * yield no rows.
+    *
+    * Plan shape: per-row gram explode (×P of a skinny projection), ONE
+    * hash-partitioned window over (doc, pos), distinct — no joins. The
+    * (hash, zero-padded pos) string key makes the window min reproduce
+    * the paper's tie-break and stays engine-portable for the oracle. */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"invalid k=$k w=$w")
+    val grams = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.canonical(col(textCol)).as("p"))
+      .filter(length(col("p")) >= k)
+      .select(col("doc_id"), col("p"),
+        explode(sequence(lit(1), length(col("p")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat(md5(col("p").substr(col("pos"), lit(k))), lit(":"),
+          lpad(col("pos").cast("string"), 8, "0")).as("key"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val part = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("sel", min(col("key")).over(win))
+      .withColumn("n_pos", max(col("pos")).over(part))
+      .filter(col("pos") <= col("n_pos") - (w - 1)) // full windows only
+      .select(col("doc_id"),
+        element_at(split(col("sel"), ":"), 2).cast("int").as("fp_pos"),
+        element_at(split(col("sel"), ":"), 1).as("fp_hash"))
+      .distinct()
+  }
+
   /** SimHash buckets: signature → members. Near-dups collide on the full
     * signature (or differ in few bits; Hamming-ball probing is a client
     * concern). */

@@ -106,6 +106,36 @@ class DedupSpec extends SparkSpec {
     capped shouldBe Set((100L, 101L))
   }
 
+  test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
+    val shared = "identical stretch of text that is long enough to overlap"
+    val corpus = Seq(
+      (1L, s"prefix region one $shared suffix region alpha"),
+      (2L, s"completely different beginning $shared unrelated end"),
+      (3L, "zqw vbn mlk jhg fds poi uyt rew zxc qaz wsx edc rfv tgb"))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.winnowingFingerprints(corpus, "text", "doc_id",
+        k = 8, w = 4)
+      .select("doc_id", "fp_hash").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (byDoc(1L) intersect byDoc(2L)) should not be empty // guarantee holds
+    (byDoc(1L) intersect byDoc(3L)) shouldBe empty      // disjoint content
+    // winnowing density: one selection per window, deduped — far fewer
+    // fingerprints than grams, but at least P/w of them
+    val p1 = byDoc(1L).size
+    p1 should be >= (("prefix region one " + shared).length / (4 * 2))
+  }
+
+  test("winnowing is formatting-invariant via the canonical form") {
+    val corpus = Seq(
+      (1L, "The Quick, Brown Fox;  Jumps over the LAZY dog!"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.winnowingFingerprints(corpus, "text", "doc_id")
+      .select("doc_id", "fp_pos", "fp_hash").as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    byDoc(1L) shouldBe byDoc(2L)
+  }
+
   test("embeddingNearDupPairs: identical vectors pass, orthogonal fail") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f), "x"),
