@@ -27,6 +27,20 @@ class AsOfJoinSpec extends SparkSpec {
       "p4" -> "r499")  // u1's rval@499 invisible across keys
   }
 
+  test("NULL in one payload column never mixes values across right rows") {
+    // r@50 has (a=A1, b=NULL); r@80 has (a=NULL, b=B2). A per-column
+    // ignoreNulls carry would hand the left row the chimera (A1, B2);
+    // row semantics require both payload values from the matched row r@80.
+    val left = Seq(("k", 100L, "probe")).toDF("k", "ts", "left_id")
+    val right = Seq(
+      ("k", 50L, Some("A1"), Option.empty[String]),
+      ("k", 80L, Option.empty[String], Some("B2")))
+      .toDF("k", "ts", "a", "b")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("a", "b"))
+      .select("a", "b").as[(Option[String], Option[String])].collect().head
+    got shouldBe ((None, Some("B2")))
+  }
+
   test("left row set and columns are preserved exactly (no multiplication)") {
     val left = Seq(("k", 10L, "a", 1.5), ("k", 20L, "b", 2.5))
       .toDF("k", "ts", "name", "score")

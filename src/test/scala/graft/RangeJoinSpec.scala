@@ -28,6 +28,22 @@ class RangeJoinSpec extends SparkSpec {
       ("L3", "R-otherkey"))
   }
 
+  test("timestamps beyond 2^53 bucket exactly (no double rounding)") {
+    // raw long-nanos magnitudes: double division rounds above 2^53 and
+    // can misplace rows by one bucket, silently dropping qualifying
+    // pairs; integral floor-div buckets must keep them.
+    val base = (1L << 60) + 12345L // ≈ 1.15e18, far past 2^53
+    val left = Seq(("k", base)).toDF("k", "ts")
+    val right = Seq(
+      ("k", base + 999L),   // inside the window
+      ("k", base - 1000L),  // exactly on the boundary (|Δ| = window)
+      ("k", base + 1001L))  // just outside
+      .toDF("k", "ts")
+    val got = RangeJoin.within(left, right, "k", "ts", window = 1000L)
+      .select("r_ts").as[Long].collect().sorted
+    got.toSeq shouldBe Seq(base - 1000L, base + 999L)
+  }
+
   test("rejects a non-positive window") {
     val df = Seq(("k", 1L)).toDF("k", "ts")
     an[IllegalArgumentException] should be thrownBy
