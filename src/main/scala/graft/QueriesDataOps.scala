@@ -481,6 +481,80 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    ("ann_quantized_topk", (s, dir) => {
+      // exact top-3 over the int8-QUANTIZED corpus (quantize → dequant →
+      // codegen'd cosine): the 4×-compressed storage path; quantization
+      // error vs the float32 ranks is pinned in VectorSearchSpec.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("nid"),
+          VectorOps.dequantInt8(VectorOps.quantizeInt8(col("embedding")))
+            .as("nvec"))
+      VectorOps.bruteForceTopK(queries, corpus, 3, "qid", "qvec", "nid", "nvec")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH c AS (
+        SELECT vec_id AS nid, embedding,
+               greatest(list_aggregate(list_transform(embedding::DOUBLE[],
+                 x -> abs(x)), 'max'), 1e-12) / 127.0 AS sc
+        FROM embeddings WHERE vec_id >= 20),
+      deq AS (
+        SELECT nid,
+               list_transform(embedding::DOUBLE[],
+                 x -> CAST(CAST(CAST(round(x / sc) AS TINYINT) AS DOUBLE) * sc
+                      AS REAL)) AS nvec
+        FROM c),
+      sims AS (
+        SELECT q.vec_id AS qid, d.nid,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                 d.nvec::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN deq d WHERE q.vec_id < 8),
+      ranked AS (SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid ASC) AS rank
+                 FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    ("ann_ivf_train", (s, dir) => {
+      // one Lloyd iteration (the IVF training step): assign to nearest of
+      // 4 seed centroids, recompute element-wise means — emitted flat
+      // (cluster, dim, mu, n_members) for engine-portable comparison.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      SimilaritySearch.ivfTrainStep(emb, centroids)
+        .orderBy(col("cluster"), col("dim"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      sims AS (SELECT v.vec_id, v.embedding, c.cid,
+                      list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) AS sim
+               FROM embeddings v CROSS JOIN cents c),
+      ranked AS (SELECT vec_id, embedding, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid DESC) AS r
+                 FROM sims),
+      assigned AS (SELECT vec_id, embedding, cid AS cluster
+                   FROM ranked WHERE r = 1),
+      counts AS (SELECT cluster, count(*) AS n_members
+                 FROM assigned GROUP BY cluster),
+      d AS (SELECT cluster, embedding,
+                   unnest(generate_series(1, len(embedding))) AS s
+            FROM assigned),
+      m AS (SELECT cluster, s - 1 AS dim,
+                   round(avg(CAST(embedding[s] AS DOUBLE)), 6) AS mu
+            FROM d GROUP BY cluster, s)
+      SELECT CAST(m.cluster AS INT) AS cluster, CAST(m.dim AS INT) AS dim,
+             m.mu, c.n_members
+      FROM m JOIN counts c ON c.cluster = m.cluster
+      ORDER BY cluster, dim""")),
+
     ("ann_ivf_assign", (s, dir) => {
       // IVF coarse quantization: nearest of 4 data-derived centroids →
       // cluster column for partition pruning at search time.

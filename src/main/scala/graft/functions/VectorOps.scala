@@ -28,6 +28,28 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.cosine(a, b)
 
+  /** Symmetric int8 scalar quantization: per-vector scale = max|x|/127,
+    * elements rounded to [-127, 127] TINYINT — 4× smaller storage than
+    * float32, the standard vector-store compression. Returns
+    * struct(scale DOUBLE, q ARRAY<TINYINT>). Cosine is scale-invariant,
+    * so quantized search needs only the q array; the scale is for
+    * value-faithful dequantization.
+    *
+    * Built from higher-order functions (interpreted, not codegen'd) —
+    * acceptable because quantization is a one-time STORAGE transform,
+    * not the per-query hot loop (which runs on the dequantized floats
+    * through the native codegen'd cosine). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(
+      array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12)) / lit(127.0)
+    struct(scale.as("scale"),
+      transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: q * scale, back to ARRAY<FLOAT>. */
+  def dequantInt8(qs: Column): Column =
+    transform(qs("q"), x => (x.cast("double") * qs("scale")).cast("float"))
+
   /** Brute-force top-k cosine neighbors of each query vector against a
     * corpus. Returns (qidName, nidName, rank, sim).
     *

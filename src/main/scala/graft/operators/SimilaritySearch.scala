@@ -143,6 +143,52 @@ object SimilaritySearch {
     df.withColumn("cluster", greatest(sims: _*)("cid"))
   }
 
+  /** One Lloyd (k-means) iteration over the corpus — the IVF TRAINING
+    * step the search side assumes: assign every vector to its nearest
+    * centroid (cosine, same tie-break as [[ivfAssign]]), then recompute
+    * each centroid as the element-wise mean of its members. Emitted FLAT
+    * as (cluster, dim, mu, n_members) — engine-portable for the oracle
+    * and trivially pivoted back to vectors.
+    *
+    * Plan shape: one narrow assign projection (codegen'd cosine vs
+    * literal centroids, no shuffle), a posexplode of assigned vectors
+    * (×dim of a skinny (cluster, value) projection), ONE shuffle on
+    * (cluster, dim) with map-side partial avg, plus a broadcast-joined
+    * member count. Iterating = collect the k×dim means (tiny) and call
+    * again — the standard driver-coordinated Lloyd loop. */
+  def ivfTrainStep(df: DataFrame, centroids: Seq[Seq[Float]],
+                   vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(df.select(col(vecCol).as("v")), centroids, "v")
+    val counts = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mu"))
+      .join(broadcast(counts), "cluster")
+      .select(col("cluster").cast("int").as("cluster"),
+        col("dim").cast("int").as("dim"), col("mu"), col("n_members"))
+  }
+
+  /** Full Lloyd loop: `iters` training steps from `init` centroids.
+    * Only the k×dim centroid matrix crosses the driver between
+    * iterations; each iteration is one distributed ivfTrainStep. Empty
+    * clusters keep their previous centroid (standard k-means practice). */
+  def ivfTrain(df: DataFrame, init: Seq[Seq[Float]], iters: Int,
+               vecCol: String = "embedding"): Seq[Seq[Float]] = {
+    require(iters >= 0, s"invalid iters=$iters")
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val means = ivfTrainStep(df, cents, vecCol)
+        .select(col("cluster"), col("dim"), col("mu"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cents.indices.map(c => means.getOrElse(c, cents(c)))
+    }
+  }
+
   /** Top-`nProbe` clusters of a vector (probe list for IVF search). */
   private def probeClusters(vecCol: Column, centroids: Seq[Seq[Float]],
                             nProbe: Int): Column = {

@@ -121,6 +121,66 @@ class VectorOpsSpec extends SparkSpec {
     lsh.toSeq shouldBe Seq(10L) // opposite-signature neighbor unreachable
   }
 
+  test("int8 quantization round-trips within tolerance and preserves cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.load(spark, dir, "embeddings").limit(100)
+    val q = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.dequantInt8(VectorOps.quantizeInt8(col("embedding"))).as("deq"))
+    // per-element error bounded by scale/2 = max|x|/254
+    val errs = q.select(
+        VectorOps.cosine(col("embedding"), col("deq")).as("cos_orig_deq"))
+      .as[Double].collect()
+    errs.foreach(_ should be >= 0.999)
+    // quantized ranks stay close to exact ranks: top-1 overlap on most queries
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpusF = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val corpusQ = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("nid"),
+        VectorOps.dequantInt8(VectorOps.quantizeInt8(col("embedding"))).as("nvec"))
+    def top1(c: org.apache.spark.sql.DataFrame) =
+      VectorOps.bruteForceTopK(queries, c, 1, "qid", "qvec", "nid", "nvec")
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val (exact, quant) = (top1(corpusF), top1(corpusQ))
+    val agree = exact.count { case (k, v) => quant.get(k).contains(v) }
+    agree.toDouble / exact.size should be >= 0.75
+  }
+
+  test("ivfTrainStep recomputes centroids as member means, flat-shaped") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(3f, 0f)),    // cluster 0 → mean (2, 0)
+      (3L, Seq(0f, 2f)), (4L, Seq(0f, 4f)), (5L, Seq(0f, 6f))) // cluster 1 → (0, 4)
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.ivfTrainStep(corpus, Seq(Seq(1f, 0f), Seq(0f, 1f)))
+      .select("cluster", "dim", "mu", "n_members")
+      .as[(Int, Int, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    got.toSeq shouldBe Seq(
+      (0, 0, 2.0, 2L), (0, 1, 0.0, 2L),
+      (1, 0, 0.0, 3L), (1, 1, 4.0, 3L))
+  }
+
+  test("ivfTrain converges on separable data and keeps empty clusters alive") {
+    // two tight groups far apart; deliberately poor init (both seeds near
+    // group A) — Lloyd must still move one centroid onto each group
+    val corpus = ((1 to 20).map(i => (i.toLong, Seq(10f + (i % 3), 1f))) ++
+      (21 to 40).map(i => (i.toLong, Seq(1f, 10f + (i % 3))))).toDF("vec_id", "embedding")
+    val init = Seq(Seq(1f, 0.1f), Seq(0.1f, 1f))
+    val trained = SimilaritySearch.ivfTrain(corpus, init, iters = 3)
+    trained should have length 2
+    // after training, each group's members assign to a distinct centroid
+    val assigned = SimilaritySearch.ivfAssign(corpus, trained)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    (1 to 20).map(i => assigned(i.toLong)).toSet should have size 1
+    (21 to 40).map(i => assigned(i.toLong)).toSet should have size 1
+    assigned(1L) should not be assigned(21L)
+    // an empty cluster keeps its previous centroid instead of vanishing
+    val oneSided = (1 to 5).map(i => (i.toLong, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val kept = SimilaritySearch.ivfTrain(oneSided,
+      Seq(Seq(1f, 0f), Seq(-1f, 0f)), iters = 2)
+    kept(1) shouldBe Seq(-1f, 0f)
+  }
+
   test("ivfAssign maps a vector equal to a centroid to that cluster") {
     val centroids = Seq(Seq(1f, 0f), Seq(0f, 1f))
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 2f)), (3L, Seq(0.9f, 0.1f)))
