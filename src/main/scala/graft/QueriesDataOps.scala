@@ -285,24 +285,18 @@ object QueriesDataOps {
       ORDER BY id_a, id_b"""))
   )
 
-  val curation: Seq[(String, Q, Option[String])] = Seq(
-
-    ("curate_corpus", (s, dir) => {
-      // the composed training-data flow: exact dedup → language
-      // allowlist → quality floor → token band, every surviving row
-      // annotated with its verdict (pipeline.CurationPipeline).
-      graft.pipeline.CurationPipeline.annotate(docsWithDups(s, dir))
-        .select(col("doc_id"), col("verdict"))
-        .orderBy(col("doc_id"))
-    }, Some {
-      def hits(w: String) =
-        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
-      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
-        s"(${ms.map(hits).mkString(" + ")}) AS s_$l"
-      }.mkString(", ")
-      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-        .map(hits).mkString(" + ")
-      s"""
+  /** Shared oracle CTE chain replaying CurationPipeline.annotate over the
+    * duplicated corpus: ends with a `v` relation of
+    * (doc_id, verdict, quality, n_tokens) per post-dedup row. */
+  private lazy val curationVerdictSql: String = {
+    def hits(w: String) =
+      s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"(${ms.map(hits).mkString(" + ")}) AS s_$l"
+    }.mkString(", ")
+    val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+      .map(hits).mkString(" + ")
+    s"""
       WITH $dwdSql,
       dd AS (SELECT doc_id, text,
                     row_number() OVER (PARTITION BY md5(text)
@@ -328,14 +322,49 @@ object QueriesDataOps {
            least((stop_hits / greatest(n_words * 1.0, 1.0)) * 4.0, 1.0)
           ) / 3.0 AS quality,
           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
-        FROM sc)
-      SELECT doc_id,
-        CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
-             WHEN quality < 0.5 THEN 'quality'
-             WHEN n_tokens < 10 OR n_tokens > 100000 THEN 'tokens'
-             ELSE 'keep' END AS verdict
-      FROM feats ORDER BY doc_id"""
-    })
+        FROM sc),
+      v AS (
+        SELECT doc_id,
+          CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
+               WHEN quality < 0.5 THEN 'quality'
+               WHEN n_tokens < 10 OR n_tokens > 100000 THEN 'tokens'
+               ELSE 'keep' END AS verdict,
+          quality, n_tokens
+        FROM feats)"""
+  }
+
+  val curation: Seq[(String, Q, Option[String])] = Seq(
+
+    ("curate_corpus", (s, dir) => {
+      // the composed training-data flow: exact dedup → language
+      // allowlist → quality floor → token band, every surviving row
+      // annotated with its verdict (pipeline.CurationPipeline).
+      graft.pipeline.CurationPipeline.annotate(docsWithDups(s, dir))
+        .select(col("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      $curationVerdictSql
+      SELECT doc_id, verdict FROM v ORDER BY doc_id""")),
+
+    ("curate_report", (s, dir) => {
+      // the corpus-level audit a curation run publishes: per-verdict doc
+      // counts, token mass, mean quality — one map-side-combinable
+      // rollup over the annotated rows (5 output rows regardless of
+      // corpus size; the shuffle carries only partial aggregates).
+      graft.pipeline.CurationPipeline.annotate(docsWithDups(s, dir))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          round(avg(TextAnalysis.qualityScore(col("text"))), 4)
+            .as("mean_quality"))
+        .orderBy(col("verdict"))
+    }, Some(s"""
+      $curationVerdictSql
+      SELECT verdict, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(avg(quality), 4) AS mean_quality
+      FROM v GROUP BY verdict ORDER BY verdict"""))
   )
 
   val similarity: Seq[(String, Q, Option[String])] = Seq(
