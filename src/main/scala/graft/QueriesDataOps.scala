@@ -696,6 +696,32 @@ object QueriesDataOps {
                AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")),
 
+    ("text_tfidf", (s, dir) => {
+      // per-doc top-3 salient terms by tf·ln(N/df) — rank-only output so
+      // the float score never crosses the engine boundary.
+      TextAnalysis.tfidfTopTerms(spread(s, T(s, dir, "documents")),
+          "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM toks GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     ("text_winnowing", (s, dir) => {
       // winnowing (rolling k-gram hash, window-min selection, SIGMOD'03):
       // the partial-overlap fingerprint — any shared substring of

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -90,4 +91,35 @@ object TextAnalysis {
   /** Canonical-form fingerprint: md5 of [[canonical]]. Identical md5 in
     * Spark and DuckDB → exact-dup detection robust to formatting noise. */
   def fingerprint(text: Column): Column = md5(canonical(text))
+
+  /** Per-document top-k terms by TF-IDF — the classic corpus-salience
+    * ranking (keyword extraction / topic labeling for training-data
+    * reports). score = tf · ln(N / df) with tf = in-document term count,
+    * df = documents containing the term, N = corpus size; ties break on
+    * the term for determinism. Emits (doc_id, rank, term) — no float
+    * columns, so the oracle compares exactly.
+    *
+    * Plan shape: token explode → (doc, term) count (map-side combinable)
+    * → term-keyed df aggregate joined back on term (high-cardinality
+    * equi-join) → broadcast 1-row N → per-doc window top-k. Three
+    * shuffles, all on high-cardinality keys; N is an O(1) broadcast. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"))
+  }
 }

@@ -116,3 +116,25 @@ class SplitTextGeneratorSpec extends SparkSpec {
         .select(TextExpressions.splitTextGen(col("n"))).collect()
   }
 }
+
+/** TF-IDF top-terms golden semantics (the text_tfidf driver query's
+  * operator level). */
+class TfIdfSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("tf-idf ranks distinguishing terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple banana common common"),
+      (2L, "banana cherry common common"),
+      (3L, "cherry cherry durian common")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 2)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // 'common' is in every doc → idf ln(1) = 0 → never a top term
+    got.values.flatten.toSet should not contain "common"
+    got(1L).head shouldBe "apple"          // tf=2, df=1 dominates
+    got(2L) shouldBe Seq("banana", "cherry") // equal scores → term-asc tie
+    got(3L).head shouldBe "durian"         // ln(3) beats 2·ln(3/2)
+  }
+}

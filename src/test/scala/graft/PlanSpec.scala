@@ -70,6 +70,32 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("multi-table LSH is a signature equi-join — no cartesian, no BNLJ") {
+    val p = plan("ann_lsh_multitable")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("ivf training step broadcasts member counts, keeps partial agg") {
+    val p = plan("ann_ivf_train")
+    p should include("BroadcastHashJoin")
+    p should include("partial_count") // map-side combine on (cluster, dim)
+    p should not include "CartesianProduct"
+  }
+
+  test("winnowing reuses one hash exchange for all three window functions") {
+    val p = plan("text_winnowing")
+    // one window shuffle on doc_id; the only other exchanges are the
+    // harness round-robin spread and the final range sort
+    "hashpartitioning".r.findAllIn(p).length shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("tfidf: high-cardinality term join, no cartesian blowup from N") {
+    val p = plan("text_tfidf")
+    p should not include "CartesianProduct" // 1-row N rides a broadcast
+  }
+
   test("prompt-assembly neighbour window is hash-partitioned, not global") {
     val p = plan("rag_prompt_assembly")
     p should include("Window")
