@@ -63,7 +63,49 @@ object QueriesDataOps {
         UNION ALL SELECT doc_id + 300000, upper(text) || '  ', lang, source
           FROM documents WHERE doc_id % 5 = 2)"""
 
+  /** Shared oracle CTE chain for the minhash band pipeline, ending in the
+    * `cand` relation of DISTINCT candidate pairs (id_a < id_b). */
+  private lazy val minhashCandSql: String = s"""$dwdSql,
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+               FROM dwd),
+      idx AS (SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS s
+              FROM toks),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[s:s+2], ' ') AS sh
+             FROM idx),
+      mh AS (SELECT doc_id, sd.seed AS seed,
+                    min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS m
+             FROM sh CROSS JOIN generate_series(0, 11, 1) AS sd(seed)
+             GROUP BY doc_id, sd.seed),
+      bands AS (SELECT doc_id,
+                       CAST(seed // 3 AS VARCHAR) || ':' ||
+                         string_agg(m || '|', '' ORDER BY seed) AS band_key
+                FROM mh GROUP BY doc_id, seed // 3),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
   val dedup: Seq[(String, Q, Option[String])] = Seq(
+
+    ("dedup_clusters", (s, dir) => {
+      // pairs → CLUSTERS: connected components over the minhash LSH
+      // candidate pairs via iterative min-label propagation; component
+      // label = min member id, so keep-one-per-cluster is id == comp.
+      val pairs = Dedup.minhashLshPairs(docsWithDups(s, dir), "text",
+        "doc_id", shingleN = 3, bands = 4, rowsPerBand = 3)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }, Some(s"""
+      WITH RECURSIVE $minhashCandSql,
+      edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS comp
+               FROM reach GROUP BY a)
+      SELECT id, comp FROM comp ORDER BY id""")),
 
     ("dedup_exact", (s, dir) => {
       // hash-groupBy exact dedup: one shuffle on md5 (unskewed by

@@ -45,7 +45,8 @@ object SparkEntry {
     "q16_percentiles_approx",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
-    "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
+    "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",

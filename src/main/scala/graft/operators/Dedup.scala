@@ -151,6 +151,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over duplicate pairs — the step that turns
+    * pairwise near-dup evidence (minhash/simhash/embedding pairs) into
+    * dedup CLUSTERS with a canonical representative: component label =
+    * the minimum member id, so "keep one per cluster" is
+    * `filter(id === comp)`.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbours; converges in
+    * O(graph diameter) rounds (duplicate clusters are near-cliques, so
+    * typically 1-2). Each round is one join + one map-side-combinable
+    * min aggregate; `localCheckpoint` truncates the growing lineage so
+    * the loop doesn't re-plan from scratch (on a cluster, checkpoint to
+    * reliable storage instead). Returns (id, comp) for every id that
+    * appears in a pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
+        .select(col("src").as("id"), col("nbr_comp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.select(col("id"), col("comp").as("next_comp"))
+        .join(labels, "id")
+        .filter(col("next_comp") =!= col("comp"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
   /** Winnowing document fingerprints (the rolling-hash fingerprinting of
     * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
     * Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every

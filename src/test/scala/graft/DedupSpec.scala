@@ -106,6 +106,22 @@ class DedupSpec extends SparkSpec {
     capped shouldBe Set((100L, 101L))
   }
 
+  test("connectedComponents: pairs collapse to min-id clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+  }
+
+  test("connectedComponents converges on a long path (many propagation rounds)") {
+    val chain = (1 to 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain)
+      .select("comp").as[Long].collect().toSet
+    comps shouldBe Set(1L) // one component, labelled by the minimum id
+  }
+
   test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
     val shared = "identical stretch of text that is long enough to overlap"
     val corpus = Seq(
