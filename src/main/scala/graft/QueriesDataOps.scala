@@ -388,6 +388,27 @@ object QueriesDataOps {
       $curationVerdictSql
       SELECT doc_id, verdict FROM v ORDER BY doc_id""")),
 
+    ("curate_sample", (s, dir) => {
+      // deterministic stratified sampling (data mixing): per-source keep
+      // fractions decided by md5(id) against a hex threshold — same rows
+      // kept on every run/engine/partitioning, so the oracle is exact.
+      // Sources outside the mix are dropped (allowlist semantics).
+      graft.pipeline.CurationPipeline.stratifiedSample(
+          T(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, source FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE source
+          WHEN 'src0' THEN 'g'
+          WHEN 'src1' THEN '80000000000000000000000000000000'
+          WHEN 'src2' THEN '40000000000000000000000000000000'
+          WHEN 'src3' THEN '19999999000000000000000000000000'
+          ELSE '00000000000000000000000000000000' END
+      ORDER BY doc_id""")),
+
     ("curate_report", (s, dir) => {
       // the corpus-level audit a curation run publishes: per-verdict doc
       // counts, token mass, mean quality — one map-side-combinable
@@ -737,6 +758,50 @@ object QueriesDataOps {
              len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")),
+
+    ("text_pii_redact", (s, dir) => {
+      // PII scrub over messages with injected emails/URLs/phones/IPs
+      // (deterministic by doc_id so every redaction class exercises);
+      // fixed replace order: email → url → ip → phone.
+      val injected = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          lit(" see https://internal.example/path?q=1 for details"))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" call +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today")))
+        .otherwise(
+          concat(lit(" server at 10.0."), (col("doc_id") % 255).cast("string"),
+            lit(".7 responded"))))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(injected).as("redacted"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN doc_id % 4 = 1 THEN
+                 ' see https://internal.example/path?q=1 for details'
+               WHEN doc_id % 4 = 2 THEN ' call +1 (555) 010-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+               ELSE ' server at 10.0.' || CAST(doc_id % 255 AS VARCHAR) ||
+                 '.7 responded' END AS msg
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(msg,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                '<EMAIL>', 'g'),
+              'https?://[^ ]+', '<URL>', 'g'),
+            '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+          '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM m ORDER BY doc_id""")),
 
     ("text_tfidf", (s, dir) => {
       // per-doc top-3 salient terms by tf·ln(N/df) — rank-only output so

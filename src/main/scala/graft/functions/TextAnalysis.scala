@@ -92,6 +92,20 @@ object TextAnalysis {
     * Spark and DuckDB → exact-dup detection robust to formatting noise. */
   def fingerprint(text: Column): Column = md5(canonical(text))
 
+  /** PII redaction for training corpora: emails, URLs, IPv4 addresses,
+    * and phone-like digit runs replaced by typed placeholder tokens, in
+    * a fixed order (email before phone so an address's digits never
+    * half-match as a phone). Patterns restricted to the Java∩RE2 regex
+    * subset for oracle parity; pure codegen'd per-row map, zero shuffle. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ ]+", "<URL>")
+    val ip = regexp_replace(url,
+      "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Per-document top-k terms by TF-IDF — the classic corpus-salience
     * ranking (keyword extraction / topic labeling for training-data
     * reports). score = tf · ln(N / df) with tf = in-document term count,

@@ -43,4 +43,27 @@ object CurationPipeline {
                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     Dedup.exact(docs, textCol, idCol)
       .withColumn("verdict", dropReason(col(textCol), cfg))
+
+  /** Deterministic stratified sampling — the data-mixing step: keep each
+    * row with its stratum's probability, decided by comparing the
+    * row-id's md5 (uniform over hex strings) against the fraction's
+    * 32-bit hex threshold. No RNG state, no seed plumbing: the SAME rows
+    * are kept on every run, engine, and partitioning — reproducible
+    * training mixes and an exact SQL oracle. Strata absent from
+    * `fractions` are dropped (mixing weights are an allowlist).
+    * Per-row filter, zero shuffle. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    val thresholds = fractions.map { case (k, f) =>
+      // "g" sorts after every hex digit → keep-all; avoids the 2^32
+      // overflow ("100000000" is 9 chars and would misorder)
+      k -> (if (f >= 1.0) "g" else f"${(f * (1L << 32)).toLong}%08x" + "0" * 24)
+    }
+    val thr = thresholds.foldLeft(lit("0" * 32)) { case (acc, (k, t)) =>
+      when(col(strataCol) === k, lit(t)).otherwise(acc)
+    }
+    docs.filter(md5(col(idCol).cast("string")) < thr)
+  }
 }

@@ -31,4 +31,41 @@ class CurationSpec extends SparkSpec {
     CurationPipeline.curate(docs).select("doc_id").as[Long].collect().toSeq shouldBe
       Seq(1L)
   }
+
+  test("stratifiedSample: deterministic, allowlisted, proportional") {
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val fr = Map("a" -> 1.0, "b" -> 0.25)
+    val once = CurationPipeline.stratifiedSample(docs, "source", "doc_id", fr)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // identical on re-execution (no RNG state)
+    CurationPipeline.stratifiedSample(docs, "source", "doc_id", fr)
+      .select("doc_id").as[Long].collect().sorted.toSeq shouldBe once
+    // fraction 1.0 keeps every row of its stratum
+    once.count(_ % 2 == 0) shouldBe 1000
+    // fraction 0.25 keeps roughly a quarter (md5 is uniform)
+    val bKept = once.count(_ % 2 == 1)
+    bKept.toDouble / 1000 shouldBe 0.25 +- 0.06
+    // absent stratum is dropped entirely
+    val mixed = docs.union(Seq((9999L, "c")).toDF("doc_id", "source"))
+    CurationPipeline.stratifiedSample(mixed, "source", "doc_id", fr)
+      .filter($"source" === "c").count() shouldBe 0L
+  }
+
+  test("redactPii replaces each PII class with its typed token, in order") {
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      "mail me at jane.doe+x@corp.example.org thanks",
+      "docs at https://docs.example.com/a?b=c#d here",
+      "host 192.168.0.1 is up",
+      "call +1 (555) 010-7788 now",
+      "no pii here at all")
+      .toDF("t").select(TextAnalysis.redactPii($"t").as("r"))
+      .as[String].collect()
+    rows(0) shouldBe "mail me at <EMAIL> thanks"
+    rows(1) shouldBe "docs at <URL> here"
+    rows(2) shouldBe "host <IP> is up"
+    rows(3) shouldBe "call <PHONE> now"
+    rows(4) shouldBe "no pii here at all"
+  }
 }
