@@ -759,6 +759,43 @@ object QueriesDataOps {
                AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")),
 
+    ("text_vocab_top", (s, dir) => {
+      // corpus vocabulary report: top-50 terms by document frequency.
+      // distinct (doc, term) → map-side-combinable df count → top-50 as
+      // TakeOrderedAndProject (per-partition top-N + 50-row merge), with
+      // the (df desc, term asc) tiebreak making the cut deterministic.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(50)
+    }, Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+      SELECT term, count(*) AS df FROM toks
+      GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""")),
+
+    ("text_length_hist", (s, dir) => {
+      // doc-length histogram (50-char buckets): the size-distribution
+      // report a curation run publishes; one map-side-combinable rollup.
+      T(s, dir, "documents")
+        .groupBy(expr("CAST(length(text) AS BIGINT) div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(length(col("text"))).cast("long").as("min_len"),
+          max(length(col("text"))).cast("long").as("max_len"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      SELECT CAST(length(text) // 50 AS BIGINT) AS bucket,
+             count(*) AS n_docs,
+             CAST(min(length(text)) AS BIGINT) AS min_len,
+             CAST(max(length(text)) AS BIGINT) AS max_len
+      FROM documents GROUP BY 1 ORDER BY bucket""")),
+
     ("text_pii_redact", (s, dir) => {
       // PII scrub over messages with injected emails/URLs/phones/IPs
       // (deterministic by doc_id so every redaction class exercises);
