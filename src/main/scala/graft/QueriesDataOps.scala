@@ -388,6 +388,26 @@ object QueriesDataOps {
       $curationVerdictSql
       SELECT doc_id, verdict FROM v ORDER BY doc_id""")),
 
+    ("curate_decontaminate", (s, dir) => {
+      // train/eval-overlap gate: docs < 20 stand in for the benchmark
+      // set; candidates sharing any 5-gram word shingle are flagged.
+      val docs = T(s, dir, "documents")
+      graft.pipeline.CurationPipeline.decontaminate(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", shingleN = 5)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH b AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                 FROM documents),
+      idx AS (SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS s
+              FROM b),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[s:s+4], ' ') AS sh
+             FROM idx),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (sh)
+      WHERE s.doc_id >= 20 ORDER BY doc_id""")),
+
     ("curate_sample", (s, dir) => {
       // deterministic stratified sampling (data mixing): per-source keep
       // fractions decided by md5(id) against a hex threshold — same rows
@@ -758,6 +778,39 @@ object QueriesDataOps {
              len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")),
+
+    ("text_repetition", (s, dir) => {
+      // Gopher-style repetition gates: duplicate-token fraction and
+      // top-token dominance per doc — two chained map-side-combinable
+      // aggregations, no joins.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_c"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens").cast("double"), 4).as("dup_frac"),
+          round(col("max_c").cast("double") /
+            col("n_tokens").cast("double"), 4).as("top_frac"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c
+             FROM toks GROUP BY doc_id, term),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct, max(c) AS max_c
+              FROM tc GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+             round(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_frac,
+             round(max_c * 1.0 / n_tokens, 4) AS top_frac
+      FROM agg ORDER BY doc_id""")),
 
     ("text_vocab_top", (s, dir) => {
       // corpus vocabulary report: top-50 terms by document frequency.

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{Hashing, TextAnalysis}
 import graft.operators.Dedup
 
 /** The training-data counterpart of CoachingPipeline: corpus curation as
@@ -43,6 +43,28 @@ object CurationPipeline {
                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     Dedup.exact(docs, textCol, idCol)
       .withColumn("verdict", dropReason(col(textCol), cfg))
+
+  /** Benchmark decontamination — the train/eval-overlap gate: flag every
+    * candidate document sharing at least one `shingleN`-gram (word
+    * shingle over the lowercased token stream) with the benchmark set,
+    * so evaluation data can be removed from the training mix.
+    *
+    * Plan shape: both sides explode to distinct shingles (JIT-compiled
+    * UDF, one call per row); the benchmark side — small by nature — is
+    * broadcast, and the match is a LEFT SEMI join (no row
+    * multiplication however many shingles collide), then distinct ids.
+    * Returns the flagged candidate ids. */
+  def decontaminate(candidates: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleN: Int = 8): DataFrame = {
+    val candSh = candidates.select(col(idCol).as("doc_id"),
+      explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
+    val benchSh = benchmark
+      .select(explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
+      .distinct()
+    candSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
 
   /** Deterministic stratified sampling — the data-mixing step: keep each
     * row with its stratum's probability, decided by comparing the

@@ -52,6 +52,20 @@ class CurationSpec extends SparkSpec {
       .filter($"source" === "c").count() shouldBe 0L
   }
 
+  test("decontaminate flags exactly the candidates overlapping the benchmark") {
+    val bench = Seq((100L, "the capital of france is paris and it is large"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "quiz answer the capital of france is paris obviously"), // overlaps
+      (2L, "a completely unrelated candidate document with fresh words"),
+      (3L, "too short"))                                            // < n tokens
+      .toDF("doc_id", "text")
+    val flagged = CurationPipeline.decontaminate(cands, bench,
+        shingleN = 5)
+      .as[Long].collect().sorted
+    flagged.toSeq shouldBe Seq(1L)
+  }
+
   test("redactPii replaces each PII class with its typed token, in order") {
     import graft.functions.TextAnalysis
     val rows = Seq(
