@@ -429,6 +429,29 @@ object QueriesDataOps {
           ELSE '00000000000000000000000000000000' END
       ORDER BY doc_id""")),
 
+    ("curate_pack", (s, dir) => {
+      // sequence packing into 512-token bins, per source — running-sum
+      // window in (source, doc_id) order; docs bin where they start.
+      graft.pipeline.CurationPipeline.packSequences(
+          T(s, dir, "documents"), capacity = 512)
+        .orderBy(col("source"), col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS cum_before
+        FROM t)
+      SELECT doc_id, source, n_tokens,
+             cum_before // 512 AS bin, cum_before % 512 AS offset
+      FROM c ORDER BY source, doc_id""")),
+
     ("curate_report", (s, dir) => {
       // the corpus-level audit a curation run publishes: per-verdict doc
       // counts, token mass, mean quality — one map-side-combinable

@@ -52,6 +52,7 @@ object SparkEntry {
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk", "ann_ivf_train", "ann_quantized_topk",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
-    "text_tfidf", "text_pii_redact", "curate_sample",
+    "text_tfidf", "text_pii_redact", "text_repetition",
+    "curate_sample", "curate_decontaminate", "curate_pack",
     "mm_metadata", "mm_frame_sample")
 }

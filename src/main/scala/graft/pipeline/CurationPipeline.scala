@@ -44,6 +44,35 @@ object CurationPipeline {
     Dedup.exact(docs, textCol, idCol)
       .withColumn("verdict", dropReason(col(textCol), cfg))
 
+  /** Sequence packing — the last curation stage before training: lay
+    * documents head-to-tail into fixed-capacity token bins (contiguous
+    * fill in deterministic (stratum, id) order; a document belongs to
+    * the bin where its first token lands). Emits (id, stratum,
+    * n_tokens, bin, offset) so the trainer can materialize each bin's
+    * member list with one groupBy.
+    *
+    * Plan shape: one hash-partitioned running-sum window per stratum —
+    * packing is inherently sequential, so the stratum IS the
+    * parallelism unit (a global pack would be one partition; per-source
+    * packing is what a sharded corpus does anyway). Bin ids use exact
+    * integral division. */
+  def packSequences(docs: DataFrame, capacity: Int,
+                    strataCol: String = "source", textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, s"invalid capacity=$capacity")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(strataCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        expr(s"cum_before div ${capacity}L").as("bin"),
+        (col("cum_before") % capacity).as("offset"))
+  }
+
   /** Benchmark decontamination — the train/eval-overlap gate: flag every
     * candidate document sharing at least one `shingleN`-gram (word
     * shingle over the lowercased token stream) with the benchmark set,

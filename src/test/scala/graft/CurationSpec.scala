@@ -52,6 +52,21 @@ class CurationSpec extends SparkSpec {
       .filter($"source" === "c").count() shouldBe 0L
   }
 
+  test("packSequences lays docs head-to-tail into capacity bins per stratum") {
+    val docs = Seq(
+      (1L, "a", "w w w w"),           // 4 tokens → bin 0, offset 0
+      (2L, "a", "w w w w w"),         // 5 → bin 0, offset 4
+      (3L, "a", "w w w"),             // 3 → starts at 9 → bin 0, offset 9
+      (4L, "a", "w w w w w w w w w"), // 9 → starts at 12 → bin 1, offset 2
+      (5L, "b", "w w"))               // separate stratum restarts at 0
+      .toDF("doc_id", "source", "text")
+    val got = CurationPipeline.packSequences(docs, capacity = 10)
+      .select("doc_id", "bin", "offset").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    got.toSeq shouldBe Seq(
+      (1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 9L), (4L, 1L, 2L), (5L, 0L, 0L))
+  }
+
   test("decontaminate flags exactly the candidates overlapping the benchmark") {
     val bench = Seq((100L, "the capital of france is paris and it is large"))
       .toDF("doc_id", "text")
