@@ -433,9 +433,13 @@ object Queries {
                      || ' ### ' || substring(text, 121) AS t2
             FROM documents),
       sp AS (SELECT doc_id, string_split(t2, '###') AS arr FROM d),
-      pi AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM sp),
-      p1 AS (SELECT doc_id, i, trim(arr[i]) AS piece FROM pi
-             WHERE trim(arr[i]) <> ''),
+      -- ws: Scala String.trim strips every char <= U+0020, DuckDB's bare
+      -- trim only spaces; spell out the whitespace set for parity
+      pi AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i,
+                    ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12) AS ws
+             FROM sp),
+      p1 AS (SELECT doc_id, i, trim(arr[i], ws) AS piece FROM pi
+             WHERE trim(arr[i], ws) <> ''),
       w AS (SELECT doc_id, i, piece,
                    unnest(generate_series(0,
                      CASE WHEN length(piece) <= 200 THEN 0
@@ -460,8 +464,12 @@ object Queries {
         UNION ALL
         SELECT m.doc_id, m.i + 1 AS ord, m.cur AS chunk
         FROM m JOIN fin ON fin.doc_id = m.doc_id AND m.i = fin.n),
-      ck AS (SELECT doc_id, ord, trim(chunk) AS chunk FROM ch
-             WHERE trim(chunk) <> '')
+      ck AS (SELECT doc_id, ord,
+                    trim(chunk, ' ' || chr(9) || chr(10) || chr(13) ||
+                      chr(11) || chr(12)) AS chunk
+             FROM ch
+             WHERE trim(chunk, ' ' || chr(9) || chr(10) || chr(13) ||
+               chr(11) || chr(12)) <> '')
       SELECT doc_id,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT)
                AS chunk_idx,

@@ -139,26 +139,8 @@ object QueriesDataOps {
           shingleN = 3, bands = 4, rowsPerBand = 3)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
-      WITH $dwdSql,
-      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-               FROM dwd),
-      idx AS (SELECT doc_id, tk,
-                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS s
-              FROM toks),
-      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[s:s+2], ' ') AS sh
-             FROM idx),
-      mh AS (SELECT doc_id, sd.seed AS seed,
-                    min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS m
-             FROM sh CROSS JOIN generate_series(0, 11, 1) AS sd(seed)
-             GROUP BY doc_id, sd.seed),
-      bands AS (SELECT doc_id,
-                       CAST(seed // 3 AS VARCHAR) || ':' ||
-                         string_agg(m || '|', '' ORDER BY seed) AS band_key
-                FROM mh GROUP BY doc_id, seed // 3)
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ORDER BY id_a, id_b""")),
+      WITH $minhashCandSql
+      SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""")),
 
     ("dedup_lsh_verified", (s, dir) => {
       // the composed production plan: LSH candidates → exact Jaccard on
@@ -167,25 +149,7 @@ object QueriesDataOps {
           shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
-      WITH $dwdSql,
-      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-               FROM dwd),
-      idx AS (SELECT doc_id, tk,
-                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS s
-              FROM toks),
-      sh AS (SELECT DISTINCT doc_id, array_to_string(tk[s:s+2], ' ') AS sh
-             FROM idx),
-      mh AS (SELECT doc_id, sd.seed AS seed,
-                    min(md5(CAST(sd.seed AS VARCHAR) || ':' || sh)) AS m
-             FROM sh CROSS JOIN generate_series(0, 11, 1) AS sd(seed)
-             GROUP BY doc_id, sd.seed),
-      bands AS (SELECT doc_id,
-                       CAST(seed // 3 AS VARCHAR) || ':' ||
-                         string_agg(m || '|', '' ORDER BY seed) AS band_key
-                FROM mh GROUP BY doc_id, seed // 3),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
-                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      WITH $minhashCandSql,
       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
                 FROM cand c

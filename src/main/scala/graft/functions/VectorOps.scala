@@ -35,20 +35,33 @@ object VectorOps {
     * so quantized search needs only the q array; the scale is for
     * value-faithful dequantization.
     *
-    * Built from higher-order functions (interpreted, not codegen'd) —
-    * acceptable because quantization is a one-time STORAGE transform,
-    * not the per-query hot loop (which runs on the dequantized floats
-    * through the native codegen'd cosine). */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = greatest(
-      array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12)) / lit(127.0)
-    struct(scale.as("scale"),
-      transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("q"))
-  }
+    * One JIT-compiled UDF call per row (the repo's standard shape for
+    * CPU-heavy per-row array work): a catalyst HOF formulation would
+    * inline the array_max scale expression into the per-element lambda —
+    * O(d²) element visits per vector in interpreted mode. Rounding is
+    * half-away-from-zero to match both engines' SQL round(). */
+  final case class QuantizedVec(scale: Double, q: Seq[Byte])
+
+  private val quantUdf = udf((v: Seq[Float]) => {
+    if (v == null) null
+    else {
+      val scale = math.max(v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble))),
+        1e-12) / 127.0
+      val q = v.map { x =>
+        val d = x.toDouble / scale
+        (math.signum(d) * math.floor(math.abs(d) + 0.5)).toByte
+      }
+      QuantizedVec(scale, q)
+    }
+  })
+
+  private val dequantUdf = udf((scale: Double, q: Seq[Byte]) =>
+    if (q == null) null else q.map(b => (b.toDouble * scale).toFloat))
+
+  def quantizeInt8(vec: Column): Column = quantUdf(vec)
 
   /** Inverse of [[quantizeInt8]]: q * scale, back to ARRAY<FLOAT>. */
-  def dequantInt8(qs: Column): Column =
-    transform(qs("q"), x => (x.cast("double") * qs("scale")).cast("float"))
+  def dequantInt8(qs: Column): Column = dequantUdf(qs("scale"), qs("q"))
 
   /** Brute-force top-k cosine neighbors of each query vector against a
     * corpus. Returns (qidName, nidName, rank, sim).

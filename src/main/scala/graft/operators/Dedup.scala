@@ -160,20 +160,29 @@ object Dedup {
     * Iterative min-label propagation: each round every node adopts the
     * smallest label among itself and its neighbours; converges in
     * O(graph diameter) rounds (duplicate clusters are near-cliques, so
-    * typically 1-2). Each round is one join + one map-side-combinable
-    * min aggregate; `localCheckpoint` truncates the growing lineage so
-    * the loop doesn't re-plan from scratch (on a cluster, checkpoint to
-    * reliable storage instead). Returns (id, comp) for every id that
-    * appears in a pair. */
+    * typically 1-2; `maxIters` bounds pathological chains). Each round
+    * is one join + one map-side-combinable min aggregate;
+    * `localCheckpoint` truncates the growing lineage so the loop doesn't
+    * re-plan from scratch (on a cluster, checkpoint to reliable storage
+    * instead). Superseded rounds' checkpoint blocks are unreferenced
+    * each iteration and reclaimed asynchronously by Spark's
+    * ContextCleaner. Returns (id, comp) for every id that appears in a
+    * pair. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b"): DataFrame = {
+                          bCol: String = "id_b",
+                          maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var converged = false
+    var iters = 0
     while (!converged) {
+      iters += 1
+      require(iters <= maxIters,
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "(graph diameter exceeds the bound; raise maxIters)")
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
         .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
@@ -196,8 +205,12 @@ object Dedup {
     * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
     * Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
     * k-gram of the canonical text, slide a w-position window over the
-    * hash sequence, and select each window's minimum (ties broken toward
-    * the earlier position). Guarantee: two documents sharing any
+    * hash sequence, and select each window's minimum. Hash ties break
+    * toward the EARLIER position (the paper's robust-winnowing variant
+    * picks the rightmost; leftmost is chosen here because a plain
+    * window-min over the (hash, pos) key expresses it, identically in
+    * both engines — the density and shared-substring guarantees are
+    * direction-independent). Guarantee: two documents sharing any
     * substring of length >= w + k - 1 share at least one fingerprint —
     * partial-overlap detection that whole-document hashing cannot do.
     *

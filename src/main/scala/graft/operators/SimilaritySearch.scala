@@ -153,19 +153,20 @@ object SimilaritySearch {
     * Plan shape: one narrow assign projection (codegen'd cosine vs
     * literal centroids, no shuffle), a posexplode of assigned vectors
     * (×dim of a skinny (cluster, value) projection), ONE shuffle on
-    * (cluster, dim) with map-side partial avg, plus a broadcast-joined
-    * member count. Iterating = collect the k×dim means (tiny) and call
-    * again — the standard driver-coordinated Lloyd loop. */
+    * (cluster, dim) with map-side partial avg — and nothing else: the
+    * member count equals the (cluster, dim) group's row count (one row
+    * per member per dim), so it rides the same aggregate instead of a
+    * second corpus scan + join. Iterating = collect the k×dim means
+    * (tiny) and call again — the standard driver-coordinated Lloyd
+    * loop. */
   def ivfTrainStep(df: DataFrame, centroids: Seq[Seq[Float]],
                    vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(df.select(col(vecCol).as("v")), centroids, "v")
-    val counts = assigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_members"))
     assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
-      .agg(round(avg(col("x").cast("double")), 6).as("mu"))
-      .join(broadcast(counts), "cluster")
+      .agg(round(avg(col("x").cast("double")), 6).as("mu"),
+        count(lit(1)).as("n_members"))
       .select(col("cluster").cast("int").as("cluster"),
         col("dim").cast("int").as("dim"), col("mu"), col("n_members"))
   }

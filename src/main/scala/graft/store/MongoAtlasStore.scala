@@ -31,12 +31,18 @@ final case class MongoAtlasConfig(
 
 object MongoAtlasStore {
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def esc(s: String): String = {
+    val base = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    // JSON forbids raw control characters (PDF-scraped text carries them)
+    base.flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
+  }
 
-  private def floats(v: Array[Float]): String =
+  private def floats(v: Array[Float]): String = {
+    require(v.forall(f => !f.isNaN && !f.isInfinite),
+      "NaN/Infinity cannot be encoded as JSON vector elements")
     v.mkString("[", ",", "]")
+  }
 
   def chunkHash(chunks: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -83,7 +89,8 @@ object MongoAtlasStore {
 
   private val docIdRe = "\"document_id\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
   private val chunksRe = "\"chunks\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-  private val scoreRe = "\"score\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9eE+-]+)?)".r
+  private val scoreRe =
+    "\"score\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
 
   private def unescape(s: String): String = {
     val sb = new StringBuilder
@@ -116,16 +123,21 @@ object MongoAtlasStore {
   }
 
   /** Parse `{"matchedCount":N,"modifiedCount":M,"upsertedId":...}` /
-    * `{"insertedIds":[...]}` acks into an affected-row count. */
+    * `{"insertedIds":[...]}` acks into an affected-row count. An upsert
+    * that INSERTS acks matchedCount=0 plus an upsertedId — both must
+    * count, or callers summing write acks conclude nothing was written. */
   def parseWriteAck(json: String): Int = {
-    val n = "\"(?:matchedCount|insertedIds)\"\\s*:\\s*(\\[[^\\]]*\\]|[0-9]+)".r
-      .findFirstMatchIn(json).map(_.group(1))
-    n match {
-      case Some(arr) if arr.startsWith("[") =>
-        if (arr.replaceAll("[\\[\\]\\s]", "").isEmpty) 0
-        else arr.count(_ == ',') + 1
-      case Some(num) => num.toInt
-      case None => "\"upsertedId\"".r.findFirstIn(json).map(_ => 1).getOrElse(0)
+    val inserted = "\"insertedIds\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1).trim)
+    inserted match {
+      case Some(ids) => if (ids.isEmpty) 0 else ids.count(_ == ',') + 1
+      case None =>
+        val matched = "\"matchedCount\"\\s*:\\s*([0-9]+)".r
+          .findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+        val upserted =
+          if ("\"upsertedId\"\\s*:\\s*(?!null)".r.findFirstIn(json).isDefined) 1
+          else 0
+        matched + upserted
     }
   }
 }

@@ -67,9 +67,27 @@ class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
 
   test("parseWriteAck covers updateOne and insertMany ack shapes") {
     MongoAtlasStore.parseWriteAck("""{"matchedCount":1,"modifiedCount":1}""") shouldBe 1
-    MongoAtlasStore.parseWriteAck("""{"matchedCount":0,"upsertedId":"x"}""") shouldBe 0
+    // an upsert that INSERTS: matchedCount 0 but an upsertedId — counts as 1
+    MongoAtlasStore.parseWriteAck("""{"matchedCount":0,"upsertedId":"x"}""") shouldBe 1
+    MongoAtlasStore.parseWriteAck(
+      """{"matchedCount":0,"modifiedCount":0,"upsertedId":null}""") shouldBe 0
     MongoAtlasStore.parseWriteAck("""{"insertedIds":["a","b","c"]}""") shouldBe 3
     MongoAtlasStore.parseWriteAck("""{"insertedIds":[]}""") shouldBe 0
+  }
+
+  test("parseSearchHits handles exponent-form scores exactly") {
+    val hits = MongoAtlasStore.parseSearchHits(
+      """{"documents":[{"document_id":"a","chunks":"c","score":2E-5},
+        |{"document_id":"b","chunks":"d","score":1.5e2}]}""".stripMargin)
+    hits.map(_.score) shouldBe Seq(2e-5, 150.0)
+  }
+
+  test("request bodies escape control characters and reject non-finite floats") {
+    val body = MongoAtlasStore.upsertOneBody(cfg, "a.md", "page\fbreak\u0001x",
+      Array(1f))
+    body should include("page\\u000cbreak\\u0001x")
+    an[IllegalArgumentException] should be thrownBy
+      MongoAtlasStore.upsertOneBody(cfg, "a.md", "t", Array(Float.NaN))
   }
 
   test("store end-to-end through a fake transport: urls, batching, order") {

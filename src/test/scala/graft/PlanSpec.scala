@@ -76,9 +76,11 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
-  test("ivf training step broadcasts member counts, keeps partial agg") {
+  test("ivf training step is one aggregate — no joins, partial agg kept") {
     val p = plan("ann_ivf_train")
-    p should include("BroadcastHashJoin")
+    // member counts ride the (cluster, dim) aggregate; a second corpus
+    // scan + count join would show a join node here
+    p should not include "Join"
     p should include("partial_count") // map-side combine on (cluster, dim)
     p should not include "CartesianProduct"
   }
