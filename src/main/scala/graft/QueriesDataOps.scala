@@ -164,6 +164,34 @@ object QueriesDataOps {
       WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
       ORDER BY id_a, id_b""")),
 
+    ("dedup_incremental", (s, dir) => {
+      // incremental ingestion dedup: a new batch is cleaned against the
+      // ALREADY-INDEXED corpus (docs < 250 stand in for the historical
+      // hash index) — in-batch exact dedup (min id wins) then an ANTI
+      // join on the content hash; the index side ships only 128-bit
+      // hashes, never text.
+      val all = docsWithDups(s, dir)
+      val seen = all.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("seen_hash")).distinct()
+      val batch = all.filter(col("doc_id") >= 250)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .join(seen, md5(col("text")) === col("seen_hash"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $dwdSql,
+      seen AS (SELECT DISTINCT md5(text) AS h FROM dwd WHERE doc_id < 250),
+      batch AS (SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                         ORDER BY doc_id) AS rn
+                FROM dwd WHERE doc_id >= 250)
+      SELECT doc_id FROM batch
+      WHERE rn = 1 AND md5(text) NOT IN (SELECT h FROM seen)
+      ORDER BY doc_id""")),
+
     ("dedup_simhash", (s, dir) => {
       // SimHash bucket dedup: 12-bit signature from per-token md5 nibble
       // votes; near-dups collide on the signature. Per-row map + one
@@ -392,6 +420,50 @@ object QueriesDataOps {
           WHEN 'src3' THEN '19999999000000000000000000000000'
           ELSE '00000000000000000000000000000000' END
       ORDER BY doc_id""")),
+
+    ("curate_best_per_source", (s, dir) => {
+      // per-domain selection: top-5 documents by quality within each
+      // source — hash-partitioned window on the group key (the q07
+      // shape applied to curation); quality rounded before ranking so
+      // the order is engine-portable.
+      val q = round(TextAnalysis.qualityScore(col("text")), 6)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), q.as("q"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("q").as("quality"))
+        .orderBy(col("source"), col("rank"))
+    }, Some {
+      def hits(w: String) =
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+        .map(hits).mkString(" + ")
+      s"""
+      WITH f AS (
+        SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p,
+               length(text) * 1.0 AS n,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        FROM documents),
+      sc AS (
+        SELECT doc_id, source,
+               round((least(n / 500.0, 1.0) +
+                      greatest(0.0, 1.0 - ((length(text) -
+                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+                        greatest(n, 1.0)) * 10.0) +
+                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
+                        1.0)) / 3.0, 6) AS q
+        FROM f),
+      ranked AS (
+        SELECT source, doc_id, q,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY q DESC, doc_id ASC) AS rank
+        FROM sc)
+      SELECT source, CAST(rank AS INT) AS rank, doc_id, q AS quality
+      FROM ranked WHERE rank <= 5 ORDER BY source, rank"""
+    }),
 
     ("curate_pack", (s, dir) => {
       // sequence packing into 512-token bins, per source — running-sum
