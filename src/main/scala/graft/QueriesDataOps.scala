@@ -488,6 +488,21 @@ object QueriesDataOps {
              cum_before // 512 AS bin, cum_before % 512 AS offset
       FROM c ORDER BY source, doc_id""")),
 
+    ("curate_jsonl_roundtrip", (s, dir) => {
+      // JSONL export/import — the training-data interchange format: docs
+      // serialized one JSON object per line (to_json over a struct,
+      // written as text), read back with an explicit schema. The oracle
+      // is the identity query: any escaping or type-fidelity loss in
+      // the round-trip hash-mismatches.
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      docs.select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
+      s.read.schema(docs.schema).json(out).orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""")),
+
     ("curate_report", (s, dir) => {
       // the corpus-level audit a curation run publishes: per-verdict doc
       // counts, token mass, mean quality — one map-side-combinable

@@ -54,5 +54,6 @@ object SparkEntry {
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "curate_sample", "curate_decontaminate", "curate_pack",
+    "curate_jsonl_roundtrip",
     "mm_metadata", "mm_frame_sample")
 }
