@@ -52,10 +52,13 @@ object Bench {
       val t0 = System.nanoTime()
       (1 to waves).foreach(i => wave(rowsPerWave, s"w$i"))
       val secs = (System.nanoTime() - t0) / 1e9
-      // end-to-end evidence: count rows that reached the LAST topic
-      val out = parity.consumeResponses(spark).count()
-      val timedRows = out - parity.consumeResponses(spark)
-        .filter(col("message").startsWith("message warm")).count()
+      // end-to-end evidence: rows that reached the LAST topic — one
+      // scan/decode pass counting total and warm-up rows together
+      val counts = parity.consumeResponses(spark).agg(
+        count(lit(1)).as("total"),
+        count(when(col("message").startsWith("message warm"), 1)).as("warm"))
+        .collect().head
+      val timedRows = counts.getLong(0) - counts.getLong(1)
       (timedRows, secs, timedRows / secs)
     } finally queries.foreach(_.stop())
   }

@@ -714,6 +714,7 @@ object QueriesDataOps {
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
       SimilaritySearch.ivfTrainStep(emb, centroids)
+        .withColumn("mu", round(col("mu"), 6)) // oracle-portability round
         .orderBy(col("cluster"), col("dim"))
     }, Some("""
       WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * CSV scans, mutations rewrite the directory (CSV has no upsert — same
   * as the reference rewriting the file), and the sanitize pass is F7's
   * null-scrub as catalyst expressions.
+  *
+  * FORMAT: RFC-4180-style quoting with '"' as the escape character
+  * (quotes doubled) on BOTH the writer and reader — the format Python's
+  * csv module (the reference's writer, cache_utils.py) produces, unlike
+  * Spark's nonstandard backslash default. A cache directory written with
+  * backslash escaping (pre-format builds) needs a one-time rewrite.
   */
 object CsvCache {
 

@@ -73,11 +73,16 @@ object Multimodal {
       val h = img.getHeight
       val sums = new Array[Double](featureDim)
       val counts = new Array[Int](featureDim)
+      // bulk row reads: per-pixel getRGB pays a color-model conversion
+      // call per pixel — an order of magnitude slower on real megapixel
+      // corpus images than one conversion per row into a buffer
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
             (rgb & 0xff) * 114) / 1000.0
           val bin = math.min(x * featureDim / w, featureDim - 1)

@@ -162,10 +162,13 @@ object SimilaritySearch {
   def ivfTrainStep(df: DataFrame, centroids: Seq[Seq[Float]],
                    vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(df.select(col(vecCol).as("v")), centroids, "v")
+    // mu is the FULL-precision mean: rounding for oracle portability
+    // belongs at the query layer — a Lloyd loop iterating on quantized
+    // centroids would inject error into every assignment
     assigned
       .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
-      .agg(round(avg(col("x").cast("double")), 6).as("mu"),
+      .agg(avg(col("x").cast("double")).as("mu"),
         count(lit(1)).as("n_members"))
       .select(col("cluster").cast("int").as("cluster"),
         col("dim").cast("int").as("dim"), col("mu"), col("n_members"))

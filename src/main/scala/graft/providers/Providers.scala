@@ -84,16 +84,7 @@ final class MockEmbedder(override val dim: Int = 1536) extends EmbeddingProvider
   * (FIXTURES.md §2), echoing the 3 retrieved doc ids/chunks parsed back
   * out of the prompt — so an end-to-end run asserts prompt assembly. */
 final class MockChat extends ChatProvider {
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def esc(s: String): String = graft.io.JsonText.escape(s)
 
   override def completeBatch(prompts: Seq[String], systemPrompt: String): Seq[String] =
     prompts.map { p =>
@@ -182,22 +173,5 @@ private[providers] object Http {
     re.findFirstMatchIn(json).map(m => unescape(m.group(1))).getOrElse(json)
   }
 
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => sb.append('\n'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case o => sb.append(o); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescape(s: String): String = graft.io.JsonText.unescape(s)
 }

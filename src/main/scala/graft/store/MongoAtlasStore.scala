@@ -31,12 +31,7 @@ final case class MongoAtlasConfig(
 
 object MongoAtlasStore {
 
-  private def esc(s: String): String = {
-    val base = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-    // JSON forbids raw control characters (PDF-scraped text carries them)
-    base.flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
-  }
+  private def esc(s: String): String = graft.io.JsonText.escape(s)
 
   private def floats(v: Array[Float]): String = {
     require(v.forall(f => !f.isNaN && !f.isInfinite),
@@ -92,34 +87,27 @@ object MongoAtlasStore {
   private val scoreRe =
     "\"score\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
 
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => sb.append('\n'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case o => sb.append(o); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescape(s: String): String = graft.io.JsonText.unescape(s)
+
+  private val docObjRe = "\\{[^{}]*\\}".r
 
   /** Parse an aggregate response `{"documents":[{document_id, chunks,
-    * score}, ...]}` into hits, in server order (already ranked by score). */
+    * score}, ...]}` into hits, in server order (already ranked by
+    * score). Our `$project` emits FLAT objects, so each `{...}` span is
+    * one document; fields are extracted PER OBJECT and a document
+    * missing any field is skipped — one malformed legacy row in the
+    * collection must not disable search for every query (the same
+    * quarantine-don't-crash policy as the image decoder). */
   def parseSearchHits(json: String): Seq[SearchHit] = {
-    val ids = docIdRe.findAllMatchIn(json).map(m => unescape(m.group(1))).toSeq
-    val chunks = chunksRe.findAllMatchIn(json).map(m => unescape(m.group(1))).toSeq
-    val scores = scoreRe.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
-    require(ids.size == chunks.size && ids.size == scores.size,
-      s"malformed $$vectorSearch response: ${ids.size}/${chunks.size}/${scores.size} fields")
-    ids.lazyZip(chunks).lazyZip(scores).map(SearchHit.apply)
+    val start = json.indexOf("\"documents\"")
+    val body = if (start < 0) json else json.substring(start)
+    docObjRe.findAllIn(body).flatMap { obj =>
+      for {
+        id <- docIdRe.findFirstMatchIn(obj).map(m => unescape(m.group(1)))
+        ch <- chunksRe.findFirstMatchIn(obj).map(m => unescape(m.group(1)))
+        sc <- scoreRe.findFirstMatchIn(obj).map(_.group(1).toDouble)
+      } yield SearchHit(id, ch, sc)
+    }.toSeq
   }
 
   /** Parse `{"matchedCount":N,"modifiedCount":M,"upsertedId":...}` /

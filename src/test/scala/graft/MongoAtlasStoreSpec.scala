@@ -59,10 +59,12 @@ class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
       SearchHit("p/b.md", "beta\nline", 0.5))
   }
 
-  test("parseSearchHits rejects a response with mismatched fields") {
-    an[IllegalArgumentException] should be thrownBy
-      MongoAtlasStore.parseSearchHits(
-        """{"documents":[{"document_id":"a","score":1.0}]}""")
+  test("parseSearchHits skips malformed documents instead of failing the search") {
+    // doc missing its chunks field is quarantined; the valid one survives
+    val hits = MongoAtlasStore.parseSearchHits(
+      """{"documents":[{"document_id":"a","score":1.0},
+        |{"document_id":"b","chunks":"ok","score":0.5}]}""".stripMargin)
+    hits shouldBe Seq(SearchHit("b", "ok", 0.5))
   }
 
   test("parseWriteAck covers updateOne and insertMany ack shapes") {
@@ -85,9 +87,14 @@ class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
   test("request bodies escape control characters and reject non-finite floats") {
     val body = MongoAtlasStore.upsertOneBody(cfg, "a.md", "page\fbreak\u0001x",
       Array(1f))
-    body should include("page\\u000cbreak\\u0001x")
+    body should include("page\\fbreak\\u0001x")
     an[IllegalArgumentException] should be thrownBy
       MongoAtlasStore.upsertOneBody(cfg, "a.md", "t", Array(Float.NaN))
+  }
+
+  test("JsonText round-trips the full escape set including \\b and \\f") {
+    val nasty = "a\"b\\c\bd\fe\nf\rg\thi"
+    graft.io.JsonText.unescape(graft.io.JsonText.escape(nasty)) shouldBe nasty
   }
 
   test("store end-to-end through a fake transport: urls, batching, order") {
