@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct" // 1-row N rides a broadcast
   }
 
+  test("incremental dedup plans an anti join against the hash index") {
+    val p = plan("dedup_incremental")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+  }
+
   test("prompt-assembly neighbour window is hash-partitioned, not global") {
     val p = plan("rag_prompt_assembly")
     p should include("Window")
