@@ -188,8 +188,9 @@ object QueriesDataOps {
                        row_number() OVER (PARTITION BY md5(text)
                          ORDER BY doc_id) AS rn
                 FROM dwd WHERE doc_id >= 250)
-      SELECT doc_id FROM batch
-      WHERE rn = 1 AND md5(text) NOT IN (SELECT h FROM seen)
+      SELECT doc_id FROM batch b
+      WHERE rn = 1
+        AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text))
       ORDER BY doc_id""")),
 
     ("dedup_simhash", (s, dir) => {
@@ -984,7 +985,7 @@ object QueriesDataOps {
       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
       scored AS (
         SELECT tf.doc_id, tf.term,
-               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
       ranked AS (
         SELECT doc_id, term,

@@ -109,8 +109,11 @@ object TextAnalysis {
   /** Per-document top-k terms by TF-IDF — the classic corpus-salience
     * ranking (keyword extraction / topic labeling for training-data
     * reports). score = tf · ln(N / df) with tf = in-document term count,
-    * df = documents containing the term, N = corpus size; ties break on
-    * the term for determinism. Emits (doc_id, rank, term) — no float
+    * df = documents containing the term, N = corpus size; the score is
+    * rounded to 6 decimals BEFORE ranking (cross-engine libm/aggregation
+    * -order drift can swap near-equal scores in a rank-only output — the
+    * same convention as curate_best_per_source) and ties break on the
+    * term for determinism. Emits (doc_id, rank, term) — no float
     * columns, so the oracle compares exactly.
     *
     * Plan shape: token explode → (doc, term) count (map-side combinable)
@@ -129,7 +132,7 @@ object TextAnalysis {
     val scored = tf.join(docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
-        col("tf") * log(col("n_docs").cast("double") / col("df")))
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))

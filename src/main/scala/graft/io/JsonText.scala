@@ -27,6 +27,9 @@ object JsonText {
       case c => c.toString
     }
 
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   def unescape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -39,7 +42,8 @@ object JsonText {
           case 'r' => sb.append('\r'); i += 2
           case 'b' => sb.append('\b'); i += 2
           case 'f' => sb.append('\f'); i += 2
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(isHex) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case o => sb.append(o); i += 2
         }

@@ -89,26 +89,65 @@ object MongoAtlasStore {
 
   private def unescape(s: String): String = graft.io.JsonText.unescape(s)
 
-  private val docObjRe = "\\{[^{}]*\\}".r
+  /** Split the region after `"documents"` into top-level `{...}` object
+    * spans with a quote-aware brace-depth scan. A flat-object regex would
+    * truncate any document whose `chunks` text contains a raw brace
+    * (code, JSON examples — common in a curated corpus); tracking
+    * in-string state makes braces inside strings inert, and `\"` inside
+    * strings is handled by skipping the char after every backslash. */
+  private[store] def splitDocumentObjects(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    var depth = 0
+    var objStart = -1
+    var inString = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inString) {
+        if (c == '\\') i += 1 // skip escaped char (covers \" and \\)
+        else if (c == '"') inString = false
+      } else c match {
+        case '"' => inString = true
+        case '{' =>
+          if (depth == 0) objStart = i
+          depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && objStart >= 0) {
+            out += body.substring(objStart, i + 1)
+            objStart = -1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
 
   /** Parse an aggregate response `{"documents":[{document_id, chunks,
     * score}, ...]}` into hits, in server order (already ranked by
-    * score). Our `$project` emits FLAT objects, so each `{...}` span is
-    * one document; fields are extracted PER OBJECT and a document
-    * missing any field is skipped — one malformed legacy row in the
-    * collection must not disable search for every query (the same
-    * quarantine-don't-crash policy as the image decoder). */
-  def parseSearchHits(json: String): Seq[SearchHit] = {
+    * score). Documents are split with the brace-depth scan above; fields
+    * are extracted PER OBJECT and a document missing any field is
+    * skipped — one malformed legacy row in the collection must not
+    * disable search for every query (the same quarantine-don't-crash
+    * policy as the image decoder). Returns (hits, skippedCount) so
+    * silent loss is observable to callers. */
+  def parseSearchHitsCounting(json: String): (Seq[SearchHit], Int) = {
     val start = json.indexOf("\"documents\"")
     val body = if (start < 0) json else json.substring(start)
-    docObjRe.findAllIn(body).flatMap { obj =>
+    val objs = splitDocumentObjects(body)
+    val hits = objs.flatMap { obj =>
       for {
         id <- docIdRe.findFirstMatchIn(obj).map(m => unescape(m.group(1)))
         ch <- chunksRe.findFirstMatchIn(obj).map(m => unescape(m.group(1)))
         sc <- scoreRe.findFirstMatchIn(obj).map(_.group(1).toDouble)
       } yield SearchHit(id, ch, sc)
-    }.toSeq
+    }
+    (hits, objs.size - hits.size)
   }
+
+  def parseSearchHits(json: String): Seq[SearchHit] =
+    parseSearchHitsCounting(json)._1
 
   /** Parse `{"matchedCount":N,"modifiedCount":M,"upsertedId":...}` /
     * `{"insertedIds":[...]}` acks into an affected-row count. An upsert
@@ -146,8 +185,13 @@ final class MongoAtlasStore(
       Map("api-key" -> cfg.apiKey, "Content-Type" -> "application/json"))
 
   override def search(query: Array[Float], k: Int,
-                      numCandidates: Int = 150): Seq[SearchHit] =
-    parseSearchHits(post("aggregate", searchBody(cfg, query, k, numCandidates)))
+                      numCandidates: Int = 150): Seq[SearchHit] = {
+    val (hits, skipped) =
+      parseSearchHitsCounting(post("aggregate", searchBody(cfg, query, k, numCandidates)))
+    if (skipped > 0)
+      System.err.println(s"[atlas] $skipped malformed document(s) skipped in search response")
+    hits
+  }
 
   /** Idempotent upsert of one chunk row (S4). */
   def upsert(id: String, chunks: String, embedding: Array[Float]): Int =

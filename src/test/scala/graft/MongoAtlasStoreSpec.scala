@@ -67,6 +67,40 @@ class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
     hits shouldBe Seq(SearchHit("b", "ok", 0.5))
   }
 
+  test("parseSearchHits survives braces and nested objects inside chunks text") {
+    // raw '{'/'}' are legal inside JSON strings — code snippets and JSON
+    // examples in a curated corpus. The old flat-object regex truncated
+    // these spans and silently dropped the hit.
+    val resp =
+      """{"documents":[
+        |{"document_id":"code.md","chunks":"fn f() { return {a: 1}; }","score":0.9},
+        |{"document_id":"json.md","chunks":"example: {\"k\": {\"v\": 2}}","score":0.8},
+        |{"document_id":"plain.md","chunks":"no braces","score":0.7}]}""".stripMargin
+    val (hits, skipped) = MongoAtlasStore.parseSearchHitsCounting(resp)
+    hits shouldBe Seq(
+      SearchHit("code.md", "fn f() { return {a: 1}; }", 0.9),
+      SearchHit("json.md", "example: {\"k\": {\"v\": 2}}", 0.8),
+      SearchHit("plain.md", "no braces", 0.7))
+    skipped shouldBe 0
+  }
+
+  test("parseSearchHitsCounting reports dropped malformed documents") {
+    val (hits, skipped) = MongoAtlasStore.parseSearchHitsCounting(
+      """{"documents":[{"document_id":"a","score":1.0},
+        |{"document_id":"b","chunks":"ok","score":0.5}]}""".stripMargin)
+    hits shouldBe Seq(SearchHit("b", "ok", 0.5))
+    skipped shouldBe 1
+  }
+
+  test("unescape degrades a malformed \\u escape instead of throwing") {
+    // non-hex after \u: lenient pass-through (drop the backslash), like
+    // every other unknown escape pair — one bad server byte must not
+    // abort the whole parse.
+    graft.io.JsonText.unescape("a\\" + "uZZZZb") shouldBe "auZZZZb"
+    graft.io.JsonText.unescape("tail\\" + "u12") shouldBe "tailu12" // truncated
+    graft.io.JsonText.unescape("ok\\" + "u0041!") shouldBe "okA!"
+  }
+
   test("parseWriteAck covers updateOne and insertMany ack shapes") {
     MongoAtlasStore.parseWriteAck("""{"matchedCount":1,"modifiedCount":1}""") shouldBe 1
     // an upsert that INSERTS: matchedCount 0 but an upsertedId — counts as 1
