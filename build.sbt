@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench total, 16g → 22.9s, 48g → 70.9s — faulting in cold pages
   // dominates), so the modest default stands.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Headroom over the 240m default: ~50 bench plan shapes of generated
+  // code share one JVM; a full code cache silently disables the JIT and
+  // CPU-bound per-row maps run interpreted (10x). Not yet observed here
+  // (round-5 probe: 0 CodeCache warnings at 44 shapes) — insurance as
+  // the query count grows.
+  "-XX:ReservedCodeCacheSize=512m",
 )

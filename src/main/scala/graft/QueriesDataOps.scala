@@ -1102,6 +1102,46 @@ object QueriesDataOps {
              CAST(8 + doc_id % 9 AS INT) AS width,
              CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
              8 AS feature_dim
-      FROM documents WHERE doc_id < 100 ORDER BY media_id"""))
+      FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
+
+    ("mm_resize_real", (s, dir) => {
+      // REAL resize: synthetic PNGs (dims arithmetic in doc_id) pushed
+      // through decode → Graphics2D bilinear scale → PNG re-encode in the
+      // batched partition map; the emitted dims are RE-DECODED from the
+      // resized payload, so a broken codec yields 0×0 and hash-mismatches.
+      // Pixel statistics (luminance preservation) are asserted in
+      // MultimodalSpec; the oracle checks the decode-backed dims.
+      val media = Multimodal.withSyntheticImages(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withResizedContent(media, 16, 12)
+        .select(col("media_id"), col("resized_width"), col("resized_height"),
+          (length(col("resized_content")) > 0).as("has_payload"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id, CAST(16 AS INT) AS resized_width,
+             CAST(12 AS INT) AS resized_height, TRUE AS has_payload
+      FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
+
+    ("mm_audio_features", (s, dir) => {
+      // REAL audio: WAVs built from the amplitude law (window k of doc id
+      // holds constant sample (id·7919 + k·104729) mod 32768), decoded
+      // with javax.sound.sampled in the batched map; per-window RMS of a
+      // constant window is exactly amplitude/32768, so the oracle
+      // recomputes every figure arithmetically without touching WAV
+      // bytes — a broken encode or decode path cannot hash-match.
+      val media = Multimodal.withSyntheticAudio(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          posexplode(col("rms_windows")).as(Seq("window_idx", "rms")))
+        .select(col("media_id"), col("window_idx"), col("sample_rate"),
+          col("n_samples"), round(col("rms"), 6).as("rms"))
+        .orderBy(col("media_id"), col("window_idx"))
+    }, Some("""
+      SELECT doc_id AS media_id, CAST(g.i AS INT) AS window_idx,
+             CAST(8000 AS INT) AS sample_rate, CAST(1024 AS INT) AS n_samples,
+             round(((doc_id * 7919 + g.i * 104729) % 32768) / 32768.0, 6) AS rms
+      FROM documents, generate_series(0, 3, 1) AS g(i)
+      WHERE doc_id < 100 ORDER BY media_id, window_idx"""))
   )
 }

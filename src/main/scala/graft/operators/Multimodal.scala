@@ -97,6 +97,28 @@ object Multimodal {
       (w, h, feats)
     }
 
+    /** Real resize: decode → Graphics2D bilinear scaled draw → PNG
+      * re-encode. Returns null for undecodable payloads (same
+      * quarantine-don't-crash policy as decode — callers surface 0×0). */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      if (bytes == null || bytes.isEmpty) return null
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) return null
+      val out = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+
     def encodePng(seed: Long, width: Int, height: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -168,13 +190,36 @@ object Multimodal {
   def syntheticWidth(id: Long): Int = (8 + math.floorMod(id, 9)).toInt
   def syntheticHeight(id: Long): Int = (8 + math.floorMod(id / 9, 9)).toInt
 
-  /** Resize stage (STUB codec, real plumbing): appends target dims and a
-    * deterministic content hash for the resized payload — the transform
-    * a real pipeline runs before feature extraction so every image hits
-    * the model at a fixed resolution. Pure column expressions: the stub
-    * derives the new hash from (content hash, dims), so the stage is
-    * oracle-checkable; a real impl swaps in a batched codec map like
-    * withDecodedFeatures. */
+  /** REAL resize stage: decode → bilinear scale → PNG re-encode as a
+    * partition-local batch map (the same physical shape as
+    * [[withDecodedFeatures]] — a GPU codec takes the whole batch in one
+    * call). Appends the resized payload plus its actual decoded dims:
+    * `resized_width`/`resized_height` are re-decoded FROM the new payload
+    * (not echoed constants), so a broken codec yields 0×0 and fails the
+    * oracle; undecodable inputs quarantine as (null payload, 0, 0). */
+  def withResizedContent(media: DataFrame, width: Int, height: Int,
+                         batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("resized_content", BinaryType))
+      .add(StructField("resized_width", IntegerType))
+      .add(StructField("resized_height", IntegerType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val resized = ImageCodec.resize(r.getAs[Array[Byte]](binIdx), width, height)
+          val (w, h, _) = ImageCodec.decode(resized)
+          Row.fromSeq(r.toSeq ++ Seq(resized, w, h))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Resize metadata fast path (column expressions only): target dims and
+    * a hash DERIVED from (content hash, dims) — no decode, binary column
+    * pruned from the scan. Use for planning/bookkeeping passes where the
+    * payload itself is not needed; [[withResizedContent]] is the real
+    * codec path. */
   def withResized(media: DataFrame, width: Int, height: Int): DataFrame =
     media
       .withColumn("resized_width", lit(width))
@@ -182,6 +227,139 @@ object Multimodal {
       .withColumn("resized_hash",
         md5(concat(col("meta.content_hash"),
           lit(s":${width}x$height"))))
+
+  /** Real audio codec on javax.sound.sampled (JDK-bundled, offline):
+    * 16-bit signed little-endian mono PCM in a WAV container — the
+    * completion of the image/audio/video modality triad (image decode is
+    * real, video demux has no JDK parser and stays a stub).
+    *
+    * decode: WAV bytes → (sampleRate, samples). Undecodable payloads
+    * yield (0, empty) — quarantine, don't crash, same as images.
+    * windowRms: per-window root-mean-square normalized to [0,1] by the
+    * int16 range — the cheap fixed-cost energy profile a curation
+    * pipeline filters silence/clipping on before a real audio model. */
+  object AudioCodec extends Serializable {
+
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      if (bytes == null || bytes.isEmpty) return (0, Array.empty)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        // only the profile we write: 16-bit mono PCM (a real corpus run
+        // would transcode here; anything else quarantines)
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+          return (0, Array.empty)
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        if (fmt.isBigEndian)
+          while (i < n) {
+            samples(i) = (((pcm(2 * i) & 0xff) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+            i += 1
+          }
+        else
+          while (i < n) {
+            samples(i) = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+            i += 1
+          }
+        (fmt.getSampleRate.round, samples)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: RuntimeException => (0, Array.empty)
+      }
+    }
+
+    /** RMS per `windowSize`-sample window, normalized by 32768 → [0,1].
+      * Exact for int16 input: squares stay under 2^53, so a constant
+      * window of value v yields exactly v/32768. */
+    def windowRms(samples: Array[Short], windowSize: Int): Array[Double] = {
+      require(windowSize > 0, "windowSize must be positive")
+      samples.grouped(windowSize).map { w =>
+        var sum = 0.0
+        var i = 0
+        while (i < w.length) { sum += w(i).toDouble * w(i).toDouble; i += 1 }
+        math.sqrt(sum / w.length) / 32768.0
+      }.toArray
+    }
+  }
+
+  /** Synthetic-audio harness constants + amplitude law: window k of doc
+    * `id` holds the CONSTANT sample value (id·7919 + k·104729) mod 32768,
+    * so the decoded per-window RMS is exactly that value / 32768 — plain
+    * arithmetic an external oracle recomputes without touching WAV bytes
+    * (a broken codec path yields 0 and hash-mismatches). */
+  val audioSampleRate = 8000
+  val audioWindowSize = 256
+  val audioWindows = 4
+  def audioAmplitude(id: Long, window: Int): Short =
+    math.floorMod(id * 7919L + window * 104729L, 32768L).toShort
+
+  /** Harness generator: media rows whose `content` is a REAL WAV built
+    * from the amplitude law above. Partition-local map, no shuffle. */
+  def withSyntheticAudio(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(audioWindows * audioWindowSize)(i =>
+          audioAmplitude(id, i / audioWindowSize))
+        Row(id, AudioCodec.encodeWav(samples, audioSampleRate), "audio", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Audio feature stage: appends (sample_rate, n_samples, rms_windows)
+    * via the same partition-local batch map shape as the image stages —
+    * real javax.sound decode per row, zero shuffle. */
+  def withAudioFeatures(media: DataFrame, windowSize: Int = audioWindowSize,
+                        batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("n_samples", IntegerType))
+      .add(StructField("rms_windows", ArrayType(DoubleType)))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val (rate, samples) = AudioCodec.decode(r.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(r.toSeq ++ Seq(rate, samples.length,
+            AudioCodec.windowRms(samples, windowSize).toSeq))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Frame-sampling stub for video-typed rows: emits `n` (media_id,
     * frame_idx, frame_hash) rows per video — explode-shaped, no state. */

@@ -75,6 +75,95 @@ class MultimodalSpec extends SparkSpec {
     got.map(_._4).distinct should have length 3 // per-content hashes differ
   }
 
+  test("withResizedContent really rescales: decode-backed dims + luminance preserved") {
+    // a half-black/half-white 32x16 PNG downscaled to 8x4: dims come from
+    // re-decoding the new payload, and mean luminance survives a bilinear
+    // downscale (≈127.5/255) — a hash-derived stub cannot pass this.
+    val img = new java.awt.image.BufferedImage(
+      32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val resized = Multimodal.ImageCodec.resize(out.toByteArray, 8, 4)
+    val (w, h, f) = Multimodal.ImageCodec.decode(resized)
+    (w, h) shouldBe ((8, 4))
+    val mean = f.sum / f.length
+    mean shouldBe 0.5f +- 0.1f
+    // left strips stay dark, right strips stay bright — spatial structure
+    // survives the rescale, so this is a real image transform
+    f.head should be < 0.15f
+    f.last should be > 0.85f
+
+    // operator level: dims are re-decoded, not echoed; luminance of the
+    // hash-noise synthetic PNGs (~mid-gray on average) is preserved
+    val docs = Seq((3L, "s"), (42L, "s")).toDF("id", "src")
+    val media = Multimodal.withSyntheticImages(docs, "id", "src")
+    val before = Multimodal.withDecodedFeatures(media)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val got = Multimodal.withResizedContent(media, 16, 12)
+    val dims = got.select("media_id", "resized_width", "resized_height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    dims.toSeq shouldBe Seq((3L, 16, 12), (42L, 16, 12))
+    val after = Multimodal.withDecodedFeatures(
+        got.drop("content").withColumnRenamed("resized_content", "content"))
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    after.foreach { case (id, feats) =>
+      val meanBefore = before(id).sum / before(id).length
+      val meanAfter = feats.sum / feats.length
+      meanAfter shouldBe meanBefore +- 0.05f
+    }
+    // undecodable payload quarantines as (null, 0, 0), not a crash
+    val bad = Multimodal.withResizedContent(
+        Multimodal.asMedia(Seq((9L, "not an image", "s")).toDF("id", "p", "src"),
+          "id", "p", "image", "src"), 16, 12)
+      .select("resized_width", "resized_height").as[(Int, Int)].collect()
+    bad.toSeq shouldBe Seq((0, 0))
+  }
+
+  test("AudioCodec round-trips WAV bytes and RMS matches the amplitude law") {
+    import Multimodal.{AudioCodec, audioAmplitude, audioSampleRate, audioWindowSize, audioWindows}
+    val id = 17L
+    val samples = Array.tabulate(audioWindows * audioWindowSize)(i =>
+      audioAmplitude(id, i / audioWindowSize))
+    val wav = AudioCodec.encodeWav(samples, audioSampleRate)
+    val (rate, decoded) = AudioCodec.decode(wav)
+    rate shouldBe audioSampleRate
+    decoded shouldBe samples // bit-exact PCM round-trip through the container
+    val rms = AudioCodec.windowRms(decoded, audioWindowSize)
+    rms should have length audioWindows
+    (0 until audioWindows).foreach { k =>
+      // constant window ⇒ RMS exactly amplitude/32768 (squares < 2^53)
+      rms(k) shouldBe audioAmplitude(id, k).toDouble / 32768.0
+    }
+    // garbage bytes quarantine, not crash
+    val garbage = AudioCodec.decode("not a wav".getBytes)
+    garbage._1 shouldBe 0
+    garbage._2 shouldBe empty
+    val nothing = AudioCodec.decode(null)
+    nothing._1 shouldBe 0
+    nothing._2 shouldBe empty
+  }
+
+  test("withAudioFeatures decodes synthetic WAVs distributed, batch-invariant") {
+    val docs = Seq((0L, "s"), (17L, "s"), (99L, "s")).toDF("id", "src")
+    val media = Multimodal.withSyntheticAudio(docs, "id", "src")
+    val a = Multimodal.withAudioFeatures(media, batchSize = 2)
+      .select("media_id", "sample_rate", "n_samples", "rms_windows")
+      .as[(Long, Int, Int, Seq[Double])].collect().sortBy(_._1)
+    val b = Multimodal.withAudioFeatures(media, batchSize = 32)
+      .select("media_id", "sample_rate", "n_samples", "rms_windows")
+      .as[(Long, Int, Int, Seq[Double])].collect().sortBy(_._1)
+    a.toSeq shouldBe b.toSeq
+    a.foreach { case (id, rate, n, rms) =>
+      rate shouldBe Multimodal.audioSampleRate
+      n shouldBe Multimodal.audioWindows * Multimodal.audioWindowSize
+      rms.zipWithIndex.foreach { case (r, k) =>
+        r shouldBe Multimodal.audioAmplitude(id, k).toDouble / 32768.0
+      }
+    }
+  }
+
   test("sampleFrames emits n deterministic rows per video and none for images") {
     val videos = Multimodal.asMedia(
       Seq((7L, "vid bytes", "s")).toDF("id", "payload", "src"),
