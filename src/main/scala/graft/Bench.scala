@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** T1 throughput: drive the 4-stage standing chain (filter → embed →
-    * retrieve → generate, Avro-framed topic hops) over `waves` publishes
-    * of `rowsPerWave` messages, pumping every stage's micro-batches after
-    * each publish. Returns (prospect rows processed end-to-end, seconds,
-    * rows/s). One warm-up wave runs untimed (JIT + stream init). */
-  def streamingThroughput(spark: SparkSession, rowsPerWave: Int,
-                          waves: Int): (Long, Double, Double) = {
+  /** T1 SUSTAINED throughput: the full backlog (`chunks` publishes of
+    * `totalRows / chunks` messages) lands on the conversation topic
+    * up-front, then the standing 4-stage chain (filter → embed →
+    * retrieve → generate, Avro-framed topic hops) drains it —
+    * steady-state rows/s, not the wave round-trip latency the previous
+    * form measured. `maxFilesPerTrigger=2` bounds micro-batch size (the
+    * max.poll.records analog) so each stage works through a real
+    * sequence of batches and per-stage batch latency is observable from
+    * the progress log. A small warm-up wave runs untimed (stream init +
+    * JIT). Returns (prospect rows processed end-to-end, seconds, rows/s,
+    * per-stage JSON). */
+  def streamingThroughput(spark: SparkSession, totalRows: Int,
+                          chunks: Int): (Long, Double, Double, String) = {
     import graft.pipeline.{CoachingPipeline, TopicParityPipeline}
     import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
     import graft.store.BroadcastBruteForceStore
@@ -38,19 +44,33 @@ object Bench {
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val topics = new graft.io.LocalTopicStore(tmp("graft-bench-topics"))
     val parity = new TopicParityPipeline(pipeline, topics)
-    val queries = parity.streamStages(spark, tmp("graft-bench-ckpt"))
+    val queries = parity.streamStages(spark, tmp("graft-bench-ckpt"),
+      sourceOptions = Map("maxFilesPerTrigger" -> "2"))
     try {
-      def wave(n: Int, salt: String): Unit = {
+      // one file per wave (a producer append = one log segment): without
+      // the coalesce each publish writes 32 partition files and the chain
+      // degenerates into 300+ ~60-row triggers measuring only the ~400 ms
+      // per-trigger fixed cost
+      def publishWave(n: Int, salt: String): Unit =
         parity.publishConversation(spark.range(n).select(
           concat(lit(s"message $salt "), col("id").cast("string"),
             lit(" about pricing and integration")).as("message"),
           when(col("id") % 4 === 0, "salesperson").otherwise("prospect")
-            .as("speaker")))
-        queries.foreach(_.processAllAvailable())
-      }
-      wave(rowsPerWave, "warm") // untimed: stream init + JIT
+            .as("speaker")).coalesce(1))
+      def drain(): Unit = queries.foreach(_.processAllAvailable())
+
+      publishWave(100, "warm") // untimed: stream init + JIT
+      drain()
+      // the continuous producer: `chunks` appends land while the
+      // standing queries consume them concurrently (they never pause),
+      // so the timed window covers producer AND chain together — the
+      // saturated steady state, not a post-hoc drain of residue (t0
+      // after the publish loop would credit work the chain already did
+      // during publishing)
+      val progress0 = queries.map(q => q.recentProgress.length)
       val t0 = System.nanoTime()
-      (1 to waves).foreach(i => wave(rowsPerWave, s"w$i"))
+      (1 to chunks).foreach(i => publishWave(totalRows / chunks, s"w$i"))
+      drain()
       val secs = (System.nanoTime() - t0) / 1e9
       // end-to-end evidence: rows that reached the LAST topic — one
       // scan/decode pass counting total and warm-up rows together
@@ -59,7 +79,18 @@ object Bench {
         count(when(col("message").startsWith("message warm"), 1)).as("warm"))
         .collect().head
       val timedRows = counts.getLong(0) - counts.getLong(1)
-      (timedRows, secs, timedRows / secs)
+      // per-stage batch latency over the timed drain, from each query's
+      // own progress log (input rows, batches, mean trigger ms)
+      val stages = queries.zip(progress0).map { case (q, skip) =>
+        val timed = q.recentProgress.drop(skip).filter(_.numInputRows > 0)
+        val rows = timed.map(_.numInputRows).sum
+        val ms = timed.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
+        val name = q.name.stripPrefix("graft-stage-")
+        s""""$name":{"batches":${timed.length},"rows":$rows,"avg_batch_ms":${
+          if (timed.isEmpty) 0 else ms / timed.length}}"""
+      }.mkString("{", ",", "}")
+      (timedRows, secs, timedRows / secs, stages)
     } finally queries.foreach(_.stop())
   }
 
@@ -119,12 +150,13 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
-    // streaming chain throughput (independent of sf — topic-driven)
+    // streaming chain throughput (independent of sf — topic-driven):
+    // 20k-row pre-published backlog drained by the standing chain
     val streaming =
       try {
-        val (rows, secs, rps) = streamingThroughput(spark,
-          rowsPerWave = 500, waves = 4)
-        s""","streaming":{"rows":$rows,"sec":$secs,"rows_per_sec":$rps}"""
+        val (rows, secs, rps, stages) = streamingThroughput(spark,
+          totalRows = 20000, chunks = 20)
+        s""","streaming":{"rows":$rows,"sec":$secs,"rows_per_sec":$rps,"stages":$stages}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming":null"""

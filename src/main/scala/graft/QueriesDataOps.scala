@@ -107,6 +107,28 @@ object QueriesDataOps {
                FROM reach GROUP BY a)
       SELECT id, comp FROM comp ORDER BY id""")),
 
+    ("dedup_clusters_altstar", (s, dir) => {
+      // same pairs → clusters contract on the ALTERNATING LARGE-STAR/
+      // SMALL-STAR algorithm (SoCC'14): O(log n) rounds instead of
+      // O(diameter) — the scale path when duplicate chains are long.
+      // Hash-checked against the SAME recursive-SQL oracle as
+      // dedup_clusters, so both paths provably agree.
+      val pairs = Dedup.minhashLshPairs(docsWithDups(s, dir), "text",
+        "doc_id", shingleN = 3, bands = 4, rowsPerBand = 3)
+      Dedup.connectedComponentsAltStar(pairs)
+        .orderBy(col("id"))
+    }, Some(s"""
+      WITH RECURSIVE $minhashCandSql,
+      edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS comp
+               FROM reach GROUP BY a)
+      SELECT id, comp FROM comp ORDER BY id""")),
+
     ("dedup_exact", (s, dir) => {
       // hash-groupBy exact dedup: one shuffle on md5 (unskewed by
       // construction), map-side combinable.
@@ -1024,6 +1046,41 @@ object QueriesDataOps {
              split_part(sel, ':', 1) AS fp_hash
       FROM s WHERE pos <= n_pos - 3
       ORDER BY doc_id, fp_pos, fp_hash""")),
+
+    ("text_unigram_surprisal", (s, dir) => {
+      // corpus-LM quality score: mean −ln p̂(token) per doc under the
+      // corpus unigram MLE (the CCNet filter statistic). Same 3-shuffle
+      // shape as tf-idf; the 1-row total rides a broadcast.
+      TextAnalysis.unigramSurprisal(spread(s, T(s, dir, "documents")),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+      n AS (SELECT count(*) AS n_total FROM toks)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(-ln(CAST(tc.c AS DOUBLE) / n.n_total)), 6) AS surprisal
+      FROM toks JOIN tc USING (term) CROSS JOIN n
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    ("text_char_entropy", (s, dir) => {
+      // character-distribution gibberish filter: per-doc Shannon entropy
+      // over [a-z0-9] in nats; every shuffle doc-keyed, per-doc groups
+      // bounded by the 36-symbol alphabet.
+      TextAnalysis.charEntropy(spread(s, T(s, dir, "documents")),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH chars AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+        FROM documents),
+      counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+      tot AS (SELECT doc_id, sum(c) AS t FROM counts GROUP BY doc_id)
+      SELECT doc_id, round(-sum((c / t) * ln(c / t)), 6) AS entropy
+      FROM counts JOIN tot USING (doc_id)
+      GROUP BY doc_id ORDER BY doc_id""")),
 
     ("text_fingerprint", (s, dir) => {
       // canonical-form document fingerprint (rolling formatting-invariant

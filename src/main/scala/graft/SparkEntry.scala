@@ -53,6 +53,7 @@ object SparkEntry {
     "ann_ivf_topk", "ann_ivf_train", "ann_quantized_topk",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
+    "text_unigram_surprisal", "text_char_entropy", "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_pack",
     "curate_jsonl_roundtrip",
     "mm_metadata", "mm_frame_sample")

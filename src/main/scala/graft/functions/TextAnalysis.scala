@@ -106,6 +106,53 @@ object TextAnalysis {
     regexp_replace(ip, "\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>")
   }
 
+  /** Per-document mean unigram surprisal −ln p̂(token), with p̂ the
+    * corpus MLE unigram distribution — the cheap language-model quality
+    * score (CCNet filters on exactly this statistic, with a Wikipedia
+    * LM in place of the corpus itself): low = repetitive boilerplate,
+    * high = rare-token soup/gibberish, mid-band = prose worth keeping.
+    * Rounded to 6 decimals (cross-engine float convention).
+    *
+    * Plan: token explode → term-count aggregate (map-side combinable)
+    * → high-cardinality equi-join tokens×counts → broadcast 1-row
+    * total → per-doc mean. Same shape as tf-idf: three doc/term-keyed
+    * shuffles, nothing quadratic. */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val termCount = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(termCount, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("n_total"))), 6)
+          .as("surprisal"))
+  }
+
+  /** Per-document character-level Shannon entropy over [a-z0-9] of the
+    * lowercased text, in nats — near-zero for single-character runs,
+    * ~ln(26) for uniform letter soup; real prose sits in a stable band,
+    * so both tails are gibberish/binary-spill filters (the
+    * character-distribution analog of the Gopher repetition rules).
+    *
+    * Plan: char explode → (doc, char) count → per-doc total (bounded
+    * fan-in: ≤ 36 rows per doc) → per-doc −Σ p ln p. All shuffles are
+    * doc-keyed; the alphabet bounds every per-doc group. */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val chars = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]"), lit(0)))
+        .as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
+    counts.join(totals, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(round(-sum((col("c") / col("t")) * log(col("c") / col("t"))), 6)
+        .as("entropy"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the classic corpus-salience
     * ranking (keyword extraction / topic labeling for training-data
     * reports). score = tf · ln(N / df) with tf = in-document term count,

@@ -37,10 +37,13 @@ final class LocalTopicStore(dir: String) extends Serializable {
   /** Continuous consumer: a streaming file source over the topic
     * directory — every appended file is a new batch of records, the
     * subscribe-to-topic analog. The directory is created up front so the
-    * stream can start before the first producer append. */
-  def readStream(spark: SparkSession, topic: String): DataFrame = {
+    * stream can start before the first producer append. `options` maps
+    * to source options (e.g. maxFilesPerTrigger to bound micro-batch
+    * size, the max.poll.records analog). */
+  def readStream(spark: SparkSession, topic: String,
+                 options: Map[String, String] = Map.empty): DataFrame = {
     new java.io.File(path(topic)).mkdirs()
-    spark.readStream.schema(recordSchema).parquet(path(topic))
+    spark.readStream.options(options).schema(recordSchema).parquet(path(topic))
   }
 
   def exists(topic: String): Boolean =

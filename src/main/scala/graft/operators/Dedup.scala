@@ -201,6 +201,77 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * O(log n)-round MapReduce algorithm of Kiveris/Lattanzi/Mirrokni/
+    * Rastogi/Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond" (SoCC 2014) — the scale path for duplicate graphs with long
+    * chains, where [[connectedComponents]]'s min-label propagation needs
+    * O(diameter) rounds.
+    *
+    * Each round:
+    *  - large-star: every node links its strictly-LARGER neighbours to
+    *    the minimum of its closed neighbourhood — long tails collapse
+    *    toward small ids from both sides at once;
+    *  - small-star: every node links its smaller neighbours (and itself)
+    *    to that minimum — stars re-form around the smallest id.
+    * The fixpoint of both operations is a forest of stars whose centers
+    * are the component minima (the paper's Theorem 1), so labels read
+    * straight off the final edges. Same join/agg primitives and the same
+    * (pairs → (id, comp)) contract as min-label propagation: two
+    * equi-shuffles per round on the node id, lineage truncated per round
+    * with localCheckpoint, NEVER a cartesian. Rounds are O(log n) even
+    * on a path graph (DedupSpec pins a 16-chain at ≤ log2(16)+3). */
+  def connectedComponentsAltStar(pairs: DataFrame, aCol: String = "id_a",
+                                 bCol: String = "id_b",
+                                 maxIters: Int = 20): DataFrame =
+    altStarWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  private[graft] def altStarWithRounds(pairs: DataFrame, aCol: String,
+                                       bCol: String,
+                                       maxIters: Int): (DataFrame, Int) = {
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxIters,
+        s"connectedComponentsAltStar did not converge within $maxIters " +
+          "rounds (expected O(log n); check for label-type mismatches)")
+      val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // min of the CLOSED neighbourhood, computed once per node and
+      // equi-joined back — no neighbour-list materialization
+      val closedMin = bi.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // large-star: (v, m(u)) for every neighbour v > u
+      val large = bi.join(closedMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the big→small orientation of the large-star
+      // output: (v, m(u)) for every smaller neighbour v plus u itself
+      val bigToSmall = large.union(large.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") > col("v"))
+      val smallMin = bigToSmall.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val joined = bigToSmall.join(smallMin, "u")
+      val next = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+    }
+    // fixpoint edges are stars center=component min: labels are the
+    // leaves plus the centers labelling themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+    (labels, rounds)
+  }
+
   /** Winnowing document fingerprints (the rolling-hash fingerprinting of
     * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
     * Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every

@@ -128,7 +128,8 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
     * is at-least-once on retry, exactly the reference's read-uncommitted
     * delivery (T2) — duplicates are the downstream dedup's job (T3).
     * Returns (embed, retrieve, generate) queries; stop them to tear down. */
-  def streamStages(spark: SparkSession, checkpointRoot: String)
+  def streamStages(spark: SparkSession, checkpointRoot: String,
+                   sourceOptions: Map[String, String] = Map.empty)
       : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     registerSubjects()
     def stage(name: String, inTopic: String, inSchema: StructType,
@@ -136,7 +137,7 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
               f: DataFrame => DataFrame) = {
       val dec = AvroCodec.decodeUdf(inSchema, s"$inTopic-value")
       val enc = AvroCodec.encodeUdf(outSchema, s"$outTopic-value")
-      val in = store.readStream(spark, inTopic)
+      val in = store.readStream(spark, inTopic, sourceOptions)
         .select(dec(col("value")).as("r")).select(col("r.*"))
       f(in)
         .select(expr("uuid()").as("key"),

@@ -122,6 +122,30 @@ class DedupSpec extends SparkSpec {
     comps shouldBe Set(1L) // one component, labelled by the minimum id
   }
 
+  test("altStar agrees with min-label propagation on mixed cluster shapes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) // chain, pair, triangle
+      .toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val altStar = Dedup.connectedComponentsAltStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    altStar shouldBe minLabel
+    altStar shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("altStar converges in O(log n) rounds on a path graph") {
+    // a 16-node chain: min-label needs ~diameter (15) rounds; the
+    // alternating algorithm must stay within log2(16)+3 = 7
+    val chain = (1 to 15).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.altStarWithRounds(chain, "id_a", "id_b",
+      maxIters = 20)
+    rounds should be <= 7
+    labels.select("comp").as[Long].collect().toSet shouldBe Set(1L)
+    labels.count() shouldBe 16
+  }
+
   test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
     val shared = "identical stretch of text that is long enough to overlap"
     val corpus = Seq(

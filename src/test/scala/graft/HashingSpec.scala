@@ -137,4 +137,32 @@ class TfIdfSpec extends SparkSpec {
     got(2L) shouldBe Seq("banana", "cherry") // equal scores → term-asc tie
     got(3L).head shouldBe "durian"         // ln(3) beats 2·ln(3/2)
   }
+
+  test("unigram surprisal: rare-token docs score higher than stock prose") {
+    val docs = Seq(
+      (1L, "the the the the"),             // most common token only
+      (2L, "the zyx qwv jkl")).toDF("doc_id", "text") // 3 hapaxes
+    val got = graft.functions.TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got(1L)._1 shouldBe 4 // n_tokens
+    got(2L)._1 shouldBe 4
+    // doc 1: every token has c=5, N=8 → −ln(5/8); doc 2 mixes one 5/8
+    // token with three 1/8 hapaxes → strictly higher mean surprisal
+    got(1L)._2 shouldBe BigDecimal(-math.log(5.0 / 8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(2L)._2 should be > got(1L)._2
+  }
+
+  test("char entropy: zero for single-symbol runs, ln(k) for uniform") {
+    val docs = Seq(
+      (1L, "aaaa aa"),      // one symbol → entropy 0
+      (2L, "abcd"),         // uniform over 4 → ln 4
+      (3L, "!!! ???")).toDF("doc_id", "text") // no [a-z0-9] → no row
+    val got = graft.functions.TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .as[(Long, Double)].collect().toMap
+    got(1L) shouldBe 0.0
+    got(2L) shouldBe BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.keySet shouldBe Set(1L, 2L)
+  }
 }

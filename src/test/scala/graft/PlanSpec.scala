@@ -104,6 +104,33 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("curate_pack running-sum window is hash-partitioned by source") {
+    val p = plan("curate_pack")
+    p should include("Window")
+    p should include("hashpartitioning(source")
+    // a global running sum would serialize the corpus through one task
+    p should not include "SinglePartition"
+  }
+
+  test("curate_best_per_source rank window is hash-partitioned by source") {
+    val p = plan("curate_best_per_source")
+    p should include("Window")
+    p should include("hashpartitioning(source")
+    p should not include "SinglePartition"
+  }
+
+  test("altstar components: per-round equi joins only, never a cartesian") {
+    // plan the ROUND BODY (the loop's DataFrames are materialized per
+    // round, so plan(name) would only show the final labels projection)
+    import org.apache.spark.sql.functions.col
+    val pairs = spark.range(100).select(col("id").as("id_a"),
+      (col("id") + 1).as("id_b"))
+    val p = graft.operators.Dedup.connectedComponentsAltStar(pairs)
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("prompt-assembly neighbour window is hash-partitioned, not global") {
     val p = plan("rag_prompt_assembly")
     p should include("Window")
