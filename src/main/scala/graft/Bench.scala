@@ -44,6 +44,10 @@ object Bench {
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     val topics = new graft.io.LocalTopicStore(tmp("graft-bench-topics"))
     val parity = new TopicParityPipeline(pipeline, topics)
+    // recentProgress is a ring buffer (default 100 entries): if warm-up +
+    // timed batches ever exceeded it, the drop(progress0) alignment below
+    // would silently discard timed batches from the per-stage stats
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     val queries = parity.streamStages(spark, tmp("graft-bench-ckpt"),
       sourceOptions = Map("maxFilesPerTrigger" -> "2"))
     try {

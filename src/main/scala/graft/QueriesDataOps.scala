@@ -63,6 +63,21 @@ object QueriesDataOps {
         UNION ALL SELECT doc_id + 300000, upper(text) || '  ', lang, source
           FROM documents WHERE doc_id % 5 = 2)"""
 
+  /** ONE oracle for both clusters queries (min-label and alt-star): the
+    * "both paths agree" claim is only provable if the contract they are
+    * checked against is literally the same text. */
+  private lazy val clustersOracleSql: String = s"""
+      WITH RECURSIVE $minhashCandSql,
+      edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS comp
+               FROM reach GROUP BY a)
+      SELECT id, comp FROM comp ORDER BY id"""
+
   /** Shared oracle CTE chain for the minhash band pipeline, ending in the
     * `cand` relation of DISTINCT candidate pairs (id_a < id_b). */
   private lazy val minhashCandSql: String = s"""$dwdSql,
@@ -95,17 +110,7 @@ object QueriesDataOps {
         "doc_id", shingleN = 3, bands = 4, rowsPerBand = 3)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
-    }, Some(s"""
-      WITH RECURSIVE $minhashCandSql,
-      edges AS (SELECT id_a AS a, id_b AS b FROM cand
-                UNION SELECT id_b, id_a FROM cand),
-      reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      comp AS (SELECT a AS id, least(a, min(b)) AS comp
-               FROM reach GROUP BY a)
-      SELECT id, comp FROM comp ORDER BY id""")),
+    }, Some(clustersOracleSql)),
 
     ("dedup_clusters_altstar", (s, dir) => {
       // same pairs → clusters contract on the ALTERNATING LARGE-STAR/
@@ -117,17 +122,7 @@ object QueriesDataOps {
         "doc_id", shingleN = 3, bands = 4, rowsPerBand = 3)
       Dedup.connectedComponentsAltStar(pairs)
         .orderBy(col("id"))
-    }, Some(s"""
-      WITH RECURSIVE $minhashCandSql,
-      edges AS (SELECT id_a AS a, id_b AS b FROM cand
-                UNION SELECT id_b, id_a FROM cand),
-      reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      comp AS (SELECT a AS id, least(a, min(b)) AS comp
-               FROM reach GROUP BY a)
-      SELECT id, comp FROM comp ORDER BY id""")),
+    }, Some(clustersOracleSql)),
 
     ("dedup_exact", (s, dir) => {
       // hash-groupBy exact dedup: one shuffle on md5 (unskewed by
@@ -1061,7 +1056,7 @@ object QueriesDataOps {
       tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
       n AS (SELECT count(*) AS n_total FROM toks)
       SELECT doc_id, count(*) AS n_tokens,
-             round(avg(-ln(CAST(tc.c AS DOUBLE) / n.n_total)), 6) AS surprisal
+             round(avg(-ln(CAST(tc.c AS DOUBLE) / n.n_total)) + 0.0, 6) AS surprisal
       FROM toks JOIN tc USING (term) CROSS JOIN n
       GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -1078,9 +1073,13 @@ object QueriesDataOps {
         FROM documents),
       counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
       tot AS (SELECT doc_id, sum(c) AS t FROM counts GROUP BY doc_id)
-      SELECT doc_id, round(-sum((c / t) * ln(c / t)), 6) AS entropy
+      SELECT doc_id, round(-sum((c / t) * ln(c / t)) + 0.0, 6) AS entropy
       FROM counts JOIN tot USING (doc_id)
       GROUP BY doc_id ORDER BY doc_id""")),
+      // ^ +0.0 normalizes IEEE -0.0 (single-symbol doc: -sum(1·ln 1)):
+      //   Spark's round goes through BigDecimal and emits 0.0, DuckDB's
+      //   round preserves the sign bit — without the guard a correct
+      //   answer would hash-mismatch
 
     ("text_fingerprint", (s, dir) => {
       // canonical-form document fingerprint (rolling formatting-invariant

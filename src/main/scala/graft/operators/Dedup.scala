@@ -226,9 +226,38 @@ object Dedup {
                                  maxIters: Int = 20): DataFrame =
     altStarWithRounds(pairs, aCol, bCol, maxIters)._1
 
+  /** One large-star + small-star round over (u, v) edges — exposed so
+    * PlanSpec can pin the ROUND's physical plan (the loop checkpoints
+    * each round, so planning the final labels would show only the last
+    * scan, not the joins this guard exists for). */
+  private[graft] def altStarRound(edges: DataFrame): DataFrame = {
+    val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    // min of the CLOSED neighbourhood, computed once per node and
+    // equi-joined back — no neighbour-list materialization
+    val closedMin = bi.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // large-star: (v, m(u)) for every neighbour v > u. Every output row
+    // (v, m) already has v > u ≥ m, so the edge set is big→small
+    // oriented as-is — exactly the orientation small-star needs.
+    val large = bi.join(closedMin, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // small-star: (v, m(u)) for every smaller neighbour v plus u itself
+    val smallMin = large.groupBy(col("u"))
+      .agg(min(col("v")).as("m"))
+    val joined = large.join(smallMin, "u")
+    joined.select(col("v").as("u"), col("m").as("v"))
+      .union(joined.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
   private[graft] def altStarWithRounds(pairs: DataFrame, aCol: String,
                                        bCol: String,
                                        maxIters: Int): (DataFrame, Int) = {
+    val allNodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct().localCheckpoint()
     var edges = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -239,37 +268,23 @@ object Dedup {
       require(rounds <= maxIters,
         s"connectedComponentsAltStar did not converge within $maxIters " +
           "rounds (expected O(log n); check for label-type mismatches)")
-      val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      // min of the CLOSED neighbourhood, computed once per node and
-      // equi-joined back — no neighbour-list materialization
-      val closedMin = bi.groupBy(col("u"))
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      // large-star: (v, m(u)) for every neighbour v > u
-      val large = bi.join(closedMin, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star over the big→small orientation of the large-star
-      // output: (v, m(u)) for every smaller neighbour v plus u itself
-      val bigToSmall = large.union(large.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") > col("v"))
-      val smallMin = bigToSmall.groupBy(col("u"))
-        .agg(min(col("v")).as("m"))
-      val joined = bigToSmall.join(smallMin, "u")
-      val next = joined.select(col("v").as("u"), col("m").as("v"))
-        .union(joined.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val next = altStarRound(edges).localCheckpoint()
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       edges = next
     }
     // fixpoint edges are stars center=component min: labels are the
-    // leaves plus the centers labelling themselves
-    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+    // leaves plus the centers labelling themselves. Nodes that appeared
+    // ONLY in self-pairs have no surviving edge — they label themselves,
+    // keeping the "every id that appears in a pair" contract shared with
+    // [[connectedComponents]].
+    val edgeLabels = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
-    (labels, rounds)
+    val isolated = allNodes
+      .join(edgeLabels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (edgeLabels.union(isolated), rounds)
   }
 
   /** Winnowing document fingerprints (the rolling-hash fingerprinting of

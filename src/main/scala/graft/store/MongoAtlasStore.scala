@@ -101,7 +101,8 @@ object MongoAtlasStore {
     var depth = 0
     var objStart = -1
     var inString = false
-    while (i < body.length) {
+    var done = false
+    while (i < body.length && !done) {
       val c = body.charAt(i)
       if (inString) {
         if (c == '\\') i += 1 // skip escaped char (covers \" and \\)
@@ -117,6 +118,10 @@ object MongoAtlasStore {
             out += body.substring(objStart, i + 1)
             objStart = -1
           }
+        case ']' if depth == 0 =>
+          // end of the documents array: stop, or a trailing sibling
+          // field like "stats":{...} would be captured as a phantom doc
+          done = true
         case _ =>
       }
       i += 1

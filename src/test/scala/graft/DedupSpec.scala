@@ -135,6 +135,18 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
 
+  test("altStar keeps self-pair-only nodes, matching min-label's contract") {
+    // a node appearing ONLY as (x, x) must still be labelled — both
+    // implementations promise a row for every id that appears in a pair
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val altStar = Dedup.connectedComponentsAltStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    altStar shouldBe minLabel
+    altStar shouldBe Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+  }
+
   test("altStar converges in O(log n) rounds on a path graph") {
     // a 16-node chain: min-label needs ~diameter (15) rounds; the
     // alternating algorithm must stay within log2(16)+3 = 7

@@ -48,7 +48,9 @@ class KafkaIntegrationSpec extends SparkSpec {
       val stream = spark.readStream.schema(rows.schema).parquet(s"$src/batch")
       val sink = StreamingOps.kafkaSink(stream, bs, topic, tmp("graft-kafka-ckpt"))
         .trigger(Trigger.AvailableNow()).start()
-      sink.awaitTermination(60000)
+      withClue("sink did not terminate within 60s") {
+        sink.awaitTermination(60000) shouldBe true
+      }
 
       // S1: read back from earliest and count via an in-memory sink
       val read = StreamingOps.kafkaSource(spark, bs, topic,
@@ -56,7 +58,9 @@ class KafkaIntegrationSpec extends SparkSpec {
       val q = read.selectExpr("CAST(value AS STRING) AS v")
         .writeStream.format("memory").queryName("graft_kafka_it")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      withClue("source did not terminate within 60s") {
+        q.awaitTermination(60000) shouldBe true
+      }
       val got = spark.table("graft_kafka_it").collect().map(_.getString(0)).sorted
       got.length shouldBe 10
       got.head shouldBe "msg-0"

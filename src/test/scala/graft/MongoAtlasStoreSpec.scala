@@ -84,6 +84,16 @@ class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
     skipped shouldBe 0
   }
 
+  test("parseSearchHits ignores sibling fields after the documents array") {
+    // a trailing object-valued field must not be scanned as a phantom
+    // document (it would log spurious skips, or worse, fake a hit)
+    val (hits, skipped) = MongoAtlasStore.parseSearchHitsCounting(
+      """{"documents":[{"document_id":"a","chunks":"c","score":1.0}],
+        |"stats":{"n":3},"echo":{"document_id":"x","chunks":"y","score":9.0}}""".stripMargin)
+    hits shouldBe Seq(SearchHit("a", "c", 1.0))
+    skipped shouldBe 0
+  }
+
   test("parseSearchHitsCounting reports dropped malformed documents") {
     val (hits, skipped) = MongoAtlasStore.parseSearchHitsCounting(
       """{"documents":[{"document_id":"a","score":1.0},

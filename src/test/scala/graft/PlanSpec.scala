@@ -120,13 +120,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("altstar components: per-round equi joins only, never a cartesian") {
-    // plan the ROUND BODY (the loop's DataFrames are materialized per
-    // round, so plan(name) would only show the final labels projection)
+    // plan ONE ROUND BODY directly: the loop localCheckpoints each round,
+    // so planning the final labels would show only the last scan — a
+    // vacuous guard over the joins this test exists to pin
     import org.apache.spark.sql.functions.col
-    val pairs = spark.range(100).select(col("id").as("id_a"),
-      (col("id") + 1).as("id_b"))
-    val p = graft.operators.Dedup.connectedComponentsAltStar(pairs)
+    val edges = spark.range(100).select(col("id").as("u"),
+      (col("id") + 1).as("v"))
+    val p = graft.operators.Dedup.altStarRound(edges)
       .queryExecution.executedPlan.toString
+    p should include("Join")                 // the round genuinely joins
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
