@@ -110,7 +110,13 @@ object Bench {
     // totals swung 2-4× between identical runs. Warming per shape is
     // sound because the codegen cache is keyed by generated source,
     // which is data-independent.
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (isolation probes —
+    // see BENCH_NOTES.md); SPARK_GRAFT_BENCH_STREAMING=0 skips the
+    // streaming chain for quick query-only timings
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").count()
       catch { case _: Throwable => () }
@@ -157,7 +163,9 @@ object Bench {
     // streaming chain throughput (independent of sf — topic-driven):
     // 20k-row pre-published backlog drained by the standing chain
     val streaming =
-      try {
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0"))
+        ""","streaming":null"""
+      else try {
         val (rows, secs, rps, stages) = streamingThroughput(spark,
           totalRows = 20000, chunks = 20)
         s""","streaming":{"rows":$rows,"sec":$secs,"rows_per_sec":$rps,"stages":$stages}"""

@@ -685,6 +685,28 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    ("ann_radius", (s, dir) => {
+      // threshold (radius) search: ALL neighbors with cosine ≥ τ — the
+      // all-near-duplicates retrieval form. Broadcast corpus, queries
+      // never shuffle, no window (nothing is ranked); similarity rounded
+      // to 6 before the threshold so keep/drop is engine-portable.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      VectorOps.radiusSearch(queries, corpus, 0.25, "qid", "qvec", "nid", "nvec")
+        .orderBy(col("qid"), col("nid"))
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]), 6) AS sim
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND c.vec_id >= 20)
+      SELECT qid, nid, sim FROM sims
+      WHERE sim >= 0.25 ORDER BY qid, nid""")),
+
     ("ann_quantized_topk", (s, dir) => {
       // exact top-3 over the int8-QUANTIZED corpus (quantize → dequant →
       // codegen'd cosine): the 4×-compressed storage path; quantization

@@ -50,7 +50,7 @@ object SparkEntry {
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
-    "ann_ivf_topk", "ann_ivf_train", "ann_quantized_topk",
+    "ann_ivf_topk", "ann_ivf_train", "ann_quantized_topk", "ann_radius",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_char_entropy", "dedup_clusters_altstar",

@@ -91,4 +91,23 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("rank"), col("sim"))
   }
+
+  /** Radius (threshold) search: every corpus neighbor with cosine ≥ tau —
+    * the "all near-duplicates / all relevant chunks" form of retrieval,
+    * complementing top-k. Same broadcast shape as [[bruteForceTopK]]
+    * (corpus broadcast, queries never shuffle), but NO window: the
+    * threshold filter runs inside the join, so nothing is ranked and the
+    * only exchange is whatever the caller's sink needs. The similarity
+    * is rounded to 6 decimals BEFORE the threshold so the keep/drop
+    * decision is identical across engines (a raw >= on doubles can flip
+    * a boundary row on last-ulp libm drift). */
+  def radiusSearch(queries: DataFrame, corpus: DataFrame, tau: Double,
+                   qId: String, qVec: String, cId: String, cVec: String,
+                   broadcastCorpus: Boolean = true): DataFrame = {
+    val c = if (broadcastCorpus) broadcast(corpus) else corpus
+    queries.crossJoin(c)
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .filter(col("sim") >= tau)
+      .select(col(qId), col(cId), col("sim"))
+  }
 }

@@ -269,8 +269,12 @@ object Dedup {
         s"connectedComponentsAltStar did not converge within $maxIters " +
           "rounds (expected O(log n); check for label-type mismatches)")
       val next = altStarRound(edges).localCheckpoint()
+      // set equality of two DISTINCT edge sets: equal counts + empty
+      // one-way difference. left_anti is one equi-join over the already
+      // materialized checkpoints — except() would re-distinct both sides
+      // and was the dominant per-round cost at bench scale
       converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
     }
     // fixpoint edges are stars center=component min: labels are the

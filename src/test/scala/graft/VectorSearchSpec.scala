@@ -72,6 +72,27 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("radiusSearch keeps exactly the pairs at or above the threshold") {
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val queries = (100 until 105).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 8 + j).toFloat)))
+    val tau = 0.3
+    val got = VectorOps.radiusSearch(
+        queries.toDF("qid", "qvec"), corpus.toDF("nid", "nvec"),
+        tau, "qid", "qvec", "nid", "nvec")
+      .as[(Long, Long, Double)].collect()
+    // reference: full ranked list, cut at the same rounded threshold
+    val all = VectorOps.bruteForceTopK(
+        queries.toDF("qid", "qvec"), corpus.toDF("nid", "nvec"),
+        corpus.size, "qid", "qvec", "nid", "nvec")
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"))
+      .as[(Long, Long, Double)].collect()
+    got.toSet shouldBe all.filter(_._3 >= tau).toSet
+    got.foreach(_._3 should be >= tau)
+    got.map(r => (r._1, r._2)).distinct.length shouldBe got.length
+  }
+
   test("lshTopK: a corpus vector identical to the query lands in its bucket at rank 1") {
     val shared = Seq(1f, 2f, -1f, 0.5f)
     val corpus = Seq((10L, shared), (11L, Seq(-1f, -2f, 1f, -0.5f)))
