@@ -506,6 +506,34 @@ object QueriesDataOps {
              cum_before // 512 AS bin, cum_before % 512 AS offset
       FROM c ORDER BY source, doc_id""")),
 
+    ("curate_epoch_mix", (s, dir) => {
+      // domain reweighting with UPSAMPLING: weight 2.5 = ~2.5 epochs of
+      // that stratum (floor copies for all + md5-selected extra for the
+      // fraction), the standard recipe for boosting small high-quality
+      // domains. Deterministic copy index → exact SQL oracle.
+      graft.pipeline.CurationPipeline.epochMix(
+          T(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 1.0, "fr" -> 0.5, "de" -> 1.25, "zh" -> 2.5))
+        .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 1 WHEN 'fr' THEN 0
+                         WHEN 'de' THEN 1 WHEN 'zh' THEN 2 ELSE 0 END
+               + CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                   CASE lang
+                     WHEN 'fr' THEN '80000000000000000000000000000000'
+                     WHEN 'de' THEN '40000000000000000000000000000000'
+                     WHEN 'zh' THEN '80000000000000000000000000000000'
+                     ELSE '00000000000000000000000000000000' END
+                 THEN 1 ELSE 0 END AS n
+        FROM documents
+        WHERE lang IN ('en', 'fr', 'de', 'zh'))
+      SELECT doc_id, lang, CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy
+      FROM c WHERE n > 0
+      ORDER BY doc_id, copy""")),
+
     ("curate_jsonl_roundtrip", (s, dir) => {
       // JSONL export/import — the training-data interchange format: docs
       // serialized one JSON object per line (to_json over a struct,

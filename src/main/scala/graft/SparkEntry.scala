@@ -55,6 +55,6 @@ object SparkEntry {
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_char_entropy", "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_pack",
-    "curate_jsonl_roundtrip",
+    "curate_jsonl_roundtrip", "curate_epoch_mix",
     "mm_metadata", "mm_frame_sample")
 }

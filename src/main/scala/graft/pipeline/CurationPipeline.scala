@@ -117,4 +117,36 @@ object CurationPipeline {
     }
     docs.filter(md5(col(idCol).cast("string")) < thr)
   }
+
+  /** Epoch-style domain reweighting — [[stratifiedSample]] generalized to
+    * weights ABOVE 1: weight w emits floor(w) copies of every row plus
+    * one more for the md5-selected frac(w) of rows, so a stratum with
+    * w = 2.5 runs ~2.5 epochs in the mix (the standard recipe for
+    * upweighting small high-quality domains against a web crawl).
+    * Emits a `copy` index (0-based) so the output is a deterministic SET
+    * and replays/oracles compare exactly. Strata absent from `weights`
+    * are dropped (allowlist, as in stratifiedSample). Per-row explode of
+    * at most ceil(w) — zero shuffle, no RNG state. */
+  def epochMix(docs: DataFrame, strataCol: String, idCol: String,
+               weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      s"weights must be in [0,100]: $weights")
+    val floorW = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
+      when(col(strataCol) === k, lit(w.toInt)).otherwise(acc)
+    }
+    val fracThr = weights.foldLeft(lit("0" * 32)) { case (acc, (k, w)) =>
+      val f = w - w.toInt
+      val t = if (f <= 0.0) "0" * 32 else f"${(f * (1L << 32)).toLong}%08x" + "0" * 24
+      when(col(strataCol) === k, lit(t)).otherwise(acc)
+    }
+    docs
+      .withColumn("__n", floorW +
+        when(md5(col(idCol).cast("string")) < fracThr, 1).otherwise(0))
+      // guard BEFORE sequence: Spark's sequence(0, -1) yields a
+      // DESCENDING [0, -1], not empty — an unfiltered zero-copy row
+      // would emit two phantom copies
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
 }

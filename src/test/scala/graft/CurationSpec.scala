@@ -52,6 +52,32 @@ class CurationSpec extends SparkSpec {
       .filter($"source" === "c").count() shouldBe 0L
   }
 
+  test("epochMix upsamples by weight with deterministic copy indices") {
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "big" else "rare")).toDF("doc_id", "lang")
+    val w = Map("big" -> 1.0, "rare" -> 2.5)
+    val got = CurationPipeline.epochMix(docs, "lang", "doc_id", w)
+      .select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    // weight 1.0: exactly one copy of every row
+    got.filter(_._2 == "big").map(_._1).sorted.toSeq shouldBe
+      (2 to 2000 by 2).map(_.toLong)
+    // weight 2.5: every rare row 2 or 3 times, mean ~2.5 epochs
+    val byRare = got.filter(_._2 == "rare").groupBy(_._1).view.mapValues(_.length)
+    byRare.values.foreach(n => n should (be(2) or be(3)))
+    (byRare.values.sum.toDouble / 1000) shouldBe 2.5 +- 0.15
+    // copy indices are contiguous from 0 (a deterministic SET, not bags)
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq shouldBe (0 until rows.length)
+    }
+    // re-execution identical; absent stratum dropped
+    CurationPipeline.epochMix(docs, "lang", "doc_id", w)
+      .count() shouldBe got.length.toLong
+    CurationPipeline.epochMix(
+        docs.union(Seq((9L, "other")).toDF("doc_id", "lang")),
+        "lang", "doc_id", w)
+      .filter($"lang" === "other").count() shouldBe 0L
+  }
+
   test("packSequences lays docs head-to-tail into capacity bins per stratum") {
     val docs = Seq(
       (1L, "a", "w w w w"),           // 4 tokens → bin 0, offset 0
