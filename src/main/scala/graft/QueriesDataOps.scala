@@ -63,6 +63,21 @@ object QueriesDataOps {
         UNION ALL SELECT doc_id + 300000, upper(text) || '  ', lang, source
           FROM documents WHERE doc_id % 5 = 2)"""
 
+  /** ONE oracle for both incremental-dedup queries (plain anti-join and
+    * Bloom-prefiltered): exact-equivalence is the bloom path's whole
+    * claim, so they must be checked against the same text. */
+  private lazy val incrementalOracleSql: String = s"""
+      WITH $dwdSql,
+      seen AS (SELECT DISTINCT md5(text) AS h FROM dwd WHERE doc_id < 250),
+      batch AS (SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                         ORDER BY doc_id) AS rn
+                FROM dwd WHERE doc_id >= 250)
+      SELECT doc_id FROM batch b
+      WHERE rn = 1
+        AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text))
+      ORDER BY doc_id"""
+
   /** ONE oracle for both clusters queries (min-label and alt-star): the
     * "both paths agree" claim is only provable if the contract they are
     * checked against is literally the same text. */
@@ -198,17 +213,26 @@ object QueriesDataOps {
         .join(seen, md5(col("text")) === col("seen_hash"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
-    }, Some(s"""
-      WITH $dwdSql,
-      seen AS (SELECT DISTINCT md5(text) AS h FROM dwd WHERE doc_id < 250),
-      batch AS (SELECT doc_id, text,
-                       row_number() OVER (PARTITION BY md5(text)
-                         ORDER BY doc_id) AS rn
-                FROM dwd WHERE doc_id >= 250)
-      SELECT doc_id FROM batch b
-      WHERE rn = 1
-        AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text))
-      ORDER BY doc_id""")),
+    }, Some(incrementalOracleSql)),
+
+    ("dedup_incremental_bloom", (s, dir) => {
+      // the 100 TB form of the same contract: a broadcast Bloom filter of
+      // the index hashes screens the batch, so definitely-new rows skip
+      // the anti-join shuffle and only the fpp sliver + true dups pay it.
+      // EXACT results — checked against the SAME oracle as
+      // dedup_incremental (shared constant, agreement by construction).
+      val all = docsWithDups(s, dir)
+      val seen = all.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("seen_hash")).distinct()
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val batch = all.filter(col("doc_id") >= 250)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("h", md5(col("text")))
+      Dedup.antiJoinWithBloomPrefilter(batch, seen, "h", "seen_hash")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(incrementalOracleSql)),
 
     ("dedup_simhash", (s, dir) => {
       // SimHash bucket dedup: 12-bit signature from per-token md5 nibble

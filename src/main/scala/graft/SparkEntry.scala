@@ -46,7 +46,7 @@ object SparkEntry {
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
-    "dedup_incremental", "dedup_simhash",
+    "dedup_incremental", "dedup_incremental_bloom", "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",

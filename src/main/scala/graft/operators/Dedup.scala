@@ -226,6 +226,35 @@ object Dedup {
                                  maxIters: Int = 20): DataFrame =
     altStarWithRounds(pairs, aCol, bCol, maxIters)._1
 
+  /** EXACT anti-join with a Bloom prefilter — the 100 TB shape of
+    * incremental dedup: a broadcastable Bloom filter of the index hashes
+    * screens the batch first, so rows the filter rejects (definitely new
+    * — Bloom has no false negatives) skip the anti-join SHUFFLE entirely
+    * and only the `fpp` false-positive sliver plus true duplicates pay
+    * it. Results are exactly the plain anti-join's: the filter only
+    * routes rows between the no-shuffle and exact paths.
+    *
+    * The filter is built with one distributed aggregate over the index
+    * side (Spark's stat.bloomFilter treeAggregate) and broadcast; at
+    * 1e9 index entries and 1% fpp that is ~1.2 GB — size `fpp` to the
+    * executor memory budget. NULL batch hashes route to the exact path
+    * (mightContain cannot answer for them; the anti-join keeps them,
+    * matching NOT EXISTS semantics). */
+  def antiJoinWithBloomPrefilter(batch: DataFrame, seen: DataFrame,
+                                 batchHashCol: String, seenHashCol: String,
+                                 fpp: Double = 0.01): DataFrame = {
+    val n = math.max(seen.count(), 1L)
+    val bloom = seen.stat.bloomFilter(seenHashCol, n, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: String) =>
+      if (h == null) true else bc.value.mightContain(h))
+    val flagged = batch.withColumn("__maybe", might(col(batchHashCol)))
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
+    val exact = flagged.filter(col("__maybe")).drop("__maybe")
+      .join(seen, col(batchHashCol) === col(seenHashCol), "left_anti")
+    definitelyNew.union(exact)
+  }
+
   /** One large-star + small-star round over (u, v) edges — exposed so
     * PlanSpec can pin the ROUND's physical plan (the loop checkpoints
     * each round, so planning the final labels would show only the last

@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     comps shouldBe Set(1L) // one component, labelled by the minimum id
   }
 
+  test("bloom-prefiltered anti join is exactly the plain anti join") {
+    // tiny fpp forces real false positives through the exact path while
+    // most rows take the no-shuffle fast path — results must not differ
+    val seen = (1 to 500).map(i => s"h$i").toDF("seen_hash")
+    val batch = ((1 to 300).map(i => (i.toLong, s"h${i * 2}")) :+
+      ((999L, null.asInstanceOf[String]))).toDF("id", "h")
+    val plain = batch.join(seen, col("h") === col("seen_hash"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    val bloomed = Dedup.antiJoinWithBloomPrefilter(batch, seen, "h", "seen_hash",
+        fpp = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    bloomed shouldBe plain
+    bloomed should contain(999L) // NULL hash routes to the exact path, kept
+  }
+
   test("altStar agrees with min-label propagation on mixed cluster shapes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)) // chain, pair, triangle
