@@ -115,6 +115,14 @@ object Bench {
     // streaming chain for quick query-only timings
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on typos: a silently empty selection would record a
+    // bogus zero-cost figure instead of an error
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.benchQueries.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
+      require(o.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>

@@ -205,11 +205,7 @@ object QueriesDataOps {
       val all = docsWithDups(s, dir)
       val seen = all.filter(col("doc_id") < 250)
         .select(md5(col("text")).as("seen_hash")).distinct()
-      val batch = all.filter(col("doc_id") >= 250)
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      batch
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      Dedup.exact(all.filter(col("doc_id") >= 250), "text", "doc_id")
         .join(seen, md5(col("text")) === col("seen_hash"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -224,10 +220,7 @@ object QueriesDataOps {
       val all = docsWithDups(s, dir)
       val seen = all.filter(col("doc_id") < 250)
         .select(md5(col("text")).as("seen_hash")).distinct()
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val batch = all.filter(col("doc_id") >= 250)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val batch = Dedup.exact(all.filter(col("doc_id") >= 250), "text", "doc_id")
         .withColumn("h", md5(col("text")))
       Dedup.antiJoinWithBloomPrefilter(batch, seen, "h", "seen_hash")
         .select(col("doc_id"))

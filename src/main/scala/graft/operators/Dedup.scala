@@ -240,10 +240,16 @@ object Dedup {
     * executor memory budget. NULL batch hashes route to the exact path
     * (mightContain cannot answer for them; the anti-join keeps them,
     * matching NOT EXISTS semantics). */
+  /** `expectedSeenCount` skips the sizing count job when the caller
+    * already knows the index cardinality (a maintained index does).
+    * The batch lineage is planned TWICE (once per union branch) — keep
+    * it cheap (a scan + maps) or materialize upstream; the win is the
+    * avoided SHUFFLE, which dominates both at the target scale. */
   def antiJoinWithBloomPrefilter(batch: DataFrame, seen: DataFrame,
                                  batchHashCol: String, seenHashCol: String,
-                                 fpp: Double = 0.01): DataFrame = {
-    val n = math.max(seen.count(), 1L)
+                                 fpp: Double = 0.01,
+                                 expectedSeenCount: Option[Long] = None): DataFrame = {
+    val n = math.max(expectedSeenCount.getOrElse(seen.count()), 1L)
     val bloom = seen.stat.bloomFilter(seenHashCol, n, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((h: String) =>
