@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Multimodal.AudioCodec
+import graft.store.{MongoAtlasStore, SearchHit}
+
+/** Seeded-random property tests for the pure codecs (the repo's
+  * property convention: scala.util.Random with fixed seeds, reproducible
+  * without a scalatest-scalacheck bridge).
+  *
+  * These are the layers where a missed edge case is silent data loss at
+  * corpus scale — one malformed string shouldn't cost a search result,
+  * one odd sample count shouldn't corrupt an audio feature. */
+class CodecPropertySpec extends AnyFunSuite with Matchers {
+
+  test("JsonText escape/unescape round-trips arbitrary unicode strings") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 500).foreach { _ =>
+      val s = new String(Array.fill(rnd.nextInt(80)) {
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextPrintableChar()
+          case 1 => Seq('"', '\\', '\b', '\f', '\n', '\r', '\t')(rnd.nextInt(7))
+          case 2 => rnd.nextInt(0x20).toChar             // raw controls
+          case _ => (0x80 + rnd.nextInt(0x2000)).toChar  // non-ASCII BMP
+        }
+      })
+      val escaped = graft.io.JsonText.escape(s)
+      // escaped form is JSON-legal: no raw control chars survive
+      escaped.forall(_ >= ' ') shouldBe true
+      graft.io.JsonText.unescape(escaped) shouldBe s
+    }
+  }
+
+  test("WAV codec round-trips arbitrary PCM signals bit-exactly") {
+    val rnd = new scala.util.Random(42L)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(2000) // odd lengths included
+      val rate = Seq(8000, 16000, 22050, 44100)(rnd.nextInt(4))
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val (gotRate, gotSamples) =
+        AudioCodec.decode(AudioCodec.encodeWav(samples, rate))
+      gotRate shouldBe rate
+      gotSamples shouldBe samples
+    }
+  }
+
+  test("windowRms of a sine matches A/sqrt(2) over whole periods") {
+    // a non-constant signal sanity-bound: 32 samples/period, 8 periods
+    val a = 12000.0
+    val samples = Array.tabulate(256)(i =>
+      (a * math.sin(2 * math.Pi * i / 32)).toShort)
+    val rms = AudioCodec.windowRms(samples, 256).head * 32768.0
+    rms shouldBe (a / math.sqrt(2.0)) +- a * 0.01 // int16 rounding tolerance
+  }
+
+  test("Atlas document splitter survives randomly brace-laden chunk text") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 200).foreach { _ =>
+      val hits = (0 until 1 + rnd.nextInt(5)).map { i =>
+        val chunk = new String(Array.fill(rnd.nextInt(40)) {
+          Seq('{', '}', '[', ']', '"', '\\', 'a', ' ', ':' ,',')(rnd.nextInt(10))
+        })
+        SearchHit(s"doc$i", chunk, rnd.nextInt(1000) / 1000.0)
+      }
+      val json = hits.map(h =>
+        s"""{"document_id":"${graft.io.JsonText.escape(h.document_id)}","chunks":"${graft.io.JsonText.escape(h.chunks)}","score":${h.score}}""")
+        .mkString("""{"documents":[""", ",", """],"stats":{"n":1}}""")
+      val (got, skipped) = MongoAtlasStore.parseSearchHitsCounting(json)
+      skipped shouldBe 0
+      got shouldBe hits
+    }
+  }
+}
