@@ -88,11 +88,15 @@ object Bench {
       val stages = queries.zip(progress0).map { case (q, skip) =>
         val timed = q.recentProgress.drop(skip).filter(_.numInputRows > 0)
         val rows = timed.map(_.numInputRows).sum
-        val ms = timed.flatMap(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
+        val durs = timed.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sorted
+        def pct(p: Double) =
+          if (durs.isEmpty) 0L
+          else durs(math.min(durs.length - 1, (p * durs.length).toInt))
         val name = q.name.stripPrefix("graft-stage-")
         s""""$name":{"batches":${timed.length},"rows":$rows,"avg_batch_ms":${
-          if (timed.isEmpty) 0 else ms / timed.length}}"""
+          if (durs.isEmpty) 0 else durs.sum / durs.length
+        },"p50_ms":${pct(0.5)},"p95_ms":${pct(0.95)}}"""
       }.mkString("{", ",", "}")
       (timedRows, secs, timedRows / secs, stages)
     } finally queries.foreach(_.stop())
