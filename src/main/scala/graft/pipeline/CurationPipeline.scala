@@ -32,6 +32,13 @@ object CurationPipeline {
         TextAnalysis.tokenCount(text) > cfg.maxTokens, "tokens")
       .otherwise("keep")
 
+  /** The gate verdict as a plain column expression — public so the
+    * STREAMING curation path (StreamingOps.curateStream) applies the
+    * exact same gates behind a watermark dedup: one definition, both
+    * execution models. */
+  def verdict(text: Column, cfg: Config = Config()): Column =
+    dropReason(text, cfg)
+
   /** Rows that survive every gate. */
   def curate(docs: DataFrame, cfg: Config = Config(),
              textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -32,6 +32,20 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("message_md5")
       .drop("message_md5")
 
+  /** Streaming corpus curation — CurationPipeline's gates verbatim
+    * (stateless codegen'd column expressions, one definition for both
+    * execution models) behind the TTL content dedup. The only semantic
+    * delta vs batch `curate` is the dedup representative: streaming
+    * keeps the FIRST-ARRIVED row per content hash inside the watermark,
+    * batch keeps the min-id row — identical at the content level (same
+    * text ⇒ same gate verdict), which StreamingSpec pins by comparing
+    * kept content-hash sets. */
+  def curateStream(docs: DataFrame, cfg: graft.pipeline.CurationPipeline.Config,
+                   textCol: String, tsCol: String,
+                   ttl: String = "5 minutes"): DataFrame =
+    dedupWithTtl(docs, textCol, tsCol, ttl)
+      .filter(graft.pipeline.CurationPipeline.verdict(col(textCol), cfg) === "keep")
+
   /** W1/W2 in streaming: a global updating top-N is unsupported in
     * append mode (SURVEY.md §7.4 #1), so the view is recomputed per
     * micro-batch — 6 rows of state, negligible at any scale since

@@ -72,6 +72,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curation keeps the same content set as batch curate") {
+    implicit val ctx = spark.sqlContext
+    import graft.pipeline.CurationPipeline
+    val cfg = CurationPipeline.Config(minQuality = 0.3, langs = Seq("en"),
+      minTokens = 4, maxTokens = 50)
+    val good = "the quick brown fox jumps over the lazy dog and runs on"
+    val french = "le chat et la souris et le chien et les oiseaux dorment"
+    val short = "too short"
+    val rows = Seq(
+      (1L, good), (2L, good),        // exact dup: one survivor
+      (3L, french),                  // lang gate
+      (4L, short),                   // token gate
+      (5L, good + " again and again here"))
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF.toDF("doc_id", "text", "ts")
+    val kept = StreamingOps.curateStream(docs, cfg, "text", "ts")
+    val query = kept.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData(rows.map { case (id, t) => (id, t, ts(id.toInt)) }: _*)
+      query.processAllAvailable()
+      val streamHashes = spark.table("curated_stream")
+        .select(org.apache.spark.sql.functions.md5($"text")).as[String]
+        .collect().sorted.toSeq
+      // batch curate on the same rows: same GATES, min-id dedup — the
+      // kept CONTENT set must be identical (same text ⇒ same verdict)
+      val batchHashes = CurationPipeline.curate(
+          rows.toDF("doc_id", "text"), cfg)
+        .select(org.apache.spark.sql.functions.md5($"text")).as[String]
+        .collect().sorted.toSeq
+      streamHashes shouldBe batchHashes
+      streamHashes should have size 2 // good (once) + the long variant
+    } finally query.stop()
+  }
+
   test("dedup TTL: a replay after the watermark passes the TTL is re-emitted") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, String, Timestamp)]
