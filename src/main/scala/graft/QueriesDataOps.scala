@@ -553,15 +553,20 @@ object QueriesDataOps {
 
     ("curate_jsonl_roundtrip", (s, dir) => {
       // JSONL export/import — the training-data interchange format: docs
-      // serialized one JSON object per line (to_json over a struct,
-      // written as text), read back with an explicit schema. The oracle
-      // is the identity query: any escaping or type-fidelity loss in
-      // the round-trip hash-mismatches.
+      // serialized one JSON object per line (to_json over a struct),
+      // written GZIP-COMPRESSED (how 100 TB corpora actually ship; the
+      // codec is part of the round-trip under test), read back with an
+      // explicit schema. The oracle is the identity query: any escaping,
+      // type-fidelity, or codec loss hash-mismatches.
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
       val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
       docs.select(to_json(struct(docs.columns.map(col).toSeq: _*)).as("value"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "gzip").text(out)
+      val files = new java.io.File(out).listFiles()
+      require(files.exists(_.getName.endsWith(".txt.gz")),
+        s"expected gzip part files in $out")
       s.read.schema(docs.schema).json(out).orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""")),
