@@ -571,6 +571,21 @@ object QueriesDataOps {
     }, Some("""
       SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""")),
 
+    ("avro_ocf_roundtrip", (s, dir) => {
+      // Avro Object Container Files — the at-rest half of the Avro
+      // surface (wire half: rag_avro_roundtrip): one deflate-compressed
+      // container per partition out, one decode task per file back.
+      // Identity oracle: schema mapping, union nullability, and the
+      // deflate codec all sit inside the hash.
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val out = java.nio.file.Files.createTempDirectory("graft-ocf").toString
+      graft.io.AvroFiles.write(docs, out, "document")
+      graft.io.AvroFiles.read(s, out, docs.schema, "document")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""")),
+
     ("curate_report", (s, dir) => {
       // the corpus-level audit a curation run publishes: per-verdict doc
       // counts, token mass, mean quality — one map-side-combinable

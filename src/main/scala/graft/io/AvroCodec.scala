@@ -109,6 +109,15 @@ object AvroCodec {
     (id, bytes.drop(5))
   }
 
+  /** Row → GenericRecord / back — the converter pair behind both the
+    * wire codec (encode/decode) and the container-file format
+    * ([[AvroFiles]]). */
+  def toRecord(row: Row, schema: Schema): GenericRecord =
+    toAvro(row, schema).asInstanceOf[GenericRecord]
+
+  def fromRecord(rec: GenericRecord, dt: StructType): Row =
+    fromAvro(rec, dt).asInstanceOf[Row]
+
   def encode(row: Row, schema: Schema): Array[Byte] = {
     val rec = toAvro(row, schema).asInstanceOf[GenericRecord]
     val out = new ByteArrayOutputStream()

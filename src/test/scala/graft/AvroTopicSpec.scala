@@ -56,6 +56,32 @@ class AvroCodecSpec extends SparkSpec {
     got shouldBe vec
   }
 
+  test("OCF container files round-trip nulls, arrays, and multiple partitions") {
+    val df = Seq(
+      (1L, "alpha", Seq(1.5f, -2f), "s1"),
+      (2L, null.asInstanceOf[String], Seq.empty[Float], "s2"),
+      (3L, "gamma \"quoted\"\nline", Seq(0f), null.asInstanceOf[String]))
+      .toDF("id", "text", "vec", "src").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ocf-spec").toString
+    graft.io.AvroFiles.write(df, dir, "doc")
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    parts.length should be >= 2 // one container per non-empty partition
+    // container magic: 'O' 'b' 'j' 1
+    val head = java.nio.file.Files.readAllBytes(parts.head.toPath).take(4)
+    head shouldBe Array[Byte]('O', 'b', 'j', 1)
+    val back = graft.io.AvroFiles.read(spark, dir, df.schema, "doc")
+      .as[(Long, String, Seq[Float], String)].collect().sortBy(_._1)
+    back.toSeq shouldBe Seq(
+      (1L, "alpha", Seq(1.5f, -2f), "s1"),
+      (2L, null, Seq.empty[Float], "s2"),
+      (3L, "gamma \"quoted\"\nline", Seq(0f), null))
+    // empty dir reads as an empty frame with the right schema
+    val none = graft.io.AvroFiles.read(spark,
+      java.nio.file.Files.createTempDirectory("graft-ocf-empty").toString, df.schema)
+    none.count() shouldBe 0L
+    none.schema shouldBe df.schema
+  }
+
   test("registry: producers fetch by subject; unknown subject fails like the reference") {
     SchemaRegistry.getOrRegister("known-value",
       AvroCodec.avroSchemaFor(Tables.messageSchema, "known"))
