@@ -44,6 +44,7 @@ object SparkEntry {
     "q12_shipping_priority", "q13_asof_join", "q14_range_join",
     "q16_percentiles_approx",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
+    "avro_ocf_roundtrip",
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_simhash",
