@@ -1265,6 +1265,23 @@ object QueriesDataOps {
              CAST(12 AS INT) AS resized_height, TRUE AS has_payload
       FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
+    ("mm_image_dhash", (s, dir) => {
+      // perceptual near-dup hash through the REAL decode+resize path:
+      // gradient harness images have analytically-known dHashes (all-1s
+      // ascending, all-0s descending), so the oracle states the expected
+      // 16-hex constant per parity without decoding — any break in
+      // decode, bilinear resize, or the bit loop hash-mismatches.
+      val media = Multimodal.withGradientImages(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withImageDHash(media)
+        .select(col("media_id"), col("dhash"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'ffffffffffffffff'
+                  ELSE '0000000000000000' END AS dhash
+      FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
+
     ("mm_audio_features", (s, dir) => {
       // REAL audio: WAVs built from the amplitude law (window k of doc id
       // holds constant sample (id·7919 + k·104729) mod 32768), decoded

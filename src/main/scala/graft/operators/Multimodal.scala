@@ -97,6 +97,45 @@ object Multimodal {
       (w, h, feats)
     }
 
+    /** Difference hash (dHash) — the standard perceptual fingerprint for
+      * image NEAR-dup detection (the visual analog of simhash): decode,
+      * bilinear-resize to 9×8 luminance, emit one bit per horizontal
+      * neighbor pair (right brighter than left). Identical images hash
+      * equal; small crops/recompressions differ in a few bits, so
+      * bucketing on the hash (or its masked variants, as in
+      * simhashNearDupPairs) finds visual duplicates without pixel
+      * comparison. Returns 16 hex chars; null for undecodable payloads. */
+    def dHash(bytes: Array[Byte]): String = {
+      if (bytes == null || bytes.isEmpty) return null
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) return null
+      val small = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      def lum(x: Int, y: Int): Int = {
+        val rgb = small.getRGB(x, y)
+        (rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          hash = (hash << 1) | (if (lum(x + 1, y) > lum(x, y)) 1L else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      f"$hash%016x"
+    }
+
     /** Real resize: decode → Graphics2D bilinear scaled draw → PNG
       * re-encode. Returns null for undecodable payloads (same
       * quarantine-don't-crash policy as decode — callers surface 0×0). */
@@ -189,6 +228,58 @@ object Multimodal {
     * recompute them without decoding. */
   def syntheticWidth(id: Long): Int = (8 + math.floorMod(id, 9)).toInt
   def syntheticHeight(id: Long): Int = (8 + math.floorMod(id / 9, 9)).toInt
+
+  /** Gradient-image harness for the perceptual-hash oracle: even ids get
+    * a strictly ASCENDING left→right luminance ramp (every dHash bit 1),
+    * odd ids a DESCENDING one (every bit 0) — a bilinear downscale of a
+    * monotonic ramp stays monotonic, so the expected hash is a constant
+    * an external oracle states without decoding. */
+  def withGradientImages(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (32, 16)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (x * 255) / (w - 1)
+            val g = if (id % 2 == 0) v else 255 - v
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray, "image", r.getString(1))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Perceptual-hash stage: appends the 16-hex dHash via the standard
+    * batched partition map — bucketing on it (exact or masked) is the
+    * image near-dup plan. */
+  def withImageDHash(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema.add(StructField("dhash", StringType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          Row.fromSeq(r.toSeq :+ ImageCodec.dHash(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** REAL resize stage: decode → bilinear scale → PNG re-encode as a
     * partition-local batch map (the same physical shape as

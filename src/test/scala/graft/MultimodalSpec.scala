@@ -121,6 +121,40 @@ class MultimodalSpec extends SparkSpec {
     bad.toSeq shouldBe Seq((0, 0))
   }
 
+  test("dHash: gradients hit the analytic constants; near-dups stay Hamming-close") {
+    import Multimodal.ImageCodec
+    def png(f: (Int, Int) => Int, w: Int = 32, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    ImageCodec.dHash(png((x, _) => x * 255 / 31)) shouldBe "ffffffffffffffff"
+    ImageCodec.dHash(png((x, _) => 255 - x * 255 / 31)) shouldBe "0000000000000000"
+    // identical content → identical hash; a small local perturbation
+    // moves only a few bits (near-dup bucketing works); inverted image
+    // is maximally far
+    val base = png((x, y) => (x * 7 + y * 13) % 256)
+    val dup = png((x, y) => (x * 7 + y * 13) % 256)
+    val tweaked = png((x, y) => if (x < 3 && y < 3) 255 else (x * 7 + y * 13) % 256)
+    def bits(h: String) = java.lang.Long.parseUnsignedLong(h, 16)
+    ImageCodec.dHash(dup) shouldBe ImageCodec.dHash(base)
+    val dist = java.lang.Long.bitCount(bits(ImageCodec.dHash(base)) ^ bits(ImageCodec.dHash(tweaked)))
+    dist should be <= 12
+    ImageCodec.dHash("not an image".getBytes) shouldBe null
+    // operator level: distributed map emits the same hashes
+    val docs = Seq((2L, "s"), (3L, "s")).toDF("id", "src")
+    val got = Multimodal.withImageDHash(Multimodal.withGradientImages(docs, "id", "src"))
+      .select("media_id", "dhash").as[(Long, String)].collect().toMap
+    got(2L) shouldBe "ffffffffffffffff"
+    got(3L) shouldBe "0000000000000000"
+  }
+
   test("AudioCodec round-trips WAV bytes and RMS matches the amplitude law") {
     import Multimodal.{AudioCodec, audioAmplitude, audioSampleRate, audioWindowSize, audioWindows}
     val id = 17L
