@@ -101,14 +101,34 @@ object Dedup {
     * difference still collides — the standard probing answer to "equal
     * signatures only" recall. `bits`× key blowup of a skinny projection,
     * one shuffle on the key, in-bucket pair expansion; a masked-key
-    * collision PROVES Hamming ≤ 1, so no verification pass is needed. */
+    * collision PROVES Hamming ≤ 1, so no verification pass is needed.
+    *
+    * Skew is WORSE here than for minhash bands: b identical docs collide
+    * in all `bits` masked keys, so one hot content hash emits
+    * bits·b²/2 pairs and `collect_list` builds the full bucket array in
+    * one row. `maxBucketSize` caps it exactly as in [[minhashLshPairs]]:
+    * buckets above the cap are dropped BEFORE pair expansion and the drop
+    * count is published via `observe` ("simhash_skew" /
+    * dropped_hot_buckets) — the droppable-work ledger a 100 TB run must
+    * emit. A bucket that hot is boilerplate (its pairs also surface from
+    * exact dedup), not Hamming-adjacency signal.
+    * @param maxBucketSize 0 (default) = uncapped — the oracle-checked
+    *                      exact-recall form; > 0 = drop hotter buckets. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          bits: Int = 16): DataFrame = {
+                          bits: Int = 16, maxBucketSize: Int = 0): DataFrame = {
     val keyed = df.select(col(idCol).as("id"),
       explode(Hashing.simhashMaskedKeysUdf(bits)(col(textCol))).as("mkey"))
-    keyed.groupBy(col("mkey"))
+    val buckets0 = keyed.groupBy(col("mkey"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else buckets0
+        .observe("simhash_skew",
+          sum(when(size(col("ids")) > maxBucketSize, 1).otherwise(0))
+            .as("dropped_hot_buckets"))
+        .filter(size(col("ids")) <= maxBucketSize)
+    buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
