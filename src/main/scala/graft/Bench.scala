@@ -134,6 +134,29 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Contention guard — sampled BEFORE the first timed query, not after:
+    // round 6 published figures taken at load_avg 13.2 and several
+    // byte-identical queries showed 1.5-6.8x "regressions" (the round-4
+    // signature BENCH_NOTES.md root-caused to external load). A run that
+    // starts on a loaded box is stamped "contended": true so it can never
+    // again masquerade as a regression or an improvement; set
+    // SPARK_GRAFT_BENCH_REFUSE_CONTENDED=1 to abort instead of stamping
+    // (the default still emits the JSON line the driver expects).
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .map(_.toDouble).getOrElse(4.0)
+    val loadAvgPre =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val contended = loadAvgPre > maxLoad
+    if (contended) {
+      System.err.println(f"[bench] WARNING: pre-run load_avg $loadAvgPre%.1f " +
+        f"exceeds $maxLoad%.1f — figures will be stamped contended")
+      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_CONTENDED").contains("1"))
+        sys.error(f"refusing to bench on a contended machine " +
+          f"(load_avg $loadAvgPre%.1f > $maxLoad%.1f)")
+    }
+
     // Best of three timed runs per query: a single shot still carries
     // residual-JIT/GC noise; the min is the operator's cost. The
     // median/min spread is emitted per run as a noise indicator —
@@ -185,7 +208,7 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming":null"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming,"noise_median_over_min":$noise,"load_avg":$loadAvg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
