@@ -85,25 +85,74 @@ class DedupSpec extends SparkSpec {
     got shouldBe Set((1L, 2L))
   }
 
-  test("maxBucketSize drops boilerplate buckets and bounds pair output") {
-    // 40 identical boilerplate docs → every band bucket holds all 40 ids
-    // (780 pairs uncapped); one genuine duplicate pair with distinct text
+  // 40 identical boilerplate docs → every band/masked-key bucket holds all
+  // 40 ids (780 pairs uncapped); one genuine duplicate pair with distinct text
+  private lazy val hotBucketCorpus = {
     val boiler = (1 to 40).map(i =>
       (i.toLong, "standard legal boilerplate appended to every document here"))
     val dup = Seq(
       (100L, "a unique sentence about spark native analytics engines"),
       (101L, "a unique sentence about spark native analytics engines"))
-    val corpus = (boiler ++ dup).toDF("doc_id", "text")
+    (boiler ++ dup).toDF("doc_id", "text")
+  }
 
-    val uncapped = Dedup.minhashLshPairs(corpus, "text", "doc_id").count()
+  /** Runs `body`, returning (its result, the `dropped_hot_buckets` value the
+    * named `observe` published). Listener delivery is async → bounded poll. */
+  private def withDropMetric[A](metricName: String)(body: => A): (A, Long) = {
+    @volatile var dropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get(metricName)
+          .foreach(r => dropped = r.getAs[Long]("dropped_hot_buckets"))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val result = body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      (result, dropped)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("maxBucketSize drops boilerplate buckets and bounds pair output") {
+    val uncapped = Dedup.minhashLshPairs(hotBucketCorpus, "text", "doc_id").count()
     uncapped shouldBe 780L + 1L
 
     // cap 10 < 40: the boilerplate buckets are dropped BEFORE expansion;
     // only the genuine pair (bucket size 2) survives
-    val capped = Dedup.minhashLshPairs(corpus, "text", "doc_id",
-        maxBucketSize = 10)
-      .as[(Long, Long)].collect().toSet
+    val (capped, dropped) = withDropMetric("minhash_lsh_skew") {
+      Dedup.minhashLshPairs(hotBucketCorpus, "text", "doc_id",
+          maxBucketSize = 10)
+        .as[(Long, Long)].collect().toSet
+    }
     capped shouldBe Set((100L, 101L))
+    // all 4 band keys of the boilerplate text are hot buckets
+    dropped shouldBe 4L
+  }
+
+  test("simhash maxBucketSize drops boilerplate buckets and bounds pair output") {
+    // uncapped (the oracle-checked form): the 40-doc bucket expands to 780
+    // boilerplate pairs under every masked key, plus the genuine pair
+    val uncapped = Dedup.simhashNearDupPairs(hotBucketCorpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    uncapped should contain((100L, 101L))
+    uncapped.count(p => p._1 <= 40 && p._2 <= 40) shouldBe 780
+
+    val (capped, dropped) = withDropMetric("simhash_skew") {
+      Dedup.simhashNearDupPairs(hotBucketCorpus, "text", "doc_id",
+          maxBucketSize = 10)
+        .as[(Long, Long)].collect().toSet
+    }
+    // the boilerplate buckets die BEFORE pair expansion; the genuine pair's
+    // size-2 buckets survive the cap
+    capped shouldBe Set((100L, 101L))
+    // one 40-id bucket under each of the 16 masked keys
+    dropped shouldBe 16L
   }
 
   test("connectedComponents: pairs collapse to min-id clusters") {
