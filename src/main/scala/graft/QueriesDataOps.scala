@@ -212,17 +212,21 @@ object QueriesDataOps {
     }, Some(incrementalOracleSql)),
 
     ("dedup_incremental_bloom", (s, dir) => {
-      // the 100 TB form of the same contract: a broadcast Bloom filter of
-      // the index hashes screens the batch, so definitely-new rows skip
-      // the anti-join shuffle and only the fpp sliver + true dups pay it.
-      // EXACT results — checked against the SAME oracle as
-      // dedup_incremental (shared constant, agreement by construction).
+      // the 100 TB form of the same contract: the index hashes are
+      // SHARDED by hash prefix into 8 Bloom filters (a single filter at
+      // SURVEY §2.11's 10¹¹-hash sizing is ~120 GB — unbroadcastable);
+      // each shard's filter screens only its slice of the batch, so
+      // definitely-new rows skip the anti-join shuffle and only the fpp
+      // sliver + true dups pay it. EXACT results — checked against the
+      // SAME oracle as dedup_incremental (shared constant, agreement by
+      // construction).
       val all = docsWithDups(s, dir)
       val seen = all.filter(col("doc_id") < 250)
         .select(md5(col("text")).as("seen_hash")).distinct()
       val batch = Dedup.exact(all.filter(col("doc_id") >= 250), "text", "doc_id")
         .withColumn("h", md5(col("text")))
-      Dedup.antiJoinWithBloomPrefilter(batch, seen, "h", "seen_hash")
+      Dedup.antiJoinWithShardedBloomPrefilter(batch, seen, "h", "seen_hash",
+          shards = 8)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }, Some(incrementalOracleSql)),

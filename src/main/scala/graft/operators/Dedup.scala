@@ -262,9 +262,12 @@ object Dedup {
     * matching NOT EXISTS semantics). */
   /** `expectedSeenCount` skips the sizing count job when the caller
     * already knows the index cardinality (a maintained index does).
-    * The batch lineage is planned TWICE (once per union branch) — keep
-    * it cheap (a scan + maps) or materialize upstream; the win is the
-    * avoided SHUFFLE, which dominates both at the target scale. */
+    * The flagged batch is localCheckpoint'ed before the union split:
+    * both branches would otherwise re-plan the batch lineage, and a
+    * nondeterministic upstream (sample, unordered row_number) could emit
+    * a row in both branches or neither. The checkpoint is bounded by the
+    * BATCH (one increment, not the corpus); the win is the avoided
+    * SHUFFLE, which dominates at the target scale. */
   def antiJoinWithBloomPrefilter(batch: DataFrame, seen: DataFrame,
                                  batchHashCol: String, seenHashCol: String,
                                  fpp: Double = 0.01,
@@ -275,9 +278,109 @@ object Dedup {
     val might = udf((h: String) =>
       if (h == null) true else bc.value.mightContain(h))
     val flagged = batch.withColumn("__maybe", might(col(batchHashCol)))
+      .localCheckpoint()
     val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
     val exact = flagged.filter(col("__maybe")).drop("__maybe")
       .join(seen, col(batchHashCol) === col(seenHashCol), "left_anti")
+    definitelyNew.union(exact)
+  }
+
+  /** [[antiJoinWithBloomPrefilter]] with the seen-hash index SHARDED by
+    * hash prefix — the shape that survives SURVEY §2.11's sizing: at
+    * 10¹¹ index hashes and 1% fpp a single filter is ~120 GB and cannot
+    * be broadcast (or even held) anywhere. Sharding by
+    * `pmod(murmur3(hash), shards)` cuts it into `shards` filters of
+    * ~1/shards the size, each independently under the broadcast budget:
+    *
+    *  - BUILD: one filter per shard from `seen` restricted to that
+    *    shard. At scale the index is STORED partitioned by this same
+    *    key, so each build scans one partition's files (partition
+    *    pruning), and no single aggregate ever materializes more than
+    *    one shard's filter.
+    *  - SCREEN: the batch row's shard is the same codegen'd
+    *    `pmod(murmur3)` expression, so each screen branch dereferences
+    *    exactly ONE shard's broadcast — per-executor working set is one
+    *    shard filter, not the whole index, which is the entire point.
+    *  - UNION: screened branches (plus the NULL-hash branch, which
+    *    routes to the exact path like the monolithic form) reunite, and
+    *    the surviving sliver pays the one exact anti-join.
+    *
+    * The batch is localCheckpoint'ed ONCE with its shard key before the
+    * branch fan-out, so the `shards`+2 downstream readers hit
+    * materialized blocks instead of re-planning the lineage (and a
+    * nondeterministic upstream cannot desynchronize the branches).
+    * Results are exactly the plain anti-join's for any `shards` ≥ 1 —
+    * the shard routing only decides WHICH filter screens a row, and
+    * Bloom false negatives remain impossible per shard.
+    *
+    * `materializeSeen` (default true) localCheckpoints the index
+    * PROJECTED TO ITS HASH COLUMN before the `shards`+2 reads of it
+    * (sizing count, per-shard builds, final anti-join) — essential when
+    * `seen` is a computed lineage. Pass false when the index is already
+    * a cheap stored scan (the 100 TB case: hash-partitioned index files,
+    * where each per-shard build prunes to its own partition and a 3 TB
+    * checkpoint copy would be pure waste). */
+  def antiJoinWithShardedBloomPrefilter(batch: DataFrame, seen: DataFrame,
+                                        batchHashCol: String, seenHashCol: String,
+                                        shards: Int = 8, fpp: Double = 0.01,
+                                        expectedSeenCount: Option[Long] = None,
+                                        materializeSeen: Boolean = true): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val seenH =
+      if (materializeSeen) seen.select(col(seenHashCol)).localCheckpoint()
+      else seen.select(col(seenHashCol))
+    val n = math.max(expectedSeenCount.getOrElse(seenH.count()), 1L)
+    val perShardN = math.max(n / shards, 1L)
+    val shardOfSeen = pmod(hash(col(seenHashCol)), lit(shards))
+    val filters =
+      if (materializeSeen) {
+        // ONE build job: hashes route to their shard's task (skinny
+        // shuffle of the checkpointed blocks) and each task builds
+        // exactly one shard's filter — per-task memory is one shard,
+        // and there is no per-shard job-scheduling overhead. Shard i
+        // lands in partition i: HashPartitioner of an Int key in
+        // [0, shards) is the identity.
+        val built = seenH
+          .select(pmod(hash(col(seenHashCol)), lit(shards)).as("__shard"),
+            col(seenHashCol).cast("string").as("__h"))
+          .na.drop()
+          .rdd.map(r => (r.getInt(0), r.getString(1)))
+          .partitionBy(new org.apache.spark.HashPartitioner(shards))
+          .mapPartitionsWithIndex { (pi, it) =>
+            val f = org.apache.spark.util.sketch.BloomFilter
+              .create(perShardN, fpp)
+            it.foreach { case (_, h) => f.putString(h) }
+            Iterator((pi, f))
+          }
+          .collect().sortBy(_._1).map(_._2)
+        built.toIndexedSeq.map(f =>
+          batch.sparkSession.sparkContext.broadcast(f))
+      } else {
+        // stored hash-partitioned index: per-shard builds prune to their
+        // own partition's files — no shuffle, no full-index copy, and no
+        // task ever holds more than one shard's filter
+        (0 until shards).map { i =>
+          val f = seenH.filter(shardOfSeen === i)
+            .stat.bloomFilter(seenHashCol, perShardN, fpp)
+          batch.sparkSession.sparkContext.broadcast(f)
+        }
+      }
+    val withShard = batch.withColumn("__shard",
+        when(col(batchHashCol).isNull, lit(-1))
+          .otherwise(pmod(hash(col(batchHashCol)), lit(shards))))
+      .localCheckpoint()
+    val screened = (0 until shards).map { i =>
+      val bc = filters(i)
+      val might = udf((h: String) => bc.value.mightContain(h))
+      withShard.filter(col("__shard") === i)
+        .withColumn("__maybe", might(col(batchHashCol)))
+    }.reduce(_ union _)
+    val flagged = screened.union(
+      withShard.filter(col("__shard") === -1)
+        .withColumn("__maybe", lit(true)))
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe", "__shard")
+    val exact = flagged.filter(col("__maybe")).drop("__maybe", "__shard")
+      .join(seenH, col(batchHashCol) === col(seenHashCol), "left_anti")
     definitelyNew.union(exact)
   }
 

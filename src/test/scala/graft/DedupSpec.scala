@@ -186,6 +186,37 @@ class DedupSpec extends SparkSpec {
     bloomed should contain(999L) // NULL hash routes to the exact path, kept
   }
 
+  test("sharded bloom prefilter is exactly the plain anti join") {
+    // fpp 0.5 forces real false positives through the exact path, and 300
+    // murmur3-routed hashes land them across all 8 shard filters — the
+    // per-shard screen/union must still agree with the one-join truth
+    val seen = (1 to 500).map(i => s"h$i").toDF("seen_hash")
+    val batch = ((1 to 300).map(i => (i.toLong, s"h${i * 2}")) :+
+      ((999L, null.asInstanceOf[String]))).toDF("id", "h")
+    val plain = batch.join(seen, col("h") === col("seen_hash"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    val sharded = Dedup.antiJoinWithShardedBloomPrefilter(batch, seen,
+        "h", "seen_hash", shards = 8, fpp = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    sharded shouldBe plain
+    sharded should contain(999L) // NULL hash routes to the exact path, kept
+
+    // the stored-index build path (per-shard pruned scans, no checkpoint)
+    // must route identically — same murmur3 shard key on both sides
+    val stored = Dedup.antiJoinWithShardedBloomPrefilter(batch, seen,
+        "h", "seen_hash", shards = 8, fpp = 0.5, materializeSeen = false)
+      .select("id").as[Long].collect().sorted.toSeq
+    stored shouldBe plain
+
+    // every shard filter actually holds entries: each screens its own
+    // slice, so a batch hash that IS in seen must flag maybe in its shard
+    val allSeen = seen.select(col("seen_hash").as("h"))
+      .withColumn("id", monotonically_increasing_id())
+    val none = Dedup.antiJoinWithShardedBloomPrefilter(allSeen, seen,
+      "h", "seen_hash", shards = 8, fpp = 0.01)
+    none.isEmpty shouldBe true // no false negatives in any shard
+  }
+
   test("altStar agrees with min-label propagation on mixed cluster shapes") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)) // chain, pair, triangle
