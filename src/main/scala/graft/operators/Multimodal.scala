@@ -14,9 +14,10 @@ import scala.util.hashing.MurmurHash3
   * the JDK, fully offline) over PNG/JPEG/BMP/GIF payloads and extracts
   * width/height plus a downsampled luminance feature vector; undecodable
   * payloads degrade to (0, 0, zeros) instead of failing the job — at
-  * corpus scale you quarantine those rows, not crash the stage. Video
-  * frame-sampling stays a deterministic stub (no container demuxer in the
-  * JDK).
+  * corpus scale you quarantine those rows, not crash the stage. The video
+  * path is real too for multi-frame GIF ([[VideoCodec]] demuxes via
+  * javax.imageio's sequence API); [[sampleFrames]] remains the
+  * deterministic stand-in for containers the JDK cannot demux (MP4/WebM).
   *
   * Scale: per-row maps, zero shuffle. Binary payloads dominate scan cost →
   * keep metadata in separate columns so metadata-only queries prune the
@@ -452,8 +453,159 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Frame-sampling stub for video-typed rows: emits `n` (media_id,
-    * frame_idx, frame_hash) rows per video — explode-shaped, no state. */
+  /** Real video demux on javax.imageio's image-sequence API (JDK-bundled,
+    * offline): multi-frame GIF is the one video container the JDK can both
+    * write and read without external codecs, so it carries the REAL
+    * decode path of the modality triad — `getNumImages(allowSearch=true)`
+    * scans the container for the frame count, `read(i)` decodes each
+    * frame. Undecodable payloads yield zero frames (quarantine, don't
+    * crash — same policy as images/audio). MP4/WebM would slot in here
+    * behind the same (bytes → frames) signature with a real demuxer lib;
+    * [[sampleFrames]] is the deterministic stand-in for those. */
+  object VideoCodec extends Serializable {
+
+    /** One decoded frame: dims + mean Rec.601 luminance (UNnormalized,
+      * 0..255 — exact integer-in-double for constant-gray frames, which
+      * is what makes the synthetic-video oracle arithmetic). */
+    final case class Frame(width: Int, height: Int, meanLum: Double)
+
+    def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { img =>
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      baos.toByteArray
+    }
+
+    def decodeFrames(bytes: Array[Byte]): Array[Frame] = {
+      if (bytes == null || bytes.isEmpty) return Array.empty
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Array.empty
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(true) must scan backward
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          Array.tabulate(n) { i =>
+            val img = reader.read(i)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0.0
+            val rowBuf = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = rowBuf(x)
+                sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000.0
+                x += 1
+              }
+              y += 1
+            }
+            Frame(w, h, sum / (w.toLong * h))
+          }
+        } finally reader.dispose()
+      } catch {
+        case _: java.io.IOException | _: RuntimeException => Array.empty
+      }
+    }
+  }
+
+  /** Synthetic-video laws: dims, frame count, and per-frame constant gray
+    * all arithmetic in the id, so an external oracle recomputes every
+    * decoded figure without touching GIF bytes — the exact pattern of the
+    * image ([[syntheticWidth]]) and audio ([[audioAmplitude]]) harnesses.
+    * Constant-gray frames survive GIF palette quantization exactly (the
+    * single color IS the palette), and their Rec.601 mean luminance is
+    * exactly the gray value, so a broken demux cannot hash-match. */
+  def videoFrameCount(id: Long): Int = (2 + math.floorMod(id, 3)).toInt
+  def videoWidth(id: Long): Int = (8 + math.floorMod(id, 5)).toInt
+  def videoHeight(id: Long): Int = (8 + math.floorMod(id / 5, 5)).toInt
+  def videoFrameGray(id: Long, frame: Int): Int =
+    math.floorMod(id * 31L + frame * 53L, 256L).toInt
+
+  /** Harness generator: media rows whose `content` is a REAL multi-frame
+    * GIF built from the laws above. Partition-local map, no shuffle. */
+  def withSyntheticVideos(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (videoWidth(id), videoHeight(id))
+        val frames = Seq.tabulate(videoFrameCount(id)) { k =>
+          val g = videoFrameGray(id, k)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+            y += 1
+          }
+          img
+        }
+        Row(id, VideoCodec.encodeGif(frames), "video", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** REAL frame-decode stage: demux each video payload in the batched
+    * partition map and emit one row per frame — (frame_idx, frame_width,
+    * frame_height, mean_lum) appended to the media columns. Explode-shaped
+    * like [[sampleFrames]] but decode-backed: a broken demux emits zero
+    * rows (or wrong luminance) and fails the oracle. Zero shuffle. */
+  def withVideoFrames(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("frame_idx", IntegerType))
+      .add(StructField("frame_width", IntegerType))
+      .add(StructField("frame_height", IntegerType))
+      .add(StructField("mean_lum", DoubleType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.flatMap { r =>
+          VideoCodec.decodeFrames(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
+            case (f, i) =>
+              // Seq[Any]: a bare Seq(i, …, f.meanLum) would unify to
+              // Seq[Double] and silently widen the Int fields
+              Row.fromSeq(r.toSeq ++ Seq[Any](i, f.width, f.height, f.meanLum))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sampling stub for video-typed rows in containers the JDK
+    * cannot demux (MP4/WebM — see [[VideoCodec]] for the real GIF path):
+    * emits `n` (media_id, frame_idx, frame_hash) rows per video —
+    * explode-shaped, no state. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media.filter(col("media_type") === "video")
       .select(col("media_id"), explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),

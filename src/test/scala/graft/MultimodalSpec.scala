@@ -198,6 +198,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("VideoCodec round-trips multi-frame GIFs: count, dims, exact luminance") {
+    import Multimodal.VideoCodec
+    def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    }
+    val gif = VideoCodec.encodeGif(Seq(gray(217, 10, 9), gray(14, 10, 9), gray(67, 10, 9)))
+    val frames = VideoCodec.decodeFrames(gif)
+    frames should have length 3
+    frames.map(f => (f.width, f.height)).distinct.toSeq shouldBe Seq((10, 9))
+    // constant-gray frames survive GIF palettization exactly: Rec.601
+    // mean luminance IS the gray value, bit-exact in double
+    frames.map(_.meanLum).toSeq shouldBe Seq(217.0, 14.0, 67.0)
+    // garbage / empty bytes quarantine as zero frames, not a crash
+    VideoCodec.decodeFrames("not a gif".getBytes) shouldBe empty
+    VideoCodec.decodeFrames(null) shouldBe empty
+    VideoCodec.decodeFrames(Array.empty[Byte]) shouldBe empty
+  }
+
+  test("withVideoFrames demuxes synthetic GIFs distributed, batch-invariant") {
+    import Multimodal._
+    val docs = Seq((0L, "s"), (7L, "s"), (98L, "s")).toDF("id", "src")
+    val media = Multimodal.withSyntheticVideos(docs, "id", "src")
+    val a = Multimodal.withVideoFrames(media, batchSize = 2)
+      .select("media_id", "frame_idx", "frame_width", "frame_height", "mean_lum")
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Multimodal.withVideoFrames(media, batchSize = 32)
+      .select("media_id", "frame_idx", "frame_width", "frame_height", "mean_lum")
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    a.toSeq shouldBe b.toSeq
+    // every figure matches the arithmetic laws the oracle recomputes
+    a.groupBy(_._1).foreach { case (id, rows) =>
+      rows should have length videoFrameCount(id)
+      rows.zipWithIndex.foreach { case ((_, idx, w, h, lum), k) =>
+        idx shouldBe k
+        w shouldBe videoWidth(id)
+        h shouldBe videoHeight(id)
+        lum shouldBe videoFrameGray(id, k).toDouble
+      }
+    }
+  }
+
   test("sampleFrames emits n deterministic rows per video and none for images") {
     val videos = Multimodal.asMedia(
       Seq((7L, "vid bytes", "s")).toDF("id", "payload", "src"),
