@@ -851,6 +851,72 @@ object QueriesDataOps {
       FROM m JOIN counts c ON c.cluster = m.cluster
       ORDER BY cluster, dim""")),
 
+    ("ann_ivf_sampled", (s, dir) => {
+      // SURVEY's documented 100 TB training recipe, end-to-end: Lloyd
+      // never scans the full corpus — it trains on a deterministic
+      // sample (vec_id % 3 = 0 here; ≤10⁸ vectors at scale), then the
+      // trained centroids assign and search the FULL corpus. One
+      // distributed ivfTrainStep (sample-sized shuffle), k×dim floats
+      // through the driver, then the standard ivfTopK plan: equi-join
+      // on cluster id, per-query window top-k, probe fan-out on the
+      // query side only. roundAt=6 pins the trained means for the
+      // engine-portable oracle (distributed avg is ULP-deterministic
+      // only); production training keeps full precision. Recall vs
+      // brute force is floored in AnnRecallSpec.
+      val emb = T(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val sample = emb.filter(col("vec_id") >= 20 && col("vec_id") % 3 === 0)
+      val trained = SimilaritySearch.ivfTrain(sample, seeds, iters = 1,
+        roundAt = 6)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"))
+      SimilaritySearch.ivfTopK(queries, corpus, trained, k = 3, nProbe = 2)
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      samp AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id >= 20 AND vec_id % 3 = 0),
+      s1 AS (SELECT v.vec_id, v.embedding, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+             FROM samp v CROSS JOIN seeds c),
+      asg AS (SELECT vec_id, embedding, cid AS cluster FROM s1 WHERE r = 1),
+      d AS (SELECT cluster, embedding,
+                   unnest(generate_series(1, len(embedding))) AS s
+            FROM asg),
+      m AS (SELECT cluster, s,
+                   CAST(round(avg(CAST(embedding[s] AS DOUBLE)), 6) AS REAL) AS mu
+            FROM d GROUP BY cluster, s),
+      tr AS (SELECT cluster, list(mu ORDER BY s) AS tvec FROM m GROUP BY cluster),
+      cents AS (SELECT sd.cid, coalesce(t.tvec, sd.cvec) AS cvec
+                FROM seeds sd LEFT JOIN tr t ON t.cluster = sd.cid),
+      s2 AS (SELECT v.vec_id, v.embedding, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+             FROM embeddings v CROSS JOIN cents c),
+      corpus AS (SELECT vec_id AS nid, embedding AS nvec, cid AS cluster
+                 FROM s2 WHERE r = 1 AND vec_id >= 20),
+      probes AS (SELECT vec_id AS qid, embedding AS qvec, cid AS cluster
+                 FROM s2 WHERE r <= 2 AND vec_id < 20),
+      cand AS (SELECT q.qid, c.nid,
+                      list_cosine_similarity(q.qvec::DOUBLE[],
+                        c.nvec::DOUBLE[]) AS sim
+               FROM probes q JOIN corpus c ON q.cluster = c.cluster),
+      ranked AS (SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid ASC) AS rank
+                 FROM cand)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
     ("ann_ivf_assign", (s, dir) => {
       // IVF coarse quantization: nearest of 4 data-derived centroids →
       // cluster column for partition pruning at search time.
@@ -1285,6 +1351,33 @@ object QueriesDataOps {
              CASE WHEN doc_id % 2 = 0 THEN 'ffffffffffffffff'
                   ELSE '0000000000000000' END AS dhash
       FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
+
+    ("mm_frame_decode", (s, dir) => {
+      // REAL video demux: multi-frame GIFs built from arithmetic laws
+      // (dims = f(doc_id), frame count = 2 + doc_id % 3, frame k a
+      // constant gray (doc_id·31 + k·53) mod 256), demuxed with
+      // javax.imageio's sequence API in the batched partition map. A
+      // constant-gray frame survives GIF palette quantization exactly and
+      // its Rec.601 mean luminance IS the gray value, so the oracle
+      // recomputes frame count, dims, and luminance without touching GIF
+      // bytes — a broken demux drops rows or shifts luminance and
+      // hash-mismatches. sampleFrames remains the stub for non-JDK
+      // containers (MP4/WebM); this is the decode-backed path.
+      val media = Multimodal.withSyntheticVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withVideoFrames(media)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_width"), col("frame_height"),
+          round(col("mean_lum"), 6).as("mean_lum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS i
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             CAST(8 + doc_id % 5 AS INT) AS frame_width,
+             CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height,
+             round(CAST((doc_id * 31 + i * 53) % 256 AS DOUBLE), 6) AS mean_lum
+      FROM f ORDER BY media_id, frame_idx""")),
 
     ("mm_audio_features", (s, dir) => {
       // REAL audio: WAVs built from the amplitude law (window k of doc id

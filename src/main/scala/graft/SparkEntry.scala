@@ -51,11 +51,12 @@ object SparkEntry {
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
-    "ann_ivf_topk", "ann_ivf_train", "ann_quantized_topk", "ann_radius",
+    "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled",
+    "ann_quantized_topk", "ann_radius",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_char_entropy", "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix",
-    "mm_metadata", "mm_frame_sample")
+    "mm_metadata", "mm_frame_sample", "mm_frame_decode")
 }

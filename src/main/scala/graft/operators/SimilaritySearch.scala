@@ -177,12 +177,21 @@ object SimilaritySearch {
   /** Full Lloyd loop: `iters` training steps from `init` centroids.
     * Only the k×dim centroid matrix crosses the driver between
     * iterations; each iteration is one distributed ivfTrainStep. Empty
-    * clusters keep their previous centroid (standard k-means practice). */
+    * clusters keep their previous centroid (standard k-means practice).
+    *
+    * `roundAt ≥ 0` rounds each mean to that many decimals before it
+    * becomes the next centroid: distributed avg sums partials in
+    * partition order, so full-precision means are deterministic only to
+    * ~ULP — rounding pins them for engine-portable oracles (and costs
+    * nothing at 6 dp against quantization error). Production training
+    * keeps the default full precision. */
   def ivfTrain(df: DataFrame, init: Seq[Seq[Float]], iters: Int,
-               vecCol: String = "embedding"): Seq[Seq[Float]] = {
+               vecCol: String = "embedding", roundAt: Int = -1): Seq[Seq[Float]] = {
     require(iters >= 0, s"invalid iters=$iters")
     (1 to iters).foldLeft(init) { (cents, _) =>
-      val means = ivfTrainStep(df, cents, vecCol)
+      val step = ivfTrainStep(df, cents, vecCol)
+      val means = (if (roundAt >= 0) step.withColumn("mu", round(col("mu"), roundAt))
+                   else step)
         .select(col("cluster"), col("dim"), col("mu"))
         .collect()
         .groupBy(_.getInt(0))

@@ -68,6 +68,21 @@ class AnnRecallSpec extends SparkSpec {
     single8 should be <= single4
   }
 
+  test("sample-train → full-assign keeps the recall floor (the 100 TB recipe)") {
+    // train on a 1-in-3 deterministic sample, search the FULL corpus with
+    // the trained centroids — recall must hold even though Lloyd never
+    // saw 2/3 of the vectors, and probing everything is still exact.
+    val sample = corpus.filter(col("vec_id") % 3 === 0)
+    val trained = SimilaritySearch.ivfTrain(sample, centroids, iters = 2)
+    trained should have length centroids.length
+    val r2 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, trained, k, nProbe = 2))
+    val rAll = recallAt(SimilaritySearch.ivfTopK(queries, corpus, trained, k,
+      nProbe = trained.length))
+    info(f"sampled-train ivf recall@$k nProbe=2: $r2%.3f, nProbe=all: $rAll%.3f")
+    r2 should be >= 0.6
+    rAll shouldBe 1.0 +- 1e-9
+  }
+
   test("ivfTopK recall@5 at nProbe=2 of 4 clusters, and probing monotonicity") {
     val r1 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, centroids, k, nProbe = 1))
     val r2 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, centroids, k, nProbe = 2))
