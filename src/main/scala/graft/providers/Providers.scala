@@ -149,15 +149,39 @@ final class AzureOpenAIChat(connectionName: String,
 }
 
 /** Minimal HTTP + JSON helpers for the remote providers (JDK HttpClient,
-  * no extra deps). */
+  * no extra deps). Exercised offline through a loopback
+  * com.sun.net.httpserver in HttpLoopbackSpec — URL/headers/body on a
+  * real socket, plus both negative paths below. */
 private[providers] object Http {
-  def post(url: String, body: String, headers: Map[String, String]): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  /** POST with bounded retry: 429/5xx retries up to `maxAttempts` with
+    * exponential backoff (transient capacity errors, the documented
+    * Azure/Atlas guidance); any other non-2xx fails FAST — a 401/404
+    * never heals by retrying. Exhausted retries and fail-fast statuses
+    * both raise IOException carrying the status and a body snippet. */
+  def post(url: String, body: String, headers: Map[String, String],
+           maxAttempts: Int = 3, backoffMs: Long = 200): String = {
+    require(maxAttempts >= 1, s"invalid maxAttempts=$maxAttempts")
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
     headers.foreach { case (k, v) => b.header(k, v) }
-    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    val req = b.build()
+    var attempt = 1
+    while (true) {
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code / 100 == 2) return resp.body()
+      val retryable = code == 429 || code / 100 == 5
+      if (!retryable || attempt >= maxAttempts)
+        throw new java.io.IOException(
+          s"POST $url failed with HTTP $code after $attempt attempt(s): " +
+            resp.body().take(200))
+      Thread.sleep(backoffMs << (attempt - 1))
+      attempt += 1
+    }
+    sys.error("unreachable")
   }
 
   // Narrow, dependency-free extraction for the two response shapes we use.
