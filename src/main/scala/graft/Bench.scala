@@ -102,6 +102,50 @@ object Bench {
     } finally queries.foreach(_.stop())
   }
 
+  /** T3/T4 at scale: measured evidence for the bounded-TTL-state claim
+    * (SURVEY §2.11's streaming sizing note). `waves` publishes of
+    * `rowsPerWave` UNIQUE messages flow through dedupWithTtl, each wave
+    * `gapMinutes` later in EVENT time; the watermark must evict state
+    * older than the TTL, so live state plateaus at ≈ (ttl/gap + 1) waves
+    * no matter how many waves flow — 10× the rows must NOT mean 10× the
+    * state. Sink is noop (nothing accumulates driver-side); state sizes
+    * come from each micro-batch's StreamingQueryProgress.stateOperators.
+    * Returns (inputRows, maxStateRows, finalStateRows, maxStateBytes,
+    * secs). */
+  def stateBoundednessProbe(spark: SparkSession, waves: Int, rowsPerWave: Int,
+                            ttlMinutes: Int = 5, gapMinutes: Int = 2)
+      : (Long, Long, Long, Long, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamingOps.dedupWithTtl(
+      input.toDF.toDF("message", "ts"), "message", "ts",
+      ttl = s"$ttlMinutes minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-probe").toString
+    val query = deduped.writeStream.format("noop")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val t0 = System.nanoTime()
+    try {
+      (0 until waves).foreach { w =>
+        val eventMs = (100L + w.toLong * gapMinutes) * 60000L
+        input.addData((0 until rowsPerWave).map(i =>
+          (s"msg-$w-$i", new java.sql.Timestamp(eventMs))): _*)
+        query.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val states = query.recentProgress.toSeq
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum))
+        .filter(_._1 > 0)
+      val maxRows = if (states.isEmpty) 0L else states.map(_._1).max
+      val maxBytes = if (states.isEmpty) 0L else states.map(_._2).max
+      val finalRows = states.lastOption.map(_._1).getOrElse(0L)
+      (waves.toLong * rowsPerWave, maxRows, finalRows, maxBytes, secs)
+    } finally query.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -208,7 +252,23 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming":null"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contended,"sf":"$sfDir"}""")
+    // TTL-state scale probe: 10× the streaming bench's row count through
+    // the stateful dedup — state must plateau at the TTL horizon
+    // (~(ttl/gap+1) waves), evidencing the bounded-state sizing claim at
+    // any multiple. StreamingSpec pins the bound; this records the
+    // figures per round.
+    val stateProbe =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0"))
+        ""","state_probe":null"""
+      else try {
+        val (in, maxR, finR, maxB, secs) =
+          stateBoundednessProbe(spark, waves = 20, rowsPerWave = 10000)
+        s""","state_probe":{"rows":$in,"max_state_rows":$maxR,"final_state_rows":$finR,"max_state_bytes":$maxB,"sec":$secs}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] state probe failed: ${e.getMessage}")
+        ""","state_probe":null"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$stateProbe,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("TTL keeps dedup state bounded as the stream scales (watermark evicts)") {
+    // 12 waves of unique keys, 2 event-minutes apart, TTL 5 minutes.
+    // dropDuplicatesWithinWatermark keeps a key for `ttl` past its OWN
+    // event time, judged against a watermark that itself trails max event
+    // time by `ttl` (plus one batch of propagation lag), so the live
+    // horizon is ~2·ttl/gap + 1 waves — 6 here (measured exactly 6).
+    // Bounded ≠ small: the point is it PLATEAUS there instead of growing
+    // with the stream — the sizing claim that makes TTL dedup viable at
+    // 100 TB.
+    val (waves, perWave) = (12, 200)
+    val (in, maxRows, finalRows, maxBytes, _) =
+      Bench.stateBoundednessProbe(spark, waves, perWave,
+        ttlMinutes = 5, gapMinutes = 2)
+    in shouldBe waves.toLong * perWave
+    maxRows should be > 0L
+    maxBytes should be > 0L
+    // plateau: at most 2·ttl/gap + 2 waves ever live (one wave of slack),
+    // and strictly below the total — state did NOT grow with the stream
+    maxRows should be <= (2 * 5L / 2 + 2) * perWave
+    maxRows should be < in
+    finalRows should be <= maxRows
+  }
+
   test("watermarked session-window aggregation sessionizes a stream") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions._
