@@ -26,20 +26,38 @@ import org.apache.spark.sql.types.StructType
 object AvroFiles {
 
   /** Write `df` as deflate-compressed OCF part files under `dir` (one
-    * per non-empty partition). */
+    * per non-empty partition).
+    *
+    * Task-commit discipline: each task writes a `.tmp`-suffixed file and
+    * atomically renames it on successful close, so a task that dies
+    * mid-write leaves only an ignorable temp (readers filter on
+    * `.avro`), never a truncated container. A SPECULATIVE duplicate of a
+    * successful task would still commit a second complete file — this
+    * sink has no output-coordinator; run it with speculation off (the
+    * default) or behind a real committer at cluster scale. */
   def write(df: DataFrame, dir: String, recordName: String = "record"): Unit = {
     val json = AvroCodec.avroSchemaFor(df.schema, recordName).toString
     new java.io.File(dir).mkdirs()
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(json)
-        val file = new java.io.File(dir,
-          s"part-${java.util.UUID.randomUUID().toString.take(12)}.avro")
+        val name = s"part-${java.util.UUID.randomUUID().toString.take(12)}.avro"
+        val tmp = new java.io.File(dir, s".$name.tmp")
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(CodecFactory.deflateCodec(6))
-        w.create(schema, file)
-        try it.foreach(r => w.append(AvroCodec.toRecord(r, schema)))
-        finally w.close()
+        w.create(schema, tmp)
+        var ok = false
+        try {
+          it.foreach(r => w.append(AvroCodec.toRecord(r, schema)))
+          ok = true
+        } finally {
+          w.close()
+          if (ok)
+            java.nio.file.Files.move(tmp.toPath,
+              new java.io.File(dir, name).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          else tmp.delete()
+        }
       }
     }
   }

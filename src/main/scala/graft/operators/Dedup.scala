@@ -411,6 +411,17 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct()
   }
 
+  /** Release the block-manager storage behind a localCheckpoint'ed
+    * DataFrame (its plan is a LogicalRDD over the materialized blocks;
+    * Dataset.unpersist only covers cacheManager entries, not these).
+    * No-op for any other plan shape. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private[graft] def altStarWithRounds(pairs: DataFrame, aCol: String,
                                        bCol: String,
                                        maxIters: Int): (DataFrame, Int) = {
@@ -433,6 +444,12 @@ object Dedup {
       // and was the dominant per-round cost at bench scale
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // `next` is eagerly materialized and the convergence check has
+      // consumed the last read of the PREVIOUS round's blocks — release
+      // them, or the job retains O(rounds) edge-set copies in the block
+      // manager for its whole lifetime. The final round's blocks stay
+      // live (the labels below read them at consumption time).
+      unpersistCheckpoint(edges)
       edges = next
     }
     // fixpoint edges are stars center=component min: labels are the
