@@ -323,10 +323,15 @@ object Queries {
       // buffers. Sketch outputs are engine-specific, so the hashable
       // surface is a BOUNDED-ERROR VERDICT: each approx value must land
       // inside the exact p49–p51 / p89–p91 band (rank error ≤ 1% ≫ the
-      // sketch's N/10000 guarantee), emitted as a boolean next to the
-      // band edges themselves. DuckDB recomputes the exact edges and
-      // states TRUE — so a drifted sketch, a broken exact percentile, or
-      // band-edge disagreement between engines all hash-mismatch. At
+      // sketch's N/10000 guarantee), emitted as booleans next to the
+      // oracle-checked group count. The interpolated band EDGES stay out
+      // of the hash on purpose: a value landing on a rounding boundary
+      // splits engines by one ulp (observed: 253115.545 at sf0.01 —
+      // Spark 253115.54, DuckDB .55) while the verdict is
+      // boundary-immune; exact-percentile engine parity itself is
+      // q16_percentiles' job. DuckDB states TRUE, so a drifted sketch or
+      // broken exact percentile hash-mismatches; ApproxPercentileSpec
+      // additionally pins the edges and verdicts independently. At
       // 100 TB only the sketch half of this plan survives; the exact
       // half exists to adjudicate it at test scale.
       T(s, dir, "orders")
@@ -334,22 +339,17 @@ object Queries {
         .agg(
           expr("approx_percentile(o_totalprice, 0.5, 10000)").as("am"),
           expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a9"),
-          round(expr("percentile(o_totalprice, 0.49)"), 2).as("p49"),
-          round(expr("percentile(o_totalprice, 0.51)"), 2).as("p51"),
-          round(expr("percentile(o_totalprice, 0.89)"), 2).as("p89"),
-          round(expr("percentile(o_totalprice, 0.91)"), 2).as("p91"),
+          expr("percentile(o_totalprice, 0.49)").as("p49"),
+          expr("percentile(o_totalprice, 0.51)").as("p51"),
+          expr("percentile(o_totalprice, 0.89)").as("p89"),
+          expr("percentile(o_totalprice, 0.91)").as("p91"),
           count(lit(1)).as("n"))
         .select(col("o_orderpriority"), col("n"),
-          col("p49"), col("p51"), col("p89"), col("p91"),
           (col("am") >= col("p49") && col("am") <= col("p51")).as("median_in_band"),
           (col("a9") >= col("p89") && col("a9") <= col("p91")).as("p90_in_band"))
         .orderBy(col("o_orderpriority"))
     }, Some("""
       SELECT o_orderpriority, count(*) AS n,
-             round(quantile_cont(o_totalprice, 0.49), 2) AS p49,
-             round(quantile_cont(o_totalprice, 0.51), 2) AS p51,
-             round(quantile_cont(o_totalprice, 0.89), 2) AS p89,
-             round(quantile_cont(o_totalprice, 0.91), 2) AS p91,
              TRUE AS median_in_band, TRUE AS p90_in_band
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
