@@ -317,6 +317,30 @@ object QueriesDataOps {
       WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
       ORDER BY id_a, id_b""")),
 
+    ("dedup_segments", (s, dir) => {
+      // sub-document dedup (the CCNet/Common Crawl duplicated-lines
+      // pass): 8-token grid segments appearing in >= 2 DISTINCT docs —
+      // whole-doc dedup misses boilerplate blocks shared across
+      // otherwise-distinct documents. One uniform md5 shuffle + a join
+      // against the flagged sliver; offset-shifted overlap stays
+      // text_winnowing's job.
+      Dedup.duplicatedSegments(T(s, dir, "documents"), "text", "doc_id",
+          segTokens = 8, minDocs = 2)
+        .orderBy(col("doc_id"), col("seg_idx"), col("seg_hash"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      segs AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS seg_hash
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+              FROM toks)),
+      hot AS (SELECT seg_hash, count(DISTINCT doc_id) AS n_docs
+              FROM segs GROUP BY seg_hash HAVING count(DISTINCT doc_id) >= 2)
+      SELECT s.doc_id, s.seg_idx, s.seg_hash, CAST(h.n_docs AS BIGINT) AS n_docs
+      FROM segs s JOIN hot h USING (seg_hash)
+      ORDER BY doc_id, seg_idx, seg_hash""")),
+
     ("dedup_embedding_lsh", (s, dir) => {
       // the scale path for embedding near-dup: SRP signature bucketing
       // (one equi-join) + exact cosine verification, no label blocking.
@@ -1378,6 +1402,41 @@ object QueriesDataOps {
              CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height,
              round(CAST((doc_id * 31 + i * 53) % 256 AS DOUBLE), 6) AS mean_lum
       FROM f ORDER BY media_id, frame_idx""")),
+
+    ("mm_video_neardup", (s, dir) => {
+      // video NEAR-dup via per-frame perceptual hashes: demux (real GIF),
+      // dHash each frame, build a per-video signature over the ORDERED
+      // frame-hash sequence, bucket videos on it — one equi-shuffle, no
+      // pixel comparison (the video analog of image dHash bucketing).
+      // Gradient frames make every per-frame hash an analytic constant
+      // (ascending ramp → all-1s iff (id + k) even), so the oracle
+      // rebuilds each signature from the parity law and recomputes the
+      // same groups without decoding a single byte.
+      val media = Multimodal.withGradientVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      val sigs = Multimodal.withVideoFrameDHash(media)
+        .groupBy(col("media_id"))
+        .agg(md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("frame_idx"), col("frame_dhash")))),
+          s => s("frame_dhash")))).as("sig"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+      sigs.select(col("media_id"), col("sig"),
+          min(col("media_id")).over(w).as("keep_id"),
+          count(lit(1)).over(w).as("n_members"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k
+                 FROM documents WHERE doc_id < 100),
+      fh AS (SELECT doc_id, k,
+                    CASE WHEN (doc_id + k) % 2 = 0 THEN repeat('f', 16)
+                         ELSE repeat('0', 16) END AS h
+             FROM f),
+      sigs AS (SELECT doc_id, md5(string_agg(h, ',' ORDER BY k)) AS sig
+               FROM fh GROUP BY doc_id)
+      SELECT doc_id AS media_id, sig,
+             min(doc_id) OVER (PARTITION BY sig) AS keep_id,
+             count(*) OVER (PARTITION BY sig) AS n_members
+      FROM sigs ORDER BY media_id""")),
 
     ("mm_audio_features", (s, dir) => {
       // REAL audio: WAVs built from the amplitude law (window k of doc id

@@ -48,7 +48,8 @@ object SparkEntry {
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_simhash",
-    "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_embedding_lsh",
+    "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_segments",
+    "dedup_embedding_lsh",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled",
@@ -58,5 +59,5 @@ object SparkEntry {
     "text_unigram_surprisal", "text_char_entropy", "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix",
-    "mm_metadata", "mm_frame_sample", "mm_frame_decode")
+    "mm_metadata", "mm_frame_sample", "mm_frame_decode", "mm_video_neardup")
 }

@@ -556,6 +556,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Segment-level dedup — the sub-document granularity of the CCNet /
+    * Common Crawl "remove duplicated lines/paragraphs" pass: whole-doc
+    * dedup misses boilerplate (headers, navigation, license blocks)
+    * repeated across otherwise-distinct documents. Documents are cut
+    * into fixed `segTokens`-token segments on the whitespace grid (the
+    * corpus here has no line structure; with newlines, split on those
+    * instead — same plan) and a segment is flagged when it appears in
+    * ≥ `minDocs` DISTINCT documents. Emits one row per flagged
+    * occurrence: (doc_id, seg_idx, seg_hash, n_docs) — callers drop or
+    * keep-first by (seg_hash, doc_id, seg_idx). Grid-aligned by design:
+    * catches copied documents and block boilerplate; offset-shifted
+    * overlap detection is winnowing's job ([[winnowingFingerprints]]).
+    *
+    * Plan shape: per-row segment explode (narrow), ONE groupBy shuffle
+    * on seg_hash for the distinct-doc counts (map-side partial
+    * aggregation; md5 keys are uniform so no salting, ever), and one
+    * equi-join of the exploded segments against the flagged hashes —
+    * whose side shrinks to the duplicated sliver after the HAVING
+    * filter, so AQE turns it into a broadcast join in the common case
+    * where boilerplate is rare. */
+  def duplicatedSegments(df: DataFrame, textCol: String, idCol: String,
+                         segTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    require(minDocs >= 2, s"minDocs below 2 flags everything, got $minDocs")
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val segs = df.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nSegs - 1), i =>
+          concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("int").as("seg_idx"),
+        md5(col("seg")).as("seg_hash"))
+    val hot = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    segs.join(hot, "seg_hash")
+      .select(col("doc_id"), col("seg_idx"), col("seg_hash"), col("n_docs"))
+  }
+
   /** Embedding near-dup at corpus scale: SRP-LSH signature bucketing
     * replaces the label-block quadratic — candidates are pairs sharing
     * the full hyperplane signature (one equi-join on the signature), then

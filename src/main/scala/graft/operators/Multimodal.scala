@@ -112,6 +112,12 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) return null
+      dHashImage(img)
+    }
+
+    /** dHash of an already-decoded frame — the entry point video demux
+      * composes with ([[Multimodal.withVideoFrameDHash]]). */
+    def dHashImage(img: java.awt.image.BufferedImage): String = {
       val small = new java.awt.image.BufferedImage(
         9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = small.createGraphics()
@@ -487,7 +493,10 @@ object Multimodal {
       baos.toByteArray
     }
 
-    def decodeFrames(bytes: Array[Byte]): Array[Frame] = {
+    /** Raw demux: container bytes → decoded frame images, in container
+      * order. The primitive the stat ([[decodeFrames]]) and perceptual-
+      * hash ([[Multimodal.withVideoFrameDHash]]) stages compose. */
+    def decodeFrameImages(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
       if (bytes == null || bytes.isEmpty) return Array.empty
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -499,31 +508,33 @@ object Multimodal {
           // seekForwardOnly=false: getNumImages(true) must scan backward
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
-          Array.tabulate(n) { i =>
-            val img = reader.read(i)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0.0
-            val rowBuf = new Array[Int](w)
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, rowBuf, 0, w)
-              var x = 0
-              while (x < w) {
-                val rgb = rowBuf(x)
-                sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
-                  (rgb & 0xff) * 114) / 1000.0
-                x += 1
-              }
-              y += 1
-            }
-            Frame(w, h, sum / (w.toLong * h))
-          }
+          Array.tabulate(n)(reader.read)
         } finally reader.dispose()
       } catch {
         case _: java.io.IOException | _: RuntimeException => Array.empty
       }
     }
+
+    def decodeFrames(bytes: Array[Byte]): Array[Frame] =
+      decodeFrameImages(bytes).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            x += 1
+          }
+          y += 1
+        }
+        Frame(w, h, sum / (w.toLong * h))
+      }
   }
 
   /** Synthetic-video laws: dims, frame count, and per-frame constant gray
@@ -574,6 +585,68 @@ object Multimodal {
         length(col("content")).cast("long").as("n_bytes"),
         md5(col("content")).as("content_hash"),
         col("source").as("source")).as("meta"))
+  }
+
+  /** Gradient-video harness for the video near-dup oracle: frame k of
+    * video `id` is a 32×16 luminance ramp, ASCENDING when (id + k) is
+    * even (dHash ffffffffffffffff) and DESCENDING otherwise (all-zeros)
+    * — the per-frame analog of [[withGradientImages]], inside a real GIF
+    * container. A video's frame-hash sequence is therefore a parity
+    * pattern an external oracle states without decoding. */
+  def withGradientVideos(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (32, 16)
+        val frames = Seq.tabulate(videoFrameCount(id)) { k =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (x * 255) / (w - 1)
+              val g = if ((id + k) % 2 == 0) v else 255 - v
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Row(id, VideoCodec.encodeGif(frames), "video", r.getString(1))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Per-frame perceptual hash — the video NEAR-dup primitive: demux +
+    * [[ImageCodec.dHashImage]] per frame, one row per frame. Videos
+    * sharing their (ordered) frame-hash sequence are visual duplicates;
+    * bucketing on a signature over the sequence (see mm_video_neardup)
+    * finds them with one equi-shuffle and no pixel comparison — the
+    * video analog of bucketing images on [[withImageDHash]]. */
+  def withVideoFrameDHash(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("frame_idx", IntegerType))
+      .add(StructField("frame_dhash", StringType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.flatMap { r =>
+          VideoCodec.decodeFrameImages(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
+            case (img, i) =>
+              Row.fromSeq(r.toSeq ++ Seq[Any](i, ImageCodec.dHashImage(img)))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** REAL frame-decode stage: demux each video payload in the batched

@@ -283,6 +283,27 @@ class DedupSpec extends SparkSpec {
     byDoc(1L) shouldBe byDoc(2L)
   }
 
+  test("duplicatedSegments flags grid-aligned boilerplate, not unique text") {
+    // 4-token grid: docs 1 and 2 share their FIRST segment verbatim
+    // (boilerplate header); doc 3 contains the same words shifted off
+    // the grid — segment dedup is grid-aligned by design (winnowing owns
+    // offset-invariance), so doc 3 must NOT be flagged.
+    val corpus = Seq(
+      (1L, "all rights reserved inc unique alpha content one"),
+      (2L, "all rights reserved inc unrelated beta content two"),
+      (3L, "shifted all rights reserved inc gamma content three"),
+      (4L, "entirely distinct text with no shared segments here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSegments(corpus, "text", "doc_id",
+        segTokens = 4, minDocs = 2)
+      .select("doc_id", "seg_idx", "n_docs").as[(Long, Int, Long)]
+      .collect().sortBy(_._1)
+    got.toSeq shouldBe Seq((1L, 0, 2L), (2L, 0, 2L))
+    // raising the bar to 3 distinct docs clears the 2-doc segment
+    Dedup.duplicatedSegments(corpus, "text", "doc_id",
+      segTokens = 4, minDocs = 3).count() shouldBe 0L
+  }
+
   test("embeddingNearDupPairs: identical vectors pass, orthogonal fail") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f), "x"),

@@ -242,6 +242,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("withVideoFrameDHash: gradient frames hit the analytic constants per frame") {
+    import Multimodal._
+    // ids 2 and 8: same frame count (2 + id%3 = 4... no: 2%3=2→4 frames,
+    // 8%3=2→4 frames) and same parity → identical frame-hash sequences;
+    // id 3 differs in both count and parity pattern.
+    val docs = Seq((2L, "s"), (3L, "s"), (8L, "s")).toDF("id", "src")
+    val got = Multimodal.withVideoFrameDHash(withGradientVideos(docs, "id", "src"))
+      .select("media_id", "frame_idx", "frame_dhash")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    got.foreach { case (id, k, h) =>
+      h shouldBe (if ((id + k) % 2 == 0) "ffffffffffffffff"
+                  else "0000000000000000")
+    }
+    val seqs = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString(",")).toMap
+    seqs(2L) shouldBe seqs(8L)   // same parity + frame count → near-dup
+    seqs(2L) should not be seqs(3L)
+    got.count(_._1 == 2L) shouldBe videoFrameCount(2L)
+  }
+
   test("sampleFrames emits n deterministic rows per video and none for images") {
     val videos = Multimodal.asMedia(
       Seq((7L, "vid bytes", "s")).toDF("id", "payload", "src"),
