@@ -133,6 +133,32 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("segment dedup: md5 equi-join against the flagged sliver, no cartesian") {
+    val p = plan("dedup_segments")
+    p should include("partial_count")  // distinct-doc count combines map-side
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("video frame stages are shuffle-free partition maps up to the output sort") {
+    // demux + per-frame rows come from mapPartitions — the only exchanges
+    // allowed are the final presentation orderBy (range) and the
+    // signature groupBy in the neardup variant (hash on media_id/sig)
+    val p = plan("mm_frame_decode")
+    p should not include "Join"
+    "hashpartitioning".r.findAllIn(p).length shouldBe 0
+    val p2 = plan("mm_video_neardup")
+    p2 should not include "CartesianProduct"
+    p2 should not include "SortMergeJoin" // window+agg, never a join
+  }
+
+  test("sampled IVF search joins corpus to probes on the cluster id only") {
+    val p = plan("ann_ivf_sampled")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("cluster") // the equi-join key
+  }
+
   test("prompt-assembly neighbour window is hash-partitioned, not global") {
     val p = plan("rag_prompt_assembly")
     p should include("Window")
