@@ -31,6 +31,35 @@ class SqlSurfaceSpec extends SparkSpec {
     kept shouldBe Seq("alpha#", "##", "beta")
   }
 
+  test("split_text_gen is a native SQL table function (LATERAL VIEW)") {
+    // same chunks as the array UDF, emitted as generator rows — the SQL
+    // spelling of the reference's CROSS JOIN UNNEST(ML_CHARACTER_TEXT_
+    // SPLITTER(...)) without materializing the array
+    val viaUdf = spark.sql(
+      "SELECT split_text('alpha###beta', 6, 0, '###', false, false, true, 'START') AS c")
+      .collect().head.getSeq[String](0)
+    val viaGen = spark.sql(
+      """SELECT chunk_idx, chunk
+        |FROM (SELECT 'alpha###beta' AS text)
+        |LATERAL VIEW split_text_gen(text, 6, 0, '###') s AS chunk_idx, chunk
+        |""".stripMargin).collect()
+    viaGen.map(_.getString(1)).toSeq shouldBe viaUdf
+    viaGen.map(_.getInt(0)).toSeq shouldBe viaUdf.indices
+    // defaulted trailing args work too
+    spark.sql(
+      """SELECT chunk FROM (SELECT 'one two' AS text)
+        |LATERAL VIEW split_text_gen(text) s AS chunk_idx, chunk
+        |""".stripMargin).collect().map(_.getString(0)).toSeq shouldBe Seq("one two")
+    // non-literal config args are rejected loudly, not silently misread
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT chunk FROM (SELECT 'x' AS text, 5 AS n)
+          |LATERAL VIEW split_text_gen(text, n) s AS chunk_idx, chunk
+          |""".stripMargin).collect()
+    }
+    e.getMessage should include("literal")
+  }
+
   test("minhash_band_keys is callable from SQL") {
     val keys = spark.sql(
       "SELECT minhash_band_keys('a b c d e f', 3, 4, 3) AS k")
