@@ -875,6 +875,39 @@ object QueriesDataOps {
       FROM m JOIN counts c ON c.cluster = m.cluster
       ORDER BY cluster, dim""")),
 
+    ("ann_adaptive_topk", (s, dir) => {
+      // the planner seam as a checked query: adaptiveTopK reads
+      // Catalyst's own size estimate of the corpus plan (the broadcast-
+      // join statistic) and picks exact broadcast brute force under the
+      // budget, SRP-LSH above it. The test corpus sits under the default
+      // 64 MB budget, so the oracle is EXACT brute-force top-5 — and the
+      // chooser degrading to the LSH path (different recall) would
+      // hash-mismatch, pinning both the decision and the result.
+      // AnnRecallSpec covers the over-budget branch.
+      val emb = T(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"))
+      SimilaritySearch.adaptiveTopK(queries, corpus, k = 5, planes)
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      ranked AS (SELECT qid, nid,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY sim DESC, nid ASC) AS rank
+                 FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_ivf_sampled", (s, dir) => {
       // SURVEY's documented 100 TB training recipe, end-to-end: Lloyd
       // never scans the full corpus — it trains on a deterministic

@@ -46,6 +46,31 @@ class CodecPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("GIF video codec round-trips arbitrary constant-gray frame sequences") {
+    import graft.operators.Multimodal.VideoCodec
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 30).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(20)
+      val grays = Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(256))
+      val frames = grays.toSeq.map { g =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        img
+      }
+      val got = VideoCodec.decodeFrames(VideoCodec.encodeGif(frames))
+      got.length shouldBe grays.length // getNumImages(true) finds them all
+      got.zip(grays).foreach { case (f, g) =>
+        (f.width, f.height) shouldBe ((w, h))
+        // a single-color frame IS its palette entry: decode is exact and
+        // Rec.601 luminance of gray g is exactly g
+        f.meanLum shouldBe g.toDouble
+      }
+    }
+  }
+
   test("windowRms of a sine matches A/sqrt(2) over whole periods") {
     // a non-constant signal sanity-bound: 32 samples/period, 8 periods
     val a = 12000.0
