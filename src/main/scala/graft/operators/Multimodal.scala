@@ -633,11 +633,15 @@ object Multimodal {
     * finds them with one equi-shuffle and no pixel comparison — the
     * video analog of bucketing images on [[withImageDHash]]. */
   def withVideoFrameDHash(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    // video rows only, like sampleFrames: javax.imageio happily decodes a
+    // stray PNG as a 1-frame "video", which would emit a plausible-but-
+    // wrong row instead of excluding the mistyped payload
+    val videos = media.filter(col("media_type") === "video")
     val outSchema = media.schema
       .add(StructField("frame_idx", IntegerType))
       .add(StructField("frame_dhash", StringType))
     val binIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { it =>
+    videos.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
         rows.flatMap { r =>
           VideoCodec.decodeFrameImages(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
@@ -655,13 +659,17 @@ object Multimodal {
     * like [[sampleFrames]] but decode-backed: a broken demux emits zero
     * rows (or wrong luminance) and fails the oracle. Zero shuffle. */
   def withVideoFrames(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    // video rows only, like sampleFrames: javax.imageio happily decodes a
+    // stray PNG as a 1-frame "video", which would emit a plausible-but-
+    // wrong row instead of excluding the mistyped payload
+    val videos = media.filter(col("media_type") === "video")
     val outSchema = media.schema
       .add(StructField("frame_idx", IntegerType))
       .add(StructField("frame_width", IntegerType))
       .add(StructField("frame_height", IntegerType))
       .add(StructField("mean_lum", DoubleType))
     val binIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { it =>
+    videos.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
         rows.flatMap { r =>
           VideoCodec.decodeFrames(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {

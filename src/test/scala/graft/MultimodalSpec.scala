@@ -222,7 +222,15 @@ class MultimodalSpec extends SparkSpec {
   test("withVideoFrames demuxes synthetic GIFs distributed, batch-invariant") {
     import Multimodal._
     val docs = Seq((0L, "s"), (7L, "s"), (98L, "s")).toDF("id", "src")
+    // an image row mixed in must be EXCLUDED, not decoded as a 1-frame
+    // video (PNG decodes fine through javax.imageio's sequence API)
     val media = Multimodal.withSyntheticVideos(docs, "id", "src")
+      .union(Multimodal.withSyntheticImages(
+        Seq((500L, "s")).toDF("id", "src"), "id", "src"))
+    Multimodal.withVideoFrames(media)
+      .filter(col("media_id") === 500L).count() shouldBe 0L
+    Multimodal.withVideoFrameDHash(media)
+      .filter(col("media_id") === 500L).count() shouldBe 0L
     val a = Multimodal.withVideoFrames(media, batchSize = 2)
       .select("media_id", "frame_idx", "frame_width", "frame_height", "mean_lum")
       .as[(Long, Int, Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
