@@ -1276,8 +1276,8 @@ object QueriesDataOps {
 
     ("text_char_entropy", (s, dir) => {
       // character-distribution gibberish filter: per-doc Shannon entropy
-      // over [a-z0-9] in nats; every shuffle doc-keyed, per-doc groups
-      // bounded by the 36-symbol alphabet.
+      // over [a-z0-9] in nats; a codegen'd per-row expression — zero
+      // shuffles before the presentation sort (PlanSpec pins this).
       TextAnalysis.charEntropy(spread(s, T(s, dir, "documents")),
           "text", "doc_id")
         .orderBy(col("doc_id"))

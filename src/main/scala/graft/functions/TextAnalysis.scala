@@ -137,21 +137,16 @@ object TextAnalysis {
     * so both tails are gibberish/binary-spill filters (the
     * character-distribution analog of the Gopher repetition rules).
     *
-    * Plan: char explode → (doc, char) count → per-doc total (bounded
-    * fan-in: ≤ 36 rows per doc) → per-doc −Σ p ln p. All shuffles are
-    * doc-keyed; the alphabet bounds every per-doc group. */
-  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val chars = df.select(col(idCol).as("doc_id"),
-      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]"), lit(0)))
-        .as("ch"))
-    val counts = chars.groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
-    counts.join(totals, "doc_id")
-      .groupBy(col("doc_id"))
-      .agg(round(-sum((col("c") / col("t")) * log(col("c") / col("t"))), 6)
-        .as("entropy"))
-  }
+    * Plan: pure per-row map (codegen'd [[org.apache.spark.sql.graft.CharEntropy]]
+    * expression) — the entropy depends only on the row's own text, so
+    * zero shuffles, same shape as [[qualityScore]]/[[langId]]. Documents
+    * with no [a-z0-9] characters are dropped, matching the former
+    * explode form (which emitted no row for them). */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        round(org.apache.spark.sql.graft.TextExpressions.charEntropy(
+          col(textCol)), 6).as("entropy"))
+      .filter(col("entropy").isNotNull)
 
   /** Per-document top-k terms by TF-IDF — the classic corpus-salience
     * ranking (keyword extraction / topic labeling for training-data

@@ -483,40 +483,23 @@ object Dedup {
     * canonical form is shorter than k + w - 1 have no full window and
     * yield no rows.
     *
-    * Plan shape: per-row gram explode (×P of a skinny projection), then
-    * ONE hash-partitioned sort on (doc, pos) evaluating all three window
-    * functions (frame min, partition max, lag) in a single Window
-    * operator — no joins, and no distinct exchange: windows selecting
-    * the same (hash, pos) key are provably a contiguous run (the key's
-    * position lies inside every intermediate window, and every key those
-    * windows see lies in the two endpoint windows, so the same minimum
-    * wins throughout), so dropping rows equal to their predecessor's
-    * selection IS the dedup. The (hash, zero-padded pos) string key makes
-    * the window min reproduce the paper's tie-break and stays
-    * engine-portable for the oracle. */
+    * Plan shape: scan → canonicalize (codegen'd regexps) → Generate —
+    * the window minimum needs only the row's own text, so selection
+    * runs partition-locally inside
+    * [[org.apache.spark.sql.graft.WinnowGenerator]] (monotonic deque,
+    * O(n) per document) and the plan carries ZERO exchanges (PlanSpec
+    * pins this). The former relational form exploded every gram
+    * position through one doc-keyed exchange to evaluate three window
+    * functions; windows selecting the same key are a contiguous run, so
+    * the generator's consecutive-dedup emission matches that form's
+    * DISTINCT exactly (same (hash, zero-padded pos) selection order —
+    * see the generator's scaladoc for the equivalence argument). */
   def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"invalid k=$k w=$w")
-    val grams = df
-      .select(col(idCol).as("doc_id"), TextAnalysis.canonical(col(textCol)).as("p"))
-      .filter(length(col("p")) >= k)
-      .select(col("doc_id"), col("p"),
-        explode(sequence(lit(1), length(col("p")) - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        concat(md5(col("p").substr(col("pos"), lit(k))), lit(":"),
-          lpad(col("pos").cast("string"), 8, "0")).as("key"))
-    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val win = ordered.rowsBetween(Window.currentRow, w - 1)
-    val part = Window.partitionBy(col("doc_id"))
-    grams
-      .withColumn("sel", min(col("key")).over(win))
-      .withColumn("n_pos", max(col("pos")).over(part))
-      .withColumn("prev", lag(col("sel"), 1).over(ordered))
-      .filter(col("pos") <= col("n_pos") - (w - 1)) // full windows only
-      .filter(col("prev").isNull || col("sel") =!= col("prev")) // run starts
-      .select(col("doc_id"),
-        element_at(split(col("sel"), ":"), 2).cast("int").as("fp_pos"),
-        element_at(split(col("sel"), ":"), 1).as("fp_hash"))
+    df.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.TextExpressions.winnowGen(
+        TextAnalysis.canonical(col(textCol)), k, w))
   }
 
   /** SimHash buckets: signature → members. Near-dups collide on the full

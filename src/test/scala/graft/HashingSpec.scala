@@ -157,12 +157,36 @@ class TfIdfSpec extends SparkSpec {
     val docs = Seq(
       (1L, "aaaa aa"),      // one symbol → entropy 0
       (2L, "abcd"),         // uniform over 4 → ln 4
-      (3L, "!!! ???")).toDF("doc_id", "text") // no [a-z0-9] → no row
+      (3L, "!!! ???"),      // no [a-z0-9] → no row
+      (4L, "aA éé 11")).toDF("doc_id", "text") // case-folds; é not counted
     val got = graft.functions.TextAnalysis.charEntropy(docs, "text", "doc_id")
       .as[(Long, Double)].collect().toMap
     got(1L) shouldBe 0.0
     got(2L) shouldBe BigDecimal(math.log(4.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    got.keySet shouldBe Set(1L, 2L)
+    // doc 4: bins {a:2, 1:2} of t=4 → uniform over 2 symbols → ln 2
+    got(4L) shouldBe BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.keySet shouldBe Set(1L, 2L, 4L)
+  }
+
+  test("char entropy expression matches the relational formulation on real docs") {
+    // the zero-shuffle expression replaced an explode → count → join →
+    // agg pipeline (r7 verdict finding); pin value-equality against that
+    // formulation on the real test corpus so the rewrite stays honest
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chars = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0)))
+        .as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("t"))
+    val old = counts.join(totals, "doc_id").groupBy(col("doc_id"))
+      .agg(round(-sum((col("c") / col("t")) * log(col("c") / col("t"))), 6)
+        .as("entropy"))
+      .as[(Long, Double)].collect().toMap
+    val neu = graft.functions.TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .as[(Long, Double)].collect().toMap
+    neu shouldBe old
   }
 }

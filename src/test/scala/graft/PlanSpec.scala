@@ -85,12 +85,22 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
-  test("winnowing reuses one hash exchange for all three window functions") {
+  test("winnowing is a partition-local generator: zero hash exchanges") {
     val p = plan("text_winnowing")
-    // one window shuffle on doc_id; the only other exchanges are the
-    // harness round-robin spread and the final range sort
-    "hashpartitioning".r.findAllIn(p).length shouldBe 1
+    // selection happens inside the Generate operator; the only exchanges
+    // are the harness round-robin spread and the final range sort
+    "hashpartitioning".r.findAllIn(p).length shouldBe 0
+    p should include("Generate")
+    p should not include "Window"
     p should not include "CartesianProduct"
+  }
+
+  test("char entropy is a per-row map: zero hash exchanges before the final sort") {
+    val p = plan("text_char_entropy")
+    // the only exchanges are the harness round-robin spread and the
+    // presentation range sort — a doc-keyed aggregation would show here
+    "hashpartitioning".r.findAllIn(p).length shouldBe 0
+    p should not include "Join"
   }
 
   test("tfidf: high-cardinality term join, no cartesian blowup from N") {
