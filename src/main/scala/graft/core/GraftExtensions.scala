@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{CosineSimilarityFloat, DotProductFloat, SplitTextGenerator}
+import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, MlPredictExpression, SplitTextGenerator, WinnowGenerator}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -35,7 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else {
             require(children(i).foldable,
               s"split_text_gen argument ${i + 1} must be a literal")
-            f(children(i).eval(null))
+            val v = children(i).eval(null)
+            require(v != null,
+              s"split_text_gen argument ${i + 1} must not be NULL")
+            try f(v) catch {
+              case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+                throw new IllegalArgumentException(
+                  s"split_text_gen argument ${i + 1} has the wrong type " +
+                    s"(got '$v'): ${e.getMessage}", e)
+            }
           }
         SplitTextGenerator(children(0),
           size = arg(1, 200, _.toString.toInt),
@@ -59,6 +67,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "vector_dot(a, b) takes 2 arguments")
         DotProductFloat(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_gen"),
+      new ExpressionInfo(classOf[WinnowGenerator].getName, "winnow_gen"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "winnow_gen(canonical_text, k, w) takes 3 arguments")
+        def intArg(i: Int, name: String): Int = {
+          require(children(i).foldable,
+            s"winnow_gen argument $name must be a literal")
+          val v = children(i).eval(null)
+          require(v != null, s"winnow_gen argument $name must not be NULL")
+          try v.toString.toInt catch {
+            case e: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"winnow_gen argument $name has the wrong type (got '$v')", e)
+          }
+        }
+        WinnowGenerator(children(0), intArg(1, "k"), intArg(2, "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "char_entropy(text) takes 1 argument")
+        CharEntropy(children(0))
+      }))
+    // the reference's LATERAL TABLE(ML_PREDICT('model', col)) — model
+    // resolution via ModelRegistry, output type from the model's task
+    ext.injectFunction((
+      new FunctionIdentifier("ml_predict"),
+      new ExpressionInfo(classOf[MlPredictExpression].getName, "ml_predict"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "ml_predict(model, input) takes 2 arguments")
+        require(children(0).foldable,
+          "ml_predict argument 1 (model name) must be a literal")
+        val m = children(0).eval(null)
+        require(m != null, "ml_predict argument 1 (model name) must not be NULL")
+        MlPredictExpression(m.toString, children(1))
       }))
   }
 }

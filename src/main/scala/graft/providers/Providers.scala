@@ -14,7 +14,8 @@ final case class ConnectionSpec(name: String, connType: String,
 
 final case class ModelSpec(name: String, provider: String, task: String,
                            connection: String, modelVersion: String = "",
-                           inputFormat: String = "", systemPrompt: String = "")
+                           inputFormat: String = "", systemPrompt: String = "",
+                           dim: Int = 1536)
 
 object ConnectionRegistry {
   private val conns = scala.collection.concurrent.TrieMap.empty[String, ConnectionSpec]
@@ -46,6 +47,24 @@ object ModelRegistry {
         "sales guidance formatted as JSON with fields suggested_response " +
         "(<=75 words), sources (3 objects: document_index, document_id, " +
         "title, path, full_text, used_excerpt) and reasoning (<=25 words)."))
+  }
+}
+
+/** CREATE MODEL → runtime backend resolution: the deploy-time seam the
+  * SQL `ml_predict` function goes through. `provider = "mock"` wires the
+  * deterministic offline backends; `"azureopenai"` the REST providers
+  * (reference generate_personalized_commands.sh:215-224: `'provider' =
+  * 'azureopenai'`). */
+object Providers {
+  def embedderFor(spec: ModelSpec): EmbeddingProvider = spec.provider match {
+    case "mock"        => new MockEmbedder(spec.dim)
+    case "azureopenai" => new AzureOpenAIEmbedder(spec.connection, spec.dim)
+    case p => sys.error(s"model '${spec.name}': unknown embedding provider '$p'")
+  }
+  def chatFor(spec: ModelSpec): ChatProvider = spec.provider match {
+    case "mock"        => new MockChat
+    case "azureopenai" => new AzureOpenAIChat(spec.connection)
+    case p => sys.error(s"model '${spec.name}': unknown chat provider '$p'")
   }
 }
 
@@ -157,9 +176,20 @@ private[providers] object Http {
 
   /** POST with bounded retry: 429/5xx retries up to `maxAttempts` with
     * exponential backoff (transient capacity errors, the documented
-    * Azure/Atlas guidance); any other non-2xx fails FAST — a 401/404
-    * never heals by retrying. Exhausted retries and fail-fast statuses
-    * both raise IOException carrying the status and a body snippet. */
+    * Azure/Atlas guidance), honoring a numeric `Retry-After` response
+    * header (seconds, capped at 30 s) over the computed backoff when the
+    * server sends one; any other non-2xx fails FAST — a 401/404 never
+    * heals by retrying. Exhausted retries and fail-fast statuses both
+    * raise IOException carrying the status and a body snippet.
+    *
+    * CAVEAT — retried POSTs can duplicate side effects: a gateway 5xx
+    * returned after the provider processed the request (e.g. a 504)
+    * resends a non-idempotent call. Both reference endpoints tolerate
+    * this (embedding/chat inference is stateless; the Mongo sink upserts
+    * by key, so replays are idempotent) — route genuinely
+    * non-idempotent endpoints through `maxAttempts = 1`. The sleep runs
+    * on the calling executor task thread during batched inference;
+    * that is the intended per-partition pacing, not a scheduler stall. */
   def post(url: String, body: String, headers: Map[String, String],
            maxAttempts: Int = 3, backoffMs: Long = 200): String = {
     require(maxAttempts >= 1, s"invalid maxAttempts=$maxAttempts")
@@ -178,7 +208,15 @@ private[providers] object Http {
         throw new java.io.IOException(
           s"POST $url failed with HTTP $code after $attempt attempt(s): " +
             resp.body().take(200))
-      Thread.sleep(backoffMs << (attempt - 1))
+      // RFC 9110 Retry-After: delay-seconds form only (the HTTP-date
+      // form is rare on rate limiters; unparseable values fall back)
+      val retryAfterMs = {
+        import scala.jdk.OptionConverters._
+        resp.headers().firstValue("Retry-After").toScala
+          .flatMap(_.toLongOption).filter(_ >= 0)
+          .map(s => math.min(s, 30L) * 1000L)
+      }
+      Thread.sleep(retryAfterMs.getOrElse(backoffMs << (attempt - 1)))
       attempt += 1
     }
     sys.error("unreachable")

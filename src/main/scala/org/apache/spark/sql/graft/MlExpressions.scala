@@ -1,0 +1,80 @@
+// Hosted under org.apache.spark.sql like the other native expressions
+// (Expression↔Column bridging pieces are private[sql]).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.providers.{ChatProvider, EmbeddingProvider, ModelRegistry, Providers}
+
+/** SQL spelling of the reference's `ML_PREDICT('model', col)`
+  * (generate_personalized_commands.sh:332-335, 417-432): resolves the
+  * model by name through [[graft.providers.ModelRegistry]] and appends
+  * the model output per row — `ARRAY<FLOAT>` for `task = "embedding"`,
+  * `STRING` (the completion, built with the model's registered system
+  * prompt) for `task = "text_generation"`. Registered as `ml_predict`
+  * by GraftExtensions, so
+  * `SELECT ml_predict('openaiembed', chunk) FROM ...` is the lateral
+  * chunk→embed chain in pure SQL.
+  *
+  * Marked [[Nondeterministic]] for the same reason MlPredict.embedUdf
+  * is: Catalyst must never re-execute or reorder a remote model call
+  * past filters (CSE, pushdown). CodegenFallback — the body is an RPC,
+  * not arithmetic.
+  *
+  * Scale note: this scalar form evaluates ONE provider call per row;
+  * the batched `MlPredict.withEmbedding` / `withCompletion`
+  * (mapPartitions, one RPC per batch) remains the production shape for
+  * remote endpoints — this function completes SQL parity and is the
+  * right call for local/mock backends. Providers resolve lazily
+  * per-JVM: on a multi-executor cluster the model registry must be
+  * populated on executors too (a deploy-time `registerReferenceModels`
+  * analog in the executor plugin), exactly like any UDF-captured
+  * catalog state.
+  */
+case class MlPredictExpression(modelName: String, child: Expression)
+    extends UnaryExpression with Nondeterministic with CodegenFallback {
+
+  @transient private lazy val spec = ModelRegistry.get(modelName)
+  @transient private lazy val embedder: EmbeddingProvider = Providers.embedderFor(spec)
+  @transient private lazy val chat: ChatProvider = Providers.chatFor(spec)
+
+  override def dataType: DataType = spec.task match {
+    case "embedding"       => ArrayType(FloatType, containsNull = false)
+    case "text_generation" => StringType
+    case t => throw new IllegalArgumentException(
+      s"ml_predict: model '$modelName' has unsupported task '$t' " +
+        "(expected 'embedding' or 'text_generation')")
+  }
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ml_predict needs a STRING input, got ${child.dataType.sql}")
+  }
+
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+
+  override protected def evalInternal(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else spec.task match {
+      case "embedding" =>
+        UnsafeArrayData.fromPrimitiveArray(embedder.embed(v.toString))
+      case _ =>
+        UTF8String.fromString(
+          chat.completeBatch(Seq(v.toString), spec.systemPrompt).head)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

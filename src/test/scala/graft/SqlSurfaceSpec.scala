@@ -67,6 +67,60 @@ class SqlSurfaceSpec extends SparkSpec {
     keys should have length 4
   }
 
+  test("ml_predict embeds from SQL: chunk→embed chain matches the DataFrame path") {
+    // the reference's knowledge-chunking INSERT (generate_personalized_
+    // commands.sh:332-335): CROSS JOIN UNNEST(splitter) + LATERAL
+    // ML_PREDICT — here spelled entirely in SQL via the injected
+    // split_text_gen generator and ml_predict scalar
+    ModelRegistry.register(ModelSpec("sql_embed_test", provider = "mock",
+      task = "embedding", connection = "none", dim = 16))
+    spark.createDataFrame(Seq(
+      ("d1", "alpha beta gamma delta"),
+      ("d2", "epsilon zeta eta theta")))
+      .toDF("document_id", "document_text")
+      .createOrReplaceTempView("knowledge_sql_test")
+    val viaSql = spark.sql(
+      """SELECT document_id, chunk AS chunks,
+        |       ml_predict('sql_embed_test', chunk) AS embedding
+        |FROM knowledge_sql_test
+        |LATERAL VIEW split_text_gen(document_text, 12, 0, ' ') s AS chunk_idx, chunk
+        |""".stripMargin).collect()
+    val df = spark.table("knowledge_sql_test").select(
+      org.apache.spark.sql.functions.col("document_id"),
+      org.apache.spark.sql.graft.TextExpressions
+        .splitTextGen(org.apache.spark.sql.functions.col("document_text"),
+          size = 12, overlap = 0, sep = " "))
+    val viaDf = graft.operators.MlPredict.withEmbedding(
+        df.select(df("document_id"), df("chunk").as("chunks")),
+        new graft.providers.MockEmbedder(16), "chunks", "embedding")
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getSeq[Float](2).toList)
+    viaSql.map(key).sortBy(k => (k._1, k._2)) shouldBe
+      viaDf.map(key).sortBy(k => (k._1, k._2))
+    viaSql.foreach(_.getSeq[Float](2) should have length 16)
+
+    // text_generation task: completion string carries the model contract
+    ModelRegistry.registerReferenceModels()
+    val out = spark.sql(
+      """SELECT ml_predict('coaching_response_generator',
+        |                  '## PROSPECT MESSAGE: too expensive') AS r
+        |""".stripMargin).collect().head.getString(0)
+    out should include("suggested_response")
+
+    // unknown model / non-literal name fail loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT ml_predict('no_such_model', 'x')").collect()
+    }
+    e.getMessage should include("unknown model")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT ml_predict(document_id, document_text)
+          |FROM knowledge_sql_test""".stripMargin).collect()
+    }
+    e2.getMessage should include("literal")
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"
