@@ -15,9 +15,10 @@ import scala.util.hashing.MurmurHash3
   * width/height plus a downsampled luminance feature vector; undecodable
   * payloads degrade to (0, 0, zeros) instead of failing the job — at
   * corpus scale you quarantine those rows, not crash the stage. The video
-  * path is real too for multi-frame GIF ([[VideoCodec]] demuxes via
-  * javax.imageio's sequence API); [[sampleFrames]] remains the
-  * deterministic stand-in for containers the JDK cannot demux (MP4/WebM).
+  * path is real too for multi-frame GIF and runs behind the [[VideoDemux]]
+  * seam (MP4/WebM = one deploy-time impl, like EmbeddingProvider);
+  * [[sampleFrames]] remains the hash-level deterministic stand-in where
+  * frame content is not needed.
   *
   * Scale: per-row maps, zero shuffle. Binary payloads dominate scan cost →
   * keep metadata in separate columns so metadata-only queries prune the
@@ -459,15 +460,56 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Real video demux on javax.imageio's image-sequence API (JDK-bundled,
-    * offline): multi-frame GIF is the one video container the JDK can both
-    * write and read without external codecs, so it carries the REAL
-    * decode path of the modality triad — `getNumImages(allowSearch=true)`
-    * scans the container for the frame count, `read(i)` decodes each
-    * frame. Undecodable payloads yield zero frames (quarantine, don't
-    * crash — same policy as images/audio). MP4/WebM would slot in here
-    * behind the same (bytes → frames) signature with a real demuxer lib;
-    * [[sampleFrames]] is the deterministic stand-in for those. */
+  /** The video-demux seam — the deploy-time plug-in point for container
+    * support, mirroring [[graft.providers.EmbeddingProvider]]: the frame
+    * stages ([[withVideoFrames]], [[withVideoFrameDHash]]) only ever see
+    * this trait, so MP4/WebM support is one `VideoDemux` impl backed by a
+    * real demuxer lib (JavaCV/ffmpeg) swapped in at the call site — no
+    * engine change. Contract: container bytes → decoded frames in
+    * container order; undecodable payloads yield zero frames (quarantine,
+    * don't crash — the corpus policy everywhere in this file). */
+  trait VideoDemux extends Serializable {
+    def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage]
+  }
+
+  /** Real JDK demux: javax.imageio's image-sequence API over multi-frame
+    * GIF — the one video container the JDK reads and writes without
+    * external codecs, so it carries the build's real decode path.
+    * `getNumImages(allowSearch=true)` scans the container for the frame
+    * count, `read(i)` decodes each frame. */
+  object GifVideoDemux extends VideoDemux {
+    override def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.isEmpty) return Array.empty
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Array.empty
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(true) must scan backward
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          Array.tabulate(n)(reader.read)
+        } finally reader.dispose()
+      } catch {
+        case _: java.io.IOException | _: RuntimeException => Array.empty
+      }
+    }
+  }
+
+  /** Quarantine demux for containers this offline build has no codec for
+    * (MP4/WebM): every payload yields zero frames, so mistyped or
+    * unsupported videos surface as frameless rows instead of wrong data.
+    * A deployment with real codecs replaces this (and/or GifVideoDemux)
+    * with a JavaCV-backed impl; [[sampleFrames]] is the hash-level
+    * deterministic stand-in where frame CONTENT is not needed. */
+  object UnsupportedVideoDemux extends VideoDemux {
+    override def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] =
+      Array.empty
+  }
+
+  /** Video codec utilities over the [[VideoDemux]] seam. */
   object VideoCodec extends Serializable {
 
     /** One decoded frame: dims + mean Rec.601 luminance (UNnormalized,
@@ -493,30 +535,14 @@ object Multimodal {
       baos.toByteArray
     }
 
-    /** Raw demux: container bytes → decoded frame images, in container
-      * order. The primitive the stat ([[decodeFrames]]) and perceptual-
-      * hash ([[Multimodal.withVideoFrameDHash]]) stages compose. */
-    def decodeFrameImages(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
-      if (bytes == null || bytes.isEmpty) return Array.empty
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return Array.empty
-        val reader = readers.next()
-        try {
-          // seekForwardOnly=false: getNumImages(true) must scan backward
-          reader.setInput(iis, false, true)
-          val n = reader.getNumImages(true)
-          Array.tabulate(n)(reader.read)
-        } finally reader.dispose()
-      } catch {
-        case _: java.io.IOException | _: RuntimeException => Array.empty
-      }
-    }
+    /** Raw demux via the default (GIF) impl — kept as the call-site
+      * convenience; stages parameterize the [[VideoDemux]] directly. */
+    def decodeFrameImages(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] =
+      GifVideoDemux.demuxFrames(bytes)
 
-    def decodeFrames(bytes: Array[Byte]): Array[Frame] =
-      decodeFrameImages(bytes).map { img =>
+    def decodeFrames(bytes: Array[Byte],
+                     demux: VideoDemux = GifVideoDemux): Array[Frame] =
+      demux.demuxFrames(bytes).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         var sum = 0.0
@@ -632,7 +658,8 @@ object Multimodal {
     * bucketing on a signature over the sequence (see mm_video_neardup)
     * finds them with one equi-shuffle and no pixel comparison — the
     * video analog of bucketing images on [[withImageDHash]]. */
-  def withVideoFrameDHash(media: DataFrame, batchSize: Int = 32): DataFrame = {
+  def withVideoFrameDHash(media: DataFrame, batchSize: Int = 32,
+                          demux: VideoDemux = GifVideoDemux): DataFrame = {
     // video rows only, like sampleFrames: javax.imageio happily decodes a
     // stray PNG as a 1-frame "video", which would emit a plausible-but-
     // wrong row instead of excluding the mistyped payload
@@ -644,7 +671,7 @@ object Multimodal {
     videos.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
         rows.flatMap { r =>
-          VideoCodec.decodeFrameImages(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
+          demux.demuxFrames(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
             case (img, i) =>
               Row.fromSeq(r.toSeq ++ Seq[Any](i, ImageCodec.dHashImage(img)))
           }
@@ -658,7 +685,8 @@ object Multimodal {
     * frame_height, mean_lum) appended to the media columns. Explode-shaped
     * like [[sampleFrames]] but decode-backed: a broken demux emits zero
     * rows (or wrong luminance) and fails the oracle. Zero shuffle. */
-  def withVideoFrames(media: DataFrame, batchSize: Int = 32): DataFrame = {
+  def withVideoFrames(media: DataFrame, batchSize: Int = 32,
+                      demux: VideoDemux = GifVideoDemux): DataFrame = {
     // video rows only, like sampleFrames: javax.imageio happily decodes a
     // stray PNG as a 1-frame "video", which would emit a plausible-but-
     // wrong row instead of excluding the mistyped payload
@@ -672,7 +700,7 @@ object Multimodal {
     videos.mapPartitions { it =>
       it.grouped(batchSize).flatMap { rows =>
         rows.flatMap { r =>
-          VideoCodec.decodeFrames(r.getAs[Array[Byte]](binIdx)).zipWithIndex.map {
+          VideoCodec.decodeFrames(r.getAs[Array[Byte]](binIdx), demux).zipWithIndex.map {
             case (f, i) =>
               // Seq[Any]: a bare Seq(i, …, f.meanLum) would unify to
               // Seq[Double] and silently widen the Int fields

@@ -281,4 +281,33 @@ class MultimodalSpec extends SparkSpec {
     frames.map(_._2).toSeq shouldBe Seq(0, 1, 2)
     frames.map(_._3).distinct should have length 3   // per-frame hashes differ
   }
+
+  test("VideoDemux is a pluggable seam: custom impl drives the frame stages") {
+    // the MP4/WebM story: a deploy-time demux (here: a fake emitting two
+    // constant-gray 4×4 frames regardless of payload) slots into the
+    // stages with no engine change; UnsupportedVideoDemux quarantines
+    val fake = new Multimodal.VideoDemux {
+      override def demuxFrames(bytes: Array[Byte]) = Array.tabulate(2) { k =>
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = 50 + 100 * k
+        (0 until 4).foreach(y => (0 until 4).foreach(x =>
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+        img
+      }
+    }
+    val videos = Multimodal.asMedia(
+      Seq((1L, "mp4-ish bytes", "s")).toDF("id", "payload", "src"),
+      "id", "payload", "video", "src")
+    val got = Multimodal.withVideoFrames(videos, demux = fake)
+      .select("media_id", "frame_idx", "frame_width", "frame_height", "mean_lum")
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(_._2)
+    got.map(t => (t._2, t._3, t._4, t._5)).toSeq shouldBe
+      Seq((0, 4, 4, 50.0), (1, 4, 4, 150.0))
+    // unsupported containers yield zero frames, not wrong data
+    Multimodal.withVideoFrames(videos,
+      demux = Multimodal.UnsupportedVideoDemux).count() shouldBe 0L
+    Multimodal.withVideoFrameDHash(videos, demux = fake)
+      .count() shouldBe 2L
+  }
 }
