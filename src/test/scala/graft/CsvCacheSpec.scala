@@ -60,11 +60,15 @@ class CsvCacheSpec extends SparkSpec {
   }
 
   test("seeded shuffle-pick-3 is deterministic across executions (W5)") {
-    val a = SparkEntry.queries("rag_shuffle_pick3")(spark, "/root/testdata/sf0.001")
+    val a = Queries.shufflePick3(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0)).toSeq
-    val b = SparkEntry.queries("rag_shuffle_pick3")(spark, "/root/testdata/sf0.001")
+    val b = Queries.shufflePick3(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0)).toSeq
     a should have length 3
     a shouldBe b
+    // and the driver-checked verdict over the pick holds
+    val verdict = SparkEntry.queries("rag_shuffle_pick3")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    verdict shouldBe Seq((1, true), (2, true), (3, true))
   }
 }
