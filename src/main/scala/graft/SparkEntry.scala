@@ -59,5 +59,10 @@ object SparkEntry {
     "text_unigram_surprisal", "text_char_entropy", "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix",
-    "mm_metadata", "mm_frame_sample", "mm_frame_decode", "mm_video_neardup")
+    "mm_metadata", "mm_frame_sample", "mm_frame_decode", "mm_video_neardup",
+    // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)
+    // are exactly the per-row costs that dominate a multimodal scan at
+    // scale — benched so a codec regression shows in the book
+    "mm_decode_features", "mm_resize_real", "mm_audio_features",
+    "mm_image_dhash")
 }
