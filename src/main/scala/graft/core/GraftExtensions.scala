@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, MlPredictExpression, SplitTextGenerator, WinnowGenerator}
+import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, MlPredictExpression, SplitTextGenerator, VectorSearchGenerator, WinnowGenerator}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -107,6 +107,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val m = children(0).eval(null)
         require(m != null, "ml_predict argument 1 (model name) must not be NULL")
         MlPredictExpression(m.toString, children(1))
+      }))
+    // the reference's LATERAL TABLE(VECTOR_SEARCH(table, k,
+    // DESCRIPTOR(embedding), qe.embedding)) — store resolved by name,
+    // one (rank, document_id, chunks, score) row per hit
+    ext.injectFunction((
+      new FunctionIdentifier("vector_search"),
+      new ExpressionInfo(classOf[VectorSearchGenerator].getName, "vector_search"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "vector_search(store, k, query_embedding) takes 3 arguments")
+        def lit(i: Int, name: String): Any = {
+          require(children(i).foldable,
+            s"vector_search argument $name must be a literal")
+          val v = children(i).eval(null)
+          require(v != null, s"vector_search argument $name must not be NULL")
+          v
+        }
+        val k = try lit(1, "k").toString.toInt catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            "vector_search argument k has the wrong type", e)
+        }
+        VectorSearchGenerator(lit(0, "store").toString, k, children(2))
       }))
   }
 }

@@ -23,6 +23,22 @@ trait VectorStore extends Serializable {
   def size: Int
 }
 
+/** Named-store catalog — the analog of the reference's external-table
+  * DDL (`CREATE TABLE knowledge_mongodb ... 'connector' = 'mongodb'`,
+  * generate_personalized_commands.sh:293-306): SQL call sites resolve a
+  * store by the name it was registered under, exactly like
+  * ModelRegistry resolves `ml_predict` models. Same per-JVM caveat as
+  * the model registry: executors need the registration too (local mode
+  * shares the JVM; a cluster deployment registers in an executor
+  * plugin). */
+object VectorStoreRegistry {
+  private val stores = scala.collection.concurrent.TrieMap.empty[String, VectorStore]
+  def register(name: String, s: VectorStore): Unit = stores.put(name, s)
+  def get(name: String): VectorStore =
+    stores.getOrElse(name, sys.error(s"unknown vector store '$name'"))
+  def clear(): Unit = stores.clear()
+}
+
 /** Exact cosine top-k over an in-memory corpus; build once on the driver
   * (or from a DataFrame) and let Spark broadcast it inside the search UDF's
   * closure — one copy per executor, queries never shuffle.

@@ -3,12 +3,14 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Nondeterministic, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.providers.{ChatProvider, EmbeddingProvider, ModelRegistry, Providers}
+import graft.store.VectorStoreRegistry
 
 /** SQL spelling of the reference's `ML_PREDICT('model', col)`
   * (generate_personalized_commands.sh:332-335, 417-432): resolves the
@@ -73,6 +75,65 @@ case class MlPredictExpression(modelName: String, child: Expression)
         UTF8String.fromString(
           chat.completeBatch(Seq(v.toString), spec.systemPrompt).head)
     }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL spelling of the reference's lateral `VECTOR_SEARCH(table, k,
+  * DESCRIPTOR(embedding), qe.embedding)`
+  * (generate_personalized_commands.sh:377-384): a Generator emitting the
+  * top-k hits — (rank, document_id, chunks, score) — per query row,
+  * against a store resolved by name through
+  * [[graft.store.VectorStoreRegistry]] (the registered store plays the
+  * reference's `knowledge_mongodb` external table). Registered as
+  * `vector_search` by GraftExtensions:
+  *
+  * {{{
+  * SELECT qid, vs.rank, vs.document_id
+  * FROM queries
+  * LATERAL VIEW vector_search('knowledge', 3, embedding) vs
+  *   AS rank, document_id, chunks, score
+  * }}}
+  *
+  * Scale note: the registered store is a broadcast/remote index — query
+  * rows never shuffle (the same contract as CoachingPipeline's retrieve
+  * stage). Store resolution is lazy per-JVM, like the model registry. */
+case class VectorSearchGenerator(storeName: String, k: Int, child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(k > 0, s"vector_search k must be positive, got $k")
+
+  @transient private lazy val store = VectorStoreRegistry.get(storeName)
+
+  override def elementSchema: StructType = new StructType()
+    .add("rank", IntegerType, nullable = false)
+    .add("document_id", StringType, nullable = true)
+    .add("chunks", StringType, nullable = true)
+    .add("score", DoubleType, nullable = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_search needs an ARRAY<FLOAT> query embedding, got ${t.sql}")
+    }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else store.search(v.asInstanceOf[ArrayData].toFloatArray(), k)
+      .iterator.zipWithIndex.map { case (hit, i) =>
+        InternalRow(i + 1,
+          UTF8String.fromString(hit.document_id),
+          UTF8String.fromString(hit.chunks),
+          hit.score)
+      }.toSeq
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -121,6 +121,44 @@ class SqlSurfaceSpec extends SparkSpec {
     e2.getMessage should include("literal")
   }
 
+  test("vector_search is a SQL table function over a registered store (J3/M4)") {
+    // the reference's LATERAL TABLE(VECTOR_SEARCH(knowledge_mongodb, 3,
+    // DESCRIPTOR(embedding), qe.embedding)) — store registered by name,
+    // SQL emits one (rank, document_id, chunks, score) row per hit
+    import graft.store.{BroadcastBruteForceStore, VectorStoreRegistry}
+    val store = new BroadcastBruteForceStore(Array(
+      ("kb/a.md", "alpha chunk", Array(1f, 0f, 0f)),
+      ("kb/b.md", "beta chunk", Array(0f, 1f, 0f)),
+      ("kb/c.md", "gamma chunk", Array(0.9f, 0.1f, 0f))))
+    VectorStoreRegistry.register("knowledge_sql_test", store)
+    spark.createDataFrame(Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f))))
+      .toDF("qid", "embedding").createOrReplaceTempView("q_sql_test")
+    val got = spark.sql(
+      """SELECT qid, vs.rank, vs.document_id
+        |FROM q_sql_test
+        |LATERAL VIEW vector_search('knowledge_sql_test', 2, embedding) vs
+        |  AS rank, document_id, chunks, score
+        |""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    // parity with the store's own search (the DataFrame/UDF path's seam)
+    val expected = Seq(1L -> Array(1f, 0f, 0f), 2L -> Array(0f, 1f, 0f))
+      .flatMap { case (qid, v) =>
+        store.search(v, 2).zipWithIndex.map { case (h, i) =>
+          (qid, i + 1, h.document_id)
+        }
+      }.sorted
+    got.toSeq shouldBe expected
+    // unknown store fails loudly at evaluation
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT vs.rank FROM q_sql_test
+          |LATERAL VIEW vector_search('nope', 2, embedding) vs
+          |  AS rank, document_id, chunks, score""".stripMargin).collect()
+    }
+    e.getMessage should include("unknown vector store")
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"
