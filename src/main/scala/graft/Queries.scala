@@ -900,10 +900,27 @@ object Queries {
       // §3.1 flagship path end-to-end with deterministic mocks: knowledge
       // (from documents + the reference's own smoke fixture) → chunk →
       // embed → index → filter prospect → embed → top-3 search → reshape
-      // → prompt → generate → JSON repair+parse. Rows-only driver check;
-      // content asserted in ScalaTest.
-      coachE2E(s, dir)
-    }, None)
+      // → prompt → generate → JSON repair+parse. Generated CONTENT is
+      // mock-specific, but the pipeline contract is not: exactly the two
+      // prospect messages survive the filter (their text is a fixture
+      // literal the oracle states), each with a parsed non-empty
+      // suggested_response, exactly 3 sources, non-empty reasoning, and
+      // contract-shaped JSON. Emitted as a VERDICT; full content
+      // asserted in CoachE2ESpec.
+      coachE2E(s, dir).select(col("message"),
+          (length(col("suggested_response")) > 0).as("has_response"),
+          (col("n_sources") === 3).as("sources_ok"),
+          (length(col("reasoning")) > 0).as("reasoning_ok"),
+          col("coaching_response").contains("suggested_response")
+            .as("contract_json"))
+        .orderBy(col("message"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('How does this compare to CompetEx?', TRUE, TRUE, TRUE, TRUE),
+        ('I am interested in your product but I am concerned about the pricing.',
+         TRUE, TRUE, TRUE, TRUE))
+        AS t(message, has_response, sources_ok, reasoning_ok, contract_json)
+      ORDER BY message"""))
   )
 
   /** Shared by entry() and the rag_coach_e2e query. */

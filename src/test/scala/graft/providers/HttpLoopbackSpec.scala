@@ -69,6 +69,42 @@ class HttpLoopbackSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Http.post honors a numeric Retry-After and falls back on junk values") {
+    // variant server that can set response headers on the 429
+    def withRetryAfterServer(retryAfter: String)(f: String => Unit): Unit = {
+      val counter = new AtomicInteger(0)
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        val first = counter.incrementAndGet() == 1
+        if (first) ex.getResponseHeaders.set("Retry-After", retryAfter)
+        val bytes = (if (first) """{"error":"rate"}""" else """{"ok":true}""")
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(if (first) 429 else 200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+      server.setExecutor(null)
+      server.start()
+      try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+      finally server.stop(0)
+    }
+    // numeric Retry-After: 1 → ~1 s wait even though backoffMs=1
+    withRetryAfterServer("1") { base =>
+      val t0 = System.nanoTime()
+      Http.post(s"$base/rated", "{}", Map.empty,
+        maxAttempts = 2, backoffMs = 1) shouldBe """{"ok":true}"""
+      (System.nanoTime() - t0) / 1e9 should be >= 0.9
+    }
+    // unparseable value → computed backoff (1 ms), not a stall or crash
+    withRetryAfterServer("soon") { base =>
+      val t0 = System.nanoTime()
+      Http.post(s"$base/rated", "{}", Map.empty,
+        maxAttempts = 2, backoffMs = 1) shouldBe """{"ok":true}"""
+      (System.nanoTime() - t0) / 1e9 should be < 0.9
+    }
+  }
+
   test("Http.post fails FAST on 4xx — auth errors never retry") {
     withServer((_, _) => (401, """{"error":"bad key"}""")) { (base, captured) =>
       val e = the[java.io.IOException] thrownBy
