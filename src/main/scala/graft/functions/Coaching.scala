@@ -52,11 +52,14 @@ object Coaching {
     * and trim — the script.js:952-961 repair chain as engine columns.
     * Patterns restricted to the Java∩RE2 regex subset for oracle parity.
     * Edge trim must cover newlines left by the fence lines: Spark's
-    * one-arg trim strips spaces only, so the whitespace set is explicit. */
+    * one-arg trim strips spaces only, so the whitespace set is explicit
+    * (as edge regexps — the two-arg trim() signature is deprecated in
+    * Spark 4 and warned on every resolution). */
   def repairJson(raw: Column): Column = {
     val noFences = regexp_replace(regexp_replace(raw, "```json", ""), "```", "")
     val noTrailing = regexp_replace(noFences, ",[ \n\r\t]*([}\\]])", "$1")
-    trim(noTrailing, " \n\r\t")
+    regexp_replace(regexp_replace(noTrailing, "^[ \n\r\t]+", ""),
+      "[ \n\r\t]+$", "")
   }
 
   /** Parse a (repaired) coaching_response into the contract struct; null on
