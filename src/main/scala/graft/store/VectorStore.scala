@@ -29,8 +29,9 @@ trait VectorStore extends Serializable {
   * store by the name it was registered under, exactly like
   * ModelRegistry resolves `ml_predict` models. Same per-JVM caveat as
   * the model registry: executors need the registration too (local mode
-  * shares the JVM; a cluster deployment registers in an executor
-  * plugin). */
+  * shares the JVM; a cluster deployment wires
+  * `spark.plugins=graft.core.GraftPlugin` +
+  * `spark.graft.registrars` — see graft.core.GraftPlugin). */
 object VectorStoreRegistry {
   private val stores = scala.collection.concurrent.TrieMap.empty[String, VectorStore]
   def register(name: String, s: VectorStore): Unit = stores.put(name, s)

@@ -33,9 +33,9 @@ import graft.store.VectorStoreRegistry
   * remote endpoints — this function completes SQL parity and is the
   * right call for local/mock backends. Providers resolve lazily
   * per-JVM: on a multi-executor cluster the model registry must be
-  * populated on executors too (a deploy-time `registerReferenceModels`
-  * analog in the executor plugin), exactly like any UDF-captured
-  * catalog state.
+  * populated on executors too — `spark.plugins=graft.core.GraftPlugin`
+  * plus `spark.graft.registrars` runs the registrations on every JVM
+  * at startup (see GraftPlugin's scaladoc).
   */
 case class MlPredictExpression(modelName: String, child: Expression)
     extends UnaryExpression with Nondeterministic with CodegenFallback {
