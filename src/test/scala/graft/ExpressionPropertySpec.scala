@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.graft.{CharEntropy, WinnowGenerator}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Seeded-random property tests (the repo convention — see
+  * CodecPropertySpec) for round 8's per-row expression rewrites, driven
+  * at the expression level (`eval` on an InternalRow, no Spark session):
+  * each is checked against an independent brute-force reference, so the
+  * imperative hot loops (byte histogram, monotonic deque) are exercised
+  * far beyond the fixed oracle corpus. */
+class ExpressionPropertySpec extends AnyFunSuite with Matchers {
+
+  private val in = BoundReference(0, StringType, nullable = true)
+  private def row(s: String) =
+    InternalRow(if (s == null) null else UTF8String.fromString(s))
+
+  test("WinnowGenerator matches an O(n·w) window-scan reference on random strings") {
+    val rnd = new scala.util.Random(20260813L)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to 300).foreach { _ =>
+      val k = 2 + rnd.nextInt(4)
+      val w = 2 + rnd.nextInt(4)
+      // tiny alphabet → repeated grams → identical hashes exercise the
+      // leftmost-position tie-break; lengths straddle the no-window edge
+      val p = Array.fill(rnd.nextInt(40))(('a' + rnd.nextInt(3)).toChar).mkString
+      val got = WinnowGenerator(in, k, w).eval(row(p)).iterator.toSeq
+        .map(r => (r.getInt(0), r.getString(1)))
+      val n = p.length - k + 1
+      val expected =
+        if (n < w) Seq.empty
+        else {
+          // the relational form's key order and DISTINCT, brute-forced:
+          // per-window scan for the min combined key, then distinct —
+          // if selections of one key were ever non-contiguous, this
+          // would diverge from the generator's consecutive-dedup
+          val keys = (0 until n).map(i =>
+            md5hex(p.substring(i, i + k)) + ":" + f"${i + 1}%08d")
+          (0 to n - w).map(s0 => (s0 until s0 + w).minBy(keys)).distinct
+            .map(i => (i + 1, keys(i).substring(0, 32)))
+        }
+      got shouldBe expected
+    }
+    // null input emits nothing
+    WinnowGenerator(in, 4, 3).eval(row(null)).iterator.toSeq shouldBe Seq.empty
+  }
+
+  test("CharEntropy matches a naive histogram reference incl. unicode + case folding") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (1 to 300).foreach { _ =>
+      val s = new String(Array.fill(rnd.nextInt(60)) {
+        rnd.nextInt(5) match {
+          case 0 => ('A' + rnd.nextInt(26)).toChar       // case folding
+          case 1 => ('0' + rnd.nextInt(10)).toChar
+          case 2 => Seq(' ', '!', '.', 'é', 'ß', '中', '٣')(rnd.nextInt(7))
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      })
+      val got = CharEntropy(in).eval(row(s))
+      // independent reference: Spark's own lower (UTF8String), then a
+      // per-char groupBy — no shared counting/entropy code with the impl
+      val lowered = UTF8String.fromString(s).toLowerCase.toString
+      val counted = lowered.toCharArray.filter(c => alphabet.indexOf(c.toInt) >= 0)
+      if (counted.isEmpty) {
+        got.asInstanceOf[AnyRef] shouldBe null
+      } else {
+        val t = counted.length.toDouble
+        val e = -counted.groupBy(identity).values
+          .map(g => (g.length / t) * math.log(g.length / t)).sum
+        got.asInstanceOf[Double] shouldBe (if (e == 0.0) 0.0 else e) +- 1e-9
+      }
+    }
+    CharEntropy(in).eval(row(null)).asInstanceOf[AnyRef] shouldBe null
+    // non-ASCII digits ('٣') must NOT count as [0-9]
+    CharEntropy(in).eval(row("٣٣٣")).asInstanceOf[AnyRef] shouldBe null
+  }
+}
