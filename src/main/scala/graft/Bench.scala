@@ -164,6 +164,33 @@ object Bench {
     // correctness row still checks the verdict form
     spark.conf.set("graft.q16.sketchOnly", "true")
 
+    // Contention guard — sampled BEFORE the warm-up phase: the guard
+    // exists to catch EXTERNAL load (round 6 published figures at
+    // load_avg 13.2 and byte-identical queries showed 1.5-6.8x
+    // "regressions" — the round-4 signature BENCH_NOTES.md root-caused
+    // to machine contention), and the warm-up itself drives the
+    // 1-minute load average over the threshold on a 32-thread box, so a
+    // post-warm-up sample (the r7/r8 placement) stamped every run
+    // contended with its OWN work. A run that starts on a loaded box is
+    // stamped "contended": true so it can never masquerade as a
+    // regression or an improvement; set
+    // SPARK_GRAFT_BENCH_REFUSE_CONTENDED=1 to abort instead of stamping
+    // (the default still emits the JSON line the driver expects).
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .map(_.toDouble).getOrElse(4.0)
+    val loadAvgPre =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val contended = loadAvgPre > maxLoad
+    if (contended) {
+      System.err.println(f"[bench] WARNING: pre-run load_avg $loadAvgPre%.1f " +
+        f"exceeds $maxLoad%.1f — figures will be stamped contended")
+      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_CONTENDED").contains("1"))
+        sys.error(f"refusing to bench on a contended machine " +
+          f"(load_avg $loadAvgPre%.1f > $maxLoad%.1f)")
+    }
+
     // Warm EVERY bench plan shape on sf0.01 first: first execution of a
     // plan pays 10-25 s of classloading + JIT + codegen compile in this
     // JVM (measured: identical job 19.4 s cold / 1.1 s warm), and one
@@ -189,29 +216,6 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").count()
       catch { case _: Throwable => () }
-    }
-
-    // Contention guard — sampled BEFORE the first timed query, not after:
-    // round 6 published figures taken at load_avg 13.2 and several
-    // byte-identical queries showed 1.5-6.8x "regressions" (the round-4
-    // signature BENCH_NOTES.md root-caused to external load). A run that
-    // starts on a loaded box is stamped "contended": true so it can never
-    // again masquerade as a regression or an improvement; set
-    // SPARK_GRAFT_BENCH_REFUSE_CONTENDED=1 to abort instead of stamping
-    // (the default still emits the JSON line the driver expects).
-    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
-      .map(_.toDouble).getOrElse(4.0)
-    val loadAvgPre =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
-    val contended = loadAvgPre > maxLoad
-    if (contended) {
-      System.err.println(f"[bench] WARNING: pre-run load_avg $loadAvgPre%.1f " +
-        f"exceeds $maxLoad%.1f — figures will be stamped contended")
-      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_CONTENDED").contains("1"))
-        sys.error(f"refusing to bench on a contended machine " +
-          f"(load_avg $loadAvgPre%.1f > $maxLoad%.1f)")
     }
 
     // Best of three timed runs per query: a single shot still carries
