@@ -60,6 +60,39 @@ class SqlSurfaceSpec extends SparkSpec {
     e.getMessage should include("literal")
   }
 
+  test("char_entropy and winnow_gen are callable from SQL") {
+    // char_entropy: scalar — ln(4) for a uniform 4-symbol doc, NULL
+    // when no [a-z0-9] chars survive
+    val rows = spark.sql(
+      "SELECT char_entropy('abcd') AS e, char_entropy('!!!') AS n")
+      .collect().head
+    rows.getDouble(0) shouldBe math.log(4.0) +- 1e-9
+    rows.isNullAt(1) shouldBe true
+    // winnow_gen: generator — same selections as the DataFrame path
+    val viaSql = spark.sql(
+      """SELECT fp_pos, fp_hash
+        |FROM (SELECT 'the quick brown fox jumps' AS p)
+        |LATERAL VIEW winnow_gen(p, 8, 4) w AS fp_pos, fp_hash
+        |""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    import spark.implicits._
+    val viaDf = graft.operators.Dedup.winnowingFingerprints(
+        Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text"),
+        "text", "doc_id", k = 8, w = 4)
+      .select("fp_pos", "fp_hash")
+      .as[(Int, String)].collect().toSeq
+    viaSql shouldBe viaDf
+    viaSql should not be empty
+    // non-literal k rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT fp_pos FROM (SELECT 'abcdef' AS p, 3 AS n)
+          |LATERAL VIEW winnow_gen(p, n, 4) w AS fp_pos, fp_hash
+          |""".stripMargin).collect()
+    }
+    e.getMessage should include("literal")
+  }
+
   test("minhash_band_keys is callable from SQL") {
     val keys = spark.sql(
       "SELECT minhash_band_keys('a b c d e f', 3, 4, 3) AS k")
