@@ -483,9 +483,9 @@ object Dedup {
     * canonical form is shorter than k + w - 1 have no full window and
     * yield no rows.
     *
-    * Plan shape: scan → canonicalize (codegen'd regexps) → Generate —
-    * the window minimum needs only the row's own text, so selection
-    * runs partition-locally inside
+    * Plan shape: scan → Generate — canonicalization AND the window
+    * minimum need only the row's own text, so both run
+    * partition-locally inside
     * [[org.apache.spark.sql.graft.WinnowGenerator]] (monotonic deque,
     * O(n) per document) and the plan carries ZERO exchanges (PlanSpec
     * pins this). The former relational form exploded every gram
@@ -498,8 +498,7 @@ object Dedup {
                             k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"invalid k=$k w=$w")
     df.select(col(idCol).as("doc_id"),
-      org.apache.spark.sql.graft.TextExpressions.winnowGen(
-        TextAnalysis.canonical(col(textCol)), k, w))
+      org.apache.spark.sql.graft.TextExpressions.winnowGen(col(textCol), k, w))
   }
 
   /** SimHash buckets: signature → members. Near-dups collide on the full

@@ -535,11 +535,6 @@ object Multimodal {
       baos.toByteArray
     }
 
-    /** Raw demux via the default (GIF) impl — kept as the call-site
-      * convenience; stages parameterize the [[VideoDemux]] directly. */
-    def decodeFrameImages(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] =
-      GifVideoDemux.demuxFrames(bytes)
-
     def decodeFrames(bytes: Array[Byte],
                      demux: VideoDemux = GifVideoDemux): Array[Frame] =
       demux.demuxFrames(bytes).map { img =>

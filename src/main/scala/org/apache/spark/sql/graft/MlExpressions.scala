@@ -127,13 +127,25 @@ case class VectorSearchGenerator(storeName: String, k: Int, child: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) Nil
-    else store.search(v.asInstanceOf[ArrayData].toFloatArray(), k)
-      .iterator.zipWithIndex.map { case (hit, i) =>
-        InternalRow(i + 1,
-          UTF8String.fromString(hit.document_id),
-          UTF8String.fromString(hit.chunks),
-          hit.score)
-      }.toSeq
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      // embeddings are dense: a NULL element would silently unbox to
+      // 0.0f in toFloatArray and search with a corrupted vector — fail
+      // loudly instead (same policy as the injected literal checks)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"vector_search: query embedding has a NULL element at index $i")
+        i += 1
+      }
+      store.search(arr.toFloatArray(), k)
+        .iterator.zipWithIndex.map { case (hit, j) =>
+          InternalRow(j + 1,
+            UTF8String.fromString(hit.document_id),
+            UTF8String.fromString(hit.chunks),
+            hit.score)
+        }.toSeq
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

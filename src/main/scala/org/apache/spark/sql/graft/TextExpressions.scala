@@ -60,12 +60,15 @@ case class SplitTextGenerator(child: Expression, size: Int, overlap: Int,
 }
 
 /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
-  * 2003) as a native Generator: hash every k-gram of the (already
-  * canonicalized) input, slide a w-window over the hash sequence, emit
-  * each window's minimum — computed PARTITION-LOCALLY per row with a
-  * monotonic deque (O(n) per document), where the former relational
-  * form exploded every gram position through a doc-keyed exchange to
-  * run three window functions (r7 verdict efficiency note).
+  * 2003) as a native Generator: canonicalize the input (lowercase,
+  * strip non-alphanumerics, collapse spaces — INSIDE the generator, so
+  * the SQL spelling `winnow_gen(text, k, w)` and the DataFrame path
+  * fingerprint identically by construction), hash every k-gram, slide
+  * a w-window over the hash sequence, emit each window's minimum —
+  * computed PARTITION-LOCALLY per row with a monotonic deque (O(n) per
+  * document), where the former relational form exploded every gram
+  * position through a doc-keyed exchange to run three window functions
+  * (r7 verdict efficiency note).
   *
   * Selection key order matches the relational form's
   * `md5(gram) || ':' || lpad(pos, 8, '0')` string min exactly: hashes
@@ -99,7 +102,7 @@ case class WinnowGenerator(child: Expression, k: Int, w: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Nil
-    val p = t.toString
+    val p = WinnowGenerator.canonicalize(t.asInstanceOf[UTF8String])
     val n = p.length - k + 1 // gram count
     if (n < w) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -148,6 +151,20 @@ case class WinnowGenerator(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object WinnowGenerator {
+  /** Mirrors TextAnalysis.canonical (the DuckDB oracle's formulation)
+    * exactly: Spark's lower (UTF8String.toLowerCase), `[^a-z0-9 ]`→' ',
+    * collapse space runs, trim — both engines run Java regex, and after
+    * the replaces every char is [a-z0-9 ], so Java's `trim` (≤U+0020)
+    * equals Spark's space-only trim here. Idempotent, so feeding
+    * already-canonical text is harmless. */
+  def canonicalize(s: UTF8String): String =
+    s.toLowerCase.toString
+      .replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ")
+      .trim
 }
 
 /** Per-row [a-z0-9] histogram + Shannon entropy, shared by the
@@ -248,9 +265,10 @@ object TextExpressions {
     ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(text)))
 
   /** Winnowing selections as a generator column: adds
-    * (fp_pos, fp_hash) rows per input row. Pass the CANONICAL text —
-    * canonicalization stays a codegen'd column expression outside. */
-  def winnowGen(canonicalText: Column, k: Int = 8, w: Int = 4): Column =
+    * (fp_pos, fp_hash) rows per input row. Takes RAW text — the
+    * generator canonicalizes internally, so every surface (DataFrame,
+    * SQL) fingerprints identically. */
+  def winnowGen(text: Column, k: Int = 8, w: Int = 4): Column =
     ExpressionUtils.column(
-      WinnowGenerator(ExpressionUtils.expression(canonicalText), k, w))
+      WinnowGenerator(ExpressionUtils.expression(text), k, w))
 }

@@ -68,20 +68,29 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head
     rows.getDouble(0) shouldBe math.log(4.0) +- 1e-9
     rows.isNullAt(1) shouldBe true
-    // winnow_gen: generator — same selections as the DataFrame path
+    // winnow_gen: generator over RAW text — canonicalization happens
+    // inside, so formatting noise cannot split the SQL and DataFrame
+    // surfaces (nor a canonical-form duplicate)
+    val raw = "The QUICK  brown-fox JUMPS over!"
     val viaSql = spark.sql(
-      """SELECT fp_pos, fp_hash
-        |FROM (SELECT 'the quick brown fox jumps' AS p)
-        |LATERAL VIEW winnow_gen(p, 8, 4) w AS fp_pos, fp_hash
-        |""".stripMargin).collect()
+      s"""SELECT fp_pos, fp_hash
+         |FROM (SELECT '$raw' AS p)
+         |LATERAL VIEW winnow_gen(p, 8, 4) w AS fp_pos, fp_hash
+         |""".stripMargin).collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq
     import spark.implicits._
     val viaDf = graft.operators.Dedup.winnowingFingerprints(
-        Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text"),
+        Seq((1L, raw)).toDF("doc_id", "text"),
+        "text", "doc_id", k = 8, w = 4)
+      .select("fp_pos", "fp_hash")
+      .as[(Int, String)].collect().toSeq
+    val viaCanonical = graft.operators.Dedup.winnowingFingerprints(
+        Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text"),
         "text", "doc_id", k = 8, w = 4)
       .select("fp_pos", "fp_hash")
       .as[(Int, String)].collect().toSeq
     viaSql shouldBe viaDf
+    viaSql shouldBe viaCanonical
     viaSql should not be empty
     // non-literal k rejected loudly
     val e = intercept[Exception] {
@@ -190,6 +199,16 @@ class SqlSurfaceSpec extends SparkSpec {
           |  AS rank, document_id, chunks, score""".stripMargin).collect()
     }
     e.getMessage should include("unknown vector store")
+    // a NULL element in the query embedding fails loudly instead of
+    // silently unboxing to 0.0 and searching with a corrupted vector
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT vs.rank
+          |FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding)
+          |LATERAL VIEW vector_search('knowledge_sql_test', 2, embedding) vs
+          |  AS rank, document_id, chunks, score""".stripMargin).collect()
+    }
+    e2.getMessage should include("NULL element")
   }
 
   test("model and connection registries resolve by name (M5/M6)") {
