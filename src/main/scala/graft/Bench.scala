@@ -167,8 +167,10 @@ object Bench {
     // bench the PRODUCTION q16 plan (bounded sketch per group), not the
     // test-scale adjudication harness whose exact percentile() aggregates
     // buffer every value per group — Verify leaves this unset, so the
-    // correctness row still checks the verdict form
+    // correctness row still checks the verdict form; same contract for
+    // the HLL cardinality report's exact-adjudication half
     spark.conf.set("graft.q16.sketchOnly", "true")
+    spark.conf.set("graft.hll.sketchOnly", "true")
 
     // Contention guard — sampled BEFORE the warm-up phase: the guard
     // exists to catch EXTERNAL load (round 6 published figures at
@@ -247,6 +249,7 @@ object Bench {
     // after main (REPL probing, future harness code) must see the same
     // q16 definition Verify checks
     spark.conf.unset("graft.q16.sketchOnly")
+    spark.conf.unset("graft.hll.sketchOnly")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query's "time to crash" must not pass as a measurement —

@@ -579,6 +579,117 @@ object QueriesDataOps {
       FROM c WHERE n > 0
       ORDER BY doc_id, copy""")),
 
+    ("curate_token_budget", (s, dir) => {
+      // data selection under a fixed token budget: highest-quality docs
+      // first, in global (quality desc, id asc) order, until half the
+      // corpus' tokens are spent. The oracle states the semantics as ONE
+      // global running-sum window; the engine computes it in the
+      // two-phase bucket-rollup shape that survives 100 TB (the only
+      // single-partition window runs over the ≤10⁶-row quality-bucket
+      // rollup, never the corpus) — see CurationPipeline.tokenBudgetSelect.
+      graft.pipeline.CurationPipeline.tokenBudgetSelect(
+          T(s, dir, "documents"), fraction = 0.5)
+        .orderBy(col("doc_id"))
+    }, Some {
+      def hits(w: String) =
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+        .map(hits).mkString(" + ")
+      s"""
+      WITH f AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+               length(text) * 1.0 AS n,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+               round((least(n / 500.0, 1.0) +
+                      greatest(0.0, 1.0 - ((length(text) -
+                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+                        greatest(n, 1.0)) * 10.0) +
+                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
+                        1.0)) / 3.0, 6) AS q,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                 AS n_tokens
+        FROM f),
+      tot AS (SELECT CAST(floor(sum(n_tokens) * 0.5) AS BIGINT) AS budget
+              FROM sc),
+      c AS (SELECT doc_id, q, n_tokens,
+                   coalesce(CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS cum_before
+            FROM sc)
+      SELECT doc_id, q AS quality, n_tokens, cum_before
+      FROM c, tot WHERE cum_before < budget ORDER BY doc_id"""
+    }),
+
+    ("curate_snapshot_diff", (s, dir) => {
+      // incremental-corpus reconciliation: added/removed/changed between
+      // two snapshots (old drops ids ≡3 mod 11 and carries a stale
+      // revision for ≡5; new drops ≡7) via ONE co-partitioned
+      // full-outer join on the id — the inventory report before an
+      // incremental run reprocesses only the changed slice. The oracle
+      // runs the same diff, not the fixture arithmetic.
+      val docs = T(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" [rev1]")))
+            .otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 11 =!= 7)
+      graft.pipeline.CurationPipeline.snapshotDiff(old, nw)
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH old AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 5 THEN text || ' [rev1]'
+                        ELSE text END) AS old_h
+        FROM documents WHERE doc_id % 11 <> 3),
+      nw AS (SELECT doc_id, md5(text) AS new_h
+             FROM documents WHERE doc_id % 11 <> 7),
+      d AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+                   CASE WHEN old_h IS NULL THEN 'added'
+                        WHEN new_h IS NULL THEN 'removed'
+                        WHEN old_h <> new_h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old FULL JOIN nw ON old.doc_id = nw.doc_id)
+      SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      ORDER BY doc_id""")),
+
+    ("curate_cardinality_sketch", (s, dir) => {
+      // corpus cardinality report: distinct-content count per source.
+      // The production plan is the HLL sketch (approx_count_distinct:
+      // fixed ~KB buffer per group, map-side combinable) — exact
+      // countDistinct expands a (source, hash) dedup shuffle that
+      // buffers every distinct value. Sketch estimates are
+      // engine-specific, so the hashable surface is a bounded-error
+      // VERDICT next to the oracle-checked exact count (the
+      // q16_percentiles_approx pattern): the estimate must land within
+      // 5×rsd (= 10%) of exact; DuckDB states TRUE. At 100 TB only the
+      // sketch half survives — Bench times it alone
+      // (graft.hll.sketchOnly), Verify runs the adjudication form.
+      val docs = docsWithDups(s, dir)
+        .select(col("source"), md5(col("text")).as("h"))
+      if (s.conf.getOption("graft.hll.sketchOnly").contains("true"))
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            approx_count_distinct(col("h"), 0.02).as("distinct_est"))
+          .orderBy(col("source"))
+      else docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("distinct_exact"),
+          approx_count_distinct(col("h"), 0.02).as("est"))
+        .select(col("source"), col("n_docs"), col("distinct_exact"),
+          (abs(col("est") - col("distinct_exact")) <=
+            col("distinct_exact") * lit(0.1)).as("est_in_band"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH $dwdSql
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS distinct_exact,
+             TRUE AS est_in_band
+      FROM dwd GROUP BY source ORDER BY source""")),
+
     ("curate_jsonl_roundtrip", (s, dir) => {
       // JSONL export/import — the training-data interchange format: docs
       // serialized one JSON object per line (to_json over a struct),

@@ -125,6 +125,83 @@ object CurationPipeline {
     docs.filter(md5(col(idCol).cast("string")) < thr)
   }
 
+  /** Token-budget selection — the data-selection step a fixed training
+    * budget forces: keep the highest-quality documents, in global
+    * (quality desc, id asc) order, until the corpus' token budget
+    * (`fraction` of its total tokens) is exhausted; a document is kept
+    * iff the tokens BEFORE it fit the budget. Equivalent to one global
+    * running-sum window, but computed in the two-phase shape that
+    * survives 100 TB:
+    *
+    *  1. roll tokens up into quality buckets (quality rounded to 6
+    *     decimals → at most ~10⁶ bucket rows at ANY corpus size) and run
+    *     the cumulative window over THAT bounded table — the only
+    *     single-partition step, on the rollup, never the corpus;
+    *  2. broadcast the surviving buckets (cum-before < budget) back and
+    *     resolve each doc with an in-bucket running sum partitioned by
+    *     the bucket key — a hash-partitioned window, same shape as
+    *     [[packSequences]].
+    *
+    * cum_before(doc) = bucket prefix + in-bucket prefix reproduces the
+    * global window exactly (in-bucket order is the global order
+    * restricted to the bucket), so the SQL oracle is the one-window
+    * form. The corpus total enters as a broadcast 1-row aggregate —
+    * no driver action. */
+  def tokenBudgetSelect(docs: DataFrame, fraction: Double,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"invalid fraction=$fraction")
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol).as("doc_id"),
+      round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val total = scored.agg(sum(col("n_tokens")).as("total_tokens"))
+    val bw = w.orderBy(col("q").desc).rowsBetween(w.unboundedPreceding, -1)
+    val buckets = scored.groupBy(col("q"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_bucket", coalesce(sum(col("bucket_tokens")).over(bw), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("budget", floor(col("total_tokens") * lit(fraction)).cast("long"))
+      .filter(col("cum_bucket") < col("budget"))
+      .select(col("q"), col("cum_bucket"), col("budget"))
+    val dw = w.partitionBy(col("q")).orderBy(col("doc_id"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    scored.join(broadcast(buckets), Seq("q"))
+      .withColumn("cum_before",
+        col("cum_bucket") + coalesce(sum(col("n_tokens")).over(dw), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("q").as("quality"), col("n_tokens"),
+        col("cum_before"))
+  }
+
+  /** Snapshot diff — incremental-corpus reconciliation: classify every
+    * document id across two corpus snapshots as added (new only),
+    * removed (old only), changed (both, content hash differs), or
+    * unchanged. The inventory report an incremental curation run
+    * publishes before reprocessing only the added+changed slice
+    * (the batch side [[graft.operators.Dedup.antiJoinWithBloomPrefilter]]
+    * then screens).
+    *
+    * Plan shape: ONE co-partitioned full-outer join keyed by id — both
+    * sides shuffle once on the join key (bucketing both snapshots by id
+    * at write time deletes even that, see BucketingSpec); the content
+    * comparison rides the join row, no second pass. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // presence rides its own flag (not hash nullability) and the hash
+    // compare is null-safe, so a NULL-text row still diffs correctly
+    val o = oldDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("old_h"), lit(true).as("in_old"))
+    val n = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("new_h"), lit(true).as("in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_h") <=> col("new_h")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Epoch-style domain reweighting — [[stratifiedSample]] generalized to
     * weights ABOVE 1: weight w emits floor(w) copies of every row plus
     * one more for the md5-selected frac(w) of rows, so a stratum with

@@ -107,6 +107,67 @@ class CurationSpec extends SparkSpec {
     flagged.toSeq shouldBe Seq(1L)
   }
 
+  test("tokenBudgetSelect equals the one-window global reference on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = CurationPipeline.tokenBudgetSelect(docs, fraction = 0.5)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+
+    // reference semantics: ONE global running-sum window (the form the
+    // two-phase bucket rollup must reproduce exactly)
+    val scored = docs.select(col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = scored.agg(sum("n_tokens")).as[Long].head()
+    val budget = math.floor(total * 0.5).toLong
+    val ref = scored
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+
+    got shouldBe ref
+    // the kept slice spends (just) the budget: every kept doc starts
+    // inside it, and the spend including the boundary doc reaches it
+    got.values.foreach(_ should be < budget)
+    val spent = scored.filter(col("doc_id").isin(got.keys.toSeq: _*))
+      .agg(sum("n_tokens")).as[Long].head()
+    spent should be >= budget
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, NULL-text-safe") {
+    val nul = null.asInstanceOf[String]
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, nul), (6L, nul))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d"), (5L, nul), (6L, "x"))
+      .toDF("doc_id", "text")
+    CurationPipeline.snapshotDiff(old, nw)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added"),
+      (5L, "unchanged"), (6L, "changed"))
+  }
+
+  test("cardinality sketch lands inside the 5-sigma band of exact distinct") {
+    import org.apache.spark.sql.functions._
+    val verdicts = SparkEntry.queries("curate_cardinality_sketch")(
+        spark, "/root/testdata/sf0.001")
+      .select("est_in_band").as[Boolean].collect()
+    verdicts.length should be > 0
+    all(verdicts) shouldBe true
+    // the sketch-only production form emits an estimate per source
+    spark.conf.set("graft.hll.sketchOnly", "true")
+    try {
+      val est = SparkEntry.queries("curate_cardinality_sketch")(
+          spark, "/root/testdata/sf0.001")
+        .select("source", "distinct_est").as[(String, Long)].collect()
+      est.map(_._1).distinct.length shouldBe est.length
+      est.foreach(_._2 should be > 0L)
+    } finally spark.conf.unset("graft.hll.sketchOnly")
+  }
+
   test("redactPii replaces each PII class with its typed token, in order") {
     import graft.functions.TextAnalysis
     val rows = Seq(

@@ -169,6 +169,35 @@ class PlanSpec extends SparkSpec {
     p should include("cluster") // the equi-join key
   }
 
+  test("token budget: doc-side window hashes on the bucket key, buckets broadcast") {
+    val p = plan("curate_token_budget")
+    // the per-doc running sum is partitioned by the quality bucket — the
+    // global window runs only over the bounded bucket ROLLUP, and the
+    // surviving buckets come back as a broadcast, never a shuffled join
+    p should include("hashpartitioning(q")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("snapshot diff is one co-partitioned full-outer join, nothing more") {
+    val p = plan("curate_snapshot_diff")
+    p should include("FullOuter")
+    "hashpartitioning".r.findAllIn(p).length should be <= 2 // one per side
+    p should not include "CartesianProduct"
+  }
+
+  test("cardinality sketch-only plan is one partial-combinable aggregate, no expand") {
+    spark.conf.set("graft.hll.sketchOnly", "true")
+    try {
+      val p = plan("curate_cardinality_sketch")
+      // the HLL estimate merges map-side; exact countDistinct would plan
+      // a second aggregate pass over (source, h)
+      p should include("partial_approx_count_distinct")
+      p should not include "Join"
+    } finally spark.conf.unset("graft.hll.sketchOnly")
+  }
+
   test("prompt-assembly neighbour window is hash-partitioned, not global") {
     val p = plan("rag_prompt_assembly")
     p should include("Window")
