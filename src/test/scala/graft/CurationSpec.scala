@@ -107,35 +107,64 @@ class CurationSpec extends SparkSpec {
     flagged.toSeq shouldBe Seq(1L)
   }
 
-  test("tokenBudgetSelect equals the one-window global reference on the real corpus") {
+  /** Reference semantics for tokenBudgetSelect: ONE global running-sum
+    * window — the form the two-phase bucket rollup must reproduce. */
+  private def budgetReference(docs: org.apache.spark.sql.DataFrame,
+                              fraction: Double): (Map[Long, Long], Long) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import graft.functions.TextAnalysis
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val got = CurationPipeline.tokenBudgetSelect(docs, fraction = 0.5)
-      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
-
-    // reference semantics: ONE global running-sum window (the form the
-    // two-phase bucket rollup must reproduce exactly)
     val scored = docs.select(col("doc_id"),
       round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     val w = Window.orderBy(col("q").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val total = scored.agg(sum("n_tokens")).as[Long].head()
-    val budget = math.floor(total * 0.5).toLong
+    val budget = math.floor(total * fraction).toLong
     val ref = scored
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
       .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    (ref, budget)
+  }
 
+  test("tokenBudgetSelect equals the one-window global reference on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = CurationPipeline.tokenBudgetSelect(docs, fraction = 0.5)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    val (ref, budget) = budgetReference(docs, 0.5)
     got shouldBe ref
     // the kept slice spends (just) the budget: every kept doc starts
     // inside it, and the spend including the boundary doc reaches it
     got.values.foreach(_ should be < budget)
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     val spent = scored.filter(col("doc_id").isin(got.keys.toSeq: _*))
       .agg(sum("n_tokens")).as[Long].head()
     spent should be >= budget
+  }
+
+  test("tokenBudgetSelect handles massive quality ties and zero-token docs") {
+    // only 4 distinct texts across 300 ids → every bucket holds ~75 tied
+    // docs (the in-bucket doc_id tie-break carries the whole cut), and
+    // one variant is empty (zero tokens at the boundary)
+    val docs = (1 to 300).map { i =>
+      val t = i % 4 match {
+        case 0 => "the quick brown fox is here and it is fine to be in a field"
+        case 1 => "some words without stop terms xyzzy qwerty asdf ghjk"
+        case 2 => ""
+        case _ => "the and of is a to in the and of is a to in words more"
+      }
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    for (frac <- Seq(0.3, 0.5, 1.0)) {
+      val got = CurationPipeline.tokenBudgetSelect(docs, frac)
+        .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+      val (ref, _) = budgetReference(docs, frac)
+      withClue(s"fraction=$frac: ") { got shouldBe ref }
+    }
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged, NULL-text-safe") {
