@@ -145,8 +145,18 @@ object CurationPipeline {
     * cum_before(doc) = bucket prefix + in-bucket prefix reproduces the
     * global window exactly (in-bucket order is the global order
     * restricted to the bucket), so the SQL oracle is the one-window
-    * form. The corpus total enters as a broadcast 1-row aggregate —
-    * no driver action. */
+    * form. The corpus total (→ the budget) derives from the SAME
+    * bucket rollup as a full-frame window — the corpus is scanned
+    * exactly twice (rollup + resolve), never a third time for the
+    * total.
+    *
+    * Skew caveat: the in-bucket window keys on the rounded quality, so
+    * a corpus where a large share of documents collapses onto ONE
+    * quality value (mass-identical boilerplate) serializes that bucket
+    * through one task. Such corpora should exact-dedup first (the
+    * gate order [[curate]] already imposes); failing that, the bucket
+    * scheme nests — sub-bucket by id range and roll block totals up
+    * the same way. */
   def tokenBudgetSelect(docs: DataFrame, fraction: Double,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
@@ -155,13 +165,14 @@ object CurationPipeline {
     val scored = docs.select(col(idCol).as("doc_id"),
       round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val total = scored.agg(sum(col("n_tokens")).as("total_tokens"))
     val bw = w.orderBy(col("q").desc).rowsBetween(w.unboundedPreceding, -1)
+    val tw = w.orderBy(col("q").desc)
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
     val buckets = scored.groupBy(col("q"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("cum_bucket", coalesce(sum(col("bucket_tokens")).over(bw), lit(0L)))
-      .crossJoin(broadcast(total))
-      .withColumn("budget", floor(col("total_tokens") * lit(fraction)).cast("long"))
+      .withColumn("budget",
+        floor(sum(col("bucket_tokens")).over(tw) * lit(fraction)).cast("long"))
       .filter(col("cum_bucket") < col("budget"))
       .select(col("q"), col("cum_bucket"), col("budget"))
     val dw = w.partitionBy(col("q")).orderBy(col("doc_id"))
