@@ -690,6 +690,45 @@ object QueriesDataOps {
              TRUE AS est_in_band
       FROM dwd GROUP BY source ORDER BY source""")),
 
+    ("curate_split", (s, dir) => {
+      // deterministic train/val/test split: every doc in exactly one
+      // named band of md5('v1:'||id) — disjoint, exhaustive, stable
+      // under corpus growth, zero shuffle (pure per-row map; the orderBy
+      // is only the driver-compare convention). Thresholds are the
+      // stratifiedSample hex encoding: 0.8 → cccccccc…, 0.9 → e6666666….
+      graft.pipeline.CurationPipeline.hashSplit(
+          T(s, dir, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "v1")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN md5('v1:' || CAST(doc_id AS VARCHAR)) <
+                       'cccccccc000000000000000000000000' THEN 'train'
+                  WHEN md5('v1:' || CAST(doc_id AS VARCHAR)) <
+                       'e6666666000000000000000000000000' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
+    ("curate_shuffle_shard", (s, dir) => {
+      // seeded global shuffle + fixed-64-row output shards: the oracle
+      // states the semantics as ONE global row_number window over
+      // md5('42:'||id); the engine computes it in the two-phase
+      // bucket-rollup shape (single-partition window only over the
+      // ≤16⁴-row bucket rollup, corpus side hash-partitioned by the
+      // key prefix) — see CurationPipeline.seededShuffleShard.
+      graft.pipeline.CurationPipeline.seededShuffleShard(
+          T(s, dir, "documents"), shardSize = 64, seed = "42")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+                 FROM documents),
+      r AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY skey, doc_id) - 1
+                     AS BIGINT) AS pos
+            FROM k)
+      SELECT doc_id, pos, pos // 64 AS shard FROM r ORDER BY doc_id""")),
+
     ("curate_jsonl_roundtrip", (s, dir) => {
       // JSONL export/import — the training-data interchange format: docs
       // serialized one JSON object per line (to_json over a struct),

@@ -60,6 +60,7 @@ object SparkEntry {
     "curate_sample", "curate_decontaminate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix",
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
+    "curate_split", "curate_shuffle_shard",
     "mm_metadata", "mm_frame_sample", "mm_frame_decode", "mm_video_neardup",
     // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)
     // are exactly the per-row costs that dominate a multimodal scan at

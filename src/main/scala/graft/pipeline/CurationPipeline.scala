@@ -222,6 +222,85 @@ object CurationPipeline {
     * and replays/oracles compare exactly. Strata absent from `weights`
     * are dropped (allowlist, as in stratifiedSample). Per-row explode of
     * at most ceil(w) — zero shuffle, no RNG state. */
+  /** Deterministic train/validation/test split — every document lands in
+    * EXACTLY ONE named split (disjoint + exhaustive, unlike
+    * [[stratifiedSample]] which only thins). The assignment is a pure
+    * per-row map on `md5(seed:id)` against cumulative hex thresholds
+    * (the [[stratifiedSample]] encoding): reproducible across runs,
+    * engines, and partitionings, stable under corpus growth (a document
+    * keeps its split when others are added — the property that keeps a
+    * held-out set clean across snapshot refreshes), and re-drawable by
+    * changing `seed`. Zero shuffle at any corpus size.
+    *
+    * `splits` are (name, fraction) in band order; fractions must sum to
+    * 1 (±1e-9). The LAST split is the catch-all band so hex rounding
+    * can never orphan a row. A fraction below 2⁻³² rounds to an empty
+    * band — callers splitting that fine should sample instead. */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
+                idCol: String = "doc_id", seed: String = "0"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct.length == splits.length,
+      s"duplicate split names: ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0.0), s"fractions must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $total: $splits")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    // cumulative upper bounds, same 32-hex encoding as stratifiedSample;
+    // all bounds are < 1.0 (the last band needs none), so the 2^32
+    // 9-hex-char overflow cannot occur
+    val bounds = splits.init.zip(
+      splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail.init)
+    val label = bounds.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) =>
+        val thr = f"${(c * (1L << 32)).toLong}%08x" + "0" * 24
+        when(key < lit(thr), lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", label)
+  }
+
+  /** Seeded global shuffle + fixed-size output shards — the write-out
+    * step of a training pipeline: order the corpus by `md5(seed:id)`
+    * (a deterministic permutation; re-shuffle by changing the seed) and
+    * assign each document its 0-based shuffled position `pos` and
+    * contiguous shard `pos / shardSize`, so `write.partitionBy("shard")`
+    * emits fixed-row training shards in shuffled order.
+    *
+    * The global rank is computed in the [[tokenBudgetSelect]] two-phase
+    * bucket-rollup shape, never as a corpus-wide single-partition
+    * window: bucket = first `bucketPrefixLen` hex chars of the key
+    * (16^len buckets — uniform by construction, md5 has no skew), roll
+    * counts up, run the cumulative window over that bounded rollup,
+    * broadcast it back, and resolve each document with an in-bucket
+    * `row_number` partitioned by bucket. Bucket-then-key order equals
+    * global key order (the bucket IS the key's prefix), so
+    * pos = bucket prefix count + in-bucket rank − 1 reproduces the
+    * one-window oracle exactly. At 100 TB the default 65 536 buckets
+    * hold ~1.6 GB each — one hash exchange + in-bucket sort, and the
+    * only single-partition step touches 16^len rows. */
+  def seededShuffleShard(docs: DataFrame, shardSize: Long,
+                         seed: String = "0", idCol: String = "doc_id",
+                         bucketPrefixLen: Int = 4): DataFrame = {
+    require(shardSize > 0, s"invalid shardSize=$shardSize")
+    require(bucketPrefixLen >= 1 && bucketPrefixLen <= 8,
+      s"invalid bucketPrefixLen=$bucketPrefixLen")
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("skey"))
+      .withColumn("bucket", substring(col("skey"), 1, bucketPrefixLen))
+    val bw = w.orderBy(col("bucket")).rowsBetween(w.unboundedPreceding, -1)
+    val buckets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_bucket", coalesce(sum(col("n")).over(bw), lit(0L)))
+      .select(col("bucket"), col("cum_bucket"))
+    val dw = w.partitionBy(col("bucket")).orderBy(col("skey"), col("doc_id"))
+    keyed.join(broadcast(buckets), Seq("bucket"))
+      .withColumn("pos",
+        (col("cum_bucket") + row_number().over(dw) - 1).cast("long"))
+      .withColumn("shard", floor(col("pos") / lit(shardSize)).cast("long"))
+      .select(col("doc_id"), col("pos"), col("shard"))
+  }
+
   def epochMix(docs: DataFrame, strataCol: String, idCol: String,
                weights: Map[String, Double]): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w <= 100.0),

@@ -167,6 +167,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit is disjoint, exhaustive, proportional, and growth-stable") {
+    val docs = (1 to 4000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = CurationPipeline.hashSplit(docs, splits, seed = "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    got.size shouldBe 4000                       // exhaustive: one label per doc
+    val byLabel = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    byLabel.keySet shouldBe Set("train", "val", "test") // disjoint bands all hit
+    byLabel("train").toDouble / 4000 shouldBe 0.8 +- 0.03
+    byLabel("val").toDouble / 4000 shouldBe 0.1 +- 0.03
+    byLabel("test").toDouble / 4000 shouldBe 0.1 +- 0.03
+    // growth-stable: a doc keeps its split when the corpus doubles
+    val grown = (1 to 8000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    CurationPipeline.hashSplit(grown, splits, seed = "v1")
+      .filter($"doc_id" <= 4000).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap shouldBe got
+    // a different seed re-draws the assignment
+    CurationPipeline.hashSplit(docs, splits, seed = "v2")
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .toMap should not equal got
+    // misconfigured splits are an error, not a silent band
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.hashSplit(docs, Seq("a" -> 0.5, "a" -> 0.5))
+  }
+
+  test("seededShuffleShard equals the one-window reference and fills fixed shards") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val got = CurationPipeline
+      .seededShuffleShard(docs, shardSize = 64, seed = "42")
+      .as[(Long, Long, Long)].collect()
+    got.length shouldBe n.toInt
+    // pos is a permutation of 0..n-1
+    got.map(_._2).sorted.toSeq shouldBe (0L until n)
+    // reference semantics: ONE global row_number window over the key
+    val ref = docs.select(col("doc_id"),
+        md5(concat(lit("42:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("pos", (row_number().over(
+        Window.orderBy(col("skey"), col("doc_id"))) - 1).cast("long"))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    got.map(t => t._1 -> t._2).toMap shouldBe ref
+    // shards are contiguous fixed-size blocks of the shuffled order
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    (0L until n / 64).foreach(s => sizes(s) shouldBe 64)
+    if (n % 64 != 0) sizes(n / 64) shouldBe (n % 64).toInt
+    // the bucket width is an execution knob, never a semantics knob
+    CurationPipeline.seededShuffleShard(docs, 64, "42", bucketPrefixLen = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .toSeq shouldBe got.sortBy(_._1).toSeq
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged, NULL-text-safe") {
     val nul = null.asInstanceOf[String]
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, nul), (6L, nul))

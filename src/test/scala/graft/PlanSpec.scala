@@ -180,6 +180,26 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("hash split is a pure per-row map: no shuffle before the compare sort") {
+    val p = plan("curate_split")
+    // the split label is md5-threshold bands on each row's own id —
+    // the only exchange is the driver-compare orderBy's range partition
+    p should not include "hashpartitioning"
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("shuffle shard: doc-side window hashes on the key prefix, rollup broadcast") {
+    val p = plan("curate_shuffle_shard")
+    // same two-phase shape as token budget: the single-partition window
+    // runs only over the 16^len-row bucket rollup; the corpus side takes
+    // one hash exchange on the bucket and gets the rollup as a broadcast
+    p should include("hashpartitioning(bucket")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("snapshot diff is one co-partitioned full-outer join, nothing more") {
     val p = plan("curate_snapshot_diff")
     p should include("FullOuter")
