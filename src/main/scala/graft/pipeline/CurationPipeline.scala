@@ -102,6 +102,19 @@ object CurationPipeline {
       .select(col("doc_id")).distinct()
   }
 
+  /** A probability as a 32-char-comparable md5 threshold: an md5 hex
+    * string is < the encoding of `f` with probability f. The single
+    * encoding every md5-threshold operator ([[stratifiedSample]],
+    * [[epochMix]], [[hashSplit]]) shares, so the edge guards cannot
+    * diverge per call site: f ≤ 0 → all-zeros (matches nothing),
+    * f ≥ 1 → "g", which sorts after every hex digit (matches all) —
+    * the 2^32 encoding of 1.0 would be "100000000", 9 chars, and
+    * MISORDER against 32-char keys ('1' < '8'). */
+  private def hexThreshold(f: Double): String =
+    if (f >= 1.0) "g"
+    else if (f <= 0.0) "0" * 32
+    else f"${(f * (1L << 32)).toLong}%08x" + "0" * 24
+
   /** Deterministic stratified sampling — the data-mixing step: keep each
     * row with its stratum's probability, decided by comparing the
     * row-id's md5 (uniform over hex strings) against the fraction's
@@ -114,13 +127,8 @@ object CurationPipeline {
                        fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1]: $fractions")
-    val thresholds = fractions.map { case (k, f) =>
-      // "g" sorts after every hex digit → keep-all; avoids the 2^32
-      // overflow ("100000000" is 9 chars and would misorder)
-      k -> (if (f >= 1.0) "g" else f"${(f * (1L << 32)).toLong}%08x" + "0" * 24)
-    }
-    val thr = thresholds.foldLeft(lit("0" * 32)) { case (acc, (k, t)) =>
-      when(col(strataCol) === k, lit(t)).otherwise(acc)
+    val thr = fractions.foldLeft(lit("0" * 32)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(hexThreshold(f))).otherwise(acc)
     }
     docs.filter(md5(col(idCol).cast("string")) < thr)
   }
@@ -222,20 +230,44 @@ object CurationPipeline {
     * and replays/oracles compare exactly. Strata absent from `weights`
     * are dropped (allowlist, as in stratifiedSample). Per-row explode of
     * at most ceil(w) — zero shuffle, no RNG state. */
+  def epochMix(docs: DataFrame, strataCol: String, idCol: String,
+               weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      s"weights must be in [0,100]: $weights")
+    val floorW = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
+      when(col(strataCol) === k, lit(w.toInt)).otherwise(acc)
+    }
+    val fracThr = weights.foldLeft(lit("0" * 32)) { case (acc, (k, w)) =>
+      when(col(strataCol) === k, lit(hexThreshold(w - w.toInt))).otherwise(acc)
+    }
+    docs
+      .withColumn("__n", floorW +
+        when(md5(col(idCol).cast("string")) < fracThr, 1).otherwise(0))
+      // guard BEFORE sequence: Spark's sequence(0, -1) yields a
+      // DESCENDING [0, -1], not empty — an unfiltered zero-copy row
+      // would emit two phantom copies
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic train/validation/test split — every document lands in
     * EXACTLY ONE named split (disjoint + exhaustive, unlike
     * [[stratifiedSample]] which only thins). The assignment is a pure
-    * per-row map on `md5(seed:id)` against cumulative hex thresholds
-    * (the [[stratifiedSample]] encoding): reproducible across runs,
-    * engines, and partitionings, stable under corpus growth (a document
-    * keeps its split when others are added — the property that keeps a
-    * held-out set clean across snapshot refreshes), and re-drawable by
-    * changing `seed`. Zero shuffle at any corpus size.
+    * per-row map on `md5(seed:id)` against cumulative [[hexThreshold]]
+    * bounds: reproducible across runs, engines, and partitionings,
+    * stable under corpus growth (a document keeps its split when others
+    * are added — the property that keeps a held-out set clean across
+    * snapshot refreshes), and re-drawable by changing `seed`. Zero
+    * shuffle at any corpus size.
     *
     * `splits` are (name, fraction) in band order; fractions must sum to
-    * 1 (±1e-9). The LAST split is the catch-all band so hex rounding
-    * can never orphan a row. A fraction below 2⁻³² rounds to an empty
-    * band — callers splitting that fine should sample instead. */
+    * 1 (±1e-9). The LAST split is the catch-all band, so neither hex
+    * rounding nor a NULL id can orphan a row (a NULL id's key is NULL,
+    * matches no band, and falls through to the last split — in the SQL
+    * spelling the CASE's ELSE does the same). A fraction below 2⁻³²
+    * rounds to an empty band — callers splitting that fine should
+    * sample instead. */
   def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
                 idCol: String = "doc_id", seed: String = "0"): DataFrame = {
     require(splits.nonEmpty, "splits must be non-empty")
@@ -246,15 +278,15 @@ object CurationPipeline {
     require(math.abs(total - 1.0) < 1e-9,
       s"fractions must sum to 1, got $total: $splits")
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
-    // cumulative upper bounds, same 32-hex encoding as stratifiedSample;
-    // all bounds are < 1.0 (the last band needs none), so the 2^32
-    // 9-hex-char overflow cannot occur
+    // cumulative upper bounds; a bound that rounds UP to 1.0 (fraction
+    // sums are float) hits hexThreshold's "g" sentinel, so the band
+    // order survives — the raw 2^32 encoding would be 9 chars and
+    // misorder against 32-char keys
     val bounds = splits.init.zip(
       splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail.init)
     val label = bounds.foldRight(lit(splits.last._1): Column) {
       case (((name, _), c), acc) =>
-        val thr = f"${(c * (1L << 32)).toLong}%08x" + "0" * 24
-        when(key < lit(thr), lit(name)).otherwise(acc)
+        when(key < lit(hexThreshold(c)), lit(name)).otherwise(acc)
     }
     docs.withColumn("split", label)
   }
@@ -277,16 +309,24 @@ object CurationPipeline {
     * pos = bucket prefix count + in-bucket rank − 1 reproduces the
     * one-window oracle exactly. At 100 TB the default 65 536 buckets
     * hold ~1.6 GB each — one hash exchange + in-bucket sort, and the
-    * only single-partition step touches 16^len rows. */
+    * only single-partition step touches 16^len rows; the cap of 6
+    * (16.7 M buckets) keeps the rollup inside broadcast limits.
+    *
+    * Rows with a NULL id are KEPT, not dropped: they key on the bare
+    * `md5("seed:")`, one shared key — their positions relative to EACH
+    * OTHER are then tie-broken by the NULL id, i.e. undefined; give
+    * documents real ids if that matters (it should). */
   def seededShuffleShard(docs: DataFrame, shardSize: Long,
                          seed: String = "0", idCol: String = "doc_id",
                          bucketPrefixLen: Int = 4): DataFrame = {
     require(shardSize > 0, s"invalid shardSize=$shardSize")
-    require(bucketPrefixLen >= 1 && bucketPrefixLen <= 8,
-      s"invalid bucketPrefixLen=$bucketPrefixLen")
+    require(bucketPrefixLen >= 1 && bucketPrefixLen <= 6,
+      s"invalid bucketPrefixLen=$bucketPrefixLen (cap 6: 16^len buckets " +
+        "must stay broadcastable)")
     val w = org.apache.spark.sql.expressions.Window
     val keyed = docs.select(col(idCol).as("doc_id"),
-        md5(concat(lit(seed + ":"), col(idCol).cast("string"))).as("skey"))
+        md5(concat(lit(seed + ":"),
+          coalesce(col(idCol).cast("string"), lit("")))).as("skey"))
       .withColumn("bucket", substring(col("skey"), 1, bucketPrefixLen))
     val bw = w.orderBy(col("bucket")).rowsBetween(w.unboundedPreceding, -1)
     val buckets = keyed.groupBy(col("bucket"))
@@ -299,28 +339,5 @@ object CurationPipeline {
         (col("cum_bucket") + row_number().over(dw) - 1).cast("long"))
       .withColumn("shard", floor(col("pos") / lit(shardSize)).cast("long"))
       .select(col("doc_id"), col("pos"), col("shard"))
-  }
-
-  def epochMix(docs: DataFrame, strataCol: String, idCol: String,
-               weights: Map[String, Double]): DataFrame = {
-    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
-      s"weights must be in [0,100]: $weights")
-    val floorW = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
-      when(col(strataCol) === k, lit(w.toInt)).otherwise(acc)
-    }
-    val fracThr = weights.foldLeft(lit("0" * 32)) { case (acc, (k, w)) =>
-      val f = w - w.toInt
-      val t = if (f <= 0.0) "0" * 32 else f"${(f * (1L << 32)).toLong}%08x" + "0" * 24
-      when(col(strataCol) === k, lit(t)).otherwise(acc)
-    }
-    docs
-      .withColumn("__n", floorW +
-        when(md5(col(idCol).cast("string")) < fracThr, 1).otherwise(0))
-      // guard BEFORE sequence: Spark's sequence(0, -1) yields a
-      // DESCENDING [0, -1], not empty — an unfiltered zero-copy row
-      // would emit two phantom copies
-      .filter(col("__n") > 0)
-      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
-      .drop("__n")
   }
 }

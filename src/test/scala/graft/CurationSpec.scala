@@ -192,6 +192,27 @@ class CurationSpec extends SparkSpec {
       CurationPipeline.hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.4))
     an[IllegalArgumentException] should be thrownBy
       CurationPipeline.hashSplit(docs, Seq("a" -> 0.5, "a" -> 0.5))
+    // a cumulative bound that rounds to 1.0 (float sums) must hit the
+    // "g" sentinel: the raw 2^32 encoding is 9 hex chars and would
+    // misorder, silently dumping band b's upper half into c
+    val over = CurationPipeline
+      .hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.5, "c" -> 1e-12), seed = "v1")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    over("a").toDouble / 4000 shouldBe 0.5 +- 0.03
+    over("b").toDouble / 4000 shouldBe 0.5 +- 0.03
+    over.getOrElse("c", 0L) shouldBe 0L
+  }
+
+  test("null ids: hashSplit routes to the catch-all, seededShuffleShard keeps the row") {
+    val withNull = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y"), (null, "z"))
+      .toDF("doc_id", "text")
+    CurationPipeline.hashSplit(withNull, Seq("train" -> 0.5, "test" -> 0.5))
+      .filter($"doc_id".isNull).select("split").as[String].collect()
+      .toSeq shouldBe Seq("test")
+    // a null id must not vanish through the bucket equi-join
+    val shards = CurationPipeline.seededShuffleShard(withNull, shardSize = 2)
+    shards.count() shouldBe 3
+    shards.select("pos").as[Long].collect().sorted.toSeq shouldBe Seq(0L, 1L, 2L)
   }
 
   test("seededShuffleShard equals the one-window reference and fills fixed shards") {
