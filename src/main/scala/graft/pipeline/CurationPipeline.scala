@@ -154,9 +154,18 @@ object CurationPipeline {
     * global window exactly (in-bucket order is the global order
     * restricted to the bucket), so the SQL oracle is the one-window
     * form. The corpus total (→ the budget) derives from the SAME
-    * bucket rollup as a full-frame window — the corpus is scanned
-    * exactly twice (rollup + resolve), never a third time for the
-    * total.
+    * bucket rollup as a full-frame window — never a separate scan.
+    *
+    * The corpus is SCORED once, not twice: the skinny
+    * (id, q, n_tokens) projection is lazily local-checkpointed, so the
+    * rollup and resolve phases both read the materialized blocks
+    * instead of each re-running the quality/token regexes (the dominant
+    * cost) over the raw text. Sharing the plan without a barrier would
+    * not help — column pruning specializes each branch's subplan, so
+    * Catalyst plans two scans. At 100 TB the checkpoint stores ~20
+    * bytes/doc on executor-local disks (MEMORY_AND_DISK), the standard
+    * trade the dedup cluster operators already make; the truncated
+    * lineage is recomputed from the source on executor loss.
     *
     * Skew caveat: the in-bucket window keys on the rounded quality, so
     * a corpus where a large share of documents collapses onto ONE
@@ -171,8 +180,9 @@ object CurationPipeline {
     require(fraction > 0.0 && fraction <= 1.0, s"invalid fraction=$fraction")
     val w = org.apache.spark.sql.expressions.Window
     val scored = docs.select(col(idCol).as("doc_id"),
-      round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint(false)
     val bw = w.orderBy(col("q").desc).rowsBetween(w.unboundedPreceding, -1)
     val tw = w.orderBy(col("q").desc)
       .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
@@ -310,7 +320,11 @@ object CurationPipeline {
     * one-window oracle exactly. At 100 TB the default 65 536 buckets
     * hold ~1.6 GB each — one hash exchange + in-bucket sort, and the
     * only single-partition step touches 16^len rows; the cap of 6
-    * (16.7 M buckets) keeps the rollup inside broadcast limits.
+    * (16.7 M buckets) keeps the rollup inside broadcast limits. The
+    * source is read twice (rollup + resolve), but column pruning means
+    * each read touches ONLY the id column and a cheap md5 — unlike
+    * [[tokenBudgetSelect]], nothing here is worth a materialization
+    * barrier.
     *
     * Rows with a NULL id are KEPT, not dropped: they key on the bare
     * `md5("seed:")`, one shared key — their positions relative to EACH
