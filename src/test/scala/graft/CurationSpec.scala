@@ -203,6 +203,37 @@ class CurationSpec extends SparkSpec {
     over.getOrElse("c", 0L) shouldBe 0L
   }
 
+  test("hashSplit stays disjoint and exhaustive for random split vectors") {
+    // seeded-random property (repo convention): any normalized fraction
+    // vector — including float sums that round the last cumulative bound
+    // to 1.0 — must label every row with exactly one declared split
+    val rnd = new scala.util.Random(20260813L)
+    val docs = (1 to 500).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    (1 to 6).foreach { it =>
+      val raw = Array.fill(2 + rnd.nextInt(5))(rnd.nextDouble() + 1e-3)
+      val splits = raw.map(_ / raw.sum).zipWithIndex
+        .map { case (f, i) => s"s$i" -> f }.toSeq
+      val got = CurationPipeline.hashSplit(docs, splits, seed = s"seed$it")
+        .select("doc_id", "split").as[(Long, String)].collect()
+      withClue(s"iteration $it splits=$splits: ") {
+        got.length shouldBe 500
+        got.map(_._2).toSet.subsetOf(splits.map(_._1).toSet) shouldBe true
+      }
+    }
+  }
+
+  test("seededShuffleShard emits a permutation even with duplicate and null ids") {
+    // duplicate ids share a shuffle key (tie-broken arbitrarily between
+    // the copies) and a null id keys on the bare seed — both must still
+    // occupy exactly one position each
+    val ids: Seq[java.lang.Long] =
+      Seq(1L, 1L, 2L, 3L, 3L, 3L, null, 7L, 8L, 8L)
+    val docs = ids.map(Tuple1(_)).toDF("doc_id")
+    val got = CurationPipeline.seededShuffleShard(docs, shardSize = 3)
+    got.count() shouldBe 10
+    got.select("pos").as[Long].collect().sorted.toSeq shouldBe (0L until 10L)
+  }
+
   test("null ids: hashSplit routes to the catch-all, seededShuffleShard keeps the row") {
     val withNull = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y"), (null, "z"))
       .toDF("doc_id", "text")
