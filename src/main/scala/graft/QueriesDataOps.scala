@@ -587,8 +587,10 @@ object QueriesDataOps {
       // two-phase bucket-rollup shape that survives 100 TB (the only
       // single-partition window runs over the ≤10⁶-row quality-bucket
       // rollup, never the corpus) — see CurationPipeline.tokenBudgetSelect.
+      // singleScan is the production-at-scale form: the scoring regexes
+      // run once over a lazily persisted skinny projection.
       graft.pipeline.CurationPipeline.tokenBudgetSelect(
-          T(s, dir, "documents"), fraction = 0.5)
+          T(s, dir, "documents"), fraction = 0.5, singleScan = true)
         .orderBy(col("doc_id"))
     }, Some {
       def hits(w: String) =

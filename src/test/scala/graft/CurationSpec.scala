@@ -136,6 +136,10 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
     val (ref, budget) = budgetReference(docs, 0.5)
     got shouldBe ref
+    // the single-scan (persisted-projection) form is the same operator
+    CurationPipeline.tokenBudgetSelect(docs, fraction = 0.5, singleScan = true)
+      .select("doc_id", "cum_before").as[(Long, Long)]
+      .collect().toMap shouldBe ref
     // the kept slice spends (just) the budget: every kept doc starts
     // inside it, and the spend including the boundary doc reaches it
     got.values.foreach(_ should be < budget)
