@@ -579,6 +579,43 @@ object QueriesDataOps {
       FROM c WHERE n > 0
       ORDER BY doc_id, copy""")),
 
+    ("curate_temperature_mix", (s, dir) => {
+      // temperature-scaled language rebalancing, the multilingual-
+      // pretraining mix: weights DERIVED from corpus counts
+      // (w_i = N·√n_i / (Σ√n_j · n_i), α = 0.5), capped at 10 epochs,
+      // then applied with the epochMix expansion. The oracle re-derives
+      // the weights in SQL — bit-reproducible because every op (sqrt,
+      // stratum-ordered sum, mul/div, floor, ×2³²) is deterministic
+      // IEEE; see CurationPipeline.temperatureMix.
+      graft.pipeline.CurationPipeline.temperatureMix(
+          T(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, maxWeight = 10.0)
+        .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }, Some("""
+      WITH counts AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n_i
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      tot AS (SELECT CAST(sum(CAST(n_i AS BIGINT)) AS DOUBLE) AS n FROM counts),
+      cum AS (SELECT lang, sum(sqrt(n_i)) OVER (ORDER BY lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM counts),
+      s AS (SELECT c AS s FROM cum ORDER BY lang DESC LIMIT 1),
+      w AS (SELECT lang, n_i, least((n * sqrt(n_i)) / (s * n_i), 10.0) AS w
+            FROM counts, tot, s),
+      thr AS (SELECT lang, CAST(floor(w) AS INT) AS fl,
+                CASE WHEN w - floor(w) <= 0 THEN repeat('0', 32)
+                     ELSE printf('%08x', CAST(floor((w - floor(w)) * 4294967296.0)
+                       AS BIGINT)) || repeat('0', 24) END AS t
+              FROM w),
+      c AS (SELECT d.doc_id, d.lang,
+              fl + CASE WHEN md5(CAST(d.doc_id AS VARCHAR)) < t
+                   THEN 1 ELSE 0 END AS n
+            FROM documents d JOIN thr USING (lang))
+      SELECT doc_id, lang, CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy
+      FROM c WHERE n > 0
+      ORDER BY doc_id, copy""")),
+
     ("curate_token_budget", (s, dir) => {
       // data selection under a fixed token budget: highest-quality docs
       // first, in global (quality desc, id asc) order, until half the
@@ -1424,6 +1461,30 @@ object QueriesDataOps {
       SELECT doc_id, count(*) AS n_tokens,
              round(avg(-ln(CAST(tc.c AS DOUBLE) / n.n_total)) + 0.0, 6) AS surprisal
       FROM toks JOIN tc USING (term) CROSS JOIN n
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    ("text_bigram_surprisal", (s, dir) => {
+      // conditional-LM quality score one order above the unigram: mean
+      // −ln p̂(r|l) under the corpus MLE bigram model. Adjacent pairs come
+      // from a per-row zip (no window/positional shuffle); the rest is
+      // the tf-idf shuffle family — count aggregates + equi-joins.
+      TextAnalysis.bigramSurprisal(spread(s, T(s, dir, "documents")),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, bg[1] AS l, bg[2] AS r
+        FROM (SELECT doc_id,
+                unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS bg
+              FROM toks WHERE len(ts) >= 2)),
+      bg AS (SELECT l, r, count(*) AS c_lr FROM pairs GROUP BY l, r),
+      lc AS (SELECT l, count(*) AS c_l FROM pairs GROUP BY l)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(-ln(CAST(c_lr AS DOUBLE) / c_l)) + 0.0, 6) AS surprisal
+      FROM pairs JOIN bg USING (l, r) JOIN lc USING (l)
       GROUP BY doc_id ORDER BY doc_id""")),
 
     ("text_char_entropy", (s, dir) => {

@@ -131,6 +131,40 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Per-document mean bigram surprisal −ln p̂(r | l), with p̂ the corpus
+    * MLE conditional bigram model c(l,r) / c(l,·) — one model order above
+    * [[unigramSurprisal]] in the CCNet statistic family: context-aware
+    * enough to separate shuffled-token soup (every transition rare →
+    * high) from templated boilerplate (every transition deterministic →
+    * near zero) where the unigram score sees the same bag of words.
+    * Documents with fewer than two tokens emit no row. Rounded to 6
+    * decimals (cross-engine float convention).
+    *
+    * Plan: per-row adjacent-pair zip (`zip_with` over two slices — no
+    * window, no positional shuffle) → pair explode → two map-side-
+    * combinable count aggregates (bigram and left-context) → equi-joins
+    * back to the pairs → per-doc mean. All shuffles are key-uniform
+    * aggregates/joins, nothing quadratic; the model tables are
+    * corpus-bounded aggregates, the same class as [[tfIdf]]'s term
+    * table. */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("bg"))
+      .select(col("doc_id"), col("bg.l").as("l"), col("bg.r").as("r"))
+    val bgCount = pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_lr"))
+    val leftCount = pairs.groupBy(col("l")).agg(count(lit(1)).as("c_l"))
+    pairs.join(bgCount, Seq("l", "r")).join(leftCount, Seq("l"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("c_lr").cast("double") / col("c_l"))), 6)
+          .as("surprisal"))
+  }
+
   /** Per-document character-level Shannon entropy over [a-z0-9] of the
     * lowercased text, in nats — near-zero for single-character runs,
     * ~ln(26) for uniform letter soup; real prose sits in a stable band,

@@ -268,6 +268,54 @@ object CurationPipeline {
       .drop("__n")
   }
 
+  /** Temperature-scaled stratum rebalancing — [[epochMix]] with the
+    * weights DERIVED from corpus counts instead of hand-picked: the
+    * multilingual-pretraining recipe (mT5 §3.1 / XLM-R) that flattens a
+    * skewed language/domain distribution. Stratum i with share
+    * p_i = n_i / N gets target share q_i = p_i^α / Σ_j p_j^α (α ∈ (0,1];
+    * α = 1 is the identity mix, smaller α is flatter), hence per-row
+    * weight w_i = N·q_i / n_i = N·n_i^α / (Σ_j n_j^α · n_i) — the N^α
+    * normalization cancels, so the float math runs on exact integer
+    * counts. Weights above `maxWeight` are capped (a tiny stratum in a
+    * huge corpus would otherwise repeat unboundedly); the expected output
+    * size is ≤ N. NULL-stratum rows are dropped (allowlist semantics,
+    * as in [[epochMix]]/[[stratifiedSample]]).
+    *
+    * Reproducibility: the derivation is a documented-bounded collect of
+    * the one-row-per-stratum rollup (the Lloyd-matrix class of driver
+    * action), summed in stratum-ascending order — every op (sqrt for
+    * α = 0.5, ordered sum, mul/div, cap, floor, ×2³²) is a deterministic
+    * IEEE operation an oracle replays bit-for-bit. α = 0.5 uses
+    * `math.sqrt` (correctly rounded by IEEE 754, unlike `pow`'s
+    * libm-specific last ulp), so oracles should pin α = 0.5.
+    *
+    * Plan at 100 TB: one column-pruned count-only scan for the rollup
+    * (map-side combinable, #strata result rows), then [[epochMix]]'s
+    * pure per-row expansion — the weights ride in as literals, so the
+    * output plan has no exchange at all. */
+  def temperatureMix(docs: DataFrame, strataCol: String, idCol: String,
+                     alpha: Double = 0.5,
+                     maxWeight: Double = 10.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(maxWeight > 0.0 && maxWeight <= 100.0,
+      s"maxWeight must be in (0,100]: $maxWeight")
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    // bounded collect: one row per stratum, stratum-ascending so the
+    // weight floats are a reproducible left-to-right fold
+    val rollup = docs.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n")).orderBy(col("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bigN = rollup.map(_._2).sum.toDouble
+    var sumPa = 0.0
+    rollup.foreach { case (_, n) => sumPa += powA(n.toDouble) }
+    val weights = rollup.map { case (k, n) =>
+      k -> math.min((bigN * powA(n.toDouble)) / (sumPa * n.toDouble), maxWeight)
+    }.toMap
+    epochMix(docs, strataCol, idCol, weights)
+  }
+
   /** Deterministic train/validation/test split — every document lands in
     * EXACTLY ONE named split (disjoint + exhaustive, unlike
     * [[stratifiedSample]] which only thins). The assignment is a pure

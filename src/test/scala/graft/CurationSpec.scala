@@ -78,6 +78,46 @@ class CurationSpec extends SparkSpec {
       .filter($"lang" === "other").count() shouldBe 0L
   }
 
+  test("temperatureMix derives the α-weights epochMix then applies") {
+    // strata {a: 16, b: 4}: α=0.5 → s=(4,2), S=6, N=20 →
+    // w_a = 20·4/(6·16) = 5/6, w_b = 20·2/(6·4) = 5/3
+    val docs = (1 to 20).map(i =>
+      (i.toLong, if (i <= 16) "a" else "b")).toDF("doc_id", "lang")
+    val got = CurationPipeline.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+      .select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    val wA = 20.0 * 4 / (6.0 * 16)
+    val wB = 20.0 * 2 / (6.0 * 4)
+    val viaEpoch = CurationPipeline.epochMix(docs, "lang", "doc_id",
+        Map("a" -> wA, "b" -> wB))
+      .select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    got.sorted.toSeq shouldBe viaEpoch.sorted.toSeq
+    // downsampled majority: ≤1 copy each; upsampled minority: 1 or 2
+    got.filter(_._2 == "a").groupBy(_._1).foreach(_._2.length shouldBe 1)
+    got.filter(_._2 == "b").groupBy(_._1).foreach(
+      _._2.length should (be(1) or be(2)))
+  }
+
+  test("temperatureMix: α=1 is the identity mix; caps, nulls, bad args") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+        Seq((91L, "tiny"), (92L, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang")
+    // α=1 → every stratum weight exactly 1 → each non-null doc once
+    CurationPipeline.temperatureMix(docs, "lang", "doc_id", alpha = 1.0)
+      .select("doc_id", "copy").as[(Long, Int)].collect().sorted.toSeq shouldBe
+      (1 to 91).map(i => (i.toLong, 0))
+    // α=0.5, strata {90, 1}: uncapped w_tiny = 91/(√90+1) ≈ 8.7 < 10 but
+    // maxWeight=2 must clamp it; null-stratum row dropped in both
+    val capped = CurationPipeline.temperatureMix(docs, "lang", "doc_id",
+        alpha = 0.5, maxWeight = 2.0)
+      .select("doc_id", "lang", "copy").as[(Long, String, Int)].collect()
+    capped.filter(_._2 == "tiny").length shouldBe 2
+    capped.map(_._1) should not contain 92L
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.temperatureMix(docs, "lang", "doc_id", alpha = 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.temperatureMix(docs, "lang", "doc_id", maxWeight = 101.0)
+  }
+
   test("packSequences lays docs head-to-tail into capacity bins per stratum") {
     val docs = Seq(
       (1L, "a", "w w w w"),           // 4 tokens → bin 0, offset 0

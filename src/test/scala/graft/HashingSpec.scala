@@ -153,6 +153,55 @@ class TfIdfSpec extends SparkSpec {
     got(2L)._2 should be > got(1L)._2
   }
 
+  test("bigram surprisal matches first-principles conditional MLE") {
+    // corpus pairs: doc 1 → (a,b)(b,a)(a,b)(b,a), doc 2 → (a,b)(b,c)
+    // c(a,b)=3 c(b,a)=2 c(b,c)=1; left counts c(a,·)=3 c(b,·)=3
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "a b c"),
+      (3L, "solo"),               // one token → no bigrams → no row
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L)._1 shouldBe 4
+    got(2L)._1 shouldBe 2
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: (−ln(3/3) − ln(2/3) − ln(3/3) − ln(2/3)) / 4
+    got(1L)._2 shouldBe r6((-math.log(3.0 / 3) - math.log(2.0 / 3)) * 2 / 4)
+    // doc 2: (−ln(3/3) − ln(1/3)) / 2
+    got(2L)._2 shouldBe r6((-math.log(3.0 / 3) - math.log(1.0 / 3)) / 2)
+  }
+
+  test("bigram surprisal: deterministic transitions score zero, not -0.0") {
+    // every left context has exactly one continuation → every p̂ = 1
+    val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+    got.length shouldBe 2
+    got.foreach { r =>
+      r._3 shouldBe 0.0
+      // the driver's oracle hashes the CSV rendering — IEEE −0.0 would
+      // print "-0.0" and mismatch DuckDB's "+ 0.0"-normalized zero
+      (1.0 / r._3) should be > 0.0
+    }
+  }
+
+  test("bigram surprisal separates templated from shuffled text where unigram cannot") {
+    // same bag of words per doc; doc 1 repeats one transition pattern,
+    // doc 2 permutes it → identical unigram stats, different bigram stats
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c"),
+      (2L, "a c b b a c c b a c a b")).toDF("doc_id", "text")
+    val uni = graft.functions.TextAnalysis.unigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    uni(1L) shouldBe uni(2L) // blind to order
+    val bi = graft.functions.TextAnalysis.bigramSurprisal(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    bi(1L) should be < bi(2L) // template transitions are high-probability
+  }
+
   test("char entropy: zero for single-symbol runs, ln(k) for uniform") {
     val docs = Seq(
       (1L, "aaaa aa"),      // one symbol → entropy 0
