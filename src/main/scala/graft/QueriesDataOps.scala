@@ -583,24 +583,30 @@ object QueriesDataOps {
       // temperature-scaled language rebalancing, the multilingual-
       // pretraining mix: weights DERIVED from corpus counts
       // (w_i = N·√n_i / (Σ√n_j · n_i), α = 0.5), capped at 10 epochs,
-      // then applied with the epochMix expansion. The oracle re-derives
-      // the weights in SQL — bit-reproducible because every op (sqrt,
-      // stratum-ordered sum, mul/div, floor, ×2³²) is deterministic
-      // IEEE; see CurationPipeline.temperatureMix.
+      // then applied through a broadcast-join expansion. The oracle
+      // re-derives the weights in SQL — bit-reproducible because every
+      // op (sqrt, stratum-ordered sum, mul/div, floor, ×2³²) is
+      // deterministic IEEE, with the sum folded through a RECURSIVE CTE:
+      // a windowed cumulative sum drifts in the last ulp beyond 16
+      // strata (segment-tree evaluation) — see
+      // CurationPipeline.temperatureMix.
       graft.pipeline.CurationPipeline.temperatureMix(
           T(s, dir, "documents"), "lang", "doc_id",
           alpha = 0.5, maxWeight = 10.0)
         .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
         .orderBy(col("doc_id"), col("copy"))
     }, Some("""
-      WITH counts AS (
+      WITH RECURSIVE counts AS (
         SELECT lang, CAST(count(*) AS DOUBLE) AS n_i
         FROM documents WHERE lang IS NOT NULL GROUP BY lang),
       tot AS (SELECT CAST(sum(CAST(n_i AS BIGINT)) AS DOUBLE) AS n FROM counts),
-      cum AS (SELECT lang, sum(sqrt(n_i)) OVER (ORDER BY lang
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-              FROM counts),
-      s AS (SELECT c AS s FROM cum ORDER BY lang DESC LIMIT 1),
+      o AS (SELECT lang, n_i, row_number() OVER (ORDER BY lang) AS rn
+            FROM counts),
+      fold AS (
+        SELECT rn, sqrt(n_i) AS acc FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, f.acc + sqrt(o.n_i) FROM fold f JOIN o ON o.rn = f.rn + 1),
+      s AS (SELECT acc AS s FROM fold ORDER BY rn DESC LIMIT 1),
       w AS (SELECT lang, n_i, least((n * sqrt(n_i)) / (s * n_i), 10.0) AS w
             FROM counts, tot, s),
       thr AS (SELECT lang, CAST(floor(w) AS INT) AS fl,

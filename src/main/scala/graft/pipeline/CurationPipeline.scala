@@ -285,14 +285,22 @@ object CurationPipeline {
     * the one-row-per-stratum rollup (the Lloyd-matrix class of driver
     * action), summed in stratum-ascending order — every op (sqrt for
     * α = 0.5, ordered sum, mul/div, cap, floor, ×2³²) is a deterministic
-    * IEEE operation an oracle replays bit-for-bit. α = 0.5 uses
-    * `math.sqrt` (correctly rounded by IEEE 754, unlike `pow`'s
-    * libm-specific last ulp), so oracles should pin α = 0.5.
+    * IEEE operation an oracle replays bit-for-bit, PROVIDED the oracle
+    * also sums sequentially: a windowed cumulative sum is NOT that —
+    * vectorized engines evaluate it with a segment tree above small
+    * partition sizes (measured: DuckDB drifts in the last ulp beyond 16
+    * strata), so the shipped oracle folds through an explicit recursive
+    * CTE. α = 0.5 uses `math.sqrt` (correctly rounded by IEEE 754,
+    * unlike `pow`'s libm-specific last ulp), so oracles should pin
+    * α = 0.5.
     *
     * Plan at 100 TB: one column-pruned count-only scan for the rollup
-    * (map-side combinable, #strata result rows), then [[epochMix]]'s
-    * pure per-row expansion — the weights ride in as literals, so the
-    * output plan has no exchange at all. */
+    * (map-side combinable, #strata result rows), then a BROADCAST join
+    * of the #strata (stratum, floor, threshold) table and the per-row
+    * expansion — O(1) per row at any stratum cardinality. Deliberately
+    * NOT [[epochMix]]'s literal when-chain: with data-derived strata
+    * (a host/domain column can have 10⁵ values) that chain is O(#strata)
+    * per row and a deep-CaseWhen stack overflow in Catalyst. */
   def temperatureMix(docs: DataFrame, strataCol: String, idCol: String,
                      alpha: Double = 0.5,
                      maxWeight: Double = 10.0): DataFrame = {
@@ -310,10 +318,23 @@ object CurationPipeline {
     val bigN = rollup.map(_._2).sum.toDouble
     var sumPa = 0.0
     rollup.foreach { case (_, n) => sumPa += powA(n.toDouble) }
-    val weights = rollup.map { case (k, n) =>
-      k -> math.min((bigN * powA(n.toDouble)) / (sumPa * n.toDouble), maxWeight)
-    }.toMap
-    epochMix(docs, strataCol, idCol, weights)
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val thr = rollup.toSeq.map { case (k, n) =>
+      val w = math.min((bigN * powA(n.toDouble)) / (sumPa * n.toDouble),
+        maxWeight)
+      (k, w.toInt, hexThreshold(w - w.toInt))
+    }.toDF("__tm_s", "__tm_fl", "__tm_t")
+    // inner broadcast join: drops NULL and (impossible here) unlisted
+    // strata, O(1) per row — see the scaladoc on why not a when-chain
+    docs.join(broadcast(thr), col(strataCol).cast("string") === col("__tm_s"))
+      .withColumn("__n", col("__tm_fl") +
+        when(md5(col(idCol).cast("string")) < col("__tm_t"), 1).otherwise(0))
+      // same sequence(0, -1) guard as epochMix: zero-copy rows must be
+      // filtered BEFORE the explode
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n", "__tm_s", "__tm_fl", "__tm_t")
   }
 
   /** Deterministic train/validation/test split — every document lands in

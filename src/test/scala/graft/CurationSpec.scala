@@ -118,6 +118,18 @@ class CurationSpec extends SparkSpec {
       CurationPipeline.temperatureMix(docs, "lang", "doc_id", maxWeight = 101.0)
   }
 
+  test("temperatureMix survives data-derived high-cardinality strata") {
+    // strata come from the DATA (e.g. a host/domain column) — thousands
+    // of distinct values must not become a per-row when-chain (O(#strata)
+    // per row, deep-CaseWhen stack overflow in Catalyst); the expansion
+    // is a broadcast join of the rollup. α=1 makes the result exact.
+    val docs = (1 to 3000).map(i => (i.toLong, s"host-$i"))
+      .toDF("doc_id", "domain")
+    CurationPipeline.temperatureMix(docs, "domain", "doc_id", alpha = 1.0)
+      .select("doc_id", "copy").as[(Long, Int)].collect()
+      .sorted.toSeq shouldBe (1 to 3000).map(i => (i.toLong, 0))
+  }
+
   test("packSequences lays docs head-to-tail into capacity bins per stratum") {
     val docs = Seq(
       (1L, "a", "w w w w"),           // 4 tokens → bin 0, offset 0
