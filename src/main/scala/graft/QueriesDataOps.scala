@@ -139,6 +139,55 @@ object QueriesDataOps {
         .orderBy(col("id"))
     }, Some(clustersOracleSql)),
 
+    ("dedup_cluster_best", (s, dir) => {
+      // clusters → the production KEEP decision: highest-quality member
+      // of each duplicate cluster survives (not min-id, which can keep a
+      // mangled variant over the clean original); singletons keep
+      // themselves. One comp-keyed window beyond the clustering joins.
+      val docs = docsWithDups(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleN = 3, bands = 4, rowsPerBand = 3)
+      Dedup.bestPerCluster(docs, "text", "doc_id", pairs)
+        .orderBy(col("comp"))
+    }, Some {
+      def hits(w: String) =
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+        .map(hits).mkString(" + ")
+      s"""
+      WITH RECURSIVE $minhashCandSql,
+      edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS comp
+               FROM reach GROUP BY a),
+      f AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+                   length(text) * 1.0 AS n,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+            FROM dwd),
+      sc AS (
+        SELECT doc_id,
+               round((least(n / 500.0, 1.0) +
+                      greatest(0.0, 1.0 - ((length(text) -
+                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+                        greatest(n, 1.0)) * 10.0) +
+                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
+                        1.0)) / 3.0, 6) AS q
+        FROM f),
+      lab AS (SELECT sc.doc_id AS id, coalesce(comp.comp, sc.doc_id) AS comp, q
+              FROM sc LEFT JOIN comp ON comp.id = sc.doc_id),
+      ranked AS (SELECT comp, id, q,
+                   row_number() OVER (PARTITION BY comp
+                     ORDER BY q DESC, id ASC) AS rn,
+                   count(*) OVER (PARTITION BY comp) AS n_members
+                 FROM lab)
+      SELECT comp, id AS keep_id, n_members, q AS quality
+      FROM ranked WHERE rn = 1 ORDER BY comp"""
+    }),
+
     ("dedup_exact", (s, dir) => {
       // hash-groupBy exact dedup: one shuffle on md5 (unskewed by
       // construction), map-side combinable.

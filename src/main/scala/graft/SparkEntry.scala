@@ -49,7 +49,7 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_segments",
-    "dedup_embedding_lsh",
+    "dedup_embedding_lsh", "dedup_cluster_best",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled",

@@ -246,6 +246,37 @@ object Dedup {
                                  maxIters: Int = 20): DataFrame =
     altStarWithRounds(pairs, aCol, bCol, maxIters)._1
 
+  /** Canonical-representative selection — the production OUTPUT policy of
+    * near-dup clustering: instead of min-id keep-one (which can keep the
+    * mangled variant and drop the clean original), keep the HIGHEST-
+    * QUALITY member of every duplicate cluster, ties to the smaller id.
+    * Documents in no candidate pair are their own singleton cluster and
+    * always kept. Emits (comp, keep_id, n_members, quality) with quality
+    * rounded to 6 decimals BEFORE ranking (engine-portable order, the
+    * curate_best_per_source convention).
+    *
+    * Plan: [[connectedComponents]] over the pairs (equi-joins only),
+    * a left join of the per-row quality scores onto the labels, then one
+    * comp-keyed hash-partitioned window for the rank and member count —
+    * the q07 top-k shape; the only new exchange beyond clustering is the
+    * one on `comp`. */
+  def bestPerCluster(docs: DataFrame, textCol: String, idCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = docs.select(col(idCol).as("id"),
+      round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"))
+    val labeled = scored.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"), col("q"))
+    val byComp = Window.partitionBy(col("comp"))
+    labeled
+      .withColumn("rn", row_number().over(
+        byComp.orderBy(col("q").desc, col("id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("id").as("keep_id"),
+        col("n_members"), col("q").as("quality"))
+  }
+
   /** EXACT anti-join with a Bloom prefilter — the 100 TB shape of
     * incremental dedup: a broadcastable Bloom filter of the index hashes
     * screens the batch first, so rows the filter rejects (definitely new

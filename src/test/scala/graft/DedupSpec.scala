@@ -164,6 +164,39 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L)
   }
 
+  test("bestPerCluster keeps the highest-quality member, not the min id") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "short dup"),                                        // cluster {1,2,3}
+      (2L, "the quick brown fox is one of the animals and it jumps over " +
+        "a lazy dog in the field to make this a long enough document"),
+      (3L, "short dup again"),
+      (9L, "a lone document about something else entirely here")) // singleton
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.bestPerCluster(docs, "text", "doc_id", pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // expected keeper = argmax of the SAME quality score, tie → min id
+    val q = docs.select(col("doc_id"), round(
+        graft.functions.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val bestInCluster = Seq(1L, 2L, 3L).maxBy(id => (q(id), -id))
+    bestInCluster shouldBe 2L // the long clean doc, NOT min id 1
+    got.keySet shouldBe Set(1L, 9L) // comp labels stay min-id
+    got(1L) shouldBe (bestInCluster, 3L)
+    got(9L) shouldBe (9L, 1L) // singleton keeps itself
+  }
+
+  test("bestPerCluster breaks quality ties toward the smaller id") {
+    val docs = Seq((5L, "same text"), (4L, "same text"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((4L, 5L)).toDF("id_a", "id_b")
+    Dedup.bestPerCluster(docs, "text", "doc_id", pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3)).toSeq shouldBe Seq((4L, 4L, 2L))
+  }
+
   test("connectedComponents converges on a long path (many propagation rounds)") {
     val chain = (1 to 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(chain)

@@ -108,6 +108,25 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct" // 1-row N rides a broadcast
   }
 
+  test("bigram surprisal: pair zip is per-row — no window, no cartesian") {
+    val p = plan("text_bigram_surprisal")
+    // adjacent pairs come from zip_with over two slices inside a
+    // Generate, never a positional window over exploded tokens
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include("Generate")
+  }
+
+  test("temperature mix expansion broadcasts the strata rollup") {
+    val p = plan("curate_temperature_mix")
+    // the #strata (stratum, floor, threshold) table rides a broadcast;
+    // a when-chain would show zero joins but O(#strata) per row, a
+    // sort-merge join would shuffle the corpus on the stratum key
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
   test("incremental dedup plans an anti join against the hash index") {
     val p = plan("dedup_incremental")
     p should include("LeftAnti")
