@@ -83,6 +83,14 @@ object QueriesDataOps {
     * checked against is literally the same text. */
   private lazy val clustersOracleSql: String = s"""
       WITH RECURSIVE $minhashCandSql,
+      $compChainSql
+      SELECT id, comp FROM comp ORDER BY id"""
+
+  /** Shared connected-components labeling contract over the `cand` pair
+    * relation (undirected edges → transitive reach → min-member label in
+    * `comp(id, comp)`). Spliced by BOTH clusters oracles and
+    * dedup_cluster_best so the labeling contract stays one text. */
+  private lazy val compChainSql: String = """
       edges AS (SELECT id_a AS a, id_b AS b FROM cand
                 UNION SELECT id_b, id_a FROM cand),
       reach(a, b) AS (
@@ -90,8 +98,35 @@ object QueriesDataOps {
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       comp AS (SELECT a AS id, least(a, min(b)) AS comp
-               FROM reach GROUP BY a)
-      SELECT id, comp FROM comp ORDER BY id"""
+               FROM reach GROUP BY a)"""
+
+  /** Shared oracle SQL mirroring [[graft.functions.TextAnalysis.qualityScore]]:
+    * the `f` CTE derives the padded-text/length features over `from`
+    * (optionally carrying `extra` pass-through columns), and
+    * [[qualityQSql]] is the 6-decimal-rounded composite score expression
+    * over `f`'s columns. The quality-ranked oracles (dedup_cluster_best,
+    * curate_best_per_source, curate_token_budget) splice these so a score
+    * change lands in every oracle at once instead of four hand-kept
+    * copies. */
+  private def qualityFSql(from: String, extra: String = ""): String = s"""
+      f AS (
+        SELECT doc_id, ${extra}text, ' ' || lower(text) || ' ' AS p,
+               length(text) * 1.0 AS n,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        FROM $from)"""
+
+  private lazy val qualityQSql: String = {
+    def hits(w: String) =
+      s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+    val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
+      .map(hits).mkString(" + ")
+    s"""round((least(n / 500.0, 1.0) +
+                      greatest(0.0, 1.0 - ((length(text) -
+                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+                        greatest(n, 1.0)) * 10.0) +
+                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
+                        1.0)) / 3.0, 6)"""
+  }
 
   /** Shared oracle CTE chain for the minhash band pipeline, ending in the
     * `cand` relation of DISTINCT candidate pairs (id_a < id_b). */
@@ -144,39 +179,23 @@ object QueriesDataOps {
       // of each duplicate cluster survives (not min-id, which can keep a
       // mangled variant over the clean original); singletons keep
       // themselves. One comp-keyed window beyond the clustering joins.
-      val docs = docsWithDups(s, dir)
+      // The skinny (id, text) projection feeds BOTH the minhash band
+      // pipeline and the quality scoring — lazily persisted so the
+      // variant-explode corpus is materialized once, not scanned twice
+      // (the tokenBudgetSelect singleScan convention; ContextCleaner
+      // unpersists when the frame is collected).
+      val docs = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         shingleN = 3, bands = 4, rowsPerBand = 3)
       Dedup.bestPerCluster(docs, "text", "doc_id", pairs)
         .orderBy(col("comp"))
     }, Some {
-      def hits(w: String) =
-        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
-      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-        .map(hits).mkString(" + ")
       s"""
       WITH RECURSIVE $minhashCandSql,
-      edges AS (SELECT id_a AS a, id_b AS b FROM cand
-                UNION SELECT id_b, id_a FROM cand),
-      reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      comp AS (SELECT a AS id, least(a, min(b)) AS comp
-               FROM reach GROUP BY a),
-      f AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
-                   length(text) * 1.0 AS n,
-                   length(text) - length(replace(text, ' ', '')) + 1 AS n_words
-            FROM dwd),
-      sc AS (
-        SELECT doc_id,
-               round((least(n / 500.0, 1.0) +
-                      greatest(0.0, 1.0 - ((length(text) -
-                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
-                        greatest(n, 1.0)) * 10.0) +
-                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
-                        1.0)) / 3.0, 6) AS q
-        FROM f),
+      $compChainSql,
+      ${qualityFSql("dwd")},
+      sc AS (SELECT doc_id, $qualityQSql AS q FROM f),
       lab AS (SELECT sc.doc_id AS id, coalesce(comp.comp, sc.doc_id) AS comp, q
               FROM sc LEFT JOIN comp ON comp.id = sc.doc_id),
       ranked AS (SELECT comp, id, q,
@@ -549,25 +568,9 @@ object QueriesDataOps {
           col("doc_id"), col("q").as("quality"))
         .orderBy(col("source"), col("rank"))
     }, Some {
-      def hits(w: String) =
-        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
-      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-        .map(hits).mkString(" + ")
       s"""
-      WITH f AS (
-        SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p,
-               length(text) * 1.0 AS n,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
-        FROM documents),
-      sc AS (
-        SELECT doc_id, source,
-               round((least(n / 500.0, 1.0) +
-                      greatest(0.0, 1.0 - ((length(text) -
-                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
-                        greatest(n, 1.0)) * 10.0) +
-                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
-                        1.0)) / 3.0, 6) AS q
-        FROM f),
+      WITH ${qualityFSql("documents", "source, ")},
+      sc AS (SELECT doc_id, source, $qualityQSql AS q FROM f),
       ranked AS (
         SELECT source, doc_id, q,
                row_number() OVER (PARTITION BY source
@@ -685,27 +688,12 @@ object QueriesDataOps {
           T(s, dir, "documents"), fraction = 0.5, singleScan = true)
         .orderBy(col("doc_id"))
     }, Some {
-      def hits(w: String) =
-        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
-      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-        .map(hits).mkString(" + ")
       s"""
-      WITH f AS (
-        SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
-               length(text) * 1.0 AS n,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
-        FROM documents),
-      sc AS (
-        SELECT doc_id,
-               round((least(n / 500.0, 1.0) +
-                      greatest(0.0, 1.0 - ((length(text) -
-                        length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
-                        greatest(n, 1.0)) * 10.0) +
-                      least((($stopHits) / greatest(n_words * 1.0, 1.0)) * 4.0,
-                        1.0)) / 3.0, 6) AS q,
-               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
-                 AS n_tokens
-        FROM f),
+      WITH ${qualityFSql("documents")},
+      sc AS (SELECT doc_id, $qualityQSql AS q,
+                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                      AS n_tokens
+             FROM f),
       tot AS (SELECT CAST(floor(sum(n_tokens) * 0.5) AS BIGINT) AS budget
               FROM sc),
       c AS (SELECT doc_id, q, n_tokens,

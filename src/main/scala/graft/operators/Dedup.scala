@@ -256,13 +256,17 @@ object Dedup {
     * curate_best_per_source convention).
     *
     * Plan: [[connectedComponents]] over the pairs (equi-joins only),
-    * a left join of the per-row quality scores onto the labels, then one
-    * comp-keyed hash-partitioned window for the rank and member count —
-    * the q07 top-k shape; the only new exchange beyond clustering is the
-    * one on `comp`. */
+    * a left join of the per-row quality scores onto the labels — id-keyed
+    * exchanges on both sides (the label set is the full duplicate-node
+    * set, NOT broadcastable at scale) — then one comp-keyed
+    * hash-partitioned window for the rank and member count, the q07
+    * top-k shape. Beyond clustering that is one id-keyed exchange pair
+    * plus one comp exchange, all equi-keyed; no cartesian, no window
+    * wider than a component (pinned in PlanSpec). */
   def bestPerCluster(docs: DataFrame, textCol: String, idCol: String,
-                     pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+                     pairs: DataFrame, aCol: String = "id_a",
+                     bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
     val scored = docs.select(col(idCol).as("id"),
       round(TextAnalysis.qualityScore(col(textCol)), 6).as("q"))
     val labeled = scored.join(comps, Seq("id"), "left")

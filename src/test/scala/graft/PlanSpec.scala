@@ -127,6 +127,16 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("cluster-best: equi-joins and one comp window, never a cartesian") {
+    val p = plan("dedup_cluster_best")
+    // scores→labels is an id-keyed equi-join (the label set is the full
+    // duplicate-node set — must NOT plan as a broadcast-nested-loop or
+    // cartesian), and the keep decision is one comp-partitioned window
+    p should include("Window")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("incremental dedup plans an anti join against the hash index") {
     val p = plan("dedup_incremental")
     p should include("LeftAnti")
