@@ -531,6 +531,64 @@ object QueriesDataOps {
       SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (sh)
       WHERE s.doc_id >= 20 ORDER BY doc_id""")),
 
+    ("curate_decontaminate_fuzzy", (s, dir) => {
+      // fuzzy train/eval-overlap gate: winnowing-fingerprint CONTAINMENT
+      // against the benchmark set (docs < 20, as curate_decontaminate)
+      // catches lightly edited eval copies the exact-shingle gate misses.
+      // Emits every candidate's score card; flagged = containment >= 0.8.
+      val docs = T(s, dir, "documents")
+      graft.pipeline.CurationPipeline.decontaminateFuzzy(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", k = 8, w = 4, tau = 0.8)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $winnowChainSql,
+      fp AS (SELECT DISTINCT doc_id, split_part(sel, ':', 1) AS fp_hash
+             FROM s WHERE pos <= n_pos - 3),
+      bench AS (SELECT DISTINCT fp_hash FROM fp WHERE doc_id < 20),
+      sc AS (SELECT fp.doc_id, count(DISTINCT fp.fp_hash) AS n_fps,
+                    count(DISTINCT CASE WHEN b.fp_hash IS NOT NULL
+                      THEN fp.fp_hash END) AS n_hits
+             FROM fp LEFT JOIN bench b ON b.fp_hash = fp.fp_hash
+             WHERE fp.doc_id >= 20 GROUP BY fp.doc_id)
+      SELECT doc_id, n_fps, n_hits,
+             round(n_hits * 1.0 / n_fps, 6) AS containment,
+             round(n_hits * 1.0 / n_fps, 6) >= 0.8 AS flagged
+      FROM sc ORDER BY doc_id""")),
+
+    ("curate_boilerplate", (s, dir) => {
+      // site-boilerplate removal: the corpus has no line structure, so
+      // wrap every 8 words into a line (deterministic, mirrored in the
+      // oracle), then strip lines whose normalized form appears in >= 3
+      // distinct docs of the same source and emit the REASSEMBLED text.
+      // Run over the dup-variant corpus: exact/case copies give repeated
+      // lines real multiplicity.
+      val wrapped = docsWithDups(s, dir).select(col("doc_id"), col("source"),
+        regexp_replace(col("text"), lit("((?:\\S+ ){7}\\S+) "), lit("$1\n"))
+          .as("text"))
+      Dedup.stripBoilerplateLines(wrapped, "text", "doc_id", "source",
+          minDocs = 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $dwdSql,
+      w AS (SELECT doc_id, source,
+              regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')
+                AS t FROM dwd),
+      ls AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM w),
+      ix AS (SELECT doc_id, source, ls, unnest(generate_series(1, len(ls))) AS i
+             FROM ls),
+      ln AS (SELECT doc_id, source, i, ls[i] AS line,
+                    trim(lower(ls[i])) AS nrm FROM ix),
+      hot AS (SELECT source, nrm FROM ln WHERE nrm != ''
+              GROUP BY source, nrm HAVING count(DISTINCT doc_id) >= 3)
+      SELECT ln.doc_id, count(*) AS n_lines,
+             count(*) FILTER (WHERE h.nrm IS NOT NULL AND ln.nrm != '')
+               AS n_removed,
+             coalesce(string_agg(CASE WHEN h.nrm IS NULL OR ln.nrm = ''
+                 THEN ln.line END, chr(10) ORDER BY ln.i), '') AS text_clean
+      FROM ln LEFT JOIN hot h ON h.source = ln.source AND h.nrm = ln.nrm
+      GROUP BY ln.doc_id ORDER BY ln.doc_id""")),
+
     ("curate_sample", (s, dir) => {
       // deterministic stratified sampling (data mixing): per-source keep
       // fractions decided by md5(id) against a hex threshold — same rows
@@ -1231,6 +1289,30 @@ object QueriesDataOps {
       ORDER BY vec_id"""))
   )
 
+  /** Shared winnowing (SIGMOD'03) oracle chain over `documents`: canonical
+    * text → all 8-char gram hashes → per-doc window-4 minimum selection,
+    * ending in relation `s` (doc_id, pos, sel, n_pos); selected
+    * fingerprints are rows with pos <= n_pos - 3. Spliced by
+    * text_winnowing and curate_decontaminate_fuzzy so the fingerprint
+    * contract stays one text. */
+  private lazy val winnowChainSql: String = """
+      c AS (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS p
+            FROM documents),
+      f AS (SELECT doc_id, p FROM c WHERE length(p) >= 8),
+      g AS (SELECT doc_id, p, unnest(generate_series(1, length(p) - 7)) AS pos
+            FROM f),
+      h AS (SELECT doc_id, pos,
+                   md5(substring(p, CAST(pos AS INT), 8)) || ':' ||
+                     lpad(CAST(pos AS VARCHAR), 8, '0') AS key
+            FROM g),
+      s AS (SELECT doc_id, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                   max(pos) OVER (PARTITION BY doc_id) AS n_pos
+            FROM h)"""
+
   val text: Seq[(String, Q, Option[String])] = Seq(
 
     ("text_langid", (s, dir) => {
@@ -1297,6 +1379,46 @@ object QueriesDataOps {
                    ) / 3.0, 4) AS quality
       FROM feats ORDER BY doc_id"""
     }),
+
+    ("text_mojibake", (s, dir) => {
+      // encoding-damage gate: U+FFFD replacement chars, CP1252-mojibake
+      // lead pairs ("é" decoded as "Ã©"), and C0 control spill. The
+      // synthetic corpus is validly decoded, so deterministic damage is
+      // injected per id band (mirrored exactly in the oracle); the
+      // detection itself is a pure codegen'd per-row map, zero shuffle.
+      val id = col("doc_id")
+      val t = when(id % 7 === 3,
+          regexp_replace(col("text"), lit("e"), lit("\u00C3\u00A9")))
+        .when(id % 7 === 5, concat(col("text"), lit(" \uFFFD")))
+        .when(id % 7 === 6, concat(lit("\u0007"), col("text")))
+        .otherwise(col("text"))
+      T(s, dir, "documents")
+        .select(id, t.as("t"))
+        .select(id,
+          TextAnalysis.replacementCharCount(col("t")).as("n_replacement"),
+          TextAnalysis.mojibakePairCount(col("t")).as("n_mojibake"),
+          TextAnalysis.controlCharCount(col("t")).as("n_ctrl"),
+          round(TextAnalysis.encodingDamageRatio(col("t")), 6).as("bad_ratio"))
+        .withColumn("is_clean",
+          col("n_replacement") + col("n_mojibake") + col("n_ctrl") === 0)
+        .orderBy(id)
+    }, Some("""
+      WITH dmg AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'Ã©')
+             WHEN doc_id % 7 = 5 THEN text || ' ' || chr(65533)
+             WHEN doc_id % 7 = 6 THEN chr(7) || text
+             ELSE text END AS t FROM documents),
+      m AS (SELECT doc_id,
+        len(regexp_extract_all(t, '\x{FFFD}')) AS n_replacement,
+        len(regexp_extract_all(t, '[ÃÂ][\x{0080}-\x{00FF}]')) AS n_mojibake,
+        len(regexp_extract_all(t,
+          '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS n_ctrl,
+        length(t) AS n FROM dmg)
+      SELECT doc_id, n_replacement, n_mojibake, n_ctrl,
+             round((n_replacement + n_mojibake + n_ctrl) * 1.0 /
+               greatest(n, 1), 6) AS bad_ratio,
+             (n_replacement + n_mojibake + n_ctrl) = 0 AS is_clean
+      FROM m ORDER BY doc_id""")),
 
     ("text_token_count", (s, dir) => {
       // token counting two ways: whitespace tokens and a BPE-ish regex
@@ -1465,23 +1587,8 @@ object QueriesDataOps {
       Dedup.winnowingFingerprints(spread(s, T(s, dir, "documents")),
           "text", "doc_id", k = 8, w = 4)
         .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
-    }, Some("""
-      WITH c AS (SELECT doc_id,
-                        trim(regexp_replace(regexp_replace(lower(text),
-                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS p
-                 FROM documents),
-      f AS (SELECT doc_id, p FROM c WHERE length(p) >= 8),
-      g AS (SELECT doc_id, p, unnest(generate_series(1, length(p) - 7)) AS pos
-            FROM f),
-      h AS (SELECT doc_id, pos,
-                   md5(substring(p, CAST(pos AS INT), 8)) || ':' ||
-                     lpad(CAST(pos AS VARCHAR), 8, '0') AS key
-            FROM g),
-      s AS (SELECT doc_id, pos,
-                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-                   max(pos) OVER (PARTITION BY doc_id) AS n_pos
-            FROM h)
+    }, Some(s"""
+      WITH $winnowChainSql
       SELECT DISTINCT doc_id,
              CAST(split_part(sel, ':', 2) AS INT) AS fp_pos,
              split_part(sel, ':', 1) AS fp_hash

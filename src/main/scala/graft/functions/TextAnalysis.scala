@@ -182,6 +182,41 @@ object TextAnalysis {
           col(textCol)), 6).as("entropy"))
       .filter(col("entropy").isNotNull)
 
+  /** Encoding-damage counters — the "is this text validly decoded" gate
+    * a web-scale ingest runs before any content filter (mangled decodes
+    * poison every downstream statistic: tokenization, language ID, dedup
+    * shingles). Three classic damage signatures, each a codegen'd regexp
+    * count (zero shuffle, same per-row-map shape as [[qualityScore]]):
+    *
+    *  - U+FFFD replacement characters: the upstream decoder already gave
+    *    up on those bytes.
+    *  - CP1252-mojibake lead pairs: UTF-8 multibyte sequences decoded as
+    *    Latin-1/CP1252 surface as 'Ã' or 'Â' (the decoded forms of lead
+    *    bytes 0xC3/0xC2) followed by a Latin-1 continuation character —
+    *    "é" becomes "Ã©".
+    *  - C0 control characters (minus tab/newline/carriage-return), which
+    *    never appear in validly decoded prose and indicate binary spill.
+    */
+  def replacementCharCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\uFFFD"), lit(0)))
+
+  def mojibakePairCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[\u00C3\u00C2][\u0080-\u00FF]"), lit(0)))
+
+  def controlCharCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[\u0001-\u0008\u000B\u000C\u000E-\u001F]"), lit(0)))
+
+  /** Fraction of characters participating in a damage signature, in
+    * [0,1] (each counted signature spans ≤2 characters; the ratio uses
+    * match counts, not span width, so it is a lower bound). 0 = clean.
+    * Round at the call site for oracle parity. */
+  def encodingDamageRatio(text: Column): Column =
+    (replacementCharCount(text) + mojibakePairCount(text) +
+      controlCharCount(text)).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
   /** Per-document top-k terms by TF-IDF — the classic corpus-salience
     * ranking (keyword extraction / topic labeling for training-data
     * reports). score = tf · ln(N / df) with tf = in-document term count,

@@ -612,6 +612,47 @@ object Dedup {
       .select(col("doc_id"), col("seg_idx"), col("seg_hash"), col("n_docs"))
   }
 
+  /** Boilerplate REMOVAL — the cleaning half of [[duplicatedSegments]]'s
+    * detection: a line whose normalized form (lowercase, trimmed) occurs
+    * in ≥ `minDocs` DISTINCT documents of the SAME source is site
+    * boilerplate (navigation, headers, footers, cookie banners — the
+    * CCNet / RefinedWeb per-shard repeated-paragraph rule), and the
+    * operator emits each document REASSEMBLED without those lines:
+    * (doc_id, n_lines, n_removed, text_clean), line order preserved,
+    * empty lines kept verbatim (they carry no repeat evidence). Scoping
+    * the count to the source matters: "all rights reserved" repeating
+    * across a million pages of one site is boilerplate; the same words
+    * quoted once on unrelated sites are content.
+    *
+    * Plan shape: per-row line posexplode (narrow), ONE groupBy shuffle
+    * on (source, md5(line)) for the distinct-doc counts (hashing bounds
+    * the shuffle-key width to 32 chars regardless of line length), a
+    * left equi-join of the lines against the flagged sliver (shrinks
+    * after HAVING → AQE broadcast in the common case), and one doc-keyed
+    * aggregate to reassemble — collect_list is bounded by the document's
+    * own line count, never corpus-sized. */
+  def stripBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                            sourceCol: String, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs below 2 strips every line, got $minDocs")
+    val lines = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line")))
+      .withColumn("lh", md5(trim(lower(col("line")))))
+      .withColumn("blank", trim(col("line")) === "")
+    val hot = lines.filter(!col("blank"))
+      .groupBy(col("source"), col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("source"), col("lh"), lit(true).as("bp"))
+    lines.join(hot, Seq("source", "lh"), "left")
+      .withColumn("strip", col("bp").isNotNull && !col("blank"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("strip"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n", transform(array_sort(collect_list(
+            when(!col("strip"), struct(col("line_idx"), col("line"))))),
+          kept => kept.getField("line"))).as("text_clean"))
+  }
+
   /** Embedding near-dup at corpus scale: SRP-LSH signature bucketing
     * replaces the label-block quadratic — candidates are pairs sharing
     * the full hyperplane signature (one equi-join on the signature), then

@@ -102,6 +102,44 @@ object CurationPipeline {
       .select(col("doc_id")).distinct()
   }
 
+  /** FUZZY benchmark decontamination — [[decontaminate]]'s exact-shingle
+    * gate misses lightly edited eval copies (reworded question stems,
+    * re-wrapped whitespace); winnowing fingerprints
+    * ([[Dedup.winnowingFingerprints]], SIGMOD'03) guarantee a shared
+    * fingerprint for any shared canonical substring of w+k-1 chars, so
+    * CONTAINMENT over them — |doc's fingerprints ∩ benchmark's| / |doc's
+    * fingerprints| — scores how much of a candidate is benchmark
+    * material regardless of where it was pasted. Emits every candidate's
+    * score card (doc_id, n_fps, n_hits, containment, flagged), flagged =
+    * rounded containment ≥ `tau`; callers anti-join `flagged` to clean.
+    * Candidates whose canonical text is shorter than k have no
+    * fingerprints and emit no row (same contract as the fingerprint
+    * generator itself).
+    *
+    * Plan shape: fingerprints come from the per-row winnowing generator
+    * (zero shuffle on the corpus side); the benchmark's distinct hash set
+    * — small by nature — is broadcast; one doc-keyed distinct-count
+    * aggregate computes both totals in a single shuffle. The corpus is
+    * never joined to itself. */
+  def decontaminateFuzzy(candidates: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 8, w: Int = 4,
+                         tau: Double = 0.8): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val candFp = Dedup.winnowingFingerprints(candidates, textCol, idCol, k, w)
+      .select(col("doc_id"), col("fp_hash"))
+    val benchFp = Dedup.winnowingFingerprints(benchmark, textCol, idCol, k, w)
+      .select(col("fp_hash")).distinct()
+      .withColumn("hit", lit(true))
+    candFp.join(broadcast(benchFp), Seq("fp_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp_hash")).as("n_fps"),
+        countDistinct(when(col("hit"), col("fp_hash"))).as("n_hits"))
+      .withColumn("containment",
+        round(col("n_hits").cast("double") / col("n_fps"), 6))
+      .withColumn("flagged", col("containment") >= tau)
+  }
+
   /** A probability as a 32-char-comparable md5 threshold: an md5 hex
     * string is < the encoding of `f` with probability f. The single
     * encoding every md5-threshold operator ([[stratifiedSample]],

@@ -159,6 +159,36 @@ class CurationSpec extends SparkSpec {
     flagged.toSeq shouldBe Seq(1L)
   }
 
+  test("decontaminateFuzzy: verbatim copy scores 1.0, light edit flags, fresh text doesn't") {
+    val benchText = "what is the capital of france paris is the capital city"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, benchText),                                         // verbatim
+      (2L, benchText.replace("city", "town")),                 // light edit
+      (3L, "unrelated musings regarding seventeen zebras dancing quietly"))
+      .toDF("doc_id", "text")
+    val got = CurationPipeline.decontaminateFuzzy(cands, bench, tau = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    got(1L)._4 shouldBe 1.0
+    got(1L)._5 shouldBe true
+    got(2L)._5 shouldBe true        // shared substrings dominate
+    got(2L)._4 should be < 1.0      // but the edit lowers containment
+    got(3L)._4 shouldBe 0.0
+    got(3L)._5 shouldBe false
+    // containment is a well-formed ratio everywhere
+    got.values.foreach { r =>
+      r._4 should (be >= 0.0 and be <= 1.0)
+      r._3 should be <= r._2
+    }
+  }
+
+  test("decontaminateFuzzy: sub-fingerprint-length candidates emit no row") {
+    val bench = Seq((100L, "benchmark text that is long enough")).toDF("doc_id", "text")
+    val cands = Seq((1L, "hi")).toDF("doc_id", "text") // canonical < k chars
+    CurationPipeline.decontaminateFuzzy(cands, bench).count() shouldBe 0L
+  }
+
   /** Reference semantics for tokenBudgetSelect: ONE global running-sum
     * window — the form the two-phase bucket rollup must reproduce. */
   private def budgetReference(docs: org.apache.spark.sql.DataFrame,

@@ -197,6 +197,39 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2, r._3)).toSeq shouldBe Seq((4L, 4L, 2L))
   }
 
+  test("stripBoilerplateLines strips same-source repeats, keeps content/blanks/other sources") {
+    val header = "SITE NAV | home | about"
+    val docs = Seq(
+      (1L, "s1", header + "\nunique body one\n\nshared footer"),
+      (2L, "s1", header + "\nanother body\nshared footer"),
+      // normalized match: different case + trailing space
+      (3L, "s1", header.toLowerCase + " \nthird body"),
+      // same line on a DIFFERENT source: not boilerplate there
+      (4L, "s2", header + "\nother-site body"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplateLines(docs, "text", "doc_id", "source",
+        minDocs = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // header: 3 distinct s1 docs -> stripped there; footer: only 2 -> kept
+    got(1L) shouldBe ((4L, 1L, "unique body one\n\nshared footer"))
+    got(2L) shouldBe ((3L, 1L, "another body\nshared footer"))
+    got(3L) shouldBe ((2L, 1L, "third body"))
+    got(4L) shouldBe ((2L, 0L, header + "\nother-site body"))
+  }
+
+  test("stripBoilerplateLines reassembles a fully-boilerplate doc to empty text") {
+    val docs = Seq(
+      (1L, "s", "only line"), (2L, "s", "only line"), (3L, "s", "only line"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplateLines(docs, "text", "doc_id", "source",
+        minDocs = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(1L) shouldBe ((1L, 1L, ""))
+    got.keySet shouldBe Set(1L, 2L, 3L) // stripped docs still emitted
+  }
+
   test("connectedComponents converges on a long path (many propagation rounds)") {
     val chain = (1 to 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(chain)

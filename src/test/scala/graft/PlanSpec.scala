@@ -95,6 +95,29 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("mojibake gate is a per-row map: zero hash exchanges, zero joins") {
+    val p = plan("text_mojibake")
+    "hashpartitioning".r.findAllIn(p).length shouldBe 0
+    p should not include "Join"
+  }
+
+  test("boilerplate strip: equi-keyed shuffles only, never a cartesian") {
+    val p = plan("curate_boilerplate")
+    // (source, line-hash) count + left join + doc reassembly — all
+    // equi-keyed; a line-vs-line comparison would show as a cartesian
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("fuzzy decontamination broadcasts the benchmark fingerprint set") {
+    val p = plan("curate_decontaminate_fuzzy")
+    // the corpus side must never shuffle against the benchmark — the
+    // bench hash set rides a broadcast; one doc-keyed aggregate follows
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("char entropy is a per-row map: zero hash exchanges before the final sort") {
     val p = plan("text_char_entropy")
     // the only exchanges are the harness round-robin spread and the

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Encoding-damage (mojibake) detection: each signature counted exactly,
+  * clean prose untouched, whitespace controls exempt. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def damage(rows: (Long, String)*): Map[Long, (Int, Int, Int, Double)] =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.replacementCharCount(col("text")).as("r"),
+        TextAnalysis.mojibakePairCount(col("text")).as("m"),
+        TextAnalysis.controlCharCount(col("text")).as("c"),
+        TextAnalysis.encodingDamageRatio(col("text")).as("ratio"))
+      .as[(Long, Int, Int, Int, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+  test("clean prose, including tabs/newlines/CR, scores zero everywhere") {
+    val got = damage(
+      1L -> "the quick brown fox\tjumps over\r\nthe lazy dog.",
+      2L -> "")
+    got(1L) shouldBe ((0, 0, 0, 0.0))
+    got(2L) shouldBe ((0, 0, 0, 0.0)) // empty text: greatest(len,1) guards /0
+  }
+
+  test("each damage signature is counted exactly once per occurrence") {
+    val got = damage(
+      // two replacement chars
+      1L -> "bad \uFFFD bytes \uFFFD here",
+      // mojibake e-acute (C3 A9) + i-diaeresis (C3 AF) as decoded pairs
+      2L -> "caf\u00C3\u00A9 na\u00C3\u00AFve",
+      // two C0 controls (BEL, ESC)
+      3L -> "bell \u0007 and esc \u001B chars",
+      // 0xC2-lead + NBSP pair
+      4L -> "\u00C2\u00A0 nbsp-mojibake")
+    got(1L)._1 shouldBe 2
+    got(2L)._2 shouldBe 2
+    got(3L)._3 shouldBe 2
+    got(4L)._2 shouldBe 1
+  }
+
+  test("damage ratio is matches over length and bounded by 1") {
+    val got = damage(1L -> "ab\uFFFD") // 1 match, 3 chars
+    got(1L)._4 shouldBe (1.0 / 3.0) +- 1e-12
+    // a pathological all-damage string stays within [0,1]
+    val worst = damage(2L -> "\uFFFD\uFFFD\uFFFD")
+    worst(2L)._4 should be <= 1.0
+  }
+
+  test("legitimate accented Latin-1 text without a lead byte is NOT flagged") {
+    // properly decoded e-acute (U+00E9) has no 0xC3/0xC2 lead - must not count
+    val got = damage(1L -> "caf\u00E9 r\u00E9sum\u00E9")
+    got(1L) shouldBe ((0, 0, 0, 0.0))
+  }
+}
