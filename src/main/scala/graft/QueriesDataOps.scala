@@ -1412,7 +1412,7 @@ object QueriesDataOps {
         len(regexp_extract_all(t, '\x{FFFD}')) AS n_replacement,
         len(regexp_extract_all(t, '[ÃÂ][\x{0080}-\x{00FF}]')) AS n_mojibake,
         len(regexp_extract_all(t,
-          '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS n_ctrl,
+          '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS n_ctrl,
         length(t) AS n FROM dmg)
       SELECT doc_id, n_replacement, n_mojibake, n_ctrl,
              round((n_replacement + n_mojibake + n_ctrl) * 1.0 /

@@ -198,15 +198,14 @@ object TextAnalysis {
     *    never appear in validly decoded prose and indicate binary spill.
     */
   def replacementCharCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\uFFFD"), lit(0)))
+    regexp_count(text, lit("\uFFFD"))
 
   def mojibakePairCount(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit("[\u00C3\u00C2][\u0080-\u00FF]"), lit(0)))
+    regexp_count(text, lit("[\u00C3\u00C2][\u0080-\u00FF]"))
 
   def controlCharCount(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit("[\u0001-\u0008\u000B\u000C\u000E-\u001F]"), lit(0)))
+    regexp_count(text,
+      lit("[\u0000-\u0008\u000B\u000C\u000E-\u001F]"))
 
   /** Fraction of characters participating in a damage signature, in
     * [0,1] (each counted signature spans ≤2 characters; the ratio uses

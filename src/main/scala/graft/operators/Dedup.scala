@@ -634,8 +634,11 @@ object Dedup {
   def stripBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
                             sourceCol: String, minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"minDocs below 2 strips every line, got $minDocs")
+    // NULL text behaves as empty: split(NULL) would explode to zero rows
+    // and silently DROP the document from the reassembled output
     val lines = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("line_idx", "line")))
       .withColumn("lh", md5(trim(lower(col("line")))))
       .withColumn("blank", trim(col("line")) === "")
     val hot = lines.filter(!col("blank"))

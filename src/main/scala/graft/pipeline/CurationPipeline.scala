@@ -112,9 +112,12 @@ object CurationPipeline {
     * material regardless of where it was pasted. Emits every candidate's
     * score card (doc_id, n_fps, n_hits, containment, flagged), flagged =
     * rounded containment ≥ `tau`; callers anti-join `flagged` to clean.
-    * Candidates whose canonical text is shorter than k have no
-    * fingerprints and emit no row (same contract as the fingerprint
-    * generator itself).
+    * Candidates whose CANONICAL text (lowercased, non-alphanumerics
+    * collapsed) is shorter than w+k-1 chars yield no fingerprints and
+    * emit NO row — same contract as the fingerprint generator itself.
+    * A caller treating absence as "clean" must length-gate such docs
+    * separately (they are below the guarantee window, so fingerprint
+    * containment cannot say anything about them either way).
     *
     * Plan shape: fingerprints come from the per-row winnowing generator
     * (zero shuffle on the corpus side); the benchmark's distinct hash set

@@ -230,6 +230,17 @@ class DedupSpec extends SparkSpec {
     got.keySet shouldBe Set(1L, 2L, 3L) // stripped docs still emitted
   }
 
+  test("stripBoilerplateLines passes NULL-text docs through as empty, not dropped") {
+    val docs = Seq((1L, "s", "real line"), (2L, "s", null))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplateLines(docs, "text", "doc_id", "source",
+        minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(2L) shouldBe ((1L, 0L, "")) // one (blank) line, nothing removed
+    got(1L) shouldBe ((1L, 0L, "real line"))
+  }
+
   test("connectedComponents converges on a long path (many propagation rounds)") {
     val chain = (1 to 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(chain)

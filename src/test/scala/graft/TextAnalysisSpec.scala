@@ -43,6 +43,12 @@ class TextAnalysisSpec extends SparkSpec {
     got(4L)._2 shouldBe 1
   }
 
+  test("NUL (truncated binary spill) is counted as a control character") {
+    val got = damage(1L -> "foo\u0000bar")
+    got(1L)._3 shouldBe 1
+    got(1L)._4 should be > 0.0
+  }
+
   test("damage ratio is matches over length and bounded by 1") {
     val got = damage(1L -> "ab\uFFFD") // 1 match, 3 chars
     got(1L)._4 shouldBe (1.0 / 3.0) +- 1e-12
