@@ -556,6 +556,31 @@ object QueriesDataOps {
              round(n_hits * 1.0 / n_fps, 6) >= 0.8 AS flagged
       FROM sc ORDER BY doc_id""")),
 
+    ("curate_contamination_report", (s, dir) => {
+      // provenance for the fuzzy gate: per overlapping candidate, the
+      // benchmark doc explaining most of the shared fingerprints
+      // (ties to the smaller bench id) — "which eval set leaked here".
+      val docs = T(s, dir, "documents")
+      graft.pipeline.CurationPipeline.contaminationReport(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", k = 8, w = 4)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $winnowChainSql,
+      fp AS (SELECT DISTINCT doc_id, split_part(sel, ':', 1) AS fp_hash
+             FROM s WHERE pos <= n_pos - 3),
+      bench AS (SELECT doc_id AS bench_id, fp_hash FROM fp WHERE doc_id < 20),
+      pairs AS (SELECT f.doc_id, b.bench_id,
+                       count(DISTINCT f.fp_hash) AS n_shared
+                FROM fp f JOIN bench b USING (fp_hash)
+                WHERE f.doc_id >= 20 GROUP BY f.doc_id, b.bench_id),
+      r AS (SELECT doc_id, bench_id, n_shared,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY n_shared DESC, bench_id ASC) AS rn
+            FROM pairs)
+      SELECT doc_id, bench_id, n_shared FROM r WHERE rn = 1
+      ORDER BY doc_id""")),
+
     ("curate_boilerplate", (s, dir) => {
       // site-boilerplate removal: the corpus has no line structure, so
       // wrap every 8 words into a line (deterministic, mirrored in the
@@ -1418,6 +1443,64 @@ object QueriesDataOps {
              round((n_replacement + n_mojibake + n_ctrl) * 1.0 /
                greatest(n, 1), 6) AS bad_ratio,
              (n_replacement + n_mojibake + n_ctrl) = 0 AS is_clean
+      FROM m ORDER BY doc_id""")),
+
+    ("text_gopher_rules", (s, dir) => {
+      // the Gopher per-document rule card (word-count band, mean word
+      // length band, symbol-to-word ratio, alpha-word fraction, minimum
+      // stopword evidence) with per-rule booleans and the conjunction —
+      // the standard pre-training keep/drop audit. Pure per-row map.
+      val t = col("text")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(t).cast("long").as("n_words"),
+          round(TextAnalysis.meanWordLength(t), 6).as("mean_word_len"),
+          round(TextAnalysis.symbolToWordRatio(t), 6).as("symbol_ratio"),
+          round(TextAnalysis.alphaWordFraction(t), 6).as("alpha_frac"),
+          TextAnalysis.stopwordCount(t).as("stop_hits"))
+        .withColumn("pass_words",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("pass_word_len",
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .withColumn("pass_symbol", col("symbol_ratio") < 0.1)
+        .withColumn("pass_alpha", col("alpha_frac") > 0.8)
+        .withColumn("pass_stop", col("stop_hits") >= 2.0)
+        .withColumn("keep", col("pass_words") && col("pass_word_len") &&
+          col("pass_symbol") && col("pass_alpha") && col("pass_stop"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        FROM documents),
+      m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              round(length(replace(text, ' ', '')) * 1.0 / n_words, 6)
+                AS mean_word_len,
+              round(((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) // 3)
+                    * 1.0 / n_words, 6) AS symbol_ratio,
+              round(len(list_filter(string_split(text, ' '),
+                      w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / n_words, 6)
+                AS alpha_frac,
+              ((length(p) - length(replace(p, ' the ', ''))) / 5.0 +
+               (length(p) - length(replace(p, ' and ', ''))) / 5.0 +
+               (length(p) - length(replace(p, ' of ', ''))) / 4.0 +
+               (length(p) - length(replace(p, ' is ', ''))) / 4.0 +
+               (length(p) - length(replace(p, ' a ', ''))) / 3.0 +
+               (length(p) - length(replace(p, ' to ', ''))) / 4.0 +
+               (length(p) - length(replace(p, ' in ', ''))) / 4.0) AS stop_hits
+            FROM f)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+             stop_hits,
+             n_words >= 50 AND n_words <= 100000 AS pass_words,
+             mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_word_len,
+             symbol_ratio < 0.1 AS pass_symbol,
+             alpha_frac > 0.8 AS pass_alpha,
+             stop_hits >= 2.0 AS pass_stop,
+             (n_words >= 50 AND n_words <= 100000) AND
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+               symbol_ratio < 0.1 AND alpha_frac > 0.8 AND stop_hits >= 2.0
+               AS keep
       FROM m ORDER BY doc_id""")),
 
     ("text_token_count", (s, dir) => {

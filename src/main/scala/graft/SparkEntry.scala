@@ -57,10 +57,10 @@ object SparkEntry {
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
-    "text_mojibake",
+    "text_mojibake", "text_gopher_rules",
     "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_decontaminate_fuzzy",
-    "curate_boilerplate", "curate_pack",
+    "curate_contamination_report", "curate_boilerplate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix", "curate_temperature_mix",
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
     "curate_split", "curate_shuffle_shard",

@@ -207,6 +207,31 @@ object TextAnalysis {
     regexp_count(text,
       lit("[\u0000-\u0008\u000B\u000C\u000E-\u001F]"))
 
+  /** Gopher rule-card ingredients (Rae et al. 2021 §A1.1, public) not
+    * already covered by [[qualityScore]] (composite) or the repetition
+    * gates (text_repetition): mean word length, symbol-to-word ratio,
+    * alphabetic-word fraction. All pure per-row column arithmetic —
+    * the alpha fraction uses a higher-order `filter` over the split
+    * array (codegen'd, no UDF) — zero shuffle. Word = space-delimited
+    * token, matching [[wordCount]]'s convention. */
+  def meanWordLength(text: Column): Column =
+    length(replace(text, lit(" "), lit(""))).cast("double") /
+      wordCount(text).cast("double")
+
+  /** (# of '#' + # of '...') per word — the Gopher symbol-noise rule.
+    * Ellipses count non-overlapping occurrences, the same left-to-right
+    * scan as SQL replace. */
+  def symbolToWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val dots = (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    (hashes + dots).cast("double") / wordCount(text).cast("double")
+  }
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFraction(text: Column): Column =
+    size(filter(split(text, " ", -1), w => w.rlike("[A-Za-z]"))).cast("double") /
+      wordCount(text).cast("double")
+
   /** Fraction of characters participating in a damage signature, in
     * [0,1] (each counted signature spans ≤2 characters; the ratio uses
     * match counts, not span width, so it is a lower bound). 0 = clean.

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, TextAnalysis}
@@ -141,6 +142,38 @@ object CurationPipeline {
       .withColumn("containment",
         round(col("n_hits").cast("double") / col("n_fps"), 6))
       .withColumn("flagged", col("containment") >= tau)
+  }
+
+  /** Contamination PROVENANCE — the report a decontamination run
+    * attaches to its drop list: for every candidate sharing at least one
+    * winnowing fingerprint with the benchmark set, the single benchmark
+    * document explaining the largest share of the overlap
+    * (doc_id, bench_id, n_shared distinct fingerprints; ties to the
+    * smaller bench id). [[decontaminateFuzzy]] answers "how much of this
+    * doc is benchmark material"; this answers "WHICH benchmark leaked".
+    *
+    * Plan shape: candidate fingerprints from the per-row generator (zero
+    * corpus shuffle); the benchmark's distinct (fingerprint, bench_id)
+    * pairs — benchmark-sized — are broadcast; matches aggregate per
+    * (doc, bench) pair (map-side combinable) and a doc-keyed window
+    * takes the argmax. Inner-join fan-out per candidate fingerprint is
+    * bounded by the benchmark docs sharing that hash — a benchmark-side
+    * constant, never corpus × corpus. */
+  def contaminationReport(candidates: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          k: Int = 8, w: Int = 4): DataFrame = {
+    val candFp = Dedup.winnowingFingerprints(candidates, textCol, idCol, k, w)
+      .select(col("doc_id"), col("fp_hash"))
+    val benchFp = Dedup.winnowingFingerprints(benchmark, textCol, idCol, k, w)
+      .select(col("doc_id").as("bench_id"), col("fp_hash")).distinct()
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    candFp.join(broadcast(benchFp), Seq("fp_hash"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("fp_hash")).as("n_shared"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
   }
 
   /** A probability as a 32-char-comparable md5 threshold: an md5 hex

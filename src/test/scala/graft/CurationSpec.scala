@@ -189,6 +189,33 @@ class CurationSpec extends SparkSpec {
     CurationPipeline.decontaminateFuzzy(cands, bench).count() shouldBe 0L
   }
 
+  test("contaminationReport attributes each overlapping candidate to the right benchmark doc") {
+    val qa = "what is the capital of france paris is the capital city"
+    val zb = "seventeen zebras danced quietly across the savannah at midnight"
+    val bench = Seq((100L, qa), (101L, zb)).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, qa.replace("city", "town")),  // edited copy of 100
+      (2L, "breaking news " + zb),       // zb pasted into fresh text
+      (3L, "completely unrelated filler about gardening tools and mulch"))
+      .toDF("doc_id", "text")
+    val got = CurationPipeline.contaminationReport(cands, bench)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got(1L)._1 shouldBe 100L
+    got(2L)._1 shouldBe 101L
+    got.contains(3L) shouldBe false // zero shared fingerprints -> no row
+    got(2L)._2 should be >= 1L
+  }
+
+  test("contaminationReport breaks equal-overlap ties toward the smaller bench id") {
+    val text = "an exactly duplicated benchmark document used twice over"
+    val bench = Seq((101L, text), (100L, text)).toDF("doc_id", "text")
+    val cands = Seq((1L, text)).toDF("doc_id", "text")
+    val got = CurationPipeline.contaminationReport(cands, bench)
+      .as[(Long, Long, Long)].collect()
+    got.length shouldBe 1
+    got.head._2 shouldBe 100L
+  }
+
   /** Reference semantics for tokenBudgetSelect: ONE global running-sum
     * window — the form the two-phase bucket rollup must reproduce. */
   private def budgetReference(docs: org.apache.spark.sql.DataFrame,

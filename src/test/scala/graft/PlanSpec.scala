@@ -109,6 +109,20 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("gopher rule card is a per-row map: zero hash exchanges, zero joins") {
+    val p = plan("text_gopher_rules")
+    "hashpartitioning".r.findAllIn(p).length shouldBe 0
+    p should not include "Join"
+  }
+
+  test("contamination report broadcasts bench pairs; one agg + argmax window") {
+    val p = plan("curate_contamination_report")
+    p should include("BroadcastHashJoin")
+    p should include("Window")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("fuzzy decontamination broadcasts the benchmark fingerprint set") {
     val p = plan("curate_decontaminate_fuzzy")
     // the corpus side must never shuffle against the benchmark — the

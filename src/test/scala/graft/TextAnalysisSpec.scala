@@ -57,6 +57,25 @@ class TextAnalysisSpec extends SparkSpec {
     worst(2L)._4 should be <= 1.0
   }
 
+  test("Gopher rule ingredients: word length, symbol ratio, alpha fraction") {
+    val rows = Seq(
+      (1L, "the cat sat"),                 // 3 words, 9 chars, all alpha
+      (2L, "ab ## ... cd"),                // 1 hash-pair + 1 ellipsis, 4 words
+      (3L, "12 34 ok"))                    // 1 of 3 words alphabetic
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.meanWordLength(col("text")).as("mwl"),
+        TextAnalysis.symbolToWordRatio(col("text")).as("sym"),
+        TextAnalysis.alphaWordFraction(col("text")).as("alpha"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    rows(1L)._1 shouldBe 3.0 +- 1e-12          // 9 chars / 3 words
+    rows(1L)._2 shouldBe 0.0
+    rows(1L)._3 shouldBe 1.0 +- 1e-12
+    rows(2L)._2 shouldBe (3.0 / 4.0) +- 1e-12  // (2 hashes + 1 ellipsis) / 4
+    rows(3L)._3 shouldBe (1.0 / 3.0) +- 1e-12
+  }
+
   test("legitimate accented Latin-1 text without a lead byte is NOT flagged") {
     // properly decoded e-acute (U+00E9) has no 0xC3/0xC2 lead - must not count
     val got = damage(1L -> "caf\u00E9 r\u00E9sum\u00E9")
