@@ -115,11 +115,21 @@ object QueriesDataOps {
                length(text) - length(replace(text, ' ', '')) + 1 AS n_words
         FROM $from)"""
 
+  /** One stopword/marker hit in SQL — the oracle mirror of
+    * TextAnalysis.wordHits: non-overlapping padded-word counting via the
+    * length/replace trick, divisor = pattern length (word + 2 pads). */
+  private def hitSql(w: String): String =
+    s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
+
+  /** The stopword-hit sum, derived from THE stopword list
+    * (TextAnalysis.qualityStopwords) so engine and oracle cannot
+    * diverge on membership or divisors. Requires a padded `p` column
+    * (' ' || lower(text) || ' ') in scope. */
+  private lazy val stopHitsSql: String =
+    TextAnalysis.qualityStopwords.map(hitSql).mkString(" + ")
+
   private lazy val qualityQSql: String = {
-    def hits(w: String) =
-      s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
-    val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-      .map(hits).mkString(" + ")
+    val stopHits = stopHitsSql
     s"""round((least(n / 500.0, 1.0) +
                       greatest(0.0, 1.0 - ((length(text) -
                         length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
@@ -454,13 +464,10 @@ object QueriesDataOps {
     * duplicated corpus: ends with a `v` relation of
     * (doc_id, verdict, quality, n_tokens) per post-dedup row. */
   private lazy val curationVerdictSql: String = {
-    def hits(w: String) =
-      s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
     val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
-      s"(${ms.map(hits).mkString(" + ")}) AS s_$l"
+      s"(${ms.map(hitSql).mkString(" + ")}) AS s_$l"
     }.mkString(", ")
-    val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-      .map(hits).mkString(" + ")
+    val stopHits = stopHitsSql
     s"""
       WITH $dwdSql,
       dd AS (SELECT doc_id, text,
@@ -1347,10 +1354,8 @@ object QueriesDataOps {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }, Some {
-      def hits(w: String) =
-        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
       val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
-        s"(${ms.map(hits).mkString(" + ")}) AS s_$l"
+        s"(${ms.map(hitSql).mkString(" + ")}) AS s_$l"
       }.mkString(", ")
       s"""
       WITH p0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
@@ -1380,10 +1385,7 @@ object QueriesDataOps {
       // mirror TextAnalysis.qualityScore exactly (same operations, same
       // double arithmetic); stopword hits use the padded length/replace
       // trick per word.
-      def hits(w: String) =
-        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}.0"
-      val stopHits = Seq("the", "and", "of", "is", "a", "to", "in")
-        .map(hits).mkString(" + ")
+      val stopHits = stopHitsSql
       s"""
       WITH f AS (
         SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
@@ -1453,7 +1455,7 @@ object QueriesDataOps {
       val t = col("text")
       T(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.wordCount(t).cast("long").as("n_words"),
+          TextAnalysis.strictWordCount(t).cast("long").as("n_words"),
           round(TextAnalysis.meanWordLength(t), 6).as("mean_word_len"),
           round(TextAnalysis.symbolToWordRatio(t), 6).as("symbol_ratio"),
           round(TextAnalysis.alphaWordFraction(t), 6).as("alpha_frac"),
@@ -1468,27 +1470,22 @@ object QueriesDataOps {
         .withColumn("keep", col("pass_words") && col("pass_word_len") &&
           col("pass_symbol") && col("pass_alpha") && col("pass_stop"))
         .orderBy(col("doc_id"))
-    }, Some("""
+    }, Some(s"""
       WITH f AS (
         SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+               len(list_filter(string_split(text, ' '), w -> w != ''))
+                 AS n_words
         FROM documents),
       m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-              round(length(replace(text, ' ', '')) * 1.0 / n_words, 6)
-                AS mean_word_len,
+              round(length(replace(text, ' ', '')) * 1.0 /
+                greatest(n_words, 1), 6) AS mean_word_len,
               round(((length(text) - length(replace(text, '#', ''))) +
                      (length(text) - length(replace(text, '...', ''))) // 3)
-                    * 1.0 / n_words, 6) AS symbol_ratio,
+                    * 1.0 / greatest(n_words, 1), 6) AS symbol_ratio,
               round(len(list_filter(string_split(text, ' '),
-                      w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / n_words, 6)
-                AS alpha_frac,
-              ((length(p) - length(replace(p, ' the ', ''))) / 5.0 +
-               (length(p) - length(replace(p, ' and ', ''))) / 5.0 +
-               (length(p) - length(replace(p, ' of ', ''))) / 4.0 +
-               (length(p) - length(replace(p, ' is ', ''))) / 4.0 +
-               (length(p) - length(replace(p, ' a ', ''))) / 3.0 +
-               (length(p) - length(replace(p, ' to ', ''))) / 4.0 +
-               (length(p) - length(replace(p, ' in ', ''))) / 4.0) AS stop_hits
+                      w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 /
+                greatest(n_words, 1), 6) AS alpha_frac,
+              ($stopHitsSql) AS stop_hits
             FROM f)
       SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
              stop_hits,

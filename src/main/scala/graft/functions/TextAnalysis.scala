@@ -64,8 +64,14 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
 
+  /** The quality-gate stopword list — THE single definition; the oracle
+    * SQL builders derive their hit arithmetic from this Seq so a list
+    * edit cannot silently diverge engine and oracle. */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "and", "of", "is", "a", "to", "in")
+
   def stopwordCount(text: Column): Column =
-    langScore(text, Seq("the", "and", "of", "is", "a", "to", "in"))
+    langScore(text, qualityStopwords)
 
   /** Composite quality score in [0,1]: rewards mid-length docs with
     * healthy stopword density and low punctuation noise. Deterministic
@@ -211,12 +217,20 @@ object TextAnalysis {
     * already covered by [[qualityScore]] (composite) or the repetition
     * gates (text_repetition): mean word length, symbol-to-word ratio,
     * alphabetic-word fraction. All pure per-row column arithmetic —
-    * the alpha fraction uses a higher-order `filter` over the split
-    * array (codegen'd, no UDF) — zero shuffle. Word = space-delimited
-    * token, matching [[wordCount]]'s convention. */
+    * the word filters are higher-order functions over the split array
+    * (codegen'd, no UDF) — zero shuffle. Word = NON-EMPTY space-
+    * delimited token, deliberately NOT [[wordCount]]'s spaces+1 fast
+    * path: stray leading/trailing/double spaces must not mint empty
+    * "words" that deflate the fractions and flip a keep verdict. */
+  def strictWordCount(text: Column): Column =
+    size(filter(split(text, " ", -1), w => w =!= ""))
+
+  /** Division-safe word denominator (empty/all-space text → 1). */
+  private def wordDenom(text: Column): Column =
+    greatest(strictWordCount(text), lit(1)).cast("double")
+
   def meanWordLength(text: Column): Column =
-    length(replace(text, lit(" "), lit(""))).cast("double") /
-      wordCount(text).cast("double")
+    length(replace(text, lit(" "), lit(""))).cast("double") / wordDenom(text)
 
   /** (# of '#' + # of '...') per word — the Gopher symbol-noise rule.
     * Ellipses count non-overlapping occurrences, the same left-to-right
@@ -224,13 +238,13 @@ object TextAnalysis {
   def symbolToWordRatio(text: Column): Column = {
     val hashes = length(text) - length(replace(text, lit("#"), lit("")))
     val dots = (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
-    (hashes + dots).cast("double") / wordCount(text).cast("double")
+    (hashes + dots).cast("double") / wordDenom(text)
   }
 
   /** Fraction of words containing at least one ASCII letter. */
   def alphaWordFraction(text: Column): Column =
     size(filter(split(text, " ", -1), w => w.rlike("[A-Za-z]"))).cast("double") /
-      wordCount(text).cast("double")
+      wordDenom(text)
 
   /** Fraction of characters participating in a damage signature, in
     * [0,1] (each counted signature spans ≤2 characters; the ratio uses

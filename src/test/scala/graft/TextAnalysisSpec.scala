@@ -76,6 +76,20 @@ class TextAnalysisSpec extends SparkSpec {
     rows(3L)._3 shouldBe (1.0 / 3.0) +- 1e-12
   }
 
+  test("stray spaces do not mint words: fractions use non-empty tokens") {
+    val rows = Seq((1L, "the cat sat mat "), (2L, "  "), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.strictWordCount(col("text")).as("nw"),
+        TextAnalysis.meanWordLength(col("text")).as("mwl"),
+        TextAnalysis.alphaWordFraction(col("text")).as("alpha"))
+      .as[(Long, Int, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    rows(1L) shouldBe ((4, 3.0, 1.0)) // trailing space: still 4 words, alpha 1.0
+    rows(2L) shouldBe ((0, 0.0, 0.0)) // all-space: zero words, guarded ratios
+    rows(3L) shouldBe ((0, 0.0, 0.0))
+  }
+
   test("legitimate accented Latin-1 text without a lead byte is NOT flagged") {
     // properly decoded e-acute (U+00E9) has no 0xC3/0xC2 lead - must not count
     val got = damage(1L -> "caf\u00E9 r\u00E9sum\u00E9")
