@@ -1500,6 +1500,37 @@ object QueriesDataOps {
                AS keep
       FROM m ORDER BY doc_id""")),
 
+    ("text_ngram_repetition", (s, dir) => {
+      // Gopher 2-gram repetition card: top-gram and duplicated-gram
+      // occurrence fractions. Per-row sort+scan (zero shuffle, pinned);
+      // the oracle computes the same statistic relationally — the
+      // cross-check that keeps the per-row rewrite honest.
+      val card = TextAnalysis.ngramRepetition(col("text"), n = 2)
+      T(s, dir, "documents")
+        .filter(size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))) >= 2)
+        .select(col("doc_id"), card.getField("n_grams").as("n_grams"),
+          card.getField("top_frac").as("top_frac"),
+          card.getField("dup_frac").as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                    FROM documents),
+      ix AS (SELECT doc_id, ts,
+                    unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+             FROM toks WHERE len(ts) >= 2),
+      g AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram FROM ix),
+      gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                     max(c) AS max_c,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+              FROM gc GROUP BY doc_id)
+      SELECT doc_id, n_grams,
+             round(max_c * 1.0 / n_grams, 6) AS top_frac,
+             round(dup_occ * 1.0 / n_grams, 6) AS dup_frac
+      FROM agg ORDER BY doc_id""")),
+
     ("text_token_count", (s, dir) => {
       // token counting two ways: whitespace tokens and a BPE-ish regex
       // (letter runs / digit runs / punctuation runs, optionally

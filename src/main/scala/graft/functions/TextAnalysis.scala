@@ -246,6 +246,54 @@ object TextAnalysis {
     size(filter(split(text, " ", -1), w => w.rlike("[A-Za-z]"))).cast("double") /
       wordDenom(text)
 
+  /** Gopher n-gram repetition rules computed PER ROW: the fraction of
+    * gram occurrences belonging to the single most frequent n-gram
+    * (top_frac — templated spam pushes this toward 1) and the fraction
+    * belonging to any gram seen more than once in the document
+    * (dup_frac). Token-occurrence fractions, a documented simplification
+    * of the paper's character-weighted form (Rae et al. 2021 §A1.1).
+    *
+    * A document's gram multiset depends only on that document, so — the
+    * charEntropy lesson — the corpus explode + groupBy form would pay
+    * multiple exchanges for a per-row scalar. Instead the row's gram
+    * array is sorted and scanned with a higher-order `aggregate` (run
+    * lengths over adjacent equality), zero shuffle; the relational form
+    * survives as the DuckDB oracle, which is exactly the cross-check
+    * the per-row rewrite needs. Returns a struct col with
+    * (n_grams, top_frac, dup_frac); callers flatten. Documents with
+    * fewer than n tokens should be filtered out by the caller (their
+    * gram set is empty). */
+  def ngramRepetition(text: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val ts = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    val nGrams = (size(ts) - (n - 1)).cast("long")
+    val grams = transform(sequence(lit(1), nGrams.cast("int")),
+      i => concat_ws(" ", slice(ts, i, lit(n))))
+    val sorted = sort_array(grams)
+    val eq = zip_with(
+      slice(sorted, lit(1), (nGrams - 1).cast("int")),
+      slice(sorted, lit(2), (nGrams - 1).cast("int")),
+      (a, b) => a === b)
+    // run-length scan: cur = current run, best = longest run, dup =
+    // occurrences inside runs of length >= 2 (entering a run counts
+    // both members, continuing counts one — total k per k-run)
+    val scanned = aggregate(eq,
+      struct(lit(1L).as("cur"), lit(1L).as("best"), lit(0L).as("dup")),
+      (acc, e) => {
+        val cur = acc.getField("cur")
+        val ncur = when(e, cur + 1).otherwise(lit(1L))
+        struct(ncur.as("cur"),
+          greatest(acc.getField("best"), ncur).as("best"),
+          (acc.getField("dup") +
+            when(e, when(cur === 1, 2L).otherwise(1L)).otherwise(0L)).as("dup"))
+      })
+    struct(nGrams.as("n_grams"),
+      round(scanned.getField("best").cast("double") /
+        nGrams.cast("double"), 6).as("top_frac"),
+      round(scanned.getField("dup").cast("double") /
+        nGrams.cast("double"), 6).as("dup_frac"))
+  }
+
   /** Fraction of characters participating in a damage signature, in
     * [0,1] (each counted signature spans ≤2 characters; the ratio uses
     * match counts, not span width, so it is a lower bound). 0 = clean.

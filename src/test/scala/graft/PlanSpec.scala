@@ -109,6 +109,14 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("ngram repetition is a per-row scan: zero hash exchanges, zero joins") {
+    val p = plan("text_ngram_repetition")
+    // the gram multiset is per-document — a corpus explode+groupBy
+    // form would show doc-keyed exchanges here (the charEntropy lesson)
+    "hashpartitioning".r.findAllIn(p).length shouldBe 0
+    p should not include "Join"
+  }
+
   test("gopher rule card is a per-row map: zero hash exchanges, zero joins") {
     val p = plan("text_gopher_rules")
     "hashpartitioning".r.findAllIn(p).length shouldBe 0

@@ -76,6 +76,25 @@ class TextAnalysisSpec extends SparkSpec {
     rows(3L)._3 shouldBe (1.0 / 3.0) +- 1e-12
   }
 
+  test("ngramRepetition: hand-computed top and duplicated 2-gram fractions") {
+    val rows = Seq(
+      (1L, "a b a b a"),     // grams: ab ba ab ba -> top 2/4, dup 4/4
+      (2L, "x y z"),         // grams: xy yz       -> top 1/2, dup 0
+      (3L, "w w w w"),       // grams: ww ww ww    -> top 3/3, dup 3/3
+      (4L, "p q"))           // one gram           -> top 1/1, dup 0
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.ngramRepetition(col("text"), 2).as("card"))
+      .select(col("doc_id"), col("card.n_grams"), col("card.top_frac"),
+        col("card.dup_frac"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    rows(1L) shouldBe ((4L, 0.5, 1.0))
+    rows(2L) shouldBe ((2L, 0.5, 0.0))
+    rows(3L) shouldBe ((3L, 1.0, 1.0))
+    rows(4L) shouldBe ((1L, 1.0, 0.0))
+  }
+
   test("stray spaces do not mint words: fractions use non-empty tokens") {
     val rows = Seq((1L, "the cat sat mat "), (2L, "  "), (3L, ""))
       .toDF("doc_id", "text")
