@@ -260,9 +260,16 @@ object TextAnalysis {
     * lengths over adjacent equality), zero shuffle; the relational form
     * survives as the DuckDB oracle, which is exactly the cross-check
     * the per-row rewrite needs. Returns a struct col with
-    * (n_grams, top_frac, dup_frac); callers flatten. Documents with
-    * fewer than n tokens should be filtered out by the caller (their
-    * gram set is empty). */
+    * (n_grams, top_frac, dup_frac); callers flatten. TOTAL: documents
+    * with fewer than n tokens (including empty text) get the zero card
+    * (0, 0.0, 0.0) instead of a slice error — callers wanting absence
+    * semantics filter on n_grams >= 1 (or pre-filter tokens).
+    *
+    * The sort + scan is evaluated ONCE per row: both fractions come out
+    * of the aggregate's finish lambda, because Spark's subexpression
+    * elimination does not cross lambda-bearing trees — two getFields on
+    * a twice-referenced scan column would pay the O(m log m) sort
+    * twice. */
   def ngramRepetition(text: Column, n: Int): Column = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     val ts = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
@@ -277,7 +284,7 @@ object TextAnalysis {
     // run-length scan: cur = current run, best = longest run, dup =
     // occurrences inside runs of length >= 2 (entering a run counts
     // both members, continuing counts one — total k per k-run)
-    val scanned = aggregate(eq,
+    val card = aggregate(eq,
       struct(lit(1L).as("cur"), lit(1L).as("best"), lit(0L).as("dup")),
       (acc, e) => {
         val cur = acc.getField("cur")
@@ -286,12 +293,17 @@ object TextAnalysis {
           greatest(acc.getField("best"), ncur).as("best"),
           (acc.getField("dup") +
             when(e, when(cur === 1, 2L).otherwise(1L)).otherwise(0L)).as("dup"))
-      })
-    struct(nGrams.as("n_grams"),
-      round(scanned.getField("best").cast("double") /
-        nGrams.cast("double"), 6).as("top_frac"),
-      round(scanned.getField("dup").cast("double") /
-        nGrams.cast("double"), 6).as("dup_frac"))
+      },
+      acc => struct(nGrams.as("n_grams"),
+        round(acc.getField("best").cast("double") /
+          nGrams.cast("double"), 6).as("top_frac"),
+        round(acc.getField("dup").cast("double") /
+          nGrams.cast("double"), 6).as("dup_frac")))
+    // guard BEFORE any gram machinery evaluates: sequence(1, 0) would
+    // generate a DESCENDING [1, 0] and slice(ts, 0, n) throws
+    when(nGrams >= 1, card).otherwise(
+      struct(lit(0L).as("n_grams"), lit(0.0).as("top_frac"),
+        lit(0.0).as("dup_frac")))
   }
 
   /** Fraction of characters participating in a damage signature, in

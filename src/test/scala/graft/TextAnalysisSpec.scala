@@ -95,6 +95,20 @@ class TextAnalysisSpec extends SparkSpec {
     rows(4L) shouldBe ((1L, 1.0, 0.0))
   }
 
+  test("ngramRepetition is total: sub-n-token and empty docs get the zero card") {
+    val rows = Seq((1L, "solo"), (2L, ""), (3L, "!!!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.ngramRepetition(col("text"), 2).as("card"))
+      .select(col("doc_id"), col("card.n_grams"), col("card.top_frac"),
+        col("card.dup_frac"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    rows(1L) shouldBe ((0L, 0.0, 0.0))
+    rows(2L) shouldBe ((0L, 0.0, 0.0))
+    rows(3L) shouldBe ((0L, 0.0, 0.0)) // no [a-z0-9] tokens at all
+  }
+
   test("stray spaces do not mint words: fractions use non-empty tokens") {
     val rows = Seq((1L, "the cat sat mat "), (2L, "  "), (3L, ""))
       .toDF("doc_id", "text")
