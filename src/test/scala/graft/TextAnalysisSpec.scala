@@ -109,6 +109,38 @@ class TextAnalysisSpec extends SparkSpec {
     rows(3L) shouldBe ((0L, 0.0, 0.0)) // no [a-z0-9] tokens at all
   }
 
+  test("ngramRepetition matches a brute-force multiset reference on random streams") {
+    // tiny alphabet -> dense gram collisions; lengths straddle the
+    // zero-, one- and many-gram edges (the CodecPropertySpec convention)
+    val rnd = new scala.util.Random(20260815L)
+    val docs = (1 to 200).map { i =>
+      val toks = Array.fill(rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar.toString)
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.ngramRepetition(col("text"), 2).as("card"))
+      .select(col("doc_id"), col("card.n_grams"), col("card.top_frac"),
+        col("card.dup_frac"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val ts = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      val grams = ts.sliding(2).filter(_.lengthIs == 2).map(_.mkString(" ")).toSeq
+      val expected =
+        if (grams.isEmpty) (0L, 0.0, 0.0)
+        else {
+          val counts = grams.groupBy(identity).map(_._2.size)
+          (grams.size.toLong,
+            r6(counts.max.toDouble / grams.size),
+            r6(counts.filter(_ > 1).sum.toDouble / grams.size))
+        }
+      withClue(s"doc $id '$text': ") { got(id) shouldBe expected }
+    }
+  }
+
   test("stray spaces do not mint words: fractions use non-empty tokens") {
     val rows = Seq((1L, "the cat sat mat "), (2L, "  "), (3L, ""))
       .toDF("doc_id", "text")
