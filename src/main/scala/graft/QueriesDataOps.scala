@@ -1505,16 +1505,16 @@ object QueriesDataOps {
       // occurrence fractions. Per-row sort+scan (zero shuffle, pinned);
       // the oracle computes the same statistic relationally — the
       // cross-check that keeps the per-row rewrite honest.
-      // materialize the card once (CollapseProject keeps the non-cheap
-      // multiply-referenced alias), then filter on its own n_grams —
-      // no threshold literal to keep in sync with the card's n
+      // flatten the top-level struct directly — getField simplifies to
+      // the per-column child — and filter on the card's own n_grams
+      // (its cheap child after pushdown; no threshold literal to keep
+      // in sync with the card's n)
+      val card = TextAnalysis.ngramRepetition(col("text"), n = 2)
       T(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.ngramRepetition(col("text"), n = 2).as("card"))
-        .filter(col("card.n_grams") >= 1)
-        .select(col("doc_id"), col("card.n_grams").as("n_grams"),
-          col("card.top_frac").as("top_frac"),
-          col("card.dup_frac").as("dup_frac"))
+        .select(col("doc_id"), card.getField("n_grams").as("n_grams"),
+          card.getField("top_frac").as("top_frac"),
+          card.getField("dup_frac").as("dup_frac"))
+        .filter(col("n_grams") >= 1)
         .orderBy(col("doc_id"))
     }, Some("""
       WITH toks AS (SELECT doc_id,

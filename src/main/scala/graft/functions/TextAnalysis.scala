@@ -265,26 +265,37 @@ object TextAnalysis {
     * (0, 0.0, 0.0) instead of a slice error — callers wanting absence
     * semantics filter on n_grams >= 1 (or pre-filter tokens).
     *
-    * The sort + scan is evaluated ONCE per row: both fractions come out
-    * of the aggregate's finish lambda, because Spark's subexpression
-    * elimination does not cross lambda-bearing trees — two getFields on
-    * a twice-referenced scan column would pay the O(m log m) sort
-    * twice. */
+    * Evaluation-cost note: Spark's subexpression elimination does not
+    * cross lambda-bearing trees, so flattening the card pays the
+    * O(m log m) sort+scan once per heavy field (top_frac, dup_frac) —
+    * twice total. Keeping the result a TOP-LEVEL CreateNamedStruct is
+    * what holds it at two: see the in-body comment for the measured
+    * 23x regression when a CASE WHEN hides the struct from
+    * SimplifyExtractValueOps. */
   def ngramRepetition(text: Column, n: Int): Column = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     val ts = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
     val nGrams = (size(ts) - (n - 1)).cast("long")
-    val grams = transform(sequence(lit(1), nGrams.cast("int")),
+    // totality WITHOUT a CASE WHEN around the result struct: wrapping
+    // the struct in when() hides CreateNamedStruct from
+    // SimplifyExtractValueOps, so every getField re-evaluates the whole
+    // sort+scan — measured 23x slower at sf0.1. Instead each INPUT is
+    // made safe (safeLen >= 1 keeps sequence ascending and slice starts
+    // positive; short docs produce one bogus ""-gram that the
+    // scalar-level guards below never read) and the guards live on the
+    // scalar children, where they are cheap.
+    val safeLen = greatest(nGrams, lit(1L))
+    val grams = transform(sequence(lit(1), safeLen.cast("int")),
       i => concat_ws(" ", slice(ts, i, lit(n))))
     val sorted = sort_array(grams)
     val eq = zip_with(
-      slice(sorted, lit(1), (nGrams - 1).cast("int")),
-      slice(sorted, lit(2), (nGrams - 1).cast("int")),
+      slice(sorted, lit(1), (safeLen - 1).cast("int")),
+      slice(sorted, lit(2), (safeLen - 1).cast("int")),
       (a, b) => a === b)
     // run-length scan: cur = current run, best = longest run, dup =
     // occurrences inside runs of length >= 2 (entering a run counts
     // both members, continuing counts one — total k per k-run)
-    val card = aggregate(eq,
+    val scanned = aggregate(eq,
       struct(lit(1L).as("cur"), lit(1L).as("best"), lit(0L).as("dup")),
       (acc, e) => {
         val cur = acc.getField("cur")
@@ -293,17 +304,17 @@ object TextAnalysis {
           greatest(acc.getField("best"), ncur).as("best"),
           (acc.getField("dup") +
             when(e, when(cur === 1, 2L).otherwise(1L)).otherwise(0L)).as("dup"))
-      },
-      acc => struct(nGrams.as("n_grams"),
-        round(acc.getField("best").cast("double") /
-          nGrams.cast("double"), 6).as("top_frac"),
-        round(acc.getField("dup").cast("double") /
-          nGrams.cast("double"), 6).as("dup_frac")))
-    // guard BEFORE any gram machinery evaluates: sequence(1, 0) would
-    // generate a DESCENDING [1, 0] and slice(ts, 0, n) throws
-    when(nGrams >= 1, card).otherwise(
-      struct(lit(0L).as("n_grams"), lit(0.0).as("top_frac"),
-        lit(0.0).as("dup_frac")))
+      })
+    // top-level CreateNamedStruct: getField on the card simplifies to
+    // the per-column child, so flattening costs two scan evaluations
+    // (top + dup), not one per output column plus the filter
+    struct(greatest(nGrams, lit(0L)).as("n_grams"),
+      when(nGrams >= 1,
+        round(scanned.getField("best").cast("double") /
+          nGrams.cast("double"), 6)).otherwise(0.0).as("top_frac"),
+      when(nGrams >= 1,
+        round(scanned.getField("dup").cast("double") /
+          nGrams.cast("double"), 6)).otherwise(0.0).as("dup_frac"))
   }
 
   /** Fraction of characters participating in a damage signature, in
