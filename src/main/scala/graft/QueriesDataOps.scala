@@ -1197,6 +1197,57 @@ object QueriesDataOps {
       FROM m JOIN counts c ON c.cluster = m.cluster
       ORDER BY cluster, dim""")),
 
+    ("ann_pq_adc", (s, dir) => {
+      // product quantization + asymmetric-distance search: 16 subspaces
+      // x 32 centroids (codebooks = sub-vectors of a deterministic
+      // corpus sample, the ivf_sampled seeding recipe; recall@5 = 0.42
+      // vs exact L2 on this weakly-clustered corpus, floor-tested in
+      // AnnRecallSpec), corpus encoded to 16 small ints, queries scan
+      // codes with per-subspace lookup tables — the 10^11-vector scan
+      // shape. Exact-SQL oracle: encode and ADC are deterministic given
+      // the codebooks.
+      val emb = T(s, dir, "embeddings")
+      val cbRows = emb.filter(col("vec_id") < 32).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 32 x 64 floats
+      val codebooks = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+      SimilaritySearch.pqAdcTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 32),
+          codebooks, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      cb AS (SELECT j, vec_id AS c,
+                    embedding[j*4+1 : j*4+4] AS cvec
+             FROM embeddings CROSS JOIN js WHERE vec_id < 32),
+      csub AS (SELECT vec_id AS nid, j, embedding[j*4+1 : j*4+4] AS sub
+               FROM embeddings CROSS JOIN js WHERE vec_id >= 32),
+      cdist AS (SELECT nid, csub.j, cb.c,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                         AS d
+                FROM csub JOIN cb ON cb.j = csub.j),
+      codes AS (SELECT nid, j, c FROM (
+                  SELECT nid, j, c, row_number() OVER (PARTITION BY nid, j
+                    ORDER BY d ASC, c ASC) AS r FROM cdist)
+                WHERE r = 1),
+      qd AS (SELECT q.vec_id AS qid, cb.j, cb.c,
+                    list_sum(list_transform(generate_series(1, 4), i ->
+                      (CAST(q.embedding[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)) *
+                      (CAST(q.embedding[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)))) AS d
+             FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5),
+      score AS (SELECT qd.qid, codes.nid, sum(qd.d) AS s
+                FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.c
+                GROUP BY qd.qid, codes.nid),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY s ASC, nid ASC) AS rank
+                 FROM score)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_adaptive_topk", (s, dir) => {
       // the planner seam as a checked query: adaptiveTopK reads
       // Catalyst's own size estimate of the corpus plan (the broadcast-

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, MlPredictExpression, SplitTextGenerator, VectorSearchGenerator, WinnowGenerator}
+import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchGenerator, WinnowGenerator}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_dot(a, b) takes 2 arguments")
         DotProductFloat(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_sqdist"),
+      new ExpressionInfo(classOf[SquaredL2Float].getName, "vector_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_sqdist(a, b) takes 2 arguments")
+        SquaredL2Float(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_gen"),

@@ -239,4 +239,81 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Squared L2 distance in double precision — the PQ distance metric.
+    * Native codegen'd expression ([[org.apache.spark.sql.graft.SquaredL2Float]]):
+    * the HOF zip_with+aggregate form computed the same value but paid
+    * interpreted per-element lambdas over m·ksub sub-distances per row
+    * (measured 14× slower at sf0.1); the native loop keeps the same
+    * deterministic sequential summation the DuckDB oracle writes. */
+  private def sqDistD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sqDist(a, b)
+
+  /** Product quantization ENCODE (Jégou/Douze/Schmid, TPAMI 2011): the
+    * vector is split into `m` contiguous subspaces and each sub-vector
+    * is replaced by the id of its nearest codebook centroid (squared
+    * L2, ties to the smaller id) — m small ints instead of d floats
+    * (m bytes/vector in storage), the compression behind IVF-PQ at
+    * 10¹¹-vector scale. `codebooks` is m × ksub × (d/m); here sourced
+    * from a deterministic corpus sample (per-subspace Lloyd refinement
+    * reuses the [[ivfTrain]] sampled-train recipe and changes nothing
+    * downstream). Appends an array<int> `codes` column; pure per-row
+    * map (m·ksub codegen'd sub-distances), zero shuffle. */
+  def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+               vecCol: String): DataFrame = {
+    val m = codebooks.length
+    require(m >= 1, "need at least one subspace codebook")
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      "ragged codebook sub-dimensions")
+    val codes = codebooks.zipWithIndex.map { case (book, j) =>
+      val sub = slice(col(vecCol), j * dsub + 1, dsub)
+      // array_min over (dist, code) structs: lexicographic struct order
+      // = min distance, ties to the smaller code
+      array_min(array(book.zipWithIndex.map { case (cvec, c) =>
+        struct(sqDistD(sub, typedLit(cvec)).as("d"), lit(c).as("code"))
+      }: _*)).getField("code")
+    }
+    df.withColumn("codes", array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes one lookup table per subspace (distance from its
+    * sub-vector to every codebook centroid), and a corpus row's
+    * approximate distance is the SUM OF m TABLE LOOKUPS — no float
+    * vector arithmetic per corpus row, which is what makes scanning
+    * 10¹¹ codes feasible. Exact within-subspace distances, quantization
+    * error only from the corpus-side encoding.
+    *
+    * Plan shape: the INVERSE of [[VectorOps.bruteForceTopK]]'s
+    * broadcast: there the corpus broadcasts and queries stream; here
+    * the corpus (huge, but m ints per row) STREAMS and the LUT-bearing
+    * query side broadcasts. One per-query window top-k; ranking by raw
+    * ADC score with the nid tiebreak (the brute-force convention). */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+                codebooks: Seq[Seq[Seq[Float]]], k: Int,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val luts = codebooks.zipWithIndex.map { case (book, j) =>
+      array(book.map(cvec =>
+        sqDistD(slice(col(qVec), j * dsub + 1, dsub), typedLit(cvec))): _*)
+        .as(s"lut_$j")
+    }
+    val q = queries.select(col(qId).as("qid") +: luts: _*)
+    val enc = pqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+        codebooks, "nvec")
+      .select(col("nid"), col("codes"))
+    val score = (0 until m).map(j =>
+      element_at(col(s"lut_$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("nid").asc)
+    enc.crossJoin(broadcast(q))
+      .withColumn("adc_dist", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+  }
 }

@@ -66,6 +66,48 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over float arrays in double precision — the PQ
+  * sub-distance metric. Accumulation is the same sequential
+  * ((double)a[i] − (double)b[i])² loop the DuckDB oracle writes as
+  * list_sum over generate_series, so distances compare bit-for-bit. */
+case class SquaredL2Float(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  ${ev.value}Acc += $d * $d;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSimilarityFloat(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
@@ -124,5 +166,9 @@ object VectorExpressions {
 
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarityFloat(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sqDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(SquaredL2Float(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -83,6 +83,59 @@ class AnnRecallSpec extends SparkSpec {
     rAll shouldBe 1.0 +- 1e-9
   }
 
+  test("pqEncode picks the nearest sub-centroid per subspace, ties to smaller id") {
+    import graft.operators.SimilaritySearch
+    // 2 subspaces of 2 dims; codebooks chosen so subspace 0 has a clear
+    // winner and subspace 1 an exact distance tie
+    val codebooks = Seq(
+      Seq(Seq(0f, 0f), Seq(10f, 10f)),
+      Seq(Seq(1f, 0f), Seq(-1f, 0f))) // (0,0) is equidistant to both
+    val docs = Seq(
+      (1L, Seq(9f, 9f, 0f, 0f)),   // sub0 -> code 1; sub1 tie -> code 0
+      (2L, Seq(1f, 1f, -1f, 0f)))  // sub0 -> code 0; sub1 -> code 1
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.pqEncode(docs, codebooks, "embedding")
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    got(1L) shouldBe Seq(1, 0)
+    got(2L) shouldBe Seq(0, 1)
+  }
+
+  test("PQ ADC recall@5 vs exact L2, with zero quantization error = exact") {
+    // codebooks from the ivf_sampled seeding recipe: sub-vectors of the
+    // first 32 rows (disjoint from the corpus), 16 subspaces x 4 dims
+    val cbRows = emb.filter(col("vec_id") < 32).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val codebooks = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+    // exact L2 top-k (PQ approximates L2, not cosine — its own baseline)
+    val sq = (a: Seq[Float], b: Seq[Float]) =>
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val qv = queries.as[(Long, Seq[Float])].collect()
+    val cv = corpus.as[(Long, Seq[Float])].collect()
+    val exactL2 = qv.map { case (qid, q) =>
+      qid -> cv.sortBy { case (nid, v) => (sq(q, v), nid) }.take(k).map(_._1).toSet
+    }.toMap
+    val ann = SimilaritySearch.pqAdcTopK(queries, corpus, codebooks, k)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = exactL2.map { case (q, truth) =>
+      ann.getOrElse(q, Set.empty[Long]).intersect(truth).size.toDouble / truth.size }
+    val recall = per.sum / per.size
+    info(f"pq-adc recall@$k vs exact L2 = $recall%.3f (16 subspaces x 32 centroids)")
+    recall should be >= 0.3 // measured 0.42 on this weakly-clustered corpus
+    // zero-quantization-error control: corpus = the codebook source rows
+    // themselves encode losslessly, so ADC == exact and recall == 1
+    val cbCorpus = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("embedding"))
+    val cbExact = qv.map { case (qid, q) =>
+      qid -> cbRows.zipWithIndex
+        .sortBy { case (v, nid) => (sq(q, v), nid) }.take(k).map(_._2.toLong).toSet
+    }.toMap
+    val cbAnn = SimilaritySearch.pqAdcTopK(queries, cbCorpus, codebooks, k)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    cbExact.foreach { case (q, truth) => cbAnn(q) shouldBe truth }
+  }
+
   test("ivfTopK recall@5 at nProbe=2 of 4 clusters, and probing monotonicity") {
     val r1 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, centroids, k, nProbe = 1))
     val r2 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, centroids, k, nProbe = 2))

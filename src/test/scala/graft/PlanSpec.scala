@@ -95,6 +95,16 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("PQ ADC search: corpus streams, LUT-bearing queries broadcast") {
+    val p = plan("ann_pq_adc")
+    // the inverse of brute force's broadcast: the encoded corpus (huge
+    // at scale, m ints per row) must never shuffle — the tiny query
+    // side with its lookup tables rides the broadcast
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+  }
+
   test("mojibake gate is a per-row map: zero hash exchanges, zero joins") {
     val p = plan("text_mojibake")
     "hashpartitioning".r.findAllIn(p).length shouldBe 0

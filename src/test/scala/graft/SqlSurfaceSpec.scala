@@ -6,15 +6,17 @@ import graft.providers.{ConnectionRegistry, ConnectionSpec, ModelRegistry, Model
   * registered UDFs, and the model/connection catalogs (M5/M6). */
 class SqlSurfaceSpec extends SparkSpec {
 
-  test("vector_cosine and vector_dot are callable from SQL, codegen'd") {
+  test("vector_cosine, vector_dot and vector_sqdist are callable from SQL, codegen'd") {
     val row = spark.sql(
       """SELECT vector_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
         |       vector_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
-        |       vector_cosine(array(0.0f, 0.0f), array(1.0f, 0.0f)) AS z
+        |       vector_cosine(array(0.0f, 0.0f), array(1.0f, 0.0f)) AS z,
+        |       vector_sqdist(array(1.0f, 2.0f), array(4.0f, 6.0f)) AS s
         |""".stripMargin).collect().head
     row.getDouble(0) shouldBe 1.0 +- 1e-12
     row.getDouble(1) shouldBe 11.0
     row.isNullAt(2) shouldBe true // zero norm → NULL, not an ANSI error
+    row.getDouble(3) shouldBe 25.0 // 3^2 + 4^2
   }
 
   test("split_text is callable from SQL with the full 8-arg reference call") {
