@@ -1239,7 +1239,7 @@ object QueriesDataOps {
                       (CAST(q.embedding[cb.j*4+i] AS DOUBLE) -
                         CAST(cvec[i] AS DOUBLE)))) AS d
              FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 5),
-      score AS (SELECT qd.qid, codes.nid, sum(qd.d) AS s
+      score AS (SELECT qd.qid, codes.nid, round(sum(qd.d), 6) AS s
                 FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.c
                 GROUP BY qd.qid, codes.nid),
       ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid

@@ -259,13 +259,20 @@ object SimilaritySearch {
     * reuses the [[ivfTrain]] sampled-train recipe and changes nothing
     * downstream). Appends an array<int> `codes` column; pure per-row
     * map (m·ksub codegen'd sub-distances), zero shuffle. */
+  /** Shared codebook-shape validation for the PQ operators: at least one
+    * subspace, no empty books, uniform sub-dimension. Returns (m, dsub). */
+  private def validateCodebooks(codebooks: Seq[Seq[Seq[Float]]]): (Int, Int) = {
+    require(codebooks.nonEmpty, "need at least one subspace codebook")
+    require(codebooks.forall(_.nonEmpty), "empty codebook for some subspace")
+    val dsub = codebooks.head.head.length
+    require(dsub >= 1 && codebooks.forall(_.forall(_.length == dsub)),
+      "ragged codebook sub-dimensions")
+    (codebooks.length, dsub)
+  }
+
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                vecCol: String): DataFrame = {
-    val m = codebooks.length
-    require(m >= 1, "need at least one subspace codebook")
-    val dsub = codebooks.head.head.length
-    require(codebooks.forall(_.forall(_.length == dsub)),
-      "ragged codebook sub-dimensions")
+    val (m, dsub) = validateCodebooks(codebooks)
     val codes = codebooks.zipWithIndex.map { case (book, j) =>
       val sub = slice(col(vecCol), j * dsub + 1, dsub)
       // array_min over (dist, code) structs: lexicographic struct order
@@ -274,7 +281,14 @@ object SimilaritySearch {
         struct(sqDistD(sub, typedLit(cvec)).as("d"), lit(c).as("code"))
       }: _*)).getField("code")
     }
-    df.withColumn("codes", array(codes: _*))
+    // dimension guard: SquaredL2Float truncates to min-length and slice
+    // past the end returns empty, so a codebook/vector mismatch would
+    // otherwise produce silently-garbage codes instead of an error
+    df.withColumn("codes",
+      when(size(col(vecCol)) === m * dsub, array(codes: _*))
+        .otherwise(raise_error(concat(
+          lit(s"pqEncode: vector dimension must be ${m * dsub} (m*dsub), got "),
+          size(col(vecCol)).cast("string"))).cast("array<int>")))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
@@ -294,8 +308,7 @@ object SimilaritySearch {
                 codebooks: Seq[Seq[Seq[Float]]], k: Int,
                 qId: String = "vec_id", qVec: String = "embedding",
                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
+    val (m, dsub) = validateCodebooks(codebooks)
     val luts = codebooks.zipWithIndex.map { case (book, j) =>
       array(book.map(cvec =>
         sqDistD(slice(col(qVec), j * dsub + 1, dsub), typedLit(cvec))): _*)
@@ -310,8 +323,11 @@ object SimilaritySearch {
       .reduce(_ + _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col("nid").asc)
+    // rank by the 6-decimal-ROUNDED score (the tfidf convention): the
+    // oracle's cross-subspace sum order is engine-chosen, so raw totals
+    // can differ below reordering error and flip a boundary rank
     enc.crossJoin(broadcast(q))
-      .withColumn("adc_dist", score)
+      .withColumn("adc_dist", round(score, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))

@@ -98,9 +98,10 @@ class PlanSpec extends SparkSpec {
   test("PQ ADC search: corpus streams, LUT-bearing queries broadcast") {
     val p = plan("ann_pq_adc")
     // the inverse of brute force's broadcast: the encoded corpus (huge
-    // at scale, m ints per row) must never shuffle — the tiny query
-    // side with its lookup tables rides the broadcast
-    p should include("BroadcastNestedLoopJoin")
+    // at scale, m ints per row) must never shuffle OR broadcast — the
+    // tiny query side with its lookup tables rides the broadcast, which
+    // with enc on the left means BuildRight specifically
+    p should include("BroadcastNestedLoopJoin BuildRight")
     p should not include "SortMergeJoin"
     p should not include "ShuffledHashJoin"
   }
