@@ -1248,6 +1248,47 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("ann_pq_train", (s, dir) => {
+      // one per-subspace Lloyd step (PQ codebook training): sub-vectors
+      // assign by squared L2 within their subspace (4 subspaces x 4
+      // seed centroids), cells recompute element-wise means — the
+      // ann_ivf_train convention, per subspace and in the encode
+      // metric. pqTrain iterates this with dead-cell keep.
+      val emb = T(s, dir, "embeddings")
+      val cbRows = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 4 x 64 floats
+      val codebooks = (0 until 4).map(j => cbRows.map(_.slice(j * 16, j * 16 + 16)))
+      SimilaritySearch.pqTrainStep(emb, codebooks)
+        .withColumn("mu", round(col("mu"), 6)) // oracle-portability round
+        .orderBy(col("j"), col("cluster"), col("dim"))
+    }, Some("""
+      WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      cb AS (SELECT j, vec_id AS c, embedding[j*16+1 : j*16+16] AS cvec
+             FROM embeddings CROSS JOIN js WHERE vec_id < 4),
+      sub AS (SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS sub
+              FROM embeddings CROSS JOIN js),
+      d AS (SELECT vec_id, sub.j, cb.c,
+                   list_sum(list_transform(generate_series(1, 16), i ->
+                     (CAST(sub.sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                     (CAST(sub.sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                     AS d
+            FROM sub JOIN cb ON cb.j = sub.j),
+      a AS (SELECT vec_id, j, c AS cluster FROM (
+              SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY d ASC, c ASC) AS r FROM d) WHERE r = 1),
+      e AS (SELECT a.j, a.cluster, sub.sub FROM a
+            JOIN sub ON sub.vec_id = a.vec_id AND sub.j = a.j),
+      g AS (SELECT j, cluster, sub, unnest(generate_series(1, 16)) AS s
+            FROM e),
+      mres AS (SELECT j, cluster, s - 1 AS dim,
+                      round(avg(CAST(sub[s] AS DOUBLE)), 6) AS mu,
+                      count(*) AS n_members
+               FROM g GROUP BY j, cluster, s)
+      SELECT CAST(j AS INT) AS j, CAST(cluster AS INT) AS cluster,
+             CAST(dim AS INT) AS dim, mu, n_members
+      FROM mres ORDER BY j, cluster, dim""")),
+
     ("ann_adaptive_topk", (s, dir) => {
       // the planner seam as a checked query: adaptiveTopK reads
       // Catalyst's own size estimate of the corpus plan (the broadcast-

@@ -291,6 +291,67 @@ object SimilaritySearch {
           size(col(vecCol)).cast("string"))).cast("array<int>")))
   }
 
+  /** One per-subspace Lloyd step for PQ codebook training: every
+    * sub-vector assigns to its nearest centroid WITHIN ITS SUBSPACE by
+    * squared L2 — the encode metric; [[ivfTrainStep]]'s cosine objective
+    * would train for the wrong distance — and each (subspace, centroid)
+    * cell recomputes its element-wise mean. Emits flat
+    * (j, cluster, dim, mu, n_members), the ivfTrainStep convention.
+    *
+    * Plan shape: ONE corpus scan (subspaces leave the row via a
+    * posexplode of (j, sub-vector) structs, ×m of a skinny projection),
+    * the same codegen'd argmin pqEncode uses dispatched by j, then one
+    * shuffle on (j, cluster, dim) with map-side partial avg. Iterating
+    * moves only the m×ksub×dsub mean matrix through the driver. */
+  def pqTrainStep(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+                  vecCol: String = "embedding"): DataFrame = {
+    val (m, dsub) = validateCodebooks(codebooks)
+    val subs = df.select(posexplode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col(vecCol), j * dsub + 1, dsub).as("sub"))): _*))
+        .as(Seq("_i", "s")))
+      .select(col("s.j").as("j"), col("s.sub").as("sub"))
+    val cluster = codebooks.zipWithIndex.map { case (book, j) =>
+      (col("j") === j) -> array_min(array(book.zipWithIndex.map { case (cvec, c) =>
+        struct(sqDistD(col("sub"), typedLit(cvec)).as("d"), lit(c).as("code"))
+      }: _*)).getField("code")
+    }.foldRight(lit(-1): Column) { case ((cond, v), acc) =>
+      when(cond, v).otherwise(acc)
+    }
+    subs.withColumn("cluster", cluster)
+      .select(col("j"), col("cluster"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("j"), col("cluster"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("mu"),
+        count(lit(1)).as("n_members"))
+      .select(col("j").cast("int").as("j"),
+        col("cluster").cast("int").as("cluster"),
+        col("dim").cast("int").as("dim"), col("mu"), col("n_members"))
+  }
+
+  /** Full per-subspace Lloyd loop from `init` codebooks — [[ivfTrain]]'s
+    * driver-coordinated recipe (only the mean matrix crosses the driver;
+    * dead cells keep their previous centroid; `roundAt` pins means for
+    * engine-portable oracles). Sample-train → full-encode composes
+    * exactly like ann_ivf_sampled. */
+  def pqTrain(df: DataFrame, init: Seq[Seq[Seq[Float]]], iters: Int,
+              vecCol: String = "embedding",
+              roundAt: Int = -1): Seq[Seq[Seq[Float]]] = {
+    require(iters >= 0, s"invalid iters=$iters")
+    (1 to iters).foldLeft(init) { (books, _) =>
+      val step = pqTrainStep(df, books, vecCol)
+      val rows = (if (roundAt >= 0) step.withColumn("mu", round(col("mu"), roundAt))
+                  else step)
+        .select(col("j"), col("cluster"), col("dim"), col("mu")).collect()
+      val byCell = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
+        }
+      books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (cvec, c) => byCell.getOrElse((j, c), cvec) }
+      }
+    }
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes one lookup table per subspace (distance from its
     * sub-vector to every codebook centroid), and a corpus row's

@@ -136,6 +136,29 @@ class AnnRecallSpec extends SparkSpec {
     cbExact.foreach { case (q, truth) => cbAnn(q) shouldBe truth }
   }
 
+  test("pqTrain: a Lloyd step never increases the quantization objective") {
+    import graft.operators.SimilaritySearch
+    import org.apache.spark.sql.graft.VectorExpressions
+    val cbRows = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val seed = (0 until 8).map(j => cbRows.map(_.slice(j * 8, j * 8 + 8)))
+    // k-means objective: mean over rows and subspaces of the min
+    // squared-L2 to any centroid in that subspace
+    def objective(books: Seq[Seq[Seq[Float]]]): Double = {
+      val per = books.zipWithIndex.map { case (book, j) =>
+        array_min(array(book.map(cvec => VectorExpressions.sqDist(
+          slice(col("embedding"), j * 8 + 1, 8), typedLit(cvec))): _*))
+      }.reduce(_ + _)
+      corpus.select(avg(per)).as[Double].collect().head
+    }
+    val before = objective(seed)
+    val after1 = objective(SimilaritySearch.pqTrain(corpus, seed, iters = 1))
+    val after2 = objective(SimilaritySearch.pqTrain(corpus, seed, iters = 2))
+    info(f"pq objective: seed=$before%.4f after1=$after1%.4f after2=$after2%.4f")
+    after1 should be <= before + 1e-9
+    after2 should be <= after1 + 1e-9
+  }
+
   test("ivfTopK recall@5 at nProbe=2 of 4 clusters, and probing monotonicity") {
     val r1 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, centroids, k, nProbe = 1))
     val r2 = recallAt(SimilaritySearch.ivfTopK(queries, corpus, centroids, k, nProbe = 2))
