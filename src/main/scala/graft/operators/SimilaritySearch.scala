@@ -185,20 +185,31 @@ object SimilaritySearch {
     * ~ULP — rounding pins them for engine-portable oracles (and costs
     * nothing at 6 dp against quantization error). Production training
     * keeps the default full precision. */
+  /** Collect one Lloyd step's mean vectors keyed by the given int key
+    * columns — THE single copy of the collect/round-if/sort-by-dim/
+    * toFloat recipe shared by [[ivfTrain]] (key = cluster) and
+    * [[pqTrain]] (key = (j, cluster)); dead-cell keep is the caller's
+    * getOrElse against the previous centroid. */
+  private def collectMeans(step: DataFrame, roundAt: Int,
+                           keyCols: Seq[String]): Map[Seq[Int], Seq[Float]] = {
+    val rows = (if (roundAt >= 0) step.withColumn("mu", round(col("mu"), roundAt))
+                else step)
+      .select((keyCols :+ "dim" :+ "mu").map(col): _*)
+      .collect()
+    rows.groupBy(r => keyCols.indices.map(r.getInt).toSeq)
+      .map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getInt(keyCols.length))
+          .map(_.getDouble(keyCols.length + 1).toFloat).toSeq
+      }
+  }
+
   def ivfTrain(df: DataFrame, init: Seq[Seq[Float]], iters: Int,
                vecCol: String = "embedding", roundAt: Int = -1): Seq[Seq[Float]] = {
     require(iters >= 0, s"invalid iters=$iters")
     (1 to iters).foldLeft(init) { (cents, _) =>
-      val step = ivfTrainStep(df, cents, vecCol)
-      val means = (if (roundAt >= 0) step.withColumn("mu", round(col("mu"), roundAt))
-                   else step)
-        .select(col("cluster"), col("dim"), col("mu"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-        }
-      cents.indices.map(c => means.getOrElse(c, cents(c)))
+      val means = collectMeans(ivfTrainStep(df, cents, vecCol), roundAt,
+        Seq("cluster"))
+      cents.indices.map(c => means.getOrElse(Seq(c), cents(c)))
     }
   }
 
@@ -270,25 +281,35 @@ object SimilaritySearch {
     (codebooks.length, dsub)
   }
 
+  /** Nearest codebook centroid id for one sub-vector: array_min over
+    * (dist, code) structs — lexicographic struct order = min squared L2,
+    * ties to the smaller code. THE single definition of the encode
+    * assignment, shared by [[pqEncode]] and [[pqTrainStep]]. */
+  private def nearestCode(sub: Column, book: Seq[Seq[Float]]): Column =
+    array_min(array(book.zipWithIndex.map { case (cvec, c) =>
+      struct(sqDistD(sub, typedLit(cvec)).as("d"), lit(c).as("code"))
+    }: _*)).getField("code")
+
+  /** Per-row dimension guard shared by the PQ entry points:
+    * SquaredL2Float truncates to min-length and slice past the end
+    * returns empty, so a codebook/vector mismatch would otherwise
+    * produce silently-garbage codes/training instead of an error. */
+  private def dimChecked(vec: Column, m: Int, dsub: Int, value: Column,
+                         valueType: String, fn: String): Column =
+    when(size(vec) === m * dsub, value)
+      .otherwise(raise_error(concat(
+        lit(s"$fn: vector dimension must be ${m * dsub} (m*dsub), got "),
+        size(vec).cast("string"))).cast(valueType))
+
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                vecCol: String): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
     val codes = codebooks.zipWithIndex.map { case (book, j) =>
-      val sub = slice(col(vecCol), j * dsub + 1, dsub)
-      // array_min over (dist, code) structs: lexicographic struct order
-      // = min distance, ties to the smaller code
-      array_min(array(book.zipWithIndex.map { case (cvec, c) =>
-        struct(sqDistD(sub, typedLit(cvec)).as("d"), lit(c).as("code"))
-      }: _*)).getField("code")
+      nearestCode(slice(col(vecCol), j * dsub + 1, dsub), book)
     }
-    // dimension guard: SquaredL2Float truncates to min-length and slice
-    // past the end returns empty, so a codebook/vector mismatch would
-    // otherwise produce silently-garbage codes instead of an error
     df.withColumn("codes",
-      when(size(col(vecCol)) === m * dsub, array(codes: _*))
-        .otherwise(raise_error(concat(
-          lit(s"pqEncode: vector dimension must be ${m * dsub} (m*dsub), got "),
-          size(col(vecCol)).cast("string"))).cast("array<int>")))
+      dimChecked(col(vecCol), m, dsub, array(codes: _*), "array<int>",
+        "pqEncode"))
   }
 
   /** One per-subspace Lloyd step for PQ codebook training: every
@@ -306,20 +327,19 @@ object SimilaritySearch {
   def pqTrainStep(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                   vecCol: String = "embedding"): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
-    val subs = df.select(posexplode(array((0 until m).map(j =>
-        struct(lit(j).as("j"),
-          slice(col(vecCol), j * dsub + 1, dsub).as("sub"))): _*))
-        .as(Seq("_i", "s")))
-      .select(col("s.j").as("j"), col("s.sub").as("sub"))
-    val cluster = codebooks.zipWithIndex.map { case (book, j) =>
-      (col("j") === j) -> array_min(array(book.zipWithIndex.map { case (cvec, c) =>
-        struct(sqDistD(col("sub"), typedLit(cvec)).as("d"), lit(c).as("code"))
-      }: _*)).getField("code")
-    }.foldRight(lit(-1): Column) { case ((cond, v), acc) =>
-      when(cond, v).otherwise(acc)
+    // assignment happens INSIDE the pre-explode struct (pqEncode's own
+    // nearestCode per subspace — no per-row dispatch needed afterwards),
+    // behind the same dimension guard as the encoder
+    val cells = codebooks.zipWithIndex.map { case (book, j) =>
+      val sub = slice(col(vecCol), j * dsub + 1, dsub)
+      struct(lit(j).as("j"), sub.as("sub"),
+        nearestCode(sub, book).as("cluster"))
     }
-    subs.withColumn("cluster", cluster)
-      .select(col("j"), col("cluster"), posexplode(col("sub")).as(Seq("dim", "x")))
+    val cellType = s"array<struct<j:int,sub:array<float>,cluster:int>>"
+    df.select(explode(dimChecked(col(vecCol), m, dsub, array(cells: _*),
+        cellType, "pqTrainStep")).as("s"))
+      .select(col("s.j").as("j"), col("s.cluster").as("cluster"),
+        posexplode(col("s.sub")).as(Seq("dim", "x")))
       .groupBy(col("j"), col("cluster"), col("dim"))
       .agg(avg(col("x").cast("double")).as("mu"),
         count(lit(1)).as("n_members"))
@@ -338,16 +358,12 @@ object SimilaritySearch {
               roundAt: Int = -1): Seq[Seq[Seq[Float]]] = {
     require(iters >= 0, s"invalid iters=$iters")
     (1 to iters).foldLeft(init) { (books, _) =>
-      val step = pqTrainStep(df, books, vecCol)
-      val rows = (if (roundAt >= 0) step.withColumn("mu", round(col("mu"), roundAt))
-                  else step)
-        .select(col("j"), col("cluster"), col("dim"), col("mu")).collect()
-      val byCell = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (cell, rs) =>
-          cell -> rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
-        }
+      val byCell = collectMeans(pqTrainStep(df, books, vecCol), roundAt,
+        Seq("j", "cluster"))
       books.zipWithIndex.map { case (book, j) =>
-        book.zipWithIndex.map { case (cvec, c) => byCell.getOrElse((j, c), cvec) }
+        book.zipWithIndex.map { case (cvec, c) =>
+          byCell.getOrElse(Seq(j, c), cvec)
+        }
       }
     }
   }
