@@ -138,9 +138,12 @@ object QueriesDataOps {
                         1.0)) / 3.0, 6)"""
   }
 
-  /** Shared oracle CTE chain for the minhash band pipeline, ending in the
-    * `cand` relation of DISTINCT candidate pairs (id_a < id_b). */
-  private lazy val minhashCandSql: String = s"""$dwdSql,
+  /** Shared oracle CTE chain for the minhash band machinery, ending in
+    * the `bands` relation of (doc_id, band_key); `sh` (DISTINCT doc
+    * shingles) is also in scope for Jaccard verification. Spliced by
+    * [[minhashCandSql]] (within-corpus pairs) and the cross-frame
+    * incremental-fuzzy oracle. */
+  private lazy val minhashBandsSql: String = s"""$dwdSql,
       toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
                FROM dwd),
       idx AS (SELECT doc_id, tk,
@@ -155,7 +158,11 @@ object QueriesDataOps {
       bands AS (SELECT doc_id,
                        CAST(seed // 3 AS VARCHAR) || ':' ||
                          string_agg(m || '|', '' ORDER BY seed) AS band_key
-                FROM mh GROUP BY doc_id, seed // 3),
+                FROM mh GROUP BY doc_id, seed // 3)"""
+
+  /** [[minhashBandsSql]] plus the `cand` relation of DISTINCT
+    * within-corpus candidate pairs (id_a < id_b). */
+  private lazy val minhashCandSql: String = s"""$minhashBandsSql,
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM bands a JOIN bands b
                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
@@ -288,6 +295,36 @@ object QueriesDataOps {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }, Some(incrementalOracleSql)),
+
+    ("dedup_incremental_fuzzy", (s, dir) => {
+      // NEAR-dup incremental gate: batch (>= 250) cleaned against the
+      // indexed corpus (< 250) by LSH band join + exact-Jaccard verify
+      // on candidates only — catches the truncated/reformatted copies
+      // the exact hash gate admits. Emits surviving batch ids.
+      val all = docsWithDups(s, dir)
+      Dedup.antiJoinFuzzy(all.filter(col("doc_id") >= 250),
+          all.filter(col("doc_id") < 250), "text", "doc_id",
+          shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $minhashBandsSql,
+      cand AS (SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid
+               FROM bands b JOIN bands i ON b.band_key = i.band_key
+               WHERE b.doc_id >= 250 AND i.doc_id < 250),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.bid, c.iid, count(*) AS n_inter
+                FROM cand c
+                  JOIN sh a ON a.doc_id = c.bid
+                  JOIN sh b ON b.doc_id = c.iid AND a.sh = b.sh
+                GROUP BY c.bid, c.iid),
+      dup AS (SELECT DISTINCT bid FROM inter
+                JOIN counts ca ON ca.doc_id = bid
+                JOIN counts cb ON cb.doc_id = iid
+              WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.5)
+      SELECT doc_id FROM dwd
+      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT bid FROM dup)
+      ORDER BY doc_id""")),
 
     ("dedup_incremental_bloom", (s, dir) => {
       // the 100 TB form of the same contract: the index hashes are

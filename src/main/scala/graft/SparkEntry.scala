@@ -47,7 +47,8 @@ object SparkEntry {
     "avro_ocf_roundtrip",
     "rag_vector_topk", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
-    "dedup_incremental", "dedup_incremental_bloom", "dedup_simhash",
+    "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
+    "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_segments",
     "dedup_embedding_lsh", "dedup_cluster_best",
     "curate_corpus",

@@ -612,6 +612,56 @@ object Dedup {
       .select(col("doc_id"), col("seg_idx"), col("seg_hash"), col("n_docs"))
   }
 
+  /** FUZZY incremental dedup — the near-dup analog of the exact
+    * incremental gate ([[antiJoinWithBloomPrefilter]]): a batch document
+    * is dropped when it shares an LSH band with ANY indexed document AND
+    * its exact shingle Jaccard against such an index document reaches
+    * `threshold`; all other batch rows survive. This is the "don't
+    * re-ingest near-duplicates of the existing corpus" gate — the exact
+    * gate misses a truncated or reformatted copy entirely. In-batch
+    * near-dup collapse is [[minhashLshVerified]]'s job; compose the two.
+    *
+    * Plan shape: band keys per row on both sides (the [[minhashLshPairs]]
+    * UDF), ONE equi-join batch×index on band_key (cross-frame — never a
+    * self-join; at 100 TB the index side ships (id, band_key) pairs,
+    * never text... except for the candidate sliver, whose shingles the
+    * verification needs), DISTINCT candidate pairs, exact-Jaccard
+    * verification restricted to candidates (the [[minhashLshVerified]]
+    * recipe with sides drawn from different frames), and a LEFT ANTI of
+    * the batch against verified duplicates. */
+  def antiJoinFuzzy(batch: DataFrame, index: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 3, bands: Int = 4,
+                    rowsPerBand: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val bk = Hashing.bandKeysUdf(shingleN, bands, rowsPerBand)
+    val shUdf = Hashing.shinglesUdf(shingleN)
+    val bKeys = batch.select(col(idCol).as("bid"),
+      explode(bk(col(textCol))).as("band_key"))
+    val iKeys = index.select(col(idCol).as("iid"),
+      explode(bk(col(textCol))).as("band_key"))
+    val cand = bKeys.join(iKeys, "band_key")
+      .select(col("bid"), col("iid")).distinct()
+    val bSh = batch.select(col(idCol).as("bid"),
+      explode(shUdf(col(textCol))).as("sh"))
+    val iSh = index.select(col(idCol).as("iid"),
+      explode(shUdf(col(textCol))).as("sh"))
+    val iSh2 = iSh.select(col("iid").as("i_id"), col("sh").as("i_sh"))
+    val inter = cand
+      .join(bSh, "bid")
+      .join(iSh2, col("iid") === col("i_id") && col("sh") === col("i_sh"))
+      .groupBy(col("bid"), col("iid"))
+      .agg(count(lit(1)).as("n_inter"))
+    val dup = inter
+      .join(bSh.groupBy("bid").agg(count(lit(1)).as("n_b")), "bid")
+      .join(iSh.groupBy("iid").agg(count(lit(1)).as("n_i")), "iid")
+      .filter(col("n_inter").cast("double") /
+        (col("n_b") + col("n_i") - col("n_inter")) >= threshold)
+      .select(col("bid")).distinct()
+    batch.join(dup.withColumnRenamed("bid", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Boilerplate REMOVAL — the cleaning half of [[duplicatedSegments]]'s
     * detection: a line whose normalized form (lowercase, trimmed) occurs
     * in ≥ `minDocs` DISTINCT documents of the SAME source is site

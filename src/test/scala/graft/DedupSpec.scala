@@ -197,6 +197,35 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2, r._3)).toSeq shouldBe Seq((4L, 4L, 2L))
   }
 
+  test("antiJoinFuzzy drops near-dups of the index, keeps fresh and below-threshold docs") {
+    val indexed = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val index = Seq((1L, indexed)).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, indexed),                                    // exact copy
+      (101L, indexed.replace(" today", "")),              // truncated copy
+      (102L, "completely fresh writing about compilers and register allocation"),
+      // shares a couple of shingles at most — far below threshold
+      (103L, "the quick start guide to gardening explains mulch and compost layers"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.antiJoinFuzzy(batch, index, "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    kept shouldBe Seq(102L, 103L)
+  }
+
+  test("antiJoinFuzzy threshold gates verification: 1.0 keeps everything but exact copies") {
+    val indexed = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val index = Seq((1L, indexed)).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, indexed),                       // jaccard 1.0 -> still dropped
+      (101L, indexed.replace(" today", ""))) // jaccard < 1 -> kept at tau=1
+      .toDF("doc_id", "text")
+    val kept = Dedup.antiJoinFuzzy(batch, index, "text", "doc_id",
+        threshold = 1.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    kept shouldBe Seq(101L)
+  }
+
   test("stripBoilerplateLines strips same-source repeats, keeps content/blanks/other sources") {
     val header = "SITE NAV | home | about"
     val docs = Seq(

@@ -193,6 +193,15 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("fuzzy incremental: band equi-join + anti join, never a cartesian") {
+    val p = plan("dedup_incremental_fuzzy")
+    // batch x index meet ONLY on band_key / shingle equi-keys and the
+    // final anti join — an all-pairs comparison would show as cartesian
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("incremental dedup plans an anti join against the hash index") {
     val p = plan("dedup_incremental")
     p should include("LeftAnti")
