@@ -167,6 +167,24 @@ object QueriesDataOps {
                FROM bands a JOIN bands b
                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
 
+  /** Exact-Jaccard verification over `cand` (id_a, id_b) and the `sh`
+    * shingle relation, ending in `jac` (id_a, id_b, jaccard UNROUNDED) —
+    * the oracle mirror of Dedup.verifyJaccard, spliced by BOTH
+    * dedup_lsh_verified and dedup_incremental_fuzzy so the verify
+    * contract stays one text. */
+  private lazy val jaccardVerifySql: String = """
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                  JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND a.sh = b.sh
+                GROUP BY c.id_a, c.id_b),
+      jac AS (SELECT id_a, id_b,
+                     n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+              FROM inter
+                JOIN counts ca ON ca.doc_id = id_a
+                JOIN counts cb ON cb.doc_id = id_b)"""
+
   val dedup: Seq[(String, Q, Option[String])] = Seq(
 
     ("dedup_clusters", (s, dir) => {
@@ -267,18 +285,9 @@ object QueriesDataOps {
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
       WITH $minhashCandSql,
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                FROM cand c
-                  JOIN sh a ON a.doc_id = c.id_a
-                  JOIN sh b ON b.doc_id = c.id_b AND a.sh = b.sh
-                GROUP BY c.id_a, c.id_b)
-      SELECT id_a, id_b,
-             round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-      FROM inter
-        JOIN counts ca ON ca.doc_id = id_a
-        JOIN counts cb ON cb.doc_id = id_b
-      WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
+      $jaccardVerifySql
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM jac WHERE jaccard >= 0.6
       ORDER BY id_a, id_b""")),
 
     ("dedup_incremental", (s, dir) => {
@@ -300,8 +309,11 @@ object QueriesDataOps {
       // NEAR-dup incremental gate: batch (>= 250) cleaned against the
       // indexed corpus (< 250) by LSH band join + exact-Jaccard verify
       // on candidates only — catches the truncated/reformatted copies
-      // the exact hash gate admits. Emits surviving batch ids.
-      val all = docsWithDups(s, dir)
+      // the exact hash gate admits. Emits surviving batch ids. The
+      // variant-explode corpus feeds band keys, shingles, and the final
+      // anti probe — persisted once (the dedup_cluster_best convention).
+      val all = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.antiJoinFuzzy(all.filter(col("doc_id") >= 250),
           all.filter(col("doc_id") < 250), "text", "doc_id",
           shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
@@ -309,21 +321,13 @@ object QueriesDataOps {
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH $minhashBandsSql,
-      cand AS (SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid
+      cand AS (SELECT DISTINCT b.doc_id AS id_a, i.doc_id AS id_b
                FROM bands b JOIN bands i ON b.band_key = i.band_key
                WHERE b.doc_id >= 250 AND i.doc_id < 250),
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.bid, c.iid, count(*) AS n_inter
-                FROM cand c
-                  JOIN sh a ON a.doc_id = c.bid
-                  JOIN sh b ON b.doc_id = c.iid AND a.sh = b.sh
-                GROUP BY c.bid, c.iid),
-      dup AS (SELECT DISTINCT bid FROM inter
-                JOIN counts ca ON ca.doc_id = bid
-                JOIN counts cb ON cb.doc_id = iid
-              WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.5)
+      $jaccardVerifySql,
+      dup AS (SELECT DISTINCT id_a FROM jac WHERE jaccard >= 0.5)
       SELECT doc_id FROM dwd
-      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT bid FROM dup)
+      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_a FROM dup)
       ORDER BY doc_id""")),
 
     ("dedup_incremental_bloom", (s, dir) => {
