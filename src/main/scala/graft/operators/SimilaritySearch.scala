@@ -379,31 +379,153 @@ object SimilaritySearch {
     * Plan shape: the INVERSE of [[VectorOps.bruteForceTopK]]'s
     * broadcast: there the corpus broadcasts and queries stream; here
     * the corpus (huge, but m ints per row) STREAMS and the LUT-bearing
-    * query side broadcasts. One per-query window top-k; ranking by raw
-    * ADC score with the nid tiebreak (the brute-force convention). */
+    * query side broadcasts — the broadcast payload is
+    * queries × m × ksub doubles, so like [[adaptiveTopK]] the hint is
+    * dropped when Catalyst's own size estimate of the LUT projection
+    * exceeds `broadcastBytes` (the executor-memory guard for unbounded
+    * query batches; the join itself stays correct as a partitioned
+    * cartesian). One per-query window top-k; ranking by raw ADC score
+    * with the nid tiebreak (the brute-force convention).
+    *
+    * `preEncoded`: corpus rows that already carry a `codes` column (the
+    * stored-index regime — at 10¹¹ vectors the codes ARE the index and
+    * encoding happens once at build time, not per search) skip the
+    * encode projection entirely; pass the frame produced by
+    * [[pqEncode]]. */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
                 codebooks: Seq[Seq[Seq[Float]]], k: Int,
                 qId: String = "vec_id", qVec: String = "embedding",
-                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+                cId: String = "vec_id", cVec: String = "embedding",
+                preEncoded: Boolean = false,
+                broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
+    // the same per-row dimension guard pqEncode applies corpus-side: a
+    // wrong-dimension QUERY would otherwise slice short/empty sub-vectors
+    // and SquaredL2Float's min-length truncation would build silently-
+    // garbage lookup tables instead of raising
+    val qv = dimChecked(col(qVec), m, dsub, col(qVec), "array<float>",
+      "pqAdcTopK")
     val luts = codebooks.zipWithIndex.map { case (book, j) =>
       array(book.map(cvec =>
-        sqDistD(slice(col(qVec), j * dsub + 1, dsub), typedLit(cvec))): _*)
+        sqDistD(slice(qv, j * dsub + 1, dsub), typedLit(cvec))): _*)
         .as(s"lut_$j")
     }
     val q = queries.select(col(qId).as("qid") +: luts: _*)
-    val enc = pqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
-        codebooks, "nvec")
-      .select(col("nid"), col("codes"))
+    val enc =
+      if (preEncoded) corpus.select(col(cId).as("nid"), col("codes"))
+      else pqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+          codebooks, "nvec")
+        .select(col("nid"), col("codes"))
     val score = (0 until m).map(j =>
       element_at(col(s"lut_$j"), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col("nid").asc)
+    val qSide =
+      if (q.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
+        broadcast(q)
+      else q
     // rank by the 6-decimal-ROUNDED score (the tfidf convention): the
     // oracle's cross-subspace sum order is engine-chosen, so raw totals
     // can differ below reordering error and flip a boundary rank
-    enc.crossJoin(broadcast(q))
+    enc.crossJoin(qSide)
+      .withColumn("adc_dist", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Residual vs the row's assigned coarse centroid: `vec −
+    * centroids[cluster]`, elementwise in FLOAT (both engines round the
+    * double-exact difference to float identically — double rounding is
+    * innocuous at 53 ≥ 2·24+2 bits, so `CAST(aᴰ − bᴰ AS REAL)` in the
+    * oracle equals Spark's float subtract bit-for-bit). The guard
+    * matters because zip_with pads the SHORTER side with nulls: a
+    * wrong-dimension vector would otherwise produce a correctly-sized
+    * residual full of nulls and encode to garbage downstream. */
+  private def residualVs(vec: Column, cluster: Column,
+                         centroids: Seq[Seq[Float]], fn: String): Column = {
+    val d = centroids.head.length
+    val cent = element_at(typedLit(centroids), cluster + 1)
+    when(size(vec) === d, zip_with(vec, cent, (a, b) => a - b))
+      .otherwise(raise_error(concat(
+        lit(s"$fn: vector dimension must be $d, got "),
+        size(vec).cast("string"))).cast("array<float>"))
+  }
+
+  /** IVF-PQ index build (Jégou TPAMI'11 §IV): assign each corpus vector
+    * to its nearest coarse centroid ([[ivfAssign]]), then PQ-encode the
+    * RESIDUAL `vec − centroid[cluster]` — residuals have far smaller
+    * spread than raw vectors, so the same codebook budget quantizes
+    * them much more accurately. Output carries (cluster, rvec, codes):
+    * cluster is the partition key the search side prunes on, codes the
+    * m-int compressed payload. Pure per-row map, zero shuffle — at
+    * build time this runs once over the corpus and the (cluster, codes)
+    * pairs ARE the stored index. */
+  def ivfPqEncode(df: DataFrame, centroids: Seq[Seq[Float]],
+                  codebooks: Seq[Seq[Seq[Float]]],
+                  vecCol: String = "embedding"): DataFrame = {
+    val (m, dsub) = validateCodebooks(codebooks)
+    require(centroids.nonEmpty && centroids.forall(_.length == m * dsub),
+      s"coarse centroids must have dimension ${m * dsub} (m*dsub)")
+    val assigned = ivfAssign(df, centroids, vecCol)
+      .withColumn("rvec",
+        residualVs(col(vecCol), col("cluster"), centroids, "ivfPqEncode"))
+    pqEncode(assigned, codebooks, "rvec")
+  }
+
+  /** IVFADC search — the canonical 10¹¹-vector index shape: IVF's
+    * probe pruning composed with PQ's compressed scan. The corpus is
+    * residual-encoded per coarse cell ([[ivfPqEncode]]); each query
+    * fans out to its `nProbe` nearest cells and builds PER-CELL lookup
+    * tables from its OWN residual vs that cell's centroid (both sides
+    * subtract the same centroid, so with lossless codes the ADC score
+    * is exactly ‖q − x‖² — probing every cell with a corpus-derived
+    * codebook IS exact search, the AnnRecallSpec control). Search cost:
+    * nProbe cells' members × m table lookups, not |corpus| × d floats.
+    *
+    * Plan shape: the corpus streams as (cluster, m ints) — never
+    * shuffled, never broadcast; the probe-expanded query side
+    * (queries × nProbe rows, each m × ksub doubles of LUT) broadcasts
+    * into ONE equi-join on the cluster id — a BroadcastHashJoin, so
+    * only cells a query probes are ever scored, vs [[pqAdcTopK]]'s
+    * full-scan cartesian. Same [[adaptiveTopK]]-style stats guard
+    * drops the hint for unbounded query batches. */
+  def ivfPqAdcTopK(queries: DataFrame, corpus: DataFrame,
+                   centroids: Seq[Seq[Float]],
+                   codebooks: Seq[Seq[Seq[Float]]], k: Int, nProbe: Int = 1,
+                   qId: String = "vec_id", qVec: String = "embedding",
+                   cId: String = "vec_id", cVec: String = "embedding",
+                   broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val (m, dsub) = validateCodebooks(codebooks)
+    require(centroids.nonEmpty && centroids.forall(_.length == m * dsub),
+      s"coarse centroids must have dimension ${m * dsub} (m*dsub)")
+    val enc = ivfPqEncode(
+        corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+        centroids, codebooks, "nvec")
+      .select(col("nid"), col("cluster"), col("codes"))
+    // per probed cell: residual of the query vs THAT cell's centroid,
+    // then the standard per-subspace distance tables over the residual
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+        explode(probeClusters(col(qVec), centroids, nProbe)).as("cluster"))
+      .withColumn("rq",
+        residualVs(col("qvec"), col("cluster"), centroids, "ivfPqAdcTopK"))
+    val luts = codebooks.zipWithIndex.map { case (book, j) =>
+      array(book.map(cvec =>
+        sqDistD(slice(col("rq"), j * dsub + 1, dsub), typedLit(cvec))): _*)
+        .as(s"lut_$j")
+    }
+    val ql = q.select(col("qid") +: col("cluster") +: luts: _*)
+    val score = (0 until m).map(j =>
+      element_at(col(s"lut_$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val qSide =
+      if (ql.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
+        broadcast(ql)
+      else ql
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("nid").asc)
+    enc.join(qSide, Seq("cluster"))
       .withColumn("adc_dist", round(score, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
