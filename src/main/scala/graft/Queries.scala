@@ -38,18 +38,39 @@ object Queries {
       .orderBy(rand(42), col("doc_id"))
       .limit(3)
 
-  /** Epoch seconds from the events `ts` column, which arrives as a plain
-    * long (nanoseconds since epoch) under
-    * `spark.sql.legacy.parquet.nanosAsLong` (core.Sessions) because the
-    * test parquet stores INT64 TIMESTAMP(NANOS) that Spark 4 otherwise
-    * rejects at schema conversion. Integral `div` — a double-precision
-    * divide is off-by-one-prone at 1e18 magnitudes. */
-  private[graft] def tsSec(name: String): Column =
-    expr(s"$name div 1000000000")
+  /** Epoch seconds from the events `ts` column, dispatching on the
+    * RESOLVED parquet type rather than assuming one encoding:
+    *
+    *  - INT64 TIMESTAMP(NANOS) parquet surfaces as a plain long
+    *    (nanoseconds since epoch) under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (core.Sessions); integral
+    *    `div` — a double-precision divide is off-by-one-prone at 1e18
+    *    magnitudes.
+    *  - TIMESTAMP(MICROS/MILLIS) parquet (the Spark/Hive default writer
+    *    output) surfaces as TIMESTAMP or TIMESTAMP_NTZ; cast through
+    *    TimestampType (UTC session, core.Sessions) → long = floored
+    *    epoch seconds.
+    *
+    * Takes the source DataFrame so the dispatch reads the actual resolved
+    * schema — a real user's events table may be either encoding. */
+  private[graft] def tsSec(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"$name div 1000000000")
+      case _ => // TimestampType / TimestampNTZType (NTZ→TZ is identity under UTC)
+        col(name).cast(org.apache.spark.sql.types.TimestampType)
+          .cast(org.apache.spark.sql.types.LongType)
+    }
 
-  /** `ts` long-nanos → TimestampType (µs) — for date/time formatting ops. */
-  private[graft] def tsStamp(name: String): Column =
-    timestamp_micros(expr(s"$name div 1000"))
+  /** `ts` → TimestampType (µs precision) — for date/time formatting ops.
+    * Same type dispatch as [[tsSec]]. */
+  private[graft] def tsStamp(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$name div 1000"))
+      case _ =>
+        col(name).cast(org.apache.spark.sql.types.TimestampType)
+    }
 
   // =====================================================================
   // Relational surface (inherited Spark ops — SURVEY §2.3/2.4/2.5/2.6;
@@ -193,8 +214,9 @@ object Queries {
       // event matched to the user's most recent view at-or-before it.
       // Views deduped to one row per (user, second) so ties are
       // deterministic. Oracle = DuckDB's native ASOF JOIN.
-      val ev = T(s, dir, "events")
-        .select(col("user_id"), col("event_id"), tsSec("ts").as("ts_sec"),
+      val raw = T(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), col("event_id"), tsSec(raw, "ts").as("ts_sec"),
           col("event_type"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts_sec"))
@@ -222,8 +244,9 @@ object Queries {
       // interval join (operators.RangeJoin): purchase/view pairs by the
       // same user within 15 minutes — bucketed equi-join, not a per-key
       // cartesian. Oracle = the plain inequality join (exact semantics).
-      val ev = T(s, dir, "events")
-        .select(col("user_id"), col("event_id"), tsSec("ts").as("ts_sec"),
+      val raw = T(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), col("event_id"), tsSec(raw, "ts").as("ts_sec"),
           col("event_type"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_sec"))
@@ -398,8 +421,9 @@ object Queries {
       // state. Timestamps reduced to epoch seconds for engine parity.
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_sec"), col("event_id"))
-      T(s, dir, "events")
-        .select(col("user_id"), col("event_id"), tsSec("ts").as("ts_sec"))
+      val raw = T(s, dir, "events")
+      raw
+        .select(col("user_id"), col("event_id"), tsSec(raw, "ts").as("ts_sec"))
         .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(byUser))
         .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
         .withColumn("session_id", sum(col("is_new")).over(
@@ -607,8 +631,9 @@ object Queries {
       // W1+W2+F4: last-6 view. orderBy(desc).limit plans
       // TakeOrderedAndProject (per-partition top-N + 6-row merge), not a
       // global single-partition window — the 100 TB-safe form.
-      T(s, dir, "events")
-        .select(col("event_id"), col("event_type"), tsSec("ts").as("ts_sec"))
+      val raw = T(s, dir, "events")
+      raw
+        .select(col("event_id"), col("event_type"), tsSec(raw, "ts").as("ts_sec"))
         .orderBy(col("ts_sec").desc, col("event_id").desc)
         .limit(6)
         .orderBy(col("ts_sec").asc, col("event_id").asc)
@@ -721,9 +746,10 @@ object Queries {
       // dropDuplicatesWithinWatermark (StreamingOps.dedupWithTtl).
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts_sec"), col("event_id"))
-      T(s, dir, "events")
+      val raw = T(s, dir, "events")
+      raw
         .select(col("user_id"), col("event_type"), col("event_id"),
-          tsSec("ts").as("ts_sec"))
+          tsSec(raw, "ts").as("ts_sec"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
@@ -806,8 +832,9 @@ object Queries {
     ("rag_time_format", (s, dir) => {
       // E14: HH:mm rendering of event times (script.js:1266-1269) — the
       // serving-layer timestamp format as an engine column (UTC session).
-      T(s, dir, "events")
-        .select(col("event_id"), date_format(tsStamp("ts"), "HH:mm").as("hhmm"))
+      val raw = T(s, dir, "events")
+      raw
+        .select(col("event_id"), date_format(tsStamp(raw, "ts"), "HH:mm").as("hhmm"))
         .orderBy(col("event_id"))
     }, Some("""
       SELECT event_id, strftime(ts, '%H:%M') AS hhmm

@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** One SparkSession recipe shared by Verify, Bench, and the test suite so
   * every execution path gets the same semantics-critical config:
   *
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver test parquet
-  *    stores `events.ts` as INT64 TIMESTAMP(NANOS), which Spark 4 rejects
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: tolerance for event
+  *    parquet that stores INT64 TIMESTAMP(NANOS), which Spark 4 rejects
   *    at schema conversion unless read as a plain long (nanoseconds since
-  *    epoch). Queries reduce it with `ts div 1e9` (see Queries.tsSec).
+  *    epoch). Queries.tsSec/tsStamp dispatch on the resolved type, so
+  *    both nanos-long and the standard TIMESTAMP(MICROS/MILLIS) encodings
+  *    work without config changes.
   *  - UTC session timezone: timestamp formatting parity with the DuckDB
   *    oracle.
   *  - shuffle partitions = cores: local[N] has no reason for 200-partition
