@@ -225,6 +225,12 @@ object Bench {
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.01").count()
       catch { case _: Throwable => () }
     }
+    // release every persisted frame the warm-up closures pinned
+    // (dedup_cluster_best / incremental_fuzzy / token_budget persist
+    // intermediates): deterministic unpersist instead of waiting on
+    // driver GC + ContextCleaner. Warm-up ran at sf0.01, so none of
+    // these cache entries could have served the sfDir timed runs.
+    spark.catalog.clearCache()
 
     // Best of three timed runs per query: a single shot still carries
     // residual-JIT/GC noise; the min is the operator's cost. The
@@ -243,6 +249,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val sorted = times.map(_._1).sorted
+      // deterministic storage release between query blocks (the
+      // persist-without-unpersist ADVICE): WITHIN a query's three
+      // repetitions the cache manager may legitimately reuse the
+      // persisted subtree (unchanged from prior rounds' measurement
+      // semantics); across blocks the blocks are dead weight.
+      spark.catalog.clearCache()
       (name, sorted.head, times.forall(_._2), sorted(sorted.size / 2))
     }
     // scope the sketch-only override to the timed loop: a session reused
@@ -269,6 +281,16 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // The pre-run load sample alone is a false-negative gate: round 9
+    // started on a quiet box (load_avg_pre 2.9 → stamped clean) but
+    // external load arrived mid-run and inflated every query ~2×, with
+    // noise_median_over_min 1.71 as the in-run evidence. The final
+    // stamp therefore also trips on the run's own noise ratio — the
+    // bench's own JIT/GC keeps it near 1.1 on a quiet box, so >1.3
+    // means the figures are not trustworthy as a trend point.
+    val maxNoise = sys.env.get("SPARK_GRAFT_BENCH_MAX_NOISE")
+      .map(_.toDouble).getOrElse(1.3)
+    val contendedFinal = contended || noise > maxNoise
     // streaming chain throughput (independent of sf — topic-driven):
     // 20k-row pre-published backlog drained by the standing chain
     val streaming =
@@ -298,7 +320,7 @@ object Bench {
         System.err.println(s"[bench] state probe failed: ${e.getMessage}")
         ""","state_probe":null"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$stateProbe,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$stateProbe,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

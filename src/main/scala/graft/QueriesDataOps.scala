@@ -856,14 +856,19 @@ object QueriesDataOps {
       WITH old AS (
         SELECT doc_id,
                md5(CASE WHEN doc_id % 11 = 5 THEN text || ' [rev1]'
-                        ELSE text END) AS old_h
+                        ELSE text END) AS old_h,
+               TRUE AS in_old
         FROM documents WHERE doc_id % 11 <> 3),
-      nw AS (SELECT doc_id, md5(text) AS new_h
+      nw AS (SELECT doc_id, md5(text) AS new_h, TRUE AS in_new
              FROM documents WHERE doc_id % 11 <> 7),
       d AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
-                   CASE WHEN old_h IS NULL THEN 'added'
-                        WHEN new_h IS NULL THEN 'removed'
-                        WHEN old_h <> new_h THEN 'changed'
+                   -- presence via explicit flags and a null-safe hash
+                   -- compare, mirroring the engine: a NULL-text row
+                   -- (md5 NULL) present in both snapshots is
+                   -- 'unchanged', not misread as added/removed
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_h IS DISTINCT FROM new_h THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM old FULL JOIN nw ON old.doc_id = nw.doc_id)
       SELECT doc_id, status FROM d WHERE status <> 'unchanged'
@@ -1451,7 +1456,208 @@ object QueriesDataOps {
                           ORDER BY sim DESC, cid DESC) AS r
                  FROM sims)
       SELECT vec_id, CAST(cid AS INT) AS cluster FROM ranked WHERE r = 1
-      ORDER BY vec_id"""))
+      ORDER BY vec_id""")),
+
+    ("ann_ivfpq_adc", (s, dir) => {
+      // IVFADC (Jégou TPAMI'11 §IV): IVF probe pruning composed with
+      // residual-PQ compressed scan — the canonical 10¹¹-vector index
+      // shape. 4 coarse centroids (first rows, the ivf convention);
+      // PQ codebooks = RESIDUALS of a deterministic corpus sample vs
+      // their assigned centroid (16 subspaces × 32 entries), derived
+      // engine-side via ivfResiduals so the oracle reproduces them with
+      // the identical assign+subtract recipe in SQL. Queries probe their
+      // 2 nearest cells, build per-cell LUTs from their own residual,
+      // and only probed cells' members are scored (one equi-join on
+      // cluster — see the PlanSpec pin). Exact-SQL oracle: assignment,
+      // residuals, encode and ADC are all deterministic given the data.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 4 × 64 floats
+      val cbRows = SimilaritySearch.ivfResiduals(
+          emb.filter(col("vec_id") >= 4 && col("vec_id") < 36), centroids)
+        .orderBy(col("vec_id")).select(col("rvec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 32 × 64 floats
+      val codebooks = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+      SimilaritySearch.ivfPqAdcTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 36),
+          centroids, codebooks, k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      scored AS (SELECT v.vec_id, v.embedding, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                            c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+                 FROM embeddings v CROSS JOIN cents c),
+      resid AS (SELECT s.vec_id, s.cid AS cluster,
+                       list_transform(generate_series(1, len(s.embedding)),
+                         i -> CAST(CAST(s.embedding[i] AS DOUBLE) -
+                              CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rvec
+                FROM scored s JOIN cents c ON c.cid = s.cid WHERE s.r = 1),
+      js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      cb AS (SELECT j, vec_id - 4 AS c, rvec[j*4+1 : j*4+4] AS cvec
+             FROM resid CROSS JOIN js WHERE vec_id >= 4 AND vec_id < 36),
+      csub AS (SELECT vec_id AS nid, cluster, j, rvec[j*4+1 : j*4+4] AS sub
+               FROM resid CROSS JOIN js WHERE vec_id >= 36),
+      cdist AS (SELECT nid, cluster, csub.j, cb.c,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                         AS d
+                FROM csub JOIN cb ON cb.j = csub.j),
+      codes AS (SELECT nid, cluster, j, c FROM (
+                  SELECT nid, cluster, j, c, row_number() OVER (
+                    PARTITION BY nid, j ORDER BY d ASC, c ASC) AS r
+                  FROM cdist) WHERE r = 1),
+      probes AS (SELECT s.vec_id AS qid, s.embedding AS qvec,
+                        s.cid AS cluster
+                 FROM scored s WHERE s.r <= 2 AND s.vec_id < 5),
+      qres AS (SELECT p.qid, p.cluster,
+                      list_transform(generate_series(1, len(p.qvec)), i ->
+                        CAST(CAST(p.qvec[i] AS DOUBLE) -
+                             CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rq
+               FROM probes p JOIN cents c ON c.cid = p.cluster),
+      qd AS (SELECT qid, qres.cluster, cb.j, cb.c,
+                    list_sum(list_transform(generate_series(1, 4), i ->
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)) *
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)))) AS d
+             FROM qres CROSS JOIN cb),
+      score AS (SELECT qd.qid, codes.nid, round(sum(qd.d), 6) AS s
+                FROM codes JOIN qd ON qd.cluster = codes.cluster
+                  AND qd.j = codes.j AND qd.c = codes.c
+                GROUP BY qd.qid, codes.nid),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY s ASC, nid ASC) AS rank
+                 FROM score)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_ivfpq_train", (s, dir) => {
+      // end-to-end TRAINED IVFADC — the composition of the
+      // ann_ivf_sampled and ann_pq_train recipes: Lloyd-train coarse
+      // centroids on a 1-in-3 deterministic sample (never the full
+      // corpus), residualize, train per-subspace codebooks on the
+      // SAMPLE's residuals (one step, dead-cell keep, roundAt=6 pins
+      // the means for the engine-portable oracle), then IVFADC search
+      // with the trained artifacts. Only k×dim + m×ksub×dsub floats
+      // cross the driver between stages; every distributed stage is the
+      // already-pinned plan of its standalone operator.
+      val emb = T(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 4 × 64 floats
+      val sample = emb.filter(col("vec_id") >= 36 && col("vec_id") % 3 === 0)
+      val cents = SimilaritySearch.ivfTrain(sample, seeds, iters = 1,
+        roundAt = 6)
+      val initRows = SimilaritySearch.ivfResiduals(
+          emb.filter(col("vec_id") >= 4 && col("vec_id") < 12), cents)
+        .orderBy(col("vec_id")).select(col("rvec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 8 × 64 floats
+      val init = (0 until 16).map(j => initRows.map(_.slice(j * 4, j * 4 + 4)))
+      val books = SimilaritySearch.pqTrain(
+        SimilaritySearch.ivfResiduals(sample, cents), init, iters = 1,
+        vecCol = "rvec", roundAt = 6)
+      SimilaritySearch.ivfPqAdcTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 36),
+          cents, books, k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      samp AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id >= 36 AND vec_id % 3 = 0),
+      s1 AS (SELECT v.vec_id, v.embedding, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+             FROM samp v CROSS JOIN seeds c),
+      asg AS (SELECT vec_id, embedding, cid AS cluster FROM s1 WHERE r = 1),
+      d0 AS (SELECT cluster, embedding,
+                    unnest(generate_series(1, len(embedding))) AS s
+             FROM asg),
+      m0 AS (SELECT cluster, s,
+                    CAST(round(avg(CAST(embedding[s] AS DOUBLE)), 6) AS REAL)
+                      AS mu
+             FROM d0 GROUP BY cluster, s),
+      tr AS (SELECT cluster, list(mu ORDER BY s) AS tvec FROM m0
+             GROUP BY cluster),
+      cents AS (SELECT sd.cid, coalesce(t.tvec, sd.cvec) AS cvec
+                FROM seeds sd LEFT JOIN tr t ON t.cluster = sd.cid),
+      s2 AS (SELECT v.vec_id, v.embedding, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+             FROM embeddings v CROSS JOIN cents c),
+      resid AS (SELECT s2.vec_id, s2.cid AS cluster,
+                       list_transform(generate_series(1, len(s2.embedding)),
+                         i -> CAST(CAST(s2.embedding[i] AS DOUBLE) -
+                              CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rvec
+                FROM s2 JOIN cents c ON c.cid = s2.cid WHERE s2.r = 1),
+      js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      ib AS (SELECT j, vec_id - 4 AS c, rvec[j*4+1 : j*4+4] AS cvec
+             FROM resid CROSS JOIN js WHERE vec_id >= 4 AND vec_id < 12),
+      ssub AS (SELECT r.vec_id, j, r.rvec[j*4+1 : j*4+4] AS sub
+               FROM resid r CROSS JOIN js
+               WHERE r.vec_id >= 36 AND r.vec_id % 3 = 0),
+      sd2 AS (SELECT vec_id, ssub.j, ib.c,
+                     list_sum(list_transform(generate_series(1, 4), i ->
+                       (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                       (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                       AS d
+              FROM ssub JOIN ib ON ib.j = ssub.j),
+      sa AS (SELECT vec_id, j, c AS cell FROM (
+               SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j
+                 ORDER BY d ASC, c ASC) AS r FROM sd2) WHERE r = 1),
+      se AS (SELECT sa.j, sa.cell, ssub.sub FROM sa
+             JOIN ssub ON ssub.vec_id = sa.vec_id AND ssub.j = sa.j),
+      sg AS (SELECT j, cell, sub, unnest(generate_series(1, 4)) AS s FROM se),
+      sm AS (SELECT j, cell, s,
+                    CAST(round(avg(CAST(sub[s] AS DOUBLE)), 6) AS REAL) AS mu
+             FROM sg GROUP BY j, cell, s),
+      tb AS (SELECT j, cell, list(mu ORDER BY s) AS tvec FROM sm
+             GROUP BY j, cell),
+      cb AS (SELECT ib.j, ib.c, coalesce(t.tvec, ib.cvec) AS cvec
+             FROM ib LEFT JOIN tb t ON t.j = ib.j AND t.cell = ib.c),
+      csub AS (SELECT vec_id AS nid, cluster, j, rvec[j*4+1 : j*4+4] AS sub
+               FROM resid CROSS JOIN js WHERE vec_id >= 36),
+      cdist AS (SELECT nid, cluster, csub.j, cb.c,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                         AS d
+                FROM csub JOIN cb ON cb.j = csub.j),
+      codes AS (SELECT nid, cluster, j, c FROM (
+                  SELECT nid, cluster, j, c, row_number() OVER (
+                    PARTITION BY nid, j ORDER BY d ASC, c ASC) AS r
+                  FROM cdist) WHERE r = 1),
+      probes AS (SELECT s2.vec_id AS qid, s2.embedding AS qvec,
+                        s2.cid AS cluster
+                 FROM s2 WHERE s2.r <= 2 AND s2.vec_id < 5),
+      qres AS (SELECT p.qid, p.cluster,
+                      list_transform(generate_series(1, len(p.qvec)), i ->
+                        CAST(CAST(p.qvec[i] AS DOUBLE) -
+                             CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rq
+               FROM probes p JOIN cents c ON c.cid = p.cluster),
+      qd AS (SELECT qid, qres.cluster, cb.j, cb.c,
+                    list_sum(list_transform(generate_series(1, 4), i ->
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)) *
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)))) AS d
+             FROM qres CROSS JOIN cb),
+      score AS (SELECT qd.qid, codes.nid, round(sum(qd.d), 6) AS s
+                FROM codes JOIN qd ON qd.cluster = codes.cluster
+                  AND qd.j = codes.j AND qd.c = codes.c
+                GROUP BY qd.qid, codes.nid),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY s ASC, nid ASC) AS rank
+                 FROM score)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 
   /** Shared winnowing (SIGMOD'03) oracle chain over `documents`: canonical

@@ -20,7 +20,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         Some(name)
-      }
+      } finally
+        // deterministic release of any frames the query closure
+        // persisted (cluster_best / incremental_fuzzy / token_budget):
+        // 100+ queries in one session would otherwise pin blocks until
+        // driver GC lets the ContextCleaner run
+        spark.catalog.clearCache()
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} queries failed: " +

@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // CREATE MODEL / CREATE CONNECTION DDL (GraftSqlParser); every other
+    // statement passes through to the delegate Spark parser untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("split_text_gen"),
       new ExpressionInfo(classOf[SplitTextGenerator].getName, "split_text_gen"),

@@ -1,0 +1,190 @@
+package graft.core
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.providers.{ConnectionRegistry, ConnectionSpec, ModelRegistry, ModelSpec}
+
+/** SQL spelling of the model/connection DDL, so a pure-SQL user can
+  * register inference endpoints without touching the programmatic
+  * registries (reference generate_personalized_commands.sh:211-259 for
+  * CREATE MODEL; :189-203 spells connections through the CLI, which this
+  * surface folds into the same DDL shape):
+  *
+  * {{{
+  * CREATE CONNECTION azure-openai-embedding-connection
+  * WITH ('type' = 'azureopenai', 'endpoint' = 'https://...',
+  *       'api-key' = '...');
+  *
+  * CREATE MODEL openaiembed
+  * INPUT (input STRING)
+  * OUTPUT (embedding ARRAY<FLOAT>)
+  * WITH ('provider' = 'azureopenai', 'task' = 'embedding',
+  *       'azureopenai.connection' = 'azure-openai-embedding-connection',
+  *       'azureopenai.input_format' = 'OPENAI-EMBED');
+  * }}}
+  *
+  * Injected ahead of the Spark parser by [[GraftExtensions]]; every
+  * other statement delegates untouched. INPUT/OUTPUT clauses are
+  * accepted and ignored — the engine derives the value shape from
+  * 'task' (embedding → array<float>, text_generation → string), exactly
+  * as the ml_predict expression does. Registration runs at EXECUTION
+  * (a LeafRunnableCommand), not at parse, so `spark.sql(ddl)` composes
+  * with EXPLAIN and lazy evaluation like any other command.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDdl.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Recognizer + tiny scanner for the two DDL statements. Anything that
+  * does not START with CREATE MODEL/CONNECTION returns None (delegate);
+  * anything that does but is malformed fails with a pointed message —
+  * falling through to Spark's parser would produce an inscrutable
+  * generic syntax error for a statement only this surface understands. */
+private[core] object GraftDdl {
+  private val Head =
+    "(?is)^\\s*CREATE\\s+(MODEL|CONNECTION)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
+
+  def parse(sql: String): Option[LogicalPlan] = sql match {
+    case Head(kind, rawName, rest) =>
+      val name = rawName.stripPrefix("`").stripSuffix("`")
+      val stmt = s"CREATE ${kind.toUpperCase} $name"
+      val opts = parseClauses(stmt, rest)
+      if (kind.equalsIgnoreCase("MODEL")) Some(CreateModelCommand(name, opts))
+      else Some(CreateConnectionCommand(name, opts))
+    case _ => None
+  }
+
+  /** [INPUT (...)] [OUTPUT (...)] WITH ( 'k' = 'v' [, ...] ) [;] */
+  private def parseClauses(stmt: String, rest0: String): Map[String, String] = {
+    var rest = rest0.trim
+    for (kw <- Seq("INPUT", "OUTPUT")) {
+      if (rest.length >= kw.length && rest.substring(0, kw.length)
+          .equalsIgnoreCase(kw)) {
+        val afterKw = rest.substring(kw.length).trim
+        require(afterKw.startsWith("("), s"$stmt: $kw must be followed by (...)")
+        rest = skipBalanced(stmt, afterKw).trim
+      }
+    }
+    require(rest.length >= 4 && rest.substring(0, 4).equalsIgnoreCase("WITH"),
+      s"$stmt: expected WITH ('key' = 'value', ...) options clause")
+    rest = rest.substring(4).trim
+    require(rest.startsWith("("), s"$stmt: WITH must be followed by (...)")
+    val (opts, after) = parsePairs(stmt, rest)
+    val tail = after.trim.stripSuffix(";").trim
+    require(tail.isEmpty, s"$stmt: unexpected trailing input '${tail.take(40)}'")
+    opts
+  }
+
+  /** Skip one balanced (...) group (no string literals expected inside
+    * the INPUT/OUTPUT schema clauses); returns the remainder. */
+  private def skipBalanced(stmt: String, s: String): String = {
+    var depth = 0; var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return s.substring(i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"$stmt: unbalanced parentheses")
+  }
+
+  /** Parse ( 'k' = 'v' [, ...] ), SQL '' escapes honored; returns the
+    * option map and the remainder after the closing paren. */
+  private def parsePairs(stmt: String, s: String): (Map[String, String], String) = {
+    var i = 1 // past '('
+    val opts = Map.newBuilder[String, String]
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def str(): String = {
+      require(i < s.length && s(i) == '\'',
+        s"$stmt: expected a 'single-quoted' string at ...${s.substring(math.max(0, i - 5)).take(20)}")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length) {
+        if (s(i) == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') { sb += '\''; i += 2 }
+          else { i += 1; return sb.toString }
+        } else { sb += s(i); i += 1 }
+      }
+      sys.error(s"$stmt: unterminated string literal")
+    }
+    ws()
+    if (i < s.length && s(i) == ')') return (opts.result(), s.substring(i + 1))
+    while (true) {
+      ws(); val k = str()
+      ws(); require(i < s.length && s(i) == '=', s"$stmt: expected '=' after '$k'")
+      i += 1
+      ws(); val v = str()
+      opts += (k -> v)
+      ws()
+      require(i < s.length && (s(i) == ',' || s(i) == ')'),
+        s"$stmt: expected ',' or ')' after the value of '$k'")
+      if (s(i) == ')') return (opts.result(), s.substring(i + 1))
+      i += 1
+    }
+    sys.error("unreachable")
+  }
+}
+
+/** CREATE MODEL → [[ModelRegistry]]. Provider-prefixed keys (the
+  * reference's 'azureopenai.connection' spelling) and bare keys are both
+  * accepted, prefixed winning. */
+case class CreateModelCommand(name: String, options: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val provider = options.getOrElse("provider", "mock")
+    def opt(key: String, default: String = ""): String =
+      options.getOrElse(s"$provider.$key", options.getOrElse(key, default))
+    val task = options.getOrElse("task",
+      sys.error(s"CREATE MODEL $name: missing required option 'task'"))
+    ModelRegistry.register(ModelSpec(name, provider = provider, task = task,
+      connection = opt("connection"),
+      modelVersion = opt("model_version"),
+      inputFormat = opt("input_format"),
+      systemPrompt = opt("system_prompt"),
+      dim = opt("dim", "1536").toInt))
+    Seq.empty
+  }
+}
+
+/** CREATE CONNECTION → [[ConnectionRegistry]] (the SQL spelling of the
+  * reference's `confluent flink connection create ... --type --endpoint
+  * --api-key` CLI). */
+case class CreateConnectionCommand(name: String, options: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    ConnectionRegistry.register(ConnectionSpec(name,
+      connType = options.getOrElse("type", ""),
+      endpoint = options.getOrElse("endpoint", ""),
+      apiKey = options.getOrElse("api-key", ""),
+      username = options.getOrElse("username", ""),
+      password = options.getOrElse("password", "")))
+    Seq.empty
+  }
+}

@@ -462,16 +462,24 @@ object SimilaritySearch {
     * m-int compressed payload. Pure per-row map, zero shuffle — at
     * build time this runs once over the corpus and the (cluster, codes)
     * pairs ARE the stored index. */
+  /** Corpus annotated with (cluster, rvec): IVF assign + residual vs the
+    * assigned centroid — the shared front half of [[ivfPqEncode]], public
+    * because residual-codebook TRAINING needs the residual frame too
+    * (PQ codebooks for IVFADC are trained on residuals, not raw
+    * vectors — Jégou TPAMI'11 §IV.A). Pure per-row map, zero shuffle. */
+  def ivfResiduals(df: DataFrame, centroids: Seq[Seq[Float]],
+                   vecCol: String = "embedding"): DataFrame =
+    ivfAssign(df, centroids, vecCol)
+      .withColumn("rvec",
+        residualVs(col(vecCol), col("cluster"), centroids, "ivfResiduals"))
+
   def ivfPqEncode(df: DataFrame, centroids: Seq[Seq[Float]],
                   codebooks: Seq[Seq[Seq[Float]]],
                   vecCol: String = "embedding"): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
     require(centroids.nonEmpty && centroids.forall(_.length == m * dsub),
       s"coarse centroids must have dimension ${m * dsub} (m*dsub)")
-    val assigned = ivfAssign(df, centroids, vecCol)
-      .withColumn("rvec",
-        residualVs(col(vecCol), col("cluster"), centroids, "ivfPqEncode"))
-    pqEncode(assigned, codebooks, "rvec")
+    pqEncode(ivfResiduals(df, centroids, vecCol), codebooks, "rvec")
   }
 
   /** IVFADC search — the canonical 10¹¹-vector index shape: IVF's

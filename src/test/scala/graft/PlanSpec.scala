@@ -106,6 +106,20 @@ class PlanSpec extends SparkSpec {
     p should not include "ShuffledHashJoin"
   }
 
+  test("IVFADC: corpus streams, probe-expanded LUT queries broadcast into one cluster equi-join") {
+    val p = plan("ann_ivfpq_adc")
+    // the encoded corpus (m ints per row, huge at scale) streams on the
+    // left while the probe×LUT query side rides a broadcast into a hash
+    // join keyed on the coarse cell — only probed cells are ever scored,
+    // vs pqAdcTopK's full-scan cartesian
+    p should include("BroadcastHashJoin [cluster")
+    p should include("BuildRight")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("mojibake gate is a per-row map: zero hash exchanges, zero joins") {
     val p = plan("text_mojibake")
     "hashpartitioning".r.findAllIn(p).length shouldBe 0

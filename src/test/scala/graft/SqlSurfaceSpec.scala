@@ -213,6 +213,67 @@ class SqlSurfaceSpec extends SparkSpec {
     e2.getMessage should include("NULL element")
   }
 
+  test("CREATE MODEL / CREATE CONNECTION DDL registers and serves ml_predict, SQL only") {
+    // the reference's exact DDL shape (generate_personalized_commands
+    // .sh:211-224) — INPUT/OUTPUT clauses accepted, provider-prefixed
+    // option keys, multi-line quoted values with '' escapes
+    spark.sql(
+      """CREATE CONNECTION sql-ddl-embed-conn
+        |WITH ('type' = 'azureopenai',
+        |      'endpoint' = 'https://example.invalid/openai/deployments/emb',
+        |      'api-key' = 'it''s-a-test-key')""".stripMargin)
+    ConnectionRegistry.get("sql-ddl-embed-conn").connType shouldBe "azureopenai"
+    ConnectionRegistry.get("sql-ddl-embed-conn").apiKey shouldBe "it's-a-test-key"
+
+    spark.sql(
+      """CREATE MODEL sql_ddl_embed
+        |INPUT (input STRING)
+        |OUTPUT (embedding ARRAY<FLOAT>)
+        |WITH (
+        |  'mock.connection' = 'sql-ddl-embed-conn',
+        |  'mock.input_format' = 'OPENAI-EMBED',
+        |  'provider' = 'mock',
+        |  'task' = 'embedding',
+        |  'dim' = '16'
+        |);""".stripMargin)
+    val spec = ModelRegistry.get("sql_ddl_embed")
+    spec.task shouldBe "embedding"
+    spec.connection shouldBe "sql-ddl-embed-conn"
+    spec.inputFormat shouldBe "OPENAI-EMBED"
+    spec.dim shouldBe 16
+
+    // end-to-end: the DDL-registered model serves SQL inference
+    val emb = spark.sql("SELECT ml_predict('sql_ddl_embed', 'hello') AS e")
+      .collect().head.getSeq[Float](0)
+    emb should have length 16
+
+    // text-generation model with a multi-line system prompt
+    spark.sql(
+      """CREATE MODEL sql_ddl_coach
+        |INPUT (prompt STRING)
+        |OUTPUT (coaching_response STRING)
+        |WITH ('provider' = 'mock', 'task' = 'text_generation',
+        |      'mock.connection' = 'sql-ddl-embed-conn',
+        |      'mock.system_prompt' = 'You are an expert sales coach AI.
+        |Respond with valid JSON.')""".stripMargin)
+    ModelRegistry.get("sql_ddl_coach").systemPrompt should
+      include("expert sales coach")
+    spark.sql("SELECT ml_predict('sql_ddl_coach', '## PROSPECT MESSAGE: hi') AS r")
+      .collect().head.getString(0) should include("suggested_response")
+
+    // malformed DDL fails with a pointed message, not a generic syntax
+    // error; non-DDL statements still reach the delegate parser
+    val e = intercept[Exception] {
+      spark.sql("CREATE MODEL broken_model WITH ('provider' = )")
+    }
+    e.getMessage should include("CREATE MODEL broken_model")
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE MODEL no_task WITH ('provider' = 'mock')").collect()
+    }
+    e2.getMessage should include("missing required option 'task'")
+    spark.sql("SELECT 1 AS ok").collect().head.getInt(0) shouldBe 1
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"
