@@ -1536,6 +1536,93 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("ann_ivfpq_rerank", (s, dir) => {
+      // IVFADC + exact refine ("IVFADC+R"): the same index recipe as
+      // ann_ivfpq_adc, but the ADC stage emits a 10-deep shortlist that
+      // is re-ranked by exact L2 against the raw vectors — the refine
+      // step of a production serving path (compressed scan bounds the
+      // candidates, exact distances fix the final order). The oracle is
+      // the adc oracle plus the two-join refine.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 4 × 64 floats
+      val cbRows = SimilaritySearch.ivfResiduals(
+          emb.filter(col("vec_id") >= 4 && col("vec_id") < 36), centroids)
+        .orderBy(col("vec_id")).select(col("rvec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 32 × 64 floats
+      val codebooks = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+      SimilaritySearch.ivfPqRerankTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 36),
+          centroids, codebooks, k = 5, shortlist = 10, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      scored AS (SELECT v.vec_id, v.embedding, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                            c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+                 FROM embeddings v CROSS JOIN cents c),
+      resid AS (SELECT s.vec_id, s.cid AS cluster,
+                       list_transform(generate_series(1, len(s.embedding)),
+                         i -> CAST(CAST(s.embedding[i] AS DOUBLE) -
+                              CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rvec
+                FROM scored s JOIN cents c ON c.cid = s.cid WHERE s.r = 1),
+      js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      cb AS (SELECT j, vec_id - 4 AS c, rvec[j*4+1 : j*4+4] AS cvec
+             FROM resid CROSS JOIN js WHERE vec_id >= 4 AND vec_id < 36),
+      csub AS (SELECT vec_id AS nid, cluster, j, rvec[j*4+1 : j*4+4] AS sub
+               FROM resid CROSS JOIN js WHERE vec_id >= 36),
+      cdist AS (SELECT nid, cluster, csub.j, cb.c,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                         AS d
+                FROM csub JOIN cb ON cb.j = csub.j),
+      codes AS (SELECT nid, cluster, j, c FROM (
+                  SELECT nid, cluster, j, c, row_number() OVER (
+                    PARTITION BY nid, j ORDER BY d ASC, c ASC) AS r
+                  FROM cdist) WHERE r = 1),
+      probes AS (SELECT s.vec_id AS qid, s.embedding AS qvec,
+                        s.cid AS cluster
+                 FROM scored s WHERE s.r <= 2 AND s.vec_id < 5),
+      qres AS (SELECT p.qid, p.cluster,
+                      list_transform(generate_series(1, len(p.qvec)), i ->
+                        CAST(CAST(p.qvec[i] AS DOUBLE) -
+                             CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rq
+               FROM probes p JOIN cents c ON c.cid = p.cluster),
+      qd AS (SELECT qid, qres.cluster, cb.j, cb.c,
+                    list_sum(list_transform(generate_series(1, 4), i ->
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)) *
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)))) AS d
+             FROM qres CROSS JOIN cb),
+      score AS (SELECT qd.qid, codes.nid, round(sum(qd.d), 6) AS s
+                FROM codes JOIN qd ON qd.cluster = codes.cluster
+                  AND qd.j = codes.j AND qd.c = codes.c
+                GROUP BY qd.qid, codes.nid),
+      shortl AS (SELECT qid, nid FROM (
+                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY s ASC, nid ASC) AS rank
+                   FROM score) WHERE rank <= 10),
+      ex AS (SELECT sl.qid, sl.nid,
+                    round(list_sum(list_transform(
+                      generate_series(1, len(q.embedding)), i ->
+                        (CAST(q.embedding[i] AS DOUBLE) -
+                          CAST(c.embedding[i] AS DOUBLE)) *
+                        (CAST(q.embedding[i] AS DOUBLE) -
+                          CAST(c.embedding[i] AS DOUBLE)))), 6) AS d
+             FROM shortl sl
+             JOIN embeddings q ON q.vec_id = sl.qid
+             JOIN embeddings c ON c.vec_id = sl.nid),
+      rr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY d ASC, nid ASC) AS rank
+             FROM ex)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM rr
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_ivfpq_train", (s, dir) => {
       // end-to-end TRAINED IVFADC — the composition of the
       // ann_ivf_sampled and ann_pq_train recipes: Lloyd-train coarse

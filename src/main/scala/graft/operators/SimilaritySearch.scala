@@ -301,6 +301,19 @@ object SimilaritySearch {
         lit(s"$fn: vector dimension must be ${m * dsub} (m*dsub), got "),
         size(vec).cast("string"))).cast(valueType))
 
+  /** [[dimChecked]] as a guard FILTER: one size() check per row, raising
+    * on the first wrong-dimension (or NULL) vector via the short-circuit
+    * Or — for call sites whose projection references the vector many
+    * times, where wrapping the vector itself would copy the conditional
+    * into every referencing expression tree (the measured ~1 s/
+    * invocation analysis cost on pqAdcTopK's 512-entry LUT projection). */
+  private def dimGuardFilter(df: DataFrame, vecCol: String, m: Int,
+                             dsub: Int, fn: String): DataFrame =
+    df.filter(size(col(vecCol)) === m * dsub ||
+      raise_error(concat(
+        lit(s"$fn: vector dimension must be ${m * dsub} (m*dsub), got "),
+        size(col(vecCol)).cast("string"))).cast("boolean"))
+
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                vecCol: String): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
@@ -402,15 +415,19 @@ object SimilaritySearch {
     // the same per-row dimension guard pqEncode applies corpus-side: a
     // wrong-dimension QUERY would otherwise slice short/empty sub-vectors
     // and SquaredL2Float's min-length truncation would build silently-
-    // garbage lookup tables instead of raising
-    val qv = dimChecked(col(qVec), m, dsub, col(qVec), "array<float>",
-      "pqAdcTopK")
+    // garbage lookup tables instead of raising. Shaped as a guard FILTER
+    // (one size() check per row, [[dimGuardFilter]]) rather than a
+    // conditional around qVec itself: the wrapped form put the when/
+    // raise_error subtree inside every one of the m×ksub LUT
+    // sub-distance expressions and cost ~1 s of plan analysis per
+    // invocation (BENCH_NOTES round 10) for 5-row query batches.
     val luts = codebooks.zipWithIndex.map { case (book, j) =>
       array(book.map(cvec =>
-        sqDistD(slice(qv, j * dsub + 1, dsub), typedLit(cvec))): _*)
+        sqDistD(slice(col(qVec), j * dsub + 1, dsub), typedLit(cvec))): _*)
         .as(s"lut_$j")
     }
-    val q = queries.select(col(qId).as("qid") +: luts: _*)
+    val q = dimGuardFilter(queries, qVec, m, dsub, "pqAdcTopK")
+      .select(col(qId).as("qid") +: luts: _*)
     val enc =
       if (preEncoded) corpus.select(col(cId).as("nid"), col("codes"))
       else pqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
@@ -422,7 +439,7 @@ object SimilaritySearch {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col("nid").asc)
     val qSide =
-      if (q.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
+      if (lutBytesEstimate(queries, m, dsub, codebooks) <= broadcastBytes)
         broadcast(q)
       else q
     // rank by the 6-decimal-ROUNDED score (the tfidf convention): the
@@ -433,6 +450,29 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Catalyst row-count estimate of an INPUT frame: CBO rowCount when
+    * available, else sizeInBytes over the given row width. Reading
+    * stats off the user's input plan is cheap (a scan+filter optimizes
+    * in ms); reading them off a DERIVED projection is not — the r10
+    * bench A/B measured ~1.1 s of driver time per invocation spent
+    * analyzing+optimizing the 512-expression LUT projection just to
+    * ask its size, doubling ann_pq_adc's planning cost. The guards
+    * below therefore estimate the payload as input rows × projected
+    * row width instead of planning the projection. */
+  private def rowsEstimate(input: DataFrame, rowBytes: Long): BigInt = {
+    val stats = input.queryExecution.optimizedPlan.stats
+    stats.rowCount.getOrElse(stats.sizeInBytes / math.max(1L, rowBytes))
+  }
+
+  /** Broadcast payload estimate for a per-query LUT projection: one
+    * double per codebook centroid per row (× nProbe probe fan-out). */
+  private def lutBytesEstimate(queries: DataFrame, m: Int, dsub: Int,
+                               codebooks: Seq[Seq[Seq[Float]]],
+                               nProbe: Int = 1): BigInt = {
+    val lutRowBytes = codebooks.map(_.size.toLong).sum * 8 + 8
+    rowsEstimate(queries, m.toLong * dsub * 4 + 8) * nProbe * lutRowBytes
   }
 
   /** Residual vs the row's assigned coarse centroid: `vec −
@@ -528,13 +568,64 @@ object SimilaritySearch {
       element_at(col(s"lut_$j"), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val qSide =
-      if (ql.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes)
+      if (lutBytesEstimate(queries, m, dsub, codebooks, nProbe) <= broadcastBytes)
         broadcast(ql)
       else ql
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col("nid").asc)
     enc.join(qSide, Seq("cluster"))
       .withColumn("adc_dist", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+  }
+
+  /** IVFADC + exact refine (the "IVFADC+R" serving shape, Jégou
+    * TPAMI'11 §V): the compressed ADC scan produces a per-query
+    * `shortlist` of candidates, which are re-ranked by EXACT squared L2
+    * against the raw corpus vectors — the compressed index bounds the
+    * candidate set, the refine step removes quantization error from the
+    * final ordering. Provable property (AnnRecallSpec): recall@k of the
+    * refined result is ≥ recall@k of the plain ADC top-k, because the
+    * ADC top-k is a prefix of the shortlist and exact ordering keeps
+    * every global winner that made the shortlist.
+    *
+    * Plan shape: the [[ivfPqAdcTopK]] stage keeps its pinned
+    * cluster-equi-join plan; the refine adds TWO narrow equi-joins —
+    * the bounded (queries × shortlist) candidate set broadcast against
+    * the raw corpus on the id (a point-lookup join: the only full-width
+    * corpus touch, |candidates| rows out of |corpus|), and the query
+    * vectors broadcast back on qid — then one per-query window top-k.
+    * Both broadcasts ride the same stats guard as the ADC stage. */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame,
+                      centroids: Seq[Seq[Float]],
+                      codebooks: Seq[Seq[Seq[Float]]], k: Int,
+                      shortlist: Int, nProbe: Int = 1,
+                      qId: String = "vec_id", qVec: String = "embedding",
+                      cId: String = "vec_id", cVec: String = "embedding",
+                      broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val (m, dsub) = validateCodebooks(codebooks)
+    val short = ivfPqAdcTopK(queries, corpus, centroids, codebooks,
+        shortlist, nProbe, qId, qVec, cId, cVec, broadcastBytes)
+      .select(col("qid"), col("nid"))
+    val cv = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
+    val qv = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    // both guards estimate off the INPUT query frame (rowsEstimate doc):
+    // the shortlist is queries × shortlist (qid, nid) pairs, the query
+    // vectors queries × (id + d floats) — never plan a derived subtree
+    // just to read its size
+    val d = m * dsub
+    val qRows = rowsEstimate(queries, d.toLong * 4 + 8)
+    def guarded(df: DataFrame, bytes: BigInt): DataFrame =
+      if (bytes <= broadcastBytes) broadcast(df) else df
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("nid").asc)
+    // rank by the 6-decimal-rounded exact distance (the pqAdcTopK
+    // convention) so oracle summation-order noise cannot flip a rank
+    cv.join(guarded(short, qRows * shortlist * 16), "nid")
+      .join(guarded(qv, qRows * (d.toLong * 4 + 8)), "qid")
+      .withColumn("dist", round(sqDistD(col("qvec"), col("nvec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))

@@ -223,6 +223,42 @@ class AnnRecallSpec extends SparkSpec {
     r2 should be >= 0.25
   }
 
+  test("IVFADC+refine: exact re-rank never loses recall, full shortlist IS exact") {
+    val corpus36 = emb.filter(col("vec_id") >= 36)
+      .select(col("vec_id"), col("embedding"))
+    val cbRows = SimilaritySearch.ivfResiduals(
+        emb.filter(col("vec_id") >= 4 && col("vec_id") < 36), centroids)
+      .orderBy(col("vec_id")).select(col("rvec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val books = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+    val exact = exactL2TopK(queries.as[(Long, Seq[Float])].collect(),
+      corpus36.as[(Long, Seq[Float])].collect())
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("qid"), col("nid")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(truth).size.toDouble / truth.size }
+      per.sum / per.size
+    }
+    val adc = recallOf(SimilaritySearch.ivfPqAdcTopK(
+      queries, corpus36, centroids, books, k, nProbe = 2))
+    val refined = recallOf(SimilaritySearch.ivfPqRerankTopK(
+      queries, corpus36, centroids, books, k, shortlist = 20, nProbe = 2))
+    info(f"ivfadc recall@$k nProbe=2: adc=$adc%.3f refined(shortlist=20)=$refined%.3f")
+    // the ADC top-k is a prefix of the shortlist and exact ordering
+    // keeps every global winner that made it — refine can only help
+    refined should be >= adc
+    // control: probing every cell with a corpus-sized shortlist makes
+    // every row an exactly-ranked candidate — equality with brute force
+    // regardless of codebook quality
+    val n = corpus36.count().toInt
+    val all = SimilaritySearch.ivfPqRerankTopK(queries, corpus36, centroids,
+        books, k, shortlist = n, nProbe = centroids.length)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.foreach { case (q, truth) => all(q) shouldBe truth }
+  }
+
   test("pqAdcTopK preEncoded: stored codes reproduce the live encode exactly") {
     // the stored-index regime: at 10¹¹ vectors the codes ARE the index —
     // feeding pqEncode output back with preEncoded=true must be
@@ -239,6 +275,19 @@ class AnnRecallSpec extends SparkSpec {
         preEncoded = true)
       .as[(Long, Long, Int)].collect().sorted
     stored shouldBe live
+  }
+
+  test("pqAdcTopK rejects a wrong-dimension query vector loudly") {
+    // the guard filter: a short query vector must raise, not build
+    // silently-garbage lookup tables from truncated slices
+    val cbRows = emb.filter(col("vec_id") < 32).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val books = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+    val bad = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilaritySearch.pqAdcTopK(bad, corpus, books, k).collect()
+    }
+    e.getMessage should include("dimension must be 64")
   }
 
   test("pqAdcTopK stats guard: oversize LUT projection drops the broadcast, result unchanged") {

@@ -120,6 +120,20 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("IVFADC refine: point-lookup equi-joins only — candidates and queries broadcast") {
+    val p = plan("ann_ivfpq_rerank")
+    // ADC stage keeps its cluster equi-join; the refine adds the
+    // shortlist→raw-corpus id join and the qid join, both broadcast —
+    // the raw corpus is never shuffled and nothing degrades to a
+    // cartesian or sort-merge
+    p should include("BroadcastHashJoin [cluster")
+    p should include("BroadcastHashJoin [nid")
+    p should include("BroadcastHashJoin [qid")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("mojibake gate is a per-row map: zero hash exchanges, zero joins") {
     val p = plan("text_mojibake")
     "hashpartitioning".r.findAllIn(p).length shouldBe 0
