@@ -281,48 +281,23 @@ object SimilaritySearch {
     (codebooks.length, dsub)
   }
 
-  /** Nearest codebook centroid id for one sub-vector: array_min over
-    * (dist, code) structs — lexicographic struct order = min squared L2,
-    * ties to the smaller code. THE single definition of the encode
-    * assignment, shared by [[pqEncode]] and [[pqTrainStep]]. */
-  private def nearestCode(sub: Column, book: Seq[Seq[Float]]): Column =
-    array_min(array(book.zipWithIndex.map { case (cvec, c) =>
-      struct(sqDistD(sub, typedLit(cvec)).as("d"), lit(c).as("code"))
-    }: _*)).getField("code")
-
-  /** Per-row dimension guard shared by the PQ entry points:
-    * SquaredL2Float truncates to min-length and slice past the end
-    * returns empty, so a codebook/vector mismatch would otherwise
-    * produce silently-garbage codes/training instead of an error. */
-  private def dimChecked(vec: Column, m: Int, dsub: Int, value: Column,
-                         valueType: String, fn: String): Column =
-    when(size(vec) === m * dsub, value)
-      .otherwise(raise_error(concat(
-        lit(s"$fn: vector dimension must be ${m * dsub} (m*dsub), got "),
-        size(vec).cast("string"))).cast(valueType))
-
-  /** [[dimChecked]] as a guard FILTER: one size() check per row, raising
-    * on the first wrong-dimension (or NULL) vector via the short-circuit
-    * Or — for call sites whose projection references the vector many
-    * times, where wrapping the vector itself would copy the conditional
-    * into every referencing expression tree (the measured ~1 s/
-    * invocation analysis cost on pqAdcTopK's 512-entry LUT projection). */
-  private def dimGuardFilter(df: DataFrame, vecCol: String, m: Int,
-                             dsub: Int, fn: String): DataFrame =
-    df.filter(size(col(vecCol)) === m * dsub ||
-      raise_error(concat(
-        lit(s"$fn: vector dimension must be ${m * dsub} (m*dsub), got "),
-        size(col(vecCol)).cast("string"))).cast("boolean"))
+  // The encode assignment (nearest centroid per subspace, squared L2,
+  // ties to the smaller code) and the per-row dimension guard live in
+  // the native kernels: org.apache.spark.sql.graft.PqEncodeCodes /
+  // PqLookupTables — one expression tree each, shared by pqEncode,
+  // pqTrainStep, pqAdcTopK and ivfPqAdcTopK.
 
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                vecCol: String): DataFrame = {
-    val (m, dsub) = validateCodebooks(codebooks)
-    val codes = codebooks.zipWithIndex.map { case (book, j) =>
-      nearestCode(slice(col(vecCol), j * dsub + 1, dsub), book)
-    }
+    validateCodebooks(codebooks)
+    // single native kernel ([[org.apache.spark.sql.graft.PqEncodeCodes]]):
+    // the compositional m × ksub argmin-struct projection cost ~1 s of
+    // plan analysis per invocation at the 16×32 bench shape
+    // (BENCH_NOTES round 10); the kernel raises on wrong-dimension or
+    // NULL vectors itself (the dimChecked contract)
     df.withColumn("codes",
-      dimChecked(col(vecCol), m, dsub, array(codes: _*), "array<int>",
-        "pqEncode"))
+      org.apache.spark.sql.graft.PqExpressions.encodeCodes(
+        col(vecCol), codebooks))
   }
 
   /** One per-subspace Lloyd step for PQ codebook training: every
@@ -332,27 +307,24 @@ object SimilaritySearch {
     * cell recomputes its element-wise mean. Emits flat
     * (j, cluster, dim, mu, n_members), the ivfTrainStep convention.
     *
-    * Plan shape: ONE corpus scan (subspaces leave the row via a
-    * posexplode of (j, sub-vector) structs, ×m of a skinny projection),
-    * the same codegen'd argmin pqEncode uses dispatched by j, then one
-    * shuffle on (j, cluster, dim) with map-side partial avg. Iterating
-    * moves only the m×ksub×dsub mean matrix through the driver. */
+    * Plan shape: ONE corpus scan — the assignment is the SAME native
+    * encode kernel the search side uses ([[pqEncode]]'s PqEncodeCodes:
+    * one tree instead of m × ksub argmin structs, the BENCH_NOTES
+    * round-10 plan-analysis lesson), then a (j, cluster) posexplode of
+    * the codes, a per-subspace slice, and one shuffle on
+    * (j, cluster, dim) with map-side partial avg. Iterating moves only
+    * the m×ksub×dsub mean matrix through the driver. */
   def pqTrainStep(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                   vecCol: String = "embedding"): DataFrame = {
-    val (m, dsub) = validateCodebooks(codebooks)
-    // assignment happens INSIDE the pre-explode struct (pqEncode's own
-    // nearestCode per subspace — no per-row dispatch needed afterwards),
-    // behind the same dimension guard as the encoder
-    val cells = codebooks.zipWithIndex.map { case (book, j) =>
-      val sub = slice(col(vecCol), j * dsub + 1, dsub)
-      struct(lit(j).as("j"), sub.as("sub"),
-        nearestCode(sub, book).as("cluster"))
-    }
-    val cellType = s"array<struct<j:int,sub:array<float>,cluster:int>>"
-    df.select(explode(dimChecked(col(vecCol), m, dsub, array(cells: _*),
-        cellType, "pqTrainStep")).as("s"))
-      .select(col("s.j").as("j"), col("s.cluster").as("cluster"),
-        posexplode(col("s.sub")).as(Seq("dim", "x")))
+    val (_, dsub) = validateCodebooks(codebooks)
+    df.select(col(vecCol).as("v"))
+      .withColumn("codes",
+        org.apache.spark.sql.graft.PqExpressions.encodeCodes(
+          col("v"), codebooks, "pqTrainStep"))
+      .select(posexplode(col("codes")).as(Seq("j", "cluster")), col("v"))
+      .select(col("j"), col("cluster"),
+        posexplode(slice(col("v"), col("j") * dsub + lit(1), lit(dsub)))
+          .as(Seq("dim", "x")))
       .groupBy(col("j"), col("cluster"), col("dim"))
       .agg(avg(col("x").cast("double")).as("mu"),
         count(lit(1)).as("n_members"))
@@ -412,29 +384,24 @@ object SimilaritySearch {
                 preEncoded: Boolean = false,
                 broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
-    // the same per-row dimension guard pqEncode applies corpus-side: a
-    // wrong-dimension QUERY would otherwise slice short/empty sub-vectors
-    // and SquaredL2Float's min-length truncation would build silently-
-    // garbage lookup tables instead of raising. Shaped as a guard FILTER
-    // (one size() check per row, [[dimGuardFilter]]) rather than a
-    // conditional around qVec itself: the wrapped form put the when/
-    // raise_error subtree inside every one of the m×ksub LUT
-    // sub-distance expressions and cost ~1 s of plan analysis per
-    // invocation (BENCH_NOTES round 10) for 5-row query batches.
-    val luts = codebooks.zipWithIndex.map { case (book, j) =>
-      array(book.map(cvec =>
-        sqDistD(slice(col(qVec), j * dsub + 1, dsub), typedLit(cvec))): _*)
-        .as(s"lut_$j")
-    }
-    val q = dimGuardFilter(queries, qVec, m, dsub, "pqAdcTopK")
-      .select(col(qId).as("qid") +: luts: _*)
+    // one native LUT kernel per query row
+    // ([[org.apache.spark.sql.graft.PqLookupTables]]) instead of m × ksub
+    // separate sqDist trees — the compositional projection cost ~1 s of
+    // plan analysis per invocation (BENCH_NOTES round 10). The kernel
+    // also carries the per-row dimension guard: a wrong-dimension QUERY
+    // would otherwise slice short/empty sub-vectors and build silently-
+    // garbage lookup tables instead of raising.
+    val q = queries.select(col(qId).as("qid"),
+      org.apache.spark.sql.graft.PqExpressions
+        .lookupTables(col(qVec), codebooks, "pqAdcTopK").as("luts"))
     val enc =
       if (preEncoded) corpus.select(col(cId).as("nid"), col("codes"))
       else pqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
           codebooks, "nvec")
         .select(col("nid"), col("codes"))
     val score = (0 until m).map(j =>
-      element_at(col(s"lut_$j"), element_at(col("codes"), j + 1) + 1))
+      element_at(element_at(col("luts"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col("nid").asc)
@@ -558,14 +525,13 @@ object SimilaritySearch {
         explode(probeClusters(col(qVec), centroids, nProbe)).as("cluster"))
       .withColumn("rq",
         residualVs(col("qvec"), col("cluster"), centroids, "ivfPqAdcTopK"))
-    val luts = codebooks.zipWithIndex.map { case (book, j) =>
-      array(book.map(cvec =>
-        sqDistD(slice(col("rq"), j * dsub + 1, dsub), typedLit(cvec))): _*)
-        .as(s"lut_$j")
-    }
-    val ql = q.select(col("qid") +: col("cluster") +: luts: _*)
+    // per-probed-cell LUTs via the native kernel (see pqAdcTopK)
+    val ql = q.select(col("qid"), col("cluster"),
+      org.apache.spark.sql.graft.PqExpressions
+        .lookupTables(col("rq"), codebooks, "ivfPqAdcTopK").as("luts"))
     val score = (0 until m).map(j =>
-      element_at(col(s"lut_$j"), element_at(col("codes"), j + 1) + 1))
+      element_at(element_at(col("luts"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val qSide =
       if (lutBytesEstimate(queries, m, dsub, codebooks, nProbe) <= broadcastBytes)
