@@ -509,6 +509,69 @@ object Multimodal {
       Array.empty
   }
 
+  /** Real MJPEG-in-AVI demux, pure JDK: AVI is a RIFF container and each
+    * MJPEG frame chunk is a standalone JPEG, so walking the chunk tree
+    * and handing `..dc`/`..db` payloads to ImageIO decodes the second
+    * real video container (the format camera firmware and OpenCV's MJPG
+    * writer emit) with no external codec. Follows the corpus policy:
+    * malformed RIFF structure or an undecodable frame payload yields
+    * only the frames that did decode — zero for garbage input. */
+  object MjpegAviVideoDemux extends VideoDemux {
+    override def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length < 12) return Array.empty
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Array.empty
+      val frames = Array.newBuilder[java.awt.image.BufferedImage]
+      // iterative chunk walk (RIFF nests via LIST chunks); bounds-checked
+      // so a truncated file ends the walk instead of throwing
+      var stack = List((12, math.min(12 + bb.getInt(4) - 4, bytes.length)))
+      while (stack.nonEmpty) {
+        var (pos, end) = stack.head
+        stack = stack.tail
+        while (pos + 8 <= end) {
+          val id = fourcc(pos)
+          val size = bb.getInt(pos + 4)
+          val dataStart = pos + 8
+          val dataEnd = dataStart.toLong + size
+          if (size < 0 || dataEnd > end) { pos = end } // corrupt: stop level
+          else {
+            if (id == "LIST") stack = (dataStart + 4, dataEnd.toInt) :: stack
+            else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+                size > 0) {
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, dataStart, size))
+                if (img != null) frames += img
+              } catch { case _: java.io.IOException | _: RuntimeException => }
+            }
+            pos = (dataEnd + (dataEnd & 1)).toInt // chunks are word-aligned
+          }
+        }
+      }
+      frames.result()
+    }
+  }
+
+  /** Container dispatch by magic bytes — the default demux for the frame
+    * stages: GIF87a/GIF89a → imageio sequence reader, RIFF/AVI → MJPEG
+    * chunk demux, anything else → quarantine. One place to extend when a
+    * deployment plugs in real MP4/WebM codecs. */
+  object AutoVideoDemux extends VideoDemux {
+    private def startsWith(bytes: Array[Byte], s: String, off: Int = 0): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    override def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length < 12) Array.empty
+      else if (startsWith(bytes, "GIF8")) GifVideoDemux.demuxFrames(bytes)
+      else if (startsWith(bytes, "RIFF") && startsWith(bytes, "AVI ", 8))
+        MjpegAviVideoDemux.demuxFrames(bytes)
+      else UnsupportedVideoDemux.demuxFrames(bytes)
+    }
+  }
+
   /** Video codec utilities over the [[VideoDemux]] seam. */
   object VideoCodec extends Serializable {
 
@@ -535,8 +598,75 @@ object Multimodal {
       baos.toByteArray
     }
 
+    /** Minimal spec-correct MJPEG AVI writer (RIFF: avih + strl('vids'/
+      * 'MJPG') headers, movi list of word-aligned '00dc' JPEG chunks,
+      * idx1 keyframe index) — the test harness for the AVI demux path,
+      * and proof the chunk layout [[MjpegAviVideoDemux]] parses is the
+      * real one. Frames JPEG-encode through the JDK writer. */
+    def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+                       fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "encodeMjpegAvi: need at least one frame")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val jpegs = frames.map { f =>
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", baos)
+        baos.toByteArray
+      }
+      val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length & 1
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad).order(le)
+        bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+        bb.array()
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+      val avih = {
+        val bb = java.nio.ByteBuffer.allocate(56).order(le)
+        bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+          .putInt(jpegs.length).putInt(0).putInt(1).putInt(0)
+          .putInt(w).putInt(h) // + 4 reserved DWORDs of zeros
+        bb.array()
+      }
+      val strh = {
+        val bb = java.nio.ByteBuffer.allocate(56).order(le)
+        bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+          .putInt(0).putInt(0).putInt(0)
+          .putInt(1).putInt(fps) // scale / rate
+          .putInt(0).putInt(jpegs.length)
+          .putInt(jpegs.map(_.length).max).putInt(-1).putInt(0)
+          .putShort(0).putShort(0)
+          .putShort(w.toShort).putShort(h.toShort)
+        bb.array()
+      }
+      val strf = { // BITMAPINFOHEADER
+        val bb = java.nio.ByteBuffer.allocate(40).order(le)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+          .putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.array()
+      }
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val moviChunks = jpegs.map(chunk("00dc", _))
+      val movi = list("movi", moviChunks.reduce(_ ++ _))
+      val idx1 = { // offsets are from the 'movi' fourcc (the common form)
+        val bb = java.nio.ByteBuffer.allocate(16 * jpegs.length).order(le)
+        var off = 4
+        jpegs.zip(moviChunks).foreach { case (j, c) =>
+          bb.put("00dc".getBytes("US-ASCII")).putInt(0x10).putInt(off)
+            .putInt(j.length)
+          off += c.length
+        }
+        chunk("idx1", bb.array())
+      }
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+      chunk("RIFF", body)
+    }
+
     def decodeFrames(bytes: Array[Byte],
-                     demux: VideoDemux = GifVideoDemux): Array[Frame] =
+                     demux: VideoDemux = AutoVideoDemux): Array[Frame] =
       demux.demuxFrames(bytes).map { img =>
         val w = img.getWidth
         val h = img.getHeight
@@ -654,7 +784,7 @@ object Multimodal {
     * finds them with one equi-shuffle and no pixel comparison — the
     * video analog of bucketing images on [[withImageDHash]]. */
   def withVideoFrameDHash(media: DataFrame, batchSize: Int = 32,
-                          demux: VideoDemux = GifVideoDemux): DataFrame = {
+                          demux: VideoDemux = AutoVideoDemux): DataFrame = {
     // video rows only, like sampleFrames: javax.imageio happily decodes a
     // stray PNG as a 1-frame "video", which would emit a plausible-but-
     // wrong row instead of excluding the mistyped payload
@@ -681,7 +811,7 @@ object Multimodal {
     * like [[sampleFrames]] but decode-backed: a broken demux emits zero
     * rows (or wrong luminance) and fails the oracle. Zero shuffle. */
   def withVideoFrames(media: DataFrame, batchSize: Int = 32,
-                      demux: VideoDemux = GifVideoDemux): DataFrame = {
+                      demux: VideoDemux = AutoVideoDemux): DataFrame = {
     // video rows only, like sampleFrames: javax.imageio happily decodes a
     // stray PNG as a 1-frame "video", which would emit a plausible-but-
     // wrong row instead of excluding the mistyped payload

@@ -219,6 +219,61 @@ class MultimodalSpec extends SparkSpec {
     VideoCodec.decodeFrames(Array.empty[Byte]) shouldBe empty
   }
 
+  test("MJPEG AVI: real RIFF round-trip, auto-dispatch, and quarantine") {
+    import Multimodal.{AutoVideoDemux, GifVideoDemux, MjpegAviVideoDemux, VideoCodec}
+    def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    }
+    val avi = VideoCodec.encodeMjpegAvi(
+      Seq(gray(217, 12, 10), gray(14, 12, 10), gray(67, 12, 10)))
+    new String(avi, 0, 4, "US-ASCII") shouldBe "RIFF"
+    new String(avi, 8, 4, "US-ASCII") shouldBe "AVI "
+    val frames = VideoCodec.decodeFrames(avi, MjpegAviVideoDemux)
+    frames should have length 3
+    frames.map(f => (f.width, f.height)).distinct.toSeq shouldBe Seq((12, 10))
+    // JPEG is lossy but a constant-gray frame is DC-only: the decoded
+    // mean luminance lands within quantization error of the gray value
+    frames.map(_.meanLum).zip(Seq(217.0, 14.0, 67.0)).foreach {
+      case (got, want) => got shouldBe want +- 3.0
+    }
+    // auto-dispatch: the same entry point demuxes BOTH real containers
+    val gif = VideoCodec.encodeGif(Seq(gray(100, 7, 7), gray(50, 7, 7)))
+    VideoCodec.decodeFrames(avi, AutoVideoDemux) should have length 3
+    VideoCodec.decodeFrames(gif, AutoVideoDemux) should have length 2
+    // cross-wiring yields zero frames (no misdecodes), as does garbage
+    GifVideoDemux.demuxFrames(avi) shouldBe empty
+    MjpegAviVideoDemux.demuxFrames(gif) shouldBe empty
+    MjpegAviVideoDemux.demuxFrames("RIFFjunk".getBytes) shouldBe empty
+    // a truncated AVI (cut mid-frame) yields only the intact frames
+    val cut = java.util.Arrays.copyOf(avi, avi.length / 2)
+    MjpegAviVideoDemux.demuxFrames(cut).length should be < 3
+  }
+
+  test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
+    import Multimodal._
+    def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    }
+    val rows = Seq(
+      (1L, VideoCodec.encodeGif(Seq(gray(10, 8, 8), gray(20, 8, 8))), "video", "s"),
+      (2L, VideoCodec.encodeMjpegAvi(Seq(gray(30, 8, 8), gray(40, 8, 8),
+        gray(50, 8, 8))), "video", "s"))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(
+        r._1, r._2, r._3,
+        org.apache.spark.sql.Row(r._2.length.toLong, "h", r._4)))),
+      Multimodal.mediaSchema)
+    val got = Multimodal.withVideoFrames(media)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect().sorted.toSeq
+    got shouldBe Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2))
+  }
+
   test("withVideoFrames demuxes synthetic GIFs distributed, batch-invariant") {
     import Multimodal._
     val docs = Seq((0L, "s"), (7L, "s"), (98L, "s")).toDF("id", "src")
