@@ -277,6 +277,36 @@ class AnnRecallSpec extends SparkSpec {
     stored shouldBe live
   }
 
+  test("PQ kernel codegen path equals the interpreted scalar reference on a real frame") {
+    // ExpressionPropertySpec checks eval() (interpreted) against the
+    // scalar reference; this drives the codegen'd projection through a
+    // Spark job — a doGenCode bug (wrong loop bounds, bad
+    // reference-object binding) fails here
+    import org.apache.spark.sql.graft.PqExpressions
+    val rnd = new scala.util.Random(20260816L)
+    val books = Seq.fill(4)(Seq.fill(5)(Seq.fill(3)(rnd.nextFloat())))
+    val data = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(12)(rnd.nextFloat()).toSeq))
+    val rows = data.toDF("id", "v").select(col("id"),
+        PqExpressions.encodeCodes(col("v"), books).as("codes"),
+        PqExpressions.lookupTables(col("v"), books).as("luts"))
+      .collect()
+    rows should have length 50
+    rows.foreach { r =>
+      val vec = data(r.getLong(0).toInt)._2
+      val refLuts = (0 until 4).map { j =>
+        (0 until 5).map { c =>
+          (0 until 3).foldLeft(0.0) { (acc, i) =>
+            val d = vec(j * 3 + i).toDouble - books(j)(c)(i)
+            acc + d * d
+          }
+        }
+      }
+      r.getSeq[Int](1) shouldBe refLuts.map(row => row.indexOf(row.min))
+      r.getSeq[Seq[Double]](2) shouldBe refLuts
+    }
+  }
+
   test("pqAdcTopK rejects a wrong-dimension query vector loudly") {
     // the guard filter: a short query vector must raise, not build
     // silently-garbage lookup tables from truncated slices

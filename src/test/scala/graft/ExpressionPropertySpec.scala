@@ -51,6 +51,54 @@ class ExpressionPropertySpec extends AnyFunSuite with Matchers {
     WinnowGenerator(in, 4, 3).eval(row(null)).iterator.toSeq shouldBe Seq.empty
   }
 
+  test("PQ kernels match a scalar reference across random shapes, ties to smaller code") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.graft.{PqEncodeCodes, PqLookupTables}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val vecIn = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def vrow(v: Array[Float]) =
+      InternalRow(if (v == null) null else new GenericArrayData(v.map(x => x: Any)))
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 200).foreach { _ =>
+      val m = 1 + rnd.nextInt(5)
+      val dsub = 1 + rnd.nextInt(4)
+      val ksub = 1 + rnd.nextInt(6)
+      // small integer-valued floats → frequent EXACT distance ties,
+      // exercising the smaller-code tie-break far beyond real data
+      def f(): Float = rnd.nextInt(3).toFloat
+      val books = Seq.fill(m)(Seq.fill(ksub)(Seq.fill(dsub)(f())))
+      val vec = Array.fill(m * dsub)(f())
+      // scalar reference: sequential double accumulation, strict-less argmin
+      val refLuts = (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          (0 until dsub).foldLeft(0.0) { (acc, i) =>
+            val d = vec(j * dsub + i).toDouble - books(j)(c)(i)
+            acc + d * d
+          }
+        }
+      }
+      val refCodes = refLuts.map(row => row.indexOf(row.min))
+      val gotCodes = PqEncodeCodes(vecIn, books).eval(vrow(vec))
+        .asInstanceOf[ArrayData].toIntArray.toSeq
+      gotCodes shouldBe refCodes
+      val gotLuts = PqLookupTables(vecIn, books).eval(vrow(vec))
+        .asInstanceOf[ArrayData]
+      (0 until m).foreach { j =>
+        gotLuts.getArray(j).toDoubleArray.toSeq shouldBe refLuts(j)
+      }
+    }
+    // NULL and wrong-dimension raise with the operator's name
+    val books1 = Seq(Seq(Seq(1f, 2f)))
+    val eNull = intercept[IllegalArgumentException] {
+      PqEncodeCodes(vecIn, books1, "opX").eval(vrow(null))
+    }
+    eNull.getMessage should include("opX")
+    val eDim = intercept[IllegalArgumentException] {
+      PqLookupTables(vecIn, books1, "opY").eval(vrow(Array(1f)))
+    }
+    eDim.getMessage should include("opY: vector dimension must be 2")
+  }
+
   test("CharEntropy matches a naive histogram reference incl. unicode + case folding") {
     val rnd = new scala.util.Random(20260814L)
     val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
