@@ -38,36 +38,55 @@ object Queries {
       .orderBy(rand(42), col("doc_id"))
       .limit(3)
 
+  // Unit-dispatch thresholds for a PLAIN-LONG timestamp column: a long
+  // may be nanos (INT64 TIMESTAMP(NANOS) parquet under
+  // `spark.sql.legacy.parquet.nanosAsLong`, core.Sessions), or a raw
+  // BIGINT of micros/millis/seconds — all common in real pipelines. The
+  // magnitudes are separated by orders of magnitude for any plausible
+  // date (nanos ≥ 3e17 for 1980+, micros ≤ 7e15 through 2200, millis
+  // ≤ 7e12, seconds ≤ 7e9), so per-row threshold dispatch on |value| is
+  // exact away from the year-boundary fringes; integral `div` because a
+  // double-precision divide is off-by-one-prone at 1e18 magnitudes.
+  private val NanosFloor = 1e16.toLong
+  private val MicrosFloor = 1e13.toLong
+  private val MillisFloor = 1e10.toLong
+
   /** Epoch seconds from the events `ts` column, dispatching on the
     * RESOLVED parquet type rather than assuming one encoding:
     *
-    *  - INT64 TIMESTAMP(NANOS) parquet surfaces as a plain long
-    *    (nanoseconds since epoch) under
-    *    `spark.sql.legacy.parquet.nanosAsLong` (core.Sessions); integral
-    *    `div` — a double-precision divide is off-by-one-prone at 1e18
-    *    magnitudes.
     *  - TIMESTAMP(MICROS/MILLIS) parquet (the Spark/Hive default writer
     *    output) surfaces as TIMESTAMP or TIMESTAMP_NTZ; cast through
     *    TimestampType (UTC session, core.Sessions) → long = floored
     *    epoch seconds.
+    *  - a plain LongType column (legacy nanos parquet, or a raw BIGINT
+    *    of micros/millis/seconds) dispatches per row on magnitude
+    *    ([[longUnitDispatch]]) — a millis column silently divided as
+    *    nanos would collapse every timestamp to ~0.
     *
     * Takes the source DataFrame so the dispatch reads the actual resolved
-    * schema — a real user's events table may be either encoding. */
+    * schema — a real user's events table may be any of these. */
   private[graft] def tsSec(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        expr(s"$name div 1000000000")
+        expr(s"""CASE WHEN abs($name) >= $NanosFloor THEN $name div 1000000000
+                      WHEN abs($name) >= $MicrosFloor THEN $name div 1000000
+                      WHEN abs($name) >= $MillisFloor THEN $name div 1000
+                      ELSE $name END""")
       case _ => // TimestampType / TimestampNTZType (NTZ→TZ is identity under UTC)
         col(name).cast(org.apache.spark.sql.types.TimestampType)
           .cast(org.apache.spark.sql.types.LongType)
     }
 
   /** `ts` → TimestampType (µs precision) — for date/time formatting ops.
-    * Same type dispatch as [[tsSec]]. */
+    * Same type + unit dispatch as [[tsSec]]. */
   private[graft] def tsStamp(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr(s"$name div 1000"))
+        timestamp_micros(
+          expr(s"""CASE WHEN abs($name) >= $NanosFloor THEN $name div 1000
+                        WHEN abs($name) >= $MicrosFloor THEN $name
+                        WHEN abs($name) >= $MillisFloor THEN $name * 1000
+                        ELSE $name * 1000000 END"""))
       case _ =>
         col(name).cast(org.apache.spark.sql.types.TimestampType)
     }

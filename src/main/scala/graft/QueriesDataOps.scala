@@ -2339,6 +2339,29 @@ object QueriesDataOps {
              round(CAST((doc_id * 31 + i * 53) % 256 AS DOUBLE), 6) AS mean_lum
       FROM f ORDER BY media_id, frame_idx""")),
 
+    ("mm_avi_frame_decode", (s, dir) => {
+      // REAL MJPEG-AVI demux end-to-end: RIFF chunk walk + per-frame
+      // JPEG decode through the magic-byte AutoVideoDemux dispatch.
+      // Frame k of video id is (videoWidth(id)+k) × videoHeight(id) —
+      // per-frame dims are legal in MJPEG and pin FRAME ORDER with
+      // integer-exact values (JPEG luminance is only quantization-close,
+      // so it stays out of the hash; MultimodalSpec bounds it). A
+      // broken walk (reversed 'rec ' groups, wrong chunk bounds) drops
+      // rows or mismatches widths.
+      val media = Multimodal.withSyntheticAviVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withVideoFrames(media)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_width"), col("frame_height"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS i
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             CAST(8 + doc_id % 5 + i AS INT) AS frame_width,
+             CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height
+      FROM f ORDER BY media_id, frame_idx""")),
+
     ("mm_video_neardup", (s, dir) => {
       // video NEAR-dup via per-frame perceptual hashes: demux (real GIF),
       // dHash each frame, build a per-video signature over the ORDERED

@@ -30,12 +30,14 @@ import graft.providers.{ConnectionRegistry, ConnectionSpec, ModelRegistry, Model
   * }}}
   *
   * Injected ahead of the Spark parser by [[GraftExtensions]]; every
-  * other statement delegates untouched. INPUT/OUTPUT clauses are
-  * accepted and ignored — the engine derives the value shape from
-  * 'task' (embedding → array<float>, text_generation → string), exactly
-  * as the ml_predict expression does. Registration runs at EXECUTION
-  * (a LeafRunnableCommand), not at parse, so `spark.sql(ddl)` composes
-  * with EXPLAIN and lazy evaluation like any other command.
+  * other statement delegates untouched (including `EXPLAIN CREATE
+  * MODEL ...` — wrapped statements are the delegate grammar's and fail
+  * there; only a top-level CREATE MODEL/CONNECTION is intercepted).
+  * INPUT/OUTPUT clauses are accepted and ignored — the engine derives
+  * the value shape from 'task' (embedding → array<float>,
+  * text_generation → string), exactly as the ml_predict expression
+  * does. Registration runs at EXECUTION (a LeafRunnableCommand), not
+  * at parse, so building the plan is side-effect-free.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -161,8 +163,9 @@ case class CreateModelCommand(name: String, options: Map[String, String])
     val provider = options.getOrElse("provider", "mock")
     def opt(key: String, default: String = ""): String =
       options.getOrElse(s"$provider.$key", options.getOrElse(key, default))
-    val task = options.getOrElse("task",
-      sys.error(s"CREATE MODEL $name: missing required option 'task'"))
+    val task = opt("task")
+    if (task.isEmpty)
+      sys.error(s"CREATE MODEL $name: missing required option 'task'")
     ModelRegistry.register(ModelSpec(name, provider = provider, task = task,
       connection = opt("connection"),
       modelVersion = opt("model_version"),

@@ -525,20 +525,23 @@ object Multimodal {
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Array.empty
       val frames = Array.newBuilder[java.awt.image.BufferedImage]
-      // iterative chunk walk (RIFF nests via LIST chunks); bounds-checked
-      // so a truncated file ends the walk instead of throwing
-      var stack = List((12, math.min(12 + bb.getInt(4) - 4, bytes.length)))
-      while (stack.nonEmpty) {
-        var (pos, end) = stack.head
-        stack = stack.tail
-        while (pos + 8 <= end) {
+      // recursive chunk walk, STRICTLY in container order — a LIST chunk
+      // ('rec ' interleave groups, the spec's grouped form) recurses
+      // in place, so frame order is preserved across nesting (a deferred
+      // sibling stack would emit rec-grouped frames reversed).
+      // Bounds-checked so a truncated file ends the walk instead of
+      // throwing; nesting depth is bounded by the container grammar.
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        var ok = true
+        while (ok && pos + 8 <= end) {
           val id = fourcc(pos)
           val size = bb.getInt(pos + 4)
           val dataStart = pos + 8
           val dataEnd = dataStart.toLong + size
-          if (size < 0 || dataEnd > end) { pos = end } // corrupt: stop level
+          if (size < 0 || dataEnd > end) ok = false // corrupt: stop level
           else {
-            if (id == "LIST") stack = (dataStart + 4, dataEnd.toInt) :: stack
+            if (id == "LIST") walk(dataStart + 4, dataEnd.toInt)
             else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
                 size > 0) {
               try {
@@ -551,6 +554,14 @@ object Multimodal {
           }
         }
       }
+      // streaming/interrupted writers leave a placeholder RIFF size
+      // (0 or -1); fall back to the actual byte count so intact frames
+      // before the cut still decode
+      val declared = bb.getInt(4)
+      val top =
+        if (declared <= 4) bytes.length
+        else math.min(8L + declared, bytes.length.toLong).toInt
+      walk(12, top)
       frames.result()
     }
   }
@@ -728,6 +739,50 @@ object Multimodal {
           img
         }
         Row(id, VideoCodec.encodeGif(frames), "video", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Harness generator for the AVI path: media rows whose `content` is a
+    * REAL MJPEG AVI. Same laws as [[withSyntheticVideos]] EXCEPT frame
+    * k's width is `videoWidth(id) + k` — MJPEG frames are independent
+    * JPEGs, so per-frame dims are legal, and the k-dependent width pins
+    * FRAME ORDER in the oracle with integer-exact values (JPEG makes
+    * constant-gray luminance only quantization-close, so dims — not
+    * lum — carry the order evidence). Partition-local map, no shuffle. */
+  def withSyntheticAviVideos(df: DataFrame, idCol: String,
+                             sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val h = videoHeight(id)
+        val frames = Seq.tabulate(videoFrameCount(id)) { k =>
+          val w = videoWidth(id) + k
+          val g = videoFrameGray(id, k)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+            y += 1
+          }
+          img
+        }
+        Row(id, VideoCodec.encodeMjpegAvi(frames), "video", r.getString(1))
       }
     }(Encoders.row(schema))
     encoded.select(

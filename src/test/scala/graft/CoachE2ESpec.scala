@@ -14,6 +14,31 @@ import graft.store.BroadcastBruteForceStore
 class CoachE2ESpec extends SparkSpec {
   import spark.implicits._
 
+  test("tsSec/tsStamp dispatch plain-long columns by magnitude (nanos/micros/millis/seconds)") {
+    // the same wall-clock instant in four common plain-long encodings —
+    // a millis column divided as nanos would collapse to ~0
+    val sec = 1766620800L // 2025-12-25T00:00:00Z
+    val df = Seq(
+      ("nanos", sec * 1000000000L),
+      ("micros", sec * 1000000L),
+      ("millis", sec * 1000L),
+      ("seconds", sec)).toDF("unit", "ts")
+    val rows = df.select(col("unit"), Queries.tsSec(df, "ts").as("s"),
+        date_format(Queries.tsStamp(df, "ts"), "yyyy-MM-dd HH:mm").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.foreach { case (unit, s, d) =>
+      withClue(unit) {
+        s shouldBe sec
+        d shouldBe "2025-12-25 00:00"
+      }
+    }
+    // the TIMESTAMP-typed path (the current testdata encoding) agrees
+    val tdf = df.select(col("unit"),
+      timestamp_micros(lit(sec * 1000000L)).as("ts"))
+    tdf.select(Queries.tsSec(tdf, "ts")).as[Long].collect()
+      .foreach(_ shouldBe sec)
+  }
+
   private val fixtureText =
     "This is a sample document for testing the RAG pipeline. It contains " +
       "information about our product features and capabilities."

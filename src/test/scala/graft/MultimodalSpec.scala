@@ -14,6 +14,16 @@ class MultimodalSpec extends SparkSpec {
       .toDF("id", "payload", "src"),
     "id", "payload", "image", "src")
 
+  /** Constant-gray RGB frame — the shared fixture for the video codec
+    * tests (constant frames survive GIF palettization exactly and JPEG
+    * within quantization error). */
+  private def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    img
+  }
+
   test("asMedia derives metadata without touching payload semantics") {
     val rows = media.select("media_id", "media_type", "meta.n_bytes", "meta.source")
       .as[(Long, String, Long, String)].collect().sortBy(_._1)
@@ -200,12 +210,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("VideoCodec round-trips multi-frame GIFs: count, dims, exact luminance") {
     import Multimodal.VideoCodec
-    def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      img
-    }
     val gif = VideoCodec.encodeGif(Seq(gray(217, 10, 9), gray(14, 10, 9), gray(67, 10, 9)))
     val frames = VideoCodec.decodeFrames(gif)
     frames should have length 3
@@ -221,12 +225,6 @@ class MultimodalSpec extends SparkSpec {
 
   test("MJPEG AVI: real RIFF round-trip, auto-dispatch, and quarantine") {
     import Multimodal.{AutoVideoDemux, GifVideoDemux, MjpegAviVideoDemux, VideoCodec}
-    def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      img
-    }
     val avi = VideoCodec.encodeMjpegAvi(
       Seq(gray(217, 12, 10), gray(14, 12, 10), gray(67, 12, 10)))
     new String(avi, 0, 4, "US-ASCII") shouldBe "RIFF"
@@ -252,14 +250,46 @@ class MultimodalSpec extends SparkSpec {
     MjpegAviVideoDemux.demuxFrames(cut).length should be < 3
   }
 
+  test("AVI demux preserves frame order across 'rec ' interleave groups and survives placeholder RIFF sizes") {
+    import Multimodal.{MjpegAviVideoDemux, VideoCodec}
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(le)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    // the spec's grouped form: movi = one LIST('rec ') per frame — a
+    // deferred-sibling walk would emit these reversed
+    val grays = Seq(40, 120, 200)
+    val movi = list("movi", grays.map(g =>
+      list("rec ", chunk("00dc", jpeg(gray(g, 10, 10))))).reduce(_ ++ _))
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val frames = VideoCodec.decodeFrames(avi, MjpegAviVideoDemux)
+    frames should have length 3
+    frames.map(_.meanLum).zip(grays).foreach { case (got, want) =>
+      got shouldBe want.toDouble +- 3.0
+    }
+    // interrupted writers leave RIFF size 0 (or -1): frames must still
+    // decode from the actual bytes, not quarantine to zero frames
+    val full = VideoCodec.encodeMjpegAvi(
+      Seq(gray(30, 8, 8), gray(90, 8, 8)))
+    for (placeholder <- Seq(0, -1)) {
+      val hdr = full.clone()
+      java.nio.ByteBuffer.wrap(hdr).order(le).putInt(4, placeholder)
+      VideoCodec.decodeFrames(hdr, MjpegAviVideoDemux) should have length 2
+    }
+  }
+
   test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
     import Multimodal._
-    def gray(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
-      img
-    }
     val rows = Seq(
       (1L, VideoCodec.encodeGif(Seq(gray(10, 8, 8), gray(20, 8, 8))), "video", "s"),
       (2L, VideoCodec.encodeMjpegAvi(Seq(gray(30, 8, 8), gray(40, 8, 8),
