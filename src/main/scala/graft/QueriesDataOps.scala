@@ -2312,6 +2312,30 @@ object QueriesDataOps {
                   ELSE '0000000000000000' END AS dhash
       FROM documents WHERE doc_id < 100 ORDER BY media_id""")),
 
+    ("mm_image_neardup_clusters", (s, dir) => {
+      // cross-modality composition: the REAL decode+resize dHash feeds
+      // the dedup family's clustering — visually-identical images
+      // (equal perceptual hash) become duplicate pairs, connected
+      // components label the groups, min-id canonical (the dedup_clusters
+      // convention). Gradient harness: parity decides the hash, so the
+      // oracle is the parity partition — each image clusters with the
+      // lowest id of its parity class.
+      val media = Multimodal.withGradientImages(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      val hashed = Multimodal.withImageDHash(media)
+        .select(col("media_id").as("id"), col("dhash"))
+      val w = Window.partitionBy(col("dhash"))
+      val pairs = hashed
+        .withColumn("id_a", min(col("id")).over(w))
+        .filter(col("id_a") =!= col("id"))
+        .select(col("id_a"), col("id").as("id_b"))
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }, Some("""
+      SELECT doc_id AS id,
+             CAST(doc_id % 2 AS BIGINT) AS comp
+      FROM documents WHERE doc_id < 100 ORDER BY id""")),
+
     ("mm_frame_decode", (s, dir) => {
       // REAL video demux: multi-frame GIFs built from arithmetic laws
       // (dims = f(doc_id), frame count = 2 + doc_id % 3, frame k a
@@ -2338,6 +2362,24 @@ object QueriesDataOps {
              CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height,
              round(CAST((doc_id * 31 + i * 53) % 256 AS DOUBLE), 6) AS mean_lum
       FROM f ORDER BY media_id, frame_idx""")),
+
+    ("mm_audio_dominant_freq", (s, dir) => {
+      // REAL spectral analysis: WAV decode + radix-2 FFT, dominant
+      // non-DC bin per payload. The synthetic tones sit at EXACT FFT
+      // bins (zero spectral leakage), so the oracle is the bin law as
+      // plain arithmetic — a broken FFT, a wrong window, or a decode
+      // failure argmaxes elsewhere and hash-mismatches. peak_hz =
+      // bin·8000/1024 is exactly representable, hence hash-stable.
+      val media = Multimodal.withSyntheticTones(
+        T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "source")
+      Multimodal.withDominantFreq(media)
+        .select(col("media_id"), col("peak_bin"), col("peak_hz"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CAST(3 + doc_id % 40 AS INT) AS peak_bin,
+             CAST((3 + doc_id % 40) * 8000 AS DOUBLE) / 1024 AS peak_hz
+      FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
 
     ("mm_avi_frame_decode", (s, dir) => {
       // REAL MJPEG-AVI demux end-to-end: RIFF chunk walk + per-frame

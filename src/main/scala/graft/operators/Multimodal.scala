@@ -400,6 +400,76 @@ object Multimodal {
         math.sqrt(sum / w.length) / 32768.0
       }.toArray
     }
+
+    /** Radix-2 iterative FFT magnitudes of the first `n` samples
+      * (zero-padded; n must be a power of two): |X[0..n/2)|. The real
+      * spectral front-end for audio fingerprinting/dominant-frequency
+      * curation gates — pure JVM, no DSP dependency. */
+    def fftMagnitudes(samples: Array[Short], n: Int): Array[Double] = {
+      require(n > 0 && (n & (n - 1)) == 0, s"n must be a power of two, got $n")
+      val re = new Array[Double](n)
+      val im = new Array[Double](n)
+      var i = 0
+      val lim = math.min(n, samples.length)
+      while (i < lim) { re(i) = samples(i).toDouble; i += 1 }
+      // bit-reversal permutation
+      var j = 0
+      var k = 1
+      while (k < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (k < j) {
+          val tr = re(k); re(k) = re(j); re(j) = tr
+          val ti = im(k); im(k) = im(j); im(j) = ti
+        }
+        k += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang)
+        val wi = math.sin(ang)
+        var s = 0
+        while (s < n) {
+          var cr = 1.0; var ci = 0.0
+          val half = len >> 1
+          var t = 0
+          while (t < half) {
+            val ur = re(s + t); val ui = im(s + t)
+            val xr = re(s + t + half); val xi = im(s + t + half)
+            val vr = xr * cr - xi * ci
+            val vi = xr * ci + xi * cr
+            re(s + t) = ur + vr; im(s + t) = ui + vi
+            re(s + t + half) = ur - vr; im(s + t + half) = ui - vi
+            val ncr = cr * wr - ci * wi
+            ci = cr * wi + ci * wr
+            cr = ncr
+            t += 1
+          }
+          s += len
+        }
+        len <<= 1
+      }
+      Array.tabulate(n >> 1)(b => math.hypot(re(b), im(b)))
+    }
+
+    /** Dominant NON-DC frequency bin of the first `n` samples: argmax of
+      * the FFT magnitude over bins 1..n/2-1, ties to the lower bin; -1
+      * for empty input (quarantined rows). An exact-bin tone (frequency
+      * = bin·rate/n) has zero spectral leakage, so the argmax is
+      * mathematically exact — the synthetic-tone oracle law. */
+    def dominantBin(samples: Array[Short], n: Int): Int = {
+      if (samples == null || samples.isEmpty) return -1
+      val mags = fftMagnitudes(samples, n)
+      var best = 1
+      var b = 2
+      while (b < mags.length) {
+        if (mags(b) > mags(best)) best = b
+        b += 1
+      }
+      best
+    }
   }
 
   /** Synthetic-audio harness constants + amplitude law: window k of doc
@@ -437,6 +507,69 @@ object Multimodal {
         length(col("content")).cast("long").as("n_bytes"),
         md5(col("content")).as("content_hash"),
         col("source").as("source")).as("meta"))
+  }
+
+  /** Synthetic-tone harness law: doc `id` is a pure sine at EXACT FFT
+    * bin `3 + id mod 40` of a [[toneFftSize]]-sample window — an
+    * exact-bin tone has zero spectral leakage, so the dominant bin is
+    * the law itself, recomputable by an external oracle as plain
+    * arithmetic (a broken FFT or decode argmaxes elsewhere and
+    * hash-mismatches). Amplitude 12000 keeps int16 headroom. */
+  val toneFftSize = 1024
+  def toneBin(id: Long): Int = (3 + math.floorMod(id, 40L)).toInt
+
+  /** Harness generator: media rows whose `content` is a REAL WAV pure
+    * tone per the law above. Partition-local map, no shuffle. */
+  def withSyntheticTones(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bin = toneBin(id)
+        val samples = Array.tabulate(toneFftSize)(i =>
+          math.round(12000.0 *
+            math.sin(2.0 * math.Pi * bin * i / toneFftSize)).toShort)
+        Row(id, AudioCodec.encodeWav(samples, audioSampleRate), "audio",
+          r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Dominant-frequency stage: appends (peak_bin, peak_hz) from a real
+    * WAV decode + FFT over the first [[toneFftSize]] samples — the
+    * spectral curation gate (tone/silence/narrowband detection) in the
+    * same partition-local batch-map shape as the other media stages.
+    * peak_hz = bin·rate/n; with the 8000/1024 defaults the quotient is
+    * exactly representable, so the column is hash-stable. */
+  def withDominantFreq(media: DataFrame, n: Int = toneFftSize,
+                       batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("peak_bin", IntegerType))
+      .add(StructField("peak_hz", DoubleType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val (rate, samples) = AudioCodec.decode(r.getAs[Array[Byte]](binIdx))
+          val peak = AudioCodec.dominantBin(samples, n)
+          val hz = if (peak < 0) -1.0 else peak.toDouble * rate / n
+          // Seq[Any]: Seq(peak, hz) would numeric-widen the Int to Double
+          Row.fromSeq(r.toSeq ++ Seq[Any](peak, hz))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Audio feature stage: appends (sample_rate, n_samples, rms_windows)

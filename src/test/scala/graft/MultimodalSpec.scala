@@ -165,6 +165,47 @@ class MultimodalSpec extends SparkSpec {
     got(3L) shouldBe "0000000000000000"
   }
 
+  test("FFT dominant bin: exact-bin tones, amplitude dominance, silence, zero-padding") {
+    import Multimodal.AudioCodec
+    val n = 1024
+    def tone(bin: Int, amp: Double, len: Int = n): Array[Short] =
+      Array.tabulate(len)(i =>
+        math.round(amp * math.sin(2.0 * math.Pi * bin * i / n)).toShort)
+    // a pure exact-bin tone has zero spectral leakage: argmax is the bin
+    for (bin <- Seq(1, 7, 40, 511))
+      AudioCodec.dominantBin(tone(bin, 12000), n) shouldBe bin
+    // magnitude spectrum of an exact-bin tone: |X[bin]| = amp·n/2
+    val mags = AudioCodec.fftMagnitudes(tone(20, 8000), n)
+    mags(20) shouldBe 8000.0 * n / 2 +- (n * 2.0) // int16 rounding noise
+    // two tones: the louder one wins regardless of order
+    val mix = tone(9, 11000).zip(tone(30, 4000)).map { case (a, b) =>
+      (a + b).toShort }
+    AudioCodec.dominantBin(mix, n) shouldBe 9
+    // silence / empty quarantine
+    AudioCodec.dominantBin(new Array[Short](n), n) shouldBe 1 // flat spectrum → lowest bin
+    AudioCodec.dominantBin(Array.empty[Short], n) shouldBe -1
+    // shorter payloads zero-pad: the tone still dominates
+    AudioCodec.dominantBin(tone(16, 12000, n / 2), n) should be >= 14
+    AudioCodec.dominantBin(tone(16, 12000, n / 2), n) should be <= 18
+  }
+
+  test("withDominantFreq decodes synthetic tones distributed, law-exact") {
+    import Multimodal._
+    val docs = Seq((0L, "s"), (13L, "s"), (97L, "s")).toDF("id", "src")
+    val got = Multimodal.withDominantFreq(
+        Multimodal.withSyntheticTones(docs, "id", "src"))
+      .select("media_id", "peak_bin", "peak_hz")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    got.toSeq shouldBe Seq(0L, 13L, 97L).map(id =>
+      (id, toneBin(id), toneBin(id).toDouble * audioSampleRate / toneFftSize))
+    // an undecodable payload quarantines as (-1, -1.0), not a crash
+    val bad = Multimodal.withDominantFreq(Multimodal.asMedia(
+        Seq((9L, "not audio", "s")).toDF("id", "p", "src"),
+        "id", "p", "audio", "src"))
+      .select("peak_bin", "peak_hz").as[(Int, Double)].collect()
+    bad.toSeq shouldBe Seq((-1, -1.0))
+  }
+
   test("AudioCodec round-trips WAV bytes and RMS matches the amplitude law") {
     import Multimodal.{AudioCodec, audioAmplitude, audioSampleRate, audioWindowSize, audioWindows}
     val id = 17L
