@@ -60,7 +60,7 @@ object Queries {
     *    epoch seconds.
     *  - a plain LongType column (legacy nanos parquet, or a raw BIGINT
     *    of micros/millis/seconds) dispatches per row on magnitude
-    *    ([[longUnitDispatch]]) — a millis column silently divided as
+    *    (the NanosFloor/MicrosFloor/MillisFloor CASE) — a millis column silently divided as
     *    nanos would collapse every timestamp to ~0.
     *
     * Takes the source DataFrame so the dispatch reads the actual resolved

@@ -658,24 +658,43 @@ object Multimodal {
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Array.empty
       val frames = Array.newBuilder[java.awt.image.BufferedImage]
-      // recursive chunk walk, STRICTLY in container order — a LIST chunk
-      // ('rec ' interleave groups, the spec's grouped form) recurses
-      // in place, so frame order is preserved across nesting (a deferred
-      // sibling stack would emit rec-grouped frames reversed).
-      // Bounds-checked so a truncated file ends the walk instead of
-      // throwing; nesting depth is bounded by the container grammar.
-      def walk(start: Int, end: Int): Unit = {
-        var pos = start
-        var ok = true
-        while (ok && pos + 8 <= end) {
+      // chunk walk STRICTLY in container order via an explicit
+      // continuation stack: entering a LIST pushes the remainder of the
+      // CURRENT level, then descends, so children precede following
+      // siblings ('rec ' interleave groups, the spec's grouped form,
+      // keep their frame order — a deferred-sibling stack would reverse
+      // them) while staying heap-allocated — a crafted file nesting one
+      // LIST per 12 bytes must not StackOverflowError the task (Error,
+      // which the quarantine handlers cannot catch). Bounds-checked so
+      // a truncated file ends the walk instead of throwing.
+      var pos = 12
+      val declared = bb.getInt(4)
+      // streaming/interrupted writers leave a placeholder RIFF size
+      // (0 or -1); fall back to the actual byte count so intact frames
+      // before the cut still decode
+      var end =
+        if (declared <= 4) bytes.length
+        else math.min(8L + declared, bytes.length.toLong).toInt
+      var cont = List.empty[(Int, Int)]
+      var walking = true
+      while (walking) {
+        if (pos + 8 > end) {
+          cont match {
+            case (p, e) :: rest => pos = p; end = e; cont = rest
+            case Nil => walking = false
+          }
+        } else {
           val id = fourcc(pos)
           val size = bb.getInt(pos + 4)
           val dataStart = pos + 8
           val dataEnd = dataStart.toLong + size
-          if (size < 0 || dataEnd > end) ok = false // corrupt: stop level
-          else {
-            if (id == "LIST") walk(dataStart + 4, dataEnd.toInt)
-            else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+          if (size < 0 || dataEnd > end) pos = end // corrupt: stop level
+          else if (id == "LIST") {
+            cont = ((dataEnd + (dataEnd & 1)).toInt, end) :: cont
+            pos = dataStart + 4
+            end = dataEnd.toInt
+          } else {
+            if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
                 size > 0) {
               try {
                 val img = javax.imageio.ImageIO.read(
@@ -687,14 +706,6 @@ object Multimodal {
           }
         }
       }
-      // streaming/interrupted writers leave a placeholder RIFF size
-      // (0 or -1); fall back to the actual byte count so intact frames
-      // before the cut still decode
-      val declared = bb.getInt(4)
-      val top =
-        if (declared <= 4) bytes.length
-        else math.min(8L + declared, bytes.length.toLong).toInt
-      walk(12, top)
       frames.result()
     }
   }

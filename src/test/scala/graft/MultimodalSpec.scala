@@ -329,6 +329,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI demux survives pathological LIST nesting without stack overflow") {
+    import Multimodal.{MjpegAviVideoDemux, VideoCodec}
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(le)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    // one real frame wrapped in 50k nested LISTs (12 bytes per level —
+    // a crafted file, cheap to make huge): the walk must stay on the
+    // heap and still reach the frame. Headers written outside-in so the
+    // construction is linear.
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray(77, 6, 6), "jpg", baos)
+    val frameChunk = chunk("00dc", baos.toByteArray)
+    val depth = 50000
+    val nested = java.nio.ByteBuffer
+      .allocate(depth * 12 + frameChunk.length).order(le)
+    for (d <- 0 until depth) {
+      val declared = 4 + (depth - 1 - d) * 12 + frameChunk.length
+      nested.put("LIST".getBytes("US-ASCII")).putInt(declared)
+        .put("rec ".getBytes("US-ASCII"))
+    }
+    nested.put(frameChunk)
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ nested.array())
+    val frames = VideoCodec.decodeFrames(avi, MjpegAviVideoDemux)
+    frames should have length 1
+    frames.head.meanLum shouldBe 77.0 +- 3.0
+  }
+
   test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
     import Multimodal._
     val rows = Seq(
