@@ -1536,6 +1536,83 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("ann_ivfpq_index", (s, dir) => {
+      // the PERSISTED index path: build (cluster-partitioned parquet
+      // codes + sidecar artifacts), then search through the stored
+      // index — probe pruning runs as on-disk partition pruning
+      // (IvfPqIndexSpec pins the PartitionFilters and in-memory
+      // parity). Same recipe as ann_ivfpq_adc, so the oracle is
+      // identical: a divergence between the stored and in-memory paths
+      // hash-mismatches here.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val cbRows = SimilaritySearch.ivfResiduals(
+          emb.filter(col("vec_id") >= 4 && col("vec_id") < 36), centroids)
+        .orderBy(col("vec_id")).select(col("rvec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val codebooks = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
+        s"${ProcessHandle.current().pid()}-${dir.replaceAll("[^0-9a-zA-Z]", "")}"
+      SimilaritySearch.writeIvfPqIndex(
+        emb.filter(col("vec_id") >= 36), centroids, codebooks, path)
+      SimilaritySearch.searchIvfPqIndex(s, path,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      scored AS (SELECT v.vec_id, v.embedding, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                            c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+                 FROM embeddings v CROSS JOIN cents c),
+      resid AS (SELECT s.vec_id, s.cid AS cluster,
+                       list_transform(generate_series(1, len(s.embedding)),
+                         i -> CAST(CAST(s.embedding[i] AS DOUBLE) -
+                              CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rvec
+                FROM scored s JOIN cents c ON c.cid = s.cid WHERE s.r = 1),
+      js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      cb AS (SELECT j, vec_id - 4 AS c, rvec[j*4+1 : j*4+4] AS cvec
+             FROM resid CROSS JOIN js WHERE vec_id >= 4 AND vec_id < 36),
+      csub AS (SELECT vec_id AS nid, cluster, j, rvec[j*4+1 : j*4+4] AS sub
+               FROM resid CROSS JOIN js WHERE vec_id >= 36),
+      cdist AS (SELECT nid, cluster, csub.j, cb.c,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                         AS d
+                FROM csub JOIN cb ON cb.j = csub.j),
+      codes AS (SELECT nid, cluster, j, c FROM (
+                  SELECT nid, cluster, j, c, row_number() OVER (
+                    PARTITION BY nid, j ORDER BY d ASC, c ASC) AS r
+                  FROM cdist) WHERE r = 1),
+      probes AS (SELECT s.vec_id AS qid, s.embedding AS qvec,
+                        s.cid AS cluster
+                 FROM scored s WHERE s.r <= 2 AND s.vec_id < 5),
+      qres AS (SELECT p.qid, p.cluster,
+                      list_transform(generate_series(1, len(p.qvec)), i ->
+                        CAST(CAST(p.qvec[i] AS DOUBLE) -
+                             CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rq
+               FROM probes p JOIN cents c ON c.cid = p.cluster),
+      qd AS (SELECT qid, qres.cluster, cb.j, cb.c,
+                    list_sum(list_transform(generate_series(1, 4), i ->
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)) *
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)))) AS d
+             FROM qres CROSS JOIN cb),
+      score AS (SELECT qd.qid, codes.nid, round(sum(qd.d), 6) AS s
+                FROM codes JOIN qd ON qd.cluster = codes.cluster
+                  AND qd.j = codes.j AND qd.c = codes.c
+                GROUP BY qd.qid, codes.nid),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY s ASC, nid ASC) AS rank
+                 FROM score)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_ivfpq_rerank", (s, dir) => {
       // IVFADC + exact refine ("IVFADC+R"): the same index recipe as
       // ann_ivfpq_adc, but the ADC stage emits a 10-deep shortlist that

@@ -511,14 +511,21 @@ object SimilaritySearch {
                    codebooks: Seq[Seq[Seq[Float]]], k: Int, nProbe: Int = 1,
                    qId: String = "vec_id", qVec: String = "embedding",
                    cId: String = "vec_id", cVec: String = "embedding",
+                   preEncoded: Boolean = false,
                    broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val (m, dsub) = validateCodebooks(codebooks)
     require(centroids.nonEmpty && centroids.forall(_.length == m * dsub),
       s"coarse centroids must have dimension ${m * dsub} (m*dsub)")
-    val enc = ivfPqEncode(
-        corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
-        centroids, codebooks, "nvec")
-      .select(col("nid"), col("cluster"), col("codes"))
+    // preEncoded: the stored-index regime (pqAdcTopK's contract) — the
+    // corpus frame already carries (cluster, codes) from ivfPqEncode /
+    // a persisted index, so encoding is skipped entirely
+    val enc =
+      if (preEncoded)
+        corpus.select(col(cId).as("nid"), col("cluster"), col("codes"))
+      else ivfPqEncode(
+          corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+          centroids, codebooks, "nvec")
+        .select(col("nid"), col("cluster"), col("codes"))
     // per probed cell: residual of the query vs THAT cell's centroid,
     // then the standard per-subspace distance tables over the residual
     val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
@@ -544,6 +551,71 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Persist an IVFADC index: the (nid, cluster, codes) frame written as
+    * parquet PARTITIONED BY the coarse cell — probe pruning becomes
+    * on-disk partition pruning, so a search touches only its probed
+    * cells' files (at 10¹¹ vectors the codes ARE the index and this is
+    * the difference between reading m·n bytes and m·n·nProbe/k_cells).
+    * Centroids and codebooks ride as small parquet sidecars
+    * (`centroids`: (cid, vec); `codebooks`: (j, c, vec)) — Spark-native
+    * IO, exact float round-trip, no JSON fragility. The reference
+    * analog is the Atlas vector index the coach pipeline searches
+    * (terraform main.tf:594-635). */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: Seq[Seq[Float]],
+                      codebooks: Seq[Seq[Seq[Float]]], path: String,
+                      cId: String = "vec_id",
+                      cVec: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ivfPqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+        centroids, codebooks, "nvec")
+      .select(col("nid"), col("cluster"), col("codes"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v) }
+    }.toDF("j", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load the sidecar artifacts of a persisted index (bounded driver
+    * collects: k×dim centroids + m×ksub×dsub codebook floats). */
+  def readIvfPqIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("j"), col("c")).select(col("j"), col("vec")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Float](1).toSeq).toSeq)
+    (cents, books)
+  }
+
+  /** Search a persisted IVFADC index: the probed cells of the query
+    * batch are collected (bounded: ≤ #cells ints) and pushed as a
+    * partition filter on the codes scan — `.explain` shows
+    * PartitionFilters on `cluster`, so only probed cells' files are
+    * read — then the standard preEncoded ADC scoring runs. Identical
+    * results to [[ivfPqAdcTopK]] over the original corpus
+    * (IvfPqIndexSpec pins the equality and the pruned scan). */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 1,
+                       qId: String = "vec_id", qVec: String = "embedding",
+                       broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val (cents, books) = readIvfPqIndexMeta(spark, path)
+    val probed = queries
+      .select(explode(probeClusters(col(qVec), cents, nProbe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by #cells
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cluster").isin(probed: _*))
+    ivfPqAdcTopK(queries, codes, cents, books, k, nProbe, qId, qVec,
+      cId = "nid", preEncoded = true, broadcastBytes = broadcastBytes)
   }
 
   /** IVFADC + exact refine (the "IVFADC+R" serving shape, Jégou
@@ -573,7 +645,8 @@ object SimilaritySearch {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val (m, dsub) = validateCodebooks(codebooks)
     val short = ivfPqAdcTopK(queries, corpus, centroids, codebooks,
-        shortlist, nProbe, qId, qVec, cId, cVec, broadcastBytes)
+        shortlist, nProbe, qId, qVec, cId, cVec,
+        broadcastBytes = broadcastBytes)
       .select(col("qid"), col("nid"))
     val cv = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
     val qv = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
