@@ -51,6 +51,28 @@ object Queries {
   private val MicrosFloor = 1e13.toLong
   private val MillisFloor = 1e10.toLong
 
+  /** Session conf pinning the encoding of a PLAIN-LONG ts column:
+    * `ns`/`us`/`ms`/`s`, or `auto` (default) = the magnitude heuristic.
+    * The heuristic is exact away from the year-boundary fringes, but a
+    * column of epoch-adjacent values (|v| < ~1970+317y in the next-finer
+    * unit), pre-1970 dates, or MIXED units sits in an ambiguous band —
+    * set the conf to pin those. */
+  private val TsUnitConf = "spark.graft.ts.unit"
+
+  /** SQL floor-division: `a div b` truncates toward zero, so a negative
+    * non-multiple (pre-1970 nanos) lands one second LATE vs floor
+    * semantics (and vs the TimestampType cast, which floors). Spark's
+    * `%` follows the dividend's sign, so the correction term is exact. */
+  private def floorDiv(a: String, b: Long): String =
+    s"(($a div $b) - (CASE WHEN $a % $b < 0 THEN 1 ELSE 0 END))"
+
+  private def tsUnit(df: DataFrame): String = {
+    val u = df.sparkSession.conf.get(TsUnitConf, "auto")
+    require(Set("auto", "ns", "us", "ms", "s").contains(u),
+      s"$TsUnitConf must be one of auto|ns|us|ms|s, got '$u'")
+    u
+  }
+
   /** Epoch seconds from the events `ts` column, dispatching on the
     * RESOLVED parquet type rather than assuming one encoding:
     *
@@ -58,35 +80,51 @@ object Queries {
     *    output) surfaces as TIMESTAMP or TIMESTAMP_NTZ; cast through
     *    TimestampType (UTC session, core.Sessions) → long = floored
     *    epoch seconds.
-    *  - a plain LongType column (legacy nanos parquet, or a raw BIGINT
-    *    of micros/millis/seconds) dispatches per row on magnitude
-    *    (the NanosFloor/MicrosFloor/MillisFloor CASE) — a millis column silently divided as
-    *    nanos would collapse every timestamp to ~0.
+    *  - a plain LongType column is `spark.graft.ts.unit` when set
+    *    (ns/us/ms/s — the authoritative path for ambiguous data), else
+    *    dispatches per row on magnitude (the NanosFloor/MicrosFloor/
+    *    MillisFloor CASE) — a millis column silently divided as nanos
+    *    would collapse every timestamp to ~0. Division floors (pre-1970
+    *    values round toward -∞, matching the TimestampType cast).
     *
     * Takes the source DataFrame so the dispatch reads the actual resolved
     * schema — a real user's events table may be any of these. */
   private[graft] def tsSec(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        expr(s"""CASE WHEN abs($name) >= $NanosFloor THEN $name div 1000000000
-                      WHEN abs($name) >= $MicrosFloor THEN $name div 1000000
-                      WHEN abs($name) >= $MillisFloor THEN $name div 1000
-                      ELSE $name END""")
+        tsUnit(df) match {
+          case "ns" => expr(floorDiv(name, 1000000000L))
+          case "us" => expr(floorDiv(name, 1000000L))
+          case "ms" => expr(floorDiv(name, 1000L))
+          case "s"  => col(name)
+          case _ =>
+            expr(s"""CASE WHEN abs($name) >= $NanosFloor THEN ${floorDiv(name, 1000000000L)}
+                          WHEN abs($name) >= $MicrosFloor THEN ${floorDiv(name, 1000000L)}
+                          WHEN abs($name) >= $MillisFloor THEN ${floorDiv(name, 1000L)}
+                          ELSE $name END""")
+        }
       case _ => // TimestampType / TimestampNTZType (NTZ→TZ is identity under UTC)
         col(name).cast(org.apache.spark.sql.types.TimestampType)
           .cast(org.apache.spark.sql.types.LongType)
     }
 
   /** `ts` → TimestampType (µs precision) — for date/time formatting ops.
-    * Same type + unit dispatch as [[tsSec]]. */
+    * Same type + unit dispatch (and `spark.graft.ts.unit` pin) as
+    * [[tsSec]]; ns→µs floors for pre-1970 consistency. */
   private[graft] def tsStamp(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(
-          expr(s"""CASE WHEN abs($name) >= $NanosFloor THEN $name div 1000
-                        WHEN abs($name) >= $MicrosFloor THEN $name
-                        WHEN abs($name) >= $MillisFloor THEN $name * 1000
-                        ELSE $name * 1000000 END"""))
+        timestamp_micros(tsUnit(df) match {
+          case "ns" => expr(floorDiv(name, 1000L))
+          case "us" => col(name)
+          case "ms" => col(name) * 1000
+          case "s"  => col(name) * 1000000
+          case _ =>
+            expr(s"""CASE WHEN abs($name) >= $NanosFloor THEN ${floorDiv(name, 1000L)}
+                          WHEN abs($name) >= $MicrosFloor THEN $name
+                          WHEN abs($name) >= $MillisFloor THEN $name * 1000
+                          ELSE $name * 1000000 END""")
+        })
       case _ =>
         col(name).cast(org.apache.spark.sql.types.TimestampType)
     }

@@ -1553,8 +1553,10 @@ object QueriesDataOps {
         .orderBy(col("vec_id")).select(col("rvec")).collect()
         .map(_.getSeq[Float](0).toSeq).toSeq
       val codebooks = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
-        s"${ProcessHandle.current().pid()}-${dir.replaceAll("[^0-9a-zA-Z]", "")}"
+      // per-(pid, dir) scratch root, deleted at JVM exit (TempRoots):
+      // bench reps overwrite in place, the harness leaves no litter
+      val path = graft.core.TempRoots.scratch(
+        s"ivfpq-${dir.replaceAll("[^0-9a-zA-Z]", "")}")
       SimilaritySearch.writeIvfPqIndex(
         emb.filter(col("vec_id") >= 36), centroids, codebooks, path)
       SimilaritySearch.searchIvfPqIndex(s, path,

@@ -61,19 +61,57 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 /** Recognizer + tiny scanner for the two DDL statements. Anything that
-  * does not START with CREATE MODEL/CONNECTION returns None (delegate);
-  * anything that does but is malformed fails with a pointed message —
-  * falling through to Spark's parser would produce an inscrutable
-  * generic syntax error for a statement only this surface understands. */
+  * does not START with CREATE MODEL/CONNECTION (after leading
+  * whitespace and SQL comments) returns None (delegate); anything that
+  * does but is malformed raises a [[ParseException]] with a pointed
+  * message — falling through to Spark's parser would produce an
+  * inscrutable generic syntax error for a statement only this surface
+  * understands, and callers that `catch ParseException` around
+  * `spark.sql` expect parse-time failures in that type. */
 private[core] object GraftDdl {
-  private val Head =
-    "(?is)^\\s*CREATE\\s+(MODEL|CONNECTION)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
+  import org.apache.spark.sql.catalyst.parser.ParseException
+  import org.apache.spark.sql.catalyst.trees.Origin
 
-  def parse(sql: String): Option[LogicalPlan] = sql match {
+  private val Head =
+    "(?is)^CREATE\\s+(MODEL|CONNECTION)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
+
+  /** Drop leading whitespace, `-- line` and `/* block */` comments — a
+    * commented CREATE MODEL must still reach the recognizer (standard
+    * parsers skip trivia before the first token). Unterminated block
+    * comments yield the raw text: not ours, delegate decides. */
+  private[core] def stripLeadingTrivia(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val t = s.dropWhile(_.isWhitespace)
+      if (t.startsWith("--")) {
+        val nl = t.indexOf('\n')
+        s = if (nl < 0) "" else t.substring(nl + 1); changed = true
+      } else if (t.startsWith("/*")) {
+        val end = t.indexOf("*/", 2)
+        if (end < 0) return s
+        s = t.substring(end + 2); changed = true
+      } else s = t
+    }
+    s
+  }
+
+  def parse(sql: String): Option[LogicalPlan] = stripLeadingTrivia(sql) match {
     case Head(kind, rawName, rest) =>
       val name = rawName.stripPrefix("`").stripSuffix("`")
       val stmt = s"CREATE ${kind.toUpperCase} $name"
-      val opts = parseClauses(stmt, rest)
+      // recognized-as-ours but malformed → ParseException, not the
+      // scanner's bare IllegalArgumentException/RuntimeException
+      val opts =
+        try parseClauses(stmt, rest)
+        catch {
+          case e: ParseException => throw e
+          case scala.util.control.NonFatal(e) =>
+            throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+              Map("error" -> s"'${kind.toUpperCase}'",
+                  "hint" -> s": ${e.getMessage}"))
+        }
       if (kind.equalsIgnoreCase("MODEL")) Some(CreateModelCommand(name, opts))
       else Some(CreateConnectionCommand(name, opts))
     case _ => None
@@ -154,11 +192,26 @@ private[core] object GraftDdl {
   }
 }
 
+private[core] object GraftDdlRedact {
+  private val Secret = Set("api-key", "api_key", "apikey", "password", "token",
+    "secret", "authorization")
+  /** Option map with credential values masked — what the PLAN prints.
+    * Inline 'api-key' literals would otherwise land verbatim in query
+    * logs and QueryExecutionListener events via the command's toString. */
+  def apply(options: Map[String, String]): Map[String, String] =
+    options.map { case (k, v) =>
+      val bare = k.substring(k.lastIndexOf('.') + 1).toLowerCase
+      if (Secret.contains(bare) && v.nonEmpty) (k, "*****") else (k, v)
+    }
+}
+
 /** CREATE MODEL → [[ModelRegistry]]. Provider-prefixed keys (the
   * reference's 'azureopenai.connection' spelling) and bare keys are both
   * accepted, prefixed winning. */
 case class CreateModelCommand(name: String, options: Map[String, String])
     extends LeafRunnableCommand {
+  override def stringArgs: Iterator[Any] =
+    Iterator(name, GraftDdlRedact(options))
   override def run(session: SparkSession): Seq[Row] = {
     val provider = options.getOrElse("provider", "mock")
     def opt(key: String, default: String = ""): String =
@@ -181,6 +234,8 @@ case class CreateModelCommand(name: String, options: Map[String, String])
   * --api-key` CLI). */
 case class CreateConnectionCommand(name: String, options: Map[String, String])
     extends LeafRunnableCommand {
+  override def stringArgs: Iterator[Any] =
+    Iterator(name, GraftDdlRedact(options))
   override def run(session: SparkSession): Seq[Row] = {
     ConnectionRegistry.register(ConnectionSpec(name,
       connType = options.getOrElse("type", ""),

@@ -28,9 +28,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.core.GraftExtensions")
       // saveAsTable targets (bucketed tables) land in a per-process temp
-      // warehouse, not the working directory
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+      // warehouse (deleted at JVM exit), not the working directory
+      .config("spark.sql.warehouse.dir", TempRoots.scratch("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,40 @@
+package graft.core
+
+/** Process-scoped scratch directories for operators that persist
+  * intermediate artifacts (the ann_ivfpq_index build, bucketed-table
+  * warehouses, …). Paths are keyed per (pid, tag) so repeated runs in
+  * one process overwrite instead of accumulating, and every root handed
+  * out is deleted by ONE JVM shutdown hook — a harness process leaves
+  * no tmpdir litter behind. (Deletion at exit rather than eagerly after
+  * the query: the returned DataFrames are lazy, so the files must
+  * outlive the caller's action.)
+  */
+object TempRoots {
+  private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      roots.forEach(r => deleteRecursively(new java.io.File(r)))
+    }, "graft-temp-roots-cleanup"))
+  }
+
+  /** A per-(process, tag) scratch path under java.io.tmpdir, registered
+    * for recursive deletion at JVM exit. The directory itself is not
+    * created — writers (parquet) create it. */
+  def scratch(tag: String): String = {
+    hookInstalled
+    val safe = tag.replaceAll("[^0-9a-zA-Z._-]", "")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-" +
+      s"${ProcessHandle.current().pid()}-$safe"
+    roots.add(p)
+    p
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
+    f.delete(): Unit
+  }
+}

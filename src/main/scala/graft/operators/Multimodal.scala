@@ -456,12 +456,19 @@ object Multimodal {
 
     /** Dominant NON-DC frequency bin of the first `n` samples: argmax of
       * the FFT magnitude over bins 1..n/2-1, ties to the lower bin; -1
-      * for empty input (quarantined rows). An exact-bin tone (frequency
-      * = bin·rate/n) has zero spectral leakage, so the argmax is
-      * mathematically exact — the synthetic-tone oracle law. */
+      * (the quarantine sentinel) when the input can't support the
+      * analysis — empty/NULL payloads, fewer than `n` samples (a
+      * zero-padded window would leak energy across bins, breaking the
+      * exact-bin/no-leakage law real audio is gated on; callers that
+      * WANT padded analysis pad explicitly), or n ≤ 2 (the n/2-bin
+      * spectrum has no non-DC bin to report). An exact-bin tone
+      * (frequency = bin·rate/n) over a full window has zero spectral
+      * leakage, so the argmax is mathematically exact — the
+      * synthetic-tone oracle law. */
     def dominantBin(samples: Array[Short], n: Int): Int = {
-      if (samples == null || samples.isEmpty) return -1
+      if (samples == null || samples.length < n || n <= 2) return -1
       val mags = fftMagnitudes(samples, n)
+      if (mags.length < 2) return -1
       var best = 1
       var b = 2
       while (b < mags.length) {

@@ -64,14 +64,25 @@ abstract class PqKernelExpression extends UnaryExpression with ImplicitCastInput
       throw new IllegalArgumentException(
         s"$fn: vector dimension must be $dim (m*dsub), got " +
           arr.numElements())
+    // NULL ELEMENTS raise too: ArrayData.getFloat on a null slot reads
+    // 0.0, which would encode/score silently-garbage values — the exact
+    // failure mode the dimChecked contract exists to prevent.
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: vector must not contain NULL elements (element $i)")
+      i += 1
+    }
     compute(arr)
   }
 
   protected def compute(vec: ArrayData): Any
 
   /** Codegen prologue shared by both kernels: child eval + NULL /
-    * dimension raises. */
-  protected def genGuards(childGen: ExprCode): String =
+    * dimension / null-element raises. */
+  protected def genGuards(ctx: CodegenContext, childGen: ExprCode): String = {
+    val i = ctx.freshName("guardIdx")
     s"""
        |if (${childGen.isNull}) {
        |  throw new IllegalArgumentException("$fn: vector must not be NULL");
@@ -81,7 +92,14 @@ abstract class PqKernelExpression extends UnaryExpression with ImplicitCastInput
        |    "$fn: vector dimension must be $dim (m*dsub), got " +
        |    ${childGen.value}.numElements());
        |}
+       |for (int $i = 0; $i < $dim; $i++) {
+       |  if (${childGen.value}.isNullAt($i)) {
+       |    throw new IllegalArgumentException(
+       |      "$fn: vector must not contain NULL elements (element " + $i + ")");
+       |  }
+       |}
      """.stripMargin
+  }
 }
 
 /** PQ ENCODE: nearest codebook centroid id per subspace →
@@ -129,7 +147,7 @@ case class PqEncodeCodes(child: Expression, codebooks: Seq[Seq[Seq[Float]]],
     val book = ctx.freshName("book"); val cent = ctx.freshName("cent")
     val javaCode =
       s"""
-         |${genGuards(childGen)}
+         |${genGuards(ctx, childGen)}
          |int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  float[][] $book = $booksRef[$j];
@@ -206,7 +224,7 @@ case class PqLookupTables(child: Expression, codebooks: Seq[Seq[Seq[Float]]],
     val book = ctx.freshName("book"); val cent = ctx.freshName("cent")
     val javaCode =
       s"""
-         |${genGuards(childGen)}
+         |${genGuards(ctx, childGen)}
          |org.apache.spark.sql.catalyst.util.ArrayData[] $luts =
          |  new org.apache.spark.sql.catalyst.util.ArrayData[$m];
          |for (int $j = 0; $j < $m; $j++) {

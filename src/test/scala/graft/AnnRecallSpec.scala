@@ -307,6 +307,25 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("PQ kernels reject NULL array elements in the codegen path") {
+    // ArrayData.getFloat on a null slot silently reads 0.0 — the guard
+    // turns that into a raise in BOTH execution paths (eval covered in
+    // ExpressionPropertySpec)
+    import org.apache.spark.sql.graft.PqExpressions
+    val books = Seq(Seq(Seq(1f, 2f), Seq(0f, 0f)))
+    val df = spark.range(1).select(
+      array(lit(1f), lit(null).cast("float")).as("v"))
+    val e = intercept[Throwable] {
+      df.select(PqExpressions.encodeCodes(col("v"), books, "cgOp").as("c"))
+        .collect()
+    }
+    // the raise may arrive wrapped (SparkException task failure) — scan
+    // the cause chain for the kernel's message
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    msgs should include("cgOp: vector must not contain NULL elements")
+  }
+
   test("pqAdcTopK rejects a wrong-dimension query vector loudly") {
     // the guard filter: a short query vector must raise, not build
     // silently-garbage lookup tables from truncated slices

@@ -39,6 +39,39 @@ class CoachE2ESpec extends SparkSpec {
       .foreach(_ shouldBe sec)
   }
 
+  test("spark.graft.ts.unit pins ambiguous plain-long encodings; division floors pre-1970") {
+    // 1969-12-31T23:59:59.5Z in millis: |v| = 500 sits far below every
+    // magnitude floor, so the heuristic would read it as SECONDS — the
+    // documented ambiguity window. The conf pins it.
+    val df = Seq(-500L, 1500L, 0L).toDF("ts")
+    try {
+      spark.conf.set("spark.graft.ts.unit", "ms")
+      // FLOOR semantics: -500 ms → -1 s (a truncating div would give 0)
+      df.select(Queries.tsSec(df, "ts")).as[Long].collect().toSeq shouldBe
+        Seq(-1L, 1L, 0L)
+      df.select(date_format(Queries.tsStamp(df, "ts"),
+          "yyyy-MM-dd HH:mm:ss.SSS")).as[String].collect().toSeq shouldBe
+        Seq("1969-12-31 23:59:59.500", "1970-01-01 00:00:01.500",
+          "1970-01-01 00:00:00.000")
+      // a pinned unit beats the magnitude heuristic even where the
+      // heuristic WOULD fire: nanos-scale values read as millis
+      spark.conf.set("spark.graft.ts.unit", "s")
+      val big = Seq(1766620800L).toDF("ts")
+      big.select(Queries.tsSec(big, "ts")).as[Long].collect().head shouldBe
+        1766620800L
+      // negative NANOS floor to the earlier second under the pin
+      spark.conf.set("spark.graft.ts.unit", "ns")
+      val ns = Seq(-1500000000L).toDF("ts") // -1.5 s in nanos
+      ns.select(Queries.tsSec(ns, "ts")).as[Long].collect().head shouldBe -2L
+      // bad values are rejected loudly
+      spark.conf.set("spark.graft.ts.unit", "fortnights")
+      val e = intercept[IllegalArgumentException] {
+        df.select(Queries.tsSec(df, "ts")).collect()
+      }
+      e.getMessage should include("spark.graft.ts.unit")
+    } finally spark.conf.unset("spark.graft.ts.unit")
+  }
+
   private val fixtureText =
     "This is a sample document for testing the RAG pipeline. It contains " +
       "information about our product features and capabilities."

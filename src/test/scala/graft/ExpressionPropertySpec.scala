@@ -97,7 +97,19 @@ class ExpressionPropertySpec extends AnyFunSuite with Matchers {
       PqLookupTables(vecIn, books1, "opY").eval(vrow(Array(1f)))
     }
     eDim.getMessage should include("opY: vector dimension must be 2")
+    // a NULL ELEMENT raises too — ArrayData.getFloat on a null slot
+    // reads 0.0, the silently-garbage-codes hole the guard closes
+    val nullElem = InternalRow(new GenericArrayData(Array[Any](1f, null)))
+    val eElem = intercept[IllegalArgumentException] {
+      PqEncodeCodes(vecIn, books1, "opZ").eval(nullElem)
+    }
+    eElem.getMessage should include("opZ: vector must not contain NULL elements")
+    val eElem2 = intercept[IllegalArgumentException] {
+      PqLookupTables(vecIn, books1, "opW").eval(nullElem)
+    }
+    eElem2.getMessage should include("opW: vector must not contain NULL elements")
   }
+
 
   test("CharEntropy matches a naive histogram reference incl. unicode + case folding") {
     val rnd = new scala.util.Random(20260814L)

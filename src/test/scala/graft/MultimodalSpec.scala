@@ -184,9 +184,17 @@ class MultimodalSpec extends SparkSpec {
     // silence / empty quarantine
     AudioCodec.dominantBin(new Array[Short](n), n) shouldBe 1 // flat spectrum → lowest bin
     AudioCodec.dominantBin(Array.empty[Short], n) shouldBe -1
-    // shorter payloads zero-pad: the tone still dominates
-    AudioCodec.dominantBin(tone(16, 12000, n / 2), n) should be >= 14
-    AudioCodec.dominantBin(tone(16, 12000, n / 2), n) should be <= 18
+    // short payloads are the -1 quarantine sentinel (an implicit
+    // zero-pad would leak energy across bins, violating the exact-bin
+    // law real audio is gated on); degenerate windows likewise
+    AudioCodec.dominantBin(tone(16, 12000, n / 2), n) shouldBe -1
+    AudioCodec.dominantBin(tone(1, 12000, 2), 2) shouldBe -1
+    AudioCodec.dominantBin(null, n) shouldBe -1
+    // a caller that WANTS padded analysis pads explicitly — the
+    // truncated tone's energy then leaks but still dominates near bin 16
+    val padded = tone(16, 12000, n / 2) ++ new Array[Short](n / 2)
+    AudioCodec.dominantBin(padded, n) should be >= 14
+    AudioCodec.dominantBin(padded, n) should be <= 18
   }
 
   test("withDominantFreq decodes synthetic tones distributed, law-exact") {

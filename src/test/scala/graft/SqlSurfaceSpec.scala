@@ -274,6 +274,37 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql("SELECT 1 AS ok").collect().head.getInt(0) shouldBe 1
   }
 
+  test("DDL recognizer skips leading comments, raises ParseException, redacts secrets in plans") {
+    // leading -- and /* */ trivia must not hide the statement from the
+    // recognizer (standard parsers skip trivia before the first token)
+    spark.sql(
+      """-- register the embedding connection
+        |/* block
+        |   comment */
+        |CREATE CONNECTION trivia-conn
+        |WITH ('type' = 'mock', 'endpoint' = 'https://example.invalid',
+        |      'api-key' = 'sk-very-secret')""".stripMargin)
+    ConnectionRegistry.get("trivia-conn").apiKey shouldBe "sk-very-secret"
+
+    // recognized-but-malformed DDL is a ParseException — callers that
+    // catch ParseException around spark.sql see parse failures in the
+    // type the contract promises, with the pointed message preserved
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("-- still ours\nCREATE MODEL bad_model WITH ('task' = )")
+    }
+    e.getMessage should include("CREATE MODEL bad_model")
+
+    // the command's PLAN string (what query logs and listeners print)
+    // masks credential option values; non-secret options print verbatim
+    val plan = graft.core.CreateModelCommand("m",
+      Map("provider" -> "mock", "mock.api-key" -> "sk-live-123",
+          "password" -> "hunter2", "task" -> "embedding")).toString
+    plan should not include "sk-live-123"
+    plan should not include "hunter2"
+    plan should include("*****")
+    plan should include("embedding")
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"
