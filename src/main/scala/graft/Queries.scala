@@ -639,6 +639,43 @@ object Queries {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    ("rag_vector_topk_indexed", (s, dir) => {
+      // M4/J3 through the PERSISTED index: same retrieval contract as
+      // rag_vector_topk (same oracle — a divergence between the indexed
+      // and broadcast paths hash-mismatches), but served by the
+      // adaptive chooser FORCED past the broadcast budget, so the
+      // executed plan is the IVF-Flat index scan: probed cells as
+      // PartitionFilters, one equi-join, no corpus broadcast.
+      // numCandidates ≥ corpus probes every cell — the exact regime
+      // (the reference's own 27-doc corpus under numCandidates=150 is
+      // this regime) — which is what makes hash parity structural
+      // rather than data-dependent; IvfPqIndexSpec pins the PRUNED
+      // regime (numCandidates small → fewer partitions read).
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val path = graft.core.TempRoots.scratch(
+        s"ivfflat-${dir.replaceAll("[^0-9a-zA-Z]", "")}")
+      val queries = emb.filter(col("vec_id") < 8)
+      graft.operators.SimilaritySearch.adaptiveIndexedTopK(
+          queries, emb, k = 3, centroids, path,
+          numCandidates = Int.MaxValue, broadcastBytes = 1L)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid ASC) AS rank
+        FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
     ("rag_prompt_assembly", (s, dir) => {
       // E1-E5: exactly-3 rag array of named structs (1-based element_at)
       // fed into the reference's CONCAT prompt; docs i, i+1, i+2 stand in

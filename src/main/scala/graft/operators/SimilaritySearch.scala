@@ -618,6 +618,260 @@ object SimilaritySearch {
       cId = "nid", preEncoded = true, broadcastBytes = broadcastBytes)
   }
 
+  /** Write the IVF-FLAT side of a persisted index: raw vectors (plus
+    * caller payload columns — document ids, chunk text) partitioned by
+    * their coarse cell, with a `cellstats` sidecar of per-cell counts.
+    * This is the classic IndexIVFFlat layout: probe pruning runs as
+    * on-disk partition pruning and scoring inside probed cells is EXACT
+    * (no quantization error), so `numCandidates ≥ corpus` degenerates to
+    * brute force — the invariant the serving gate relies on. The
+    * reference analog is the Atlas vector index the coach searches
+    * laterally (terraform main.tf:649-669; numCandidates knob
+    * generate_personalized_commands.sh:304). Pairs with
+    * [[writeIvfPqIndex]] at the same `path` (shared `centroids`
+    * sidecar): codes are the compressed ADC scan, payload the exact
+    * serving/rerank side. */
+  def writeIvfFlatIndex(corpus: DataFrame, centroids: Seq[Seq[Float]],
+                        path: String, cId: String = "vec_id",
+                        cVec: String = "embedding",
+                        payloadCols: Seq[String] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ivfAssign(corpus, centroids, cVec)
+      .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
+        col("cluster")) ++ payloadCols.map(col): _*)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/payload")
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // per-cell counts (≤ #cells rows): drives the numCandidates→nProbe
+    // mapping without touching the data at search time
+    spark.read.parquet(s"$path/payload")
+      .groupBy(col("cluster")).count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+  }
+
+  /** numCandidates → probe depth: the smallest P such that the P
+    * SMALLEST cells already cover `numCandidates` rows — conservative
+    * (any actual probe set of P cells is at least as large), so the
+    * candidate-count contract holds for every query in the batch with
+    * one uniform P. numCandidates ≥ corpus ⇒ every cell is probed ⇒
+    * exact search. */
+  def nProbeFor(cellSizes: Seq[Long], numCandidates: Int): Int = {
+    if (cellSizes.isEmpty) return 1
+    val sorted = cellSizes.sorted
+    val need = math.min(numCandidates.toLong, sorted.sum)
+    var acc = 0L; var p = 0
+    while (p < sorted.length && acc < need) { acc += sorted(p); p += 1 }
+    math.max(1, p)
+  }
+
+  /** IVF-Flat search over a persisted index: map `numCandidates` to a
+    * probe depth from the cellstats sidecar, push the batch's probed
+    * cells as a partition filter on the payload scan (`.explain` shows
+    * PartitionFilters on `cluster` — unprobed cells' files are never
+    * read), then EXACT cosine top-k inside the probed cells. Identical
+    * arithmetic and tie-break to [[bruteForceTopK]], so with
+    * numCandidates ≥ corpus the result is bit-identical to the exact
+    * scan — the rag_vector_topk_indexed correctness gate.
+    *
+    * Plan shape: payload streams partition-pruned; the probe-expanded
+    * query side (|Q| × nProbe skinny rows) broadcasts into ONE
+    * equi-join on the cell id + a per-query window top-k. No corpus
+    * broadcast, no cartesian. */
+  def searchIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, k: Int,
+                         numCandidates: Int = 150,
+                         qId: String = "vec_id", qVec: String = "embedding",
+                         payloadCols: Seq[String] = Nil,
+                         broadcastBytes: Long = 64L * 1024 * 1024,
+                         dedupReplays: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val sizes = spark.read.parquet(s"$path/cellstats")
+      .select(col("count")).as[Long].collect().toSeq
+    val nProbe = nProbeFor(sizes, numCandidates)
+    val probed = probedCells(queries, cents, nProbe, qVec)
+    val raw = spark.read.parquet(s"$path/payload")
+      .filter(col("cluster").isin(probed: _*))
+    // dedupReplays: an index fed by at-least-once micro-batch appends
+    // may hold replayed duplicates (identical rows, same content nid)
+    // until the next compaction — mask them here at the cost of one
+    // extra shuffle. Batch-built / freshly-compacted indexes are
+    // duplicate-free, so the DEFAULT search plan skips it.
+    val deduped = if (dedupReplays) raw.dropDuplicates("nid") else raw
+    // tombstones (deleteFromIvfFlatIndex) mask unconditionally — a
+    // deleted row must never surface; compaction clears the sidecar
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val payload =
+      if (tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombDir))
+        deduped.join(
+          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+          Seq("nid"), "left_anti")
+      else deduped
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      explode(probeClusters(col(qVec), cents, nProbe)).as("cluster"))
+    val d = cents.head.length
+    val qBytes = rowsEstimate(queries, d.toLong * 4 + 8) *
+      nProbe * (d.toLong * 4 + 16)
+    val qSide = if (qBytes <= broadcastBytes) broadcast(q) else q
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    payload.join(qSide, Seq("cluster"))
+      .withColumn("sim", VectorOps.cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("qid"), col("nid"),
+        col("rank").cast("int").as("rank"),
+        col("sim").as("score")) ++ payloadCols.map(col): _*)
+  }
+
+  /** Append a micro-batch to a persisted IVF-Flat index (LSM-style
+    * maintenance, the streaming-upsert half of the reference's
+    * continuously-running MongoDB sink connector, main.tf:594-635):
+    * assign each row to its coarse cell with the INDEX's own centroids
+    * sidecar, append the rows to their cluster partitions — a pure
+    * partitioned write, no driver collect of vectors — and bump the
+    * cellstats counts incrementally (≤ #cells rows collected).
+    *
+    * At-least-once semantics: a replayed batch re-appends IDENTICAL
+    * rows (the nid is a content hash, so same text ⇒ same nid, vector,
+    * payload). Appends stay cheap by NOT checking for duplicates;
+    * [[searchIvfFlatIndex]]'s `dedupReplays` masks them logically and
+    * [[compactIvfFlatIndex]] removes them physically — the standard
+    * LSM split of write-path vs read-path vs maintenance cost. */
+  def appendIvfFlatBatch(batch: DataFrame, path: String,
+                         cId: String = "vec_id", cVec: String = "embedding",
+                         payloadCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val assigned = ivfAssign(batch, cents, cVec)
+      .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
+        col("cluster")) ++ payloadCols.map(col): _*)
+    assigned.write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/payload")
+    // incremental cellstats: old counts + this batch's (both bounded
+    // collects), rewritten whole — collected BEFORE the overwrite
+    val old = spark.read.parquet(s"$path/cellstats")
+      .select(col("cluster"), col("count")).as[(Int, Long)].collect().toMap
+    val add = assigned.groupBy(col("cluster")).count()
+      .as[(Int, Long)].collect().toMap
+    val merged = (old.keySet ++ add.keySet).toSeq.sorted
+      .map(c => (c, old.getOrElse(c, 0L) + add.getOrElse(c, 0L)))
+    merged.toDF("cluster", "count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+  }
+
+  /** Tombstone rows of a persisted index by nid: deletes append to a
+    * `tombstones` sidecar (cheap, no partition rewrite);
+    * [[searchIvfFlatIndex]] masks tombstoned rows with a broadcast
+    * anti-join and [[compactIvfFlatIndex]] removes them physically.
+    * Idempotent: deleting an nid twice appends a duplicate tombstone,
+    * which masks identically and compacts away. */
+  def deleteFromIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, nids: Seq[String]): Unit = {
+    import spark.implicits._
+    nids.toDF("nid").write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Compact a persisted IVF-Flat index: rewrite the payload with
+    * replay-duplicates dropped (exact-duplicate rows share an nid) and
+    * tombstoned rows removed, coalesced to `filesPerCell` files per
+    * cluster partition; refresh cellstats from the rewritten truth and
+    * clear the tombstones. After compaction, searches need neither
+    * `dedupReplays` nor the tombstone mask — the weekly maintenance
+    * pass a real 100 TB index runs (small-file collapse + physical
+    * delete). The rewrite stages through `payload.compact` then swaps
+    * directories, so a crash mid-compact leaves the original payload
+    * intact. */
+  def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hPath(path).getFileSystem(hconf)
+    val tombDir = hPath(s"$path/tombstones")
+    val payload0 = spark.read.parquet(s"$path/payload")
+      .dropDuplicates("nid")
+    val payload =
+      if (fs.exists(tombDir))
+        payload0.join(
+          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+          Seq("nid"), "left_anti")
+      else payload0
+    // repartition on the partition column: every cell's rows land in
+    // one task, so each cluster directory collapses to ONE file (the
+    // small-file fix micro-batch appends make necessary)
+    payload
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("nid"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/payload.compact")
+    val live = hPath(s"$path/payload")
+    val staged = hPath(s"$path/payload.compact")
+    val retired = hPath(s"$path/payload.old")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    fs.rename(live, retired)
+    fs.rename(staged, live)
+    fs.delete(retired, true)
+    if (fs.exists(tombDir)) fs.delete(tombDir, true)
+    spark.read.parquet(s"$path/payload")
+      .groupBy(col("cluster")).count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+  }
+
+  /** The distinct coarse cells a query batch probes at depth `nProbe` —
+    * the exact set [[searchIvfFlatIndex]] pushes as the payload scan's
+    * partition filter (bounded driver collect: ≤ #cells ints).
+    * Public so tests can pin the pruning set independently of plan
+    * string formatting. */
+  def probedCells(queries: DataFrame, centroids: Seq[Seq[Float]],
+                  nProbe: Int, qVec: String = "embedding"): Seq[Int] =
+    queries
+      .select(explode(probeClusters(col(qVec), centroids, nProbe)).as("cluster"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** [[adaptiveTopK]]'s indexed sibling: corpora under the broadcast
+    * budget take the exact broadcast path; past it, retrieval routes
+    * through the PERSISTED IVF-Flat index (built on first use at
+    * `indexPath`) — partition-pruned scan, no corpus broadcast. The
+    * recall knob is `numCandidates`, Atlas-style: probe enough cells to
+    * cover that many candidates; ≥ corpus means exact. */
+  def adaptiveIndexedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                          centroids: Seq[Seq[Float]], indexPath: String,
+                          numCandidates: Int = 150,
+                          broadcastBytes: Long = 64L * 1024 * 1024,
+                          qId: String = "vec_id", qVec: String = "embedding",
+                          cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    if (corpusBytes <= broadcastBytes)
+      VectorOps.bruteForceTopK(q,
+          corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+          k, "qid", "qvec", "nid", "nvec")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+    else {
+      // Hadoop FS, not java.io — the index lives on shared storage
+      // (HDFS/S3) on a real cluster
+      val payloadPath = new org.apache.hadoop.fs.Path(s"$indexPath/payload")
+      val fs = payloadPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(payloadPath))
+        writeIvfFlatIndex(corpus, centroids, indexPath, cId, cVec)
+      searchIvfFlatIndex(spark, indexPath, q, k, numCandidates,
+          "qid", "qvec", broadcastBytes = broadcastBytes)
+        .select(col("qid"), col("nid"), col("rank"))
+    }
+  }
+
   /** IVFADC + exact refine (the "IVFADC+R" serving shape, Jégou
     * TPAMI'11 §V): the compressed ADC scan produces a per-query
     * `shortlist` of candidates, which are re-ranked by EXACT squared L2

@@ -119,6 +119,40 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
     generate(retrieveJoin(embedMessages(filterProspect(messages)), index))
       .withColumn("coaching_parsed", Coaching.parseCoaching(col("coaching_response")))
 
+  /** Retrieval through the PERSISTED IVF-Flat index (S5/M4 past the
+    * broadcast budget): the top-k search is a partition-pruned JOIN
+    * against the on-disk index (IvfFlatIndexStore.searchBatch — probed
+    * cells as PartitionFilters) — no per-row store lookup, no corpus
+    * broadcast, no driver collect of vectors. Same output contract as
+    * [[retrieve]]/[[retrieveJoin]]: exactly-k ARRAY<STRUCT<document_id,
+    * chunks>> with NULL tail entries for <k hits. The reference analog
+    * is the coach querying the external Atlas index rather than
+    * anything in-process (main.tf:649-669). */
+  def retrieveIndexed(embedded: DataFrame,
+                      index: graft.store.IvfFlatIndexStore): DataFrame = {
+    val q = embedded.withColumn("__qid",
+      md5(concat_ws("\u0000", col("message"), col("speaker"))))
+    val queries = q.select(col("__qid").as("qid"),
+      col("embedding").as("qvec")).distinct()
+    val topk = index.searchBatch(queries, k, numCandidates)
+    val entries = topk.groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(
+        col("rank"), col("document_id"), col("chunks")))).as("hits"))
+    def entry(i: Int) = struct(
+      try_element_at(col("hits"), lit(i))("document_id").as("document_id"),
+      try_element_at(col("hits"), lit(i))("chunks").as("chunks"))
+    q.join(entries, q("__qid") === entries("qid"), "left")
+      .select(col("message"), col("speaker"),
+        array(entry(1), entry(2), entry(3)).as("rag_results"))
+  }
+
+  /** Full chain served by the persisted index — the over-budget regime
+    * of VectorStores.adaptive. */
+  def coachIndexed(messages: DataFrame,
+                   index: graft.store.IvfFlatIndexStore): DataFrame =
+    generate(retrieveIndexed(embedMessages(filterProspect(messages)), index))
+      .withColumn("coaching_parsed", Coaching.parseCoaching(col("coaching_response")))
+
   /** Stage: rag_results → LLM response (reference :412-433). */
   def generate(ragResults: DataFrame): DataFrame = {
     val withPrompt = ragResults

@@ -97,6 +97,114 @@ object BroadcastBruteForceStore {
   }
 }
 
+/** Persisted-index store: the scale implementation of [[VectorStore]],
+  * backed by the cluster-partitioned IVF-Flat index on shared storage
+  * (operators.SimilaritySearch.writeIvfFlatIndex) — the direct analog of
+  * the reference's EXTERNAL Atlas vector index (terraform
+  * main.tf:649-669): the index outlives any session, is continuously
+  * upserted by a sink, and is searched with a numCandidates recall knob
+  * (generate_personalized_commands.sh:304).
+  *
+  * Two serving surfaces:
+  *  - [[searchBatch]] (the scale path): DataFrame-in/DataFrame-out —
+  *    probed cells push down as PartitionFilters on the payload scan,
+  *    one equi-join, no corpus broadcast or collect. Retrieval inside a
+  *    pipeline is a JOIN against the index, exactly how a 100 TB corpus
+  *    must be searched.
+  *  - [[search]] (the trait's per-query contract): DRIVER-side point
+  *    lookup — runs one pruned Spark job. Guarded against executor-side
+  *    calls: a lateral per-row `vector_search` over an unbounded index
+  *    would launch a job per row from inside a task, which is exactly
+  *    the anti-pattern the broadcast store exists for below the budget.
+  *
+  * The index keys rows by a CHUNK-unique `nid` (document ids repeat
+  * across chunks) and carries (document_id, chunks) as payload; `score`
+  * is the exact cosine (IVF-Flat scores raw vectors — no quantization
+  * error inside probed cells). */
+final class IvfFlatIndexStore(spark: SparkSession, path: String)
+    extends VectorStore {
+
+  override lazy val size: Int = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/cellstats")
+      .select(col("count")).as[Long].collect().sum.toInt
+  }
+
+  /** Batch retrieval: (qid, qvec) frame → (qid, nid, rank, score,
+    * document_id, chunks) with only probed cells' files read. */
+  def searchBatch(queries: DataFrame, k: Int, numCandidates: Int = 150,
+                  qId: String = "qid", qVec: String = "qvec"): DataFrame =
+    graft.operators.SimilaritySearch.searchIvfFlatIndex(
+      spark, path, queries, k, numCandidates, qId, qVec,
+      payloadCols = Seq("document_id", "chunks"))
+
+  override def search(query: Array[Float], k: Int,
+                      numCandidates: Int): Seq[SearchHit] = {
+    require(org.apache.spark.TaskContext.get() == null,
+      "IvfFlatIndexStore.search launches a Spark job and must run on " +
+        "the driver; per-row lateral vector_search over an indexed " +
+        "store is the broadcast store's regime — use searchBatch " +
+        "(a join against the index) instead")
+    import spark.implicits._
+    val q = Seq((0L, query.toSeq)).toDF("qid", "qvec")
+    searchBatch(q, k, numCandidates)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => SearchHit(r.getAs[String]("document_id"),
+        r.getAs[String]("chunks"), r.getAs[Double]("score")))
+      .toSeq
+  }
+}
+
+/** Store chooser — the ann_adaptive_topk pattern at the serving seam:
+  * an indexed-knowledge frame under the broadcast budget becomes the
+  * exact in-memory store (the right plan for the reference's KB-scale
+  * corpus); past the budget it becomes the persisted IVF-Flat index,
+  * built at `indexPath` on first use (coarse centroids = the first
+  * `nCells` corpus vectors, the data-derived convention the ANN
+  * operators share). */
+object VectorStores {
+  /** The index's chunk-unique content key: document ids repeat across
+    * chunks, so rows key on md5(id NUL chunk) — ONE definition shared
+    * by the batch build (adaptive), the streaming sink
+    * (StreamingOps.indexUpsertSink) and retrieveJoin, so every path
+    * derives identical nids and replays/upserts collide correctly. */
+  def chunkKey(idCol: String, chunkCol: String): org.apache.spark.sql.Column =
+    md5(concat_ws("\u0000", col(idCol), col(chunkCol)))
+
+  def adaptive(indexed: DataFrame, indexPath: String,
+               idCol: String = "document_id", chunkCol: String = "chunks",
+               embCol: String = "embedding", nCells: Int = 4,
+               broadcastBytes: Long = 64L * 1024 * 1024): VectorStore = {
+    val bytes = indexed.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= broadcastBytes)
+      BroadcastBruteForceStore.fromDataFrame(indexed, idCol, chunkCol, embCol)
+    else {
+      val spark = indexed.sparkSession
+      val payloadPath = new org.apache.hadoop.fs.Path(s"$indexPath/payload")
+      val fs = payloadPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(payloadPath)) {
+        // deterministic seed cells: first nCells vectors by id (the
+        // data-derived convention the ANN operators share)
+        val centroids = indexed.select(col(idCol), col(embCol))
+          .orderBy(col(idCol)).limit(nCells).collect()
+          .map(_.getSeq[Float](1).toSeq).toSeq
+        // chunk-unique key: document ids repeat across chunks, and the
+        // index's nid is its tie-break / identity column
+        val prepared = indexed.select(
+          chunkKey(idCol, chunkCol).as("__nid"),
+          col(idCol).as("document_id"), col(chunkCol).as("chunks"),
+          col(embCol).as("embedding"))
+        graft.operators.SimilaritySearch.writeIvfFlatIndex(
+          prepared, centroids, indexPath, "__nid", "embedding",
+          Seq("document_id", "chunks"))
+      }
+      new IvfFlatIndexStore(spark, indexPath)
+    }
+  }
+}
+
 /** Upsertable store — the in-process analog of the reference's MongoDB
   * Atlas sink connector continuously upserting the vector index (S4,
   * reference main.tf:594-635: topic → collection, ordered bulk writes).

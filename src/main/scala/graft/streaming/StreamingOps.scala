@@ -141,4 +141,42 @@ object StreamingOps {
             .map(r => (r.getString(0), r.getString(1),
               r.getSeq[Float](2).toArray)))
       }
+
+  /** S4 at scale: continuous maintenance of the PERSISTED IVF-Flat
+    * index — each micro-batch of (document_id, chunks, embedding) rows
+    * is coarse-assigned with the index's own centroids sidecar and
+    * APPENDED to its cluster partitions as a distributed partitioned
+    * write: no driver collect of vectors, no in-memory bound, unlike
+    * [[upsertSink]]. The direct analog of the reference's
+    * continuously-running MongoDB sink connector upserting the Atlas
+    * vector collection (main.tf:594-635).
+    *
+    * The index must exist with a NON-EMPTY seed build
+    * (SimilaritySearch.writeIvfFlatIndex — its centroids fix the cell
+    * geometry, and parquet needs at least one payload file to carry
+    * the schema). Replays under at-least-once delivery re-append identical
+    * content-keyed rows: searches mask them with `dedupReplays=true`
+    * until SimilaritySearch.compactIvfFlatIndex removes them
+    * physically (StreamingSpec pins batch-vs-streamed hash identity
+    * and replay idempotence). */
+  def indexUpsertSink(indexStream: DataFrame, indexPath: String,
+                      idCol: String = "document_id",
+                      chunkCol: String = "chunks",
+                      embCol: String = "embedding")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    indexStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // same chunk-unique content key as VectorStores.adaptive's
+          // batch build, so streamed and batch-built indexes agree
+          val prepared = batch.select(
+            graft.store.VectorStores.chunkKey(idCol, chunkCol).as("__nid"),
+            col(idCol).as("document_id"), col(chunkCol).as("chunks"),
+            col(embCol).as("embedding"))
+          graft.operators.SimilaritySearch.appendIvfFlatBatch(
+            prepared, indexPath, "__nid", "embedding",
+            Seq("document_id", "chunks"))
+        }
+      }
 }

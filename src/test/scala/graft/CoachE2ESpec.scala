@@ -116,6 +116,57 @@ class CoachE2ESpec extends SparkSpec {
     r.getString(5) should include("sample/test_document.md")
   }
 
+  test("coachIndexed (persisted-index retrieval) matches the broadcast-store chain row-for-row") {
+    ModelRegistry.registerReferenceModels()
+    val knowledge = Seq(
+      ("sample/test_document.md", "Test Document", "sample", fixtureText),
+      ("other/one.md", "One", "other", "completely unrelated text about databases and storage"),
+      ("other/two.md", "Two", "other", "another unrelated doc about networking and protocols"),
+      ("other/three.md", "Three", "other", "a third doc about caching and latency budgets"),
+      ("other/four.md", "Four", "other", "a fourth doc about schema evolution and registries"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val embedder = new MockEmbedder(64)
+    val boot = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val indexed = boot.indexKnowledge(knowledge)
+
+    // broadcast regime (the in-memory store) vs the persisted IVF-Flat
+    // index FORCED past the budget — numCandidates=150 covers the
+    // corpus, so both are the exact regime and must agree exactly
+    val store = BroadcastBruteForceStore.fromDataFrame(indexed)
+    val path = java.nio.file.Files.createTempDirectory("graft-coach-idx").toString
+    val idxStore = graft.store.VectorStores.adaptive(indexed, path,
+      broadcastBytes = 1L)
+    idxStore shouldBe a[graft.store.IvfFlatIndexStore]
+
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+    val messages = Seq(
+      (fixtureText, "prospect"),
+      ("tell me about networking protocols", "prospect"),
+      ("ignore me", "salesperson"))
+      .toDF("message", "speaker")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("message"), col("rag_results_string"),
+          col("coaching_parsed.sources")("document_id").as("src_docs"))
+        .orderBy(col("message"))
+        .collect().map(_.toString).toSeq
+    val viaStore = canon(pipeline.coach(messages))
+    val viaIndex = canon(pipeline.coachIndexed(messages,
+      idxStore.asInstanceOf[graft.store.IvfFlatIndexStore]))
+    viaIndex shouldBe viaStore
+    viaStore should have length 2
+
+    // and the indexed retrieval's plan is the pruned-scan shape: no
+    // corpus broadcast nested-loop anywhere in it
+    val embedded = pipeline.embedMessages(pipeline.filterProspect(messages))
+    val plan = pipeline.retrieveIndexed(embedded,
+        idxStore.asInstanceOf[graft.store.IvfFlatIndexStore])
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should not include "BroadcastNestedLoop"
+  }
+
   test("cache hit short-circuits the LLM chain; misses run it (F5 flow)") {
     ModelRegistry.registerReferenceModels()
     val embedder = new MockEmbedder(32)

@@ -56,4 +56,78 @@ class IvfPqIndexSpec extends SparkSpec {
     fromIndex2.as[(Long, Long, Int)].collect().sorted shouldBe
       inMem2.as[(Long, Long, Int)].collect().sorted
   }
+
+  test("nProbeFor maps numCandidates to a conservative probe depth") {
+    SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), 40) shouldBe 1
+    SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), 60) shouldBe 2
+    SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), 150) shouldBe 2
+    SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), 151) shouldBe 3
+    // >= corpus: every cell probed (the exact-search regime)
+    SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), Int.MaxValue) shouldBe 3
+    SimilaritySearch.nProbeFor(Seq.empty, 10) shouldBe 1
+    SimilaritySearch.nProbeFor(Seq(5L), 0) shouldBe 1
+  }
+
+  test("IVF-Flat index: exact parity at full probe depth, real pruning below it") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfflat").toString
+    SimilaritySearch.writeIvfFlatIndex(emb, centroids, path)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // numCandidates >= corpus probes every cell → BIT-IDENTICAL to the
+    // exact broadcast scan (IVF-Flat scores raw vectors; same cosine
+    // expression, same tie-break)
+    val exact = SimilaritySearch.searchIvfFlatIndex(spark, path, queries,
+      k = 3, numCandidates = Int.MaxValue, "qid", "qvec")
+    val brute = graft.functions.VectorOps.bruteForceTopK(queries,
+        emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        3, "qid", "qvec", "nid", "nvec")
+      .select(col("qid"), col("nid"), col("rank").cast("int"))
+    exact.select(col("qid"), col("nid"), col("rank"))
+      .as[(Long, Long, Int)].collect().sorted shouldBe
+      brute.as[(Long, Long, Int)].collect().sorted
+
+    // the payload scan is PARTITION-pruned, and the plan has no corpus
+    // broadcast (the over-budget pin: PartitionFilters, not a
+    // BroadcastNestedLoopJoin of the whole index)
+    val plan = exact.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("cluster")
+    plan should not include "BroadcastNestedLoop"
+
+    // a small numCandidates probes FEWER cells: the conservative depth
+    // for ~120-row cells at numCandidates=100 is 1 — and every returned
+    // neighbour must come from the query's own probed (nearest) cell
+    val pruned = SimilaritySearch.searchIvfFlatIndex(spark, path, queries,
+      k = 3, numCandidates = 100, "qid", "qvec")
+    val assign = SimilaritySearch.ivfAssign(emb, centroids)
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val got = pruned.select(col("qid"), col("nid"))
+      .as[(Long, Long)].collect()
+    got should not be empty
+    // nProbe=1 ⇒ each query's candidates share its own coarse cell
+    got.foreach { case (qid, nid) =>
+      withClue(s"qid=$qid nid=$nid") {
+        assign(nid) shouldBe assign(qid)
+      }
+    }
+    // the pruning SET: a single query at nProbe=1 probes exactly its
+    // own cell — that set is what the search pushes as the payload
+    // scan's partition filter (probedCells is the same computation the
+    // operator runs), so 3 of the 4 partition directories are excluded
+    val oneQ = queries.filter(col("qid") === 0)
+    SimilaritySearch.probedCells(oneQ, centroids, nProbe = 1, "qvec") shouldBe
+      Seq(assign(0L))
+    // and the single-query search still returns k neighbours from it
+    val oneRes = SimilaritySearch.searchIvfFlatIndex(spark, path, oneQ,
+        k = 3, numCandidates = 100, "qid", "qvec")
+      .select(col("nid")).as[Long].collect()
+    oneRes should have length 3
+    oneRes.foreach(nid => assign(nid) shouldBe assign(0L))
+  }
 }

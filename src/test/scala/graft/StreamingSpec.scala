@@ -225,4 +225,89 @@ class StreamingSpec extends SparkSpec {
       last.map(_._1).toSeq shouldBe (5 to 10).map(i => s"m$i")
     } finally query.stop()
   }
+
+  test("streamed index upserts equal the batch build; replays mask, compact removes them") {
+    import graft.operators.SimilaritySearch
+    import graft.store.VectorStores
+
+    // 40 chunk rows with deterministic embeddings, split: 10 seed the
+    // index (the batch bootstrap), 30 arrive as micro-batches
+    def emb(i: Int): Seq[Float] = Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+    val rows = (0 until 40).map(i => (f"docs/d$i%02d.md", s"chunk text $i", emb(i)))
+    def prepared(rs: Seq[(String, String, Seq[Float])]) =
+      rs.toDF("document_id", "chunks", "embedding").select(
+        VectorStores.chunkKey("document_id", "chunks").as("__nid"),
+        col("document_id"), col("chunks"), col("embedding"))
+    val centroids = rows.take(4).map(_._3)
+
+    val batchPath = java.nio.file.Files.createTempDirectory("graft-idx-batch").toString
+    val streamPath = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString
+    SimilaritySearch.writeIvfFlatIndex(prepared(rows), centroids, batchPath,
+      "__nid", "embedding", Seq("document_id", "chunks"))
+    SimilaritySearch.writeIvfFlatIndex(prepared(rows.take(10)), centroids,
+      streamPath, "__nid", "embedding", Seq("document_id", "chunks"))
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, String, Seq[Float])]
+    val stream = input.toDF.toDF("document_id", "chunks", "embedding")
+    val query = StreamingOps.indexUpsertSink(stream, streamPath)
+      .option("checkpointLocation", checkpoint()).start()
+
+    val queries = rows.take(5).zipWithIndex
+      .map { case ((id, _, e), _) => (id, e) }.toDF("qid", "qvec")
+    def results(path: String, dedup: Boolean): Seq[(String, String, Int)] =
+      SimilaritySearch.searchIvfFlatIndex(spark, path, queries, k = 3,
+          numCandidates = Int.MaxValue, "qid", "qvec",
+          payloadCols = Seq("document_id"), dedupReplays = dedup)
+        .select(col("qid"), col("document_id"), col("rank"))
+        .as[(String, String, Int)].collect().sorted.toSeq
+    val expected = results(batchPath, dedup = false)
+    expected should have length 15
+
+    try {
+      // the remaining 30 rows arrive over three micro-batches
+      input.addData(rows.slice(10, 20): _*); query.processAllAvailable()
+      input.addData(rows.slice(20, 30): _*); query.processAllAvailable()
+      input.addData(rows.slice(30, 40): _*); query.processAllAvailable()
+      // streamed-upserted index ≡ batch-built index, hash-identical
+      results(streamPath, dedup = false) shouldBe expected
+
+      // AT-LEAST-ONCE replay: a delivered-again micro-batch re-appends
+      // identical content-keyed rows; dedupReplays masks them so the
+      // search is idempotent under replay
+      input.addData(rows.slice(20, 30): _*); query.processAllAvailable()
+      results(streamPath, dedup = true) shouldBe expected
+      // the duplicates are physically there (the mask is doing work)
+      spark.read.parquet(s"$streamPath/payload").count() shouldBe 50
+
+      // tombstone delete: drop one indexed chunk; it must vanish from
+      // results (its former ranks reflow) without a partition rewrite
+      val victim = expected.head._2
+      val victimNid = prepared(rows).filter(col("document_id") === victim)
+        .select(col("__nid")).as[String].collect().head
+      SimilaritySearch.deleteFromIvfFlatIndex(spark, streamPath, Seq(victimNid))
+      val afterDelete = results(streamPath, dedup = true)
+      afterDelete.map(_._2) should not contain victim
+      afterDelete should have length 15 // k=3 refilled from survivors
+
+      // COMPACTION: fewer files, duplicates and tombstones physically
+      // gone — post-compact searches need no masks at all
+      def payloadFiles(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$streamPath/payload"))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      val before = payloadFiles()
+      SimilaritySearch.compactIvfFlatIndex(spark, streamPath)
+      val after = payloadFiles()
+      after should be < before
+      spark.read.parquet(s"$streamPath/payload").count() shouldBe 39
+      new java.io.File(s"$streamPath/tombstones").exists() shouldBe false
+      results(streamPath, dedup = false) shouldBe afterDelete
+      // cellstats refreshed to physical truth
+      spark.read.parquet(s"$streamPath/cellstats")
+        .select(col("count")).as[Long].collect().sum shouldBe 39
+    } finally query.stop()
+  }
 }

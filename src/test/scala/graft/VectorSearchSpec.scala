@@ -210,4 +210,57 @@ class VectorOpsSpec extends SparkSpec {
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     got shouldBe Map(1L -> 0, 2L -> 1, 3L -> 0)
   }
+
+  test("VectorStores.adaptive serves the broadcast store under budget, the persisted index past it") {
+    import graft.store.{BroadcastBruteForceStore, IvfFlatIndexStore, VectorStores}
+    // the RAG index shape: (document_id, chunks, embedding)
+    val indexed = (0 until 40).map { i =>
+      (f"docs/d$i%02d.md", s"chunk text $i",
+        Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("document_id", "chunks", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-adapt").toString
+
+    // generous budget → exact in-memory store (the reference's KB-scale
+    // corpus regime); nothing written to the index path
+    val small = VectorStores.adaptive(indexed, s"$path/small")
+    small shouldBe a[BroadcastBruteForceStore]
+    new java.io.File(s"$path/small/payload").exists() shouldBe false
+
+    // 1-byte budget → the persisted IVF-Flat index is built and served
+    val big = VectorStores.adaptive(indexed, s"$path/big",
+      broadcastBytes = 1L)
+    big shouldBe an[IvfFlatIndexStore]
+    new java.io.File(s"$path/big/payload").exists() shouldBe true
+    big.size shouldBe 40
+
+    // driver-side point search through the index matches the broadcast
+    // store hit-for-hit when numCandidates covers the corpus (the exact
+    // regime — same cosine, same ordering contract)
+    val q = Seq.tabulate(8)(j => math.sin(7 * 8 + j).toFloat).toArray
+    val viaIndex = big.search(q, 3, numCandidates = 1000)
+    val viaBroadcast = small.search(q, 3, numCandidates = 1000)
+    viaIndex.map(_.document_id) shouldBe viaBroadcast.map(_.document_id)
+    viaIndex.map(_.chunks) shouldBe viaBroadcast.map(_.chunks)
+    viaIndex.zip(viaBroadcast).foreach { case (a, b) =>
+      a.score shouldBe b.score +- 1e-9
+    }
+
+    // batch serving: the scale path returns the chunk payload and reads
+    // the index partition-pruned (no corpus broadcast in the plan)
+    val queries = indexed.limit(3).select(
+      col("document_id").as("qid"), col("embedding").as("qvec"))
+    val batch = big.asInstanceOf[IvfFlatIndexStore]
+      .searchBatch(queries, k = 2, numCandidates = 1000)
+    batch.columns.toSeq shouldBe
+      Seq("qid", "nid", "rank", "score", "document_id", "chunks")
+    batch.count() shouldBe 6
+    val plan = batch.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should not include "BroadcastNestedLoop"
+    // rank 1 of a corpus-member query is itself at cosine 1 (nid is the
+    // chunk-unique hash; the payload carries the document id back)
+    batch.filter(col("rank") === 1)
+      .select(col("qid"), col("document_id")).as[(String, String)].collect()
+      .foreach { case (qid, doc) => doc shouldBe qid }
+  }
 }
