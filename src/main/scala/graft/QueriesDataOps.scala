@@ -2483,6 +2483,29 @@ object QueriesDataOps {
              CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height
       FROM f ORDER BY media_id, frame_idx""")),
 
+    ("mm_mp4_frame_decode", (s, dir) => {
+      // REAL MP4 (ISO-BMFF) demux end-to-end: box walk + sample-table
+      // reconstruction (stsz sizes × stsc runs × stco chunk offsets)
+      // + per-sample JPEG decode, through the magic-byte AutoVideoDemux
+      // dispatch. Same frame laws as mm_avi_frame_decode — frame k of
+      // video id is (videoWidth(id)+k) × videoHeight(id) — so the same
+      // oracle arithmetic pins frame ORDER and dims for the third
+      // container; a walk that misreads a table decodes wrong-sized,
+      // missing, or misordered frames and cannot hash-match.
+      val media = Multimodal.withSyntheticMp4Videos(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withVideoFrames(media)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_width"), col("frame_height"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS i
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             CAST(8 + doc_id % 5 + i AS INT) AS frame_width,
+             CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height
+      FROM f ORDER BY media_id, frame_idx""")),
+
     ("mm_video_neardup", (s, dir) => {
       // video NEAR-dup via per-frame perceptual hashes: demux (real GIF),
       // dHash each frame, build a per-video signature over the ORDERED

@@ -67,7 +67,7 @@ object SparkEntry {
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
     "curate_split", "curate_shuffle_shard",
     "mm_metadata", "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
-    "mm_video_neardup",
+    "mm_mp4_frame_decode", "mm_video_neardup",
     // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)
     // are exactly the per-row costs that dominate a multimodal scan at
     // scale — benched so a codec regression shows in the book

@@ -717,10 +717,145 @@ object Multimodal {
     }
   }
 
+  /** Real MJPEG-in-MP4 demux, pure JDK: MP4 is an ISO-BMFF box tree
+    * (big-endian size+fourcc headers) whose `moov` carries per-track
+    * sample TABLES — `stsz` (sample sizes), `stsc` (samples-per-chunk
+    * runs), `stco`/`co64` (absolute chunk offsets) — that locate each
+    * sample inside `mdat` without any sample-level framing. For a
+    * 'jpeg'-coded video track every sample is a standalone JPEG, so
+    * reconstructing the offset list from the tables and handing each
+    * slice to ImageIO decodes the third real container with no external
+    * codec (ISO/IEC 14496-12 §8.5-8.7 layout). Corpus policy as ever:
+    * malformed boxes, truncated `mdat`, or an undecodable sample yield
+    * only the frames that did decode — zero for garbage input.
+    *
+    * Structure walk is non-recursive: each level (file → moov → trak →
+    * mdia → minf → stbl) is one flat bounded scan, so nesting depth is
+    * a compile-time constant and crafted deep nesting cannot touch the
+    * task stack. 64-bit `largesize` headers and `co64` offsets are
+    * honored; `size==0` (box-to-EOF, the live-capture placeholder) and
+    * a truncated final box clamp to the payload end instead of
+    * throwing. */
+  object Mp4VideoDemux extends VideoDemux {
+    /** Scan one box level in [from, to): returns (type, bodyStart,
+      * bodyEnd) triples in container order; corrupt headers end the
+      * scan (quarantine, don't throw). */
+    private def boxes(bytes: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var pos = from
+      var walking = true
+      while (walking && pos + 8 <= to) {
+        val size32 = bb.getInt(pos).toLong & 0xffffffffL
+        val id = new String(bytes, pos + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var bodyStart = pos + 8L
+        val boxEnd: Long =
+          if (size32 == 0) to.toLong // box extends to end of range
+          else if (size32 == 1) { // 64-bit largesize follows the fourcc
+            if (pos + 16 > to) { walking = false; to.toLong }
+            else { bodyStart = pos + 16L; pos + bb.getLong(pos + 8) }
+          } else pos + size32
+        if (!walking || boxEnd < bodyStart) walking = false
+        else {
+          // truncated writer: clamp the FINAL box to the payload end so
+          // tables/frames before the cut still parse
+          val end = math.min(boxEnd, to.toLong).toInt
+          out += ((id, bodyStart.toInt, end))
+          if (boxEnd >= to) walking = false else pos = boxEnd.toInt
+        }
+      }
+      out.result()
+    }
+    private def box(bs: Seq[(String, Int, Int)], id: String): Option[(Int, Int)] =
+      bs.collectFirst { case (`id`, s, e) => (s, e) }
+
+    override def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length < 16) return Array.empty
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val top = boxes(bytes, 0, bytes.length)
+      if (box(top, "ftyp").isEmpty) return Array.empty
+      val frames = Array.newBuilder[java.awt.image.BufferedImage]
+      for {
+        (moovS, moovE) <- box(top, "moov").toSeq
+        (trakS, trakE) <- boxes(bytes, moovS, moovE).collect { case ("trak", s, e) => (s, e) }
+        trak = boxes(bytes, trakS, trakE)
+        (mdiaS, mdiaE) <- box(trak, "mdia").toSeq
+        mdia = boxes(bytes, mdiaS, mdiaE)
+        // video tracks only: hdlr.handler_type at FullBox body + 4
+        (hS, hE) <- box(mdia, "hdlr").toSeq
+        if hE - hS >= 12 && new String(bytes, hS + 8, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+        (minfS, minfE) <- box(mdia, "minf").toSeq
+        (stblS, stblE) <- box(boxes(bytes, minfS, minfE), "stbl").toSeq
+        stbl = boxes(bytes, stblS, stblE)
+        // stsz v0: fullbox(4) uniform_size(4) sample_count(4) [sizes]
+        (szS, szE) <- box(stbl, "stsz").toSeq
+        if szE - szS >= 12
+        (scS, scE) <- box(stbl, "stsc").toSeq
+        nSamples = bb.getInt(szS + 8)
+        // a declared count beyond any possible sample payload is corrupt
+        if nSamples >= 0 && nSamples <= bytes.length / 2 + 1
+      } {
+        val uniform = bb.getInt(szS + 4)
+        def sampleSize(i: Int): Int =
+          if (uniform != 0) uniform
+          else if (szS + 12 + 4 * i + 4 <= szE) bb.getInt(szS + 12 + 4 * i)
+          else -1
+        // stco v0 (32-bit) / co64 (64-bit): chunk_count then offsets
+        val chunkOffsets: IndexedSeq[Long] = box(stbl, "stco") match {
+          case Some((s, e)) if e - s >= 8 =>
+            val n = math.min(bb.getInt(s + 4).toLong, (e - s - 8) / 4L).toInt
+            (0 until math.max(0, n)).map(i => bb.getInt(s + 8 + 4 * i).toLong & 0xffffffffL)
+          case _ => box(stbl, "co64") match {
+            case Some((s, e)) if e - s >= 8 =>
+              val n = math.min(bb.getInt(s + 4).toLong, (e - s - 8) / 8L).toInt
+              (0 until math.max(0, n)).map(i => bb.getLong(s + 8 + 8 * i))
+            case _ => IndexedSeq.empty
+          }
+        }
+        // stsc v0 runs: (first_chunk, samples_per_chunk, sdi); a run
+        // covers chunks up to the next run's first_chunk
+        val nRuns = if (scE - scS >= 8) bb.getInt(scS + 4) else 0
+        val runs = (0 until math.max(0, nRuns))
+          .filter(i => scS + 8 + 12 * i + 12 <= scE)
+          .map { i =>
+            val o = scS + 8 + 12 * i
+            (bb.getInt(o), bb.getInt(o + 4)) // (first_chunk, spc)
+          }
+          .filter { case (fc, spc) => fc >= 1 && spc >= 1 }
+        var sample = 0
+        var run = 0
+        var chunk = 1 // 1-based, per spec
+        while (chunk <= chunkOffsets.length && sample < nSamples && runs.nonEmpty) {
+          while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+          val spc = runs(run)._2
+          var off = chunkOffsets(chunk - 1)
+          var s = 0
+          while (s < spc && sample < nSamples) {
+            val size = sampleSize(sample)
+            if (size > 0 && off >= 0 && off + size <= bytes.length) {
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, off.toInt, size))
+                if (img != null) frames += img
+              } catch { case _: java.io.IOException | _: RuntimeException => }
+            }
+            if (size > 0) off += size
+            sample += 1; s += 1
+          }
+          chunk += 1
+        }
+      }
+      frames.result()
+    }
+  }
+
   /** Container dispatch by magic bytes — the default demux for the frame
     * stages: GIF87a/GIF89a → imageio sequence reader, RIFF/AVI → MJPEG
-    * chunk demux, anything else → quarantine. One place to extend when a
-    * deployment plugs in real MP4/WebM codecs. */
+    * chunk demux, ftyp-led ISO-BMFF → MP4 sample-table demux, anything
+    * else → quarantine. One place to extend when a deployment plugs in
+    * further codecs (WebM/Matroska is the remaining gap). */
   object AutoVideoDemux extends VideoDemux {
     private def startsWith(bytes: Array[Byte], s: String, off: Int = 0): Boolean =
       bytes.length >= off + s.length &&
@@ -730,6 +865,7 @@ object Multimodal {
       else if (startsWith(bytes, "GIF8")) GifVideoDemux.demuxFrames(bytes)
       else if (startsWith(bytes, "RIFF") && startsWith(bytes, "AVI ", 8))
         MjpegAviVideoDemux.demuxFrames(bytes)
+      else if (startsWith(bytes, "ftyp", 4)) Mp4VideoDemux.demuxFrames(bytes)
       else UnsupportedVideoDemux.demuxFrames(bytes)
     }
   }
@@ -825,6 +961,122 @@ object Multimodal {
       }
       val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
       chunk("RIFF", body)
+    }
+
+    /** Minimal spec-correct MP4 (ISO-BMFF) writer with a 'jpeg'-coded
+      * video track — the test harness for [[Mp4VideoDemux]], and proof
+      * the sample-table layout it parses is the real one (ISO/IEC
+      * 14496-12: ftyp + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr('vide'),
+      * minf{vmhd, dinf/dref/url, stbl{stsd('jpeg'), stts, stsc, stsz,
+      * stco}}}}} + mdat). Faststart layout (moov BEFORE mdat — the
+      * progressive-streaming form): stco offsets depend on moov's own
+      * size, so the moov is built twice — once with placeholder offsets
+      * to fix the size, then with the real ones (same entry counts ⇒
+      * identical size; asserted). Samples pack two-per-chunk (odd tail
+      * chunk of one), so the stsc RUN table is exercised, not just a
+      * degenerate one-sample-per-chunk form. Frames JPEG-encode through
+      * the JDK writer; per-frame dims are legal ('jpeg' samples are
+      * independent codestreams, like MJPEG-AVI). */
+    def encodeMjpegMp4(frames: Seq[java.awt.image.BufferedImage],
+                       fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "encodeMjpegMp4: need at least one frame")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val jpegs = frames.map { f =>
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", baos)
+        baos.toByteArray
+      }
+      val n = jpegs.length
+      def boxOf(id: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian
+        bb.putInt(8 + body.length).put(id.getBytes("US-ASCII")).put(body)
+        bb.array()
+      }
+      def full(id: String, versionFlags: Int, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+        bb.putInt(versionFlags).put(body)
+        boxOf(id, bb.array())
+      }
+      // fixed-layout boxes fit 1 KiB; the per-sample tables (stsz/stsc/
+      // stco) size to their entry counts below
+      def beCap(cap: Int)(parts: (java.nio.ByteBuffer => Unit)*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(cap)
+        parts.foreach(_(bb))
+        java.util.Arrays.copyOf(bb.array(), bb.position())
+      }
+      def be(parts: (java.nio.ByteBuffer => Unit)*): Array[Byte] =
+        beCap(1 << 10)(parts: _*)
+      val timescale = 1000
+      val duration = n * timescale / fps
+      val ftyp = boxOf("ftyp", be(
+        _.put("isom".getBytes("US-ASCII")), _.putInt(0x200),
+        _.put("isommp42".getBytes("US-ASCII"))))
+      val mvhd = full("mvhd", 0, be(_.putInt(0), _.putInt(0),
+        _.putInt(timescale), _.putInt(duration), _.putInt(0x00010000),
+        _.putShort(0x0100.toShort), _.putShort(0), _.putLong(0),
+        // identity transform matrix + 6 predefined zero DWORDs
+        _.putInt(0x00010000), _.putInt(0), _.putInt(0),
+        _.putInt(0), _.putInt(0x00010000), _.putInt(0),
+        _.putInt(0), _.putInt(0), _.putInt(0x40000000),
+        b => (1 to 6).foreach(_ => b.putInt(0)), _.putInt(2)))
+      val tkhd = full("tkhd", 3, be(_.putInt(0), _.putInt(0), // enabled|in-movie
+        _.putInt(1), _.putInt(0), _.putInt(duration), _.putLong(0),
+        _.putShort(0), _.putShort(0), _.putShort(0), _.putShort(0),
+        _.putInt(0x00010000), _.putInt(0), _.putInt(0),
+        _.putInt(0), _.putInt(0x00010000), _.putInt(0),
+        _.putInt(0), _.putInt(0), _.putInt(0x40000000),
+        _.putInt(w << 16), _.putInt(h << 16))) // 16.16 fixed
+      val mdhd = full("mdhd", 0, be(_.putInt(0), _.putInt(0),
+        _.putInt(timescale), _.putInt(duration),
+        _.putShort(0x55c4.toShort), _.putShort(0))) // language 'und'
+      val hdlr = full("hdlr", 0, be(_.putInt(0),
+        _.put("vide".getBytes("US-ASCII")), b => (1 to 3).foreach(_ => b.putInt(0)),
+        _.put("graft".getBytes("US-ASCII")), _.put(0.toByte)))
+      val vmhd = full("vmhd", 1, be(_.putShort(0), b => (1 to 3).foreach(_ => b.putShort(0))))
+      val dinf = boxOf("dinf", full("dref", 0,
+        be(_.putInt(1)) ++ full("url ", 1, Array.emptyByteArray)))
+      val stsd = full("stsd", 0, be(_.putInt(1)) ++ boxOf("jpeg", be(
+        b => (1 to 3).foreach(_ => b.putShort(0)), _.putShort(1), // dref index 1
+        b => (1 to 4).foreach(_ => b.putInt(0)), // pre_defined/reserved
+        _.putShort(w.toShort), _.putShort(h.toShort),
+        _.putInt(0x00480000), _.putInt(0x00480000), _.putInt(0), _.putShort(1),
+        b => (1 to 8).foreach(_ => b.putInt(0)), // compressorname (32 bytes)
+        _.putShort(0x0018.toShort), _.putShort(0xffff.toShort))))
+      val stts = full("stts", 0, be(_.putInt(1), _.putInt(n),
+        _.putInt(timescale / fps)))
+      // two samples per chunk, odd tail chunk of one — a real stsc run
+      val nChunks = (n + 1) / 2
+      val stsc = full("stsc", 0, {
+        val runs = if (n == 1) Seq((1, 1)) else if (n % 2 == 0) Seq((1, 2))
+          else Seq((1, 2), (nChunks, 1))
+        be(_.putInt(runs.length),
+          b => runs.foreach { case (fc, spc) =>
+            b.putInt(fc); b.putInt(spc); b.putInt(1)
+          })
+      })
+      val stsz = full("stsz", 0, beCap(8 + 4 * n)(_.putInt(0), _.putInt(n),
+        b => jpegs.foreach(j => b.putInt(j.length))))
+      def stcoOf(offsets: Seq[Long]): Array[Byte] = full("stco", 0,
+        beCap(4 + 4 * offsets.length)(_.putInt(offsets.length),
+          b => offsets.foreach(o => b.putInt(o.toInt))))
+      def moovOf(stco: Array[Byte]): Array[Byte] = {
+        val stbl = boxOf("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+        val minf = boxOf("minf", vmhd ++ dinf ++ stbl)
+        val mdia = boxOf("mdia", mdhd ++ hdlr ++ minf)
+        boxOf("moov", mvhd ++ boxOf("trak", tkhd ++ mdia))
+      }
+      val sizer = moovOf(stcoOf(Seq.fill(nChunks)(0L)))
+      // chunk c (0-based) starts at the cumulative size of samples 0..2c
+      val mdatData = Array.concat(jpegs: _*)
+      val base = ftyp.length + sizer.length + 8L // + mdat header
+      val chunkOffsets = (0 until nChunks).map { c =>
+        base + jpegs.take(2 * c).map(_.length.toLong).sum
+      }
+      val moov = moovOf(stcoOf(chunkOffsets))
+      assert(moov.length == sizer.length,
+        "encodeMjpegMp4: moov size changed between offset passes")
+      ftyp ++ moov ++ boxOf("mdat", mdatData)
     }
 
     def decodeFrames(bytes: Array[Byte],
@@ -934,6 +1186,50 @@ object Multimodal {
           img
         }
         Row(id, VideoCodec.encodeMjpegAvi(frames), "video", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Harness generator for the MP4 path: media rows whose `content` is a
+    * REAL ISO-BMFF MP4 with a 'jpeg'-coded track. Same laws as
+    * [[withSyntheticAviVideos]] (frame k is (videoWidth(id)+k) ×
+    * videoHeight(id)) so the SAME oracle arithmetic pins frame order and
+    * dims for the third container — and a demux that mixes up the
+    * stsc/stco tables decodes wrong-sized or missing frames and cannot
+    * hash-match. Partition-local map, no shuffle. */
+  def withSyntheticMp4Videos(df: DataFrame, idCol: String,
+                             sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val h = videoHeight(id)
+        val frames = Seq.tabulate(videoFrameCount(id)) { k =>
+          val w = videoWidth(id) + k
+          val g = videoFrameGray(id, k)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+            y += 1
+          }
+          img
+        }
+        Row(id, VideoCodec.encodeMjpegMp4(frames), "video", r.getString(1))
       }
     }(Encoders.row(schema))
     encoded.select(

@@ -21,6 +21,11 @@ trait VectorStore extends Serializable {
     * exact stores may ignore it. */
   def search(query: Array[Float], k: Int, numCandidates: Int = 150): Seq[SearchHit]
   def size: Int
+  /** The store's own recall default, used by call sites that take no
+    * explicit numCandidates (the SQL `vector_search` 3-arg form) — the
+    * reference's index-level numCandidates knob
+    * (generate_personalized_commands.sh:304). */
+  def defaultNumCandidates: Int = 150
 }
 
 /** Named-store catalog — the analog of the reference's external-table
@@ -37,6 +42,9 @@ object VectorStoreRegistry {
   def register(name: String, s: VectorStore): Unit = stores.put(name, s)
   def get(name: String): VectorStore =
     stores.getOrElse(name, sys.error(s"unknown vector store '$name'"))
+  /** Non-throwing form for planner rules that probe whether a name is
+    * registered (and as what) without committing to resolution. */
+  def lookup(name: String): Option[VectorStore] = stores.get(name)
   def clear(): Unit = stores.clear()
 }
 
@@ -121,7 +129,8 @@ object BroadcastBruteForceStore {
   * across chunks) and carries (document_id, chunks) as payload; `score`
   * is the exact cosine (IVF-Flat scores raw vectors — no quantization
   * error inside probed cells). */
-final class IvfFlatIndexStore(spark: SparkSession, path: String)
+final class IvfFlatIndexStore(spark: SparkSession, path: String,
+                              override val defaultNumCandidates: Int = 150)
     extends VectorStore {
 
   override lazy val size: Int = {

@@ -368,12 +368,102 @@ class MultimodalSpec extends SparkSpec {
     frames.head.meanLum shouldBe 77.0 +- 3.0
   }
 
+  test("MP4: real ISO-BMFF round-trip, auto-dispatch, quarantine, truncation") {
+    import Multimodal.{AutoVideoDemux, GifVideoDemux, MjpegAviVideoDemux, Mp4VideoDemux, VideoCodec}
+    val mp4 = VideoCodec.encodeMjpegMp4(
+      Seq(gray(217, 12, 10), gray(14, 12, 10), gray(67, 12, 10)))
+    new String(mp4, 4, 4, "US-ASCII") shouldBe "ftyp"
+    val frames = VideoCodec.decodeFrames(mp4, Mp4VideoDemux)
+    frames should have length 3
+    frames.map(f => (f.width, f.height)).distinct.toSeq shouldBe Seq((12, 10))
+    // constant-gray JPEG samples: mean luminance within quantization error
+    frames.map(_.meanLum).zip(Seq(217.0, 14.0, 67.0)).foreach {
+      case (got, want) => got shouldBe want +- 3.0
+    }
+    // auto-dispatch demuxes all three real containers from one entry point
+    VideoCodec.decodeFrames(mp4, AutoVideoDemux) should have length 3
+    // cross-wiring yields zero frames (no misdecodes), as does garbage
+    val gif = VideoCodec.encodeGif(Seq(gray(100, 7, 7)))
+    Mp4VideoDemux.demuxFrames(gif) shouldBe empty
+    Mp4VideoDemux.demuxFrames(
+      VideoCodec.encodeMjpegAvi(Seq(gray(1, 8, 8)))) shouldBe empty
+    GifVideoDemux.demuxFrames(mp4) shouldBe empty
+    MjpegAviVideoDemux.demuxFrames(mp4) shouldBe empty
+    Mp4VideoDemux.demuxFrames("ftypjunk".getBytes) shouldBe empty
+    Mp4VideoDemux.demuxFrames(Array.fill[Byte](64)(0x41)) shouldBe empty
+    // faststart layout (moov before mdat): a tail-truncated file keeps
+    // every sample before the cut — here the 5 cut bytes damage only the
+    // final sample, so exactly 2 of 3 frames decode
+    val tailCut = java.util.Arrays.copyOf(mp4, mp4.length - 5)
+    Mp4VideoDemux.demuxFrames(tailCut) should have length 2
+    // a cut INSIDE moov loses the sample tables → quarantine, no throw
+    Mp4VideoDemux.demuxFrames(java.util.Arrays.copyOf(mp4, 60)) shouldBe empty
+  }
+
+  test("MP4 demux honors placeholder (to-EOF) sizes, 64-bit largesize, and absurd sample counts") {
+    import Multimodal.{Mp4VideoDemux, VideoCodec}
+    val full = VideoCodec.encodeMjpegMp4(Seq(gray(30, 8, 8), gray(90, 8, 8)))
+    def fourccAt(bytes: Array[Byte], id: String): Int = {
+      val pat = id.getBytes("US-ASCII")
+      (0 to bytes.length - 4).find(i => pat.indices.forall(j =>
+        bytes(i + j) == pat(j))).getOrElse(fail(s"no $id box in fixture"))
+    }
+    // live-capture placeholder: mdat (the LAST top-level box) declares
+    // size 0 = "to EOF"; both frames must still decode
+    val eofSized = full.clone()
+    java.nio.ByteBuffer.wrap(eofSized).putInt(fourccAt(eofSized, "mdat") - 4, 0)
+    VideoCodec.decodeFrames(eofSized, Mp4VideoDemux) should have length 2
+    // 64-bit form: rewrite mdat's header as size==1 + largesize (body
+    // shifts +8, so every stco chunk offset is patched to match)
+    val mdatFour = fourccAt(full, "mdat")
+    val bb = java.nio.ByteBuffer.wrap(full)
+    val mdatSize = bb.getInt(mdatFour - 4)
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(full, 0, mdatFour - 4)
+    val hdr = java.nio.ByteBuffer.allocate(16)
+    hdr.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(mdatSize.toLong + 8)
+    big.write(hdr.array())
+    big.write(full, mdatFour + 4, full.length - mdatFour - 4)
+    val shifted = big.toByteArray
+    val stco = fourccAt(shifted, "stco")
+    val sb = java.nio.ByteBuffer.wrap(shifted)
+    val nChunks = sb.getInt(stco + 8)
+    (0 until nChunks).foreach { c =>
+      sb.putInt(stco + 12 + 4 * c, sb.getInt(stco + 12 + 4 * c) + 8)
+    }
+    VideoCodec.decodeFrames(shifted, Mp4VideoDemux) should have length 2
+    // a crafted stsz declaring 2^31-ish samples must quarantine cheaply
+    // (no allocation proportional to the declared count, no throw)
+    val absurd = full.clone()
+    java.nio.ByteBuffer.wrap(absurd)
+      .putInt(fourccAt(absurd, "stsz") + 12, Int.MaxValue)
+    Mp4VideoDemux.demuxFrames(absurd) shouldBe empty
+  }
+
+  test("synthetic MP4s round-trip the AVI frame laws through a real demux") {
+    import Multimodal._
+    val docs = Seq((0L, "s"), (7L, "s"), (98L, "s")).toDF("id", "src")
+    val got = Multimodal.withVideoFrames(
+        Multimodal.withSyntheticMp4Videos(docs, "id", "src"))
+      .select("media_id", "frame_idx", "frame_width", "frame_height")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      rows should have length videoFrameCount(id)
+      rows.zipWithIndex.foreach { case ((_, idx, w, h), k) =>
+        idx shouldBe k
+        w shouldBe videoWidth(id) + k // k-dependent width pins frame order
+        h shouldBe videoHeight(id)
+      }
+    }
+  }
+
   test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
     import Multimodal._
     val rows = Seq(
       (1L, VideoCodec.encodeGif(Seq(gray(10, 8, 8), gray(20, 8, 8))), "video", "s"),
       (2L, VideoCodec.encodeMjpegAvi(Seq(gray(30, 8, 8), gray(40, 8, 8),
-        gray(50, 8, 8))), "video", "s"))
+        gray(50, 8, 8))), "video", "s"),
+      (3L, VideoCodec.encodeMjpegMp4(Seq(gray(60, 8, 8))), "video", "s"))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(
         r._1, r._2, r._3,
@@ -381,7 +471,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaSchema)
     val got = Multimodal.withVideoFrames(media)
       .select("media_id", "frame_idx").as[(Long, Int)].collect().sorted.toSeq
-    got shouldBe Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2))
+    got shouldBe Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2), (3L, 0))
   }
 
   test("withVideoFrames demuxes synthetic GIFs distributed, batch-invariant") {
