@@ -676,6 +676,45 @@ object Queries {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    ("rag_vector_topk_sql", (s, dir) => {
+      // M4/J3 spelled ENTIRELY in SQL against the same oracle as
+      // rag_vector_topk: CREATE VECTOR INDEX builds + registers the
+      // persisted IVF-Flat index (GraftSqlParser DDL), then the lateral
+      // vector_search over it is served by IndexedVectorSearchRule as a
+      // partition-pruned join — the per-row generator never evaluates
+      // (SqlSurfaceSpec pins the plan shape). num_candidates ≥ corpus →
+      // exact regime, so hash parity with the brute-force oracle is
+      // structural, exactly like rag_vector_topk_indexed.
+      val emb = T(s, dir, "embeddings")
+      emb.select(col("vec_id").cast("string").as("document_id"),
+          col("vec_id").cast("string").as("chunks"), col("embedding"))
+        .createOrReplaceTempView("rag_sql_corpus")
+      val path = graft.core.TempRoots.scratch(
+        s"svi-rag-${dir.replaceAll("[^0-9a-zA-Z]", "")}")
+      s.sql(s"""CREATE VECTOR INDEX rag_sql_idx ON rag_sql_corpus (embedding)
+                WITH ('path' = '$path', 'cells' = '4',
+                      'num_candidates' = '1000000000')""")
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .createOrReplaceTempView("rag_sql_queries")
+      s.sql("""SELECT qid, CAST(vs.document_id AS BIGINT) AS nid, vs.rank
+               FROM rag_sql_queries
+               LATERAL VIEW vector_search('rag_sql_idx', 3, embedding) vs
+                 AS rank, document_id, chunks, score
+               ORDER BY qid, rank""")
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid ASC) AS rank
+        FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
     ("rag_prompt_assembly", (s, dir) => {
       // E1-E5: exactly-3 rag array of named structs (1-based element_at)
       // fed into the reference's CONCAT prompt; docs i, i+1, i+2 stand in

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchGenerator, WinnowGenerator}
+import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, IndexedVectorSearchRule, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchGenerator, WinnowGenerator}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -41,9 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // CREATE MODEL / CREATE CONNECTION DDL (GraftSqlParser); every other
-    // statement passes through to the delegate Spark parser untouched
+    // CREATE MODEL / CONNECTION / VECTOR INDEX DDL (GraftSqlParser);
+    // every other statement passes through to the delegate Spark parser
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // serve lateral vector_search over a PERSISTED index as a
+    // partition-pruned join instead of per-row evaluation (which would
+    // launch a Spark job inside each task) — see IndexedVectorSearchRule
+    ext.injectPostHocResolutionRule(IndexedVectorSearchRule)
     ext.injectFunction((
       new FunctionIdentifier("split_text_gen"),
       new ExpressionInfo(classOf[SplitTextGenerator].getName, "split_text_gen"),
@@ -113,17 +117,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // the reference's LATERAL TABLE(VECTOR_SEARCH(table, k,
     // DESCRIPTOR(embedding), qe.embedding)) — store resolved by name,
-    // one (rank, document_id, chunks, score) row per hit
+    // one (rank, document_id, chunks, score) row per hit; the optional
+    // 4th argument is the numCandidates recall knob (defaults to the
+    // store's registered value)
     ext.injectFunction((
       new FunctionIdentifier("vector_search"),
       new ExpressionInfo(classOf[VectorSearchGenerator].getName, "vector_search"),
       (children: Seq[Expression]) => {
-        require(children.length == 3,
-          "vector_search(store, k, query_embedding) takes 3 arguments")
+        require(children.length == 3 || children.length == 4,
+          "vector_search(store, k, query_embedding[, num_candidates]) " +
+            "takes 3-4 arguments")
         VectorSearchGenerator(
           literalArg("vector_search", children, 0, "store", _.toString),
           literalArg("vector_search", children, 1, "k", _.toString.toInt),
-          children(2))
+          children(2),
+          if (children.length < 4) None
+          else Some(literalArg("vector_search", children, 3,
+            "num_candidates", _.toString.toInt)))
       }))
   }
 }

@@ -73,7 +73,9 @@ private[core] object GraftDdl {
   import org.apache.spark.sql.catalyst.trees.Origin
 
   private val Head =
-    "(?is)^CREATE\\s+(MODEL|CONNECTION)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
+    "(?is)^CREATE\\s+(MODEL|CONNECTION|VECTOR\\s+INDEX)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
+  private val OnClause =
+    "(?is)^ON\\s+(`[^`]+`|[\\w.$-]+)\\s*\\(\\s*(`[^`]+`|[\\w.$-]+)\\s*\\)(.*)$".r
 
   /** Drop leading whitespace, `-- line` and `/* block */` comments — a
     * commented CREATE MODEL must still reach the recognizer (standard
@@ -98,22 +100,48 @@ private[core] object GraftDdl {
   }
 
   def parse(sql: String): Option[LogicalPlan] = stripLeadingTrivia(sql) match {
-    case Head(kind, rawName, rest) =>
+    case Head(kind0, rawName, rest) =>
+      val kind = kind0.toUpperCase.replaceAll("\\s+", " ")
       val name = rawName.stripPrefix("`").stripSuffix("`")
-      val stmt = s"CREATE ${kind.toUpperCase} $name"
+      val stmt = s"CREATE $kind $name"
       // recognized-as-ours but malformed → ParseException, not the
       // scanner's bare IllegalArgumentException/RuntimeException
-      val opts =
-        try parseClauses(stmt, rest)
+      def guarded[T](f: => T): T =
+        try f
         catch {
           case e: ParseException => throw e
           case scala.util.control.NonFatal(e) =>
             throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
-              Map("error" -> s"'${kind.toUpperCase}'",
+              Map("error" -> s"'$kind'",
                   "hint" -> s": ${e.getMessage}"))
         }
-      if (kind.equalsIgnoreCase("MODEL")) Some(CreateModelCommand(name, opts))
-      else Some(CreateConnectionCommand(name, opts))
+      if (kind == "VECTOR INDEX") Some(guarded {
+        // CREATE VECTOR INDEX idx ON table (vector_col) WITH (...)
+        rest.trim match {
+          case OnClause(rawTbl, rawCol, rest2) =>
+            val (opts, after) = {
+              var r = rest2.trim
+              require(r.length >= 4 && r.substring(0, 4).equalsIgnoreCase("WITH"),
+                s"$stmt: expected WITH ('key' = 'value', ...) options clause")
+              r = r.substring(4).trim
+              require(r.startsWith("("), s"$stmt: WITH must be followed by (...)")
+              parsePairs(stmt, r)
+            }
+            val tail = after.trim.stripSuffix(";").trim
+            require(tail.isEmpty,
+              s"$stmt: unexpected trailing input '${tail.take(40)}'")
+            CreateVectorIndexCommand(name,
+              rawTbl.stripPrefix("`").stripSuffix("`"),
+              rawCol.stripPrefix("`").stripSuffix("`"), opts)
+          case _ => sys.error(
+            s"$stmt: expected ON <table> (<vector_column>) before WITH")
+        }
+      })
+      else {
+        val opts = guarded(parseClauses(stmt, rest))
+        if (kind == "MODEL") Some(CreateModelCommand(name, opts))
+        else Some(CreateConnectionCommand(name, opts))
+      }
     case _ => None
   }
 
@@ -243,6 +271,64 @@ case class CreateConnectionCommand(name: String, options: Map[String, String])
       apiKey = options.getOrElse("api-key", ""),
       username = options.getOrElse("username", ""),
       password = options.getOrElse("password", "")))
+    Seq.empty
+  }
+}
+
+/** `CREATE VECTOR INDEX idx ON tbl (emb_col) WITH ('path' = ...)` — the
+  * SQL spelling of the persisted IVF-Flat index build
+  * (operators.SimilaritySearch.writeIvfFlatIndex), so a pure-SQL user
+  * reaches the scale-ready index the way they reach CREATE
+  * MODEL/CONNECTION — the analog of provisioning the reference's
+  * EXTERNAL Atlas vector index (terraform main.tf:649-669) next to its
+  * CREATE MODEL DDL. Build mirrors VectorStores.adaptive exactly (same
+  * chunk-unique nid, same first-`cells`-vectors seed centroids), writes
+  * with overwrite (re-running = rebuild, CREATE-OR-REPLACE semantics),
+  * and registers an [[graft.store.IvfFlatIndexStore]] under the index
+  * name — after which `LATERAL VIEW vector_search('idx', k, emb)`
+  * serves from the index as a partition-pruned join
+  * ([[org.apache.spark.sql.graft.IndexedVectorSearchRule]]).
+  *
+  * Options: 'path' (required — index root on shared storage),
+  * 'id_col' / 'chunk_col' (payload columns, default
+  * document_id/chunks), 'cells' (coarse cell count, default 4),
+  * 'num_candidates' (the index's default recall knob, default 150). */
+case class CreateVectorIndexCommand(name: String, table: String,
+    vectorCol: String, options: Map[String, String])
+    extends LeafRunnableCommand {
+  override def stringArgs: Iterator[Any] =
+    Iterator(name, table, vectorCol, GraftDdlRedact(options))
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val path = options.getOrElse("path",
+      sys.error(s"CREATE VECTOR INDEX $name: missing required option 'path'"))
+    val idCol = options.getOrElse("id_col", "document_id")
+    val chunkCol = options.getOrElse("chunk_col", "chunks")
+    val nCells = options.getOrElse("cells", "4").toInt
+    val numCandidates = options.getOrElse("num_candidates", "150").toInt
+    val df = session.table(table)
+    // deterministic seed cells: first nCells vectors by id (the
+    // data-derived convention VectorStores.adaptive and the ANN
+    // operators share) — a bounded nCells×dim driver transfer
+    val centroids = df.select(col(idCol), col(vectorCol))
+      .orderBy(col(idCol)).limit(nCells).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    require(centroids.nonEmpty,
+      s"CREATE VECTOR INDEX $name: source table '$table' is empty")
+    // payload columns cast to STRING: the vector_search/SearchHit
+    // contract types document_id and chunks as strings, and a LONG id
+    // column must not leak a mistyped attribute through the lateral
+    // rewrite's schema
+    val prepared = df.select(
+      graft.store.VectorStores.chunkKey(idCol, chunkCol).as("__nid"),
+      col(idCol).cast("string").as("document_id"),
+      col(chunkCol).cast("string").as("chunks"),
+      col(vectorCol).as("embedding"))
+    graft.operators.SimilaritySearch.writeIvfFlatIndex(
+      prepared, centroids, path, "__nid", "embedding",
+      Seq("document_id", "chunks"))
+    graft.store.VectorStoreRegistry.register(name,
+      new graft.store.IvfFlatIndexStore(session, path, numCandidates))
     Seq.empty
   }
 }

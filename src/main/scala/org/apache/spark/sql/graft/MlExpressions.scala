@@ -99,11 +99,22 @@ case class MlPredictExpression(modelName: String, child: Expression)
   *
   * Scale note: the registered store is a broadcast/remote index — query
   * rows never shuffle (the same contract as CoachingPipeline's retrieve
-  * stage). Store resolution is lazy per-JVM, like the model registry. */
-case class VectorSearchGenerator(storeName: String, k: Int, child: Expression)
+  * stage). Store resolution is lazy per-JVM, like the model registry.
+  * The optional 4th argument is the numCandidates recall knob
+  * (reference generate_personalized_commands.sh:304); omitted, the
+  * STORE's registered default applies (exact stores ignore it either
+  * way). When the resolved store is a persisted
+  * [[graft.store.IvfFlatIndexStore]], this generator never evaluates
+  * per-row: [[IndexedVectorSearchRule]] rewrites the enclosing lateral
+  * into a partition-pruned join against the index at analysis time —
+  * the per-row form would launch a Spark job from inside a task. */
+case class VectorSearchGenerator(storeName: String, k: Int, child: Expression,
+                                 numCandidates: Option[Int] = None)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(k > 0, s"vector_search k must be positive, got $k")
+  numCandidates.foreach(nc => require(nc > 0,
+    s"vector_search numCandidates must be positive, got $nc"))
 
   @transient private lazy val store = VectorStoreRegistry.get(storeName)
 
@@ -138,7 +149,8 @@ case class VectorSearchGenerator(storeName: String, k: Int, child: Expression)
           s"vector_search: query embedding has a NULL element at index $i")
         i += 1
       }
-      store.search(arr.toFloatArray(), k)
+      store.search(arr.toFloatArray(), k,
+          numCandidates.getOrElse(store.defaultNumCandidates))
         .iterator.zipWithIndex.map { case (hit, j) =>
           InternalRow(j + 1,
             UTF8String.fromString(hit.document_id),

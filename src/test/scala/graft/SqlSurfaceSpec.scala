@@ -305,6 +305,101 @@ class SqlSurfaceSpec extends SparkSpec {
     plan should include("embedding")
   }
 
+  test("CREATE VECTOR INDEX DDL builds the persisted index; lateral vector_search serves it partition-pruned") {
+    import graft.store.{BroadcastBruteForceStore, IvfFlatIndexStore, VectorStoreRegistry}
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => ((i * 31 + j * 17) % 97) / 97f)
+    val corpus = (0 until 60).map(i => (f"doc/$i%03d", s"chunk $i", vec(i)))
+    spark.createDataFrame(corpus)
+      .toDF("document_id", "chunks", "embedding")
+      .createOrReplaceTempView("svi_corpus")
+    val path = graft.core.TempRoots.scratch("svi-ddl-index")
+    // pure-SQL build: num_candidates ≥ corpus registers the index in the
+    // EXACT regime, so brute-force parity is structural
+    spark.sql(
+      s"""CREATE VECTOR INDEX svi_test ON svi_corpus (embedding)
+         |WITH ('path' = '$path', 'cells' = '4', 'num_candidates' = '1000')
+         |""".stripMargin)
+    VectorStoreRegistry.get("svi_test") shouldBe an[IvfFlatIndexStore]
+
+    spark.createDataFrame(Seq(
+      (1L, vec(3)), (2L, vec(40)), (3L, vec(77))))
+      .toDF("qid", "embedding").createOrReplaceTempView("svi_queries")
+    val sql =
+      """SELECT qid, vs.rank, vs.document_id, vs.chunks, vs.score
+        |FROM svi_queries
+        |LATERAL VIEW vector_search('svi_test', 3, embedding) vs
+        |  AS rank, document_id, chunks, score
+        |""".stripMargin
+    val df = spark.sql(sql)
+    // the rewrite replaced the per-row generator with the index join:
+    // no vector_search Generate survives to the optimized plan (the
+    // probe-cluster explode inside the index search is a different,
+    // expected generator), and the probed cells push down as
+    // PartitionFilters on the payload scan
+    df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generator.isInstanceOf[
+            org.apache.spark.sql.graft.VectorSearchGenerator] => g
+    } shouldBe empty
+    val physical = df.queryExecution.executedPlan.toString
+    physical should include("PartitionFilters")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    // exact-regime parity with the broadcast brute-force store over the
+    // same corpus (both exact; distinct cosines make ranks unambiguous)
+    val oracle = new BroadcastBruteForceStore(corpus.toArray)
+    val expected = Seq((1L, vec(3)), (2L, vec(40)), (3L, vec(77)))
+      .flatMap { case (qid, v) =>
+        oracle.search(v, 3).zipWithIndex.map { case (h, i) =>
+          (qid, i + 1, h.document_id, h.chunks)
+        }
+      }.sortBy(r => (r._1, r._2))
+    got.toSeq shouldBe expected
+
+    // lateral semantics survive the rewrite: a NULL embedding drops the
+    // row in the default form and null-fills in the OUTER form
+    spark.createDataFrame(Seq((1L, Some(vec(5))), (2L, None)))
+      .toDF("qid", "embedding").createOrReplaceTempView("svi_null_q")
+    spark.sql(
+      """SELECT qid FROM svi_null_q
+        |LATERAL VIEW vector_search('svi_test', 2, embedding) vs
+        |  AS rank, document_id, chunks, score""".stripMargin)
+      .collect().map(_.getLong(0)).distinct.sorted.toSeq shouldBe Seq(1L)
+    val outerRows = spark.sql(
+      """SELECT qid, vs.rank FROM svi_null_q
+        |LATERAL VIEW OUTER vector_search('svi_test', 2, embedding) vs
+        |  AS rank, document_id, chunks, score""".stripMargin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    outerRows.filter(_._1 == 2L).toSeq shouldBe Seq((2L, -1))
+    outerRows.count(_._1 == 1L) shouldBe 2
+    // corrupted vectors still fail loudly through the join path
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT vs.rank
+          |FROM (SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding)
+          |LATERAL VIEW vector_search('svi_test', 2, embedding) vs
+          |  AS rank, document_id, chunks, score""".stripMargin).collect()
+    }
+    e.getMessage should include("NULL element")
+    // the 4-arg recall knob parses and serves
+    spark.sql(
+      """SELECT vs.rank FROM svi_queries
+        |LATERAL VIEW vector_search('svi_test', 2, embedding, 1000) vs
+        |  AS rank, document_id, chunks, score""".stripMargin)
+      .count() shouldBe 6L
+    // malformed DDL raises pointed ParseExceptions
+    val e2 = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("CREATE VECTOR INDEX bad_idx WITH ('path' = '/tmp/x')")
+    }
+    e2.getMessage should include("ON <table>")
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE VECTOR INDEX bad_idx2 ON svi_corpus (embedding) WITH ('cells' = '2')")
+    }
+    e3.getMessage should include("missing required option 'path'")
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"
