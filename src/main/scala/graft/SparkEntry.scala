@@ -50,7 +50,7 @@ object SparkEntry {
     "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
     "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_segments",
-    "dedup_embedding_lsh", "dedup_cluster_best",
+    "dedup_embedding_lsh", "dedup_semantic", "dedup_cluster_best",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled",
@@ -67,7 +67,7 @@ object SparkEntry {
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
     "curate_split", "curate_shuffle_shard",
     "mm_metadata", "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
-    "mm_mp4_frame_decode", "mm_video_neardup",
+    "mm_mp4_frame_decode", "mm_mkv_frame_decode", "mm_video_neardup",
     // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)
     // are exactly the per-row costs that dominate a multimodal scan at
     // scale — benched so a codec regression shows in the book

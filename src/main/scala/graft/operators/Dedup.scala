@@ -765,4 +765,40 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering + within-cluster cosine
+    * pruning. Each vector is coarse-assigned to its nearest centroid
+    * (the IVF assignment — one codegen'd argmax per row, zero shuffle);
+    * within a cluster, a vector is a semantic duplicate iff a
+    * LOWER-ID vector of the same cluster sits within `threshold`
+    * cosine — a deterministic keep rule (the paper keeps a random/
+    * centroid-extremal member per ε-group; lowest-id is the
+    * reproducible analog, matching the exact-dedup convention).
+    *
+    * Scale shape: the pair expansion is bounded by the CLUSTER, exactly
+    * like the LSH buckets — one equi-shuffle on the cluster key, never
+    * an all-pairs product. At 10⁹ docs the paper runs k≈10⁵ clusters so
+    * the expected cluster is ~10⁴ vectors; the within-cluster join is
+    * then ~10⁸ comparisons per cluster-partition, each a codegen'd
+    * fused dot product, and hot clusters can be capped the same way
+    * [[minHashLshPairs]] caps hot buckets.
+    *
+    * Returns one row per input vector: (id, cluster, kept) — `kept`
+    * false iff pruned as a semantic dup. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Float]],
+                    threshold: Double): DataFrame = {
+    val assigned = graft.operators.SimilaritySearch
+      .ivfAssign(df, centroids, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    // ids with a closer (lower-id) semantic neighbour in their cluster
+    val dups = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(VectorOps.cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup").isNull.as("kept"))
+  }
 }

@@ -851,11 +851,209 @@ object Multimodal {
     }
   }
 
+  /** Real MJPEG-in-Matroska demux, pure JDK — the WebM/MKV container
+    * family (WebM IS Matroska with a restricted codec set; the container
+    * layer parsed here is identical). Matroska is an EBML tree: every
+    * element is (variable-length ID, variable-length size, payload), so
+    * one VINT reader plus a walk that descends into the known MASTER
+    * elements (Segment → Tracks/Cluster → TrackEntry/BlockGroup) reaches
+    * the frame payloads. Frames live in SimpleBlock/Block elements whose
+    * payload is: track-number VINT, int16 relative timestamp, flags byte,
+    * then the frame data — possibly LACED (several frames per block):
+    * Xiph (255-run byte sums), fixed-size, and EBML (delta-VINT) lacing
+    * are all reconstructed per spec. For a `V_MJPEG`-coded video track
+    * every frame is a standalone JPEG handed to ImageIO.
+    *
+    * Corpus policy as the other demuxers: malformed EBML, oversized
+    * VINTs, truncated payloads, or undecodable frames yield only the
+    * frames that did decode — zero for garbage. Unknown-size elements
+    * (the live-stream form: size VINT all value-bits set, legal for
+    * Segment/Cluster) extend to the enclosing element's end; a following
+    * Cluster header is then met as a child and descended into, so
+    * container order is preserved. The walk is an explicit heap stack
+    * (the AVI walker's style) — crafted deep nesting cannot
+    * StackOverflowError the task. */
+  object MkvVideoDemux extends VideoDemux {
+    // IDs as conventionally written WITH the length-marker bits
+    // (RFC 8794 / Matroska spec element registry)
+    private val SEGMENT = 0x18538067L
+    private val TRACKS = 0x1654AE6BL
+    private val TRACK_ENTRY = 0xAEL
+    private val TRACK_NUMBER = 0xD7L
+    private val TRACK_TYPE = 0x83L
+    private val CLUSTER = 0x1F43B675L
+    private val SIMPLE_BLOCK = 0xA3L
+    private val BLOCK_GROUP = 0xA0L
+    private val BLOCK = 0xA1L
+    private val masters = Set(SEGMENT, TRACKS, TRACK_ENTRY, CLUSTER, BLOCK_GROUP)
+
+    /** One EBML VINT at `pos` in [pos, end): (value, width). ID form
+      * keeps the marker bits (IDs are compared marker-included); size
+      * form strips them and maps the reserved all-ones pattern to -1
+      * ("unknown size"). null-width 0 signals a malformed VINT. */
+    private def vint(bytes: Array[Byte], pos: Int, end: Int,
+                     keepMarker: Boolean): (Long, Int) = {
+      if (pos >= end) return (0L, 0)
+      val b0 = bytes(pos) & 0xff
+      if (b0 == 0) return (0L, 0) // would claim >8 bytes: malformed
+      val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+      if (pos + len > end) return (0L, 0)
+      var v = if (keepMarker) b0.toLong else (b0 & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(pos + i) & 0xff); i += 1 }
+      if (!keepMarker && v == (1L << (7 * len)) - 1) (-1L, len) // unknown
+      else (v, len)
+    }
+
+    /** Split a block payload into its laced frame slices (offset,len),
+      * per Matroska §"Block lacing". Returns empty on any structural
+      * inconsistency (quarantine the block, keep the file). */
+    private def laceSlices(bytes: Array[Byte], start: Int,
+                           end: Int): Seq[(Int, Int)] = {
+      val (_, tnW) = vint(bytes, start, end, keepMarker = false)
+      if (tnW == 0 || start + tnW + 3 > end) return Seq.empty
+      val flags = bytes(start + tnW + 2) & 0xff
+      var p = start + tnW + 3
+      (flags >> 1) & 3 match {
+        case 0 => // no lacing: the rest is one frame
+          if (end > p) Seq((p, end - p)) else Seq.empty
+        case 2 => // fixed-size: count byte, equal slices of the rest
+          if (p >= end) return Seq.empty
+          val nf = (bytes(p) & 0xff) + 1
+          p += 1
+          val rem = end - p
+          if (rem <= 0 || rem % nf != 0) return Seq.empty
+          val sz = rem / nf
+          (0 until nf).map(i => (p + i * sz, sz))
+        case style => // 1 = Xiph (255-run sums), 3 = EBML (delta VINTs)
+          if (p >= end) return Seq.empty
+          val nf = (bytes(p) & 0xff) + 1
+          p += 1
+          val sizes = new Array[Int](nf)
+          var i = 0
+          var prev = 0L
+          var ok = true
+          while (ok && i < nf - 1) { // last frame's size is implicit
+            if (style == 1) {
+              var s = 0L
+              var more = true
+              while (more && p < end) {
+                val b = bytes(p) & 0xff; p += 1; s += b; more = b == 255
+              }
+              if (more) ok = false else { sizes(i) = s.toInt }
+            } else {
+              val (v, w) = vint(bytes, p, end, keepMarker = false)
+              if (w == 0 || v < 0) ok = false
+              else {
+                p += w
+                // first size is plain; the rest are signed deltas
+                // centered on 2^(7w-1)-1 (RFC 8794 §4.4)
+                val s = if (i == 0) v else prev + (v - ((1L << (7 * w - 1)) - 1))
+                if (s < 0 || s > end - p) ok = false
+                else { sizes(i) = s.toInt; prev = s }
+              }
+            }
+            i += 1
+          }
+          if (!ok) return Seq.empty
+          val declared = sizes.take(nf - 1).map(_.toLong).sum
+          if (declared > end - p) return Seq.empty
+          sizes(nf - 1) = (end - p - declared).toInt
+          if (sizes(nf - 1) < 0) return Seq.empty
+          val out = Seq.newBuilder[(Int, Int)]
+          var off = p
+          sizes.foreach { s => if (s > 0) out += ((off, s)); off += s }
+          out.result()
+      }
+    }
+
+    override def demuxFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length < 8) return Array.empty
+      // EBML header magic 0x1A45DFA3
+      if (!(bytes(0) == 0x1a && bytes(1) == 0x45 &&
+            (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3))
+        return Array.empty
+      // one container-order walk collecting (a) video track numbers from
+      // TrackEntry and (b) block payload ranges tagged with their track;
+      // filtering at the end keeps the walk independent of whether
+      // Tracks precedes the Clusters (the spec allows either order)
+      final case class Entry(var num: Long, var tpe: Long)
+      var videoTracks = Set.empty[Long]
+      var entry: Entry = null
+      var entryEnd = -1
+      val blocks = Seq.newBuilder[(Long, Int, Int)]
+      var pos = 0
+      var end = bytes.length
+      var cont = List.empty[(Int, Int)]
+      var walking = true
+      def closeEntryAt(p: Int): Unit =
+        if (entry != null && p >= entryEnd) {
+          if (entry.tpe == 1 && entry.num > 0) videoTracks += entry.num
+          entry = null
+        }
+      while (walking) {
+        closeEntryAt(pos)
+        if (pos >= end) {
+          cont match {
+            case (p, e) :: rest => pos = p; end = e; cont = rest
+            case Nil => walking = false
+          }
+        } else {
+          val (id, idW) = vint(bytes, pos, end, keepMarker = true)
+          val (sz, szW) =
+            if (idW == 0) (0L, 0)
+            else vint(bytes, pos + idW, end, keepMarker = false)
+          if (idW == 0 || szW == 0) pos = end // malformed: stop level
+          else {
+            val bodyStart = pos + idW + szW
+            // unknown size (-1) extends to the current level's end;
+            // oversize declarations clamp (truncated-writer policy)
+            val bodyEnd =
+              if (sz < 0) end
+              else math.min(bodyStart.toLong + sz, end.toLong).toInt
+            if (bodyStart > end) pos = end
+            else if (masters.contains(id)) {
+              if (id == TRACK_ENTRY) { entry = Entry(-1, -1); entryEnd = bodyEnd }
+              cont = (bodyEnd, end) :: cont
+              pos = bodyStart
+              end = bodyEnd
+            } else {
+              if ((id == SIMPLE_BLOCK || id == BLOCK) && bodyEnd > bodyStart) {
+                val (tn, tnW) = vint(bytes, bodyStart, bodyEnd, keepMarker = false)
+                if (tnW > 0 && tn > 0) blocks += ((tn, bodyStart, bodyEnd))
+              } else if (entry != null && (id == TRACK_NUMBER || id == TRACK_TYPE)) {
+                var v = 0L // unsigned big-endian integer element
+                var i = bodyStart
+                while (i < bodyEnd && i < bodyStart + 8) { v = (v << 8) | (bytes(i) & 0xff); i += 1 }
+                if (id == TRACK_NUMBER) entry.num = v else entry.tpe = v
+              }
+              pos = bodyEnd
+            }
+          }
+        }
+      }
+      closeEntryAt(Int.MaxValue)
+      val frames = Array.newBuilder[java.awt.image.BufferedImage]
+      blocks.result().foreach { case (tn, s, e) =>
+        if (videoTracks.contains(tn)) {
+          laceSlices(bytes, s, e).foreach { case (off, len) =>
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, off, len))
+              if (img != null) frames += img
+            } catch { case _: java.io.IOException | _: RuntimeException => }
+          }
+        }
+      }
+      frames.result()
+    }
+  }
+
   /** Container dispatch by magic bytes — the default demux for the frame
     * stages: GIF87a/GIF89a → imageio sequence reader, RIFF/AVI → MJPEG
-    * chunk demux, ftyp-led ISO-BMFF → MP4 sample-table demux, anything
-    * else → quarantine. One place to extend when a deployment plugs in
-    * further codecs (WebM/Matroska is the remaining gap). */
+    * chunk demux, ftyp-led ISO-BMFF → MP4 sample-table demux, EBML-led
+    * Matroska/WebM → block demux, anything else → quarantine. One place
+    * to extend when a deployment plugs in further codecs. */
   object AutoVideoDemux extends VideoDemux {
     private def startsWith(bytes: Array[Byte], s: String, off: Int = 0): Boolean =
       bytes.length >= off + s.length &&
@@ -866,6 +1064,9 @@ object Multimodal {
       else if (startsWith(bytes, "RIFF") && startsWith(bytes, "AVI ", 8))
         MjpegAviVideoDemux.demuxFrames(bytes)
       else if (startsWith(bytes, "ftyp", 4)) Mp4VideoDemux.demuxFrames(bytes)
+      else if (bytes(0) == 0x1a && bytes(1) == 0x45 &&
+               (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3)
+        MkvVideoDemux.demuxFrames(bytes)
       else UnsupportedVideoDemux.demuxFrames(bytes)
     }
   }
@@ -1079,6 +1280,90 @@ object Multimodal {
       ftyp ++ moov ++ boxOf("mdat", mdatData)
     }
 
+    /** Minimal spec-correct Matroska writer with a `V_MJPEG` video track
+      * — the test harness for [[MkvVideoDemux]], and proof the EBML
+      * layout it parses is the real one (RFC 8794 encoding + the
+      * Matroska element registry: EBML header{DocType matroska} +
+      * Segment{Info{TimestampScale}, Tracks{TrackEntry{TrackNumber,
+      * TrackUID, TrackType vide, CodecID, Video{PixelWidth/Height}}},
+      * Cluster{Timestamp, SimpleBlock}*}). Frames pack TWO per
+      * SimpleBlock via Xiph lacing (odd tail block unlaced), one
+      * SimpleBlock per Cluster — so the lacing reconstruction and the
+      * cluster iteration are both actually exercised, not just the
+      * degenerate one-frame-per-block form. All sizes are known-size
+      * VINTs (the file form); the unknown-size stream form is covered by
+      * a hand-built case in MultimodalSpec. */
+    def encodeMjpegMkv(frames: Seq[java.awt.image.BufferedImage],
+                       fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "encodeMjpegMkv: need at least one frame")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val jpegs = frames.map { f =>
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", baos)
+        baos.toByteArray
+      }
+      def idBytes(id: Long): Array[Byte] = {
+        val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+        (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+      }
+      def vintOf(v: Long): Array[Byte] = {
+        // minimal width whose all-ones pattern (reserved: unknown) the
+        // value does not collide with
+        var len = 1
+        while (v >= (1L << (7 * len)) - 1) len += 1
+        val out = new Array[Byte](len)
+        var i = 0
+        while (i < len) {
+          out(i) = ((v >> (8 * (len - 1 - i))) & 0xff).toByte; i += 1
+        }
+        out(0) = (out(0) | (0x80 >> (len - 1))).toByte
+        out
+      }
+      def el(id: Long, body: Array[Byte]): Array[Byte] =
+        idBytes(id) ++ vintOf(body.length) ++ body
+      def uint(v: Long): Array[Byte] = {
+        val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+        (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+      }
+      def str(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      val header = el(0x1A45DFA3L,
+        el(0x4286, uint(1)) ++ el(0x42F7, uint(1)) ++ // EBML(Read)Version
+        el(0x42F2, uint(4)) ++ el(0x42F3, uint(8)) ++ // MaxIDLength/MaxSizeLength
+        el(0x4282, str("matroska")) ++
+        el(0x4287, uint(2)) ++ el(0x4285, uint(2))) // DocType(Read)Version
+      val info = el(0x1549A966L, el(0x2AD7B1L, uint(1000000L)))
+      val tracks = el(0x1654AE6BL, el(0xAEL,
+        el(0xD7, uint(1)) ++ el(0x73C5, uint(1)) ++ // number / UID
+        el(0x83, uint(1)) ++ el(0x86, str("V_MJPEG")) ++
+        el(0xE0, el(0xB0, uint(w)) ++ el(0xBA, uint(h)))))
+      def xiphRuns(size: Int): Array[Byte] = {
+        val out = Array.newBuilder[Byte]
+        var rem = size
+        while (rem >= 255) { out += 0xff.toByte; rem -= 255 }
+        out += rem.toByte
+        out.result()
+      }
+      def simpleBlock(payload: Array[Byte], laceFirstSize: Int): Array[Byte] = {
+        val laced = laceFirstSize >= 0
+        val head = Array[Byte](0x81.toByte, 0, 0, // track 1 VINT, ts int16
+          (if (laced) 0x82 else 0x80).toByte) // keyframe | Xiph-lacing bit
+        val lace = if (laced) Array[Byte](1) ++ xiphRuns(laceFirstSize)
+                   else Array.emptyByteArray
+        el(0xA3, head ++ lace ++ payload)
+      }
+      val clusters = jpegs.zipWithIndex.grouped(2).map { pair =>
+        val ts = el(0xE7, uint(pair.head._2 * 1000L / fps))
+        val block = pair match {
+          case Seq((a, _), (b, _)) => simpleBlock(a ++ b, a.length)
+          case Seq((a, _)) => simpleBlock(a, -1)
+        }
+        el(0x1F43B675L, ts ++ block)
+      }.reduce(_ ++ _)
+      header ++ el(SEGMENT_ID, info ++ tracks ++ clusters)
+    }
+    private val SEGMENT_ID = 0x18538067L
+
     def decodeFrames(bytes: Array[Byte],
                      demux: VideoDemux = AutoVideoDemux): Array[Frame] =
       demux.demuxFrames(bytes).map { img =>
@@ -1230,6 +1515,50 @@ object Multimodal {
           img
         }
         Row(id, VideoCodec.encodeMjpegMp4(frames), "video", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Harness generator for the Matroska/WebM path: media rows whose
+    * `content` is a REAL MKV with a `V_MJPEG` track. Same laws as
+    * [[withSyntheticAviVideos]] (frame k is (videoWidth(id)+k) ×
+    * videoHeight(id)) so the SAME oracle arithmetic pins frame order and
+    * dims for the fourth container — and a demux that misreads the EBML
+    * sizes or the Xiph lace boundaries decodes wrong-sized, missing, or
+    * misordered frames and cannot hash-match. Partition-local map. */
+  def withSyntheticMkvVideos(df: DataFrame, idCol: String,
+                             sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val h = videoHeight(id)
+        val frames = Seq.tabulate(videoFrameCount(id)) { k =>
+          val w = videoWidth(id) + k
+          val g = videoFrameGray(id, k)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+            y += 1
+          }
+          img
+        }
+        Row(id, VideoCodec.encodeMjpegMkv(frames), "video", r.getString(1))
       }
     }(Encoders.row(schema))
     encoded.select(

@@ -421,4 +421,31 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     got shouldBe Set((1L, 2L))
   }
+
+  test("semanticDedup keeps the lowest-id member of each within-cell ε-group") {
+    // two well-separated cells on the axes; near-dups only within cells
+    val centroids = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    val vecs = Seq(
+      (10L, Seq(1f, 0.05f, 0f)),  // cell 0, kept (lowest of its ε-group)
+      (11L, Seq(1f, 0.06f, 0f)),  // cell 0, ~identical to 10 → pruned
+      (12L, Seq(0.8f, 0f, 0.6f)), // cell 0, far from 10/11 → kept
+      (20L, Seq(0f, 1f, 0.02f)),  // cell 1, kept
+      (21L, Seq(0.01f, 1f, 0f)))  // cell 1, ~identical to 20 → pruned
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding", centroids, 0.95)
+      .select("id", "cluster", "kept").as[(Long, Int, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    got shouldBe Seq((10L, 0, true), (11L, 0, false), (12L, 0, true),
+      (20L, 1, true), (21L, 1, false))
+    // a near-dup pair SPLIT across cells is not pruned: the cell bound
+    // is the recall/cost trade the paper makes (ε-dups across cluster
+    // boundaries survive) — pin the semantics so a future "fix" that
+    // silently reintroduces all-pairs comparison fails here
+    val split = Seq(
+      (1L, Seq(1f, 0.9f, 0f)),  // nearest centroid: cell 0
+      (2L, Seq(0.9f, 1f, 0f)))  // nearest centroid: cell 1; cos(1,2)≈0.99
+      .toDF("vec_id", "embedding")
+    Dedup.semanticDedup(split, "vec_id", "embedding", centroids, 0.95)
+      .filter(!col("kept")).count() shouldBe 0L
+  }
 }

@@ -457,6 +457,163 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MKV: real Matroska round-trip, auto-dispatch, quarantine, truncation") {
+    import Multimodal.{AutoVideoDemux, GifVideoDemux, MjpegAviVideoDemux,
+      MkvVideoDemux, Mp4VideoDemux, VideoCodec}
+    // 3 frames = one Xiph-laced pair + one unlaced tail block, so the
+    // lacing reconstruction is on the round-trip path, not just no-lacing
+    val mkv = VideoCodec.encodeMjpegMkv(
+      Seq(gray(217, 12, 10), gray(14, 12, 10), gray(67, 12, 10)))
+    (mkv(0) & 0xff) shouldBe 0x1a // EBML magic
+    val frames = VideoCodec.decodeFrames(mkv, MkvVideoDemux)
+    frames should have length 3
+    frames.map(f => (f.width, f.height)).distinct.toSeq shouldBe Seq((12, 10))
+    frames.map(_.meanLum).zip(Seq(217.0, 14.0, 67.0)).foreach {
+      case (got, want) => got shouldBe want +- 3.0
+    }
+    VideoCodec.decodeFrames(mkv, AutoVideoDemux) should have length 3
+    // cross-wiring yields zero frames, as does garbage
+    MkvVideoDemux.demuxFrames(VideoCodec.encodeGif(Seq(gray(100, 7, 7)))) shouldBe empty
+    MkvVideoDemux.demuxFrames(VideoCodec.encodeMjpegAvi(Seq(gray(1, 8, 8)))) shouldBe empty
+    MkvVideoDemux.demuxFrames(VideoCodec.encodeMjpegMp4(Seq(gray(1, 8, 8)))) shouldBe empty
+    GifVideoDemux.demuxFrames(mkv) shouldBe empty
+    MjpegAviVideoDemux.demuxFrames(mkv) shouldBe empty
+    Mp4VideoDemux.demuxFrames(mkv) shouldBe empty
+    MkvVideoDemux.demuxFrames(Array.fill[Byte](64)(0x41)) shouldBe empty
+    MkvVideoDemux.demuxFrames(Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)) shouldBe empty
+    // a tail-truncated file keeps every frame before the cut. The JDK
+    // JPEG reader tolerates a missing EOI tail (it fills the remaining
+    // MCUs), so the cut must reach INTO the final frame's header to
+    // guarantee it cannot decode: keep only 4 bytes of the last JPEG
+    // (its exact size is recomputable — the JDK encoder is
+    // deterministic for identical input images)
+    val lastJpeg = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gray(67, 12, 10), "jpg", baos)
+      baos.size()
+    }
+    MkvVideoDemux.demuxFrames(
+      java.util.Arrays.copyOf(mkv, mkv.length - lastJpeg + 4)) should have length 2
+    // a cut before the Tracks element loses the track table → quarantine
+    MkvVideoDemux.demuxFrames(java.util.Arrays.copyOf(mkv, 48)) shouldBe empty
+  }
+
+  test("MKV demux honors unknown-size elements (the live-stream form)") {
+    import Multimodal.{MkvVideoDemux, VideoCodec}
+    val mkv = VideoCodec.encodeMjpegMkv(
+      Seq(gray(40, 9, 9), gray(80, 9, 9), gray(120, 9, 9)))
+    def find(pat: Array[Byte], from: Int = 0): Int =
+      (from to mkv.length - pat.length).find(i => pat.indices.forall(j =>
+        mkv(i + j) == pat(j))).getOrElse(fail("pattern not found"))
+    def unknownSize(buf: Array[Byte], at: Int): Unit = {
+      // rewrite the size VINT at `at` to the all-ones reserved pattern,
+      // keeping its width (so no bytes shift)
+      val len = java.lang.Integer.numberOfLeadingZeros(buf(at) & 0xff) - 23
+      buf(at) = ((0x80 >> (len - 1)) | (0xff >> len)).toByte
+      (1 until len).foreach(i => buf(at + i) = 0xff.toByte)
+    }
+    // Segment size → unknown: a live stream's top-level form
+    val seg = find(Array(0x18, 0x53, 0x80.toByte, 0x67))
+    val streamy = mkv.clone()
+    unknownSize(streamy, seg + 4)
+    MkvVideoDemux.demuxFrames(streamy) should have length 3
+    // FIRST Cluster size → unknown: the next Cluster header is then met
+    // as a child and descended into; container order must hold
+    val clu = find(Array(0x1f, 0x43, 0xb6.toByte, 0x75))
+    val streamy2 = mkv.clone()
+    unknownSize(streamy2, clu + 4)
+    val got = VideoCodec.decodeFrames(streamy2, MkvVideoDemux)
+    got should have length 3
+    got.map(_.meanLum).zip(Seq(40.0, 80.0, 120.0)).foreach {
+      case (g, w) => g shouldBe w +- 3.0
+    }
+  }
+
+  test("MKV demux reconstructs fixed-size and EBML lacing; deep nesting stays heap-safe") {
+    import Multimodal.MkvVideoDemux
+    // test-local EBML writer (the product encoder emits only Xiph lacing,
+    // so the other two lace modes need hand-built blocks)
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    }
+    def vintOf(v: Long): Array[Byte] = {
+      var len = 1
+      while (v >= (1L << (7 * len)) - 1) len += 1
+      val out = new Array[Byte](len)
+      (0 until len).foreach(i => out(i) = ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+      out(0) = (out(0) | (0x80 >> (len - 1))).toByte
+      out
+    }
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ vintOf(body.length) ++ body
+    def jpeg(gray0: Int, w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gray(gray0, w, h), "jpg", baos)
+      baos.toByteArray
+    }
+    val header = Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte, 0x80.toByte)
+    val track = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7, Array[Byte](1)) ++ el(0x83, Array[Byte](1)) ++
+      el(0x86, "V_MJPEG".getBytes("US-ASCII"))))
+    // fixed-size lacing: two byte-identical JPEGs (same gray, same dims)
+    val j = jpeg(55, 8, 8)
+    val fixedBlock = el(0xA3,
+      Array[Byte](0x81.toByte, 0, 0, 0x84.toByte, 1) ++ j ++ j)
+    // EBML lacing: first size a plain VINT, second implicit
+    val j2 = jpeg(200, 8, 8)
+    val ebmlBlock = el(0xA3,
+      Array[Byte](0x81.toByte, 0, 0, 0x86.toByte, 1) ++ vintOf(j.length) ++ j ++ j2)
+    val mkv = header ++ el(0x18538067L,
+      track ++ el(0x1F43B675L, fixedBlock) ++ el(0x1F43B675L, ebmlBlock))
+    val frames = Multimodal.VideoCodec.decodeFrames(mkv, MkvVideoDemux)
+    frames should have length 4
+    frames.map(_.meanLum).zip(Seq(55.0, 55.0, 55.0, 200.0)).foreach {
+      case (g, w) => g shouldBe w +- 3.0
+    }
+    // blocks on a non-video track are skipped, not decoded
+    val audioTrack = el(0x1654AE6BL, el(0xAEL,
+      el(0xD7, Array[Byte](2)) ++ el(0x83, Array[Byte](2))))
+    val wrongTrack = el(0xA3, Array[Byte](0x82.toByte, 0, 0, 0x80.toByte) ++ j)
+    val mkv2 = header ++ el(0x18538067L,
+      audioTrack ++ el(0x1F43B675L, wrongTrack))
+    MkvVideoDemux.demuxFrames(mkv2) shouldBe empty
+    // 50k-deep BlockGroup nesting must not touch the task stack. Sizes
+    // are emitted as FIXED 3-byte VINTs so each nested header is exactly
+    // 4 bytes and every declared size is exact — the walker really does
+    // descend all 50k levels (undersized declarations would terminate
+    // the nesting early and void the depth claim).
+    def vint3(v: Int): Array[Byte] =
+      Array((0x20 | ((v >> 16) & 0x1f)).toByte, ((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+    val depth = 50000
+    val deep = new java.io.ByteArrayOutputStream()
+    deep.write(header)
+    deep.write(idBytes(0x18538067L)); deep.write(vint3(depth * 4 + wrongTrack.length))
+    (1 to depth).foreach { d =>
+      deep.write(idBytes(0xA0L)); deep.write(vint3((depth - d) * 4 + wrongTrack.length))
+    }
+    deep.write(wrongTrack)
+    noException should be thrownBy MkvVideoDemux.demuxFrames(deep.toByteArray)
+  }
+
+  test("synthetic MKVs round-trip the AVI frame laws through a real demux") {
+    import Multimodal._
+    val docs = Seq((0L, "s"), (7L, "s"), (98L, "s")).toDF("id", "src")
+    val got = Multimodal.withVideoFrames(
+        Multimodal.withSyntheticMkvVideos(docs, "id", "src"))
+      .select("media_id", "frame_idx", "frame_width", "frame_height")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      rows should have length videoFrameCount(id)
+      rows.zipWithIndex.foreach { case ((_, idx, w, h), k) =>
+        idx shouldBe k
+        w shouldBe videoWidth(id) + k // k-dependent width pins frame order
+        h shouldBe videoHeight(id)
+      }
+    }
+  }
+
   test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
     import Multimodal._
     val rows = Seq(
