@@ -281,6 +281,17 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // Host anchor: cross-round absolute comparisons keep being
+    // confounded by driver-host generation (BENCH_NOTES r8-r10). The
+    // anchor is a byte-stable query (brute-force cosine top-k: one scan,
+    // one codegen'd loop, no shuffle variance) whose cost tracks raw
+    // host speed, not engine changes — the judge divides every other
+    // figure by it to separate host from code mechanically. Null when a
+    // SPARK_GRAFT_BENCH_ONLY selection excludes it.
+    val anchor = results.collectFirst {
+      case ("ann_topk_bruteforce", mn, true, _) =>
+        s""","anchor":{"query":"ann_topk_bruteforce","sec":$mn}"""
+    }.getOrElse(""","anchor":null""")
     // The pre-run load sample alone is a false-negative gate: round 9
     // started on a quiet box (load_avg_pre 2.9 → stamped clean) but
     // external load arrived mid-run and inflated every query ~2×, with
@@ -320,7 +331,7 @@ object Bench {
         System.err.println(s"[bench] state probe failed: ${e.getMessage}")
         ""","state_probe":null"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$stateProbe,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$stateProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

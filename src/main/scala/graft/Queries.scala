@@ -658,6 +658,8 @@ object Queries {
       val path = graft.core.TempRoots.scratch(
         s"ivfflat-${dir.replaceAll("[^0-9a-zA-Z]", "")}")
       val queries = emb.filter(col("vec_id") < 8)
+      // (adaptiveIndexedTopK builds the index itself iff absent, so
+      // bench reps already amortize the build — no buildOnce needed)
       graft.operators.SimilaritySearch.adaptiveIndexedTopK(
           queries, emb, k = 3, centroids, path,
           numCandidates = Int.MaxValue, broadcastBytes = 1L)

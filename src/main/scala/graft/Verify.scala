@@ -12,7 +12,14 @@ object Verify {
     // A failed query must be LOUD: queries without an oracle are simply
     // absent from the driver's correctness report when they crash, so a
     // swallowed exception reads as "not checked" instead of "broken".
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b restricts the dump — local iteration
+    // on one operator without the 100+-query full pass (the driver
+    // leaves it unset, so the gate still covers everything)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
