@@ -130,21 +130,64 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
     * Returns (embed, retrieve, generate) queries; stop them to tear down. */
   def streamStages(spark: SparkSession, checkpointRoot: String,
                    sourceOptions: Map[String, String] = Map.empty)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    streamStagesWith(spark, checkpointRoot, pipeline.retrieve,
+      perBatchRetrieve = false, sourceOptions)
+
+  /** [[streamStages]] with retrieval served by the PERSISTED IVF-Flat
+    * index instead of the in-memory store: the standing retrieve query
+    * runs [[CoachingPipeline.retrieveIndexed]] per micro-batch — a
+    * partition-pruned JOIN against the on-disk index, no per-row store
+    * lookup, no corpus broadcast. Composed with
+    * [[graft.streaming.StreamingOps.indexUpsertSink]] this is the full
+    * external-index loop of the reference (sink connector continuously
+    * upserting Atlas, coach querying it — main.tf:594-635, 649-669)
+    * with no driver collect anywhere: upserts append to cluster
+    * partitions, searches prune to probed cells.
+    *
+    * The retrieve stage runs inside foreachBatch (a per-micro-batch
+    * BATCH plan) rather than as a continuous transform: probe selection
+    * reads the query vectors' nearest cells — a bounded driver
+    * transfer — which cannot be planned as one standing stream-static
+    * join. Stage topology, wire schemas, and delivery semantics are
+    * identical to [[streamStages]]. */
+  def streamStagesIndexed(spark: SparkSession, checkpointRoot: String,
+                          index: graft.store.IvfFlatIndexStore,
+                          sourceOptions: Map[String, String] = Map.empty)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    streamStagesWith(spark, checkpointRoot,
+      batch => pipeline.retrieveIndexed(batch, index),
+      perBatchRetrieve = true, sourceOptions)
+
+  private def streamStagesWith(spark: SparkSession, checkpointRoot: String,
+                               retrieveImpl: DataFrame => DataFrame,
+                               perBatchRetrieve: Boolean,
+                               sourceOptions: Map[String, String])
       : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     registerSubjects()
     def stage(name: String, inTopic: String, inSchema: StructType,
               outTopic: String, outSchema: StructType,
-              f: DataFrame => DataFrame) = {
+              f: DataFrame => DataFrame, perBatch: Boolean = false) = {
       val dec = AvroCodec.decodeUdf(inSchema, s"$inTopic-value")
       val enc = AvroCodec.encodeUdf(outSchema, s"$outTopic-value")
       val in = store.readStream(spark, inTopic, sourceOptions)
         .select(dec(col("value")).as("r")).select(col("r.*"))
-      f(in)
-        .select(expr("uuid()").as("key"),
-          enc(struct(outSchema.fieldNames.map(col).toSeq: _*)).as("value"))
-        .writeStream
+      def encode(df: DataFrame): DataFrame = df.select(
+        expr("uuid()").as("key"),
+        enc(struct(outSchema.fieldNames.map(col).toSeq: _*)).as("value"))
+      // perBatch: f runs on each micro-batch's BATCH frame inside
+      // foreachBatch (for transforms that cannot be a continuous plan —
+      // the indexed retrieve); otherwise f is part of the standing plan
+      val out = if (perBatch) in else encode(f(in))
+      out.writeStream
         .queryName(s"graft-stage-$name")
-        .foreachBatch { (batch: DataFrame, _: Long) => store.append(batch, outTopic) }
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // empty micro-batches skip the per-batch transform entirely
+          // (the indexed search has nothing to probe), mirroring
+          // StreamingOps.indexUpsertSink
+          if (!perBatch) store.append(batch, outTopic)
+          else if (!batch.isEmpty) store.append(encode(f(batch)), outTopic)
+        }
         .option("checkpointLocation", s"$checkpointRoot/$name")
         .start()
     }
@@ -156,7 +199,8 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
       stage("embed", TopicProspect, Tables.messageSchema,
         TopicEmbeddings, embeddingsSchema, pipeline.embedMessages),
       stage("retrieve", TopicEmbeddings, embeddingsSchema,
-        TopicRagResults, ragResultsSchema, pipeline.retrieve),
+        TopicRagResults, ragResultsSchema, retrieveImpl,
+        perBatch = perBatchRetrieve),
       stage("generate", TopicRagResults, ragResultsSchema,
         TopicResponse, Tables.responseSchema, pipeline.generate))
   }

@@ -310,4 +310,63 @@ class StreamingSpec extends SparkSpec {
         .select(col("count")).as[Long].collect().sum shouldBe 39
     } finally query.stop()
   }
+
+  test("index-served streaming chain matches the broadcast chain response-for-response") {
+    import graft.pipeline.TopicParityPipeline
+    // the standing 4-stage chain with retrieval as a per-micro-batch
+    // partition-pruned join against the persisted IVF-Flat index —
+    // streamStagesIndexed — must produce byte-identical responses to
+    // the broadcast-store chain in the exact regime (numCandidates
+    // covers the corpus). This is the serving half of the external-
+    // index loop: indexUpsertSink streams rows IN (test above), this
+    // streams searches OUT, neither collects vectors to the driver.
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(64)
+    val knowledge = Seq(
+      ("kb/pricing.md", "Pricing", "kb", "pricing objection handling guide with discount policy"),
+      ("kb/impl.md", "Impl", "kb", "implementation rollout and integration guide"),
+      ("kb/comp.md", "Comp", "kb", "competitor comparison and differentiation notes"),
+      ("kb/net.md", "Net", "kb", "networking protocols and latency budgets"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val boot = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val indexed = boot.indexKnowledge(knowledge)
+    val store = BroadcastBruteForceStore.fromDataFrame(indexed)
+    val path = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    val idxStore = graft.store.VectorStores.adaptive(indexed, path,
+      broadcastBytes = 1L) // forced past the budget → persisted index
+    idxStore shouldBe a[graft.store.IvfFlatIndexStore]
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+
+    val messages = Seq(
+      ("what about the pricing discounts", "prospect"),
+      ("tell me about integration rollout", "prospect"),
+      ("how do you compare to competitors", "prospect"),
+      ("let me explain", "salesperson"))
+      .toDF("message", "speaker")
+
+    def responses(indexedMode: Boolean): Seq[String] = {
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val topics = new graft.io.LocalTopicStore(tmp("graft-chain-topics"))
+      val parity = new TopicParityPipeline(pipeline, topics)
+      val queries =
+        if (indexedMode)
+          parity.streamStagesIndexed(spark, tmp("graft-chain-ckpt"),
+            idxStore.asInstanceOf[graft.store.IvfFlatIndexStore])
+        else parity.streamStages(spark, tmp("graft-chain-ckpt"))
+      try {
+        parity.publishConversation(messages)
+        queries.foreach(_.processAllAvailable())
+        parity.consumeResponses(spark)
+          .select(col("message"), col("rag_results_string"),
+            col("coaching_response"))
+          .collect().map(_.toString).sorted.toSeq
+      } finally queries.foreach(_.stop())
+    }
+
+    val viaStore = responses(indexedMode = false)
+    val viaIndex = responses(indexedMode = true)
+    viaStore should have length 3 // salesperson row filtered
+    viaIndex shouldBe viaStore
+  }
 }
