@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  test("semantic dedup pairs only within cells: cluster equi-join, no cartesian") {
+    val p = plan("dedup_semantic")
+    // the pair expansion is keyed on the IVF cell — an equi-join whose
+    // blowup is bounded by the cluster (broadcast at this sf, shuffle
+    // on the cluster key at scale), never an all-pairs product
+    p should include regex """(BroadcastHash|SortMerge|ShuffledHash)Join \[cluster"""
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoop"
+  }
+
   test("multi-table LSH is a signature equi-join — no cartesian, no BNLJ") {
     val p = plan("ann_lsh_multitable")
     p should not include "CartesianProduct"
