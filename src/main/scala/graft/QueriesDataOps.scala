@@ -2566,6 +2566,29 @@ object QueriesDataOps {
              CAST(8 + (doc_id // 5) % 5 AS INT) AS frame_height
       FROM f ORDER BY media_id, frame_idx""")),
 
+    ("mm_exif_metadata", (s, dir) => {
+      // REAL EXIF extraction: JPEG marker scan → APP1 → TIFF IFD walk
+      // (both byte orders — even ids II, odd ids MM), Make/Model/
+      // Orientation from IFD0, DateTimeOriginal through the Exif-IFD
+      // pointer. Every field is an arithmetic law in the id, so the
+      // oracle states them in SQL; a parser that misreads an endian,
+      // an inline-vs-offset ASCII value, or the sub-IFD pointer
+      // cannot hash-match.
+      val media = Multimodal.withSyntheticExifImages(
+        T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "source")
+      Multimodal.withExifMetadata(media)
+        .select(col("media_id"), col("exif_make"), col("exif_model"),
+          col("exif_orientation"), col("exif_datetime"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+             'maker' || CAST(doc_id % 5 AS VARCHAR) AS exif_make,
+             'model' || CAST(doc_id % 7 AS VARCHAR) AS exif_model,
+             CAST(1 + doc_id % 8 AS INT) AS exif_orientation,
+             printf('2020:01:%02d 03:04:%02d', 1 + doc_id % 28, doc_id % 60)
+               AS exif_datetime
+      FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
+
     ("mm_video_neardup", (s, dir) => {
       // video NEAR-dup via per-frame perceptual hashes: demux (real GIF),
       // dHash each frame, build a per-video signature over the ORDERED

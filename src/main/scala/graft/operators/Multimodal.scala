@@ -274,6 +274,46 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** EXIF-law harness: media rows whose `content` is a REAL JPEG with a
+    * spec-correct APP1 EXIF segment built from arithmetic laws — make
+    * "maker"+(id%5), model "model"+(id%7), orientation 1+(id%8),
+    * DateTimeOriginal "2020:01:DD 03:04:SS" with DD=1+id%28, SS=id%60 —
+    * so an external oracle states every extracted field without
+    * touching a byte. EVEN ids write the TIFF little-endian ("II"),
+    * ODD ids big-endian ("MM"): both in-the-wild byte orders are on
+    * the round-trip path, not just the writer's favorite. */
+  def withSyntheticExifImages(df: DataFrame, idCol: String,
+                              sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          syntheticWidth(id), syntheticHeight(id),
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        val jpeg = ExifCodec.splice(baos.toByteArray,
+          s"maker${id % 5}", s"model${id % 7}", (1 + id % 8).toInt,
+          f"2020:01:${1 + id % 28}%02d 03:04:${id % 60}%02d",
+          littleEndian = id % 2 == 0)
+        Row(id, jpeg, "image", r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
   /** Perceptual-hash stage: appends the 16-hex dHash via the standard
     * batched partition map — bucketing on it (exact or masked) is the
     * image near-dup plan. */
@@ -326,6 +366,189 @@ object Multimodal {
       .withColumn("resized_hash",
         md5(concat(col("meta.content_hash"),
           lit(s":${width}x$height"))))
+
+  /** EXIF metadata codec, pure JDK byte walking — the capture-device /
+    * capture-time dimension a photo corpus partitions, dedups, and
+    * time-filters on before any pixel is decoded. JPEG is a marker
+    * stream (FF xx + big-endian length); EXIF lives in an APP1 segment
+    * ("Exif\0\0" + a TIFF structure whose own byte order is declared
+    * in-band: "II" little / "MM" big — both are in the wild and both
+    * parse here). IFD0 carries Make(0x010F)/Model(0x0110)/
+    * Orientation(0x0112) and the Exif-IFD pointer (0x8769) whose IFD
+    * carries DateTimeOriginal(0x9003). ASCII values ≤4 bytes are
+    * inline in the 4-byte value field, longer ones live at a TIFF
+    * offset — both forms handled. Corpus policy as every codec here:
+    * absent APP1, non-JPEG payloads, truncated segments, or
+    * out-of-bounds offsets yield nulls (a filterable row), never a
+    * stage crash. */
+  object ExifCodec extends Serializable {
+    final case class Exif(make: String, model: String,
+                          orientation: Integer, dateTimeOriginal: String)
+    private val empty = Exif(null, null, null, null)
+
+    def parse(bytes: Array[Byte]): Exif = {
+      if (bytes == null || bytes.length < 4) return empty
+      if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return empty
+      var pos = 2
+      while (pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff) {
+        val marker = bytes(pos + 1) & 0xff
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) pos += 2 // standalone
+        else if (marker == 0xda) return empty // entropy data: no APP1 seen
+        else {
+          val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+          if (len < 2 || pos + 2 + len > bytes.length) return empty
+          if (marker == 0xe1 && len >= 8 &&
+              bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+              bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+              bytes(pos + 8) == 0 && bytes(pos + 9) == 0)
+            return parseTiff(bytes, pos + 10, pos + 2 + len)
+          pos += 2 + len
+        }
+      }
+      empty
+    }
+
+    private def parseTiff(bytes: Array[Byte], tiff: Int, end: Int): Exif = {
+      if (tiff + 8 > end) return empty
+      val little = bytes(tiff) == 'I' && bytes(tiff + 1) == 'I'
+      val big = bytes(tiff) == 'M' && bytes(tiff + 1) == 'M'
+      if (!little && !big) return empty
+      def r16(o: Int): Int =
+        if (o < tiff || o + 2 > end) -1
+        else if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+        else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def r32(o: Int): Long =
+        if (o < tiff || o + 4 > end) -1L
+        else if (little)
+          (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        else
+          ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+            ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      if (r16(tiff + 2) != 42) return empty
+      def ascii(entry: Int): String = {
+        val n = r32(entry + 4)
+        if (n <= 0 || n > (1 << 16)) return null
+        val at = if (n <= 4) entry + 8 else tiff + r32(entry + 8).toInt
+        if (at < tiff || at + n > end) return null
+        val raw = new String(bytes, at, n.toInt, "US-ASCII")
+        val cut = raw.indexOf(0.toChar)
+        if (cut >= 0) raw.substring(0, cut) else raw
+      }
+      // one IFD walk, shared by IFD0 and the Exif sub-IFD
+      def walk(ifdOff: Int, f: (Int, Int) => Unit): Unit = {
+        val n = r16(ifdOff)
+        if (n < 0 || n > 512) return // bounded: a real IFD has dozens
+        var i = 0
+        while (i < n) {
+          val e = ifdOff + 2 + 12 * i
+          if (e + 12 <= end) f(r16(e), e)
+          i += 1
+        }
+      }
+      var make: String = null; var model: String = null
+      var orient: Integer = null; var dto: String = null
+      val ifd0 = tiff + r32(tiff + 4).toInt
+      walk(ifd0, (tag, e) => tag match {
+        case 0x010f => make = ascii(e)
+        case 0x0110 => model = ascii(e)
+        case 0x0112 =>
+          // SHORT lives in the leading 2 bytes of the value field
+          val v = r16(e + 8); if (v > 0) orient = Integer.valueOf(v)
+        case 0x8769 =>
+          val sub = r32(e + 8)
+          if (sub > 0) walk(tiff + sub.toInt, (t2, e2) =>
+            if (t2 == 0x9003) dto = ascii(e2))
+        case _ => ()
+      })
+      Exif(make, model, orient, dto)
+    }
+
+    /** Harness writer: splice a spec-correct APP1 EXIF segment (TIFF in
+      * the requested byte order, IFD0 Make/Model/Orientation + Exif-IFD
+      * DateTimeOriginal, long ASCII values in the data area) into an
+      * existing JPEG right after SOI — proof the layout [[parse]] walks
+      * is the real one, in BOTH endiannesses. */
+    def splice(jpeg: Array[Byte], make: String, model: String,
+               orientation: Int, dateTimeOriginal: String,
+               littleEndian: Boolean): Array[Byte] = {
+      require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+        (jpeg(1) & 0xff) == 0xd8, "splice: not a JPEG")
+      val mk = make.getBytes("US-ASCII") :+ 0.toByte
+      val md = model.getBytes("US-ASCII") :+ 0.toByte
+      val dt = {
+        val b = dateTimeOriginal.getBytes("US-ASCII")
+        java.util.Arrays.copyOf(b, 20) // EXIF datetimes are 20 bytes NUL-padded
+      }
+      val ifd0End = 8 + 2 + 4 * 12 + 4     // header + 4 entries
+      val exifEnd = ifd0End + 2 + 12 + 4   // 1 entry
+      val mkOff = exifEnd
+      val mdOff = mkOff + mk.length
+      val dtOff = mdOff + md.length
+      val tiff = new Array[Byte](dtOff + dt.length)
+      var p = 0
+      def w8(v: Int): Unit = { tiff(p) = v.toByte; p += 1 }
+      def w16(v: Int): Unit =
+        if (littleEndian) { w8(v & 0xff); w8(v >> 8) }
+        else { w8(v >> 8); w8(v & 0xff) }
+      def w32(v: Int): Unit =
+        if (littleEndian) { w16(v & 0xffff); w16(v >>> 16) }
+        else { w16(v >>> 16); w16(v & 0xffff) }
+      def entry(tag: Int, tpe: Int, count: Int)(value: => Unit): Unit = {
+        w16(tag); w16(tpe); w32(count)
+        val before = p; value; while (p < before + 4) w8(0)
+      }
+      // ASCII values ≤4 bytes live INLINE in the value field (TIFF
+      // spec), longer ones at an offset into the data area — emit
+      // whichever the length dictates so both parser paths see real
+      // layouts
+      def asciiEntry(tag: Int, data: Array[Byte], off: Int): Unit =
+        entry(tag, 2, data.length)(
+          if (data.length <= 4) data.foreach(b => w8(b & 0xff))
+          else w32(off))
+      if (littleEndian) { w8('I'); w8('I') } else { w8('M'); w8('M') }
+      w16(42); w32(8)
+      w16(4) // IFD0 entry count (ascending tag order, per spec)
+      asciiEntry(0x010f, mk, mkOff)
+      asciiEntry(0x0110, md, mdOff)
+      entry(0x0112, 3, 1)(w16(orientation))
+      entry(0x8769, 4, 1)(w32(ifd0End))
+      w32(0) // next IFD
+      w16(1) // Exif IFD
+      entry(0x9003, 2, 20)(w32(dtOff))
+      w32(0)
+      System.arraycopy(mk, 0, tiff, mkOff, mk.length)
+      System.arraycopy(md, 0, tiff, mdOff, md.length)
+      System.arraycopy(dt, 0, tiff, dtOff, dt.length)
+      val payload = ("Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0)) ++ tiff
+      val seg = java.nio.ByteBuffer.allocate(4 + payload.length)
+      seg.put(0xff.toByte).put(0xe1.toByte)
+        .putShort((payload.length + 2).toShort).put(payload)
+      jpeg.take(2) ++ seg.array() ++ jpeg.drop(2)
+    }
+  }
+
+  /** EXIF extraction stage: batched partition-local map appending
+    * exif_make / exif_model / exif_orientation / exif_datetime —
+    * nulls for payloads without parseable EXIF. Zero shuffle. */
+  def withExifMetadata(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("exif_make", StringType))
+      .add(StructField("exif_model", StringType))
+      .add(StructField("exif_orientation", IntegerType))
+      .add(StructField("exif_datetime", StringType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val e = ExifCodec.parse(r.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(r.toSeq ++ Seq(e.make, e.model, e.orientation,
+            e.dateTimeOriginal))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Real audio codec on javax.sound.sampled (JDK-bundled, offline):
     * 16-bit signed little-endian mono PCM in a WAV container — the

@@ -614,6 +614,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("EXIF: round-trips both byte orders, inline and offset ASCII, quarantines junk") {
+    import Multimodal.ExifCodec
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB), "jpg", baos)
+      baos.toByteArray
+    }
+    for (le <- Seq(true, false)) {
+      val tagged = ExifCodec.splice(jpeg(8, 8), "CanonEOS", "mark4", 6,
+        "2021:06:15 10:20:30", littleEndian = le)
+      val e = ExifCodec.parse(tagged)
+      (e.make, e.model, e.orientation, e.dateTimeOriginal) shouldBe
+        (("CanonEOS", "mark4", 6, "2021:06:15 10:20:30"))
+      // the spliced file is still a decodable JPEG (APP1 sits between
+      // SOI and the original segments)
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(tagged)) should not be null
+    }
+    // ≤4-byte ASCII values are stored INLINE in the value field — the
+    // other of the two TIFF layouts must round-trip too
+    val short = ExifCodec.parse(
+      ExifCodec.splice(jpeg(8, 8), "abc", "x", 1, "2021:06:15 10:20:30",
+        littleEndian = true))
+    (short.make, short.model) shouldBe (("abc", "x"))
+    // no-EXIF JPEG, garbage, PNG, truncation into the APP1 → all nulls
+    val plain = ExifCodec.parse(jpeg(8, 8))
+    (plain.make, plain.orientation, plain.dateTimeOriginal) shouldBe ((null, null, null))
+    ExifCodec.parse(Array.fill[Byte](64)(0x41)).make shouldBe null
+    ExifCodec.parse(null).make shouldBe null
+    val png = { val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB), "png", b)
+      b.toByteArray }
+    ExifCodec.parse(png).make shouldBe null
+    val tagged = ExifCodec.splice(jpeg(8, 8), "CanonEOS", "mark4", 6,
+      "2021:06:15 10:20:30", littleEndian = true)
+    // cut inside the TIFF: every read is bounds-checked → nulls, no throw
+    ExifCodec.parse(java.util.Arrays.copyOf(tagged, 30)).make shouldBe null
+  }
+
+  test("withExifMetadata extracts the law fields distributed, both endians") {
+    import Multimodal._
+    val docs = Seq((0L, "s"), (7L, "s"), (98L, "s")).toDF("id", "src")
+    val got = Multimodal.withExifMetadata(
+        Multimodal.withSyntheticExifImages(docs, "id", "src"))
+      .select("media_id", "exif_make", "exif_model", "exif_orientation",
+        "exif_datetime")
+      .as[(Long, String, String, Int, String)].collect().sortBy(_._1)
+    got.foreach { case (id, mk, md, o, dt) =>
+      mk shouldBe s"maker${id % 5}"
+      md shouldBe s"model${id % 7}"
+      o shouldBe (1 + id % 8).toInt
+      dt shouldBe f"2020:01:${1 + id % 28}%02d 03:04:${id % 60}%02d"
+    }
+    got should have length 3
+  }
+
   test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
     import Multimodal._
     val rows = Seq(
