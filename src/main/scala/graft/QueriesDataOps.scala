@@ -2589,6 +2589,29 @@ object QueriesDataOps {
                AS exif_datetime
       FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
 
+    ("mm_exif_orient_norm", (s, dir) => {
+      // EXIF-driven orientation normalization end-to-end: metadata walk
+      // → decode → exact pixel remap (8 EXIF cases) → re-encode, dims
+      // RE-DECODED from the output payload. Orientations 5-8 transpose
+      // the raster, so norm dims swap exactly when 1+id%8 >= 5 — the
+      // oracle states the law; a transform that rotates the wrong way
+      // or echoes input dims cannot hash-match (MultimodalSpec pins the
+      // pixel-level quadrant semantics per case).
+      val media = Multimodal.withSyntheticExifImages(
+        T(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "source")
+      Multimodal.withOrientationNormalized(media)
+        .select(col("media_id"), col("applied_orientation"),
+          col("norm_width"), col("norm_height"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 8 AS INT) AS applied_orientation,
+             CAST(CASE WHEN doc_id % 8 >= 4 THEN 8 + (doc_id // 9) % 9
+                       ELSE 8 + doc_id % 9 END AS INT) AS norm_width,
+             CAST(CASE WHEN doc_id % 8 >= 4 THEN 8 + doc_id % 9
+                       ELSE 8 + (doc_id // 9) % 9 END AS INT) AS norm_height
+      FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
+
     ("mm_video_neardup", (s, dir) => {
       // video NEAR-dup via per-frame perceptual hashes: demux (real GIF),
       // dHash each frame, build a per-video signature over the ORDERED

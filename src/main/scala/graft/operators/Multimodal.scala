@@ -550,6 +550,81 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** EXIF-orientation normalization — the standard first pixel op on a
+    * photo corpus: cameras store the sensor raster plus an Orientation
+    * tag, so two visually-identical photos can be byte-rotated copies;
+    * perceptual hashing, resizing, or any vision model needs the
+    * upright raster. [[normalizeOrientation]] applies the EXIF 1-8
+    * transform (identity, mirrors, 90/180/270 rotations, transposes) by
+    * exact pixel mapping; [[withOrientationNormalized]] composes the
+    * metadata walk + decode + transform + re-encode as the standard
+    * batched partition map, re-decoding the output dims (a broken
+    * transform yields wrong dims and fails the oracle). Rows without
+    * parseable EXIF pass through unrotated with orientation NULL —
+    * quarantine, not a crash. */
+  def normalizeOrientation(img: java.awt.image.BufferedImage,
+                           orientation: Int): java.awt.image.BufferedImage = {
+    if (orientation <= 1 || orientation > 8) return img
+    val w = img.getWidth; val h = img.getHeight
+    val swap = orientation >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // (tx, ty) = where source pixel (x, y) lands in the upright
+        // image, per the EXIF orientation definitions
+        val (tx, ty) = orientation match {
+          case 2 => (w - 1 - x, y)             // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y)     // rotate 180
+          case 4 => (x, h - 1 - y)             // mirror vertical
+          case 5 => (y, x)                     // transpose
+          case 6 => (h - 1 - y, x)             // rotate 90 CW
+          case 7 => (h - 1 - y, w - 1 - x)     // transverse
+          case _ => (y, w - 1 - x)             // 8: rotate 270 CW
+        }
+        out.setRGB(tx, ty, img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def withOrientationNormalized(media: DataFrame,
+                                batchSize: Int = 32): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("norm_content", BinaryType))
+      .add(StructField("norm_width", IntegerType))
+      .add(StructField("norm_height", IntegerType))
+      .add(StructField("applied_orientation", IntegerType))
+    val binIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val exif = ExifCodec.parse(bytes)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
+          if (img == null)
+            Row.fromSeq(r.toSeq ++ Seq(null, 0, 0, exif.orientation))
+          else {
+            val upright = normalizeOrientation(img,
+              if (exif.orientation == null) 1 else exif.orientation.intValue())
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(upright, "jpg", baos)
+            val norm = baos.toByteArray
+            // dims re-decoded FROM the output payload, not echoed
+            val (nw, nh, _) = ImageCodec.decode(norm)
+            Row.fromSeq(r.toSeq ++ Seq(norm, nw, nh, exif.orientation))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Real audio codec on javax.sound.sampled (JDK-bundled, offline):
     * 16-bit signed little-endian mono PCM in a WAV container — the
     * completion of the image/audio/video modality triad (image decode is

@@ -97,4 +97,60 @@ class CodecPropertySpec extends AnyFunSuite with Matchers {
       got shouldBe hits
     }
   }
+
+  test("demuxers and EXIF parser never throw on corrupted container bytes") {
+    // the quarantine contract fuzz-tested: every byte parser in the
+    // multimodal family must yield (possibly empty) results — never an
+    // exception — on ARBITRARY bytes, including real containers with
+    // random corruption and random truncation, which is exactly what a
+    // 100 TB crawl corpus delivers. A task-killing throw on one bad
+    // payload would fail a whole partition of good ones.
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{AutoVideoDemux, GifVideoDemux,
+      MjpegAviVideoDemux, MkvVideoDemux, Mp4VideoDemux, VideoCodec}
+    val rnd = new scala.util.Random(20260814L)
+    def gray(g: Int, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)))
+      img
+    }
+    val frames = Seq(gray(30, 8, 8), gray(90, 8, 8), gray(150, 8, 8))
+    val jpegBase = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(gray(70, 8, 8), "jpg", b)
+      b.toByteArray
+    }
+    val seeds: Seq[Array[Byte]] = Seq(
+      VideoCodec.encodeGif(frames),
+      VideoCodec.encodeMjpegAvi(frames),
+      VideoCodec.encodeMjpegMp4(frames),
+      VideoCodec.encodeMjpegMkv(frames),
+      Multimodal.ExifCodec.splice(jpegBase, "maker", "model", 3,
+        "2020:01:01 00:00:00", littleEndian = true),
+      Multimodal.ExifCodec.splice(jpegBase, "maker", "model", 3,
+        "2020:01:01 00:00:00", littleEndian = false))
+    val parsers: Seq[Array[Byte] => Any] = Seq(
+      AutoVideoDemux.demuxFrames, GifVideoDemux.demuxFrames,
+      MjpegAviVideoDemux.demuxFrames, Mp4VideoDemux.demuxFrames,
+      MkvVideoDemux.demuxFrames, Multimodal.ExifCodec.parse)
+    (1 to 300).foreach { _ =>
+      val base = seeds(rnd.nextInt(seeds.length))
+      val mutated = base.clone()
+      // corrupt 1-8 random bytes, then truncate at a random point —
+      // header fields, size declarations, and payload bytes all get hit
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+      parsers.foreach { p =>
+        noException should be thrownBy p(cut)
+        noException should be thrownBy p(mutated)
+      }
+      // pure noise too
+      noException should be thrownBy parsers.foreach(
+        _(Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt(256).toByte)))
+    }
+  }
 }

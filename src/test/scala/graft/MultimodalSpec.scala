@@ -672,6 +672,70 @@ class MultimodalSpec extends SparkSpec {
     got should have length 3
   }
 
+  test("orientation normalization puts the bright block in the right corner for all 8 cases") {
+    import Multimodal.{ExifCodec, normalizeOrientation, withOrientationNormalized}
+    // 16×16 with a white top-left 8×8 block: JPEG-stable quadrant probe
+    def probe(): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x =>
+        img.setRGB(x, y, 0xffffff)))
+      img
+    }
+    def quadrantLums(img: java.awt.image.BufferedImage): Map[String, Double] = {
+      def mean(x0: Int, y0: Int): Double = {
+        var s = 0.0
+        (y0 until y0 + 8).foreach(y => (x0 until x0 + 8).foreach { x =>
+          s += (img.getRGB(x, y) & 0xff)
+        })
+        s / 64
+      }
+      Map("TL" -> mean(0, 0), "TR" -> mean(8, 0),
+          "BL" -> mean(0, 8), "BR" -> mean(8, 8))
+    }
+    // where the stored-raster TL block must land after normalizing o
+    val expected = Map(1 -> "TL", 2 -> "TR", 3 -> "BR", 4 -> "BL",
+      5 -> "TL", 6 -> "TR", 7 -> "BR", 8 -> "BL")
+    expected.foreach { case (o, corner) =>
+      val got = quadrantLums(normalizeOrientation(probe(), o))
+      withClue(s"orientation $o:") {
+        got(corner) should be > 200.0
+        (got - corner).values.foreach(_ should be < 60.0)
+      }
+    }
+    // the distributed stage applies the SPLICED orientation: a tagged
+    // o=6 JPEG comes out with the block at TR and dims swapped
+    val jpeg = {
+      val b = new java.io.ByteArrayOutputStream()
+      val wide = new java.awt.image.BufferedImage(
+        24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x =>
+        wide.setRGB(x, y, 0xffffff)))
+      javax.imageio.ImageIO.write(wide, "jpg", b)
+      b.toByteArray
+    }
+    val tagged = ExifCodec.splice(jpeg, "m", "m", 6, "2020:01:01 00:00:00",
+      littleEndian = true)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        1L, tagged, "image",
+        org.apache.spark.sql.Row(tagged.length.toLong, "h", "s")))),
+      Multimodal.mediaSchema)
+    val row = withOrientationNormalized(media)
+      .select("norm_width", "norm_height", "applied_orientation")
+      .as[(Int, Int, Int)].collect().head
+    row shouldBe ((16, 24, 6))
+    // EXIF-less payloads pass through with NULL orientation, unrotated
+    val plainMedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        2L, jpeg, "image", org.apache.spark.sql.Row(jpeg.length.toLong, "h", "s")))),
+      Multimodal.mediaSchema)
+    val plain = withOrientationNormalized(plainMedia)
+      .select("norm_width", "norm_height", "applied_orientation")
+      .collect().head
+    (plain.getInt(0), plain.getInt(1), plain.isNullAt(2)) shouldBe ((24, 16, true))
+  }
+
   test("withVideoFrames demuxes a mixed GIF + AVI corpus through auto-dispatch") {
     import Multimodal._
     val rows = Seq(
