@@ -826,6 +826,66 @@ object SimilaritySearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
   }
 
+  /** Merge persisted IVF-Flat indexes that share one centroid set into
+    * `target` — the multi-source index lifecycle op (regional builds,
+    * backfill + live segments, A/B rebuilds folding into one serving
+    * index). Cell geometry must match: the centroid sidecars are
+    * asserted equal, because rows keep their cluster through the merge
+    * (a merge across different centroid sets is a re-encode — build a
+    * fresh index from the unioned raw vectors instead). Content-keyed
+    * rows (same nid) appearing in several sources dedupe to one;
+    * every source's tombstones apply and the target starts clean of
+    * them. Output is written compacted (one file per cell) via the
+    * same stage-then-swap as [[compactIvfFlatIndex]], so `target` may
+    * BE one of the sources (fold-into-live) and a crash mid-merge
+    * leaves it intact. */
+  def mergeIvfFlatIndexes(spark: org.apache.spark.sql.SparkSession,
+                          sources: Seq[String], target: String): Unit = {
+    require(sources.nonEmpty, "mergeIvfFlatIndexes: no sources")
+    val centSets = sources.map { s =>
+      spark.read.parquet(s"$s/centroids").orderBy(col("cid"))
+        .select(col("vec")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    }
+    require(centSets.forall(_ == centSets.head),
+      "mergeIvfFlatIndexes: sources have different centroid sets — " +
+        "merging across cell geometries requires a re-encode " +
+        "(writeIvfFlatIndex over the unioned raw vectors)")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hPath(target).getFileSystem(hconf)
+    val unioned = sources.map(s => spark.read.parquet(s"$s/payload"))
+      .reduce(_ unionByName _)
+      .dropDuplicates("nid")
+    val tombs = sources.map(s => hPath(s"$s/tombstones")).filter(fs.exists)
+    val payload =
+      if (tombs.isEmpty) unioned
+      else unioned.join(
+        broadcast(tombs.map(t => spark.read.parquet(t.toString))
+          .reduce(_ unionByName _).distinct()),
+        Seq("nid"), "left_anti")
+    payload
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("nid"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$target/payload.merge")
+    val live = hPath(s"$target/payload")
+    val staged = hPath(s"$target/payload.merge")
+    val retired = hPath(s"$target/payload.old")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(live)) fs.rename(live, retired)
+    fs.rename(staged, live)
+    fs.delete(retired, true)
+    val targetTombs = hPath(s"$target/tombstones")
+    if (fs.exists(targetTombs)) fs.delete(targetTombs, true)
+    import spark.implicits._
+    centSets.head.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/centroids")
+    spark.read.parquet(s"$target/payload")
+      .groupBy(col("cluster")).count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/cellstats")
+  }
+
   /** The distinct coarse cells a query batch probes at depth `nProbe` —
     * the exact set [[searchIvfFlatIndex]] pushes as the payload scan's
     * partition filter (bounded driver collect: ≤ #cells ints).

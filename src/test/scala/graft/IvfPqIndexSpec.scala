@@ -130,4 +130,58 @@ class IvfPqIndexSpec extends SparkSpec {
     oneRes should have length 3
     oneRes.foreach(nid => assign(nid) shouldBe assign(0L))
   }
+
+  test("index merge: segments fold into one index equal to the single build") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val a = tmp("graft-merge-a"); val b = tmp("graft-merge-b")
+    val target = tmp("graft-merge-t")
+    // content-keyed rows, the index convention tombstones share
+    val prep = emb.select(md5(col("vec_id").cast("string")).as("nid"),
+      col("embedding"), col("vec_id"))
+    def build(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      SimilaritySearch.writeIvfFlatIndex(df, centroids, path,
+        "nid", "embedding", payloadCols = Seq("vec_id"))
+    // two segments with an OVERLAP (rows 200-249 in both) — the
+    // regional/backfill shape; content-keyed rows must merge to one
+    build(prep.filter(col("vec_id") < 250), a)
+    build(prep.filter(col("vec_id") >= 200), b)
+    // a tombstone in a source must not survive the merge
+    val victimNid = prep.filter(col("vec_id") === 42)
+      .select(col("nid")).as[String].collect().head
+    SimilaritySearch.deleteFromIvfFlatIndex(spark, a, Seq(victimNid))
+
+    SimilaritySearch.mergeIvfFlatIndexes(spark, Seq(a, b), target)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def res(path: String) = SimilaritySearch.searchIvfFlatIndex(spark, path,
+        queries, k = 3, numCandidates = Int.MaxValue, "qid", "qvec",
+        payloadCols = Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val whole2 = tmp("graft-merge-whole2")
+    build(prep.filter(col("vec_id") =!= 42), whole2)
+    res(target) shouldBe res(whole2) // dedup + tombstone both honored
+    // merged payload: no duplicated nids, tombstones sidecar cleared
+    val pay = spark.read.parquet(s"$target/payload")
+    pay.count() shouldBe pay.dropDuplicates("nid").count()
+    new java.io.File(s"$target/tombstones").exists() shouldBe false
+    // cellstats reflect the merged truth
+    spark.read.parquet(s"$target/cellstats")
+      .select(col("count")).as[Long].collect().sum shouldBe pay.count()
+    // fold-into-live: merging (target, b) INTO target is a no-op here
+    // (b ⊆ target already) and must not corrupt the live index
+    SimilaritySearch.mergeIvfFlatIndexes(spark, Seq(target, b), target)
+    res(target) shouldBe res(whole2)
+    // geometry mismatch refuses loudly
+    val alt = tmp("graft-merge-alt")
+    SimilaritySearch.writeIvfFlatIndex(prep,
+      centroids.map(_.map(_ + 1f)), alt, "nid", "embedding",
+      payloadCols = Seq("vec_id"))
+    an[IllegalArgumentException] should be thrownBy
+      SimilaritySearch.mergeIvfFlatIndexes(spark, Seq(a, alt), tmp("x"))
+  }
 }
