@@ -24,7 +24,8 @@ object Bench {
     * JIT). Returns (prospect rows processed end-to-end, seconds, rows/s,
     * per-stage JSON). */
   def streamingThroughput(spark: SparkSession, totalRows: Int,
-                          chunks: Int): (Long, Double, Double, String) = {
+                          chunks: Int,
+                          indexed: Boolean = false): (Long, Double, Double, String) = {
     import graft.pipeline.{CoachingPipeline, TopicParityPipeline}
     import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
     import graft.store.BroadcastBruteForceStore
@@ -38,7 +39,8 @@ object Bench {
       .toDF("document_id", "document_name", "document_category", "document_text")
     val boot = new CoachingPipeline(embedder, new MockChat,
       new BroadcastBruteForceStore(Array.empty))
-    val store = BroadcastBruteForceStore.fromDataFrame(boot.indexKnowledge(knowledge))
+    val indexedKnowledge = boot.indexKnowledge(knowledge)
+    val store = BroadcastBruteForceStore.fromDataFrame(indexedKnowledge)
     val pipeline = new CoachingPipeline(embedder, new MockChat, store)
 
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
@@ -48,8 +50,19 @@ object Bench {
     // timed batches ever exceeded it, the drop(progress0) alignment below
     // would silently discard timed batches from the per-stage stats
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
-    val queries = parity.streamStages(spark, tmp("graft-bench-ckpt"),
-      sourceOptions = Map("maxFilesPerTrigger" -> "2"))
+    val sourceOptions = Map("maxFilesPerTrigger" -> "2")
+    // indexed=true measures the SCALE serving path: retrieval as a
+    // per-micro-batch partition-pruned join against the persisted
+    // IVF-Flat index (streamStagesIndexed) instead of the broadcast
+    // store — per-round evidence for the per-batch join's fixed cost
+    val queries =
+      if (indexed)
+        parity.streamStagesIndexed(spark, tmp("graft-bench-ckpt"),
+          graft.store.VectorStores.adaptive(indexedKnowledge,
+              tmp("graft-bench-idx"), broadcastBytes = 1L)
+            .asInstanceOf[graft.store.IvfFlatIndexStore],
+          sourceOptions)
+      else parity.streamStages(spark, tmp("graft-bench-ckpt"), sourceOptions)
     try {
       // one file per wave (a producer append = one log segment): without
       // the coalesce each publish writes 32 partition files and the chain
@@ -315,6 +328,20 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming":null"""
       }
+    // the scale serving path, same backlog: retrieval through the
+    // persisted index per micro-batch — its rows/s vs the broadcast
+    // figure above isolates the per-batch index-join fixed cost
+    val streamingIndexed =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0"))
+        ""","streaming_indexed":null"""
+      else try {
+        val (rows, secs, rps, stages) = streamingThroughput(spark,
+          totalRows = 20000, chunks = 20, indexed = true)
+        s""","streaming_indexed":{"rows":$rows,"sec":$secs,"rows_per_sec":$rps,"stages":$stages}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming_indexed failed: ${e.getMessage}")
+        ""","streaming_indexed":null"""
+      }
     // TTL-state scale probe: 10× the streaming bench's row count through
     // the stateful dedup — state must plateau at the TTL horizon
     // (~(ttl/gap+1) waves), evidencing the bounded-state sizing claim at
@@ -331,7 +358,7 @@ object Bench {
         System.err.println(s"[bench] state probe failed: ${e.getMessage}")
         ""","state_probe":null"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$stateProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$streamingIndexed$stateProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

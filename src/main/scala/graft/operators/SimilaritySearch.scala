@@ -569,10 +569,11 @@ object SimilaritySearch {
                       cVec: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    ivfPqEncode(corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
+    payloadWriter(ivfPqEncode(
+        corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
         centroids, codebooks, "nvec")
-      .select(col("nid"), col("cluster"), col("codes"))
-      .write.mode("overwrite").partitionBy("cluster")
+      .select(col("nid"), col("cluster"), col("codes")))
+      .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/codes")
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "vec")
@@ -631,16 +632,25 @@ object SimilaritySearch {
     * [[writeIvfPqIndex]] at the same `path` (shared `centroids`
     * sidecar): codes are the compressed ADC scan, payload the exact
     * serving/rerank side. */
+  /** Parquet tuning every payload write shares: rows sorted by `nid`
+    * within each cell file (tight min/max page stats → row-group skip
+    * on point lookups) plus a bloom filter on `nid` (the tombstone
+    * anti-join and replay dedup probe by nid; at 10⁹ rows per cell a
+    * negative probe should cost a filter check, not a column scan). */
+  private def payloadWriter(df: DataFrame) =
+    df.sortWithinPartitions(col("cluster"), col("nid"))
+      .write.option("parquet.bloom.filter.enabled#nid", "true")
+
   def writeIvfFlatIndex(corpus: DataFrame, centroids: Seq[Seq[Float]],
                         path: String, cId: String = "vec_id",
                         cVec: String = "embedding",
                         payloadCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    ivfAssign(corpus, centroids, cVec)
+    payloadWriter(ivfAssign(corpus, centroids, cVec)
       .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
-        col("cluster")) ++ payloadCols.map(col): _*)
-      .write.mode("overwrite").partitionBy("cluster")
+        col("cluster")) ++ payloadCols.map(col): _*))
+      .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/payload")
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "vec")
@@ -755,7 +765,7 @@ object SimilaritySearch {
     val assigned = ivfAssign(batch, cents, cVec)
       .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
         col("cluster")) ++ payloadCols.map(col): _*)
-    assigned.write.mode("append").partitionBy("cluster")
+    payloadWriter(assigned).mode("append").partitionBy("cluster")
       .parquet(s"$path/payload")
     // incremental cellstats: old counts + this batch's (both bounded
     // collects), rewritten whole — collected BEFORE the overwrite
@@ -808,10 +818,8 @@ object SimilaritySearch {
     // repartition on the partition column: every cell's rows land in
     // one task, so each cluster directory collapses to ONE file (the
     // small-file fix micro-batch appends make necessary)
-    payload
-      .repartition(col("cluster"))
-      .sortWithinPartitions(col("cluster"), col("nid"))
-      .write.mode("overwrite").partitionBy("cluster")
+    payloadWriter(payload.repartition(col("cluster")))
+      .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/payload.compact")
     val live = hPath(s"$path/payload")
     val staged = hPath(s"$path/payload.compact")
@@ -863,10 +871,8 @@ object SimilaritySearch {
         broadcast(tombs.map(t => spark.read.parquet(t.toString))
           .reduce(_ unionByName _).distinct()),
         Seq("nid"), "left_anti")
-    payload
-      .repartition(col("cluster"))
-      .sortWithinPartitions(col("cluster"), col("nid"))
-      .write.mode("overwrite").partitionBy("cluster")
+    payloadWriter(payload.repartition(col("cluster")))
+      .mode("overwrite").partitionBy("cluster")
       .parquet(s"$target/payload.merge")
     val live = hPath(s"$target/payload")
     val staged = hPath(s"$target/payload.merge")

@@ -448,4 +448,39 @@ class DedupSpec extends SparkSpec {
     Dedup.semanticDedup(split, "vec_id", "embedding", centroids, 0.95)
       .filter(!col("kept")).count() shouldBe 0L
   }
+
+  test("semanticDedup matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) -1.0 else dot / (na * nb)
+    }
+    (1 to 4).foreach { round =>
+      val dim = 4
+      val cents = Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+      val vecs = (0 until 30).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val tau = 0.8
+      // reference: the operator's own contracts re-derived naively —
+      // argmax assignment with the (sim DESC, cid DESC) tie-break,
+      // then "kept iff no lower-id same-cell neighbour within tau"
+      val assign = vecs.map { case (id, v) =>
+        id -> cents.zipWithIndex.maxBy { case (c, ci) => (cos(v, c), ci) }._2
+      }.toMap
+      val byId = vecs.toMap
+      val expected = vecs.map { case (id, v) =>
+        val dup = vecs.exists { case (jd, w) =>
+          jd < id && assign(jd) == assign(id) && cos(w, v) >= tau
+        }
+        (id, assign(id), !dup)
+      }.sortBy(_._1)
+      val got = Dedup.semanticDedup(vecs.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents, tau)
+        .select("id", "cluster", "kept").as[(Long, Int, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      withClue(s"round $round:") { got shouldBe expected }
+    }
+  }
 }

@@ -172,6 +172,28 @@ class IvfPqIndexSpec extends SparkSpec {
     // cellstats reflect the merged truth
     spark.read.parquet(s"$target/cellstats")
       .select(col("count")).as[Long].collect().sum shouldBe pay.count()
+    // the parquet footer really carries the nid bloom filter (the
+    // tombstone anti-join / replay-dedup point-probe structure) and
+    // nid-sorted row groups (tight min/max page stats): offsets ≥ 0
+    // only when the writer option took effect
+    locally {
+      import scala.jdk.CollectionConverters._
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      val part = files(new java.io.File(s"$target/payload"))
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val cols = reader.getRowGroups.asScala.head.getColumns.asScala
+        val nidCol = cols.find(_.getPath.toDotString == "nid").get
+        nidCol.getBloomFilterOffset should be >= 0L
+        reader.getBloomFilterDataReader(reader.getRowGroups.asScala.head)
+          .readBloomFilter(nidCol) should not be null
+      } finally reader.close()
+    }
     // fold-into-live: merging (target, b) INTO target is a no-op here
     // (b ⊆ target already) and must not corrupt the live index
     SimilaritySearch.mergeIvfFlatIndexes(spark, Seq(target, b), target)
