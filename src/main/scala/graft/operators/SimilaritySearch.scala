@@ -696,15 +696,30 @@ object SimilaritySearch {
                          qId: String = "vec_id", qVec: String = "embedding",
                          payloadCols: Seq[String] = Nil,
                          broadcastBytes: Long = 64L * 1024 * 1024,
-                         dedupReplays: Boolean = false): DataFrame = {
+                         dedupReplays: Boolean = false,
+                         sidecars: Option[(Seq[Seq[Float]], Seq[Long])] = None)
+      : DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cid")).select(col("vec")).collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
-    val sizes = spark.read.parquet(s"$path/cellstats")
-      .select(col("count")).as[Long].collect().toSeq
+    // `sidecars`: a serving caller (IvfFlatIndexStore) can preload the
+    // centroid matrix + cell sizes ONCE and reuse them across searches —
+    // per-micro-batch serving otherwise pays two sidecar-read jobs per
+    // batch for artifacts that are immutable (centroids) or only drift
+    // conservatively (cellstats) between maintenance passes
+    val (cents, sizes) = sidecars.getOrElse((
+      spark.read.parquet(s"$path/centroids")
+        .orderBy(col("cid")).select(col("vec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq,
+      spark.read.parquet(s"$path/cellstats")
+        .select(col("count")).as[Long].collect().toSeq))
     val nProbe = nProbeFor(sizes, numCandidates)
-    val probed = probedCells(queries, cents, nProbe, qVec)
+    // full probe depth reaches every cell no matter the query batch —
+    // the probed set is statically all of them, so skip the per-batch
+    // Spark job that derives it (one fewer fixed job per micro-batch
+    // in exact-regime serving); the partition filter stays in the plan
+    // either way, so the pruned-scan shape is unchanged
+    val probed: Seq[Int] =
+      if (nProbe >= cents.length) cents.indices
+      else probedCells(queries, cents, nProbe, qVec)
     val raw = spark.read.parquet(s"$path/payload")
       .filter(col("cluster").isin(probed: _*))
     // dedupReplays: an index fed by at-least-once micro-batch appends

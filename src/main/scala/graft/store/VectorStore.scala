@@ -133,11 +133,32 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
                               override val defaultNumCandidates: Int = 150)
     extends VectorStore {
 
-  override lazy val size: Int = {
-    import spark.implicits._
-    spark.read.parquet(s"$path/cellstats")
-      .select(col("count")).as[Long].collect().sum.toInt
+  override lazy val size: Int = cellSizes.sum.toInt
+
+  // serving-path sidecar cache: the centroid matrix is immutable for an
+  // index's lifetime (a re-center is a re-encode = a new index), so load
+  // it once; cellstats drift as upserts land, but a stale size only
+  // makes the numCandidates→probe-depth mapping conservative in the
+  // wrong direction SLOWLY — refresh after maintenance via
+  // [[refreshStats]]. Saves two Spark jobs per search, which is the
+  // difference between a fixed cost per QUERY BATCH and one per INDEX
+  // in per-micro-batch streaming serving.
+  private lazy val centroids: Seq[Seq[Float]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+  @volatile private var statsCache: Seq[Long] = null
+  private def cellSizes: Seq[Long] = {
+    if (statsCache == null) {
+      import spark.implicits._
+      statsCache = spark.read.parquet(s"$path/cellstats")
+        .select(col("count")).as[Long].collect().toSeq
+    }
+    statsCache
   }
+  /** Drop the cached cellstats (call after upserts/compaction/merge so
+    * the probe-depth mapping sees the new counts). */
+  def refreshStats(): Unit = statsCache = null
 
   /** Batch retrieval: (qid, qvec) frame → (qid, nid, rank, score,
     * document_id, chunks) with only probed cells' files read. */
@@ -145,7 +166,8 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
                   qId: String = "qid", qVec: String = "qvec"): DataFrame =
     graft.operators.SimilaritySearch.searchIvfFlatIndex(
       spark, path, queries, k, numCandidates, qId, qVec,
-      payloadCols = Seq("document_id", "chunks"))
+      payloadCols = Seq("document_id", "chunks"),
+      sidecars = Some((centroids, cellSizes)))
 
   override def search(query: Array[Float], k: Int,
                       numCandidates: Int): Seq[SearchHit] = {
