@@ -1887,6 +1887,35 @@ object QueriesDataOps {
                    max(pos) OVER (PARTITION BY doc_id) AS n_pos
             FROM h)"""
 
+  /** Shared BPE-oracle scaffolding (the curationVerdictSql pattern:
+    * mechanical SQL generated once, embedded in several oracles). The
+    * marker-prefix symbol representation makes DuckDB's `replace`
+    * exactly the engine's merge pass — see functions/Bpe.scala. */
+  private def bpeWordsSql(table: String): String = s"""
+      bw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             FROM $table),
+      bwf AS (SELECT word, count(*) AS freq FROM bw GROUP BY word),
+      s0 AS (SELECT regexp_replace(word, '(.)', '_\\1', 'g') AS s, freq FROM bwf)"""
+
+  /** Adjacent-pair counts of a (s, freq) symbol relation → `$out`. */
+  private def bpePairsSql(in: String, out: String): String = s"""
+      $out AS (
+        SELECT l, r, sum(freq) AS cnt FROM (
+          SELECT a[i] AS l, a[i + 1] AS r, freq FROM (
+            SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i
+            FROM (SELECT string_split(s, '_')[2:] AS a, freq FROM $in)))
+        GROUP BY l, r)"""
+
+  /** k training rounds: pair counts → argmax pair p$i → merged s$i. */
+  private def bpeTrainChainSql(k: Int): String =
+    (1 to k).map { i =>
+      s"""${bpePairsSql(s"s${i - 1}", s"bpc$i")},
+      p$i AS (SELECT l, r FROM bpc$i ORDER BY cnt DESC, l, r LIMIT 1),
+      s$i AS (SELECT replace(s, '_' || p$i.l || '_' || p$i.r,
+                             '_' || p$i.l || p$i.r) AS s, freq
+              FROM s${i - 1} CROSS JOIN p$i)"""
+    }.mkString(",\n")
+
   val text: Seq[(String, Q, Option[String])] = Seq(
 
     ("text_langid", (s, dir) => {
@@ -2095,6 +2124,74 @@ object QueriesDataOps {
              len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                AS n_bpe_tokens
       FROM documents ORDER BY doc_id""")),
+
+    ("text_bpe_pairs", (s, dir) => {
+      // distributed BPE training, round-1 evidence: adjacent symbol
+      // pair frequencies over the (word, freq) table in the
+      // marker-prefix representation, top-10 deterministic. One corpus
+      // shuffle (word freq) + one pair shuffle — the per-round shape
+      // of the trainer.
+      import graft.functions.Bpe
+      val words = Bpe.wordFreq(T(s, dir, "documents"), "text")
+        .select(Bpe.toSymbols(col("word")).as("syms"), col("freq"))
+      Bpe.pairCounts(words)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(10)
+        .select(col("l"), col("r"), col("cnt"))
+    }, Some(s"""
+      WITH ${bpeWordsSql("documents")},
+      ${bpePairsSql("s0", "pc")}
+      SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pc
+      ORDER BY cnt DESC, l, r LIMIT 10""")),
+
+    ("text_bpe_train", (s, dir) => {
+      // the actual BPE trainer (Sennrich'16): 5 rounds of count-argmax-
+      // merge over the corpus, each round one pair shuffle + a ONE-ROW
+      // driver collect; the oracle replays all 5 rounds mechanically in
+      // SQL (the marker-prefix representation makes `replace` exactly
+      // the merge pass, so engine and oracle share semantics exactly).
+      import graft.functions.Bpe
+      import s.implicits._
+      val merges = Bpe.train(T(s, dir, "documents"), "text", steps = 5)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("step", "l", "r")
+        .orderBy(col("step"))
+    }, Some(s"""
+      WITH ${bpeWordsSql("documents")},
+      ${bpeTrainChainSql(5)}
+      ${(1 to 5).map(k => s"SELECT $k AS step, l, r FROM p$k")
+        .mkString("", " UNION ALL ", "")}
+      ORDER BY step""")),
+
+    ("text_bpe_tokenize", (s, dir) => {
+      // the trained vocabulary APPLIED: per-doc token counts under the
+      // 5 learned merges — explode words, chain 5 codegen'd replaces,
+      // one doc-keyed sum; wordless docs keep a 0 row. The oracle
+      // re-trains in SQL and re-applies the same chain.
+      import graft.functions.Bpe
+      val docs = T(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", steps = 5)
+      Bpe.withTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH ${bpeWordsSql("documents")},
+      ${bpeTrainChainSql(5)},
+      dw AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             FROM documents),
+      tok AS (SELECT doc_id,
+                     ${(1 to 5).foldLeft("regexp_replace(word, '(.)', '_\\1', 'g')") {
+                       (acc, k) =>
+                         s"replace($acc, '_' || p$k.l || '_' || p$k.r, '_' || p$k.l || p$k.r)"
+                     }} AS s
+              FROM dw ${(1 to 5).map(k => s"CROSS JOIN p$k").mkString(" ")}),
+      cnt AS (SELECT doc_id,
+                     sum(len(s) - len(replace(s, '_', ''))) AS n_bpe
+              FROM tok GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(cnt.n_bpe, 0) AS BIGINT) AS n_bpe
+      FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
 
     ("text_repetition", (s, dir) => {
       // Gopher-style repetition gates: duplicate-token fraction and
