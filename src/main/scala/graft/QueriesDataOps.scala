@@ -962,6 +962,36 @@ object QueriesDataOps {
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    ("curate_dsir_score", (s, dir) => {
+      // DSIR importance scoring toward the lang='en' target domain:
+      // hashed-unigram log-likelihood ratio per doc (256 md5-prefix
+      // buckets, add-one smoothing). Two 256-row aggregates + one
+      // broadcast log-ratio join + a doc-keyed sum; the oracle replays
+      // the identical estimate in SQL. round(6) for float parity, the
+      // repo convention.
+      graft.pipeline.CurationPipeline.dsirScores(T(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_feats"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
+                 FROM documents),
+      wb AS (SELECT doc_id, tgt, substring(md5(wd), 1, 2) AS b FROM w),
+      c AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t,
+                   count(*) AS r
+            FROM wb GROUP BY b),
+      tot AS (SELECT sum(t) AS tt, sum(r) AS rr FROM c),
+      lr AS (SELECT b, ln((t + 1.0) / (tt + 256)) - ln((r + 1.0) / (rr + 256)) AS lr
+             FROM c CROSS JOIN tot),
+      sc AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS score
+             FROM wb JOIN lr USING (b) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+             round(COALESCE(sc.score, 0), 6) AS score
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     ("curate_shuffle_shard", (s, dir) => {
       // seeded global shuffle + fixed-64-row output shards: the oracle
       // states the semantics as ONE global row_number window over

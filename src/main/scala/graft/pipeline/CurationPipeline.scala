@@ -504,4 +504,48 @@ object CurationPipeline {
       .withColumn("shard", floor(col("pos") / lit(shardSize)).cast("long"))
       .select(col("doc_id"), col("pos"), col("shard"))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    * rank raw documents by how target-domain-like their hashed-feature
+    * profile is — the data-selection op that picks "looks like
+    * Wikipedia" slices out of a web crawl. Features are word unigrams
+    * hashed to 256 buckets (bucket key = the first two md5 hex chars,
+    * the engine-portable hash convention the minhash family uses);
+    * bucket distributions are estimated for the TARGET rows
+    * (`isTarget`) and the RAW corpus with add-one smoothing, and a
+    * document's score is the sum over its word occurrences of
+    * log p_target(bucket) − log p_raw(bucket) — its hashed-ngram
+    * log-likelihood ratio. Positive ⇒ more target-like than the
+    * corpus average.
+    *
+    * Scale shape: two 256-row aggregates (one corpus shuffle over the
+    * exploded words — partial-agg combinable), the log-ratio table
+    * broadcasts (256 rows, always), and the per-doc score is one
+    * doc-keyed partial-agg sum. No driver collect; wordless docs keep
+    * a (0, 0) row. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets == 256, "dsirScores: bucket key is 2 md5 hex chars (= 256)")
+    val words = docs.select(col(idCol), isTarget.as("tgt"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("w"))
+      .withColumn("b", substring(md5(col("w")), 1, 2))
+    val counts = words.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t"),
+      count(lit(1)).as("r"))
+    val tot = counts.agg(sum(col("t")).as("tt"), sum(col("r")).as("rr"))
+    val ratios = counts.crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(col("b"),
+        (log((col("t") + 1.0) / (col("tt") + buckets)) -
+          log((col("r") + 1.0) / (col("rr") + buckets))).as("lr"))
+    val scored = words.join(broadcast(ratios), Seq("b"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("lr")).as("score"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
 }

@@ -433,4 +433,32 @@ class CurationSpec extends SparkSpec {
     rows(3) shouldBe "call <PHONE> now"
     rows(4) shouldBe "no pii here at all"
   }
+
+  test("dsirScores ranks target-like docs above corpus-average ones") {
+    import org.apache.spark.sql.functions.col
+    // target rows are all about "wiki science physics"; raw rows about
+    // "spam casino deal". A scored doc made of target words must land
+    // positive, one made of raw-only words negative, mixed in between,
+    // and a wordless doc keeps a (0, 0) row.
+    // distributions must dominate the +1/256-bucket smoothing, as they
+    // do on any real corpus — hence the ×30 replication
+    val docs = Seq(
+      (1L, Array.fill(30)("wiki science physics wiki science").mkString(" "), true),
+      (2L, Array.fill(30)("wiki physics science wiki").mkString(" "), true),
+      (3L, Array.fill(30)("spam casino deal spam casino").mkString(" "), false),
+      (4L, Array.fill(30)("deal casino spam deal").mkString(" "), false),
+      (5L, "wiki science physics", false),   // target-like raw doc
+      (6L, "spam casino deal", false),       // corpus-only raw doc
+      (7L, "wiki spam", false),              // mixed
+      (8L, "!!!", false))                    // wordless
+      .toDF("doc_id", "text", "is_tgt")
+    val got = CurationPipeline.dsirScores(docs, "doc_id", "text", col("is_tgt"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got(5L)._2 should be > 0.0
+    got(6L)._2 should be < 0.0
+    got(5L)._2 should be > got(7L)._2
+    got(7L)._2 should be > got(6L)._2
+    got(8L) shouldBe ((0L, 0.0))
+    got(5L)._1 shouldBe 3L // every word occurrence is a feature
+  }
 }
