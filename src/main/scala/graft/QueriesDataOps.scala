@@ -962,6 +962,39 @@ object QueriesDataOps {
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    ("curate_quality_lr", (s, dir) => {
+      // learned quality gate: hashed-feature logistic regression
+      // trained IN the engine (3 full-batch GD steps from w=0, 256
+      // DSIR buckets, tf values, target = lang='en'), then per-doc
+      // sigmoid quality under the trained weights. Each step moves
+      // exactly 256 doubles across the driver (the Lloyd transfer
+      // shape); the oracle replays all 3 steps mechanically in SQL.
+      val (_, scored) = graft.pipeline.CurationPipeline.qualityLrTrain(
+        T(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", steps = 3)
+      scored.select(col("doc_id"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH w AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
+                 FROM documents),
+      fb AS (SELECT doc_id, y, b, cnt / sum(cnt) OVER (PARTITION BY doc_id) AS x
+             FROM (SELECT doc_id, y, substring(md5(wd), 1, 2) AS b,
+                          CAST(count(*) AS DOUBLE) AS cnt
+                   FROM w GROUP BY doc_id, y, substring(md5(wd), 1, 2))),
+      nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM fb),
+      g1 AS (SELECT b, sum((0.5 - y) * x) / any_value(nd.n) AS g
+             FROM fb CROSS JOIN nd GROUP BY b),
+      w1 AS (SELECT b, -g AS wt FROM g1),
+      ${lrStepSql(2)}
+      ${lrStepSql(3)}
+      zf AS (SELECT fb.doc_id, sum(fb.x * w3.wt) AS z
+             FROM fb JOIN w3 USING (b) GROUP BY fb.doc_id),
+      q AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS quality FROM zf)
+      SELECT d.doc_id, round(COALESCE(q.quality, 0.5), 6) AS quality
+      FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     ("curate_dsir_score", (s, dir) => {
       // DSIR importance scoring toward the lang='en' target domain:
       // hashed-unigram log-likelihood ratio per doc (256 md5-prefix
@@ -1936,6 +1969,21 @@ object QueriesDataOps {
             FROM (SELECT string_split(s, '_')[2:] AS a, freq FROM $in)))
         GROUP BY l, r)"""
 
+  /** One logistic-regression GD step for the curate_quality_lr oracle:
+    * dot products under w$(k-1), sigmoid errors, per-bucket mean
+    * gradient, w$k = w$(k-1) − g (lr = 1). Every bucket observed in
+    * `fb` is covered by w1 (step-1 errors are ±0.5, never 0), so the
+    * weight join stays an inner equi-join. Ends with a comma. */
+  private def lrStepSql(k: Int): String = s"""
+      z$k AS (SELECT fb.doc_id, any_value(fb.y) AS y,
+                     sum(fb.x * w${k - 1}.wt) AS z
+              FROM fb JOIN w${k - 1} USING (b) GROUP BY fb.doc_id),
+      e$k AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z$k),
+      g$k AS (SELECT fb.b, sum(e$k.err * fb.x) / any_value(nd.n) AS g
+              FROM fb JOIN e$k USING (doc_id) CROSS JOIN nd GROUP BY fb.b),
+      w$k AS (SELECT g$k.b, w${k - 1}.wt - g$k.g AS wt
+              FROM g$k JOIN w${k - 1} ON w${k - 1}.b = g$k.b),"""
+
   /** k training rounds: pair counts → argmax pair p$i → merged s$i. */
   private def bpeTrainChainSql(k: Int): String =
     (1 to k).map { i =>
@@ -2470,6 +2518,28 @@ object QueriesDataOps {
     }, Some("""
       SELECT doc_id AS media_id, 'image' AS media_type,
              CAST(strlen(text) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash, source
+      FROM documents ORDER BY media_id""")),
+
+    ("mm_webdataset_roundtrip", (s, dir) => {
+      // WebDataset tar sharding round-trip: media rows → one ustar
+      // shard per partition (keyed .bin + .json members, the
+      // multimodal-training container) → parsed back; every payload
+      // byte and id must survive, so n_bytes + md5 re-derived FROM the
+      // re-read content hash-match the SQL oracle. A writer that pads
+      // wrong, a checksum misplaced, or a reader that mis-walks a
+      // header cannot round-trip.
+      import graft.io.WebDataset
+      val media = Multimodal.asMedia(T(s, dir, "documents"),
+        "doc_id", "text", "image", "source")
+      val back = WebDataset.fromShards(WebDataset.toShards(media))
+      back.select(col("media_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_hash"),
+          get_json_object(col("meta_json"), "$.source").as("source"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
              md5(text) AS content_hash, source
       FROM documents ORDER BY media_id""")),
 

@@ -505,6 +505,70 @@ object CurationPipeline {
       .select(col("doc_id"), col("pos"), col("shard"))
   }
 
+  /** Hashed-feature logistic-regression quality classifier, trained IN
+    * the engine — the fasttext-style learned filter (the GPT-3/LLaMA
+    * "looks like curated text" gate) as a distributed op. Features are
+    * the DSIR buckets (word unigrams → 256 md5-prefix buckets), valued
+    * as term frequency x_b = count_b / n_words; the label is the
+    * caller's target indicator. Full-batch gradient descent from w = 0:
+    * each step is one broadcast join (the 256-weight table) + a
+    * doc-keyed dot-product sum + a bucket-keyed gradient aggregate,
+    * with exactly 256 doubles crossing the driver per step — the Lloyd
+    * k-means transfer shape. `steps` small (the classifier separates
+    * hashed profiles quickly; this is a gate, not a leaderboard).
+    *
+    * Returns (weights, scoredDocs): per-doc sigmoid(w·x) quality in
+    * [0,1] under the trained weights — >0.5 ⇒ more target-like.
+    * Wordless docs score sigmoid(0) = 0.5 (no evidence either way). */
+  def qualityLrTrain(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, steps: Int = 3,
+                     learningRate: Double = 1.0)
+      : (Map[String, Double], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col(idCol), isTarget.cast("double").as("y"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("w"))
+      .withColumn("b", substring(md5(col("w")), 1, 2))
+    val feats = words.groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("x", col("cnt") /
+        sum(col("cnt")).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol), col("y"), col("b"), col("x"))
+      .persist()
+    val nDocs = feats.select(col(idCol)).distinct().count().toDouble
+    var weights = Map.empty[String, Double]
+    try {
+      (1 to steps).foreach { _ =>
+        val wDf = weights.toSeq.toDF("b", "wt")
+        val dots = feats.join(broadcast(wDf), Seq("b"), "left")
+          .groupBy(col(idCol), col("y"))
+          .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("z"))
+          .withColumn("sig", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+        val grads = feats.join(
+            dots.select(col(idCol), (col("sig") - col("y")).as("err")),
+            Seq(idCol))
+          .groupBy(col("b"))
+          .agg((sum(col("err") * col("x")) / nDocs).as("g"))
+          .as[(String, Double)].collect() // bounded: ≤256 rows
+        weights = weights ++ grads.map { case (b, g) =>
+          b -> (weights.getOrElse(b, 0.0) - learningRate * g)
+        }
+      }
+    } finally feats.unpersist()
+    val wDf = weights.toSeq.toDF("b", "wt")
+    val scored0 = feats.join(broadcast(wDf), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("z"))
+      .withColumn("quality", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .select(col(idCol), col("quality"))
+    val scored = docs.select(col(idCol)).distinct()
+      .join(scored0, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("quality"), lit(0.5)).as("quality"))
+    (weights, scored)
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
     * rank raw documents by how target-domain-like their hashed-feature
     * profile is — the data-selection op that picks "looks like

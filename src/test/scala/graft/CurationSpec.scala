@@ -461,4 +461,30 @@ class CurationSpec extends SparkSpec {
     got(8L) shouldBe ((0L, 0.0))
     got(5L)._1 shouldBe 3L // every word occurrence is a feature
   }
+
+  test("qualityLrTrain separates target-like from corpus-only docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, Array.fill(20)("wiki science physics").mkString(" "), true),
+      (2L, Array.fill(20)("physics wiki science wiki").mkString(" "), true),
+      (3L, Array.fill(20)("spam casino deal").mkString(" "), false),
+      (4L, Array.fill(20)("deal casino spam casino").mkString(" "), false),
+      (5L, "wiki science physics", false),  // target-like holdout
+      (6L, "spam casino deal", false),      // spam holdout
+      (7L, "???", false))                   // wordless
+      .toDF("doc_id", "text", "is_tgt")
+    val (weights, scored) = CurationPipeline.qualityLrTrain(
+      docs, "doc_id", "text", col("is_tgt"), steps = 3)
+    weights.size should be <= 256
+    val q = scored.as[(Long, Double)].collect().toMap
+    // the trained gate orders the holdouts correctly and is calibrated
+    // around 0.5: target-like above, spam below, no-evidence exactly at
+    q(5L) should be > 0.5
+    q(6L) should be < 0.5
+    q(5L) should be > q(6L)
+    q(7L) shouldBe 0.5
+    // training docs land on their own labels' sides
+    q(1L) should be > 0.5
+    q(3L) should be < 0.5
+  }
 }
