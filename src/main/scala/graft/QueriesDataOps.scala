@@ -538,17 +538,25 @@ object QueriesDataOps {
   /** Shared oracle CTE chain replaying CurationPipeline.annotate over the
     * duplicated corpus: ends with a `v` relation of
     * (doc_id, verdict, quality, n_tokens) per post-dedup row. */
-  private lazy val curationVerdictSql: String = {
+  private lazy val curationVerdictSql: String =
+    s"""
+      WITH $dwdSql,
+      ${verdictChainSql("dwd")}"""
+
+  /** The annotate-replay chain over an arbitrary base relation
+    * (doc_id, text) — shared by the dup-corpus oracle above and the
+    * incremental-curation oracle (which replays the FULL recompute
+    * over the new snapshot while the engine runs the delta path). */
+  private def verdictChainSql(base: String): String = {
     val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
       s"(${ms.map(hitSql).mkString(" + ")}) AS s_$l"
     }.mkString(", ")
     val stopHits = stopHitsSql
     s"""
-      WITH $dwdSql,
       dd AS (SELECT doc_id, text,
                     row_number() OVER (PARTITION BY md5(text)
                       ORDER BY doc_id) AS rn
-             FROM dwd),
+             FROM $base),
       kept AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
                       length(text) * 1.0 AS n,
                       length(text) - length(replace(text, ' ', '')) + 1 AS n_words
@@ -961,6 +969,30 @@ object QueriesDataOps {
                        'e6666666000000000000000000000000' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
+
+    ("curate_incremental", (s, dir) => {
+      // incremental curation: annotate the OLD snapshot once, then
+      // process only the delta of the NEW one (added/changed groups
+      // recomputed, removals resurrect their surviving duplicates,
+      // everything else carried forward). The fixture reuses the
+      // snapshot-diff old/new shapes; the ORACLE replays the FULL
+      // recompute over the new snapshot — so this row proves
+      // incremental ≡ full, cross-engine, down to every verdict.
+      val docs = T(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" [rev1]")))
+            .otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 11 =!= 7)
+      val oldAnn = graft.pipeline.CurationPipeline.annotate(old)
+      graft.pipeline.CurationPipeline.incrementalAnnotate(old, nw, oldAnn)
+        .select(col("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH nwfix AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 11 <> 7),
+      ${verdictChainSql("nwfix")}
+      SELECT doc_id, verdict FROM v ORDER BY doc_id""")),
 
     ("curate_quality_lr", (s, dir) => {
       // learned quality gate: hashed-feature logistic regression

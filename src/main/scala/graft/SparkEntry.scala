@@ -67,7 +67,7 @@ object SparkEntry {
     "curate_jsonl_roundtrip", "curate_epoch_mix", "curate_temperature_mix",
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
     "curate_split", "curate_shuffle_shard", "curate_dsir_score",
-    "curate_quality_lr",
+    "curate_quality_lr", "curate_incremental",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
     "mm_mp4_frame_decode", "mm_mkv_frame_decode", "mm_video_neardup",
     // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)

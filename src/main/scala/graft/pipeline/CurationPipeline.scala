@@ -505,6 +505,47 @@ object CurationPipeline {
       .select(col("doc_id"), col("pos"), col("shard"))
   }
 
+  /** Incremental curation — the daily-delta shape of [[annotate]]: a
+    * 100 TB corpus is annotated ONCE, then each snapshot re-annotates
+    * only the slice the delta can affect and carries every other
+    * verdict forward. The subtlety is that exact dedup is
+    * corpus-global: adds can demote an existing keeper's duplicate,
+    * and REMOVALS can resurrect one (a kept doc vanishes ⇒ its
+    * surviving duplicate becomes rank 1). Both reduce to content-hash
+    * groups: a dedup verdict can only change for documents whose hash
+    * group the delta touched, so
+    *
+    *   touched  = hashes of added/changed-new/changed-old/removed rows
+    *   recompute = annotate( new rows whose hash ∈ touched )   — whole
+    *               groups, so ranks equal the full-corpus ranks
+    *   carry     = old verdicts whose hash ∉ touched
+    *
+    * Result ≡ annotate(newDocs) row-for-row (the correctness row's
+    * oracle replays the FULL recompute while the engine runs this
+    * path). Cost ∝ |delta| + its duplicate groups: the touched-hash
+    * set is delta-sized and broadcasts; the carry is an anti-join.
+    * NULL-text rows key on a sentinel so their group participates in
+    * touch accounting like any other. */
+  def incrementalAnnotate(oldDocs: DataFrame, newDocs: DataFrame,
+                          oldAnnotated: DataFrame, cfg: Config = Config(),
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    def key(c: Column): Column = coalesce(md5(c), lit("[null]"))
+    val diff = snapshotDiff(oldDocs, newDocs, textCol, idCol)
+    val touched = oldDocs.join(
+        diff.filter(col("status").isin("removed", "changed")), Seq(idCol))
+      .select(key(col(textCol)).as("h"))
+      .union(newDocs.join(
+          diff.filter(col("status").isin("added", "changed")), Seq(idCol))
+        .select(key(col(textCol)).as("h")))
+      .distinct()
+    val affected = newDocs.join(broadcast(touched),
+      key(col(textCol)) === col("h"), "left_semi")
+    val carried = oldAnnotated.join(broadcast(touched),
+      key(col(textCol)) === col("h"), "left_anti")
+    carried.unionByName(annotate(affected, cfg, textCol, idCol))
+  }
+
   /** Hashed-feature logistic-regression quality classifier, trained IN
     * the engine — the fasttext-style learned filter (the GPT-3/LLaMA
     * "looks like curated text" gate) as a distributed op. Features are

@@ -462,6 +462,35 @@ class CurationSpec extends SparkSpec {
     got(5L)._1 shouldBe 3L // every word occurrence is a feature
   }
 
+  test("incrementalAnnotate equals the full recompute, including dup resurrection") {
+    import org.apache.spark.sql.functions.col
+    // old: 1 and 2 share content (2 dropped as dup), 3 unique, 4 unique
+    val old = Seq(
+      (1L, goodEnglish), (2L, goodEnglish),
+      (3L, goodEnglish + " three"), (4L, goodEnglish + " four"))
+      .toDF("doc_id", "text")
+    // new: 1 REMOVED (its dup 2 must resurrect), 3 changed, 5 added as
+    // a dup of 4 (must be dropped), 6 added unique
+    val nw = Seq(
+      (2L, goodEnglish),
+      (3L, goodEnglish + " three changed"), (4L, goodEnglish + " four"),
+      (5L, goodEnglish + " four"), (6L, goodEnglish + " six"))
+      .toDF("doc_id", "text")
+    val oldAnn = CurationPipeline.annotate(old)
+    // the old snapshot really did drop doc 2 as a duplicate
+    oldAnn.select("doc_id").as[Long].collect().toSet should not contain 2L
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("verdict"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val inc = CurationPipeline.incrementalAnnotate(old, nw, oldAnn)
+    canon(inc) shouldBe canon(CurationPipeline.annotate(nw))
+    // and the interesting rows came out right: 2 resurrected, 5 gone
+    val ids = inc.select("doc_id").as[Long].collect().toSet
+    ids should contain(2L)
+    ids should not contain 5L
+    ids should contain allOf (3L, 4L, 6L)
+  }
+
   test("qualityLrTrain separates target-like from corpus-only docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
