@@ -1297,6 +1297,35 @@ object QueriesDataOps {
       SELECT qid, nid, sim FROM sims
       WHERE sim >= 0.25 ORDER BY qid, nid""")),
 
+    ("ann_hard_negatives", (s, dir) => {
+      // contrastive-training mining: per query the top-5 most-similar
+      // OTHER-label vectors (the near-miss negatives a triplet loss
+      // needs). Label inequality fused into the broadcast join, exact
+      // ranking, deterministic tie-break — the verification form any
+      // ANN-candidate miner is recall-checked against.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val corpus = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"), col("label").as("nlabel"))
+      SimilaritySearch.hardNegativesTopK(queries, corpus, 5,
+          "qid", "qvec", "qlabel", "nid", "nvec", "nlabel")
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q JOIN embeddings c ON q.label <> c.label
+        WHERE q.vec_id < 8),
+      ranked AS (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid ASC) AS rank
+        FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_quantized_topk", (s, dir) => {
       // exact top-3 over the int8-QUANTIZED corpus (quantize → dequant →
       // codegen'd cosine): the 4×-compressed storage path; quantization

@@ -54,7 +54,7 @@ object SparkEntry {
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled",
-    "ann_quantized_topk", "ann_radius", "ann_pq_adc", "ann_pq_train",
+    "ann_quantized_topk", "ann_radius", "ann_hard_negatives", "ann_pq_adc", "ann_pq_train",
     "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank", "ann_ivfpq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",

@@ -39,6 +39,28 @@ object SimilaritySearch {
     * Exposed as an operator-level chooser rather than a SparkStrategy:
     * the decision needs only plan statistics, not new physical operators,
     * so a custom strategy would re-derive what this reads directly. */
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most-similar corpus vectors whose LABEL differs —
+    * the near-misses a triplet/InfoNCE loss learns most from (easy
+    * random negatives contribute ~zero gradient). Same broadcast shape
+    * as [[graft.functions.VectorOps.bruteForceTopK]] with the label
+    * inequality fused into the join predicate, so disallowed pairs are
+    * never ranked; at corpus scale the candidate generation swaps to
+    * any ANN path and this exact form verifies its recall. */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        qId: String, qVec: String, qLabel: String,
+                        cId: String, cVec: String, cLabel: String): DataFrame = {
+    val joined = queries.join(broadcast(corpus),
+        col(qLabel) =!= col(cLabel))
+      .withColumn("sim", graft.functions.VectorOps.cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("sim").desc, col(cId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank").cast("int").as("rank"))
+  }
+
   def adaptiveTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    planes: Seq[Seq[Float]],
                    broadcastBytes: Long = 64L * 1024 * 1024,
