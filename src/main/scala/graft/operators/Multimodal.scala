@@ -1906,6 +1906,76 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Shot-structured gradient videos for the scene-cut oracle: same
+    * 32×16 luminance ramp per frame as [[withGradientVideos]], but the
+    * ramp DIRECTION is constant within 3-frame shots — ascending when
+    * `(id + k/3)` is even — so consecutive frame dHashes are identical
+    * inside a shot (distance 0) and maximally apart (64 bits) exactly at
+    * the k % 3 == 0 shot boundaries. Frame count 6 + id % 3 gives one or
+    * two cuts per video. The cut positions are therefore a pure
+    * arithmetic law an external oracle states without decoding. */
+  def withShotVideos(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (32, 16)
+        val frames = Seq.tabulate((6 + math.floorMod(id, 3)).toInt) { k =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (x * 255) / (w - 1)
+              val g = if ((id + k / 3) % 2 == 0) v else 255 - v
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Row(id, VideoCodec.encodeGif(frames), "video", r.getString(1))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Scene-cut detection: Hamming distance between CONSECUTIVE frames'
+    * perceptual hashes, flagged at `threshold` bits — the shot-boundary
+    * primitive a video training pipeline samples keyframes by (one
+    * representative frame per shot instead of every-Nth blind sampling).
+    *
+    * One row per frame transition: (media_id, frame_idx, dist, is_cut)
+    * for frame_idx ≥ 1. Plan shape: the only shuffle is the media_id
+    * window for `lag` (frames of one video meet once — state per key =
+    * one 16-char hash), and the Hamming distance is pure built-ins
+    * (two 32-bit `conv` halves, xor, bit_count — no 64-bit parse that
+    * would overflow a signed cast), fully codegen'd. */
+  def withVideoSceneCuts(media: DataFrame, threshold: Int = 16,
+                         batchSize: Int = 32,
+                         demux: VideoDemux = AutoVideoDemux): DataFrame = {
+    val hashed = withVideoFrameDHash(media, batchSize, demux)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    def half(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+      conv(substring(c, 1 + 8 * i, 8), 16, 10).cast("long")
+    hashed
+      .withColumn("__prev", lag(col("frame_dhash"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        (bit_count(half(col("frame_dhash"), 0).bitwiseXOR(half(col("__prev"), 0))) +
+          bit_count(half(col("frame_dhash"), 1).bitwiseXOR(half(col("__prev"), 1))))
+          .cast("int").as("dist"))
+      .withColumn("is_cut", col("dist") >= threshold)
+  }
+
   /** Per-frame perceptual hash — the video NEAR-dup primitive: demux +
     * [[ImageCodec.dHashImage]] per frame, one row per frame. Videos
     * sharing their (ordered) frame-hash sequence are visual duplicates;
