@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{Hashing, TextAnalysis, VectorOps}
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, HeavyHitters, Multimodal, SimilaritySearch}
 
 /** Training-data pipeline operators (BASELINE.json north star: dedup,
   * similarity search, multimodal, text analysis) as driver-checkable
@@ -776,6 +776,36 @@ object QueriesDataOps {
              cum_before // 512 AS bin, cum_before % 512 AS offset
       FROM c ORDER BY source, doc_id""")),
 
+    ("curate_length_buckets", (s, dir) => {
+      // fixed-shape batch planning: docs binned to the smallest
+      // power-of-two capacity ≥ token count, with per-bucket padding
+      // waste — the report a bucketed-batching strategy minimizes. The
+      // ladder is explicit integer CASE logic on BOTH engines (float
+      // log2 at an exact power of two is libm-dependent in the last
+      // ulp); waste_frac is one long/long double division, IEEE-exact.
+      graft.pipeline.CurationPipeline.lengthBucketReport(
+        T(s, dir, "documents"))
+    }, Some("""
+      WITH t AS (
+        SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                 AS n
+        FROM documents),
+      b AS (
+        SELECT n,
+               CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                    WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                    WHEN n <= 4096 THEN 4096 WHEN n <= 8192 THEN 8192
+                    ELSE 16384 END AS bucket
+        FROM t)
+      SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS tokens,
+             CAST(sum(bucket - n) AS BIGINT) AS padding_waste,
+             CAST(sum(bucket - n) AS DOUBLE) /
+               CAST(count(*) * bucket AS DOUBLE) AS waste_frac
+      FROM b GROUP BY bucket ORDER BY bucket""")),
+
     ("curate_epoch_mix", (s, dir) => {
       // domain reweighting with UPSAMPLING: weight 2.5 = ~2.5 epochs of
       // that stratum (floor copies for all + md5-selected extra for the
@@ -1275,6 +1305,66 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    ("ann_recall_report", (s, dir) => {
+      // retrieval evaluation as a query: recall@3 of the IVF(nProbe=2)
+      // path vs exact brute force, per query — the in-engine grading
+      // loop an ANN deployment tunes nProbe against. Queries the ANN
+      // path dropped still appear at recall 0 (exact-side left join).
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val queries = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val approx = SimilaritySearch.ivfTopK(
+        queries.select(col("vec_id"), col("embedding")),
+        corpus.select(col("vec_id"), col("embedding")),
+        centroids, k = 3, nProbe = 2)
+      val exact = VectorOps.bruteForceTopK(
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        corpus.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        3, "qid", "qvec", "nid", "nvec")
+      SimilaritySearch.recallAtK(exact, approx, k = 3)
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      scored AS (SELECT v.vec_id, v.embedding, c.cid,
+                        list_cosine_similarity(v.embedding::DOUBLE[],
+                          c.cvec::DOUBLE[]) AS sim,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                            c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+                 FROM embeddings v CROSS JOIN cents c),
+      corpus AS (SELECT vec_id AS nid, embedding AS nvec, cid AS cluster
+                 FROM scored WHERE r = 1 AND vec_id >= 20),
+      probes AS (SELECT vec_id AS qid, embedding AS qvec, cid AS cluster
+                 FROM scored WHERE r <= 2 AND vec_id < 20),
+      cand AS (SELECT q.qid, c.nid,
+                      list_cosine_similarity(q.qvec::DOUBLE[],
+                        c.nvec::DOUBLE[]) AS sim
+               FROM probes q JOIN corpus c ON q.cluster = c.cluster),
+      ivf AS (SELECT qid, nid FROM (
+                SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY sim DESC, nid ASC) AS rank
+                FROM cand) WHERE rank <= 3),
+      ex0 AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     list_cosine_similarity(q.embedding::DOUBLE[],
+                       c.embedding::DOUBLE[]) AS sim
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      exact AS (SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, nid ASC) AS rank
+                  FROM ex0) WHERE rank <= 3),
+      hits AS (SELECT e.qid, count(*) AS h
+               FROM exact e JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
+               GROUP BY e.qid)
+      SELECT q.qid, CAST(coalesce(h, 0) AS INT) AS hits,
+             CAST(coalesce(h, 0) AS DOUBLE) / CAST(3 AS DOUBLE) AS recall
+      FROM (SELECT DISTINCT qid FROM exact) q
+      LEFT JOIN hits ON q.qid = hits.qid
+      ORDER BY q.qid""")),
+
     ("ann_radius", (s, dir) => {
       // threshold (radius) search: ALL neighbors with cosine ≥ τ — the
       // all-near-duplicates retrieval form. Broadcast corpus, queries
@@ -1325,6 +1415,65 @@ object QueriesDataOps {
         FROM sims)
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_mmr_topk", (s, dir) => {
+      // MMR-diversified retrieval (Carbonell & Goldstein '98): cosine
+      // top-8 candidates per query, then a greedy λ=0.7 re-rank that
+      // penalizes similarity to already-picked results — the
+      // redundancy-suppressing re-rank RAG serving runs so one document's
+      // near-identical chunks don't fill all k prompt slots. Oracle =
+      // the k greedy steps unrolled as chained CTEs (argmax per step,
+      // ties to the smaller nid), bit-matching the operator's
+      // double-precision scores.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      SimilaritySearch.mmrTopK(queries, corpus, k = 3, lambda = 0.7,
+          candN = 8, "vec_id", "embedding", "vec_id", "embedding")
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH cand0 AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid, c.embedding AS ne,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]) AS rel,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]) DESC,
+                          c.vec_id ASC) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND c.vec_id >= 20),
+      cand AS (SELECT qid, nid, ne, rel FROM cand0 WHERE rn <= 8),
+      pair AS (
+        SELECT a.qid, a.nid AS an, b.nid AS bn,
+               list_cosine_similarity(a.ne::DOUBLE[], b.ne::DOUBLE[]) AS s
+        FROM cand a JOIN cand b ON a.qid = b.qid),
+      p1 AS (SELECT qid, nid FROM cand
+             QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid ASC) = 1),
+      s2 AS (SELECT c.qid, c.nid, 0.7*c.rel - (1-0.7)*p.s AS score
+             FROM cand c
+             JOIN p1 ON p1.qid = c.qid AND c.nid <> p1.nid
+             JOIN pair p ON p.qid = c.qid AND p.an = c.nid AND p.bn = p1.nid),
+      p2 AS (SELECT qid, nid FROM s2
+             QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) = 1),
+      s3 AS (SELECT c.qid, c.nid,
+                    0.7*c.rel - (1-0.7)*greatest(pa.s, pb.s) AS score
+             FROM cand c
+             JOIN p1 ON p1.qid = c.qid
+             JOIN p2 ON p2.qid = c.qid
+             JOIN pair pa ON pa.qid = c.qid AND pa.an = c.nid
+                         AND pa.bn = p1.nid
+             JOIN pair pb ON pb.qid = c.qid AND pb.an = c.nid
+                         AND pb.bn = p2.nid
+             WHERE c.nid <> p1.nid AND c.nid <> p2.nid),
+      p3 AS (SELECT qid, nid FROM s3
+             QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, nid ASC) = 1)
+      SELECT qid, nid, CAST(1 AS INT) AS rank FROM p1
+      UNION ALL SELECT qid, nid, CAST(2 AS INT) FROM p2
+      UNION ALL SELECT qid, nid, CAST(3 AS INT) FROM p3
+      ORDER BY qid, rank""")),
 
     ("ann_quantized_topk", (s, dir) => {
       // exact top-3 over the int8-QUANTIZED corpus (quantize → dequant →
@@ -1615,6 +1764,50 @@ object QueriesDataOps {
                  FROM sims)
       SELECT vec_id, CAST(cid AS INT) AS cluster FROM ranked WHERE r = 1
       ORDER BY vec_id""")),
+
+    ("ann_ivf_imbalance", (s, dir) => {
+      // IVF cell-balance health report: per-cluster population, corpus
+      // fraction, and balance factor (n·cells/total; 1.0 = perfectly
+      // even). THE maintenance metric for a partitioned vector index —
+      // a hot cell is a hot partition: probe latency, file skew and
+      // upsert pressure all concentrate there, and a drifting balance
+      // factor is the signal to re-train centroids. One shuffle (the
+      // cluster count); the only window is single-partition over the
+      // ≤ #cells-row rollup — the bounded-rollup convention.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val rep = SimilaritySearch.ivfAssign(emb, centroids, "embedding")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      rep.withColumn("total", sum(col("n_vecs")).over(w))
+        .select(col("cluster").cast("int").as("cluster"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("total").cast("double"))
+            .as("frac"),
+          ((col("n_vecs") * lit(4)).cast("double") /
+            col("total").cast("double")).as("balance"))
+        .orderBy(col("cluster"))
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                     WHERE vec_id < 4),
+      sims AS (SELECT v.vec_id, c.cid,
+                      list_cosine_similarity(v.embedding::DOUBLE[],
+                        c.cvec::DOUBLE[]) AS sim
+               FROM embeddings v CROSS JOIN cents c),
+      ranked AS (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid DESC) AS r
+                 FROM sims),
+      assigned AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+      rep AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid)
+      SELECT CAST(cid AS INT) AS cluster, CAST(n AS BIGINT) AS n_vecs,
+             CAST(n AS DOUBLE) /
+               CAST((SELECT count(*) FROM assigned) AS DOUBLE) AS frac,
+             CAST(n * 4 AS DOUBLE) /
+               CAST((SELECT count(*) FROM assigned) AS DOUBLE) AS balance
+      FROM rep ORDER BY cluster""")),
 
     ("ann_ivfpq_adc", (s, dir) => {
       // IVFADC (Jégou TPAMI'11 §IV): IVF probe pruning composed with
@@ -2386,6 +2579,28 @@ object QueriesDataOps {
       SELECT term, count(*) AS df FROM toks
       GROUP BY term ORDER BY df DESC, term ASC LIMIT 50""")),
 
+    ("text_heavy_hitters", (s, dir) => {
+      // exact ≥0.1%-frequency tokens via the two-phase Misra–Gries
+      // pattern: bounded per-partition summaries (one pass, no token
+      // shuffle) yield a guaranteed-superset candidate set + the global
+      // total; the exact groupBy then shuffles ONLY candidate rows —
+      // the sketch-then-verify shape that makes "top tokens of a 100 TB
+      // corpus" a sliver-shuffle instead of a full-vocabulary shuffle.
+      // The result is EXACT, so the plain-SQL frequency query is the
+      // oracle.
+      val toks = T(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("tok"))
+      HeavyHitters.frequentTokens(toks, denom = 1000L)
+    }, Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+      SELECT tok, count(*) AS cnt FROM toks
+      GROUP BY tok
+      HAVING count(*) * 1000 >= (SELECT count(*) FROM toks)
+      ORDER BY cnt DESC, tok ASC""")),
+
     ("text_length_hist", (s, dir) => {
       // doc-length histogram (50-char buckets): the size-distribution
       // report a curation run publishes; one map-side-combinable rollup.
@@ -2904,6 +3119,25 @@ object QueriesDataOps {
              min(doc_id) OVER (PARTITION BY sig) AS keep_id,
              count(*) OVER (PARTITION BY sig) AS n_members
       FROM sigs ORDER BY media_id""")),
+
+    ("mm_scene_cut", (s, dir) => {
+      // shot-boundary detection over REAL GIF decode: consecutive-frame
+      // dHash Hamming distance (codegen'd conv/xor/bit_count halves),
+      // cut at ≥16 bits. Shot videos hold the ramp direction for
+      // 3-frame shots, so within-shot distance is exactly 0 and the
+      // boundary distance exactly 64 — the oracle states every
+      // transition from the k % 3 arithmetic law without decoding.
+      val media = Multimodal.withShotVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      Multimodal.withVideoSceneCuts(media, threshold = 16)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      WITH f AS (SELECT doc_id, unnest(range(1, 6 + doc_id % 3)) AS k
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+             CAST(CASE WHEN k % 3 = 0 THEN 64 ELSE 0 END AS INT) AS dist,
+             (k % 3 = 0) AS is_cut
+      FROM f ORDER BY media_id, frame_idx""")),
 
     ("mm_audio_features", (s, dir) => {
       // REAL audio: WAVs built from the amplitude law (window k of doc id

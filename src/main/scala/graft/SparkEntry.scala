@@ -53,23 +53,27 @@ object SparkEntry {
     "dedup_embedding_lsh", "dedup_semantic", "dedup_cluster_best",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
-    "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled",
-    "ann_quantized_topk", "ann_radius", "ann_hard_negatives", "ann_pq_adc", "ann_pq_train",
+    "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled", "ann_ivf_imbalance",
+    "ann_quantized_topk", "ann_radius", "ann_hard_negatives", "ann_mmr_topk",
+    "ann_recall_report", "ann_pq_adc", "ann_pq_train",
     "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank", "ann_ivfpq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
     "text_mojibake", "text_gopher_rules", "text_ngram_repetition",
     "text_bpe_pairs", "text_bpe_train", "text_bpe_tokenize",
+    "text_heavy_hitters",
     "dedup_clusters_altstar",
     "curate_sample", "curate_decontaminate", "curate_decontaminate_fuzzy",
     "curate_contamination_report", "curate_boilerplate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix", "curate_temperature_mix",
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
-    "curate_split", "curate_shuffle_shard", "curate_dsir_score",
+    "curate_split", "curate_shuffle_shard", "curate_length_buckets",
+    "curate_dsir_score",
     "curate_quality_lr", "curate_incremental",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
     "mm_mp4_frame_decode", "mm_mkv_frame_decode", "mm_video_neardup",
+    "mm_scene_cut",
     // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)
     // are exactly the per-row costs that dominate a multimodal scan at
     // scale — benched so a codec regression shows in the book

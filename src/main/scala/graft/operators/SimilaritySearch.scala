@@ -61,6 +61,116 @@ object SimilaritySearch {
       .select(col(qId), col(cId), col("rank").cast("int").as("rank"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` results maximizing
+    * `lambda·sim(q,d) − (1−lambda)·max_{s∈picked} sim(d,s)` — the
+    * standard redundancy-suppressing re-rank for RAG retrieval (the
+    * reference's k=3 VECTOR_SEARCH feeds chunks of the SAME document
+    * into one prompt, exactly the redundancy MMR removes;
+    * generate_personalized_commands.sh:377-384).
+    *
+    * Physical shape — the two-stage pattern every production MMR uses:
+    *  1. candidate generation: plain cosine top-`candN` per query
+    *     (broadcast nested-loop, the [[bruteForceTopK]] shape; swap in
+    *     any ANN path at corpus scale — only this stage sees the corpus).
+    *  2. greedy selection PER QUERY over the BOUNDED candidate set:
+    *     one shuffle keyed on qid collects ≤ candN (nid, rel, vec)
+    *     structs per query, and the O(k·candN²) greedy loop runs as a
+    *     single JIT-compiled UDF call per query row (the repo's standard
+    *     shape for CPU-heavy bounded-array work). State per row = candN
+    *     vectors — independent of corpus size, so the operator scales
+    *     with the QUERY count, never the corpus.
+    *
+    * Determinism: candidates sorted (rel desc, nid asc) before the loop
+    * (collect_list order is nondeterministic); argmax ties break to the
+    * smaller nid; all scores in double precision with the same
+    * sequential-accumulation cosine as the Catalyst expression, so the
+    * DuckDB oracle's unrolled greedy steps reproduce the picks exactly.
+    * Pass `lambda` as e.g. 0.7 and the complement is computed as
+    * `1.0 - lambda` — write the oracle's weights the same way. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int, lambda: Double,
+              candN: Int, qId: String, qVec: String,
+              cId: String, cVec: String): DataFrame = {
+    require(k >= 1 && k <= candN, s"need 1 <= k=$k <= candN=$candN")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid").asc)
+    val cand = q.crossJoin(broadcast(c))
+      .withColumn("rel", VectorOps.cosine(col("qvec"), col("nvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= candN)
+      .select(col("qid"), col("nid"), col("rel"), col("nvec"))
+    val select =
+      if (cand.schema("nid").dataType ==
+          org.apache.spark.sql.types.StringType)
+        udf((cands: Seq[org.apache.spark.sql.Row]) =>
+          mmrGreedy(cands.map(r =>
+            (r.getString(0), r.getDouble(1), r.getSeq[Float](2).toArray)),
+            lambda, k))
+      else
+        udf((cands: Seq[org.apache.spark.sql.Row]) =>
+          mmrGreedy(cands.map(r =>
+            (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)),
+            lambda, k))
+    cand.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("rel"), col("nvec"))).as("cands"))
+      .select(col("qid"),
+        posexplode(select(col("cands"))).as(Seq("pos", "nid")))
+      .select(col("qid"), col("nid"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Greedy MMR over one query's candidates; returns picked nids in
+    * selection order. Generic in the id type (Long corpus keys, String
+    * md5 chunk keys) with the id's NATURAL ordering as the tie-break.
+    * Double cosine with index-order accumulation — the
+    * [[org.apache.spark.sql.graft.CosineSimilarityFloat]] contract. */
+  private def mmrGreedy[T](cands: Seq[(T, Double, Array[Float])],
+                           lambda: Double, k: Int)
+                          (implicit ord: Ordering[T]): Seq[T] = {
+    val mu = 1.0 - lambda
+    val arr = cands.sortBy(t => (-t._2, t._1)).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (picked.length < math.min(k, arr.length)) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < arr.length) {
+        if (!picked.contains(i)) {
+          val score =
+            if (picked.isEmpty) arr(i)._2
+            else {
+              var maxSim = Double.NegativeInfinity
+              for (p <- picked) {
+                val s = cos(arr(i)._3, arr(p)._3)
+                if (s > maxSim) maxSim = s
+              }
+              lambda * arr(i)._2 - mu * maxSim
+            }
+          // strict > keeps the earlier candidate; explicit id
+          // comparison breaks exact score ties deterministically
+          if (score > bestScore ||
+              (score == bestScore && bestIdx >= 0 &&
+                ord.lt(arr(i)._1, arr(bestIdx)._1))) {
+            bestScore = score; bestIdx = i
+          }
+        }
+        i += 1
+      }
+      picked += bestIdx
+    }
+    picked.map(arr(_)._1).toSeq
+  }
+
   def adaptiveTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                    planes: Seq[Seq[Float]],
                    broadcastBytes: Long = 64L * 1024 * 1024,
@@ -76,6 +186,34 @@ object SimilaritySearch {
         .select(col("qid"), col("nid"), col("rank"))
     else
       lshTopK(q, c, planes, k, "qid", "qvec", "nid", "nvec")
+  }
+
+  /** Recall@k of an approximate search result against the exact one —
+    * retrieval evaluation as a first-class operator, so an ANN
+    * configuration (nProbe, bits, tables, candN) is GRADED in-engine
+    * instead of eyeballed: per query, how many of the exact top-k did
+    * the approximate path return. Both inputs are (qId, nId) frames from
+    * any pair of search operators; queries the approximate path missed
+    * entirely still appear, at recall 0 (left join from the exact side —
+    * an ANN bug that drops whole queries must lower the score, not
+    * shrink the denominator).
+    *
+    * Plan shape: one (qid, nid) equi-join + a qid-keyed count — both
+    * sides are top-k results (≤ k rows per query), so cost scales with
+    * the query count, never the corpus. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
+                qId: String = "qid", nId: String = "nid"): DataFrame = {
+    require(k > 0, s"invalid k=$k")
+    val hits = exact.select(col(qId), col(nId))
+      .join(approx.select(col(qId), col(nId)), Seq(qId, nId))
+      .groupBy(col(qId)).agg(count(lit(1)).as("hits"))
+    exact.select(col(qId)).distinct()
+      .join(hits, Seq(qId), "left")
+      .select(col(qId),
+        coalesce(col("hits"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
+      .orderBy(col(qId))
   }
 
   /** Bit-signature column: for each plane, 1 iff dot(vec, plane) > 0. */

@@ -113,6 +113,39 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
         array(entry(1), entry(2), entry(3)).as("rag_results"))
   }
 
+  /** Diversified retrieval: [[retrieveJoin]]'s contract with the top-k
+    * picked by MMR (SimilaritySearch.mmrTopK) instead of raw cosine
+    * order — when the index holds many chunks of one document (it does:
+    * the splitter emits 200-char chunks of each doc), plain top-k can
+    * fill every prompt slot with near-identical text; the λ-tradeoff
+    * keeps slot 1 the best match and diversifies the rest. Same
+    * exactly-k ARRAY<STRUCT<document_id, chunks>> output, NULL tail for
+    * <k hits; `rank` here is MMR selection order, so array_sort keeps
+    * the diversified order in the prompt. */
+  def retrieveJoinDiverse(embedded: DataFrame, index: DataFrame,
+                          lambda: Double = 0.7, candN: Int = 8): DataFrame = {
+    val q = embedded.withColumn("__qid",
+      md5(concat_ws("\u0000", col("message"), col("speaker"))))
+    val queries = q.select(col("__qid"), col("embedding").as("__qvec")).distinct()
+    val corpus = index.select(
+      md5(concat_ws("\u0000", col("document_id"), col("chunks"))).as("__nid"),
+      col("document_id"), col("chunks"), col("embedding").as("__nvec"))
+    val topk = graft.operators.SimilaritySearch.mmrTopK(
+        queries, corpus.select("__nid", "__nvec"), k, lambda, candN,
+        "__qid", "__qvec", "__nid", "__nvec")
+      .withColumnRenamed("qid", "__qid").withColumnRenamed("nid", "__nid")
+      .join(corpus.select("__nid", "document_id", "chunks"), "__nid")
+    val entries = topk.groupBy(col("__qid"))
+      .agg(array_sort(collect_list(struct(
+        col("rank"), col("document_id"), col("chunks")))).as("hits"))
+    def entry(i: Int) = struct(
+      try_element_at(col("hits"), lit(i))("document_id").as("document_id"),
+      try_element_at(col("hits"), lit(i))("chunks").as("chunks"))
+    q.join(entries, Seq("__qid"), "left")
+      .select(col("message"), col("speaker"),
+        array(entry(1), entry(2), entry(3)).as("rag_results"))
+  }
+
   /** Full chain on the join-retrieval path — for indexes too large to
     * collect into a broadcast store. */
   def coachJoin(messages: DataFrame, index: DataFrame): DataFrame =

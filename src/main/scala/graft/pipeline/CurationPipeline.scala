@@ -81,6 +81,40 @@ object CurationPipeline {
         (col("cum_before") % capacity).as("offset"))
   }
 
+  /** Sequence-length bucket report — the batch-assembly planning view
+    * for fixed-shape training: docs binned to the smallest power-of-two
+    * capacity ≥ their token count (64…8192, catch-all 16384), with
+    * per-bucket doc counts, token mass, and PADDING WASTE (capacity −
+    * tokens summed, plus its fraction of the bucket's slot capacity) —
+    * the number a curriculum/batching strategy is tuned to minimize.
+    *
+    * The bucket ladder is explicit integer CASE logic, not
+    * `2^ceil(log2 n)`: float log on an exact power of two is
+    * libm-dependent in the last ulp, and a flipped ceil would silently
+    * move a boundary doc one bucket up on one engine only.
+    *
+    * Plan shape: per-row map (codegen'd regexp token count + CASE) into
+    * ONE partial-aggregated groupBy over ≤ 9 bucket keys — at 100 TB the
+    * shuffle carries 9 rows per task. */
+  def lengthBucketReport(docs: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L,
+      1024L, 2048L, 4096L, 8192L)
+    val bucket = ladder.foldRight(lit(16384L): Column)((b, rest) =>
+      when(col("n_tokens") <= b, lit(b)).otherwise(rest))
+    docs
+      .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("bucket") - col("n_tokens")).as("padding_waste"))
+      .withColumn("waste_frac",
+        col("padding_waste").cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   /** Benchmark decontamination — the train/eval-overlap gate: flag every
     * candidate document sharing at least one `shingleN`-gram (word
     * shingle over the lowercased token stream) with the benchmark set,

@@ -401,3 +401,29 @@ class AnnRecallSpec extends SparkSpec {
     r2 should be >= 0.6
   }
 }
+
+/** recallAtK as an operator: must agree with the spec-local recall math
+  * and keep missed queries in the denominator. */
+class RecallReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("operator recall equals hand-computed recall; missed queries score 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("qid", "nid")
+    // q1 fully hit, q2 half hit, q3 entirely absent from the ANN output
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("qid", "nid")
+    val rows = graft.operators.SimilaritySearch.recallAtK(exact, approx, k = 2)
+      .as[(Long, Int, Double)].collect().toSeq
+    rows shouldBe Seq((1L, 2, 1.0), (2L, 1, 0.5), (3L, 0, 0.0))
+  }
+
+  test("spurious approximate results outside the exact top-k never inflate recall") {
+    val exact = Seq((1L, 10L)).toDF("qid", "nid")
+    val approx = Seq((1L, 50L), (1L, 51L), (9L, 10L)).toDF("qid", "nid")
+    val rows = graft.operators.SimilaritySearch.recallAtK(exact, approx, k = 1)
+      .as[(Long, Int, Double)].collect().toSeq
+    // q9 is not an exact-side query → absent; q1 got nothing right → 0
+    rows shouldBe Seq((1L, 0, 0.0))
+  }
+}

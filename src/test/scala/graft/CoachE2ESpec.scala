@@ -167,6 +167,42 @@ class CoachE2ESpec extends SparkSpec {
     plan should not include "BroadcastNestedLoop"
   }
 
+  test("retrieveJoinDiverse: MMR keeps slot 1 and diversifies the rest; lambda=1 equals plain retrieveJoin") {
+    ModelRegistry.registerReferenceModels()
+    // one topic dominates: three near-identical pricing chunks would fill
+    // every plain-top-k slot; one distinct implementation doc exists
+    val knowledge = Seq(
+      ("kb/pricing_a.md", "A", "kb", "pricing discount objection handling"),
+      ("kb/pricing_b.md", "B", "kb", "pricing discount objection handling notes"),
+      ("kb/pricing_c.md", "C", "kb", "pricing discount objection handling guide"),
+      ("kb/impl.md", "Impl", "kb", "implementation rollout integration steps"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val embedder = new MockEmbedder(64)
+    val pipeline = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val index = pipeline.indexKnowledge(knowledge)
+    val messages = Seq(("pricing discount objection handling", "prospect"))
+      .toDF("message", "speaker")
+    val embedded = pipeline.embedMessages(pipeline.filterProspect(messages))
+
+    def docs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("rag_results")("document_id"))
+        .collect().head.getSeq[String](0).toSeq
+
+    val plain = docs(pipeline.retrieveJoin(embedded, index))
+    val diverse = docs(pipeline.retrieveJoinDiverse(embedded, index,
+      lambda = 0.3))
+    // both keep the best match first
+    diverse.head shouldBe plain.head
+    // plain top-3 is all pricing chunks; the diversified pick pulls in
+    // the implementation doc
+    plain.forall(_.startsWith("kb/pricing")) shouldBe true
+    diverse should contain("kb/impl.md")
+    // the diversity knob off (lambda=1) reproduces plain cosine order
+    docs(pipeline.retrieveJoinDiverse(embedded, index, lambda = 1.0)) shouldBe
+      plain
+  }
+
   test("cache hit short-circuits the LLM chain; misses run it (F5 flow)") {
     ModelRegistry.registerReferenceModels()
     val embedder = new MockEmbedder(32)

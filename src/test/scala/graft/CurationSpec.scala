@@ -517,3 +517,34 @@ class CurationSpec extends SparkSpec {
     q(3L) should be < 0.5
   }
 }
+
+/** Length-bucket report: boundary assignment is integer-exact and waste
+  * arithmetic reconciles with the raw token counts. */
+class LengthBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("docs land in the smallest power-of-two bucket that fits; waste reconciles") {
+    // token counts 16 (exact boundary), 17 (first over), 100, 9000 (catch-all)
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((1L, words(16)), (2L, words(17)), (3L, words(100)),
+      (4L, words(9000))).toDF("doc_id", "text")
+    val rows = graft.pipeline.CurationPipeline.lengthBucketReport(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    rows.map(_._1) shouldBe Seq(16L, 32L, 128L, 16384L)
+    val byBucket = rows.map(r => r._1 -> r).toMap
+    byBucket(16L) shouldBe ((16L, 1L, 16L, 0L, 0.0))        // exact fit: zero waste
+    byBucket(32L) shouldBe ((32L, 1L, 17L, 15L, 15.0 / 32))
+    byBucket(128L) shouldBe ((128L, 1L, 100L, 28L, 28.0 / 128))
+    byBucket(16384L)._4 shouldBe (16384L - 9000L)
+    // global reconciliation: tokens + waste == slot capacity
+    rows.map(r => r._3 + r._4).sum shouldBe rows.map(r => r._2 * r._1).sum
+  }
+
+  test("report aggregates to at most the ladder's bucket count regardless of input size") {
+    val docs = (0 until 500).map(i => (i.toLong, Seq.fill(i % 97 + 1)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.pipeline.CurationPipeline.lengthBucketReport(docs).collect()
+    rows.length should be <= 11
+    rows.map(_.getLong(0)).toSeq shouldBe rows.map(_.getLong(0)).toSeq.sorted
+  }
+}

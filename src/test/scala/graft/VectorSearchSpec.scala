@@ -264,3 +264,73 @@ class VectorOpsSpec extends SparkSpec {
       .foreach { case (qid, doc) => doc shouldBe qid }
   }
 }
+
+/** MMR diversified top-k: greedy λ-tradeoff semantics, determinism,
+  * reduction to plain top-k at λ=1. */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: n1/n2 near-identical (redundant pair), n3 orthogonal-ish,
+  // all decently relevant to the query (1,0,0)
+  private def frames = {
+    val queries = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0.05f, 0f)),      // best rel
+      (11L, Array(1f, 0.06f, 0f)),      // near-duplicate of 10
+      (12L, Array(0.6f, 0.8f, 0f)),     // diverse, lower rel
+      (13L, Array(0.5f, 0f, 0.87f))     // diverse, lowest rel
+    ).toDF("vec_id", "embedding")
+    (queries, corpus)
+  }
+
+  test("MMR demotes the near-duplicate of an already-picked result") {
+    val (q, c) = frames
+    val picks = graft.operators.SimilaritySearch
+      .mmrTopK(q, c, k = 3, lambda = 0.5, candN = 4,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    // plain top-3 would be (10, 11, 12); MMR's second pick must skip the
+    // near-duplicate 11 for a diverse result
+    picks.head shouldBe 10L
+    picks(1) should not be 11L
+    picks should contain theSameElementsInOrderAs
+      Seq(10L, picks(1), picks(2)) // shape: 3 distinct picks
+    picks.distinct should have size 3
+  }
+
+  test("lambda = 1 reduces MMR to plain cosine top-k") {
+    val (q, c) = frames
+    val mmr = graft.operators.SimilaritySearch
+      .mmrTopK(q, c, k = 3, lambda = 1.0, candN = 4,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    val plain = graft.functions.VectorOps.bruteForceTopK(
+        q.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        c.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        3, "qid", "qvec", "nid", "nvec")
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    mmr shouldBe plain
+  }
+
+  test("exact-duplicate candidates tie-break to the smaller nid, k caps at the candidate count") {
+    val q = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq((21L, Array(1f, 0.1f)), (20L, Array(1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val res = graft.operators.SimilaritySearch
+      .mmrTopK(q, c, k = 2, lambda = 0.7, candN = 8,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .orderBy("rank").select("nid", "rank").as[(Long, Int)].collect().toSeq
+    res shouldBe Seq((20L, 1), (21L, 2))
+  }
+
+  test("selection state is bounded by candN: plan shuffles once on qid, corpus side broadcast") {
+    val (q, c) = frames
+    val plan = graft.operators.SimilaritySearch
+      .mmrTopK(q, c, k = 2, lambda = 0.7, candN = 3,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin") // candidate gen only
+    // exactly one hash exchange on qid: the window + collect_list share it
+    "Exchange hashpartitioning\\(qid".r.findAllIn(plan).size shouldBe 1
+  }
+}
