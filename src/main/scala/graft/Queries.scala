@@ -1000,6 +1000,39 @@ object Queries {
                e'\n\n') AS excerpts
       FROM e ORDER BY doc_id""")),
 
+    ("rag_grounding_score", (s, dir) => {
+      // RAG answer grounding: fraction of the response's distinct
+      // tokens attributable to the cited excerpts — the in-engine
+      // hallucination gate (the eval-side complement of
+      // ann_recall_report's retrieval grading). Responses synthesized
+      // deterministically: the first 40 chars of the doc (grounded
+      // half) plus a fabricated tail the excerpts never contain.
+      val docs = T(s, dir, "documents")
+        .withColumn("response", concat(substring(col("text"), 1, 40),
+          lit(" zzqx fabricated unverifiable claim")))
+        .withColumn("excerpts", substring(col("text"), 1, 80))
+      docs.select(col("doc_id"),
+          Coaching.groundingScore(col("response"), col("excerpts"))
+            .as("grounding"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               substring(text, 1, 40) ||
+                 ' zzqx fabricated unverifiable claim' AS resp,
+               substring(text, 1, 80) AS exc
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               list_distinct(regexp_extract_all(lower(resp), '[a-z0-9]+')) AS r,
+               list_distinct(regexp_extract_all(lower(exc), '[a-z0-9]+')) AS e
+        FROM t)
+      SELECT doc_id,
+             CASE WHEN len(r) = 0 THEN NULL
+                  ELSE CAST(len(list_intersect(r, e)) AS DOUBLE) /
+                       CAST(len(r) AS DOUBLE) END AS grounding
+      FROM tok ORDER BY doc_id""")),
+
     ("rag_shuffle_pick3", (s, dir) => {
       // W5: suggested-question shuffle + take 3 (script.js:426-428).
       // The PICKED SET is engine-specific (seeded rand), but its

@@ -45,7 +45,8 @@ object SparkEntry {
     "q16_percentiles_approx",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
     "avro_ocf_roundtrip",
-    "rag_vector_topk", "rag_vector_topk_indexed", "dedup_exact", "dedup_fingerprint",
+    "rag_vector_topk", "rag_vector_topk_indexed", "rag_grounding_score",
+    "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
     "dedup_simhash",

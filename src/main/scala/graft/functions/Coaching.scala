@@ -99,4 +99,24 @@ object Coaching {
       .when(hasTrigger(message), "generic")
       .otherwise(lit(null).cast("string"))
   }
+
+  /** Grounding (faithfulness proxy) of a generated response against the
+    * retrieved excerpts it cited: the fraction of the response's
+    * DISTINCT lowercase tokens that appear in the excerpt text. 1.0 =
+    * every response token is attributable; tokens the excerpts never
+    * contain (fabricated entities, numbers, claims) pull the score
+    * down — the cheap first-line hallucination gate an answer pipeline
+    * thresholds before anything model-based. NULL for a tokenless
+    * response (no evidence either way — the repo's quarantine
+    * convention). Pure codegen'd per-row column work: no shuffle, no
+    * UDF, no model call. */
+  def groundingScore(response: Column, excerpts: Column): Column = {
+    val r = array_distinct(regexp_extract_all(lower(response),
+      lit("[a-z0-9]+"), lit(0)))
+    val e = array_distinct(regexp_extract_all(lower(excerpts),
+      lit("[a-z0-9]+"), lit(0)))
+    when(size(r) === 0, lit(null).cast("double"))
+      .otherwise(size(array_intersect(r, e)).cast("double") /
+        size(r).cast("double"))
+  }
 }

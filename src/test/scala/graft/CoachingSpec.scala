@@ -101,4 +101,27 @@ class CoachingSpec extends SparkSpec {
       "SELECT 'msg' AS m, array(named_struct('document_id', 'only.md', 'chunks', 'c')) AS rag")
     one(df.select(Coaching.buildCoachingPrompt(col("m"), col("rag")))).isNullAt(0) shouldBe true
   }
+
+  test("groundingScore: fully grounded = 1, fabricated tokens lower it, tokenless response is NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("pricing discount applies", "the pricing discount applies here"),
+      ("pricing zzfake discount", "the pricing discount applies here"),
+      ("entirely made up words", "unrelated excerpt text"),
+      ("???", "anything")) // tokenless response
+      .toDF("resp", "exc")
+      .select(Coaching.groundingScore(col("resp"), col("exc")).as("g"))
+    val g = df.as[Option[Double]].collect().toSeq
+    g(0) shouldBe Some(1.0)
+    g(1) shouldBe Some(2.0 / 3.0)
+    g(2) shouldBe Some(0.0)
+    g(3) shouldBe None
+  }
+
+  test("groundingScore counts DISTINCT tokens: repetition cannot inflate the score") {
+    import spark.implicits._
+    val df = Seq(("yes yes yes yes no", "yes")).toDF("resp", "exc")
+      .select(Coaching.groundingScore(col("resp"), col("exc")).as("g"))
+    df.as[Double].collect().head shouldBe 0.5 // {yes, no} ∩ {yes} = 1 of 2
+  }
 }
