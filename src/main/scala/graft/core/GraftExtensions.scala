@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, IndexedVectorSearchRule, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchGenerator, WinnowGenerator}
+import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, IndexedVectorSearchRule, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchDiverseGenerator, VectorSearchGenerator, WinnowGenerator}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -133,6 +133,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(2),
           if (children.length < 4) None
           else Some(literalArg("vector_search", children, 3,
+            "num_candidates", _.toString.toInt)))
+      }))
+    // MMR-diversified retrieval through the same lateral spelling —
+    // lambda is the relevance/diversity trade-off (1.0 = plain cosine
+    // order); over a persisted index the lateral rewrites to the
+    // pruned-join + bounded re-rank plan (IndexedVectorSearchRule)
+    ext.injectFunction((
+      new FunctionIdentifier("vector_search_diverse"),
+      new ExpressionInfo(classOf[VectorSearchDiverseGenerator].getName,
+        "vector_search_diverse"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4 || children.length == 5,
+          "vector_search_diverse(store, k, lambda, query_embedding" +
+            "[, num_candidates]) takes 4-5 arguments")
+        VectorSearchDiverseGenerator(
+          literalArg("vector_search_diverse", children, 0, "store", _.toString),
+          literalArg("vector_search_diverse", children, 1, "k", _.toString.toInt),
+          literalArg("vector_search_diverse", children, 2, "lambda",
+            _.toString.toDouble),
+          children(3),
+          if (children.length < 5) None
+          else Some(literalArg("vector_search_diverse", children, 4,
             "num_candidates", _.toString.toInt)))
       }))
   }

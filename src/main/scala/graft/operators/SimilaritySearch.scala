@@ -100,18 +100,7 @@ object SimilaritySearch {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= candN)
       .select(col("qid"), col("nid"), col("rel"), col("nvec"))
-    val select =
-      if (cand.schema("nid").dataType ==
-          org.apache.spark.sql.types.StringType)
-        udf((cands: Seq[org.apache.spark.sql.Row]) =>
-          mmrGreedy(cands.map(r =>
-            (r.getString(0), r.getDouble(1), r.getSeq[Float](2).toArray)),
-            lambda, k))
-      else
-        udf((cands: Seq[org.apache.spark.sql.Row]) =>
-          mmrGreedy(cands.map(r =>
-            (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)),
-            lambda, k))
+    val select = mmrSelectUdf(cand.schema("nid").dataType, lambda, k)
     cand.groupBy(col("qid"))
       .agg(collect_list(struct(col("nid"), col("rel"), col("nvec"))).as("cands"))
       .select(col("qid"),
@@ -120,14 +109,57 @@ object SimilaritySearch {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** The per-group MMR selection UDF over collect_list'd
+    * (nid, rel, nvec) structs, dispatched on the nid type (Long corpus
+    * keys / String md5 chunk keys) — shared by [[mmrTopK]] (search +
+    * re-rank in one operator) and [[mmrRerankHits]] (re-rank of an
+    * existing candidate frame, the persisted-index serving path). */
+  private[graft] def mmrSelectUdf(nidType: org.apache.spark.sql.types.DataType,
+                                  lambda: Double, k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    if (nidType == org.apache.spark.sql.types.StringType)
+      udf((cands: Seq[org.apache.spark.sql.Row]) =>
+        mmrGreedy(cands.map(r =>
+          (r.getString(0), r.getDouble(1), r.getSeq[Float](2).toArray)),
+          lambda, k))
+    else
+      udf((cands: Seq[org.apache.spark.sql.Row]) =>
+        mmrGreedy(cands.map(r =>
+          (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)),
+          lambda, k))
+
+  /** MMR re-rank of a PRE-COMPUTED candidate frame — the serving form
+    * for any search path that already produced (qid, nid, score, nvec
+    * [, payload...]) rows (e.g. the persisted index's pruned-join
+    * search): per query, greedily pick `k` of the candidates, returning
+    * the original relevance score with the MMR selection order as
+    * `rank`. Payload columns ride along through the join back on
+    * (qid, nid). Same bounded-state shape as [[mmrTopK]]'s stage 2. */
+  def mmrRerankHits(cand: DataFrame, k: Int, lambda: Double,
+                    payloadCols: Seq[String] = Seq("document_id", "chunks"))
+      : DataFrame = {
+    val sel = cand.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("score"), col("nvec")))
+        .as("cands"))
+      .select(col("qid"),
+        posexplode(mmrSelectUdf(cand.schema("nid").dataType, lambda, k)(
+          col("cands"))).as(Seq("pos", "nid")))
+      .select(col("qid"), col("nid"), (col("pos") + 1).cast("int").as("rank"))
+    sel.join(cand.select(
+        Seq(col("qid"), col("nid"), col("score")) ++ payloadCols.map(col): _*),
+        Seq("qid", "nid"))
+      .select(Seq(col("qid"), col("nid"), col("rank"), col("score")) ++
+        payloadCols.map(col): _*)
+  }
+
   /** Greedy MMR over one query's candidates; returns picked nids in
     * selection order. Generic in the id type (Long corpus keys, String
     * md5 chunk keys) with the id's NATURAL ordering as the tie-break.
     * Double cosine with index-order accumulation — the
     * [[org.apache.spark.sql.graft.CosineSimilarityFloat]] contract. */
-  private def mmrGreedy[T](cands: Seq[(T, Double, Array[Float])],
-                           lambda: Double, k: Int)
-                          (implicit ord: Ordering[T]): Seq[T] = {
+  private[graft] def mmrGreedy[T](cands: Seq[(T, Double, Array[Float])],
+                                  lambda: Double, k: Int)
+                                 (implicit ord: Ordering[T]): Seq[T] = {
     val mu = 1.0 - lambda
     val arr = cands.sortBy(t => (-t._2, t._1)).toArray
     def cos(a: Array[Float], b: Array[Float]): Double = {

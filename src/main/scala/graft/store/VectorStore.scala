@@ -20,6 +20,19 @@ trait VectorStore extends Serializable {
   /** Top-k by cosine similarity. `numCandidates` is the ANN recall knob —
     * exact stores may ignore it. */
   def search(query: Array[Float], k: Int, numCandidates: Int = 150): Seq[SearchHit]
+  /** MMR-DIVERSIFIED top-k (SimilaritySearch.mmrGreedy semantics): slot
+    * 1 is the best cosine match, later slots trade relevance against
+    * similarity to already-picked hits at weight `lambda`; hits carry
+    * their ORIGINAL cosine score. Diversification needs the candidates'
+    * vectors, which a remote store's hit list may not expose — stores
+    * that cannot provide them fail loudly rather than silently
+    * returning the undiversified order. */
+  def searchDiverse(query: Array[Float], k: Int, lambda: Double,
+                    numCandidates: Int = 150): Seq[SearchHit] =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not expose candidate vectors; " +
+        "diversified search needs them — use an in-memory or persisted-" +
+        "index store, or diversify client-side from returned embeddings")
   def size: Int
   /** The store's own recall default, used by call sites that take no
     * explicit numCandidates (the SQL `vector_search` 3-arg form) — the
@@ -86,6 +99,22 @@ final class BroadcastBruteForceStore(
     pq.dequeueAll.reverse.map { si: (Double, Int) =>
       SearchHit(corpus(si._2)._1, corpus(si._2)._2, si._1)
     }.toSeq
+  }
+
+  /** Exact MMR: greedy selection over the top-`max(2k, 8)` cosine
+    * candidates, corpus-index tie-break (the store's "earlier entry
+    * wins" convention). Hits keep their original cosine score. */
+  override def searchDiverse(query: Array[Float], k: Int, lambda: Double,
+                             numCandidates: Int): Seq[SearchHit] = {
+    val candN = math.max(2 * k, 8)
+    // top-candN corpus indices by (sim desc, index asc) — the same
+    // ordering contract as search()
+    val sims = Array.tabulate(corpus.length)(i => cosine(query, corpus(i)._3))
+    val top = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(candN)
+    val picked = graft.operators.SimilaritySearch.mmrGreedy(
+      top.toSeq.map { case (s, i) => (i, s, corpus(i)._3) }, lambda, k)
+    val simOf = top.map { case (s, i) => i -> s }.toMap
+    picked.map(i => SearchHit(corpus(i)._1, corpus(i)._2, simOf(i)))
   }
 }
 
@@ -185,6 +214,39 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
         r.getAs[String]("chunks"), r.getAs[Double]("score")))
       .toSeq
   }
+
+  /** Batch DIVERSIFIED retrieval: the pruned-join candidate search at
+    * depth max(2k, 8) — the index is IVF-FLAT, so candidates carry
+    * their raw `nvec` — followed by the per-query bounded MMR re-rank
+    * (SimilaritySearch.mmrRerankHits). Same plan contract as
+    * [[searchBatch]]: PartitionFilters on the payload scan, no corpus
+    * broadcast; the re-rank adds one qid-keyed aggregate over ≤ candN
+    * rows per query. */
+  def searchBatchDiverse(queries: DataFrame, k: Int, lambda: Double,
+                         numCandidates: Int = 150, qId: String = "qid",
+                         qVec: String = "qvec"): DataFrame = {
+    val cand = graft.operators.SimilaritySearch.searchIvfFlatIndex(
+      spark, path, queries, math.max(2 * k, 8), numCandidates, qId, qVec,
+      payloadCols = Seq("document_id", "chunks", "nvec"),
+      sidecars = Some((centroids, cellSizes)))
+    graft.operators.SimilaritySearch.mmrRerankHits(cand, k, lambda)
+  }
+
+  override def searchDiverse(query: Array[Float], k: Int, lambda: Double,
+                             numCandidates: Int): Seq[SearchHit] = {
+    require(org.apache.spark.TaskContext.get() == null,
+      "IvfFlatIndexStore.searchDiverse launches a Spark job and must " +
+        "run on the driver — use searchBatchDiverse (a join against " +
+        "the index) from query plans")
+    import spark.implicits._
+    val q = Seq((0L, query.toSeq)).toDF("qid", "qvec")
+    searchBatchDiverse(q, k, lambda, numCandidates)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => SearchHit(r.getAs[String]("document_id"),
+        r.getAs[String]("chunks"), r.getAs[Double]("score")))
+      .toSeq
+  }
 }
 
 /** Store chooser — the ann_adaptive_topk pattern at the serving seam:
@@ -272,5 +334,13 @@ final class InMemoryVectorStore extends VectorStore {
     import scala.jdk.CollectionConverters._
     val snapshot = rows.values.asScala.toArray.sortBy(r => (r._1, r._2))
     new BroadcastBruteForceStore(snapshot).search(query, k, numCandidates)
+  }
+
+  override def searchDiverse(query: Array[Float], k: Int, lambda: Double,
+                             numCandidates: Int): Seq[SearchHit] = {
+    import scala.jdk.CollectionConverters._
+    val snapshot = rows.values.asScala.toArray.sortBy(r => (r._1, r._2))
+    new BroadcastBruteForceStore(snapshot)
+      .searchDiverse(query, k, lambda, numCandidates)
   }
 }

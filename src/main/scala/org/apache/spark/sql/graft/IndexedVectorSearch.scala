@@ -54,10 +54,31 @@ case class IndexedVectorSearchRule(session: SparkSession)
             .exists(_.isInstanceOf[IvfFlatIndexStore]) =>
       val store = VectorStoreRegistry.get(vs.storeName)
         .asInstanceOf[IvfFlatIndexStore]
-      rewrite(vs, store, outer, genOutput, child)
+      rewrite(vs.child,
+        q => store.searchBatch(q, vs.k,
+          vs.numCandidates.getOrElse(store.defaultNumCandidates),
+          qId = "qid", qVec = "qid"),
+        outer, genOutput, child)
+    // the DIVERSE spelling takes the same join-rewrite, with the store's
+    // pruned-search + bounded MMR re-rank as the hits side — per-row
+    // evaluation over a persisted index is equally impossible for it
+    case g @ Generate(vs: VectorSearchDiverseGenerator, Nil, outer, _,
+        genOutput, child)
+        if g.resolved && child.resolved &&
+          VectorStoreRegistry.lookup(vs.storeName)
+            .exists(_.isInstanceOf[IvfFlatIndexStore]) =>
+      val store = VectorStoreRegistry.get(vs.storeName)
+        .asInstanceOf[IvfFlatIndexStore]
+      rewrite(vs.child,
+        q => store.searchBatchDiverse(q, vs.k, vs.lambda,
+          vs.numCandidates.getOrElse(store.defaultNumCandidates),
+          qId = "qid", qVec = "qid"),
+        outer, genOutput, child)
   }
 
-  private def rewrite(vs: VectorSearchGenerator, store: IvfFlatIndexStore,
+  private def rewrite(queryExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+                      searchFn: org.apache.spark.sql.DataFrame =>
+                        org.apache.spark.sql.DataFrame,
                       outer: Boolean, genOutput: Seq[Attribute],
                       child: LogicalPlan): LogicalPlan = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -65,15 +86,15 @@ case class IndexedVectorSearchRule(session: SparkSession)
     // reserved names: the child may legitimately carry rank/document_id/
     // chunks/score columns of its own
     val qvecC = "__gvs_qvec"
-    val qExpr: Column = ExpressionUtils.column(vs.child)
+    val qExpr: Column = ExpressionUtils.column(queryExpr)
     // the generator fails loudly on a NULL element inside an embedding
     // (a corrupted vector must not silently search as 0.0); keep that
     // contract — but only pay the scan when the type admits null slots
-    val checked = vs.child.dataType match {
+    val checked = queryExpr.dataType match {
       case ArrayType(_, true) =>
         when(exists(qExpr, _.isNull), expr(
           "raise_error('vector_search: query embedding has a NULL element')")
-          .cast(vs.child.dataType)).otherwise(qExpr)
+          .cast(queryExpr.dataType)).otherwise(qExpr)
       case _ => qExpr
     }
     val withQ = childDF.withColumn(qvecC, checked)
@@ -83,9 +104,7 @@ case class IndexedVectorSearchRule(session: SparkSession)
     // whose two-sided re-computation could diverge
     val queries = withQ.select(col(qvecC).as("qid"))
       .filter(col("qid").isNotNull).distinct()
-    val hits = store.searchBatch(queries, vs.k,
-        vs.numCandidates.getOrElse(store.defaultNumCandidates),
-        qId = "qid", qVec = "qid")
+    val hits = searchFn(queries)
       .select(col("qid").as("__gvs_hqid"),
         col("rank").as("__gvs_rank"),
         col("document_id").as("__gvs_document_id"),

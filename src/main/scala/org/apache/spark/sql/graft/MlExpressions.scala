@@ -163,3 +163,72 @@ case class VectorSearchGenerator(storeName: String, k: Int, child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `LATERAL VIEW vector_search_diverse('store', k, lambda, emb[, nc])` —
+  * the MMR-diversified spelling of [[VectorSearchGenerator]]: slot 1 is
+  * the best cosine match, later slots trade relevance against
+  * similarity to already-picked hits at weight `lambda`
+  * (SimilaritySearch.mmrGreedy semantics); `score` stays the original
+  * cosine. Stores that cannot expose candidate vectors (remote hit
+  * lists) raise rather than silently returning the undiversified
+  * order. Over a persisted [[graft.store.IvfFlatIndexStore]],
+  * [[IndexedVectorSearchRule]] rewrites the lateral into the
+  * pruned-join + bounded re-rank plan instead of per-row evaluation,
+  * exactly as it does for the plain spelling. */
+case class VectorSearchDiverseGenerator(storeName: String, k: Int,
+                                        lambda: Double, child: Expression,
+                                        numCandidates: Option[Int] = None)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(k > 0, s"vector_search_diverse k must be positive, got $k")
+  require(lambda >= 0.0 && lambda <= 1.0,
+    s"vector_search_diverse lambda must be in [0, 1], got $lambda")
+  numCandidates.foreach(nc => require(nc > 0,
+    s"vector_search_diverse numCandidates must be positive, got $nc"))
+
+  @transient private lazy val store = VectorStoreRegistry.get(storeName)
+
+  override def elementSchema: StructType = new StructType()
+    .add("rank", IntegerType, nullable = false)
+    .add("document_id", StringType, nullable = true)
+    .add("chunks", StringType, nullable = true)
+    .add("score", DoubleType, nullable = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_search_diverse needs an ARRAY<FLOAT> query embedding, got ${t.sql}")
+    }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      // same loud-corruption contract as vector_search: a NULL element
+      // must not silently search as 0.0f
+      var i = 0
+      while (i < arr.numElements()) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"vector_search_diverse: query embedding has a NULL element at index $i")
+        i += 1
+      }
+      store.searchDiverse(arr.toFloatArray(), k, lambda,
+          numCandidates.getOrElse(store.defaultNumCandidates))
+        .iterator.zipWithIndex.map { case (hit, j) =>
+          InternalRow(j + 1,
+            UTF8String.fromString(hit.document_id),
+            UTF8String.fromString(hit.chunks),
+            hit.score)
+        }.toSeq
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -213,6 +213,36 @@ class SqlSurfaceSpec extends SparkSpec {
     e2.getMessage should include("NULL element")
   }
 
+  test("vector_search_diverse diversifies from SQL; lambda=1 equals plain vector_search") {
+    import graft.store.{BroadcastBruteForceStore, VectorStoreRegistry}
+    // a redundant pair (a1/a2 near-identical) plus one diverse doc: the
+    // MMR lateral must not spend both slots on the pair
+    val store = new BroadcastBruteForceStore(Array(
+      ("kb/a1.md", "alpha chunk", Array(1f, 0.05f, 0f)),
+      ("kb/a2.md", "alpha chunk again", Array(1f, 0.06f, 0f)),
+      ("kb/b.md", "beta chunk", Array(0.6f, 0.8f, 0f))))
+    VectorStoreRegistry.register("diverse_sql_test", store)
+    spark.createDataFrame(Seq((1L, Array(1f, 0f, 0f))))
+      .toDF("qid", "embedding").createOrReplaceTempView("q_div_test")
+    def run(fn: String): Seq[String] = spark.sql(
+      s"""SELECT vs.document_id FROM q_div_test
+         |LATERAL VIEW $fn vs
+         |  AS rank, document_id, chunks, score
+         |ORDER BY vs.rank""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    val diverse = run("vector_search_diverse('diverse_sql_test', 2, 0.3, embedding)")
+    diverse.head shouldBe "kb/a1.md"        // slot 1 = best cosine match
+    diverse(1) shouldBe "kb/b.md"           // slot 2 diversified past a2
+    // diversification off reproduces the plain lateral exactly
+    run("vector_search_diverse('diverse_sql_test', 2, 1.0, embedding)") shouldBe
+      run("vector_search('diverse_sql_test', 2, embedding)")
+    // lambda outside [0,1] fails at parse/constructor time
+    val e = intercept[Exception] {
+      run("vector_search_diverse('diverse_sql_test', 2, 1.5, embedding)")
+    }
+    e.getMessage should include("lambda")
+  }
+
   test("CREATE MODEL / CREATE CONNECTION DDL registers and serves ml_predict, SQL only") {
     // the reference's exact DDL shape (generate_personalized_commands
     // .sh:211-224) — INPUT/OUTPUT clauses accepted, provider-prefixed
@@ -398,6 +428,63 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("CREATE VECTOR INDEX bad_idx2 ON svi_corpus (embedding) WITH ('cells' = '2')")
     }
     e3.getMessage should include("missing required option 'path'")
+  }
+
+  test("vector_search_diverse over a persisted index rewrites to the pruned join + bounded MMR re-rank") {
+    import graft.store.{BroadcastBruteForceStore, IvfFlatIndexStore, VectorStoreRegistry}
+    // a redundant pair a1/a2 near a query direction, one diverse doc b,
+    // plus far-away filler so the index has populated cells
+    def pad(xs: Float*): Array[Float] = (xs ++ Seq.fill(8 - xs.length)(0f)).toArray
+    // all scores pairwise distinct at lambda=0.5 so the pick order is
+    // unambiguous across stores (ties would break on different id kinds:
+    // corpus position vs md5 nid)
+    val corpus = Seq(
+      ("kb/a1.md", "alpha", pad(1f, 0.05f, 0.1f)),
+      ("kb/a2.md", "alpha again", pad(1f, 0.06f, 0.1f)),
+      ("kb/b.md", "beta", pad(0.6f, 0.8f, 0.1f)),
+      ("kb/c.md", "gamma", pad(0.3f, 0.2f, 0.9f)),
+      ("kb/d.md", "delta", pad(0.2f, 0.1f, 0f, 0.95f)))
+    spark.createDataFrame(corpus)
+      .toDF("document_id", "chunks", "embedding")
+      .createOrReplaceTempView("svd_corpus")
+    val path = graft.core.TempRoots.scratch("svd-ddl-index")
+    spark.sql(
+      s"""CREATE VECTOR INDEX svd_test ON svd_corpus (embedding)
+         |WITH ('path' = '$path', 'cells' = '2', 'num_candidates' = '1000')
+         |""".stripMargin)
+    VectorStoreRegistry.get("svd_test") shouldBe an[IvfFlatIndexStore]
+    spark.createDataFrame(Seq((1L, pad(1f))))
+      .toDF("qid", "embedding").createOrReplaceTempView("svd_queries")
+    def run(fn: String) = spark.sql(
+      s"""SELECT qid, vs.rank, vs.document_id, vs.score
+         |FROM svd_queries
+         |LATERAL VIEW $fn vs
+         |  AS rank, document_id, chunks, score
+         |""".stripMargin)
+    val df = run("vector_search_diverse('svd_test', 2, 0.5, embedding)")
+    // the rewrite replaced the per-row diverse generator with the join
+    df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generator.isInstanceOf[
+            org.apache.spark.sql.graft.VectorSearchDiverseGenerator] => g
+    } shouldBe empty
+    df.queryExecution.executedPlan.toString should include("PartitionFilters")
+    val got = df.collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).sortBy(_._1)
+    // exact-regime parity with the broadcast store's own MMR
+    val oracle = new BroadcastBruteForceStore(corpus.toArray)
+    val expected = oracle.searchDiverse(pad(1f), 2, 0.5, 1000)
+      .zipWithIndex.map { case (h, i) => (i + 1, h.document_id, h.score) }
+    got.toSeq shouldBe expected
+    // and the diversity is real: slot 1 is the best match, slot 2 skips
+    // the near-duplicate a2 (plain top-2 would be a1 then a2)
+    got.head._2 shouldBe "kb/a1.md"
+    got(1)._2 should not be "kb/a2.md"
+    // lambda=1 through the index equals the plain indexed lateral
+    run("vector_search_diverse('svd_test', 2, 1.0, embedding)")
+      .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq shouldBe
+      run("vector_search('svd_test', 2, embedding)")
+        .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
   }
 
   test("model and connection registries resolve by name (M5/M6)") {
