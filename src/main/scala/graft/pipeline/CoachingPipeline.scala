@@ -79,6 +79,25 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
       array(entry(1), entry(2), entry(3)).as("rag_results"))
   }
 
+  /** [[retrieve]] with MMR-diversified slots (VectorStore.searchDiverse):
+    * the same per-row store seam — so it runs unchanged on batch AND
+    * streaming frames — with slot 1 the best match and later slots
+    * diversified at weight `lambda`. Same exactly-k
+    * ARRAY<STRUCT<document_id, chunks>> contract, NULL tail for <k. */
+  def retrieveDiverse(embedded: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val st = store; val kk = k; val nc = numCandidates
+    val searchUdf = udf((q: Seq[Float]) =>
+      if (q == null) Seq.empty[SearchHit]
+      else st.searchDiverse(q.toArray, kk, lambda, nc))
+      .asNondeterministic()
+    val hits = embedded.withColumn("search_results", searchUdf(col("embedding")))
+    def entry(i: Int) = struct(
+      try_element_at(col("search_results"), lit(i))("document_id").as("document_id"),
+      try_element_at(col("search_results"), lit(i))("chunks").as("chunks"))
+    hits.select(col("message"), col("speaker"),
+      array(entry(1), entry(2), entry(3)).as("rag_results"))
+  }
+
   /** Scale-path retrieval (S5): the index stays a DataFrame and the top-k
     * search is a broadcast-corpus join (VectorOps.bruteForceTopK) instead
     * of a collected in-memory store — no unconditional driver collect, so

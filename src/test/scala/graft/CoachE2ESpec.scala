@@ -201,6 +201,13 @@ class CoachE2ESpec extends SparkSpec {
     // the diversity knob off (lambda=1) reproduces plain cosine order
     docs(pipeline.retrieveJoinDiverse(embedded, index, lambda = 1.0)) shouldBe
       plain
+
+    // the STORE-side variant (the streaming-capable per-row seam)
+    // agrees with the join path at both ends of the knob
+    val store = graft.store.BroadcastBruteForceStore.fromDataFrame(index)
+    val storePipeline = new CoachingPipeline(embedder, new MockChat, store)
+    docs(storePipeline.retrieveDiverse(embedded, lambda = 0.3)) shouldBe diverse
+    docs(storePipeline.retrieveDiverse(embedded, lambda = 1.0)) shouldBe plain
   }
 
   test("cache hit short-circuits the LLM chain; misses run it (F5 flow)") {
