@@ -59,8 +59,15 @@ object HeavyHitters {
 
     // Phase 1: per-partition MG summaries + partition-count markers.
     // Marker rows use cnt >= 0 with a null token; candidates carry -1.
+    // Null tokens are not tokens: dropped up front, so they neither
+    // count into the total N nor masquerade as the null marker row.
+    // localCheckpoint materializes the pass ONCE — `cands` and `total`
+    // both read the checkpointed partitions instead of each re-running
+    // the MG scan over the full token stream (the dedup_clusters
+    // per-round convention; blocks free with the dataset reference).
     val summary: Dataset[(String, Long)] =
-      toks.select(col(tokCol).cast("string")).as[String].mapPartitions { it =>
+      toks.select(col(tokCol).cast("string")).filter(col(tokCol).isNotNull)
+        .as[String].mapPartitions { it =>
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
         var n = 0L
         while (it.hasNext) {
@@ -81,14 +88,16 @@ object HeavyHitters {
         }
         Iterator((null: String, n)) ++
           counts.keysIterator.map(t => (t, -1L))
-      }
+      }.localCheckpoint()
 
     // no distinct(): within a partition MG keys are unique, so dups occur
     // only across partitions (≤ parts copies of a key) — the semi-join's
     // broadcast hash relation absorbs them, and skipping the distinct
-    // keeps the candidate set out of any shuffle entirely
+    // keeps the candidate set out of any shuffle entirely. Markers are
+    // identified by their sentinel SIGN, not the null token, so the two
+    // row kinds cannot be confused.
     val cands = summary.filter(_._2 == -1L).map(_._1).toDF(tokCol)
-    val total = summary.filter(_._1 == null).map(_._2).toDF("part_n")
+    val total = summary.filter(_._2 >= 0L).map(_._2).toDF("part_n")
       .agg(sum(col("part_n")).as("n"))
 
     // Phase 2: exact counts of the candidate sliver only.

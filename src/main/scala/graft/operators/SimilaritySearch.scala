@@ -99,6 +99,12 @@ object SimilaritySearch {
       .withColumn("rel", VectorOps.cosine(col("qvec"), col("nvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= candN)
+      // cosine is nullable (zero-norm vector, null embedding): such
+      // candidates carry no usable relevance, so they are excluded from
+      // the greedy selection rather than reaching the UDF as null
+      // doubles (a null query embedding thus yields no picks at all —
+      // the lateral/outer-join caller's no-hits contract)
+      .filter(col("rel").isNotNull && col("nvec").isNotNull)
       .select(col("qid"), col("nid"), col("rel"), col("nvec"))
     val select = mmrSelectUdf(cand.schema("nid").dataType, lambda, k)
     cand.groupBy(col("qid"))
@@ -138,14 +144,17 @@ object SimilaritySearch {
   def mmrRerankHits(cand: DataFrame, k: Int, lambda: Double,
                     payloadCols: Seq[String] = Seq("document_id", "chunks"))
       : DataFrame = {
-    val sel = cand.groupBy(col("qid"))
+    // same null policy as mmrTopK: score/vector-less candidates cannot
+    // participate in the greedy trade-off
+    val usable = cand.filter(col("score").isNotNull && col("nvec").isNotNull)
+    val sel = usable.groupBy(col("qid"))
       .agg(collect_list(struct(col("nid"), col("score"), col("nvec")))
         .as("cands"))
       .select(col("qid"),
         posexplode(mmrSelectUdf(cand.schema("nid").dataType, lambda, k)(
           col("cands"))).as(Seq("pos", "nid")))
       .select(col("qid"), col("nid"), (col("pos") + 1).cast("int").as("rank"))
-    sel.join(cand.select(
+    sel.join(usable.select(
         Seq(col("qid"), col("nid"), col("score")) ++ payloadCols.map(col): _*),
         Seq("qid", "nid"))
       .select(Seq(col("qid"), col("nid"), col("rank"), col("score")) ++
@@ -173,7 +182,8 @@ object SimilaritySearch {
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
-    while (picked.length < math.min(k, arr.length)) {
+    var stuck = false
+    while (!stuck && picked.length < math.min(k, arr.length)) {
       var bestIdx = -1; var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < arr.length) {
@@ -198,7 +208,10 @@ object SimilaritySearch {
         }
         i += 1
       }
-      picked += bestIdx
+      // every remaining score NaN (a NaN element in some vector): no
+      // comparison can select a winner — stop picking rather than
+      // emit arr(-1)
+      if (bestIdx < 0) stuck = true else picked += bestIdx
     }
     picked.map(arr(_)._1).toSeq
   }
@@ -236,8 +249,12 @@ object SimilaritySearch {
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
                 qId: String = "qid", nId: String = "nid"): DataFrame = {
     require(k > 0, s"invalid k=$k")
-    val hits = exact.select(col(qId), col(nId))
-      .join(approx.select(col(qId), col(nId)), Seq(qId, nId))
+    // distinct both sides: an approximate result MAY carry replayed
+    // duplicates (e.g. a streaming-appended index searched with
+    // dedupReplays off) — a duplicated true hit must count once, never
+    // push recall past 1.0
+    val hits = exact.select(col(qId), col(nId)).distinct()
+      .join(approx.select(col(qId), col(nId)).distinct(), Seq(qId, nId))
       .groupBy(col(qId)).agg(count(lit(1)).as("hits"))
     exact.select(col(qId)).distinct()
       .join(hits, Seq(qId), "left")

@@ -83,7 +83,7 @@ object CurationPipeline {
 
   /** Sequence-length bucket report — the batch-assembly planning view
     * for fixed-shape training: docs binned to the smallest power-of-two
-    * capacity ≥ their token count (64…8192, catch-all 16384), with
+    * capacity ≥ their token count (16…8192, catch-all 16384), with
     * per-bucket doc counts, token mass, and PADDING WASTE (capacity −
     * tokens summed, plus its fraction of the bucket's slot capacity) —
     * the number a curriculum/batching strategy is tuned to minimize.
@@ -94,8 +94,8 @@ object CurationPipeline {
     * move a boundary doc one bucket up on one engine only.
     *
     * Plan shape: per-row map (codegen'd regexp token count + CASE) into
-    * ONE partial-aggregated groupBy over ≤ 9 bucket keys — at 100 TB the
-    * shuffle carries 9 rows per task. */
+    * ONE partial-aggregated groupBy over ≤ 11 bucket keys — at 100 TB
+    * the shuffle carries 11 rows per task. */
   def lengthBucketReport(docs: DataFrame,
                          textCol: String = "text"): DataFrame = {
     val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L,

@@ -103,16 +103,28 @@ final class BroadcastBruteForceStore(
 
   /** Exact MMR: greedy selection over the top-`max(2k, 8)` cosine
     * candidates, corpus-index tie-break (the store's "earlier entry
-    * wins" convention). Hits keep their original cosine score. */
+    * wins" convention). Hits keep their original cosine score.
+    * Zero-norm vectors (query or corpus entry) have UNDEFINED cosine —
+    * they are excluded from the candidate set, matching the DataFrame
+    * path's null-relevance filter (plain search's -1.0 convention is a
+    * rank-only device; it must not leak into the λ trade-off as a real
+    * score). */
   override def searchDiverse(query: Array[Float], k: Int, lambda: Double,
                              numCandidates: Int): Seq[SearchHit] = {
+    def norm0(v: Array[Float]): Boolean = {
+      var i = 0; var n = 0.0
+      while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+      n == 0.0
+    }
+    if (norm0(query)) return Nil
     val candN = math.max(2 * k, 8)
     // top-candN corpus indices by (sim desc, index asc) — the same
     // ordering contract as search()
-    val sims = Array.tabulate(corpus.length)(i => cosine(query, corpus(i)._3))
-    val top = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(candN)
+    val top = corpus.indices.filter(i => !norm0(corpus(i)._3))
+      .map(i => (cosine(query, corpus(i)._3), i))
+      .sortBy { case (s, i) => (-s, i) }.take(candN)
     val picked = graft.operators.SimilaritySearch.mmrGreedy(
-      top.toSeq.map { case (s, i) => (i, s, corpus(i)._3) }, lambda, k)
+      top.map { case (s, i) => (i, s, corpus(i)._3) }, lambda, k)
     val simOf = top.map { case (s, i) => i -> s }.toMap
     picked.map(i => SearchHit(corpus(i)._1, corpus(i)._2, simOf(i)))
   }

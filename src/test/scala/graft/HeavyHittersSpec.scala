@@ -66,3 +66,21 @@ class HeavyHittersSpec extends SparkSpec {
     "Exchange hashpartitioning\\(tok".r.findAllIn(plan).size should be <= 1
   }
 }
+
+/** Regression coverage for review findings: null tokens and the
+  * single-materialization contract. */
+class HeavyHittersEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null tokens neither count into the total nor corrupt the marker rows") {
+    // 10 'hot' + 5 nulls: with nulls wrongly counted (or their -1
+    // candidate sentinel summed into N) the threshold denominator
+    // shifts; correct N is 12 (nulls are not tokens)
+    val toks = (Seq.fill(10)(Some("hot")) ++ Seq.fill(5)(Option.empty[String]) ++
+      Seq(Some("a"), Some("b"))).toDF("tok").repartition(3)
+    val got = graft.operators.HeavyHitters.frequentTokens(toks, denom = 2, m = 8)
+      .as[(String, Long)].collect().toSeq
+    // threshold: cnt*2 >= 12 → only 'hot' (10)
+    got shouldBe Seq(("hot", 10L))
+  }
+}

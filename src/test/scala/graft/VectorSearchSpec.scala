@@ -323,6 +323,44 @@ class MmrSpec extends SparkSpec {
     res shouldBe Seq((20L, 1), (21L, 2))
   }
 
+  test("null or zero-norm vectors never reach the greedy selection; NaN cannot crash it") {
+    // zero-norm corpus entry: its cosine is NULL — it must be excluded,
+    // not passed to the UDF as a null double (NPE) or a fake score
+    val q = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq((10L, Array(1f, 0.1f)), (11L, Array(0f, 0f)),
+      (12L, Array(0.5f, 0.8f))).toDF("vec_id", "embedding")
+    val picks = graft.operators.SimilaritySearch
+      .mmrTopK(q, c, k = 3, lambda = 0.5, candN = 8,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    picks should contain theSameElementsAs Seq(10L, 12L) // 11 excluded
+    // a NULL query embedding yields no picks (rel is NULL for all)
+    val qNull = Seq((0L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    graft.operators.SimilaritySearch
+      .mmrTopK(qNull, c, k = 2, lambda = 0.5, candN = 8,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .count() shouldBe 0L
+    // NaN scores stop the greedy loop instead of indexing arr(-1)
+    graft.operators.SimilaritySearch.mmrGreedy(
+      Seq((1L, Double.NaN, Array(1f, 0f)), (2L, Double.NaN, Array(0f, 1f))),
+      lambda = 0.5, k = 2) shouldBe Seq.empty
+    // store seam: zero-norm query returns no hits; zero-norm corpus
+    // entries are skipped
+    val store = new graft.store.BroadcastBruteForceStore(Array(
+      ("a", "", Array(1f, 0f)), ("z", "", Array(0f, 0f))))
+    store.searchDiverse(Array(0f, 0f), 2, 0.5) shouldBe empty
+    store.searchDiverse(Array(1f, 0f), 2, 0.5).map(_.document_id) shouldBe Seq("a")
+  }
+
+  test("recallAtK counts replayed duplicate hits once — recall never exceeds 1") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "nid")
+    // the single true hit appears twice (at-least-once replay artifact)
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 99L)).toDF("qid", "nid")
+    val rows = graft.operators.SimilaritySearch.recallAtK(exact, approx, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    rows shouldBe Seq((1L, 1, 1.0 / 3.0))
+  }
+
   test("selection state is bounded by candN: plan shuffles once on qid, corpus side broadcast") {
     val (q, c) = frames
     val plan = graft.operators.SimilaritySearch
