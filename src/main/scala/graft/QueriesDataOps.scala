@@ -2970,6 +2970,40 @@ object QueriesDataOps {
              CAST((3 + doc_id % 40) * 8000 AS DOUBLE) / 1024 AS peak_hz
       FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
 
+    ("mm_audio_fingerprint", (s, dir) => {
+      // acoustic-fingerprint dedup over REAL decode + per-window FFT:
+      // the ordered dominant-bin sequence is the landmark signature;
+      // audios sharing it group with one equi-shuffle, no waveform
+      // comparison. The tone law (window w of id at exact bin
+      // 3 + (id%5+w) % 40, 3 + id%2 windows) makes every bin — and
+      // hence every signature and group — plain oracle arithmetic; a
+      // broken per-window FFT or a window-boundary off-by-one lands in
+      // another group and hash-mismatches.
+      val media = Multimodal.withToneSequenceAudio(
+        T(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "source")
+      val sigs = Multimodal.withAudioWindowBins(media)
+        .groupBy(col("media_id"))
+        .agg(md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("window_idx"), col("bin")))),
+          s => s("bin").cast("string")))).as("sig"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+      sigs.select(col("media_id"), col("sig"),
+          min(col("media_id")).over(w).as("keep_id"),
+          count(lit(1)).over(w).as("n_members"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 2)) AS w
+                 FROM documents WHERE doc_id < 100),
+      b AS (SELECT doc_id, w,
+                   CAST(3 + (doc_id % 5 + w) % 40 AS VARCHAR) AS bin
+            FROM w),
+      sigs AS (SELECT doc_id, md5(string_agg(bin, ',' ORDER BY w)) AS sig
+               FROM b GROUP BY doc_id)
+      SELECT doc_id AS media_id, sig,
+             min(doc_id) OVER (PARTITION BY sig) AS keep_id,
+             count(*) OVER (PARTITION BY sig) AS n_members
+      FROM sigs ORDER BY media_id""")),
+
     ("mm_avi_frame_decode", (s, dir) => {
       // REAL MJPEG-AVI demux end-to-end: RIFF chunk walk + per-frame
       // JPEG decode through the magic-byte AutoVideoDemux dispatch.

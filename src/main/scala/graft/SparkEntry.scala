@@ -79,6 +79,7 @@ object SparkEntry {
     // are exactly the per-row costs that dominate a multimodal scan at
     // scale — benched so a codec regression shows in the book
     "mm_decode_features", "mm_resize_real", "mm_audio_features",
-    "mm_audio_dominant_freq", "mm_image_dhash", "mm_exif_metadata",
+    "mm_audio_dominant_freq", "mm_audio_fingerprint", "mm_image_dhash",
+    "mm_exif_metadata",
     "mm_exif_orient_norm")
 }

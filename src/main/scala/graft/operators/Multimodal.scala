@@ -852,6 +852,75 @@ object Multimodal {
         col("source").as("source")).as("meta"))
   }
 
+  /** Multi-window tone audio for the acoustic-fingerprint oracle: the
+    * WAV holds `3 + id % 2` consecutive [[toneFftSize]]-sample windows,
+    * window w a pure tone at exact bin `3 + (id % 5 + w) % 40` — so the
+    * per-window dominant-bin SEQUENCE follows an arithmetic law, and
+    * audios sharing (id % 5, id % 2) are acoustic duplicates: the
+    * harness for landmark-style fingerprint dedup (same shape as the
+    * shot/gradient video harnesses). */
+  def withToneSequenceAudio(df: DataFrame, idCol: String,
+                            sourceCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"),
+      col(sourceCol).cast("string").as("source"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("media_type", StringType),
+      StructField("source", StringType)))
+    val encoded = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nw = (3 + math.floorMod(id, 2L)).toInt
+        val samples = Array.tabulate(nw * toneFftSize) { i =>
+          val w = i / toneFftSize
+          val j = i % toneFftSize
+          val bin = (3 + math.floorMod(id, 5L).toInt + w) % 40
+          math.round(12000.0 *
+            math.sin(2.0 * math.Pi * bin * j / toneFftSize)).toShort
+        }
+        Row(id, AudioCodec.encodeWav(samples, audioSampleRate), "audio",
+          r.getString(1))
+      }
+    }(Encoders.row(schema))
+    encoded.select(
+      col("media_id"), col("content"), col("media_type"),
+      struct(
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_hash"),
+        col("source").as("source")).as("meta"))
+  }
+
+  /** Acoustic-fingerprint primitive: REAL WAV decode + one radix-2 FFT
+    * PER `n`-sample window, one row per (media, window, dominant bin) —
+    * the landmark sequence audio dedup buckets on (the per-window
+    * analog of [[withVideoFrameDHash]]'s per-frame hashes; a signature
+    * over the ordered bin sequence groups re-encodes of the same
+    * recording with one equi-shuffle and no waveform comparison).
+    * Trailing samples short of a full window are not analyzed
+    * (windowing is explicit, never implicit zero-padding — the
+    * [[AudioCodec.dominantBin]] quarantine contract). */
+  def withAudioWindowBins(media: DataFrame, n: Int = toneFftSize,
+                          batchSize: Int = 32): DataFrame = {
+    val audio = media.filter(col("media_type") === "audio")
+    val outSchema = media.schema
+      .add(StructField("window_idx", IntegerType))
+      .add(StructField("bin", IntegerType))
+    val binIdx = media.schema.fieldIndex("content")
+    audio.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.flatMap { r =>
+          val (_, samples) = AudioCodec.decode(r.getAs[Array[Byte]](binIdx))
+          (0 until samples.length / n).map { w =>
+            val slice = java.util.Arrays.copyOfRange(samples, w * n, (w + 1) * n)
+            Row.fromSeq(r.toSeq ++
+              Seq[Any](w, AudioCodec.dominantBin(slice, n)))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Dominant-frequency stage: appends (peak_bin, peak_hz) from a real
     * WAV decode + FFT over the first [[toneFftSize]] samples — the
     * spectral curation gate (tone/silence/narrowband detection) in the

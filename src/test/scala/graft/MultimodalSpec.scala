@@ -882,3 +882,42 @@ class SceneCutSpec extends SparkSpec {
     one.count() shouldBe 1L
   }
 }
+
+/** Acoustic fingerprinting: per-window FFT landmarks through a real WAV
+  * round-trip; duplicate grouping follows the tone law. */
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("window bins follow the tone law; same (id%5, id%2) audios share a signature") {
+    val docs = (0L until 12L).map((_, "s")).toDF("doc_id", "source")
+    val media = graft.operators.Multimodal.withToneSequenceAudio(docs, "doc_id", "source")
+    val bins = graft.operators.Multimodal.withAudioWindowBins(media)
+      .select("media_id", "window_idx", "bin")
+      .as[(Long, Int, Int)].collect().toSeq
+    bins.foreach { case (id, w, bin) =>
+      bin shouldBe (3 + (id % 5 + w) % 40).toInt
+    }
+    bins.groupBy(_._1).foreach { case (id, rows) =>
+      rows.size shouldBe (3 + id % 2).toInt
+    }
+    // ids 0 and 10 share (id%5=0, id%2=0) → identical bin sequences;
+    // 0 and 5 differ in window count (5%2=1) → different
+    val seq0 = bins.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val seq10 = bins.filter(_._1 == 10L).sortBy(_._2).map(_._3)
+    val seq5 = bins.filter(_._1 == 5L).sortBy(_._2).map(_._3)
+    seq10 shouldBe seq0
+    seq5 should not be seq0
+  }
+
+  test("a trailing partial window is never analyzed via implicit padding") {
+    // hand-built WAV: 1024 full-window samples + 100 trailing
+    val samples = Array.tabulate(1124)(i =>
+      math.round(12000.0 * math.sin(2.0 * math.Pi * 7 * i / 1024)).toShort)
+    val wav = graft.operators.Multimodal.AudioCodec.encodeWav(samples, 8000)
+    val media = Seq((1L, wav, "audio", "s")).toDF(
+      "media_id", "content", "media_type", "source")
+    val rows = graft.operators.Multimodal.withAudioWindowBins(media)
+      .select("window_idx", "bin").as[(Int, Int)].collect().toSeq
+    rows shouldBe Seq((0, 7)) // exactly one full window, at its exact bin
+  }
+}
