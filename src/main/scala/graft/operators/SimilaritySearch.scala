@@ -906,7 +906,8 @@ object SimilaritySearch {
                          payloadCols: Seq[String] = Nil,
                          broadcastBytes: Long = 64L * 1024 * 1024,
                          dedupReplays: Boolean = false,
-                         sidecars: Option[(Seq[Seq[Float]], Seq[Long])] = None)
+                         sidecars: Option[(Seq[Seq[Float]], Seq[Long])] = None,
+                         payloadFrame: Option[DataFrame] = None)
       : DataFrame = {
     import spark.implicits._
     // `sidecars`: a serving caller (IvfFlatIndexStore) can preload the
@@ -929,7 +930,11 @@ object SimilaritySearch {
     val probed: Seq[Int] =
       if (nProbe >= cents.length) cents.indices
       else probedCells(queries, cents, nProbe, qVec)
-    val raw = spark.read.parquet(s"$path/payload")
+    // `payloadFrame`: a serving caller can hand in the payload frame
+    // built ONCE (file listing + schema resolution amortized across
+    // searches, the sidecars pattern); partition pruning still applies
+    // per call through the filter below
+    val raw = payloadFrame.getOrElse(spark.read.parquet(s"$path/payload"))
       .filter(col("cluster").isin(probed: _*))
     // dedupReplays: an index fed by at-least-once micro-batch appends
     // may hold replayed duplicates (identical rows, same content nid)

@@ -197,9 +197,22 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     }
     statsCache
   }
-  /** Drop the cached cellstats (call after upserts/compaction/merge so
-    * the probe-depth mapping sees the new counts). */
-  def refreshStats(): Unit = statsCache = null
+  // payload-frame cache, same contract as the sidecars: building a
+  // parquet DataFrame lists files and resolves the schema — a fixed
+  // cost worth paying once per INDEX, not once per micro-batch. The
+  // frame's file listing is pinned at build time, so serving reads the
+  // index as of the last [[refreshStats]]; partition pruning applies
+  // per search through the cluster filter regardless.
+  @volatile private var payloadCache: DataFrame = null
+  private def payloadDF: DataFrame = {
+    if (payloadCache == null)
+      payloadCache = spark.read.parquet(s"$path/payload")
+    payloadCache
+  }
+  /** Drop the cached cellstats AND payload listing (call after upserts/
+    * compaction/merge so probe-depth mapping and file listing see the
+    * new index state). */
+  def refreshStats(): Unit = { statsCache = null; payloadCache = null }
 
   /** Batch retrieval: (qid, qvec) frame → (qid, nid, rank, score,
     * document_id, chunks) with only probed cells' files read. */
@@ -208,7 +221,7 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     graft.operators.SimilaritySearch.searchIvfFlatIndex(
       spark, path, queries, k, numCandidates, qId, qVec,
       payloadCols = Seq("document_id", "chunks"),
-      sidecars = Some((centroids, cellSizes)))
+      sidecars = Some((centroids, cellSizes)), payloadFrame = Some(payloadDF))
 
   override def search(query: Array[Float], k: Int,
                       numCandidates: Int): Seq[SearchHit] = {
@@ -240,7 +253,7 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     val cand = graft.operators.SimilaritySearch.searchIvfFlatIndex(
       spark, path, queries, math.max(2 * k, 8), numCandidates, qId, qVec,
       payloadCols = Seq("document_id", "chunks", "nvec"),
-      sidecars = Some((centroids, cellSizes)))
+      sidecars = Some((centroids, cellSizes)), payloadFrame = Some(payloadDF))
     graft.operators.SimilaritySearch.mmrRerankHits(cand, k, lambda)
   }
 
