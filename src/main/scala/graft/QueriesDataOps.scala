@@ -2819,6 +2819,27 @@ object QueriesDataOps {
              md5(text) AS content_hash, source
       FROM documents ORDER BY media_id""")),
 
+    ("mm_tfrecord_roundtrip", (s, dir) => {
+      // TFRecord sharding round-trip: media rows → one CRC32C-framed
+      // shard of hand-encoded tf.Example records per partition (the
+      // TF/JAX training container) → parsed back. Every payload byte,
+      // id and source must survive the frame + proto encode/decode, so
+      // n_bytes + md5 re-derived FROM the re-read content hash-match
+      // the SQL oracle; a wrong CRC mask, a varint off-by-one, or a
+      // mis-walked length field cannot round-trip.
+      import graft.io.TfRecord
+      val media = Multimodal.asMedia(T(s, dir, "documents"),
+        "doc_id", "text", "image", "source")
+      TfRecord.fromShards(TfRecord.toShards(media))
+        .select(col("media_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_hash"), col("source"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash, source
+      FROM documents ORDER BY media_id""")),
+
     ("mm_frame_sample", (s, dir) => {
       // frame-sampling stub: 3 deterministic frame rows per video.
       val media = Multimodal.asMedia(T(s, dir, "documents").filter(col("doc_id") < 50),

@@ -72,7 +72,8 @@ object SparkEntry {
     "curate_split", "curate_shuffle_shard", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental",
-    "mm_metadata", "mm_webdataset_roundtrip", "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
+    "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
+    "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
     "mm_mp4_frame_decode", "mm_mkv_frame_decode", "mm_video_neardup",
     "mm_scene_cut",
     // the real codecs (imageio decode, bilinear resize, WAV RMS, dHash)
