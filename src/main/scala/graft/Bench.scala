@@ -60,7 +60,9 @@ object Bench {
         parity.streamStagesIndexed(spark, tmp("graft-bench-ckpt"),
           graft.store.VectorStores.adaptive(indexedKnowledge,
               tmp("graft-bench-idx"), broadcastBytes = 1L)
-            .asInstanceOf[graft.store.IvfFlatIndexStore],
+            .asInstanceOf[graft.store.IvfFlatIndexStore]
+            // static-index serving: safe to freeze the file listing
+            .pinPayload(),
           sourceOptions)
       else parity.streamStages(spark, tmp("graft-bench-ckpt"), sourceOptions)
     try {

@@ -234,7 +234,11 @@ object TfRecord {
 
   /** Media rows → one TFRecord shard per partition: (shard, n_records).
     * Partition-local, zero shuffle — repartition upstream to size
-    * shards. */
+    * shards. Rows with a NULL payload or NULL source are not encodable
+    * samples and are SKIPPED (the corpus policy's encode half: one bad
+    * row must never crash the shard write; count dropped rows upstream
+    * with a null filter if the loss needs auditing — n_records makes
+    * the skip visible per shard). */
   def toShards(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("shard", BinaryType),
@@ -243,9 +247,12 @@ object TfRecord {
     val binIdx = media.schema.fieldIndex("content")
     val metaIdx = media.schema.fieldIndex("meta")
     media.mapPartitions { it =>
-      val records = it.map { r =>
-        example(r.getLong(idIdx), r.getStruct(metaIdx).getString(2),
-          r.getAs[Array[Byte]](binIdx))
+      val records = it.flatMap { r =>
+        val data = r.getAs[Array[Byte]](binIdx)
+        val meta = r.getStruct(metaIdx)
+        val source = if (meta == null) null else meta.getString(2)
+        if (r.isNullAt(idIdx) || data == null || source == null) None
+        else Some(example(r.getLong(idIdx), source, data))
       }.toSeq
       if (records.isEmpty) Iterator.empty
       else Iterator(Row(frame(records), records.length.toLong))

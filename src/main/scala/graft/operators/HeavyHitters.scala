@@ -61,10 +61,13 @@ object HeavyHitters {
     // Marker rows use cnt >= 0 with a null token; candidates carry -1.
     // Null tokens are not tokens: dropped up front, so they neither
     // count into the total N nor masquerade as the null marker row.
-    // localCheckpoint materializes the pass ONCE — `cands` and `total`
-    // both read the checkpointed partitions instead of each re-running
-    // the MG scan over the full token stream (the dedup_clusters
-    // per-round convention; blocks free with the dataset reference).
+    // persist (NOT localCheckpoint) materializes the pass once for its
+    // two consumers while KEEPING lineage: on a spot/decommissioning
+    // cluster a lost cached partition recomputes from the token stream
+    // instead of failing the job on a missing checkpoint block — and
+    // persist is lazy, so building the plan costs nothing until an
+    // action runs. Blocks release via Verify's clearCache / the
+    // ContextCleaner when the frame goes unreferenced.
     val summary: Dataset[(String, Long)] =
       toks.select(col(tokCol).cast("string")).filter(col(tokCol).isNotNull)
         .as[String].mapPartitions { it =>
@@ -88,7 +91,7 @@ object HeavyHitters {
         }
         Iterator((null: String, n)) ++
           counts.keysIterator.map(t => (t, -1L))
-      }.localCheckpoint()
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // no distinct(): within a partition MG keys are unique, so dups occur
     // only across partitions (≤ parts copies of a key) — the semi-join's

@@ -875,7 +875,7 @@ object Multimodal {
         val samples = Array.tabulate(nw * toneFftSize) { i =>
           val w = i / toneFftSize
           val j = i % toneFftSize
-          val bin = (3 + math.floorMod(id, 5L).toInt + w) % 40
+          val bin = 3 + (math.floorMod(id, 5L).toInt + w) % 40
           math.round(12000.0 *
             math.sin(2.0 * math.Pi * bin * j / toneFftSize)).toShort
         }

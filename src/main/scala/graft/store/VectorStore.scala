@@ -197,22 +197,30 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     }
     statsCache
   }
-  // payload-frame cache, same contract as the sidecars: building a
-  // parquet DataFrame lists files and resolves the schema — a fixed
-  // cost worth paying once per INDEX, not once per micro-batch. The
-  // frame's file listing is pinned at build time, so serving reads the
-  // index as of the last [[refreshStats]]; partition pruning applies
-  // per search through the cluster filter regardless.
+  // OPT-IN payload-frame pin: building a parquet DataFrame lists files
+  // and resolves the schema — a fixed cost worth paying once per INDEX
+  // when serving a STATIC index per micro-batch. Pinning is explicit
+  // ([[pinPayload]]) and NOT the default, because a pinned listing is a
+  // frozen snapshot: appends land invisibly and a compaction's
+  // stage-and-swap deletes the files the frozen frame references
+  // (FileNotFoundException on the next search). Unpinned (default),
+  // every searchBatch re-lists — always correct under maintenance.
   @volatile private var payloadCache: DataFrame = null
-  private def payloadDF: DataFrame = {
-    if (payloadCache == null)
-      payloadCache = spark.read.parquet(s"$path/payload")
-    payloadCache
+  /** Freeze the payload file listing for static-index serving (saves a
+    * listing + schema resolution per micro-batch). After ANY index
+    * maintenance (append/delete/compact/merge) call [[refreshStats]] —
+    * it re-pins against the new state — or never pin at all. */
+  def pinPayload(): this.type = {
+    payloadCache = spark.read.parquet(s"$path/payload"); this
   }
-  /** Drop the cached cellstats AND payload listing (call after upserts/
-    * compaction/merge so probe-depth mapping and file listing see the
-    * new index state). */
-  def refreshStats(): Unit = { statsCache = null; payloadCache = null }
+  /** Drop the cached cellstats (call after upserts/compaction/merge so
+    * the probe-depth mapping sees the new counts); a pinned payload
+    * listing is re-pinned against the index's new state. */
+  def refreshStats(): Unit = {
+    statsCache = null
+    if (payloadCache != null)
+      payloadCache = spark.read.parquet(s"$path/payload")
+  }
 
   /** Batch retrieval: (qid, qvec) frame → (qid, nid, rank, score,
     * document_id, chunks) with only probed cells' files read. */
@@ -221,7 +229,8 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     graft.operators.SimilaritySearch.searchIvfFlatIndex(
       spark, path, queries, k, numCandidates, qId, qVec,
       payloadCols = Seq("document_id", "chunks"),
-      sidecars = Some((centroids, cellSizes)), payloadFrame = Some(payloadDF))
+      sidecars = Some((centroids, cellSizes)),
+      payloadFrame = Option(payloadCache))
 
   override def search(query: Array[Float], k: Int,
                       numCandidates: Int): Seq[SearchHit] = {
@@ -253,7 +262,8 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     val cand = graft.operators.SimilaritySearch.searchIvfFlatIndex(
       spark, path, queries, math.max(2 * k, 8), numCandidates, qId, qVec,
       payloadCols = Seq("document_id", "chunks", "nvec"),
-      sidecars = Some((centroids, cellSizes)), payloadFrame = Some(payloadDF))
+      sidecars = Some((centroids, cellSizes)),
+      payloadFrame = Option(payloadCache))
     graft.operators.SimilaritySearch.mmrRerankHits(cand, k, lambda)
   }
 

@@ -131,6 +131,36 @@ class IvfPqIndexSpec extends SparkSpec {
     oneRes.foreach(nid => assign(nid) shouldBe assign(0L))
   }
 
+  test("payload pinning: unpinned stores see appends immediately; pinned ones on refreshStats") {
+    import graft.store.IvfFlatIndexStore
+    def emb(i: Int): Seq[Float] = Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+    val rows = (0 until 12).map(i => (f"d$i%02d", s"chunk $i", emb(i)))
+    def prep(rs: Seq[(String, String, Seq[Float])]) =
+      rs.toDF("document_id", "chunks", "embedding").select(
+        graft.store.VectorStores.chunkKey("document_id", "chunks").as("__nid"),
+        col("document_id"), col("chunks"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft-pin-idx").toString
+    SimilaritySearch.writeIvfFlatIndex(prep(rows.take(8)),
+      rows.take(2).map(_._3), path, "__nid", "embedding",
+      Seq("document_id", "chunks"))
+
+    val unpinned = new IvfFlatIndexStore(spark, path)
+    val pinned = new IvfFlatIndexStore(spark, path).pinPayload()
+    def hits(st: IvfFlatIndexStore) =
+      st.search(emb(10).toArray, 1, numCandidates = Int.MaxValue)
+        .map(_.document_id)
+    hits(unpinned) should not be Seq("d10") // not indexed yet
+    // append the remaining rows
+    SimilaritySearch.appendIvfFlatBatch(prep(rows.drop(8)), path,
+      "__nid", "embedding", Seq("document_id", "chunks"))
+    // unpinned re-lists per search: the append is visible at once
+    hits(unpinned) shouldBe Seq("d10")
+    // pinned serves the frozen listing until refreshStats re-pins
+    hits(pinned) should not be Seq("d10")
+    pinned.refreshStats()
+    hits(pinned) shouldBe Seq("d10")
+  }
+
   test("index merge: segments fold into one index equal to the single build") {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))

@@ -59,6 +59,21 @@ class TfRecordSpec extends SparkSpec {
     TfRecord.unframe(null) shouldBe empty
   }
 
+  test("null payloads are skipped by the shard writers, never a stage crash") {
+    val rows = Seq(
+      (1L, "good".getBytes("UTF-8"), "image", "s"),
+      (2L, null.asInstanceOf[Array[Byte]], "image", "s"))
+      .toDF("media_id", "content", "media_type", "source")
+    val media = rows.select(col("media_id"), col("content"), col("media_type"),
+      struct(lit(4L).as("n_bytes"), lit("h").as("content_hash"),
+        col("source").as("source")).as("meta"))
+    val tfr = TfRecord.toShards(media)
+    tfr.agg(sum("n_records")).as[Long].collect().head shouldBe 1L
+    TfRecord.fromShards(tfr).count() shouldBe 1L
+    val wds = graft.io.WebDataset.toShards(media)
+    wds.agg(sum("n_samples")).as[Long].collect().head shouldBe 1L
+  }
+
   test("shard stages round-trip through the engine, one shard per partition") {
     val docs = (0L until 40L).map(i => (i, s"text body $i", s"src${i % 3}"))
       .toDF("doc_id", "text", "source").repartition(4)
