@@ -114,6 +114,31 @@ object StreamingOps {
     * — seek all partitions to the high watermark and commit) maps to
     * deleting the checkpoint and restarting with startingOffsets=latest.
     * Destructive by design, like the reset script. */
+  /** Trending terms: per event-time window, token counts over the
+    * message stream — the streaming face of the heavy-hitter family
+    * (operators.HeavyHitters is the batch/exact form). Watermarked
+    * windowed aggregation: state per (window, token), dropped when the
+    * watermark passes the window end — bounded by the live windows ×
+    * vocabulary-in-window, never the stream's history. Emit in Update
+    * mode and rank downstream, or filter `cnt >= minCount` here for a
+    * threshold view (a per-window TOP-N would need a rank over a
+    * still-open window — not expressible in a streaming plan; the
+    * standard pattern is this windowed count + a small batch rank over
+    * the sink, exactly how recentHistorySink treats its view). */
+  def trendingTerms(messages: DataFrame, msgCol: String, tsCol: String,
+                    window: String = "1 minute", slide: String = "30 seconds",
+                    delay: String = "30 seconds",
+                    minCount: Long = 1L): DataFrame =
+    messages
+      .withWatermark(tsCol, delay)
+      .select(col(tsCol),
+        explode(regexp_extract_all(lower(col(msgCol)),
+          lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol),
+        window, slide), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
   def resetOffsets(checkpointDir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

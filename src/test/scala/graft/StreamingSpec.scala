@@ -185,6 +185,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("trendingTerms: windowed token counts close with the watermark, state bounded to live windows") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp)]
+    val terms = StreamingOps.trendingTerms(
+      input.toDF.toDF("message", "ts"), "message", "ts",
+      window = "2 minutes", slide = "2 minutes", delay = "1 minute",
+      minCount = 2L)
+
+    val query = terms.writeStream.format("memory").queryName("trending_out")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      // window [100,102): pricing×3, discount×2, rollout×1 (under min)
+      input.addData(
+        ("pricing pricing discount", ts(0)),
+        ("pricing discount rollout", ts(1)))
+      query.processAllAvailable()
+      // advance the watermark past the window end to close + emit it
+      input.addData(("later message entirely", ts(10)))
+      query.processAllAvailable()
+
+      val got = spark.table("trending_out")
+        .select(col("window.start").cast("long").as("w"), col("term"), col("cnt"))
+        .as[(Long, String, Long)].collect().toSeq
+        .filter(_._1 == ts(0).getTime / 1000)
+      got.map(t => (t._2, t._3)).sorted shouldBe
+        Seq(("discount", 2L), ("pricing", 3L)) // rollout under minCount
+    } finally query.stop()
+  }
+
   test("stateful conversation tail keeps the last n across micro-batches") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
