@@ -154,3 +154,54 @@ class CodecPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 }
+
+/** Seeded-random properties for the TFRecord container + tf.Example
+  * codec: arbitrary payloads round-trip bit-exactly, and corruption
+  * anywhere in a shard yields FEWER records, never a wrong one — the
+  * contract that makes a CRC-framed format trustworthy at corpus
+  * scale. */
+class TfRecordPropertySpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.matchers.should.Matchers {
+  import graft.io.TfRecord
+
+  test("frame/unframe round-trips arbitrary record batches bit-exactly") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 100).foreach { _ =>
+      val recs = Seq.fill(rnd.nextInt(8)) {
+        val n = rnd.nextInt(300) // includes empty records
+        Array.fill(n)(rnd.nextInt(256).toByte)
+      }
+      TfRecord.unframe(TfRecord.frame(recs)).map(_.toSeq) shouldBe
+        recs.map(_.toSeq)
+    }
+  }
+
+  test("example/parseExample round-trips arbitrary ids, sources and payloads") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 200).foreach { _ =>
+      val id = rnd.nextLong()
+      val src = new String(Array.fill(rnd.nextInt(40))(rnd.nextPrintableChar()))
+      val data = Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte)
+      TfRecord.parseExample(TfRecord.example(id, src, data)) match {
+        case Some((i, s, d)) =>
+          i shouldBe id; s shouldBe src; d.toSeq shouldBe data.toSeq
+        case None => fail(s"no parse for id=$id")
+      }
+    }
+  }
+
+  test("a single flipped byte anywhere yields a strict prefix of the records, never a corrupted record") {
+    val rnd = new scala.util.Random(99L)
+    val recs = Seq("first", "second", "third").map(_.getBytes("UTF-8"))
+    val framed = TfRecord.frame(recs)
+    (1 to 200).foreach { _ =>
+      val pos = rnd.nextInt(framed.length)
+      val corrupt = framed.clone()
+      corrupt(pos) = (corrupt(pos) ^ (1 << rnd.nextInt(8))).toByte
+      val got = TfRecord.unframe(corrupt).map(new String(_, "UTF-8"))
+      // every surviving record is one of the originals, in order, from
+      // the front: the walk stops at the first CRC/length violation
+      got shouldBe recs.map(new String(_, "UTF-8")).take(got.length)
+    }
+  }
+}

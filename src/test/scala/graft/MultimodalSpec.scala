@@ -869,6 +869,16 @@ class SceneCutSpec extends SparkSpec {
     rows.filter(r => r._1 == 1L && r._4).map(_._2) shouldBe Seq(3, 6)
   }
 
+  test("plan: one media_id-keyed exchange for the lag window; Hamming arithmetic stays in codegen") {
+    val docs = Seq((0L, "s")).toDF("doc_id", "source")
+    val media = graft.operators.Multimodal.withShotVideos(docs, "doc_id", "source")
+    val plan = graft.operators.Multimodal.withVideoSceneCuts(media)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(media_id".r.findAllIn(plan).size shouldBe 1
+    plan should include("bit_count") // conv/xor/bit_count, not a UDF
+    plan should not include "BatchEvalPython"
+  }
+
   test("threshold above the max distance reports no cuts; single-frame videos emit no transitions") {
     val docs = Seq((0L, "s")).toDF("doc_id", "source")
     val media = graft.operators.Multimodal.withShotVideos(docs, "doc_id", "source")
