@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.pipeline.CoachingPipeline
+import graft.providers.{MockChat, MockEmbedder, ModelRegistry}
+import graft.serve.{CoachingBroadcaster, CoachingServer}
+import graft.store.BroadcastBruteForceStore
+import graft.streaming.StreamingOps
+
+/** The serving push layer (reference websocket_routes.py + the
+  * kafka_utils consumer broadcast): fan-out semantics, the real SSE
+  * transport over loopback HTTP, and the streaming chain wired end to
+  * end into a subscriber. */
+class BroadcasterSpec extends AnyFunSuite with Matchers {
+
+  test("every subscriber receives every event; unsubscribed clients stop") {
+    val b = new CoachingBroadcaster()
+    val (id1, q1) = b.subscribe()
+    val (_, q2) = b.subscribe()
+    b.clientCount shouldBe 2
+    b.publish("""{"n":1}"""); b.publish("""{"n":2}""")
+    Seq(q1, q2).foreach { q =>
+      q.poll() shouldBe """{"n":1}"""
+      q.poll() shouldBe """{"n":2}"""
+    }
+    b.unsubscribe(id1)
+    b.publish("""{"n":3}""")
+    q2.poll() shouldBe """{"n":3}"""
+    q1.poll() shouldBe null // no longer fed
+    b.clientCount shouldBe 1
+  }
+
+  test("a slow client loses its own events without blocking the publisher or other clients") {
+    val b = new CoachingBroadcaster(queueCapacity = 2)
+    val (_, slow) = b.subscribe()
+    val (_, fast) = b.subscribe()
+    // the fast client drains as events arrive; the slow one never reads
+    var fastGot = 0
+    (1 to 5).foreach { i =>
+      b.publish(s"""{"n":$i}""")
+      while (fast.poll() != null) fastGot += 1
+    }
+    // slow queue capped at 2: three events dropped FOR IT only
+    slow.size shouldBe 2
+    fastGot shouldBe 5
+    b.dropped shouldBe 3L
+  }
+}
+
+class SseServerSpec extends AnyFunSuite with Matchers {
+
+  test("SSE endpoint streams published events to loopback HTTP clients; healthz counts them") {
+    val b = new CoachingBroadcaster()
+    val server = new CoachingServer(b)
+    val port = server.start()
+    try {
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val client = new Thread(() => {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/events")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(20000)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+        var line = in.readLine()
+        while (line != null) {
+          if (line.startsWith("data: ")) received.offer(line.drop(6))
+          line = in.readLine()
+        }
+      })
+      client.setDaemon(true)
+      client.start()
+      // wait for the subscription to register before publishing
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (b.clientCount == 0 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      b.clientCount shouldBe 1
+
+      b.publish("""{"coaching":"first"}""")
+      b.publish("""{"coaching":"second"}""")
+      received.poll(10, java.util.concurrent.TimeUnit.SECONDS) shouldBe
+        """{"coaching":"first"}"""
+      received.poll(10, java.util.concurrent.TimeUnit.SECONDS) shouldBe
+        """{"coaching":"second"}"""
+
+      // healthz reports the live client set
+      val hz = new java.net.URL(s"http://127.0.0.1:$port/healthz")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(hz.getInputStream.readAllBytes(), "UTF-8")
+      body shouldBe """{"clients":1}"""
+    } finally server.stop()
+  }
+}
+
+class ServePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp((100 + minutes) * 60000L)
+
+  test("the streaming coach chain pushes its responses into a subscriber end to end") {
+    implicit val ctx = spark.sqlContext
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(32)
+    val knowledge = Seq(
+      ("kb/pricing.md", "Pricing", "kb", "pricing objection handling guide"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val boot = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val store = BroadcastBruteForceStore.fromDataFrame(boot.indexKnowledge(knowledge))
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val coached = pipeline.coach(
+      StreamingOps.dedupWithTtl(
+        input.toDF.toDF("message", "speaker", "ts"), "message", "ts"))
+
+    val b = new CoachingBroadcaster()
+    val (_, q) = b.subscribe()
+    val query = CoachingServer.pushSink(coached, b)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-serve-ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        ("what about the pricing", "prospect", ts(0)),
+        ("ignore this", "salesperson", ts(1)))
+      query.processAllAvailable()
+      val event = q.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      event should include("what about the pricing")
+      event should include("coaching_response")
+      event should not include "\n" // single-line SSE contract
+      // the salesperson row was filtered: exactly one event
+      q.poll() shouldBe null
+    } finally query.stop()
+  }
+}
