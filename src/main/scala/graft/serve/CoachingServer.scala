@@ -28,40 +28,59 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    layer — results must reach the serving process — and is bounded
   *    by the micro-batch's own size.
   */
-final class CoachingBroadcaster(queueCapacity: Int = 1024) {
+final class CoachingBroadcaster(queueCapacity: Int = 1024,
+                                evictAfterFullPublishes: Int = 256) {
   import java.util.concurrent.LinkedBlockingQueue
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  import java.util.concurrent.atomic.AtomicLong
+  private final class Client(val q: LinkedBlockingQueue[String]) {
+    // consecutive publishes that found the queue full — reset on any
+    // successful offer; crossing the threshold evicts the client
+    var fullStreak: Int = 0
+  }
+  private val nextId = new AtomicLong(0L)
   private val clients =
-    new java.util.concurrent.ConcurrentHashMap[Long, LinkedBlockingQueue[String]]()
-  @volatile private var droppedEvents = 0L
+    new java.util.concurrent.ConcurrentHashMap[Long, Client]()
+  private val droppedEvents = new AtomicLong(0L)
 
   def subscribe(): (Long, LinkedBlockingQueue[String]) = {
     val id = nextId.incrementAndGet()
-    val q = new LinkedBlockingQueue[String](queueCapacity)
-    clients.put(id, q)
-    (id, q)
+    val c = new Client(new LinkedBlockingQueue[String](queueCapacity))
+    clients.put(id, c)
+    (id, c.q)
   }
 
   def unsubscribe(id: Long): Unit = clients.remove(id)
 
   def clientCount: Int = clients.size
-  def dropped: Long = droppedEvents
+  def dropped: Long = droppedEvents.get()
 
   /** Broadcast one event to every subscriber. A full queue (slow
-    * client) drops the event FOR THAT CLIENT only — counted, never
-    * blocking the publisher (the reference's failed `client.send`
-    * discard, without killing the subscription outright: SSE clients
-    * reconnect). */
+    * client) drops the event FOR THAT CLIENT only — counted atomically,
+    * never blocking the publisher (the reference's failed `client.send`
+    * discard). A client whose queue stays full for
+    * `evictAfterFullPublishes` consecutive publishes is judged dead or
+    * hopelessly behind and UNSUBSCRIBED (the reference's broken-client
+    * discard) — its subscription and publish cost go away even when the
+    * transport cannot yet observe the death (see the keepalive note in
+    * the SSE handler). */
   def publish(json: String): Unit = {
-    val it = clients.values().iterator()
+    val it = clients.entrySet().iterator()
     while (it.hasNext) {
-      if (!it.next().offer(json)) droppedEvents += 1
+      val e = it.next()
+      val c = e.getValue
+      if (c.q.offer(json)) c.fullStreak = 0
+      else {
+        droppedEvents.incrementAndGet()
+        c.fullStreak += 1
+        if (c.fullStreak >= evictAfterFullPublishes) it.remove()
+      }
     }
   }
 }
 
 final class CoachingServer(broadcaster: CoachingBroadcaster,
-                           port: Int = 0) {
+                           port: Int = 0,
+                           bindAddress: String = "127.0.0.1") {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private var server: HttpServer = _
@@ -69,8 +88,10 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(): Int = {
+    // loopback by default (safe-by-default: exposing the push layer to
+    // a network is an explicit deployment decision via bindAddress)
     server = HttpServer.create(new java.net.InetSocketAddress(
-      java.net.InetAddress.getLoopbackAddress, port), 0)
+      java.net.InetAddress.getByName(bindAddress), port), 0)
     // one thread per open SSE stream + request handling; kept so stop()
     // can interrupt handlers parked in queue polls
     pool = java.util.concurrent.Executors.newCachedThreadPool()
@@ -101,9 +122,13 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
               out.flush()
               idlePolls = 0
             } else {
-              // standard SSE keepalive comment every ~15 s of silence:
-              // bounds how long a dead connection can hold its thread
-              // (the write raises IOException once the client is gone)
+              // standard SSE keepalive comment every ~15 s of silence.
+              // NOTE: a ping only detects a CLEANLY closed peer; a
+              // silently dead one (sleep, partition) absorbs tiny
+              // writes into the TCP send buffer for a long time, so the
+              // HANDLER THREAD may linger — the broadcaster's
+              // full-queue eviction is what bounds the subscription and
+              // publish cost in that case
               idlePolls += 1
               if (idlePolls >= 60) {
                 out.write(": ping\n\n".getBytes("UTF-8"))
@@ -135,18 +160,29 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
 object CoachingServer {
   /** The consumer-thread analog: relay each micro-batch's coached rows
     * into the broadcaster as single-line JSON (message + the generated
-    * coaching payload). Unserializable/NULL payloads are skipped, not
-    * fatal — the reference's TypeError-continue policy. */
-  def pushSink(coached: DataFrame, broadcaster: CoachingBroadcaster)
+    * coaching payload; Spark's JSON generator emits compact single-line
+    * output with control characters escaped, so the SSE one-line frame
+    * contract holds by construction). Rows whose coaching_response is
+    * NULL are SKIPPED, not published field-less and not fatal — the
+    * reference's TypeError-continue policy.
+    *
+    * Ordering: events are published in the batch's `orderCol` order
+    * when given (carry an event-time column through the chain for
+    * offset-order parity with the reference's one-message-at-a-time
+    * consumer); without it, intra-batch order follows collect()'s
+    * partition order — fine for independent messages, stated here so
+    * ordering-sensitive deployments know to pass the column. */
+  def pushSink(coached: DataFrame, broadcaster: CoachingBroadcaster,
+               orderCol: Option[String] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     coached.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        batch.select(to_json(struct(
+        val kept = batch.filter(col("coaching_response").isNotNull)
+        val ordered = orderCol.fold(kept)(c => kept.orderBy(col(c)))
+        ordered.select(to_json(struct(
             col("message"), col("coaching_response"))).as("j"))
-          .na.drop(Seq("j"))
           .collect()
-          .foreach(r => broadcaster.publish(
-            r.getString(0).replace("\n", " ").replace("\r", " ")))
+          .foreach(r => broadcaster.publish(r.getString(0)))
         ()
     }
   }

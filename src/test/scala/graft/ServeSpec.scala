@@ -50,6 +50,17 @@ class BroadcasterSpec extends AnyFunSuite with Matchers {
     fastGot shouldBe 5
     b.dropped shouldBe 3L
   }
+
+  test("a client whose queue stays full long enough is evicted — the broken-client discard") {
+    val b = new CoachingBroadcaster(queueCapacity = 1, evictAfterFullPublishes = 3)
+    b.subscribe()
+    b.publish("fill")                       // queue now full
+    (1 to 2).foreach(_ => b.publish("x"))   // streak 1, 2: still subscribed
+    b.clientCount shouldBe 1
+    b.publish("x")                          // streak 3: evicted
+    b.clientCount shouldBe 0
+    b.dropped shouldBe 3L
+  }
 }
 
 class SseServerSpec extends AnyFunSuite with Matchers {
@@ -136,6 +147,26 @@ class ServePipelineSpec extends SparkSpec {
       event should not include "\n" // single-line SSE contract
       // the salesperson row was filtered: exactly one event
       q.poll() shouldBe null
+    } finally query.stop()
+  }
+
+  test("rows with a NULL coaching response are skipped, not published field-less") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Option[String])]
+    val b = new CoachingBroadcaster()
+    val (_, q) = b.subscribe()
+    val query = CoachingServer.pushSink(
+        input.toDF.toDF("message", "coaching_response"), b)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-serve-ckpt2").toString)
+      .start()
+    try {
+      input.addData(("answered", Some("""{"ok":true}""")), ("unanswered", None))
+      query.processAllAvailable()
+      val event = q.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      event should include("answered")
+      event should include("coaching_response")
+      q.poll() shouldBe null // the NULL-response row produced nothing
     } finally query.stop()
   }
 }
