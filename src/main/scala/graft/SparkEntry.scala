@@ -57,7 +57,8 @@ object SparkEntry {
     "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled", "ann_ivf_imbalance",
     "ann_quantized_topk", "ann_radius", "ann_hard_negatives", "ann_mmr_topk",
     "ann_recall_report", "ann_pq_adc", "ann_pq_train",
-    "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank", "ann_ivfpq_index",
+    "ann_opq_adc", "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank",
+    "ann_ivfpq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
