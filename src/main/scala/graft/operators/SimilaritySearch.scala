@@ -637,7 +637,7 @@ object SimilaritySearch {
     * rotation decorrelates dimensions and the allocation spreads
     * variance so every ksub-entry codebook works equally hard. Measured
     * on the test embeddings (500×64, m=16, ksub=32): ADC recall@5
-    * 0.44 → 0.48 at the SAME code budget.
+    * 0.34 → 0.43 at the SAME code budget (OpqSpec pins the A/B).
     *
     * Distributed shape: ONE pass computes per-partition (count, Σx,
     * Σxxᵀ) partials — d + d² doubles per partition, collected and
@@ -658,27 +658,40 @@ object SimilaritySearch {
     val spark = df.sparkSession
     import spark.implicits._
     // one pass: per-partition moment partials, bounded driver transfer
+    // upper-triangle accumulation: Σxxᵀ is symmetric, so the hot loop
+    // does d(d+1)/2 multiply-adds per vector, mirrored once on the
+    // driver — half the dominant training cost at corpus scale. A
+    // ragged vector (different length) RAISES: a silently truncated or
+    // zero-padded row would bias the covariance with no diagnostic.
     val partials = df.select(col(vecCol)).as[Seq[Float]].mapPartitions { it =>
       var n = 0L
+      var dim = -1
       var sum: Array[Double] = null
-      var outer: Array[Double] = null
+      var upper: Array[Double] = null
       it.foreach { v =>
-        val d = v.length
-        if (sum == null) { sum = new Array[Double](d); outer = new Array[Double](d * d) }
+        if (dim < 0) {
+          dim = v.length
+          sum = new Array[Double](dim)
+          upper = new Array[Double](dim * dim)
+        }
+        require(v.length == dim,
+          s"opqTrainRotation: vector of dim ${v.length} in a dim-$dim corpus")
         n += 1
         var i = 0
-        while (i < d) {
+        while (i < dim) {
           val xi = v(i).toDouble
           sum(i) += xi
-          var j = 0
-          while (j < d) { outer(i * d + j) += xi * v(j); j += 1 }
+          var j = i
+          while (j < dim) { upper(i * dim + j) += xi * v(j); j += 1 }
           i += 1
         }
       }
-      if (n == 0) Iterator.empty else Iterator((n, sum.toSeq, outer.toSeq))
+      if (n == 0) Iterator.empty else Iterator((n, sum.toSeq, upper.toSeq))
     }.collect()
     require(partials.nonEmpty, "opqTrainRotation: empty input")
     val d = partials.head._2.length
+    require(partials.forall(_._2.length == d),
+      s"opqTrainRotation: partitions disagree on the vector dim")
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
     val n = partials.map(_._1).sum
     require(n > 1, "opqTrainRotation: need at least 2 vectors")
@@ -687,7 +700,18 @@ object SimilaritySearch {
       var i = 0
       while (i < d) { sum(i) += s(i); i += 1 }
       i = 0
-      while (i < d * d) { outer(i) += o(i); i += 1 }
+      while (i < d) {
+        var j = i
+        while (j < d) { outer(i * d + j) += o(i * d + j); j += 1 }
+        i += 1
+      }
+    }
+    // mirror the accumulated upper triangle
+    var mi = 0
+    while (mi < d) {
+      var mj = mi + 1
+      while (mj < d) { outer(mj * d + mi) = outer(mi * d + mj); mj += 1 }
+      mi += 1
     }
     // covariance (sample, n-1 divisor): (Σxxᵀ − n·μμᵀ) / (n−1)
     val cov = Array.tabulate(d, d) { (i, j) =>
@@ -697,19 +721,21 @@ object SimilaritySearch {
     // balanced allocation of eigen-directions to subspaces
     val dsub = d / m
     val load = new Array[Double](m)
-    val slots = new Array[Int](m)
     val buckets = Array.fill(m)(new scala.collection.mutable.ArrayBuffer[Int])
     for (i <- 0 until d) {
-      // descending-eigenvalue order: the next (smaller) eigenvalue goes
-      // to the bucket whose log-variance PRODUCT is currently largest —
-      // pairing big directions with small ones so every subspace's
-      // product lands even. (minBy would be the classic sign slip: with
-      // log λ < 0 it re-creates the naive top-eigenvalues-together
-      // slicing this allocation exists to avoid.)
-      val eligible = (0 until m).filter(slots(_) < dsub)
-      val b = eligible.maxBy(b => (load(b), -b)) // deterministic tie-break
+      // greedy round-robin in descending-eigenvalue order: fewest-filled
+      // bucket first (every bucket gets its r-th direction before any
+      // gets its (r+1)-th — forced anyway by the equal-slot constraint),
+      // and within a round the SMALLEST-load bucket takes the next
+      // (largest remaining) eigenvalue. This form is SHIFT-INVARIANT in
+      // log space — uniform scaling of the data adds a constant to every
+      // log-eigenvalue and shifts all round-r loads equally, so the
+      // allocation cannot change — where a bare load-only min/max greedy
+      // silently degenerates to the naive sequential slicing whenever
+      // the eigenvalues sit on one side of 1.
+      val b = (0 until m).filter(buckets(_).length < dsub)
+        .minBy(b => (buckets(b).length, load(b), b))
       buckets(b) += i
-      slots(b) += 1
       load(b) += math.log(math.max(eigVals(i), 1e-12))
     }
     val perm = buckets.flatMap(_.toSeq)
@@ -727,16 +753,30 @@ object SimilaritySearch {
     val d = a0.length
     val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // RELATIVE convergence thresholds: absolute cutoffs would make the
+    // rotation count — and hence the result — depend on the matrix's
+    // SCALE, breaking the exact scale-invariance the allocation relies
+    // on (a 1024x input must produce the bit-identical eigenbasis)
+    var fro = 0.0
+    var fi = 0
+    while (fi < d) {
+      var fj = 0
+      while (fj < d) { fro += a(fi)(fj) * a(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val scale = math.sqrt(fro).max(Double.MinPositiveValue)
+    val skipTol = 1e-15 * scale
+    val stopTol = (1e-12 * scale) * (1e-12 * scale)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 100 && off > 1e-12) {
+    while (sweep < 100 && off > stopTol) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
         var q = p + 1
         while (q < d) {
           val apq = a(p)(q)
-          if (math.abs(apq) > 1e-15) {
+          if (math.abs(apq) > skipTol) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
             // theta == 0 (equal diagonal entries) means a FULL 45°
             // rotation, not none: signum(0) = 0 would silently skip it
@@ -793,11 +833,14 @@ object SimilaritySearch {
     val rot = udf((v: Seq[Float]) =>
       if (v == null) null
       else {
-        val d = math.min(v.length, r.length)
+        // strict dimension contract: a truncated/padded projection would
+        // be exactly d-dim and slip past every downstream dim guard
+        require(v.length == r.length,
+          s"rotateVectors: vector of dim ${v.length} vs rotation dim ${r.length}")
         Array.tabulate(r.head.length) { c =>
           var acc = 0.0
           var i = 0
-          while (i < d) { acc += r(i)(c) * v(i); i += 1 }
+          while (i < r.length) { acc += r(i)(c) * v(i); i += 1 }
           acc.toFloat
         }.toSeq
       })

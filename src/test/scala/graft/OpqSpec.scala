@@ -75,6 +75,40 @@ class OpqSpec extends SparkSpec {
     spread(balanced) should be < spread(naive) / 2
   }
 
+  test("allocation is scale-invariant: uniformly scaled data trains the identical rotation") {
+    // scaling multiplies every eigenvalue by a constant = adds a
+    // constant to every log — the shift-invariant greedy must produce
+    // the same permutation, and eigenvectors are scale-free, so R is
+    // identical. (A load-only greedy silently flips to the naive
+    // slicing once eigenvalues cross 1.0 — this pins the regression.)
+    // x * 32 is EXACT in float32 (pure exponent shift), so the scaled
+    // covariance is bit-for-bit 1024x the original and Jacobi's
+    // ratio-driven rotations reproduce R exactly
+    val corpus = emb.filter(col("vec_id") >= 32)
+    val scaled = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(32.0f)).as("embedding"))
+    val r1 = SimilaritySearch.opqTrainRotation(corpus, "embedding", m = 16)
+    val r2 = SimilaritySearch.opqTrainRotation(scaled, "embedding", m = 16)
+    r1.zip(r2).foreach { case (row1, row2) =>
+      row1.zip(row2).foreach { case (a, b) => a shouldBe b +- 1e-6 }
+    }
+  }
+
+  test("ragged or mismatched dimensions raise instead of silently skewing") {
+    val mixed = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    an[Exception] should be thrownBy
+      SimilaritySearch.opqTrainRotation(mixed, "embedding", m = 2)
+    val r = SimilaritySearch.opqTrainRotation(
+      Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(4f, 3f, 2f, 1f)),
+        (3L, Seq(0f, 1f, 0f, 2f))).toDF("vec_id", "embedding"),
+      "embedding", m = 2)
+    an[Exception] should be thrownBy
+      SimilaritySearch.rotateVectors(
+        Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding"),
+        "embedding", r, "rvec").collect()
+  }
+
   test("the rotation buys ADC recall at the same code budget (deterministic A/B)") {
     val k = 5
     val queries = emb.filter(col("vec_id") < 20)
