@@ -40,6 +40,16 @@ object HeavyHitters {
   /** Tokens with `count * denom >= total_count`, exactly, as
     * (tok, cnt) sorted by (cnt desc, tok asc).
     *
+    * DETERMINISTIC-INPUT REQUIREMENT: `toks` is scanned TWICE (phase-1
+    * MG summaries, phase-2 exact counts) and only the small summary is
+    * persisted — the guarantees compose only if both scans see the same
+    * multiset. A nondeterministic input (df.sample without a seed,
+    * rand()-derived columns, a recomputed nondeterministic shuffle on a
+    * spot loss) silently voids both the candidate-superset guarantee
+    * and the total N. Persist (or write out and re-read) such an input
+    * before calling; deterministic scans — files, fixed filters, seeded
+    * sampling — need nothing.
+    *
     * @param toks  single string-column frame of token occurrences
     * @param denom relative support denominator: keep tokens with
     *              frequency ≥ 1/denom of the stream

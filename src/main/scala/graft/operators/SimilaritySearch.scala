@@ -93,7 +93,14 @@ object SimilaritySearch {
               cId: String, cVec: String): DataFrame = {
     require(k >= 1 && k <= candN, s"need 1 <= k=$k <= candN=$candN")
     val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    // duplicate corpus ids (e.g. the same chunk reaching a md5-keyed
+    // corpus twice) must collapse BEFORE candidate generation: the
+    // greedy loop tracks candidate indices, so two rows with one nid
+    // would fill two diversified slots with literal duplicates — the
+    // exact redundancy MMR exists to remove. Same-nid rows are
+    // same-content by the id contract, so any representative is right.
     val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
+      .dropDuplicates("nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid").asc)
     val cand = q.crossJoin(broadcast(c))
       .withColumn("rel", VectorOps.cosine(col("qvec"), col("nvec")))
@@ -145,8 +152,11 @@ object SimilaritySearch {
                     payloadCols: Seq[String] = Seq("document_id", "chunks"))
       : DataFrame = {
     // same null policy as mmrTopK: score/vector-less candidates cannot
-    // participate in the greedy trade-off
+    // participate in the greedy trade-off; same duplicate policy too —
+    // one (qid, nid) candidate row, so neither the greedy loop nor the
+    // payload join-back below can duplicate a pick
     val usable = cand.filter(col("score").isNotNull && col("nvec").isNotNull)
+      .dropDuplicates("qid", "nid")
     val sel = usable.groupBy(col("qid"))
       .agg(collect_list(struct(col("nid"), col("score"), col("nvec")))
         .as("cands"))
@@ -241,7 +251,9 @@ object SimilaritySearch {
     * any pair of search operators; queries the approximate path missed
     * entirely still appear, at recall 0 (left join from the exact side —
     * an ANN bug that drops whole queries must lower the score, not
-    * shrink the denominator).
+    * shrink the denominator). The divisor is min(k, the exact side's
+    * actual per-query row count), so a corpus smaller than k still
+    * reaches recall 1.0 when every exact hit is returned.
     *
     * Plan shape: one (qid, nid) equi-join + a qid-keyed count — both
     * sides are top-k results (≤ k rows per query), so cost scales with
@@ -253,15 +265,21 @@ object SimilaritySearch {
     // duplicates (e.g. a streaming-appended index searched with
     // dedupReplays off) — a duplicated true hit must count once, never
     // push recall past 1.0
-    val hits = exact.select(col(qId), col(nId)).distinct()
+    val exDist = exact.select(col(qId), col(nId)).distinct()
+    val hits = exDist
       .join(approx.select(col(qId), col(nId)).distinct(), Seq(qId, nId))
       .groupBy(col(qId)).agg(count(lit(1)).as("hits"))
-    exact.select(col(qId)).distinct()
+    // denominator = min(k, the exact side's ACTUAL per-query row count):
+    // a corpus smaller than k leaves the exact top-k short, and dividing
+    // by the nominal k would cap recall below a reachable 1.0 (an exact
+    // frame carrying MORE than k rows per query is a caller error the
+    // fixed-k divisor would silently inflate past 1.0 instead)
+    exDist.groupBy(col(qId)).agg(count(lit(1)).as("ex_n"))
       .join(hits, Seq(qId), "left")
       .select(col(qId),
         coalesce(col("hits"), lit(0L)).cast("int").as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") /
-          lit(k.toDouble)).as("recall"))
+          least(lit(k.toLong), col("ex_n")).cast("double")).as("recall"))
       .orderBy(col(qId))
   }
 

@@ -630,18 +630,26 @@ object CurationPipeline {
           b -> (weights.getOrElse(b, 0.0) - learningRate * g)
         }
       }
+      val wDf = weights.toSeq.toDF("b", "wt")
+      val scored0 = feats.join(broadcast(wDf), Seq("b"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("z"))
+        .withColumn("quality", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+        .select(col(idCol), col("quality"))
+      val scored = docs.select(col(idCol)).distinct()
+        .join(scored0, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("quality"), lit(0.5)).as("quality"))
+        // materialize the final pass WHILE feats is still cached —
+        // returning the lazy frame and unpersisting first would replay
+        // the explode + per-doc-window feature lineage from scratch at
+        // the caller's first action (the r11 bench's avoidable cost).
+        // persist-not-checkpoint keeps lineage for spot-loss recovery;
+        // blocks release via the ContextCleaner once unreferenced.
+        .persist()
+      scored.count()
+      (weights, scored)
     } finally feats.unpersist()
-    val wDf = weights.toSeq.toDF("b", "wt")
-    val scored0 = feats.join(broadcast(wDf), Seq("b"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("z"))
-      .withColumn("quality", lit(1.0) / (lit(1.0) + exp(-col("z"))))
-      .select(col(idCol), col("quality"))
-    val scored = docs.select(col(idCol)).distinct()
-      .join(scored0, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("quality"), lit(0.5)).as("quality"))
-    (weights, scored)
   }
 
   /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):

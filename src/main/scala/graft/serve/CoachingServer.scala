@@ -72,10 +72,28 @@ final class CoachingBroadcaster(queueCapacity: Int = 1024,
       else {
         droppedEvents.incrementAndGet()
         c.fullStreak += 1
-        if (c.fullStreak >= evictAfterFullPublishes) it.remove()
+        if (c.fullStreak >= evictAfterFullPublishes) {
+          it.remove()
+          // a slow-but-ALIVE client would otherwise keep its /events
+          // stream open receiving keepalive pings forever while no
+          // event ever arrives — looking connected, silently dead. The
+          // poison pill tells the transport handler to TERMINATE the
+          // stream so the client observes the disconnect and can
+          // re-subscribe. clear-then-put: the queue is full (that is
+          // why we are here), and its contents are already forfeit.
+          c.q.clear()
+          c.q.offer(CoachingBroadcaster.PoisonPill)
+        }
       }
     }
   }
+}
+
+object CoachingBroadcaster {
+  /** Eviction sentinel, compared by REFERENCE (`eq`) in the SSE
+    * handler — a user event that happens to carry the same characters
+    * is a different String instance and passes through untouched. */
+  private[serve] val PoisonPill: String = new String("__graft_evicted__")
 }
 
 final class CoachingServer(broadcaster: CoachingBroadcaster,
@@ -114,9 +132,15 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
           x.sendResponseHeaders(200, 0) // chunked: stream until close
           val out = x.getResponseBody
           var idlePolls = 0
-          while (true) {
+          var live = true
+          while (live) {
             val msg = q.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
-            if (msg != null) {
+            if (msg.asInstanceOf[AnyRef] eq
+                CoachingBroadcaster.PoisonPill) {
+              // evicted by the broadcaster: close the stream so the
+              // client observes the disconnect and can re-subscribe
+              live = false
+            } else if (msg != null) {
               // SSE frame; payloads are single-line JSON by contract
               out.write(s"data: $msg\n\n".getBytes("UTF-8"))
               out.flush()

@@ -108,12 +108,6 @@ object StreamingOps {
       }
   }
 
-  /** T6: offset management. Spark's consumer position IS the checkpoint:
-    * `startingOffsets` only applies to a fresh query, so the reference's
-    * offset-reset utility (app/scripts/kafka/reset_consumer_group.py:21-110
-    * — seek all partitions to the high watermark and commit) maps to
-    * deleting the checkpoint and restarting with startingOffsets=latest.
-    * Destructive by design, like the reset script. */
   /** Trending terms: per event-time window, token counts over the
     * message stream — the streaming face of the heavy-hitter family
     * (operators.HeavyHitters is the batch/exact form). Watermarked
@@ -139,6 +133,12 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** T6: offset management. Spark's consumer position IS the checkpoint:
+    * `startingOffsets` only applies to a fresh query, so the reference's
+    * offset-reset utility (app/scripts/kafka/reset_consumer_group.py:21-110
+    * — seek all partitions to the high watermark and commit) maps to
+    * deleting the checkpoint and restarting with startingOffsets=latest.
+    * Destructive by design, like the reset script. */
   def resetOffsets(checkpointDir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -148,23 +148,39 @@ object StreamingOps {
     if (d.exists()) rm(d)
   }
 
-  /** S4: continuous index maintenance — the Spark analog of the
-    * reference's MongoDB sink connector upserting the vector collection
-    * from the chunked-embeddings topic (main.tf:594-635). Each micro-batch
-    * of (document_id, chunks, embedding) rows is upserted into the store;
-    * replays (at-least-once) are idempotent because the store keys by
-    * (document_id, chunk hash). The per-batch collect is the sink's
-    * documented bound: this store targets broadcastable corpora. */
-  def upsertSink(indexStream: DataFrame, store: graft.store.InMemoryVectorStore)
+  /** S4, DEMO SCALE ONLY — prefer [[indexUpsertSink]], which appends to
+    * the persisted IVF-Flat index as a distributed partitioned write
+    * with no driver collect and no in-memory bound. This sink feeds the
+    * broadcastable [[graft.store.InMemoryVectorStore]] (the Spark analog
+    * of the reference's MongoDB sink connector, main.tf:594-635) and
+    * COLLECTS EVERY MICRO-BATCH TO THE DRIVER; replays (at-least-once)
+    * are idempotent because the store keys by (document_id, chunk hash).
+    * `maxRowsPerBatch` is the safety rail on that collect: a micro-batch
+    * past the budget RAISES with a pointer to the index sink instead of
+    * silently materializing it on the driver. */
+  def upsertSink(indexStream: DataFrame, store: graft.store.InMemoryVectorStore,
+                 maxRowsPerBatch: Long = 100000L)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     indexStream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .select(col("document_id"), col("chunks"), col("embedding"))
+          .limit(
+            // +1 so an over-budget batch is DETECTED without collecting
+            // all of it: the guard needs only "more than budget", never
+            // the full overflow on the driver
+            math.min(maxRowsPerBatch + 1, Int.MaxValue).toInt)
+          .collect()
+        if (rows.length > maxRowsPerBatch)
+          throw new IllegalStateException(
+            s"upsertSink: micro-batch exceeds maxRowsPerBatch=$maxRowsPerBatch " +
+              "— this sink collects each batch to the driver and targets " +
+              "broadcastable demo corpora; use StreamingOps.indexUpsertSink " +
+              "(distributed partitioned append, no driver collect) instead")
         store.upsertAll(
-          batch.select(col("document_id"), col("chunks"), col("embedding"))
-            .collect()
-            .map(r => (r.getString(0), r.getString(1),
-              r.getSeq[Float](2).toArray)))
+          rows.map(r => (r.getString(0), r.getString(1),
+            r.getSeq[Float](2).toArray)))
       }
 
   /** S4 at scale: continuous maintenance of the PERSISTED IVF-Flat

@@ -426,4 +426,20 @@ class RecallReportSpec extends SparkSpec {
     // q9 is not an exact-side query → absent; q1 got nothing right → 0
     rows shouldBe Seq((1L, 0, 0.0))
   }
+
+  test("a corpus smaller than k still reaches recall 1.0 — divisor is the actual exact count") {
+    // exact top-3 of a 2-row corpus has only 2 rows; returning both of
+    // them IS perfect recall, not 2/3
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    val rows = graft.operators.SimilaritySearch.recallAtK(exact, approx, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    rows shouldBe Seq((1L, 2, 1.0))
+    // full-size exact side: the divisor stays k
+    val exactFull = Seq((2L, 20L), (2L, 21L), (2L, 22L)).toDF("qid", "nid")
+    val approxOne = Seq((2L, 20L)).toDF("qid", "nid")
+    graft.operators.SimilaritySearch.recallAtK(exactFull, approxOne, k = 3)
+      .as[(Long, Int, Double)].collect().toSeq shouldBe
+      Seq((2L, 1, 1.0 / 3.0))
+  }
 }

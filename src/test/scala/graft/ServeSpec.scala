@@ -105,6 +105,49 @@ class SseServerSpec extends AnyFunSuite with Matchers {
       body shouldBe """{"clients":1}"""
     } finally server.stop()
   }
+
+  test("an evicted slow client's SSE stream terminates — not a silent keepalive zombie") {
+    // capacity 1, evict after 2 full publishes: a subscriber draining
+    // far slower than the publisher gets evicted AND its open /events
+    // stream must CLOSE so the client can observe the disconnect and
+    // re-subscribe (pre-fix it would receive keepalive pings forever)
+    val b = new CoachingBroadcaster(queueCapacity = 1,
+      evictAfterFullPublishes = 2)
+    val server = new CoachingServer(b)
+    val port = server.start()
+    try {
+      val closed = new java.util.concurrent.CountDownLatch(1)
+      val client = new Thread(() => {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/events")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(30000)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+        var line = in.readLine()
+        while (line != null) {
+          // slow consumer: 200 ms per frame while the publisher floods
+          if (line.startsWith("data: ")) Thread.sleep(200)
+          line = in.readLine()
+        }
+        closed.countDown() // readLine returned null: server closed us
+      })
+      client.setDaemon(true)
+      client.start()
+      val deadline = System.nanoTime() + 20e9.toLong
+      while (b.clientCount == 0 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      b.clientCount shouldBe 1
+      // large events: a couple unread ones block the handler's socket
+      // write, so the queue (cap 1) fills and the full-streak trips
+      val big = "x" * (256 * 1024)
+      while (b.clientCount > 0 && System.nanoTime() < deadline) {
+        b.publish(big); Thread.sleep(1)
+      }
+      b.clientCount shouldBe 0 // evicted
+      // ...and the transport noticed: the stream ends, not ping-forever
+      closed.await(20, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    } finally server.stop()
+  }
 }
 
 class ServePipelineSpec extends SparkSpec {

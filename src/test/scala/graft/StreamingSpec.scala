@@ -256,6 +256,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("upsertSink raises past its row budget instead of silently collecting the batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, String, Seq[Float])]
+    val store = new graft.store.InMemoryVectorStore
+    val query = StreamingOps.upsertSink(
+        input.toDF.toDF("document_id", "chunks", "embedding"), store,
+        maxRowsPerBatch = 2L)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      // within budget: upserts land
+      input.addData(("d1", "c1", Seq(1f, 0f)), ("d2", "c2", Seq(0f, 1f)))
+      query.processAllAvailable()
+      store.size shouldBe 2
+      // over budget: the sink must raise (pointing at indexUpsertSink),
+      // not materialize the batch on the driver
+      input.addData(("d3", "c3", Seq(1f, 1f)), ("d4", "c4", Seq(1f, 2f)),
+        ("d5", "c5", Seq(2f, 1f)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      ex.getMessage should include("indexUpsertSink")
+    } finally query.stop()
+  }
+
   test("streamed index upserts equal the batch build; replays mask, compact removes them") {
     import graft.operators.SimilaritySearch
     import graft.store.VectorStores

@@ -352,6 +352,31 @@ class MmrSpec extends SparkSpec {
     store.searchDiverse(Array(1f, 0f), 2, 0.5).map(_.document_id) shouldBe Seq("a")
   }
 
+  test("duplicate corpus rows with one nid fill at most one diversified slot") {
+    // the same chunk reaching a md5-keyed corpus twice (replayed
+    // append): without the dedup, both copies are separate candidates
+    // and the greedy loop picks the literal duplicate at rank 2
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Array(1f, 0.05f, 0f)), (10L, Array(1f, 0.05f, 0f)), // dup nid
+      (12L, Array(0.6f, 0.8f, 0f))).toDF("vec_id", "embedding")
+    val picks = graft.operators.SimilaritySearch
+      .mmrTopK(q, c, k = 2, lambda = 0.5, candN = 4,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    picks shouldBe Seq(10L, 12L)
+    // the re-rank form: duplicated candidate rows neither double-pick
+    // nor fan out the payload join-back
+    val cand = Seq(
+      (0L, "a", 0.9, Array(1f, 0.05f, 0f), "docA", "chunk a"),
+      (0L, "a", 0.9, Array(1f, 0.05f, 0f), "docA", "chunk a"), // replay
+      (0L, "b", 0.5, Array(0.6f, 0.8f, 0f), "docB", "chunk b"))
+      .toDF("qid", "nid", "score", "nvec", "document_id", "chunks")
+    val rr = graft.operators.SimilaritySearch.mmrRerankHits(cand, k = 2, 0.5)
+      .orderBy("rank").select("nid", "rank").as[(String, Int)].collect().toSeq
+    rr shouldBe Seq(("a", 1), ("b", 2))
+  }
+
   test("recallAtK counts replayed duplicate hits once — recall never exceeds 1") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "nid")
     // the single true hit appears twice (at-least-once replay artifact)
