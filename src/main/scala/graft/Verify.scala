@@ -9,6 +9,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Oracle sidecars: queries whose DuckDB oracle needs an
+    // engine-trained artifact (ann_opq_adc's rotation) export it to the
+    // FIXED path the static oracle SQL reads (/tmp/graft_oracle_sidecars)
+    // — but only under Verify, so a later Bench invocation at another
+    // scale factor cannot overwrite the artifact between this dump and
+    // the driver's DuckDB compare.
+    System.setProperty("graft.oracle.sidecars", "1")
     // A failed query must be LOUD: queries without an oracle are simply
     // absent from the driver's correctness report when they crash, so a
     // swallowed exception reads as "not checked" instead of "broken".
