@@ -1009,15 +1009,35 @@ object SimilaritySearch {
     * IO, exact float round-trip, no JSON fragility. The reference
     * analog is the Atlas vector index the coach pipeline searches
     * (terraform main.tf:594-635). */
+  /** @param rotation optional OPQ rotation ([[opqTrainRotation]]): when
+    *   set, corpus vectors are ROTATED before coarse assignment and PQ
+    *   encoding, and `centroids`/`codebooks` must already live in the
+    *   ROTATED space (train them on a [[rotateVectors]]-projected frame).
+    *   R is persisted as a `rotation` sidecar so [[searchIvfPqIndex]]
+    *   applies the identical projection to query batches — the OPQ
+    *   recall lift (OpqSpec's A/B) carried onto the serving path.
+    *   TRAIN R ON THE RESIDUALS, not the raw vectors: IVFADC quantizes
+    *   residuals, and since R·v − R·c = R·(v−c), rotating the full
+    *   vectors rotates the residuals identically — so the covariance
+    *   that matters is the residual distribution's
+    *   (`opqTrainRotation(ivfResiduals(corpus, cents), "rvec", m)`).
+    *   A raw-vector-trained R decorrelates the wrong space and can COST
+    *   recall (IvfPqIndexSpec pins the A/B: 0.31 → 0.36 residual-trained
+    *   vs 0.29 raw-trained on the test embeddings). */
   def writeIvfPqIndex(corpus: DataFrame, centroids: Seq[Seq[Float]],
                       codebooks: Seq[Seq[Seq[Float]]], path: String,
                       cId: String = "vec_id",
-                      cVec: String = "embedding"): Unit = {
+                      cVec: String = "embedding",
+                      rotation: Option[Seq[Seq[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    payloadWriter(ivfPqEncode(
-        corpus.select(col(cId).as("nid"), col(cVec).as("nvec")),
-        centroids, codebooks, "nvec")
+    val prepared = rotation match {
+      case Some(r) =>
+        rotateVectors(corpus, cVec, r, "__rvec")
+          .select(col(cId).as("nid"), col("__rvec").as("nvec"))
+      case None => corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
+    }
+    payloadWriter(ivfPqEncode(prepared, centroids, codebooks, "nvec")
       .select(col("nid"), col("cluster"), col("codes")))
       .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/codes")
@@ -1028,6 +1048,29 @@ object SimilaritySearch {
       book.zipWithIndex.map { case (v, c) => (j, c, v) }
     }.toDF("j", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    rotation.foreach { r =>
+      // column-major rows (c, w[d]): R(i)(c) = w(i) — the same layout
+      // the oracle sidecar uses; doubles round-trip parquet exactly
+      r.head.indices.map(c => (c, r.indices.map(i => r(i)(c))))
+        .toDF("c", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
+  }
+
+  /** The OPQ rotation sidecar of a persisted index, if one was written
+    * (bounded driver collect: d×d doubles). */
+  def readIvfPqRotation(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Option[Seq[Seq[Double]]] = {
+    val rotDir = new org.apache.hadoop.fs.Path(s"$path/rotation")
+    if (!rotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(rotDir)) None
+    else {
+      val cols = spark.read.parquet(s"$path/rotation")
+        .orderBy(col("c")).select(col("w")).collect()
+        .map(_.getSeq[Double](0))
+      val d = cols.length
+      Some(Seq.tabulate(d)(i => Seq.tabulate(d)(c => cols(c)(i))))
+    }
   }
 
   /** Load the sidecar artifacts of a persisted index (bounded driver
@@ -1056,12 +1099,21 @@ object SimilaritySearch {
                        qId: String = "vec_id", qVec: String = "embedding",
                        broadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val (cents, books) = readIvfPqIndexMeta(spark, path)
-    val probed = queries
+    // an OPQ-built index (rotation sidecar present) projects the query
+    // batch into the index's rotated space — one UDF pass over the
+    // query rows only; the corpus was rotated once at build time
+    val q = readIvfPqRotation(spark, path) match {
+      case Some(r) =>
+        rotateVectors(queries, qVec, r, "__rvec")
+          .select(col(qId), col("__rvec").as(qVec))
+      case None => queries
+    }
+    val probed = q
       .select(explode(probeClusters(col(qVec), cents, nProbe)).as("cluster"))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded by #cells
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cluster").isin(probed: _*))
-    ivfPqAdcTopK(queries, codes, cents, books, k, nProbe, qId, qVec,
+    ivfPqAdcTopK(q, codes, cents, books, k, nProbe, qId, qVec,
       cId = "nid", preEncoded = true, broadcastBytes = broadcastBytes)
   }
 
@@ -1356,6 +1408,57 @@ object SimilaritySearch {
     spark.read.parquet(s"$target/payload")
       .groupBy(col("cluster")).count()
       .coalesce(1).write.mode("overwrite").parquet(s"$target/cellstats")
+  }
+
+  /** Re-encode an IVF-Flat index onto NEW centroids — the migration
+    * path [[mergeIvfFlatIndexes]] rightly refuses (different centroid
+    * geometries), and the weekly lifecycle op a 100 TB index needs when
+    * cell balance drifts and centroids are re-trained: read the old
+    * payload, re-assign every row to its nearest NEW cell, and write
+    * the result as a fresh compacted index at `newPath`.
+    *
+    * Semantics: replayed duplicates collapse (nid-keyed, like
+    * compaction) and the OLD index's tombstones are APPLIED — a deleted
+    * row must not resurrect through a migration — so the migrated index
+    * carries no tombstones sidecar and equals a fresh
+    * [[writeIvfFlatIndex]] build over the old index's LIVE rows
+    * (IvfPqIndexSpec pins the search-parity).
+    *
+    * Plan shape: ONE distributed pass — partition-pruned-free full scan
+    * (a migration reads everything by definition), the nearest-centroid
+    * projection (k×dim literal, no join), a cluster-keyed repartition
+    * for the one-file-per-cell layout, and the partitioned write. The
+    * old index stays live and untouched throughout; `newPath == path`
+    * is refused (stage-then-swap inside one root is [[compactIvfFlatIndex]]'s
+    * job for same-geometry rewrites; a re-encode should land beside the
+    * live index and swap by pointer — the serving-store seam). */
+  def migrateIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, newCentroids: Seq[Seq[Float]],
+                          newPath: String): Unit = {
+    require(newPath != path,
+      "migrateIvfFlatIndex: newPath must differ from the live index " +
+        "(re-encode lands beside it; swap by pointer after validation)")
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val raw = spark.read.parquet(s"$path/payload")
+      .drop("cluster").dropDuplicates("nid")
+    val live =
+      if (tombDir.getFileSystem(hconf).exists(tombDir))
+        raw.join(
+          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+          Seq("nid"), "left_anti")
+      else raw
+    payloadWriter(ivfAssign(live, newCentroids, "nvec")
+        .repartition(col("cluster")))
+      .mode("overwrite").partitionBy("cluster")
+      .parquet(s"$newPath/payload")
+    newCentroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newPath/centroids")
+    spark.read.parquet(s"$newPath/payload")
+      .groupBy(col("cluster")).count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$newPath/cellstats")
   }
 
   /** The distinct coarse cells a query batch probes at depth `nProbe` —
