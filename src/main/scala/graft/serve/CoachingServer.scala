@@ -96,13 +96,76 @@ object CoachingBroadcaster {
   private[serve] val PoisonPill: String = new String("__graft_evicted__")
 }
 
+/** @param ingress message-ingress hook (the reference's
+  *   `POST /api/send-message` → send_to_kafka, api_routes.py:25-45):
+  *   called with the message text on a cache MISS; wire it to the
+  *   streaming chain's input (a topic append / MemoryStream add).
+  * @param cache the CSV response cache behind the CRUD routes
+  *   (reference cache_routes.py:16-103) and the send-message
+  *   cached-short-circuit.
+  * @param advice the keyword-trigger advice function (reference
+  *   `GET /api/coaching-advice`, api_routes.py:13-22). */
 final class CoachingServer(broadcaster: CoachingBroadcaster,
                            port: Int = 0,
-                           bindAddress: String = "127.0.0.1") {
+                           bindAddress: String = "127.0.0.1",
+                           ingress: Option[String => Unit] = None,
+                           cache: Option[CacheBackend] = None,
+                           advice: Option[String => Option[String]] = None) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+
+  // Spark ships Jackson; the serve layer reuses it for the route JSON
+  // (request bodies are tiny app-boundary payloads)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def respond(x: HttpExchange, code: Int, json: String): Unit = {
+    val body = json.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, body.length)
+    x.getResponseBody.write(body); x.close()
+  }
+
+  private def jsonField(body: String, field: String): Option[String] =
+    try {
+      val n = mapper.readTree(body)
+      Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+    } catch { case _: Exception => None }
+
+  private def queryParam(x: HttpExchange, name: String): Option[String] =
+    Option(x.getRequestURI.getQuery).flatMap(_.split('&').collectFirst {
+      case kv if kv.takeWhile(_ != '=') == name =>
+        java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+    })
+
+  private def toJson(v: Any): String = {
+    def cv(a: Any): Object = a match {
+      case m: Map[_, _] =>
+        val o = new java.util.LinkedHashMap[String, Object]()
+        m.foreach { case (k, x) => o.put(k.toString, cv(x)) }
+        o
+      case s: Seq[_] =>
+        val l = new java.util.ArrayList[Object]()
+        s.foreach(x => l.add(cv(x)))
+        l
+      case other => other.asInstanceOf[Object]
+    }
+    mapper.writeValueAsString(cv(v))
+  }
+
+  private def handler(f: HttpExchange => Unit): HttpHandler =
+    new HttpHandler {
+      override def handle(x: HttpExchange): Unit =
+        try f(x)
+        catch {
+          case e: Exception =>
+            try respond(x, 500,
+              toJson(Map("status" -> "error",
+                "message" -> String.valueOf(e.getMessage))))
+            catch { case _: Exception => x.close() }
+        }
+    }
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(): Int = {
@@ -121,6 +184,94 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
         x.getResponseHeaders.set("Content-Type", "application/json")
         x.sendResponseHeaders(200, body.length)
         x.getResponseBody.write(body); x.close()
+      }
+    })
+    // ---- app surface: message ingress (reference api_routes.py:25-45) —
+    // cache short-circuit first, then hand the miss to the streaming
+    // chain; the coached response arrives over /events like any other
+    server.createContext("/api/send-message", handler { x =>
+      if (x.getRequestMethod != "POST")
+        respond(x, 405, toJson(Map("status" -> "error",
+          "message" -> "POST only")))
+      else {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        jsonField(body, "message").map(_.trim).filter(_.nonEmpty) match {
+          case None =>
+            respond(x, 400, toJson(Map("status" -> "error",
+              "message" -> "Empty message")))
+          case Some(m) =>
+            cache.flatMap(_.lookup(m)) match {
+              case Some(row) =>
+                respond(x, 200, toJson(Map("status" -> "cached",
+                  "coaching_response" -> row.getOrElse("Response", ""),
+                  "full_data" -> row)))
+              case None => ingress match {
+                case Some(send) =>
+                  send(m)
+                  respond(x, 200, toJson(Map("status" -> "sent",
+                    "message" -> m)))
+                case None =>
+                  respond(x, 503, toJson(Map("status" -> "error",
+                    "message" -> "no ingress configured")))
+              }
+            }
+        }
+      }
+    })
+    // keyword-trigger advice (reference api_routes.py:13-22)
+    server.createContext("/api/coaching-advice", handler { x =>
+      val msg = queryParam(x, "message").getOrElse("")
+      advice.flatMap(_(msg)) match {
+        case Some(a) => respond(x, 200,
+          toJson(Map("has_advice" -> true, "advice" -> a)))
+        case None => respond(x, 200, toJson(Map("has_advice" -> false)))
+      }
+    })
+    // cached-questions list for the UI (reference api_routes.py:48-87:
+    // alphabetical, rows without question+response skipped — the
+    // CsvCache sanitize already drops those)
+    server.createContext("/api/cached-questions", handler { x =>
+      val rows = cache.map(_.list()).getOrElse(Seq.empty)
+      respond(x, 200, toJson(rows.map(r =>
+        Map("question" -> r.getOrElse("Message", "")) ++ r)))
+    })
+    // cache CRUD (reference cache_routes.py:16-103); deletes key on the
+    // Message (see CacheBackend.delete for the index→key delta)
+    server.createContext("/cached_responses", handler { x =>
+      (x.getRequestMethod, cache) match {
+        case (_, None) =>
+          respond(x, 503, toJson(Map("status" -> "error",
+            "message" -> "no cache configured")))
+        case ("GET", Some(c)) => respond(x, 200, toJson(c.list()))
+        case ("POST", Some(c)) =>
+          val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          (jsonField(body, "question"), jsonField(body, "response")) match {
+            case (Some(q), Some(r)) if q.nonEmpty && r.nonEmpty =>
+              c.add(q, r,
+                jsonField(body, "reasoning").getOrElse(""),
+                jsonField(body, "used_excerpts").getOrElse(""),
+                jsonField(body, "rag_sources").getOrElse(""))
+              respond(x, 200, toJson(Map("status" -> "success",
+                "question" -> q, "response" -> r)))
+            case _ =>
+              respond(x, 400, toJson(Map("status" -> "error",
+                "message" -> "Missing question or response in request body")))
+          }
+        case ("DELETE", Some(c)) =>
+          queryParam(x, "message") match {
+            case Some(m) if c.delete(m) =>
+              respond(x, 200, toJson(Map("status" -> "success",
+                "message" -> s"deleted: $m")))
+            case Some(m) =>
+              respond(x, 400, toJson(Map("status" -> "error",
+                "message" -> s"no cached row for: $m")))
+            case None =>
+              respond(x, 400, toJson(Map("status" -> "error",
+                "message" -> "message query parameter required")))
+          }
+        case _ =>
+          respond(x, 405, toJson(Map("status" -> "error",
+            "message" -> "GET/POST/DELETE only")))
       }
     })
     server.createContext("/events", new HttpHandler {

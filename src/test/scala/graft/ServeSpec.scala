@@ -213,3 +213,150 @@ class ServePipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 }
+
+/** The serve HTTP app surface (reference api_routes.py + cache_routes.py):
+  * message-ingress POST feeding the streaming chain, the cache CRUD
+  * routes over the SAME CsvCache directory the rag_cache_* queries use,
+  * and the keyword-advice endpoint — all over real loopback HTTP. */
+class ServeHttpSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def req(method: String, url: String, body: Option[String] = None)
+      : (Int, String) = {
+    val conn = new java.net.URL(url)
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setReadTimeout(20000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(b.getBytes("UTF-8"))
+    }
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    (code, new String(in.readAllBytes(), "UTF-8"))
+  }
+
+  test("cache CRUD routes round-trip through the CsvCache directory the queries read") {
+    val path = java.nio.file.Files.createTempDirectory("graft-http-cache")
+      .toString + "/cache"
+    val backend = new graft.serve.CsvCacheBackend(spark, path)
+    val server = new CoachingServer(new CoachingBroadcaster(),
+      cache = Some(backend))
+    val port = server.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // empty cache: list is empty, not an error
+      req("GET", s"$base/cached_responses") shouldBe (200, "[]")
+      // add two rows (the reference's POST /cached_responses)
+      val (c1, b1) = req("POST", s"$base/cached_responses", Some(
+        """{"question":"What about pricing?","response":"Lead with value.","reasoning":"r1"}"""))
+      c1 shouldBe 200
+      b1 should include(""""status":"success"""")
+      req("POST", s"$base/cached_responses", Some(
+        """{"question":"Any competitors?","response":"Differentiate."}"""))._1 shouldBe 200
+      // missing fields → 400, nothing written
+      req("POST", s"$base/cached_responses",
+        Some("""{"question":"orphan"}"""))._1 shouldBe 400
+      // list: alphabetical by question, both rows
+      val (_, listed) = req("GET", s"$base/cached_responses")
+      listed.indexOf("Any competitors?") should be < listed.indexOf("What about pricing?")
+      // the QUERY-side surface sees the same store (rag_cache_crud's table)
+      graft.io.CsvCache.read(spark, path).count() shouldBe 2L
+      // cached-questions view
+      val (_, qs) = req("GET", s"$base/api/cached-questions")
+      qs should include(""""question":"Any competitors?"""")
+      // send-message short-circuits on the cached question (F5 key rule:
+      // trimmed, case-insensitive)
+      val (_, hit) = req("POST", s"$base/api/send-message",
+        Some("""{"message":"  what about PRICING?  "}"""))
+      hit should include(""""status":"cached"""")
+      hit should include("Lead with value.")
+      // delete by message key; the table shrinks for the query side too
+      req("DELETE", s"$base/cached_responses?message=" +
+        java.net.URLEncoder.encode("What about pricing?", "UTF-8"))._1 shouldBe 200
+      graft.io.CsvCache.read(spark, path).count() shouldBe 1L
+      // deleting a missing row reports the error
+      req("DELETE", s"$base/cached_responses?message=nope")._1 shouldBe 400
+    } finally server.stop()
+  }
+
+  test("POST /api/send-message feeds the streaming chain; the coached response arrives over /events") {
+    implicit val ctx = spark.sqlContext
+    ModelRegistry.registerReferenceModels()
+    val embedder = new MockEmbedder(32)
+    val knowledge = Seq(
+      ("kb/pricing.md", "Pricing", "kb", "pricing objection handling guide"))
+      .toDF("document_id", "document_name", "document_category", "document_text")
+    val boot = new CoachingPipeline(embedder, new MockChat,
+      new BroadcastBruteForceStore(Array.empty))
+    val store = BroadcastBruteForceStore.fromDataFrame(boot.indexKnowledge(knowledge))
+    val pipeline = new CoachingPipeline(embedder, new MockChat, store)
+
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val coached = pipeline.coach(
+      StreamingOps.dedupWithTtl(
+        input.toDF.toDF("message", "speaker", "ts"), "message", "ts"))
+    val b = new CoachingBroadcaster()
+    val seq = new java.util.concurrent.atomic.AtomicLong(0)
+    val server = new CoachingServer(b,
+      ingress = Some(m => input.addData((m, "prospect",
+        new java.sql.Timestamp((100 + seq.incrementAndGet()) * 60000L)))))
+    val port = server.start()
+    val query = CoachingServer.pushSink(coached, b)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-http-e2e").toString)
+      .start()
+    try {
+      // SSE subscriber over real HTTP
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val client = new Thread(() => {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/events")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(30000)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+        var line = in.readLine()
+        while (line != null) {
+          if (line.startsWith("data: ")) received.offer(line.drop(6))
+          line = in.readLine()
+        }
+      })
+      client.setDaemon(true); client.start()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (b.clientCount == 0 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+
+      // the ingress POST: accepted, handed to the chain
+      val (code, resp) = req("POST", s"http://127.0.0.1:$port/api/send-message",
+        Some("""{"message":"what about the pricing"}"""))
+      code shouldBe 200
+      resp should include(""""status":"sent"""")
+      query.processAllAvailable()
+      val event = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      event should include("what about the pricing")
+      event should include("coaching_response")
+
+      // an empty message is rejected up front (the reference's 400)
+      req("POST", s"http://127.0.0.1:$port/api/send-message",
+        Some("""{"message":""}"""))._1 shouldBe 400
+    } finally { query.stop(); server.stop() }
+  }
+
+  test("coaching-advice endpoint answers from the advice function") {
+    val server = new CoachingServer(new CoachingBroadcaster(),
+      advice = Some(m =>
+        if (m.toLowerCase.contains("pricing")) Some("Lead with value.")
+        else None))
+    val port = server.start()
+    try {
+      val (_, yes) = req("GET", s"http://127.0.0.1:$port/api/coaching-advice?message=" +
+        java.net.URLEncoder.encode("pricing concerns", "UTF-8"))
+      yes should include(""""has_advice":true""")
+      yes should include("Lead with value.")
+      val (_, no) = req("GET",
+        s"http://127.0.0.1:$port/api/coaching-advice?message=hello")
+      no shouldBe """{"has_advice":false}"""
+    } finally server.stop()
+  }
+}
