@@ -50,7 +50,12 @@ object Bench {
     // timed batches ever exceeded it, the drop(progress0) alignment below
     // would silently discard timed batches from the per-stage stats
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
-    val sourceOptions = Map("maxFilesPerTrigger" -> "2")
+    // SPARK_GRAFT_BENCH_TRIGGER_FILES widens the micro-batch (one file
+    // = one producer wave) for batch-size amortization A/Bs — the
+    // per-trigger fixed cost (plan + probe + join setup) divides by the
+    // rows per trigger, which is the streaming_indexed scaling story
+    val sourceOptions = Map("maxFilesPerTrigger" ->
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIGGER_FILES", "2"))
     // indexed=true measures the SCALE serving path: retrieval as a
     // per-micro-batch partition-pruned join against the persisted
     // IVF-Flat index (streamStagesIndexed) instead of the broadcast
@@ -350,7 +355,8 @@ object Bench {
     // any multiple. StreamingSpec pins the bound; this records the
     // figures per round.
     val stateProbe =
-      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0"))
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0") ||
+          sys.env.get("SPARK_GRAFT_BENCH_STATE").contains("0"))
         ""","state_probe":null"""
       else try {
         val (in, maxR, finR, maxB, secs) =

@@ -193,7 +193,12 @@ final class CoachingPipeline(embedder: EmbeddingProvider, chat: ChatProvider,
     def entry(i: Int) = struct(
       try_element_at(col("hits"), lit(i))("document_id").as("document_id"),
       try_element_at(col("hits"), lit(i))("chunks").as("chunks"))
-    q.join(entries, q("__qid") === entries("qid"), "left")
+    // entries is ≤ one row per distinct message in the batch — always
+    // the broadcast side. Without the hint the per-micro-batch planner
+    // has no stats for this derived frame (topic-decoded batch →
+    // aggregate) and can fall back to a sort-merge join, paying two
+    // shuffles per TRIGGER in streaming serving.
+    q.join(broadcast(entries), q("__qid") === entries("qid"), "left")
       .select(col("message"), col("speaker"),
         array(entry(1), entry(2), entry(3)).as("rag_results"))
   }

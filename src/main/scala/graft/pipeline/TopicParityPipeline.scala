@@ -186,7 +186,22 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
           // (the indexed search has nothing to probe), mirroring
           // StreamingOps.indexUpsertSink
           if (!perBatch) store.append(batch, outTopic)
-          else if (!batch.isEmpty) store.append(encode(f(batch)), outTopic)
+          else {
+            // the per-batch transform references the batch frame more
+            // than once (query side, hit aggregation, join-back) and the
+            // empty-batch guard is an action of its own: unpersisted,
+            // EACH of them re-scans and re-decodes the topic segment —
+            // the r11 streaming_indexed book measured the retrieve
+            // stage's numInputRows at 3× the topic's rows. EAGER
+            // localCheckpoint materializes the decode exactly once and
+            // every action after it (the emptiness probe included) reads
+            // the checkpointed blocks; a lazy persist still
+            // double-decodes (cold scan branches race the cache
+            // population inside the one job). A micro-batch is bounded,
+            // so truncated lineage is safe here.
+            val b = batch.localCheckpoint(true)
+            if (!b.isEmpty) store.append(encode(f(b)), outTopic)
+          }
         }
         .option("checkpointLocation", s"$checkpointRoot/$name")
         .start()
