@@ -180,10 +180,87 @@ object Bench {
     }
   }
 
+  /** Synthetic documents table for superlinearity spot-checks ABOVE the
+    * generated sf dirs (r11 ask #7): deterministic word-hash text with
+    * the docsWithDups-style near-dup variants (one-in-five exact /
+    * truncated copies) and planted benchmark leaks (every 50th doc
+    * appends bench doc id%20's text) — the same shape the sf tables
+    * exercise, at any row count, derived from spark.range so the
+    * generator itself is O(n) and shuffle-free. */
+  def syntheticDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    val vocab = array((0 until 200).map(i => lit(s"word$i")): _*)
+    def textOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat_ws(" ",
+      transform(sequence(lit(1), lit(40)), i =>
+        element_at(vocab,
+          (pmod(xxhash64(id * 1000 + i), lit(200)) + 1).cast("int"))))
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 50 === 0,
+          concat(textOf(col("id")), lit(" "), textOf(col("id") % 20)))
+        .otherwise(textOf(col("id"))).as("text"))
+    def v(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
+      struct(id.as("doc_id"), text.as("text"))
+    val b = v(col("doc_id"), col("text"))
+    base.select(explode(
+        when(col("doc_id") % 5 === 0, array(b, v(col("doc_id") + n, col("text"))))
+          .when(col("doc_id") % 5 === 1, array(b, v(col("doc_id") + 2 * n,
+            expr("substring(text, 1, length(text) - 10)"))))
+          .otherwise(array(b))).as("v"))
+      .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"))
+  }
+
+  /** sec-vs-rows scaling probe for the two heaviest batch families
+    * (alt-star components, contamination report): run each at `base`
+    * and 10×`base` synthetic rows and report the observed log-log
+    * exponent — the guard against superlinear surprises the sf0.1 book
+    * cannot see. Invoked alone via SPARK_GRAFT_BENCH_SCALE=1. */
+  def scaleProbe(spark: SparkSession, base: Long): String = {
+    import graft.operators.Dedup
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val out = Seq(base, base * 10).map { n =>
+      val docs = syntheticDocs(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inRows = docs.count() // materialize: probe timings exclude gen
+      val (altSec, comps) = timed {
+        Dedup.connectedComponentsAltStar(
+          Dedup.minhashLshPairs(docs, "text", "doc_id",
+            shingleN = 3, bands = 4, rowsPerBand = 3)).count()
+      }
+      val (contSec, hits) = timed {
+        graft.pipeline.CurationPipeline.contaminationReport(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "text", "doc_id", k = 8, w = 4).count()
+      }
+      docs.unpersist()
+      (inRows, altSec, comps, contSec, hits)
+    }
+    def exp(a: Double, b: Double): Double =
+      math.log(b / a) / math.log(out(1)._1.toDouble / out(0)._1)
+    val rows = out.map { case (n, a, ac, c, cc) =>
+      s"""{"rows":$n,"altstar_sec":$a,"altstar_rows":$ac,""" +
+        s""""contamination_sec":$c,"contamination_rows":$cc}"""
+    }.mkString("[", ",", "]")
+    s"""{"metric":"scale_probe","points":$rows,""" +
+      s""""altstar_exponent":${exp(out(0)._2, out(1)._2)},""" +
+      s""""contamination_exponent":${exp(out(0)._4, out(1)._4)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
+    if (sys.env.get("SPARK_GRAFT_BENCH_SCALE").contains("1")) {
+      // one-off superlinearity probe: warm both plan shapes at a small
+      // size first (codegen/JIT), then the timed 1× / 10× pair
+      scaleProbe(spark, 500)
+      println(scaleProbe(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BASE", "5000").toLong))
+      spark.stop()
+      return
+    }
     // bench the PRODUCTION q16 plan (bounded sketch per group), not the
     // test-scale adjudication harness whose exact percentile() aggregates
     // buffer every value per group — Verify leaves this unset, so the
