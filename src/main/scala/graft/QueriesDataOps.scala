@@ -2265,6 +2265,212 @@ object QueriesDataOps {
                    ORDER BY s ASC, nid ASC) AS rank
                  FROM score)
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_bm25_topk", (s, dir) => {
+      // Okapi BM25 top-5 (Lucene-default idf form) — the SPARSE half of
+      // a hybrid RAG stack as an inverted-index equi-join: postings
+      // groupBy, vocabulary-keyed idf join, query-term match on `term`,
+      // (qid, nid) partial-agg sum, per-query window. No pairwise doc
+      // scan anywhere. k1/b arithmetic written identically in the
+      // oracle ((1.2 + 1.0), (1.0 - 0.75)) so the doubles are
+      // IEEE-identical; score rounded to 6 (sum-order convention).
+      val docs = T(s, dir, "documents")
+      graft.operators.Lexical.bm25TopK(
+          docs.filter(col("doc_id") < 8), docs.filter(col("doc_id") >= 20),
+          k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH corp AS (SELECT doc_id AS nid, text FROM documents
+                    WHERE doc_id >= 20),
+      qs AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 8),
+      post AS (SELECT nid, t AS term, count(*) AS tf FROM (
+                 SELECT nid, unnest(regexp_extract_all(lower(text),
+                   '[a-z0-9]+')) AS t FROM corp)
+               GROUP BY nid, t),
+      dls AS (SELECT nid, sum(tf) AS dl FROM post GROUP BY nid),
+      stats AS (SELECT count(*) AS n_docs,
+                       avg(coalesce(dl, 0)) AS avgdl
+                FROM corp LEFT JOIN dls USING (nid)),
+      idf AS (SELECT term,
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                     avgdl
+              FROM (SELECT term, count(DISTINCT nid) AS df FROM post
+                    GROUP BY term)
+              CROSS JOIN stats),
+      qt AS (SELECT DISTINCT qid, t AS term FROM (
+               SELECT qid, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS t FROM qs)),
+      contrib AS (SELECT qt.qid, post.nid,
+                         idf.idf * (post.tf * (1.2 + 1.0)) /
+                           (post.tf + 1.2 * ((1.0 - 0.75) +
+                             0.75 * CAST(dls.dl AS DOUBLE) / idf.avgdl))
+                           AS c
+                  FROM post JOIN qt USING (term) JOIN idf USING (term)
+                  JOIN dls USING (nid)),
+      sc AS (SELECT qid, nid, round(sum(c), 6) AS score
+             FROM contrib GROUP BY qid, nid),
+      ranked AS (SELECT qid, nid, score, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+                 FROM sc)
+      SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_hybrid_rrf", (s, dir) => {
+      // hybrid dense+sparse retrieval fused by reciprocal-rank fusion
+      // (Cormack SIGIR'09, the production-default fusion): cosine
+      // top-10 over embeddings ∪ BM25 top-10 over documents, fused by
+      // Σ 1/(60 + rank) (rank-based — no score calibration), top-5 per
+      // query. The two rankers legitimately see different corpora
+      // (vector store vs text store); fusion is a full-outer join of
+      // two ≤10-row-per-query frames + one window — query-count cost.
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val dense = VectorOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        10, "qid", "qvec", "nid", "nvec")
+      val sparse = graft.operators.Lexical.bm25TopK(
+        docs.filter(col("doc_id") < 8), docs.filter(col("doc_id") >= 20),
+        k = 10)
+      graft.operators.Lexical.rrfFuseTopK(dense, sparse, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH dsim AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                           list_cosine_similarity(q.embedding::DOUBLE[],
+                             c.embedding::DOUBLE[]) AS sim
+                    FROM embeddings q CROSS JOIN embeddings c
+                    WHERE q.vec_id < 8 AND c.vec_id >= 20),
+      dense AS (SELECT qid, nid, rank FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, nid ASC) AS rank FROM dsim)
+                WHERE rank <= 10),
+      corp AS (SELECT doc_id AS nid, text FROM documents
+               WHERE doc_id >= 20),
+      qs AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 8),
+      post AS (SELECT nid, t AS term, count(*) AS tf FROM (
+                 SELECT nid, unnest(regexp_extract_all(lower(text),
+                   '[a-z0-9]+')) AS t FROM corp)
+               GROUP BY nid, t),
+      dls AS (SELECT nid, sum(tf) AS dl FROM post GROUP BY nid),
+      stats AS (SELECT count(*) AS n_docs,
+                       avg(coalesce(dl, 0)) AS avgdl
+                FROM corp LEFT JOIN dls USING (nid)),
+      idf AS (SELECT term,
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                     avgdl
+              FROM (SELECT term, count(DISTINCT nid) AS df FROM post
+                    GROUP BY term)
+              CROSS JOIN stats),
+      qt AS (SELECT DISTINCT qid, t AS term FROM (
+               SELECT qid, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS t FROM qs)),
+      contrib AS (SELECT qt.qid, post.nid,
+                         idf.idf * (post.tf * (1.2 + 1.0)) /
+                           (post.tf + 1.2 * ((1.0 - 0.75) +
+                             0.75 * CAST(dls.dl AS DOUBLE) / idf.avgdl))
+                           AS c
+                  FROM post JOIN qt USING (term) JOIN idf USING (term)
+                  JOIN dls USING (nid)),
+      sc AS (SELECT qid, nid, round(sum(c), 6) AS score
+             FROM contrib GROUP BY qid, nid),
+      sparse AS (SELECT qid, nid, rank FROM (
+                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, nid ASC) AS rank FROM sc)
+                 WHERE rank <= 10),
+      fused AS (SELECT coalesce(d.qid, s.qid) AS qid,
+                       coalesce(d.nid, s.nid) AS nid,
+                       round(coalesce(1.0 / (60 + d.rank), 0.0) +
+                             coalesce(1.0 / (60 + s.rank), 0.0), 6) AS rrf
+                FROM dense d FULL OUTER JOIN sparse s
+                  ON d.qid = s.qid AND d.nid = s.nid),
+      ranked AS (SELECT qid, nid, rrf, row_number() OVER (
+                   PARTITION BY qid ORDER BY rrf DESC, nid ASC) AS rank
+                 FROM fused)
+      SELECT qid, nid, CAST(rank AS INT) AS rank, rrf FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_hamming_topk", (s, dir) => {
+      // two-stage binary-sign search (Charikar'02 1-bit quantization):
+      // Hamming distance over sign bits prunes to 32 candidates per
+      // query, exact cosine re-ranks to top-5 — the 32×-compression
+      // scan shape. Integer Hamming counts, deterministic ties on both
+      // stages: exact SQL oracle.
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.signHammingTopK(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 20),
+          k = 5, candN = 32)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH h AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                        q.embedding AS qe, c.embedding AS ce,
+                        list_sum(list_transform(
+                          generate_series(1, len(q.embedding)), i ->
+                          CASE WHEN (q.embedding[i] > 0) <>
+                                    (c.embedding[i] > 0)
+                               THEN 1 ELSE 0 END)) AS hamming
+                 FROM embeddings q CROSS JOIN embeddings c
+                 WHERE q.vec_id < 8 AND c.vec_id >= 20),
+      cand AS (SELECT qid, nid, qe, ce, hamming FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY hamming ASC, nid ASC) AS hrank FROM h)
+               WHERE hrank <= 32),
+      ranked AS (SELECT qid, nid, hamming, row_number() OVER (
+                   PARTITION BY qid ORDER BY
+                     list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[])
+                       DESC, nid ASC) AS rank
+                 FROM cand)
+      SELECT qid, nid, CAST(rank AS INT) AS rank,
+             CAST(hamming AS INT) AS hamming
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_jl_topk", (s, dir) => {
+      // random-projection (JL) dimensionality reduction: 64 → 16 dims
+      // via dot products against 16 data-derived planes (first rows,
+      // the lsh-planes convention), then exact cosine top-5 in the
+      // REDUCED space — the p/d-cost brute-force path; recall vs the
+      // full-dimension scan is pinned in AnnRecallSpec. Projection is
+      // double accumulation in index order cast to float, replayed
+      // identically by the oracle.
+      val emb = T(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq // bounded: 16 × 64 floats
+      def proj(df: DataFrame) =
+        SimilaritySearch.projectVectors(df, "embedding", planes, "pvec")
+          .select(col("vec_id"), col("pvec"))
+      VectorOps.bruteForceTopK(
+          proj(emb.filter(col("vec_id") < 8))
+            .select(col("vec_id").as("qid"), col("pvec").as("qvec")),
+          proj(emb.filter(col("vec_id") >= 20))
+            .select(col("vec_id").as("nid"), col("pvec").as("nvec")),
+          5, "qid", "qvec", "nid", "nvec")
+        .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH planes AS (SELECT vec_id AS pid, embedding AS pvec
+                      FROM embeddings WHERE vec_id < 16),
+      base AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < 8 OR vec_id >= 20),
+      pi AS (SELECT b.vec_id, p.pid,
+                    CAST(list_sum(list_transform(
+                      generate_series(1, len(b.embedding)), i ->
+                      CAST(b.embedding[i] AS DOUBLE) *
+                      CAST(p.pvec[i] AS DOUBLE))) AS REAL) AS x
+             FROM base b CROSS JOIN planes p),
+      pv AS (SELECT vec_id, list(x ORDER BY pid) AS pvec
+             FROM pi GROUP BY vec_id),
+      sims AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                      list_cosine_similarity(q.pvec::DOUBLE[],
+                        c.pvec::DOUBLE[]) AS sim
+               FROM pv q CROSS JOIN pv c
+               WHERE q.vec_id < 8 AND c.vec_id >= 20),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, nid ASC) AS rank
+                 FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
   )
 

@@ -59,6 +59,7 @@ object SparkEntry {
     "ann_recall_report", "ann_pq_adc", "ann_pq_train",
     "ann_opq_adc", "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank",
     "ann_ivfpq_index",
+    "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",

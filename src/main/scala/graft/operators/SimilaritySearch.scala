@@ -646,6 +646,63 @@ object SimilaritySearch {
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
   }
 
+  /** Two-stage binary-sign search (the 1-bit quantization regime of
+    * Charikar STOC'02 SRP, stored-corpus form): stage 1 ranks by
+    * HAMMING DISTANCE between sign bit-vectors (bit i = vec[i] > 0) and
+    * keeps `candN` candidates per query; stage 2 exactly re-ranks the
+    * survivors by cosine. This is the 32×-compression scan shape — at
+    * 10¹¹ vectors the packed sign bits (d/8 bytes/vector) are the only
+    * thing the stage-1 scan touches, and the float vectors are read for
+    * candN rows per query only. Here the bit comparison runs unpacked
+    * (one zip_with+aggregate of d int compares, codegen'd); packing to
+    * LongType words is a storage-layer optimization with identical
+    * semantics.
+    *
+    * Exact-SQL oracle convention: integer Hamming counts (no float
+    * ambiguity), ties (hamming, then nid) and the rerank's
+    * (cosine desc, nid) both deterministic. Null/zero-norm vectors are
+    * excluded at rerank by the cosine-null filter. */
+  def signHammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      candN: Int,
+                      qId: String = "vec_id", qVec: String = "embedding",
+                      cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && k <= candN, s"need 1 <= k=$k <= candN=$candN")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"))
+    val hamming = aggregate(
+      zip_with(col("qvec"), col("nvec"), (a, b) =>
+        when((a > 0) =!= (b > 0), 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("nid").asc)
+    val cand = q.crossJoin(broadcast(c))
+      .withColumn("hamming", hamming)
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= candN)
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    cand.withColumn("sim", VectorOps.cosine(col("qvec"), col("nvec")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Johnson–Lindenstrauss-style random projection: vec → the `planes`
+    * dot products (double accumulation in index order — the repo's
+    * portable-arithmetic convention — cast to float). With p ≪ d planes
+    * this is the dimensionality-reduction path that makes a 100 TB
+    * brute-force pass p/d of the cost at a bounded distance distortion
+    * (JL lemma); recall vs full-dimension search is pinned in
+    * AnnRecallSpec. Planes ride as literals into ONE codegen'd
+    * projection — no shuffle, no UDF. */
+  def projectVectors(df: DataFrame, vecCol: String,
+                     planes: Seq[Seq[Float]], outCol: String): DataFrame =
+    df.withColumn(outCol, array(planes.map(p =>
+      VectorOps.dotD(col(vecCol), typedLit(p)).cast("float")): _*))
+
   /** OPQ-lite rotation training (the parametric "OPQ-P" baseline of Ge,
     * He, Ke & Sun, "Optimized Product Quantization", CVPR 2013 §4 —
     * PCA followed by EIGENVALUE-BALANCED allocation of principal

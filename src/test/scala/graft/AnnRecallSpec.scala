@@ -68,6 +68,36 @@ class AnnRecallSpec extends SparkSpec {
     single8 should be <= single4
   }
 
+  test("sign-Hamming two-stage search: recall floor at candN=32, exact at candN=corpus") {
+    // 1-bit signatures are crude; the exact rerank recovers quality —
+    // recall grows with candN and candN ≥ corpus degenerates to exact
+    val r32 = recallAt(SimilaritySearch.signHammingTopK(
+      queries, corpus, k, candN = 32))
+    val rAll = recallAt(SimilaritySearch.signHammingTopK(
+      queries, corpus, k, candN = 100000))
+    info(f"sign-Hamming recall@5: candN=32 $r32%.3f, candN=corpus $rAll%.3f")
+    r32 should be >= 0.5
+    rAll shouldBe 1.0 +- 1e-9 // full shortlist IS exact search
+    r32 should be <= rAll
+  }
+
+  test("JL random projection (64→16): recall floor, and more planes never hurt on average") {
+    def jlRecall(p: Int): Double = {
+      val planes = planes32.take(p)
+      def proj(df: DataFrame) =
+        SimilaritySearch.projectVectors(df, "embedding", planes, "pvec")
+          .select(col("vec_id"), col("pvec"))
+      recallAt(VectorOps.bruteForceTopK(
+        proj(queries).select(col("vec_id").as("qid"), col("pvec").as("qvec")),
+        proj(corpus).select(col("vec_id").as("nid"), col("pvec").as("nvec")),
+        k, "qid", "qvec", "nid", "nvec"))
+    }
+    val (r16, r32) = (jlRecall(16), jlRecall(32))
+    info(f"JL recall@5: 16 planes $r16%.3f, 32 planes $r32%.3f")
+    r16 should be >= 0.3 // 4× cheaper scan keeps a usable floor
+    r32 should be >= r16 - 0.05 // distortion shrinks with dimensions
+  }
+
   test("sample-train → full-assign keeps the recall floor (the 100 TB recipe)") {
     // train on a 1-in-3 deterministic sample, search the FULL corpus with
     // the trained centroids — recall must hold even though Lloyd never
