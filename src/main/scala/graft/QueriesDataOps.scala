@@ -725,6 +725,23 @@ object QueriesDataOps {
           ELSE '00000000000000000000000000000000' END
       ORDER BY doc_id""")),
 
+    ("curate_sample_k", (s, dir) => {
+      // EXACT-k per-stratum sample: the fixed-size eval-subset draw a
+      // fraction sampler cannot give — exactly min(k, |stratum|) rows
+      // per source, chosen by md5(id) order (deterministic across
+      // runs/engines/partitionings, uniform for hash-random ids). One
+      // stratum-keyed window shuffle, top-k state per stratum.
+      graft.pipeline.CurationPipeline.sampleKPerStratum(
+          T(s, dir, "documents"), "source", "doc_id", k = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY doc_id""")),
+
     ("curate_best_per_source", (s, dir) => {
       // per-domain selection: top-5 documents by quality within each
       // source — hash-partitioned window on the group key (the q07
@@ -2470,6 +2487,142 @@ object QueriesDataOps {
       ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
                    ORDER BY sim DESC, nid ASC) AS rank
                  FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_matryoshka_topk", (s, dir) => {
+      // two-stage matryoshka search (Kusupati NeurIPS'22 MRL serving):
+      // cosine over the FIRST 16 dims prunes to 32 candidates (no
+      // projection arithmetic — the prefix is a slice, so stage 1 reads
+      // 1/4 of the vector bytes), exact full-dim cosine re-ranks to
+      // top-5. Deterministic ties both stages; exact SQL oracle.
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.matryoshkaTopK(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 20),
+          k = 5, candN = 32, prefixDims = 16)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH pre AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          q.embedding AS qe, c.embedding AS ce,
+                          list_cosine_similarity(
+                            q.embedding[1:16]::DOUBLE[],
+                            c.embedding[1:16]::DOUBLE[]) AS psim
+                   FROM embeddings q CROSS JOIN embeddings c
+                   WHERE q.vec_id < 8 AND c.vec_id >= 20),
+      cand AS (SELECT qid, nid, qe, ce FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY psim DESC, nid ASC) AS pr FROM pre)
+               WHERE pr <= 32),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qe::DOUBLE[],
+                     ce::DOUBLE[]) DESC, nid ASC) AS rank
+                 FROM cand)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_ivfpq_opq_index", (s, dir) => {
+      // the FULL scale stack in one hash-checked row: OPQ rotation
+      // (trained on the residual distribution — the IvfPqIndexSpec
+      // lesson) + persisted IVFADC index (rotation sidecar, corpus
+      // rotated at build) + partition-pruned search with automatic
+      // query projection. The trained R is exported for the oracle
+      // (Verify gate, the ann_opq_adc convention) and DuckDB replays
+      // rotate → assign → residual → encode → probe → ADC end to end.
+      val emb = T(s, dir, "embeddings")
+      val rawCents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val corpusRaw = emb.filter(col("vec_id") >= 36)
+      val r = SimilaritySearch.opqTrainRotation(
+        SimilaritySearch.ivfResiduals(corpusRaw, rawCents)
+          .select(col("vec_id"), col("rvec")),
+        "rvec", m = 16)
+      if (sys.props.get("graft.oracle.sidecars").contains("1")) {
+        import s.implicits._
+        r.head.indices.map(c => (c, r.indices.map(i => r(i)(c))))
+          .toDF("c", "w")
+          .coalesce(1).write.mode("overwrite")
+          .parquet("/tmp/graft_oracle_sidecars/opq_ivf_rotation")
+      }
+      def rot(df: org.apache.spark.sql.DataFrame) =
+        SimilaritySearch.rotateVectors(df, "embedding", r, "rv")
+          .select(col("vec_id"), col("rv").as("embedding"))
+      val rCents = rot(emb.filter(col("vec_id") < 4)).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val cbRows = SimilaritySearch.ivfResiduals(
+          rot(emb.filter(col("vec_id") >= 4 && col("vec_id") < 36)), rCents)
+        .orderBy(col("vec_id")).select(col("rvec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val books = (0 until 16).map(j => cbRows.map(_.slice(j * 4, j * 4 + 4)))
+      val path = graft.core.TempRoots.buildOnce(
+        s"ivfpqopq-${dir.replaceAll("[^0-9a-zA-Z]", "")}") { p =>
+        SimilaritySearch.writeIvfPqIndex(corpusRaw, rCents, books, p,
+          rotation = Some(r))
+      }
+      SimilaritySearch.searchIvfPqIndex(s, path,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH rot AS (SELECT c, w FROM
+             read_parquet('/tmp/graft_oracle_sidecars/opq_ivf_rotation/*.parquet')),
+      rveci AS (SELECT e.vec_id, r.c,
+                       CAST(list_sum(list_transform(
+                         generate_series(1, len(e.embedding)),
+                         i -> r.w[i] * CAST(e.embedding[i] AS DOUBLE)))
+                         AS REAL) AS x
+                FROM embeddings e CROSS JOIN rot r),
+      rv AS (SELECT vec_id, list(x ORDER BY c) AS embedding
+             FROM rveci GROUP BY vec_id),
+      cents AS (SELECT vec_id AS cid, embedding AS cvec FROM rv
+                WHERE vec_id < 4),
+      scored AS (SELECT v.vec_id, v.embedding, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                            c.cvec::DOUBLE[]) DESC, c.cid DESC) AS r
+                 FROM rv v CROSS JOIN cents c),
+      resid AS (SELECT s.vec_id, s.cid AS cluster,
+                       list_transform(generate_series(1, len(s.embedding)),
+                         i -> CAST(CAST(s.embedding[i] AS DOUBLE) -
+                              CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rvec
+                FROM scored s JOIN cents c ON c.cid = s.cid WHERE s.r = 1),
+      js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      cb AS (SELECT j, vec_id - 4 AS c, rvec[j*4+1 : j*4+4] AS cvec
+             FROM resid CROSS JOIN js WHERE vec_id >= 4 AND vec_id < 36),
+      csub AS (SELECT vec_id AS nid, cluster, j, rvec[j*4+1 : j*4+4] AS sub
+               FROM resid CROSS JOIN js WHERE vec_id >= 36),
+      cdist AS (SELECT nid, cluster, csub.j, cb.c,
+                       list_sum(list_transform(generate_series(1, 4), i ->
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+                         (CAST(sub[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))))
+                         AS d
+                FROM csub JOIN cb ON cb.j = csub.j),
+      codes AS (SELECT nid, cluster, j, c FROM (
+                  SELECT nid, cluster, j, c, row_number() OVER (
+                    PARTITION BY nid, j ORDER BY d ASC, c ASC) AS r
+                  FROM cdist) WHERE r = 1),
+      probes AS (SELECT s.vec_id AS qid, s.embedding AS qvec,
+                        s.cid AS cluster
+                 FROM scored s WHERE s.r <= 2 AND s.vec_id < 5),
+      qres AS (SELECT p.qid, p.cluster,
+                      list_transform(generate_series(1, len(p.qvec)), i ->
+                        CAST(CAST(p.qvec[i] AS DOUBLE) -
+                             CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rq
+               FROM probes p JOIN cents c ON c.cid = p.cluster),
+      qd AS (SELECT qid, qres.cluster, cb.j, cb.c,
+                    list_sum(list_transform(generate_series(1, 4), i ->
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)) *
+                      (CAST(rq[cb.j*4+i] AS DOUBLE) -
+                        CAST(cvec[i] AS DOUBLE)))) AS d
+             FROM qres CROSS JOIN cb),
+      score AS (SELECT qd.qid, codes.nid, round(sum(qd.d), 6) AS s
+                FROM codes JOIN qd ON qd.cluster = codes.cluster
+                  AND qd.j = codes.j AND qd.c = codes.c
+                GROUP BY qd.qid, codes.nid),
+      ranked AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY s ASC, nid ASC) AS rank
+                 FROM score)
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank"""))
   )

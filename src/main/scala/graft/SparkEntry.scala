@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_opq_adc", "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank",
     "ann_ivfpq_index",
     "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
+    "ann_matryoshka_topk", "ann_ivfpq_opq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
@@ -67,7 +68,7 @@ object SparkEntry {
     "text_bpe_pairs", "text_bpe_train", "text_bpe_tokenize",
     "text_heavy_hitters",
     "dedup_clusters_altstar",
-    "curate_sample", "curate_decontaminate", "curate_decontaminate_fuzzy",
+    "curate_sample", "curate_sample_k", "curate_decontaminate", "curate_decontaminate_fuzzy",
     "curate_contamination_report", "curate_boilerplate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix", "curate_temperature_mix",
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",

@@ -690,6 +690,45 @@ object SimilaritySearch {
         col("hamming").cast("int").as("hamming"))
   }
 
+  /** Two-stage MATRYOSHKA search (Kusupati et al. NeurIPS'22 MRL
+    * serving shape): stage 1 ranks by cosine over the first
+    * `prefixDims` dimensions only — an MRL-trained embedding
+    * front-loads information, so the prefix is itself a usable
+    * embedding at prefixDims/d of the scan cost — keeping `candN`
+    * candidates; stage 2 exactly re-ranks the survivors in full
+    * dimension. Unlike [[projectVectors]] there is no projection
+    * arithmetic at all: the prefix is `slice`, so a column store reads
+    * prefixDims/d of the vector bytes in stage 1 and full vectors for
+    * candN rows per query only. candN ≥ corpus degenerates to exact
+    * search (the control AnnRecallSpec pins). Deterministic ties both
+    * stages; exact SQL oracle. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     candN: Int, prefixDims: Int,
+                     qId: String = "vec_id", qVec: String = "embedding",
+                     cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && k <= candN, s"need 1 <= k=$k <= candN=$candN")
+    require(prefixDims >= 1, s"invalid prefixDims=$prefixDims")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      slice(col(qVec), 1, prefixDims).as("qpre"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"),
+      slice(col(cVec), 1, prefixDims).as("npre"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("nid").asc)
+    val cand = q.crossJoin(broadcast(c))
+      .withColumn("psim", VectorOps.cosine(col("qpre"), col("npre")))
+      .filter(col("psim").isNotNull)
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= candN)
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    cand.withColumn("sim", VectorOps.cosine(col("qvec"), col("nvec")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
+  }
+
   /** Johnson–Lindenstrauss-style random projection: vec → the `planes`
     * dot products (double accumulation in index order — the repo's
     * portable-arithmetic convention — cast to float). With p ≪ d planes

@@ -231,6 +231,24 @@ object CurationPipeline {
     * training mixes and an exact SQL oracle. Strata absent from
     * `fractions` are dropped (mixing weights are an allowlist).
     * Per-row filter, zero shuffle. */
+  /** EXACT-k per-stratum sample — the fixed-size eval-subset draw a
+    * fraction-based sample ([[stratifiedSample]]) cannot give: for each
+    * stratum keep exactly min(k, stratum size) rows, chosen by
+    * md5(id)-order (deterministic across runs/engines/partitionings,
+    * uniform for hash-random ids — the same engine-portable-randomness
+    * convention as the fraction sampler). One stratum-keyed window
+    * shuffle; per-stratum state is the window's top-k, never the
+    * stratum. Ties on the (astronomically unlikely) equal digest break
+    * on the id itself. */
+  def sampleKPerStratum(docs: DataFrame, strataCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"invalid k=$k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
                        fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),

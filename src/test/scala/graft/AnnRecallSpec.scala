@@ -81,6 +81,16 @@ class AnnRecallSpec extends SparkSpec {
     r32 should be <= rAll
   }
 
+  test("matryoshka prefix search: recall floor at 16/64 dims, full shortlist IS exact") {
+    val r32 = recallAt(SimilaritySearch.matryoshkaTopK(
+      queries, corpus, k, candN = 32, prefixDims = 16))
+    val rAll = recallAt(SimilaritySearch.matryoshkaTopK(
+      queries, corpus, k, candN = 100000, prefixDims = 16))
+    info(f"matryoshka recall@5 (16 of 64 dims): candN=32 $r32%.3f, candN=corpus $rAll%.3f")
+    r32 should be >= 0.5
+    rAll shouldBe 1.0 +- 1e-9 // exact full-dim re-rank of everything
+  }
+
   test("JL random projection (64→16): recall floor, and more planes never hurt on average") {
     def jlRecall(p: Int): Double = {
       val planes = planes32.take(p)

@@ -52,6 +52,28 @@ class CurationSpec extends SparkSpec {
       .filter($"source" === "c").count() shouldBe 0L
   }
 
+  test("sampleKPerStratum: exactly min(k, stratum size) rows, deterministic, uniform-ish") {
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val once = CurationPipeline.sampleKPerStratum(docs, "source", "doc_id", 7)
+      .select("doc_id", "source").as[(Long, String)].collect().sorted.toSeq
+    // exactly k per stratum
+    once.count(_._2 == "a") shouldBe 7
+    once.count(_._2 == "b") shouldBe 7
+    // identical on re-execution (hash order, no RNG state)
+    CurationPipeline.sampleKPerStratum(docs, "source", "doc_id", 7)
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .sorted.toSeq shouldBe once
+    // a stratum smaller than k keeps all its rows — never pads
+    val tiny = docs.union(Seq((9001L, "c"), (9002L, "c")).toDF("doc_id", "source"))
+    CurationPipeline.sampleKPerStratum(tiny, "source", "doc_id", 7)
+      .filter($"source" === "c").count() shouldBe 2L
+    // hash order ≠ id order: the draw is not "first k ids" (uniformity
+    // proxy — md5 scrambles; astronomically unlikely to match by chance)
+    once.filter(_._2 == "a").map(_._1).sorted should not be
+      Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L)
+  }
+
   test("epochMix upsamples by weight with deterministic copy indices") {
     val docs = (1 to 2000).map(i =>
       (i.toLong, if (i % 2 == 0) "big" else "rare")).toDF("doc_id", "lang")
