@@ -26,6 +26,17 @@ object QueriesDataOps {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Root for oracle SIDECAR artifacts (engine-trained inputs a DuckDB
+    * oracle must replay — the OPQ rotations): PID-scoped so two
+    * concurrent Verify processes (different sf dirs, worktrees) cannot
+    * clobber each other's artifact between export and compare. The
+    * oracle SQL embeds this path at string-construction time, and
+    * oracle_sql.json is dumped by the SAME process that writes the
+    * sidecar, so the compare always reads its own run's artifact. */
+  private val oracleSidecarRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_oracle_sidecars_" +
+      ProcessHandle.current().pid()
+
   /** documents ∪ deterministic duplicate variants — the test corpus has no
     * natural dups, so dedup operators run over: exact copies (+100000),
     * 10-char-truncated near-dups (+200000), case/whitespace-mangled
@@ -1854,7 +1865,7 @@ object QueriesDataOps {
         r.head.indices.map(c => (c, r.indices.map(i => r(i)(c))))
           .toDF("c", "w")
           .coalesce(1).write.mode("overwrite")
-          .parquet("/tmp/graft_oracle_sidecars/opq_rotation")
+          .parquet(s"$oracleSidecarRoot/opq_rotation")
       }
       def rot(df: org.apache.spark.sql.DataFrame) =
         SimilaritySearch.rotateVectors(df, "embedding", r, "rvec")
@@ -1870,9 +1881,9 @@ object QueriesDataOps {
       SimilaritySearch.pqAdcTopK(rq, rc, books, 5)
         .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
         .orderBy(col("qid"), col("rank"))
-    }, Some("""
+    }, Some(s"""
       WITH rot AS (SELECT c, w FROM
-             read_parquet('/tmp/graft_oracle_sidecars/opq_rotation/*.parquet')),
+             read_parquet('$oracleSidecarRoot/opq_rotation/*.parquet')),
       base AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id < 20 OR vec_id >= 32),
       rveci AS (SELECT b.vec_id, r.c,
@@ -2542,7 +2553,7 @@ object QueriesDataOps {
         r.head.indices.map(c => (c, r.indices.map(i => r(i)(c))))
           .toDF("c", "w")
           .coalesce(1).write.mode("overwrite")
-          .parquet("/tmp/graft_oracle_sidecars/opq_ivf_rotation")
+          .parquet(s"$oracleSidecarRoot/opq_ivf_rotation")
       }
       def rot(df: org.apache.spark.sql.DataFrame) =
         SimilaritySearch.rotateVectors(df, "embedding", r, "rv")
@@ -2563,9 +2574,9 @@ object QueriesDataOps {
       SimilaritySearch.searchIvfPqIndex(s, path,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy(col("qid"), col("rank"))
-    }, Some("""
+    }, Some(s"""
       WITH rot AS (SELECT c, w FROM
-             read_parquet('/tmp/graft_oracle_sidecars/opq_ivf_rotation/*.parquet')),
+             read_parquet('$oracleSidecarRoot/opq_ivf_rotation/*.parquet')),
       rveci AS (SELECT e.vec_id, r.c,
                        CAST(list_sum(list_transform(
                          generate_series(1, len(e.embedding)),

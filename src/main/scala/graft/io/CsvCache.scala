@@ -78,14 +78,22 @@ object CsvCache {
 
   /** Delete rows whose Message matches (case-insensitive, trimmed — the
     * same key rule as the F5 lookup). CSV has no delete: read, filter,
-    * rewrite — cache_utils.py:134-191 does the same file rewrite. */
-  def delete(spark: SparkSession, path: String, message: String): Unit = {
-    val kept = read(spark, path)
-      .filter(lower(trim(col("Message"))) =!= message.trim.toLowerCase)
+    * rewrite — cache_utils.py:134-191 does the same file rewrite.
+    * Returns the number of rows removed (0 = key absent, nothing
+    * rewritten — the CRUD route's found/not-found signal without a
+    * second scan). */
+  def delete(spark: SparkSession, path: String, message: String): Int = {
+    val all = read(spark, path)
       .collect() // cache is small by contract (an app-managed CSV)
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(kept.toIndexedSeq), schema)
-    df.write.mode(SaveMode.Overwrite)
-      .option("header", true).option("escape", "\"").csv(path)
+    val key = message.trim.toLowerCase
+    val (removed, kept) = all.partition(r =>
+      Option(r.getAs[String]("Message")).exists(_.trim.toLowerCase == key))
+    if (removed.nonEmpty) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toIndexedSeq), schema)
+      df.write.mode(SaveMode.Overwrite)
+        .option("header", true).option("escape", "\"").csv(path)
+    }
+    removed.length
   }
 }

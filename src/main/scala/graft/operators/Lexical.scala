@@ -51,14 +51,21 @@ object Lexical {
                qId: String = "doc_id", qText: String = "text",
                cId: String = "doc_id", cText: String = "text"): DataFrame = {
     require(k >= 1, s"invalid k=$k")
-    val postings = toks(corpus, col(cId), col(cText))
+    // one row per corpus id (the mmrTopK duplicate policy): replayed
+    // duplicate rows would otherwise double tf AND dl AND N while idf's
+    // countDistinct stays at 1 — BM25's tf saturation makes that
+    // nonlinearly wrong, not just scaled. Same-id rows are same-content
+    // by the id contract, so any representative is right.
+    val c = corpus.select(col(cId).as("__cid"), col(cText).as("__ctext"))
+      .dropDuplicates("__cid")
+    val postings = toks(c, col("__cid"), col("__ctext"))
       .groupBy(col("__id").as("nid"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dls = postings.groupBy(col("nid")).agg(sum(col("tf")).as("dl"))
     // corpus stats: one row (N docs, avg doc length) — always broadcast.
     // N counts ALL corpus docs (token-less ones included): df/N is a
     // corpus-fraction, and dropping empty docs would inflate idf.
-    val stats = corpus.select(col(cId).as("nid"))
+    val stats = c.select(col("__cid").as("nid"))
       .join(dls, Seq("nid"), "left")
       .agg(count(lit(1)).as("n_docs"),
         avg(coalesce(col("dl"), lit(0L))).as("avgdl"))

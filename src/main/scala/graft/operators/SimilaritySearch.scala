@@ -678,6 +678,11 @@ object SimilaritySearch {
       .orderBy(col("hamming").asc, col("nid").asc)
     val cand = q.crossJoin(broadcast(c))
       .withColumn("hamming", hamming)
+      // null vectors have a NULL hamming; Spark's asc default is
+      // NULLS FIRST, so unfiltered they would silently consume candN
+      // shortlist slots (and diverge from the oracle's NULLS LAST) —
+      // exclude them BEFORE stage-1 ranking, like matryoshkaTopK
+      .filter(col("hamming").isNotNull)
       .withColumn("hrank", row_number().over(wH))
       .filter(col("hrank") <= candN)
     val wS = Window.partitionBy(col("qid"))

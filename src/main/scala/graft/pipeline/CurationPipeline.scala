@@ -662,10 +662,14 @@ object CurationPipeline {
         // returning the lazy frame and unpersisting first would replay
         // the explode + per-doc-window feature lineage from scratch at
         // the caller's first action (the r11 bench's avoidable cost).
-        // persist-not-checkpoint keeps lineage for spot-loss recovery;
-        // blocks release via the ContextCleaner once unreferenced.
-        .persist()
-      scored.count()
+        // EAGER localCheckpoint, not persist: a persisted Dataset is
+        // pinned by the session's CacheManager until an explicit
+        // unpersist (the ContextCleaner never reclaims it), which would
+        // leak one cached relation per call in a long-lived session —
+        // checkpoint blocks are RDD-level and ARE cleaned once the
+        // frame goes unreferenced. Lineage truncation is fine for a
+        // final result frame.
+        .localCheckpoint(true)
       (weights, scored)
     } finally feats.unpersist()
   }

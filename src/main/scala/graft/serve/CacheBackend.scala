@@ -49,14 +49,24 @@ final class CsvCacheBackend(spark: SparkSession, path: String)
     if (!exists) Seq.empty
     else CsvCache.read(spark, path)
       .orderBy(org.apache.spark.sql.functions.col("Message"))
-      .collect().toSeq
-      .map((r: Row) => CsvCache.columns.map(c =>
-        c -> Option(r.getAs[String](c)).getOrElse("")).toMap)
+      .collect().toSeq.map(rowToMap)
 
-  override def lookup(message: String): Option[Map[String, String]] = {
-    val key = message.trim.toLowerCase
-    list().find(_("Message").trim.toLowerCase == key)
-  }
+  private def rowToMap(r: Row): Map[String, String] =
+    CsvCache.columns.map(c =>
+      c -> Option(r.getAs[String](c)).getOrElse("")).toMap
+
+  override def lookup(message: String): Option[Map[String, String]] =
+    if (!exists) None
+    else {
+      // single filtered scan — not list()'s full sorted collect: the
+      // send-message hot path probes one key per request
+      val key = message.trim.toLowerCase
+      CsvCache.read(spark, path)
+        .filter(org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("Message"))) === key)
+        .limit(1).collect().headOption.map(rowToMap)
+    }
 
   override def add(question: String, response: String, reasoning: String,
                    usedExcerpts: String, ragSources: String): Unit = {
@@ -67,10 +77,8 @@ final class CsvCacheBackend(spark: SparkSession, path: String)
       path)
   }
 
-  override def delete(message: String): Boolean = {
-    if (!exists) return false
-    val had = lookup(message).isDefined
-    if (had) CsvCache.delete(spark, path, message)
-    had
-  }
+  override def delete(message: String): Boolean =
+    // one read: CsvCache.delete reports how many rows it removed, so
+    // no pre-flight lookup scan is needed
+    exists && CsvCache.delete(spark, path, message) > 0
 }

@@ -245,8 +245,11 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
         case ("GET", Some(c)) => respond(x, 200, toJson(c.list()))
         case ("POST", Some(c)) =>
           val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          // trim-nonEmpty like /api/send-message: CsvCache.sanitize
+          // silently drops whitespace-only rows, so accepting one here
+          // would report success for an add that never becomes visible
           (jsonField(body, "question"), jsonField(body, "response")) match {
-            case (Some(q), Some(r)) if q.nonEmpty && r.nonEmpty =>
+            case (Some(q), Some(r)) if q.trim.nonEmpty && r.trim.nonEmpty =>
               c.add(q, r,
                 jsonField(body, "reasoning").getOrElse(""),
                 jsonField(body, "used_excerpts").getOrElse(""),

@@ -164,13 +164,17 @@ object StreamingOps {
     indexStream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // +1 so an over-budget batch is DETECTED without collecting all
+        // of it: the guard needs only "more than budget", never the
+        // full overflow on the driver. Budgets at/above Int.MaxValue
+        // saturate instead of overflowing (Long.MaxValue + 1 would wrap
+        // negative and silently limit(0) every batch away).
+        val probe =
+          if (maxRowsPerBatch >= Int.MaxValue) Int.MaxValue
+          else (maxRowsPerBatch + 1).toInt
         val rows = batch
           .select(col("document_id"), col("chunks"), col("embedding"))
-          .limit(
-            // +1 so an over-budget batch is DETECTED without collecting
-            // all of it: the guard needs only "more than budget", never
-            // the full overflow on the driver
-            math.min(maxRowsPerBatch + 1, Int.MaxValue).toInt)
+          .limit(probe)
           .collect()
         if (rows.length > maxRowsPerBatch)
           throw new IllegalStateException(

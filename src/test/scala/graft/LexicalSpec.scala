@@ -49,6 +49,16 @@ class LexicalSpec extends SparkSpec {
     plan should include("hashpartitioning(term")
   }
 
+  test("duplicate corpus rows with one id do not inflate tf/dl/N") {
+    val q = Seq((1L, "spark shuffle")).toDF("doc_id", "text")
+    val clean = Lexical.bm25TopK(q, corpus, k = 4)
+      .select("nid", "score").as[(Long, Double)].collect().toMap
+    // a replayed append: every corpus row appears twice
+    val doubled = Lexical.bm25TopK(q, corpus.union(corpus), k = 4)
+      .select("nid", "score").as[(Long, Double)].collect().toMap
+    doubled shouldBe clean
+  }
+
   test("rrf fusion: both-lists docs beat single-list docs at equal ranks; ties break on nid") {
     val dense = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
       .toDF("qid", "nid", "rank")

@@ -258,6 +258,10 @@ class ServeHttpSurfaceSpec extends SparkSpec {
       // missing fields → 400, nothing written
       req("POST", s"$base/cached_responses",
         Some("""{"question":"orphan"}"""))._1 shouldBe 400
+      // whitespace-only fields → 400 too: sanitize would silently drop
+      // the row, so a 200 here would be a success that never appears
+      req("POST", s"$base/cached_responses",
+        Some("""{"question":"   ","response":"x"}"""))._1 shouldBe 400
       // list: alphabetical by question, both rows
       val (_, listed) = req("GET", s"$base/cached_responses")
       listed.indexOf("Any competitors?") should be < listed.indexOf("What about pricing?")
