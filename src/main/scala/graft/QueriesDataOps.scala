@@ -3233,7 +3233,81 @@ object QueriesDataOps {
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS fingerprint
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    ("text_normalize", (s, dir) => {
+      // Unicode-hygiene normalization (NFC + control strip + whitespace
+      // collapse) — the web-corpus first pass. The ASCII test corpus
+      // would make NFC a no-op, so decomposed combining marks, a BEL
+      // control and ragged spaces are INJECTED deterministically by
+      // doc_id (built identically in the oracle via chr()); compared by
+      // md5 + length so composed-vs-decomposed divergence cannot hide.
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" café")) // e + U+0301 → é
+          .when(col("doc_id") % 4 === 1, lit("  näive  x")) // a + U+0308
+          .when(col("doc_id") % 4 === 2, lit(" xy\tz")) // BEL + tab
+          .otherwise(lit("")))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(dirty).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("int").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH dirty AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+               WHEN doc_id % 4 = 1 THEN '  na' || chr(776) || 'ive  x'
+               WHEN doc_id % 4 = 2 THEN ' x' || chr(7) || 'y' || chr(9) || 'z'
+               ELSE '' END AS t
+        FROM documents),
+      norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                 '[\x00-\x08\x0B\x0E-\x1F]', '', 'g'),
+                 '\s+', ' ', 'g')) AS n
+        FROM dirty)
+      SELECT doc_id, md5(n) AS norm_md5, CAST(length(n) AS INT) AS n_chars
+      FROM norm ORDER BY doc_id""")),
+
+    ("text_token_chunks", (s, dir) => {
+      // token-window chunking with overlap (size 40, stride 30) — the
+      // token-budgeted alternative to the reference's character splitter
+      // (TextSplit M1): embedding models bound INPUT TOKENS, so chunk
+      // boundaries should fall on token counts, not characters. Pure
+      // catalyst HOFs: split → windowed slices via transform(sequence) →
+      // posexplode; short docs yield their single whole-text chunk.
+      val toks = split(trim(col("text")), "\\s+")
+      val n = lit(40); val stride = lit(30)
+      val nChunks = greatest(lit(1),
+        ceil((size(toks) - n).cast("double") / stride.cast("double"))
+          .cast("int") + 1)
+      T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(toks, i * stride + 1, n), " "))))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+          md5(col("col")).as("chunk_md5"),
+          size(split(col("col"), "\\s+")).cast("int").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents),
+      nc AS (SELECT doc_id, toks,
+                    greatest(1, CAST(ceil((len(toks) - 40) / 30.0) AS INT) + 1)
+                      AS n_chunks
+             FROM t),
+      ix AS (SELECT doc_id, toks,
+                    unnest(generate_series(0, n_chunks - 1)) AS i
+             FROM nc),
+      ch AS (SELECT doc_id, i + 1 AS chunk_idx,
+                    array_to_string(toks[i*30+1 : i*30+40], ' ') AS chunk
+             FROM ix)
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             md5(chunk) AS chunk_md5,
+             CAST(len(string_split_regex(chunk, '\s+')) AS INT)
+               AS n_tokens
+      FROM ch ORDER BY doc_id, chunk_idx"""))
   )
 
   val multimodal: Seq[(String, Q, Option[String])] = Seq(

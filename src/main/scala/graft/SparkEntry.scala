@@ -66,7 +66,7 @@ object SparkEntry {
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
     "text_mojibake", "text_gopher_rules", "text_ngram_repetition",
     "text_bpe_pairs", "text_bpe_train", "text_bpe_tokenize",
-    "text_heavy_hitters",
+    "text_heavy_hitters", "text_normalize", "text_token_chunks",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_decontaminate", "curate_decontaminate_fuzzy",
     "curate_contamination_report", "curate_boilerplate", "curate_pack",

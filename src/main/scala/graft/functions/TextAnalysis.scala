@@ -98,6 +98,26 @@ object TextAnalysis {
     * Spark and DuckDB → exact-dup detection robust to formatting noise. */
   def fingerprint(text: Column): Column = md5(canonical(text))
 
+  /** Unicode-hygiene normalization — the standard first pass of a web
+    * corpus pipeline: (1) NFC composition (decomposed "e"+U+0301 and
+    * composed "é" must hash/dedup/tokenize identically — utf8proc and
+    * java.text.Normalizer agree on NFC, so the DuckDB oracle replays
+    * with nfc_normalize); (2) strip C0 control characters except the
+    * whitespace ones (BEL/NUL spill from bad decoders; \\x0B stripped
+    * explicitly since Java's \\s includes it and RE2's does not);
+    * (3) collapse whitespace runs to one space; (4) trim. NULL in,
+    * NULL out. NFC has no Catalyst form, so step 1 is the text family's
+    * one UDF; steps 2-4 stay codegen'd regexp_replace. */
+  def normalizeText(text: Column): Column = {
+    val nfc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    trim(regexp_replace(
+      regexp_replace(nfc(text),
+        "[\\x00-\\x08\\x0B\\x0E-\\x1F]", ""),
+      "\\s+", " "))
+  }
+
   /** PII redaction for training corpora: emails, URLs, IPv4 addresses,
     * and phone-like digit runs replaced by typed placeholder tokens, in
     * a fixed order (email before phone so an address's digits never

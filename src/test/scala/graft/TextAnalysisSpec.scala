@@ -160,4 +160,18 @@ class TextAnalysisSpec extends SparkSpec {
     val got = damage(1L -> "caf\u00E9 r\u00E9sum\u00E9")
     got(1L) shouldBe ((0, 0, 0, 0.0))
   }
+
+  test("normalizeText: NFC composes, controls strip, whitespace collapses, null passes") {
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      (1L, "cafe\u0301 and caf\u00e9"),      // decomposed vs composed
+      (2L, " a\u0007b\u0000c  d\te \u000Bf "), // BEL/NUL/VT controls + runs
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", TextAnalysis.normalizeText($"t").as("n"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    rows(0)._2.get shouldBe "caf\u00e9 and caf\u00e9" // both sides compose to one form
+    rows(1)._2.get shouldBe "abc d e f"
+    rows(2)._2 shouldBe None
+  }
 }
