@@ -543,7 +543,85 @@ object QueriesDataOps {
       SELECT a.vec_id AS id, CAST(a.cluster AS INT) AS cluster,
              d.vec_id IS NULL AS kept
       FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
-      ORDER BY id"""))
+      ORDER BY id""")),
+
+    ("dedup_span_detect", (s, dir) => {
+      // exact-substring duplicate SPANS (Lee et al. 2022,
+      // arXiv:2107.06499 — suffix-array substring dedup re-expressed as
+      // the shuffle-friendly k-gram equivalent): maximal per-doc token
+      // ranges covered by corpus-repeated 8-grams. The duplicated
+      // corpus's exact copies surface as whole-doc spans and its
+      // truncated variants as long shared prefixes — both exercising
+      // the islands merge. Dup marking is a gh-keyed aggregate (never a
+      // window over gram occurrences — a boilerplate gram repeated 10⁶×
+      // costs one combiner row); the only window is per-doc.
+      Dedup.duplicatedSpans(docsWithDups(s, dir), "text", "doc_id", k = 8)
+        .orderBy(col("id"), col("span_start"))
+    }, Some(s"""
+      WITH $dwdSql,
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM dwd),
+      g AS (SELECT doc_id, i AS pos,
+                   md5(array_to_string(toks[i+1 : i+8], ' ')) AS gh
+            FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+            WHERE len(toks) >= 8),
+      dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      ds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+      fl AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                           ORDER BY pos) <= 8
+                         THEN 0 ELSE 1 END AS ni
+             FROM ds),
+      isl AS (SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM fl)
+      SELECT doc_id AS id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + 7 AS INT) AS span_end,
+             CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS n_tokens
+      FROM isl GROUP BY doc_id, island
+      ORDER BY id, span_start""")),
+
+    ("dedup_span_removal", (s, dir) => {
+      // the removal half of Lee et al. 2022: every token covered by a
+      // NON-canonical duplicated-8-gram occurrence is dropped (canonical
+      // = global min (id, pos) per gram — a skew-safe aggregate, so one
+      // copy of each repeated substring survives). Compared by md5 of
+      // the rebuilt text + kept/removed counts, so the whole
+      // tokenize → mark → cover → rebuild path is hash-checked.
+      Dedup.removeDuplicatedSpans(docsWithDups(s, dir), "text", "doc_id",
+          k = 8)
+        .orderBy(col("id"))
+    }, Some(s"""
+      WITH $dwdSql,
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM dwd),
+      tok AS (SELECT doc_id, i - 1 AS tokpos, toks[i] AS tok
+              FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      g AS (SELECT doc_id, i AS pos,
+                   md5(array_to_string(toks[i+1 : i+8], ' ')) AS gh
+            FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+            WHERE len(toks) >= 8),
+      canon AS (SELECT gh, doc_id AS cid, pos AS cpos FROM (
+                  SELECT gh, doc_id, pos,
+                         count(*) OVER (PARTITION BY gh) AS cnt,
+                         row_number() OVER (PARTITION BY gh
+                           ORDER BY doc_id, pos) AS rn
+                  FROM g) WHERE cnt >= 2 AND rn = 1),
+      cov AS (SELECT DISTINCT g.doc_id, g.pos + j.j AS tokpos
+              FROM g JOIN canon USING (gh)
+              CROSS JOIN unnest(generate_series(0, 7)) AS j(j)
+              WHERE NOT (g.doc_id = canon.cid AND g.pos = canon.cpos))
+      SELECT tok.doc_id AS id,
+             md5(coalesce(array_to_string(
+               list(tok.tok ORDER BY tok.tokpos)
+                 FILTER (WHERE cov.doc_id IS NULL), ' '), '')) AS clean_md5,
+             CAST(count(*) FILTER (WHERE cov.doc_id IS NULL) AS INT)
+               AS n_kept,
+             CAST(count(*) FILTER (WHERE cov.doc_id IS NOT NULL) AS INT)
+               AS n_removed
+      FROM tok LEFT JOIN cov
+        ON cov.doc_id = tok.doc_id AND cov.tokpos = tok.tokpos
+      GROUP BY tok.doc_id ORDER BY id"""))
   )
 
   /** Shared oracle CTE chain replaying CurationPipeline.annotate over the

@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
     "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_segments",
+    "dedup_span_detect", "dedup_span_removal",
     "dedup_embedding_lsh", "dedup_semantic", "dedup_cluster_best",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",

@@ -801,4 +801,117 @@ object Dedup {
     assigned.join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("dup").isNull.as("kept"))
   }
+
+  // ---- exact-substring (span-level) dedup ----------------------------------
+
+  /** The rolling k-token gram table of a corpus: one row per gram start,
+    * (id, pos, gh) with 0-based `pos` and `gh` = md5 of the
+    * space-joined k tokens (engine-portable — the oracle replays it).
+    * Pure Catalyst HOFs (split → sequence/transform slices →
+    * posexplode), no UDF; docs shorter than k tokens emit no grams. */
+  private def gramStarts(df: DataFrame, textCol: String, idCol: String,
+                         k: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.filter(size(toks) >= k)
+      .select(col(idCol).as("id"), posexplode(
+        transform(sequence(lit(0), size(toks) - k),
+          i => md5(array_join(slice(toks, i + 1, lit(k)), " ")))))
+      .select(col("id"), col("pos"), col("col").as("gh"))
+  }
+
+  /** Exact-substring duplicate spans — the span-level pass of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) re-expressed for a distributed engine.
+    * Their single-machine suffix array finds substrings of ≥ L tokens
+    * repeated anywhere in the corpus; the shuffle-friendly equivalent
+    * is the k-token rolling gram table: a substring of ≥ k tokens
+    * repeats iff each of its k-grams repeats, so duplicated-gram starts
+    * are exactly the token positions inside corpus-repeated substrings.
+    * Overlapping/adjacent duplicated coverage intervals [pos, pos+k-1]
+    * are merged per doc into maximal spans (gaps-and-islands: with a
+    * fixed k and ascending pos, a new island starts iff
+    * pos − lag(pos) > k).
+    *
+    * Scale shape (the 100 TB story): the gram table is O(corpus
+    * tokens) rows from ONE scan; duplicate marking is a gh-keyed
+    * COUNT aggregate (map-side partial, md5 keys don't skew) joined
+    * back on gh — never a window over gram occurrences, so a
+    * boilerplate gram repeated 10⁶× costs one combiner row, not a 10⁶
+    * row sort partition. The only window is the per-doc islands merge,
+    * bounded by document length. This is the same O(tokens · log)
+    * shuffle budget as the paper's distributed follow-ups
+    * (deterministic-hash gram partitioning), with no suffix array to
+    * build or hold.
+    *
+    * Returns (id, span_start, span_end, n_tokens) token-index spans,
+    * inclusive, one row per maximal duplicated span. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val grams = gramStarts(df, textCol, idCol, k)
+    val dupGh = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("gh"))
+    val dupStarts = grams.join(dupGh, Seq("gh"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dupStarts
+      .withColumn("new_island",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0)
+          .otherwise(1))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k - 1).as("span_end"))
+      .select(col("id"), col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("n_tokens"))
+  }
+
+  /** Span REMOVAL — the second half of Lee et al. 2022: drop every
+    * token covered by a duplicated-substring occurrence, keeping the
+    * corpus-canonical copy. Canonical occurrence of a gram = its
+    * global minimum (id, pos) — an aggregate `min(struct(id, pos))`
+    * per gh, skew-safe partial aggregation, never a window. A token
+    * survives unless some NON-canonical duplicated-gram occurrence
+    * covers it; tokens under only-canonical coverage keep the one
+    * retained copy. Well-defined and deterministic for any overlap
+    * pattern (document order never matters — ties broken by (id, pos)).
+    *
+    * Coverage expansion is bounded: k positions per non-canonical
+    * duplicated occurrence only (the `sequence` explode), then ONE
+    * distinct and ONE id-keyed rebuild group; clean text is the kept
+    * tokens re-joined by single spaces in position order (both engines
+    * rebuild identically — compare md5s, not originals: tokenization
+    * already collapsed the original whitespace).
+    *
+    * Returns one row per input doc: (id, clean_md5, n_kept,
+    * n_removed); docs shorter than k tokens pass through whole. */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            k: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val tokens = df.select(col(idCol).as("id"),
+        posexplode(toks).as(Seq("tokpos", "tok")))
+    val grams = gramStarts(df, textCol, idCol, k)
+    val canon = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("pos"))).as("c"))
+      .filter(col("cnt") >= 2)
+      .select(col("gh"), col("c.id").as("cid"), col("c.pos").as("cpos"))
+    val covered = grams.join(canon, Seq("gh"))
+      .filter(!(col("id") === col("cid") && col("pos") === col("cpos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + k - 1))
+        .as("tokpos"))
+      .distinct()
+    tokens
+      .join(covered.withColumn("rm", lit(true)), Seq("id", "tokpos"), "left")
+      .groupBy(col("id"))
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("rm").isNull,
+            struct(col("tokpos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("clean_md5"),
+        sum(when(col("rm").isNull, 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("rm").isNotNull, 1).otherwise(0)).cast("int")
+          .as("n_removed"))
+  }
 }

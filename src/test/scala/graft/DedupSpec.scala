@@ -483,4 +483,73 @@ class DedupSpec extends SparkSpec {
       withClue(s"round $round:") { got shouldBe expected }
     }
   }
+
+  test("duplicatedSpans: shared substrings become maximal merged spans at each site") {
+    // doc 11 repeats doc 10's tokens 0-9 at offset 5, and both docs also
+    // share a SECOND region (tokens 15-19 of 10 == 16-20 of 11); unique
+    // tails never enter a span. k=4.
+    val shared1 = (0 until 10).map(i => s"s$i").mkString(" ")
+    val shared2 = (0 until 5).map(i => s"t$i").mkString(" ")
+    val spanDocs = Seq(
+      (10L, s"$shared1 u0 u1 u2 u3 u4 $shared2 u5 u6"),
+      (11L, s"v0 v1 v2 v3 v4 $shared1 w0 $shared2 w1 w2"),
+      (12L, "x0 x1 x2 x3 x4 x5 x6 x7")) // no duplication anywhere
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(spanDocs, "text", "doc_id", k = 4)
+      .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    got shouldBe Seq((10L, 0, 9, 10), (10L, 15, 19, 5),
+      (11L, 5, 14, 10), (11L, 16, 20, 5))
+  }
+
+  test("duplicatedSpans merges adjacent coverage and marks dups via aggregate, not a gram window") {
+    // tokens 0-7 duplicated via two gram hits whose coverage intervals
+    // touch (pos 0 and pos 4, k=4): one span, not two
+    val d = Seq(
+      (1L, "a0 a1 a2 a3 b0 b1 b2 b3 c0"),
+      (2L, "a0 a1 a2 a3 z9 z8 z7 b0 b1 b2 b3")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "text", "doc_id", k = 4)
+    spans.filter(col("id") === 1L).as[(Long, Int, Int, Int)]
+      .collect().toSeq shouldBe Seq((1L, 0, 7, 8))
+    // scale pin: every window is the per-doc islands merge (partitioned
+    // by id, bounded by doc length); the gh-side duplicate marking must
+    // stay a hash aggregate — a window over gram occurrences would sort
+    // every hot gram's bucket
+    val plan = spans.queryExecution.executedPlan.toString
+    val parts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    parts should not be empty
+    all(parts) shouldBe "id"
+    plan should include("HashAggregate")
+  }
+
+  test("removeDuplicatedSpans keeps the canonical copy, strips the rest, counts exactly") {
+    val shared = (0 until 6).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared tail1 tail2"),   // canonical (min id, pos 0)
+      (2L, s"head1 $shared tail3"),   // non-canonical copy → stripped
+      (3L, "solo0 solo1 solo2 solo3 solo4 solo5")) // untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "text", "doc_id", k = 6)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    def h(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    got shouldBe Seq(
+      (1L, h(s"$shared tail1 tail2"), 8, 0),
+      (2L, h("head1 tail3"), 2, 6),
+      (3L, h("solo0 solo1 solo2 solo3 solo4 solo5"), 6, 0))
+    // no Window anywhere: canonical selection is min(struct(id,pos)) —
+    // partial-aggregatable, hot grams cost one combiner row
+    Dedup.removeDuplicatedSpans(d, "text", "doc_id", k = 6)
+      .queryExecution.executedPlan.toString.toLowerCase should not include "window"
+  }
+
+  test("removeDuplicatedSpans: a fully-duplicated non-canonical doc empties to md5 of ''") {
+    val t = "p0 p1 p2 p3 p4"
+    val d = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(d, "text", "doc_id", k = 5)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    got.map(r => (r._1, r._3, r._4)) shouldBe Seq((1L, 5, 0), (2L, 0, 5))
+    got(1)._2 shouldBe "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+  }
 }
