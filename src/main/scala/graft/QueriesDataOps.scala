@@ -2609,6 +2609,74 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("ann_maxsim_topk", (s, dir) => {
+      // ColBERT-style late interaction (Khattab & Zaharia SIGIR'20):
+      // the 64-dim embedding as 8 token slices of 8 dims, each
+      // unit-normalized once per row; relevance = Σ_t max_j dot — the
+      // multi-vector retrieval op between pooled-vector ANN and a
+      // cross-encoder. Pair scoring is the native codegen'd MaxSim
+      // expression inside the broadcast join (no interpreted HOFs in
+      // the |q|×|c| loop); score rounded to 6dp BEFORE ranking, ties
+      // on nid — the engine-portable rank convention.
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.maxSimTopK(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 32),
+          k = 5, tokens = 8, dim = 64)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH ts AS (SELECT unnest(generate_series(0, 7)) AS t),
+      sl AS (SELECT vec_id, t, embedding[t*8+1 : t*8+8] AS sub
+             FROM embeddings CROSS JOIN ts
+             WHERE vec_id < 8 OR vec_id >= 32),
+      nr AS (SELECT vec_id, t, sub,
+                    sqrt(list_sum(list_transform(sub, x ->
+                      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+             FROM sl),
+      nm AS (SELECT vec_id, t,
+                    CASE WHEN n = 0 THEN sub
+                         ELSE list_transform(sub, x ->
+                           CAST(CAST(x AS DOUBLE) / n AS REAL)) END AS nsub
+             FROM nr),
+      pd AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.t,
+                    max(list_sum(list_transform(generate_series(1, 8), i ->
+                      CAST(q.nsub[i] AS DOUBLE) * CAST(c.nsub[i] AS DOUBLE))))
+                      AS m
+             FROM nm q JOIN nm c ON q.vec_id < 8 AND c.vec_id >= 32
+             GROUP BY q.vec_id, c.vec_id, q.t),
+      sc AS (SELECT qid, nid, round(sum(m), 6) AS score
+             FROM pd GROUP BY qid, nid),
+      ranked AS (SELECT qid, nid, score, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+                 FROM sc)
+      SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    ("ann_filtered_topk", (s, dir) => {
+      // metadata-FILTERED search: each query retrieves top-5 among
+      // corpus rows sharing its label — pre-filtering semantics, planned
+      // as a label equi-join (never a cross join + filter), so pair
+      // expansion is Σ_v |q_v|·|c_v| and filter selectivity prunes the
+      // scan. FilteredSearchSpec pins the plan + pre≡post parity.
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.filteredTopK(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 32),
+          k = 5, filterCol = "label")
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS nid, embedding AS nvec, label
+            FROM embeddings WHERE vec_id >= 32),
+      sims AS (SELECT q.qid, c.nid,
+                      round(list_cosine_similarity(q.qvec::DOUBLE[],
+                        c.nvec::DOUBLE[]), 6) AS sim
+               FROM q JOIN c USING (label)),
+      ranked AS (SELECT qid, nid, sim, row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+                 FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank, sim FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_ivfpq_opq_index", (s, dir) => {
       // the FULL scale stack in one hash-checked row: OPQ rotation
       // (trained on the residual distribution — the IvfPqIndexSpec
@@ -3441,6 +3509,27 @@ object QueriesDataOps {
       val media = Multimodal.asMedia(T(s, dir, "documents"),
         "doc_id", "text", "image", "source")
       TfRecord.fromShards(TfRecord.toShards(media))
+        .select(col("media_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_hash"), col("source"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             md5(text) AS content_hash, source
+      FROM documents ORDER BY media_id""")),
+
+    ("mm_arrow_roundtrip", (s, dir) => {
+      // Arrow IPC (Feather v2) sharding round-trip: media rows → one
+      // columnar ARROW1 file per partition (the HuggingFace-datasets /
+      // pyarrow interchange container) → decoded back batch by batch.
+      // Hash-checked like the tar/TFRecord/Avro containers: n_bytes +
+      // md5 re-derived FROM the re-read bytes must match the source
+      // table, so offset-buffer or validity-bitmap corruption in either
+      // direction cannot round-trip.
+      import graft.io.ArrowIpc
+      val media = Multimodal.asMedia(T(s, dir, "documents"),
+        "doc_id", "text", "image", "source")
+      ArrowIpc.fromShards(ArrowIpc.toShards(media))
         .select(col("media_id"),
           length(col("content")).cast("long").as("n_bytes"),
           md5(col("content")).as("content_hash"), col("source"))

@@ -61,7 +61,8 @@ object SparkEntry {
     "ann_opq_adc", "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank",
     "ann_ivfpq_index",
     "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
-    "ann_matryoshka_topk", "ann_ivfpq_opq_index",
+    "ann_matryoshka_topk", "ann_maxsim_topk", "ann_filtered_topk",
+    "ann_ivfpq_opq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
@@ -77,6 +78,7 @@ object SparkEntry {
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
+    "mm_arrow_roundtrip",
     "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",
     "mm_mp4_frame_decode", "mm_mkv_frame_decode", "mm_video_neardup",
     "mm_scene_cut",

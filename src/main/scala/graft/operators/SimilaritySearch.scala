@@ -734,6 +734,107 @@ object SimilaritySearch {
       .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"))
   }
 
+  /** Per-token-slice L2 normalization for late-interaction retrieval:
+    * a flat d-dim float vector treated as `tokens` contiguous slices of
+    * d/tokens dims, each scaled to unit L2 norm (norm accumulated in
+    * double from the float elements, each element divided in double and
+    * cast back to float — the engine-portable recipe the oracle
+    * replays). All-zero slices stay zero (their dot contributes 0, the
+    * padding convention). Runs ONCE per row — this is ColBERT's own
+    * factoring: encoders emit unit token vectors so the pair-scoring
+    * hot loop is pure dots. Catalyst HOFs, no UDF. */
+  def sliceNormalize(vec: Column, tokens: Int, dim: Int): Column = {
+    require(tokens > 0 && dim % tokens == 0,
+      s"dim=$dim must be a multiple of tokens=$tokens")
+    val sub = dim / tokens
+    flatten(transform(sequence(lit(0), lit(tokens - 1)), t => {
+      val sl = slice(vec, t * sub + 1, lit(sub))
+      val nrm = sqrt(aggregate(sl, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      transform(sl, x =>
+        when(nrm === 0.0d, x)
+          .otherwise((x.cast("double") / nrm).cast("float")))
+    }))
+  }
+
+  /** ColBERT-style late-interaction top-k (Khattab & Zaharia SIGIR'20):
+    * multi-vector retrieval where every document carries `tokens`
+    * token-level embeddings (here: contiguous slices of the flat
+    * embedding — the storage layout a token-level encoder would emit as
+    * one flat array per doc) and relevance is MaxSim,
+    * Σ_t max_j dot(q_t, c_j) over unit-normalized slices. Captures
+    * term-level matching that a single pooled vector blurs — the
+    * quality step between single-vector ANN and a cross-encoder.
+    *
+    * Physical shape = [[graft.functions.VectorOps.bruteForceTopK]]:
+    * slices are normalized ONCE per row (one HOF pass), the corpus side
+    * broadcasts, and the pair loop is the native codegen'd
+    * [[org.apache.spark.sql.graft.MaxSimDotFloat]] expression inside the
+    * broadcast nested-loop join — no interpreted HOFs, no shuffle of
+    * the query stream until the per-qid rank. At corpus sizes past
+    * broadcast, compose with any candidate generator (LSH/IVF/JL) and
+    * MaxSim-rerank the candidates, the standard two-stage ColBERT
+    * serving shape. Scores rounded to 6 decimals BEFORE ranking so the
+    * rank decision is engine-portable; ties break on nid asc. */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 tokens: Int, dim: Int,
+                 qId: String = "vec_id", qVec: String = "embedding",
+                 cId: String = "vec_id", cVec: String = "embedding",
+                 broadcastCorpus: Boolean = true): DataFrame = {
+    require(k >= 1, s"invalid k=$k")
+    val q = queries.select(col(qId).as("qid"),
+      sliceNormalize(col(qVec), tokens, dim).as("qtoks"))
+    val c0 = corpus.select(col(cId).as("nid"),
+      sliceNormalize(col(cVec), tokens, dim).as("ntoks"))
+    val c = if (broadcastCorpus) broadcast(c0) else c0
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    q.crossJoin(c)
+      .withColumn("score", round(org.apache.spark.sql.graft.VectorExpressions
+        .maxSimDot(col("qtoks"), col("ntoks"), tokens), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"),
+        col("score"))
+  }
+
+  /** Metadata-FILTERED top-k — the "WHERE lang = 'en' AND label = q's"
+    * face of vector search, the filtered-search problem every vector
+    * store exposes (reference analog: the Atlas $vectorSearch `filter`
+    * clause next to the knn stage, main.tf:649-669). Each query row
+    * carries its own filter-key value and retrieves only among corpus
+    * rows sharing it — PRE-filtering semantics (exact top-k of the
+    * filtered subset, recall can't collapse for selective filters the
+    * way post-filtering a fixed-k ANN shortlist does).
+    *
+    * The scale point: this is NOT a cross join + filter. The filter key
+    * is the join key, so Catalyst plans a hash equi-join (broadcast or
+    * shuffled, its choice by stats) and pair expansion is
+    * Σ_v |q_v|·|c_v| — selectivity does the pruning; a label that
+    * matches 1% of the corpus costs 1% of brute force. Skewed hot keys
+    * ride AQE's skew-join split. FilteredSearchSpec pins the equi-join
+    * plan (no BroadcastNestedLoopJoin) and pre≡post-filter parity.
+    * Ties break on nid asc; sim rounded to 6dp before ranking. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   filterCol: String,
+                   qId: String = "vec_id", qVec: String = "embedding",
+                   cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    require(k >= 1, s"invalid k=$k")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      col(filterCol).as("__fk"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"),
+      col(filterCol).as("__fk"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    q.join(c, Seq("__fk"))
+      .withColumn("sim", round(VectorOps.cosine(col("qvec"), col("nvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"),
+        col("sim"))
+  }
+
   /** Johnson–Lindenstrauss-style random projection: vec → the `planes`
     * dot products (double accumulation in index order — the repo's
     * portable-arithmetic convention — cast to float). With p ≪ d planes

@@ -133,6 +133,30 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** Streaming SESSIONIZATION — the streaming face of q10_sessionize's
+    * batch gap-sessions, on the native `session_window` (gap-based,
+    * merging): events of one user that arrive within `gap` of the open
+    * session extend it (the engine merges session fragments across
+    * micro-batches, including out-of-order ones above the watermark);
+    * a session's row is emitted ONCE, when the watermark passes its
+    * end — append mode, no retractions, the contract a downstream
+    * training-data sessionizer needs. State is one entry per (user,
+    * OPEN session), dropped at emission — bounded by concurrently
+    * active users, never by history (the q10 batch form's full-history
+    * window sort, turned into O(active users) state).
+    * Returns (userCol, session_start, session_end, n_events); the
+    * session end is last-event + gap, the window-end convention (the
+    * batch form's closed span is [start, end − gap]). */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+                       gap: String = "30 minutes",
+                       delay: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"))
+
   /** T6: offset management. Spark's consumer position IS the checkpoint:
     * `startingOffsets` only applies to a fresh query, so the reference's
     * offset-reset utility (app/scripts/kafka/reset_consumer_group.py:21-110

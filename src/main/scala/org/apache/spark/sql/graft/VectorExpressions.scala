@@ -159,10 +159,85 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ColBERT-style MaxSim late-interaction score (Khattab & Zaharia,
+  * SIGIR'20 §3.1): both flat d-dim arrays are treated as `tokens`
+  * contiguous slices of d/tokens dims, and the score is
+  * Σ_t max_j dot(q_t, c_j) — each query token matched to its best
+  * corpus token. PURE DOTS by design: normalize slices upstream
+  * (once per row, ColBERT's own factoring — encoders emit unit token
+  * vectors) so the pair hot loop never divides; this expression sits
+  * inside the |queries| × |corpus| broadcast join, so like the
+  * others it generates a tight primitive loop (d²/tokens multiplies
+  * per pair). Accumulation: dots in index order, max exact, token
+  * sum in t order — engine-portable, the oracle replays it. */
+case class MaxSimDotFloat(left: Expression, right: Expression, tokens: Int)
+    extends VectorBinaryExpression {
+  require(tokens > 0, s"tokens must be positive, got $tokens")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val sub = n / tokens
+    var score = 0.0
+    var t = 0
+    while (t < tokens) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < tokens) {
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          dot += x.getFloat(t * sub + i).toDouble * y.getFloat(j * sub + i)
+          i += 1
+        }
+        if (dot > best) best = dot
+        j += 1
+      }
+      score += best
+      t += 1
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (t, j, i) = (ctx.freshName("t"), ctx.freshName("j"), ctx.freshName("i"))
+      val (n, sub) = (ctx.freshName("n"), ctx.freshName("sub"))
+      val (best, dot) = (ctx.freshName("best"), ctx.freshName("dot"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $sub = $n / $tokens;
+         |double ${ev.value}Acc = 0.0;
+         |for (int $t = 0; $t < $tokens; $t++) {
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $tokens; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      $dot += (double) $a.getFloat($t * $sub + $i)
+         |            * (double) $b.getFloat($j * $sub + $i);
+         |    }
+         |    if ($dot > $best) $best = $dot;
+         |  }
+         |  ${ev.value}Acc += $best;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductFloat(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def maxSimDot(a: Column, b: Column, tokens: Int): Column =
+    ExpressionUtils.column(MaxSimDotFloat(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), tokens))
 
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarityFloat(

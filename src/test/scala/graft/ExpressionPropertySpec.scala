@@ -141,4 +141,33 @@ class ExpressionPropertySpec extends AnyFunSuite with Matchers {
     // non-ASCII digits ('٣') must NOT count as [0-9]
     CharEntropy(in).eval(row("٣٣٣")).asInstanceOf[AnyRef] shouldBe null
   }
+
+  test("MaxSimDotFloat matches a scalar reference across random shapes and token counts") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.MaxSimDotFloat
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val b = BoundReference(1, ArrayType(FloatType), nullable = true)
+    def r2(x: Array[Float], y: Array[Float]) = InternalRow(
+      if (x == null) null else new GenericArrayData(x.map(v => v: Any)),
+      if (y == null) null else new GenericArrayData(y.map(v => v: Any)))
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 200).foreach { _ =>
+      val tokens = 1 + rnd.nextInt(6)
+      val sub = 1 + rnd.nextInt(5)
+      val d = tokens * sub
+      val x = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val y = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+      val expected = (0 until tokens).map { t =>
+        (0 until tokens).map { j =>
+          (0 until sub).foldLeft(0.0)((acc, i) =>
+            acc + x(t * sub + i).toDouble * y(j * sub + i).toDouble)
+        }.max
+      }.sum
+      MaxSimDotFloat(a, b, tokens).eval(r2(x, y))
+        .asInstanceOf[Double] shouldBe expected
+    }
+    MaxSimDotFloat(a, b, 4).eval(r2(null, Array(1f, 2f, 3f, 4f)))
+      .asInstanceOf[AnyRef] shouldBe null
+  }
 }

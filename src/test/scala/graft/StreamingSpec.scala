@@ -157,31 +157,35 @@ class StreamingSpec extends SparkSpec {
     finalRows should be <= maxRows
   }
 
-  test("watermarked session-window aggregation sessionizes a stream") {
+  test("sessionizeStream: gap sessions close at the watermark with exact bounds") {
     implicit val ctx = spark.sqlContext
-    import org.apache.spark.sql.functions._
     val input = MemoryStream[(String, Timestamp)]
-    val sessions = input.toDF.toDF("user", "ts")
-      .withWatermark("ts", "10 minutes")
-      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
+    val sessions = StreamingOps.sessionizeStream(
+      input.toDF.toDF("user", "ts"), "user", "ts",
+      gap = "30 minutes", delay = "10 minutes")
 
     val query = sessions.writeStream.format("memory").queryName("sessions_out")
       .outputMode("append").option("checkpointLocation", checkpoint()).start()
     try {
       // u1: two events 5 min apart (one session), then one 60 min later
-      // (a second session); u2: a single event
-      input.addData(("u1", ts(0)), ("u1", ts(5)), ("u1", ts(65)), ("u2", ts(1)))
+      // (a second session); u2: a single event. The second u1 batch also
+      // exercises cross-micro-batch session state.
+      input.addData(("u1", ts(0)), ("u1", ts(5)), ("u2", ts(1)))
+      query.processAllAvailable()
+      input.addData(("u1", ts(65)))
       query.processAllAvailable()
       // advance the watermark far enough to close and emit every session
       input.addData(("u3", ts(300)))
       query.processAllAvailable()
 
       val got = spark.table("sessions_out")
-        .select("user", "n_events").as[(String, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
-      got("u1") shouldBe Seq(1L, 2L) // 30-min gap split into two sessions
-      got("u2") shouldBe Seq(1L)
+        .select($"user", $"session_start", $"session_end", $"n_events")
+        .as[(String, Timestamp, Timestamp, Long)].collect().sorted.toSeq
+      // session end = last event + gap (the window-end convention)
+      got.filter(_._1 == "u1") shouldBe Seq(
+        ("u1", ts(0), ts(5 + 30), 2L),
+        ("u1", ts(65), ts(65 + 30), 1L))
+      got.filter(_._1 == "u2") shouldBe Seq(("u2", ts(1), ts(1 + 30), 1L))
     } finally query.stop()
   }
 

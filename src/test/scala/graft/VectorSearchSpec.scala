@@ -396,4 +396,30 @@ class MmrSpec extends SparkSpec {
     // exactly one hash exchange on qid: the window + collect_list share it
     "Exchange hashpartitioning\\(qid".r.findAllIn(plan).size shouldBe 1
   }
+
+  test("maxSimTopK: self-retrieval at score ≈ tokens, doc token order irrelevant") {
+    import graft.operators.SimilaritySearch
+    val rnd = new scala.util.Random(7L)
+    def v() = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 6).map(i => (i.toLong, v()))
+    // doc 100 = doc 0's tokens (4 slices of 4 dims) in reversed order:
+    // MaxSim is a set-match over tokens, so its score vs any query is
+    // IDENTICAL to doc 0's — late interaction's defining invariance
+    val permuted = base.head._2.grouped(4).toSeq.reverse.flatten.toArray
+    val corpus = (base ++ Seq((100L, permuted))).toDF("vec_id", "embedding")
+    val queries = base.take(2).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.maxSimTopK(queries, corpus, k = 7,
+        tokens = 4, dim = 16)
+      .as[(Long, Long, Int, Double)].collect()
+    // every query finds itself first (unit slices: self-dot = 1 per
+    // token up to float-normalization error)
+    val self = got.filter(r => r._1 == r._2)
+    self.map(_._3).toSet shouldBe Set(1)
+    all(self.map(_._4)) shouldBe 4.0 +- 1e-4
+    // permuted doc scores exactly equal to doc 0's against both queries
+    got.groupBy(_._1).values.foreach { rs =>
+      val by = rs.map(r => r._2 -> r._4).toMap
+      by(100L) shouldBe by(0L)
+    }
+  }
 }
