@@ -2651,6 +2651,54 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("ann_maxsim_rerank", (s, dir) => {
+      // the ColBERT SERVING shape: pooled-vector cosine prunes to 24
+      // candidates, MaxSim re-ranks the shortlist only — the late-
+      // interaction pair cost paid for candN rows per query, not the
+      // corpus. Exact SQL oracle replays both stages.
+      val emb = T(s, dir, "embeddings")
+      SimilaritySearch.maxSimRerankTopK(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 32),
+          k = 5, candN = 24, tokens = 8, dim = 64)
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH pre AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          list_cosine_similarity(q.embedding::DOUBLE[],
+                            c.embedding::DOUBLE[]) AS psim
+                   FROM embeddings q CROSS JOIN embeddings c
+                   WHERE q.vec_id < 8 AND c.vec_id >= 32),
+      cand AS (SELECT qid, nid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY psim DESC, nid ASC) AS pr FROM pre)
+               WHERE pr <= 24),
+      ts AS (SELECT unnest(generate_series(0, 7)) AS t),
+      sl AS (SELECT vec_id, t, embedding[t*8+1 : t*8+8] AS sub
+             FROM embeddings CROSS JOIN ts
+             WHERE vec_id < 8 OR vec_id >= 32),
+      nr AS (SELECT vec_id, t, sub,
+                    sqrt(list_sum(list_transform(sub, x ->
+                      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+             FROM sl),
+      nm AS (SELECT vec_id, t,
+                    CASE WHEN n = 0 THEN sub
+                         ELSE list_transform(sub, x ->
+                           CAST(CAST(x AS DOUBLE) / n AS REAL)) END AS nsub
+             FROM nr),
+      pd AS (SELECT cand.qid, cand.nid, q.t,
+                    max(list_sum(list_transform(generate_series(1, 8), i ->
+                      CAST(q.nsub[i] AS DOUBLE) * CAST(c.nsub[i] AS DOUBLE))))
+                      AS m
+             FROM cand JOIN nm q ON q.vec_id = cand.qid
+                       JOIN nm c ON c.vec_id = cand.nid
+             GROUP BY cand.qid, cand.nid, q.t),
+      sc AS (SELECT qid, nid, round(sum(m), 6) AS score
+             FROM pd GROUP BY qid, nid),
+      ranked AS (SELECT qid, nid, score, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+                 FROM sc)
+      SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("ann_filtered_topk", (s, dir) => {
       // metadata-FILTERED search: each query retrieves top-5 among
       // corpus rows sharing its label — pre-filtering semantics, planned

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, IndexedVectorSearchRule, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchDiverseGenerator, VectorSearchGenerator, WinnowGenerator}
+import org.apache.spark.sql.graft.{CharEntropy, CosineSimilarityFloat, DotProductFloat, IndexedVectorSearchRule, MaxSimDotFloat, MlPredictExpression, SplitTextGenerator, SquaredL2Float, VectorSearchDiverseGenerator, VectorSearchGenerator, WinnowGenerator}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -87,6 +87,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_sqdist(a, b) takes 2 arguments")
         SquaredL2Float(children(0), children(1))
+      }))
+    // ColBERT-style late interaction over token slices of a flat
+    // embedding (normalize slices upstream for cosine MaxSim)
+    ext.injectFunction((
+      new FunctionIdentifier("vector_maxsim"),
+      new ExpressionInfo(classOf[MaxSimDotFloat].getName, "vector_maxsim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "vector_maxsim(a, b, tokens) takes 3 arguments")
+        MaxSimDotFloat(children(0), children(1),
+          literalArg("vector_maxsim", children, 2, "tokens", _.toString.toInt))
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_gen"),

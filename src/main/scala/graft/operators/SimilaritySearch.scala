@@ -798,6 +798,43 @@ object SimilaritySearch {
         col("score"))
   }
 
+  /** The production ColBERT serving shape (Khattab & Zaharia SIGIR'20
+    * §3.3, "re-rank" mode): a cheap single-vector candidate stage —
+    * pooled-embedding cosine top-candN — then MaxSim re-ranking of the
+    * shortlist only. MaxSim's d²/tokens-multiply pair cost is paid for
+    * candN rows per query instead of the whole corpus; candN ≥ corpus
+    * degenerates to exact [[maxSimTopK]] (the spec's control). Corpus
+    * token slices are normalized ONCE before the broadcast so the
+    * rerank stage reads them off the candidate row. Both stages break
+    * ties on nid; the rerank score is rounded to 6dp before ranking. */
+  def maxSimRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       candN: Int, tokens: Int, dim: Int,
+                       qId: String = "vec_id", qVec: String = "embedding",
+                       cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    require(k >= 1 && k <= candN, s"need 1 <= k=$k <= candN=$candN")
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
+      sliceNormalize(col(qVec), tokens, dim).as("qtoks"))
+    val c = corpus.select(col(cId).as("nid"), col(cVec).as("nvec"),
+      sliceNormalize(col(cVec), tokens, dim).as("ntoks"))
+    val wP = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("nid").asc)
+    val cand = q.crossJoin(broadcast(c))
+      .withColumn("psim", VectorOps.cosine(col("qvec"), col("nvec")))
+      .filter(col("psim").isNotNull)
+      .withColumn("prank", row_number().over(wP))
+      .filter(col("prank") <= candN)
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    cand
+      .withColumn("score", round(org.apache.spark.sql.graft.VectorExpressions
+        .maxSimDot(col("qtoks"), col("ntoks"), tokens), 6))
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("int").as("rank"),
+        col("score"))
+  }
+
   /** Metadata-FILTERED top-k — the "WHERE lang = 'en' AND label = q's"
     * face of vector search, the filtered-search problem every vector
     * store exposes (reference analog: the Atlas $vectorSearch `filter`
@@ -1389,7 +1426,17 @@ object SimilaritySearch {
     * Plan shape: payload streams partition-pruned; the probe-expanded
     * query side (|Q| × nProbe skinny rows) broadcasts into ONE
     * equi-join on the cell id + a per-query window top-k. No corpus
-    * broadcast, no cartesian. */
+    * broadcast, no cartesian.
+    *
+    * `payloadFilter`: metadata PRE-filtering on the index's payload
+    * columns (the vector-store `filter` clause, served from the
+    * index): rows failing the predicate are dropped BEFORE scoring and
+    * ranking, so the result is the exact top-k of the filtered subset
+    * within probed cells — never a post-filtered shortlist that can
+    * run dry. The predicate lands in the parquet scan's PushedFilters
+    * (row-group stats skip non-matching groups on disk), stacking on
+    * the cluster PartitionFilters — both prunings visible in
+    * `.explain` and pinned by FilteredSearchSpec. */
   def searchIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, queries: DataFrame, k: Int,
                          numCandidates: Int = 150,
@@ -1398,7 +1445,8 @@ object SimilaritySearch {
                          broadcastBytes: Long = 64L * 1024 * 1024,
                          dedupReplays: Boolean = false,
                          sidecars: Option[(Seq[Seq[Float]], Seq[Long])] = None,
-                         payloadFrame: Option[DataFrame] = None)
+                         payloadFrame: Option[DataFrame] = None,
+                         payloadFilter: Option[Column] = None)
       : DataFrame = {
     import spark.implicits._
     // `sidecars`: a serving caller (IvfFlatIndexStore) can preload the
@@ -1425,8 +1473,11 @@ object SimilaritySearch {
     // built ONCE (file listing + schema resolution amortized across
     // searches, the sidecars pattern); partition pruning still applies
     // per call through the filter below
-    val raw = payloadFrame.getOrElse(spark.read.parquet(s"$path/payload"))
+    val raw0 = payloadFrame.getOrElse(spark.read.parquet(s"$path/payload"))
       .filter(col("cluster").isin(probed: _*))
+    // metadata pre-filter BEFORE dedup/tombstones/scoring: Catalyst
+    // pushes it into the parquet scan next to the partition filter
+    val raw = payloadFilter.map(raw0.filter).getOrElse(raw0)
     // dedupReplays: an index fed by at-least-once micro-batch appends
     // may hold replayed duplicates (identical rows, same content nid)
     // until the next compaction — mask them here at the cost of one

@@ -157,6 +157,29 @@ object StreamingOps {
       .select(col(userCol), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream INTERVAL JOIN — correlating two live streams without
+    * landing either (e.g. each prospect message with the coaching
+    * responses that follow it within `within`; the reference runs this
+    * correlation implicitly through its topic chain, here it is one
+    * declarative join): inner equi-join on `key` plus the event-time
+    * range rightTs ∈ [leftTs, leftTs + within]. Both sides carry
+    * watermarks and the range bound is what lets the engine EXPIRE
+    * buffered rows — state is O(rows in flight inside the interval),
+    * never unbounded; a row joins with everything eligible and is
+    * dropped once the other side's watermark passes its reach. Append
+    * mode: a pair is emitted exactly once, when it becomes provably
+    * complete. Column names must be disjoint across sides (the usual
+    * stream-join contract; prefix upstream). */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          within: String = "5 minutes",
+                          delay: String = "30 seconds"): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $within"))
+
   /** T6: offset management. Spark's consumer position IS the checkpoint:
     * `startingOffsets` only applies to a fresh query, so the reference's
     * offset-reset utility (app/scripts/kafka/reset_consumer_group.py:21-110

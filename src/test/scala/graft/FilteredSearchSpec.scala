@@ -47,6 +47,42 @@ class FilteredSearchSpec extends SparkSpec {
     plan should include("HashJoin") // broadcast or shuffled — Catalyst's pick
   }
 
+  test("persisted-index payloadFilter: exact filtered top-k, predicate pushed to the scan") {
+    val centroids = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-fidx").toString
+    SimilaritySearch.writeIvfFlatIndex(emb, centroids, path,
+      payloadCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lb = emb.groupBy(col("label")).count()
+      .orderBy(col("count").desc, col("label")).select(col("label"))
+      .as[Int].head()
+
+    val filtered = SimilaritySearch.searchIvfFlatIndex(spark, path, queries,
+      k = 5, numCandidates = Int.MaxValue, "qid", "qvec",
+      payloadCols = Seq("label"), payloadFilter = Some(col("label") === lb))
+    // full probe depth ⇒ exact top-k of the label subset: bit-identical
+    // to brute force over the filtered corpus
+    val brute = VectorOps.bruteForceTopK(queries,
+        emb.filter(col("label") === lb)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        5, "qid", "qvec", "nid", "nvec")
+    filtered.select(col("qid"), col("nid"), col("rank"))
+        .as[(Long, Long, Int)].collect().sorted.toSeq shouldBe
+      brute.select(col("qid"), col("nid"), col("rank"))
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+    // every returned row satisfies the predicate
+    filtered.select(col("label")).distinct()
+      .as[Int].collect().toSeq shouldBe Seq(lb)
+    // the predicate reached the parquet scan (row-group skipping),
+    // stacked on the cluster partition filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    plan should include regex "PushedFilters: \\[[^\\]]*EqualTo\\(label"
+    plan should include regex "PartitionFilters: \\[[^\\]]*cluster"
+  }
+
   test("a query whose label matches nothing returns no rows (pre-filter, not padded)") {
     val queries = Seq((1L, Array(1f, 0f), 99)).toDF("vec_id", "embedding", "label")
     val corpus = Seq((10L, Array(1f, 0f), 1), (11L, Array(0f, 1f), 2))

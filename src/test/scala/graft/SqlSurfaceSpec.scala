@@ -19,6 +19,23 @@ class SqlSurfaceSpec extends SparkSpec {
     row.getDouble(3) shouldBe 25.0 // 3^2 + 4^2
   }
 
+  test("vector_maxsim is callable from SQL; tokens must be a literal") {
+    // 2 tokens of 2 dims: t0 best-matches slice (0,1)·(1,0)=0 vs
+    // (0,1)·(0,1)=1 → 1; t1: (1,0)·(1,0)=1 vs 0 → 1; score = 2
+    val v = spark.sql(
+      """SELECT vector_maxsim(array(0.0f, 1.0f, 1.0f, 0.0f),
+        |                     array(1.0f, 0.0f, 0.0f, 1.0f), 2) AS m
+        |""".stripMargin).collect().head.getDouble(0)
+    v shouldBe 2.0
+    // a foldable expression (1+1) is fine; a column reference is not
+    spark.sql("SELECT vector_maxsim(array(1.0f, 2.0f), array(1.0f, 2.0f), 1 + 1)")
+      .collect().head.getDouble(0) shouldBe 6.0 // 1-dim slices: max(1,2)+max(2,4)
+    val e = intercept[Exception](
+      spark.sql("SELECT vector_maxsim(array(1.0f), array(1.0f), CAST(id AS INT)) FROM range(1)")
+        .collect())
+    e.getMessage should include("literal")
+  }
+
   test("split_text is callable from SQL with the full 8-arg reference call") {
     // the exact reference invocation shape
     // (generate_personalized_commands.sh:322-326)

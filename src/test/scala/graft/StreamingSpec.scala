@@ -189,6 +189,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoinStreams pairs rows inside the bound once, drops the rest") {
+    implicit val ctx = spark.sqlContext
+    val msgs = MemoryStream[(String, String, Timestamp)]
+    val resps = MemoryStream[(String, String, Timestamp)]
+    val joined = StreamingOps.intervalJoinStreams(
+      msgs.toDF.toDF("m_user", "m_text", "m_ts"),
+      resps.toDF.toDF("r_user", "r_text", "r_ts"),
+      "m_user", "r_user", "m_ts", "r_ts", within = "5 minutes")
+
+    val query = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      msgs.addData(("u1", "pricing?", ts(0)), ("u2", "integration?", ts(0)))
+      // in-bound response, out-of-bound response, wrong-user response —
+      // delivered in a LATER micro-batch than the messages (buffered
+      // stream state must hold the left side across batches)
+      resps.addData(("u1", "here is pricing", ts(3)),
+        ("u1", "too late", ts(30)), ("u3", "stranger", ts(1)))
+      query.processAllAvailable()
+      // advance both watermarks so eligible pairs are provably complete
+      msgs.addData(("zz", "flush", ts(600)))
+      resps.addData(("zz", "flush", ts(600)))
+      query.processAllAvailable()
+
+      val got = spark.table("sj_out")
+        .select($"m_user", $"m_text", $"r_text")
+        .as[(String, String, String)].collect().sorted.toSeq
+      got shouldBe Seq(("u1", "pricing?", "here is pricing"),
+        ("zz", "flush", "flush"))
+    } finally query.stop()
+  }
+
   test("trendingTerms: windowed token counts close with the watermark, state bounded to live windows") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

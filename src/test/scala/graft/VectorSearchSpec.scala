@@ -422,4 +422,33 @@ class MmrSpec extends SparkSpec {
       by(100L) shouldBe by(0L)
     }
   }
+
+  test("maxSimRerankTopK with candN >= corpus equals exact maxSimTopK") {
+    import graft.operators.SimilaritySearch
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter($"vec_id" < 4)
+    val c = emb.filter($"vec_id" >= 8)
+    val exact = SimilaritySearch.maxSimTopK(q, c, k = 5, tokens = 8, dim = 64)
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val rr = SimilaritySearch.maxSimRerankTopK(q, c, k = 5,
+        candN = Int.MaxValue, tokens = 8, dim = 64)
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    rr shouldBe exact
+    // a real candidate budget: exactly k rows per query, and every hit
+    // comes from the stage-1 pooled-cosine shortlist (no recall claim —
+    // on these random embeddings pooled cosine is independent of
+    // MaxSim, so the shortlist containment IS the two-stage contract)
+    val approx = SimilaritySearch.maxSimRerankTopK(q, c, k = 5,
+        candN = 16, tokens = 8, dim = 64)
+      .as[(Long, Long, Int, Double)].collect()
+    approx.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq shouldBe (1 to 5)
+    }
+    val short16 = graft.functions.VectorOps.bruteForceTopK(
+        q.select($"vec_id".as("qid"), $"embedding".as("qvec")),
+        c.select($"vec_id".as("nid"), $"embedding".as("nvec")),
+        16, "qid", "qvec", "nid", "nvec")
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    approx.foreach(r => short16 should contain((r._1, r._2)))
+  }
 }
