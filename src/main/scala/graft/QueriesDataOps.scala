@@ -2651,6 +2651,29 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("emb_mean_pool", (s, dir) => {
+      // chunk→doc embedding pooling: per-label mean of member vectors,
+      // L2-renormalized, flat (parent, dim, value) — one (parent,dim)
+      // aggregate + a ≤dim-rows-per-parent window; round(6) for
+      // cross-engine double-sum portability (the ivf_train convention).
+      val emb = T(s, dir, "embeddings")
+      VectorOps.meanPoolNormalized(emb, "label", "embedding")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("parent"), col("dim"))
+    }, Some("""
+      WITH d AS (SELECT label AS parent, embedding,
+                        unnest(generate_series(1, len(embedding))) AS s
+                 FROM embeddings),
+      m AS (SELECT parent, s - 1 AS dim,
+                   avg(CAST(embedding[s] AS DOUBLE)) AS mu
+            FROM d GROUP BY parent, s),
+      n AS (SELECT parent, sqrt(sum(mu * mu)) AS nrm FROM m GROUP BY parent)
+      SELECT m.parent, CAST(m.dim AS INT) AS dim,
+             round(CASE WHEN n.nrm = 0 THEN 0.0 ELSE m.mu / n.nrm END, 6)
+               AS value
+      FROM m JOIN n USING (parent)
+      ORDER BY parent, dim""")),
+
     ("ann_maxsim_rerank", (s, dir) => {
       // the ColBERT SERVING shape: pooled-vector cosine prunes to 24
       // candidates, MaxSim re-ranks the shortlist only — the late-

@@ -110,4 +110,31 @@ object VectorOps {
       .filter(col("sim") >= tau)
       .select(col(qId), col(cId), col("sim"))
   }
+
+  /** Mean-pool child embeddings into one parent embedding,
+    * L2-renormalized — the standard doc-from-chunks recipe (chunk
+    * embeddings averaged to a document vector before single-vector
+    * retrieval; also the pooled stage-1 proxy MaxSim reranking prunes
+    * with). Emitted FLAT as (parent, dim, value) — the ivfTrainStep
+    * convention: engine-portable, produced by aggregates alone, no
+    * per-group array materialization.
+    *
+    * Plan (the 100 TB shape): one explode + one (parent, dim)
+    * aggregate — map-side combinable, (parent, dim) keys don't skew —
+    * then the norm via a parent-partitioned window over the AGGREGATED
+    * frame (≤ dim rows per parent; never a second pass over the
+    * children). Zero-norm parents (all-zero children) emit 0.0. */
+  def meanPoolNormalized(df: DataFrame, parentCol: String,
+                         vecCol: String): DataFrame = {
+    val mu = df
+      .select(col(parentCol).as("parent"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("parent"), col("dim"))
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("mu"))
+    val w = Window.partitionBy(col("parent"))
+    mu.withColumn("nrm", sqrt(sum(col("mu") * col("mu")).over(w)))
+      .select(col("parent"), col("dim"),
+        when(col("nrm") === 0.0d, lit(0.0d))
+          .otherwise(col("mu") / col("nrm")).as("value"))
+  }
 }

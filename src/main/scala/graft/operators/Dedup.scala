@@ -847,7 +847,12 @@ object Dedup {
     * inclusive, one row per maximal duplicated span. */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
                       k: Int): DataFrame = {
+    // the gram table feeds BOTH the duplicate-marking aggregate and the
+    // join-back: persist it lazily so tokenize + k×md5 runs once per
+    // row, not once per consumer (the dedup_cluster_best singleScan
+    // idiom; ContextCleaner/Verify's clearCache reclaims it)
     val grams = gramStarts(df, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGh = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select(col("gh"))
@@ -891,7 +896,11 @@ object Dedup {
     val toks = split(trim(col(textCol)), "\\s+")
     val tokens = df.select(col(idCol).as("id"),
         posexplode(toks).as(Seq("tokpos", "tok")))
+    // persisted: consumed by the canonical-occurrence aggregate AND the
+    // coverage join — without it the corpus is re-tokenized and
+    // re-hashed once per consumer (see duplicatedSpans)
     val grams = gramStarts(df, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("id"), col("pos"))).as("c"))

@@ -1605,6 +1605,61 @@ object SimilaritySearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
   }
 
+  /** Index-health report for a persisted IVF-Flat index — the numbers
+    * every maintenance decision ([[compactIvfFlatIndex]] now?
+    * [[migrateIvfFlatIndex]] after drift?) reads first: cell count and
+    * row totals, replayed-duplicate rows (at-least-once appends), live
+    * tombstones, small-file pressure (files per cell), and cell
+    * imbalance (max/mean — the probe-cost skew a drifted centroid
+    * geometry shows up as). ONE payload scan feeds both aggregates;
+    * sidecar reads are metadata-sized. Returns a single row:
+    * (cells, total_rows, live_rows, dup_rows, tombstones, files,
+    * imbalance). */
+  def ivfFlatIndexReport(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tombstones =
+      if (tombDir.getFileSystem(hconf).exists(tombDir))
+        spark.read.parquet(s"$path/tombstones").distinct().count()
+      else 0L
+    val payload = spark.read.parquet(s"$path/payload")
+      .select(col("cluster"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byCell = payload.groupBy(col("cluster")).count()
+        .agg(count(lit(1)).as("cells"), sum(col("count")).as("total_rows"),
+          (max(col("count")).cast("double") /
+            avg(col("count"))).as("imbalance"))
+        .as[(Long, Long, Double)].head()
+      // replay dups: extra copies beyond the first of each content nid
+      val dupRows = payload.groupBy(col("nid")).count()
+        .filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L))).as[Long].head()
+      // live = what a dedupReplays+tombstone-masked search serves —
+      // counted exactly (a tombstoned nid may also carry dup copies,
+      // so total − dups − tombstones would double-subtract)
+      val deduped = payload.dropDuplicates("nid")
+      val live =
+        if (tombstones == 0L) deduped.count()
+        else deduped.join(
+          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+          Seq("nid"), "left_anti").count()
+      // small-file pressure via the Hadoop FS API (any filesystem)
+      val payloadDir = new org.apache.hadoop.fs.Path(s"$path/payload")
+      val fs = payloadDir.getFileSystem(hconf)
+      val it = fs.listFiles(payloadDir, true)
+      var files = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+      Seq((byCell._1, byCell._2, live, dupRows, tombstones, files,
+        byCell._3))
+        .toDF("cells", "total_rows", "live_rows", "dup_rows", "tombstones",
+          "files", "imbalance")
+    } finally payload.unpersist()
+  }
+
   /** Merge persisted IVF-Flat indexes that share one centroid set into
     * `target` — the multi-source index lifecycle op (regional builds,
     * backfill + live segments, A/B rebuilds folding into one serving

@@ -191,6 +191,43 @@ class IvfPqIndexSpec extends SparkSpec {
       SimilaritySearch.migrateIvfFlatIndex(spark, path, c2, path)
   }
 
+  test("ivfFlatIndexReport counts cells, dups, tombstones and live rows exactly") {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(concat(lit("n"), col("vec_id")).as("nid"),
+      col("embedding"))
+    val cents = emb.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-report").toString
+    SimilaritySearch.writeIvfFlatIndex(corpus, cents, path, "nid", "embedding")
+    val n = corpus.count()
+    // replayed append of 10 rows (dups) + tombstone of 2 nids, one of
+    // which ("n1") is ALSO among the duplicated rows — the
+    // double-subtraction trap the live count must avoid
+    SimilaritySearch.appendIvfFlatBatch(
+      emb.filter(col("vec_id") < 10)
+        .select(concat(lit("n"), col("vec_id")).as("nid"), col("embedding")),
+      path, "nid", "embedding")
+    SimilaritySearch.deleteFromIvfFlatIndex(spark, path, Seq("n1", "n20"))
+
+    val r = SimilaritySearch.ivfFlatIndexReport(spark, path).collect().head
+    r.getAs[Long]("cells") shouldBe 4L
+    r.getAs[Long]("total_rows") shouldBe n + 10
+    r.getAs[Long]("dup_rows") shouldBe 10L
+    r.getAs[Long]("tombstones") shouldBe 2L
+    r.getAs[Long]("live_rows") shouldBe n - 2 // dedup first, then delete
+    r.getAs[Long]("files") should be >= 4L    // base + appended segments
+    r.getAs[Double]("imbalance") should be >= 1.0
+    // after compaction the report reads clean
+    SimilaritySearch.compactIvfFlatIndex(spark, path)
+    val c = SimilaritySearch.ivfFlatIndexReport(spark, path).collect().head
+    c.getAs[Long]("dup_rows") shouldBe 0L
+    c.getAs[Long]("tombstones") shouldBe 0L
+    c.getAs[Long]("total_rows") shouldBe n - 2
+    c.getAs[Long]("live_rows") shouldBe n - 2
+    c.getAs[Long]("files") shouldBe 4L // one file per cell
+  }
+
   test("nProbeFor maps numCandidates to a conservative probe depth") {
     SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), 40) shouldBe 1
     SimilaritySearch.nProbeFor(Seq(100L, 50L, 200L), 60) shouldBe 2

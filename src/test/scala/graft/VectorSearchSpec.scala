@@ -42,6 +42,26 @@ class BroadcastStoreSpec extends AnyFunSuite with Matchers {
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("meanPoolNormalized: unit-norm means, identical children pool to their direction") {
+    val df = Seq(
+      (1, Seq(2f, 0f)), (1, Seq(4f, 0f)),      // mean (3,0) → (1,0)
+      (2, Seq(1f, 1f)), (2, Seq(3f, 3f)),      // mean (2,2) → (√½,√½)
+      (3, Seq(0f, 0f)))                        // zero norm → zeros
+      .toDF("doc", "vec")
+    val got = VectorOps.meanPoolNormalized(df, "doc", "vec")
+      .as[(Int, Int, Double)].collect().sorted.toSeq
+    got.map(_._1).distinct shouldBe Seq(1, 2, 3)
+    got.filter(_._1 == 1).map(_._3) shouldBe Seq(1.0, 0.0)
+    val s = math.sqrt(0.5)
+    got.filter(_._1 == 2).map(_._3).foreach(_ shouldBe s +- 1e-12)
+    got.filter(_._1 == 3).map(_._3) shouldBe Seq(0.0, 0.0)
+    // unit norm for every non-degenerate parent
+    Seq(1, 2).foreach { p =>
+      val n = got.filter(_._1 == p).map(v => v._3 * v._3).sum
+      n shouldBe 1.0 +- 1e-12
+    }
+  }
+
   test("cosine/dot/norm expressions match scalar math") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val Array(dot, cos, n2) = df.select(
