@@ -505,6 +505,48 @@ object Queries {
              min(event_id) AS first_event
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
+    ,
+
+    ("q10_sessionize_native", (s, dir) => {
+      // the NATIVE merging session_window in batch mode — same operator
+      // the streaming face (StreamingOps.sessionizeStream) runs, so its
+      // semantics are oracle-pinned here once for both: windows
+      // [ts, ts+gap) merge while they overlap, i.e. a new session
+      // starts iff gap >= 1800 STRICTLY-exclusive-end semantics (the
+      // lag-based q10_sessionize splits only on gap > 1800 — the two
+      // forms differ exactly at 1800-second gaps, which is why this
+      // boundary is worth a pinned oracle). Session end = last event
+      // + gap, the window-end convention.
+      val raw = T(s, dir, "events")
+      raw
+        .select(col("user_id"),
+          timestamp_seconds(tsSec(raw, "ts")).as("ts"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("session_start"),
+          unix_timestamp(col("sw.end")).as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }, Some("""
+      WITH e AS (SELECT user_id,
+                        CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+                 FROM events),
+      g AS (SELECT user_id, ts_sec,
+                   ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+                     ORDER BY ts_sec) AS gap
+            FROM e),
+      sess AS (SELECT user_id, ts_sec,
+                      sum(CASE WHEN gap IS NULL OR gap >= 1800
+                          THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_sec
+                              ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g)
+      SELECT user_id, min(ts_sec) AS session_start,
+             max(ts_sec) + 1800 AS session_end, count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
   )
 
   // =====================================================================

@@ -74,6 +74,8 @@ private[core] object GraftDdl {
 
   private val Head =
     "(?is)^CREATE\\s+(MODEL|CONNECTION|VECTOR\\s+INDEX)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
+  private val Maint =
+    "(?is)^(COMPACT|DESCRIBE)\\s+VECTOR\\s+INDEX\\s+(`[^`]+`|[\\w.$-]+)\\s*;?\\s*$".r
   private val OnClause =
     "(?is)^ON\\s+(`[^`]+`|[\\w.$-]+)\\s*\\(\\s*(`[^`]+`|[\\w.$-]+)\\s*\\)(.*)$".r
 
@@ -100,6 +102,11 @@ private[core] object GraftDdl {
   }
 
   def parse(sql: String): Option[LogicalPlan] = stripLeadingTrivia(sql) match {
+    case Maint(verb, rawName) =>
+      val name = rawName.stripPrefix("`").stripSuffix("`")
+      if (verb.equalsIgnoreCase("COMPACT"))
+        Some(CompactVectorIndexCommand(name))
+      else Some(DescribeVectorIndexCommand(name))
     case Head(kind0, rawName, rest) =>
       val kind = kind0.toUpperCase.replaceAll("\\s+", " ")
       val name = rawName.stripPrefix("`").stripSuffix("`")
@@ -330,5 +337,57 @@ case class CreateVectorIndexCommand(name: String, table: String,
     graft.store.VectorStoreRegistry.register(name,
       new graft.store.IvfFlatIndexStore(session, path, numCandidates))
     Seq.empty
+  }
+}
+
+/** `COMPACT VECTOR INDEX idx` — the SQL spelling of
+  * [[graft.operators.SimilaritySearch.compactIvfFlatIndex]] on a
+  * registered index: collapse each cell to one file, physically drop
+  * replayed duplicates and tombstoned rows, then re-register the store
+  * so its cached cellstats reflect the compacted truth (the refresh
+  * the maintenance docs prescribe). */
+case class CompactVectorIndexCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.store.VectorStoreRegistry.lookup(name) match {
+      case Some(s: graft.store.IvfFlatIndexStore) =>
+        graft.operators.SimilaritySearch
+          .compactIvfFlatIndex(session, s.indexPath)
+        graft.store.VectorStoreRegistry.register(name,
+          new graft.store.IvfFlatIndexStore(session, s.indexPath,
+            s.defaultNumCandidates))
+      case Some(_) => sys.error(
+        s"COMPACT VECTOR INDEX $name: '$name' is not a persisted index")
+      case None => sys.error(
+        s"COMPACT VECTOR INDEX $name: no such index is registered")
+    }
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE VECTOR INDEX idx` — the one-row health report
+  * ([[graft.operators.SimilaritySearch.ivfFlatIndexReport]]) of a
+  * registered index, from SQL: cells, total/live rows, replay dups,
+  * tombstones, files, imbalance. */
+case class DescribeVectorIndexCommand(name: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{DoubleType, LongType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cells", LongType)(),
+    AttributeReference("total_rows", LongType)(),
+    AttributeReference("live_rows", LongType)(),
+    AttributeReference("dup_rows", LongType)(),
+    AttributeReference("tombstones", LongType)(),
+    AttributeReference("files", LongType)(),
+    AttributeReference("imbalance", DoubleType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.store.VectorStoreRegistry.lookup(name) match {
+      case Some(s: graft.store.IvfFlatIndexStore) =>
+        graft.operators.SimilaritySearch
+          .ivfFlatIndexReport(session, s.indexPath).collect().toSeq
+      case Some(_) => sys.error(
+        s"DESCRIBE VECTOR INDEX $name: '$name' is not a persisted index")
+      case None => sys.error(
+        s"DESCRIBE VECTOR INDEX $name: no such index is registered")
+    }
   }
 }

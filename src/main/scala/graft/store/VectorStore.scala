@@ -174,6 +174,10 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
                               override val defaultNumCandidates: Int = 150)
     extends VectorStore {
 
+  /** Index root — maintenance DDL (COMPACT/DESCRIBE VECTOR INDEX)
+    * resolves the registered store back to its on-disk layout. */
+  def indexPath: String = path
+
   override lazy val size: Int = cellSizes.sum.toInt
 
   // serving-path sidecar cache: the centroid matrix is immutable for an

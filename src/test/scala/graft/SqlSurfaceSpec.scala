@@ -445,6 +445,35 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("CREATE VECTOR INDEX bad_idx2 ON svi_corpus (embedding) WITH ('cells' = '2')")
     }
     e3.getMessage should include("missing required option 'path'")
+
+    // ---- maintenance DDL over the index just built ----
+    // DESCRIBE: one clean health row
+    val d0 = spark.sql("DESCRIBE VECTOR INDEX svi_test").collect().head
+    d0.getAs[Long]("cells") shouldBe 4L
+    d0.getAs[Long]("total_rows") shouldBe 60L
+    d0.getAs[Long]("dup_rows") shouldBe 0L
+    // replay an append so the report shows dups, then COMPACT clears it
+    val s0 = VectorStoreRegistry.get("svi_test").asInstanceOf[IvfFlatIndexStore]
+    val replay = spark.createDataFrame(corpus.take(5))
+      .toDF("document_id", "chunks", "embedding")
+      .select(
+        graft.store.VectorStores.chunkKey("document_id", "chunks").as("__nid"),
+        org.apache.spark.sql.functions.col("document_id"),
+        org.apache.spark.sql.functions.col("chunks"),
+        org.apache.spark.sql.functions.col("embedding"))
+    graft.operators.SimilaritySearch.appendIvfFlatBatch(
+      replay, s0.indexPath, "__nid", "embedding",
+      Seq("document_id", "chunks"))
+    spark.sql("DESCRIBE VECTOR INDEX svi_test").collect()
+      .head.getAs[Long]("dup_rows") shouldBe 5L
+    spark.sql("COMPACT VECTOR INDEX svi_test")
+    val d2 = spark.sql("DESCRIBE VECTOR INDEX svi_test").collect().head
+    d2.getAs[Long]("dup_rows") shouldBe 0L
+    d2.getAs[Long]("total_rows") shouldBe 60L
+    d2.getAs[Long]("files") shouldBe 4L // one file per cell post-compact
+    // unknown / non-index names raise pointedly
+    intercept[Exception](spark.sql("COMPACT VECTOR INDEX no_such_idx"))
+      .getMessage should include("no such index")
   }
 
   test("vector_search_diverse over a persisted index rewrites to the pruned join + bounded MMR re-rank") {
