@@ -507,6 +507,97 @@ object Queries {
       ORDER BY user_id, session_id"""))
     ,
 
+    ("q17_rolling_anomaly", (s, dir) => {
+      // per-series rolling statistics + anomaly flag — the telemetry
+      // monitoring face of the events stream: trailing-20-row mean and
+      // sample stddev of `value` per user (PRECEDING-only frame, so the
+      // flagged row never sees itself), z-score rounded to 6dp BEFORE
+      // the 3σ compare so the keep/drop decision is identical across
+      // engines (the radiusSearch rounding convention). One shuffle on
+      // user_id; frames are bounded (20 rows), state O(frame).
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val frame = byUser.rowsBetween(-20, -1)
+      val raw = T(s, dir, "events")
+      raw
+        .select(col("user_id"), col("event_id"), col("value"),
+          tsSec(raw, "ts").as("ts_sec"))
+        .withColumn("mu", avg(col("value")).over(frame))
+        .withColumn("sd", stddev_samp(col("value")).over(frame))
+        .withColumn("z",
+          when(col("sd").isNull || col("sd") === 0.0d, lit(null))
+            .otherwise(round((col("value") - col("mu")) / col("sd"), 6)))
+        .filter(col("z") >= 3.0d)
+        .select(col("user_id"), col("event_id"), round(col("mu"), 6).as("mu"),
+          col("z"))
+        .orderBy(col("user_id"), col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+                        CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+                 FROM events),
+      r AS (SELECT user_id, event_id, value,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sd
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT user_id, event_id, mu,
+                   CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                        ELSE round((value - mu) / sd, 6) END AS z
+            FROM r)
+      SELECT user_id, event_id, round(mu, 6) AS mu, z
+      FROM z WHERE z >= 3.0
+      ORDER BY user_id, event_id""")),
+
+    ("q18_resample_ffill", (s, dir) => {
+      // time-series RESAMPLING: each user's event stream downsampled to
+      // one-HOUR bins (last value in the bin wins, ties to the larger
+      // event_id), missing bins GENERATED (sequence explode bounded by
+      // the user's own span) and forward-filled with last(ignoreNulls)
+      // — the gap-fill every telemetry/feature-store pipeline runs
+      // before joining series. One shuffle on user_id; per-user
+      // windows bounded by the user's span.
+      val raw = T(s, dir, "events")
+      val e = raw.select(col("user_id"), col("event_id"),
+        col("value"), (tsSec(raw, "ts") / 3600).cast("long").as("bin"))
+      val wB = Window.partitionBy(col("user_id"), col("bin"))
+        .orderBy(col("event_id").desc)
+      val binLast = e.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("bin"), col("value"))
+      val spans = e.groupBy(col("user_id"))
+        .agg(min(col("bin")).as("b0"), max(col("bin")).as("b1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"))).as("bin"))
+      val wF = Window.partitionBy(col("user_id")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(binLast, Seq("user_id", "bin"), "left")
+        .withColumn("filled",
+          last(col("value"), ignoreNulls = true).over(wF))
+        .select(col("user_id"), col("bin"), col("filled"))
+        .orderBy(col("user_id"), col("bin"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+                        CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT)
+                          AS bin
+                 FROM events),
+      lastv AS (SELECT user_id, bin, value FROM (
+                  SELECT user_id, bin, value, row_number() OVER (
+                    PARTITION BY user_id, bin ORDER BY event_id DESC) AS rn
+                  FROM e) WHERE rn = 1),
+      spans AS (SELECT user_id, min(bin) AS b0, max(bin) AS b1
+                FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bin
+               FROM spans),
+      j AS (SELECT g.user_id, g.bin, lastv.value
+            FROM grid g LEFT JOIN lastv
+              ON lastv.user_id = g.user_id AND lastv.bin = g.bin)
+      SELECT user_id, bin,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS filled
+      FROM j ORDER BY user_id, bin""")),
+
     ("q10_sessionize_native", (s, dir) => {
       // the NATIVE merging session_window in batch mode — same operator
       // the streaming face (StreamingOps.sessionizeStream) runs, so its

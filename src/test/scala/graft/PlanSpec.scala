@@ -357,4 +357,19 @@ class PlanSpec extends SparkSpec {
     // Window.orderBy would show Exchange SinglePartition feeding Window
     p should not include "SinglePartition"
   }
+
+  test("rolling anomaly stats: per-user windows, never a single global sort partition") {
+    val p = plan("q17_rolling_anomaly")
+    p should include("Window")
+    "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq.distinct shouldBe Seq("user_id")
+  }
+
+  test("resample+ffill: equi-joins on (user, bin) only — no cartesian grid") {
+    val p = plan("q18_resample_ffill")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the fill window partitions on the series key, never globally
+    p should not include "SinglePartition"
+  }
 }
