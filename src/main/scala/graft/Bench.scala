@@ -234,18 +234,31 @@ object Bench {
           docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
           "text", "doc_id", k = 8, w = 4).count()
       }
+      // span removal: the heaviest NEW family of round 12 — gram table
+      // ~40n rows, one gh aggregate + one gh join + coverage explode.
+      // Aggregate over EVERY output column: a bare count() would let
+      // Catalyst prune the md5-rebuild aggregates and time only the
+      // group shuffle.
+      val (spanSec, spanRows) = timed {
+        import spark.implicits._
+        Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8)
+          .agg(sum(length(col("clean_md5")).cast("long") +
+            col("n_kept") + col("n_removed"))).as[Long].head()
+      }
       docs.unpersist()
-      (inRows, altSec, comps, contSec, hits)
+      (inRows, altSec, comps, contSec, hits, spanSec, spanRows)
     }
     def exp(a: Double, b: Double): Double =
       math.log(b / a) / math.log(out(1)._1.toDouble / out(0)._1)
-    val rows = out.map { case (n, a, ac, c, cc) =>
+    val rows = out.map { case (n, a, ac, c, cc, s, sc) =>
       s"""{"rows":$n,"altstar_sec":$a,"altstar_rows":$ac,""" +
-        s""""contamination_sec":$c,"contamination_rows":$cc}"""
+        s""""contamination_sec":$c,"contamination_rows":$cc,""" +
+        s""""span_sec":$s,"span_checksum":$sc}"""
     }.mkString("[", ",", "]")
     s"""{"metric":"scale_probe","points":$rows,""" +
       s""""altstar_exponent":${exp(out(0)._2, out(1)._2)},""" +
-      s""""contamination_exponent":${exp(out(0)._4, out(1)._4)}}"""
+      s""""contamination_exponent":${exp(out(0)._4, out(1)._4)},""" +
+      s""""span_exponent":${exp(out(0)._6, out(1)._6)}}"""
   }
 
   def main(args: Array[String]): Unit = {
