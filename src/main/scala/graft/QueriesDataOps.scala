@@ -679,6 +679,64 @@ object QueriesDataOps {
 
   val curation: Seq[(String, Q, Option[String])] = Seq(
 
+    ("curate_prep_e2e", (s, dir) => {
+      // the COMPOSED ingest-prep path, hash-checked end to end:
+      // Unicode-hygiene normalize (NFC + control strip + whitespace
+      // collapse; combining marks/controls injected by the
+      // text_normalize convention so NFC is load-bearing in the output
+      // md5) → canonical-fingerprint dedup over the duplicated corpus
+      // (exact copies AND case/whitespace variants collapse, min
+      // doc_id survives) → token-budget chunk stats (the 40/30
+      // token-window chunker's count formula). One md5-keyed dedup
+      // shuffle; everything else per-row.
+      val dirty0 = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+      val dirty = dirty0.withColumn("t", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" café"))
+          .when(col("doc_id") % 4 === 1, lit("  näive  x"))
+          .when(col("doc_id") % 4 === 2, lit(" xy\tz"))
+          .otherwise(lit(""))))
+      val normed = dirty.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("t")).as("norm"))
+      val w = Window.partitionBy(TextAnalysis.fingerprint(col("norm")))
+        .orderBy(col("doc_id").asc)
+      val toks = split(trim(col("norm")), "\\s+")
+      normed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          size(toks).cast("int").as("n_tokens"),
+          greatest(lit(1), ceil((size(toks) - 40).cast("double") / 30.0d)
+            .cast("int") + 1).as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $dwdSql,
+      dirty AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+               WHEN doc_id % 4 = 1 THEN '  na' || chr(776) || 'ive  x'
+               WHEN doc_id % 4 = 2 THEN ' x' || chr(7) || 'y' || chr(9) || 'z'
+               ELSE '' END AS t
+        FROM dwd),
+      normed AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                 '[\\x00-\\x08\\x0B\\x0E-\\x1F]', '', 'g'),
+                 '\\s+', ' ', 'g')) AS norm
+        FROM dirty),
+      fp AS (SELECT doc_id, norm,
+                    row_number() OVER (PARTITION BY
+                      md5(trim(regexp_replace(regexp_replace(lower(norm),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' '))
+                      ORDER BY doc_id) AS rn
+             FROM normed),
+      kept AS (SELECT doc_id, norm,
+                      string_split_regex(trim(norm), '\\s+') AS toks
+               FROM fp WHERE rn = 1)
+      SELECT doc_id, md5(norm) AS norm_md5,
+             CAST(len(toks) AS INT) AS n_tokens,
+             greatest(1, CAST(ceil((len(toks) - 40) / 30.0) AS INT) + 1)
+               AS n_chunks
+      FROM kept ORDER BY doc_id""")),
+
     ("curate_corpus", (s, dir) => {
       // the composed training-data flow: exact dedup → language
       // allowlist → quality floor → token band, every surviving row

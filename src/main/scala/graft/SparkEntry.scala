@@ -78,7 +78,7 @@ object SparkEntry {
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
     "curate_split", "curate_shuffle_shard", "curate_length_buckets",
     "curate_dsir_score",
-    "curate_quality_lr", "curate_incremental",
+    "curate_quality_lr", "curate_incremental", "curate_prep_e2e",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
     "mm_arrow_roundtrip",
     "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",

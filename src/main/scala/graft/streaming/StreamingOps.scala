@@ -108,6 +108,65 @@ object StreamingOps {
       }
   }
 
+  /** One time-series point for [[rollingAnomalyState]]. */
+  final case class SeriesPoint(seriesId: Long, eventId: Long,
+                               tsSec: Long, value: Double)
+  /** A flagged anomaly: z-score of `value` against the trailing window
+    * that PRECEDED it. */
+  final case class AnomalyHit(seriesId: Long, eventId: Long,
+                              tsSec: Long, value: Double, z: Double)
+
+  /** Streaming per-series rolling anomaly detection — the streaming
+    * face of q17_rolling_anomaly, as EXPLICIT operator state: per
+    * series, a bounded deque of the last `window` values; each arriving
+    * point is z-scored against the deque as it stood BEFORE the point
+    * (the batch form's PRECEDING-only frame) and emitted when
+    * round(z, 6) ≥ `sigma`. State is `window` doubles per ACTIVE
+    * series — O(active series), independent of stream length.
+    *
+    * Ordering contract: points are folded in (tsSec, eventId) order
+    * WITHIN each micro-batch (so intra-batch order is event-time
+    * deterministic); across batches the fold follows arrival order,
+    * the standard stateful-streaming tradeoff — a point arriving a
+    * batch late scores against a window that already absorbed newer
+    * points. Where perfect event-time frames matter, run the batch
+    * form over the landed data; this face is the low-latency monitor.
+    * StreamingSpec pins in-order parity with the batch query. */
+  def rollingAnomalyState(ds: Dataset[SeriesPoint], window: Int = 20,
+                          sigma: Double = 3.0): Dataset[AnomalyHit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.seriesId)
+      .flatMapGroupsWithState[Seq[Double], AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, points, state: GroupState[Seq[Double]]) =>
+          var tail = state.getOption.getOrElse(Seq.empty)
+          val hits = points.toSeq.sortBy(p => (p.tsSec, p.eventId))
+            .flatMap { p =>
+              val hit =
+                if (tail.length < 2) None
+                else {
+                  val mu = tail.sum / tail.length
+                  val varS = tail.map(x => (x - mu) * (x - mu)).sum /
+                    (tail.length - 1)
+                  val sd = math.sqrt(varS)
+                  if (sd == 0.0) None
+                  else {
+                    val z = BigDecimal((p.value - mu) / sd)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    if (z >= sigma)
+                      Some(AnomalyHit(p.seriesId, p.eventId, p.tsSec,
+                        p.value, z))
+                    else None
+                  }
+                }
+              tail = (tail :+ p.value).takeRight(window)
+              hit
+            }
+          state.update(tail)
+          hits.iterator
+      }
+  }
+
   /** Trending terms: per event-time window, token counts over the
     * message stream — the streaming face of the heavy-hitter family
     * (operators.HeavyHitters is the batch/exact form). Watermarked

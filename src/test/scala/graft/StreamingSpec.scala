@@ -189,6 +189,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rollingAnomalyState matches the batch PRECEDING-frame recipe on in-order input") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // two series of noise with planted spikes; delivered across TWO
+    // micro-batches so the deque state must carry
+    val pts = (0 until 120).map { i =>
+      val series = i % 2
+      val v = if (i == 80 || i == 95) 40.0 + i else rnd.nextGaussian()
+      StreamingOps.SeriesPoint(series.toLong, i.toLong, 1000L + i, v)
+    }
+    val input = MemoryStream[StreamingOps.SeriesPoint]
+    val hits = StreamingOps.rollingAnomalyState(input.toDS(), window = 20)
+    val query = hits.writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").option("checkpointLocation", checkpoint()).start()
+    try {
+      val (b1, b2) = pts.splitAt(60)
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val got = spark.table("anom_out")
+        .select($"seriesId", $"eventId", $"z")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+
+      // batch reference: the q17 recipe (PRECEDING-only 20-row frame,
+      // sample stddev, round-then-compare) over the same rows
+      val byS = Window.partitionBy($"seriesId")
+        .orderBy($"tsSec", $"eventId").rowsBetween(-20, -1)
+      val expected = pts.toDS().toDF()
+        .withColumn("mu", avg($"value").over(byS))
+        .withColumn("sd", stddev_samp($"value").over(byS))
+        .withColumn("z", when($"sd".isNull || $"sd" === 0.0, lit(null))
+          .otherwise(round(($"value" - $"mu") / $"sd", 6)))
+        .filter($"z" >= 3.0)
+        .select($"seriesId", $"eventId", $"z")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      got shouldBe expected
+      got.map(_._2).toSet should contain allOf (80L, 95L) // the spikes
+    } finally query.stop()
+  }
+
   test("intervalJoinStreams pairs rows inside the bound once, drops the rest") {
     implicit val ctx = spark.sqlContext
     val msgs = MemoryStream[(String, String, Timestamp)]
