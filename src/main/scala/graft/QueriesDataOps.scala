@@ -1164,6 +1164,44 @@ object QueriesDataOps {
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    ("curate_split_leakage_safe", (s, dir) => {
+      // LEAKAGE-SAFE train/val/test split: the well-known eval hazard
+      // is a near-duplicate pair straddling train and test (Lee et al.
+      // 2022 §6 measure it inflating benchmark scores) — a per-doc hash
+      // split cannot prevent it. Here the split KEY is the near-dup
+      // CLUSTER label (minhash LSH pairs → connected components; min
+      // member id), so every member of a cluster lands in the same
+      // band by construction; singletons key on themselves, keeping
+      // the curate_split distribution. Same md5 band encoding as
+      // curate_split ('v1:' seed, 0.8/0.1/0.1).
+      val docs = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          shingleN = 3, bands = 4, rowsPerBand = 3))
+      val labeled = docs.join(comp.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("split_key"))
+      graft.pipeline.CurationPipeline.hashSplit(labeled,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          idCol = "split_key", seed = "v1")
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $minhashCandSql,
+      $compChainSql,
+      lab AS (SELECT d.doc_id,
+                     coalesce(c.comp, d.doc_id) AS split_key
+              FROM dwd d LEFT JOIN comp c ON c.id = d.doc_id)
+      SELECT doc_id, split_key,
+             CASE WHEN md5('v1:' || CAST(split_key AS VARCHAR)) <
+                       'cccccccc000000000000000000000000' THEN 'train'
+                  WHEN md5('v1:' || CAST(split_key AS VARCHAR)) <
+                       'e6666666000000000000000000000000' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lab ORDER BY doc_id""")),
+
     ("curate_incremental", (s, dir) => {
       // incremental curation: annotate the OLD snapshot once, then
       // process only the delta of the NEW one (added/changed groups

@@ -79,6 +79,7 @@ object SparkEntry {
     "curate_split", "curate_shuffle_shard", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental", "curate_prep_e2e",
+    "curate_split_leakage_safe",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
     "mm_arrow_roundtrip",
     "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",

@@ -569,4 +569,28 @@ class LengthBucketSpec extends SparkSpec {
     rows.length should be <= 11
     rows.map(_.getLong(0)).toSeq shouldBe rows.map(_.getLong(0)).toSeq.sorted
   }
+
+  test("leakage-safe split keeps every near-dup cluster in one band; naive split would not") {
+    val rows = graft.SparkEntry.queries("curate_split_leakage_safe")(
+        spark, "/root/testdata/sf0.001")
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    // structural guarantee: one split per split_key
+    rows.groupBy(_._2).values.foreach(g =>
+      g.map(_._3).distinct.length shouldBe 1)
+    // the guard is load-bearing: real clusters exist (key ≠ own id
+    // somewhere), and the per-doc hash split WOULD have separated at
+    // least one of those clusters' members
+    val clustered = rows.filter(r => r._1 != r._2)
+    clustered should not be empty
+    def naiveBand(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h < "cccccccc000000000000000000000000") "train"
+      else if (h < "e6666666000000000000000000000000") "val" else "test"
+    }
+    val naiveSplitsPerCluster = rows.groupBy(_._2).values
+      .map(g => g.map(r => naiveBand(r._1)).distinct.length)
+    naiveSplitsPerCluster.max should be > 1
+  }
 }
