@@ -598,6 +598,59 @@ object Queries {
                ROWS UNBOUNDED PRECEDING) AS filled
       FROM j ORDER BY user_id, bin""")),
 
+    ("q19_rollup", (s, dir) => {
+      // multi-level aggregation in ONE pass: ROLLUP over
+      // (returnflag, linestatus) emits leaf rows, per-flag subtotals
+      // and the grand total with a grouping_id disambiguator — the
+      // OLAP cube family without re-scanning per level (Spark expands
+      // to a single Expand + one aggregate; partial agg preserved).
+      // Sums CAST to BIGINT pennies pre-aggregation: double-sum
+      // ordering can't flip the hash and DuckDB's HUGEINT stays exact.
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             count(*) AS n_rows,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+               AS INT) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    ("q20_pivot", (s, dir) => {
+      // PIVOT: order counts per customer-priority row, statuses spread
+      // to columns — one groupBy with conditional aggregates after
+      // Catalyst lowers the pivot (no join, no second scan); the
+      // explicit value list keeps the output schema static, the
+      // requirement for a deterministic 100 TB job (an unlisted pivot
+      // needs a driver-side distinct scan first).
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
     ("q10_sessionize_native", (s, dir) => {
       // the NATIVE merging session_window in batch mode — same operator
       // the streaming face (StreamingOps.sessionizeStream) runs, so its

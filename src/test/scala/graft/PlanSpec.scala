@@ -365,6 +365,20 @@ class PlanSpec extends SparkSpec {
       .map(_.group(1)).toSeq.distinct shouldBe Seq("user_id")
   }
 
+  test("rollup runs as one Expand + one aggregate over a single scan — no per-level rescans") {
+    val p = plan("q19_rollup")
+    p should include("Expand")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+    p should include("HashAggregate") // partial agg survives the expand
+    p should not include "Join"
+  }
+
+  test("pivot lowers to conditional aggregates: one scan, no join, static schema") {
+    val p = plan("q20_pivot")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
   test("resample+ffill: equi-joins on (user, bin) only — no cartesian grid") {
     val p = plan("q18_resample_ffill")
     p should not include "CartesianProduct"
