@@ -690,10 +690,14 @@ object QueriesDataOps {
       // token-window chunker's count formula). One md5-keyed dedup
       // shuffle; everything else per-row.
       val dirty0 = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+      // explicit \u escapes: the marks MUST be decomposed (e + U+0301)
+      // and the BEL literal present, or NFC and the control strip stop
+      // being load-bearing (a precomposed literal would pass even with
+      // a broken normalizer — the source-encoding trap a review caught)
       val dirty = dirty0.withColumn("t", concat(col("text"),
-        when(col("doc_id") % 4 === 0, lit(" café"))
-          .when(col("doc_id") % 4 === 1, lit("  näive  x"))
-          .when(col("doc_id") % 4 === 2, lit(" xy\tz"))
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 4 === 1, lit("  na\u0308ive  x"))
+          .when(col("doc_id") % 4 === 2, lit(" x\u0007y\tz"))
           .otherwise(lit(""))))
       val normed = dirty.select(col("doc_id"),
         TextAnalysis.normalizeText(col("t")).as("norm"))
@@ -1363,6 +1367,26 @@ object QueriesDataOps {
              round(avg(quality), 4) AS mean_quality
       FROM v GROUP BY verdict ORDER BY verdict"""))
   )
+
+  /** Shared oracle CTE chain replaying [[SimilaritySearch.sliceNormalize]]
+    * over the maxsim query/corpus split (8 tokens × 8 dims): ends with
+    * an `nm(vec_id, t, nsub)` relation of unit-normalized token slices.
+    * Spliced by BOTH MaxSim oracles so the normalization contract stays
+    * one text (the dwdSql/compChainSql convention). */
+  private lazy val maxsimSliceNormSql: String = """
+      ts AS (SELECT unnest(generate_series(0, 7)) AS t),
+      sl AS (SELECT vec_id, t, embedding[t*8+1 : t*8+8] AS sub
+             FROM embeddings CROSS JOIN ts
+             WHERE vec_id < 8 OR vec_id >= 32),
+      nr AS (SELECT vec_id, t, sub,
+                    sqrt(list_sum(list_transform(sub, x ->
+                      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+             FROM sl),
+      nm AS (SELECT vec_id, t,
+                    CASE WHEN n = 0 THEN sub
+                         ELSE list_transform(sub, x ->
+                           CAST(CAST(x AS DOUBLE) / n AS REAL)) END AS nsub
+             FROM nr)"""
 
   val similarity: Seq[(String, Q, Option[String])] = Seq(
 
@@ -2719,20 +2743,8 @@ object QueriesDataOps {
           emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 32),
           k = 5, tokens = 8, dim = 64)
         .orderBy(col("qid"), col("rank"))
-    }, Some("""
-      WITH ts AS (SELECT unnest(generate_series(0, 7)) AS t),
-      sl AS (SELECT vec_id, t, embedding[t*8+1 : t*8+8] AS sub
-             FROM embeddings CROSS JOIN ts
-             WHERE vec_id < 8 OR vec_id >= 32),
-      nr AS (SELECT vec_id, t, sub,
-                    sqrt(list_sum(list_transform(sub, x ->
-                      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
-             FROM sl),
-      nm AS (SELECT vec_id, t,
-                    CASE WHEN n = 0 THEN sub
-                         ELSE list_transform(sub, x ->
-                           CAST(CAST(x AS DOUBLE) / n AS REAL)) END AS nsub
-             FROM nr),
+    }, Some(s"""
+      WITH $maxsimSliceNormSql,
       pd AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.t,
                     max(list_sum(list_transform(generate_series(1, 8), i ->
                       CAST(q.nsub[i] AS DOUBLE) * CAST(c.nsub[i] AS DOUBLE))))
@@ -2780,7 +2792,7 @@ object QueriesDataOps {
           emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 32),
           k = 5, candN = 24, tokens = 8, dim = 64)
         .orderBy(col("qid"), col("rank"))
-    }, Some("""
+    }, Some(s"""
       WITH pre AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
                           list_cosine_similarity(q.embedding::DOUBLE[],
                             c.embedding::DOUBLE[]) AS psim
@@ -2790,19 +2802,7 @@ object QueriesDataOps {
                  SELECT *, row_number() OVER (PARTITION BY qid
                    ORDER BY psim DESC, nid ASC) AS pr FROM pre)
                WHERE pr <= 24),
-      ts AS (SELECT unnest(generate_series(0, 7)) AS t),
-      sl AS (SELECT vec_id, t, embedding[t*8+1 : t*8+8] AS sub
-             FROM embeddings CROSS JOIN ts
-             WHERE vec_id < 8 OR vec_id >= 32),
-      nr AS (SELECT vec_id, t, sub,
-                    sqrt(list_sum(list_transform(sub, x ->
-                      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
-             FROM sl),
-      nm AS (SELECT vec_id, t,
-                    CASE WHEN n = 0 THEN sub
-                         ELSE list_transform(sub, x ->
-                           CAST(CAST(x AS DOUBLE) / n AS REAL)) END AS nsub
-             FROM nr),
+      $maxsimSliceNormSql,
       pd AS (SELECT cand.qid, cand.nid, q.t,
                     max(list_sum(list_transform(generate_series(1, 8), i ->
                       CAST(q.nsub[i] AS DOUBLE) * CAST(c.nsub[i] AS DOUBLE))))

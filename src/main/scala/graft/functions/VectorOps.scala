@@ -130,7 +130,10 @@ object VectorOps {
       .select(col(parentCol).as("parent"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("parent"), col("dim"))
-      .agg((sum(col("x").cast("double")) / count(lit(1))).as("mu"))
+      // avg, not sum/count: a NULL array element must shrink the
+      // divisor too (sum skips NULLs, count(lit(1)) would not — the
+      // oracle's avg() divides by the non-null count)
+      .agg(avg(col("x").cast("double")).as("mu"))
     val w = Window.partitionBy(col("parent"))
     mu.withColumn("nrm", sqrt(sum(col("mu") * col("mu")).over(w)))
       .select(col("parent"), col("dim"),

@@ -747,14 +747,28 @@ object SimilaritySearch {
     require(tokens > 0 && dim % tokens == 0,
       s"dim=$dim must be a multiple of tokens=$tokens")
     val sub = dim / tokens
-    flatten(transform(sequence(lit(0), lit(tokens - 1)), t => {
-      val sl = slice(vec, t * sub + 1, lit(sub))
-      val nrm = sqrt(aggregate(sl, lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double")))
-      transform(sl, x =>
-        when(nrm === 0.0d, x)
-          .otherwise((x.cast("double") / nrm).cast("float")))
-    }))
+    // a wrong-length vector would silently shift EVERY slice (the
+    // MaxSim kernel derives sub from the actual length) — garbage
+    // scores, not an error; fail the row instead
+    val checked = when(size(vec) === dim, vec).otherwise(raise_error(
+      concat(lit(s"sliceNormalize: expected a $dim-dim vector, got "),
+        size(vec).cast("string"), lit(" dims"))))
+    // two HOF passes so the norm aggregate runs ONCE PER SLICE: the
+    // struct materializes (slice, norm) values in pass 1, and pass 2's
+    // per-element lambda only reads the bound struct fields — a single
+    // `val nrm` referenced inside the inner lambda would re-inline the
+    // whole aggregate subtree into every element (O(sub²) per token;
+    // Catalyst does not CSE across lambda bodies)
+    val withNorm = transform(sequence(lit(0), lit(tokens - 1)), t => {
+      val sl = slice(checked, t * sub + 1, lit(sub))
+      struct(sl.as("sl"),
+        sqrt(aggregate(sl, lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    })
+    flatten(transform(withNorm, s =>
+      transform(s.getField("sl"), x =>
+        when(s.getField("nrm") === 0.0d, x)
+          .otherwise((x.cast("double") / s.getField("nrm")).cast("float")))))
   }
 
   /** ColBERT-style late-interaction top-k (Khattab & Zaharia SIGIR'20):
@@ -1592,6 +1606,24 @@ object SimilaritySearch {
     payloadWriter(payload.repartition(col("cluster")))
       .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/payload.compact")
+    // cellstats from the STAGED dir, before the swap: after the swap
+    // the pre-swap lazy frame would re-read a deleted path, and a
+    // fully-emptied index leaves the staged dir without parquet files
+    // (no schema to infer) — compaction must still complete, writing
+    // zero-row cellstats
+    val staged0 =
+      try spark.read.parquet(s"$path/payload.compact")
+        .groupBy(col("cluster")).count()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("cluster", IntegerType),
+              StructField("count", LongType))))
+      }
+    staged0.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/cellstats.compact")
     val live = hPath(s"$path/payload")
     val staged = hPath(s"$path/payload.compact")
     val retired = hPath(s"$path/payload.old")
@@ -1600,9 +1632,9 @@ object SimilaritySearch {
     fs.rename(staged, live)
     fs.delete(retired, true)
     if (fs.exists(tombDir)) fs.delete(tombDir, true)
-    spark.read.parquet(s"$path/payload")
-      .groupBy(col("cluster")).count()
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+    val statsLive = hPath(s"$path/cellstats")
+    if (fs.exists(statsLive)) fs.delete(statsLive, true)
+    fs.rename(hPath(s"$path/cellstats.compact"), statsLive)
   }
 
   /** Index-health report for a persisted IVF-Flat index — the numbers
@@ -1624,14 +1656,29 @@ object SimilaritySearch {
       if (tombDir.getFileSystem(hconf).exists(tombDir))
         spark.read.parquet(s"$path/tombstones").distinct().count()
       else 0L
-    val payload = spark.read.parquet(s"$path/payload")
-      .select(col("cluster"), col("nid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a fully-emptied index (every row deleted, then compacted) leaves
+    // a payload directory with NO parquet files — schema inference
+    // fails, and the health report is exactly the diagnostic someone
+    // runs against such an index, so read it as empty instead
+    val payload = (try spark.read.parquet(s"$path/payload")
+        .select(col("cluster"), col("nid"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("cluster", IntegerType),
+              StructField("nid", StringType))))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // coalesce every aggregate: an EMPTY payload (all rows deleted,
+      // then compacted away) must report zeros, not NPE on a
+      // null-valued non-nullable decode
       val byCell = payload.groupBy(col("cluster")).count()
-        .agg(count(lit(1)).as("cells"), sum(col("count")).as("total_rows"),
-          (max(col("count")).cast("double") /
-            avg(col("count"))).as("imbalance"))
+        .agg(count(lit(1)).as("cells"),
+          coalesce(sum(col("count")), lit(0L)).as("total_rows"),
+          coalesce(max(col("count")).cast("double") /
+            avg(col("count")), lit(0.0d)).as("imbalance"))
         .as[(Long, Long, Double)].head()
       // replay dups: extra copies beyond the first of each content nid
       val dupRows = payload.groupBy(col("nid")).count()

@@ -226,6 +226,15 @@ class IvfPqIndexSpec extends SparkSpec {
     c.getAs[Long]("total_rows") shouldBe n - 2
     c.getAs[Long]("live_rows") shouldBe n - 2
     c.getAs[Long]("files") shouldBe 4L // one file per cell
+    // delete EVERYTHING, compact: the report must read zeros, not NPE
+    val allNids = spark.read.parquet(s"$path/payload")
+      .select(col("nid")).as[String].collect().toSeq
+    SimilaritySearch.deleteFromIvfFlatIndex(spark, path, allNids)
+    SimilaritySearch.compactIvfFlatIndex(spark, path)
+    val z = SimilaritySearch.ivfFlatIndexReport(spark, path).collect().head
+    z.getAs[Long]("total_rows") shouldBe 0L
+    z.getAs[Long]("live_rows") shouldBe 0L
+    z.getAs[Double]("imbalance") shouldBe 0.0
   }
 
   test("nProbeFor maps numCandidates to a conservative probe depth") {

@@ -443,6 +443,17 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("sliceNormalize fails loudly on a wrong-length vector instead of shifting slices") {
+    import graft.operators.SimilaritySearch
+    val bad = Seq((1L, Array.fill(15)(1f)), (2L, Array.fill(16)(1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(SimilaritySearch.sliceNormalize($"embedding", 4, 16))
+        .collect()
+    }
+    e.getMessage should include("expected a 16-dim vector, got 15")
+  }
+
   test("maxSimRerankTopK with candN >= corpus equals exact maxSimTopK") {
     import graft.operators.SimilaritySearch
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
