@@ -651,6 +651,38 @@ object Queries {
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")),
 
+    ("q21_unpivot", (s, dir) => {
+      // UNPIVOT (melt): the three lineitem measures spread into
+      // (measure, value) rows — the wide→long reshape feeding any
+      // per-metric aggregation; Catalyst lowers it to one Expand over a
+      // single scan (the rollup machinery, no join, no union of
+      // rescans). Values CAST to pennies/hundredths BIGINT so the
+      // long format stays hash-portable.
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") * 100).cast("long").as("quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+          round(col("l_discount") * 100).cast("long").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "v")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }, Some("""
+      WITH base AS (SELECT l_orderkey, l_linenumber,
+                           CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+                           CAST(round(l_discount * 100) AS BIGINT) AS d
+                    FROM lineitem WHERE l_orderkey % 50 = 0)
+      SELECT l_orderkey, l_linenumber, measure, v FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, q AS v
+        FROM base
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', e FROM base
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', d FROM base)
+      ORDER BY l_orderkey, l_linenumber, measure""")),
+
     ("q10_sessionize_native", (s, dir) => {
       // the NATIVE merging session_window in batch mode — same operator
       // the streaming face (StreamingOps.sessionizeStream) runs, so its

@@ -921,6 +921,32 @@ object QueriesDataOps {
       FROM ranked WHERE rank <= 5 ORDER BY source, rank"""
     }),
 
+    ("curate_quality_deciles", (s, dir) => {
+      // curriculum/difficulty bucketing: per-SOURCE quality deciles via
+      // ntile(10) — the "train on easy first / mix by difficulty band"
+      // assignment, WITHOUT a global sort (the window partitions on
+      // source; a corpus-wide ntile would funnel through one
+      // partition). Quality rounded before ordering, ties to doc_id —
+      // the curate_best_per_source conventions.
+      val q = round(TextAnalysis.qualityScore(col("text")), 6)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), q.as("q"))
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .select(col("doc_id"), col("source"), col("q").as("quality"),
+          col("decile"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      s"""
+      WITH ${qualityFSql("documents", "source, ")},
+      sc AS (SELECT doc_id, source, $qualityQSql AS q FROM f)
+      SELECT doc_id, source, q AS quality,
+             CAST(ntile(10) OVER (PARTITION BY source
+               ORDER BY q DESC, doc_id ASC) AS INT) AS decile
+      FROM sc ORDER BY doc_id"""
+    }),
+
     ("curate_pack", (s, dir) => {
       // sequence packing into 512-token bins, per source — running-sum
       // window in (source, doc_id) order; docs bin where they start.

@@ -42,7 +42,7 @@ object SparkEntry {
     "q01_agg_summary", "q03_join_broadcast", "q04_join_multi",
     "q05_semi_join", "q07_window_topk_group", "q10_sessionize",
     "q10_sessionize_native", "q17_rolling_anomaly", "q18_resample_ffill",
-    "q19_rollup", "q20_pivot",
+    "q19_rollup", "q20_pivot", "q21_unpivot",
     "q12_shipping_priority", "q13_asof_join", "q14_range_join",
     "q16_percentiles_approx",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
@@ -80,7 +80,7 @@ object SparkEntry {
     "curate_split", "curate_shuffle_shard", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental", "curate_prep_e2e",
-    "curate_split_leakage_safe",
+    "curate_split_leakage_safe", "curate_quality_deciles",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
     "mm_arrow_roundtrip",
     "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",

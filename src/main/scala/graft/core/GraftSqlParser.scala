@@ -75,7 +75,7 @@ private[core] object GraftDdl {
   private val Head =
     "(?is)^CREATE\\s+(MODEL|CONNECTION|VECTOR\\s+INDEX)\\s+(`[^`]+`|[\\w.$-]+)(.*)$".r
   private val Maint =
-    "(?is)^(COMPACT|DESCRIBE)\\s+VECTOR\\s+INDEX\\s+(`[^`]+`|[\\w.$-]+)\\s*;?\\s*$".r
+    "(?is)^(COMPACT|DESCRIBE|DROP)\\s+VECTOR\\s+INDEX\\s+(`[^`]+`|[\\w.$-]+)\\s*;?\\s*$".r
   private val OnClause =
     "(?is)^ON\\s+(`[^`]+`|[\\w.$-]+)\\s*\\(\\s*(`[^`]+`|[\\w.$-]+)\\s*\\)(.*)$".r
 
@@ -106,6 +106,8 @@ private[core] object GraftDdl {
       val name = rawName.stripPrefix("`").stripSuffix("`")
       if (verb.equalsIgnoreCase("COMPACT"))
         Some(CompactVectorIndexCommand(name))
+      else if (verb.equalsIgnoreCase("DROP"))
+        Some(DropVectorIndexCommand(name))
       else Some(DescribeVectorIndexCommand(name))
     case Head(kind0, rawName, rest) =>
       val kind = kind0.toUpperCase.replaceAll("\\s+", " ")
@@ -389,5 +391,28 @@ case class DescribeVectorIndexCommand(name: String) extends LeafRunnableCommand 
       case None => sys.error(
         s"DESCRIBE VECTOR INDEX $name: no such index is registered")
     }
+  }
+}
+
+/** `DROP VECTOR INDEX idx` — unregister the store and delete its
+  * on-disk layout (payload/codes + sidecars under the index root).
+  * Serving through the name fails immediately after; the lateral
+  * vector_search rewrite rule no longer resolves it. Unknown names
+  * raise (a typo must not silently "succeed"). */
+case class DropVectorIndexCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.store.VectorStoreRegistry.lookup(name) match {
+      case Some(s: graft.store.IvfFlatIndexStore) =>
+        val p = new org.apache.hadoop.fs.Path(s.indexPath)
+        val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        graft.store.VectorStoreRegistry.unregister(name)
+      case Some(_) =>
+        // a non-persisted (in-memory) store: nothing on disk to delete
+        graft.store.VectorStoreRegistry.unregister(name)
+      case None => sys.error(
+        s"DROP VECTOR INDEX $name: no such index is registered")
+    }
+    Seq.empty
   }
 }

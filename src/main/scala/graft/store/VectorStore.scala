@@ -58,6 +58,9 @@ object VectorStoreRegistry {
   /** Non-throwing form for planner rules that probe whether a name is
     * registered (and as what) without committing to resolution. */
   def lookup(name: String): Option[VectorStore] = stores.get(name)
+  /** Remove one registration (DROP VECTOR INDEX); returns whether the
+    * name was registered. On-disk artifacts are the caller's to delete. */
+  def unregister(name: String): Boolean = stores.remove(name).isDefined
   def clear(): Unit = stores.clear()
 }
 

@@ -379,6 +379,19 @@ class PlanSpec extends SparkSpec {
     p should not include "Join"
   }
 
+  test("unpivot lowers to one Expand over a single scan — no union of rescans") {
+    val p = plan("q21_unpivot")
+    p should include("Expand")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
+  test("quality deciles: ntile windows partition on source, never a global sort") {
+    val p = plan("curate_quality_deciles")
+    p should include("ntile")
+    p should not include "SinglePartition"
+  }
+
   test("resample+ffill: equi-joins on (user, bin) only — no cartesian grid") {
     val p = plan("q18_resample_ffill")
     p should not include "CartesianProduct"

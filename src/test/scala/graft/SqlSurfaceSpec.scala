@@ -474,6 +474,12 @@ class SqlSurfaceSpec extends SparkSpec {
     // unknown / non-index names raise pointedly
     intercept[Exception](spark.sql("COMPACT VECTOR INDEX no_such_idx"))
       .getMessage should include("no such index")
+    // DROP: registration gone, on-disk layout gone, re-DROP raises
+    spark.sql("DROP VECTOR INDEX svi_test")
+    VectorStoreRegistry.lookup("svi_test") shouldBe None
+    new java.io.File(s0.indexPath).exists() shouldBe false
+    intercept[Exception](spark.sql("DROP VECTOR INDEX svi_test"))
+      .getMessage should include("no such index")
   }
 
   test("vector_search_diverse over a persisted index rewrites to the pruned join + bounded MMR re-rank") {
