@@ -651,6 +651,33 @@ object Queries {
       FROM orders GROUP BY o_orderpriority
       ORDER BY o_orderpriority""")),
 
+    ("q22_grouping_sets", (s, dir) => {
+      // arbitrary GROUPING SETS — the margin combination ROLLUP cannot
+      // express: per-flag totals, per-status totals, and the grand
+      // total, WITHOUT the leaf rows (one Expand over one scan emits
+      // exactly the requested sets; a UNION of three aggregates would
+      // rescan three times). grouping_id disambiguates the NULLs.
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
+             count(*) AS n_rows,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+               AS INT) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY gid, l_returnflag, l_linestatus""")),
+
     ("q21_unpivot", (s, dir) => {
       // UNPIVOT (melt): the three lineitem measures spread into
       // (measure, value) rows — the wide→long reshape feeding any

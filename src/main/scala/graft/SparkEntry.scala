@@ -42,7 +42,7 @@ object SparkEntry {
     "q01_agg_summary", "q03_join_broadcast", "q04_join_multi",
     "q05_semi_join", "q07_window_topk_group", "q10_sessionize",
     "q10_sessionize_native", "q17_rolling_anomaly", "q18_resample_ffill",
-    "q19_rollup", "q20_pivot", "q21_unpivot",
+    "q19_rollup", "q20_pivot", "q21_unpivot", "q22_grouping_sets",
     "q12_shipping_priority", "q13_asof_join", "q14_range_join",
     "q16_percentiles_approx",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
