@@ -39,9 +39,15 @@ object ArrowIpc {
     new Field("source", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)))
 
   /** Encode (media_id, content, source) rows into ONE Arrow IPC file's
-    * bytes — a single record batch; the per-partition unit of
-    * [[toShards]]. */
-  def encode(rows: Seq[(Long, Array[Byte], String)]): Array[Byte] = {
+    * bytes, chunked into record batches of `batchRows` — real Arrow
+    * files are multi-batch (the record batch is the mmap/scan unit;
+    * HuggingFace datasets writes ~1000-row batches so a reader never
+    * materializes a shard at once), and a multi-batch writer keeps this
+    * encoder's memory bounded by the batch, not the partition. The
+    * per-partition unit of [[toShards]]. */
+  def encode(rows: Seq[(Long, Array[Byte], String)],
+             batchRows: Int = 1024): Array[Byte] = {
+    require(batchRows > 0, s"invalid batchRows=$batchRows")
     val allocator = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
@@ -49,20 +55,24 @@ object ArrowIpc {
         val ids = root.getVector("media_id").asInstanceOf[BigIntVector]
         val contents = root.getVector("content").asInstanceOf[VarBinaryVector]
         val sources = root.getVector("source").asInstanceOf[VarCharVector]
-        root.allocateNew()
-        rows.zipWithIndex.foreach { case ((id, content, source), i) =>
-          ids.setSafe(i, id)
-          if (content == null) contents.setNull(i)
-          else contents.setSafe(i, content)
-          if (source == null) sources.setNull(i)
-          else sources.setSafe(i, source.getBytes("UTF-8"))
-        }
-        root.setRowCount(rows.length)
         val out = new java.io.ByteArrayOutputStream()
         val writer = new ArrowFileWriter(root, null,
           java.nio.channels.Channels.newChannel(out))
         try {
-          writer.start(); writer.writeBatch(); writer.end()
+          writer.start()
+          rows.grouped(batchRows).foreach { batch =>
+            root.allocateNew()
+            batch.zipWithIndex.foreach { case ((id, content, source), i) =>
+              ids.setSafe(i, id)
+              if (content == null) contents.setNull(i)
+              else contents.setSafe(i, content)
+              if (source == null) sources.setNull(i)
+              else sources.setSafe(i, source.getBytes("UTF-8"))
+            }
+            root.setRowCount(batch.length)
+            writer.writeBatch()
+          }
+          writer.end()
         } finally writer.close()
         out.toByteArray
       } finally root.close()

@@ -39,6 +39,22 @@ class ArrowIpcSpec extends SparkSpec {
     }
   }
 
+  test("multi-batch files round-trip: decode walks every record batch in order") {
+    val rows = (0 until 2500).map(i =>
+      (i.toLong, Array(i.toByte, (i >> 8).toByte), s"s$i"))
+    // batchRows 1000 → 3 record batches (1000/1000/500)
+    val bytes = ArrowIpc.encode(rows, batchRows = 1000)
+    val got = ArrowIpc.decode(bytes)
+    got.length shouldBe 2500
+    got.map(_._1) shouldBe rows.map(_._1) // order preserved across batches
+    got.zip(rows).foreach { case ((_, gc, gs), (_, ec, es)) =>
+      gc.toSeq shouldBe ec.toSeq; gs shouldBe es
+    }
+    // single-batch and multi-batch encodings carry identical content
+    ArrowIpc.decode(ArrowIpc.encode(rows, batchRows = Int.MaxValue))
+      .map(_._1) shouldBe got.map(_._1)
+  }
+
   test("garbage and truncated bytes yield no rows, never a crash") {
     ArrowIpc.decode(null) shouldBe Seq.empty
     ArrowIpc.decode(Array.empty[Byte]) shouldBe Seq.empty
