@@ -398,7 +398,8 @@ case class DescribeVectorIndexCommand(name: String) extends LeafRunnableCommand 
   * on-disk layout (payload/codes + sidecars under the index root).
   * Serving through the name fails immediately after; the lateral
   * vector_search rewrite rule no longer resolves it. Unknown names
-  * raise (a typo must not silently "succeed"). */
+  * raise (a typo must not silently "succeed"), and non-persisted
+  * registrations are refused like COMPACT/DESCRIBE do. */
 case class DropVectorIndexCommand(name: String) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     graft.store.VectorStoreRegistry.lookup(name) match {
@@ -407,9 +408,13 @@ case class DropVectorIndexCommand(name: String) extends LeafRunnableCommand {
         val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
         graft.store.VectorStoreRegistry.unregister(name)
-      case Some(_) =>
-        // a non-persisted (in-memory) store: nothing on disk to delete
-        graft.store.VectorStoreRegistry.unregister(name)
+      case Some(_) => sys.error(
+        // refusing like COMPACT/DESCRIBE: "dropping" a broadcast store
+        // or a remote Atlas index here would only remove the local
+        // registration while the user believes the index is gone —
+        // unregister programmatically if that is really the intent
+        s"DROP VECTOR INDEX $name: '$name' is not a persisted index " +
+          "(unregister it via VectorStoreRegistry if intended)")
       case None => sys.error(
         s"DROP VECTOR INDEX $name: no such index is registered")
     }

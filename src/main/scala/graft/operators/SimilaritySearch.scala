@@ -749,10 +749,15 @@ object SimilaritySearch {
     val sub = dim / tokens
     // a wrong-length vector would silently shift EVERY slice (the
     // MaxSim kernel derives sub from the actual length) — garbage
-    // scores, not an error; fail the row instead
-    val checked = when(size(vec) === dim, vec).otherwise(raise_error(
-      concat(lit(s"sliceNormalize: expected a $dim-dim vector, got "),
-        size(vec).cast("string"), lit(" dims"))))
+    // scores, not an error; fail the row instead. NULL vectors keep
+    // propagating as NULL (they rank last / filter out downstream,
+    // the vector-ops convention) — without the explicit first branch
+    // they'd fall into raise_error with a NULL-collapsed message.
+    val checked = when(vec.isNull, vec)
+      .when(size(vec) === dim, vec)
+      .otherwise(raise_error(
+        concat(lit(s"sliceNormalize: expected a $dim-dim vector, got "),
+          size(vec).cast("string"), lit(" dims"))))
     // two HOF passes so the norm aggregate runs ONCE PER SLICE: the
     // struct materializes (slice, norm) values in pass 1, and pass 2's
     // per-element lambda only reads the bound struct fields — a single
@@ -1487,7 +1492,18 @@ object SimilaritySearch {
     // built ONCE (file listing + schema resolution amortized across
     // searches, the sidecars pattern); partition pruning still applies
     // per call through the filter below
-    val raw0 = payloadFrame.getOrElse(spark.read.parquet(s"$path/payload"))
+    // an emptied-then-compacted index must serve ZERO hits, not crash
+    // on schema inference (payload col types degrade to string in that
+    // zero-row edge — harmless with no rows to carry them)
+    val rawSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(StructField("nid", StringType),
+        StructField("nvec", ArrayType(FloatType)),
+        StructField("cluster", IntegerType)) ++
+        payloadCols.map(c => StructField(c, StringType)))
+    }
+    val raw0 = payloadFrame
+      .getOrElse(readParquetOrEmpty(spark, s"$path/payload", rawSchema))
       .filter(col("cluster").isin(probed: _*))
     // metadata pre-filter BEFORE dedup/tombstones/scoring: Catalyst
     // pushes it into the parquet scan next to the partition filter
@@ -1586,6 +1602,27 @@ object SimilaritySearch {
     * delete). The rewrite stages through `payload.compact` then swaps
     * directories, so a crash mid-compact leaves the original payload
     * intact. */
+  /** Read a parquet directory, or — ONLY when it exists but holds no
+    * parquet files (a fully-emptied index after compaction; schema
+    * inference has nothing to read) — synthesize an empty frame with
+    * the given column layout. Any other AnalysisException (missing
+    * path, unreadable files) propagates: a typo'd path must stay a
+    * pointed error, never a confidently-empty result. Shared by the
+    * compact / report / search paths so the fallback cannot drift.
+    * In the empty case caller-defined payload column TYPES degrade to
+    * the provided defaults — harmless at zero rows. */
+  private[graft] def readParquetOrEmpty(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      emptySchema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    }
+
   def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1611,30 +1648,33 @@ object SimilaritySearch {
     // fully-emptied index leaves the staged dir without parquet files
     // (no schema to infer) — compaction must still complete, writing
     // zero-row cellstats
-    val staged0 =
-      try spark.read.parquet(s"$path/payload.compact")
+    locally {
+      import org.apache.spark.sql.types._
+      readParquetOrEmpty(spark, s"$path/payload.compact",
+        StructType(Seq(StructField("cluster", IntegerType),
+          StructField("nid", StringType))))
         .groupBy(col("cluster")).count()
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          import org.apache.spark.sql.types._
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("cluster", IntegerType),
-              StructField("count", LongType))))
-      }
-    staged0.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/cellstats.compact")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/cellstats.compact")
+    }
+    // renames CHECKED: Hadoop rename returns false instead of throwing
+    // on object-store backends — a silent false here would strand the
+    // index mid-swap with no error
+    def renamed(from: org.apache.hadoop.fs.Path,
+                to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to),
+        s"compactIvfFlatIndex: rename $from -> $to failed")
     val live = hPath(s"$path/payload")
     val staged = hPath(s"$path/payload.compact")
     val retired = hPath(s"$path/payload.old")
     if (fs.exists(retired)) fs.delete(retired, true)
-    fs.rename(live, retired)
-    fs.rename(staged, live)
+    renamed(live, retired)
+    renamed(staged, live)
     fs.delete(retired, true)
     if (fs.exists(tombDir)) fs.delete(tombDir, true)
     val statsLive = hPath(s"$path/cellstats")
     if (fs.exists(statsLive)) fs.delete(statsLive, true)
-    fs.rename(hPath(s"$path/cellstats.compact"), statsLive)
+    renamed(hPath(s"$path/cellstats.compact"), statsLive)
   }
 
   /** Index-health report for a persisted IVF-Flat index — the numbers
@@ -1659,17 +1699,16 @@ object SimilaritySearch {
     // a fully-emptied index (every row deleted, then compacted) leaves
     // a payload directory with NO parquet files — schema inference
     // fails, and the health report is exactly the diagnostic someone
-    // runs against such an index, so read it as empty instead
-    val payload = (try spark.read.parquet(s"$path/payload")
+    // runs against such an index, so read it as empty instead (other
+    // read failures still propagate — see readParquetOrEmpty)
+    val payload = {
+      import org.apache.spark.sql.types._
+      readParquetOrEmpty(spark, s"$path/payload",
+        StructType(Seq(StructField("cluster", IntegerType),
+          StructField("nid", StringType))))
         .select(col("cluster"), col("nid"))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          import org.apache.spark.sql.types._
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("cluster", IntegerType),
-              StructField("nid", StringType))))
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       // coalesce every aggregate: an EMPTY payload (all rows deleted,
       // then compacted away) must report zeros, not NPE on a

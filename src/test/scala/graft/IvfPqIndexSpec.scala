@@ -235,6 +235,17 @@ class IvfPqIndexSpec extends SparkSpec {
     z.getAs[Long]("total_rows") shouldBe 0L
     z.getAs[Long]("live_rows") shouldBe 0L
     z.getAs[Double]("imbalance") shouldBe 0.0
+    // serving the emptied index: zero hits, never a schema crash
+    SimilaritySearch.searchIvfFlatIndex(spark, path,
+      emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      k = 3, numCandidates = Int.MaxValue, "qid", "qvec")
+      .count() shouldBe 0L
+    // a WRONG path stays a pointed error — never a confidently-empty
+    // report
+    an[Exception] should be thrownBy
+      SimilaritySearch.ivfFlatIndexReport(spark, s"$path-no-such-dir")
+        .collect()
   }
 
   test("nProbeFor maps numCandidates to a conservative probe depth") {
