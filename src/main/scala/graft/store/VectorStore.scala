@@ -218,7 +218,23 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
     * maintenance (append/delete/compact/merge) call [[refreshStats]] —
     * it re-pins against the new state — or never pin at all. */
   def pinPayload(): this.type = {
-    payloadCache = spark.read.parquet(s"$path/payload"); this
+    // same empty-index tolerance as the search path: a fully-emptied
+    // compacted index pins a zero-row frame instead of failing schema
+    // inference
+    payloadCache = graft.operators.SimilaritySearch.readParquetOrEmpty(
+      spark, s"$path/payload", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("document_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("chunks",
+          org.apache.spark.sql.types.StringType))))
+    this
   }
   /** Drop the cached cellstats (call after upserts/compaction/merge so
     * the probe-depth mapping sees the new counts); a pinned payload
