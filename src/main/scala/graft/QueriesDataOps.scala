@@ -1338,6 +1338,28 @@ object QueriesDataOps {
             FROM k)
       SELECT doc_id, pos, pos // 64 AS shard FROM r ORDER BY doc_id""")),
 
+    ("curate_shard_manifest", (s, dir) => {
+      // reproducibility audit: per-shard doc count, token total and
+      // position-ordered content digest over the seeded-shuffle shards
+      // — equal manifests ⇒ byte-equal training input. Groups bounded
+      // by shardSize (64), so the digest concat is bounded too.
+      graft.pipeline.CurationPipeline.shardManifest(
+          T(s, dir, "documents"), shardSize = 64, seed = "42")
+        .orderBy(col("shard"))
+    }, Some("""
+      WITH k AS (SELECT doc_id, text,
+                        md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+                 FROM documents),
+      r AS (SELECT doc_id, text,
+                   CAST(row_number() OVER (ORDER BY skey, doc_id) - 1
+                     AS BIGINT) AS pos
+            FROM k)
+      SELECT pos // 64 AS shard, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+               AS BIGINT) AS total_tokens,
+             md5(string_agg(md5(text), '' ORDER BY pos)) AS content_md5
+      FROM r GROUP BY pos // 64 ORDER BY shard""")),
+
     ("curate_jsonl_roundtrip", (s, dir) => {
       // JSONL export/import — the training-data interchange format: docs
       // serialized one JSON object per line (to_json over a struct),

@@ -557,6 +557,31 @@ object CurationPipeline {
       .select(col("doc_id"), col("pos"), col("shard"))
   }
 
+  /** Shard MANIFEST — the reproducibility audit of a training run's
+    * input: per output shard of [[seededShuffleShard]], the doc count,
+    * token total, and a content digest (md5 over the shard's per-doc
+    * md5s concatenated in position order). Re-run after any rebuild:
+    * equal manifests ⇒ byte-equal training input, a differing shard row
+    * pinpoints WHERE a "reproducible" pipeline drifted. Plan shape: the
+    * shard assignment's bucket-rollup machinery + one doc_id equi-join
+    * + a shard-keyed aggregate whose groups are bounded by shardSize —
+    * the digest concat never exceeds 32·shardSize chars per group. */
+  def shardManifest(docs: DataFrame, shardSize: Long, seed: String = "0",
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val shards = seededShuffleShard(docs, shardSize, seed, idCol)
+    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .join(shards, Seq("doc_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("h")))),
+          x => x.getField("h")), "")).as("content_md5"))
+  }
+
   /** Incremental curation — the daily-delta shape of [[annotate]]: a
     * 100 TB corpus is annotated ONCE, then each snapshot re-annotates
     * only the slice the delta can affect and carries every other

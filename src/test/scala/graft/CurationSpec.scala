@@ -570,6 +570,27 @@ class LengthBucketSpec extends SparkSpec {
     rows.map(_.getLong(0)).toSeq shouldBe rows.map(_.getLong(0)).toSeq.sorted
   }
 
+  test("shard manifest: equal across rebuilds, a one-doc drift flags exactly its shard") {
+    import graft.pipeline.CurationPipeline
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select($"doc_id", $"text")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      CurationPipeline.shardManifest(d, shardSize = 32, seed = "7")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val m1 = manifest(docs)
+    manifest(docs) shouldBe m1 // deterministic across independent runs
+    m1.map(_._2).sum shouldBe docs.count()
+    // drift one doc's text: shard assignment (id-keyed) is unchanged,
+    // so EXACTLY one shard's digest (and token total) moves
+    val drifted = docs.withColumn("text",
+      when($"doc_id" === 17L, concat($"text", lit(" drifted")))
+        .otherwise($"text"))
+    val m2 = manifest(drifted)
+    m2.map(_._1) shouldBe m1.map(_._1)
+    m1.zip(m2).count { case (a, b) => a._4 != b._4 } shouldBe 1
+  }
+
   test("leakage-safe split keeps every near-dup cluster in one band; naive split would not") {
     val rows = graft.SparkEntry.queries("curate_split_leakage_safe")(
         spark, "/root/testdata/sf0.001")
