@@ -2807,6 +2807,24 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("emb_safetensors_roundtrip", (s, dir) => {
+      // safetensors sharding round-trip — the HF tensor-interchange
+      // format an embedding corpus ships to training in: per shard one
+      // F32 [n,64] matrix + I64 ids, u64-LE header length + JSON
+      // header. Raw IEEE bytes, so every float must come back
+      // BIT-exact: compared flat (vec_id, dim, value) against the
+      // source table, no rounding anywhere.
+      import graft.io.SafeTensors
+      val emb = T(s, dir, "embeddings")
+      SafeTensors.fromShards(SafeTensors.toShards(emb))
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "value")))
+        .orderBy(col("vec_id"), col("dim"))
+    }, Some("""
+      SELECT vec_id, CAST(s - 1 AS INT) AS dim, embedding[s] AS value
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(s)
+      ORDER BY vec_id, dim""")),
+
     ("emb_mean_pool", (s, dir) => {
       // chunk→doc embedding pooling: per-label mean of member vectors,
       // L2-renormalized, flat (parent, dim, value) — one (parent,dim)

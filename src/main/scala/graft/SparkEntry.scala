@@ -64,7 +64,7 @@ object SparkEntry {
     "ann_ivfpq_index",
     "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
     "ann_matryoshka_topk", "ann_maxsim_topk", "ann_maxsim_rerank",
-    "ann_filtered_topk", "emb_mean_pool",
+    "ann_filtered_topk", "emb_mean_pool", "emb_safetensors_roundtrip",
     "ann_ivfpq_opq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
