@@ -1338,6 +1338,67 @@ object QueriesDataOps {
             FROM k)
       SELECT doc_id, pos, pos // 64 AS shard FROM r ORDER BY doc_id""")),
 
+    ("curate_profile", (s, dir) => {
+      // single-pass column profile of the orders drop — nulls,
+      // distincts, min/max per column from ONE aggregate (exact
+      // multi-distinct = the oracle/audit form; approx_count_distinct
+      // is the 100 TB default). Portability prep: money as DECIMAL
+      // pennies, timestamps as epoch seconds — long/string stringify
+      // identically across engines, raw double/timestamp strings
+      // do not.
+      val o = T(s, dir, "orders")
+      val prepared = o.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        Queries.tsSec(o, "o_orderdate").as("date_sec"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      graft.pipeline.CurationPipeline.profileColumns(prepared,
+          Seq("o_orderkey", "o_custkey", "price_cents", "date_sec",
+            "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column"))
+    }, Some("""
+      WITH p AS (SELECT o_orderkey, o_custkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS price_cents,
+                        CAST(floor(date_part('epoch', o_orderdate))
+                          AS BIGINT) AS date_sec,
+                        o_orderstatus, o_orderpriority
+                 FROM orders),
+      u AS (
+        SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM p
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               CAST(count(*) - count(o_custkey) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR) FROM p
+        UNION ALL
+        SELECT 'price_cents', count(*),
+               CAST(count(*) - count(price_cents) AS BIGINT),
+               CAST(count(DISTINCT price_cents) AS BIGINT),
+               CAST(min(price_cents) AS VARCHAR),
+               CAST(max(price_cents) AS VARCHAR) FROM p
+        UNION ALL
+        SELECT 'date_sec', count(*),
+               CAST(count(*) - count(date_sec) AS BIGINT),
+               CAST(count(DISTINCT date_sec) AS BIGINT),
+               CAST(min(date_sec) AS VARCHAR),
+               CAST(max(date_sec) AS VARCHAR) FROM p
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus), max(o_orderstatus) FROM p
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(count(*) - count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority) FROM p)
+      SELECT * FROM u ORDER BY "column" """)),
+
     ("curate_shard_manifest", (s, dir) => {
       // reproducibility audit: per-shard doc count, token total and
       // position-ordered content digest over the seeded-shuffle shards

@@ -77,7 +77,7 @@ object SparkEntry {
     "curate_contamination_report", "curate_boilerplate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix", "curate_temperature_mix",
     "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
-    "curate_split", "curate_shuffle_shard", "curate_shard_manifest", "curate_length_buckets",
+    "curate_split", "curate_shuffle_shard", "curate_shard_manifest", "curate_profile", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental", "curate_prep_e2e",
     "curate_split_leakage_safe", "curate_quality_deciles",

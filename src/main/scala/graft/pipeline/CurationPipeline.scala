@@ -557,6 +557,36 @@ object CurationPipeline {
       .select(col("doc_id"), col("pos"), col("shard"))
   }
 
+  /** Single-pass COLUMN PROFILE — the ingest data-quality report every
+    * pipeline runs before trusting a new drop: per column, row count,
+    * null count, distinct count, and min/max (as strings — the
+    * caller prepares portable casts; longs and strings stringify
+    * identically everywhere, doubles/timestamps should be cast to
+    * fixed-point/epoch first). ONE scan: all columns' aggregates ride
+    * one aggregate node (the multi-distinct runs as Catalyst's Expand
+    * — n_cols copies of each row map-side, the standard exact
+    * single-pass shape); `exactDistinct = false` swaps in HLL
+    * approx_count_distinct and drops the Expand — the 100 TB default,
+    * exact is the oracle/audit form. */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: no columns")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"), col(s"__mx_$c").as("max_val"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+  }
+
   /** Shard MANIFEST — the reproducibility audit of a training run's
     * input: per output shard of [[seededShuffleShard]], the doc count,
     * token total, and a content digest (md5 over the shard's per-doc

@@ -570,6 +570,32 @@ class LengthBucketSpec extends SparkSpec {
     rows.map(_.getLong(0)).toSeq shouldBe rows.map(_.getLong(0)).toSeq.sorted
   }
 
+  test("profileColumns: exact stats with planted nulls, one scan, approx mode close") {
+    import graft.pipeline.CurationPipeline
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("a")), (5L, None)).toDF("id", "s")
+    val byCol = CurationPipeline.profileColumns(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    byCol("id").getLong(1) shouldBe 5L
+    byCol("id").getLong(2) shouldBe 0L
+    byCol("id").getLong(3) shouldBe 5L
+    (byCol("id").getString(4), byCol("id").getString(5)) shouldBe ("1", "5")
+    byCol("s").getLong(2) shouldBe 2L  // nulls
+    byCol("s").getLong(3) shouldBe 2L  // distinct non-null
+    (byCol("s").getString(4), byCol("s").getString(5)) shouldBe ("a", "b")
+    // single pass: one aggregate subtree, no join, no union of rescans
+    val plan = CurationPipeline.profileColumns(df, Seq("id", "s"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Union"
+    plan should not include "Join"
+    // approx mode still lands near the exact counts on tiny data
+    val approx = CurationPipeline.profileColumns(df, Seq("id"),
+        exactDistinct = false)
+      .collect().head.getLong(3)
+    approx shouldBe 5L +- 1L
+  }
+
   test("shard manifest: equal across rebuilds, a one-doc drift flags exactly its shard") {
     import graft.pipeline.CurationPipeline
     import org.apache.spark.sql.functions.{concat, lit, when}
