@@ -21,10 +21,9 @@ import org.apache.spark.sql.types._
   * Header JSON via the Jackson that Spark itself ships. */
 object SafeTensors {
 
-  private def mapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m
-  }
+  // ObjectMapper is expensive to build and thread-safe for reads —
+  // one per JVM, reused by every decode
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Encode (id, vec) rows into one safetensors blob: `embeddings` F32
     * [n, d] + `ids` I64 [n]. Rows must share one dimensionality (the
@@ -44,6 +43,12 @@ object SafeTensors {
         s""""ids":{"dtype":"I64","shape":[$n],""" +
         s""""data_offsets":[$embBytes,${embBytes + idBytes}]}}"""
     val hb = header.getBytes("UTF-8")
+    // a JVM byte[] caps a shard at 2 GB — fail with the remedy rather
+    // than let the Int truncation surface as a cryptic allocate error
+    require(8L + hb.length + embBytes + idBytes <= Int.MaxValue,
+      s"safetensors shard too large (${embBytes + idBytes} tensor " +
+        "bytes > 2GB buffer cap): repartition the frame finer before " +
+        "toShards")
     val buf = java.nio.ByteBuffer
       .allocate(8 + hb.length + (embBytes + idBytes).toInt)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -72,14 +77,25 @@ object SafeTensors {
       if (emb == null || ids == null) return Seq.empty
       require(emb.get("dtype").asText == "F32" &&
         ids.get("dtype").asText == "I64", "unexpected dtypes")
-      val n = emb.get("shape").get(0).asLong.toInt
-      val d = emb.get("shape").get(1).asLong.toInt
-      require(ids.get("shape").get(0).asLong.toInt == n, "shape mismatch")
+      // validate shapes BEFORE trusting them in offset arithmetic: a
+      // negative or >Int dim would otherwise make 4L*n*d wrap/shrink,
+      // pass the buffer check, and fabricate rows — the policy is that
+      // anything malformed yields NO rows
+      val nL = emb.get("shape").get(0).asLong
+      val dL = emb.get("shape").get(1).asLong
+      require(nL >= 0 && nL <= Int.MaxValue && dL >= 0 &&
+        dL <= Int.MaxValue, "shape out of range")
+      val n = nL.toInt
+      val d = dL.toInt
+      require(ids.get("shape").get(0).asLong == nL, "shape mismatch")
       val base = 8 + hlen.toInt
-      val eOff = emb.get("data_offsets").get(0).asLong.toInt
-      val iOff = ids.get("data_offsets").get(0).asLong.toInt
-      require(base + eOff + 4L * n * d <= bytes.length &&
-        base + iOff + 8L * n <= bytes.length, "offsets past buffer")
+      val eOffL = emb.get("data_offsets").get(0).asLong
+      val iOffL = ids.get("data_offsets").get(0).asLong
+      require(eOffL >= 0 && iOffL >= 0, "negative offset")
+      val eOff = eOffL.toInt
+      val iOff = iOffL.toInt
+      require(base + eOffL + 4L * n * d <= bytes.length &&
+        base + iOffL + 8L * n <= bytes.length, "offsets past buffer")
       (0 until n).map { r =>
         val vec = Array.tabulate(d)(c =>
           bb.getFloat(base + eOff + 4 * (r * d + c)))

@@ -1495,13 +1495,7 @@ object SimilaritySearch {
     // an emptied-then-compacted index must serve ZERO hits, not crash
     // on schema inference (payload col types degrade to string in that
     // zero-row edge — harmless with no rows to carry them)
-    val rawSchema = {
-      import org.apache.spark.sql.types._
-      StructType(Seq(StructField("nid", StringType),
-        StructField("nvec", ArrayType(FloatType)),
-        StructField("cluster", IntegerType)) ++
-        payloadCols.map(c => StructField(c, StringType)))
-    }
+    val rawSchema = rawPayloadSchema(payloadCols)
     val raw0 = payloadFrame
       .getOrElse(readParquetOrEmpty(spark, s"$path/payload", rawSchema))
       .filter(col("cluster").isin(probed: _*))
@@ -1611,6 +1605,18 @@ object SimilaritySearch {
     * compact / report / search paths so the fallback cannot drift.
     * In the empty case caller-defined payload column TYPES degrade to
     * the provided defaults — harmless at zero rows. */
+  /** The IVF-flat payload frame's schema for the zero-file fallback —
+    * THE single definition, shared by the search path and the store's
+    * payload pin so the two cannot drift. */
+  private[graft] def rawPayloadSchema(payloadCols: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("nid", StringType),
+      StructField("nvec", ArrayType(FloatType)),
+      StructField("cluster", IntegerType)) ++
+      payloadCols.map(c => StructField(c, StringType)))
+  }
+
   private[graft] def readParquetOrEmpty(
       spark: org.apache.spark.sql.SparkSession, path: String,
       emptySchema: org.apache.spark.sql.types.StructType)

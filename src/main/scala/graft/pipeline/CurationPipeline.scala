@@ -572,7 +572,9 @@ object CurationPipeline {
                      exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profileColumns: no columns")
     val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      // count(*)-count(col): yields 0 (not NULL) on an empty frame —
+      // the oracle's own form
+      Seq((count(lit(1)) - count(col(c))).as(s"__nn_$c"),
         (if (exactDistinct) countDistinct(col(c))
          else approx_count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
@@ -595,15 +597,22 @@ object CurationPipeline {
     * pinpoints WHERE a "reproducible" pipeline drifted. Plan shape: the
     * shard assignment's bucket-rollup machinery + one doc_id equi-join
     * + a shard-keyed aggregate whose groups are bounded by shardSize —
-    * the digest concat never exceeds 32·shardSize chars per group. */
+    * the digest concat never exceeds 32·shardSize chars per group.
+    * Ids must be UNIQUE (at most one null): the join-back from the
+    * shard assignment is id-keyed, so a duplicated id — null or not —
+    * would cross-match. The null-safe join keeps a single null-id doc
+    * (which [[seededShuffleShard]] deliberately positions) in its
+    * shard's digest and count. */
   def shardManifest(docs: DataFrame, shardSize: Long, seed: String = "0",
                     idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val shards = seededShuffleShard(docs, shardSize, seed, idCol)
+      .withColumnRenamed("doc_id", "__sid")
     docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
-        size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0)))
+        graft.functions.TextAnalysis.tokenCount(col(textCol))
           .cast("long").as("n_tokens"))
-      .join(shards, Seq("doc_id"))
+      .join(shards, col("doc_id") <=> col("__sid"))
+      .drop("__sid")
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

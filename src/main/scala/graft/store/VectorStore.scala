@@ -220,29 +220,21 @@ final class IvfFlatIndexStore(spark: SparkSession, path: String,
   def pinPayload(): this.type = {
     // same empty-index tolerance as the search path: a fully-emptied
     // compacted index pins a zero-row frame instead of failing schema
-    // inference
+    // inference; the schema comes from the search path's own
+    // constructor so the two cannot drift
     payloadCache = graft.operators.SimilaritySearch.readParquetOrEmpty(
-      spark, s"$path/payload", org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("nid",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("nvec",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("document_id",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("chunks",
-          org.apache.spark.sql.types.StringType))))
+      spark, s"$path/payload",
+      graft.operators.SimilaritySearch.rawPayloadSchema(
+        Seq("document_id", "chunks")))
     this
   }
   /** Drop the cached cellstats (call after upserts/compaction/merge so
     * the probe-depth mapping sees the new counts); a pinned payload
-    * listing is re-pinned against the index's new state. */
+    * listing is re-pinned against the index's new state (with the
+    * same emptied-index tolerance as the original pin). */
   def refreshStats(): Unit = {
     statsCache = null
-    if (payloadCache != null)
-      payloadCache = spark.read.parquet(s"$path/payload")
+    if (payloadCache != null) pinPayload()
   }
 
   /** Batch retrieval: (qid, qvec) frame → (qid, nid, rank, score,

@@ -617,6 +617,38 @@ class LengthBucketSpec extends SparkSpec {
     m1.zip(m2).count { case (a, b) => a._4 != b._4 } shouldBe 1
   }
 
+  test("shard manifest keeps a null-id doc in its shard's count and digest") {
+    import graft.pipeline.CurationPipeline
+    val docs = Seq((Some(1L), "alpha"), (Some(2L), "beta"),
+      (None, "the null-id doc"), (Some(3L), "gamma"))
+      .toDF("doc_id", "text")
+    def mf(d: org.apache.spark.sql.DataFrame) =
+      CurationPipeline.shardManifest(d, shardSize = 100, seed = "3")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val m = mf(docs)
+    // all four docs — including the null-id one — are accounted for
+    m.map(_._2).sum shouldBe 4L
+    // a drift in ONLY the null-id doc's text must change the manifest
+    val drifted = Seq((Some(1L), "alpha"), (Some(2L), "beta"),
+      (None, "the null-id doc DRIFTED"), (Some(3L), "gamma"))
+      .toDF("doc_id", "text")
+    mf(drifted) should not be m
+  }
+
+  test("profileColumns on an empty frame reports zero nulls, not NULL") {
+    import graft.pipeline.CurationPipeline
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val rows = CurationPipeline.profileColumns(empty, Seq("id", "s"))
+      .collect()
+    rows.length shouldBe 2
+    rows.foreach { r =>
+      r.getLong(1) shouldBe 0L          // n_rows
+      r.isNullAt(2) shouldBe false
+      r.getLong(2) shouldBe 0L          // n_nulls: 0, never NULL
+      r.getLong(3) shouldBe 0L          // n_distinct
+    }
+  }
+
   test("leakage-safe split keeps every near-dup cluster in one band; naive split would not") {
     val rows = graft.SparkEntry.queries("curate_split_leakage_safe")(
         spark, "/root/testdata/sf0.001")

@@ -350,6 +350,15 @@ class IvfPqIndexSpec extends SparkSpec {
     hits(pinned) should not be Seq("d10")
     pinned.refreshStats()
     hits(pinned) shouldBe Seq("d10")
+    // empty the index entirely, compact (payload dir left with no
+    // parquet files), then the documented maintenance step: refreshStats
+    // must re-pin an empty frame, not crash schema inference
+    val allNids = spark.read.parquet(s"$path/payload")
+      .select(col("nid")).collect().map(_.getString(0)).toSeq
+    SimilaritySearch.deleteFromIvfFlatIndex(spark, path, allNids)
+    SimilaritySearch.compactIvfFlatIndex(spark, path)
+    noException should be thrownBy pinned.refreshStats()
+    hits(pinned) shouldBe Seq.empty
   }
 
   test("index merge: segments fold into one index equal to the single build") {
