@@ -710,6 +710,45 @@ object Queries {
         SELECT l_orderkey, l_linenumber, 'discount', d FROM base)
       ORDER BY l_orderkey, l_linenumber, measure""")),
 
+    ("q23_scd2_history", (s, dir) => {
+      // SCD type-2 history (operators.Scd): per user, consecutive runs
+      // of the same event_type collapse into [valid_from, valid_to)
+      // validity intervals with a version number — the Kimball
+      // dimension-history shape ("what was this entity's state at crawl
+      // time"). Epoch-micros BIGINT bounds (the q13 epoch convention);
+      // event_id tie-breaks colliding timestamps on both engines.
+      val raw = T(s, dir, "events")
+      val ev = raw.select(col("user_id"), col("event_id"),
+        unix_micros(tsStamp(raw, "ts")).as("ts_us"), col("event_type"))
+      graft.operators.Scd.scd2History(ev, "user_id", "event_type",
+          "ts_us", "event_id")
+        .select(col("user_id"), col("version").cast("int").as("version"),
+          col("event_type"), col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("n_events"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                        event_type FROM events),
+      r AS (SELECT user_id, event_type, ts_us, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id)
+              - row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts_us, event_id) AS grp
+            FROM e),
+      runs AS (SELECT user_id, event_type, min(ts_us) AS valid_from_us,
+                      min(event_id) AS o, count(*) AS n_events
+               FROM r GROUP BY user_id, event_type, grp),
+      v AS (SELECT user_id, event_type, valid_from_us, n_events,
+              CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY valid_from_us, o) AS INT) AS version,
+              lead(valid_from_us) OVER (PARTITION BY user_id
+                ORDER BY valid_from_us, o) AS valid_to_us
+            FROM runs)
+      SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+             n_events, valid_to_us IS NULL AS is_current
+      FROM v ORDER BY user_id, version""")),
+
     ("q10_sessionize_native", (s, dir) => {
       // the NATIVE merging session_window in batch mode — same operator
       // the streaming face (StreamingOps.sessionizeStream) runs, so its

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{Hashing, TextAnalysis, VectorOps}
-import graft.operators.{Dedup, HeavyHitters, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, HeavyHitters, Multimodal, Pca, SimilaritySearch}
 
 /** Training-data pipeline operators (BASELINE.json north star: dedup,
   * similarity search, multimodal, text analysis) as driver-checkable
@@ -2908,6 +2908,48 @@ object QueriesDataOps {
                AS value
       FROM m JOIN n USING (parent)
       ORDER BY parent, dim""")),
+
+    ("emb_pca_project", (s, dir) => {
+      // PCA dimensionality reduction (operators.Pca): rank-8 model
+      // trained in ONE moment-partials pass (d + d(d+1)/2 doubles per
+      // partition to the driver, d×d Jacobi eigensolve driver-side),
+      // every vector projected by a broadcast closure — no shuffle in
+      // the projection. FULL SQL oracle via the opq_rotation sidecar
+      // convention: mean + components are exported as parquet and
+      // DuckDB replays y[c] = Σᵢ wᵢ·(xᵢ−μᵢ) with the identical
+      // index-order double accumulation, cast REAL on both sides — so
+      // the whole mean-center+project path is hash-checked; only the
+      // eigensolver itself stays ScalaTest-pinned (PcaSpec).
+      val emb = T(s, dir, "embeddings")
+      val model = Pca.pcaTrain(emb, "embedding", r = 8)
+      if (sys.props.get("graft.oracle.sidecars").contains("1")) {
+        import s.implicits._
+        // column c as (c, w[d]): w(i) = components(i)(c)
+        (0 until model.r).map(c =>
+            (c, model.components.indices.map(i => model.components(i)(c))))
+          .toDF("c", "w")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$oracleSidecarRoot/pca_components")
+        Seq(Tuple1(model.mean.toSeq)).toDF("m")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$oracleSidecarRoot/pca_mean")
+      }
+      Pca.project(emb, "embedding", model, "y")
+        .select(col("vec_id"), posexplode(col("y")).as(Seq("c", "x")))
+        .select(col("vec_id"), col("c").cast("int").as("c"), col("x"))
+        .orderBy(col("vec_id"), col("c"))
+    }, Some(s"""
+      WITH comp AS (SELECT c, w FROM
+             read_parquet('$oracleSidecarRoot/pca_components/*.parquet')),
+      mu AS (SELECT m FROM
+             read_parquet('$oracleSidecarRoot/pca_mean/*.parquet'))
+      SELECT e.vec_id, CAST(comp.c AS INT) AS c,
+             CAST(list_sum(list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> comp.w[i] * (CAST(e.embedding[i] AS DOUBLE) - mu.m[i])))
+               AS REAL) AS x
+      FROM embeddings e CROSS JOIN comp CROSS JOIN mu
+      ORDER BY vec_id, c""")),
 
     ("ann_maxsim_rerank", (s, dir) => {
       // the ColBERT SERVING shape: pooled-vector cosine prunes to 24

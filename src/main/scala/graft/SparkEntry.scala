@@ -44,7 +44,7 @@ object SparkEntry {
     "q10_sessionize_native", "q17_rolling_anomaly", "q18_resample_ffill",
     "q19_rollup", "q20_pivot", "q21_unpivot", "q22_grouping_sets",
     "q12_shipping_priority", "q13_asof_join", "q14_range_join",
-    "q16_percentiles_approx",
+    "q16_percentiles_approx", "q23_scd2_history",
     "rag_chunk_explode", "rag_splitter_udf", "rag_avro_roundtrip",
     "avro_ocf_roundtrip",
     "rag_vector_topk", "rag_vector_topk_indexed", "rag_grounding_score",
@@ -65,7 +65,7 @@ object SparkEntry {
     "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
     "ann_matryoshka_topk", "ann_maxsim_topk", "ann_maxsim_rerank",
     "ann_filtered_topk", "emb_mean_pool", "emb_safetensors_roundtrip",
-    "ann_ivfpq_opq_index",
+    "emb_pca_project", "ann_ivfpq_opq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",

@@ -931,68 +931,12 @@ object SimilaritySearch {
     * the paper's parametric solution. */
   def opqTrainRotation(df: DataFrame, vecCol: String, m: Int)
       : Seq[Seq[Double]] = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // one pass: per-partition moment partials, bounded driver transfer
-    // upper-triangle accumulation: Σxxᵀ is symmetric, so the hot loop
-    // does d(d+1)/2 multiply-adds per vector, mirrored once on the
-    // driver — half the dominant training cost at corpus scale. A
-    // ragged vector (different length) RAISES: a silently truncated or
-    // zero-padded row would bias the covariance with no diagnostic.
-    val partials = df.select(col(vecCol)).as[Seq[Float]].mapPartitions { it =>
-      var n = 0L
-      var dim = -1
-      var sum: Array[Double] = null
-      var upper: Array[Double] = null
-      it.foreach { v =>
-        if (dim < 0) {
-          dim = v.length
-          sum = new Array[Double](dim)
-          upper = new Array[Double](dim * dim)
-        }
-        require(v.length == dim,
-          s"opqTrainRotation: vector of dim ${v.length} in a dim-$dim corpus")
-        n += 1
-        var i = 0
-        while (i < dim) {
-          val xi = v(i).toDouble
-          sum(i) += xi
-          var j = i
-          while (j < dim) { upper(i * dim + j) += xi * v(j); j += 1 }
-          i += 1
-        }
-      }
-      if (n == 0) Iterator.empty else Iterator((n, sum.toSeq, upper.toSeq))
-    }.collect()
-    require(partials.nonEmpty, "opqTrainRotation: empty input")
-    val d = partials.head._2.length
-    require(partials.forall(_._2.length == d),
-      s"opqTrainRotation: partitions disagree on the vector dim")
+    // (the shared Pca.momentStats recipe — upper-triangle accumulation,
+    // ragged-vector raise)
+    val (_, _, cov) = Pca.momentStats(df, vecCol)
+    val d = cov.length
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
-    val n = partials.map(_._1).sum
-    require(n > 1, "opqTrainRotation: need at least 2 vectors")
-    val sum = new Array[Double](d); val outer = new Array[Double](d * d)
-    partials.foreach { case (_, s, o) =>
-      var i = 0
-      while (i < d) { sum(i) += s(i); i += 1 }
-      i = 0
-      while (i < d) {
-        var j = i
-        while (j < d) { outer(i * d + j) += o(i * d + j); j += 1 }
-        i += 1
-      }
-    }
-    // mirror the accumulated upper triangle
-    var mi = 0
-    while (mi < d) {
-      var mj = mi + 1
-      while (mj < d) { outer(mj * d + mi) = outer(mi * d + mj); mj += 1 }
-      mi += 1
-    }
-    // covariance (sample, n-1 divisor): (Σxxᵀ − n·μμᵀ) / (n−1)
-    val cov = Array.tabulate(d, d) { (i, j) =>
-      (outer(i * d + j) - sum(i) * sum(j) / n) / (n - 1)
-    }
     val (eigVals, eigVecs) = jacobiEigen(cov) // descending eigenvalues
     // balanced allocation of eigen-directions to subspaces
     val dsub = d / m
