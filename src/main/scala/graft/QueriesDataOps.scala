@@ -921,6 +921,37 @@ object QueriesDataOps {
       FROM ranked WHERE rank <= 5 ORDER BY source, rank"""
     }),
 
+    ("curate_weighted_sample", (s, dir) => {
+      // weight-proportional subset draw (Efraimidis–Spirakis A-ES):
+      // k=100 docs with inclusion probability ∝ length(text)+1 — the
+      // length-weighted draw a uniform sampler cannot give (token-
+      // weighted corpus subsets sample long docs at their token mass).
+      // Deterministic: u = 52-bit dyadic from md5(seed:id), exact on
+      // both engines; ln differs ≤1 ulp across libms, key gaps dwarf
+      // it, ids tie-break. Plans as TakeOrderedAndProject — no global
+      // sort; the rank window touches k rows only. The FLOAT key stays
+      // internal: the hashable surface is (rank, doc_id, w) — integers.
+      val docs = T(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      graft.pipeline.CurationPipeline.weightedSample(
+          docs, k = 100, weightCol = length(col("text")) + lit(1),
+          seed = "7")
+        .select(col("rank"), col("doc_id"),
+          (length(col("text")) + lit(1)).cast("long").as("w"))
+        .orderBy(col("rank"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, length(text) + 1 AS w,
+             (CAST(concat('0x',
+                substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 13))
+                AS BIGINT) + 1) / 4503599627370496.0 AS u
+           FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, w, ln(u) / w AS key FROM d
+            ORDER BY key DESC, doc_id LIMIT 100)
+      SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+               AS rank,
+             doc_id, CAST(w AS BIGINT) AS w
+      FROM s ORDER BY rank""")),
+
     ("curate_quality_deciles", (s, dir) => {
       // curriculum/difficulty bucketing: per-SOURCE quality deciles via
       // ntile(10) — the "train on easy first / mix by difficulty band"
@@ -1138,6 +1169,65 @@ object QueriesDataOps {
                         ELSE 'unchanged' END AS status
             FROM old FULL JOIN nw ON old.doc_id = nw.doc_id)
       SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      ORDER BY doc_id""")),
+
+    ("curate_apply_changelog", (s, dir) => {
+      // CDC/MERGE apply (CurationPipeline.applyChangelog): fold an
+      // ordered upsert/delete changelog into the documents snapshot —
+      // highest seq per key wins. The fixture exercises every path:
+      // plain upsert (≡3 mod 13), plain delete (≡2), a LATER delete
+      // overriding an upsert (≡3 ∧ odd), a resurrection upsert after a
+      // delete (≡2 ∧ ≡0 mod 3), and brand-new keys (+900000 for ≡5).
+      // One changelog key-window + one co-partitioned full-outer join.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nullS = lit(null).cast("string")
+      val chg = docs.filter(col("doc_id") % 13 === 3)
+          .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+            concat(col("text"), lit(" [v2]")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 2)
+          .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+            nullS.as("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 13 === 3 && col("doc_id") % 2 === 1)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("delete").as("op"),
+            nullS.as("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 13 === 2 && col("doc_id") % 3 === 0)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+            lit("resurrected").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 900000L).as("doc_id"),
+            lit(1L).as("seq"), lit("upsert").as("op"),
+            lit("inserted doc").as("text")))
+      graft.pipeline.CurationPipeline.applyChangelog(docs, chg)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH chg AS (
+        SELECT doc_id, 1 AS seq, 'upsert' AS op, text || ' [v2]' AS text
+        FROM documents WHERE doc_id % 13 = 3
+        UNION ALL
+        SELECT doc_id, 1, 'delete', NULL FROM documents
+        WHERE doc_id % 13 = 2
+        UNION ALL
+        SELECT doc_id, 2, 'delete', NULL FROM documents
+        WHERE doc_id % 13 = 3 AND doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', 'resurrected' FROM documents
+        WHERE doc_id % 13 = 2 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 900000, 1, 'upsert', 'inserted doc'
+        FROM documents WHERE doc_id % 13 = 5),
+      latest AS (SELECT doc_id, op, text FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY seq DESC, op DESC) AS rn FROM chg)
+        WHERE rn = 1),
+      m AS (SELECT coalesce(b.doc_id, l.doc_id) AS doc_id, l.op,
+              CASE WHEN l.op = 'upsert' THEN l.text ELSE b.text END AS t
+            FROM (SELECT doc_id, text FROM documents) b
+            FULL JOIN latest l ON b.doc_id = l.doc_id)
+      SELECT doc_id, md5(t) AS h FROM m
+      WHERE op IS NULL OR op <> 'delete'
       ORDER BY doc_id""")),
 
     ("curate_cardinality_sketch", (s, dir) => {

@@ -73,10 +73,12 @@ object SparkEntry {
     "text_bpe_pairs", "text_bpe_train", "text_bpe_tokenize",
     "text_heavy_hitters", "text_normalize", "text_token_chunks",
     "dedup_clusters_altstar",
-    "curate_sample", "curate_sample_k", "curate_decontaminate", "curate_decontaminate_fuzzy",
+    "curate_sample", "curate_sample_k", "curate_weighted_sample",
+    "curate_decontaminate", "curate_decontaminate_fuzzy",
     "curate_contamination_report", "curate_boilerplate", "curate_pack",
     "curate_jsonl_roundtrip", "curate_epoch_mix", "curate_temperature_mix",
-    "curate_token_budget", "curate_snapshot_diff", "curate_cardinality_sketch",
+    "curate_token_budget", "curate_snapshot_diff", "curate_apply_changelog",
+    "curate_cardinality_sketch",
     "curate_split", "curate_shuffle_shard", "curate_shard_manifest", "curate_profile", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental", "curate_prep_e2e",

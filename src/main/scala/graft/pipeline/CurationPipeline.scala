@@ -249,6 +249,41 @@ object CurationPipeline {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): each row gets key = ln(u)/w — the monotone-equivalent
+    * of the paper's u^(1/w) — and the k LARGEST keys win, so a row's
+    * inclusion probability is proportional to its weight (the
+    * quality-weighted or length-weighted subset draw uniform samplers
+    * cannot give). Deterministic and engine-portable like the other
+    * samplers: u is a 52-bit dyadic rational from md5(seed:id) —
+    * (v+1)/2^52 ∈ (0,1], exact in an IEEE double on every engine; ln
+    * may differ by an ulp across libms but key GAPS between real rows
+    * dwarf that, and ties break on the id. Weights must be > 0 (a ≤0
+    * weight raises — silently dropping it would skew the distribution).
+    *
+    * Scale: the key is one codegen'd expression; top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver)
+    * — never a global sort; the rank window runs on k rows only. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: Column,
+                     idCol: String = "doc_id",
+                     seed: String = "0"): DataFrame = {
+    require(k >= 1, s"invalid k=$k")
+    val v = conv(substring(md5(
+      concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val w = when(weightCol > 0, weightCol.cast("double"))
+      .otherwise(raise_error(lit("weightedSample: weight must be > 0")))
+    val top = docs
+      .withColumn("__key", log(u) / w)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+    // rank window over k rows only — the bounded-rollup convention
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("__key").desc, col(idCol))).cast("int"))
+      .drop("__key")
+  }
+
   def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
                        fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
@@ -362,6 +397,57 @@ object CurationPipeline {
           .when(col("in_new").isNull, "removed")
           .when(!(col("old_h") <=> col("new_h")), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  /** CDC/MERGE apply — fold an ordered changelog into a base snapshot:
+    * the incremental-corpus maintenance step (a crawler emits
+    * upserts/deletes; the corpus re-materializes without reprocessing
+    * unchanged rows). Per key the HIGHEST-`seqCol` change wins:
+    * `delete` removes the row (even a base row), `upsert`
+    * inserts-or-replaces, keys the changelog never mentions pass
+    * through. A winning upsert overrides every payload column — a NULL
+    * payload in it is an explicit null, not "keep the base value"; a
+    * delete→upsert sequence resurrects the key.
+    *
+    * Plan shape: ONE key-window over the changelog (latest change per
+    * key) + ONE co-partitioned full-outer join with the base — each
+    * side shuffles once on the key, pinned in CurationSpec. At 100 TB
+    * the changelog is typically ≪ base; the join cost is dominated by
+    * the base's single shuffle (bucketing the base by key at write
+    * time deletes even that, the snapshotDiff note). No driver
+    * collect, no second base pass.
+    *
+    * `seqCol` must be unique per key (a CDC offset/LSN); ties would
+    * make the winner nondeterministic, so equal seqs tie-break on
+    * `opCol` descending (upsert over delete) to stay deterministic
+    * rather than silently planner-ordered. */
+  def applyChangelog(base: DataFrame, changelog: DataFrame,
+                     idCol: String = "doc_id", seqCol: String = "seq",
+                     opCol: String = "op",
+                     payloadCols: Seq[String] = Seq("text")): DataFrame = {
+    val ops = Set("upsert", "delete")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(seqCol).desc, col("__op").desc)
+    val latest = changelog
+      .select((Seq(col(idCol), col(seqCol),
+        col(opCol).as("__op")) ++
+        payloadCols.map(c => col(c).as(s"__chg_$c"))): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", seqCol)
+    val merged = base
+      .select((col(idCol) +: payloadCols.map(col)): _*)
+      .join(latest, Seq(idCol), "full_outer")
+      // a malformed op must fail loudly, not silently pass through as
+      // "no change"
+      .withColumn("__op", when(col("__op").isNull ||
+          col("__op").isin(ops.toSeq: _*), col("__op"))
+        .otherwise(raise_error(concat(lit("applyChangelog: unknown op "),
+          col("__op")))))
+      .filter(col("__op").isNull || col("__op") =!= "delete")
+    merged.select((col(idCol) +: payloadCols.map(c =>
+      when(col("__op") === "upsert", col(s"__chg_$c"))
+        .otherwise(col(c)).as(c))): _*)
   }
 
   /** Epoch-style domain reweighting — [[stratifiedSample]] generalized to

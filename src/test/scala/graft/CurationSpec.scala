@@ -421,6 +421,69 @@ class CurationSpec extends SparkSpec {
       (5L, "unchanged"), (6L, "changed"))
   }
 
+  test("applyChangelog: latest change wins, deletes drop, resurrection and explicit-null upserts apply, untouched keys pass through") {
+    val nul = null.asInstanceOf[String]
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val chg = Seq(
+      (1L, 1L, "upsert", "a2"), (1L, 2L, "delete", nul), // later delete wins
+      (2L, 1L, "delete", nul), (2L, 2L, "upsert", "b-back"), // resurrection
+      (3L, 1L, "upsert", nul), // explicit-null upsert, NOT "keep base"
+      (5L, 1L, "delete", nul), (5L, 1L, "upsert", "tie"), // equal seq: upsert
+      (9L, 1L, "upsert", "new")) // insert of an unseen key
+      .toDF("doc_id", "seq", "op", "text")
+    CurationPipeline.applyChangelog(base, chg)
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe Seq(
+      (2L, Some("b-back")), (3L, None), (4L, Some("d")),
+      (5L, Some("tie")), (9L, Some("new")))
+  }
+
+  test("applyChangelog: unknown ops raise; plan is at most one shuffle per side") {
+    val base = Seq((1L, "a")).toDF("doc_id", "text")
+    an[Exception] should be thrownBy
+      CurationPipeline.applyChangelog(base,
+        Seq((1L, 1L, "UPSERT", "x")).toDF("doc_id", "seq", "op", "text"))
+        .collect()
+    val df = CurationPipeline.applyChangelog(base,
+      Seq((1L, 1L, "upsert", "x"), (2L, 1L, "upsert", "y"))
+        .toDF("doc_id", "seq", "op", "text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    withClue(plan) { exchanges should be <= 2 }
+  }
+
+  test("weightedSample prefers heavy weights, is exhaustive at k>=n, partitioning-invariant, raises on w<=0") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L).map(i => (i, if (i <= 2) 1000000 else 1))
+      .toDF("doc_id", "wt")
+    val ids = CurationPipeline.weightedSample(docs, 5, col("wt"))
+      .select("doc_id").as[Long].collect().toSet
+    ids should contain allOf (1L, 2L)
+    val all = CurationPipeline.weightedSample(docs, 100, col("wt"))
+    all.count() shouldBe 40
+    all.select("rank").as[Int].collect().sorted shouldBe (1 to 40).toArray
+    val a = CurationPipeline.weightedSample(docs, 5, col("wt"))
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq.sorted
+    val b = CurationPipeline.weightedSample(docs.repartition(7), 5,
+        col("wt"))
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq.sorted
+    a shouldBe b
+    an[Exception] should be thrownBy CurationPipeline.weightedSample(
+      Seq((1L, 0)).toDF("doc_id", "wt"), 1, col("wt")).collect()
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject, never a global sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 100L).map(i => (i, 1)).toDF("doc_id", "wt")
+    val df = CurationPipeline.weightedSample(docs, 5, col("wt"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    withClue(plan) { plan should include("TakeOrderedAndProject") }
+  }
+
   test("cardinality sketch lands inside the 5-sigma band of exact distinct") {
     import org.apache.spark.sql.functions._
     val verdicts = SparkEntry.queries("curate_cardinality_sketch")(
