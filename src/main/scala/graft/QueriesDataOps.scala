@@ -447,6 +447,32 @@ object QueriesDataOps {
       WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
       ORDER BY id_a, id_b""")),
 
+    ("dedup_fuzzy_linkage", (s, dir) => {
+      // fuzzy record linkage (Dedup.fuzzyLinkage): prefix-blocked
+      // candidate pairs gated by EXACT Levenshtein distance over a
+      // 48-char window — the order-sensitive edit-distance family
+      // shingle/minhash ops can't express. On the dup fixture the
+      // exact copies land at dist 0 and the 10-char-truncated variants
+      // within the window edit budget; the upper-cased formatting dups
+      // deliberately escape the block (documented blocking recall
+      // tradeoff — fingerprint normalization owns that family). Hot
+      // blocks (> 64 rows) drop — the LSH hot-bucket skew guard.
+      Dedup.fuzzyLinkage(docsWithDups(s, dir), "text", "doc_id",
+          blockLen = 12, window = 48, maxDist = 12, maxBlock = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $dwdSql,
+      b0 AS (SELECT doc_id AS id, substr(text, 1, 12) AS blk,
+                    substr(text, 1, 48) AS w
+             FROM dwd WHERE text IS NOT NULL),
+      ok AS (SELECT blk FROM b0 GROUP BY blk HAVING count(*) <= 64),
+      b AS (SELECT b0.* FROM b0 JOIN ok USING (blk)),
+      p AS (SELECT a.id AS id_a, bb.id AS id_b,
+                   levenshtein(a.w, bb.w) AS dist
+            FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id)
+      SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM p
+      WHERE dist <= 12 ORDER BY id_a, id_b""")),
+
     ("dedup_segments", (s, dir) => {
       // sub-document dedup (the CCNet/Common Crawl duplicated-lines
       // pass): 8-token grid segments appearing in >= 2 DISTINCT docs —
@@ -3040,6 +3066,34 @@ object QueriesDataOps {
                AS REAL) AS x
       FROM embeddings e CROSS JOIN comp CROSS JOIN mu
       ORDER BY vec_id, c""")),
+
+    ("emb_dim_profile", (s, dir) => {
+      // per-DIMENSION embedding profile (mean/std/min/max): the
+      // drift-detection surface for an embedding pipeline — a provider
+      // model swap or a normalization bug shows up as per-dim moment
+      // shifts long before retrieval metrics move. ONE (dim)-keyed
+      // aggregate over the posexploded column, map-side combinable,
+      // groups bounded by d. round(6) for double-sum portability (the
+      // ivf_train convention).
+      val emb = T(s, dir, "embeddings")
+      emb.select(posexplode(col("embedding")).as(Seq("dim", "x0")))
+        .select(col("dim").cast("int").as("dim"),
+          col("x0").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(round(avg(col("x")), 6).as("mu"),
+          round(stddev_samp(col("x")), 6).as("sd"),
+          round(min(col("x")), 6).as("mn"),
+          round(max(col("x")), 6).as("mx"))
+        .orderBy(col("dim"))
+    }, Some("""
+      WITH d AS (SELECT unnest(generate_series(1, len(embedding))) AS s,
+                        embedding
+                 FROM embeddings),
+      v AS (SELECT s - 1 AS dim, CAST(embedding[s] AS DOUBLE) AS x FROM d)
+      SELECT CAST(dim AS INT) AS dim, round(avg(x), 6) AS mu,
+             round(stddev_samp(x), 6) AS sd, round(min(x), 6) AS mn,
+             round(max(x), 6) AS mx
+      FROM v GROUP BY dim ORDER BY dim""")),
 
     ("ann_maxsim_rerank", (s, dir) => {
       // the ColBERT SERVING shape: pooled-vector cosine prunes to 24

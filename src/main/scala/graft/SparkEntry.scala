@@ -52,7 +52,8 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
     "dedup_simhash",
-    "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_segments",
+    "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_fuzzy_linkage",
+    "dedup_segments",
     "dedup_span_detect", "dedup_span_removal",
     "dedup_embedding_lsh", "dedup_semantic", "dedup_cluster_best",
     "curate_corpus",
@@ -65,7 +66,7 @@ object SparkEntry {
     "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
     "ann_matryoshka_topk", "ann_maxsim_topk", "ann_maxsim_rerank",
     "ann_filtered_topk", "emb_mean_pool", "emb_safetensors_roundtrip",
-    "emb_pca_project", "ann_ivfpq_opq_index",
+    "emb_pca_project", "emb_dim_profile", "ann_ivfpq_opq_index",
     "text_quality", "text_langid", "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",

@@ -609,6 +609,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy record linkage (entity resolution, Fellegi–Sunter blocking
+    * shape): candidate pairs from an equi-join on a cheap BLOCKING key
+    * (here the text's first `blockLen` chars), decided by an exact
+    * Levenshtein edit-distance gate over a capped `window`-char prefix.
+    * Edit distance is the similarity family the shingle/minhash ops
+    * cannot express (it is order-sensitive and counts substitutions);
+    * the window cap keeps the O(window²) DP bounded per pair and is the
+    * documented recall tradeoff, as is blocking itself (a mangling that
+    * changes the first `blockLen` chars escapes the block — pair such
+    * rows by a normalized key instead, the fingerprintGroups recipe).
+    *
+    * Plan shape: one blk-keyed aggregate sizes the blocks, blocks over
+    * `maxBlock` rows are DROPPED (the hot-bucket skew guard of
+    * [[minhashLshPairs]] — a degenerate shared prefix would otherwise
+    * expand quadratically), then ONE self-equi-join on blk with pair
+    * expansion bounded by maxBlock²/2 per block. No cross join, no
+    * all-pairs. */
+  def fuzzyLinkage(df: DataFrame, textCol: String, idCol: String,
+                   blockLen: Int = 12, window: Int = 48,
+                   maxDist: Int = 12, maxBlock: Int = 64): DataFrame = {
+    require(blockLen >= 1 && window >= blockLen && maxDist >= 0 &&
+      maxBlock >= 2, s"fuzzyLinkage: bad params ($blockLen, $window, " +
+      s"$maxDist, $maxBlock)")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(col(textCol), 1, blockLen).as("blk"),
+        substring(col(textCol), 1, window).as("w"))
+    val ok = base.groupBy(col("blk"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBlock)
+      .select(col("blk"))
+    val sized = base.join(ok, Seq("blk"))
+    val a = sized.select(col("blk"), col("id").as("id_a"),
+      col("w").as("w_a"))
+    val b = sized.select(col("blk"), col("id").as("id_b"),
+      col("w").as("w_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** Segment-level dedup — the sub-document granularity of the CCNet /
     * Common Crawl "remove duplicated lines/paragraphs" pass: whole-doc
     * dedup misses boilerplate (headers, navigation, license blocks)

@@ -552,4 +552,29 @@ class DedupSpec extends SparkSpec {
     got.map(r => (r._1, r._3, r._4)) shouldBe Seq((1L, 5, 0), (2L, 0, 5))
     got(1)._2 shouldBe "d41d8cd98f00b204e9800998ecf8427e" // md5("")
   }
+
+  test("fuzzyLinkage: edit gate and block semantics, hot-block drop, param raise") {
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq(
+      (1L, base),
+      (2L, base), // exact copy: dist 0
+      (3L, base.replace("jumps", "jumped")), // within budget
+      (4L, "the quick brACADABRA COMPLETELY DIFFERENT PAST THE " +
+        "BLOCKING PREFIX"), // same 12-char block, but the gate rejects
+      (5L, "THE QUICK BROWN fox..."), // prefix differs: escapes the block
+      (6L, null.asInstanceOf[String])) // null text: silently excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyLinkage(d, "text", "doc_id",
+        blockLen = 12, window = 48, maxDist = 6, maxBlock = 64)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    got.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    got.head._3 shouldBe 0 // the exact copy
+    all(got.map(_._3)) should be <= 6
+    // hot-block drop: 70 rows sharing one block yield ZERO pairs
+    val hot = (1L to 70L).map(i => (i, base)).toDF("doc_id", "text")
+    Dedup.fuzzyLinkage(hot, "text", "doc_id", maxBlock = 64)
+      .count() shouldBe 0L
+    an[Exception] should be thrownBy
+      Dedup.fuzzyLinkage(d, "text", "doc_id", blockLen = 12, window = 4)
+  }
 }
