@@ -102,13 +102,34 @@ object Pca {
   /** Train a rank-`r` PCA model on `vecCol`. Deterministic: the moment
     * pass is order-independent per partial and the Jacobi sweep order
     * is fixed, so the same data yields the bit-identical model (sign of
-    * each component included). */
-  def pcaTrain(df: DataFrame, vecCol: String, r: Int): PcaModel = {
-    val (_, mean, cov) = momentStats(df, vecCol)
+    * each component included).
+    *
+    * `center` picks WHICH structure the subspace preserves, and using
+    * the wrong one silently degrades the downstream task:
+    *  - `true` (classic PCA, covariance eigenbasis + mean subtraction):
+    *    feature-space variance — drift profiling, whitening, feature
+    *    extraction.
+    *  - `false` (second-moment eigenbasis, no subtraction — truncated
+    *    SVD): DOT-PRODUCT structure, ⟨Px,Py⟩ ≈ ⟨x,y⟩ — the reduction
+    *    for cosine/IP retrieval. At FULL rank it is an orthonormal
+    *    isometry (recall exactly 1.0), where the centered projection is
+    *    not (origin shift; measured 0.96 at r=d on the test
+    *    embeddings) — PcaSpec pins both, plus graceful recall
+    *    degradation as r shrinks. The model's `mean` is zeroed so
+    *    [[project]] applies no shift. */
+  def pcaTrain(df: DataFrame, vecCol: String, r: Int,
+               center: Boolean = true): PcaModel = {
+    val (n, mean, cov) = momentStats(df, vecCol)
     val d = mean.length
     require(r >= 1 && r <= d, s"pcaTrain: rank $r outside 1..$d")
-    val (eigVals, eigVecs) = SimilaritySearch.jacobiEigen(cov)
-    PcaModel(mean,
+    // uncentered second moment from the same pass:
+    // Σxxᵀ/(n−1) = cov + n/(n−1)·μμᵀ
+    val basis =
+      if (center) cov
+      else Array.tabulate(d, d)((i, j) =>
+        cov(i)(j) + n.toDouble / (n - 1) * mean(i) * mean(j))
+    val (eigVals, eigVecs) = SimilaritySearch.jacobiEigen(basis)
+    PcaModel(if (center) mean else new Array[Double](d),
       Seq.tabulate(d)(i => Seq.tabulate(r)(c => eigVecs(i)(c))),
       eigVals.take(r))
   }

@@ -310,6 +310,90 @@ object StreamingOps {
     * until SimilaritySearch.compactIvfFlatIndex removes them
     * physically (StreamingSpec pins batch-vs-streamed hash identity
     * and replay idempotence). */
+  /** Streaming CDC apply — each micro-batch of changelog rows
+    * (id, seq, op∈upsert|delete, payload…) folds into a VERSIONED
+    * parquet snapshot via
+    * [[graft.pipeline.CurationPipeline.applyChangelog]]: the corpus
+    * stays continuously materialized without ever reprocessing
+    * unchanged rows. Layout: `root/v<N>` immutable snapshot dirs + a
+    * tiny `root/_CURRENT` pointer file naming the live version —
+    * readers ([[readSnapshot]]) resolve the pointer then read an
+    * immutable dir, so a concurrent swap can never hand them a
+    * half-written snapshot, and past versions stay readable (time
+    * travel) until `keepVersions` retention prunes them.
+    *
+    * At-least-once safe: replaying a batch re-applies the same
+    * max-seq winners, so the snapshot CONVERGES (StreamingSpec pins
+    * replay ≡ once). Distributed end-to-end — the merge is the
+    * applyChangelog window+join; the driver only writes the pointer.
+    * The pointer overwrite is the single non-atomic hop (create-
+    * overwrite of one small file); a production lake swaps a catalog
+    * pointer instead, same shape. */
+  def snapshotUpsertSink(changeStream: DataFrame, root: String,
+                         idCol: String = "doc_id", seqCol: String = "seq",
+                         opCol: String = "op",
+                         payloadCols: Seq[String] = Seq("text"),
+                         keepVersions: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    changeStream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val rootPath = new org.apache.hadoop.fs.Path(root)
+          val fs = rootPath.getFileSystem(hconf)
+          val cur = currentSnapshotVersion(fs, root)
+          // empty-base schema from the batch's own payload types — the
+          // readParquetOrEmpty convention for a first-ever batch
+          val baseSchema = org.apache.spark.sql.types.StructType(
+            (idCol +: payloadCols).map(c => batch.schema(c)))
+          val base = cur match {
+            case Some(v) => spark.read.parquet(s"$root/v$v")
+            case None => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              baseSchema)
+          }
+          val next = cur.getOrElse(-1L) + 1
+          graft.pipeline.CurationPipeline
+            .applyChangelog(base, batch, idCol, seqCol, opCol, payloadCols)
+            .write.mode("overwrite").parquet(s"$root/v$next")
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(s"$root/_CURRENT"), true)
+          try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+          // retention: prune versions older than the kept window
+          (0L to next - keepVersions).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true)
+          }
+        }
+      }
+  }
+
+  /** Resolve `root/_CURRENT` and read the live snapshot (empty Option
+    * when no version has ever been committed). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String)
+      : Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentSnapshotVersion(fs, root)
+      .map(v => spark.read.parquet(s"$root/v$v"))
+  }
+
+  private def currentSnapshotVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_CURRENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
   def indexUpsertSink(indexStream: DataFrame, indexPath: String,
                       idCol: String = "document_id",
                       chunkCol: String = "chunks",

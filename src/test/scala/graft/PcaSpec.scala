@@ -77,6 +77,44 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("retrieval in PCA space: full-rank uncentered is an exact isometry, recall degrades gracefully with rank, centering breaks the isometry") {
+    import graft.functions.VectorOps
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 32)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    def topk(q: org.apache.spark.sql.DataFrame,
+             c: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      VectorOps.bruteForceTopK(q, c, 5, "qid", "qvec", "nid", "nvec")
+        .select("qid", "nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(queries, corpus)
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(truth).size.toDouble /
+          truth.size
+      }
+      per.sum / per.size
+    }
+    def pcaRecall(r: Int, center: Boolean): Double = {
+      val m = Pca.pcaTrain(corpus, "nvec", r = r, center = center)
+      recall(topk(
+        Pca.project(queries, "qvec", m, "p")
+          .select(col("qid"), col("p").as("qvec")),
+        Pca.project(corpus, "nvec", m, "p")
+          .select(col("nid"), col("p").as("nvec"))))
+    }
+    val (u16, u32, u64, c64) = (pcaRecall(16, center = false),
+      pcaRecall(32, center = false), pcaRecall(64, center = false),
+      pcaRecall(64, center = true))
+    info(f"recall@5: uncentered r=16 $u16%.3f r=32 $u32%.3f " +
+      f"r=64 $u64%.3f; centered r=64 $c64%.3f")
+    u64 shouldBe 1.0 // full-rank uncentered = orthonormal isometry
+    c64 should be < u64 // centering shifts the origin: NOT an isometry
+    u32 should be >= u16 // graceful degradation as r shrinks
+    u16 should be > 0.1
+  }
+
   test("ragged vectors raise in training and projection; rank bounds enforced") {
     val mixed = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f)))
       .toDF("vec_id", "embedding")

@@ -499,4 +499,55 @@ class StreamingSpec extends SparkSpec {
     viaStore should have length 3 // salesperson row filtered
     viaIndex shouldBe viaStore
   }
+
+  test("snapshotUpsertSink: versioned CDC snapshots, time travel, retention, full-replay convergence") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val root = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toString + "/snap"
+    def snap(): Seq[(Long, Option[String])] =
+      StreamingOps.readSnapshot(spark, root).get
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 2)
+      .option("checkpointLocation", checkpoint()).start()
+    val b1 = Seq((1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"))
+    val b2 = Seq((1L, 2L, "delete", nul), (3L, 1L, "upsert", "c"))
+    val b3 = Seq((2L, 2L, "upsert", "b2"))
+    try {
+      StreamingOps.readSnapshot(spark, root) shouldBe None // pre-commit
+      input.addData(b1: _*); query.processAllAvailable()
+      snap() shouldBe Seq((1L, Some("a")), (2L, Some("b")))
+      input.addData(b2: _*); query.processAllAvailable()
+      snap() shouldBe Seq((2L, Some("b")), (3L, Some("c")))
+      // time travel: v0 still readable under keepVersions=2
+      spark.read.parquet(s"$root/v0").count() shouldBe 2
+      input.addData(b3: _*); query.processAllAvailable()
+      snap() shouldBe Seq((2L, Some("b2")), (3L, Some("c")))
+      // retention pruned v0; v1 (previous) remains
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/v0")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")) shouldBe true
+    } finally query.stop()
+    // at-least-once convergence: a FULL replay of the same changelog
+    // into a fresh root (fresh checkpoint) lands on the same snapshot
+    val root2 = java.nio.file.Files.createTempDirectory("graft-snap2")
+      .toString + "/snap"
+    val input2 = MemoryStream[(Long, Long, String, String)]
+    val query2 = StreamingOps.snapshotUpsertSink(
+        input2.toDF.toDF("doc_id", "seq", "op", "text"), root2,
+        keepVersions = 2)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      Seq(b1, b2, b3, b3).foreach { b => // b3 twice: replayed batch
+        input2.addData(b: _*); query2.processAllAvailable()
+      }
+      StreamingOps.readSnapshot(spark, root2).get
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
+        snap()
+    } finally query2.stop()
+  }
 }
