@@ -43,6 +43,11 @@ object Pca {
       : (Long, Array[Double], Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // partials carry the PACKED upper triangle — d(d+1)/2 doubles, not
+    // d², so the per-partition driver transfer matches the documented
+    // bound; row i starts at i*d − i(i−1)/2 − i in packed space, i.e.
+    // entry (i, j≥i) lives at tri(i) + (j − i)
+    def triBase(i: Int, d: Int): Int = i * d - i * (i - 1) / 2 - i
     val partials = df.select(col(vecCol)).as[Seq[Float]].mapPartitions { it =>
       var n = 0L
       var dim = -1
@@ -52,7 +57,7 @@ object Pca {
         if (dim < 0) {
           dim = v.length
           sum = new Array[Double](dim)
-          upper = new Array[Double](dim * dim)
+          upper = new Array[Double](dim * (dim + 1) / 2)
         }
         require(v.length == dim,
           s"momentStats: vector of dim ${v.length} in a dim-$dim corpus")
@@ -61,8 +66,9 @@ object Pca {
         while (i < dim) {
           val xi = v(i).toDouble
           sum(i) += xi
+          val base = triBase(i, dim)
           var j = i
-          while (j < dim) { upper(i * dim + j) += xi * v(j); j += 1 }
+          while (j < dim) { upper(base + j) += xi * v(j); j += 1 }
           i += 1
         }
       }
@@ -74,27 +80,19 @@ object Pca {
       "momentStats: partitions disagree on the vector dim")
     val n = partials.map(_._1).sum
     require(n > 1, "momentStats: need at least 2 vectors")
-    val sum = new Array[Double](d); val outer = new Array[Double](d * d)
+    val sum = new Array[Double](d)
+    val outer = new Array[Double](d * (d + 1) / 2)
     partials.foreach { case (_, s, o) =>
       var i = 0
       while (i < d) { sum(i) += s(i); i += 1 }
       i = 0
-      while (i < d) {
-        var j = i
-        while (j < d) { outer(i * d + j) += o(i * d + j); j += 1 }
-        i += 1
-      }
+      while (i < outer.length) { outer(i) += o(i); i += 1 }
     }
-    // mirror the accumulated upper triangle
-    var mi = 0
-    while (mi < d) {
-      var mj = mi + 1
-      while (mj < d) { outer(mj * d + mi) = outer(mi * d + mj); mj += 1 }
-      mi += 1
-    }
-    // covariance (sample, n-1 divisor): (Σxxᵀ − n·μμᵀ) / (n−1)
+    // covariance (sample, n-1 divisor): (Σxxᵀ − n·μμᵀ) / (n−1), the
+    // packed triangle read symmetrically
     val cov = Array.tabulate(d, d) { (i, j) =>
-      (outer(i * d + j) - sum(i) * sum(j) / n) / (n - 1)
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      (outer(triBase(lo, d) + hi) - sum(i) * sum(j) / n) / (n - 1)
     }
     (n, sum.map(_ / n), cov)
   }

@@ -1540,38 +1540,6 @@ object SimilaritySearch {
     * delete). The rewrite stages through `payload.compact` then swaps
     * directories, so a crash mid-compact leaves the original payload
     * intact. */
-  /** Read a parquet directory, or — ONLY when it exists but holds no
-    * parquet files (a fully-emptied index after compaction; schema
-    * inference has nothing to read) — synthesize an empty frame with
-    * the given column layout. Any other AnalysisException (missing
-    * path, unreadable files) propagates: a typo'd path must stay a
-    * pointed error, never a confidently-empty result. Shared by the
-    * compact / report / search paths so the fallback cannot drift.
-    * In the empty case caller-defined payload column TYPES degrade to
-    * the provided defaults — harmless at zero rows. */
-  /** The IVF-flat payload frame's schema for the zero-file fallback —
-    * THE single definition, shared by the search path and the store's
-    * payload pin so the two cannot drift. */
-  private[graft] def rawPayloadSchema(payloadCols: Seq[String])
-      : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(StructField("nid", StringType),
-      StructField("nvec", ArrayType(FloatType)),
-      StructField("cluster", IntegerType)) ++
-      payloadCols.map(c => StructField(c, StringType)))
-  }
-
-  private[graft] def readParquetOrEmpty(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      emptySchema: org.apache.spark.sql.types.StructType)
-      : DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    }
 
   def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
@@ -1626,6 +1594,39 @@ object SimilaritySearch {
     if (fs.exists(statsLive)) fs.delete(statsLive, true)
     renamed(hPath(s"$path/cellstats.compact"), statsLive)
   }
+
+  /** The IVF-flat payload frame's schema for the zero-file fallback —
+    * THE single definition, shared by the search path and the store's
+    * payload pin so the two cannot drift. */
+  private[graft] def rawPayloadSchema(payloadCols: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("nid", StringType),
+      StructField("nvec", ArrayType(FloatType)),
+      StructField("cluster", IntegerType)) ++
+      payloadCols.map(c => StructField(c, StringType)))
+  }
+
+  /** Read a parquet directory, or — ONLY when it exists but holds no
+    * parquet files (a fully-emptied index after compaction; schema
+    * inference has nothing to read) — synthesize an empty frame with
+    * the given column layout. Any other AnalysisException (missing
+    * path, unreadable files) propagates: a typo'd path must stay a
+    * pointed error, never a confidently-empty result. Shared by the
+    * compact / report / search paths so the fallback cannot drift.
+    * In the empty case caller-defined payload column TYPES degrade to
+    * the provided defaults — harmless at zero rows. */
+  private[graft] def readParquetOrEmpty(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      emptySchema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    }
 
   /** Index-health report for a persisted IVF-Flat index — the numbers
     * every maintenance decision ([[compactIvfFlatIndex]] now?

@@ -421,16 +421,26 @@ object CurationPipeline {
     * make the winner nondeterministic, so equal seqs tie-break on
     * `opCol` descending (upsert over delete) to stay deterministic
     * rather than silently planner-ordered. */
+  /** `op` passed through when it is upsert/delete (NULL allowed — the
+    * join's "no change"), raise_error otherwise — shared by the batch
+    * and versioned changelog appliers so the loud-failure contract
+    * cannot drift. */
+  private def validatedOp(op: Column, who: String): Column =
+    when(op.isNull || op.isin("upsert", "delete"), op)
+      .otherwise(raise_error(concat(lit(s"$who: unknown op "), op)))
+
   def applyChangelog(base: DataFrame, changelog: DataFrame,
                      idCol: String = "doc_id", seqCol: String = "seq",
                      opCol: String = "op",
                      payloadCols: Seq[String] = Seq("text")): DataFrame = {
-    val ops = Set("upsert", "delete")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col(seqCol).desc, col("__op").desc)
     val latest = changelog
       .select((Seq(col(idCol), col(seqCol),
-        col(opCol).as("__op")) ++
+        // validate EVERY changelog row's op, before the window picks
+        // winners — a malformed op must fail loudly even when a
+        // higher-seq change would outrank (and silently discard) it
+        validatedOp(col(opCol), "applyChangelog").as("__op")) ++
         payloadCols.map(c => col(c).as(s"__chg_$c"))): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -438,16 +448,61 @@ object CurationPipeline {
     val merged = base
       .select((col(idCol) +: payloadCols.map(col)): _*)
       .join(latest, Seq(idCol), "full_outer")
-      // a malformed op must fail loudly, not silently pass through as
-      // "no change"
-      .withColumn("__op", when(col("__op").isNull ||
-          col("__op").isin(ops.toSeq: _*), col("__op"))
-        .otherwise(raise_error(concat(lit("applyChangelog: unknown op "),
-          col("__op")))))
       .filter(col("__op").isNull || col("__op") =!= "delete")
     merged.select((col(idCol) +: payloadCols.map(c =>
       when(col("__op") === "upsert", col(s"__chg_$c"))
         .otherwise(col(c)).as(c))): _*)
+  }
+
+  /** Seq-aware, tombstone-retaining form of [[applyChangelog]] for a
+    * CONTINUOUSLY-maintained snapshot: base rows carry (`__seq`,
+    * `__deleted`) metadata, and a changelog row wins only when its seq
+    * EXCEEDS the key's stored `__seq` — so cross-batch redelivery or an
+    * out-of-order CDC feed (a stale low-seq change arriving after a
+    * newer one was already applied in an earlier batch) can neither
+    * resurrect a deleted key nor revert a newer payload. Deletes are
+    * RETAINED as tombstone rows (`__deleted = true`, payload nulled):
+    * the tombstone is the memory that makes stale-rejection possible
+    * after the row is gone; churny keyspaces prune them past the CDC
+    * horizon with a compaction filter. [[applyChangelog]] stays the
+    * one-shot batch MERGE (no metadata, deletes drop); this is the
+    * streaming-sink form ([[graft.streaming.StreamingOps
+    * .snapshotUpsertSink]]). Same plan shape: one changelog key-window
+    * + one co-partitioned full-outer join, every row's op validated. */
+  def applyChangelogVersioned(base: DataFrame, changelog: DataFrame,
+                              idCol: String = "doc_id",
+                              seqCol: String = "seq", opCol: String = "op",
+                              payloadCols: Seq[String] = Seq("text"))
+      : DataFrame = {
+    require(base.columns.contains("__seq") &&
+      base.columns.contains("__deleted"),
+      "applyChangelogVersioned: base must carry __seq/__deleted " +
+        "(snapshotUpsertSink's layout; build the empty base with them)")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__chg_seq").desc, col("__op").desc)
+    val latest = changelog
+      .select((Seq(col(idCol), col(seqCol).as("__chg_seq"),
+        validatedOp(col(opCol), "applyChangelogVersioned").as("__op")) ++
+        payloadCols.map(c => col(c).as(s"__chg_$c"))): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val chgWins = col("__op").isNotNull &&
+      (col("__seq").isNull || col("__chg_seq") > col("__seq"))
+    base
+      .select((Seq(col(idCol)) ++ payloadCols.map(col) ++
+        Seq(col("__seq"), col("__deleted"))): _*)
+      .join(latest, Seq(idCol), "full_outer")
+      .select((Seq(col(idCol)) ++
+        payloadCols.map(c =>
+          when(chgWins && col("__op") === "upsert", col(s"__chg_$c"))
+            .when(chgWins, lit(null)) // a winning delete nulls payload
+            .otherwise(col(c)).as(c)) ++
+        Seq(when(chgWins, col("__chg_seq")).otherwise(col("__seq"))
+            .as("__seq"),
+          when(chgWins, col("__op") === "delete")
+            .otherwise(coalesce(col("__deleted"), lit(false)))
+            .as("__deleted"))): _*)
   }
 
   /** Epoch-style domain reweighting — [[stratifiedSample]] generalized to
@@ -620,15 +675,21 @@ object CurationPipeline {
     * documents real ids if that matters (it should). */
   def seededShuffleShard(docs: DataFrame, shardSize: Long,
                          seed: String = "0", idCol: String = "doc_id",
-                         bucketPrefixLen: Int = 4): DataFrame = {
+                         bucketPrefixLen: Int = 4,
+                         keepCols: Seq[String] = Seq.empty): DataFrame = {
     require(shardSize > 0, s"invalid shardSize=$shardSize")
     require(bucketPrefixLen >= 1 && bucketPrefixLen <= 6,
       s"invalid bucketPrefixLen=$bucketPrefixLen (cap 6: 16^len buckets " +
         "must stay broadcastable)")
     val w = org.apache.spark.sql.expressions.Window
-    val keyed = docs.select(col(idCol).as("doc_id"),
+    // keepCols ride the shard assignment (no output-schema change when
+    // empty) so callers like shardManifest never join back on the id —
+    // a join-free passthrough is also immune to id-collision
+    // cross-matching
+    val keyed = docs.select((Seq(col(idCol).as("doc_id"),
         md5(concat(lit(seed + ":"),
-          coalesce(col(idCol).cast("string"), lit("")))).as("skey"))
+          coalesce(col(idCol).cast("string"), lit("")))).as("skey")) ++
+        keepCols.map(col)): _*)
       .withColumn("bucket", substring(col("skey"), 1, bucketPrefixLen))
     val bw = w.orderBy(col("bucket")).rowsBetween(w.unboundedPreceding, -1)
     val buckets = keyed.groupBy(col("bucket"))
@@ -640,7 +701,8 @@ object CurationPipeline {
       .withColumn("pos",
         (col("cum_bucket") + row_number().over(dw) - 1).cast("long"))
       .withColumn("shard", floor(col("pos") / lit(shardSize)).cast("long"))
-      .select(col("doc_id"), col("pos"), col("shard"))
+      .select((Seq(col("doc_id"), col("pos"), col("shard")) ++
+        keepCols.map(col)): _*)
   }
 
   /** Single-pass COLUMN PROFILE — the ingest data-quality report every
@@ -681,24 +743,23 @@ object CurationPipeline {
     * md5s concatenated in position order). Re-run after any rebuild:
     * equal manifests ⇒ byte-equal training input, a differing shard row
     * pinpoints WHERE a "reproducible" pipeline drifted. Plan shape: the
-    * shard assignment's bucket-rollup machinery + one doc_id equi-join
-    * + a shard-keyed aggregate whose groups are bounded by shardSize —
-    * the digest concat never exceeds 32·shardSize chars per group.
-    * Ids must be UNIQUE (at most one null): the join-back from the
-    * shard assignment is id-keyed, so a duplicated id — null or not —
-    * would cross-match. The null-safe join keeps a single null-id doc
-    * (which [[seededShuffleShard]] deliberately positions) in its
-    * shard's digest and count. */
+    * shard assignment's bucket-rollup machinery + a shard-keyed
+    * aggregate whose groups are bounded by shardSize — the digest
+    * concat never exceeds 32·shardSize chars per group. The per-doc
+    * hash and token count ride THROUGH the shard assignment (keepCols)
+    * instead of joining back on the id, so duplicate or null ids can
+    * never cross-match rows — each physical row carries its own
+    * content into its shard's digest. (Duplicate ids still tie-break
+    * arbitrarily in position order between themselves; keep ids unique
+    * for a fully deterministic manifest.) */
   def shardManifest(docs: DataFrame, shardSize: Long, seed: String = "0",
                     idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val shards = seededShuffleShard(docs, shardSize, seed, idCol)
-      .withColumnRenamed("doc_id", "__sid")
-    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
-        graft.functions.TextAnalysis.tokenCount(col(textCol))
-          .cast("long").as("n_tokens"))
-      .join(shards, col("doc_id") <=> col("__sid"))
-      .drop("__sid")
+    seededShuffleShard(
+        docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
+          graft.functions.TextAnalysis.tokenCount(col(textCol))
+            .cast("long").as("n_tokens")),
+        shardSize, seed, "doc_id", keepCols = Seq("h", "n_tokens"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

@@ -313,22 +313,26 @@ object StreamingOps {
   /** Streaming CDC apply — each micro-batch of changelog rows
     * (id, seq, op∈upsert|delete, payload…) folds into a VERSIONED
     * parquet snapshot via
-    * [[graft.pipeline.CurationPipeline.applyChangelog]]: the corpus
-    * stays continuously materialized without ever reprocessing
+    * [[graft.pipeline.CurationPipeline.applyChangelogVersioned]]: the
+    * corpus stays continuously materialized without ever reprocessing
     * unchanged rows. Layout: `root/v<N>` immutable snapshot dirs + a
     * tiny `root/_CURRENT` pointer file naming the live version —
     * readers ([[readSnapshot]]) resolve the pointer then read an
-    * immutable dir, so a concurrent swap can never hand them a
-    * half-written snapshot, and past versions stay readable (time
-    * travel) until `keepVersions` retention prunes them.
+    * immutable dir, so a swap can never hand them a half-written
+    * snapshot, and past versions stay readable (time travel) until
+    * `keepVersions` retention prunes them. The pointer swap is a
+    * write-temp-then-FileContext-rename(OVERWRITE) — atomic on HDFS
+    * and POSIX, so a reader sees the old pointer or the new one,
+    * never a torn file.
     *
-    * At-least-once safe: replaying a batch re-applies the same
-    * max-seq winners, so the snapshot CONVERGES (StreamingSpec pins
-    * replay ≡ once). Distributed end-to-end — the merge is the
-    * applyChangelog window+join; the driver only writes the pointer.
-    * The pointer overwrite is the single non-atomic hop (create-
-    * overwrite of one small file); a production lake swaps a catalog
-    * pointer instead, same shape. */
+    * At-least-once safe BOTH ways: replaying an identical batch
+    * re-applies the same max-seq winners, and a STALE change
+    * redelivered in a LATER batch (lower seq than already applied)
+    * is rejected against the snapshot's stored per-key `__seq` —
+    * deletes persist as tombstone rows precisely so a late stale
+    * upsert cannot resurrect them. Distributed end-to-end — the merge
+    * is the versioned window+join; the driver only swaps the
+    * pointer. */
   def snapshotUpsertSink(changeStream: DataFrame, root: String,
                          idCol: String = "doc_id", seqCol: String = "seq",
                          opCol: String = "op",
@@ -345,10 +349,14 @@ object StreamingOps {
           val rootPath = new org.apache.hadoop.fs.Path(root)
           val fs = rootPath.getFileSystem(hconf)
           val cur = currentSnapshotVersion(fs, root)
-          // empty-base schema from the batch's own payload types — the
-          // readParquetOrEmpty convention for a first-ever batch
+          // empty-base schema from the batch's own payload types (the
+          // readParquetOrEmpty convention) + the version metadata
           val baseSchema = org.apache.spark.sql.types.StructType(
-            (idCol +: payloadCols).map(c => batch.schema(c)))
+            (idCol +: payloadCols).map(c => batch.schema(c)) ++ Seq(
+              org.apache.spark.sql.types.StructField("__seq",
+                batch.schema(seqCol).dataType),
+              org.apache.spark.sql.types.StructField("__deleted",
+                org.apache.spark.sql.types.BooleanType)))
           val base = cur match {
             case Some(v) => spark.read.parquet(s"$root/v$v")
             case None => spark.createDataFrame(
@@ -357,13 +365,21 @@ object StreamingOps {
           }
           val next = cur.getOrElse(-1L) + 1
           graft.pipeline.CurationPipeline
-            .applyChangelog(base, batch, idCol, seqCol, opCol, payloadCols)
+            .applyChangelogVersioned(base, batch, idCol, seqCol, opCol,
+              payloadCols)
             .write.mode("overwrite").parquet(s"$root/v$next")
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(s"$root/_CURRENT"), true)
+          // atomic pointer swap: temp file + rename(OVERWRITE)
+          val tmp = new org.apache.hadoop.fs.Path(s"$root/_CURRENT.tmp")
+          val out = fs.create(tmp, true)
           try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-          // retention: prune versions older than the kept window
-          (0L to next - keepVersions).foreach { v =>
+          org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri,
+              hconf)
+            .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          // retention: only the version newly crossing the horizon —
+          // never a rescan from v0 (O(1) deletes per batch, not O(n))
+          (math.max(0L, cur.getOrElse(-1L) + 1 - keepVersions) to
+              next - keepVersions).foreach { v =>
             fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true)
           }
         }
@@ -371,13 +387,21 @@ object StreamingOps {
   }
 
   /** Resolve `root/_CURRENT` and read the live snapshot (empty Option
-    * when no version has ever been committed). */
-  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String)
+    * when no version has ever been committed). Tombstone rows and the
+    * `__seq`/`__deleted` version metadata are stripped by default —
+    * `includeTombstones = true` exposes the raw layout (compaction,
+    * audits). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                   includeTombstones: Boolean = false)
       : Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentSnapshotVersion(fs, root)
-      .map(v => spark.read.parquet(s"$root/v$v"))
+    currentSnapshotVersion(fs, root).map { v =>
+      val raw = spark.read.parquet(s"$root/v$v")
+      if (includeTombstones) raw
+      else raw.filter(!coalesce(col("__deleted"), lit(false)))
+        .drop("__seq", "__deleted")
+    }
   }
 
   private def currentSnapshotVersion(fs: org.apache.hadoop.fs.FileSystem,

@@ -444,6 +444,13 @@ class CurationSpec extends SparkSpec {
       CurationPipeline.applyChangelog(base,
         Seq((1L, 1L, "UPSERT", "x")).toDF("doc_id", "seq", "op", "text"))
         .collect()
+    // validation happens on EVERY row, before winners are picked — a
+    // malformed op outranked by a higher seq must still fail loudly
+    an[Exception] should be thrownBy
+      CurationPipeline.applyChangelog(base,
+        Seq((1L, 2L, "upsert", "x"), (1L, 1L, "UPSERT", "y"))
+          .toDF("doc_id", "seq", "op", "text"))
+        .collect()
     val df = CurationPipeline.applyChangelog(base,
       Seq((1L, 1L, "upsert", "x"), (2L, 1L, "upsert", "y"))
         .toDF("doc_id", "seq", "op", "text"))
@@ -691,6 +698,12 @@ class LengthBucketSpec extends SparkSpec {
     val m = mf(docs)
     // all four docs — including the null-id one — are accounted for
     m.map(_._2).sum shouldBe 4L
+    // TWO null-id docs: the keepCols passthrough carries each row's own
+    // content — no id-keyed join to cross-match, so counts stay exact
+    val twoNulls = docs.unionByName(
+      Seq((Option.empty[Long], "a second null-id doc"))
+        .toDF("doc_id", "text"))
+    mf(twoNulls).map(_._2).sum shouldBe 5L
     // a drift in ONLY the null-id doc's text must change the manifest
     val drifted = Seq((Some(1L), "alpha"), (Some(2L), "beta"),
       (None, "the null-id doc DRIFTED"), (Some(3L), "gamma"))

@@ -531,6 +531,13 @@ class StreamingSpec extends SparkSpec {
         spark.sparkContext.hadoopConfiguration)
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/v0")) shouldBe false
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")) shouldBe true
+      // CROSS-BATCH stale redelivery: key 1 was deleted at seq 2, key 2
+      // upserted at seq 2 — redelivered seq-1 changes must be rejected
+      // against the snapshot's stored __seq (tombstone memory), not
+      // resurrect/revert
+      input.addData((1L, 1L, "upsert", "stale-a"), (2L, 1L, "upsert", "b"))
+      query.processAllAvailable()
+      snap() shouldBe Seq((2L, Some("b2")), (3L, Some("c")))
     } finally query.stop()
     // at-least-once convergence: a FULL replay of the same changelog
     // into a fresh root (fresh checkpoint) lands on the same snapshot
