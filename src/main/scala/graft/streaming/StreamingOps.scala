@@ -386,6 +386,41 @@ object StreamingOps {
       }
   }
 
+  /** Compact the live CDC snapshot: drop tombstone rows whose `__seq`
+    * is at or below `horizonSeq` — the CDC horizon past which the
+    * source can no longer redeliver (a committed Kafka offset, a
+    * shipped LSN) — and publish the rewrite as the next version. Live
+    * rows are untouched, so [[readSnapshot]] output is identical
+    * before and after; what changes is the raw layout (tombstone rows
+    * gone, files coalesced by the rewrite). BELOW the horizon the
+    * stale-rejection memory is gone BY CONTRACT: a seq older than the
+    * horizon arriving after compaction would apply — that is exactly
+    * what "horizon" promises cannot happen, and StreamingSpec pins
+    * both sides of the boundary. Single-writer like the sink: run
+    * from the same driver or with the stream paused (two writers
+    * racing v<N> is the layout's documented exclusion, as with any
+    * non-catalog table format). */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      root: String, horizonSeq: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val cur = currentSnapshotVersion(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"compactSnapshot: no committed snapshot at $root"))
+    val next = cur + 1
+    spark.read.parquet(s"$root/v$cur")
+      .filter(!(coalesce(col("__deleted"), lit(false)) &&
+        col("__seq") <= horizonSeq))
+      .write.mode("overwrite").parquet(s"$root/v$next")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, hconf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Resolve `root/_CURRENT` and read the live snapshot (empty Option
     * when no version has ever been committed). Tombstone rows and the
     * `__seq`/`__deleted` version metadata are stripped by default —

@@ -538,9 +538,26 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, 1L, "upsert", "stale-a"), (2L, 1L, "upsert", "b"))
       query.processAllAvailable()
       snap() shouldBe Seq((2L, Some("b2")), (3L, Some("c")))
+      // tombstone compaction: live content identical, tombstone row
+      // physically gone below the horizon
+      val rawBefore = StreamingOps.readSnapshot(spark, root,
+        includeTombstones = true).get.count()
+      StreamingOps.compactSnapshot(spark, root, horizonSeq = 2L)
+      snap() shouldBe Seq((2L, Some("b2")), (3L, Some("c")))
+      StreamingOps.readSnapshot(spark, root, includeTombstones = true)
+        .get.count() shouldBe rawBefore - 1
+      // the horizon CONTRACT's other side: with the tombstone gone, a
+      // below-horizon redelivery now applies — which is exactly what
+      // "the source can no longer redeliver below the horizon" excludes
+      input.addData((1L, 1L, "upsert", "zombie"))
+      query.processAllAvailable()
+      snap() shouldBe Seq((1L, Some("zombie")), (2L, Some("b2")),
+        (3L, Some("c")))
     } finally query.stop()
-    // at-least-once convergence: a FULL replay of the same changelog
-    // into a fresh root (fresh checkpoint) lands on the same snapshot
+    // at-least-once convergence: a FULL replay of the same changelog —
+    // including a replayed batch and the stale redelivery, but not
+    // root1's compaction+zombie epilogue — into a fresh root lands on
+    // the pre-compaction snapshot
     val root2 = java.nio.file.Files.createTempDirectory("graft-snap2")
       .toString + "/snap"
     val input2 = MemoryStream[(Long, Long, String, String)]
@@ -549,12 +566,13 @@ class StreamingSpec extends SparkSpec {
         keepVersions = 2)
       .option("checkpointLocation", checkpoint()).start()
     try {
-      Seq(b1, b2, b3, b3).foreach { b => // b3 twice: replayed batch
+      val stale = Seq((1L, 1L, "upsert", "stale-a"), (2L, 1L, "upsert", "b"))
+      Seq(b1, b2, b3, b3, stale).foreach { b => // b3 twice: replayed batch
         input2.addData(b: _*); query2.processAllAvailable()
       }
       StreamingOps.readSnapshot(spark, root2).get
         .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
-        snap()
+        Seq((2L, Some("b2")), (3L, Some("c")))
     } finally query2.stop()
   }
 }
