@@ -208,12 +208,17 @@ object Bench {
       .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"))
   }
 
-  /** sec-vs-rows scaling probe for the two heaviest batch families
-    * (alt-star components, contamination report): run each at `base`
-    * and 10×`base` synthetic rows and report the observed log-log
+  /** sec-vs-rows scaling probe for the heaviest batch families
+    * (alt-star components, contamination report, span removal, fuzzy
+    * linkage, incremental fuzzy gate): run each at `base` and
+    * 10×`base` synthetic rows and report the observed log-log
     * exponent — the guard against superlinear surprises the sf0.1 book
-    * cannot see. Invoked alone via SPARK_GRAFT_BENCH_SCALE=1. */
-  def scaleProbe(spark: SparkSession, base: Long): String = {
+    * cannot see. Invoked alone via SPARK_GRAFT_BENCH_SCALE=1;
+    * SPARK_GRAFT_BENCH_SCALE_FAMILIES (comma list) selects a subset so
+    * one family's decade can be re-measured without paying the rest. */
+  def scaleProbe(spark: SparkSession, base: Long,
+                 families: Set[String] = Set("altstar", "contamination",
+                   "span", "fuzzy")): String = {
     import graft.operators.Dedup
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -224,12 +229,14 @@ object Bench {
       val docs = syntheticDocs(spark, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inRows = docs.count() // materialize: probe timings exclude gen
-      val (altSec, comps) = timed {
+      val measured = scala.collection.mutable.LinkedHashMap.empty[
+        String, (Double, Long)]
+      if (families("altstar")) measured("altstar") = timed {
         Dedup.connectedComponentsAltStar(
           Dedup.minhashLshPairs(docs, "text", "doc_id",
             shingleN = 3, bands = 4, rowsPerBand = 3)).count()
       }
-      val (contSec, hits) = timed {
+      if (families("contamination")) measured("contamination") = timed {
         graft.pipeline.CurationPipeline.contaminationReport(
           docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
           "text", "doc_id", k = 8, w = 4).count()
@@ -239,26 +246,55 @@ object Bench {
       // Aggregate over EVERY output column: a bare count() would let
       // Catalyst prune the md5-rebuild aggregates and time only the
       // group shuffle.
-      val (spanSec, spanRows) = timed {
+      if (families("span")) measured("span") = timed {
         import spark.implicits._
         Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 8)
           .agg(sum(length(col("clean_md5")).cast("long") +
             col("n_kept") + col("n_removed"))).as[Long].head()
       }
+      if (families("fuzzy")) {
+        // fuzzy LINKAGE: the probe corpus prepends a high-cardinality
+        // family key (derived from the text hash, so exact/truncated
+        // variants share it) as the blocking prefix — expected block
+        // size stays CONSTANT as n grows, the shape blocking keys have
+        // at 100 TB (names, URLs), so the measurement isolates the
+        // operator's claim: block-capped pair expansion ⇒ total work
+        // ∝ rows. Degenerate shared prefixes are the maxBlock guard's
+        // job, an O(blocks) aggregate the same run also pays.
+        measured("fuzzy_linkage") = timed {
+          val famN = math.max(inRows / 6, 1L)
+          val linkDocs = docs.select(col("doc_id"),
+            concat(format_string("f%010d ",
+                pmod(xxhash64(substring(col("text"), 1, 400)), lit(famN))),
+              col("text")).as("text"))
+          Dedup.fuzzyLinkage(linkDocs, "text", "doc_id",
+            blockLen = 12, window = 48, maxDist = 12, maxBlock = 64).count()
+        }
+        // incremental FUZZY gate: variants (ids >= n) are the batch,
+        // originals the index — the cross-frame LSH band join whose
+        // candidate count is dup-bounded, then Jaccard verify on
+        // candidates only, then the anti probe. count() cannot prune
+        // any stage: survivorship depends on the full verify.
+        measured("incremental_fuzzy") = timed {
+          Dedup.antiJoinFuzzy(docs.filter(col("doc_id") >= n),
+            docs.filter(col("doc_id") < n), "text", "doc_id",
+            shingleN = 3, bands = 4, rowsPerBand = 3,
+            threshold = 0.5).count()
+        }
+      }
       docs.unpersist()
-      (inRows, altSec, comps, contSec, hits, spanSec, spanRows)
+      (inRows, measured.toSeq)
     }
-    def exp(a: Double, b: Double): Double =
-      math.log(b / a) / math.log(out(1)._1.toDouble / out(0)._1)
-    val rows = out.map { case (n, a, ac, c, cc, s, sc) =>
-      s"""{"rows":$n,"altstar_sec":$a,"altstar_rows":$ac,""" +
-        s""""contamination_sec":$c,"contamination_rows":$cc,""" +
-        s""""span_sec":$s,"span_checksum":$sc}"""
+    val rows = out.map { case (n, ms) =>
+      (s""""rows":$n""" +: ms.map { case (f, (sec, cnt)) =>
+        s""""${f}_sec":$sec,"${f}_rows":$cnt""" })
+        .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    s"""{"metric":"scale_probe","points":$rows,""" +
-      s""""altstar_exponent":${exp(out(0)._2, out(1)._2)},""" +
-      s""""contamination_exponent":${exp(out(0)._4, out(1)._4)},""" +
-      s""""span_exponent":${exp(out(0)._6, out(1)._6)}}"""
+    val exps = out(0)._2.zip(out(1)._2).map { case ((f, (a, _)), (_, (b, _))) =>
+      val e = math.log(b / a) / math.log(out(1)._1.toDouble / out(0)._1)
+      s""""${f}_exponent":$e"""
+    }.mkString(",")
+    s"""{"metric":"scale_probe","points":$rows,$exps}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -268,9 +304,13 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_SCALE").contains("1")) {
       // one-off superlinearity probe: warm both plan shapes at a small
       // size first (codegen/JIT), then the timed 1× / 10× pair
-      scaleProbe(spark, 500)
+      val fams = sys.env.get("SPARK_GRAFT_BENCH_SCALE_FAMILIES")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set("altstar", "contamination", "span", "fuzzy"))
+      scaleProbe(spark, 500, fams)
       println(scaleProbe(spark,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BASE", "5000").toLong))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BASE", "5000").toLong,
+        fams))
       spark.stop()
       return
     }
@@ -456,7 +496,19 @@ object Bench {
         System.err.println(s"[bench] state probe failed: ${e.getMessage}")
         ""","state_probe":null"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$streamingIndexed$stateProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$streamingIndexed$stateProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}"""
+    println(line)
+    // full-book artifact (BENCH_r*.json retains only a tail): when
+    // SPARK_GRAFT_BENCH_BOOK names a path, the complete line also lands
+    // there so per-query cross-round diffs are mechanical — the
+    // round-closing bench writes BENCH_BOOK_r<N>.json and commits it.
+    // Best-effort: a book-write failure must never fail the bench.
+    sys.env.get("SPARK_GRAFT_BENCH_BOOK").foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] book write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -2265,10 +2265,12 @@ object QueriesDataOps {
       // eigenvalue-balanced allocation rotation trained in one
       // moment-partials pass, then the UNCHANGED PQ sample-codebook
       // encode/ADC recipe (the ann_pq_adc convention) over the ROTATED
-      // space. Measured on this table (with the Lloyd-refined codebook
-      // recipe): recall@5 0.34 → 0.43 at the same m=16/ksub=32 code
-      // budget — OpqSpec pins the A/B. FULL SQL oracle: the trained rotation is
-      // EXPORTED as a parquet sidecar (fixed path, written only under
+      // space — raw sample codebooks, engine-replayable in SQL, which
+      // is what makes the full-path oracle below possible (OpqSpec pins
+      // the rotation's recall A/B separately, on Lloyd-refined
+      // codebooks). FULL SQL oracle: the trained rotation is
+      // EXPORTED as a parquet sidecar (the PID-scoped
+      // oracleSidecarRoot, written only under
       // Verify — see Verify.main's graft.oracle.sidecars gate) and the
       // DuckDB oracle replays rotate → encode → ADC from it, so the
       // whole rotation-applied search path is hash-checked; only the

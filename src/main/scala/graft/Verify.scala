@@ -10,11 +10,14 @@ object Verify {
     val spark = graft.core.Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     // Oracle sidecars: queries whose DuckDB oracle needs an
-    // engine-trained artifact (ann_opq_adc's rotation) export it to the
-    // FIXED path the static oracle SQL reads (/tmp/graft_oracle_sidecars)
-    // — but only under Verify, so a later Bench invocation at another
-    // scale factor cannot overwrite the artifact between this dump and
-    // the driver's DuckDB compare.
+    // engine-trained artifact (the OPQ rotations) export it to the
+    // PID-scoped path QueriesDataOps.oracleSidecarRoot embeds into the
+    // oracle SQL at string-construction time — but only under Verify,
+    // so a later Bench invocation at another scale factor cannot
+    // overwrite the artifact between this dump and the driver's DuckDB
+    // compare. Deliberately NOT deleted at exit: the driver's DuckDB
+    // replay reads the sidecars AFTER this process ends (tiny parquet
+    // files in java.io.tmpdir; the OS tmp reaper owns their lifetime).
     System.setProperty("graft.oracle.sidecars", "1")
     // A failed query must be LOUD: queries without an oracle are simply
     // absent from the driver's correctness report when they crash, so a

@@ -29,6 +29,12 @@ import graft.providers.{ConnectionRegistry, ConnectionSpec, ModelRegistry, Model
   *       'azureopenai.input_format' = 'OPENAI-EMBED');
   * }}}
   *
+  * Beyond the DDL, the surface also parses the data-ops statements
+  * `READ SNAPSHOT '<root>' [VERSION AS OF n] [WITH TOMBSTONES]` (the
+  * CDC snapshot reader incl. time travel) and `CURATE TABLE tbl USING
+  * dedup_exact|dedup_fuzzy|verdict|split [WITH (...)]` (the flagship
+  * curation/dedup pipeline ops) — see [[GraftDdl.curateTableDispatch]].
+  *
   * Injected ahead of the Spark parser by [[GraftExtensions]]; every
   * other statement delegates untouched (including `EXPLAIN CREATE
   * MODEL ...` — wrapped statements are the delegate grammar's and fail
@@ -78,6 +84,12 @@ private[core] object GraftDdl {
     "(?is)^(COMPACT|DESCRIBE|DROP)\\s+VECTOR\\s+INDEX\\s+(`[^`]+`|[\\w.$-]+)\\s*;?\\s*$".r
   private val OnClause =
     "(?is)^ON\\s+(`[^`]+`|[\\w.$-]+)\\s*\\(\\s*(`[^`]+`|[\\w.$-]+)\\s*\\)(.*)$".r
+  private val ReadSnap =
+    ("(?is)^READ\\s+SNAPSHOT\\s+'([^']+)'" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?" +
+      "(\\s+WITH\\s+TOMBSTONES)?\\s*;?\\s*$").r
+  private val CurateTbl =
+    "(?is)^CURATE\\s+TABLE\\s+(`[^`]+`|[\\w.$-]+)\\s+USING\\s+(\\w+)(.*)$".r
 
   /** Drop leading whitespace, `-- line` and `/* block */` comments — a
     * commented CREATE MODEL must still reach the recognizer (standard
@@ -102,6 +114,54 @@ private[core] object GraftDdl {
   }
 
   def parse(sql: String): Option[LogicalPlan] = stripLeadingTrivia(sql) match {
+    case ReadSnap(root, ver, tomb) =>
+      // READ SNAPSHOT '<root>' [VERSION AS OF n] [WITH TOMBSTONES] —
+      // the SQL face of StreamingOps.readSnapshot (the CDC snapshot
+      // sink's reader, incl. time travel over retained manifests). The
+      // schema is the snapshot's own, so this resolves to the actual
+      // read plan rather than a fixed-output command; resolution is a
+      // manifest-file read — metadata only, like table resolution.
+      val spark = SparkSession.active
+      val df = graft.streaming.StreamingOps.readSnapshot(spark, root,
+          includeTombstones = tomb != null,
+          version = Option(ver).map(_.toLong))
+        .getOrElse(throw new ParseException(Option(sql), Origin(),
+          "PARSE_SYNTAX_ERROR",
+          Map("error" -> "'READ SNAPSHOT'",
+              "hint" -> s": no committed snapshot at $root")))
+      Some(df.queryExecution.logical)
+    case CurateTbl(rawTbl, op, rest) =>
+      val tbl = rawTbl.stripPrefix("`").stripSuffix("`")
+      val stmt = s"CURATE TABLE $tbl USING ${op.toLowerCase}"
+      val opts =
+        if (rest.trim.stripSuffix(";").trim.isEmpty) Map.empty[String, String]
+        else try {
+          var r = rest.trim
+          require(r.length >= 4 && r.substring(0, 4).equalsIgnoreCase("WITH"),
+            s"$stmt: expected WITH ('key' = 'value', ...) or nothing")
+          r = r.substring(4).trim
+          require(r.startsWith("("), s"$stmt: WITH must be followed by (...)")
+          val (m, after) = parsePairs(stmt, r)
+          val tail = after.trim.stripSuffix(";").trim
+          require(tail.isEmpty,
+            s"$stmt: unexpected trailing input '${tail.take(40)}'")
+          m
+        } catch {
+          case e: ParseException => throw e
+          case scala.util.control.NonFatal(e) =>
+            throw new ParseException(Option(sql), Origin(),
+              "PARSE_SYNTAX_ERROR",
+              Map("error" -> "'CURATE TABLE'", "hint" -> s": ${e.getMessage}"))
+        }
+      try Some(curateTableDispatch(stmt, tbl, op.toLowerCase, opts))
+      catch {
+        case e: ParseException => throw e
+        case e: org.apache.spark.sql.AnalysisException => throw e // table resolution
+        case scala.util.control.NonFatal(e) =>
+          throw new ParseException(Option(sql), Origin(),
+            "PARSE_SYNTAX_ERROR",
+            Map("error" -> "'CURATE TABLE'", "hint" -> s": ${e.getMessage}"))
+      }
     case Maint(verb, rawName) =>
       val name = rawName.stripPrefix("`").stripSuffix("`")
       if (verb.equalsIgnoreCase("COMPACT"))
@@ -152,6 +212,84 @@ private[core] object GraftDdl {
         else Some(CreateConnectionCommand(name, opts))
       }
     case _ => None
+  }
+
+  /** `CURATE TABLE tbl USING op [WITH (...)]` — the SQL face of the
+    * flagship curation/dedup pipeline ops (the reference is SQL-first;
+    * a pure-SQL user runs the curation path without touching the
+    * DataFrame API). Dispatches to the EXACT functions the DataFrame
+    * path uses — SqlSurfaceSpec pins hash parity — so the plan, the
+    * scale shape and the results are identical by construction:
+    *
+    *  - `dedup_exact` → [[graft.operators.Dedup.exactGroups]]
+    *    (content_hash, n_dups, keep_id); options 'id', 'text'.
+    *  - `dedup_fuzzy` → [[graft.operators.Dedup.minhashLshVerified]]
+    *    (verified near-dup pairs); options 'id', 'text', 'shingle_n',
+    *    'bands', 'rows_per_band', 'threshold'.
+    *  - `verdict` → [[graft.pipeline.CurationPipeline.annotate]]
+    *    (post-dedup rows + gate verdict); options 'id', 'text',
+    *    'min_quality', 'langs' (comma list), 'min_tokens', 'max_tokens'.
+    *  - `split` → [[graft.pipeline.CurationPipeline.hashSplit]]
+    *    (rows + split band); options 'id', 'splits'
+    *    ("train:0.8,val:0.1,test:0.1"), 'seed'.
+    *
+    * Output schema depends on the op and the table, so like READ
+    * SNAPSHOT this resolves to the composed read plan at parse time
+    * (side-effect-free — the ops are pure transforms). Unknown ops and
+    * unknown option keys raise: a typo must not silently run a
+    * default gate over a 100 TB corpus. */
+  private def curateTableDispatch(stmt: String, tbl: String, op: String,
+                                  opts: Map[String, String]): LogicalPlan = {
+    import graft.operators.Dedup
+    import graft.pipeline.CurationPipeline
+    val spark = SparkSession.active
+    def requireKeys(allowed: Set[String]): Unit = {
+      val unknown = opts.keySet -- allowed
+      require(unknown.isEmpty,
+        s"$stmt: unknown option(s) ${unknown.mkString(", ")} " +
+          s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+    }
+    val df = spark.table(tbl)
+    val id = opts.getOrElse("id", "doc_id")
+    val text = opts.getOrElse("text", "text")
+    val out = op match {
+      case "dedup_exact" =>
+        requireKeys(Set("id", "text"))
+        Dedup.exactGroups(df, text, id)
+      case "dedup_fuzzy" =>
+        requireKeys(Set("id", "text", "shingle_n", "bands", "rows_per_band",
+          "threshold"))
+        Dedup.minhashLshVerified(df, text, id,
+          shingleN = opts.getOrElse("shingle_n", "3").toInt,
+          bands = opts.getOrElse("bands", "4").toInt,
+          rowsPerBand = opts.getOrElse("rows_per_band", "3").toInt,
+          threshold = opts.getOrElse("threshold", "0.6").toDouble)
+      case "verdict" =>
+        requireKeys(Set("id", "text", "min_quality", "langs", "min_tokens",
+          "max_tokens"))
+        CurationPipeline.annotate(df, CurationPipeline.Config(
+            minQuality = opts.getOrElse("min_quality", "0.5").toDouble,
+            langs = opts.getOrElse("langs", "en").split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq,
+            minTokens = opts.getOrElse("min_tokens", "10").toInt,
+            maxTokens = opts.getOrElse("max_tokens", "100000").toInt),
+          text, id)
+      case "split" =>
+        requireKeys(Set("id", "splits", "seed"))
+        val splits = opts.getOrElse("splits", "train:0.8,val:0.1,test:0.1")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+            val parts = s.split(':')
+            require(parts.length == 2,
+              s"$stmt: malformed splits entry '$s' (want name:fraction)")
+            parts(0).trim -> parts(1).trim.toDouble
+          }
+        CurationPipeline.hashSplit(df, splits, id,
+          seed = opts.getOrElse("seed", "0"))
+      case other => sys.error(
+        s"$stmt: unknown op '$other' (supported: dedup_exact, " +
+          "dedup_fuzzy, verdict, split)")
+    }
+    out.queryExecution.logical
   }
 
   /** [INPUT (...)] [OUTPUT (...)] WITH ( 'k' = 'v' [, ...] ) [;] */

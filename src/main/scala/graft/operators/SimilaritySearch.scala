@@ -1250,12 +1250,21 @@ object SimilaritySearch {
       book.zipWithIndex.map { case (v, c) => (j, c, v) }
     }.toDF("j", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    rotation.foreach { r =>
-      // column-major rows (c, w[d]): R(i)(c) = w(i) — the same layout
-      // the oracle sidecar uses; doubles round-trip parquet exactly
-      r.head.indices.map(c => (c, r.indices.map(i => r(i)(c))))
-        .toDF("c", "w")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    rotation match {
+      case Some(r) =>
+        // column-major rows (c, w[d]): R(i)(c) = w(i) — the same layout
+        // the oracle sidecar uses; doubles round-trip parquet exactly
+        r.head.indices.map(c => (c, r.indices.map(i => r(i)(c))))
+          .toDF("c", "w")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+      case None =>
+        // a rotation-free rebuild must DELETE a previous build's sidecar
+        // (the same overwrite semantics codes/centroids/codebooks get):
+        // a stale one would make searchIvfPqIndex silently rotate
+        // queries against un-rotated codes — wrong results, no error
+        val rotDir = new org.apache.hadoop.fs.Path(s"$path/rotation")
+        val fs = rotDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(rotDir)) fs.delete(rotDir, true)
     }
   }
 

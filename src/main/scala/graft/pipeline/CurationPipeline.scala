@@ -824,9 +824,19 @@ object CurationPipeline {
     * Returns (weights, scoredDocs): per-doc sigmoid(w·x) quality in
     * [0,1] under the trained weights — >0.5 ⇒ more target-like.
     * Wordless docs score sigmoid(0) = 0.5 (no evidence either way). */
+  /** @param materializeAt eager-materialization gate on the returned
+    *   scored frame: at or above this many docs the final pass is
+    *   localCheckpoint'd WHILE the feature frame is still cached
+    *   (replaying the explode + per-doc-window lineage at the caller's
+    *   first action grows with the corpus — the r11 bench's avoidable
+    *   cost); below it the lazy frame is returned as-is, because at
+    *   small corpora the checkpoint write costs MORE than the replay
+    *   it avoids (measured at sf0.1: 1.25 s lazy vs 1.67 s eager).
+    *   0 forces the checkpoint, Long.MaxValue forces lazy. */
   def qualityLrTrain(docs: DataFrame, idCol: String, textCol: String,
                      isTarget: Column, steps: Int = 3,
-                     learningRate: Double = 1.0)
+                     learningRate: Double = 1.0,
+                     materializeAt: Long = 1000000L)
       : (Map[String, Double], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -865,22 +875,22 @@ object CurationPipeline {
         .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("z"))
         .withColumn("quality", lit(1.0) / (lit(1.0) + exp(-col("z"))))
         .select(col(idCol), col("quality"))
-      val scored = docs.select(col(idCol)).distinct()
+      val lazyScored = docs.select(col(idCol)).distinct()
         .join(scored0, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("quality"), lit(0.5)).as("quality"))
-        // materialize the final pass WHILE feats is still cached —
-        // returning the lazy frame and unpersisting first would replay
-        // the explode + per-doc-window feature lineage from scratch at
-        // the caller's first action (the r11 bench's avoidable cost).
-        // EAGER localCheckpoint, not persist: a persisted Dataset is
-        // pinned by the session's CacheManager until an explicit
-        // unpersist (the ContextCleaner never reclaims it), which would
-        // leak one cached relation per call in a long-lived session —
-        // checkpoint blocks are RDD-level and ARE cleaned once the
-        // frame goes unreferenced. Lineage truncation is fine for a
-        // final result frame.
-        .localCheckpoint(true)
+      // size-gated eager materialization (nDocs is already counted for
+      // the gradient): EAGER localCheckpoint, not persist — a persisted
+      // Dataset is pinned by the session's CacheManager until an
+      // explicit unpersist (the ContextCleaner never reclaims it),
+      // which would leak one cached relation per call in a long-lived
+      // session; checkpoint blocks are RDD-level and ARE cleaned once
+      // the frame goes unreferenced. Lineage truncation is fine for a
+      // final result frame. See the materializeAt scaladoc for why the
+      // gate exists at all.
+      val scored =
+        if (nDocs >= materializeAt) lazyScored.localCheckpoint(true)
+        else lazyScored
       (weights, scored)
     } finally feats.unpersist()
   }

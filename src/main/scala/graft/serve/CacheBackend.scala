@@ -31,54 +31,91 @@ trait CacheBackend {
 }
 
 /** [[CacheBackend]] over the reference-format CSV cache directory
-  * ([[CsvCache]] — S10): reads are header-checked sanitized scans,
-  * mutations rewrite/append the directory exactly like the query-side
-  * surface, so HTTP CRUD and the rag_cache_* queries see ONE store.
-  * The cache is app-managed and small by contract (the reference keeps
-  * it in a Python dict); each call runs a tiny Spark job. */
+  * ([[CsvCache]] — S10): the directory stays the STORE OF RECORD —
+  * mutations rewrite/append it exactly like the query-side surface, so
+  * HTTP CRUD and the rag_cache_* queries see ONE store — but reads
+  * serve from an in-memory image (the reference keeps the whole cache
+  * in a Python dict, api_routes.py). One Spark job loads the sanitized
+  * sorted rows on the first read after any mutation; every later
+  * `list`/`lookup` is a map probe with NO Spark job (ServeSpec pins
+  * this with a job-count listener), so per-request latency is
+  * scheduler-free — the cache is app-managed and small by contract,
+  * which is what makes a full materialized image correct to hold.
+  *
+  * Single-writer like the CSV layout itself: a writer OUTSIDE this
+  * instance (a second backend, a direct CsvCache.append) isn't seen
+  * until [[invalidate]] — the same exclusion every non-catalog
+  * file-format store documents. */
 final class CsvCacheBackend(spark: SparkSession, path: String)
     extends CacheBackend {
   import org.apache.spark.sql.Row
+
+  /** Sorted rows (the list order) + the trimmed-case-folded Message
+    * index (the F5 lookup key rule). For duplicate keys the FIRST row
+    * in Message order wins — deterministic, where the previous
+    * per-request `limit(1)` scan took an arbitrary partition's row. */
+  private final case class Image(rows: Seq[Map[String, String]],
+      byKey: Map[String, Map[String, String]])
+  @volatile private var image: Image = null
+
+  /** Drop the memory image; the next read reloads from the directory.
+    * For coordinating with an external writer (see class doc). */
+  def invalidate(): Unit = image = null
 
   private def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  override def list(): Seq[Map[String, String]] =
-    if (!exists) Seq.empty
-    else CsvCache.read(spark, path)
-      .orderBy(org.apache.spark.sql.functions.col("Message"))
-      .collect().toSeq.map(rowToMap)
+  /** The ONE read job: sanitized scan, sorted in the load (Spark's
+    * UTF8 binary Message order — byte-identical to the previous
+    * per-request orderBy, so list() output is unchanged). */
+  private def current(): Image = {
+    val i = image
+    if (i != null) i
+    else synchronized {
+      val i2 = image // double-checked: a racing reader may have loaded
+      if (i2 != null) i2
+      else {
+        val rows =
+          if (!exists) Seq.empty[Map[String, String]]
+          else CsvCache.read(spark, path)
+            .orderBy(org.apache.spark.sql.functions.col("Message"))
+            .collect().toSeq.map(rowToMap)
+        val byKey = rows.reverseIterator // first-in-order wins
+          .map(r => r("Message").trim.toLowerCase -> r).toMap
+        val loaded = Image(rows, byKey)
+        image = loaded
+        loaded
+      }
+    }
+  }
 
   private def rowToMap(r: Row): Map[String, String] =
     CsvCache.columns.map(c =>
       c -> Option(r.getAs[String](c)).getOrElse("")).toMap
 
+  override def list(): Seq[Map[String, String]] = current().rows
+
   override def lookup(message: String): Option[Map[String, String]] =
-    if (!exists) None
-    else {
-      // single filtered scan — not list()'s full sorted collect: the
-      // send-message hot path probes one key per request
-      val key = message.trim.toLowerCase
-      CsvCache.read(spark, path)
-        .filter(org.apache.spark.sql.functions.lower(
-          org.apache.spark.sql.functions.trim(
-            org.apache.spark.sql.functions.col("Message"))) === key)
-        .limit(1).collect().headOption.map(rowToMap)
-    }
+    current().byKey.get(message.trim.toLowerCase)
 
   override def add(question: String, response: String, reasoning: String,
-                   usedExcerpts: String, ragSources: String): Unit = {
-    import spark.implicits._
-    CsvCache.append(
-      Seq((question, response, reasoning, usedExcerpts, ragSources))
-        .toDF(CsvCache.columns: _*),
-      path)
-  }
+                   usedExcerpts: String, ragSources: String): Unit =
+    synchronized {
+      import spark.implicits._
+      CsvCache.append(
+        Seq((question, response, reasoning, usedExcerpts, ragSources))
+          .toDF(CsvCache.columns: _*),
+        path)
+      image = null
+    }
 
-  override def delete(message: String): Boolean =
-    // one read: CsvCache.delete reports how many rows it removed, so
-    // no pre-flight lookup scan is needed
-    exists && CsvCache.delete(spark, path, message) > 0
+  override def delete(message: String): Boolean = synchronized {
+    // one rewrite job: CsvCache.delete reports how many rows it
+    // removed, so no pre-flight lookup scan is needed
+    val hit = exists && CsvCache.delete(spark, path, message) > 0
+    image = null
+    hit
+  }
 }

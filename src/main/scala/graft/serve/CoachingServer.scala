@@ -79,10 +79,15 @@ final class CoachingBroadcaster(queueCapacity: Int = 1024,
           // event ever arrives — looking connected, silently dead. The
           // poison pill tells the transport handler to TERMINATE the
           // stream so the client observes the disconnect and can
-          // re-subscribe. clear-then-put: the queue is full (that is
-          // why we are here), and its contents are already forfeit.
-          c.q.clear()
-          c.q.offer(CoachingBroadcaster.PoisonPill)
+          // re-subscribe. clear-then-offer MUST loop: a concurrent
+          // publisher (another thread still iterating its own clients
+          // view of this entry) can refill the just-cleared full queue
+          // between the two calls, and a failed offer would leave the
+          // evicted client streaming keepalives forever — the exact
+          // hang the pill exists to prevent. Terminates: the entry was
+          // removed above, so only in-flight publishes can race, and
+          // each clear drains capacity faster than they refill it.
+          while (!c.q.offer(CoachingBroadcaster.PoisonPill)) c.q.clear()
         }
       }
     }

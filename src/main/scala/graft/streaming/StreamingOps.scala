@@ -311,19 +311,39 @@ object StreamingOps {
     * physically (StreamingSpec pins batch-vs-streamed hash identity
     * and replay idempotence). */
   /** Streaming CDC apply — each micro-batch of changelog rows
-    * (id, seq, op∈upsert|delete, payload…) folds into a VERSIONED
-    * parquet snapshot via
+    * (id, seq, op∈upsert|delete, payload…) folds into a BUCKETED
+    * versioned parquet snapshot via
     * [[graft.pipeline.CurationPipeline.applyChangelogVersioned]]: the
     * corpus stays continuously materialized without ever reprocessing
-    * unchanged rows. Layout: `root/v<N>` immutable snapshot dirs + a
-    * tiny `root/_CURRENT` pointer file naming the live version —
-    * readers ([[readSnapshot]]) resolve the pointer then read an
-    * immutable dir, so a swap can never hand them a half-written
-    * snapshot, and past versions stay readable (time travel) until
-    * `keepVersions` retention prunes them. The pointer swap is a
-    * write-temp-then-FileContext-rename(OVERWRITE) — atomic on HDFS
-    * and POSIX, so a reader sees the old pointer or the new one,
-    * never a torn file.
+    * unchanged rows, and — the 100 TB property — without ever
+    * REWRITING unchanged rows either.
+    *
+    * Layout (copy-on-write at key-hash-bucket granularity, the
+    * Delta/Hudi shape on plain parquet):
+    * {{{
+    * root/_CURRENT          tiny pointer: id of the live manifest
+    * root/_manifests/m<N>   immutable manifest: bucket count B + the
+    *                        (bucket → bucket-version) map of snapshot N
+    * root/b<b>/v<k>         immutable parquet dir: bucket b at its
+    *                        version k (id, payload…, __seq, __deleted)
+    * }}}
+    * Rows land in bucket `pmod(hash(id), B)` (Murmur3 — stable across
+    * runs). Each micro-batch touches only the buckets its keys hash
+    * into: the base side of the merge join READS only those buckets'
+    * current dirs, and the rewrite WRITES only their next versions —
+    * per-batch IO ∝ changelog ∪ touched buckets, never ∝ base (at a
+    * 100 TB base with seconds-cadence batches the previous
+    * whole-snapshot rewrite was O(|base|) amplification per batch;
+    * StreamingSpec's bytes-written probe pins the proportionality).
+    * Untouched buckets keep their version dirs byte-identical —
+    * manifest N simply re-references them. Readers ([[readSnapshot]])
+    * resolve `_CURRENT` → one immutable manifest → immutable bucket
+    * dirs, so the pointer swap (write-temp-then-FileContext-rename
+    * (OVERWRITE) — atomic on HDFS and POSIX) can never hand them a
+    * half-written snapshot or a torn mix of bucket versions, and past
+    * snapshots stay readable (`readSnapshot(version = Some(n))` time
+    * travel) until `keepVersions` retention prunes their manifests
+    * and any bucket versions no retained manifest references.
     *
     * At-least-once safe BOTH ways: replaying an identical batch
     * re-applies the same max-seq winners, and a STALE change
@@ -331,57 +351,59 @@ object StreamingOps {
     * is rejected against the snapshot's stored per-key `__seq` —
     * deletes persist as tombstone rows precisely so a late stale
     * upsert cannot resurrect them. Distributed end-to-end — the merge
-    * is the versioned window+join; the driver only swaps the
-    * pointer. */
+    * is the versioned window+join; the driver only lists touched
+    * buckets (bounded by B) and swaps the pointer.
+    *
+    * `numBuckets` sizes bucket dirs (target ≈ base/B per bucket; at
+    * 100 TB pick B so a bucket is a few GB). It is FIXED at snapshot
+    * creation — the stored value wins on every later batch, so a
+    * restarted sink with a different parameter cannot split the
+    * keyspace inconsistently. */
   def snapshotUpsertSink(changeStream: DataFrame, root: String,
                          idCol: String = "doc_id", seqCol: String = "seq",
                          opCol: String = "op",
                          payloadCols: Seq[String] = Seq("text"),
-                         keepVersions: Int = 3)
+                         keepVersions: Int = 3,
+                         numBuckets: Int = 16)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     changeStream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val rootPath = new org.apache.hadoop.fs.Path(root)
-          val fs = rootPath.getFileSystem(hconf)
-          val cur = currentSnapshotVersion(fs, root)
-          // empty-base schema from the batch's own payload types (the
-          // readParquetOrEmpty convention) + the version metadata
-          val baseSchema = org.apache.spark.sql.types.StructType(
-            (idCol +: payloadCols).map(c => batch.schema(c)) ++ Seq(
-              org.apache.spark.sql.types.StructField("__seq",
-                batch.schema(seqCol).dataType),
-              org.apache.spark.sql.types.StructField("__deleted",
-                org.apache.spark.sql.types.BooleanType)))
-          val base = cur match {
-            case Some(v) => spark.read.parquet(s"$root/v$v")
-            case None => spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              baseSchema)
-          }
-          val next = cur.getOrElse(-1L) + 1
-          graft.pipeline.CurationPipeline
-            .applyChangelogVersioned(base, batch, idCol, seqCol, opCol,
-              payloadCols)
-            .write.mode("overwrite").parquet(s"$root/v$next")
-          // atomic pointer swap: temp file + rename(OVERWRITE)
-          val tmp = new org.apache.hadoop.fs.Path(s"$root/_CURRENT.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-          org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri,
-              hconf)
-            .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          // retention: only the version newly crossing the horizon —
-          // never a rescan from v0 (O(1) deletes per batch, not O(n))
-          (math.max(0L, cur.getOrElse(-1L) + 1 - keepVersions) to
-              next - keepVersions).foreach { v =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true)
-          }
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          val fs = snapshotFs(spark, root)
+          val cur = currentSnapshotManifest(fs, root)
+          val b = cur.map(_.numBuckets).getOrElse(numBuckets)
+          // the batch feeds two jobs (touched-bucket probe + merge):
+          // persist so a non-replayable source is read once
+          val batch = batch0.persist()
+          try {
+            val touched = batch
+              .select(snapshotBucket(col(idCol), b).as("__bucket"))
+              .distinct().collect().map(_.getInt(0)).toSet // bounded by B
+            // empty-base schema from the batch's own payload types (the
+            // readParquetOrEmpty convention) + the version metadata
+            val baseSchema = org.apache.spark.sql.types.StructType(
+              (idCol +: payloadCols).map(c => batch.schema(c)) ++ Seq(
+                org.apache.spark.sql.types.StructField("__seq",
+                  batch.schema(seqCol).dataType),
+                org.apache.spark.sql.types.StructField("__deleted",
+                  org.apache.spark.sql.types.BooleanType)))
+            val basePaths = cur.toSeq.flatMap(m => touched.toSeq.sorted
+              .flatMap(bk => m.buckets.get(bk).map(v => s"$root/b$bk/v$v")))
+            val base =
+              if (basePaths.isEmpty) spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                baseSchema)
+              else spark.read.parquet(basePaths: _*)
+            val merged = graft.pipeline.CurationPipeline
+              .applyChangelogVersioned(base, batch, idCol, seqCol, opCol,
+                payloadCols)
+            publishSnapshotVersion(spark, root, merged, idCol, touched,
+              cur, b, keepVersions, baseSchema)
+          } finally batch.unpersist()
         }
       }
   }
@@ -389,58 +411,198 @@ object StreamingOps {
   /** Compact the live CDC snapshot: drop tombstone rows whose `__seq`
     * is at or below `horizonSeq` — the CDC horizon past which the
     * source can no longer redeliver (a committed Kafka offset, a
-    * shipped LSN) — and publish the rewrite as the next version. Live
-    * rows are untouched, so [[readSnapshot]] output is identical
+    * shipped LSN) — and publish the rewrite as the next snapshot
+    * version (every bucket bumps: compaction is a full pass by
+    * nature, the scheduled maintenance job, not the per-batch path).
+    * Live rows are untouched, so [[readSnapshot]] output is identical
     * before and after; what changes is the raw layout (tombstone rows
     * gone, files coalesced by the rewrite). BELOW the horizon the
     * stale-rejection memory is gone BY CONTRACT: a seq older than the
     * horizon arriving after compaction would apply — that is exactly
     * what "horizon" promises cannot happen, and StreamingSpec pins
-    * both sides of the boundary. Single-writer like the sink: run
-    * from the same driver or with the stream paused (two writers
-    * racing v<N> is the layout's documented exclusion, as with any
-    * non-catalog table format). */
+    * both sides of the boundary. Runs the same retention sweep as the
+    * sink (a compaction-published version crosses the horizon like
+    * any other — without the sweep each compaction would permanently
+    * strand one pre-horizon version). Single-writer like the sink:
+    * run from the same driver or with the stream paused (two writers
+    * racing a version is the layout's documented exclusion, as with
+    * any non-catalog table format). */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
-                      root: String, horizonSeq: Long): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(hconf)
-    val cur = currentSnapshotVersion(fs, root).getOrElse(
+                      root: String, horizonSeq: Long,
+                      keepVersions: Int = 3): Unit = {
+    val fs = snapshotFs(spark, root)
+    val cur = currentSnapshotManifest(fs, root).getOrElse(
       throw new IllegalStateException(
         s"compactSnapshot: no committed snapshot at $root"))
-    val next = cur + 1
-    spark.read.parquet(s"$root/v$cur")
-      .filter(!(coalesce(col("__deleted"), lit(false)) &&
-        col("__seq") <= horizonSeq))
-      .write.mode("overwrite").parquet(s"$root/v$next")
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/_CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, hconf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val paths = cur.buckets.toSeq.sortBy(_._1)
+      .map { case (bk, v) => s"$root/b$bk/v$v" }
+    val raw = spark.read.parquet(paths: _*)
+    val compacted = raw.filter(!(coalesce(col("__deleted"), lit(false)) &&
+      col("__seq") <= horizonSeq))
+    publishSnapshotVersion(spark, root, compacted, idColOf(raw),
+      cur.buckets.keySet, Some(cur), cur.numBuckets, keepVersions,
+      raw.schema)
   }
 
-  /** Resolve `root/_CURRENT` and read the live snapshot (empty Option
-    * when no version has ever been committed). Tombstone rows and the
+  /** The snapshot layout stores (id, payload…, __seq, __deleted) with
+    * the id FIRST — applyChangelogVersioned's column order, which
+    * publish/compact rely on to re-derive the bucket key without the
+    * caller re-stating the id column. */
+  private def idColOf(df: DataFrame): String = df.columns.head
+
+  /** Read a CDC snapshot: the live one (`version = None` — resolve
+    * `root/_CURRENT`), or a retained past one (`version = Some(n)` —
+    * time travel; raises if retention pruned manifest n). Returns None
+    * only when no snapshot was ever committed. Tombstone rows and the
     * `__seq`/`__deleted` version metadata are stripped by default —
     * `includeTombstones = true` exposes the raw layout (compaction,
     * audits). */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-                   includeTombstones: Boolean = false)
+                   includeTombstones: Boolean = false,
+                   version: Option[Long] = None)
       : Option[DataFrame] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentSnapshotVersion(fs, root).map { v =>
-      val raw = spark.read.parquet(s"$root/v$v")
+    val fs = snapshotFs(spark, root)
+    val id = version.orElse(currentSnapshotId(fs, root))
+    id.map { n =>
+      val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$n")
+      if (!fs.exists(mPath))
+        throw new IllegalStateException(
+          s"readSnapshot: version $n of $root is not retained " +
+            "(pruned by keepVersions retention, or never committed)")
+      val m = readSnapshotManifest(fs, mPath, n)
+      val paths = m.buckets.toSeq.sortBy(_._1)
+        .map { case (bk, v) => s"$root/b$bk/v$v" }
+      val raw = spark.read.parquet(paths: _*)
       if (includeTombstones) raw
       else raw.filter(!coalesce(col("__deleted"), lit(false)))
         .drop("__seq", "__deleted")
     }
   }
 
-  private def currentSnapshotVersion(fs: org.apache.hadoop.fs.FileSystem,
-                                     root: String): Option[Long] = {
+  /** One immutable snapshot manifest: bucket count (fixed at creation)
+    * plus the bucket → bucket-version map of snapshot `id`. */
+  private[graft] final case class SnapshotManifest(id: Long, numBuckets: Int,
+      buckets: Map[Int, Long])
+
+  /** Murmur3 key-hash bucket — stable across runs/sessions, so the
+    * same id always lands in the same bucket dir. */
+  private def snapshotBucket(id: org.apache.spark.sql.Column, b: Int) =
+    pmod(hash(id), lit(b)).cast("int")
+
+  private def snapshotFs(spark: org.apache.spark.sql.SparkSession,
+                         root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The shared publish step of the sink and compaction: stage the
+    * merged frame partitioned by bucket, move ONLY the touched
+    * buckets' partitions in as their next immutable versions, commit
+    * a new manifest with an atomic pointer swap, then run retention
+    * (prune manifests past `keepVersions` and any bucket versions the
+    * oldest retained manifest no longer references — O(touched)
+    * listings of small dirs, never a scan from v0). */
+  private def publishSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+      root: String, merged: DataFrame, idCol: String, touched: Set[Int],
+      prev: Option[SnapshotManifest], numBuckets: Int, keepVersions: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = snapshotFs(spark, root)
+    val next = prev.map(_.id + 1).getOrElse(0L)
+    val staging = s"$root/_staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    merged
+      .withColumn("__bucket", snapshotBucket(col(idCol), numBuckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+    val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty)
+    val newBuckets = touched.toSeq.sorted.map { bk =>
+      val ver = prevBuckets.get(bk).map(_ + 1).getOrElse(0L)
+      val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$bk")
+      val dstDir = new org.apache.hadoop.fs.Path(s"$root/b$bk")
+      fs.mkdirs(dstDir)
+      val dst = new org.apache.hadoop.fs.Path(s"$root/b$bk/v$ver")
+      // crash recovery: a publish that died between staging this
+      // version and the pointer swap left an UNCOMMITTED v$ver (no
+      // manifest the pointer ever named references it — committed
+      // versions are < ver by construction). The replayed batch must
+      // reclaim the slot, not fail its rename forever.
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) {
+        require(fs.rename(src, dst), s"snapshot publish: rename $src → $dst failed")
+      } else {
+        // a touched bucket whose rewrite emitted zero rows (compaction
+        // dropped its every tombstone): publish an explicit EMPTY
+        // version — keeping the old version would resurrect the rows
+        // the rewrite removed. repartition(1) forces one writer task,
+        // so the dir carries a real (0-row) parquet file with the
+        // schema, which a later read can still infer.
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              schema.filterNot(_.name == "__bucket")))
+          .repartition(1).write.parquet(dst.toString)
+      }
+      bk -> ver
+    }.toMap
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val manifest = SnapshotManifest(next, numBuckets,
+      prevBuckets ++ newBuckets)
+    val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    fs.mkdirs(mDir)
+    val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$next")
+    val body = (s"buckets ${manifest.numBuckets}" +:
+      manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" })
+      .mkString("", "\n", "\n")
+    // same crash-recovery rule as the bucket dirs: an m$next from a
+    // publish that died before its pointer swap was never committed
+    if (fs.exists(mPath)) fs.delete(mPath, true)
+    val mOut = fs.create(mPath, false) // committed manifests are immutable
+    try mOut.write(body.getBytes("UTF-8")) finally mOut.close()
+    // atomic pointer swap: temp file + rename(OVERWRITE)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retention — manifests: keep [floorId, next]; the _manifests dir
+    // holds ≤ keepVersions+1 entries by induction, so the listing is
+    // O(keepVersions), not O(history)
+    val floorId = math.max(0L, next - keepVersions + 1)
+    if (floorId > 0 && fs.exists(mDir)) {
+      fs.listStatus(mDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("m") &&
+            name.drop(1).forall(_.isDigit) && name.drop(1).toLong < floorId)
+          fs.delete(st.getPath, true)
+      }
+      // bucket versions: the oldest RETAINED manifest's version of a
+      // touched bucket is the floor — everything below it is referenced
+      // by no retained manifest (bucket maps only grow and versions
+      // only increase, so a bucket absent from the floor manifest was
+      // created inside the retained window and owns no older dirs).
+      // Only touched buckets can have newly-unreferenced versions.
+      val floorM = readSnapshotManifest(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/m$floorId"), floorId)
+      touched.foreach { bk =>
+        floorM.buckets.get(bk).foreach { floorVer =>
+          val bDir = new org.apache.hadoop.fs.Path(s"$root/b$bk")
+          if (floorVer > 0 && fs.exists(bDir)) {
+            // ≤ keepVersions+1 entries by induction — bounded listing
+            fs.listStatus(bDir).foreach { st =>
+              val name = st.getPath.getName
+              if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+                  name.drop(1).toLong < floorVer)
+                fs.delete(st.getPath, true)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def currentSnapshotId(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/_CURRENT")
     if (!fs.exists(p)) None
     else {
@@ -451,6 +613,32 @@ object StreamingOps {
         Some(s.toLong)
       } finally in.close()
     }
+  }
+
+  private def currentSnapshotManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                      root: String): Option[SnapshotManifest] =
+    currentSnapshotId(fs, root).map { id =>
+      readSnapshotManifest(fs,
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id"), id)
+    }
+
+  private def readSnapshotManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, id: Long): SnapshotManifest = {
+    val in = fs.open(path)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith("buckets "),
+      s"malformed snapshot manifest $path: missing 'buckets' header")
+    val b = lines.head.stripPrefix("buckets ").trim.toInt
+    val m = lines.tail.map { l =>
+      val parts = l.split("\\s+")
+      require(parts.length == 3 && parts(0) == "b",
+        s"malformed snapshot manifest $path: line '$l'")
+      parts(1).toInt -> parts(2).toLong
+    }.toMap
+    SnapshotManifest(id, b, m)
   }
 
   def indexUpsertSink(indexStream: DataFrame, indexPath: String,

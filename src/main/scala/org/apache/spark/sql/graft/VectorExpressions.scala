@@ -177,7 +177,15 @@ case class MaxSimDotFloat(left: Expression, right: Expression, tokens: Int)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // loud failure, matching sliceNormalize's contract: the SQL
+    // vector_maxsim caller has no Scala-side guard, and mismatched or
+    // non-multiple lengths would silently misalign the longer array's
+    // token slices into garbage scores
+    if (x.numElements() != y.numElements() || x.numElements() % tokens != 0)
+      throw new IllegalArgumentException(
+        s"vector_maxsim: array lengths ${x.numElements()} and " +
+          s"${y.numElements()} must be equal and a multiple of tokens=$tokens")
+    val n = x.numElements()
     val sub = n / tokens
     var score = 0.0
     var t = 0
@@ -206,7 +214,13 @@ case class MaxSimDotFloat(left: Expression, right: Expression, tokens: Int)
       val (n, sub) = (ctx.freshName("n"), ctx.freshName("sub"))
       val (best, dot) = (ctx.freshName("best"), ctx.freshName("dot"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements() ||
+         |    $a.numElements() % $tokens != 0) {
+         |  throw new IllegalArgumentException(
+         |    "vector_maxsim: array lengths " + $a.numElements() + " and " +
+         |    $b.numElements() + " must be equal and a multiple of tokens=$tokens");
+         |}
+         |int $n = $a.numElements();
          |int $sub = $n / $tokens;
          |double ${ev.value}Acc = 0.0;
          |for (int $t = 0; $t < $tokens; $t++) {

@@ -608,6 +608,32 @@ class CurationSpec extends SparkSpec {
     q(1L) should be > 0.5
     q(3L) should be < 0.5
   }
+
+  test("qualityLrTrain materializeAt gate: large-corpus path truncates lineage, small path stays lazy, results identical") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, Array.fill(20)("wiki science physics").mkString(" "), true),
+      (2L, Array.fill(20)("spam casino deal").mkString(" "), false),
+      (3L, "wiki science physics", false))
+      .toDF("doc_id", "text", "is_tgt")
+    def leaves(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectLeaves().map(_.getClass.getSimpleName)
+    // past the gate (0 ⇒ always): the returned frame is a checkpointed
+    // LogicalRDD — the caller's first action cannot replay the
+    // explode + per-doc-window feature lineage
+    val (wE, eager) = CurationPipeline.qualityLrTrain(
+      docs, "doc_id", "text", col("is_tgt"), steps = 2, materializeAt = 0L)
+    leaves(eager) should contain ("LogicalRDD")
+    // below the gate: lazy lineage (no checkpoint write at small scale)
+    val (wL, lazyDf) = CurationPipeline.qualityLrTrain(
+      docs, "doc_id", "text", col("is_tgt"), steps = 2,
+      materializeAt = Long.MaxValue)
+    leaves(lazyDf) should not contain "LogicalRDD"
+    // the gate changes WHEN work happens, never the answer
+    wE shouldBe wL
+    eager.as[(Long, Double)].collect().toMap shouldBe
+      lazyDf.as[(Long, Double)].collect().toMap
+  }
 }
 
 /** Length-bucket report: boundary assignment is integer-exact and waste

@@ -169,5 +169,15 @@ class ExpressionPropertySpec extends AnyFunSuite with Matchers {
     }
     MaxSimDotFloat(a, b, 4).eval(r2(null, Array(1f, 2f, 3f, 4f)))
       .asInstanceOf[AnyRef] shouldBe null
+    // loud failure on misaligned inputs (the SQL caller has no
+    // sliceNormalize guard): unequal lengths, or a length that is not
+    // a multiple of tokens, must raise — never a silent garbage score
+    val mismatch = intercept[IllegalArgumentException] {
+      MaxSimDotFloat(a, b, 2).eval(r2(Array(1f, 2f, 3f, 4f), Array(1f, 2f)))
+    }
+    mismatch.getMessage should include ("multiple of tokens")
+    intercept[IllegalArgumentException] {
+      MaxSimDotFloat(a, b, 2).eval(r2(Array(1f, 2f, 3f), Array(1f, 2f, 3f)))
+    }
   }
 }

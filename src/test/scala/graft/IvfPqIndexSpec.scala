@@ -138,6 +138,16 @@ class IvfPqIndexSpec extends SparkSpec {
     info(f"persisted IVFADC recall@5 (nProbe=2): plain $rawR%.3f vs OPQ $opqR%.3f")
     // deterministic fixture: the 0.31 -> 0.36 lift is pinned, not luck
     opqR should be > rawR
+
+    // rebuilding WITHOUT a rotation at a previously-OPQ path must
+    // delete the stale sidecar — otherwise searchIvfPqIndex would
+    // silently rotate queries against un-rotated codes
+    SimilaritySearch.writeIvfPqIndex(corpus, rawCents, books, path)
+    SimilaritySearch.readIvfPqRotation(spark, path) shouldBe None
+    SimilaritySearch.searchIvfPqIndex(spark, path, queries, k = 5, nProbe = 2)
+      .as[(Long, Long, Int)].collect().sorted shouldBe
+      SimilaritySearch.searchIvfPqIndex(spark, plainPath, queries,
+        k = 5, nProbe = 2).as[(Long, Long, Int)].collect().sorted
   }
 
   test("centroid-drift migration: re-encoded index equals a fresh build over the live rows, tombstones carried") {

@@ -539,6 +539,128 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
   }
 
+  test("CURATE TABLE runs the curation/dedup pipeline ops from pure SQL with DataFrame-path parity") {
+    import org.apache.spark.sql.functions.col
+    // a corpus exercising every gate: exact dups, near-dups (one word
+    // changed), a short doc, a non-english-looking doc
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "keeps running through the quiet field toward the river"
+    val rows = Seq(
+      (1L, base, "web"), (2L, base, "web"),                 // exact dups
+      (3L, base.replace("river", "lake"), "web"),           // near-dup of 1
+      (4L, "too short", "web"),
+      (5L, "zzz qqq xxx kkk vvv www yyy zzz qqq xxx kkk vvv", "crawl"),
+      (6L, "a completely different well formed english document " +
+        "about cooking pasta with garlic butter and fresh basil leaves",
+        "books"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("curate_sql_docs")
+    val docs = spark.table("curate_sql_docs")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // 1. exact dedup — parity with Dedup.exactGroups
+    rowsOf(spark.sql("CURATE TABLE curate_sql_docs USING dedup_exact")) shouldBe
+      rowsOf(graft.operators.Dedup.exactGroups(docs, "text", "doc_id"))
+
+    // 2. fuzzy dedup gate — parity with minhashLshVerified (and it sees
+    // the near-dup pair the exact gate misses)
+    val fuzzySql = spark.sql(
+      """CURATE TABLE curate_sql_docs USING dedup_fuzzy
+        |WITH ('threshold' = '0.5')""".stripMargin)
+    rowsOf(fuzzySql) shouldBe rowsOf(graft.operators.Dedup.minhashLshVerified(
+      docs, "text", "doc_id", shingleN = 3, bands = 4, rowsPerBand = 3,
+      threshold = 0.5))
+    fuzzySql.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) should contain (1L -> 3L)
+
+    // 3. curation verdicts — parity with CurationPipeline.annotate
+    val verdictSql = spark.sql(
+      """CURATE TABLE curate_sql_docs USING verdict
+        |WITH ('min_tokens' = '5', 'langs' = 'en')""".stripMargin)
+    rowsOf(verdictSql) shouldBe rowsOf(graft.pipeline.CurationPipeline
+      .annotate(docs, graft.pipeline.CurationPipeline.Config(
+        minTokens = 5, langs = Seq("en"))))
+    val verdicts = verdictSql.select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    verdicts(1L) shouldBe "keep"
+    verdicts.contains(2L) shouldBe false // exact dup deduped, min id kept
+    verdicts(4L) should not be "keep" // fails the gate cascade (lang first)
+
+    // 4. hash split — parity with hashSplit, custom bands + seed
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING split
+        |WITH ('splits' = 'train:0.9,test:0.1', 'seed' = 'v2')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.hashSplit(docs,
+        Seq("train" -> 0.9, "test" -> 0.1), "doc_id", seed = "v2"))
+
+    // the statement returns a plain relation: it composes downstream
+    // through a temp view (the statement itself is top-level only, like
+    // the other intercepted statements)
+    spark.sql("CURATE TABLE curate_sql_docs USING dedup_exact")
+      .createOrReplaceTempView("curate_sql_deduped")
+    spark.sql("SELECT count(*) AS n FROM curate_sql_deduped")
+      .collect().head.getLong(0) shouldBe 5L
+
+    // typos fail loudly: unknown op, unknown option, unknown table
+    intercept[Exception](
+      spark.sql("CURATE TABLE curate_sql_docs USING dedupe_exact"))
+      .getMessage should include("unknown op")
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING dedup_exact WITH ('txt' = 'text')"))
+      .getMessage should include("unknown option")
+    intercept[Exception](
+      spark.sql("CURATE TABLE no_such_table USING dedup_exact").collect())
+  }
+
+  test("READ SNAPSHOT reads CDC snapshots from SQL: live, time travel, tombstones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val root = java.nio.file.Files.createTempDirectory("graft-sql-snap")
+      .toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = graft.streaming.StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sql-snap-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"))
+      query.processAllAvailable()
+      input.addData((1L, 2L, "delete", nul), (3L, 2L, "upsert", "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // live read = the API read
+    spark.sql(s"READ SNAPSHOT '$root'")
+      .as[(Long, String)].collect().sorted.toSeq shouldBe
+      Seq((2L, "b"), (3L, "c"))
+    // time travel to snapshot 0
+    spark.sql(s"READ SNAPSHOT '$root' VERSION AS OF 0")
+      .as[(Long, String)].collect().sorted.toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"))
+    // raw layout: the tombstone row for key 1 is visible
+    val raw = spark.sql(s"READ SNAPSHOT '$root' WITH TOMBSTONES")
+    raw.columns should contain allOf ("__seq", "__deleted")
+    raw.filter(col("__deleted")).select("doc_id")
+      .as[Long].collect().toSeq shouldBe Seq(1L)
+    // the statement returns a plain relation: composes via a temp view
+    spark.sql(s"READ SNAPSHOT '$root'").createOrReplaceTempView("snap_sql_live")
+    spark.sql("SELECT count(*) AS n FROM snap_sql_live")
+      .collect().head.getLong(0) shouldBe 2L
+    // no committed snapshot → pointed parse error
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("READ SNAPSHOT '/tmp/graft-no-such-snapshot'"))
+      .getMessage should include("no committed snapshot")
+    // pruned/never-committed version → loud failure
+    intercept[IllegalStateException](
+      spark.sql(s"READ SNAPSHOT '$root' VERSION AS OF 99"))
+      .getMessage should include("not retained")
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"

@@ -522,15 +522,19 @@ class StreamingSpec extends SparkSpec {
       snap() shouldBe Seq((1L, Some("a")), (2L, Some("b")))
       input.addData(b2: _*); query.processAllAvailable()
       snap() shouldBe Seq((2L, Some("b")), (3L, Some("c")))
-      // time travel: v0 still readable under keepVersions=2
-      spark.read.parquet(s"$root/v0").count() shouldBe 2
+      // time travel: snapshot 0 still readable under keepVersions=2
+      StreamingOps.readSnapshot(spark, root, version = Some(0))
+        .get.count() shouldBe 2
       input.addData(b3: _*); query.processAllAvailable()
       snap() shouldBe Seq((2L, Some("b2")), (3L, Some("c")))
-      // retention pruned v0; v1 (previous) remains
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(s"$root/v0")) shouldBe false
-      fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")) shouldBe true
+      // retention pruned snapshot 0's manifest; snapshot 1 (previous)
+      // remains readable with its exact content
+      intercept[IllegalStateException] {
+        StreamingOps.readSnapshot(spark, root, version = Some(0))
+      }
+      StreamingOps.readSnapshot(spark, root, version = Some(1)).get
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
+        Seq((2L, Some("b")), (3L, Some("c")))
       // CROSS-BATCH stale redelivery: key 1 was deleted at seq 2, key 2
       // upserted at seq 2 — redelivered seq-1 changes must be rejected
       // against the snapshot's stored __seq (tombstone memory), not
@@ -574,5 +578,61 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
         Seq((2L, Some("b2")), (3L, Some("c")))
     } finally query2.stop()
+  }
+
+  test("snapshotUpsertSink: per-batch write cost ∝ changelog, not base (bucketed copy-on-write)") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-bytes")
+      .toString + "/snap"
+    // per-version-dir byte totals, keyed by "b<bucket>/v<ver>"
+    def versionDirs(): Map[String, Long] = {
+      val rootFile = new java.io.File(root)
+      Option(rootFile.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("b"))
+        .flatMap { b =>
+          Option(b.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(v => v.isDirectory && v.getName.startsWith("v"))
+            .map { v =>
+              val bytes = Option(v.listFiles()).getOrElse(Array.empty)
+                .filter(_.isFile).map(_.length()).sum
+              s"${b.getName}/${v.getName}" -> bytes
+            }
+        }.toMap
+    }
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 2, numBuckets = 16)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((0L until 2000L).map(i =>
+        (i, 1L, "upsert", s"document body $i with some padding text")): _*)
+      query.processAllAvailable()
+      val base = versionDirs()
+      base.size shouldBe 16 // 2000 keys populate every bucket
+      val baseBytes = base.values.sum
+      // a 2-key micro-batch against the 2000-key base
+      input.addData((1L, 2L, "upsert", "updated body"), (7L, 2L, "delete", nul))
+      query.processAllAvailable()
+      val after = versionDirs()
+      val newDirs = after.keySet -- base.keySet
+      // only the touched buckets (≤ 2 of 16) gained a version...
+      assert(newDirs.nonEmpty && newDirs.size <= 2,
+        s"expected 1-2 new bucket versions, got $newDirs")
+      // ...and the bytes written are a small fraction of the base —
+      // the O(changelog) write-amplification contract (the old layout
+      // rewrote 100% of the base per batch)
+      val newBytes = newDirs.toSeq.map(after).sum
+      assert(newBytes.toDouble / baseBytes < 0.5,
+        s"per-batch write amplification: $newBytes of $baseBytes base bytes")
+      // untouched buckets were not rewritten: identical dirs, byte-identical
+      (after.keySet & base.keySet).foreach(d => after(d) shouldBe base(d))
+      // and the merge itself is right: 1999 live keys, key 1 updated
+      val live = StreamingOps.readSnapshot(spark, root).get
+      live.count() shouldBe 1999
+      live.filter(col("doc_id") === 1L).as[(Long, String)].collect()
+        .toSeq shouldBe Seq((1L, "updated body"))
+    } finally query.stop()
   }
 }
