@@ -274,12 +274,16 @@ object Bench {
         // originals the index — the cross-frame LSH band join whose
         // candidate count is dup-bounded, then Jaccard verify on
         // candidates only, then the anti probe. count() cannot prune
-        // any stage: survivorship depends on the full verify.
+        // any stage: survivorship depends on the full verify. CAPPED
+        // form (the production shape): the probe corpus's planted
+        // boilerplate families (n/50 docs sharing a bench doc's text)
+        // make the uncapped band join quadratic — measured exponent
+        // 1.38 over 10⁵→10⁶ rows, the r13 finding that added the cap.
         measured("incremental_fuzzy") = timed {
           Dedup.antiJoinFuzzy(docs.filter(col("doc_id") >= n),
             docs.filter(col("doc_id") < n), "text", "doc_id",
             shingleN = 3, bands = 4, rowsPerBand = 3,
-            threshold = 0.5).count()
+            threshold = 0.5, maxBucketSize = 64).count()
         }
       }
       docs.unpersist()

@@ -341,6 +341,40 @@ object QueriesDataOps {
       WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_a FROM dup)
       ORDER BY doc_id""")),
 
+    ("dedup_incremental_fuzzy_capped", (s, dir) => {
+      // the CAPPED production shape of the incremental fuzzy gate: band
+      // keys hot on either side (> 3 members here) drop before the
+      // cross-frame join — the hot-bucket skew guard the r13 scale
+      // probe forced (uncapped, a planted boilerplate family makes the
+      // per-key expansion batch-count × index-count, exponent 1.38
+      // over 10⁵→10⁶ rows; capped it is candidate-bounded). Oracle
+      // replays the cap rule exactly, so the recall tradeoff is
+      // hash-checked, not hand-waved.
+      val all = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.antiJoinFuzzy(all.filter(col("doc_id") >= 250),
+          all.filter(col("doc_id") < 250), "text", "doc_id",
+          shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5,
+          maxBucketSize = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $minhashBandsSql,
+      bcnt AS (SELECT band_key,
+                 sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS nb,
+                 sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS ni
+               FROM bands GROUP BY band_key),
+      hot AS (SELECT band_key FROM bcnt WHERE nb > 3 OR ni > 3),
+      cand AS (SELECT DISTINCT b.doc_id AS id_a, i.doc_id AS id_b
+               FROM bands b JOIN bands i ON b.band_key = i.band_key
+               WHERE b.doc_id >= 250 AND i.doc_id < 250
+                 AND b.band_key NOT IN (SELECT band_key FROM hot)),
+      $jaccardVerifySql,
+      dup AS (SELECT DISTINCT id_a FROM jac WHERE jaccard >= 0.5)
+      SELECT doc_id FROM dwd
+      WHERE doc_id >= 250 AND doc_id NOT IN (SELECT id_a FROM dup)
+      ORDER BY doc_id""")),
+
     ("dedup_incremental_bloom", (s, dir) => {
       // the 100 TB form of the same contract: the index hashes are
       // SHARDED by hash prefix into 8 Bloom filters (a single filter at

@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
+    "dedup_incremental_fuzzy_capped",
     "dedup_simhash",
     "dedup_simhash_hamming", "dedup_ngram_jaccard", "dedup_fuzzy_linkage",
     "dedup_segments",

@@ -90,6 +90,8 @@ private[core] object GraftDdl {
       "(\\s+WITH\\s+TOMBSTONES)?\\s*;?\\s*$").r
   private val CurateTbl =
     "(?is)^CURATE\\s+TABLE\\s+(`[^`]+`|[\\w.$-]+)\\s+USING\\s+(\\w+)(.*)$".r
+  private val DescSnap =
+    "(?is)^DESCRIBE\\s+SNAPSHOT\\s+'([^']+)'\\s*;?\\s*$".r
 
   /** Drop leading whitespace, `-- line` and `/* block */` comments — a
     * commented CREATE MODEL must still reach the recognizer (standard
@@ -128,6 +130,17 @@ private[core] object GraftDdl {
         .getOrElse(throw new ParseException(Option(sql), Origin(),
           "PARSE_SYNTAX_ERROR",
           Map("error" -> "'READ SNAPSHOT'",
+              "hint" -> s": no committed snapshot at $root")))
+      Some(df.queryExecution.logical)
+    case DescSnap(root) =>
+      // DESCRIBE SNAPSHOT '<root>' — the one-row ops summary
+      // (StreamingOps.describeSnapshot): metadata-only, like the
+      // vector-index DESCRIBE
+      val spark = SparkSession.active
+      val df = graft.streaming.StreamingOps.describeSnapshot(spark, root)
+        .getOrElse(throw new ParseException(Option(sql), Origin(),
+          "PARSE_SYNTAX_ERROR",
+          Map("error" -> "'DESCRIBE SNAPSHOT'",
               "hint" -> s": no committed snapshot at $root")))
       Some(df.queryExecution.logical)
     case CurateTbl(rawTbl, op, rest) =>

@@ -706,19 +706,52 @@ object Dedup {
     * verification needs), DISTINCT candidate pairs, exact-Jaccard
     * verification restricted to candidates (the [[minhashLshVerified]]
     * recipe with sides drawn from different frames), and a LEFT ANTI of
-    * the batch against verified duplicates. */
+    * the batch against verified duplicates.
+    *
+    * `maxBucketSize` is [[minhashLshPairs]]'s hot-bucket skew guard
+    * ported to the cross-frame join: a band key with more than
+    * `maxBucketSize` members on EITHER side (a boilerplate template
+    * shared by a near-dup family) is dropped before the join — its
+    * candidate expansion is batch-count × index-count PER KEY, so one
+    * hot family otherwise grows the join output quadratically with the
+    * corpus (the r13 scale probe measured exponent 1.38 uncapped,
+    * 10⁵→10⁶ rows, from exactly this: planted boilerplate families of
+    * n/50 docs). 0 (default) = uncapped — the oracle-checked form;
+    * dropped keys are counted in the `incremental_fuzzy_skew` observe
+    * metric. Recall degrades gracefully: a pair sharing any surviving
+    * band of the 4 is still found, and a family hot enough to trip the
+    * cap is boilerplate the exact/fingerprint gates own anyway. */
   def antiJoinFuzzy(batch: DataFrame, index: DataFrame, textCol: String,
                     idCol: String, shingleN: Int = 3, bands: Int = 4,
                     rowsPerBand: Int = 3, threshold: Double = 0.5,
-                    restrictToCandidates: Boolean = false): DataFrame = {
+                    restrictToCandidates: Boolean = false,
+                    maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val bk = Hashing.bandKeysUdf(shingleN, bands, rowsPerBand)
     val shUdf = Hashing.shinglesUdf(shingleN)
-    val bKeys = batch.select(col(idCol).as("id_a"),
+    val bKeys0 = batch.select(col(idCol).as("id_a"),
       explode(bk(col(textCol))).as("band_key"))
-    val iKeys = index.select(col(idCol).as("id_b"),
+    val iKeys0 = index.select(col(idCol).as("id_b"),
       explode(bk(col(textCol))).as("band_key"))
+    val (bKeys, iKeys) =
+      if (maxBucketSize <= 0) (bKeys0, iKeys0)
+      else {
+        // one aggregate per side (map-combinable counts), then drop hot
+        // keys from BOTH sides — the per-key expansion is the PRODUCT
+        // of the two memberships, so either side alone can blow it up
+        val hot = bKeys0.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("__nb"))
+          .join(iKeys0.groupBy(col("band_key"))
+            .agg(count(lit(1)).as("__ni")), Seq("band_key"), "full_outer")
+          .filter(coalesce(col("__nb"), lit(0L)) > maxBucketSize ||
+            coalesce(col("__ni"), lit(0L)) > maxBucketSize)
+          .observe("incremental_fuzzy_skew",
+            count(lit(1)).as("dropped_hot_band_keys"))
+          .select(col("band_key"))
+        (bKeys0.join(hot, Seq("band_key"), "left_anti"),
+          iKeys0.join(hot, Seq("band_key"), "left_anti"))
+      }
     val cand = bKeys.join(iKeys, "band_key")
       .select(col("id_a"), col("id_b")).distinct()
     val dup = verifyJaccard(cand,

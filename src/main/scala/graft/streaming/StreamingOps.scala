@@ -479,6 +479,80 @@ object StreamingOps {
     }
   }
 
+  /** Point lookup against a CDC snapshot: the serving read the bucketed
+    * layout exists for — resolve the manifest, hash the requested keys
+    * to their buckets (the SAME Murmur3 expression the sink partitions
+    * by, evaluated over a 1-partition local frame so driver and layout
+    * can never disagree on the hash), and scan ONLY those buckets'
+    * current dirs with the key filter pushed into the parquet read. At
+    * a 100 TB base with B = 64 k buckets a 1-key lookup reads 1/64k of
+    * the data; a readSnapshot+filter would list every bucket. Returns
+    * the live rows among `keys` (tombstoned and absent keys yield no
+    * row), metadata stripped. None when no snapshot was committed. */
+  def lookupSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+                     keys: Seq[Any], version: Option[Long] = None)
+      : Option[DataFrame] = {
+    require(keys.nonEmpty, "lookupSnapshot: empty key list")
+    val fs = snapshotFs(spark, root)
+    version.orElse(currentSnapshotId(fs, root)).map { n =>
+      val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$n")
+      if (!fs.exists(mPath))
+        throw new IllegalStateException(
+          s"lookupSnapshot: version $n of $root is not retained " +
+            "(pruned by keepVersions retention, or never committed)")
+      val m = readSnapshotManifest(fs, mPath, n)
+      // key → bucket via the layout's own expression; local 1-partition
+      // frame, so the "job" is a driver-side collect of |keys| ints
+      val keyDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.map(org.apache.spark.sql.Row(_)),
+          1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__k",
+            org.apache.spark.sql.catalyst.expressions.Literal(keys.head)
+              .dataType))))
+      val touched = keyDf
+        .select(snapshotBucket(col("__k"), m.numBuckets).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val paths = touched.toSeq.sorted
+        .flatMap(bk => m.buckets.get(bk).map(v => s"$root/b$bk/v$v"))
+      if (paths.isEmpty)
+        // keys hash to buckets the snapshot never populated: empty
+        // result with the snapshot's schema (via any one bucket dir)
+        readSnapshot(spark, root, version = Some(n)).get.limit(0)
+      else {
+        val raw = spark.read.parquet(paths: _*)
+        val idCol = idColOf(raw)
+        raw.filter(col(idCol).isin(keys: _*))
+          .filter(!coalesce(col("__deleted"), lit(false)))
+          .drop("__seq", "__deleted")
+      }
+    }
+  }
+
+  /** One-row ops summary of a CDC snapshot store (the DESCRIBE SNAPSHOT
+    * SQL face): live snapshot id, bucket count, the min/max bucket
+    * version the live manifest references, and the retained manifest
+    * ids (the time-travel window). Metadata-only — reads the manifest
+    * and lists `_manifests` (≤ keepVersions+1 entries by the retention
+    * induction), never a data file. None when nothing was committed. */
+  def describeSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Option[DataFrame] = {
+    val fs = snapshotFs(spark, root)
+    currentSnapshotManifest(fs, root).map { m =>
+      val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+      val retained = fs.listStatus(mDir).toSeq.map(_.getPath.getName)
+        .filter(nm => nm.startsWith("m") && nm.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).sorted
+      import spark.implicits._
+      Seq((m.id, m.numBuckets, m.buckets.size,
+          if (m.buckets.isEmpty) -1L else m.buckets.values.min,
+          if (m.buckets.isEmpty) -1L else m.buckets.values.max,
+          retained))
+        .toDF("snapshot_id", "num_buckets", "populated_buckets",
+          "min_bucket_version", "max_bucket_version", "retained_manifests")
+    }
+  }
+
   /** One immutable snapshot manifest: bucket count (fixed at creation)
     * plus the bucket → bucket-version map of snapshot `id`. */
   private[graft] final case class SnapshotManifest(id: Long, numBuckets: Int,

@@ -213,6 +213,30 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Seq(102L, 103L)
   }
 
+  test("antiJoinFuzzy maxBucketSize drops hot band keys only: quiet near-dups still gated, hot-family members pass") {
+    val indexed = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val boiler = "all rights reserved contact us terms of service privacy policy cookie banner text"
+    // index: one quiet doc + a 6-member boilerplate family (every band
+    // key of `boiler` has 6 index members — hot at cap 3)
+    val index = ((1L, indexed) +: (10L to 15L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, indexed),  // exact copy of the QUIET doc: bands survive the cap
+      (101L, boiler),   // member of the HOT family: its bands all drop
+      (102L, "completely fresh writing about compilers and register allocation"))
+      .toDF("doc_id", "text")
+    // capped: the quiet copy is still gated, the hot-family member is
+    // NOT (its detection is the exact/fingerprint gates' job — the
+    // documented recall tradeoff), fresh passes
+    Dedup.antiJoinFuzzy(batch, index, "text", "doc_id",
+        threshold = 0.5, maxBucketSize = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(101L, 102L)
+    // uncapped control: both copies gated
+    Dedup.antiJoinFuzzy(batch, index, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(102L)
+  }
+
   test("antiJoinFuzzy threshold gates verification: 1.0 keeps everything but exact copies") {
     val indexed = "the quick brown fox jumps over the lazy dog near the river bank today"
     val index = Seq((1L, indexed)).toDF("doc_id", "text")

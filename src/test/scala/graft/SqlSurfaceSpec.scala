@@ -651,9 +651,17 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql(s"READ SNAPSHOT '$root'").createOrReplaceTempView("snap_sql_live")
     spark.sql("SELECT count(*) AS n FROM snap_sql_live")
       .collect().head.getLong(0) shouldBe 2L
+    // DESCRIBE SNAPSHOT: the one-row ops summary from SQL
+    val desc = spark.sql(s"DESCRIBE SNAPSHOT '$root'").collect().head
+    desc.getAs[Long]("snapshot_id") shouldBe 1L
+    desc.getAs[Int]("num_buckets") shouldBe 4
+    desc.getAs[Seq[Long]]("retained_manifests") shouldBe Seq(0L, 1L)
     // no committed snapshot → pointed parse error
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql("READ SNAPSHOT '/tmp/graft-no-such-snapshot'"))
+      .getMessage should include("no committed snapshot")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("DESCRIBE SNAPSHOT '/tmp/graft-no-such-snapshot'"))
       .getMessage should include("no committed snapshot")
     // pruned/never-committed version → loud failure
     intercept[IllegalStateException](

@@ -633,6 +633,23 @@ class StreamingSpec extends SparkSpec {
       live.count() shouldBe 1999
       live.filter(col("doc_id") === 1L).as[(Long, String)].collect()
         .toSeq shouldBe Seq((1L, "updated body"))
+      // POINT LOOKUP: reads only the keys' buckets, not the snapshot —
+      // deleted key 7 yields no row, key 1 serves its updated body
+      val hit = StreamingOps.lookupSnapshot(spark, root,
+        Seq(1L, 7L, 1500L)).get
+      hit.as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+        Seq((1L, "updated body"), (1500L, "document body 1500 with some padding text"))
+      // the scan touched at most the 3 keys' bucket dirs (16 exist)
+      val bucketsRead = hit.inputFiles.toSeq
+        .flatMap("/b(\\d+)/".r.findFirstMatchIn(_)).map(_.group(1)).distinct
+      assert(bucketsRead.nonEmpty && bucketsRead.size <= 3,
+        s"lookup read buckets $bucketsRead")
+      // the ops summary: metadata-only, one row
+      val desc = StreamingOps.describeSnapshot(spark, root).get.collect().head
+      desc.getAs[Long]("snapshot_id") shouldBe 1L
+      desc.getAs[Int]("num_buckets") shouldBe 16
+      desc.getAs[Int]("populated_buckets") shouldBe 16
+      desc.getAs[Seq[Long]]("retained_manifests") shouldBe Seq(0L, 1L)
     } finally query.stop()
   }
 }
