@@ -220,6 +220,12 @@ object Bench {
                  families: Set[String] = Set("altstar", "contamination",
                    "span", "fuzzy")): String = {
     import graft.operators.Dedup
+    // a typo'd family name must fail loudly, not silently run nothing
+    // and emit a malformed (trailing-comma) JSON line
+    val known = Set("altstar", "contamination", "span", "fuzzy")
+    require(families.nonEmpty && families.subsetOf(known),
+      s"scaleProbe: unknown families ${(families -- known).mkString(", ")} " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")})")
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = f

@@ -111,6 +111,12 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
 
     val (id, q) = broadcaster.subscribe()
     @volatile var peerClosed = false
+    // PER-CONNECTION write lock (push loop vs reader's pong/close-echo
+    // race). Never the server instance: a stalled client's blocked TCP
+    // write would then hold a server-wide monitor and freeze every
+    // other client's pushes and keepalives — one slow client must only
+    // ever block itself (the broadcaster eviction owns that case).
+    val wlock = new Object
     // reader thread: the push loop parks on the queue, so a dedicated
     // reader services the frames the CLIENT may send — CLOSE must be
     // echoed and the connection torn down, PING answered with PONG
@@ -123,14 +129,24 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
           readFrame(in) match {
             case None => live = false // EOF
             case Some((0x8, payload)) => // CLOSE: echo, then tear down
-              synchronized { writeFrame(out, 0x8, payload) }
+              wlock.synchronized { writeFrame(out, 0x8, payload) }
               live = false
             case Some((0x9, payload)) => // PING → PONG, same payload
-              synchronized { writeFrame(out, 0xA, payload) }
+              wlock.synchronized { writeFrame(out, 0xA, payload) }
             case Some(_) => () // pong/text/binary/continuation: discard
           }
         }
-      } catch { case _: IOException | _: InterruptedException => () }
+      } catch {
+        case _: IOException | _: InterruptedException => ()
+        case scala.util.control.NonFatal(_) =>
+          // protocol violation (unmasked frame, oversized length):
+          // RFC 6455 close 1002, best-effort — never an uncaught-
+          // exception stack trace per hostile client
+          try wlock.synchronized {
+            writeFrame(out, 0x8, Array[Byte](0x03, (0xEA & 0xFF).toByte) ++
+              "protocol error".getBytes(UTF_8))
+          } catch { case _: Exception => () }
+      }
       finally { peerClosed = true; closeQuietly(s) }
     })
     reader.setDaemon(true)
@@ -142,19 +158,19 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
         val msg = q.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (msg.asInstanceOf[AnyRef] eq CoachingBroadcaster.PoisonPill) {
           // evicted: CLOSE 1001 (going away) so the client re-subscribes
-          synchronized {
+          wlock.synchronized {
             writeFrame(out, 0x8,
               Array[Byte](0x03, (0xE9 & 0xFF).toByte) ++
                 "going away".getBytes(UTF_8))
           }
           live = false
         } else if (msg != null) {
-          synchronized { writeFrame(out, 0x1, msg.getBytes(UTF_8)) }
+          wlock.synchronized { writeFrame(out, 0x1, msg.getBytes(UTF_8)) }
           idlePolls = 0
         } else {
           idlePolls += 1
           if (idlePolls >= 60) { // protocol-level keepalive every ~15 s
-            synchronized { writeFrame(out, 0x9, Array.emptyByteArray) }
+            wlock.synchronized { writeFrame(out, 0x9, Array.emptyByteArray) }
             idlePolls = 0
           }
         }

@@ -465,17 +465,66 @@ object StreamingOps {
     val id = version.orElse(currentSnapshotId(fs, root))
     id.map { n =>
       val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$n")
-      if (!fs.exists(mPath))
-        throw new IllegalStateException(
+      val raw =
+        if (fs.exists(mPath)) {
+          val m = readSnapshotManifest(fs, mPath, n)
+          val paths = m.buckets.toSeq.sortBy(_._1)
+            .map { case (bk, v) => s"$root/b$bk/v$v" }
+          spark.read.parquet(paths: _*)
+        } else if (fs.exists(
+            new org.apache.hadoop.fs.Path(s"$root/v$n"))) {
+          // legacy single-dir layout (pre-bucketing): reads stay
+          // compatible without migration — only WRITES require
+          // migrateSnapshotLayout
+          spark.read.parquet(s"$root/v$n")
+        } else throw new IllegalStateException(
           s"readSnapshot: version $n of $root is not retained " +
             "(pruned by keepVersions retention, or never committed)")
-      val m = readSnapshotManifest(fs, mPath, n)
-      val paths = m.buckets.toSeq.sortBy(_._1)
-        .map { case (bk, v) => s"$root/b$bk/v$v" }
-      val raw = spark.read.parquet(paths: _*)
       if (includeTombstones) raw
       else raw.filter(!coalesce(col("__deleted"), lit(false)))
         .drop("__seq", "__deleted")
+    }
+  }
+
+  /** One-off conversion of a legacy single-dir snapshot store
+    * (`root/v<N>` whole-snapshot dirs, the pre-bucketing layout) to the
+    * bucketed manifest layout: the LIVE legacy version (raw, tombstones
+    * and `__seq` preserved — stale-rejection memory survives the
+    * migration) is republished as bucketed snapshot 0 with the same
+    * atomic pointer swap every publish uses, then the legacy dirs are
+    * deleted. Legacy time-travel history does not carry over (the
+    * migrated store starts a fresh manifest history); migrate during a
+    * write pause, like any other layout change. Idempotent-safe: a
+    * crash before the pointer swap leaves the legacy store live and the
+    * migration re-runnable; after the swap the store is bucketed and a
+    * re-run raises (nothing legacy left to migrate). */
+  def migrateSnapshotLayout(spark: org.apache.spark.sql.SparkSession,
+                            root: String, numBuckets: Int = 16): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    val fs = snapshotFs(spark, root)
+    val cur = currentSnapshotId(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"migrateSnapshotLayout: no committed snapshot at $root"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifests/m$cur")))
+      throw new IllegalStateException(
+        s"migrateSnapshotLayout: $root is already on the bucketed layout")
+    val legacy = new org.apache.hadoop.fs.Path(s"$root/v$cur")
+    require(fs.exists(legacy),
+      s"migrateSnapshotLayout: live legacy dir v$cur missing at $root")
+    val raw = spark.read.parquet(legacy.toString)
+    val idCol = idColOf(raw)
+    val touched = raw
+      .select(snapshotBucket(col(idCol), numBuckets).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    publishSnapshotVersion(spark, root, raw, idCol, touched, None,
+      numBuckets, keepVersions = 1, raw.schema)
+    // the bucketed copy is committed (pointer swapped): drop the legacy
+    // whole-snapshot dirs
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith("v") &&
+          nm.drop(1).nonEmpty && nm.drop(1).forall(_.isDigit))
+        fs.delete(st.getPath, true)
     }
   }
 
@@ -501,6 +550,17 @@ object StreamingOps {
           s"lookupSnapshot: version $n of $root is not retained " +
             "(pruned by keepVersions retention, or never committed)")
       val m = readSnapshotManifest(fs, mPath, n)
+      // Spark's Murmur3 hash() is PHYSICAL-type-sensitive (hash(1: int)
+      // != hash(1L: long)), so the keys must be cast to the STORED id
+      // type before bucketing — otherwise a caller passing Ints against
+      // a Long id column would probe the wrong buckets and silently
+      // conclude the keys are absent. The stored type comes from one
+      // bucket dir's parquet footer (metadata-only read).
+      val samplePath = m.buckets.toSeq.sortBy(_._1).headOption
+        .map { case (bk, v) => s"$root/b$bk/v$v" }
+        .getOrElse(throw new IllegalStateException(
+          s"lookupSnapshot: snapshot $n of $root has no buckets"))
+      val idField = spark.read.parquet(samplePath).schema.head
       // key → bucket via the layout's own expression; local 1-partition
       // frame, so the "job" is a driver-side collect of |keys| ints
       val keyDf = spark.createDataFrame(
@@ -511,7 +571,8 @@ object StreamingOps {
             org.apache.spark.sql.catalyst.expressions.Literal(keys.head)
               .dataType))))
       val touched = keyDf
-        .select(snapshotBucket(col("__k"), m.numBuckets).as("__bucket"))
+        .select(snapshotBucket(col("__k").cast(idField.dataType),
+          m.numBuckets).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSet
       val paths = touched.toSeq.sorted
         .flatMap(bk => m.buckets.get(bk).map(v => s"$root/b$bk/v$v"))
@@ -639,37 +700,46 @@ object StreamingOps {
       .getFileContext(rootPath.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retention — manifests: keep [floorId, next]; the _manifests dir
-    // holds ≤ keepVersions+1 entries by induction, so the listing is
-    // O(keepVersions), not O(history)
+    // retention — manifest-DIFF pruning: a bucket version is
+    // unreferenced exactly when every manifest naming it has been
+    // pruned, so for each manifest m_k dropping below the floor, delete
+    // versions in [m_k(bk), floor(bk)) per bucket (monotone versions ⇒
+    // that range is referenced by pruned manifests only; ranges from
+    // multiple pruned manifests overlap — deletes are idempotent). This
+    // covers COLD buckets too: a bucket touched once at m_1 and never
+    // again leaks its v0 the moment m_0 prunes, even though no later
+    // batch touches it — the reason the sweep keys off pruned
+    // manifests, not the batch's touched set. Paths are constructed
+    // directly from the version ranges — no directory listings. The
+    // floor is clamped to the OLDEST RETAINED manifest actually
+    // present, so raising keepVersions across restarts (or a
+    // compactSnapshot called with a larger value than the sink's)
+    // widens the window instead of crashing on a long-pruned id.
     val floorId = math.max(0L, next - keepVersions + 1)
     if (floorId > 0 && fs.exists(mDir)) {
-      fs.listStatus(mDir).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("m") &&
-            name.drop(1).forall(_.isDigit) && name.drop(1).toLong < floorId)
-          fs.delete(st.getPath, true)
-      }
-      // bucket versions: the oldest RETAINED manifest's version of a
-      // touched bucket is the floor — everything below it is referenced
-      // by no retained manifest (bucket maps only grow and versions
-      // only increase, so a bucket absent from the floor manifest was
-      // created inside the retained window and owns no older dirs).
-      // Only touched buckets can have newly-unreferenced versions.
-      val floorM = readSnapshotManifest(fs,
-        new org.apache.hadoop.fs.Path(s"$root/_manifests/m$floorId"), floorId)
-      touched.foreach { bk =>
-        floorM.buckets.get(bk).foreach { floorVer =>
-          val bDir = new org.apache.hadoop.fs.Path(s"$root/b$bk")
-          if (floorVer > 0 && fs.exists(bDir)) {
-            // ≤ keepVersions+1 entries by induction — bounded listing
-            fs.listStatus(bDir).foreach { st =>
-              val name = st.getPath.getName
-              if (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
-                  name.drop(1).toLong < floorVer)
-                fs.delete(st.getPath, true)
+      // ≤ keepVersions+1 entries by induction — bounded listing
+      val present = fs.listStatus(mDir).toSeq.map(_.getPath.getName)
+        .filter(nm => nm.startsWith("m") && nm.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).sorted
+      val pruneIds = present.filter(_ < floorId)
+      if (pruneIds.nonEmpty) {
+        val floorActual = present.filter(_ >= floorId)
+          .headOption.getOrElse(next) // m$next exists: written above
+        val floorM = readSnapshotManifest(fs, new org.apache.hadoop.fs.Path(
+          s"$root/_manifests/m$floorActual"), floorActual)
+        pruneIds.foreach { k =>
+          val mkPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$k")
+          val mk = readSnapshotManifest(fs, mkPath, k)
+          mk.buckets.foreach { case (bk, vk) =>
+            val fv = floorM.buckets.getOrElse(bk, vk)
+            (vk until fv).foreach { v =>
+              fs.delete(new org.apache.hadoop.fs.Path(s"$root/b$bk/v$v"),
+                true)
             }
           }
+          // manifest last: a crash mid-sweep replays the (idempotent)
+          // deletes from this manifest on the next publish
+          fs.delete(mkPath, true)
         }
       }
     }
@@ -692,8 +762,17 @@ object StreamingOps {
   private def currentSnapshotManifest(fs: org.apache.hadoop.fs.FileSystem,
                                       root: String): Option[SnapshotManifest] =
     currentSnapshotId(fs, root).map { id =>
-      readSnapshotManifest(fs,
-        new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id"), id)
+      val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id")
+      if (!fs.exists(mPath) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$id")))
+        // pre-bucketing stores (root/v<N> whole-snapshot dirs): writers
+        // must not silently mix layouts — reads stay compatible
+        // (readSnapshot falls back), writes need the one-off migration
+        throw new IllegalStateException(
+          s"$root holds a legacy single-dir snapshot (v$id): run " +
+            "StreamingOps.migrateSnapshotLayout(spark, root, numBuckets) " +
+            "before writing with the bucketed sink/compaction")
+      readSnapshotManifest(fs, mPath, id)
     }
 
   private def readSnapshotManifest(fs: org.apache.hadoop.fs.FileSystem,

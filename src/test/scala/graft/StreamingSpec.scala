@@ -650,6 +650,126 @@ class StreamingSpec extends SparkSpec {
       desc.getAs[Int]("num_buckets") shouldBe 16
       desc.getAs[Int]("populated_buckets") shouldBe 16
       desc.getAs[Seq[Long]]("retained_manifests") shouldBe Seq(0L, 1L)
+      // key TYPE must not matter to the caller: Spark's Murmur3 is
+      // physical-type-sensitive, so Int keys against the Long id column
+      // must be cast to the stored type before bucketing — pre-fix they
+      // probed the wrong buckets and silently returned empty
+      StreamingOps.lookupSnapshot(spark, root, Seq(1, 1500))
+        .get.as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+        Seq((1L, "updated body"),
+          (1500L, "document body 1500 with some padding text"))
     } finally query.stop()
+  }
+
+  test("snapshot retention never strands a cold bucket's version and survives a raised keepVersions") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-retain")
+      .toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 2, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def bucketVersionDirs(): Set[(Int, Long)] = {
+      val rootFile = new java.io.File(root)
+      Option(rootFile.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("b"))
+        .flatMap { b =>
+          Option(b.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(v => v.isDirectory && v.getName.startsWith("v"))
+            .map(v => (b.getName.drop(1).toInt, v.getName.drop(1).toLong))
+        }.toSet
+    }
+    def referenced(): Set[(Int, Long)] = {
+      val mDir = new java.io.File(s"$root/_manifests")
+      Option(mDir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.getName.startsWith("m")).flatMap { mf =>
+          val lines = java.nio.file.Files.readAllLines(mf.toPath)
+          import scala.jdk.CollectionConverters._
+          lines.asScala.filter(_.startsWith("b ")).map { l =>
+            val p = l.split("\\s+"); (p(1).toInt, p(2).toLong)
+          }
+        }.toSet
+    }
+    try {
+      // batch 0 touches many buckets; key 900 then goes COLD while
+      // other keys keep churning versions past the retention horizon
+      input.addData((0L until 20L).map(i =>
+        (i, 1L, "upsert", s"doc $i")) :+ ((900L, 1L, "upsert", "cold v0")): _*)
+      query.processAllAvailable()
+      input.addData((900L, 2L, "upsert", "cold v1")) // cold key's LAST touch
+      query.processAllAvailable()
+      (3L to 6L).foreach { s =>
+        input.addData((0L until 20L).map(i => (i, s, "upsert", s"doc $i s$s")): _*)
+        query.processAllAvailable()
+      }
+      // invariant: every bucket-version dir on disk is referenced by a
+      // retained manifest — the cold key's superseded version must have
+      // been pruned when the manifest that referenced it was (pre-fix
+      // the sweep only visited the CURRENT batch's touched buckets, so
+      // cold buckets leaked their old versions forever)
+      val orphans = bucketVersionDirs() -- referenced()
+      orphans shouldBe Set.empty
+      // the cold key still serves its latest value
+      StreamingOps.lookupSnapshot(spark, root, Seq(900L)).get
+        .as[(Long, String)].collect().toSeq shouldBe Seq((900L, "cold v1"))
+      // RAISED retention across maintenance: a compaction run with a
+      // larger keepVersions than the sink's must widen the window, not
+      // crash on a long-pruned floor manifest
+      StreamingOps.compactSnapshot(spark, root, horizonSeq = 1L,
+        keepVersions = 10)
+      StreamingOps.readSnapshot(spark, root).get.count() shouldBe 21
+      (bucketVersionDirs() -- referenced()) shouldBe Set.empty
+    } finally query.stop()
+  }
+
+  test("legacy single-dir snapshots: reads compatible, writes raise pointed, migration preserves seq memory") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-legacy")
+      .toString + "/snap"
+    // craft the pre-bucketing layout: whole-snapshot dir + pointer
+    Seq((1L, Some("a"), 3L, false), (2L, Option.empty[String], 4L, true),
+        (3L, Some("c"), 2L, false))
+      .toDF("doc_id", "text", "__seq", "__deleted")
+      .write.parquet(s"$root/v7")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_CURRENT"), true)
+    try out.write("7".getBytes("UTF-8")) finally out.close()
+    // reads are layout-compatible without migration
+    StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, Some("a")), (3L, Some("c")))
+    // writes refuse with a pointer to the migration
+    intercept[IllegalStateException] {
+      StreamingOps.compactSnapshot(spark, root, horizonSeq = 0L)
+    }.getMessage should include("migrateSnapshotLayout")
+    // migrate: bucketed m0, legacy dirs gone, rows + tombstones intact
+    StreamingOps.migrateSnapshotLayout(spark, root, numBuckets = 4)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/v7")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifests/m0")) shouldBe true
+    StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, Some("a")), (3L, Some("c")))
+    // the migrated store keeps per-key __seq: a STALE redelivery for the
+    // tombstoned key 2 (seq 1 < stored 4) must still be rejected
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 2, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((2L, 1L, "upsert", "resurrect?"), (4L, 5L, "upsert", "d"))
+      query.processAllAvailable()
+      StreamingOps.readSnapshot(spark, root).get
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
+        Seq((1L, Some("a")), (3L, Some("c")), (4L, Some("d")))
+    } finally query.stop()
+    // a second migration attempt refuses: already bucketed
+    intercept[IllegalStateException] {
+      StreamingOps.migrateSnapshotLayout(spark, root)
+    }.getMessage should include("already")
   }
 }

@@ -109,6 +109,24 @@ class WebSocketSpec extends AnyFunSuite with Matchers {
     } finally ws.stop()
   }
 
+  test("a protocol-violating client gets CLOSE 1002, not an uncaught exception") {
+    val b = new CoachingBroadcaster()
+    val ws = new CoachingWebSocketServer(b)
+    val port = ws.start()
+    try {
+      val (s, in, out, head) = handshake(port)
+      try {
+        head should startWith("HTTP/1.1 101")
+        // UNMASKED client frame — RFC 6455 §5.1 violation
+        out.write(Array[Byte]((0x81 & 0xFF).toByte, 0x02, 'h', 'i'))
+        out.flush()
+        val (op, payload) = readFrame(in).get
+        op shouldBe 0x8
+        ((payload(0) & 0xFF) << 8 | (payload(1) & 0xFF)) shouldBe 1002
+      } finally s.close()
+    } finally ws.stop()
+  }
+
   test("a non-upgrade request gets 400, not a hung socket") {
     val ws = new CoachingWebSocketServer(new CoachingBroadcaster())
     val port = ws.start()
