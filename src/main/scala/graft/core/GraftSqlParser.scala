@@ -92,6 +92,9 @@ private[core] object GraftDdl {
     "(?is)^CURATE\\s+TABLE\\s+(`[^`]+`|[\\w.$-]+)\\s+USING\\s+(\\w+)(.*)$".r
   private val DescSnap =
     "(?is)^DESCRIBE\\s+SNAPSHOT\\s+'([^']+)'\\s*;?\\s*$".r
+  private val ChangelogSnap =
+    ("(?is)^READ\\s+SNAPSHOT\\s+CHANGELOG\\s+'([^']+)'" +
+      "\\s+FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?\\s*;?\\s*$").r
 
   /** Drop leading whitespace, `-- line` and `/* block */` comments — a
     * commented CREATE MODEL must still reach the recognizer (standard
@@ -116,6 +119,21 @@ private[core] object GraftDdl {
   }
 
   def parse(sql: String): Option[LogicalPlan] = stripLeadingTrivia(sql) match {
+    case ChangelogSnap(root, from, to) =>
+      // READ SNAPSHOT CHANGELOG '<root>' FROM n [TO m] — the CDC-out
+      // face (StreamingOps.snapshotChangelog): the bucket-pruned diff
+      // between two retained snapshots in applyChangelog's input shape
+      val spark = SparkSession.active
+      try Some(graft.streaming.StreamingOps.snapshotChangelog(spark, root,
+          from.toLong, Option(to).map(_.toLong))
+        .queryExecution.logical)
+      catch {
+        case e: IllegalStateException =>
+          throw new ParseException(Option(sql), Origin(),
+            "PARSE_SYNTAX_ERROR",
+            Map("error" -> "'READ SNAPSHOT CHANGELOG'",
+                "hint" -> s": ${e.getMessage}"))
+      }
     case ReadSnap(root, ver, tomb) =>
       // READ SNAPSHOT '<root>' [VERSION AS OF n] [WITH TOMBSTONES] —
       // the SQL face of StreamingOps.readSnapshot (the CDC snapshot

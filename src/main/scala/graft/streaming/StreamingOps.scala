@@ -486,6 +486,85 @@ object StreamingOps {
     }
   }
 
+  /** CDC OUT — the changelog BETWEEN two retained snapshots, emitted in
+    * [[graft.pipeline.CurationPipeline.applyChangelogVersioned]]'s own
+    * input shape (id, seq, op ∈ upsert|delete, payload…), so a
+    * downstream consumer holding snapshot `fromVersion` replays the
+    * result and lands bit-identically on `toVersion` (StreamingSpec
+    * pins the closure). The bucketed layout makes the diff incremental:
+    * only buckets whose VERSION differs between the two manifests are
+    * read — at a 100 TB base where a day of batches touched 1% of the
+    * buckets, the diff reads 1% of the data on BOTH sides, where a
+    * frame-level diff ([[graft.pipeline.CurationPipeline.snapshotDiff]])
+    * scans everything. Per changed bucket the diff is one
+    * co-partitioned full-outer join keyed on id; a row changed iff its
+    * `__seq` moved (the sink's max-seq winner rule makes equal seq ⇒
+    * identical row). Physical tombstone removal by compaction is NOT a
+    * state change and never emits.
+    *
+    * `toVersion` None = the live snapshot. Raises when either manifest
+    * was pruned by retention — emit changelogs within the retained
+    * window, or raise `keepVersions`. */
+  def snapshotChangelog(spark: org.apache.spark.sql.SparkSession,
+                        root: String, fromVersion: Long,
+                        toVersion: Option[Long] = None): DataFrame = {
+    val fs = snapshotFs(spark, root)
+    val toId = toVersion.orElse(currentSnapshotId(fs, root)).getOrElse(
+      throw new IllegalStateException(
+        s"snapshotChangelog: no committed snapshot at $root"))
+    require(fromVersion <= toId,
+      s"snapshotChangelog: fromVersion $fromVersion is newer than $toId")
+    def manifest(id: Long): SnapshotManifest = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id")
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"snapshotChangelog: snapshot $id of $root is not retained " +
+          "(pruned by keepVersions retention, or never committed)")
+      readSnapshotManifest(fs, p, id)
+    }
+    val mTo = manifest(toId)
+    val mFrom = manifest(fromVersion)
+    // only buckets whose version moved hold changes
+    val changed = mTo.buckets.filter { case (bk, v) =>
+      !mFrom.buckets.get(bk).contains(v) }.keySet
+    val toPaths = changed.toSeq.sorted
+      .flatMap(bk => mTo.buckets.get(bk).map(v => s"$root/b$bk/v$v"))
+    val sampleAll = mTo.buckets.toSeq.sortBy(_._1)
+      .map { case (bk, v) => s"$root/b$bk/v$v" }
+    require(sampleAll.nonEmpty,
+      s"snapshotChangelog: snapshot $toId of $root has no buckets")
+    val schema = spark.read.parquet(sampleAll.head).schema
+    val idCol = schema.head.name
+    val payloadCols = schema.map(_.name)
+      .filterNot(Set(idCol, "__seq", "__deleted"))
+    val emptyOut = {
+      val out = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      out.select((Seq(col(idCol), col("__seq").as("seq"),
+        lit("upsert").as("op")) ++ payloadCols.map(col)): _*).limit(0)
+    }
+    if (changed.isEmpty) emptyOut
+    else {
+      val toRaw = spark.read.parquet(toPaths: _*)
+      val fromPaths = changed.toSeq.sorted
+        .flatMap(bk => mFrom.buckets.get(bk).map(v => s"$root/b$bk/v$v"))
+      val fromSeq =
+        if (fromPaths.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(schema.head,
+              schema("__seq"))))
+          .select(col(idCol), col("__seq").as("__from_seq"))
+        else spark.read.parquet(fromPaths: _*)
+          .select(col(idCol), col("__seq").as("__from_seq"))
+      toRaw.join(fromSeq, Seq(idCol), "left_outer")
+        .filter(col("__from_seq").isNull ||
+          col("__from_seq") =!= col("__seq"))
+        .select((Seq(col(idCol), col("__seq").as("seq"),
+          when(coalesce(col("__deleted"), lit(false)), lit("delete"))
+            .otherwise(lit("upsert")).as("op")) ++
+          payloadCols.map(col)): _*)
+    }
+  }
+
   /** One-off conversion of a legacy single-dir snapshot store
     * (`root/v<N>` whole-snapshot dirs, the pre-bucketing layout) to the
     * bucketed manifest layout: the LIVE legacy version (raw, tombstones

@@ -656,6 +656,15 @@ class SqlSurfaceSpec extends SparkSpec {
     desc.getAs[Long]("snapshot_id") shouldBe 1L
     desc.getAs[Int]("num_buckets") shouldBe 4
     desc.getAs[Seq[Long]]("retained_manifests") shouldBe Seq(0L, 1L)
+    // READ SNAPSHOT CHANGELOG: the CDC-out face — snapshot 0 → live
+    // carries the delete of key 1 and the insert of key 3
+    spark.sql(s"READ SNAPSHOT CHANGELOG '$root' FROM 0")
+      .as[(Long, Long, String, Option[String])].collect().sortBy(_._1)
+      .toSeq shouldBe Seq((1L, 2L, "delete", None),
+        (3L, 2L, "upsert", Some("c")))
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"READ SNAPSHOT CHANGELOG '$root' FROM 90 TO 91"))
+      .getMessage should include("not retained")
     // no committed snapshot → pointed parse error
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql("READ SNAPSHOT '/tmp/graft-no-such-snapshot'"))

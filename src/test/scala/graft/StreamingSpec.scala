@@ -661,6 +661,61 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("snapshotChangelog: bucket-pruned CDC out, replay closure onto the target snapshot") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-cdcout")
+      .toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 8)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((1L to 40L).map(i => (i, 1L, "upsert", s"doc $i")): _*)
+      query.processAllAvailable() // snapshot 0: every bucket populated
+      input.addData((1L, 2L, "upsert", "doc 1 v2"), (2L, 2L, "delete", nul))
+      query.processAllAvailable() // snapshot 1
+      input.addData((50L, 3L, "upsert", "doc 50"))
+      query.processAllAvailable() // snapshot 2
+    } finally query.stop()
+    // the 0→live changelog: exactly the three state changes, in
+    // applyChangelogVersioned's own input shape
+    val chg = StreamingOps.snapshotChangelog(spark, root, fromVersion = 0)
+    chg.columns.toSeq shouldBe Seq("doc_id", "seq", "op", "text")
+    chg.as[(Long, Long, String, Option[String])].collect().sortBy(_._1)
+      .toSeq shouldBe Seq((1L, 2L, "upsert", Some("doc 1 v2")),
+        (2L, 2L, "delete", None), (50L, 3L, "upsert", Some("doc 50")))
+    // bucket pruning: the diff read only the ≤ 3 changed keys' buckets
+    val bucketsRead = chg.inputFiles.toSeq
+      .flatMap("/b(\\d+)/".r.findFirstMatchIn(_)).map(_.group(1)).distinct
+    assert(bucketsRead.nonEmpty && bucketsRead.size <= 3,
+      s"changelog read buckets $bucketsRead")
+    // REPLAY CLOSURE: snapshot 0 + changelog == snapshot 2, raw layout
+    // included (tombstones, __seq) — a consumer holding v0 lands
+    // bit-identically on the live state
+    def rawSet(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Option[String], Long, Boolean)].collect().toSet
+    val v0 = StreamingOps.readSnapshot(spark, root,
+      includeTombstones = true, version = Some(0)).get
+    val v2 = StreamingOps.readSnapshot(spark, root,
+      includeTombstones = true).get
+    rawSet(graft.pipeline.CurationPipeline.applyChangelogVersioned(
+      v0, chg, "doc_id", "seq", "op", Seq("text"))) shouldBe rawSet(v2)
+    // intermediate window: 1→2 carries only the third batch's change
+    StreamingOps.snapshotChangelog(spark, root, 1, Some(2))
+      .as[(Long, Long, String, Option[String])].collect().toSeq shouldBe
+      Seq((50L, 3L, "upsert", Some("doc 50")))
+    // self-diff: no changed buckets, empty frame, same columns
+    val selfDiff = StreamingOps.snapshotChangelog(spark, root, 2, Some(2))
+    selfDiff.columns.toSeq shouldBe Seq("doc_id", "seq", "op", "text")
+    selfDiff.count() shouldBe 0
+    // a pruned from-version raises loudly
+    intercept[IllegalStateException] {
+      StreamingOps.snapshotChangelog(spark, root, 99, Some(99))
+    }
+  }
+
   test("snapshot retention never strands a cold bucket's version and survives a raised keepVersions") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-snap-retain")
