@@ -565,6 +565,64 @@ object StreamingOps {
     }
   }
 
+  /** At-least-once incremental consumption of a snapshot store — the
+    * consumer half of [[snapshotChangelog]]: resolve the cursor (last
+    * DELIVERED snapshot id, a tiny text file at `cursorPath`), emit the
+    * cursor→live changelog, and return a commit callback that advances
+    * the cursor with the same atomic temp+rename(OVERWRITE) swap the
+    * store's pointer uses. Crash before commit ⇒ the next pull re-emits
+    * the same window — at-least-once, and safe to re-apply because the
+    * changelog shape is max-seq idempotent by construction. A FIRST
+    * pull (no cursor) bootstraps with the full live state incl.
+    * tombstones-as-deletes, so the downstream copy inherits the per-key
+    * seq memory and stale redelivery stays rejected there too. Returns
+    * None when no snapshot is newer than the cursor. A cursor older
+    * than retention raises ([[snapshotChangelog]]'s pruned-version
+    * error): re-bootstrap (delete the cursor) or raise `keepVersions`
+    * to cover the consumer's worst lag. */
+  def nextChangelogBatch(spark: org.apache.spark.sql.SparkSession,
+                         root: String, cursorPath: String)
+      : Option[(Long, DataFrame, () => Unit)] = {
+    val fs = snapshotFs(spark, root)
+    val live = currentSnapshotId(fs, root).getOrElse(return None)
+    val cPath = new org.apache.hadoop.fs.Path(cursorPath)
+    val cursor: Option[Long] =
+      if (!fs.exists(cPath)) None
+      else {
+        val in = fs.open(cPath)
+        val s =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            "UTF-8").trim
+          finally in.close()
+        Some(s.toLong)
+      }
+    if (cursor.contains(live)) return None
+    val frame = cursor match {
+      case Some(c) => snapshotChangelog(spark, root, c, Some(live))
+      case None =>
+        // bootstrap: the full live state in the same changelog shape
+        val raw = readSnapshot(spark, root, includeTombstones = true,
+          version = Some(live)).get
+        val idCol = idColOf(raw)
+        val payloadCols = raw.columns
+          .filterNot(Set(idCol, "__seq", "__deleted")).toSeq
+        raw.select((Seq(col(idCol), col("__seq").as("seq"),
+          when(coalesce(col("__deleted"), lit(false)), lit("delete"))
+            .otherwise(lit("upsert")).as("op")) ++
+          payloadCols.map(col)): _*)
+    }
+    val commit = () => {
+      val tmp = new org.apache.hadoop.fs.Path(s"$cursorPath.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(live.toString.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(cPath.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, cPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      ()
+    }
+    Some((live, frame, commit))
+  }
+
   /** One-off conversion of a legacy single-dir snapshot store
     * (`root/v<N>` whole-snapshot dirs, the pre-bucketing layout) to the
     * bucketed manifest layout: the LIVE legacy version (raw, tombstones

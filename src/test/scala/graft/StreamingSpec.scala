@@ -716,6 +716,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nextChangelogBatch: cursor-committed at-least-once pulls, bootstrap carries seq memory") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-pull")
+      .toString
+    val root = s"$dir/snap"
+    val cursor = s"$dir/consumer.cursor"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    def pull() = StreamingOps.nextChangelogBatch(spark, root, cursor)
+    try {
+      pull() shouldBe None // nothing committed yet
+      input.addData((1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"))
+      query.processAllAvailable()
+      input.addData((2L, 2L, "delete", nul))
+      query.processAllAvailable()
+      // bootstrap: the full live state, tombstone carried as a delete
+      // so the downstream copy inherits stale-rejection memory
+      val (v1, boot, commit1) = pull().get
+      v1 shouldBe 1L
+      boot.as[(Long, Long, String, Option[String])].collect().sortBy(_._1)
+        .toSeq shouldBe Seq((1L, 1L, "upsert", Some("a")),
+          (2L, 2L, "delete", None))
+      // crash before commit: the SAME window re-emits (at-least-once)
+      pull().get._2.count() shouldBe boot.count()
+      commit1()
+      pull() shouldBe None // caught up
+      input.addData((3L, 3L, "upsert", "c"))
+      query.processAllAvailable()
+      val (v2, delta, commit2) = pull().get
+      v2 shouldBe 2L
+      delta.as[(Long, Long, String, Option[String])].collect().toSeq shouldBe
+        Seq((3L, 3L, "upsert", Some("c")))
+      commit2()
+      pull() shouldBe None
+    } finally query.stop()
+  }
+
   test("snapshot retention never strands a cold bucket's version and survives a raised keepVersions") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-snap-retain")
