@@ -208,6 +208,54 @@ object Bench {
       .select(col("v.doc_id").as("doc_id"), col("v.text").as("text"))
   }
 
+  /** Per-batch publish cost vs BASE SIZE for the bucketed CDC snapshot
+    * sink: bootstrap a base of n rows (untimed), then time `reps`
+    * 2-key micro-batches against it, at n and 10×n. sec/batch staying
+    * FLAT (ratio ≈ 1) is the copy-on-write contract — per-batch IO ∝
+    * changelog, not base; the pre-bucketing whole-snapshot rewrite
+    * scaled the ratio with the base instead. Invoked alone via
+    * SPARK_GRAFT_BENCH_SNAPSHOT=1. */
+  def snapshotProbe(spark: SparkSession, base: Long, reps: Int = 8): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Seq(base, base * 10).map { n =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-snap-probe")
+      val root = s"$dir/snap"
+      val input = MemoryStream[(Long, Long, String, String)]
+      val q = graft.streaming.StreamingOps.snapshotUpsertSink(
+          input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+          keepVersions = 2, numBuckets = 64)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        input.addData((0L until n).map(i =>
+          (i, 1L, "upsert", s"document body $i with some padding text")): _*)
+        q.processAllAvailable() // bootstrap the base — untimed
+        val t0 = System.nanoTime()
+        (1 to reps).foreach { r =>
+          input.addData(
+            (r.toLong % n, r + 1L, "upsert", s"updated body $r"),
+            ((r.toLong + n / 2) % n, r + 1L, "upsert", s"updated body b$r"))
+          q.processAllAvailable()
+        }
+        (n, (System.nanoTime() - t0) / 1e9 / reps)
+      } finally {
+        q.stop()
+        scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          val walked = java.nio.file.Files.walk(dir)
+          try walked.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walked.close()
+        }
+      }
+    }
+    val pts = out.map { case (n, s) =>
+      s"""{"base_rows":$n,"sec_per_batch":$s}""" }.mkString("[", ",", "]")
+    s"""{"metric":"snapshot_probe","points":$pts,""" +
+      s""""ratio":${out(1)._2 / out(0)._2}}"""
+  }
+
   /** sec-vs-rows scaling probe for the heaviest batch families
     * (alt-star components, contamination report, span removal, fuzzy
     * linkage, incremental fuzzy gate): run each at `base` and
@@ -311,6 +359,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus, "graft-bench")
+    if (sys.env.get("SPARK_GRAFT_BENCH_SNAPSHOT").contains("1")) {
+      // one-off snapshot-sink base-size A/B: warm the plan shapes small,
+      // then the timed 1× / 10× pair
+      snapshotProbe(spark, 1000, reps = 2)
+      println(snapshotProbe(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BASE", "20000").toLong))
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_BENCH_SCALE").contains("1")) {
       // one-off superlinearity probe: warm both plan shapes at a small
       // size first (codegen/JIT), then the timed 1× / 10× pair

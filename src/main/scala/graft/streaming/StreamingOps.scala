@@ -623,6 +623,49 @@ object StreamingOps {
     Some((live, frame, commit))
   }
 
+  /** GROW the bucket count of a live snapshot store (B → B′, B′ > B) —
+    * the maintenance op for a corpus that outgrew its creation-time
+    * `numBuckets` (bucket dirs past a few GB stop being cheap to
+    * rewrite). One full republish of the live rows under the new hash
+    * (rebucketing is a full pass BY NATURE — every row can move), with
+    * the usual atomic manifest/pointer commit: readers see the old
+    * layout or the new one, never a mix, retained pre-rebucket
+    * manifests stay time-travel readable against their immutable dirs
+    * until retention prunes them (the manifest-diff pruning then
+    * removes the old-hash dirs — bucket versions stay monotone across
+    * the boundary because overlapping bucket ids keep their version
+    * floor). Per-key `__seq` and tombstones carry through, so
+    * stale-rejection memory survives, and a pure rebucket emits an
+    * EMPTY [[snapshotChangelog]] (no `__seq` moved — a layout change is
+    * not a state change). SHRINKING is refused: a bucket id dropped
+    * from the manifest map would break the retention invariant that
+    * maps only grow. Single-writer like every maintenance op here. */
+  def rebucketSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       root: String, newBuckets: Int,
+                       keepVersions: Int = 3): Unit = {
+    val fs = snapshotFs(spark, root)
+    val cur = currentSnapshotManifest(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"rebucketSnapshot: no committed snapshot at $root"))
+    require(newBuckets > cur.numBuckets,
+      s"rebucketSnapshot: newBuckets $newBuckets must EXCEED the " +
+        s"current ${cur.numBuckets} (grow-only; shrinking would break " +
+        "the monotone bucket-map retention invariant)")
+    val paths = cur.buckets.toSeq.sortBy(_._1)
+      .map { case (bk, v) => s"$root/b$bk/v$v" }
+    val raw = spark.read.parquet(paths: _*)
+    // synthetic prev: same id (so the manifest counter continues),
+    // overlapping bucket ids keep their version floor (monotonicity
+    // across the boundary); touched = EVERY new bucket, so the new
+    // manifest maps all B′ ids under the new hash and no stale old-hash
+    // entry can carry over
+    val prev = SnapshotManifest(cur.id, newBuckets,
+      cur.buckets.filter { case (bk, _) => bk < newBuckets })
+    publishSnapshotVersion(spark, root, raw, idColOf(raw),
+      (0 until newBuckets).toSet, Some(prev), newBuckets, keepVersions,
+      raw.schema)
+  }
+
   /** One-off conversion of a legacy single-dir snapshot store
     * (`root/v<N>` whole-snapshot dirs, the pre-bucketing layout) to the
     * bucketed manifest layout: the LIVE legacy version (raw, tombstones

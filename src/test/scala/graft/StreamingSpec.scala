@@ -757,6 +757,62 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rebucketSnapshot grows the bucket count: state identical, empty changelog, sink continues on the new layout") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-grow")
+      .toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 2)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((1L to 30L).map(i => (i, 1L, "upsert", s"doc $i")): _*)
+      query.processAllAvailable()
+      input.addData((5L, 2L, "delete", nul))
+      query.processAllAvailable()
+    } finally query.stop()
+    def live() = StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val before = live()
+    StreamingOps.rebucketSnapshot(spark, root, newBuckets = 8)
+    // state identical; the ops summary shows the new bucket count
+    live() shouldBe before
+    val desc = StreamingOps.describeSnapshot(spark, root).get.collect().head
+    desc.getAs[Int]("num_buckets") shouldBe 8
+    // a layout change is NOT a state change: empty changelog across it
+    StreamingOps.snapshotChangelog(spark, root, 1, Some(2))
+      .count() shouldBe 0
+    // pre-rebucket time travel still serves from its immutable dirs
+    StreamingOps.readSnapshot(spark, root, version = Some(0)).get
+      .count() shouldBe 30
+    // point lookup uses the NEW hash
+    StreamingOps.lookupSnapshot(spark, root, Seq(7L)).get
+      .as[(Long, String)].collect().toSeq shouldBe Seq((7L, "doc 7"))
+    // the sink continues on the stored (new) bucket count, and the
+    // tombstone's seq memory survived the rebucket: stale redelivery
+    // for deleted key 5 stays rejected
+    val input2 = MemoryStream[(Long, Long, String, String)]
+    val query2 = StreamingOps.snapshotUpsertSink(
+        input2.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 2) // stored 8 wins over this 2
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input2.addData((5L, 1L, "upsert", "resurrect?"), (40L, 3L, "upsert", "d"))
+      query2.processAllAvailable()
+      val after = live()
+      after.find(_._1 == 5L) shouldBe None
+      after.find(_._1 == 40L) shouldBe Some((40L, "d"))
+      StreamingOps.describeSnapshot(spark, root).get.collect()
+        .head.getAs[Int]("num_buckets") shouldBe 8
+    } finally query2.stop()
+    // shrinking refuses loudly
+    intercept[IllegalArgumentException] {
+      StreamingOps.rebucketSnapshot(spark, root, newBuckets = 4)
+    }.getMessage should include("grow-only")
+  }
+
   test("snapshot retention never strands a cold bucket's version and survives a raised keepVersions") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-snap-retain")
