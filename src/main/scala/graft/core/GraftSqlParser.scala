@@ -95,6 +95,11 @@ private[core] object GraftDdl {
   private val ChangelogSnap =
     ("(?is)^READ\\s+SNAPSHOT\\s+CHANGELOG\\s+'([^']+)'" +
       "\\s+FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?\\s*;?\\s*$").r
+  // a statement that unambiguously STARTS as ours but is malformed must
+  // raise the pointed error, not fall through to the delegate's generic
+  // syntax failure
+  private val ChangelogSnapMalformed =
+    "(?is)^READ\\s+SNAPSHOT\\s+CHANGELOG\\b.*$".r
 
   /** Drop leading whitespace, `-- line` and `/* block */` comments — a
     * commented CREATE MODEL must still reach the recognizer (standard
@@ -128,12 +133,22 @@ private[core] object GraftDdl {
           from.toLong, Option(to).map(_.toLong))
         .queryExecution.logical)
       catch {
-        case e: IllegalStateException =>
+        case e: ParseException => throw e
+        case scala.util.control.NonFatal(e) =>
+          // IllegalState (pruned/uncommitted), IllegalArgument
+          // (FROM > TO), NumberFormat (overflowed literal) — all
+          // parse-time failures to a spark.sql caller, so all surface
+          // as the contract's ParseException
           throw new ParseException(Option(sql), Origin(),
             "PARSE_SYNTAX_ERROR",
             Map("error" -> "'READ SNAPSHOT CHANGELOG'",
                 "hint" -> s": ${e.getMessage}"))
       }
+    case ChangelogSnapMalformed() =>
+      throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'READ SNAPSHOT CHANGELOG'",
+            "hint" -> (": expected READ SNAPSHOT CHANGELOG '<root>' " +
+              "FROM <n> [TO <m>]")))
     case ReadSnap(root, ver, tomb) =>
       // READ SNAPSHOT '<root>' [VERSION AS OF n] [WITH TOMBSTONES] —
       // the SQL face of StreamingOps.readSnapshot (the CDC snapshot

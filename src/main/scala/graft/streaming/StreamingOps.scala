@@ -499,8 +499,16 @@ object StreamingOps {
     * scans everything. Per changed bucket the diff is one
     * co-partitioned full-outer join keyed on id; a row changed iff its
     * `__seq` moved (the sink's max-seq winner rule makes equal seq ⇒
-    * identical row). Physical tombstone removal by compaction is NOT a
-    * state change and never emits.
+    * identical row).
+    *
+    * Compaction inside the window: a key deleted AND compacted between
+    * the two versions exists on neither manifest's to-side — the
+    * from-only row still emits a delete (with a fabricated seq, see the
+    * join comment) or the consumer would silently keep it alive.
+    * Compaction of tombstones that were ALREADY deletes at
+    * `fromVersion` emits nothing — the closure contract is the LIVE
+    * view across compactions, and raw-layout-identical for
+    * compaction-free windows (StreamingSpec pins both).
     *
     * `toVersion` None = the live snapshot. Raises when either manifest
     * was pruned by retention — emit changelogs within the retained
@@ -534,35 +542,72 @@ object StreamingOps {
       s"snapshotChangelog: snapshot $toId of $root has no buckets")
     val schema = spark.read.parquet(sampleAll.head).schema
     val idCol = schema.head.name
-    val payloadCols = schema.map(_.name)
-      .filterNot(Set(idCol, "__seq", "__deleted"))
-    val emptyOut = {
-      val out = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      out.select((Seq(col(idCol), col("__seq").as("seq"),
-        lit("upsert").as("op")) ++ payloadCols.map(col)): _*).limit(0)
-    }
-    if (changed.isEmpty) emptyOut
+    if (changed.isEmpty)
+      changelogShape(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        .limit(0)
     else {
       val toRaw = spark.read.parquet(toPaths: _*)
       val fromPaths = changed.toSeq.sorted
         .flatMap(bk => mFrom.buckets.get(bk).map(v => s"$root/b$bk/v$v"))
-      val fromSeq =
+      val fromSide =
         if (fromPaths.isEmpty) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(schema.head,
-              schema("__seq"))))
-          .select(col(idCol), col("__seq").as("__from_seq"))
+              schema("__seq"), schema("__deleted"))))
+          .select(col(idCol), col("__seq").as("__from_seq"),
+            col("__deleted").as("__from_deleted"))
         else spark.read.parquet(fromPaths: _*)
-          .select(col(idCol), col("__seq").as("__from_seq"))
-      toRaw.join(fromSeq, Seq(idCol), "left_outer")
-        .filter(col("__from_seq").isNull ||
-          col("__from_seq") =!= col("__seq"))
-        .select((Seq(col(idCol), col("__seq").as("seq"),
-          when(coalesce(col("__deleted"), lit(false)), lit("delete"))
-            .otherwise(lit("upsert")).as("op")) ++
-          payloadCols.map(col)): _*)
+          .select(col(idCol), col("__seq").as("__from_seq"),
+            col("__deleted").as("__from_deleted"))
+      // FULL outer: a row present only on the FROM side was deleted in
+      // the window AND its tombstone was already compacted away — it
+      // must still emit a delete or the consumer diverges silently. Its
+      // true delete seq is gone with the tombstone, so emit
+      // from_seq + 1: ≤ the true seq (a delete's seq strictly exceeds
+      // the live seq it deleted) and < any future change (which must
+      // carry seq > the compaction horizon ≥ the true seq) — so the
+      // fabricated seq converges under exactly the horizon contract
+      // compaction already promises. FROM-side tombstones compacted in
+      // the window emit nothing: the state didn't change, only the raw
+      // layout (closure on the LIVE view holds across compactions; the
+      // raw layouts converge once the consumer compacts with the same
+      // horizon).
+      val toExists = col("__seq").isNotNull
+      changelogShape(
+        toRaw.join(fromSide, Seq(idCol), "full_outer")
+          .filter(
+            (toExists && (col("__from_seq").isNull ||
+              col("__from_seq") =!= col("__seq"))) ||
+            (!toExists && !coalesce(col("__from_deleted"), lit(false))))
+          // materialize the side flag BEFORE rewriting __seq — the
+          // rewrite makes __seq non-null everywhere, so a later
+          // col("__seq").isNotNull would silently flip deletes to
+          // upserts for the from-only rows
+          .withColumn("__to_exists", toExists)
+          .withColumn("__seq", when(col("__to_exists"), col("__seq"))
+            .otherwise((col("__from_seq") + lit(1L))
+              .cast(schema("__seq").dataType)))
+          .withColumn("__deleted",
+            when(col("__to_exists"), coalesce(col("__deleted"), lit(false)))
+              .otherwise(lit(true)))
+          .drop("__from_seq", "__from_deleted", "__to_exists"))
     }
+  }
+
+  /** The changelog emission shape shared by [[snapshotChangelog]] and
+    * [[nextChangelogBatch]]'s bootstrap: raw snapshot columns
+    * (id, payload…, __seq, __deleted) → (id, seq, op, payload…), the
+    * exact input shape of
+    * [[graft.pipeline.CurationPipeline.applyChangelogVersioned]]. */
+  private def changelogShape(raw: DataFrame): DataFrame = {
+    val idCol = idColOf(raw)
+    val payloadCols = raw.columns
+      .filterNot(Set(idCol, "__seq", "__deleted")).toSeq
+    raw.select((Seq(col(idCol), col("__seq").as("seq"),
+      when(coalesce(col("__deleted"), lit(false)), lit("delete"))
+        .otherwise(lit("upsert")).as("op")) ++
+      payloadCols.map(col)): _*)
   }
 
   /** At-least-once incremental consumption of a snapshot store — the
@@ -585,11 +630,18 @@ object StreamingOps {
       : Option[(Long, DataFrame, () => Unit)] = {
     val fs = snapshotFs(spark, root)
     val live = currentSnapshotId(fs, root).getOrElse(return None)
-    val cPath = new org.apache.hadoop.fs.Path(cursorPath)
+    // the cursor may live on a DIFFERENT filesystem than the store
+    // (local state dir vs an object-store root): resolve it against its
+    // OWN fs and qualify the path, so the create and the rename below
+    // agree on one filesystem
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cfs = new org.apache.hadoop.fs.Path(cursorPath).getFileSystem(hconf)
+    val cPath = cfs.makeQualified(
+      new org.apache.hadoop.fs.Path(cursorPath))
     val cursor: Option[Long] =
-      if (!fs.exists(cPath)) None
+      if (!cfs.exists(cPath)) None
       else {
-        val in = fs.open(cPath)
+        val in = cfs.open(cPath)
         val s =
           try new String(org.apache.commons.io.IOUtils.toByteArray(in),
             "UTF-8").trim
@@ -601,22 +653,16 @@ object StreamingOps {
       case Some(c) => snapshotChangelog(spark, root, c, Some(live))
       case None =>
         // bootstrap: the full live state in the same changelog shape
-        val raw = readSnapshot(spark, root, includeTombstones = true,
-          version = Some(live)).get
-        val idCol = idColOf(raw)
-        val payloadCols = raw.columns
-          .filterNot(Set(idCol, "__seq", "__deleted")).toSeq
-        raw.select((Seq(col(idCol), col("__seq").as("seq"),
-          when(coalesce(col("__deleted"), lit(false)), lit("delete"))
-            .otherwise(lit("upsert")).as("op")) ++
-          payloadCols.map(col)): _*)
+        changelogShape(readSnapshot(spark, root, includeTombstones = true,
+          version = Some(live)).get)
     }
     val commit = () => {
-      val tmp = new org.apache.hadoop.fs.Path(s"$cursorPath.tmp")
-      val out = fs.create(tmp, true)
+      val tmp = cfs.makeQualified(
+        new org.apache.hadoop.fs.Path(s"$cursorPath.tmp"))
+      val out = cfs.create(tmp, true)
       try out.write(live.toString.getBytes("UTF-8")) finally out.close()
       org.apache.hadoop.fs.FileContext
-        .getFileContext(cPath.toUri, spark.sparkContext.hadoopConfiguration)
+        .getFileContext(cPath.toUri, hconf)
         .rename(tmp, cPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       ()
     }
@@ -654,16 +700,23 @@ object StreamingOps {
     val paths = cur.buckets.toSeq.sortBy(_._1)
       .map { case (bk, v) => s"$root/b$bk/v$v" }
     val raw = spark.read.parquet(paths: _*)
-    // synthetic prev: same id (so the manifest counter continues),
-    // overlapping bucket ids keep their version floor (monotonicity
-    // across the boundary); touched = EVERY new bucket, so the new
-    // manifest maps all B′ ids under the new hash and no stale old-hash
-    // entry can carry over
-    val prev = SnapshotManifest(cur.id, newBuckets,
-      cur.buckets.filter { case (bk, _) => bk < newBuckets })
-    publishSnapshotVersion(spark, root, raw, idColOf(raw),
-      (0 until newBuckets).toSet, Some(prev), newBuckets, keepVersions,
-      raw.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // synthetic prev: same id (so the manifest counter continues) and
+      // the old bucket map as per-bucket VERSION FLOORS (monotonicity
+      // across the boundary — grow-only means every old id < newB).
+      // touched = EVERY new bucket: the new manifest must map all B′
+      // ids under the new hash — an unmapped id would lose its version
+      // floor (a later batch restarting it at v0 would collide with
+      // dirs retained pre-rebucket manifests still reference), and a
+      // carried old-hash entry would corrupt reads. Buckets the new
+      // hash leaves empty cost one batched template job + a file copy
+      // each (see publishSnapshotVersion), not a job each.
+      publishSnapshotVersion(spark, root, raw, idColOf(raw),
+        (0 until newBuckets).toSet,
+        Some(SnapshotManifest(cur.id, newBuckets, cur.buckets)),
+        newBuckets, keepVersions, raw.schema)
+    } finally raw.unpersist()
   }
 
   /** One-off conversion of a legacy single-dir snapshot store
@@ -828,6 +881,20 @@ object StreamingOps {
       .withColumn("__bucket", snapshotBucket(col(idCol), numBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(staging)
     val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty)
+    // the 0-row-with-schema dir for touched buckets whose rewrite
+    // emitted nothing — materialized by ONE job on first need and then
+    // FILE-COPIED per bucket, so a publish with many empty touched
+    // buckets (rebucketing to a large B′) costs one job + one copy per
+    // dir, not one Spark job per dir
+    lazy val emptySrc: org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$staging/__empty_template")
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            schema.filterNot(_.name == "__bucket")))
+        .repartition(1).write.parquet(p.toString)
+      p
+    }
     val newBuckets = touched.toSeq.sorted.map { bk =>
       val ver = prevBuckets.get(bk).map(_ + 1).getOrElse(0L)
       val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$bk")
@@ -844,16 +911,16 @@ object StreamingOps {
         require(fs.rename(src, dst), s"snapshot publish: rename $src → $dst failed")
       } else {
         // a touched bucket whose rewrite emitted zero rows (compaction
-        // dropped its every tombstone): publish an explicit EMPTY
-        // version — keeping the old version would resurrect the rows
-        // the rewrite removed. repartition(1) forces one writer task,
-        // so the dir carries a real (0-row) parquet file with the
-        // schema, which a later read can still infer.
-        spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              schema.filterNot(_.name == "__bucket")))
-          .repartition(1).write.parquet(dst.toString)
+        // dropped its every tombstone; a rebucket hash left it empty):
+        // publish an explicit EMPTY version — keeping the old version
+        // would resurrect the rows the rewrite removed, and an UNMAPPED
+        // id would lose the bucket's version floor (a later batch would
+        // restart it at v0, colliding with dirs retained manifests
+        // still reference). The dir carries a real (0-row) parquet file
+        // with the schema, so a later read can still infer it.
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, emptySrc, fs, dst,
+          false, spark.sparkContext.hadoopConfiguration),
+          s"snapshot publish: empty-version copy to $dst failed")
       }
       bk -> ver
     }.toMap

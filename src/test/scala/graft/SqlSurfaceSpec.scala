@@ -665,6 +665,17 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql(s"READ SNAPSHOT CHANGELOG '$root' FROM 90 TO 91"))
       .getMessage should include("not retained")
+    // malformed variants stay OURS: pointed errors, not the delegate's
+    // generic syntax failure; FROM > TO and overflowed literals raise
+    // as ParseException per the module contract
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"READ SNAPSHOT CHANGELOG '$root'"))
+      .getMessage should include("FROM <n>")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"READ SNAPSHOT CHANGELOG '$root' FROM 1 TO 0"))
+      .getMessage should include("newer")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"READ SNAPSHOT CHANGELOG '$root' FROM 99999999999999999999"))
     // no committed snapshot → pointed parse error
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql("READ SNAPSHOT '/tmp/graft-no-such-snapshot'"))

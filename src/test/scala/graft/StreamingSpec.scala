@@ -669,7 +669,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Long, String, String)]
     val query = StreamingOps.snapshotUpsertSink(
         input.toDF.toDF("doc_id", "seq", "op", "text"), root,
-        keepVersions = 3, numBuckets = 8)
+        keepVersions = 4, numBuckets = 8)
       .option("checkpointLocation", checkpoint()).start()
     try {
       input.addData((1L to 40L).map(i => (i, 1L, "upsert", s"doc $i")): _*)
@@ -714,6 +714,27 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalStateException] {
       StreamingOps.snapshotChangelog(spark, root, 99, Some(99))
     }
+    // DELETE + COMPACTION inside the window: the tombstone for key 2 is
+    // physically gone after compaction, but a consumer holding v0 must
+    // STILL learn the delete — the from-only row emits op=delete with a
+    // fabricated seq ≤ the true one (convergent under the horizon
+    // contract). Pre-fix the left-outer join silently dropped it and
+    // the consumer kept key 2 alive forever.
+    StreamingOps.compactSnapshot(spark, root, horizonSeq = 2L,
+      keepVersions = 4) // snapshot 3; m0 stays retained for the window
+    val chgAcrossCompact = StreamingOps.snapshotChangelog(spark, root, 0)
+    chgAcrossCompact.filter(col("doc_id") === 2L)
+      .as[(Long, Long, String, Option[String])].collect().toSeq shouldBe
+      Seq((2L, 2L, "delete", None)) // fabricated seq = from_seq 1 + 1
+    // live-state closure across the compaction: v0 + changelog == live
+    val replayed = graft.pipeline.CurationPipeline.applyChangelogVersioned(
+      StreamingOps.readSnapshot(spark, root, includeTombstones = true,
+        version = Some(0)).get, chgAcrossCompact,
+      "doc_id", "seq", "op", Seq("text"))
+    replayed.filter(!col("__deleted")).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+      StreamingOps.readSnapshot(spark, root).get
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
   }
 
   test("nextChangelogBatch: cursor-committed at-least-once pulls, bootstrap carries seq memory") {
