@@ -95,11 +95,34 @@ private[core] object GraftDdl {
   private val ChangelogSnap =
     ("(?is)^READ\\s+SNAPSHOT\\s+CHANGELOG\\s+'([^']+)'" +
       "\\s+FROM\\s+(\\d+)(?:\\s+TO\\s+(\\d+))?\\s*;?\\s*$").r
-  // a statement that unambiguously STARTS as ours but is malformed must
+  // statements that unambiguously START as ours but are malformed must
   // raise the pointed error, not fall through to the delegate's generic
-  // syntax failure
+  // syntax failure (matched AFTER their well-formed patterns)
   private val ChangelogSnapMalformed =
     "(?is)^READ\\s+SNAPSHOT\\s+CHANGELOG\\b.*$".r
+  private val ReadSnapMalformed = "(?is)^READ\\s+SNAPSHOT\\b.*$".r
+  // requires the quoted operand: `DESCRIBE snapshot` is valid DELEGATE
+  // SQL for a table named `snapshot` — only the quote makes it ours
+  // (READ is not a Spark statement, so ReadSnapMalformed cannot collide)
+  private val DescSnapMalformed = "(?is)^DESCRIBE\\s+SNAPSHOT\\s+'.*$".r
+
+  /** The statement family's uniform failure contract: rethrow
+    * ParseException untouched, let AnalysisException (planning/catalog)
+    * and IO faults (transient infra — a retryable read error is NOT a
+    * malformed statement) propagate in their own types, and surface
+    * every other NonFatal as the pointed ParseException a spark.sql
+    * caller expects for parse-time failures. */
+  private def wrapStatement[T](sql: String, label: String)(f: => T): T =
+    try f
+    catch {
+      case e: ParseException => throw e
+      case e: org.apache.spark.sql.AnalysisException => throw e
+      case e: java.io.IOException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new ParseException(Option(sql), Origin(),
+          "PARSE_SYNTAX_ERROR",
+          Map("error" -> s"'$label'", "hint" -> s": ${e.getMessage}"))
+    }
 
   /** Drop leading whitespace, `-- line` and `/* block */` comments — a
     * commented CREATE MODEL must still reach the recognizer (standard
@@ -127,22 +150,15 @@ private[core] object GraftDdl {
     case ChangelogSnap(root, from, to) =>
       // READ SNAPSHOT CHANGELOG '<root>' FROM n [TO m] — the CDC-out
       // face (StreamingOps.snapshotChangelog): the bucket-pruned diff
-      // between two retained snapshots in applyChangelog's input shape
+      // between two retained snapshots in applyChangelog's input shape.
+      // IllegalState (pruned/uncommitted), IllegalArgument (FROM > TO),
+      // NumberFormat (overflowed literal) all wrap as the contract's
+      // ParseException.
       val spark = SparkSession.active
-      try Some(graft.streaming.StreamingOps.snapshotChangelog(spark, root,
-          from.toLong, Option(to).map(_.toLong))
-        .queryExecution.logical)
-      catch {
-        case e: ParseException => throw e
-        case scala.util.control.NonFatal(e) =>
-          // IllegalState (pruned/uncommitted), IllegalArgument
-          // (FROM > TO), NumberFormat (overflowed literal) — all
-          // parse-time failures to a spark.sql caller, so all surface
-          // as the contract's ParseException
-          throw new ParseException(Option(sql), Origin(),
-            "PARSE_SYNTAX_ERROR",
-            Map("error" -> "'READ SNAPSHOT CHANGELOG'",
-                "hint" -> s": ${e.getMessage}"))
+      wrapStatement(sql, "READ SNAPSHOT CHANGELOG") {
+        Some(graft.streaming.StreamingOps.snapshotChangelog(spark, root,
+            from.toLong, Option(to).map(_.toLong))
+          .queryExecution.logical)
       }
     case ChangelogSnapMalformed() =>
       throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
@@ -157,25 +173,38 @@ private[core] object GraftDdl {
       // read plan rather than a fixed-output command; resolution is a
       // manifest-file read — metadata only, like table resolution.
       val spark = SparkSession.active
-      val df = graft.streaming.StreamingOps.readSnapshot(spark, root,
-          includeTombstones = tomb != null,
-          version = Option(ver).map(_.toLong))
-        .getOrElse(throw new ParseException(Option(sql), Origin(),
-          "PARSE_SYNTAX_ERROR",
-          Map("error" -> "'READ SNAPSHOT'",
-              "hint" -> s": no committed snapshot at $root")))
-      Some(df.queryExecution.logical)
+      wrapStatement(sql, "READ SNAPSHOT") {
+        val df = graft.streaming.StreamingOps.readSnapshot(spark, root,
+            includeTombstones = tomb != null,
+            version = Option(ver).map(_.toLong))
+          .getOrElse(throw new ParseException(Option(sql), Origin(),
+            "PARSE_SYNTAX_ERROR",
+            Map("error" -> "'READ SNAPSHOT'",
+                "hint" -> s": no committed snapshot at $root")))
+        Some(df.queryExecution.logical)
+      }
+    case ReadSnapMalformed() =>
+      throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'READ SNAPSHOT'",
+            "hint" -> (": expected READ SNAPSHOT '<root>' " +
+              "[VERSION AS OF <n>] [WITH TOMBSTONES]")))
     case DescSnap(root) =>
       // DESCRIBE SNAPSHOT '<root>' — the one-row ops summary
       // (StreamingOps.describeSnapshot): metadata-only, like the
       // vector-index DESCRIBE
       val spark = SparkSession.active
-      val df = graft.streaming.StreamingOps.describeSnapshot(spark, root)
-        .getOrElse(throw new ParseException(Option(sql), Origin(),
-          "PARSE_SYNTAX_ERROR",
-          Map("error" -> "'DESCRIBE SNAPSHOT'",
-              "hint" -> s": no committed snapshot at $root")))
-      Some(df.queryExecution.logical)
+      wrapStatement(sql, "DESCRIBE SNAPSHOT") {
+        val df = graft.streaming.StreamingOps.describeSnapshot(spark, root)
+          .getOrElse(throw new ParseException(Option(sql), Origin(),
+            "PARSE_SYNTAX_ERROR",
+            Map("error" -> "'DESCRIBE SNAPSHOT'",
+                "hint" -> s": no committed snapshot at $root")))
+        Some(df.queryExecution.logical)
+      }
+    case DescSnapMalformed() =>
+      throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'DESCRIBE SNAPSHOT'",
+            "hint" -> ": expected DESCRIBE SNAPSHOT '<root>'"))
     case CurateTbl(rawTbl, op, rest) =>
       val tbl = rawTbl.stripPrefix("`").stripSuffix("`")
       val stmt = s"CURATE TABLE $tbl USING ${op.toLowerCase}"

@@ -429,6 +429,15 @@ object CurationPipeline {
     when(op.isNull || op.isin("upsert", "delete"), op)
       .otherwise(raise_error(concat(lit(s"$who: unknown op "), op)))
 
+  /** A NULL changelog seq must fail LOUDLY: seq drives stale rejection,
+    * and a null would silently misorder the per-key window here and
+    * misclassify the row as compacted-away in snapshotChangelog —
+    * divergence with no error anywhere downstream. */
+  private def validatedSeq(seq: Column, who: String): Column =
+    when(seq.isNotNull, seq).otherwise(raise_error(
+      lit(s"$who: changelog seq must not be NULL " +
+        "(it drives per-key ordering and stale rejection)")))
+
   def applyChangelog(base: DataFrame, changelog: DataFrame,
                      idCol: String = "doc_id", seqCol: String = "seq",
                      opCol: String = "op",
@@ -436,7 +445,8 @@ object CurationPipeline {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col(seqCol).desc, col("__op").desc)
     val latest = changelog
-      .select((Seq(col(idCol), col(seqCol),
+      .select((Seq(col(idCol),
+        validatedSeq(col(seqCol), "applyChangelog").as(seqCol),
         // validate EVERY changelog row's op, before the window picks
         // winners — a malformed op must fail loudly even when a
         // higher-seq change would outrank (and silently discard) it
@@ -481,7 +491,9 @@ object CurationPipeline {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__chg_seq").desc, col("__op").desc)
     val latest = changelog
-      .select((Seq(col(idCol), col(seqCol).as("__chg_seq"),
+      .select((Seq(col(idCol),
+        validatedSeq(col(seqCol), "applyChangelogVersioned")
+          .as("__chg_seq"),
         validatedOp(col(opCol), "applyChangelogVersioned").as("__op")) ++
         payloadCols.map(c => col(c).as(s"__chg_$c"))): _*)
       .withColumn("__rn", row_number().over(w))

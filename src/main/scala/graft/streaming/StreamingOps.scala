@@ -586,8 +586,20 @@ object StreamingOps {
           // upserts for the from-only rows
           .withColumn("__to_exists", toExists)
           .withColumn("__seq", when(col("__to_exists"), col("__seq"))
-            .otherwise((col("__from_seq") + lit(1L))
-              .cast(schema("__seq").dataType)))
+            .otherwise {
+              // overflow must fail LOUDLY: a wrapped fabricated seq
+              // would be rejected by the consumer's stale check and
+              // silently keep the deleted key alive — the exact
+              // divergence this branch exists to prevent. (A from-side
+              // seq at the type's max means the seq space is exhausted
+              // — pathological, but silence is not an option.)
+              val fab = col("__from_seq").cast("long") + lit(1L)
+              val fabT = fab.cast(schema("__seq").dataType)
+              when(fabT.cast("long") === fab &&
+                  fab > col("__from_seq").cast("long"), fabT)
+                .otherwise(raise_error(lit("snapshotChangelog: " +
+                  "fabricated delete seq overflows the stored seq type")))
+            })
           .withColumn("__deleted",
             when(col("__to_exists"), coalesce(col("__deleted"), lit(false)))
               .otherwise(lit(true)))
@@ -699,24 +711,24 @@ object StreamingOps {
         "the monotone bucket-map retention invariant)")
     val paths = cur.buckets.toSeq.sortBy(_._1)
       .map { case (bk, v) => s"$root/b$bk/v$v" }
+    // NOT persisted: publish runs exactly ONE action over this frame
+    // (the staged write; schema/idColOf are metadata-only), so a cache
+    // would be a second full copy of the store for zero reuse
     val raw = spark.read.parquet(paths: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // synthetic prev: same id (so the manifest counter continues) and
-      // the old bucket map as per-bucket VERSION FLOORS (monotonicity
-      // across the boundary — grow-only means every old id < newB).
-      // touched = EVERY new bucket: the new manifest must map all B′
-      // ids under the new hash — an unmapped id would lose its version
-      // floor (a later batch restarting it at v0 would collide with
-      // dirs retained pre-rebucket manifests still reference), and a
-      // carried old-hash entry would corrupt reads. Buckets the new
-      // hash leaves empty cost one batched template job + a file copy
-      // each (see publishSnapshotVersion), not a job each.
-      publishSnapshotVersion(spark, root, raw, idColOf(raw),
-        (0 until newBuckets).toSet,
-        Some(SnapshotManifest(cur.id, newBuckets, cur.buckets)),
-        newBuckets, keepVersions, raw.schema)
-    } finally raw.unpersist()
+    // synthetic prev: same id (so the manifest counter continues) and
+    // the old bucket map as per-bucket VERSION FLOORS (monotonicity
+    // across the boundary — grow-only means every old id < newB).
+    // touched = EVERY new bucket: the new manifest must map all B′
+    // ids under the new hash — an unmapped id would lose its version
+    // floor (a later batch restarting it at v0 would collide with
+    // dirs retained pre-rebucket manifests still reference), and a
+    // carried old-hash entry would corrupt reads. Buckets the new
+    // hash leaves empty cost one batched template job + a file copy
+    // each (see publishSnapshotVersion), not a job each.
+    publishSnapshotVersion(spark, root, raw, idColOf(raw),
+      (0 until newBuckets).toSet,
+      Some(SnapshotManifest(cur.id, newBuckets, cur.buckets)),
+      newBuckets, keepVersions, raw.schema)
   }
 
   /** One-off conversion of a legacy single-dir snapshot store

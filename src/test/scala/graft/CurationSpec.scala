@@ -451,6 +451,23 @@ class CurationSpec extends SparkSpec {
         Seq((1L, 2L, "upsert", "x"), (1L, 1L, "UPSERT", "y"))
           .toDF("doc_id", "seq", "op", "text"))
         .collect()
+    // a NULL seq must raise too: seq drives the per-key window and
+    // stale rejection — a null would silently misorder winners here
+    // and misclassify the row as compacted-away in snapshotChangelog
+    an[Exception] should be thrownBy
+      CurationPipeline.applyChangelog(base,
+        Seq((1L, Option.empty[Long], "upsert", "x"))
+          .toDF("doc_id", "seq", "op", "text"))
+        .collect()
+    an[Exception] should be thrownBy
+      CurationPipeline.applyChangelogVersioned(
+        base.withColumn("__seq",
+            org.apache.spark.sql.functions.lit(1L))
+          .withColumn("__deleted",
+            org.apache.spark.sql.functions.lit(false)),
+        Seq((1L, Option.empty[Long], "upsert", "x"))
+          .toDF("doc_id", "seq", "op", "text"))
+        .collect()
     val df = CurationPipeline.applyChangelog(base,
       Seq((1L, 1L, "upsert", "x"), (2L, 1L, "upsert", "y"))
         .toDF("doc_id", "seq", "op", "text"))

@@ -683,10 +683,26 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql("DESCRIBE SNAPSHOT '/tmp/graft-no-such-snapshot'"))
       .getMessage should include("no committed snapshot")
-    // pruned/never-committed version → loud failure
-    intercept[IllegalStateException](
+    // pruned/never-committed version → loud PARSE failure (the family's
+    // uniform contract: parse-time failures surface as ParseException)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql(s"READ SNAPSHOT '$root' VERSION AS OF 99"))
       .getMessage should include("not retained")
+    // malformed statements that unambiguously start as ours raise the
+    // pointed error, not the delegate's generic one
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("READ SNAPSHOT /unquoted/path"))
+      .getMessage should include("expected READ SNAPSHOT")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"READ SNAPSHOT '$root' VERSION AS OF abc"))
+      .getMessage should include("expected READ SNAPSHOT")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"DESCRIBE SNAPSHOT '$root' EXTENDED"))
+      .getMessage should include("expected DESCRIBE SNAPSHOT")
+    // ...but a plain DESCRIBE of a TABLE named snapshot stays the
+    // delegate's: it must NOT be hijacked by the quoted-operand guard
+    spark.range(1).toDF("x").createOrReplaceTempView("snapshot")
+    spark.sql("DESCRIBE snapshot").count() should be >= 1L
   }
 
   test("model and connection registries resolve by name (M5/M6)") {
