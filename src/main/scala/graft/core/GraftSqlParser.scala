@@ -105,6 +105,14 @@ private[core] object GraftDdl {
   // SQL for a table named `snapshot` — only the quote makes it ours
   // (READ is not a Spark statement, so ReadSnapMalformed cannot collide)
   private val DescSnapMalformed = "(?is)^DESCRIBE\\s+SNAPSHOT\\s+'.*$".r
+  private val CompactSnap =
+    ("(?is)^COMPACT\\s+SNAPSHOT\\s+'([^']+)'\\s+HORIZON\\s+(-?\\d+)" +
+      "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
+  private val CompactSnapMalformed = "(?is)^COMPACT\\s+SNAPSHOT\\b.*$".r
+  private val RebucketSnap =
+    ("(?is)^REBUCKET\\s+SNAPSHOT\\s+'([^']+)'\\s+TO\\s+(\\d+)" +
+      "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
+  private val RebucketSnapMalformed = "(?is)^REBUCKET\\s+SNAPSHOT\\b.*$".r
 
   /** The statement family's uniform failure contract: rethrow
     * ParseException untouched, let AnalysisException (planning/catalog)
@@ -205,6 +213,27 @@ private[core] object GraftDdl {
       throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
         Map("error" -> "'DESCRIBE SNAPSHOT'",
             "hint" -> ": expected DESCRIBE SNAPSHOT '<root>'"))
+    case CompactSnap(root, horizon, keep) =>
+      // COMPACT SNAPSHOT '<root>' HORIZON <seq> [KEEP <k>] — the
+      // tombstone-drop maintenance pass (StreamingOps.compactSnapshot)
+      // as a proper command: the side effect runs at EXECUTION, like
+      // COMPACT VECTOR INDEX
+      Some(CompactSnapshotCommand(root, horizon.toLong,
+        Option(keep).map(_.toInt)))
+    case CompactSnapMalformed() =>
+      throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'COMPACT SNAPSHOT'",
+            "hint" -> (": expected COMPACT SNAPSHOT '<root>' " +
+              "HORIZON <seq> [KEEP <k>]")))
+    case RebucketSnap(root, b, keep) =>
+      // REBUCKET SNAPSHOT '<root>' TO <B> [KEEP <k>] — the grow-only
+      // bucket-count migration (StreamingOps.rebucketSnapshot)
+      Some(RebucketSnapshotCommand(root, b.toInt, Option(keep).map(_.toInt)))
+    case RebucketSnapMalformed() =>
+      throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'REBUCKET SNAPSHOT'",
+            "hint" -> (": expected REBUCKET SNAPSHOT '<root>' " +
+              "TO <buckets> [KEEP <k>]")))
     case CurateTbl(rawTbl, op, rest) =>
       val tbl = rawTbl.stripPrefix("`").stripSuffix("`")
       val stmt = s"CURATE TABLE $tbl USING ${op.toLowerCase}"
@@ -630,6 +659,41 @@ case class DropVectorIndexCommand(name: String) extends LeafRunnableCommand {
           "(unregister it via VectorStoreRegistry if intended)")
       case None => sys.error(
         s"DROP VECTOR INDEX $name: no such index is registered")
+    }
+    Seq.empty
+  }
+}
+
+/** `COMPACT SNAPSHOT '<root>' HORIZON <seq> [KEEP <k>]` — the CDC
+  * snapshot store's tombstone-drop maintenance pass
+  * ([[graft.streaming.StreamingOps.compactSnapshot]]) from SQL. The
+  * side effect runs at execution, mirroring COMPACT VECTOR INDEX. */
+case class CompactSnapshotCommand(root: String, horizonSeq: Long,
+                                  keepVersions: Option[Int])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    keepVersions match {
+      case Some(k) => graft.streaming.StreamingOps
+        .compactSnapshot(session, root, horizonSeq, k)
+      case None => graft.streaming.StreamingOps
+        .compactSnapshot(session, root, horizonSeq)
+    }
+    Seq.empty
+  }
+}
+
+/** `REBUCKET SNAPSHOT '<root>' TO <B> [KEEP <k>]` — the grow-only
+  * bucket-count migration
+  * ([[graft.streaming.StreamingOps.rebucketSnapshot]]) from SQL. */
+case class RebucketSnapshotCommand(root: String, newBuckets: Int,
+                                   keepVersions: Option[Int])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    keepVersions match {
+      case Some(k) => graft.streaming.StreamingOps
+        .rebucketSnapshot(session, root, newBuckets, k)
+      case None => graft.streaming.StreamingOps
+        .rebucketSnapshot(session, root, newBuckets)
     }
     Seq.empty
   }

@@ -703,6 +703,29 @@ class SqlSurfaceSpec extends SparkSpec {
     // delegate's: it must NOT be hijacked by the quoted-operand guard
     spark.range(1).toDF("x").createOrReplaceTempView("snapshot")
     spark.sql("DESCRIBE snapshot").count() should be >= 1L
+    // MAINTENANCE from SQL — the write half of the ops loop.
+    // REBUCKET: grow 4 → 8, live state unchanged, summary reflects it
+    spark.sql(s"REBUCKET SNAPSHOT '$root' TO 8 KEEP 4").collect()
+    spark.sql(s"DESCRIBE SNAPSHOT '$root'").collect()
+      .head.getAs[Int]("num_buckets") shouldBe 8
+    spark.sql(s"READ SNAPSHOT '$root'")
+      .as[(Long, String)].collect().sorted.toSeq shouldBe
+      Seq((2L, "b"), (3L, "c"))
+    // COMPACT: the key-1 tombstone (seq 2) drops at horizon 2, live
+    // rows untouched
+    spark.sql(s"COMPACT SNAPSHOT '$root' HORIZON 2 KEEP 4").collect()
+    spark.sql(s"READ SNAPSHOT '$root' WITH TOMBSTONES")
+      .filter(col("__deleted")).count() shouldBe 0L
+    spark.sql(s"READ SNAPSHOT '$root'")
+      .as[(Long, String)].collect().sorted.toSeq shouldBe
+      Seq((2L, "b"), (3L, "c"))
+    // malformed maintenance statements raise pointed
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"COMPACT SNAPSHOT '$root'"))
+      .getMessage should include("HORIZON")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"REBUCKET SNAPSHOT '$root'"))
+      .getMessage should include("TO <buckets>")
   }
 
   test("model and connection registries resolve by name (M5/M6)") {
