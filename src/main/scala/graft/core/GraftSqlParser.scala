@@ -217,9 +217,13 @@ private[core] object GraftDdl {
       // COMPACT SNAPSHOT '<root>' HORIZON <seq> [KEEP <k>] — the
       // tombstone-drop maintenance pass (StreamingOps.compactSnapshot)
       // as a proper command: the side effect runs at EXECUTION, like
-      // COMPACT VECTOR INDEX
-      Some(CompactSnapshotCommand(root, horizon.toLong,
-        Option(keep).map(_.toInt)))
+      // COMPACT VECTOR INDEX. The literal conversions run inside the
+      // wrap so an overflowed number is a ParseException, not a raw
+      // NumberFormatException.
+      wrapStatement(sql, "COMPACT SNAPSHOT") {
+        Some(CompactSnapshotCommand(root, horizon.toLong,
+          Option(keep).map(_.toInt)))
+      }
     case CompactSnapMalformed() =>
       throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
         Map("error" -> "'COMPACT SNAPSHOT'",
@@ -228,7 +232,10 @@ private[core] object GraftDdl {
     case RebucketSnap(root, b, keep) =>
       // REBUCKET SNAPSHOT '<root>' TO <B> [KEEP <k>] — the grow-only
       // bucket-count migration (StreamingOps.rebucketSnapshot)
-      Some(RebucketSnapshotCommand(root, b.toInt, Option(keep).map(_.toInt)))
+      wrapStatement(sql, "REBUCKET SNAPSHOT") {
+        Some(RebucketSnapshotCommand(root, b.toInt,
+          Option(keep).map(_.toInt)))
+      }
     case RebucketSnapMalformed() =>
       throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
         Map("error" -> "'REBUCKET SNAPSHOT'",
@@ -237,34 +244,28 @@ private[core] object GraftDdl {
     case CurateTbl(rawTbl, op, rest) =>
       val tbl = rawTbl.stripPrefix("`").stripSuffix("`")
       val stmt = s"CURATE TABLE $tbl USING ${op.toLowerCase}"
-      val opts =
-        if (rest.trim.stripSuffix(";").trim.isEmpty) Map.empty[String, String]
-        else try {
-          var r = rest.trim
-          require(r.length >= 4 && r.substring(0, 4).equalsIgnoreCase("WITH"),
-            s"$stmt: expected WITH ('key' = 'value', ...) or nothing")
-          r = r.substring(4).trim
-          require(r.startsWith("("), s"$stmt: WITH must be followed by (...)")
-          val (m, after) = parsePairs(stmt, r)
-          val tail = after.trim.stripSuffix(";").trim
-          require(tail.isEmpty,
-            s"$stmt: unexpected trailing input '${tail.take(40)}'")
-          m
-        } catch {
-          case e: ParseException => throw e
-          case scala.util.control.NonFatal(e) =>
-            throw new ParseException(Option(sql), Origin(),
-              "PARSE_SYNTAX_ERROR",
-              Map("error" -> "'CURATE TABLE'", "hint" -> s": ${e.getMessage}"))
-        }
-      try Some(curateTableDispatch(stmt, tbl, op.toLowerCase, opts))
-      catch {
-        case e: ParseException => throw e
-        case e: org.apache.spark.sql.AnalysisException => throw e // table resolution
-        case scala.util.control.NonFatal(e) =>
-          throw new ParseException(Option(sql), Origin(),
-            "PARSE_SYNTAX_ERROR",
-            Map("error" -> "'CURATE TABLE'", "hint" -> s": ${e.getMessage}"))
+      // one failure contract for the whole statement family — option
+      // scan and dispatch both wrap via wrapStatement (AnalysisException
+      // propagates for table resolution, IO faults keep their type)
+      wrapStatement(sql, "CURATE TABLE") {
+        val opts =
+          if (rest.trim.stripSuffix(";").trim.isEmpty)
+            Map.empty[String, String]
+          else {
+            var r = rest.trim
+            require(r.length >= 4 &&
+              r.substring(0, 4).equalsIgnoreCase("WITH"),
+              s"$stmt: expected WITH ('key' = 'value', ...) or nothing")
+            r = r.substring(4).trim
+            require(r.startsWith("("),
+              s"$stmt: WITH must be followed by (...)")
+            val (m, after) = parsePairs(stmt, r)
+            val tail = after.trim.stripSuffix(";").trim
+            require(tail.isEmpty,
+              s"$stmt: unexpected trailing input '${tail.take(40)}'")
+            m
+          }
+        Some(curateTableDispatch(stmt, tbl, op.toLowerCase, opts))
       }
     case Maint(verb, rawName) =>
       val name = rawName.stripPrefix("`").stripSuffix("`")
@@ -279,15 +280,7 @@ private[core] object GraftDdl {
       val stmt = s"CREATE $kind $name"
       // recognized-as-ours but malformed → ParseException, not the
       // scanner's bare IllegalArgumentException/RuntimeException
-      def guarded[T](f: => T): T =
-        try f
-        catch {
-          case e: ParseException => throw e
-          case scala.util.control.NonFatal(e) =>
-            throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
-              Map("error" -> s"'$kind'",
-                  "hint" -> s": ${e.getMessage}"))
-        }
+      def guarded[T](f: => T): T = wrapStatement(sql, kind)(f)
       if (kind == "VECTOR INDEX") Some(guarded {
         // CREATE VECTOR INDEX idx ON table (vector_col) WITH (...)
         rest.trim match {

@@ -430,6 +430,9 @@ object StreamingOps {
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
                       root: String, horizonSeq: Long,
                       keepVersions: Int = 3): Unit = {
+    // same guard as the sink: keepVersions=0 would make the retention
+    // sweep prune the JUST-COMMITTED manifest and brick the store
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val fs = snapshotFs(spark, root)
     val cur = currentSnapshotManifest(fs, root).getOrElse(
       throw new IllegalStateException(
@@ -701,6 +704,7 @@ object StreamingOps {
   def rebucketSnapshot(spark: org.apache.spark.sql.SparkSession,
                        root: String, newBuckets: Int,
                        keepVersions: Int = 3): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val fs = snapshotFs(spark, root)
     val cur = currentSnapshotManifest(fs, root).getOrElse(
       throw new IllegalStateException(
@@ -885,6 +889,10 @@ object StreamingOps {
       root: String, merged: DataFrame, idCol: String, touched: Set[Int],
       prev: Option[SnapshotManifest], numBuckets: Int, keepVersions: Int,
       schema: org.apache.spark.sql.types.StructType): Unit = {
+    // every caller validates, but the invariant is load-bearing enough
+    // (keepVersions=0 prunes the manifest this very publish commits) to
+    // re-assert at the one place retention actually runs
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val fs = snapshotFs(spark, root)
     val next = prev.map(_.id + 1).getOrElse(0L)
     val staging = s"$root/_staging"

@@ -726,6 +726,16 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException](
       spark.sql(s"REBUCKET SNAPSHOT '$root'"))
       .getMessage should include("TO <buckets>")
+    // KEEP 0 must refuse LOUDLY at execution — keepVersions=0 would
+    // prune the just-committed manifest and brick the store
+    intercept[IllegalArgumentException](
+      spark.sql(s"COMPACT SNAPSHOT '$root' HORIZON 2 KEEP 0").collect())
+      .getMessage should include("keepVersions")
+    // overflowed literals are parse-time failures in the family's type
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"COMPACT SNAPSHOT '$root' HORIZON 99999999999999999999"))
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql(s"REBUCKET SNAPSHOT '$root' TO 3000000000"))
   }
 
   test("model and connection registries resolve by name (M5/M6)") {
