@@ -24,15 +24,32 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Same fan-out semantics as SSE — per-client bounded queues, slow
   * clients lose their own events, the broadcaster's eviction pill
   * CLOSES the socket (code 1001 "going away") so the client observes
-  * the disconnect and re-subscribes instead of pinging forever. */
+  * the disconnect and re-subscribes instead of pinging forever.
+  *
+  * A client that stops READING is the other stall mode: its TCP
+  * buffers fill and the server's next frame write blocks forever —
+  * the eviction pill is then queued but never polled, so without a
+  * bound the connection wedges its writer thread, reader thread, and
+  * socket until stop(). Blocking `Socket` writes have no native
+  * deadline (SO_TIMEOUT covers reads only), so every frame write
+  * registers a deadline and a reaper thread closes any socket whose
+  * write is still in flight past `writeTimeoutMs` — the blocked write
+  * throws, the connection unwinds through its normal teardown, and
+  * the stalled client is torn down instead of leaking resources. */
 final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
                                     port: Int = 0,
-                                    bindAddress: String = "127.0.0.1") {
+                                    bindAddress: String = "127.0.0.1",
+                                    writeTimeoutMs: Long = 10000L) {
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
   private val clients =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
   private var pool: java.util.concurrent.ExecutorService = _
+  /** socket → nanoTime deadline of its in-flight frame write; absent =
+    * no write in flight. The reaper scans this, never `clients`. */
+  private val writeDeadlines =
+    new java.util.concurrent.ConcurrentHashMap[Socket, java.lang.Long]()
+  private var reaper: java.util.concurrent.ScheduledExecutorService = _
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(): Int = {
@@ -41,6 +58,17 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
       port))
     running = true
     pool = java.util.concurrent.Executors.newCachedThreadPool()
+    reaper = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "ws-write-reaper")
+        t.setDaemon(true); t })
+    // closing the socket from here makes the wedged write throw and the
+    // connection unwind — the only way to bound a blocking Socket write
+    reaper.scheduleAtFixedRate(() => {
+      val now = System.nanoTime()
+      writeDeadlines.forEach { (s, dl) =>
+        if (now - dl > 0) closeQuietly(s)
+      }
+    }, 50, 50, java.util.concurrent.TimeUnit.MILLISECONDS)
     pool.submit(new Runnable {
       override def run(): Unit = {
         while (running) {
@@ -65,6 +93,7 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
 
   def stop(): Unit = {
     running = false
+    if (reaper != null) reaper.shutdownNow()
     if (server != null) closeQuietly(server)
     clients.forEach(s => closeQuietly(s))
     clients.clear()
@@ -115,8 +144,18 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
     // race). Never the server instance: a stalled client's blocked TCP
     // write would then hold a server-wide monitor and freeze every
     // other client's pushes and keepalives — one slow client must only
-    // ever block itself (the broadcaster eviction owns that case).
+    // ever block itself, bounded by the write deadline below.
     val wlock = new Object
+    // every frame write runs under a registered deadline: a client that
+    // stopped reading blocks the write in a full TCP buffer, and the
+    // reaper then closes the socket so this write throws instead of
+    // wedging the thread forever (class doc)
+    def deadlineWrite(opcode: Int, payload: Array[Byte]): Unit =
+      wlock.synchronized {
+        writeDeadlines.put(s, System.nanoTime() + writeTimeoutMs * 1000000L)
+        try writeFrame(out, opcode, payload)
+        finally writeDeadlines.remove(s)
+      }
     // reader thread: the push loop parks on the queue, so a dedicated
     // reader services the frames the CLIENT may send — CLOSE must be
     // echoed and the connection torn down, PING answered with PONG
@@ -129,10 +168,10 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
           readFrame(in) match {
             case None => live = false // EOF
             case Some((0x8, payload)) => // CLOSE: echo, then tear down
-              wlock.synchronized { writeFrame(out, 0x8, payload) }
+              deadlineWrite(0x8, payload)
               live = false
             case Some((0x9, payload)) => // PING → PONG, same payload
-              wlock.synchronized { writeFrame(out, 0xA, payload) }
+              deadlineWrite(0xA, payload)
             case Some(_) => () // pong/text/binary/continuation: discard
           }
         }
@@ -142,10 +181,10 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
           // protocol violation (unmasked frame, oversized length):
           // RFC 6455 close 1002, best-effort — never an uncaught-
           // exception stack trace per hostile client
-          try wlock.synchronized {
-            writeFrame(out, 0x8, Array[Byte](0x03, (0xEA & 0xFF).toByte) ++
+          try deadlineWrite(0x8,
+            Array[Byte](0x03, (0xEA & 0xFF).toByte) ++
               "protocol error".getBytes(UTF_8))
-          } catch { case _: Exception => () }
+          catch { case _: Exception => () }
       }
       finally { peerClosed = true; closeQuietly(s) }
     })
@@ -158,19 +197,17 @@ final class CoachingWebSocketServer(broadcaster: CoachingBroadcaster,
         val msg = q.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (msg.asInstanceOf[AnyRef] eq CoachingBroadcaster.PoisonPill) {
           // evicted: CLOSE 1001 (going away) so the client re-subscribes
-          wlock.synchronized {
-            writeFrame(out, 0x8,
-              Array[Byte](0x03, (0xE9 & 0xFF).toByte) ++
-                "going away".getBytes(UTF_8))
-          }
+          deadlineWrite(0x8,
+            Array[Byte](0x03, (0xE9 & 0xFF).toByte) ++
+              "going away".getBytes(UTF_8))
           live = false
         } else if (msg != null) {
-          wlock.synchronized { writeFrame(out, 0x1, msg.getBytes(UTF_8)) }
+          deadlineWrite(0x1, msg.getBytes(UTF_8))
           idlePolls = 0
         } else {
           idlePolls += 1
           if (idlePolls >= 60) { // protocol-level keepalive every ~15 s
-            wlock.synchronized { writeFrame(out, 0x9, Array.emptyByteArray) }
+            deadlineWrite(0x9, Array.emptyByteArray)
             idlePolls = 0
           }
         }

@@ -371,15 +371,19 @@ object StreamingOps {
     changeStream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch0: DataFrame, _: Long) =>
-        if (!batch0.isEmpty) {
-          val spark = batch0.sparkSession
-          val fs = snapshotFs(spark, root)
-          val cur = currentSnapshotManifest(fs, root)
-          val b = cur.map(_.numBuckets).getOrElse(numBuckets)
-          // the batch feeds two jobs (touched-bucket probe + merge):
-          // persist so a non-replayable source is read once
-          val batch = batch0.persist()
-          try {
+        // persist FIRST, then test emptiness against the persisted
+        // blocks — an isEmpty probe before the persist is itself a scan,
+        // so a non-replayable source would be read twice (empty-test +
+        // merge), defeating the comment below
+        val batch = batch0.persist()
+        try {
+          if (batch.limit(1).count() > 0) {
+            val spark = batch0.sparkSession
+            val fs = snapshotFs(spark, root)
+            val cur = currentSnapshotManifest(fs, root)
+            val b = cur.map(_.numBuckets).getOrElse(numBuckets)
+            // the batch feeds three jobs (empty probe above +
+            // touched-bucket probe + merge), all off the persisted blocks
             val touched = batch
               .select(snapshotBucket(col(idCol), b).as("__bucket"))
               .distinct().collect().map(_.getInt(0)).toSet // bounded by B
@@ -403,8 +407,8 @@ object StreamingOps {
                 payloadCols)
             publishSnapshotVersion(spark, root, merged, idCol, touched,
               cur, b, keepVersions, baseSchema)
-          } finally batch.unpersist()
-        }
+          }
+        } finally batch.unpersist()
       }
   }
 
@@ -664,6 +668,18 @@ object StreamingOps {
         Some(s.toLong)
       }
     if (cursor.contains(live)) return None
+    // a cursor NEWER than live means the store was rebuilt under the
+    // consumer (migrateSnapshotLayout resets snapshot ids to 0; a
+    // deleted/recreated root starts over) — without this check every
+    // pull crashes deep in snapshotChangelog's fromVersion <= toId
+    // require with no hint that the CURSOR is the problem
+    cursor.filter(_ > live).foreach { c =>
+      throw new IllegalStateException(
+        s"nextChangelogBatch: cursor $cursorPath holds snapshot $c but " +
+          s"the store at $root is only at $live — the store was rebuilt " +
+          "or replaced under this consumer. Re-bootstrap by deleting the " +
+          "cursor file (the next pull then replays the full live state).")
+    }
     val frame = cursor match {
       case Some(c) => snapshotChangelog(spark, root, c, Some(live))
       case None =>
@@ -754,9 +770,17 @@ object StreamingOps {
     val cur = currentSnapshotId(fs, root).getOrElse(
       throw new IllegalStateException(
         s"migrateSnapshotLayout: no committed snapshot at $root"))
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifests/m$cur")))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifests/m$cur"))) {
+      // already bucketed — but a PREVIOUS migration that crashed after
+      // its pointer swap and before its legacy sweep leaves v<N> dirs
+      // stranded forever (the re-run lands here and nothing else ever
+      // deletes them). Idempotent cleanup: the bucketed pointer is
+      // committed, so every root/v<digits> dir is dead legacy — sweep
+      // them before raising, making "nothing legacy left" true.
+      sweepLegacyDirs(fs, root)
       throw new IllegalStateException(
         s"migrateSnapshotLayout: $root is already on the bucketed layout")
+    }
     val legacy = new org.apache.hadoop.fs.Path(s"$root/v$cur")
     require(fs.exists(legacy),
       s"migrateSnapshotLayout: live legacy dir v$cur missing at $root")
@@ -769,13 +793,20 @@ object StreamingOps {
       numBuckets, keepVersions = 1, raw.schema)
     // the bucketed copy is committed (pointer swapped): drop the legacy
     // whole-snapshot dirs
+    sweepLegacyDirs(fs, root)
+  }
+
+  /** Delete every legacy whole-snapshot dir (`root/v<digits>`) — only
+    * ever called once the bucketed layout's pointer is committed, so
+    * the dirs are dead by construction. Idempotent. */
+  private def sweepLegacyDirs(fs: org.apache.hadoop.fs.FileSystem,
+                              root: String): Unit =
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
       val nm = st.getPath.getName
       if (st.isDirectory && nm.startsWith("v") &&
           nm.drop(1).nonEmpty && nm.drop(1).forall(_.isDigit))
         fs.delete(st.getPath, true)
     }
-  }
 
   /** Point lookup against a CDC snapshot: the serving read the bucketed
     * layout exists for — resolve the manifest, hash the requested keys

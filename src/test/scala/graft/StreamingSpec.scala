@@ -775,6 +775,21 @@ class StreamingSpec extends SparkSpec {
         Seq((3L, 3L, "upsert", Some("c")))
       commit2()
       pull() shouldBe None
+      // a cursor NEWER than live (store rebuilt/replaced under the
+      // consumer) must raise a POINTED error naming the cursor, not
+      // crash deep in snapshotChangelog's version require
+      val cfs = new org.apache.hadoop.fs.Path(cursor).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val cOut = cfs.create(new org.apache.hadoop.fs.Path(cursor), true)
+      try cOut.write("99".getBytes("UTF-8")) finally cOut.close()
+      val err = intercept[IllegalStateException] { pull() }
+      err.getMessage should include("cursor")
+      err.getMessage should include("Re-bootstrap")
+      // the prescribed recovery works: delete the cursor → full bootstrap
+      cfs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+      val (vb, reboot, _) = pull().get
+      vb shouldBe 2L
+      reboot.count() shouldBe 3L // 1 upsert, 2 tombstone-delete, 3 upsert
     } finally query.stop()
   }
 
@@ -940,9 +955,16 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Option[String])].collect().sortBy(_._1).toSeq shouldBe
         Seq((1L, Some("a")), (3L, Some("c")), (4L, Some("d")))
     } finally query.stop()
-    // a second migration attempt refuses: already bucketed
+    // a second migration attempt refuses: already bucketed — and it
+    // SWEEPS any legacy dir a prior migration stranded by crashing
+    // after its pointer swap but before its cleanup (nothing else ever
+    // deletes those)
+    Seq((9L, Some("stranded"), 1L, false))
+      .toDF("doc_id", "text", "__seq", "__deleted")
+      .write.parquet(s"$root/v6")
     intercept[IllegalStateException] {
       StreamingOps.migrateSnapshotLayout(spark, root)
     }.getMessage should include("already")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/v6")) shouldBe false
   }
 }

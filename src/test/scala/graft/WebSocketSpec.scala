@@ -183,4 +183,44 @@ class WebSocketSpec extends AnyFunSuite with Matchers {
       } finally s.close()
     } finally ws.stop()
   }
+
+  test("a client that STOPS READING is torn down by the write deadline — no wedged writer thread") {
+    // large queue so the broadcaster never evicts (no pill): the only
+    // way this connection dies is the write-deadline reaper closing the
+    // socket out from under the blocked frame write. Before the fix the
+    // push loop wedged forever in the TCP write and clientCount stayed 1.
+    val b = new CoachingBroadcaster()
+    val ws = new CoachingWebSocketServer(b, writeTimeoutMs = 300L)
+    val port = ws.start()
+    try {
+      val (s, in, _, head) = handshake(port)
+      try {
+        head should include("101 Switching Protocols")
+        val deadline = System.nanoTime() + 20e9.toLong
+        while (b.clientCount == 0 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        b.clientCount shouldBe 1
+        // fill the client's TCP buffers with frames it never reads: the
+        // push loop blocks mid-write with a registered deadline
+        val big = "x" * (256 * 1024)
+        (1 to 100).foreach(_ => b.publish(big))
+        // the reaper must close the socket, unwinding the writer thread
+        // through its normal teardown (unsubscribe → clientCount 0)
+        while (b.clientCount > 0 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        b.clientCount shouldBe 0
+        // and the client observes the dead socket: draining ends in a
+        // CLOSE frame, EOF, or a reset — never an open push socket
+        var dead = false
+        while (!dead && System.nanoTime() < deadline) {
+          try readFrame(in) match {
+            case None => dead = true
+            case Some((0x8, _)) => dead = true
+            case Some(_) => () // buffered text frames
+          } catch { case _: java.io.IOException => dead = true }
+        }
+        dead shouldBe true
+      } finally s.close()
+    } finally ws.stop()
+  }
 }
