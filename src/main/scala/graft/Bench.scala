@@ -215,7 +215,8 @@ object Bench {
     * changelog, not base; the pre-bucketing whole-snapshot rewrite
     * scaled the ratio with the base instead. Invoked alone via
     * SPARK_GRAFT_BENCH_SNAPSHOT=1. */
-  def snapshotProbe(spark: SparkSession, base: Long, reps: Int = 8): String = {
+  def snapshotProbe(spark: SparkSession, base: Long, reps: Int = 8,
+                    numBuckets: Int = 64): String = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -225,7 +226,7 @@ object Bench {
       val input = MemoryStream[(Long, Long, String, String)]
       val q = graft.streaming.StreamingOps.snapshotUpsertSink(
           input.toDF.toDF("doc_id", "seq", "op", "text"), root,
-          keepVersions = 2, numBuckets = 64)
+          keepVersions = 2, numBuckets = numBuckets)
         .option("checkpointLocation", s"$dir/ckpt").start()
       try {
         input.addData((0L until n).map(i =>
@@ -266,11 +267,12 @@ object Bench {
     * one family's decade can be re-measured without paying the rest. */
   def scaleProbe(spark: SparkSession, base: Long,
                  families: Set[String] = Set("altstar", "contamination",
-                   "span", "fuzzy")): String = {
+                   "span", "fuzzy", "lsh")): String = {
     import graft.operators.Dedup
     // a typo'd family name must fail loudly, not silently run nothing
     // and emit a malformed (trailing-comma) JSON line
-    val known = Set("altstar", "contamination", "span", "fuzzy")
+    val known = Set("altstar", "contamination", "span", "fuzzy", "lsh",
+      "lshuncapped")
     require(families.nonEmpty && families.subsetOf(known),
       s"scaleProbe: unknown families ${(families -- known).mkString(", ")} " +
         s"(known: ${known.toSeq.sorted.mkString(", ")})")
@@ -340,6 +342,33 @@ object Bench {
             threshold = 0.5, maxBucketSize = 64).count()
         }
       }
+      // WITHIN-frame composed LSH (minhashLshVerified), CAPPED — the
+      // r14 threading of the hot-bucket guard through the verified
+      // composition. The probe corpus plants a WHOLE-TEXT boilerplate
+      // family over ~1/35 of the rows (ids % 50 == 0 plus their exact
+      // variants — the r13 cross-frame recipe): every band bucket of
+      // that text holds the full family, so the uncapped in-bucket
+      // expansion is C(n/35, 2)-quadratic and the verify stage inherits
+      // every pair; capped, those buckets drop before expansion and
+      // total work must stay ≈ linear (exponent ≤ ~1.1).
+      if (families("lsh") || families("lshuncapped")) {
+        val lshDocs = docs.select(col("doc_id"),
+          when(col("doc_id") % 50 === 0,
+            lit("standard legal boilerplate notice appended to every " +
+              "page of this corpus for scale probing purposes"))
+            .otherwise(col("text")).as("text"))
+        if (families("lsh")) measured("lsh_verified_capped") = timed {
+          Dedup.minhashLshVerified(lshDocs, "text", "doc_id",
+            shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5,
+            maxBucketSize = 64).count()
+        }
+        // uncapped CONTROL for the same composition — run it on the
+        // small decade only (its big-decade cost is the hazard guarded)
+        if (families("lshuncapped")) measured("lsh_verified_uncapped") = timed {
+          Dedup.minhashLshVerified(lshDocs, "text", "doc_id",
+            shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5).count()
+        }
+      }
       docs.unpersist()
       (inRows, measured.toSeq)
     }
@@ -362,9 +391,12 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_SNAPSHOT").contains("1")) {
       // one-off snapshot-sink base-size A/B: warm the plan shapes small,
       // then the timed 1× / 10× pair
-      snapshotProbe(spark, 1000, reps = 2)
+      val snapB = sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BUCKETS",
+        "64").toInt
+      snapshotProbe(spark, 1000, reps = 2, numBuckets = snapB)
       println(snapshotProbe(spark,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BASE", "20000").toLong))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BASE", "20000").toLong,
+        numBuckets = snapB))
       spark.stop()
       return
     }
@@ -373,7 +405,7 @@ object Bench {
       // size first (codegen/JIT), then the timed 1× / 10× pair
       val fams = sys.env.get("SPARK_GRAFT_BENCH_SCALE_FAMILIES")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-        .getOrElse(Set("altstar", "contamination", "span", "fuzzy"))
+        .getOrElse(Set("altstar", "contamination", "span", "fuzzy", "lsh"))
       scaleProbe(spark, 500, fams)
       println(scaleProbe(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BASE", "5000").toLong,

@@ -178,6 +178,22 @@ object QueriesDataOps {
                FROM bands a JOIN bands b
                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
 
+  /** [[minhashCandSql]] with the HOT-BUCKET CAP replayed (the
+    * within-frame mirror of the dedup_incremental_fuzzy_capped
+    * convention): band keys held by more than `cap` documents are
+    * dropped BEFORE pair expansion — exactly
+    * Dedup.minhashLshPairs(maxBucketSize = cap) — so the capped recall
+    * tradeoff of every composed entry point (verified dedup,
+    * cluster-best, leakage-safe split) is hash-checked, never
+    * hand-waved. */
+  private def minhashCandCappedSql(cap: Int): String = s"""$minhashBandsSql,
+      hot AS (SELECT band_key FROM bands GROUP BY band_key
+              HAVING count(*) > $cap),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+               WHERE a.band_key NOT IN (SELECT band_key FROM hot))"""
+
   /** Exact-Jaccard verification over `cand` (id_a, id_b) and the `sh`
     * shingle relation, ending in `jac` (id_a, id_b, jaccard UNROUNDED) —
     * the oracle mirror of Dedup.verifyJaccard, spliced by BOTH
@@ -253,6 +269,37 @@ object QueriesDataOps {
       FROM ranked WHERE rn = 1 ORDER BY comp"""
     }),
 
+    ("dedup_cluster_best_capped", (s, dir) => {
+      // the cluster-best KEEP decision over CAPPED pairs — the pair
+      // stage runs with the hot-bucket guard (buckets > 3 docs drop
+      // before expansion), so the 100 TB entry point composes the same
+      // way the capped verified dedup does; members of a dropped
+      // boilerplate family become their own singleton clusters (the
+      // documented recall tradeoff), and the oracle replays the cap
+      // rule through the same recursive-components labeling.
+      val docs = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleN = 3, bands = 4, rowsPerBand = 3, maxBucketSize = 3)
+      Dedup.bestPerCluster(docs, "text", "doc_id", pairs)
+        .orderBy(col("comp"))
+    }, Some {
+      s"""
+      WITH RECURSIVE ${minhashCandCappedSql(3)},
+      $compChainSql,
+      ${qualityFSql("dwd")},
+      sc AS (SELECT doc_id, $qualityQSql AS q FROM f),
+      lab AS (SELECT sc.doc_id AS id, coalesce(comp.comp, sc.doc_id) AS comp, q
+              FROM sc LEFT JOIN comp ON comp.id = sc.doc_id),
+      ranked AS (SELECT comp, id, q,
+                   row_number() OVER (PARTITION BY comp
+                     ORDER BY q DESC, id ASC) AS rn,
+                   count(*) OVER (PARTITION BY comp) AS n_members
+                 FROM lab)
+      SELECT comp, id AS keep_id, n_members, q AS quality
+      FROM ranked WHERE rn = 1 ORDER BY comp"""
+    }),
+
     ("dedup_exact", (s, dir) => {
       // hash-groupBy exact dedup: one shuffle on md5 (unskewed by
       // construction), map-side combinable.
@@ -296,6 +343,24 @@ object QueriesDataOps {
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
       WITH $minhashCandSql,
+      $jaccardVerifySql
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM jac WHERE jaccard >= 0.6
+      ORDER BY id_a, id_b""")),
+
+    ("dedup_lsh_verified_capped", (s, dir) => {
+      // the CAPPED production shape of the within-frame composed plan:
+      // band buckets hotter than 3 docs drop before pair expansion
+      // (the r13 cross-frame probe measured exponent 1.38 uncapped on
+      // boilerplate families; within-frame buckets expand C(n,2) each)
+      // — maxBucketSize threaded through minhashLshVerified, and the
+      // recall tradeoff oracle-replayed via the capped cand relation.
+      Dedup.minhashLshVerified(docsWithDups(s, dir), "text", "doc_id",
+          shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.6,
+          maxBucketSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH ${minhashCandCappedSql(3)},
       $jaccardVerifySql
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard
       FROM jac WHERE jaccard >= 0.6
@@ -1356,20 +1421,41 @@ object QueriesDataOps {
       // curate_split ('v1:' seed, 0.8/0.1/0.1).
       val docs = docsWithDups(s, dir).select(col("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val comp = Dedup.connectedComponents(
-        Dedup.minhashLshPairs(docs, "text", "doc_id",
-          shingleN = 3, bands = 4, rowsPerBand = 3))
-      val labeled = docs.join(comp.withColumnRenamed("id", "doc_id"),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("split_key"))
-      graft.pipeline.CurationPipeline.hashSplit(labeled,
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          idCol = "split_key", seed = "v1")
+      graft.pipeline.CurationPipeline.leakageSafeSplit(docs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "v1")
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy(col("doc_id"))
     }, Some(s"""
       WITH RECURSIVE $minhashCandSql,
+      $compChainSql,
+      lab AS (SELECT d.doc_id,
+                     coalesce(c.comp, d.doc_id) AS split_key
+              FROM dwd d LEFT JOIN comp c ON c.id = d.doc_id)
+      SELECT doc_id, split_key,
+             CASE WHEN md5('v1:' || CAST(split_key AS VARCHAR)) <
+                       'cccccccc000000000000000000000000' THEN 'train'
+                  WHEN md5('v1:' || CAST(split_key AS VARCHAR)) <
+                       'e6666666000000000000000000000000' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lab ORDER BY doc_id""")),
+
+    ("curate_split_leakage_safe_capped", (s, dir) => {
+      // the CAPPED leakage-safe split — the 100 TB-facing entry point
+      // runs with the hot-bucket guard threaded all the way through
+      // (CurationPipeline.leakageSafeSplit → minhashLshPairs
+      // maxBucketSize): band buckets > 3 docs drop before pair
+      // expansion, members of a dropped boilerplate family split
+      // independently (the documented recall tradeoff, replayed by the
+      // oracle's capped cand relation).
+      val docs = docsWithDups(s, dir).select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.CurationPipeline.leakageSafeSplit(docs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "v1",
+          maxBucketSize = 3)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE ${minhashCandCappedSql(3)},
       $compChainSql,
       lab AS (SELECT d.doc_id,
                      coalesce(c.comp, d.doc_id) AS split_key

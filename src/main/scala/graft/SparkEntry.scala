@@ -49,7 +49,8 @@ object SparkEntry {
     "avro_ocf_roundtrip",
     "rag_vector_topk", "rag_vector_topk_indexed", "rag_grounding_score",
     "dedup_exact", "dedup_fingerprint",
-    "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_lsh_verified", "dedup_lsh_verified_capped",
+    "dedup_clusters",
     "dedup_incremental", "dedup_incremental_bloom", "dedup_incremental_fuzzy",
     "dedup_incremental_fuzzy_capped",
     "dedup_simhash",
@@ -57,6 +58,7 @@ object SparkEntry {
     "dedup_segments",
     "dedup_span_detect", "dedup_span_removal",
     "dedup_embedding_lsh", "dedup_semantic", "dedup_cluster_best",
+    "dedup_cluster_best_capped",
     "curate_corpus",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_topk", "ann_ivf_train", "ann_ivf_sampled", "ann_ivf_imbalance",
@@ -84,7 +86,8 @@ object SparkEntry {
     "curate_split", "curate_shuffle_shard", "curate_shard_manifest", "curate_profile", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental", "curate_prep_e2e",
-    "curate_split_leakage_safe", "curate_quality_deciles",
+    "curate_split_leakage_safe", "curate_split_leakage_safe_capped",
+    "curate_quality_deciles",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
     "mm_arrow_roundtrip",
     "mm_frame_sample", "mm_frame_decode", "mm_avi_frame_decode",

@@ -194,11 +194,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** `maxBucketSize` is [[minhashLshPairs]]'s hot-bucket skew guard,
+    * threaded through the composition (r13's scale probe measured what
+    * an uncapped band join does against boilerplate families —
+    * exponent 1.38 over 10⁵→10⁶ rows; the within-frame form has the
+    * same C(n,2)-per-hot-bucket expansion hazard): 0 (default) = the
+    * uncapped oracle-exact form; > 0 = buckets hotter than the cap are
+    * dropped BEFORE pair expansion, so the verify stage's candidate
+    * set stays bounded. The dropped pairs are boilerplate the exact /
+    * fingerprint gates own — the capped recall tradeoff is itself
+    * oracle-checked (dedup_lsh_verified_capped replays the cap rule). */
   def minhashLshVerified(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, bands: Int = 4,
                          rowsPerBand: Int = 3,
-                         threshold: Double = 0.6): DataFrame = {
-    val cand = minhashLshPairs(df, textCol, idCol, shingleN, bands, rowsPerBand)
+                         threshold: Double = 0.6,
+                         maxBucketSize: Int = 0): DataFrame = {
+    val cand = minhashLshPairs(df, textCol, idCol, shingleN, bands,
+      rowsPerBand, maxBucketSize)
     val sh = df.select(col(idCol).as("id"),
       explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
     verifyJaccard(cand,
@@ -737,20 +749,36 @@ object Dedup {
     val (bKeys, iKeys) =
       if (maxBucketSize <= 0) (bKeys0, iKeys0)
       else {
+        // the exploded key frames feed TWO consumers each (the hot-key
+        // count aggregate AND the anti-join + band join below): persist
+        // them so the tokenize→shingle→minhash pipeline runs ONCE per
+        // side — unpersisted, the cap would cost a second full corpus
+        // scan + hashing pass per side, at 100 TB the dominant term
+        // (the dedup_cluster_best persist convention; ContextCleaner
+        // reclaims the blocks when the frame is collected)
+        val bK = bKeys0.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
+        val iK = iKeys0.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
         // one aggregate per side (map-combinable counts), then drop hot
         // keys from BOTH sides — the per-key expansion is the PRODUCT
-        // of the two memberships, so either side alone can blow it up
-        val hot = bKeys0.groupBy(col("band_key"))
+        // of the two memberships, so either side alone can blow it up.
+        // `hot` feeds BOTH anti-joins: persisted too, or the corpus-
+        // sized count aggregates would run once per consumer (the hot
+        // SET itself is tiny — keys above the cap — so this cache is
+        // bytes, and AQE broadcasts the anti-joins off it)
+        val hot = bK.groupBy(col("band_key"))
           .agg(count(lit(1)).as("__nb"))
-          .join(iKeys0.groupBy(col("band_key"))
+          .join(iK.groupBy(col("band_key"))
             .agg(count(lit(1)).as("__ni")), Seq("band_key"), "full_outer")
           .filter(coalesce(col("__nb"), lit(0L)) > maxBucketSize ||
             coalesce(col("__ni"), lit(0L)) > maxBucketSize)
           .observe("incremental_fuzzy_skew",
             count(lit(1)).as("dropped_hot_band_keys"))
           .select(col("band_key"))
-        (bKeys0.join(hot, Seq("band_key"), "left_anti"),
-          iKeys0.join(hot, Seq("band_key"), "left_anti"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (bK.join(hot, Seq("band_key"), "left_anti"),
+          iK.join(hot, Seq("band_key"), "left_anti"))
       }
     val cand = bKeys.join(iKeys, "band_key")
       .select(col("id_a"), col("id_b")).distinct()

@@ -656,6 +656,44 @@ object CurationPipeline {
     docs.withColumn("split", label)
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the production composition of
+    * [[hashSplit]] with near-dup clustering: the well-known eval hazard
+    * is a near-duplicate pair straddling train and test (Lee et al.
+    * 2022 §6 measure it inflating benchmark scores), which a per-doc
+    * hash split cannot prevent. The split KEY is therefore the near-dup
+    * CLUSTER label ([[graft.operators.Dedup.minhashLshPairs]] →
+    * [[graft.operators.Dedup.connectedComponents]]; label = min member
+    * id), so every member of a cluster lands in the same band by
+    * construction; singletons key on themselves, preserving the plain
+    * hashSplit distribution. Returns `docs` + (split_key, split).
+    *
+    * `maxBucketSize` is the LSH hot-bucket skew guard threaded through
+    * this 100 TB-facing entry point (r13's scale probe measured the
+    * uncapped band join at exponent 1.38 against boilerplate families;
+    * within-frame buckets expand C(n,2) per hot bucket): 0 = uncapped
+    * (oracle-exact recall), > 0 = drop hotter buckets before pair
+    * expansion. Pairs the cap suppresses are boilerplate families —
+    * their members then split independently, which is the documented
+    * recall tradeoff (and is itself oracle-replayed by
+    * curate_split_leakage_safe_capped). Callers with an expensive
+    * `docs` lineage should persist it first: it feeds both the pair
+    * pipeline and the label join. */
+  def leakageSafeSplit(docs: DataFrame, splits: Seq[(String, Double)],
+                       textCol: String = "text", idCol: String = "doc_id",
+                       seed: String = "0", shingleN: Int = 3,
+                       bands: Int = 4, rowsPerBand: Int = 3,
+                       maxBucketSize: Int = 0): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, textCol, idCol, shingleN, bands,
+        rowsPerBand, maxBucketSize))
+    val keyed = docs
+      .join(comp.withColumnRenamed("id", idCol).withColumnRenamed(
+        "comp", "__comp"), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("__comp"), col(idCol)))
+      .drop("__comp")
+    hashSplit(keyed, splits, idCol = "split_key", seed = seed)
+  }
+
   /** Seeded global shuffle + fixed-size output shards — the write-out
     * step of a training pipeline: order the corpus by `md5(seed:id)`
     * (a deterministic permutation; re-shuffle by changing the seed) and
