@@ -329,6 +329,24 @@ private[core] object GraftDdl {
     *  - `split` → [[graft.pipeline.CurationPipeline.hashSplit]]
     *    (rows + split band); options 'id', 'splits'
     *    ("train:0.8,val:0.1,test:0.1"), 'seed'.
+    *  - `split_leakage_safe` →
+    *    [[graft.pipeline.CurationPipeline.leakageSafeSplit]] (rows +
+    *    split_key + split, near-dup clusters banded together); options
+    *    'id', 'text', 'splits', 'seed', 'shingle_n', 'bands',
+    *    'rows_per_band', 'max_bucket_size'.
+    *  - `weighted_sample` →
+    *    [[graft.pipeline.CurationPipeline.weightedSample]] (A-ES
+    *    weighted top-k + rank); options 'id', 'k' (required), 'weight'
+    *    (weight column, required — must be > 0), 'seed'.
+    *  - `token_budget` →
+    *    [[graft.pipeline.CurationPipeline.tokenBudgetSelect]]
+    *    (doc_id, q, n_tokens, kept under the budget); options 'id',
+    *    'text', 'fraction' (required, (0,1]).
+    *  - `decontaminate` →
+    *    [[graft.pipeline.CurationPipeline.decontaminate]] (flagged
+    *    candidate ids sharing an n-gram with the benchmark table);
+    *    options 'id', 'text', 'benchmark' (table name, required),
+    *    'shingle_n'.
     *
     * Output schema depends on the op and the table, so like READ
     * SNAPSHOT this resolves to the composed read plan at parse time
@@ -355,12 +373,16 @@ private[core] object GraftDdl {
         Dedup.exactGroups(df, text, id)
       case "dedup_fuzzy" =>
         requireKeys(Set("id", "text", "shingle_n", "bands", "rows_per_band",
-          "threshold"))
+          "threshold", "max_bucket_size"))
+        // max_bucket_size = the LSH hot-bucket skew guard threaded to
+        // the SQL face (0 = uncapped exact recall) — the knob a 100 TB
+        // run sets so boilerplate band buckets cannot expand C(n,2)
         Dedup.minhashLshVerified(df, text, id,
           shingleN = opts.getOrElse("shingle_n", "3").toInt,
           bands = opts.getOrElse("bands", "4").toInt,
           rowsPerBand = opts.getOrElse("rows_per_band", "3").toInt,
-          threshold = opts.getOrElse("threshold", "0.6").toDouble)
+          threshold = opts.getOrElse("threshold", "0.6").toDouble,
+          maxBucketSize = opts.getOrElse("max_bucket_size", "0").toInt)
       case "verdict" =>
         requireKeys(Set("id", "text", "min_quality", "langs", "min_tokens",
           "max_tokens"))
@@ -373,21 +395,62 @@ private[core] object GraftDdl {
           text, id)
       case "split" =>
         requireKeys(Set("id", "splits", "seed"))
-        val splits = opts.getOrElse("splits", "train:0.8,val:0.1,test:0.1")
-          .split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
-            val parts = s.split(':')
-            require(parts.length == 2,
-              s"$stmt: malformed splits entry '$s' (want name:fraction)")
-            parts(0).trim -> parts(1).trim.toDouble
-          }
-        CurationPipeline.hashSplit(df, splits, id,
+        CurationPipeline.hashSplit(df, parseSplits(stmt, opts), id,
           seed = opts.getOrElse("seed", "0"))
+      case "split_leakage_safe" =>
+        requireKeys(Set("id", "text", "splits", "seed", "shingle_n",
+          "bands", "rows_per_band", "max_bucket_size"))
+        CurationPipeline.leakageSafeSplit(df, parseSplits(stmt, opts),
+          textCol = text, idCol = id,
+          seed = opts.getOrElse("seed", "0"),
+          shingleN = opts.getOrElse("shingle_n", "3").toInt,
+          bands = opts.getOrElse("bands", "4").toInt,
+          rowsPerBand = opts.getOrElse("rows_per_band", "3").toInt,
+          maxBucketSize = opts.getOrElse("max_bucket_size", "0").toInt)
+      case "weighted_sample" =>
+        requireKeys(Set("id", "k", "weight", "seed"))
+        val weight = opts.getOrElse("weight", sys.error(
+          s"$stmt: weighted_sample requires a 'weight' option " +
+            "(the > 0 weight column)"))
+        CurationPipeline.weightedSample(df,
+          k = opts.getOrElse("k", sys.error(
+            s"$stmt: weighted_sample requires a 'k' option")).toInt,
+          weightCol = org.apache.spark.sql.functions.col(weight),
+          idCol = id, seed = opts.getOrElse("seed", "0"))
+      case "token_budget" =>
+        requireKeys(Set("id", "text", "fraction"))
+        CurationPipeline.tokenBudgetSelect(df,
+          fraction = opts.getOrElse("fraction", sys.error(
+            s"$stmt: token_budget requires a 'fraction' option " +
+              "(share of the corpus' tokens to keep, (0,1])")).toDouble,
+          textCol = text, idCol = id)
+      case "decontaminate" =>
+        requireKeys(Set("id", "text", "benchmark", "shingle_n"))
+        val bench = opts.getOrElse("benchmark", sys.error(
+          s"$stmt: decontaminate requires a 'benchmark' option " +
+            "(the eval table to screen against)"))
+        CurationPipeline.decontaminate(df, spark.table(bench),
+          textCol = text, idCol = id,
+          shingleN = opts.getOrElse("shingle_n", "8").toInt)
       case other => sys.error(
         s"$stmt: unknown op '$other' (supported: dedup_exact, " +
-          "dedup_fuzzy, verdict, split)")
+          "dedup_fuzzy, verdict, split, split_leakage_safe, " +
+          "weighted_sample, token_budget, decontaminate)")
     }
     out.queryExecution.logical
   }
+
+  /** Parse a 'splits' option ("train:0.8,val:0.1,test:0.1") — shared by
+    * the plain and leakage-safe split ops. */
+  private def parseSplits(stmt: String,
+                          opts: Map[String, String]): Seq[(String, Double)] =
+    opts.getOrElse("splits", "train:0.8,val:0.1,test:0.1")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+        val parts = s.split(':')
+        require(parts.length == 2,
+          s"$stmt: malformed splits entry '$s' (want name:fraction)")
+        parts(0).trim -> parts(1).trim.toDouble
+      }
 
   /** [INPUT (...)] [OUTPUT (...)] WITH ( 'k' = 'v' [, ...] ) [;] */
   private def parseClauses(stmt: String, rest0: String): Map[String, String] = {

@@ -574,6 +574,18 @@ class SqlSurfaceSpec extends SparkSpec {
     fuzzySql.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))) should contain (1L -> 3L)
 
+    // 2b. the hot-bucket cap is REACHABLE from SQL (the 100 TB knob):
+    // max_bucket_size = 1 drops every multi-member band bucket before
+    // pair expansion — hash parity with the capped DataFrame form, and
+    // strictly fewer pairs than the uncapped gate found
+    val fuzzyCapSql = spark.sql(
+      """CURATE TABLE curate_sql_docs USING dedup_fuzzy
+        |WITH ('threshold' = '0.5', 'max_bucket_size' = '1')""".stripMargin)
+    rowsOf(fuzzyCapSql) shouldBe rowsOf(graft.operators.Dedup
+      .minhashLshVerified(docs, "text", "doc_id", shingleN = 3, bands = 4,
+        rowsPerBand = 3, threshold = 0.5, maxBucketSize = 1))
+    fuzzyCapSql.count() should be < fuzzySql.count()
+
     // 3. curation verdicts — parity with CurationPipeline.annotate
     val verdictSql = spark.sql(
       """CURATE TABLE curate_sql_docs USING verdict
@@ -593,6 +605,58 @@ class SqlSurfaceSpec extends SparkSpec {
         |WITH ('splits' = 'train:0.9,test:0.1', 'seed' = 'v2')""".stripMargin)) shouldBe
       rowsOf(graft.pipeline.CurationPipeline.hashSplit(docs,
         Seq("train" -> 0.9, "test" -> 0.1), "doc_id", seed = "v2"))
+
+    // 5. leakage-safe split — parity with leakageSafeSplit, incl. the
+    // hot-bucket cap knob reaching the composition from SQL
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING split_leakage_safe
+        |WITH ('splits' = 'train:0.9,test:0.1', 'seed' = 'v2',
+        |      'max_bucket_size' = '8')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.leakageSafeSplit(docs,
+        Seq("train" -> 0.9, "test" -> 0.1), seed = "v2", maxBucketSize = 8))
+    // and the safety property itself holds from SQL: near-dup cluster
+    // {1,2,3} lands in ONE band
+    spark.sql("CURATE TABLE curate_sql_docs USING split_leakage_safe")
+      .filter(org.apache.spark.sql.functions.col("doc_id") <= 3)
+      .select("split").distinct().count() shouldBe 1L
+
+    // 6. A-ES weighted sample — parity with weightedSample
+    docs.withColumn("w",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions
+          .col("text")).cast("double"))
+      .createOrReplaceTempView("curate_sql_weighted")
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_weighted USING weighted_sample
+        |WITH ('k' = '3', 'weight' = 'w', 'seed' = 'v1')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.weightedSample(
+        spark.table("curate_sql_weighted"), k = 3,
+        weightCol = org.apache.spark.sql.functions.col("w"), seed = "v1"))
+
+    // 7. token-budget selection — parity with tokenBudgetSelect
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING token_budget
+        |WITH ('fraction' = '0.5')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.tokenBudgetSelect(docs, 0.5))
+
+    // 8. benchmark decontamination — parity with decontaminate; doc 6
+    // shares its pasta text with the benchmark, doc 1 does not
+    spark.createDataFrame(Seq(
+        (100L, "about cooking pasta with garlic butter and fresh basil " +
+          "leaves in a pan")))
+      .toDF("doc_id", "text").createOrReplaceTempView("curate_sql_bench")
+    val deconSql = spark.sql(
+      """CURATE TABLE curate_sql_docs USING decontaminate
+        |WITH ('benchmark' = 'curate_sql_bench')""".stripMargin)
+    rowsOf(deconSql) shouldBe rowsOf(graft.pipeline.CurationPipeline
+      .decontaminate(docs, spark.table("curate_sql_bench")))
+    deconSql.collect().map(_.getLong(0)).toSeq shouldBe Seq(6L)
+    // a required option missing fails loudly
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING decontaminate"))
+      .getMessage should include("benchmark")
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING weighted_sample WITH ('k' = '3')"))
+      .getMessage should include("weight")
 
     // the statement returns a plain relation: it composes downstream
     // through a temp view (the statement itself is top-level only, like
