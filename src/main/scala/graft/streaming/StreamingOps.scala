@@ -915,8 +915,33 @@ object StreamingOps {
     * a new manifest with an atomic pointer swap, then run retention
     * (prune manifests past `keepVersions` and any bucket versions the
     * oldest retained manifest no longer references — O(touched)
-    * listings of small dirs, never a scan from v0). */
-  private def publishSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+    * listings of small dirs, never a scan from v0).
+    *
+    * CONCURRENT-WRITER guard: the store is single-writer by contract
+    * (every caller documents it), but two sinks accidentally pointed
+    * at one root would both read manifest N and both publish N+1 —
+    * last pointer swap wins and the loser's batch silently vanishes.
+    * Two cheap checks turn that into a LOUD failure: (a) after
+    * staging and before any bucket rename the pointer is re-read and
+    * must still name `prev` (catches a competitor that fully
+    * committed during this publish's staging — the realistically-long
+    * window — while the winner's bucket dirs are still untouched),
+    * and (b) the
+    * manifest file is created atomically with overwrite=false, so of
+    * two writers racing the commit itself exactly one create
+    * succeeds (HDFS create is atomic; the loser raises). Leftovers
+    * of a CRASHED publish (same writer, replayed batch) are
+    * reclaimed at publish START instead of commit time — an m$next
+    * present then is uncommitted by construction (the pointer would
+    * otherwise name it). Residual window: a competitor that claims
+    * m$next between this publish's start-cleanup and its own commit
+    * is exactly what (a)+(b) catch; one that commits AND is then
+    * raced by a third writer inside the same milliseconds is a
+    * multi-writer deployment, which no file-level guard can make
+    * safe — the guard's job is making the misconfiguration visible
+    * on first collision, not licensing it. */
+  private[graft] def publishSnapshotVersion(
+      spark: org.apache.spark.sql.SparkSession,
       root: String, merged: DataFrame, idCol: String, touched: Set[Int],
       prev: Option[SnapshotManifest], numBuckets: Int, keepVersions: Int,
       schema: org.apache.spark.sql.types.StructType): Unit = {
@@ -926,6 +951,35 @@ object StreamingOps {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val fs = snapshotFs(spark, root)
     val next = prev.map(_.id + 1).getOrElse(0L)
+    val mNextPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$next")
+    // the live pointer must name the manifest this publish diffed
+    // against — checked at START (a writer holding a STALE prev has
+    // already lost the race: another writer committed since prev was
+    // read, and proceeding would clobber its bucket versions and then
+    // silently discard a batch at the pointer swap) and re-checked
+    // before the bucket renames (guard (a) below). A prev-less publish
+    // tolerates a pointer naming a LEGACY (manifest-less) version:
+    // that is migrateSnapshotLayout committing bucketed m0 over the
+    // old layout, not a competitor.
+    def assertPointerUnmoved(): Unit = {
+      val liveNow = currentSnapshotId(fs, root).filter(id =>
+        prev.isDefined || fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id")))
+      if (liveNow != prev.map(_.id)) throw new IllegalStateException(
+        s"snapshot publish: concurrent writer detected at $root — " +
+          s"_CURRENT moved from ${prev.map(_.id).getOrElse("<none>")} to " +
+          s"${liveNow.getOrElse("<none>")} since this publish read its " +
+          "base manifest. The store is single-writer; this publish's " +
+          "batch was NOT committed — re-drive one writer only.")
+    }
+    assertPointerUnmoved()
+    // crash recovery, moved AWAY from the commit point: an m$next that
+    // exists NOW — while the live pointer provably still names prev
+    // (the check above) — was left by a publish that died before its
+    // pointer swap (committed manifests are always ≤ the pointer).
+    // Deleting it here keeps the replayed batch runnable while letting
+    // the commit-time create below stay strict (overwrite=false).
+    if (fs.exists(mNextPath)) fs.delete(mNextPath, true)
     val staging = s"$root/_staging"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     merged
@@ -946,6 +1000,11 @@ object StreamingOps {
         .repartition(1).write.parquet(p.toString)
       p
     }
+    // guard (a): re-check before touching any bucket dir — a competitor
+    // that committed while this publish STAGED (the realistically long
+    // window) is caught here, with the winner's dirs still intact; the
+    // narrower rename→commit window is guard (b)'s job.
+    assertPointerUnmoved()
     val newBuckets = touched.toSeq.sorted.map { bk =>
       val ver = prevBuckets.get(bk).map(_ + 1).getOrElse(0L)
       val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$bk")
@@ -980,14 +1039,22 @@ object StreamingOps {
       prevBuckets ++ newBuckets)
     val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     fs.mkdirs(mDir)
-    val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$next")
     val body = (s"buckets ${manifest.numBuckets}" +:
       manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" })
       .mkString("", "\n", "\n")
-    // same crash-recovery rule as the bucket dirs: an m$next from a
-    // publish that died before its pointer swap was never committed
-    if (fs.exists(mPath)) fs.delete(mPath, true)
-    val mOut = fs.create(mPath, false) // committed manifests are immutable
+    // guard (b): atomic claim of the manifest slot — overwrite=false, so
+    // two writers racing the commit itself resolve to exactly one
+    // winner; crashed-publish leftovers were reclaimed at publish START
+    val mOut =
+      try fs.create(mNextPath, false) // committed manifests are immutable
+      catch { case e: java.io.IOException => throw new IllegalStateException(
+        s"snapshot publish: concurrent writer detected at $root — " +
+          s"manifest m$next already exists (another writer claimed this " +
+          "version between this publish's start and its commit). The " +
+          "store is single-writer; this publish's batch was NOT " +
+          "committed — verify the live snapshot and re-drive one " +
+          "writer only.", e)
+      }
     try mOut.write(body.getBytes("UTF-8")) finally mOut.close()
     // atomic pointer swap: temp file + rename(OVERWRITE)
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -1057,8 +1124,9 @@ object StreamingOps {
     }
   }
 
-  private def currentSnapshotManifest(fs: org.apache.hadoop.fs.FileSystem,
-                                      root: String): Option[SnapshotManifest] =
+  private[graft] def currentSnapshotManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[SnapshotManifest] =
     currentSnapshotId(fs, root).map { id =>
       val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id")
       if (!fs.exists(mPath) &&

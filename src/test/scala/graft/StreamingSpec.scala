@@ -793,6 +793,165 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("source→replica chain: nextChangelogBatch feeding a second snapshotUpsertSink converges bit-identically (bootstrap, incremental, compaction in-window, crash replay)") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-replica")
+      .toString
+    val srcRoot = s"$dir/src"
+    val repRoot = s"$dir/replica"
+    val cursor = s"$dir/replica.cursor"
+    val srcIn = MemoryStream[(Long, Long, String, String)]
+    val srcQ = StreamingOps.snapshotUpsertSink(
+        srcIn.toDF.toDF("doc_id", "seq", "op", "text"), srcRoot,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    // the replica is ITSELF a snapshot store fed by the pulled
+    // changelogs — the exact composition a downstream consumer runs
+    // (different bucket count on purpose: the changelog shape is
+    // layout-independent)
+    val repIn = MemoryStream[(Long, Long, String, String)]
+    val repQ = StreamingOps.snapshotUpsertSink(
+        repIn.toDF.toDF("doc_id", "seq", "op", "text"), repRoot,
+        keepVersions = 2, numBuckets = 8)
+      .option("checkpointLocation", checkpoint()).start()
+    // one pull → one replica micro-batch; `commit` controls the cursor
+    def pullApply(commitCursor: Boolean): Boolean =
+      StreamingOps.nextChangelogBatch(spark, srcRoot, cursor) match {
+        case None => false
+        case Some((_, frame, commit)) =>
+          val rows = frame.as[(Long, Long, String, Option[String])]
+            .collect().toSeq
+            .map { case (id, seq, op, t) => (id, seq, op, t.orNull) }
+          repIn.addData(rows: _*)
+          repQ.processAllAvailable()
+          if (commitCursor) commit()
+          true
+      }
+    def liveOf(root: String): Seq[(Long, Option[String])] =
+      StreamingOps.readSnapshot(spark, root).get
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    try {
+      // BOOTSTRAP: source has upserts + a tombstone before the replica
+      // ever pulls — the full-state bootstrap must carry the tombstone
+      // as a delete so the replica inherits the seq memory
+      srcIn.addData((1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"),
+        (3L, 1L, "upsert", "c"))
+      srcQ.processAllAvailable()
+      srcIn.addData((2L, 2L, "delete", nul))
+      srcQ.processAllAvailable()
+      pullApply(commitCursor = true) shouldBe true
+      liveOf(repRoot) shouldBe liveOf(srcRoot)
+      // inherited seq memory: a STALE redelivery straight to the
+      // replica (seq 1 < the delete's seq 2) must not resurrect key 2
+      repIn.addData((2L, 1L, "upsert", "resurrect?"))
+      repQ.processAllAvailable()
+      liveOf(repRoot) shouldBe liveOf(srcRoot)
+      // INCREMENTAL pulls across several source batches
+      srcIn.addData((4L, 3L, "upsert", "d"), (1L, 3L, "upsert", "a2"))
+      srcQ.processAllAvailable()
+      srcIn.addData((3L, 4L, "delete", nul))
+      srcQ.processAllAvailable()
+      pullApply(commitCursor = true) shouldBe true
+      liveOf(repRoot) shouldBe liveOf(srcRoot)
+      pullApply(commitCursor = true) shouldBe false // caught up
+      // COMPACTION INSIDE THE WINDOW: new changes land, then the source
+      // compacts (dropping key 3's tombstone) BEFORE the replica pulls —
+      // the pull crosses the compaction boundary and must still converge
+      // on the live view
+      srcIn.addData((5L, 5L, "upsert", "e"))
+      srcQ.processAllAvailable()
+      StreamingOps.compactSnapshot(spark, srcRoot, horizonSeq = 4L,
+        keepVersions = 4)
+      pullApply(commitCursor = true) shouldBe true
+      liveOf(repRoot) shouldBe liveOf(srcRoot)
+      // CRASH BEFORE COMMIT: apply a window to the replica, crash before
+      // the cursor advances, then replay the SAME window — at-least-once
+      // redelivery must be absorbed (max-seq idempotence), cursor then
+      // commits and the chain is caught up
+      srcIn.addData((6L, 6L, "upsert", "f"), (4L, 6L, "delete", nul))
+      srcQ.processAllAvailable()
+      pullApply(commitCursor = false) shouldBe true // crash: no commit
+      pullApply(commitCursor = true) shouldBe true  // replay + commit
+      liveOf(repRoot) shouldBe liveOf(srcRoot)
+      pullApply(commitCursor = true) shouldBe false
+      // the replica's own raw layout carries per-key seq/tombstones, so
+      // a SECOND-hop consumer could chain off it the same way
+      StreamingOps.readSnapshot(spark, repRoot, includeTombstones = true)
+        .get.filter(col("__deleted")).count() should be >= 1L
+    } finally { srcQ.stop(); repQ.stop() }
+  }
+
+  test("two-writer race on the snapshot store: the LOSER raises loudly instead of silently dropping its batch") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-race")
+      .toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // both writers read the SAME live manifest (snapshot 0)...
+    val staleManifest = StreamingOps.currentSnapshotManifest(fs, root).get
+    staleManifest.id shouldBe 0L
+    def publishFrom(prev: StreamingOps.SnapshotManifest, tag: String): Unit = {
+      val merged = Seq((3L, s"c-$tag", 2L, false))
+        .toDF("doc_id", "text", "__seq", "__deleted")
+      StreamingOps.publishSnapshotVersion(spark, root, merged, "doc_id",
+        touched = Set(0, 1, 2, 3), prev = Some(prev),
+        numBuckets = prev.numBuckets, keepVersions = 3, merged.schema)
+    }
+    // ...writer A commits snapshot 1 first
+    publishFrom(staleManifest, "A")
+    StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe 1L
+    // writer B, still holding manifest 0, must FAIL LOUDLY — before the
+    // guard its pointer swap silently discarded A's batch (last-writer-
+    // wins lost update)
+    val err = intercept[IllegalStateException] {
+      publishFrom(staleManifest, "B")
+    }
+    err.getMessage should include("concurrent writer")
+    err.getMessage should include("single-writer")
+    // A's commit survives as the live snapshot
+    StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe 1L
+    // and the other race window — a competitor CLAIMED the next
+    // manifest after this publish started (so start-time crash cleanup
+    // could not have seen it): the atomic overwrite=false create makes
+    // the second claimant the loud loser. Simulate by pre-creating m2
+    // from a publish that reads the live manifest 1 but is beaten to
+    // the claim; the pointer still names 1, so only guard (b) fires...
+    val live = StreamingOps.currentSnapshotManifest(fs, root).get
+    val claim = new org.apache.hadoop.fs.Path(s"$root/_manifests/m2")
+    // NOTE: crash-leftover cleanup at publish START would reclaim a
+    // pre-existing m2 — the claim must appear DURING the publish. Drive
+    // that deterministically by claiming from a UDF evaluated inside
+    // the staged write job.
+    val claimed = udf { () =>
+      val f = new java.io.File(claim.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile() // idempotent across task retries
+      true
+    }
+    val merged = Seq((4L, "d", 3L, false))
+      .toDF("doc_id", "text", "__seq", "__deleted")
+      .filter(claimed())
+    val err2 = intercept[IllegalStateException] {
+      StreamingOps.publishSnapshotVersion(spark, root, merged, "doc_id",
+        touched = Set(0, 1, 2, 3), prev = Some(live),
+        numBuckets = live.numBuckets, keepVersions = 3,
+        org.apache.spark.sql.types.StructType(merged.schema.fields.toSeq))
+    }
+    err2.getMessage should include("already exists")
+    // the loser did not move the pointer
+    StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe 1L
+  }
+
   test("rebucketSnapshot grows the bucket count: state identical, empty changelog, sink continues on the new layout") {
     implicit val ctx = spark.sqlContext
     val nul = null.asInstanceOf[String]
