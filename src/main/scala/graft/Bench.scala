@@ -215,18 +215,25 @@ object Bench {
     * changelog, not base; the pre-bucketing whole-snapshot rewrite
     * scaled the ratio with the base instead. Invoked alone via
     * SPARK_GRAFT_BENCH_SNAPSHOT=1. */
+  /** `scaleBuckets` grows B with the base (10× rows → 10× buckets) —
+    * the SURVEY §2.11 sizing rule (pick B so a bucket stays a few GB).
+    * At FIXED B a touched bucket's rewrite grows ∝ base/B by design,
+    * so the flat-cost contract is stated, and measured, under the
+    * rule; both ratios are reported in BENCH_NOTES. */
   def snapshotProbe(spark: SparkSession, base: Long, reps: Int = 8,
-                    numBuckets: Int = 64): String = {
+                    numBuckets: Int = 64,
+                    scaleBuckets: Boolean = false): String = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val out = Seq(base, base * 10).map { n =>
+      val b = if (scaleBuckets) (numBuckets * n / base).toInt else numBuckets
       val dir = java.nio.file.Files.createTempDirectory("graft-snap-probe")
       val root = s"$dir/snap"
       val input = MemoryStream[(Long, Long, String, String)]
       val q = graft.streaming.StreamingOps.snapshotUpsertSink(
           input.toDF.toDF("doc_id", "seq", "op", "text"), root,
-          keepVersions = 2, numBuckets = numBuckets)
+          keepVersions = 2, numBuckets = b)
         .option("checkpointLocation", s"$dir/ckpt").start()
       try {
         input.addData((0L until n).map(i =>
@@ -393,10 +400,12 @@ object Bench {
       // then the timed 1× / 10× pair
       val snapB = sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BUCKETS",
         "64").toInt
+      val scaleB = sys.env.get("SPARK_GRAFT_BENCH_SNAPSHOT_SCALE_BUCKETS")
+        .contains("1")
       snapshotProbe(spark, 1000, reps = 2, numBuckets = snapB)
       println(snapshotProbe(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BASE", "20000").toLong,
-        numBuckets = snapB))
+        numBuckets = snapB, scaleBuckets = scaleB))
       spark.stop()
       return
     }
