@@ -369,9 +369,13 @@ object Bench {
             shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5,
             maxBucketSize = 64).count()
         }
-        // uncapped CONTROL for the same composition — run it on the
-        // small decade only (its big-decade cost is the hazard guarded)
-        if (families("lshuncapped")) measured("lsh_verified_uncapped") = timed {
+        // uncapped CONTROL for the same composition — ENFORCED to the
+        // small decade (n == base): its big-decade cost is the exact
+        // hazard the cap guards (~200M verified pairs at 700 k rows),
+        // so the gate lives in code, not operator discipline; the
+        // exponent report skips families measured in one decade only
+        if (families("lshuncapped") && n == base)
+          measured("lsh_verified_uncapped") = timed {
           Dedup.minhashLshVerified(lshDocs, "text", "doc_id",
             shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5).count()
         }
@@ -384,11 +388,16 @@ object Bench {
         s""""${f}_sec":$sec,"${f}_rows":$cnt""" })
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    val exps = out(0)._2.zip(out(1)._2).map { case ((f, (a, _)), (_, (b, _))) =>
-      val e = math.log(b / a) / math.log(out(1)._1.toDouble / out(0)._1)
+    // match by family NAME: a family gated to one decade (the uncapped
+    // control) has no exponent — positional zip would misattribute it
+    val m1 = out(1)._2.toMap
+    val exps = out(0)._2.collect { case (f, (a, _)) if m1.contains(f) =>
+      val e = math.log(m1(f)._1 / a) /
+        math.log(out(1)._1.toDouble / out(0)._1)
       s""""${f}_exponent":$e"""
     }.mkString(",")
-    s"""{"metric":"scale_probe","points":$rows,$exps}"""
+    s"""{"metric":"scale_probe","points":$rows${
+      if (exps.nonEmpty) "," + exps else ""}}"""
   }
 
   def main(args: Array[String]): Unit = {

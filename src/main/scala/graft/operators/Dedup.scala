@@ -738,6 +738,35 @@ object Dedup {
                     rowsPerBand: Int = 3, threshold: Double = 0.5,
                     restrictToCandidates: Boolean = false,
                     maxBucketSize: Int = 0): DataFrame = {
+    val (dup0, caches) = antiJoinFuzzyDup(batch, index, textCol, idCol,
+      shingleN, bands, rowsPerBand, threshold, restrictToCandidates,
+      maxBucketSize)
+    val dup =
+      if (caches.isEmpty) dup0
+      else {
+        // the duplicate-id sliver is TINY (≤ batch rows, ids only):
+        // materialize it eagerly so every corpus-sized cache above can
+        // be released NOW rather than pinned behind the caller's lazy
+        // consumption; the checkpoint blocks themselves are freed by
+        // ContextCleaner once the caller drops the returned frame
+        // (local checkpoints, unlike persists, have no CacheManager pin)
+        val d = dup0.localCheckpoint()
+        caches.foreach(_.unpersist(false))
+        d
+      }
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+
+  /** The verified-duplicate sliver of [[antiJoinFuzzy]] plus the caches
+    * its capped path registered (released by the public wrapper once
+    * the sliver is checkpointed; exposed so the plan-shape spec can pin
+    * the pre-checkpoint tree). */
+  private[graft] def antiJoinFuzzyDup(
+      batch: DataFrame, index: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double,
+      restrictToCandidates: Boolean,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val bk = Hashing.bandKeysUdf(shingleN, bands, rowsPerBand)
@@ -746,6 +775,15 @@ object Dedup {
       explode(bk(col(textCol))).as("band_key"))
     val iKeys0 = index.select(col(idCol).as("id_b"),
       explode(bk(col(textCol))).as("band_key"))
+    // every cache this call registers is handed back for the public
+    // wrapper to RELEASE once the sliver is checkpointed: this gate
+    // runs once per micro-batch in a standing pipeline, and
+    // Dataset.persist pins its CacheManager entry until an explicit
+    // unpersist — ContextCleaner only reclaims RDDs that become
+    // unreachable, which cached plans never do — so leaking even one
+    // corpus-sized entry per batch would exhaust executor storage on a
+    // long-running stream
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (bKeys, iKeys) =
       if (maxBucketSize <= 0) (bKeys0, iKeys0)
       else {
@@ -754,12 +792,13 @@ object Dedup {
         // them so the tokenize→shingle→minhash pipeline runs ONCE per
         // side — unpersisted, the cap would cost a second full corpus
         // scan + hashing pass per side, at 100 TB the dominant term
-        // (the dedup_cluster_best persist convention; ContextCleaner
-        // reclaims the blocks when the frame is collected)
+        // (the dedup_cluster_best persist convention)
         val bK = bKeys0.persist(org.apache.spark.storage.StorageLevel
           .MEMORY_AND_DISK)
         val iK = iKeys0.persist(org.apache.spark.storage.StorageLevel
           .MEMORY_AND_DISK)
+        caches += bK
+        caches += iK
         // one aggregate per side (map-combinable counts), then drop hot
         // keys from BOTH sides — the per-key expansion is the PRODUCT
         // of the two memberships, so either side alone can blow it up.
@@ -777,19 +816,24 @@ object Dedup {
             count(lit(1)).as("dropped_hot_band_keys"))
           .select(col("band_key"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        caches += hot
         (bK.join(hot, Seq("band_key"), "left_anti"),
           iK.join(hot, Seq("band_key"), "left_anti"))
       }
     val cand = bKeys.join(iKeys, "band_key")
       .select(col("id_a"), col("id_b")).distinct()
-    val dup = verifyJaccard(cand,
+    // verifyJaccard persists cand when restrictToCandidates (it feeds
+    // three subtrees there); CacheManager keys on the logical plan, so
+    // unpersisting OUR reference releases that entry too
+    if (restrictToCandidates) caches += cand
+    val dup0 = verifyJaccard(cand,
         batch.select(col(idCol).as("id_a"),
           explode(shUdf(col(textCol))).as("sh")),
         index.select(col(idCol).as("id_b"),
           explode(shUdf(col(textCol))).as("sh")), threshold,
         restrictToCandidates)
       .select(col("id_a").as(idCol)).distinct()
-    batch.join(dup, Seq(idCol), "left_anti")
+    (dup0, caches.toSeq)
   }
 
   /** Boilerplate REMOVAL — the cleaning half of [[duplicatedSegments]]'s

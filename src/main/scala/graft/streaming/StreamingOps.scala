@@ -364,7 +364,8 @@ object StreamingOps {
                          opCol: String = "op",
                          payloadCols: Seq[String] = Seq("text"),
                          keepVersions: Int = 3,
-                         numBuckets: Int = 16)
+                         numBuckets: Int = 16,
+                         writerId: String = "default")
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
@@ -406,7 +407,7 @@ object StreamingOps {
               .applyChangelogVersioned(base, batch, idCol, seqCol, opCol,
                 payloadCols)
             publishSnapshotVersion(spark, root, merged, idCol, touched,
-              cur, b, keepVersions, baseSchema)
+              cur, b, keepVersions, baseSchema, writerId)
           }
         } finally batch.unpersist()
       }
@@ -921,30 +922,34 @@ object StreamingOps {
     * (every caller documents it), but two sinks accidentally pointed
     * at one root would both read manifest N and both publish N+1 —
     * last pointer swap wins and the loser's batch silently vanishes.
-    * Two cheap checks turn that into a LOUD failure: (a) after
-    * staging and before any bucket rename the pointer is re-read and
-    * must still name `prev` (catches a competitor that fully
-    * committed during this publish's staging — the realistically-long
-    * window — while the winner's bucket dirs are still untouched),
-    * and (b) the
-    * manifest file is created atomically with overwrite=false, so of
-    * two writers racing the commit itself exactly one create
-    * succeeds (HDFS create is atomic; the loser raises). Leftovers
-    * of a CRASHED publish (same writer, replayed batch) are
-    * reclaimed at publish START instead of commit time — an m$next
-    * present then is uncommitted by construction (the pointer would
-    * otherwise name it). Residual window: a competitor that claims
-    * m$next between this publish's start-cleanup and its own commit
-    * is exactly what (a)+(b) catch; one that commits AND is then
-    * raced by a third writer inside the same milliseconds is a
-    * multi-writer deployment, which no file-level guard can make
-    * safe — the guard's job is making the misconfiguration visible
-    * on first collision, not licensing it. */
+    * The guard CLAIMS the manifest slot FIRST — m$next is created
+    * atomically (overwrite=false; HDFS create is atomic) with the
+    * full manifest body plus a `writer <id> <nonce>` trailer, BEFORE
+    * any staging, bucket rename, or shared-dir delete — so a loser
+    * raises loudly having mutated NOTHING shared, and the winner's
+    * dirs can never be clobbered by a competitor running this code
+    * (every shared mutation happens only while holding the claim).
+    * A claim already present is either a CRASHED attempt of this
+    * same writer (its trailer carries our `writerId`; the pointer
+    * provably still names `prev`, so it is uncommitted — reclaimed,
+    * which keeps at-least-once batch replay self-healing) or a
+    * FOREIGN writer's (live mid-publish, or crashed under a
+    * different id) — a pointed error naming the claim file and its
+    * owner, never a delete: deleting a live competitor's claim would
+    * strand its pointer swap on a missing manifest. After the swap
+    * the claim is read BACK and must still carry this publish's
+    * nonce — two writers that share a `writerId` (the default) and
+    * interleave a reclaim-steal are detected here, turning the one
+    * remaining silent-loss window into a loud post-commit error.
+    * Writers that must coexist-crash-safely use distinct writerIds;
+    * the guard's job is making an accidental multi-writer
+    * misconfiguration visible on first collision, not licensing it. */
   private[graft] def publishSnapshotVersion(
       spark: org.apache.spark.sql.SparkSession,
       root: String, merged: DataFrame, idCol: String, touched: Set[Int],
       prev: Option[SnapshotManifest], numBuckets: Int, keepVersions: Int,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      writerId: String = "default"): Unit = {
     // every caller validates, but the invariant is load-bearing enough
     // (keepVersions=0 prunes the manifest this very publish commits) to
     // re-assert at the one place retention actually runs
@@ -973,19 +978,68 @@ object StreamingOps {
           "batch was NOT committed — re-drive one writer only.")
     }
     assertPointerUnmoved()
-    // crash recovery, moved AWAY from the commit point: an m$next that
-    // exists NOW — while the live pointer provably still names prev
-    // (the check above) — was left by a publish that died before its
-    // pointer swap (committed manifests are always ≤ the pointer).
-    // Deleting it here keeps the replayed batch runnable while letting
-    // the commit-time create below stay strict (overwrite=false).
-    if (fs.exists(mNextPath)) fs.delete(mNextPath, true)
-    val staging = s"$root/_staging"
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // versions derive from prev alone, so the full manifest body is
+    // computable BEFORE any IO — which is what lets the claim go first
+    val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty)
+    val newBuckets = touched.toSeq.sorted.map { bk =>
+      bk -> prevBuckets.get(bk).map(_ + 1).getOrElse(0L)
+    }.toMap
+    val manifest = SnapshotManifest(next, numBuckets,
+      prevBuckets ++ newBuckets)
+    val nonce = java.util.UUID.randomUUID().toString
+    val body = ((s"buckets ${manifest.numBuckets}" +:
+      manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" }) :+
+      s"writer $writerId $nonce").mkString("", "\n", "\n")
+    val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    fs.mkdirs(mDir)
+    // guard: atomic claim of the manifest slot, BEFORE any shared
+    // mutation — of two racing writers exactly one create succeeds
+    def tryClaim(): Boolean =
+      try {
+        val o = fs.create(mNextPath, false) // manifests are immutable
+        try o.write(body.getBytes("UTF-8")) finally o.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryClaim()) {
+      // a claim present while the pointer names prev is UNCOMMITTED by
+      // construction: either our own crashed attempt (reclaim — batch
+      // replay must self-heal) or a foreign writer's (loud, no delete)
+      val owner = {
+        val in = fs.open(mNextPath)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        text.split('\n').map(_.trim).find(_.startsWith("writer "))
+          .map(_.split("\\s+")(1))
+      }
+      // trailer-less claims predate the writer line (or were truncated
+      // by a crash mid-create) — uncommitted either way, reclaimable
+      if (!owner.forall(_ == writerId)) throw new IllegalStateException(
+        s"snapshot publish: concurrent writer detected at $root — " +
+          s"manifest slot m$next is claimed by writer " +
+          s"'${owner.getOrElse("<unknown>")}' (this publish is " +
+          s"'$writerId'). The store is single-writer; this publish's " +
+          "batch was NOT committed. If the other writer is live, " +
+          "re-drive one writer only; if it crashed, delete " +
+          s"$mNextPath and retry.")
+      fs.delete(mNextPath, false)
+      if (!tryClaim()) throw new IllegalStateException(
+        s"snapshot publish: concurrent writer detected at $root — " +
+          s"manifest slot m$next was re-claimed by another writer " +
+          "during this publish's crash-leftover reclaim. The store is " +
+          "single-writer; this publish's batch was NOT committed — " +
+          "re-drive one writer only.")
+    }
+    // everything below runs under the claim: competitors running this
+    // code cannot rename into our bucket versions or sweep our staging
+    val staging = s"$root/_staging-$nonce"
+    // leftover staging dirs are crashed attempts' (ours by claim) —
+    // sweep them so they don't accumulate across crash-replays
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/_staging*"))
+      .foreach(st => fs.delete(st.getPath, true))
     merged
       .withColumn("__bucket", snapshotBucket(col(idCol), numBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(staging)
-    val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty)
     // the 0-row-with-schema dir for touched buckets whose rewrite
     // emitted nothing — materialized by ONE job on first need and then
     // FILE-COPIED per bucket, so a publish with many empty touched
@@ -1000,13 +1054,13 @@ object StreamingOps {
         .repartition(1).write.parquet(p.toString)
       p
     }
-    // guard (a): re-check before touching any bucket dir — a competitor
-    // that committed while this publish STAGED (the realistically long
-    // window) is caught here, with the winner's dirs still intact; the
-    // narrower rename→commit window is guard (b)'s job.
+    // belt-and-braces re-check: under the claim the pointer cannot
+    // legitimately move (advancing it requires committing m$next,
+    // which we hold) — a mover here implies a claim steal by a
+    // same-writerId twin, caught cheaply before any rename
     assertPointerUnmoved()
-    val newBuckets = touched.toSeq.sorted.map { bk =>
-      val ver = prevBuckets.get(bk).map(_ + 1).getOrElse(0L)
+    touched.toSeq.sorted.foreach { bk =>
+      val ver = newBuckets(bk)
       val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$bk")
       val dstDir = new org.apache.hadoop.fs.Path(s"$root/b$bk")
       fs.mkdirs(dstDir)
@@ -1014,8 +1068,9 @@ object StreamingOps {
       // crash recovery: a publish that died between staging this
       // version and the pointer swap left an UNCOMMITTED v$ver (no
       // manifest the pointer ever named references it — committed
-      // versions are < ver by construction). The replayed batch must
-      // reclaim the slot, not fail its rename forever.
+      // versions are < ver by construction, and the claim we hold is
+      // the only manifest that will ever name ver). The replayed
+      // batch must reclaim the slot, not fail its rename forever.
       if (fs.exists(dst)) fs.delete(dst, true)
       if (fs.exists(src)) {
         require(fs.rename(src, dst), s"snapshot publish: rename $src → $dst failed")
@@ -1032,31 +1087,10 @@ object StreamingOps {
           false, spark.sparkContext.hadoopConfiguration),
           s"snapshot publish: empty-version copy to $dst failed")
       }
-      bk -> ver
-    }.toMap
+    }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    val manifest = SnapshotManifest(next, numBuckets,
-      prevBuckets ++ newBuckets)
-    val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
-    fs.mkdirs(mDir)
-    val body = (s"buckets ${manifest.numBuckets}" +:
-      manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" })
-      .mkString("", "\n", "\n")
-    // guard (b): atomic claim of the manifest slot — overwrite=false, so
-    // two writers racing the commit itself resolve to exactly one
-    // winner; crashed-publish leftovers were reclaimed at publish START
-    val mOut =
-      try fs.create(mNextPath, false) // committed manifests are immutable
-      catch { case e: java.io.IOException => throw new IllegalStateException(
-        s"snapshot publish: concurrent writer detected at $root — " +
-          s"manifest m$next already exists (another writer claimed this " +
-          "version between this publish's start and its commit). The " +
-          "store is single-writer; this publish's batch was NOT " +
-          "committed — verify the live snapshot and re-drive one " +
-          "writer only.", e)
-      }
-    try mOut.write(body.getBytes("UTF-8")) finally mOut.close()
-    // atomic pointer swap: temp file + rename(OVERWRITE)
+    // atomic pointer swap: temp file + rename(OVERWRITE). The manifest
+    // itself was committed as the claim, before staging.
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -1065,6 +1099,25 @@ object StreamingOps {
       .getFileContext(rootPath.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_CURRENT"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // post-swap readback: the claim must still carry THIS publish's
+    // nonce. Two writers sharing a writerId can interleave a
+    // reclaim-steal (B mistakes live A's claim for A's crash); the
+    // readback turns that last silent-loss window into a loud
+    // post-commit error instead of a vanished batch.
+    locally {
+      val in = fs.open(mNextPath)
+      val after = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      if (!after.contains(nonce)) throw new IllegalStateException(
+        s"snapshot publish: concurrent writer detected at $root — " +
+          s"manifest m$next was rewritten by another '$writerId' writer " +
+          "during this publish (claim nonce mismatch after the pointer " +
+          "swap). The store is single-writer; the committed snapshot " +
+          "may not contain this batch. Verify the live snapshot and " +
+          "re-drive one writer only (distinct writerIds make this race " +
+          "fail before commit).")
+    }
     // retention — manifest-DIFF pruning: a bucket version is
     // unreferenced exactly when every manifest naming it has been
     // pruned, so for each manifest m_k dropping below the floor, delete
@@ -1151,7 +1204,9 @@ object StreamingOps {
     require(lines.nonEmpty && lines.head.startsWith("buckets "),
       s"malformed snapshot manifest $path: missing 'buckets' header")
     val b = lines.head.stripPrefix("buckets ").trim.toInt
-    val m = lines.tail.map { l =>
+    // the `writer <id> <nonce>` trailer is publish-guard provenance,
+    // not state — ignored here (pre-guard manifests lack it)
+    val m = lines.tail.filterNot(_.startsWith("writer ")).map { l =>
       val parts = l.split("\\s+")
       require(parts.length == 3 && parts(0) == "b",
         s"malformed snapshot manifest $path: line '$l'")

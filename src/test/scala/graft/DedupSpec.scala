@@ -261,17 +261,18 @@ class DedupSpec extends SparkSpec {
     val batch = Seq((100L, indexed), (101L, boiler),
         (102L, "completely fresh writing about compilers and register allocation"))
       .toDF("doc_id", "text")
-    val kept = Dedup.antiJoinFuzzy(batch, index, "text", "doc_id",
-      threshold = 0.5, maxBucketSize = 3)
-    kept.collect()
-    // pin on the OPTIMIZED plan tree (the string form re-prints each
-    // cached relation's stored plan, inflating token counts): the
-    // exploded band-key frames feed two consumers each (hot-count
-    // aggregate + anti-join/band join), so persisted they surface as
-    // four opaque InMemoryRelation leaves — without the persist the
+    // pin the PRE-checkpoint sliver plan (the public wrapper eagerly
+    // checkpoints it, which hides the tree): the exploded band-key
+    // frames feed two consumers each (hot-count aggregate +
+    // anti-join/band join), so persisted they surface as four opaque
+    // InMemoryRelation leaves — without the persist the
     // tokenize/shingle/minhash pipeline would run a second full pass
-    // per side (r13 "What's wrong #2")
-    val opt = kept.queryExecution.optimizedPlan
+    // per side (r13 "What's wrong #2"). Pin on the OPTIMIZED plan tree
+    // (the string form re-prints each cached relation's stored plan,
+    // inflating token counts).
+    val (dup0, caches) = Dedup.antiJoinFuzzyDup(batch, index, "text",
+      "doc_id", 3, 4, 3, 0.5, false, 3)
+    val opt = dup0.queryExecution.optimizedPlan
     opt.collect { case m: org.apache.spark.sql.execution.columnar
       .InMemoryRelation => m }.size shouldBe 4
     // and the live plan evaluates NO band-key explode outside the
@@ -279,6 +280,17 @@ class DedupSpec extends SparkSpec {
     // (2 consumers × 2 sides)
     opt.collect { case g: org.apache.spark.sql.catalyst.plans.logical
       .Generate => g }.size shouldBe 4
+    caches.foreach(_.unpersist(true))
+    // the PUBLIC gate releases every cache it registered before
+    // returning (a standing pipeline calls it per micro-batch —
+    // CacheManager entries pinned across batches would accumulate
+    // corpus-sized blocks without bound) and still gates correctly
+    spark.sharedState.cacheManager.clearCache()
+    val kept = Dedup.antiJoinFuzzy(batch, index, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 3)
+    kept.select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(101L, 102L)
+    spark.sharedState.cacheManager.isEmpty shouldBe true
   }
 
   test("antiJoinFuzzy threshold gates verification: 1.0 keeps everything but exact copies") {

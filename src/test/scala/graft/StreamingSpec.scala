@@ -920,36 +920,69 @@ class StreamingSpec extends SparkSpec {
     err.getMessage should include("single-writer")
     // A's commit survives as the live snapshot
     StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe 1L
-    // and the other race window — a competitor CLAIMED the next
-    // manifest after this publish started (so start-time crash cleanup
-    // could not have seen it): the atomic overwrite=false create makes
-    // the second claimant the loud loser. Simulate by pre-creating m2
-    // from a publish that reads the live manifest 1 but is beaten to
-    // the claim; the pointer still names 1, so only guard (b) fires...
+    // and the claim race — the slot for the NEXT manifest is taken
+    // atomically (create overwrite=false) BEFORE any staging or
+    // rename, so a competitor that got there first makes this publish
+    // the loud loser having mutated nothing shared. A FOREIGN claim
+    // (different writerId — a live competitor mid-publish, or a
+    // foreign crash) must NOT be deleted: it raises, naming the owner.
     val live = StreamingOps.currentSnapshotManifest(fs, root).get
     val claim = new org.apache.hadoop.fs.Path(s"$root/_manifests/m2")
-    // NOTE: crash-leftover cleanup at publish START would reclaim a
-    // pre-existing m2 — the claim must appear DURING the publish. Drive
-    // that deterministically by claiming from a UDF evaluated inside
-    // the staged write job.
-    val claimed = udf { () =>
-      val f = new java.io.File(claim.toUri.getPath)
-      f.getParentFile.mkdirs()
-      f.createNewFile() // idempotent across task retries
-      true
+    locally {
+      val o = fs.create(claim, false)
+      try o.write("buckets 4\nwriter other-sink x-nonce\n"
+        .getBytes("UTF-8")) finally o.close()
     }
-    val merged = Seq((4L, "d", 3L, false))
+    def mergedFrame(tag: String) = Seq((4L, tag, 3L, false))
       .toDF("doc_id", "text", "__seq", "__deleted")
-      .filter(claimed())
-    val err2 = intercept[IllegalStateException] {
-      StreamingOps.publishSnapshotVersion(spark, root, merged, "doc_id",
+    def publishNext(writerId: String): Unit = {
+      val m = mergedFrame(s"d-$writerId")
+      StreamingOps.publishSnapshotVersion(spark, root, m, "doc_id",
         touched = Set(0, 1, 2, 3), prev = Some(live),
         numBuckets = live.numBuckets, keepVersions = 3,
-        org.apache.spark.sql.types.StructType(merged.schema.fields.toSeq))
+        org.apache.spark.sql.types.StructType(m.schema.fields.toSeq),
+        writerId = writerId)
     }
-    err2.getMessage should include("already exists")
-    // the loser did not move the pointer
+    val err2 = intercept[IllegalStateException] { publishNext("default") }
+    err2.getMessage should include("claimed by writer 'other-sink'")
+    // the loser did not move the pointer and did not touch the claim
     StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe 1L
+    fs.exists(claim) shouldBe true
+    // ...whereas the SAME writer's leftover claim is a crashed attempt
+    // of its own (the pointer provably still names the base manifest):
+    // reclaimed, so at-least-once batch replay stays self-healing
+    publishNext("other-sink")
+    StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe 2L
+    StreamingOps.readSnapshot(spark, root).get
+      .filter(col("doc_id") === 4L).select(col("text"))
+      .as[String].collect().toSeq shouldBe Seq("d-other-sink")
+    // last window — a same-writerId twin steals the claim DURING this
+    // publish (it cannot tell a live twin from its own crash): the
+    // post-swap nonce readback turns that silent batch loss into a
+    // loud post-commit error. Drive the steal deterministically from
+    // a UDF evaluated inside the staged write job, which runs under
+    // the claim.
+    val live2 = StreamingOps.currentSnapshotManifest(fs, root).get
+    val claim3 = new org.apache.hadoop.fs.Path(s"$root/_manifests/m3")
+    val stealUdf = udf { () =>
+      val f = new java.io.File(claim3.toUri.getPath)
+      // raw-java rewrite invalidates the local FS's checksum sidecar —
+      // drop it so the readback sees the stolen content, not a CRC error
+      val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+      if (crc.exists()) crc.delete()
+      val w = new java.io.FileWriter(f, false) // idempotent overwrite
+      try w.write("buckets 4\nwriter default stolen-nonce\n")
+      finally w.close()
+      true
+    }
+    val merged3 = mergedFrame("e").filter(stealUdf())
+    val err3 = intercept[IllegalStateException] {
+      StreamingOps.publishSnapshotVersion(spark, root, merged3, "doc_id",
+        touched = Set(0, 1, 2, 3), prev = Some(live2),
+        numBuckets = live2.numBuckets, keepVersions = 3,
+        org.apache.spark.sql.types.StructType(merged3.schema.fields.toSeq))
+    }
+    err3.getMessage should include("nonce mismatch")
   }
 
   test("rebucketSnapshot grows the bucket count: state identical, empty changelog, sink continues on the new layout") {
