@@ -2630,6 +2630,103 @@ object QueriesDataOps {
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY qid, rank""")),
 
+    ("ann_index_sync", (s, dir) => {
+      // the reference's OUTER LOOP end to end as one oracle-checked
+      // row (the continuously-running sink connector upserting
+      // embedded docs into Atlas while the coach queries the index,
+      // main.tf:594-635): mutations flow through the CDC snapshot
+      // store (snapshotUpsertSink), the IndexSync pump drains the
+      // store's changelog cursor-committed into a persisted IVF-Flat
+      // index as VERSIONED upserts/deletes (one pull per published
+      // snapshot — bootstrap then incremental), and the search serves
+      // the post-mutation live state in the exact regime. DuckDB
+      // replays the mutations as set algebra over the same table — a
+      // drift anywhere in the chain (store publish, bucket-pruned
+      // changelog, pump, versioned tombstone mask, pruned search)
+      // hash-mismatches. The corpus is the pre-embedded embeddings
+      // table, so embed = identity; the MlPredict-embedding
+      // composition is pinned in IndexSyncSpec/StreamingSpec.
+      val emb = T(s, dir, "embeddings")
+      val root = graft.core.TempRoots.buildOnce(
+        s"idxsync-${dir.replaceAll("[^0-9a-zA-Z]", "")}") { p =>
+        import s.implicits._
+        implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // fixture collect, bounded: ≤364 vectors of 64 floats feed the
+        // MemoryStream batches (the store's INPUT — a test stand-in
+        // for the Kafka topic, not an operator collect)
+        val vecs: Map[Long, Seq[Float]] = emb
+          .filter(col("vec_id") < 360 ||
+            (col("vec_id") >= 440 && col("vec_id") < 444))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+        val cents = (440L until 444L).map(vecs).toSeq
+        // empty index SHELL — rows arrive only through the pump
+        SimilaritySearch.writeIvfFlatIndex(
+          emb.filter(lit(false))
+            .select(col("vec_id").cast("string").as("nid"),
+              col("embedding")),
+          cents, s"$p/index", cId = "nid", cVec = "embedding")
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, String, Seq[Float])]
+        val sink = graft.streaming.StreamingOps.snapshotUpsertSink(
+            input.toDF.toDF("doc_id", "seq", "op", "embedding"),
+            s"$p/snap", payloadCols = Seq("embedding"),
+            keepVersions = 3, numBuckets = 4)
+          .option("checkpointLocation", s"$p/ckpt").start()
+        try {
+          def pump(): Option[Long] =
+            graft.streaming.IndexSync.syncIndexFromSnapshot(
+              s, s"$p/snap", s"$p/cursor", s"$p/index",
+              graft.streaming.IndexSync.identityEmbed)
+          // snapshot 0: the base corpus → bootstrap pull
+          input.addData((0L until 300L).map(i =>
+            (i, 1L, "upsert", vecs(i))): _*)
+          sink.processAllAvailable()
+          require(pump().contains(0L), "ann_index_sync: bootstrap pull")
+          // snapshot 1: update 0..19 to the vectors of 300..319, delete
+          // 100..119, insert 320..359 → incremental pull
+          val nul = null.asInstanceOf[Seq[Float]]
+          input.addData(
+            (0L until 20L).map(i => (i, 2L, "upsert", vecs(i + 300))) ++
+            (100L until 120L).map(i => (i, 2L, "delete", nul)) ++
+            (320L until 360L).map(i => (i, 2L, "upsert", vecs(i))): _*)
+          sink.processAllAvailable()
+          require(pump().contains(1L), "ann_index_sync: incremental pull")
+        } finally sink.stop()
+      }
+      SimilaritySearch.searchIvfFlatIndex(s, s"$root/index",
+          emb.filter(col("vec_id") >= 480 && col("vec_id") < 488),
+          k = 3, numCandidates = Int.MaxValue,
+          qId = "vec_id", qVec = "embedding", dedupReplays = true)
+        .select(col("qid").cast("long").as("qid"),
+          col("nid").cast("long").as("nid"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH live AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 20 AND vec_id < 300
+          AND NOT (vec_id >= 100 AND vec_id < 120)
+        UNION ALL
+        SELECT e.vec_id, n.embedding FROM embeddings e
+        JOIN embeddings n ON n.vec_id = e.vec_id + 300
+        WHERE e.vec_id < 20
+        UNION ALL
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 320 AND vec_id < 360),
+      sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q CROSS JOIN live c
+        WHERE q.vec_id >= 480 AND q.vec_id < 488),
+      ranked AS (
+        SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid ASC) AS rank
+        FROM sims)
+      SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank""")),
+
     ("ann_ivfpq_rerank", (s, dir) => {
       // IVFADC + exact refine ("IVFADC+R"): the same index recipe as
       // ann_ivfpq_adc, but the ADC stage emits a 10-deep shortlist that

@@ -65,7 +65,7 @@ object SparkEntry {
     "ann_quantized_topk", "ann_radius", "ann_hard_negatives", "ann_mmr_topk",
     "ann_recall_report", "ann_pq_adc", "ann_pq_train",
     "ann_opq_adc", "ann_ivfpq_adc", "ann_ivfpq_train", "ann_ivfpq_rerank",
-    "ann_ivfpq_index",
+    "ann_ivfpq_index", "ann_index_sync",
     "ann_bm25_topk", "ann_hybrid_rrf", "ann_hamming_topk", "ann_jl_topk",
     "ann_matryoshka_topk", "ann_maxsim_topk", "ann_maxsim_rerank",
     "ann_filtered_topk", "emb_mean_pool", "emb_safetensors_roundtrip",

@@ -113,6 +113,11 @@ private[core] object GraftDdl {
     ("(?is)^REBUCKET\\s+SNAPSHOT\\s+'([^']+)'\\s+TO\\s+(\\d+)" +
       "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
   private val RebucketSnapMalformed = "(?is)^REBUCKET\\s+SNAPSHOT\\b.*$".r
+  private val SyncVecIdx =
+    ("(?is)^SYNC\\s+VECTOR\\s+INDEX\\s+(`[^`]+`|[\\w.$-]+)" +
+      "\\s+FROM\\s+SNAPSHOT\\s+'([^']+)'\\s+CURSOR\\s+'([^']+)'" +
+      "\\s+EMBED\\s+MODEL\\s+'([^']+)'\\s+TEXT\\s+'([^']+)'\\s*;?\\s*$").r
+  private val SyncVecIdxMalformed = "(?is)^SYNC\\s+VECTOR\\s+INDEX\\b.*$".r
 
   /** The statement family's uniform failure contract: rethrow
     * ParseException untouched, let AnalysisException (planning/catalog)
@@ -241,6 +246,25 @@ private[core] object GraftDdl {
         Map("error" -> "'REBUCKET SNAPSHOT'",
             "hint" -> (": expected REBUCKET SNAPSHOT '<root>' " +
               "TO <buckets> [KEEP <k>]")))
+    case SyncVecIdx(rawName, root, cursor, model, textCol) =>
+      // SYNC VECTOR INDEX idx FROM SNAPSHOT '<root>' CURSOR '<cursor>'
+      // EMBED MODEL '<model>' TEXT '<col>' — the reference's outer loop
+      // from SQL: drain the CDC snapshot store's changelog into the
+      // registered persisted index (embed changed docs, versioned
+      // upsert/delete), cursor-committed per pulled snapshot
+      // (streaming.IndexSync). Side effect at execution, like the
+      // other maintenance commands.
+      wrapStatement(sql, "SYNC VECTOR INDEX") {
+        Some(SyncVectorIndexCommand(
+          rawName.stripPrefix("`").stripSuffix("`"), root, cursor,
+          model, textCol))
+      }
+    case SyncVecIdxMalformed() =>
+      throw new ParseException(Option(sql), Origin(), "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'SYNC VECTOR INDEX'",
+            "hint" -> (": expected SYNC VECTOR INDEX <idx> FROM " +
+              "SNAPSHOT '<root>' CURSOR '<cursor>' EMBED MODEL " +
+              "'<model>' TEXT '<text_col>'")))
     case CurateTbl(rawTbl, op, rest) =>
       val tbl = rawTbl.stripPrefix("`").stripSuffix("`")
       val stmt = s"CURATE TABLE $tbl USING ${op.toLowerCase}"
@@ -717,6 +741,57 @@ case class DropVectorIndexCommand(name: String) extends LeafRunnableCommand {
         s"DROP VECTOR INDEX $name: no such index is registered")
     }
     Seq.empty
+  }
+}
+
+/** `SYNC VECTOR INDEX idx FROM SNAPSHOT '<root>' CURSOR '<cursor>'
+  * EMBED MODEL '<model>' TEXT '<col>'` — drain the snapshot store's
+  * changelog into a registered persisted index
+  * ([[graft.streaming.IndexSync.drainIndexFromSnapshot]]): changed
+  * docs are embedded with the registered model and applied as
+  * VERSIONED upserts (document_id/chunks payload, the registered-store
+  * serving contract; nid = the doc id, so pair this with indexes whose
+  * rows the sync itself bootstraps), deletes as versioned tombstones.
+  * Returns one row: the snapshot id synced to, -1 when already caught
+  * up. The store registration refreshes afterwards (cellstats moved),
+  * the COMPACT VECTOR INDEX convention. */
+case class SyncVectorIndexCommand(name: String, root: String,
+                                  cursor: String, model: String,
+                                  textCol: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("synced_to", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val store = graft.store.VectorStoreRegistry.lookup(name) match {
+      case Some(s: graft.store.IvfFlatIndexStore) => s
+      case Some(_) => sys.error(
+        s"SYNC VECTOR INDEX $name: '$name' is not a persisted index")
+      case None => sys.error(
+        s"SYNC VECTOR INDEX $name: no such index is registered")
+    }
+    val spec = graft.providers.ModelRegistry.get(model)
+    require(spec.task == "embedding",
+      s"SYNC VECTOR INDEX $name: model '$model' is task " +
+        s"'${spec.task}', need 'embedding'")
+    val embedder = graft.providers.Providers.embedderFor(spec)
+    val embed: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = { ups =>
+      val idC = ups.columns.head // changelog shape: id leads
+      graft.operators.MlPredict
+        .withEmbedding(ups, embedder, textCol, "embedding")
+        .withColumn("document_id", col(idC).cast("string"))
+        .withColumn("chunks", col(textCol).cast("string"))
+    }
+    val synced = graft.streaming.IndexSync.drainIndexFromSnapshot(
+      session, root, cursor, store.indexPath, embed,
+      vecCol = "embedding", payloadCols = Seq("document_id", "chunks"))
+    graft.store.VectorStoreRegistry.register(name,
+      new graft.store.IvfFlatIndexStore(session, store.indexPath,
+        store.defaultNumCandidates))
+    Seq(Row(synced.getOrElse(-1L)))
   }
 }
 

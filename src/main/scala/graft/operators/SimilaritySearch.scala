@@ -1356,19 +1356,31 @@ object SimilaritySearch {
                         payloadCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // batch-built rows carry version -1: any upsert's tombstone
+    // (at seq-1 >= -1 for seq >= 0) supersedes them — see
+    // [[upsertIvfFlatBatch]]. Writing the column here keeps every
+    // file of a post-build index schema-uniform, which is what lets
+    // the read paths rely on plain schema inference.
     payloadWriter(ivfAssign(corpus, centroids, cVec)
       .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
-        col("cluster")) ++ payloadCols.map(col): _*))
+        col("cluster"), lit(-1L).as("__useq")) ++ payloadCols.map(col): _*))
       .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/payload")
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // per-cell counts (≤ #cells rows): drives the numCandidates→nProbe
-    // mapping without touching the data at search time
-    spark.read.parquet(s"$path/payload")
-      .groupBy(col("cluster")).count()
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+    // mapping without touching the data at search time. Zero-row
+    // tolerant: an EMPTY shell (centroids only, rows arriving later via
+    // the sync pump / streamed appends) is a legitimate bootstrap
+    locally {
+      import org.apache.spark.sql.types._
+      readParquetOrEmpty(spark, s"$path/payload",
+        StructType(Seq(StructField("cluster", IntegerType),
+          StructField("nid", StringType))))
+        .groupBy(col("cluster")).count()
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+    }
   }
 
   /** numCandidates → probe depth: the smallest P such that the P
@@ -1455,22 +1467,18 @@ object SimilaritySearch {
     // metadata pre-filter BEFORE dedup/tombstones/scoring: Catalyst
     // pushes it into the parquet scan next to the partition filter
     val raw = payloadFilter.map(raw0.filter).getOrElse(raw0)
+    // tombstone mask BEFORE the replay dedup: on an upsert-maintained
+    // index a nid can carry several VERSIONS (distinct __useq), and a
+    // dedup running first could keep a version the mask is about to
+    // hide — mask first, and what survives per nid is either unique or
+    // byte-identical replays, which dropDuplicates then handles
+    val masked = maskTombstones(spark, path, withUseq(raw))
     // dedupReplays: an index fed by at-least-once micro-batch appends
     // may hold replayed duplicates (identical rows, same content nid)
     // until the next compaction — mask them here at the cost of one
     // extra shuffle. Batch-built / freshly-compacted indexes are
     // duplicate-free, so the DEFAULT search plan skips it.
-    val deduped = if (dedupReplays) raw.dropDuplicates("nid") else raw
-    // tombstones (deleteFromIvfFlatIndex) mask unconditionally — a
-    // deleted row must never surface; compaction clears the sidecar
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val payload =
-      if (tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(tombDir))
-        deduped.join(
-          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
-          Seq("nid"), "left_anti")
-      else deduped
+    val payload = if (dedupReplays) masked.dropDuplicates("nid") else masked
     val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
       explode(probeClusters(col(qVec), cents, nProbe)).as("cluster"))
     val d = cents.head.length
@@ -1506,17 +1514,50 @@ object SimilaritySearch {
                          cId: String = "vec_id", cVec: String = "embedding",
                          payloadCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cid")).select(col("vec")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+    // match the index's own file convention (one cheap footer read):
+    // a versioned payload gets version -1 rows (supersedable by any
+    // upsert), a legacy payload stays legacy — files in one payload
+    // dir must stay schema-UNIFORM or plain inference on the read
+    // paths silently drops the version column for every row
+    val versionCol =
+      if (payloadHasUseq(spark, path)) Seq(lit(-1L).as("__useq"))
+      else Seq.empty[Column]
     val assigned = ivfAssign(batch, cents, cVec)
       .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
-        col("cluster")) ++ payloadCols.map(col): _*)
+        col("cluster")) ++ versionCol ++ payloadCols.map(col): _*)
     payloadWriter(assigned).mode("append").partitionBy("cluster")
       .parquet(s"$path/payload")
-    // incremental cellstats: old counts + this batch's (both bounded
-    // collects), rewritten whole — collected BEFORE the overwrite
+    bumpCellstats(spark, path, assigned)
+  }
+
+  /** Whether the payload's files carry the `__useq` version column —
+    * reliable under the schema-UNIFORM invariant the writers maintain
+    * (a dir is either all-versioned or all-legacy, never mixed). An
+    * empty or file-less payload counts as versioned: there is no
+    * legacy file to conflict with. */
+  private def payloadHasUseq(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Boolean =
+    try spark.read.parquet(s"$path/payload")
+      .schema.fieldNames.contains("__useq")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+            e.getMessage.contains("PATH_NOT_FOUND") => true
+    }
+
+  /** Incremental cellstats bump shared by append and upsert: old
+    * counts + this batch's (both bounded collects), rewritten whole —
+    * collected BEFORE the overwrite. Upserted counts OVERCOUNT rows
+    * their own tombstones mask; cellstats only drives the
+    * numCandidates→nProbe mapping, where overcounting is conservative
+    * (probes at least as many cells), and compaction refreshes the
+    * exact counts. */
+  private def bumpCellstats(spark: org.apache.spark.sql.SparkSession,
+                            path: String, assigned: DataFrame): Unit = {
+    import spark.implicits._
     val old = spark.read.parquet(s"$path/cellstats")
       .select(col("cluster"), col("count")).as[(Int, Long)].collect().toMap
     val add = assigned.groupBy(col("cluster")).count()
@@ -1526,6 +1567,72 @@ object SimilaritySearch {
     merged.toDF("cluster", "count")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
   }
+
+  /** VERSIONED upsert into a persisted IVF-Flat index — the
+    * change-data apply the reference's continuously-running MongoDB
+    * sink connector performs on Atlas (main.tf:594-635), re-expressed
+    * as an LSM write: each upserted key's new row is APPENDED with its
+    * change sequence number (`__useq` = `cSeq`), and every OLDER
+    * version of that key is masked by a tombstone at `seq-1` (the
+    * versioned mask rule: a tombstone at s hides rows with
+    * `__useq <= s`). No base read, no partition rewrite — per-batch
+    * cost ∝ the batch, never the index.
+    *
+    * Ordering: tombstones land BEFORE the payload append, so a crash
+    * between the two leaves the key temporarily ABSENT (a stale read
+    * the replay heals) rather than serving two live versions of one
+    * nid with an arbitrary winner. At-least-once replays converge:
+    * re-appended rows are byte-identical (masked by `dedupReplays`
+    * until compaction) and re-appended tombstones are idempotent.
+    * Multiple versions of one key inside a single batch are
+    * self-consistent under the mask rule — only the highest-seq row
+    * survives. Sequence numbers must be >= 0 and monotone per key
+    * across calls (the CDC changelog contract); a DELETE is a
+    * tombstone at the delete's own seq — see
+    * [[graft.streaming.IndexSync]] for the composed consumer.
+    *
+    * Legacy (pre-version-column) indexes are REFUSED with a pointed
+    * error: their files lack `__useq`, and mixing makes schema
+    * inference on the read paths unreliable. [[compactIvfFlatIndex]]
+    * rewrites the payload with the column — compact once, then
+    * upsert. */
+  def upsertIvfFlatBatch(batch: DataFrame, path: String,
+                         cId: String = "vec_id", cVec: String = "embedding",
+                         cSeq: String = "seq",
+                         payloadCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    require(payloadHasUseq(spark, path),
+      s"upsertIvfFlatBatch: the index at $path predates versioned " +
+        "upserts (its payload files lack the __useq column). Run " +
+        "compactIvfFlatIndex once — it rewrites the payload " +
+        "versioned — then upsert.")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    // tombstones first (see ordering note above)
+    batch.select(col(cId).cast("string").as("nid"),
+        (col(cSeq).cast("long") - 1L).as("seq"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    val assigned = ivfAssign(batch, cents, cVec)
+      .select(Seq(col(cId).cast("string").as("nid"), col(cVec).as("nvec"),
+        col("cluster"), col(cSeq).cast("long").as("__useq")) ++
+        payloadCols.map(col): _*)
+    payloadWriter(assigned).mode("append").partitionBy("cluster")
+      .parquet(s"$path/payload")
+    bumpCellstats(spark, path, assigned)
+  }
+
+  /** Append VERSIONED tombstones (nid, seq) — the delete half of the
+    * CDC apply: a tombstone at `seq` masks every row of its nid with
+    * `__useq <= seq`, so a later RE-INSERT at a higher seq resurrects
+    * the key (unlike [[deleteFromIvfFlatIndex]]'s legacy seq-less
+    * form, which masks unconditionally until compaction). Idempotent
+    * under replay. */
+  def tombstoneIvfFlat(spark: org.apache.spark.sql.SparkSession,
+                       path: String, tombs: DataFrame): Unit =
+    tombs.select(col("nid").cast("string").as("nid"),
+        col("seq").cast("long").as("seq"))
+      .write.mode("append").parquet(s"$path/tombstones")
 
   /** Tombstone rows of a persisted index by nid: deletes append to a
     * `tombstones` sidecar (cheap, no partition rewrite);
@@ -1556,14 +1663,19 @@ object SimilaritySearch {
     def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = hPath(path).getFileSystem(hconf)
     val tombDir = hPath(s"$path/tombstones")
-    val payload0 = spark.read.parquet(s"$path/payload")
-      .dropDuplicates("nid")
-    val payload =
-      if (fs.exists(tombDir))
-        payload0.join(
-          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
-          Seq("nid"), "left_anti")
-      else payload0
+    // mergeSchema: compaction is THE repair pass for a payload whose
+    // files mix legacy and versioned schemas (plain inference would
+    // silently drop __useq for every row); it rewrites versioned, so
+    // the post-compact index is schema-uniform and upsertable
+    val raw0 = withUseq(spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/payload"))
+    val masked = maskTombstones(spark, path, raw0)
+    // keep the HIGHEST surviving version per nid — post-mask that is
+    // the live version plus possibly its byte-identical replays
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid")).orderBy(col("__useq").desc)
+    val payload = masked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     // repartition on the partition column: every cell's rows land in
     // one task, so each cluster directory collapses to ONE file (the
     // small-file fix micro-batch appends make necessary)
@@ -1616,6 +1728,49 @@ object SimilaritySearch {
       payloadCols.map(c => StructField(c, StringType)))
   }
 
+  /** The versioned-tombstone sidecar schema, read EXPLICITLY so legacy
+    * seq-less tombstone files (null seq → mask-everything) and
+    * versioned ones coexist in a dir without schema-inference games. */
+  private[graft] def tombstoneSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("nid", StringType),
+      StructField("seq", LongType)))
+  }
+
+  /** Normalize a payload frame to carry a non-null `__useq` version:
+    * legacy rows (no column, or null from a mixed read) become -1 —
+    * below every real change seq, so any versioned tombstone
+    * supersedes them, and the legacy seq-less tombstone (MaxValue)
+    * supersedes everything. */
+  private[graft] def withUseq(df: DataFrame): DataFrame =
+    if (df.columns.contains("__useq"))
+      df.withColumn("__useq", coalesce(col("__useq"), lit(-1L)))
+    else df.withColumn("__useq", lit(-1L))
+
+  /** THE single tombstone-masking rule, shared by search, compaction,
+    * report, merge, and migration: a tombstone at seq s hides rows of
+    * its nid with `__useq <= s`; a legacy seq-less tombstone reads as
+    * MaxValue (hides every version until compaction clears it). The
+    * payload must already be [[withUseq]]-normalized. The tombstone
+    * aggregate is bounded by the deleted/updated key count and
+    * broadcasts. */
+  private[graft] def maskTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      payload: DataFrame): DataFrame = {
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tombDir)) payload
+    else {
+      val tombs = spark.read.schema(tombstoneSchema)
+        .parquet(s"$path/tombstones")
+        .groupBy(col("nid"))
+        .agg(max(coalesce(col("seq"), lit(Long.MaxValue))).as("__tseq"))
+      payload.join(broadcast(tombs), Seq("nid"), "left")
+        .filter(col("__tseq").isNull || col("__useq") > col("__tseq"))
+        .drop("__tseq")
+    }
+  }
+
   /** Read a parquet directory, or — ONLY when it exists but holds no
     * parquet files (a fully-emptied index after compaction; schema
     * inference has nothing to read) — synthesize an empty frame with
@@ -1627,9 +1782,10 @@ object SimilaritySearch {
     * the provided defaults — harmless at zero rows. */
   private[graft] def readParquetOrEmpty(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      emptySchema: org.apache.spark.sql.types.StructType)
+      emptySchema: org.apache.spark.sql.types.StructType,
+      mergeSchema: Boolean = false)
       : DataFrame =
-    try spark.read.parquet(path)
+    try spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
@@ -1654,19 +1810,24 @@ object SimilaritySearch {
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val tombstones =
       if (tombDir.getFileSystem(hconf).exists(tombDir))
-        spark.read.parquet(s"$path/tombstones").distinct().count()
+        // distinct KEYS under tombstone (an nid upserted thrice holds
+        // three versioned tombstones but is one masked key)
+        spark.read.schema(tombstoneSchema).parquet(s"$path/tombstones")
+          .select(col("nid")).distinct().count()
       else 0L
     // a fully-emptied index (every row deleted, then compacted) leaves
     // a payload directory with NO parquet files — schema inference
     // fails, and the health report is exactly the diagnostic someone
     // runs against such an index, so read it as empty instead (other
-    // read failures still propagate — see readParquetOrEmpty)
+    // read failures still propagate — see readParquetOrEmpty);
+    // mergeSchema: the report must stay truthful on a mixed
+    // legacy+versioned payload awaiting its repair compaction
     val payload = {
       import org.apache.spark.sql.types._
-      readParquetOrEmpty(spark, s"$path/payload",
+      withUseq(readParquetOrEmpty(spark, s"$path/payload",
         StructType(Seq(StructField("cluster", IntegerType),
-          StructField("nid", StringType))))
-        .select(col("cluster"), col("nid"))
+          StructField("nid", StringType))), mergeSchema = true))
+        .select(col("cluster"), col("nid"), col("__useq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     try {
@@ -1679,19 +1840,17 @@ object SimilaritySearch {
           coalesce(max(col("count")).cast("double") /
             avg(col("count")), lit(0.0d)).as("imbalance"))
         .as[(Long, Long, Double)].head()
-      // replay dups: extra copies beyond the first of each content nid
+      // garbage rows: extra copies beyond the first of each content
+      // nid — at-least-once replays AND superseded upsert versions
+      // both await the same compaction
       val dupRows = payload.groupBy(col("nid")).count()
         .filter(col("count") > 1)
         .agg(coalesce(sum(col("count") - 1), lit(0L))).as[Long].head()
       // live = what a dedupReplays+tombstone-masked search serves —
-      // counted exactly (a tombstoned nid may also carry dup copies,
-      // so total − dups − tombstones would double-subtract)
-      val deduped = payload.dropDuplicates("nid")
-      val live =
-        if (tombstones == 0L) deduped.count()
-        else deduped.join(
-          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
-          Seq("nid"), "left_anti").count()
+      // the versioned mask first (so a superseded version never
+      // counts), then one row per surviving nid
+      val live = maskTombstones(spark, path, payload)
+        .dropDuplicates("nid").count()
       // small-file pressure via the Hadoop FS API (any filesystem)
       val payloadDir = new org.apache.hadoop.fs.Path(s"$path/payload")
       val fs = payloadDir.getFileSystem(hconf)
@@ -1733,16 +1892,21 @@ object SimilaritySearch {
     val hconf = spark.sparkContext.hadoopConfiguration
     def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = hPath(target).getFileSystem(hconf)
-    val unioned = sources.map(s => spark.read.parquet(s"$s/payload"))
-      .reduce(_ unionByName _)
-      .dropDuplicates("nid")
-    val tombs = sources.map(s => hPath(s"$s/tombstones")).filter(fs.exists)
-    val payload =
-      if (tombs.isEmpty) unioned
-      else unioned.join(
-        broadcast(tombs.map(t => spark.read.parquet(t.toString))
-          .reduce(_ unionByName _).distinct()),
-        Seq("nid"), "left_anti")
+    // each source's OWN versioned tombstones apply before the union
+    // dedupes — cross-source they don't compose (independent seq
+    // spaces), and within a source the mask rule is [[maskTombstones]]
+    val maskedUnion = sources
+      .map(s => maskTombstones(spark, s,
+        withUseq(spark.read.option("mergeSchema", "true")
+          .parquet(s"$s/payload"))))
+      .reduce(_ unionByName (_, allowMissingColumns = true))
+    // content-keyed rows in several sources dedupe to the HIGHEST
+    // version (ties — the common same-content case — break arbitrarily
+    // among byte-identical rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid")).orderBy(col("__useq").desc)
+    val payload = maskedUnion.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     payloadWriter(payload.repartition(col("cluster")))
       .mode("overwrite").partitionBy("cluster")
       .parquet(s"$target/payload.merge")
@@ -1793,16 +1957,15 @@ object SimilaritySearch {
       "migrateIvfFlatIndex: newPath must differ from the live index " +
         "(re-encode lands beside it; swap by pointer after validation)")
     import spark.implicits._
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val raw = spark.read.parquet(s"$path/payload")
-      .drop("cluster").dropDuplicates("nid")
-    val live =
-      if (tombDir.getFileSystem(hconf).exists(tombDir))
-        raw.join(
-          broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
-          Seq("nid"), "left_anti")
-      else raw
+    // versioned mask first (a superseded upsert version must not ride
+    // a migration), then the highest surviving version per nid
+    val masked = maskTombstones(spark, path,
+      withUseq(spark.read.option("mergeSchema", "true")
+        .parquet(s"$path/payload")).drop("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid")).orderBy(col("__useq").desc)
+    val live = masked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     payloadWriter(ivfAssign(live, newCentroids, "nvec")
         .repartition(col("cluster")))
       .mode("overwrite").partitionBy("cluster")

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keep a persisted IVF-Flat vector index FRESH from a CDC snapshot
+  * store — the reference pipeline's outer loop re-expressed over this
+  * library's own stores: the reference upserts embedded knowledge into
+  * MongoDB Atlas through a continuously-running sink connector while
+  * the coach queries the Atlas index
+  * (`main.tf:594-635`, `generate_personalized_commands.sh:293-306`);
+  * here the document store is [[StreamingOps.snapshotUpsertSink]]'s
+  * bucketed CDC snapshot, the index is
+  * [[graft.operators.SimilaritySearch]]'s persisted IVF-Flat layout,
+  * and the glue is one cursor-committed changelog pull per sync.
+  *
+  * Scale story (the reason this is a changelog consumer and not a
+  * rebuild): one sync reads ONLY the snapshot buckets whose manifest
+  * version moved ([[StreamingOps.snapshotChangelog]]), embeds ONLY the
+  * changed documents, and appends ONLY those rows + their version
+  * tombstones to the index ([[graft.operators.SimilaritySearch.upsertIvfFlatBatch]]) —
+  * a day of edits touching 0.1% of a 100 TB corpus costs 0.1% of an
+  * embed pass and zero index rewrites. The index's weekly
+  * `compactIvfFlatIndex` collapses the accumulated versions exactly
+  * like the snapshot store's own compaction collapses tombstones.
+  */
+object IndexSync {
+
+  /** One at-least-once sync pull: drain the snapshot store's changelog
+    * since the cursor, apply it to the index, commit the cursor.
+    * Returns the snapshot id synced to, or None when already caught up.
+    *
+    * `embed` maps a changed-documents frame (the changelog's upsert
+    * rows: id, seq, payload columns) to the same frame plus `vecCol` —
+    * the embedding stage ([[graft.operators.MlPredict.withEmbedding]]
+    * in the reference shape; identity when the store already carries
+    * vectors). It runs ONLY over this window's upserts.
+    *
+    * Crash safety mirrors the store's own consumer contract
+    * ([[StreamingOps.nextChangelogBatch]]): the cursor commits AFTER
+    * the index writes, so a crash replays the window; replayed upserts
+    * re-append byte-identical rows (masked by `dedupReplays`, removed
+    * by compaction) and re-appended tombstones are idempotent — the
+    * served top-k converges. Deletes become VERSIONED index tombstones
+    * at the delete's own seq, so a later re-insert of the key at a
+    * higher seq resurrects it, exactly like the store.
+    *
+    * Single-consumer per cursor file, like every cursor in this
+    * library. The first pull bootstraps: the changelog emits the full
+    * live state, so pointing a fresh cursor + empty index at a mature
+    * store backfills it in one (large) sync. */
+  def syncIndexFromSnapshot(spark: SparkSession, snapshotRoot: String,
+                            cursorPath: String, indexPath: String,
+                            embed: DataFrame => DataFrame,
+                            vecCol: String = "embedding",
+                            payloadCols: Seq[String] = Nil): Option[Long] = {
+    StreamingOps.nextChangelogBatch(spark, snapshotRoot, cursorPath).map {
+      case (live, frame, commit) =>
+        val idCol = frame.columns.head // changelogShape: id leads
+        // one pull feeds two consumers (upserts, deletes): persist, and
+        // release before returning (the antiJoinFuzzy lifecycle rule —
+        // this runs once per sync on a standing schedule)
+        val f = frame.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val deletes = f.filter(col("op") === "delete")
+            .select(col(idCol).cast("string").as("nid"),
+              col("seq").cast("long").as("seq"))
+          if (deletes.limit(1).count() > 0)
+            graft.operators.SimilaritySearch.tombstoneIvfFlat(
+              spark, indexPath, deletes)
+          val upserts = f.filter(col("op") === "upsert")
+          if (upserts.limit(1).count() > 0)
+            graft.operators.SimilaritySearch.upsertIvfFlatBatch(
+              embed(upserts), indexPath, cId = idCol, cVec = vecCol,
+              cSeq = "seq", payloadCols = payloadCols)
+          commit()
+          live
+        } finally f.unpersist()
+    }
+  }
+
+  /** Drain the store to its live snapshot: loop single pulls until
+    * caught up (each pull is one committed sync — a crash resumes at
+    * the last commit). Returns the final synced snapshot id, None if
+    * there was nothing at all to sync. */
+  def drainIndexFromSnapshot(spark: SparkSession, snapshotRoot: String,
+                             cursorPath: String, indexPath: String,
+                             embed: DataFrame => DataFrame,
+                             vecCol: String = "embedding",
+                             payloadCols: Seq[String] = Nil): Option[Long] = {
+    var last: Option[Long] = None
+    var more = true
+    while (more) {
+      val got = syncIndexFromSnapshot(spark, snapshotRoot, cursorPath,
+        indexPath, embed, vecCol, payloadCols)
+      if (got.isEmpty) more = false else last = got
+    }
+    last
+  }
+
+  /** Identity embed for stores whose snapshot already carries vectors. */
+  val identityEmbed: DataFrame => DataFrame = (df: DataFrame) => df
+}

@@ -802,6 +802,76 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql(s"REBUCKET SNAPSHOT '$root' TO 3000000000"))
   }
 
+  test("SYNC VECTOR INDEX drains the CDC snapshot store into a registered index from SQL") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.providers.ModelRegistry.register(graft.providers.ModelSpec(
+      "sync_embed", provider = "mock", task = "embedding",
+      connection = "", dim = 16))
+    val base = java.nio.file.Files.createTempDirectory("graft-sql-sync")
+      .toString
+    val root = s"$base/snap"
+    val cursor = s"$base/cursor"
+    val indexPath = s"$base/index"
+    // the document store
+    val nul = null.asInstanceOf[String]
+    val input = MemoryStream[(Long, Long, String, String)]
+    val sink = graft.streaming.StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    // empty index SHELL, registered — rows arrive only through SYNC
+    val mock = new graft.providers.MockEmbedder(16)
+    val cents = Seq("centroid one", "centroid two")
+      .map(t => mock.embed(t).toSeq)
+    graft.operators.SimilaritySearch.writeIvfFlatIndex(
+      spark.emptyDataset[(String, Seq[Float], String, String)]
+        .toDF("nid", "embedding", "document_id", "chunks"),
+      cents, indexPath, cId = "nid", cVec = "embedding",
+      payloadCols = Seq("document_id", "chunks"))
+    graft.store.VectorStoreRegistry.register("sql_sync_idx",
+      new graft.store.IvfFlatIndexStore(spark, indexPath))
+    def sync(): Long = spark.sql(
+      s"SYNC VECTOR INDEX sql_sync_idx FROM SNAPSHOT '$root' CURSOR " +
+        s"'$cursor' EMBED MODEL 'sync_embed' TEXT 'text'")
+      .collect().head.getLong(0)
+    def hitFor(text: String): Seq[(String, String)] = {
+      val q = Seq((0L, mock.embed(text).toSeq)).toDF("qid", "qvec")
+      graft.store.VectorStoreRegistry.lookup("sql_sync_idx").get
+        .asInstanceOf[graft.store.IvfFlatIndexStore]
+        .searchBatch(q, k = 1)
+        .select(col("document_id"), col("chunks"))
+        .as[(String, String)].collect().toSeq
+    }
+    try {
+      input.addData((1L, 1L, "upsert", "alpha doc"),
+        (2L, 1L, "upsert", "beta doc"))
+      sink.processAllAvailable()
+      sync() shouldBe 0L // bootstrap
+      sync() shouldBe -1L // caught up
+      hitFor("alpha doc") shouldBe Seq(("1", "alpha doc"))
+      // mutate: re-point doc 1, delete doc 2, add doc 3 → incremental
+      input.addData((1L, 2L, "upsert", "alpha rewritten"),
+        (2L, 2L, "delete", nul), (3L, 2L, "upsert", "gamma doc"))
+      sink.processAllAvailable()
+      sync() shouldBe 1L
+      hitFor("alpha rewritten") shouldBe Seq(("1", "alpha rewritten"))
+      hitFor("gamma doc") shouldBe Seq(("3", "gamma doc"))
+      // the mock embedder is content-keyed, so doc 2's exact vector
+      // matching NOTHING proves the delete reached the index
+      hitFor("beta doc").map(_._1) should not contain "2"
+    } finally sink.stop()
+    // loud failures: unknown index; malformed statement
+    val err = intercept[Exception](spark.sql(
+      s"SYNC VECTOR INDEX nope FROM SNAPSHOT '$root' CURSOR '$cursor' " +
+        "EMBED MODEL 'sync_embed' TEXT 'text'").collect())
+    err.getMessage should include("no such index")
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+      spark.sql("SYNC VECTOR INDEX x FROM SNAPSHOT 'y'"))
+  }
+
   test("model and connection registries resolve by name (M5/M6)") {
     ModelRegistry.registerReferenceModels()
     ModelRegistry.get("openaiembed").task shouldBe "embedding"
