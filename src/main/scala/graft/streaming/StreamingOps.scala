@@ -388,26 +388,82 @@ object StreamingOps {
             val touched = batch
               .select(snapshotBucket(col(idCol), b).as("__bucket"))
               .distinct().collect().map(_.getInt(0)).toSet // bounded by B
-            // empty-base schema from the batch's own payload types (the
-            // readParquetOrEmpty convention) + the version metadata
-            val baseSchema = org.apache.spark.sql.types.StructType(
+            // the batch's own layout shape (id, payload…, __seq,
+            // __deleted)
+            val batchSchema = org.apache.spark.sql.types.StructType(
               (idCol +: payloadCols).map(c => batch.schema(c)) ++ Seq(
                 org.apache.spark.sql.types.StructField("__seq",
                   batch.schema(seqCol).dataType),
                 org.apache.spark.sql.types.StructField("__deleted",
                   org.apache.spark.sql.types.BooleanType)))
+            // SCHEMA EVOLUTION (add-only): the stored schema comes from
+            // the live manifest (or one footer read, once, for a store
+            // that predates recorded schemas — its next publish records
+            // one). Payload columns this sink streams that the store
+            // has never seen WIDEN the layout (existing rows read as
+            // null there); stored columns this sink does not stream are
+            // CARRIED, with upserted rows taking null (an upsert is a
+            // full-row replace — the applyChangelogVersioned
+            // explicit-null contract). Same-name columns must keep
+            // their type: a type change is a rebuild, not evolution,
+            // and raises before anything is staged.
+            val stored: Option[org.apache.spark.sql.types.StructType] =
+              cur.flatMap(_.schema).orElse(cur.flatMap(m =>
+                m.buckets.toSeq.sortBy(_._1).headOption.map { case (bk, v) =>
+                  spark.read.parquet(s"$root/b$bk/v$v").schema }))
+            val widened = stored match {
+              case None => batchSchema
+              case Some(st) =>
+                require(st.head.name == idCol,
+                  s"snapshotUpsertSink: the store at $root is keyed by " +
+                    s"'${st.head.name}' but this sink is configured " +
+                    s"with idCol '$idCol'")
+                batchSchema.foreach { f =>
+                  st.find(_.name == f.name).foreach { old =>
+                    require(old.dataType == f.dataType,
+                      s"snapshotUpsertSink: schema evolution is " +
+                        s"add-only — column '${f.name}' is " +
+                        s"${old.dataType.sql} in the store at $root " +
+                        s"but ${f.dataType.sql} in this sink's stream; " +
+                        "a type change requires a rebuild")
+                  }
+                }
+                val newCols = batchSchema
+                  .filterNot(f => st.fieldNames.contains(f.name))
+                org.apache.spark.sql.types.StructType(
+                  st.filterNot(f => f.name == "__seq" ||
+                    f.name == "__deleted") ++
+                  newCols ++ Seq(st("__seq"), st("__deleted")))
+            }
+            val widenedPayload = widened.fieldNames.toSeq
+              .filterNot(n => n == idCol || n == "__seq" ||
+                n == "__deleted")
             val basePaths = cur.toSeq.flatMap(m => touched.toSeq.sorted
               .flatMap(bk => m.buckets.get(bk).map(v => s"$root/b$bk/v$v")))
-            val base =
-              if (basePaths.isEmpty) spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                baseSchema)
-              else spark.read.parquet(basePaths: _*)
+            // base aligned to the widened layout (new columns → typed
+            // nulls); read under the manifest's schema so pre-widening
+            // dirs resolve correctly
+            val base = {
+              val raw =
+                if (basePaths.isEmpty) spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  widened)
+                else readBuckets(spark, cur.get, basePaths)
+              raw.select(widened.map(f =>
+                if (raw.columns.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)): _*)
+            }
+            // batch padded with the carried columns it does not stream
+            val paddedBatch = batch.select(
+              batch.columns.map(col).toSeq ++
+              widened.filter(f => !batch.columns.contains(f.name) &&
+                f.name != "__seq" && f.name != "__deleted")
+                .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
             val merged = graft.pipeline.CurationPipeline
-              .applyChangelogVersioned(base, batch, idCol, seqCol, opCol,
-                payloadCols)
+              .applyChangelogVersioned(base, paddedBatch, idCol, seqCol,
+                opCol, widenedPayload)
             publishSnapshotVersion(spark, root, merged, idCol, touched,
-              cur, b, keepVersions, baseSchema, writerId)
+              cur, b, keepVersions, widened, writerId)
           }
         } finally batch.unpersist()
       }
@@ -444,7 +500,7 @@ object StreamingOps {
         s"compactSnapshot: no committed snapshot at $root"))
     val paths = cur.buckets.toSeq.sortBy(_._1)
       .map { case (bk, v) => s"$root/b$bk/v$v" }
-    val raw = spark.read.parquet(paths: _*)
+    val raw = readBuckets(spark, cur, paths)
     val compacted = raw.filter(!(coalesce(col("__deleted"), lit(false)) &&
       col("__seq") <= horizonSeq))
     publishSnapshotVersion(spark, root, compacted, idColOf(raw),
@@ -478,7 +534,7 @@ object StreamingOps {
           val m = readSnapshotManifest(fs, mPath, n)
           val paths = m.buckets.toSeq.sortBy(_._1)
             .map { case (bk, v) => s"$root/b$bk/v$v" }
-          spark.read.parquet(paths: _*)
+          readBuckets(spark, m, paths)
         } else if (fs.exists(
             new org.apache.hadoop.fs.Path(s"$root/v$n"))) {
           // legacy single-dir layout (pre-bucketing): reads stay
@@ -548,14 +604,18 @@ object StreamingOps {
       .map { case (bk, v) => s"$root/b$bk/v$v" }
     require(sampleAll.nonEmpty,
       s"snapshotChangelog: snapshot $toId of $root has no buckets")
-    val schema = spark.read.parquet(sampleAll.head).schema
+    // the emission shape is the TO side's schema (schema evolution is
+    // add-only, so it is a superset of the from side's; from-only
+    // delete rows carry nulls for every payload column anyway)
+    val schema = mTo.schema.getOrElse(
+      spark.read.parquet(sampleAll.head).schema)
     val idCol = schema.head.name
     if (changed.isEmpty)
       changelogShape(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
         .limit(0)
     else {
-      val toRaw = spark.read.parquet(toPaths: _*)
+      val toRaw = readBuckets(spark, mTo, toPaths)
       val fromPaths = changed.toSeq.sorted
         .flatMap(bk => mFrom.buckets.get(bk).map(v => s"$root/b$bk/v$v"))
       val fromSide =
@@ -565,7 +625,7 @@ object StreamingOps {
               schema("__seq"), schema("__deleted"))))
           .select(col(idCol), col("__seq").as("__from_seq"),
             col("__deleted").as("__from_deleted"))
-        else spark.read.parquet(fromPaths: _*)
+        else readBuckets(spark, mFrom, fromPaths)
           .select(col(idCol), col("__seq").as("__from_seq"),
             col("__deleted").as("__from_deleted"))
       // FULL outer: a row present only on the FROM side was deleted in
@@ -735,7 +795,7 @@ object StreamingOps {
     // NOT persisted: publish runs exactly ONE action over this frame
     // (the staged write; schema/idColOf are metadata-only), so a cache
     // would be a second full copy of the store for zero reuse
-    val raw = spark.read.parquet(paths: _*)
+    val raw = readBuckets(spark, cur, paths)
     // synthetic prev: same id (so the manifest counter continues) and
     // the old bucket map as per-bucket VERSION FLOORS (monotonicity
     // across the boundary — grow-only means every old id < newB).
@@ -837,11 +897,13 @@ object StreamingOps {
       // a Long id column would probe the wrong buckets and silently
       // conclude the keys are absent. The stored type comes from one
       // bucket dir's parquet footer (metadata-only read).
-      val samplePath = m.buckets.toSeq.sortBy(_._1).headOption
-        .map { case (bk, v) => s"$root/b$bk/v$v" }
-        .getOrElse(throw new IllegalStateException(
-          s"lookupSnapshot: snapshot $n of $root has no buckets"))
-      val idField = spark.read.parquet(samplePath).schema.head
+      val idField = m.schema.map(_.head).getOrElse {
+        val samplePath = m.buckets.toSeq.sortBy(_._1).headOption
+          .map { case (bk, v) => s"$root/b$bk/v$v" }
+          .getOrElse(throw new IllegalStateException(
+            s"lookupSnapshot: snapshot $n of $root has no buckets"))
+        spark.read.parquet(samplePath).schema.head
+      }
       // key → bucket via the layout's own expression; local 1-partition
       // frame, so the "job" is a driver-side collect of |keys| ints
       val keyDf = spark.createDataFrame(
@@ -862,7 +924,7 @@ object StreamingOps {
         // result with the snapshot's schema (via any one bucket dir)
         readSnapshot(spark, root, version = Some(n)).get.limit(0)
       else {
-        val raw = spark.read.parquet(paths: _*)
+        val raw = readBuckets(spark, m, paths)
         val idCol = idColOf(raw)
         raw.filter(col(idCol).isin(keys: _*))
           .filter(!coalesce(col("__deleted"), lit(false)))
@@ -889,16 +951,29 @@ object StreamingOps {
       Seq((m.id, m.numBuckets, m.buckets.size,
           if (m.buckets.isEmpty) -1L else m.buckets.values.min,
           if (m.buckets.isEmpty) -1L else m.buckets.values.max,
-          retained))
+          retained,
+          // the live layout schema as DDL (schema evolution is
+          // add-only, so this is the superset every retained version
+          // reads under); null for pre-evolution stores
+          m.schema.map(_.toDDL).orNull))
         .toDF("snapshot_id", "num_buckets", "populated_buckets",
-          "min_bucket_version", "max_bucket_version", "retained_manifests")
+          "min_bucket_version", "max_bucket_version", "retained_manifests",
+          "schema_ddl")
     }
   }
 
   /** One immutable snapshot manifest: bucket count (fixed at creation)
-    * plus the bucket → bucket-version map of snapshot `id`. */
+    * plus the bucket → bucket-version map of snapshot `id`. `schema` is
+    * THIS snapshot's full layout schema (id, payload…, __seq,
+    * __deleted) — recorded since schema evolution landed, so readers
+    * resolve every bucket dir against the manifest's schema instead of
+    * file-footer inference (dirs written before a widening lack the
+    * added columns; inference over such a mix silently drops them).
+    * None for pre-evolution manifests → readers fall back to
+    * inference, correct because those stores are schema-uniform. */
   private[graft] final case class SnapshotManifest(id: Long, numBuckets: Int,
-      buckets: Map[Int, Long])
+      buckets: Map[Int, Long],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   /** Murmur3 key-hash bucket — stable across runs/sessions, so the
     * same id always lands in the same bucket dir. */
@@ -909,6 +984,17 @@ object StreamingOps {
                          root: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read bucket dirs under a manifest's authority: with the recorded
+    * schema when present (dirs written before a widening lack the added
+    * columns — they read as nulls; footer inference over such a mix
+    * would silently drop them), by inference for pre-evolution
+    * manifests (schema-uniform by construction). */
+  private def readBuckets(spark: org.apache.spark.sql.SparkSession,
+                          m: SnapshotManifest,
+                          paths: Seq[String]): DataFrame =
+    m.schema.map(s => spark.read.schema(s).parquet(paths: _*))
+      .getOrElse(spark.read.parquet(paths: _*))
 
   /** The shared publish step of the sink and compaction: stage the
     * merged frame partitioned by bucket, move ONLY the touched
@@ -987,9 +1073,13 @@ object StreamingOps {
     val manifest = SnapshotManifest(next, numBuckets,
       prevBuckets ++ newBuckets)
     val nonce = java.util.UUID.randomUUID().toString
+    // the schema line makes every reader resolution manifest-driven —
+    // required once widened publishes mix bucket dirs of different
+    // widths (StructType.json is single-line by construction)
     val body = ((s"buckets ${manifest.numBuckets}" +:
-      manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" }) :+
-      s"writer $writerId $nonce").mkString("", "\n", "\n")
+      manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" }) ++
+      Seq(s"writer $writerId $nonce", s"schema ${schema.json}"))
+      .mkString("", "\n", "\n")
     val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     fs.mkdirs(mDir)
     // guard: atomic claim of the manifest slot, BEFORE any shared
@@ -1204,15 +1294,21 @@ object StreamingOps {
     require(lines.nonEmpty && lines.head.startsWith("buckets "),
       s"malformed snapshot manifest $path: missing 'buckets' header")
     val b = lines.head.stripPrefix("buckets ").trim.toInt
-    // the `writer <id> <nonce>` trailer is publish-guard provenance,
-    // not state — ignored here (pre-guard manifests lack it)
-    val m = lines.tail.filterNot(_.startsWith("writer ")).map { l =>
-      val parts = l.split("\\s+")
-      require(parts.length == 3 && parts(0) == "b",
-        s"malformed snapshot manifest $path: line '$l'")
-      parts(1).toInt -> parts(2).toLong
-    }.toMap
-    SnapshotManifest(id, b, m)
+    // `writer <id> <nonce>` is publish-guard provenance, `schema <json>`
+    // the layout schema (both absent on older manifests)
+    val schema = lines.find(_.startsWith("schema "))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("schema "))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val m = lines.tail
+      .filterNot(l => l.startsWith("writer ") || l.startsWith("schema "))
+      .map { l =>
+        val parts = l.split("\\s+")
+        require(parts.length == 3 && parts(0) == "b",
+          s"malformed snapshot manifest $path: line '$l'")
+        parts(1).toInt -> parts(2).toLong
+      }.toMap
+    SnapshotManifest(id, b, m, schema)
   }
 
   def indexUpsertSink(indexStream: DataFrame, indexPath: String,

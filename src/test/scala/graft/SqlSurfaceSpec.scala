@@ -720,6 +720,7 @@ class SqlSurfaceSpec extends SparkSpec {
     desc.getAs[Long]("snapshot_id") shouldBe 1L
     desc.getAs[Int]("num_buckets") shouldBe 4
     desc.getAs[Seq[Long]]("retained_manifests") shouldBe Seq(0L, 1L)
+    desc.getAs[String]("schema_ddl") should include("doc_id")
     // READ SNAPSHOT CHANGELOG: the CDC-out face — snapshot 0 → live
     // carries the delete of key 1 and the insert of key 3
     spark.sql(s"READ SNAPSHOT CHANGELOG '$root' FROM 0")

@@ -882,6 +882,105 @@ class StreamingSpec extends SparkSpec {
     } finally { srcQ.stop(); repQ.stop() }
   }
 
+  test("snapshot schema evolution: a widened sink adds columns, old rows read null, history and changelog stay coherent") {
+    implicit val ctx = spark.sqlContext
+    val nul = null.asInstanceOf[String]
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-evo")
+      .toString + "/snap"
+    // generation 1: payload = (text)
+    val in1 = MemoryStream[(Long, Long, String, String)]
+    val q1 = StreamingOps.snapshotUpsertSink(
+        in1.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in1.addData((1L, 1L, "upsert", "a"), (2L, 1L, "upsert", "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // generation 2: the sink restarts streaming (text, lang) — the
+    // store WIDENS; key 3 arrives with a lang, key 1 is re-upserted
+    // with one, key 2 is untouched (its lang must read as null)
+    val in2 = MemoryStream[(Long, Long, String, String, String)]
+    val q2 = StreamingOps.snapshotUpsertSink(
+        in2.toDF.toDF("doc_id", "seq", "op", "text", "lang"), root,
+        payloadCols = Seq("text", "lang"),
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in2.addData((1L, 2L, "upsert", "a2", "en"),
+        (3L, 2L, "upsert", "c", "de"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+      .toSeq shouldBe Seq((1L, "a2", Some("en")), (2L, "b", None),
+        (3L, "c", Some("de")))
+    // time travel to the pre-widening snapshot serves the OLD schema
+    val v0 = StreamingOps.readSnapshot(spark, root, version = Some(0)).get
+    v0.columns.toSeq shouldBe Seq("doc_id", "text")
+    // the changelog across the widening emits the TO schema; the
+    // re-upsert carries its lang, unwidened keys don't appear
+    val chg = StreamingOps.snapshotChangelog(spark, root, 0)
+    chg.columns.toSeq shouldBe Seq("doc_id", "seq", "op", "text", "lang")
+    chg.as[(Long, Long, String, String, Option[String])].collect()
+      .sortBy(_._1).toSeq shouldBe Seq(
+        (1L, 2L, "upsert", "a2", Some("en")),
+        (3L, 2L, "upsert", "c", Some("de")))
+    // point lookup of an unwidened key under the widened layout
+    StreamingOps.lookupSnapshot(spark, root, Seq(2L)).get
+      .as[(Long, String, Option[String])].collect().toSeq shouldBe
+      Seq((2L, "b", None))
+    // generation 3: the ORIGINAL narrow sink keeps working against the
+    // widened store — lang is CARRIED; its upserts null it (full-row
+    // replace, the explicit-null contract)
+    val in3 = MemoryStream[(Long, Long, String, String)]
+    val q3 = StreamingOps.snapshotUpsertSink(
+        in3.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in3.addData((3L, 3L, "upsert", "c3"), (4L, 3L, "delete", nul))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+      .toSeq shouldBe Seq((1L, "a2", Some("en")), (2L, "b", None),
+        (3L, "c3", None))
+    // compaction under the widened schema preserves the live view
+    StreamingOps.compactSnapshot(spark, root, horizonSeq = 3L,
+      keepVersions = 4)
+    StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+      .toSeq shouldBe Seq((1L, "a2", Some("en")), (2L, "b", None),
+        (3L, "c3", None))
+    // a TYPE change is not evolution: loud, before anything staged
+    val in4 = MemoryStream[(Long, Long, String, Long)]
+    val q4 = StreamingOps.snapshotUpsertSink(
+        in4.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        in4.addData((9L, 9L, "upsert", 9L))
+        q4.processAllAvailable()
+      } finally q4.stop()
+    }
+    err.getMessage should include("add-only")
+    // ...and so is a mismatched id column
+    val in5 = MemoryStream[(Long, Long, String, String)]
+    val q5 = StreamingOps.snapshotUpsertSink(
+        in5.toDF.toDF("other_id", "seq", "op", "text"), root,
+        idCol = "other_id", keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    val err2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        in5.addData((9L, 9L, "upsert", "x"))
+        q5.processAllAvailable()
+      } finally q5.stop()
+    }
+    err2.getMessage should include("keyed by")
+  }
+
   test("two-writer race on the snapshot store: the LOSER raises loudly instead of silently dropping its batch") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-snap-race")
