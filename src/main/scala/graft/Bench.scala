@@ -400,6 +400,46 @@ object Bench {
       if (exps.nonEmpty) "," + exps else ""}}"""
   }
 
+  /** Versioned-upsert base-size A/B on the persisted IVF-Flat index
+    * (the snapshotProbe convention): build an index at `base` rows,
+    * time `reps` upsert batches of `batchRows` re-pointed keys, repeat
+    * at 10× base. The upsert path's scale claim is per-batch cost ∝
+    * BATCH, never the index — an append + a tombstone append + a
+    * bounded cellstats bump, zero base reads or rewrites — so the
+    * ratio across the decade should sit ≈ 1.0. Deterministic synthetic
+    * vectors (hash-derived, no RNG); invoked alone via
+    * SPARK_GRAFT_BENCH_IDXUPSERT=1. */
+  def indexUpsertProbe(spark: SparkSession, base: Long, reps: Int = 8,
+                       batchRows: Int = 200, cells: Int = 64): String = {
+    import graft.operators.SimilaritySearch
+    def vecs(n: Long, idOffset: Long) = spark.range(n)
+      .select((col("id") + idOffset).cast("string").as("nid"),
+        expr("transform(sequence(1, 32), " +
+          "j -> cast(pmod(hash(id, j), 1000) / 1000.0 as float))")
+          .as("embedding"))
+    val out = Seq(base, base * 10).map { n =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-idxup-probe").toString + "/index"
+      val cents = vecs(cells, 0).orderBy(col("nid"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      SimilaritySearch.writeIvfFlatIndex(vecs(n, 0), cents, path,
+        cId = "nid", cVec = "embedding")
+      val t0 = System.nanoTime()
+      (1 to reps).foreach { r =>
+        SimilaritySearch.upsertIvfFlatBatch(
+          vecs(batchRows, 0).withColumn("seq", lit(r.toLong)), path,
+          cId = "nid", cVec = "embedding", cSeq = "seq")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9 / reps
+      (n, sec)
+    }
+    val pts = out.map { case (n, s) =>
+      s"""{"base_rows":$n,"sec_per_batch":$s}""" }.mkString("[", ",", "]")
+    s"""{"metric":"index_upsert_probe","points":$pts,"ratio":${
+      out(1)._2 / out(0)._2}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -415,6 +455,14 @@ object Bench {
       println(snapshotProbe(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BASE", "20000").toLong,
         numBuckets = snapB, scaleBuckets = scaleB))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_IDXUPSERT").contains("1")) {
+      // warm plan shapes small, then the timed 1× / 10× pair
+      indexUpsertProbe(spark, 1000, reps = 2)
+      println(indexUpsertProbe(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_IDXUPSERT_BASE", "20000").toLong))
       spark.stop()
       return
     }
