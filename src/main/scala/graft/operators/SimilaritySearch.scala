@@ -1476,9 +1476,18 @@ object SimilaritySearch {
     // dedupReplays: an index fed by at-least-once micro-batch appends
     // may hold replayed duplicates (identical rows, same content nid)
     // until the next compaction — mask them here at the cost of one
-    // extra shuffle. Batch-built / freshly-compacted indexes are
+    // extra shuffle. HIGHEST version wins (not an arbitrary
+    // dropDuplicates): a replay interleaved with newer upserts can
+    // leave same-nid rows of different versions that no tombstone
+    // separates, and serving the stale one would be a silent
+    // divergence. Batch-built / freshly-compacted indexes are
     // duplicate-free, so the DEFAULT search plan skips it.
-    val payload = if (dedupReplays) masked.dropDuplicates("nid") else masked
+    val payload =
+      if (dedupReplays) {
+        val dw = Window.partitionBy(col("nid")).orderBy(col("__useq").desc)
+        masked.withColumn("__rn", row_number().over(dw))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else masked
     val q = queries.select(col(qId).as("qid"), col(qVec).as("qvec"),
       explode(probeClusters(col(qVec), cents, nProbe)).as("cluster"))
     val d = cents.head.length
@@ -1599,7 +1608,8 @@ object SimilaritySearch {
   def upsertIvfFlatBatch(batch: DataFrame, path: String,
                          cId: String = "vec_id", cVec: String = "embedding",
                          cSeq: String = "seq",
-                         payloadCols: Seq[String] = Nil): Unit = {
+                         payloadCols: Seq[String] = Nil,
+                         tombstoneOld: Boolean = true): Unit = {
     val spark = batch.sparkSession
     require(payloadHasUseq(spark, path),
       s"upsertIvfFlatBatch: the index at $path predates versioned " +
@@ -1609,13 +1619,30 @@ object SimilaritySearch {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cid")).select(col("vec")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
-    // tombstones first (see ordering note above)
-    batch.select(col(cId).cast("string").as("nid"),
-        (col(cSeq).cast("long") - 1L).as("seq"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    // the seq contract (>= 0, never null) is enforced per row: a NULL
+    // seq would write a null-seq tombstone — which the mask rule reads
+    // as the legacy mask-EVERYTHING form — while the payload row's
+    // null version normalizes to -1, so the key's own new version
+    // would be masked forever and the next compaction would silently
+    // drop the key. Loud beats that.
+    val vSeq = {
+      val s = col(cSeq).cast("long")
+      when(s.isNotNull && s >= 0L, s).otherwise(raise_error(lit(
+        "upsertIvfFlatBatch: change seq must be a non-negative long " +
+          "(a null seq masks the key's own new version forever)")))
+    }
+    // tombstones first (see ordering note above); skipped for batches
+    // the caller KNOWS are new keys (bootstrap): an empty index has no
+    // older versions to mask, and a corpus-sized bootstrap would
+    // otherwise leave one tombstone per document for every later
+    // search to aggregate and broadcast
+    if (tombstoneOld)
+      batch.select(col(cId).cast("string").as("nid"),
+          (vSeq - 1L).as("seq"))
+        .write.mode("append").parquet(s"$path/tombstones")
     val assigned = ivfAssign(batch, cents, cVec)
       .select(Seq(col(cId).cast("string").as("nid"), col(cVec).as("nvec"),
-        col("cluster"), col(cSeq).cast("long").as("__useq")) ++
+        col("cluster"), vSeq.as("__useq")) ++
         payloadCols.map(col): _*)
     payloadWriter(assigned).mode("append").partitionBy("cluster")
       .parquet(s"$path/payload")
@@ -1895,11 +1922,22 @@ object SimilaritySearch {
     // each source's OWN versioned tombstones apply before the union
     // dedupes — cross-source they don't compose (independent seq
     // spaces), and within a source the mask rule is [[maskTombstones]]
-    val maskedUnion = sources
-      .map(s => maskTombstones(spark, s,
-        withUseq(spark.read.option("mergeSchema", "true")
-          .parquet(s"$s/payload"))))
-      .reduce(_ unionByName (_, allowMissingColumns = true))
+    val perSource = sources.map(s => maskTombstones(spark, s,
+      withUseq(spark.read.option("mergeSchema", "true")
+        .parquet(s"$s/payload"))))
+    // column sets must MATCH (withUseq already normalizes the version
+    // column away as a difference): null-filling a payload column
+    // across half a merged corpus would be silent — refuse loudly and
+    // let the operator align the sources first
+    locally {
+      val colSets = perSource.map(_.columns.toSet)
+      require(colSets.forall(_ == colSets.head),
+        "mergeIvfFlatIndexes: sources carry different payload columns — " +
+          sources.zip(colSets).map { case (s, c) =>
+            s"$s: ${c.toSeq.sorted.mkString("[", ",", "]")}"
+          }.mkString("; "))
+    }
+    val maskedUnion = perSource.reduce(_ unionByName _)
     // content-keyed rows in several sources dedupe to the HIGHEST
     // version (ties — the common same-content case — break arbitrarily
     // among byte-identical rows)

@@ -54,6 +54,14 @@ object IndexSync {
                             embed: DataFrame => DataFrame,
                             vecCol: String = "embedding",
                             payloadCols: Seq[String] = Nil): Option[Long] = {
+    // bootstrap = no cursor yet: the pull is the FULL live state, all
+    // of it new to the index, so upserting it must not write one
+    // old-version tombstone per document (a corpus-sized sidecar every
+    // later search would aggregate and broadcast for zero masking)
+    val cPath = new org.apache.hadoop.fs.Path(cursorPath)
+    val bootstrap = !cPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(cPath)
     StreamingOps.nextChangelogBatch(spark, snapshotRoot, cursorPath).map {
       case (live, frame, commit) =>
         val idCol = frame.columns.head // changelogShape: id leads
@@ -73,7 +81,8 @@ object IndexSync {
           if (upserts.limit(1).count() > 0)
             graft.operators.SimilaritySearch.upsertIvfFlatBatch(
               embed(upserts), indexPath, cId = idCol, cVec = vecCol,
-              cSeq = "seq", payloadCols = payloadCols)
+              cSeq = "seq", payloadCols = payloadCols,
+              tombstoneOld = !bootstrap)
           commit()
           live
         } finally f.unpersist()

@@ -420,7 +420,12 @@ object StreamingOps {
                     s"with idCol '$idCol'")
                 batchSchema.foreach { f =>
                   st.find(_.name == f.name).foreach { old =>
-                    require(old.dataType == f.dataType,
+                    // nullableForm: containsNull/nullability metadata
+                    // varies by SOURCE (a MemoryStream's Seq[Float] is
+                    // containsNull=false, the same column off
+                    // parquet/Kafka is true) and is not a type change
+                    require(nullableForm(old.dataType) ==
+                        nullableForm(f.dataType),
                       s"snapshotUpsertSink: schema evolution is " +
                         s"add-only — column '${f.name}' is " +
                         s"${old.dataType.sql} in the store at $root " +
@@ -531,6 +536,16 @@ object StreamingOps {
       val mPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$n")
       val raw =
         if (fs.exists(mPath)) {
+          // claim-first publishing means an existing manifest may be
+          // UNCOMMITTED (an in-flight publish's claim, or a crashed
+          // pre-swap one whose bucket dirs the replay will rewrite) —
+          // a version-addressed read must not serve past the pointer
+          if (version.isDefined &&
+              !committedManifestId(fs, root).exists(_ >= n))
+            throw new IllegalStateException(
+              s"readSnapshot: version $n of $root is not committed " +
+                "(claimed by an in-flight or crashed publish; the live " +
+                "pointer has not reached it)")
           val m = readSnapshotManifest(fs, mPath, n)
           val paths = m.buckets.toSeq.sortBy(_._1)
             .map { case (bk, v) => s"$root/b$bk/v$v" }
@@ -591,6 +606,12 @@ object StreamingOps {
       if (!fs.exists(p)) throw new IllegalStateException(
         s"snapshotChangelog: snapshot $id of $root is not retained " +
           "(pruned by keepVersions retention, or never committed)")
+      // see readSnapshot: a manifest past the pointer is an
+      // uncommitted publish claim, not a diffable version
+      if (!committedManifestId(fs, root).exists(_ >= id))
+        throw new IllegalStateException(
+          s"snapshotChangelog: snapshot $id of $root is not committed " +
+            "(claimed by an in-flight or crashed publish)")
       readSnapshotManifest(fs, p, id)
     }
     val mTo = manifest(toId)
@@ -890,6 +911,13 @@ object StreamingOps {
         throw new IllegalStateException(
           s"lookupSnapshot: version $n of $root is not retained " +
             "(pruned by keepVersions retention, or never committed)")
+      // see readSnapshot: an existing manifest past the pointer is an
+      // uncommitted claim, not a servable version
+      if (version.isDefined &&
+          !committedManifestId(fs, root).exists(_ >= n))
+        throw new IllegalStateException(
+          s"lookupSnapshot: version $n of $root is not committed " +
+            "(claimed by an in-flight or crashed publish)")
       val m = readSnapshotManifest(fs, mPath, n)
       // Spark's Murmur3 hash() is PHYSICAL-type-sensitive (hash(1: int)
       // != hash(1L: long)), so the keys must be cast to the STORED id
@@ -944,9 +972,11 @@ object StreamingOps {
     val fs = snapshotFs(spark, root)
     currentSnapshotManifest(fs, root).map { m =>
       val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+      // ids past the live pointer are in-flight publish claims, not
+      // retained time-travel targets (claim-first publishing)
       val retained = fs.listStatus(mDir).toSeq.map(_.getPath.getName)
         .filter(nm => nm.startsWith("m") && nm.drop(1).forall(_.isDigit))
-        .map(_.drop(1).toLong).sorted
+        .map(_.drop(1).toLong).filter(_ <= m.id).sorted
       import spark.implicits._
       Seq((m.id, m.numBuckets, m.buckets.size,
           if (m.buckets.isEmpty) -1L else m.buckets.values.min,
@@ -984,6 +1014,27 @@ object StreamingOps {
                          root: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Nullability-normalized form of a type: nullability is SOURCE
+    * metadata (a MemoryStream's Seq[Float] infers containsNull=false,
+    * the same column off parquet/Kafka true), never part of the
+    * store's type contract — carried/widened columns hold nulls by
+    * design. (Spark's own DataType.asNullable is private[spark].) */
+  private def nullableForm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => ArrayType(nullableForm(et), true)
+      case MapType(k, v, _) => MapType(nullableForm(k), nullableForm(v), true)
+      case StructType(fs) => StructType(fs.map(f =>
+        StructField(f.name, nullableForm(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
+  private def nullableSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    nullableForm(s).asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Read bucket dirs under a manifest's authority: with the recorded
     * schema when present (dirs written before a widening lack the added
@@ -1075,10 +1126,15 @@ object StreamingOps {
     val nonce = java.util.UUID.randomUUID().toString
     // the schema line makes every reader resolution manifest-driven —
     // required once widened publishes mix bucket dirs of different
-    // widths (StructType.json is single-line by construction)
+    // widths (StructType.json is single-line by construction).
+    // asNullable: nullability is SOURCE metadata (a MemoryStream's
+    // Seq[Float] infers containsNull=false, parquet/Kafka true) — the
+    // store's contract is the value types, and carried/widened columns
+    // hold nulls by design
     val body = ((s"buckets ${manifest.numBuckets}" +:
       manifest.buckets.toSeq.sorted.map { case (bk, v) => s"b $bk $v" }) ++
-      Seq(s"writer $writerId $nonce", s"schema ${schema.json}"))
+      Seq(s"writer $writerId $nonce",
+        s"schema ${nullableSchema(schema).json}"))
       .mkString("", "\n", "\n")
     val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     fs.mkdirs(mDir)
@@ -1099,8 +1155,10 @@ object StreamingOps {
         val text = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
           finally in.close()
+        // lift: a crash can truncate the trailer to "writer " with no
+        // id token — that is a reclaimable partial write, not an AIOOBE
         text.split('\n').map(_.trim).find(_.startsWith("writer "))
-          .map(_.split("\\s+")(1))
+          .flatMap(_.split("\\s+").lift(1))
       }
       // trailer-less claims predate the writer line (or were truncated
       // by a crash mid-create) — uncommitted either way, reclaimable
@@ -1252,6 +1310,21 @@ object StreamingOps {
       }
     }
   }
+
+  /** The id a VERSION-ADDRESSED reader may trust: the pointer's target
+    * when it is a manifest-layout snapshot. Since the publish guard
+    * claims the manifest slot FIRST, a manifest file's existence no
+    * longer implies commit — m(live+1) exists for the whole staging
+    * window of an in-flight publish (and after a pre-swap crash), and
+    * serving it would expose bucket dirs mid-rename. Every reader that
+    * resolves an explicit version must gate on this, not on
+    * fs.exists(manifest). None when the pointer is absent or names a
+    * legacy (manifest-less) version — e.g. mid-migration, when the
+    * freshly claimed m0 is exactly an uncommitted manifest. */
+  private def committedManifestId(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: String): Option[Long] =
+    currentSnapshotId(fs, root).filter(id => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id")))
 
   private def currentSnapshotId(fs: org.apache.hadoop.fs.FileSystem,
                                 root: String): Option[Long] = {

@@ -118,6 +118,41 @@ class IndexSyncSpec extends SparkSpec {
     topk(path, emb.filter(col("vec_id") === 100)).head._2 shouldBe "1"
   }
 
+  test("a null change seq raises instead of silently tombstoning the key forever") {
+    val path = tmp("idx-nullseq")
+    val corpus = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("string").as("nid"), col("embedding"))
+    SimilaritySearch.writeIvfFlatIndex(corpus, centroidsFrom(emb, 2), path,
+      cId = "nid", cVec = "embedding")
+    val bad = emb.filter(col("vec_id") === 1)
+      .select(lit("1").as("nid"), col("embedding"),
+        lit(null).cast("long").as("seq"))
+    val err = intercept[Exception] {
+      SimilaritySearch.upsertIvfFlatBatch(bad, path,
+        cId = "nid", cVec = "embedding", cSeq = "seq")
+    }
+    err.getMessage should include("non-negative")
+  }
+
+  test("merge refuses sources with different payload columns instead of null-filling half the corpus") {
+    val a = tmp("idx-merge-a"); val bIdx = tmp("idx-merge-b")
+    val cents = centroidsFrom(emb, 2)
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding"),
+          lit("x").as("tag")),
+      cents, a, cId = "nid", cVec = "embedding", payloadCols = Seq("tag"))
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      cents, bIdx, cId = "nid", cVec = "embedding")
+    val err = intercept[IllegalArgumentException] {
+      SimilaritySearch.mergeIvfFlatIndexes(spark, Seq(a, bIdx),
+        tmp("idx-merge-t"))
+    }
+    err.getMessage should include("different payload columns")
+  }
+
   test("CDC snapshot → index sync: bootstrap, incremental upsert/delete, crash replay — all parity with a from-scratch rebuild") {
     implicit val ctx = spark.sqlContext
     val nul = null.asInstanceOf[Seq[Float]]
@@ -155,6 +190,9 @@ class IndexSyncSpec extends SparkSpec {
       syncOnce() shouldBe None // caught up
       val q = emb.filter(col("vec_id") === 7)
       topk(indexPath, q).head._2 shouldBe "7"
+      // the bootstrap pull must NOT tombstone its (all-new) keys — a
+      // corpus-sized tombstone sidecar would ride every later search
+      new java.io.File(s"$indexPath/tombstones").exists() shouldBe false
 
       // batch 2: update 7 → vector of 300, delete 8, insert 40
       input.addData((7L, 2L, "upsert", vecOf(300)),

@@ -1082,6 +1082,64 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.types.StructType(merged3.schema.fields.toSeq))
     }
     err3.getMessage should include("nonce mismatch")
+    // a claim whose trailer was TRUNCATED by the crash mid-create
+    // ("writer " with no id token) is a reclaimable partial write —
+    // the replay must self-heal, not die on a parse error
+    val live3 = StreamingOps.currentSnapshotManifest(fs, root).get
+    val claim4 = new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/m${live3.id + 1}")
+    locally {
+      val o = fs.create(claim4, false)
+      try o.write("writer \n".getBytes("UTF-8")) finally o.close()
+    }
+    val m4 = mergedFrame("f")
+    StreamingOps.publishSnapshotVersion(spark, root, m4, "doc_id",
+      touched = Set(0, 1, 2, 3), prev = Some(live3),
+      numBuckets = live3.numBuckets, keepVersions = 3,
+      org.apache.spark.sql.types.StructType(m4.schema.fields.toSeq))
+    StreamingOps.currentSnapshotManifest(fs, root).get.id shouldBe
+      live3.id + 1
+  }
+
+  test("a claimed-but-uncommitted manifest is invisible to every version-addressed reader") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-claim")
+      .toString + "/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      input.addData((1L, 1L, "upsert", "a"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // simulate an in-flight (or crashed pre-swap) publish: m1 exists
+    // with a full body, but the pointer still names 0 — claim-first
+    // publishing makes this state routine, and serving it would expose
+    // bucket dirs the replay is about to rewrite
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    locally {
+      val o = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/m1"), false)
+      try o.write("buckets 4\nb 0 1\nwriter default some-nonce\n"
+        .getBytes("UTF-8")) finally o.close()
+    }
+    intercept[IllegalStateException] {
+      StreamingOps.readSnapshot(spark, root, version = Some(1))
+    }.getMessage should include("not committed")
+    intercept[IllegalStateException] {
+      StreamingOps.lookupSnapshot(spark, root, Seq(1L), version = Some(1))
+    }.getMessage should include("not committed")
+    intercept[IllegalStateException] {
+      StreamingOps.snapshotChangelog(spark, root, 0, Some(1))
+    }.getMessage should include("not committed")
+    // the ops summary lists only committed time-travel targets
+    StreamingOps.describeSnapshot(spark, root).get.collect().head
+      .getAs[Seq[Long]]("retained_manifests") shouldBe Seq(0L)
+    // the LIVE read (pointer-addressed) is unaffected
+    StreamingOps.readSnapshot(spark, root).get.count() shouldBe 1L
   }
 
   test("rebucketSnapshot grows the bucket count: state identical, empty changelog, sink continues on the new layout") {
