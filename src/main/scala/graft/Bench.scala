@@ -264,6 +264,77 @@ object Bench {
       s""""ratio":${out(1)._2 / out(0)._2}}"""
   }
 
+  /** CDC-out bucket-pruning A/B: two changelog windows over the SAME
+    * base-size store carrying near-equal changelog row counts, one
+    * touching a ~1.6% sliver of buckets (clustered keys), one touching
+    * EVERY bucket (one key per bucket) — the diff's cost claim is
+    * "∝ moved buckets on both sides, never the base", so the sliver
+    * window should cost a small fraction of the full-touch one on a
+    * store big enough that reading it dominates. Invoked alone via
+    * SPARK_GRAFT_BENCH_CHANGELOG=1. */
+  def changelogProbe(spark: SparkSession, base: Long,
+                     numBuckets: Int = 256, reps: Int = 5): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg-probe")
+    val root = s"$dir/snap"
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = graft.streaming.StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "text"), root,
+        keepVersions = 4, numBuckets = numBuckets)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // the layout's own bucket rule, computed up front so the two
+      // update batches can target an exact bucket set
+      val bucketOf = spark.range(base)
+        .select(col("id"), pmod(hash(col("id")), lit(numBuckets))
+          .cast("int").as("b"))
+      val hotBuckets = (numBuckets / 64) max 1 // ~1.6% of buckets
+      val sliverKeys = bucketOf.filter(col("b") < hotBuckets)
+        .select(col("id")).as[Long].collect().toSeq
+      val onePerBucket = bucketOf.groupBy(col("b"))
+        .agg(min(col("id")).as("id")).select(col("id"))
+        .as[Long].collect().toSeq
+      // snapshot 0: the base
+      input.addData((0L until base).map(i =>
+        (i, 1L, "upsert", s"document body $i with some padding text")): _*)
+      q.processAllAvailable()
+      // snapshot 1: the SLIVER window (≈ base/64 rows, hotBuckets dirs)
+      input.addData(sliverKeys.map(i => (i, 2L, "upsert", s"u$i")): _*)
+      q.processAllAvailable()
+      // snapshot 2: the FULL-TOUCH window (numBuckets rows, every dir)
+      input.addData(onePerBucket.map(i => (i, 3L, "upsert", s"v$i")): _*)
+      q.processAllAvailable()
+      def timed(from: Long, to: Long): Double = {
+        val t0 = System.nanoTime()
+        (1 to reps).foreach { _ =>
+          graft.streaming.StreamingOps
+            .snapshotChangelog(spark, root, from, Some(to)).count()
+        }
+        (System.nanoTime() - t0) / 1e9 / reps
+      }
+      timed(0, 1); timed(1, 2) // warm the plan shapes — untimed
+      val sliver = timed(0, 1)
+      val full = timed(1, 2)
+      s"""{"metric":"changelog_probe","base_rows":$base,""" +
+        s""""buckets":$numBuckets,"sliver_buckets":$hotBuckets,""" +
+        s""""sliver_rows":${sliverKeys.size},""" +
+        s""""full_rows":${onePerBucket.size},""" +
+        s""""sliver_sec":$sliver,"full_sec":$full,""" +
+        s""""full_over_sliver":${full / sliver}}"""
+    } finally {
+      q.stop()
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val walked = java.nio.file.Files.walk(dir)
+        try walked.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walked.close()
+      }
+    }
+  }
+
   /** sec-vs-rows scaling probe for the heaviest batch families
     * (alt-star components, contamination report, span removal, fuzzy
     * linkage, incremental fuzzy gate): run each at `base` and
@@ -455,6 +526,14 @@ object Bench {
       println(snapshotProbe(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT_BASE", "20000").toLong,
         numBuckets = snapB, scaleBuckets = scaleB))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_CHANGELOG").contains("1")) {
+      changelogProbe(spark, 2000, numBuckets = 64, reps = 2) // warm
+      println(changelogProbe(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CHANGELOG_BASE",
+          "2000000").toLong))
       spark.stop()
       return
     }
