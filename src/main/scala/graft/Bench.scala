@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Best-effort recursive temp-dir cleanup shared by the probes (a
+    * delete error must never mask a probe's real failure). */
+  private def deleteQuietly(dir: java.nio.file.Path): Unit =
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(dir)
+      try walked.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walked.close()
+    }: Unit
+
   /** T1 SUSTAINED throughput: the full backlog (`chunks` publishes of
     * `totalRows / chunks` messages) lands on the conversation topic
     * up-front, then the standing 4-stage chain (filter → embed →
@@ -169,14 +180,7 @@ object Bench {
       // run even when stop() throws, close the walk stream, and stay
       // best-effort so a delete error never masks the real failure.
       try query.stop()
-      finally scala.util.Try {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        val walked = Files.walk(ckpt)
-        try walked.iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-        finally walked.close()
-      }
+      finally deleteQuietly(ckpt)
     }
   }
 
@@ -249,13 +253,7 @@ object Bench {
         (n, (System.nanoTime() - t0) / 1e9 / reps)
       } finally {
         q.stop()
-        scala.util.Try {
-          import scala.jdk.CollectionConverters._
-          val walked = java.nio.file.Files.walk(dir)
-          try walked.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walked.close()
-        }
+        deleteQuietly(dir)
       }
     }
     val pts = out.map { case (n, s) =>
@@ -306,15 +304,22 @@ object Bench {
       // snapshot 2: the FULL-TOUCH window (numBuckets rows, every dir)
       input.addData(onePerBucket.map(i => (i, 3L, "upsert", s"v$i")): _*)
       q.processAllAvailable()
-      def timed(from: Long, to: Long): Double = {
-        val t0 = System.nanoTime()
-        (1 to reps).foreach { _ =>
-          graft.streaming.StreamingOps
-            .snapshotChangelog(spark, root, from, Some(to)).count()
-        }
-        (System.nanoTime() - t0) / 1e9 / reps
+      // aggregate over EVERY output column — a bare count() would let
+      // Catalyst prune the payload from both bucket scans and the
+      // probe would time metadata-only reads (the round-12 bench-memo
+      // pitfall); summing text lengths + seq forces the full row
+      def drain(from: Long, to: Long): Unit = {
+        graft.streaming.StreamingOps
+          .snapshotChangelog(spark, root, from, Some(to))
+          .agg(sum(length(coalesce(col("text"), lit("")))
+            + col("seq")), count(col("op"))).collect(): Unit
       }
-      timed(0, 1); timed(1, 2) // warm the plan shapes — untimed
+      def timed(from: Long, to: Long, n: Int = reps): Double = {
+        val t0 = System.nanoTime()
+        (1 to n).foreach(_ => drain(from, to))
+        (System.nanoTime() - t0) / 1e9 / n
+      }
+      timed(0, 1, n = 1); timed(1, 2, n = 1) // warm plan shapes — untimed
       val sliver = timed(0, 1)
       val full = timed(1, 2)
       s"""{"metric":"changelog_probe","base_rows":$base,""" +
@@ -325,13 +330,7 @@ object Bench {
         s""""full_over_sliver":${full / sliver}}"""
     } finally {
       q.stop()
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        val walked = java.nio.file.Files.walk(dir)
-        try walked.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walked.close()
-      }
+      deleteQuietly(dir)
     }
   }
 
