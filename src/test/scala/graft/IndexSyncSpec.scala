@@ -238,4 +238,27 @@ class IndexSyncSpec extends SparkSpec {
         topk(rebuilt, queries, k = 5)
     } finally sink.stop()
   }
+
+  test("the versioned tombstone mask does not break partition pruning or broadcast bounds") {
+    val path = tmp("idx-maskplan")
+    val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 200)
+      .select(col("vec_id").cast("string").as("nid"), col("embedding"))
+    SimilaritySearch.writeIvfFlatIndex(corpus, centroidsFrom(emb, 4), path,
+      cId = "nid", cVec = "embedding")
+    val upd = emb.filter(col("vec_id") === 300)
+      .select(lit("10").as("nid"), col("embedding"), lit(5L).as("seq"))
+    SimilaritySearch.upsertIvfFlatBatch(upd, path,
+      cId = "nid", cVec = "embedding", cSeq = "seq")
+    // a PRUNED search (small numCandidates) against the upserted index:
+    // the mask's broadcast join must stack on the partition filter, not
+    // replace it with a full scan or a nested-loop broadcast
+    val res = SimilaritySearch.searchIvfFlatIndex(spark, path,
+      emb.filter(col("vec_id") < 3), k = 3, numCandidates = 40,
+      qId = "vec_id", qVec = "embedding", dedupReplays = true)
+    res.collect().length should be > 0
+    val plan = res.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("cluster")
+    (plan should not).include("BroadcastNestedLoop")
+  }
 }
