@@ -110,4 +110,35 @@ object IndexSync {
 
   /** Identity embed for stores whose snapshot already carries vectors. */
   val identityEmbed: DataFrame => DataFrame = (df: DataFrame) => df
+
+  /** The STANDING form of the pump — what a deployment actually runs:
+    * a rate-source-clocked streaming query whose every trigger drains
+    * the store to its live snapshot ([[drainIndexFromSnapshot]]).
+    * Spark's own scheduler provides the cadence, checkpointed restart,
+    * and lifecycle (stop/awaitTermination) — no hand-rolled timer
+    * thread — and the cursor (not the rate checkpoint) carries the
+    * delivery state, so the at-least-once story is exactly the manual
+    * pump's: a tick that crashes mid-drain replays its window on the
+    * next tick and converges. Ticks that find the cursor already at
+    * live are one manifest-pointer read — cheap enough for
+    * seconds-cadence freshness. Caller sets checkpointLocation and
+    * starts, like every sink here. */
+  def standingIndexSync(spark: SparkSession, snapshotRoot: String,
+                        cursorPath: String, indexPath: String,
+                        embed: DataFrame => DataFrame,
+                        vecCol: String = "embedding",
+                        payloadCols: Seq[String] = Nil,
+                        tickSeconds: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1L).load()
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"$tickSeconds seconds"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        drainIndexFromSnapshot(spark, snapshotRoot, cursorPath,
+          indexPath, embed, vecCol, payloadCols): Unit
+      }
 }

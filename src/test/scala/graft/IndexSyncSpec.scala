@@ -239,6 +239,51 @@ class IndexSyncSpec extends SparkSpec {
     } finally sink.stop()
   }
 
+  test("standingIndexSync: the rate-clocked standing pump keeps the index fresh across store mutations") {
+    implicit val ctx = spark.sqlContext
+    val base = tmp("standing")
+    val root = s"$base/snap"
+    val indexPath = s"$base/index"
+    val input = MemoryStream[(Long, Long, String, Seq[Float])]
+    val sink = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "embedding"), root,
+        payloadCols = Seq("embedding"), keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", s"$base/snap-ckpt").start()
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 0)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    val pump = IndexSync.standingIndexSync(spark, root, s"$base/cursor",
+        indexPath, IndexSync.identityEmbed, tickSeconds = 1)
+      .option("checkpointLocation", s"$base/pump-ckpt").start()
+    def vecOf(id: Long): Seq[Float] =
+      emb.filter(col("vec_id") === id).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toSeq
+    def served(qid: Long): Seq[String] =
+      topk(indexPath, emb.filter(col("vec_id") === qid), k = 1).map(_._2)
+    def awaitServed(qid: Long, nid: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        ok = scala.util.Try(served(qid) == Seq(nid)).getOrElse(false)
+        if (!ok) Thread.sleep(300)
+      }
+      withClue(s"standing pump never served $nid for query $qid: ") {
+        ok shouldBe true
+      }
+    }
+    try {
+      input.addData((0L until 20L).map(i => (i, 1L, "upsert", vecOf(i))): _*)
+      sink.processAllAvailable()
+      awaitServed(5L, "5") // bootstrap reached the index
+      // mutate the store while both standing queries run: the pump's
+      // next tick must carry the update without any manual pull
+      input.addData((5L, 2L, "upsert", vecOf(400)))
+      sink.processAllAvailable()
+      awaitServed(400L, "5")
+    } finally { pump.stop(); sink.stop() }
+  }
+
   test("the versioned tombstone mask does not break partition pruning or broadcast bounds") {
     val path = tmp("idx-maskplan")
     val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 200)
