@@ -117,10 +117,16 @@ object IndexSync {
     * Spark's own scheduler provides the cadence, checkpointed restart,
     * and lifecycle (stop/awaitTermination) — no hand-rolled timer
     * thread — and the cursor (not the rate checkpoint) carries the
-    * delivery state, so the at-least-once story is exactly the manual
-    * pump's: a tick that crashes mid-drain replays its window on the
-    * next tick and converges. Ticks that find the cursor already at
-    * live are one manifest-pointer read — cheap enough for
+    * delivery state. A drain that THROWS is caught and logged rather
+    * than propagated: an uncaught foreachBatch exception terminates
+    * the streaming query permanently (micro-batches are not retried),
+    * which would silently freeze index freshness on the first
+    * transient read error — caught, the next tick retries the same
+    * cursor window and the at-least-once story is exactly the manual
+    * pump's. A PERSISTENT failure (misconfiguration, a cursor lagging
+    * past retention) therefore shows as a warning every tick, not a
+    * dead query — monitor the log line. Ticks that find the cursor
+    * already at live are one manifest-pointer read — cheap enough for
     * seconds-cadence freshness. Caller sets checkpointLocation and
     * starts, like every sink here. */
   def standingIndexSync(spark: SparkSession, snapshotRoot: String,
@@ -130,7 +136,8 @@ object IndexSync {
                         payloadCols: Seq[String] = Nil,
                         tickSeconds: Int = 5)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    require(tickSeconds >= 1, s"tickSeconds must be >= 1: $tickSeconds")
     spark.readStream.format("rate")
       .option("rowsPerSecond", 1L).load()
       .writeStream
@@ -138,7 +145,16 @@ object IndexSync {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(s"$tickSeconds seconds"))
       .foreachBatch { (_: DataFrame, _: Long) =>
-        drainIndexFromSnapshot(spark, snapshotRoot, cursorPath,
+        try drainIndexFromSnapshot(spark, snapshotRoot, cursorPath,
           indexPath, embed, vecCol, payloadCols): Unit
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // stderr by design: this library adds no logging framework,
+            // and Spark's own driver log captures stderr
+            System.err.println(
+              s"standingIndexSync: drain of $snapshotRoot -> $indexPath " +
+                s"failed (will retry next tick): $e")
+        }
       }
+  }
 }

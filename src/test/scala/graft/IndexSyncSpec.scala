@@ -261,10 +261,14 @@ class IndexSyncSpec extends SparkSpec {
         .collect().head.getSeq[Float](0).toSeq
     def served(qid: Long): Seq[String] =
       topk(indexPath, emb.filter(col("vec_id") === qid), k = 1).map(_._2)
-    def awaitServed(qid: Long, nid: String): Unit = {
+    def awaitServed(pump: org.apache.spark.sql.streaming.StreamingQuery,
+                    qid: Long, nid: String): Unit = {
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       var ok = false
       while (!ok && System.nanoTime() < deadline) {
+        // fail FAST (with the real error) if the pump died, instead of
+        // burning the deadline on a query that will never serve
+        pump.exception.foreach(e => fail(s"standing pump died: $e"))
         ok = scala.util.Try(served(qid) == Seq(nid)).getOrElse(false)
         if (!ok) Thread.sleep(300)
       }
@@ -275,12 +279,12 @@ class IndexSyncSpec extends SparkSpec {
     try {
       input.addData((0L until 20L).map(i => (i, 1L, "upsert", vecOf(i))): _*)
       sink.processAllAvailable()
-      awaitServed(5L, "5") // bootstrap reached the index
+      awaitServed(pump, 5L, "5") // bootstrap reached the index
       // mutate the store while both standing queries run: the pump's
       // next tick must carry the update without any manual pull
       input.addData((5L, 2L, "upsert", vecOf(400)))
       sink.processAllAvailable()
-      awaitServed(400L, "5")
+      awaitServed(pump, 400L, "5")
     } finally { pump.stop(); sink.stop() }
   }
 
@@ -302,8 +306,10 @@ class IndexSyncSpec extends SparkSpec {
       qId = "vec_id", qVec = "embedding", dedupReplays = true)
     res.collect().length should be > 0
     val plan = res.queryExecution.executedPlan.toString
-    plan should include("PartitionFilters")
-    plan should include("cluster")
+    // the NON-empty filter form: a bare include("PartitionFilters")
+    // matches every partitioned scan's `PartitionFilters: []` metadata
+    // and would pass even with pruning broken
+    plan should include regex "PartitionFilters: \\[[^\\]]*cluster"
     (plan should not).include("BroadcastNestedLoop")
   }
 }
