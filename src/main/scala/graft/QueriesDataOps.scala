@@ -2721,8 +2721,12 @@ object QueriesDataOps {
         FROM embeddings q CROSS JOIN live c
         WHERE q.vec_id >= 480 AND q.vec_id < 488),
       ranked AS (
+        -- tie-break on CAST(nid AS VARCHAR): the Spark side ranks
+        -- inside searchIvfFlatIndex where nid is the index's STRING
+        -- key ('40' < '5'); ordering the replay by the same string
+        -- form makes exact-similarity ties hash-match by construction
         SELECT qid, nid, row_number() OVER (PARTITION BY qid
-                 ORDER BY sim DESC, nid ASC) AS rank
+                 ORDER BY sim DESC, CAST(nid AS VARCHAR) ASC) AS rank
         FROM sims)
       SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank""")),

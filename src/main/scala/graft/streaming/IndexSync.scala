@@ -48,7 +48,21 @@ object IndexSync {
     * Single-consumer per cursor file, like every cursor in this
     * library. The first pull bootstraps: the changelog emits the full
     * live state, so pointing a fresh cursor + empty index at a mature
-    * store backfills it in one (large) sync. */
+    * store backfills it in one (large) sync.
+    *
+    * A bootstrap pull into a NON-empty index is validated first: the
+    * bootstrap upserts skip old-version tombstones (see below), so any
+    * pre-existing index row NOT re-covered by this pull — a key absent
+    * from the store, or a version newer than the store's (a rebuilt
+    * store restarts seqs LOWER, making the stale row the max-`__useq`
+    * winner under `dedupReplays`) — would be served indefinitely with
+    * no error. Rows that ARE covered (same key at `__useq` ≤ the
+    * pull's seq) are exactly a crashed bootstrap's own appends, which
+    * the replay must converge over — those pass. Anything else raises
+    * with the fix: reset the index (recreate the shell, or compact the
+    * emptied index) together with the cursor. The check is one
+    * 2-column scan of the payload joined to the pull, paid on
+    * bootstrap only. */
   def syncIndexFromSnapshot(spark: SparkSession, snapshotRoot: String,
                             cursorPath: String, indexPath: String,
                             embed: DataFrame => DataFrame,
@@ -71,6 +85,7 @@ object IndexSync {
         val f = frame.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          if (bootstrap) assertBootstrapSafe(spark, indexPath, f, idCol)
           val deletes = f.filter(col("op") === "delete")
             .select(col(idCol).cast("string").as("nid"),
               col("seq").cast("long").as("seq"))
@@ -87,6 +102,40 @@ object IndexSync {
           live
         } finally f.unpersist()
     }
+  }
+
+  /** The bootstrap-over-non-empty-index guard of
+    * [[syncIndexFromSnapshot]] (see its Scaladoc): every payload row
+    * must be covered by the pull — same key, version ≤ the pull's seq
+    * for that key (crashed-bootstrap replays: equal; batch-built rows:
+    * -1 < any seq). An uncovered row is permanently-stale state the
+    * versioned upserts can never mask; raise before writing anything. */
+  private def assertBootstrapSafe(spark: SparkSession, indexPath: String,
+                                  pull: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    // explicit schema: tolerates an empty shell (no payload files) and
+    // legacy pre-__useq files (missing column reads null → -1); a
+    // payload dir not created yet at all is the emptiest shell of all
+    val idx =
+      try spark.read.schema(StructType(Seq(
+          StructField("nid", StringType), StructField("__useq", LongType))))
+        .parquet(s"$indexPath/payload")
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val cov = pull.select(col(idCol).cast("string").as("nid"),
+      col("seq").cast("long").as("__pseq"))
+    val stale = idx.join(cov, Seq("nid"), "left")
+      .filter(col("__pseq").isNull ||
+        coalesce(col("__useq"), lit(-1L)) > col("__pseq"))
+    if (stale.limit(1).count() > 0) throw new IllegalStateException(
+      s"syncIndexFromSnapshot: bootstrap pull (no cursor yet) into the " +
+        s"NON-empty index at $indexPath found rows this store's live " +
+        "state does not cover (keys absent from the store, or index " +
+        "versions newer than the store's seqs — typical after the " +
+        "store was rebuilt, which restarts seqs lower). A bootstrap " +
+        "writes no old-version tombstones, so those rows would be " +
+        "served STALE forever. Reset the index together with the " +
+        "cursor: recreate the index shell (or tombstone+compact it " +
+        "empty), then re-run the bootstrap.")
   }
 
   /** Drain the store to its live snapshot: loop single pulls until

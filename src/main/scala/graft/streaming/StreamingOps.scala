@@ -759,8 +759,14 @@ object StreamingOps {
       throw new IllegalStateException(
         s"nextChangelogBatch: cursor $cursorPath holds snapshot $c but " +
           s"the store at $root is only at $live — the store was rebuilt " +
-          "or replaced under this consumer. Re-bootstrap by deleting the " +
-          "cursor file (the next pull then replays the full live state).")
+          "or replaced under this consumer. Re-bootstrap by RESETTING " +
+          "THE CONSUMER'S DERIVED STATE together with the cursor file: " +
+          "deleting the cursor alone makes the next pull replay the " +
+          "full live state, but a rebuilt store restarts seqs lower, " +
+          "so state keyed by the old seqs (e.g. a synced vector " +
+          "index's versioned rows) would win over the replay and be " +
+          "served stale. Clear or recreate the downstream copy, then " +
+          "delete the cursor.")
     }
     val frame = cursor match {
       case Some(c) => snapshotChangelog(spark, root, c, Some(live))
@@ -852,18 +858,39 @@ object StreamingOps {
     val cur = currentSnapshotId(fs, root).getOrElse(
       throw new IllegalStateException(
         s"migrateSnapshotLayout: no committed snapshot at $root"))
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifests/m$cur"))) {
-      // already bucketed — but a PREVIOUS migration that crashed after
-      // its pointer swap and before its legacy sweep leaves v<N> dirs
-      // stranded forever (the re-run lands here and nothing else ever
-      // deletes them). Idempotent cleanup: the bucketed pointer is
-      // committed, so every root/v<digits> dir is dead legacy — sweep
-      // them before raising, making "nothing legacy left" true.
-      sweepLegacyDirs(fs, root)
-      throw new IllegalStateException(
-        s"migrateSnapshotLayout: $root is already on the bucketed layout")
-    }
+    val mCurPath = new org.apache.hadoop.fs.Path(s"$root/_manifests/m$cur")
     val legacy = new org.apache.hadoop.fs.Path(s"$root/v$cur")
+    if (fs.exists(mCurPath)) {
+      // a manifest at the pointer id is NOT proof of the bucketed
+      // layout: the publish guard claims the manifest slot FIRST, and
+      // migration publishes m0 while a live legacy store's pointer
+      // ALSO reads 0 — so m0 can be a crashed migration's uncommitted
+      // claim with the legacy dir still the only real data. Sweeping
+      // on bare fs.exists here destroyed that data. Disambiguate by
+      // the manifest's REFERENCED DIRS: a committed manifest's bucket
+      // versions all exist (renamed in before the swap); a pre-rename
+      // crash left none/some. Only a fully-intact manifest (or one
+      // with no legacy dir left to lose) takes the already-bucketed
+      // path; an incomplete claim over a live legacy dir falls
+      // through to the re-run, whose publish reclaims the claim.
+      val mCur = readSnapshotManifest(fs, mCurPath, cur)
+      val intact = mCur.buckets.forall { case (bk, v) =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/b$bk/v$v")) }
+      if (intact || !fs.exists(legacy)) {
+        // already bucketed — but a PREVIOUS migration that crashed after
+        // its pointer swap and before its legacy sweep leaves v<N> dirs
+        // stranded forever (the re-run lands here and nothing else ever
+        // deletes them). Idempotent cleanup: the bucketed pointer is
+        // committed (every referenced bucket dir is in place — content-
+        // identical to the legacy source by construction even if the
+        // crash hit between the renames and the sweep), so every
+        // root/v<digits> dir is dead legacy — sweep them before
+        // raising, making "nothing legacy left" true.
+        sweepLegacyDirs(fs, root)
+        throw new IllegalStateException(
+          s"migrateSnapshotLayout: $root is already on the bucketed layout")
+      }
+    }
     require(fs.exists(legacy),
       s"migrateSnapshotLayout: live legacy dir v$cur missing at $root")
     val raw = spark.read.parquet(legacy.toString)
@@ -1102,11 +1129,19 @@ object StreamingOps {
     // before the bucket renames (guard (a) below). A prev-less publish
     // tolerates a pointer naming a LEGACY (manifest-less) version:
     // that is migrateSnapshotLayout committing bucketed m0 over the
-    // old layout, not a competitor.
+    // old layout, not a competitor. That tolerance must also ignore a
+    // manifest AT THE CLAIM SLOT (id == next): when the live legacy id
+    // is 0, next is ALSO 0, so after tryClaim the pointer's target
+    // "has" a manifest — this publish's own uncommitted claim (or a
+    // crashed predecessor's, which the claim path below reclaims or
+    // rejects by owner). Treating it as a committed competitor made
+    // the post-claim re-check throw on ITS OWN claim, and the migrate
+    // retry then swept the live legacy dir — the one data-destroying
+    // path this guard exists to prevent.
     def assertPointerUnmoved(): Unit = {
       val liveNow = currentSnapshotId(fs, root).filter(id =>
-        prev.isDefined || fs.exists(
-          new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id")))
+        prev.isDefined || (id != next && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/_manifests/m$id"))))
       if (liveNow != prev.map(_.id)) throw new IllegalStateException(
         s"snapshot publish: concurrent writer detected at $root — " +
           s"_CURRENT moved from ${prev.map(_.id).getOrElse("<none>")} to " +
@@ -1139,13 +1174,33 @@ object StreamingOps {
     val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     fs.mkdirs(mDir)
     // guard: atomic claim of the manifest slot, BEFORE any shared
-    // mutation — of two racing writers exactly one create succeeds
-    def tryClaim(): Boolean =
+    // mutation — of two racing writers exactly one create succeeds.
+    // Only "slot taken" reads as a lost race: HDFS raises
+    // FileAlreadyExistsException, but LocalFileSystem (and other
+    // bridged FSes) surface a bare IOException — disambiguated via
+    // fs.exists. Any OTHER IO failure (disk full, transport) must
+    // propagate as itself, not masquerade as a concurrent writer; a
+    // body-write failure after a successful create additionally
+    // removes its own partial claim so the retry isn't misdiagnosed
+    // as a foreign claim either.
+    def tryClaim(): Boolean = {
+      val o =
+        try fs.create(mNextPath, false) // manifests are immutable
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException =>
+            if (fs.exists(mNextPath)) return false else throw e
+        }
       try {
-        val o = fs.create(mNextPath, false) // manifests are immutable
         try o.write(body.getBytes("UTF-8")) finally o.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case e: java.io.IOException =>
+          fs.delete(mNextPath, false)
+          throw e
+      }
+      true
+    }
     if (!tryClaim()) {
       // a claim present while the pointer names prev is UNCOMMITTED by
       // construction: either our own crashed attempt (reclaim — batch

@@ -288,6 +288,73 @@ class IndexSyncSpec extends SparkSpec {
     } finally { pump.stop(); sink.stop() }
   }
 
+  test("bootstrap into a non-empty index: a crashed bootstrap's replay converges, a rebuilt store refuses loudly") {
+    implicit val ctx = spark.sqlContext
+    val base = tmp("sync-reboot")
+    val indexPath = s"$base/index"
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 0)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    def vecOf(id: Long): Seq[Float] =
+      emb.filter(col("vec_id") === id).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toSeq
+    def fill(root: String, ckpt: String, rows: Seq[(Long, Long)]): Unit = {
+      val input = MemoryStream[(Long, Long, String, Seq[Float])]
+      val sink = StreamingOps.snapshotUpsertSink(
+          input.toDF.toDF("doc_id", "seq", "op", "embedding"), root,
+          payloadCols = Seq("embedding"), keepVersions = 3, numBuckets = 4)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        input.addData(rows.map { case (i, s) => (i, s, "upsert", vecOf(i)) }: _*)
+        sink.processAllAvailable()
+      } finally sink.stop()
+    }
+    val rootA = s"$base/snapA"
+    fill(rootA, s"$base/ckptA", (0L until 10L).map(i => (i, 2L)))
+    val cursor = s"$base/cursor"
+    IndexSync.syncIndexFromSnapshot(spark, rootA, cursor, indexPath,
+      IndexSync.identityEmbed) shouldBe Some(0L)
+    val served = topk(indexPath, emb.filter(col("vec_id") === 5))
+    served.head._2 shouldBe "5"
+    // a crashed BOOTSTRAP (index holds the first attempt's appends, the
+    // cursor commit never landed — same state as deleting the cursor):
+    // every index row is covered by the replayed pull (same key, same
+    // seq), so the guard passes and the replay converges
+    val fs = new org.apache.hadoop.fs.Path(cursor).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    IndexSync.syncIndexFromSnapshot(spark, rootA, cursor, indexPath,
+      IndexSync.identityEmbed) shouldBe Some(0L)
+    topk(indexPath, emb.filter(col("vec_id") === 5)) shouldBe served
+    // the store is REBUILT (new root: seqs restart lower, key 9 gone) —
+    // a fresh-cursor bootstrap into the still-populated index would
+    // leave key 9 and every seq-2 row served stale forever (bootstrap
+    // writes no old-version tombstones). It must refuse loudly, before
+    // writing anything.
+    val rootB = s"$base/snapB"
+    fill(rootB, s"$base/ckptB", (0L until 9L).map(i => (i, 1L)))
+    fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    val err = intercept[IllegalStateException] {
+      IndexSync.syncIndexFromSnapshot(spark, rootB, s"$base/cursorB",
+        indexPath, IndexSync.identityEmbed)
+    }
+    err.getMessage should include("Reset the index")
+    // nothing was applied: the index still serves the pre-refusal state
+    topk(indexPath, emb.filter(col("vec_id") === 5)) shouldBe served
+    // the documented fix — reset the index shell together with the
+    // cursor — then the bootstrap against the rebuilt store succeeds
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 0)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    IndexSync.syncIndexFromSnapshot(spark, rootB, s"$base/cursorB",
+      indexPath, IndexSync.identityEmbed) shouldBe Some(0L)
+    topk(indexPath, emb.filter(col("vec_id") === 5)).head._2 shouldBe "5"
+    topk(indexPath, emb.filter(col("vec_id") === 9), k = 1)
+      .map(_._2) should not contain "9"
+  }
+
   test("the versioned tombstone mask does not break partition pruning or broadcast bounds") {
     val path = tmp("idx-maskplan")
     val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 200)

@@ -1316,4 +1316,74 @@ class StreamingSpec extends SparkSpec {
     }.getMessage should include("already")
     fs.exists(new org.apache.hadoop.fs.Path(s"$root/v6")) shouldBe false
   }
+
+  test("migrating a legacy store whose live id is 0: no claim self-collision, and a crashed claim never sweeps the live data") {
+    implicit val ctx = spark.sqlContext
+    def legacyStore(tag: String): (String, org.apache.hadoop.fs.FileSystem) = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+        .toString + "/snap"
+      Seq((1L, Some("a"), 3L, false), (2L, Some("b"), 2L, false),
+          (3L, Some("c"), 5L, false))
+        .toDF("doc_id", "text", "__seq", "__deleted")
+        .write.parquet(s"$root/v0") // live legacy id 0 == the claim slot
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/_CURRENT"), true)
+      try out.write("0".getBytes("UTF-8")) finally out.close()
+      (root, fs)
+    }
+    def liveRows(root: String): Seq[(Long, Option[String])] =
+      StreamingOps.readSnapshot(spark, root).get
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    val expect = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")))
+
+    // (1) the self-collision: migration publishes m0 while _CURRENT
+    // still reads 0, so the post-claim pointer re-check used to see its
+    // OWN claim and throw 'concurrent writer' — and the migrate retry's
+    // already-bucketed branch then swept the live v0 dir. The fresh
+    // migrate must simply succeed.
+    val (root1, fs1) = legacyStore("snap-legacy0")
+    StreamingOps.migrateSnapshotLayout(spark, root1, numBuckets = 4)
+    fs1.exists(new org.apache.hadoop.fs.Path(s"$root1/v0")) shouldBe false
+    liveRows(root1) shouldBe expect
+    // re-running on the now-bucketed store raises (and is data-safe: the
+    // committed m0's bucket dirs are all in place)
+    intercept[IllegalStateException] {
+      StreamingOps.migrateSnapshotLayout(spark, root1)
+    }.getMessage should include("already")
+    liveRows(root1) shouldBe expect
+
+    // (2) a CRASHED previous migration left an uncommitted claim m0
+    // (its bucket renames never ran) over the live legacy dir: the
+    // retry must NOT take the already-bucketed sweep (that deletes the
+    // store's only data) — it reclaims the claim and completes.
+    val (root2, fs2) = legacyStore("snap-legacy0crash")
+    fs2.mkdirs(new org.apache.hadoop.fs.Path(s"$root2/_manifests"))
+    locally {
+      val o = fs2.create(
+        new org.apache.hadoop.fs.Path(s"$root2/_manifests/m0"), false)
+      try o.write("buckets 4\nb 0 0\nb 1 0\nwriter default dead-nonce\n"
+        .getBytes("UTF-8")) finally o.close()
+    }
+    StreamingOps.migrateSnapshotLayout(spark, root2, numBuckets = 4)
+    fs2.exists(new org.apache.hadoop.fs.Path(s"$root2/v0")) shouldBe false
+    liveRows(root2) shouldBe expect
+
+    // (3) partially-renamed crash (some bucket dirs made it in): still
+    // not intact, still a safe re-run that overwrites the partial dirs
+    val (root3, fs3) = legacyStore("snap-legacy0partial")
+    fs3.mkdirs(new org.apache.hadoop.fs.Path(s"$root3/_manifests"))
+    locally {
+      val o = fs3.create(
+        new org.apache.hadoop.fs.Path(s"$root3/_manifests/m0"), false)
+      try o.write("buckets 4\nb 0 0\nb 1 0\nwriter default dead-nonce\n"
+        .getBytes("UTF-8")) finally o.close()
+    }
+    Seq((9L, Some("stale-partial"), 1L, false))
+      .toDF("doc_id", "text", "__seq", "__deleted")
+      .write.parquet(s"$root3/b0/v0") // the one bucket the crash renamed
+    StreamingOps.migrateSnapshotLayout(spark, root3, numBuckets = 4)
+    liveRows(root3) shouldBe expect // 9L's partial dir was overwritten
+  }
 }
