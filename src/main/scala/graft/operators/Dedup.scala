@@ -70,6 +70,21 @@ object Dedup {
     *    droppable-work ledger a 100 TB run must emit). A bucket that hot
     *    is boilerplate, not near-duplication signal; its pairs are noise
     *    that exact verification would reject anyway.
+    *  - the cap bounds the ARRAYS too, not just the pair expansion: a
+    *    capped run truncates each bucket to its first cap+1 rows (a
+    *    sort-based `row_number` window over the band key — streams and
+    *    spills, never materializes the bucket) BEFORE `collect_list`,
+    *    so a 10⁸-doc boilerplate family costs cap+1 array slots per
+    *    band key instead of a 100 MB–1 GB single aggregation row the
+    *    size>cap filter would only discard after building (the
+    *    executor-OOM exactly at the corpus the cap exists for). A
+    *    truncated bucket's cap+1-sized array proves size>cap and drops
+    *    under the same filter; buckets within the cap keep every row
+    *    (row_number ≤ size ≤ cap < cap+1), so the emitted pairs are
+    *    IDENTICAL to the filter-after-build form — the oracle-checked
+    *    capped rows replay the same rule. The window's band-key hash
+    *    partitioning is reused by the groupBy (one shuffle total, same
+    *    as uncapped), and the hash pipeline still evaluates once.
     * @param maxBucketSize 0 (default) = uncapped — the oracle-checked
     *                      exact-recall form; > 0 = drop hotter buckets. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
@@ -78,22 +93,44 @@ object Dedup {
     val bk = Hashing.bandKeysUdf(shingleN, bands, rowsPerBand)
     val keyed = df
       .select(col(idCol).as("id"), explode(bk(col(textCol))).as("band_key"))
-    val buckets0 = keyed.groupBy(col("band_key"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
     val buckets =
-      if (maxBucketSize <= 0) buckets0
-      else buckets0
-        .observe("minhash_lsh_skew",
-          sum(when(size(col("ids")) > maxBucketSize, 1).otherwise(0))
-            .as("dropped_hot_buckets"))
-        .filter(size(col("ids")) <= maxBucketSize)
+      if (maxBucketSize <= 0)
+        keyed.groupBy(col("band_key"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+      else cappedBuckets(keyed, "band_key", maxBucketSize,
+        "minhash_lsh_skew")
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** The hot-array-safe capped bucket build shared by
+    * [[minhashLshPairs]] and [[simhashNearDupPairs]] (see the former's
+    * plan notes): truncate each key's rows at cap+1 with a streaming
+    * `row_number` window BEFORE `collect_list`, drop the (provably
+    * hot) cap+1-sized arrays, publish the drop count. Input: (id,
+    * keyCol) exploded rows. Output: (keyCol, ids) with
+    * 1 < size(ids) <= cap. */
+  private def cappedBuckets(keyed: DataFrame, keyCol: String,
+                            maxBucketSize: Int,
+                            metricName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("id"))
+    keyed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize + 1)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // a truncated bucket reads size == cap+1 == original-size > cap:
+      // the observed drop count matches the filter-after-build form
+      .observe(metricName,
+        sum(when(size(col("ids")) > maxBucketSize, 1).otherwise(0))
+          .as("dropped_hot_buckets"))
+      .filter(size(col("ids")) <= maxBucketSize && size(col("ids")) > 1)
   }
 
   /** SimHash near-dup pairs within Hamming distance ≤ 1: bucket by
@@ -105,29 +142,27 @@ object Dedup {
     *
     * Skew is WORSE here than for minhash bands: b identical docs collide
     * in all `bits` masked keys, so one hot content hash emits
-    * bits·b²/2 pairs and `collect_list` builds the full bucket array in
-    * one row. `maxBucketSize` caps it exactly as in [[minhashLshPairs]]:
-    * buckets above the cap are dropped BEFORE pair expansion and the drop
-    * count is published via `observe` ("simhash_skew" /
-    * dropped_hot_buckets) — the droppable-work ledger a 100 TB run must
-    * emit. A bucket that hot is boilerplate (its pairs also surface from
-    * exact dedup), not Hamming-adjacency signal.
+    * bits·b²/2 pairs. `maxBucketSize` caps it exactly as in
+    * [[minhashLshPairs]] (see its plan notes): each bucket is truncated
+    * to cap+1 rows by a streaming window BEFORE `collect_list` — the
+    * array build itself is bounded, not just the pair expansion — then
+    * the provably-hot cap+1-sized arrays are dropped and the count
+    * published via `observe` ("simhash_skew" / dropped_hot_buckets),
+    * the droppable-work ledger a 100 TB run must emit. A bucket that
+    * hot is boilerplate (its pairs also surface from exact dedup), not
+    * Hamming-adjacency signal.
     * @param maxBucketSize 0 (default) = uncapped — the oracle-checked
     *                      exact-recall form; > 0 = drop hotter buckets. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           bits: Int = 16, maxBucketSize: Int = 0): DataFrame = {
     val keyed = df.select(col(idCol).as("id"),
       explode(Hashing.simhashMaskedKeysUdf(bits)(col(textCol))).as("mkey"))
-    val buckets0 = keyed.groupBy(col("mkey"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
     val buckets =
-      if (maxBucketSize <= 0) buckets0
-      else buckets0
-        .observe("simhash_skew",
-          sum(when(size(col("ids")) > maxBucketSize, 1).otherwise(0))
-            .as("dropped_hot_buckets"))
-        .filter(size(col("ids")) <= maxBucketSize)
+      if (maxBucketSize <= 0)
+        keyed.groupBy(col("mkey"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+      else cappedBuckets(keyed, "mkey", maxBucketSize, "simhash_skew")
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

@@ -155,6 +155,49 @@ class DedupSpec extends SparkSpec {
     dropped shouldBe 16L
   }
 
+  test("capped LSH plan pin: the bucket arrays are truncated BEFORE collect_list builds them") {
+    // the hot-array hazard: filter(size <= cap) AFTER collect_list still
+    // materializes a boilerplate family's full id array in one
+    // aggregation row (100 MB–1 GB at 10⁷–10⁸ docs) before discarding
+    // it. Capped mode must bound the array build itself: the streaming
+    // row_number truncation (__rn <= cap+1) has to sit BELOW every
+    // collect_list aggregate in the plan, with no aggregate under it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    def pinTruncationBelowArrayBuild(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.optimizedPlan
+      val aggs = plan.collect { case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a }
+      aggs should have size 1
+      val guard = aggs.head.collectFirst { case f: Filter
+        if f.condition.references.exists(_.name == "__rn") => f }
+      withClue("no __rn truncation filter below the collect_list aggregate: ") {
+        guard.isDefined shouldBe true
+      }
+      // nothing below the guard may build an array — the truncation is
+      // the LAST thing the exploded rows pass through before the agg
+      guard.get.collect { case a: Aggregate => a } shouldBe Seq.empty
+    }
+    pinTruncationBelowArrayBuild(Dedup.minhashLshPairs(
+      hotBucketCorpus, "text", "doc_id", maxBucketSize = 10))
+    pinTruncationBelowArrayBuild(Dedup.simhashNearDupPairs(
+      hotBucketCorpus, "text", "doc_id", maxBucketSize = 10))
+    // and the truncated arrays are physically bounded: every bucket the
+    // aggregate emits holds at most cap+1 ids (cap 3 → arrays ≤ 4 even
+    // though the boilerplate family has 40 members)
+    val bk = graft.functions.Hashing.bandKeysUdf(3, 4, 3)
+    val sizes = hotBucketCorpus
+      .select(col("doc_id").as("id"), explode(bk(col("text"))).as("band_key"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_key")).orderBy(col("id"))))
+      .filter(col("__rn") <= 4)
+      .groupBy(col("band_key"))
+      .agg(org.apache.spark.sql.functions.size(
+        collect_list(col("id"))).as("n"))
+      .agg(max(col("n"))).as[Int].head()
+    sizes should be <= 4
+  }
+
   test("connectedComponents: pairs collapse to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
