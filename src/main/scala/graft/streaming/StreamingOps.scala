@@ -383,11 +383,6 @@ object StreamingOps {
             val fs = snapshotFs(spark, root)
             val cur = currentSnapshotManifest(fs, root)
             val b = cur.map(_.numBuckets).getOrElse(numBuckets)
-            // the batch feeds three jobs (empty probe above +
-            // touched-bucket probe + merge), all off the persisted blocks
-            val touched = batch
-              .select(snapshotBucket(col(idCol), b).as("__bucket"))
-              .distinct().collect().map(_.getInt(0)).toSet // bounded by B
             // the batch's own layout shape (id, payload…, __seq,
             // __deleted)
             val batchSchema = org.apache.spark.sql.types.StructType(
@@ -396,17 +391,30 @@ object StreamingOps {
                   batch.schema(seqCol).dataType),
                 org.apache.spark.sql.types.StructField("__deleted",
                   org.apache.spark.sql.types.BooleanType)))
-            // SCHEMA EVOLUTION (add-only): the stored schema comes from
-            // the live manifest (or one footer read, once, for a store
-            // that predates recorded schemas — its next publish records
-            // one). Payload columns this sink streams that the store
-            // has never seen WIDEN the layout (existing rows read as
-            // null there); stored columns this sink does not stream are
-            // CARRIED, with upserted rows taking null (an upsert is a
-            // full-row replace — the applyChangelogVersioned
-            // explicit-null contract). Same-name columns must keep
-            // their type: a type change is a rebuild, not evolution,
-            // and raises before anything is staged.
+            // SCHEMA EVOLUTION (add-only + safe promotions): the stored
+            // schema comes from the live manifest (or one footer read,
+            // once, for a store that predates recorded schemas — its
+            // next publish records one). Payload columns this sink
+            // streams that the store has never seen WIDEN the layout
+            // (existing rows read as null there); stored columns this
+            // sink does not stream are CARRIED, with upserted rows
+            // taking null (an upsert is a full-row replace — the
+            // applyChangelogVersioned explicit-null contract).
+            // Same-name columns resolve to the WIDER of the two types
+            // when one losslessly promotes to the other (integral
+            // byte→short→int→long, float→double, recursively through
+            // array elements): the manifest records the promoted type
+            // and every reader resolves old dirs under it — the
+            // parquet readers (vectorized and row-based) perform these
+            // widenings natively, so no dir rewrite happens. A batch
+            // NARROWER than the store just casts up. Any other type
+            // change is a rebuild, not evolution, and raises before
+            // anything is staged — including a promotion of the ID
+            // column: the bucket layout is keyed by hash(id), which is
+            // physical-type-sensitive (hash(1:int) ≠ hash(1L:long)),
+            // so an id-type change re-keys every bucket — a full
+            // republish by nature, offered as the one-call
+            // [[promoteSnapshotIdType]] maintenance op.
             val stored: Option[org.apache.spark.sql.types.StructType] =
               cur.flatMap(_.schema).orElse(cur.flatMap(m =>
                 m.buckets.toSeq.sortBy(_._1).headOption.map { case (bk, v) =>
@@ -418,36 +426,76 @@ object StreamingOps {
                   s"snapshotUpsertSink: the store at $root is keyed by " +
                     s"'${st.head.name}' but this sink is configured " +
                     s"with idCol '$idCol'")
-                batchSchema.foreach { f =>
-                  st.find(_.name == f.name).foreach { old =>
-                    // nullableForm: containsNull/nullability metadata
-                    // varies by SOURCE (a MemoryStream's Seq[Float] is
-                    // containsNull=false, the same column off
-                    // parquet/Kafka is true) and is not a type change
-                    require(nullableForm(old.dataType) ==
-                        nullableForm(f.dataType),
-                      s"snapshotUpsertSink: schema evolution is " +
-                        s"add-only — column '${f.name}' is " +
-                        s"${old.dataType.sql} in the store at $root " +
-                        s"but ${f.dataType.sql} in this sink's stream; " +
-                        "a type change requires a rebuild")
-                  }
-                }
+                val resolved: Map[String, org.apache.spark.sql.types.DataType] =
+                  batchSchema.flatMap { f =>
+                    st.find(_.name == f.name).map { old =>
+                      // nullableForm inside promotedType: containsNull/
+                      // nullability metadata varies by SOURCE (a
+                      // MemoryStream's Seq[Float] is containsNull=false,
+                      // the same column off parquet/Kafka is true) and
+                      // is not a type change
+                      val res = promotedType(old.dataType, f.dataType)
+                        .getOrElse(throw new IllegalArgumentException(
+                          s"snapshotUpsertSink: schema evolution is " +
+                            s"add-only — column '${f.name}' is " +
+                            s"${old.dataType.sql} in the store at $root " +
+                            s"but ${f.dataType.sql} in this sink's " +
+                            "stream, and neither losslessly promotes " +
+                            "to the other; a type change requires a " +
+                            "rebuild"))
+                      if (f.name == idCol &&
+                          res != nullableForm(old.dataType))
+                        throw new IllegalArgumentException(
+                          s"snapshotUpsertSink: the id column '$idCol' " +
+                            s"cannot promote in place " +
+                            s"(${old.dataType.sql} → ${f.dataType.sql}): " +
+                            "the bucket layout is keyed by hash(id), " +
+                            "which is physical-type-sensitive, so the " +
+                            "promotion re-keys every bucket. Run " +
+                            "StreamingOps.promoteSnapshotIdType(spark, " +
+                            s"root, ${f.dataType.sql}) once (a full " +
+                            "republish, like rebucketing), then restart " +
+                            "this sink.")
+                      f.name -> res
+                    }
+                  }.toMap
                 val newCols = batchSchema
                   .filterNot(f => st.fieldNames.contains(f.name))
                 org.apache.spark.sql.types.StructType(
                   st.filterNot(f => f.name == "__seq" ||
-                    f.name == "__deleted") ++
-                  newCols ++ Seq(st("__seq"), st("__deleted")))
+                      f.name == "__deleted")
+                    .map(f => f.copy(dataType =
+                      resolved.getOrElse(f.name, f.dataType))) ++
+                  newCols ++ Seq(
+                    st("__seq").copy(dataType =
+                      resolved.getOrElse("__seq", st("__seq").dataType)),
+                    st("__deleted")))
             }
             val widenedPayload = widened.fieldNames.toSeq
               .filterNot(n => n == idCol || n == "__seq" ||
                 n == "__deleted")
+            // touched buckets hash the batch ids CAST TO THE LAYOUT'S
+            // id type (after evolution resolution, which also raises
+            // before this first action on a refused change): Murmur3
+            // hash is physical-type-sensitive, so a batch whose id is
+            // narrower than the store's (int stream into a long-keyed
+            // store) would otherwise probe int-hash buckets while the
+            // merged rows partition by the long hash — staged buckets
+            // outside `touched` are never renamed in, silent loss.
+            // The batch feeds three jobs (empty probe above + this
+            // probe + merge), all off the persisted blocks.
+            val touched = batch
+              .select(snapshotBucket(
+                col(idCol).cast(widened.head.dataType), b).as("__bucket"))
+              .distinct().collect().map(_.getInt(0)).toSet // bounded by B
             val basePaths = cur.toSeq.flatMap(m => touched.toSeq.sorted
               .flatMap(bk => m.buckets.get(bk).map(v => s"$root/b$bk/v$v")))
             // base aligned to the widened layout (new columns → typed
-            // nulls); read under the manifest's schema so pre-widening
-            // dirs resolve correctly
+            // nulls, promoted columns → lossless up-cast); read under
+            // the manifest's schema so pre-widening dirs resolve
+            // correctly — this publish casts driver-declared, later
+            // reads resolve old dirs under the promoted manifest type
+            // via the parquet readers' native widening
             val base = {
               val raw =
                 if (basePaths.isEmpty) spark.createDataFrame(
@@ -455,12 +503,29 @@ object StreamingOps {
                   widened)
                 else readBuckets(spark, cur.get, basePaths)
               raw.select(widened.map(f =>
-                if (raw.columns.contains(f.name)) col(f.name)
-                else lit(null).cast(f.dataType).as(f.name)): _*)
+                if (!raw.columns.contains(f.name))
+                  lit(null).cast(f.dataType).as(f.name)
+                else if (nullableForm(raw.schema(f.name).dataType) !=
+                    nullableForm(f.dataType))
+                  col(f.name).cast(f.dataType).as(f.name)
+                else col(f.name)): _*)
             }
-            // batch padded with the carried columns it does not stream
+            // batch padded with the carried columns it does not stream,
+            // its streamed columns up-cast to the resolved layout types
+            // (a batch NARROWER than a promoted store casts up here;
+            // a batch that triggered the promotion is already wide)
+            def layoutTypeOf(batchCol: String)
+                : Option[org.apache.spark.sql.types.DataType] =
+              if (batchCol == seqCol) Some(widened("__seq").dataType)
+              else widened.find(_.name == batchCol).map(_.dataType)
             val paddedBatch = batch.select(
-              batch.columns.map(col).toSeq ++
+              batch.columns.toSeq.map { c =>
+                layoutTypeOf(c) match {
+                  case Some(t) if nullableForm(batch.schema(c).dataType)
+                      != nullableForm(t) => col(c).cast(t).as(c)
+                  case _ => col(c)
+                }
+              } ++
               widened.filter(f => !batch.columns.contains(f.name) &&
                 f.name != "__seq" && f.name != "__deleted")
                 .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
@@ -839,6 +904,55 @@ object StreamingOps {
       newBuckets, keepVersions, raw.schema)
   }
 
+  /** PROMOTE the id column's type of a live snapshot store (lossless
+    * widening only: byte→short→int→long — the headroom move a source
+    * makes before its key space overflows). Unlike payload/seq
+    * promotions, which [[snapshotUpsertSink]] absorbs in place (the
+    * manifest records the wider type, the parquet readers widen old
+    * dirs natively), the id cannot promote in place: the bucket layout
+    * is keyed by `hash(id)` and Spark's Murmur3 hash is
+    * physical-type-sensitive (hash(1:int) ≠ hash(1L:long)), so the
+    * promotion re-keys EVERY bucket. This op is therefore a full
+    * republish under the new hash — a full pass by nature, exactly
+    * like [[rebucketSnapshot]] — with the usual atomic manifest/
+    * pointer commit: readers see the old typing or the new one, never
+    * a mix; retained pre-promotion manifests stay time-travel readable
+    * against their immutable dirs; per-key `__seq` and tombstones
+    * carry through (stale-rejection memory survives); and the pure
+    * promotion emits an EMPTY [[snapshotChangelog]] (no `__seq` moved —
+    * a key-typing change is not a state change; the cross-era diff
+    * join coerces the id types). Single-writer like every maintenance
+    * op here; restart sinks with the widened stream type afterwards. */
+  def promoteSnapshotIdType(spark: org.apache.spark.sql.SparkSession,
+                            root: String,
+                            newType: org.apache.spark.sql.types.DataType,
+                            keepVersions: Int = 3): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val fs = snapshotFs(spark, root)
+    val cur = currentSnapshotManifest(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"promoteSnapshotIdType: no committed snapshot at $root"))
+    val paths = cur.buckets.toSeq.sortBy(_._1)
+      .map { case (bk, v) => s"$root/b$bk/v$v" }
+    val raw = readBuckets(spark, cur, paths)
+    val idCol = idColOf(raw)
+    val oldType = raw.schema(idCol).dataType
+    val res = promotedType(oldType, newType)
+    require(res.contains(nullableForm(newType)) &&
+        nullableForm(oldType) != nullableForm(newType),
+      s"promoteSnapshotIdType: ${oldType.sql} does not losslessly " +
+        s"promote to ${newType.sql} (widening only — anything else is " +
+        "a rebuild)")
+    val promoted = raw.withColumn(idCol, col(idCol).cast(newType))
+    // same synthetic-prev recipe as rebucketSnapshot: every bucket is
+    // touched (the new hash moves rows arbitrarily), the old bucket map
+    // carries the per-bucket version floors
+    publishSnapshotVersion(spark, root, promoted, idCol,
+      (0 until cur.numBuckets).toSet,
+      Some(SnapshotManifest(cur.id, cur.numBuckets, cur.buckets)),
+      cur.numBuckets, keepVersions, promoted.schema)
+  }
+
   /** One-off conversion of a legacy single-dir snapshot store
     * (`root/v<N>` whole-snapshot dirs, the pre-bucketing layout) to the
     * bucketed manifest layout: the LIVE legacy version (raw, tombstones
@@ -1062,6 +1176,39 @@ object StreamingOps {
   private def nullableSchema(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     nullableForm(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The WIDER of two types when one LOSSLESSLY promotes to the other
+    * (or they are equal up to nullability): the integral chain
+    * byte→short→int→long, float→double, recursively through array
+    * elements. None for anything else — incl. struct/map field
+    * promotions (the parquet readers' nested-widening behavior is not
+    * pinned here, so those stay a loud rebuild) and narrowing either
+    * way. These are exactly the widenings the parquet scan performs
+    * natively when the read schema is wider than a file's footer, so a
+    * manifest recording the promoted type serves every old dir without
+    * a rewrite. Returns nullability-normalized forms ([[nullableForm]]:
+    * source-dependent metadata, never a type change). */
+  private[graft] def promotedType(a: org.apache.spark.sql.types.DataType,
+                                  b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case _ => None
+    }
+    (nullableForm(a), nullableForm(b)) match {
+      case (x, y) if x == y => Some(x)
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        promotedType(ea, eb).map(e => ArrayType(e, containsNull = true))
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (x, y) =>
+        for { rx <- rank(x); ry <- rank(y) } yield if (rx >= ry) x else y
+    }
+  }
 
   /** Read bucket dirs under a manifest's authority: with the recorded
     * schema when present (dirs written before a widening lack the added

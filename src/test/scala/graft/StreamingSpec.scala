@@ -1317,6 +1317,133 @@ class StreamingSpec extends SparkSpec {
     fs.exists(new org.apache.hadoop.fs.Path(s"$root/v6")) shouldBe false
   }
 
+  test("snapshot type promotion: payload/seq widen int→long and float→double mid-stream; the id needs the full-republish op") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-promo")
+      .toString + "/snap"
+    // generation 1: n is INT, vec is array<FLOAT>, seq is INT
+    val in1 = MemoryStream[(Long, Int, String, Int, Seq[Float])]
+    val q1 = StreamingOps.snapshotUpsertSink(
+        in1.toDF.toDF("doc_id", "seq", "op", "n", "vec"), root,
+        payloadCols = Seq("n", "vec"), keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in1.addData((1L, 1, "upsert", 10, Seq(1.5f)),
+        (2L, 1, "upsert", 20, Seq(2.5f)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // generation 2: the source widened — seq and n stream as LONG, vec
+    // as array<DOUBLE>. The store must promote in place: the manifest
+    // records the wider types and old dirs read under them via the
+    // parquet readers' native widening, no rewrite.
+    val in2 = MemoryStream[(Long, Long, String, Long, Seq[Double])]
+    val q2 = StreamingOps.snapshotUpsertSink(
+        in2.toDF.toDF("doc_id", "seq", "op", "n", "vec"), root,
+        payloadCols = Seq("n", "vec"), keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in2.addData((3L, 2L, "upsert", 30L, Seq(3.5d)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val live = StreamingOps.readSnapshot(spark, root).get
+    live.schema("n").dataType shouldBe org.apache.spark.sql.types.LongType
+    live.schema("vec").dataType shouldBe org.apache.spark.sql.types
+      .ArrayType(org.apache.spark.sql.types.DoubleType, true)
+    live.as[(Long, Long, Seq[Double])].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, 10L, Seq(1.5)), (2L, 20L, Seq(2.5)), (3L, 30L, Seq(3.5)))
+    // time travel to the pre-promotion snapshot serves the OLD typing
+    val v0 = StreamingOps.readSnapshot(spark, root, version = Some(0)).get
+    v0.schema("n").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    v0.as[(Long, Int, Seq[Float])].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, 10, Seq(1.5f)), (2L, 20, Seq(2.5f)))
+    // the changelog across the promotion emits the TO types
+    val chg = StreamingOps.snapshotChangelog(spark, root, 0)
+    chg.schema("seq").dataType shouldBe org.apache.spark.sql.types.LongType
+    chg.schema("n").dataType shouldBe org.apache.spark.sql.types.LongType
+    chg.as[(Long, Long, String, Long, Seq[Double])].collect().toSeq shouldBe
+      Seq((3L, 2L, "upsert", 30L, Seq(3.5)))
+    // a NARROW sink (the old int source, not yet redeployed) keeps
+    // working against the promoted store — its batch casts up, and its
+    // STALE redelivery for key 1 is still rejected by the carried seq
+    val in3 = MemoryStream[(Long, Int, String, Int, Seq[Float])]
+    val q3 = StreamingOps.snapshotUpsertSink(
+        in3.toDF.toDF("doc_id", "seq", "op", "n", "vec"), root,
+        payloadCols = Seq("n", "vec"), keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      in3.addData((1L, 1, "upsert", 99, Seq(9.9f)),
+        (4L, 3, "upsert", 40, Seq(4.5f)))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    StreamingOps.readSnapshot(spark, root).get
+      .as[(Long, Long, Seq[Double])].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, 10L, Seq(1.5)), (2L, 20L, Seq(2.5)), (3L, 30L, Seq(3.5)),
+        (4L, 40L, Seq(4.5)))
+    // point lookup of a gen-1 key under the promoted layout
+    StreamingOps.lookupSnapshot(spark, root, Seq(2L)).get
+      .as[(Long, Long, Seq[Double])].collect().toSeq shouldBe
+      Seq((2L, 20L, Seq(2.5)))
+
+    // ——— the ID column: an in-place promotion is refused (the bucket
+    // layout is keyed by the id's physical hash), pointing at the op
+    val idRoot = java.nio.file.Files.createTempDirectory("graft-snap-promoid")
+      .toString + "/snap"
+    val inA = MemoryStream[(Int, Long, String, String)]
+    val qA = StreamingOps.snapshotUpsertSink(
+        inA.toDF.toDF("doc_id", "seq", "op", "text"), idRoot,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      inA.addData((1, 1L, "upsert", "a"), (2, 1L, "upsert", "b"),
+        (3, 1L, "upsert", "c"))
+      qA.processAllAvailable()
+    } finally qA.stop()
+    val inB = MemoryStream[(Long, Long, String, String)]
+    val qB = StreamingOps.snapshotUpsertSink(
+        inB.toDF.toDF("doc_id", "seq", "op", "text"), idRoot,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        inB.addData((9L, 2L, "upsert", "x"))
+        qB.processAllAvailable()
+      } finally qB.stop()
+    }
+    err.getMessage should include("promoteSnapshotIdType")
+    // the op: one full republish under the new hash — state identical,
+    // id re-typed, seq memory intact, EMPTY changelog (not a state
+    // change), and the long-id sink then just runs
+    StreamingOps.promoteSnapshotIdType(spark, idRoot,
+      org.apache.spark.sql.types.LongType, keepVersions = 4)
+    val promoted = StreamingOps.readSnapshot(spark, idRoot).get
+    promoted.schema("doc_id").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    promoted.as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    StreamingOps.snapshotChangelog(spark, idRoot, 0).count() shouldBe 0L
+    val inC = MemoryStream[(Long, Long, String, String)]
+    val qC = StreamingOps.snapshotUpsertSink(
+        inC.toDF.toDF("doc_id", "seq", "op", "text"), idRoot,
+        keepVersions = 4, numBuckets = 4)
+      .option("checkpointLocation", checkpoint()).start()
+    try {
+      // stale redelivery for key 2 (seq 0 < stored 1) must stay
+      // rejected across the promotion; key 9 is new
+      inC.addData((2L, 0L, "upsert", "stale?"), (9L, 2L, "upsert", "x"))
+      qC.processAllAvailable()
+    } finally qC.stop()
+    StreamingOps.readSnapshot(spark, idRoot).get
+      .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "x"))
+    StreamingOps.lookupSnapshot(spark, idRoot, Seq(3L)).get
+      .as[(Long, String)].collect().toSeq shouldBe Seq((3L, "c"))
+    // a genuine type CHANGE still raises before anything is staged
+    intercept[IllegalArgumentException] {
+      StreamingOps.promoteSnapshotIdType(spark, idRoot,
+        org.apache.spark.sql.types.StringType)
+    }.getMessage should include("rebuild")
+  }
+
   test("migrating a legacy store whose live id is 0: no claim self-collision, and a crashed claim never sweeps the live data") {
     implicit val ctx = spark.sqlContext
     def legacyStore(tag: String): (String, org.apache.hadoop.fs.FileSystem) = {
