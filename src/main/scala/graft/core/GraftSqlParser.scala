@@ -371,6 +371,30 @@ private[core] object GraftDdl {
     *    candidate ids sharing an n-gram with the benchmark table);
     *    options 'id', 'text', 'benchmark' (table name, required),
     *    'shingle_n'.
+    *  - `epoch_mix` → [[graft.pipeline.CurationPipeline.epochMix]]
+    *    (rows × deterministic copy index — upsampling weights > 1);
+    *    options 'id', 'strata' (column, default 'source'), 'weights'
+    *    (required, "en:1.0,zh:2.5" — an allowlist).
+    *  - `temperature_mix` →
+    *    [[graft.pipeline.CurationPipeline.temperatureMix]] (rows ×
+    *    copy index, weights DERIVED from corpus counts at temperature
+    *    α); options 'id', 'strata', 'alpha', 'max_weight'.
+    *  - `pack` → [[graft.pipeline.CurationPipeline.packSequences]]
+    *    (id, stratum, n_tokens, bin, offset — fixed-capacity token
+    *    bins); options 'id', 'text', 'strata', 'capacity' (required).
+    *  - `shuffle_shard` →
+    *    [[graft.pipeline.CurationPipeline.seededShuffleShard]]
+    *    (id, pos, shard — seeded global shuffle into fixed-size
+    *    shards); options 'id', 'shard_size' (required), 'seed'.
+    *  - `sample_k` →
+    *    [[graft.pipeline.CurationPipeline.sampleKPerStratum]] (exactly
+    *    min(k, |stratum|) rows per stratum by md5(id) order); options
+    *    'id', 'strata', 'k' (required).
+    *  - `dsir_score` → [[graft.pipeline.CurationPipeline.dsirScores]]
+    *    (id, n_feats, score — hashed-unigram log-likelihood ratio
+    *    toward the target domain); options 'id', 'text', 'target'
+    *    (required, a boolean SQL expression over the table's columns,
+    *    e.g. "lang = 'en'").
     *
     * Output schema depends on the op and the table, so like READ
     * SNAPSHOT this resolves to the composed read plan at parse time
@@ -456,10 +480,61 @@ private[core] object GraftDdl {
         CurationPipeline.decontaminate(df, spark.table(bench),
           textCol = text, idCol = id,
           shingleN = opts.getOrElse("shingle_n", "8").toInt)
+      case "epoch_mix" =>
+        requireKeys(Set("id", "strata", "weights"))
+        val weights = opts.getOrElse("weights", sys.error(
+          s"$stmt: epoch_mix requires a 'weights' option " +
+            "(\"stratum:weight,...\" — an allowlist; absent strata drop)"))
+        CurationPipeline.epochMix(df,
+          strataCol = opts.getOrElse("strata", "source"), idCol = id,
+          weights = weights.split(',').map(_.trim).filter(_.nonEmpty)
+            .map { s =>
+              val parts = s.split(':')
+              require(parts.length == 2,
+                s"$stmt: malformed weights entry '$s' (want name:weight)")
+              parts(0).trim -> parts(1).trim.toDouble
+            }.toMap)
+      case "temperature_mix" =>
+        requireKeys(Set("id", "strata", "alpha", "max_weight"))
+        CurationPipeline.temperatureMix(df,
+          strataCol = opts.getOrElse("strata", "source"), idCol = id,
+          alpha = opts.getOrElse("alpha", "0.5").toDouble,
+          maxWeight = opts.getOrElse("max_weight", "10.0").toDouble)
+      case "pack" =>
+        requireKeys(Set("id", "text", "strata", "capacity"))
+        CurationPipeline.packSequences(df,
+          capacity = opts.getOrElse("capacity", sys.error(
+            s"$stmt: pack requires a 'capacity' option " +
+              "(tokens per bin, > 0)")).toInt,
+          strataCol = opts.getOrElse("strata", "source"),
+          textCol = text, idCol = id)
+      case "shuffle_shard" =>
+        requireKeys(Set("id", "shard_size", "seed"))
+        CurationPipeline.seededShuffleShard(df,
+          shardSize = opts.getOrElse("shard_size", sys.error(
+            s"$stmt: shuffle_shard requires a 'shard_size' option " +
+              "(rows per shard, > 0)")).toLong,
+          seed = opts.getOrElse("seed", "0"), idCol = id)
+      case "sample_k" =>
+        requireKeys(Set("id", "strata", "k"))
+        CurationPipeline.sampleKPerStratum(df,
+          strataCol = opts.getOrElse("strata", "source"), idCol = id,
+          k = opts.getOrElse("k", sys.error(
+            s"$stmt: sample_k requires a 'k' option " +
+              "(rows per stratum, >= 1)")).toInt)
+      case "dsir_score" =>
+        requireKeys(Set("id", "text", "target"))
+        val target = opts.getOrElse("target", sys.error(
+          s"$stmt: dsir_score requires a 'target' option (a boolean " +
+            "SQL expression selecting the target-domain rows, e.g. " +
+            "\"lang = 'en'\")"))
+        CurationPipeline.dsirScores(df, idCol = id, textCol = text,
+          isTarget = org.apache.spark.sql.functions.expr(target))
       case other => sys.error(
         s"$stmt: unknown op '$other' (supported: dedup_exact, " +
           "dedup_fuzzy, verdict, split, split_leakage_safe, " +
-          "weighted_sample, token_budget, decontaminate)")
+          "weighted_sample, token_budget, decontaminate, epoch_mix, " +
+          "temperature_mix, pack, shuffle_shard, sample_k, dsir_score)")
     }
     out.queryExecution.logical
   }

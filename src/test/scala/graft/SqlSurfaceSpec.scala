@@ -658,6 +658,71 @@ class SqlSurfaceSpec extends SparkSpec {
       "CURATE TABLE curate_sql_docs USING weighted_sample WITH ('k' = '3')"))
       .getMessage should include("weight")
 
+    // 9. epoch-style upsampling mix — parity with epochMix; the absent
+    // 'crawl' stratum drops (allowlist), weight 2 emits 2 copies
+    val epochSql = spark.sql(
+      """CURATE TABLE curate_sql_docs USING epoch_mix
+        |WITH ('weights' = 'web:1.5,books:2.0')""".stripMargin)
+    rowsOf(epochSql) shouldBe rowsOf(graft.pipeline.CurationPipeline
+      .epochMix(docs, "source", "doc_id",
+        Map("web" -> 1.5, "books" -> 2.0)))
+    epochSql.filter(col("doc_id") === 5L).count() shouldBe 0L
+    epochSql.filter(col("doc_id") === 6L).count() shouldBe 2L
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING epoch_mix"))
+      .getMessage should include("weights")
+
+    // 10. temperature-scaled mix — parity with temperatureMix (weights
+    // derived from the corpus counts, α = 0.5, cap threaded)
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING temperature_mix
+        |WITH ('alpha' = '0.5', 'max_weight' = '4.0')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.temperatureMix(
+        docs, "source", "doc_id", alpha = 0.5, maxWeight = 4.0))
+
+    // 11. sequence packing — parity with packSequences
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING pack
+        |WITH ('capacity' = '16')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.packSequences(
+        docs, capacity = 16))
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING pack"))
+      .getMessage should include("capacity")
+
+    // 12. seeded shuffle + sharding — parity with seededShuffleShard
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING shuffle_shard
+        |WITH ('shard_size' = '4', 'seed' = 'v7')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.seededShuffleShard(
+        docs, shardSize = 4, seed = "v7"))
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING shuffle_shard"))
+      .getMessage should include("shard_size")
+
+    // 13. exact-k per-stratum sample — parity with sampleKPerStratum
+    val sampleKSql = spark.sql(
+      """CURATE TABLE curate_sql_docs USING sample_k
+        |WITH ('k' = '2')""".stripMargin)
+    rowsOf(sampleKSql) shouldBe rowsOf(graft.pipeline.CurationPipeline
+      .sampleKPerStratum(docs, "source", "doc_id", k = 2))
+    // exactly min(k, |stratum|) per source: web has 4 docs → 2 kept
+    sampleKSql.filter(col("source") === "web").count() shouldBe 2L
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING sample_k"))
+      .getMessage should include("'k'")
+
+    // 14. DSIR importance scoring — parity with dsirScores; the target
+    // is a SQL boolean expression over the table's own columns
+    rowsOf(spark.sql(
+      """CURATE TABLE curate_sql_docs USING dsir_score
+        |WITH ('target' = 'source = ''books''')""".stripMargin)) shouldBe
+      rowsOf(graft.pipeline.CurationPipeline.dsirScores(
+        docs, "doc_id", "text", col("source") === "books"))
+    intercept[Exception](spark.sql(
+      "CURATE TABLE curate_sql_docs USING dsir_score"))
+      .getMessage should include("target")
+
     // the statement returns a plain relation: it composes downstream
     // through a temp view (the statement itself is top-level only, like
     // the other intercepted statements)
