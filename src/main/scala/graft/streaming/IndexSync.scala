@@ -46,7 +46,28 @@ object IndexSync {
     * higher seq resurrects it, exactly like the store.
     *
     * Single-consumer per cursor file, like every cursor in this
-    * library. The first pull bootstraps: the changelog emits the full
+    * library — and since r15, ENFORCED, not just documented: each pull
+    * holds an atomic claim on `<cursorPath>.lock` for its whole
+    * apply+commit window. Two pumps sharing a cursor are not merely
+    * wasteful replays: their index appends are concurrent Spark write
+    * jobs into ONE parquet directory, which share the committer's
+    * `_temporary` staging — one job's cleanup can delete the other's
+    * in-flight task files, a SILENT torn append no `dedupReplays`
+    * masking can heal (the rows never landed). The claim makes the
+    * loser fail LOUDLY having written nothing. Semantics mirror the
+    * snapshot store's publish guard: a foreign `writerId`'s lock
+    * raises, naming the owner; a lock carrying THIS pump's writerId is
+    * a crashed predecessor (the standing pump serializes its own
+    * ticks) and is reclaimed, so checkpointed restarts self-heal; and
+    * after the cursor commit the lock is read back — a same-writerId
+    * twin that stole the claim mid-drain turns into a loud post-commit
+    * error telling the operator to compact and verify (compaction
+    * rebuilds cellstats and collapses versions; a torn append shows as
+    * missing rows against the store — re-drain after clearing one
+    * pump). Pumps that must coexist-crash-safely use distinct
+    * writerIds, exactly like the store's sinks.
+    *
+    * The first pull bootstraps: the changelog emits the full
     * live state, so pointing a fresh cursor + empty index at a mature
     * store backfills it in one (large) sync.
     *
@@ -67,41 +88,141 @@ object IndexSync {
                             cursorPath: String, indexPath: String,
                             embed: DataFrame => DataFrame,
                             vecCol: String = "embedding",
-                            payloadCols: Seq[String] = Nil): Option[Long] = {
+                            payloadCols: Seq[String] = Nil,
+                            writerId: String = "default"): Option[Long] = {
     // bootstrap = no cursor yet: the pull is the FULL live state, all
     // of it new to the index, so upserting it must not write one
     // old-version tombstone per document (a corpus-sized sidecar every
     // later search would aggregate and broadcast for zero masking)
+    val hconf = spark.sparkContext.hadoopConfiguration
     val cPath = new org.apache.hadoop.fs.Path(cursorPath)
-    val bootstrap = !cPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(cPath)
-    StreamingOps.nextChangelogBatch(spark, snapshotRoot, cursorPath).map {
-      case (live, frame, commit) =>
-        val idCol = frame.columns.head // changelogShape: id leads
-        // one pull feeds two consumers (upserts, deletes): persist, and
-        // release before returning (the antiJoinFuzzy lifecycle rule —
-        // this runs once per sync on a standing schedule)
-        val f = frame.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          if (bootstrap) assertBootstrapSafe(spark, indexPath, f, idCol)
-          val deletes = f.filter(col("op") === "delete")
-            .select(col(idCol).cast("string").as("nid"),
-              col("seq").cast("long").as("seq"))
-          if (deletes.limit(1).count() > 0)
-            graft.operators.SimilaritySearch.tombstoneIvfFlat(
-              spark, indexPath, deletes)
-          val upserts = f.filter(col("op") === "upsert")
-          if (upserts.limit(1).count() > 0)
-            graft.operators.SimilaritySearch.upsertIvfFlatBatch(
-              embed(upserts), indexPath, cId = idCol, cVec = vecCol,
-              cSeq = "seq", payloadCols = payloadCols,
-              tombstoneOld = !bootstrap)
-          commit()
-          live
-        } finally f.unpersist()
+    val cfs = cPath.getFileSystem(hconf)
+    val bootstrap = !cfs.exists(cPath)
+    val nonce = java.util.UUID.randomUUID().toString
+    val lockPath = cfs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$cursorPath.lock"))
+    acquirePumpLock(cfs, lockPath, writerId, nonce)
+    var committed = false
+    try {
+      val out = StreamingOps.nextChangelogBatch(
+          spark, snapshotRoot, cursorPath).map {
+        case (live, frame, commit) =>
+          val idCol = frame.columns.head // changelogShape: id leads
+          // one pull feeds two consumers (upserts, deletes): persist,
+          // and release before returning (the antiJoinFuzzy lifecycle
+          // rule — this runs once per sync on a standing schedule)
+          val f = frame.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (bootstrap) assertBootstrapSafe(spark, indexPath, f, idCol)
+            val deletes = f.filter(col("op") === "delete")
+              .select(col(idCol).cast("string").as("nid"),
+                col("seq").cast("long").as("seq"))
+            if (deletes.limit(1).count() > 0)
+              graft.operators.SimilaritySearch.tombstoneIvfFlat(
+                spark, indexPath, deletes)
+            val upserts = f.filter(col("op") === "upsert")
+            if (upserts.limit(1).count() > 0)
+              graft.operators.SimilaritySearch.upsertIvfFlatBatch(
+                embed(upserts), indexPath, cId = idCol, cVec = vecCol,
+                cSeq = "seq", payloadCols = payloadCols,
+                tombstoneOld = !bootstrap)
+            commit()
+            committed = true
+            live
+          } finally f.unpersist()
+      }
+      if (out.isEmpty) committed = true // nothing pulled, nothing torn
+      out
+    } finally releasePumpLock(cfs, lockPath, writerId, nonce, committed)
+  }
+
+  /** Claim `<cursor>.lock` atomically (create overwrite=false) before a
+    * pull touches the index — see [[syncIndexFromSnapshot]]. A present
+    * lock from a FOREIGN writerId raises; this pump's own writerId is a
+    * crashed predecessor's leftover and is reclaimed. */
+  private def acquirePumpLock(fs: org.apache.hadoop.fs.FileSystem,
+                              lockPath: org.apache.hadoop.fs.Path,
+                              writerId: String, nonce: String): Unit = {
+    val body = s"writer $writerId $nonce\n"
+    def tryLock(): Boolean = {
+      val o =
+        try fs.create(lockPath, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException =>
+            if (fs.exists(lockPath)) return false else throw e
+        }
+      try {
+        try o.write(body.getBytes("UTF-8")) finally o.close()
+      } catch {
+        case e: java.io.IOException => fs.delete(lockPath, false); throw e
+      }
+      true
     }
+    if (!tryLock()) {
+      val owner = readLockOwner(fs, lockPath)
+      if (!owner.forall(_ == writerId)) throw new IllegalStateException(
+        s"syncIndexFromSnapshot: the cursor lock $lockPath is held by " +
+          s"pump '${owner.getOrElse("<unknown>")}' (this pump is " +
+          s"'$writerId'). The cursor is single-consumer — two pumps " +
+          "draining one cursor append into one index CONCURRENTLY, " +
+          "which can tear an in-flight write (shared committer " +
+          "staging). This pull wrote nothing; stop one pump, or if " +
+          s"the owner crashed, delete $lockPath and retry.")
+      // our own crashed predecessor (the standing pump serializes its
+      // ticks, so a live self cannot hold it): reclaim — restarts heal
+      fs.delete(lockPath, false)
+      if (!tryLock()) throw new IllegalStateException(
+        s"syncIndexFromSnapshot: the cursor lock $lockPath was " +
+          "re-claimed by another pump during this pump's crash-leftover " +
+          "reclaim. The cursor is single-consumer; this pull wrote " +
+          "nothing — run one pump per cursor (distinct writerIds make " +
+          "the race fail before any write).")
+    }
+  }
+
+  /** Release the pump lock; on a COMMITTED pull first read it back —
+    * a same-writerId twin that stole the claim mid-drain (it cannot
+    * tell a live twin from a crash) surfaces here as a loud
+    * post-commit error instead of a silently torn index. */
+  private def releasePumpLock(fs: org.apache.hadoop.fs.FileSystem,
+                              lockPath: org.apache.hadoop.fs.Path,
+                              writerId: String, nonce: String,
+                              committed: Boolean): Unit = {
+    // a missing/unreadable lock reads as "not ours": on a committed
+    // pull that is the same steal evidence as a foreign nonce (someone
+    // cleared a LIVE pump's lock); on a failed pull it must not throw
+    // from this finally and mask the pull's own error
+    val mine = scala.util.Try {
+      val in = fs.open(lockPath)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      text.contains(nonce)
+    }.getOrElse(false)
+    if (mine) fs.delete(lockPath, false)
+    if (!mine && committed) throw new IllegalStateException(
+      s"syncIndexFromSnapshot: the cursor lock $lockPath was rewritten " +
+        s"by another '$writerId' pump DURING this pull (nonce mismatch " +
+        "after the cursor commit). Two pumps applied concurrently — " +
+        "the index may hold a torn append. Stop one pump, compact the " +
+        "index, and verify it against the store (re-drain heals missing " +
+        "rows); distinct writerIds make this race fail before any " +
+        "write.")
+  }
+
+  private def readLockOwner(fs: org.apache.hadoop.fs.FileSystem,
+                            lockPath: org.apache.hadoop.fs.Path)
+      : Option[String] = {
+    val in = fs.open(lockPath)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    // lift: a crash can truncate the line to "writer " with no id token
+    text.split('\n').map(_.trim).find(_.startsWith("writer "))
+      .flatMap(_.split("\\s+").lift(1))
   }
 
   /** The bootstrap-over-non-empty-index guard of
@@ -146,12 +267,13 @@ object IndexSync {
                              cursorPath: String, indexPath: String,
                              embed: DataFrame => DataFrame,
                              vecCol: String = "embedding",
-                             payloadCols: Seq[String] = Nil): Option[Long] = {
+                             payloadCols: Seq[String] = Nil,
+                             writerId: String = "default"): Option[Long] = {
     var last: Option[Long] = None
     var more = true
     while (more) {
       val got = syncIndexFromSnapshot(spark, snapshotRoot, cursorPath,
-        indexPath, embed, vecCol, payloadCols)
+        indexPath, embed, vecCol, payloadCols, writerId)
       if (got.isEmpty) more = false else last = got
     }
     last
@@ -183,7 +305,8 @@ object IndexSync {
                         embed: DataFrame => DataFrame,
                         vecCol: String = "embedding",
                         payloadCols: Seq[String] = Nil,
-                        tickSeconds: Int = 5)
+                        tickSeconds: Int = 5,
+                        writerId: String = "default")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     require(tickSeconds >= 1, s"tickSeconds must be >= 1: $tickSeconds")
@@ -195,7 +318,7 @@ object IndexSync {
         .ProcessingTime(s"$tickSeconds seconds"))
       .foreachBatch { (_: DataFrame, _: Long) =>
         try drainIndexFromSnapshot(spark, snapshotRoot, cursorPath,
-          indexPath, embed, vecCol, payloadCols): Unit
+          indexPath, embed, vecCol, payloadCols, writerId): Unit
         catch {
           case scala.util.control.NonFatal(e) =>
             // stderr by design: this library adds no logging framework,

@@ -288,6 +288,98 @@ class IndexSyncSpec extends SparkSpec {
     } finally { pump.stop(); sink.stop() }
   }
 
+  test("two pumps on one cursor: the loser raises before writing, crashed locks self-heal, a mid-drain steal is loud post-commit") {
+    implicit val ctx = spark.sqlContext
+    val base = tmp("sync-race")
+    val root = s"$base/snap"
+    val indexPath = s"$base/index"
+    val cursor = s"$base/cursor"
+    val lock = new org.apache.hadoop.fs.Path(s"$cursor.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vecOf(id: Long): Seq[Float] =
+      emb.filter(col("vec_id") === id).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toSeq
+    val input = MemoryStream[(Long, Long, String, Seq[Float])]
+    val sink = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "embedding"), root,
+        payloadCols = Seq("embedding"), keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 0)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    try {
+      input.addData((0L until 10L).map(i => (i, 1L, "upsert", vecOf(i))): _*)
+      sink.processAllAvailable()
+      // a FOREIGN pump holds the cursor lock: this pump must raise,
+      // naming the owner, having written NOTHING (no payload files, no
+      // cursor) — two concurrent appends into one parquet dir share
+      // committer staging and can tear, so the loser cannot proceed
+      locally {
+        val o = fs.create(lock, false)
+        try o.write("writer other-pump x-nonce\n".getBytes("UTF-8"))
+        finally o.close()
+      }
+      val err = intercept[IllegalStateException] {
+        IndexSync.syncIndexFromSnapshot(spark, root, cursor, indexPath,
+          IndexSync.identityEmbed)
+      }
+      err.getMessage should include("held by pump 'other-pump'")
+      new java.io.File(cursor).exists() shouldBe false
+      SimilaritySearch.searchIvfFlatIndex(spark, indexPath,
+        emb.filter(col("vec_id") === 5), 1, Int.MaxValue,
+        qId = "vec_id", qVec = "embedding").count() shouldBe 0L
+      fs.exists(lock) shouldBe true // the foreign lock is never deleted
+      fs.delete(lock, false)
+      // a lock from THIS pump's own writerId is a crashed predecessor
+      // (ticks are serialized): reclaimed, the drain proceeds — the
+      // standing pump's checkpointed restart self-heals
+      locally {
+        val o = fs.create(lock, false)
+        try o.write("writer default dead-nonce\n".getBytes("UTF-8"))
+        finally o.close()
+      }
+      IndexSync.syncIndexFromSnapshot(spark, root, cursor, indexPath,
+        IndexSync.identityEmbed) shouldBe Some(0L)
+      topk(indexPath, emb.filter(col("vec_id") === 5)).head._2 shouldBe "5"
+      fs.exists(lock) shouldBe false // released after the commit
+      // a same-writerId TWIN stealing the claim MID-DRAIN (it cannot
+      // tell a live twin from a crash) must surface as a loud
+      // post-commit error, not a silently torn index. The steal is
+      // driven from the embed hook, which runs while the lock is held.
+      input.addData((10L, 2L, "upsert", vecOf(10)))
+      sink.processAllAvailable()
+      val stealingEmbed: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = { df =>
+        fs.delete(lock, false)
+        val o = fs.create(lock, false)
+        try o.write("writer default stolen-nonce\n".getBytes("UTF-8"))
+        finally o.close()
+        df
+      }
+      val err2 = intercept[IllegalStateException] {
+        IndexSync.syncIndexFromSnapshot(spark, root, cursor, indexPath,
+          stealingEmbed)
+      }
+      err2.getMessage should include("rewritten by another 'default' pump")
+      // the window itself WAS applied and committed once — data intact
+      topk(indexPath, emb.filter(col("vec_id") === 10)).head._2 shouldBe "10"
+      spark.read.textFile(cursor).collect().head shouldBe "1"
+      fs.delete(lock, false) // the stolen lock is the thief's to clean
+      // distinct writerIds: the coexistence story — a second pump with
+      // its own id simply raises on the first one's live lock
+      locally {
+        val o = fs.create(lock, false)
+        try o.write("writer pump-a live-nonce\n".getBytes("UTF-8"))
+        finally o.close()
+      }
+      intercept[IllegalStateException] {
+        IndexSync.syncIndexFromSnapshot(spark, root, cursor, indexPath,
+          IndexSync.identityEmbed, writerId = "pump-b")
+      }.getMessage should include("held by pump 'pump-a'")
+    } finally sink.stop()
+  }
+
   test("bootstrap into a non-empty index: a crashed bootstrap's replay converges, a rebuilt store refuses loudly") {
     implicit val ctx = spark.sqlContext
     val base = tmp("sync-reboot")
