@@ -1434,16 +1434,15 @@ object SimilaritySearch {
       : DataFrame = {
     import spark.implicits._
     // `sidecars`: a serving caller (IvfFlatIndexStore) can preload the
-    // centroid matrix + cell sizes ONCE and reuse them across searches —
-    // per-micro-batch serving otherwise pays two sidecar-read jobs per
-    // batch for artifacts that are immutable (centroids) or only drift
-    // conservatively (cellstats) between maintenance passes
+    // centroid matrix + cell sizes ONCE and reuse them across searches.
+    // Without them the process-wide stat-guarded caches apply — an
+    // un-wrapped per-micro-batch caller (the sync pump's own serving,
+    // the SQL face) pays two metadata RPCs instead of two sidecar-read
+    // jobs per batch for artifacts that are immutable (centroids) or
+    // only drift conservatively (cellstats) between maintenance passes
     val (cents, sizes) = sidecars.getOrElse((
-      spark.read.parquet(s"$path/centroids")
-        .orderBy(col("cid")).select(col("vec")).collect()
-        .map(_.getSeq[Float](0).toSeq).toSeq,
-      spark.read.parquet(s"$path/cellstats")
-        .select(col("count")).as[Long].collect().toSeq))
+      centroidsOf(spark, path),
+      cellCountsOf(spark, path).values.toSeq))
     val nProbe = nProbeFor(sizes, numCandidates)
     // full probe depth reaches every cell no matter the query batch —
     // the probed set is statically all of them, so skip the per-batch
@@ -1523,16 +1522,15 @@ object SimilaritySearch {
                          cId: String = "vec_id", cVec: String = "embedding",
                          payloadCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cid")).select(col("vec")).collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
-    // match the index's own file convention (one cheap footer read):
-    // a versioned payload gets version -1 rows (supersedable by any
-    // upsert), a legacy payload stays legacy — files in one payload
-    // dir must stay schema-UNIFORM or plain inference on the read
-    // paths silently drops the version column for every row
+    val cents = centroidsOf(spark, path)
+    // match the index's own file convention (one cheap footer read,
+    // cached once versioned): a versioned payload gets version -1 rows
+    // (supersedable by any upsert), a legacy payload stays legacy —
+    // files in one payload dir must stay schema-UNIFORM or plain
+    // inference on the read paths silently drops the version column
+    // for every row
     val versionCol =
-      if (payloadHasUseq(spark, path)) Seq(lit(-1L).as("__useq"))
+      if (payloadVersioned(spark, path)) Seq(lit(-1L).as("__useq"))
       else Seq.empty[Column]
     val assigned = ivfAssign(batch, cents, cVec)
       .select(Seq(col(cId).as("nid"), col(cVec).as("nvec"),
@@ -1557,24 +1555,119 @@ object SimilaritySearch {
             e.getMessage.contains("PATH_NOT_FOUND") => true
     }
 
+  /** [[payloadHasUseq]] behind the sticky-true cache (see the cache
+    * note): a versioned payload never legitimately reverts, so the
+    * per-batch schema probe collapses to one set lookup on a standing
+    * upsert chain, while a legacy verdict re-probes every time and
+    * notices the compaction upgrade. */
+  private def payloadVersioned(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Boolean = {
+    val (_, dir) = qualifiedDir(spark, s"$path/payload")
+    val key = dir.toString
+    if (versionedPayloads.contains(key)) true
+    else {
+      val v = payloadHasUseq(spark, path)
+      if (v) versionedPayloads.add(key)
+      v
+    }
+  }
+
+  // ——— per-index invariants cache ———————————————————————————————————
+  // A standing chain (the sync pump's upserts, per-micro-batch indexed
+  // retrieval) pays the same fixed driver jobs EVERY batch for state
+  // that changes rarely or only under this writer's own hand: the
+  // centroid matrix (immutable between rebuilds), the payload's
+  // versioned-schema flag (flips once, legacy→versioned), and the
+  // cellstats counts (rewritten only by this single writer or a
+  // maintenance pass). Each is cached process-wide, keyed by the
+  // QUALIFIED sidecar path, and invalidated by one filesystem stat
+  // (the sidecar dir's modification time — overwrite recreates the
+  // dir's entries, bumping it on local FS and HDFS) instead of a Spark
+  // read+collect job: ~3 fixed jobs per batch become 1–2 metadata RPCs.
+  // Foreign rewrites (compaction, merge, a rebuild in place) change
+  // the stamp and force a re-read; correctness never rides the cache.
+  private case class Stamped[A](stamp: Long, value: A)
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Stamped[Seq[Seq[Float]]]]()
+  private val cellstatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Stamped[Map[Int, Long]]]()
+  // sticky TRUE only: an index never legitimately goes versioned →
+  // legacy (the library stopped writing legacy payloads at r14; only
+  // hand-crafted files could), while a cached FALSE would suppress the
+  // re-probe that notices compaction's legacy→versioned upgrade
+  private val versionedPayloads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def qualifiedDir(spark: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  /** The index's centroid matrix, cached across calls (stat-guarded —
+    * see the cache note above). Bounded: k×dim floats, the Lloyd-matrix
+    * class of driver state. */
+  private[graft] def centroidsOf(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Seq[Seq[Float]] = {
+    val (fs, dir) = qualifiedDir(spark, s"$path/centroids")
+    val stamp = fs.getFileStatus(dir).getModificationTime
+    val key = dir.toString
+    val hit = centroidCache.get(key)
+    if (hit != null && hit.stamp == stamp) hit.value
+    else {
+      val cents = spark.read.parquet(s"$path/centroids")
+        .orderBy(col("cid")).select(col("vec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      centroidCache.put(key, Stamped(stamp, cents))
+      cents
+    }
+  }
+
+  /** The index's per-cell counts, cached across calls (stat-guarded;
+    * [[bumpCellstats]] refreshes the entry after its own rewrite, so a
+    * single-writer upsert chain never re-reads what it just wrote). */
+  private[graft] def cellCountsOf(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Map[Int, Long] = {
+    import spark.implicits._
+    val (fs, dir) = qualifiedDir(spark, s"$path/cellstats")
+    val stamp = fs.getFileStatus(dir).getModificationTime
+    val key = dir.toString
+    val hit = cellstatsCache.get(key)
+    if (hit != null && hit.stamp == stamp) hit.value
+    else {
+      val counts = spark.read.parquet(s"$path/cellstats")
+        .select(col("cluster"), col("count")).as[(Int, Long)]
+        .collect().toMap
+      cellstatsCache.put(key, Stamped(stamp, counts))
+      counts
+    }
+  }
+
   /** Incremental cellstats bump shared by append and upsert: old
-    * counts + this batch's (both bounded collects), rewritten whole —
-    * collected BEFORE the overwrite. Upserted counts OVERCOUNT rows
-    * their own tombstones mask; cellstats only drives the
-    * numCandidates→nProbe mapping, where overcounting is conservative
-    * (probes at least as many cells), and compaction refreshes the
-    * exact counts. */
+    * counts (cached across the single-writer chain's batches — a
+    * foreign rewrite bumps the dir stamp and forces a re-read) + this
+    * batch's (one bounded collect), rewritten whole. Upserted counts
+    * OVERCOUNT rows their own tombstones mask; cellstats only drives
+    * the numCandidates→nProbe mapping, where overcounting is
+    * conservative (probes at least as many cells), and compaction
+    * refreshes the exact counts. */
   private def bumpCellstats(spark: org.apache.spark.sql.SparkSession,
                             path: String, assigned: DataFrame): Unit = {
     import spark.implicits._
-    val old = spark.read.parquet(s"$path/cellstats")
-      .select(col("cluster"), col("count")).as[(Int, Long)].collect().toMap
+    val old = cellCountsOf(spark, path)
     val add = assigned.groupBy(col("cluster")).count()
       .as[(Int, Long)].collect().toMap
-    val merged = (old.keySet ++ add.keySet).toSeq.sorted
+    val mergedMap = (old.keySet ++ add.keySet).toSeq.sorted
       .map(c => (c, old.getOrElse(c, 0L) + add.getOrElse(c, 0L)))
-    merged.toDF("cluster", "count")
+    mergedMap.toDF("cluster", "count")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+    // re-stamp AFTER the write (single-writer: nothing moves between):
+    // the next batch's cellCountsOf hits the cache instead of re-reading
+    val (fs, dir) = qualifiedDir(spark, s"$path/cellstats")
+    cellstatsCache.put(dir.toString,
+      Stamped(fs.getFileStatus(dir).getModificationTime, mergedMap.toMap))
   }
 
   /** VERSIONED upsert into a persisted IVF-Flat index — the
@@ -1611,14 +1704,12 @@ object SimilaritySearch {
                          payloadCols: Seq[String] = Nil,
                          tombstoneOld: Boolean = true): Unit = {
     val spark = batch.sparkSession
-    require(payloadHasUseq(spark, path),
+    require(payloadVersioned(spark, path),
       s"upsertIvfFlatBatch: the index at $path predates versioned " +
         "upserts (its payload files lack the __useq column). Run " +
         "compactIvfFlatIndex once — it rewrites the payload " +
         "versioned — then upsert.")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cid")).select(col("vec")).collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
+    val cents = centroidsOf(spark, path)
     // the seq contract (>= 0, never null) is enforced per row: a NULL
     // seq would write a null-seq tombstone — which the mask rule reads
     // as the legacy mask-EVERYTHING form — while the payload row's

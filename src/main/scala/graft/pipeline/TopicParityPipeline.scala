@@ -192,15 +192,20 @@ final class TopicParityPipeline(pipeline: CoachingPipeline,
             // empty-batch guard is an action of its own: unpersisted,
             // EACH of them re-scans and re-decodes the topic segment —
             // the r11 streaming_indexed book measured the retrieve
-            // stage's numInputRows at 3× the topic's rows. EAGER
-            // localCheckpoint materializes the decode exactly once and
-            // every action after it (the emptiness probe included) reads
-            // the checkpointed blocks; a lazy persist still
-            // double-decodes (cold scan branches race the cache
-            // population inside the one job). A micro-batch is bounded,
-            // so truncated lineage is safe here.
-            val b = batch.localCheckpoint(true)
-            if (!b.isEmpty) store.append(encode(f(b)), outTopic)
+            // stage's numInputRows at 3× the topic's rows. persist +
+            // count() materializes the decode exactly once AND is the
+            // emptiness gate in the same job (one fewer fixed job per
+            // trigger than the r14 localCheckpoint + isEmpty pair); the
+            // count fully populates the cache BEFORE the main action,
+            // so the lazy-persist race the r11 note warned about (cold
+            // scan branches racing the cache population inside one
+            // job) cannot occur. The cache is handed back per trigger
+            // (unpersist) — CacheManager entries are never reclaimed
+            // by GC (the r14 lifecycle rule).
+            val b = batch.persist()
+            try {
+              if (b.count() > 0) store.append(encode(f(b)), outTopic)
+            } finally b.unpersist()
           }
         }
         .option("checkpointLocation", s"$checkpointRoot/$name")
