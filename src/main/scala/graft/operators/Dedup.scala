@@ -122,7 +122,10 @@ object Dedup {
       .partitionBy(col(keyCol)).orderBy(col("id"))
     keyed
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucketSize + 1)
+      // long arithmetic: maxBucketSize = Int.MaxValue is a legal
+      // "effectively uncapped" setting — the int form would wrap to
+      // Int.MinValue and silently drop every row
+      .filter(col("__rn") <= lit(maxBucketSize.toLong + 1L))
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       // a truncated bucket reads size == cap+1 == original-size > cap:

@@ -1366,6 +1366,16 @@ object SimilaritySearch {
         col("cluster"), lit(-1L).as("__useq")) ++ payloadCols.map(col): _*))
       .mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/payload")
+    // a (re)build is a FRESH index: a tombstones sidecar left from a
+    // previous era at this path would mask the new rows wholesale
+    // (every old tombstone's seq ≥ 0 hides the rebuilt rows' version
+    // -1) — the exact silent-loss a "recreate the index shell" reset
+    // is told to rely on. Overwrite semantics must cover it too.
+    locally {
+      val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tomb)) fs.delete(tomb, true)
+    }
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -1606,20 +1616,35 @@ object SimilaritySearch {
     (fs, fs.makeQualified(p))
   }
 
+  /** The stat-guard only works where a directory's modification time
+    * actually moves when its entries are rewritten — real filesystems
+    * (local, HDFS and its compatibles). Object stores (s3a/gcs/abfs…)
+    * report fixed or synthetic mtimes for directory prefixes, so a
+    * foreign rewrite would never invalidate — there the caches are
+    * BYPASSED entirely (every call reads, the pre-r15 behavior) rather
+    * than trusted: correctness never rides the cache. */
+  private def statInvalidationWorks(
+      fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.getScheme == "file" || fs.getScheme == "hdfs" ||
+      fs.getScheme == "viewfs"
+
   /** The index's centroid matrix, cached across calls (stat-guarded —
     * see the cache note above). Bounded: k×dim floats, the Lloyd-matrix
     * class of driver state. */
   private[graft] def centroidsOf(spark: org.apache.spark.sql.SparkSession,
                                  path: String): Seq[Seq[Float]] = {
+    def read(): Seq[Seq[Float]] =
+      spark.read.parquet(s"$path/centroids")
+        .orderBy(col("cid")).select(col("vec")).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
     val (fs, dir) = qualifiedDir(spark, s"$path/centroids")
+    if (!statInvalidationWorks(fs)) return read()
     val stamp = fs.getFileStatus(dir).getModificationTime
     val key = dir.toString
     val hit = centroidCache.get(key)
     if (hit != null && hit.stamp == stamp) hit.value
     else {
-      val cents = spark.read.parquet(s"$path/centroids")
-        .orderBy(col("cid")).select(col("vec")).collect()
-        .map(_.getSeq[Float](0).toSeq).toSeq
+      val cents = read()
       centroidCache.put(key, Stamped(stamp, cents))
       cents
     }
@@ -1631,15 +1656,18 @@ object SimilaritySearch {
   private[graft] def cellCountsOf(spark: org.apache.spark.sql.SparkSession,
                                   path: String): Map[Int, Long] = {
     import spark.implicits._
+    def read(): Map[Int, Long] =
+      spark.read.parquet(s"$path/cellstats")
+        .select(col("cluster"), col("count")).as[(Int, Long)]
+        .collect().toMap
     val (fs, dir) = qualifiedDir(spark, s"$path/cellstats")
+    if (!statInvalidationWorks(fs)) return read()
     val stamp = fs.getFileStatus(dir).getModificationTime
     val key = dir.toString
     val hit = cellstatsCache.get(key)
     if (hit != null && hit.stamp == stamp) hit.value
     else {
-      val counts = spark.read.parquet(s"$path/cellstats")
-        .select(col("cluster"), col("count")).as[(Int, Long)]
-        .collect().toMap
+      val counts = read()
       cellstatsCache.put(key, Stamped(stamp, counts))
       counts
     }
@@ -1666,8 +1694,9 @@ object SimilaritySearch {
     // re-stamp AFTER the write (single-writer: nothing moves between):
     // the next batch's cellCountsOf hits the cache instead of re-reading
     val (fs, dir) = qualifiedDir(spark, s"$path/cellstats")
-    cellstatsCache.put(dir.toString,
-      Stamped(fs.getFileStatus(dir).getModificationTime, mergedMap.toMap))
+    if (statInvalidationWorks(fs))
+      cellstatsCache.put(dir.toString,
+        Stamped(fs.getFileStatus(dir).getModificationTime, mergedMap.toMap))
   }
 
   /** VERSIONED upsert into a persisted IVF-Flat index — the

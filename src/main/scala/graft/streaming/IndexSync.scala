@@ -90,18 +90,22 @@ object IndexSync {
                             vecCol: String = "embedding",
                             payloadCols: Seq[String] = Nil,
                             writerId: String = "default"): Option[Long] = {
-    // bootstrap = no cursor yet: the pull is the FULL live state, all
-    // of it new to the index, so upserting it must not write one
-    // old-version tombstone per document (a corpus-sized sidecar every
-    // later search would aggregate and broadcast for zero masking)
     val hconf = spark.sparkContext.hadoopConfiguration
     val cPath = new org.apache.hadoop.fs.Path(cursorPath)
     val cfs = cPath.getFileSystem(hconf)
-    val bootstrap = !cfs.exists(cPath)
     val nonce = java.util.UUID.randomUUID().toString
     val lockPath = cfs.makeQualified(
       new org.apache.hadoop.fs.Path(s"$cursorPath.lock"))
     acquirePumpLock(cfs, lockPath, writerId, nonce)
+    // bootstrap = no cursor yet: the pull is the FULL live state, all
+    // of it new to the index, so upserting it must not write one
+    // old-version tombstone per document (a corpus-sized sidecar every
+    // later search would aggregate and broadcast for zero masking).
+    // Resolved UNDER the lock: read before it, a twin's commit between
+    // the probe and the claim would make this pull misread an
+    // incremental window as a bootstrap (tombstone-less upserts over a
+    // partial pull — unmasked stale versions).
+    val bootstrap = !cfs.exists(cPath)
     var committed = false
     try {
       val out = StreamingOps.nextChangelogBatch(
@@ -145,24 +149,14 @@ object IndexSync {
                               lockPath: org.apache.hadoop.fs.Path,
                               writerId: String, nonce: String): Unit = {
     val body = s"writer $writerId $nonce\n"
-    def tryLock(): Boolean = {
-      val o =
-        try fs.create(lockPath, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            return false
-          case e: java.io.IOException =>
-            if (fs.exists(lockPath)) return false else throw e
-        }
-      try {
-        try o.write(body.getBytes("UTF-8")) finally o.close()
-      } catch {
-        case e: java.io.IOException => fs.delete(lockPath, false); throw e
-      }
-      true
-    }
+    // the claim primitive and owner parse are the snapshot publish
+    // guard's own (StreamingOps.atomicClaimFile/claimOwner) — one
+    // implementation of the lost-race/IO-error/vanished-file
+    // disambiguation, two policies on top of it
+    def tryLock(): Boolean =
+      StreamingOps.atomicClaimFile(fs, lockPath, body)
     if (!tryLock()) {
-      val owner = readLockOwner(fs, lockPath)
+      val owner = StreamingOps.claimOwner(fs, lockPath)
       if (!owner.forall(_ == writerId)) throw new IllegalStateException(
         s"syncIndexFromSnapshot: the cursor lock $lockPath is held by " +
           s"pump '${owner.getOrElse("<unknown>")}' (this pump is " +
@@ -213,24 +207,29 @@ object IndexSync {
         "write.")
   }
 
-  private def readLockOwner(fs: org.apache.hadoop.fs.FileSystem,
-                            lockPath: org.apache.hadoop.fs.Path)
-      : Option[String] = {
-    val in = fs.open(lockPath)
-    val text = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    // lift: a crash can truncate the line to "writer " with no id token
-    text.split('\n').map(_.trim).find(_.startsWith("writer "))
-      .flatMap(_.split("\\s+").lift(1))
-  }
 
   /** The bootstrap-over-non-empty-index guard of
-    * [[syncIndexFromSnapshot]] (see its Scaladoc): every payload row
-    * must be covered by the pull — same key, version ≤ the pull's seq
-    * for that key (crashed-bootstrap replays: equal; batch-built rows:
-    * -1 < any seq). An uncovered row is permanently-stale state the
-    * versioned upserts can never mask; raise before writing anything. */
+    * [[syncIndexFromSnapshot]] (see its Scaladoc). Operates on the
+    * SERVED rows — the payload after the tombstone mask — because an
+    * uncompacted deleted key's masked rows are not stale state, and
+    * refusing a legitimate same-store replay over them would force a
+    * needless index rebuild. Three outcomes per served row:
+    *
+    *  - key absent from the pull, or version NEWER than the store's
+    *    (a rebuilt store restarts seqs lower) → REFUSE loudly before
+    *    writing anything: the tombstone-less bootstrap could never
+    *    mask it, so it would be served stale forever.
+    *  - version EQUAL to the pull's seq → a crashed bootstrap's own
+    *    byte-identical append: converges under `dedupReplays`/
+    *    compaction, pass.
+    *  - version OLDER than the pull's seq (incl. batch-built -1 rows)
+    *    → covered but LIVE: the bootstrap's re-append would otherwise
+    *    sit NEXT TO it (no tombstone written), serving both versions
+    *    to any `dedupReplays=false` search until compaction — so the
+    *    guard BACKFILLS one tombstone per such key at pull-seq−1,
+    *    restoring the invariant that superseded versions are always
+    *    tombstone-masked. Cost: rows ∝ covered-differing keys, paid on
+    *    bootstrap only. */
   private def assertBootstrapSafe(spark: SparkSession, indexPath: String,
                                   pull: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types._
@@ -242,21 +241,34 @@ object IndexSync {
           StructField("nid", StringType), StructField("__useq", LongType))))
         .parquet(s"$indexPath/payload")
       catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val served = graft.operators.SimilaritySearch.maskTombstones(
+      spark, indexPath, graft.operators.SimilaritySearch.withUseq(idx))
     val cov = pull.select(col(idCol).cast("string").as("nid"),
       col("seq").cast("long").as("__pseq"))
-    val stale = idx.join(cov, Seq("nid"), "left")
-      .filter(col("__pseq").isNull ||
-        coalesce(col("__useq"), lit(-1L)) > col("__pseq"))
-    if (stale.limit(1).count() > 0) throw new IllegalStateException(
-      s"syncIndexFromSnapshot: bootstrap pull (no cursor yet) into the " +
-        s"NON-empty index at $indexPath found rows this store's live " +
-        "state does not cover (keys absent from the store, or index " +
-        "versions newer than the store's seqs — typical after the " +
-        "store was rebuilt, which restarts seqs lower). A bootstrap " +
-        "writes no old-version tombstones, so those rows would be " +
-        "served STALE forever. Reset the index together with the " +
-        "cursor: recreate the index shell (or tombstone+compact it " +
-        "empty), then re-run the bootstrap.")
+    // one 2-column scan feeds both the refusal probe and the backfill:
+    // persist, release before returning (bootstrap-only lifecycle)
+    val joined = served.select(col("nid"), col("__useq"))
+      .join(cov, Seq("nid"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stale = joined.filter(col("__pseq").isNull ||
+        col("__useq") > col("__pseq"))
+      if (stale.limit(1).count() > 0) throw new IllegalStateException(
+        s"syncIndexFromSnapshot: bootstrap pull (no cursor yet) into the " +
+          s"NON-empty index at $indexPath found rows this store's live " +
+          "state does not cover (keys absent from the store, or index " +
+          "versions newer than the store's seqs — typical after the " +
+          "store was rebuilt, which restarts seqs lower). A bootstrap " +
+          "writes no old-version tombstones, so those rows would be " +
+          "served STALE forever. Reset the index together with the " +
+          "cursor: recreate the index shell (or tombstone+compact it " +
+          "empty), then re-run the bootstrap.")
+      val backfill = joined.filter(col("__useq") < col("__pseq"))
+        .select(col("nid"), (col("__pseq") - 1L).as("seq")).distinct()
+      if (backfill.limit(1).count() > 0)
+        graft.operators.SimilaritySearch.tombstoneIvfFlat(
+          spark, indexPath, backfill)
+    } finally joined.unpersist()
   }
 
   /** Drain the store to its live snapshot: loop single pulls until

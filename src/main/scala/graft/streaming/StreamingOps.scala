@@ -987,9 +987,14 @@ object StreamingOps {
       // with no legacy dir left to lose) takes the already-bucketed
       // path; an incomplete claim over a live legacy dir falls
       // through to the re-run, whose publish reclaims the claim.
-      val mCur = readSnapshotManifest(fs, mCurPath, cur)
-      val intact = mCur.buckets.forall { case (bk, v) =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$root/b$bk/v$v")) }
+      // a hard kill between the claim's create and its body write
+      // leaves an EMPTY/truncated m$cur — unparseable, which is itself
+      // proof of an uncommitted claim: treat it as not-intact and fall
+      // through to the re-run (whose publish reclaims it), instead of
+      // dying on the parse error forever
+      val intact = scala.util.Try(readSnapshotManifest(fs, mCurPath, cur))
+        .toOption.exists(_.buckets.forall { case (bk, v) =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/b$bk/v$v")) })
       if (intact || !fs.exists(legacy)) {
         // already bucketed — but a PREVIOUS migration that crashed after
         // its pointer swap and before its legacy sweep leaves v<N> dirs
@@ -1321,47 +1326,15 @@ object StreamingOps {
     val mDir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
     fs.mkdirs(mDir)
     // guard: atomic claim of the manifest slot, BEFORE any shared
-    // mutation — of two racing writers exactly one create succeeds.
-    // Only "slot taken" reads as a lost race: HDFS raises
-    // FileAlreadyExistsException, but LocalFileSystem (and other
-    // bridged FSes) surface a bare IOException — disambiguated via
-    // fs.exists. Any OTHER IO failure (disk full, transport) must
-    // propagate as itself, not masquerade as a concurrent writer; a
-    // body-write failure after a successful create additionally
-    // removes its own partial claim so the retry isn't misdiagnosed
-    // as a foreign claim either.
-    def tryClaim(): Boolean = {
-      val o =
-        try fs.create(mNextPath, false) // manifests are immutable
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            return false
-          case e: java.io.IOException =>
-            if (fs.exists(mNextPath)) return false else throw e
-        }
-      try {
-        try o.write(body.getBytes("UTF-8")) finally o.close()
-      } catch {
-        case e: java.io.IOException =>
-          fs.delete(mNextPath, false)
-          throw e
-      }
-      true
-    }
+    // mutation — of two racing writers exactly one create succeeds
+    // (manifests are immutable; see atomicClaimFile for the lost-race
+    // vs real-IO-error disambiguation)
+    def tryClaim(): Boolean = atomicClaimFile(fs, mNextPath, body)
     if (!tryClaim()) {
       // a claim present while the pointer names prev is UNCOMMITTED by
       // construction: either our own crashed attempt (reclaim — batch
       // replay must self-heal) or a foreign writer's (loud, no delete)
-      val owner = {
-        val in = fs.open(mNextPath)
-        val text = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-          finally in.close()
-        // lift: a crash can truncate the trailer to "writer " with no
-        // id token — that is a reclaimable partial write, not an AIOOBE
-        text.split('\n').map(_.trim).find(_.startsWith("writer "))
-          .flatMap(_.split("\\s+").lift(1))
-      }
+      val owner = claimOwner(fs, mNextPath)
       // trailer-less claims predate the writer line (or were truncated
       // by a crash mid-create) — uncommitted either way, reclaimable
       if (!owner.forall(_ == writerId)) throw new IllegalStateException(
@@ -1511,6 +1484,57 @@ object StreamingOps {
         }
       }
     }
+  }
+
+  /** Create `path` atomically (overwrite=false) with `body` — the
+    * shared claim primitive of the snapshot publish guard and the
+    * index-sync pump's cursor lock. Returns false exactly when the
+    * slot is already taken: HDFS raises FileAlreadyExistsException,
+    * LocalFileSystem (and other bridged FSes) a bare IOException,
+    * disambiguated via fs.exists. Any OTHER IO failure (disk full,
+    * transport) propagates as itself, never masquerading as a
+    * concurrent writer; a body-write failure after a winning create
+    * removes its own partial file first, so a retry isn't misdiagnosed
+    * as a foreign claim either. */
+  private[graft] def atomicClaimFile(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: org.apache.hadoop.fs.Path,
+                                     body: String): Boolean = {
+    val o =
+      try fs.create(path, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return false
+        case e: java.io.IOException =>
+          if (fs.exists(path)) return false else throw e
+      }
+    try {
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    } catch {
+      case e: java.io.IOException =>
+        fs.delete(path, false)
+        throw e
+    }
+    true
+  }
+
+  /** The `writer <id> …` owner of a claim/lock file, shared by both
+    * claim sites. None when the file vanished (the holder released
+    * between the failed create and this read — the caller's reclaim
+    * delete is a no-op and its retry wins the freed slot), when a
+    * crash truncated the trailer before the id token, or when the file
+    * predates owner trailers — all reclaimable states. Other IO errors
+    * propagate: an unreadable LIVE claim must not be stolen. */
+  private[graft] def claimOwner(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path)
+      : Option[String] = {
+    val in =
+      try fs.open(path)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    text.split('\n').map(_.trim).find(_.startsWith("writer "))
+      .flatMap(_.split("\\s+").lift(1))
   }
 
   /** The id a VERSION-ADDRESSED reader may trust: the pointer's target

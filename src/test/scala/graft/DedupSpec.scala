@@ -155,6 +155,22 @@ class DedupSpec extends SparkSpec {
     dropped shouldBe 16L
   }
 
+  test("maxBucketSize = Int.MaxValue behaves as effectively uncapped (no int overflow in the truncation)") {
+    // the truncation filter compares row_number <= cap+1 in LONG: the
+    // int form wraps Int.MaxValue+1 to Int.MinValue and silently drops
+    // every row — a dedup run reporting zero duplicates
+    val uncapped = Dedup.minhashLshPairs(hotBucketCorpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    Dedup.minhashLshPairs(hotBucketCorpus, "text", "doc_id",
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet shouldBe uncapped
+    Dedup.simhashNearDupPairs(hotBucketCorpus, "text", "doc_id",
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet shouldBe
+      Dedup.simhashNearDupPairs(hotBucketCorpus, "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+  }
+
   test("capped LSH plan pin: the bucket arrays are truncated BEFORE collect_list builds them") {
     // the hot-array hazard: filter(size <= cap) AFTER collect_list still
     // materializes a boilerplate family's full id array in one

@@ -447,6 +447,114 @@ class IndexSyncSpec extends SparkSpec {
       .map(_._2) should not contain "9"
   }
 
+  test("bootstrap guard refinements: masked deletes replay cleanly, older covered versions get backfill tombstones, a shell rebuild clears stale tombstones") {
+    implicit val ctx = spark.sqlContext
+    val base = tmp("sync-guard2")
+    val indexPath = s"$base/index"
+    def shell(): Unit = SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 0)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    shell()
+    def vecOf(id: Long): Seq[Float] =
+      emb.filter(col("vec_id") === id).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toSeq
+    val nul = null.asInstanceOf[Seq[Float]]
+    val root = s"$base/snap"
+    val input = MemoryStream[(Long, Long, String, Seq[Float])]
+    val sink = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "embedding"), root,
+        payloadCols = Seq("embedding"), keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    val cursor = s"$base/cursor"
+    val fs = new org.apache.hadoop.fs.Path(cursor).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def sync(): Option[Long] = IndexSync.syncIndexFromSnapshot(
+      spark, root, cursor, indexPath, IndexSync.identityEmbed)
+    try {
+      // era 1: keys 0..9, then key 3 deleted and key 5 re-pointed —
+      // the index holds an uncompacted masked row for 3 and a
+      // superseded (tombstoned) version of 5
+      input.addData((0L until 10L).map(i => (i, 1L, "upsert", vecOf(i))): _*)
+      sink.processAllAvailable()
+      sync() shouldBe Some(0L)
+      input.addData((3L, 2L, "delete", nul), (5L, 2L, "upsert", vecOf(400)))
+      sink.processAllAvailable()
+      sync() shouldBe Some(1L)
+      // SAME-store re-bootstrap (cursor lost): the guard must judge the
+      // SERVED rows — 3's masked payload row is not stale state, so
+      // this replay passes instead of demanding an index rebuild
+      fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+      sync() shouldBe Some(1L)
+      topk(indexPath, emb.filter(col("vec_id") === 3), k = 3)
+        .map(_._2) should not contain "3"
+      topk(indexPath, emb.filter(col("vec_id") === 400)).head._2 shouldBe "5"
+      // COVERED-BUT-OLDER versions: rebuild the index shell, advance
+      // the store (key 7 → vector of 410 at seq 3), sync, then lose the
+      // cursor AFTER the store moved again — the re-bootstrap finds 7's
+      // seq-3 row older than the pull's seq-4 and must BACKFILL a
+      // tombstone so even dedupReplays=FALSE searches serve one version
+      input.addData((7L, 3L, "upsert", vecOf(410)))
+      sink.processAllAvailable()
+      sync() shouldBe Some(2L)
+      input.addData((7L, 4L, "upsert", vecOf(420)))
+      sink.processAllAvailable()
+      fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+      sync() shouldBe Some(3L)
+      val hits7 = topk(indexPath, emb.filter(col("vec_id") === 420),
+        k = 3, dedup = false)
+      hits7.head._2 shouldBe "7"
+      // without the backfill the seq-3 row (vector of 410) would also
+      // serve under dedupReplays=false; the tombstone at seq 3 masks it
+      topk(indexPath, emb.filter(col("vec_id") === 410), k = 1,
+        dedup = false).head._2 should not be "7"
+    } finally sink.stop()
+    // SHELL REBUILD clears the tombstones sidecar: the pump wrote
+    // tombstones above; a writeIvfFlatIndex at the same path must not
+    // let that old era mask the new rows (version -1 < every old seq —
+    // the whole rebuilt index would vanish from search)
+    new java.io.File(s"$indexPath/tombstones").exists() shouldBe true
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    new java.io.File(s"$indexPath/tombstones").exists() shouldBe false
+    topk(indexPath, emb.filter(col("vec_id") === 15)).head._2 shouldBe "15"
+  }
+
+  test("a garbage (truncated) cursor lock reads as a crashed claim and is reclaimed") {
+    implicit val ctx = spark.sqlContext
+    val base = tmp("sync-badlock")
+    val indexPath = s"$base/index"
+    SimilaritySearch.writeIvfFlatIndex(
+      emb.filter(col("vec_id") < 0)
+        .select(col("vec_id").cast("string").as("nid"), col("embedding")),
+      centroidsFrom(emb, 4), indexPath, cId = "nid", cVec = "embedding")
+    def vecOf(id: Long): Seq[Float] =
+      emb.filter(col("vec_id") === id).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toSeq
+    val root = s"$base/snap"
+    val input = MemoryStream[(Long, Long, String, Seq[Float])]
+    val sink = StreamingOps.snapshotUpsertSink(
+        input.toDF.toDF("doc_id", "seq", "op", "embedding"), root,
+        payloadCols = Seq("embedding"), keepVersions = 3, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      input.addData((0L until 5L).map(i => (i, 1L, "upsert", vecOf(i))): _*)
+      sink.processAllAvailable()
+      // a crash mid-create can truncate the lock to nothing (no
+      // 'writer' line): owner parses to None — reclaimable, not a
+      // crash or a false 'concurrent pump'
+      val lock = new org.apache.hadoop.fs.Path(s"$base/cursor.lock")
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(lock, false).close()
+      IndexSync.syncIndexFromSnapshot(spark, root, s"$base/cursor",
+        indexPath, IndexSync.identityEmbed) shouldBe Some(0L)
+      topk(indexPath, emb.filter(col("vec_id") === 2)).head._2 shouldBe "2"
+      fs.exists(lock) shouldBe false
+    } finally sink.stop()
+  }
+
   test("the versioned tombstone mask does not break partition pruning or broadcast bounds") {
     val path = tmp("idx-maskplan")
     val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 200)

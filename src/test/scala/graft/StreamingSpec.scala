@@ -1497,6 +1497,17 @@ class StreamingSpec extends SparkSpec {
     fs2.exists(new org.apache.hadoop.fs.Path(s"$root2/v0")) shouldBe false
     liveRows(root2) shouldBe expect
 
+    // (2b) a HARD KILL between the claim's create and its body write
+    // leaves an EMPTY m0 — unparseable, which must read as not-intact
+    // (fall through to the safe re-run), not crash the retry forever
+    val (root2b, fs2b) = legacyStore("snap-legacy0empty")
+    fs2b.mkdirs(new org.apache.hadoop.fs.Path(s"$root2b/_manifests"))
+    fs2b.create(
+      new org.apache.hadoop.fs.Path(s"$root2b/_manifests/m0"), false).close()
+    StreamingOps.migrateSnapshotLayout(spark, root2b, numBuckets = 4)
+    fs2b.exists(new org.apache.hadoop.fs.Path(s"$root2b/v0")) shouldBe false
+    liveRows(root2b) shouldBe expect
+
     // (3) partially-renamed crash (some bucket dirs made it in): still
     // not intact, still a safe re-run that overwrites the partial dirs
     val (root3, fs3) = legacyStore("snap-legacy0partial")
