@@ -4156,7 +4156,321 @@ object QueriesDataOps {
              md5(chunk) AS chunk_md5,
              CAST(len(string_split_regex(chunk, '\s+')) AS INT)
                AS n_tokens
-      FROM ch ORDER BY doc_id, chunk_idx"""))
+      FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    ("text_url_normalize", (s, dir) => {
+      // URL canonicalization + registered-domain extraction — the key
+      // preparation for every URL-keyed stage of a crawl corpus (exact
+      // url dedup, per-domain caps): two spellings of one page must
+      // collapse BEFORE content hashing. Messy urls are synthesized
+      // deterministically by doc_id (uppercase hosts, default ports,
+      // fragments, tracking params, schemeless strays, second-level
+      // ccTLDs); the oracle replays the IDENTICAL RE2-safe expression
+      // chain, so the row checks cross-engine regex parity — which for
+      // a canonicalizer is the semantics. Pure codegen, zero shuffle.
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/Path/"), id,
+            lit("?utm_source=x&id="), id, lit("#frag")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://News.Example.CO.UK:443/a/"), id,
+            lit("?gclid=zz")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://blog.example.com/p?id="), id,
+            lit("&utm_medium=m&x=2")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("example.org/raw/"), id))
+        .otherwise(lit("https://Shop.Example.com.au/"))
+      val norm = UrlOps.normalizeUrl(url)
+      T(s, dir, "documents")
+        .select(col("doc_id"), norm.as("url_norm"),
+          UrlOps.hostOf(norm).as("host"))
+        .withColumn("domain", UrlOps.registeredDomain(col("host")))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH u AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/' || doc_id ||
+                        '?utm_source=x&id=' || doc_id || '#frag'
+            WHEN 1 THEN 'https://News.Example.CO.UK:443/a/' || doc_id ||
+                        '?gclid=zz'
+            WHEN 2 THEN 'https://blog.example.com/p?id=' || doc_id ||
+                        '&utm_medium=m&x=2'
+            WHEN 3 THEN 'example.org/raw/' || doc_id
+            ELSE 'https://Shop.Example.com.au/' END AS url
+        FROM documents),
+      lo AS (
+        SELECT doc_id,
+               regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head, url
+        FROM u),
+      n0 AS (
+        SELECT doc_id, lower(head) ||
+               (CASE WHEN length(head) > 0
+                     THEN substr(url, length(head) + 1) ELSE url END) AS t
+        FROM lo),
+      n1 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+               '#.*$$', ''),
+               '^(https?://[^/:?#]*):(?:80|443)(/|\\?|$$)', '\\1\\2') AS t
+             FROM n0),
+      n2 AS (SELECT doc_id, regexp_replace(t,
+               '(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+               '', 'g') AS t FROM n1),
+      n3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(t, '\\?&+', '?', 'g'), '&&+', '&', 'g'),
+               '[?&]+$$', ''), '^(https?://[^/?#]+)/$$', '\\1') AS url_norm
+             FROM n2),
+      h AS (SELECT doc_id, url_norm,
+                   regexp_extract(lower(url_norm),
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS host
+            FROM n3),
+      d AS (SELECT doc_id, url_norm, host,
+                   string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+            FROM h)
+      SELECT doc_id, url_norm, host,
+             CASE WHEN n >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+                    (${graft.functions.UrlOps.secondLevelSuffixes
+                      .map("'" + _ + "'").mkString(",")})
+                  THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                  WHEN n >= 2 THEN ls[-2] || '.' || ls[-1]
+                  ELSE host END AS domain
+      FROM d ORDER BY doc_id""")),
+
+    ("text_domain_cap", (s, dir) => {
+      // per-domain cap — the crawl-mixing guard against one hot site
+      // dominating the corpus: canonicalize, key by registered domain,
+      // keep exactly min(k, |domain|) docs per domain by md5(id) order
+      // (the deterministic engine-portable draw sampleKPerStratum
+      // already pins). One domain-keyed window shuffle.
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/Path/"), id))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://News.Example.CO.UK/a/"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://blog.example.com/p?id="), id))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://docs.example.org/raw/"), id))
+        .otherwise(lit("https://Shop.Example.com.au/"))
+      val keyed = T(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.registeredDomain(
+          UrlOps.hostOf(UrlOps.normalizeUrl(url))).as("domain"))
+      graft.pipeline.CurationPipeline
+        .sampleKPerStratum(keyed, "domain", "doc_id", k = 3)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH u AS (
+        SELECT doc_id, lower(
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'WWW.Example.COM'
+            WHEN 1 THEN 'News.Example.CO.UK'
+            WHEN 2 THEN 'blog.example.com'
+            WHEN 3 THEN 'docs.example.org'
+            ELSE 'Shop.Example.com.au' END) AS host
+        FROM documents),
+      d AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+                   len(string_split(host, '.')) AS n
+            FROM u),
+      dom AS (SELECT doc_id,
+               CASE WHEN n >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+                      (${graft.functions.UrlOps.secondLevelSuffixes
+                        .map("'" + _ + "'").mkString(",")})
+                    THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                    WHEN n >= 2 THEN ls[-2] || '.' || ls[-1]
+                    ELSE host END AS domain
+              FROM d),
+      r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+            FROM dom)
+      SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""")),
+
+    ("text_html_extract", (s, dir) => {
+      // HTML → visible text (the step between the WARC fetch and every
+      // text gate): script/style/comments dropped, block tags become
+      // newlines (paragraph structure survives), remaining tags vanish,
+      // the six high-frequency entities decode ('&amp;' last), then
+      // whitespace collapses. HTML is synthesized deterministically
+      // around each document's text; the oracle replays the IDENTICAL
+      // RE2-safe chain — cross-engine regex parity IS the extractor's
+      // semantics. Pure codegen, zero shuffle.
+      import graft.functions.TextExtraction
+      val html = concat(
+        lit("<html><head><title>T</title><script type=\"text/javascript\">" +
+          "var x = 1 < 2;</script><style>p { color: red }</style></head>" +
+          "<body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"nav\"><a href=\"/home\">home page</a> " +
+          "<a href=\"/next\">next doc link text here</a> now</div>" +
+          "<!-- hidden --><p>Tail &amp; more &lt;escaped&gt;&nbsp;end</p>" +
+          "</body></html>"))
+      val clean = TextExtraction.stripHtml(html)
+      T(s, dir, "documents")
+        .select(col("doc_id"), md5(clean).as("clean_md5"),
+          length(clean).cast("int").as("n_chars"),
+          (size(split(clean, "\n")) ).cast("int").as("n_lines"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>T</title><script type="text/javascript">' ||
+          'var x = 1 < 2;</script><style>p { color: red }</style></head>' ||
+          '<body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+          '</p><div class="nav"><a href="/home">home page</a> ' ||
+          '<a href="/next">next doc link text here</a> now</div>' ||
+          '<!-- hidden --><p>Tail &amp; more &lt;escaped&gt;&nbsp;end</p>' ||
+          '</body></html>' AS html
+        FROM documents),
+      d AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+              html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g') AS t
+            FROM h),
+      b AS (SELECT doc_id, regexp_replace(t,
+              '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)[^>]*>',
+              chr(10), 'g') AS t FROM d),
+      nt AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM b),
+      e AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(t,
+                '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+                '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
+            FROM nt),
+      c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+              regexp_replace(t,
+                '[ \t\r]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g'),
+              '^\n+|\n+$', '', 'g')) AS t
+            FROM e)
+      SELECT doc_id, md5(t) AS clean_md5, CAST(length(t) AS INT) AS n_chars,
+             CAST(len(string_split(t, chr(10))) AS INT) AS n_lines
+      FROM c ORDER BY doc_id""")),
+
+    ("text_html_blocks", (s, dir) => {
+      // jusText-style block classification: split the (machinery-free)
+      // HTML into block-element segments, and per non-empty block
+      // compute word count + LINK DENSITY (visible chars inside
+      // <a>…</a> over the block's visible chars — the load-bearing
+      // boilerplate heuristic: navigation is link-dominated, prose is
+      // not). verdict = content iff >= 5 words and <= 333‰ link chars.
+      // Link share is emitted as integer permille (counts divide
+      // IEEE-exactly; no float in the hashed surface). The nav div
+      // classifies boilerplate, the document paragraph content.
+      import graft.functions.TextExtraction
+      val html = concat(
+        lit("<html><head><title>T</title><script type=\"text/javascript\">" +
+          "var x = 1 < 2;</script><style>p { color: red }</style></head>" +
+          "<body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"nav\"><a href=\"/home\">home page</a> " +
+          "<a href=\"/next\">next doc link text here</a> now</div>" +
+          "<!-- hidden --><p>Tail &amp; more &lt;escaped&gt;&nbsp;end</p>" +
+          "</body></html>"))
+      val permille = (round(TextExtraction.linkDensity(col("seg")) *
+        1000, 0)).cast("int")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextExtraction.htmlBlockSplit(html)))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("block_idx"),
+          TextExtraction.blockText(col("col")).as("txt"),
+          col("col").as("seg"))
+        .filter(length(col("txt")) > 0)
+        .select(col("doc_id"), col("block_idx"),
+          size(split(col("txt"), " ")).cast("int").as("n_words"),
+          permille.as("link_permille"))
+        .withColumn("verdict",
+          when(col("n_words") >= 5 && col("link_permille") <= 333,
+            lit("content")).otherwise(lit("boilerplate")))
+        .orderBy(col("doc_id"), col("block_idx"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>T</title><script type="text/javascript">' ||
+          'var x = 1 < 2;</script><style>p { color: red }</style></head>' ||
+          '<body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+          '</p><div class="nav"><a href="/home">home page</a> ' ||
+          '<a href="/next">next doc link text here</a> now</div>' ||
+          '<!-- hidden --><p>Tail &amp; more &lt;escaped&gt;&nbsp;end</p>' ||
+          '</body></html>' AS html
+        FROM documents),
+      d AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+              html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g') AS t
+            FROM h),
+      segs AS (SELECT doc_id, string_split_regex(t,
+                 '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)[^>]*>')
+                 AS ls
+               FROM d),
+      sr AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls
+             FROM segs),
+      seg AS (SELECT doc_id, i AS block_idx, ls[i] AS seg FROM sr),
+      si AS (SELECT doc_id, block_idx, seg,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(seg, '<[^>]*>', '', 'g'),
+                   '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+                   '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS txt
+             FROM seg),
+      an AS (SELECT doc_id, block_idx,
+               unnest(regexp_extract_all(seg, '(?is)<a[^>]*>(.*?)</a>', 1))
+                 AS a
+             FROM si),
+      an2 AS (SELECT doc_id, block_idx,
+                length(trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(a, '<[^>]*>', '', 'g'),
+                    '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+                    '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                  '\s+', ' ', 'g'))) AS lc
+              FROM an),
+      asum AS (SELECT doc_id, block_idx, sum(lc) AS lc FROM an2
+               GROUP BY doc_id, block_idx),
+      f AS (SELECT si.doc_id, si.block_idx,
+                   len(string_split(si.txt, ' ')) AS n_words,
+                   -- same float ORDER as the engine: (lc/total)*1000,
+                   -- then one round — a reassociated lc*1000/total can
+                   -- differ in the last ulp at the .5 boundary
+                   CAST(round((CAST(COALESCE(asum.lc, 0) AS DOUBLE) /
+                     length(si.txt)) * 1000.0) AS INT) AS link_permille
+            FROM si LEFT JOIN asum
+              ON asum.doc_id = si.doc_id AND asum.block_idx = si.block_idx
+            WHERE length(si.txt) > 0)
+      SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+             CAST(n_words AS INT) AS n_words, link_permille,
+             CASE WHEN n_words >= 5 AND link_permille <= 333
+                  THEN 'content' ELSE 'boilerplate' END AS verdict
+      FROM f ORDER BY doc_id, block_idx""")),
+
+    ("text_warc_roundtrip", (s, dir) => {
+      // WARC (ISO 28500) shard round-trip — CommonCrawl's container,
+      // i.e. the INGEST format of a web-scale corpus: documents become
+      // HTTP response records inside multi-member-gzip shards (one
+      // gzip member per record, the CommonCrawl layout that makes
+      // shards splittable at record granularity via a member index),
+      // one shard per partition with zero shuffle, then parse back to
+      // (uri, status, body). The oracle replays the identity law —
+      // bodies, byte lengths and uris must survive the framing exactly;
+      // warcinfo records drop in the read projection. Independent-
+      // parser cross-validation and truncation/garbage policy are
+      // WarcSpec territory.
+      import graft.io.Warc
+      val docs = T(s, dir, "documents")
+        .select(concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("url"), col("text"))
+        .repartition(4)
+      Warc.fromShards(Warc.toShards(docs))
+        .select(col("target_uri"), col("http_status"),
+          md5(col("body_text")).as("body_md5"),
+          col("n_bytes"))
+        .orderBy(col("target_uri"))
+    }, Some("""
+      SELECT 'https://example.org/doc/' || doc_id AS target_uri,
+             CAST(200 AS INT) AS http_status,
+             md5(text) AS body_md5,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY target_uri"""))
   )
 
   val multimodal: Seq[(String, Q, Option[String])] = Seq(

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → training text extraction — the step between the WARC fetch
+  * and every text gate (language ID, quality, dedup): strip markup,
+  * decode the common entities, and classify block elements as content
+  * vs boilerplate by link density (the jusText / trafilatura family's
+  * load-bearing heuristic, Pomikálek 2011: navigation/footer blocks
+  * are link-dominated, body prose is not).
+  *
+  * Everything is a pure codegen'd expression chain over RE2-safe
+  * patterns — no UDF, no shuffle, per-row cost O(len) — so the DuckDB
+  * oracles replay the IDENTICAL definition and the rows check
+  * cross-engine regex parity, which for an extractor IS the semantics.
+  * The deliberate simplifications of a regex-class extractor (no HTML5
+  * tree correction, `<title>` content survives as text, CDATA not
+  * special-cased) are part of that replayable definition; a corpus
+  * needing DOM fidelity swaps this stage for a parser behind the same
+  * column contract. */
+object TextExtraction {
+
+  /** Block-level elements: boundaries for [[htmlBlockSplit]] and
+    * newline substitutions for [[stripHtml]]. */
+  private val BlockTags =
+    "p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote"
+
+  /** Drop the invisible machinery first: script/style bodies and
+    * comments contribute zero training text but plenty of tokens. */
+  private[graft] def dropInvisible(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+
+  private def decodeEntities(c: Column): Column = {
+    // the high-frequency five + nbsp; '&amp;' decodes LAST so
+    // '&amp;lt;' correctly yields '&lt;' (text), not '<'
+    val steps = Seq("&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from), to) }
+  }
+
+  /** Visible text of an HTML string: invisible machinery dropped,
+    * block tags become newlines (paragraph structure survives for the
+    * downstream segment/boilerplate passes), remaining tags vanish,
+    * entities decode, whitespace collapses. */
+  def stripHtml(html: Column): Column = {
+    val blocksAsNewlines = regexp_replace(dropInvisible(html),
+      s"(?i)</?(?:$BlockTags)[^>]*>", "\n")
+    val noTags = regexp_replace(blocksAsNewlines, "<[^>]*>", "")
+    val decoded = decodeEntities(noTags)
+    trim(regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t\\r]+", " "), " ?\\n[ \\n]*", "\n"), "^\\n+|\\n+$", ""))
+  }
+
+  /** Inline form (no structure): the per-BLOCK text cleaner shared with
+    * the link-density math — must not introduce newlines, or block
+    * character counts would drift from the oracle's. */
+  def blockText(c: Column): Column = stripInline(c)
+
+  private def stripInline(c: Column): Column =
+    trim(regexp_replace(decodeEntities(
+      regexp_replace(c, "<[^>]*>", "")), "\\s+", " "))
+
+  /** Split an HTML string into block-element segments (after
+    * [[dropInvisible]]): the unit of boilerplate classification. */
+  def htmlBlockSplit(html: Column): Column =
+    split(dropInvisible(html), s"(?i)</?(?:$BlockTags)[^>]*>")
+
+  /** Link density of ONE block segment: visible characters inside
+    * `<a>…</a>` over the block's visible characters (0.0 for an empty
+    * block). Double division of two exact integer counts — IEEE-exact
+    * on every engine, the repo's float-parity convention. */
+  def linkDensity(block: Column): Column = {
+    val anchors = regexp_extract_all(block,
+      lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val linkChars = aggregate(
+      transform(anchors, a => length(stripInline(a)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val total = length(stripInline(block)).cast("long")
+    when(total > 0, linkChars.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+}

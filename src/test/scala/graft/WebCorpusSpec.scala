@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExtraction, UrlOps}
+import graft.io.Warc
+
+/** The crawl-ingest front half: WARC shard codec (framing, gzip
+  * members, corruption policy, independent-parser cross-validation),
+  * URL canonicalization/registered-domain, and HTML text extraction
+  * with link-density block classification. */
+class WebCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ——— WARC ———————————————————————————————————————————————————————
+
+  /** Independent minimal WARC parser — shares NO code with the codec
+    * (regex over the byte string via ISO-8859-1, which round-trips
+    * every byte value): cross-validates the writer's framing the way
+    * the other format specs do. */
+  private def independentParse(bytes: Array[Byte]): Seq[(String, String, Int)] = {
+    val s = new String(bytes, "ISO-8859-1")
+    val rec = ("""(?s)WARC/1\.0\r\n(.*?)\r\n\r\n""").r
+    var out = Seq.empty[(String, String, Int)]
+    var pos = 0
+    while (pos < s.length) {
+      rec.findFirstMatchIn(s.substring(pos)) match {
+        case Some(m) if m.start == 0 =>
+          val headers = m.group(1).split("\r\n").flatMap { l =>
+            val i = l.indexOf(':')
+            if (i < 0) None
+            else Some(l.substring(0, i) -> l.substring(i + 1).trim)
+          }.toMap
+          val len = headers("Content-Length").toInt
+          out :+= ((headers("WARC-Type"),
+            headers.getOrElse("WARC-Target-URI", ""), len))
+          pos += m.end + len + 4
+        case _ => pos = s.length
+      }
+    }
+    out
+  }
+
+  test("WARC framing: writer bytes parse identically through the codec and an independent parser") {
+    val docs = Seq(
+      Warc.Doc("https://a.example/1", "hello world".getBytes("UTF-8")),
+      Warc.Doc("https://b.example/2", "päge twö".getBytes("UTF-8")))
+    val bytes = Warc.writeWarc(docs)
+    val recs = Warc.readWarc(bytes)
+    recs.map(_.warcType) shouldBe Seq("warcinfo", "response", "response")
+    recs.map(_.targetUri) shouldBe Seq("", "https://a.example/1",
+      "https://b.example/2")
+    // independent parser sees the same framing
+    independentParse(bytes) shouldBe recs.map(r =>
+      (r.warcType, r.targetUri, r.content.length))
+    // the HTTP payload round-trips the body bytes exactly (UTF-8 multi
+    // byte included) and carries the status
+    val (status, body) = Warc.parseHttp(recs(2).content)
+    status shouldBe 200
+    new String(body, "UTF-8") shouldBe "päge twö"
+    // record ids are deterministic (same input ⇒ same bytes)
+    Warc.writeWarc(docs).toSeq shouldBe bytes.toSeq
+  }
+
+  test("WARC corruption policy: truncation yields records before the cut, garbage yields none") {
+    val docs = (1 to 3).map(i =>
+      Warc.Doc(s"https://x.example/$i", s"body $i".getBytes("UTF-8")))
+    val bytes = Warc.writeWarc(docs)
+    // cut inside the LAST record's content (a cut that only clips the
+    // trailing separator leaves a complete record, which parses)
+    val cut = bytes.take(bytes.length - 20)
+    Warc.readWarc(cut).count(_.warcType == "response") shouldBe 2
+    Warc.readWarc("no warc here".getBytes) shouldBe empty
+    Warc.readWarc(null) shouldBe empty
+    Warc.readWarcGz("not gzip".getBytes) shouldBe empty
+    // a record whose Content-Length is not numeric stops the walk clean
+    val broken = new String(bytes, "ISO-8859-1")
+      .replaceFirst("Content-Length: \\d+", "Content-Length: xx")
+      .getBytes("ISO-8859-1")
+    Warc.readWarc(broken) shouldBe empty
+  }
+
+  test("gzip WARC: one member per record, multi-member inflate, and shard DataFrames round-trip") {
+    val docs = (1 to 5).map(i =>
+      Warc.Doc(s"https://gz.example/$i", s"payload $i".getBytes("UTF-8")))
+    val gz = Warc.writeWarcGz(docs)
+    // multi-member: each record is its own gzip member — count the
+    // member magics (1f 8b 08) at member boundaries by inflating and
+    // comparing against the uncompressed writer (identical records)
+    Warc.readWarcGz(gz).map(_.targetUri) shouldBe
+      Warc.readWarc(Warc.writeWarc(docs)).map(_.targetUri)
+    val magics = gz.sliding(2).count(p =>
+      (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+    magics shouldBe 6 // warcinfo + 5 responses
+    // DataFrame faces: one shard per partition, rows round-trip
+    val df = (1L to 20L).map(i =>
+      (s"https://df.example/$i", s"text body $i")).toDF("url", "text")
+      .repartition(3)
+    val shards = Warc.toShards(df)
+    shards.count() shouldBe 3
+    val back = Warc.fromShards(shards)
+    back.count() shouldBe 20
+    back.select(col("target_uri"), col("body_text")).as[(String, String)]
+      .collect().sorted.toSeq shouldBe
+      (1L to 20L).map(i => (s"https://df.example/$i", s"text body $i"))
+        .sortBy(_._1)
+    back.select(col("http_status")).distinct()
+      .as[Int].collect().toSeq shouldBe Seq(200)
+    // null rows are skipped, never a crash
+    val withNull = Seq(("https://n.example/1", "ok"),
+      (null.asInstanceOf[String], "dropped"), ("https://n.example/2", null))
+      .toDF("url", "text").coalesce(1)
+    Warc.fromShards(Warc.toShards(withNull)).count() shouldBe 1
+  }
+
+  test("parseHttp tolerates content without an HTTP head (resource records read as raw bytes)") {
+    val raw = "just bytes".getBytes("UTF-8")
+    val (status, body) = Warc.parseHttp(raw)
+    status shouldBe 0
+    body.toSeq shouldBe raw.toSeq
+  }
+
+  // ——— URL ops ————————————————————————————————————————————————————
+
+  test("normalizeUrl: case, ports, fragments, tracking params, separator debris — and totality") {
+    def norm(u: String): String =
+      Seq(u).toDF("u").select(UrlOps.normalizeUrl(col("u"))).as[String].head()
+    norm("HTTP://WWW.Example.COM:80/Path/9?utm_source=x&id=9#frag") shouldBe
+      "http://www.example.com/Path/9?id=9"
+    norm("https://News.Example.CO.UK:443/a/1?gclid=zz") shouldBe
+      "https://news.example.co.uk/a/1"
+    norm("https://h.example/p?id=1&utm_medium=m&x=2") shouldBe
+      "https://h.example/p?id=1&x=2"
+    norm("https://Shop.Example.com.au/") shouldBe
+      "https://shop.example.com.au"
+    // non-default port survives; path case survives
+    norm("https://H.example:8443/A?b=1") shouldBe "https://h.example:8443/A?b=1"
+    // schemeless and weird inputs pass through, never crash
+    norm("example.org/raw/3") shouldBe "example.org/raw/3"
+    norm("") shouldBe ""
+    Seq(Option.empty[String]).toDF("u")
+      .select(UrlOps.normalizeUrl(col("u"))).collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("registeredDomain: second-level ccTLD suffixes keep three labels, everything else two") {
+    def dom(h: String): String = Seq(h).toDF("h")
+      .select(UrlOps.registeredDomain(col("h"))).as[String].head()
+    dom("www.example.com") shouldBe "example.com"
+    dom("a.b.news.example.co.uk") shouldBe "example.co.uk"
+    dom("shop.example.com.au") shouldBe "example.com.au"
+    dom("example.org") shouldBe "example.org"
+    dom("localhost") shouldBe "localhost"
+    dom("") shouldBe ""
+  }
+
+  // ——— HTML extraction ————————————————————————————————————————————
+
+  test("stripHtml: machinery drops, structure survives as newlines, entities decode in the safe order") {
+    def strip(h: String): String = Seq(h).toDF("h")
+      .select(TextExtraction.stripHtml(col("h"))).as[String].head()
+    strip("<html><head><script>if (a < b) x();</script>" +
+      "<style>p{}</style></head><body><h1>Title</h1>" +
+      "<p>one  two</p><!-- gone --><p>three</p></body></html>") shouldBe
+      "Title\none two\nthree"
+    // '&amp;lt;' must yield the TEXT '&lt;', not '<' (decode order)
+    strip("<p>&amp;lt; &amp; &lt;b&gt; &quot;q&quot;&nbsp;!</p>") shouldBe
+      "&lt; & <b> \"q\" !"
+    strip("") shouldBe ""
+  }
+
+  test("block classification: prose is content, the nav block's link density flags boilerplate") {
+    val html = "<body><p>a proper paragraph with clearly more than five " +
+      "words of prose</p><div><a href=\"/h\">home page</a> " +
+      "<a href=\"/n\">next page link</a> ok</div><p>tiny</p></body>"
+    val blocks = Seq(html).toDF("h")
+      .select(posexplode(TextExtraction.htmlBlockSplit(col("h"))))
+      .select(col("pos"), TextExtraction.blockText(col("col")).as("txt"),
+        TextExtraction.linkDensity(col("col")).as("ld"))
+      .filter(org.apache.spark.sql.functions.length(col("txt")) > 0)
+      .as[(Int, String, Double)].collect().toSeq
+    val prose = blocks.find(_._2.startsWith("a proper")).get
+    prose._3 shouldBe 0.0
+    val nav = blocks.find(_._2.contains("home page")).get
+    // 'home pagenext page link' vs 'home page next page link ok' —
+    // link chars dominate
+    nav._3 should be > 0.5
+    val tiny = blocks.find(_._2 == "tiny").get
+    tiny._3 shouldBe 0.0
+  }
+}
