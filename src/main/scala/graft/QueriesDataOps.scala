@@ -804,6 +804,116 @@ object QueriesDataOps {
 
   val curation: Seq[(String, Q, Option[String])] = Seq(
 
+    ("curate_web_e2e", (s, dir) => {
+      // the COMPOSED crawl-ingest front half, hash-checked end to end:
+      // pages (deterministic url + HTML around each document's text)
+      // → WARC gzip shards → parse back (the real ingest hop: one gzip
+      // member per record, one shard per partition) → HTML → text
+      // extraction → Gopher-style word-count gate → URL canonicalize →
+      // registered domain → per-domain cap (exact-k by md5 order). The
+      // oracle replays every stage's law in SQL, with the WARC hop as
+      // the identity text_warc_roundtrip pins (the ann_index_sync
+      // replay convention: the engine DOES the hop, the oracle replays
+      // its contract).
+      import graft.functions.{TextExtraction, UrlOps}
+      import graft.io.Warc
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW.Example.COM/p/"), id))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://News.Example.CO.UK/a/"), id))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://blog.example.org/b/"), id))
+        .otherwise(concat(lit("https://Shop.Example.com.au/s/"), id))
+      val html = concat(
+        lit("<html><head><title>T</title><script>var x = 1 < 2;" +
+          "</script></head><body><h1>Doc "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"nav\"><a href=\"/home\">home page</a>" +
+          "</div></body></html>"))
+      val pages = T(s, dir, "documents")
+        .select(url.as("url"), html.as("text")) // Warc.toShards contract
+        .repartition(4)
+      val fetched = Warc.fromShards(Warc.toShards(pages))
+      val clean = TextExtraction.stripHtml(col("body_text"))
+      val gated = fetched
+        .select(col("target_uri"), clean.as("clean"))
+        .withColumn("n_words",
+          org.apache.spark.sql.functions.size(split(col("clean"), "[ \n]")))
+        .filter(col("n_words") >= 40)
+        .withColumn("domain", UrlOps.registeredDomain(
+          UrlOps.hostOf(UrlOps.normalizeUrl(col("target_uri")))))
+      graft.pipeline.CurationPipeline
+        .sampleKPerStratum(gated, "domain", "target_uri", k = 30)
+        .select(col("target_uri"), col("domain"),
+          col("n_words").cast("int").as("n_words"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("target_uri"))
+    }, Some("""
+      WITH pg AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'HTTP://WWW.Example.COM/p/' || doc_id
+            WHEN 1 THEN 'https://News.Example.CO.UK/a/' || doc_id
+            WHEN 2 THEN 'https://blog.example.org/b/' || doc_id
+            ELSE 'https://Shop.Example.com.au/s/' || doc_id END AS uri,
+          '<html><head><title>T</title><script>var x = 1 < 2;' ||
+          '</script></head><body><h1>Doc ' || doc_id || '</h1><p>' ||
+          text || '</p><div class="nav"><a href="/home">home page</a>' ||
+          '</div></body></html>' AS html
+        FROM documents),
+      d AS (SELECT uri, regexp_replace(regexp_replace(
+              html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g') AS t
+            FROM pg),
+      b AS (SELECT uri, regexp_replace(t,
+              '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)[^>]*>',
+              chr(10), 'g') AS t FROM d),
+      nt AS (SELECT uri, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM b),
+      e AS (SELECT uri,
+              replace(replace(replace(replace(replace(replace(t,
+                '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+                '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t
+            FROM nt),
+      c AS (SELECT uri, trim(regexp_replace(regexp_replace(
+              regexp_replace(t,
+                '[ \t\r]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g'),
+              '^\n+|\n+$', '', 'g')) AS clean
+            FROM e),
+      g AS (SELECT uri, clean,
+                   len(string_split_regex(clean, '[ \n]')) AS n_words
+            FROM c
+            WHERE len(string_split_regex(clean, '[ \n]')) >= 40),
+      hn AS (SELECT uri, clean, n_words,
+               regexp_extract(lower(regexp_replace(uri, '#.*$', '')),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS host
+             FROM g),
+      dm AS (SELECT uri, clean, n_words, host,
+                    string_split(host, '.') AS ls,
+                    len(string_split(host, '.')) AS n
+             FROM hn),
+      dom AS (SELECT uri, clean, n_words,
+                CASE WHEN n >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+                       ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+                        'com.au','net.au','org.au','edu.au','gov.au',
+                        'co.jp','or.jp','ne.jp','ac.jp','go.jp',
+                        'com.br','net.br','org.br','gov.br',
+                        'com.cn','net.cn','org.cn','gov.cn',
+                        'com.mx','com.ar','com.tr','com.sg','com.hk',
+                        'com.tw','co.in','co.kr','co.za','co.nz','co.id',
+                        'co.th')
+                     THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                     WHEN n >= 2 THEN ls[-2] || '.' || ls[-1]
+                     ELSE host END AS domain
+              FROM dm),
+      r AS (SELECT uri, domain, n_words, clean,
+              row_number() OVER (PARTITION BY domain
+                ORDER BY md5(uri) ASC, uri ASC) AS rn
+            FROM dom)
+      SELECT uri AS target_uri, domain, CAST(n_words AS INT) AS n_words,
+             md5(clean) AS clean_md5
+      FROM r WHERE rn <= 30 ORDER BY target_uri""")),
+
     ("curate_prep_e2e", (s, dir) => {
       // the COMPOSED ingest-prep path, hash-checked end to end:
       // Unicode-hygiene normalize (NFC + control strip + whitespace

@@ -88,6 +88,7 @@ object SparkEntry {
     "curate_split", "curate_shuffle_shard", "curate_shard_manifest", "curate_profile", "curate_length_buckets",
     "curate_dsir_score",
     "curate_quality_lr", "curate_incremental", "curate_prep_e2e",
+    "curate_web_e2e",
     "curate_split_leakage_safe", "curate_split_leakage_safe_capped",
     "curate_quality_deciles",
     "mm_metadata", "mm_webdataset_roundtrip", "mm_tfrecord_roundtrip",
