@@ -849,7 +849,7 @@ object QueriesDataOps {
           col("n_words").cast("int").as("n_words"),
           md5(col("clean")).as("clean_md5"))
         .orderBy(col("target_uri"))
-    }, Some("""
+    }, Some(s"""
       WITH pg AS (
         SELECT doc_id,
           CASE CAST(doc_id % 4 AS INT)
@@ -867,7 +867,7 @@ object QueriesDataOps {
               '(?s)<!--.*?-->', '', 'g') AS t
             FROM pg),
       b AS (SELECT uri, regexp_replace(t,
-              '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)[^>]*>',
+              '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)\\b[^>]*>',
               chr(10), 'g') AS t FROM d),
       nt AS (SELECT uri, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM b),
       e AS (SELECT uri,
@@ -877,16 +877,16 @@ object QueriesDataOps {
             FROM nt),
       c AS (SELECT uri, trim(regexp_replace(regexp_replace(
               regexp_replace(t,
-                '[ \t\r]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g'),
-              '^\n+|\n+$', '', 'g')) AS clean
+                '[ \\t\\r]+', ' ', 'g'), ' ?\\n[ \\n]*', chr(10), 'g'),
+              '^\\n+|\\n+$$', '', 'g')) AS clean
             FROM e),
       g AS (SELECT uri, clean,
-                   len(string_split_regex(clean, '[ \n]')) AS n_words
+                   len(string_split_regex(clean, '[ \\n]')) AS n_words
             FROM c
-            WHERE len(string_split_regex(clean, '[ \n]')) >= 40),
+            WHERE len(string_split_regex(clean, '[ \\n]')) >= 40),
       hn AS (SELECT uri, clean, n_words,
-               regexp_extract(lower(regexp_replace(uri, '#.*$', '')),
-                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS host
+               regexp_extract(lower(regexp_replace(uri, '#.*$$', '')),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)', 1) AS host
              FROM g),
       dm AS (SELECT uri, clean, n_words, host,
                     string_split(host, '.') AS ls,
@@ -894,14 +894,8 @@ object QueriesDataOps {
              FROM hn),
       dom AS (SELECT uri, clean, n_words,
                 CASE WHEN n >= 3 AND (ls[-2] || '.' || ls[-1]) IN
-                       ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
-                        'com.au','net.au','org.au','edu.au','gov.au',
-                        'co.jp','or.jp','ne.jp','ac.jp','go.jp',
-                        'com.br','net.br','org.br','gov.br',
-                        'com.cn','net.cn','org.cn','gov.cn',
-                        'com.mx','com.ar','com.tr','com.sg','com.hk',
-                        'com.tw','co.in','co.kr','co.za','co.nz','co.id',
-                        'co.th')
+                       (${graft.functions.UrlOps.secondLevelSuffixes
+                        .map("'" + _ + "'").mkString(",")})
                      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
                      WHEN n >= 2 THEN ls[-2] || '.' || ls[-1]
                      ELSE host END AS domain
@@ -4321,20 +4315,22 @@ object QueriesDataOps {
                (CASE WHEN length(head) > 0
                      THEN substr(url, length(head) + 1) ELSE url END) AS t
         FROM lo),
-      n1 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+      n1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
                '#.*$$', ''),
-               '^(https?://[^/:?#]*):(?:80|443)(/|\\?|$$)', '\\1\\2') AS t
+               '^(http://[^/:?#]*):80(/|\\?|$$)', '\\1\\2'),
+               '^(https://[^/:?#]*):443(/|\\?|$$)', '\\1\\2') AS t
              FROM n0),
       n2 AS (SELECT doc_id, regexp_replace(t,
-               '(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
-               '', 'g') AS t FROM n1),
+               '([?&])(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+               '\\1', 'g') AS t FROM n1),
       n3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(t, '\\?&+', '?', 'g'), '&&+', '&', 'g'),
                '[?&]+$$', ''), '^(https?://[^/?#]+)/$$', '\\1') AS url_norm
              FROM n2),
       h AS (SELECT doc_id, url_norm,
                    regexp_extract(lower(url_norm),
-                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS host
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                     1) AS host
             FROM n3),
       d AS (SELECT doc_id, url_norm, host,
                    string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
@@ -4439,7 +4435,7 @@ object QueriesDataOps {
               '(?s)<!--.*?-->', '', 'g') AS t
             FROM h),
       b AS (SELECT doc_id, regexp_replace(t,
-              '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)[^>]*>',
+              '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)\b[^>]*>',
               chr(10), 'g') AS t FROM d),
       nt AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM b),
       e AS (SELECT doc_id,
@@ -4509,7 +4505,7 @@ object QueriesDataOps {
               '(?s)<!--.*?-->', '', 'g') AS t
             FROM h),
       segs AS (SELECT doc_id, string_split_regex(t,
-                 '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)[^>]*>')
+                 '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|blockquote)\b[^>]*>')
                  AS ls
                FROM d),
       sr AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls
@@ -4524,7 +4520,7 @@ object QueriesDataOps {
                  '\s+', ' ', 'g')) AS txt
              FROM seg),
       an AS (SELECT doc_id, block_idx,
-               unnest(regexp_extract_all(seg, '(?is)<a[^>]*>(.*?)</a>', 1))
+               unnest(regexp_extract_all(seg, '(?is)<a\b[^>]*>(.*?)</a>', 1))
                  AS a
              FROM si),
       an2 AS (SELECT doc_id, block_idx,

@@ -48,8 +48,11 @@ object TextExtraction {
     * downstream segment/boilerplate passes), remaining tags vanish,
     * entities decode, whitespace collapses. */
   def stripHtml(html: Column): Column = {
+    // \b after the name: without it 'p|li|tr|ol' + [^>]* absorbs
+    // <pre>, <link>, <track>, <param>… — inline/void tags becoming
+    // block boundaries splits sentences and skews block stats
     val blocksAsNewlines = regexp_replace(dropInvisible(html),
-      s"(?i)</?(?:$BlockTags)[^>]*>", "\n")
+      s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
     val noTags = regexp_replace(blocksAsNewlines, "<[^>]*>", "")
     val decoded = decodeEntities(noTags)
     trim(regexp_replace(regexp_replace(regexp_replace(decoded,
@@ -68,15 +71,18 @@ object TextExtraction {
   /** Split an HTML string into block-element segments (after
     * [[dropInvisible]]): the unit of boilerplate classification. */
   def htmlBlockSplit(html: Column): Column =
-    split(dropInvisible(html), s"(?i)</?(?:$BlockTags)[^>]*>")
+    split(dropInvisible(html), s"(?i)</?(?:$BlockTags)\\b[^>]*>")
 
   /** Link density of ONE block segment: visible characters inside
     * `<a>…</a>` over the block's visible characters (0.0 for an empty
     * block). Double division of two exact integer counts — IEEE-exact
     * on every engine, the repo's float-parity convention. */
   def linkDensity(block: Column): Column = {
+    // \b after 'a': '<a[^>]*>' also matched <abbr>/<aside>/<audio>…,
+    // counting whole prose passages as link characters and flagging
+    // genuine paragraphs boilerplate
     val anchors = regexp_extract_all(block,
-      lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+      lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
     val linkChars = aggregate(
       transform(anchors, a => length(stripInline(a)).cast("long")),
       lit(0L), (acc, x) => acc + x)

@@ -43,19 +43,30 @@ object UrlOps {
       .otherwise(url)
     val lowered = concat(lower(head), tail)
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    val noPort = regexp_replace(noFrag,
-      "^(https?://[^/:?#]*):(?:80|443)(/|\\?|$)", "$1$2")
+    // default ports are SCHEME-SPECIFIC: http:443 / https:80 are real,
+    // distinct origins and must NOT collapse onto the portless key
+    val noPort = regexp_replace(regexp_replace(noFrag,
+      "^(http://[^/:?#]*):80(/|\\?|$)", "$1$2"),
+      "^(https://[^/:?#]*):443(/|\\?|$)", "$1$2")
+    // anchored to a ?/& boundary (kept via $1): an unanchored form
+    // matched 'utm_source' INSIDE other param names ('xutm_source=1')
+    // and even path segments, mangling unrelated URLs' dedup keys
     val noTrack = regexp_replace(noPort,
-      "(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*", "")
+      "([?&])(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*",
+      "$1")
     val tidySep = regexp_replace(regexp_replace(regexp_replace(
       noTrack, "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
     regexp_replace(tidySep, "^(https?://[^/?#]+)/$", "$1")
   }
 
   /** Host of a URL, '' for null/schemeless (regexp_extract's no-match
-    * convention — callers filter or group the empty bucket away). */
+    * convention — callers filter or group the empty bucket away).
+    * Userinfo is skipped: 'https://user:pw@h.example/x' — and the
+    * phishing-shaped 'https://evil.example@victim.com/' — key on the
+    * REAL host, never on credentials or the decoy prefix. */
   def hostOf(url: Column): Column =
-    regexp_extract(lower(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)
+    regexp_extract(lower(url),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)", 1)
 
   /** High-traffic second-level public suffixes: a host ending in one of
     * these keeps THREE labels as its registered domain, anything else

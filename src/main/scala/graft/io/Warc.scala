@@ -108,27 +108,34 @@ object Warc {
     out.toByteArray
   }
 
+  /** First index of `sub` in `bytes` at or after `from`, -1 if absent —
+    * the one byte-substring search [[readWarc]] and [[parseHttp]]
+    * share. */
+  private def indexOf(bytes: Array[Byte], sub: Array[Byte],
+                      from: Int): Int = {
+    var i = from
+    while (i + sub.length <= bytes.length) {
+      var j = 0
+      while (j < sub.length && bytes(i + j) == sub(j)) j += 1
+      if (j == sub.length) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Parse an uncompressed WARC shard into records. Corpus policy:
     * truncation yields the records before the cut; a malformed header
-    * block or missing Content-Length stops the walk. */
+    * block, a missing/negative/absurd Content-Length (corrupt or
+    * adversarial shards must stop the walk CLEAN, never throw out of
+    * the ingest task) stops the walk. */
   def readWarc(bytes: Array[Byte]): Seq[Record] = {
     if (bytes == null) return Seq.empty
     val recs = scala.collection.mutable.ArrayBuffer.empty[Record]
     var pos = 0
-    def find(sub: Array[Byte], from: Int): Int = {
-      var i = from
-      while (i + sub.length <= bytes.length) {
-        var j = 0
-        while (j < sub.length && bytes(i + j) == sub(j)) j += 1
-        if (j == sub.length) return i
-        i += 1
-      }
-      -1
-    }
     val headEnd = s"$Crlf$Crlf".getBytes("US-ASCII")
     var walking = true
     while (walking && pos < bytes.length) {
-      val he = find(headEnd, pos)
+      val he = indexOf(bytes, headEnd, pos)
       if (he < 0) walking = false
       else {
         val head = new String(bytes, pos, he - pos, "US-ASCII")
@@ -140,15 +147,20 @@ object Warc {
             if (i < 0) None else Some(l.substring(0, i).trim ->
               l.substring(i + 1).trim)
           }.toMap
+          // LONG arithmetic + len >= 0: an int bound would let a
+          // negative or near-MaxValue Content-Length pass the check
+          // and throw from copyOfRange — a crash, not a clean stop
           hs.get("Content-Length").flatMap(c =>
-            scala.util.Try(c.toInt).toOption) match {
-            case Some(len) if he + 4 + len <= bytes.length =>
+            scala.util.Try(c.toLong).toOption) match {
+            case Some(len) if len >= 0 &&
+                he.toLong + 4L + len <= bytes.length =>
+              val l = len.toInt
               val content = java.util.Arrays.copyOfRange(bytes,
-                he + 4, he + 4 + len)
+                he + 4, he + 4 + l)
               recs += Record(hs.getOrElse("WARC-Type", ""),
                 hs.getOrElse("WARC-Target-URI", ""),
                 hs.getOrElse("WARC-Record-ID", ""), content)
-              pos = he + 4 + len + 4 // skip the record separator CRLFCRLF
+              pos = he + 4 + l + 4 // skip the record separator CRLFCRLF
             case _ => walking = false // truncated or unframed: stop clean
           }
         }
@@ -158,21 +170,23 @@ object Warc {
   }
 
   /** Inflate a (multi-member) gzip WARC shard and parse it. The JDK's
-    * GZIPInputStream consumes concatenated members natively. Garbage
-    * (non-gzip bytes) yields no records. */
+    * GZIPInputStream consumes concatenated members natively. The
+    * truncation policy holds ACROSS the compression: a shard cut
+    * mid-member inflates every complete earlier member before the
+    * stream error, and those records are salvaged — a damaged 1 GB
+    * crawl shard contributes everything before the cut, not zero.
+    * Garbage (non-gzip bytes) yields no records. */
   def readWarcGz(bytes: Array[Byte]): Seq[Record] = {
     if (bytes == null) return Seq.empty
-    val inflated =
-      try {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toByteArray
-      } catch { case _: java.io.IOException => return Seq.empty }
-    readWarc(inflated)
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () } // salvage what inflated
+    readWarc(out.toByteArray)
   }
 
   /** Split a response record's HTTP content into (status, body); a
@@ -180,13 +194,7 @@ object Warc {
     * resource records and exotic captures stay readable as raw bytes. */
   def parseHttp(content: Array[Byte]): (Int, Array[Byte]) = {
     val sep = "\r\n\r\n".getBytes("US-ASCII")
-    var i = 0
-    var at = -1
-    while (at < 0 && i + sep.length <= content.length) {
-      var j = 0
-      while (j < sep.length && content(i + j) == sep(j)) j += 1
-      if (j == sep.length) at = i else i += 1
-    }
+    val at = indexOf(content, sep, 0)
     if (at < 0) return (0, content)
     val head = new String(content, 0, at, "US-ASCII")
     if (!head.startsWith("HTTP/")) (0, content)
