@@ -749,6 +749,28 @@ object QueriesDataOps {
       GROUP BY tok.doc_id ORDER BY id"""))
   )
 
+  /** One PageRank power iteration for the web_pagerank oracle
+    * (requires `nodes`, `nn(n)`, `e(src,dst)`, `deg(src,deg)` and
+    * `r{k-1}(id,pr)` CTEs): dangling mass d{k}, inflow c{k}, new
+    * vector r{k}. Literals stay in the ENGINE's own IEEE order —
+    * (1.0 - 0.85) / n, never a pre-folded 0.15 (the r2 float-literal
+    * lesson). */
+  private def prStepSql(k: Int): String = {
+    val p = k - 1
+    s"""d$k AS (SELECT coalesce(sum(r.pr), 0) AS dm
+           FROM r$p r LEFT JOIN deg ON deg.src = r.id
+           WHERE deg.src IS NULL),
+      c$k AS (SELECT e.dst, sum(r.pr / deg.deg) AS inflow
+           FROM e JOIN r$p r ON e.src = r.id
+           JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+      r$k AS (SELECT nodes.id,
+             (1.0 - 0.85) / (SELECT n FROM nn) +
+             0.85 * (coalesce(c$k.inflow, 0) +
+                     (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS pr
+           FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.id)"""
+  }
+
   /** Shared oracle CTE chain replaying CurationPipeline.annotate over the
     * duplicated corpus: ends with a `v` relation of
     * (doc_id, verdict, quality, n_tokens) per post-dedup row. */
@@ -907,6 +929,111 @@ object QueriesDataOps {
       SELECT uri AS target_uri, domain, CAST(n_words AS INT) AS n_words,
              md5(clean) AS clean_md5
       FROM r WHERE rn <= 30 ORDER BY target_uri""")),
+
+    ("web_outlinks", (s, dir) => {
+      // outlink extraction + resolution — the link-graph builder: href
+      // targets of <a> anchors resolved against the page's own URL
+      // (absolute pass through, protocol-relative take the scheme,
+      // root-relative the origin, relative the base directory;
+      // fragment-only links drop). Links and bases are synthesized
+      // deterministically; the oracle replays the identical RE2-safe
+      // chain, with link_idx = position among the KEPT links.
+      import graft.operators.WebGraph
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://site"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/a/b/page"), id)
+      val html = concat(
+        lit("<p><a href=\"https://other.example/abs/"), id,
+        lit("\">x</a> <a href=\"//cdn.example.net/lib/"), id,
+        lit("\">y</a> <a class=\"n\" href=\"/root/"), id,
+        lit("\">z</a> <a href=\"rel/"), id,
+        lit("\">w</a> <a href=\"#top\">t</a></p>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(WebGraph.outlinks(html, base)))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("link_idx"),
+          col("col").as("link"))
+        .orderBy(col("doc_id"), col("link_idx"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id,
+          'https://site' || (doc_id % 5) || '.example.com/a/b/page' ||
+            doc_id AS base,
+          '<p><a href="https://other.example/abs/' || doc_id ||
+          '">x</a> <a href="//cdn.example.net/lib/' || doc_id ||
+          '">y</a> <a class="n" href="/root/' || doc_id ||
+          '">z</a> <a href="rel/' || doc_id ||
+          '">w</a> <a href="#top">t</a></p>' AS html
+        FROM documents),
+      l AS (SELECT doc_id, base,
+              regexp_extract_all(html, '(?is)<a\b[^>]*?href="([^"#]*)', 1)
+                AS hs
+            FROM h),
+      p AS (SELECT doc_id, hs,
+              regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
+                AS scheme,
+              regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                AS origin,
+              regexp_replace(regexp_replace(base, '[?#].*$', ''),
+                '/[^/]*$', '/') AS dir
+            FROM l),
+      ex AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS i,
+                    hs, scheme, origin, dir
+             FROM p),
+      r AS (SELECT doc_id, i,
+              CASE WHEN regexp_matches(hs[i], '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN hs[i]
+                   WHEN starts_with(hs[i], '//') THEN scheme || ':' || hs[i]
+                   WHEN starts_with(hs[i], '/') THEN origin || hs[i]
+                   WHEN length(hs[i]) > 0 THEN dir || hs[i]
+                   ELSE '' END AS link
+            FROM ex),
+      k AS (SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                     AS link_idx, link
+            FROM r WHERE link <> '')
+      SELECT doc_id, CAST(link_idx AS INT) AS link_idx, link
+      FROM k ORDER BY doc_id, link_idx""")),
+
+    ("web_pagerank", (s, dir) => {
+      // PageRank over a deterministic synthetic link graph (3 pseudo-
+      // random outlinks per node, every 7th node dangling): 3 power
+      // iterations at d = 0.85 with the standard uniform dangling-mass
+      // redistribution — per iteration one src-keyed join, one
+      // dst-keyed sum, ONE driver scalar. The oracle unrolls the three
+      // iterations mechanically (the quality_lr convention); literals
+      // evaluate in the same IEEE order on both engines ((1.0-0.85)/n,
+      // never a pre-folded 0.15), ranks emit n-scaled and rounded.
+      import graft.operators.WebGraph
+      val docs = T(s, dir, "documents")
+      val n = docs.count() // driver scalar: the node count both engines share
+      val nodes = docs.select(col("doc_id").as("id"))
+      val dsts = array(
+        pmod(col("doc_id") * 3, lit(n)),
+        pmod(col("doc_id") * 5 + 1, lit(n)),
+        pmod(col("doc_id") * 7 + 2, lit(n)))
+      val edges = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"), explode(dsts).as("dst"))
+      WebGraph.pageRank(nodes, edges, iters = 3, d = 0.85)
+        .select(col("id"),
+          round(col("pagerank") * n.toDouble, 6).as("pr_scaled"))
+        .orderBy(col("id"))
+    }, Some(s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+                    unnest([(doc_id * 3) % (SELECT count(*) FROM documents),
+                            (doc_id * 5 + 1) % (SELECT count(*) FROM documents),
+                            (doc_id * 7 + 2) % (SELECT count(*) FROM documents)])
+                      AS dst
+             FROM documents WHERE doc_id % 7 <> 0),
+      e AS (SELECT DISTINCT src, dst FROM e0),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+      ${Seq(1, 2, 3).map(prStepSql).mkString(",\n      ")}
+      SELECT nodes.id, round(r3.pr * (SELECT n FROM nn), 6) AS pr_scaled
+      FROM nodes JOIN r3 ON r3.id = nodes.id
+      ORDER BY nodes.id""")),
 
     ("curate_prep_e2e", (s, dir) => {
       // the COMPOSED ingest-prep path, hash-checked end to end:

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The link graph of a web corpus — outlink extraction from HTML and
+  * PageRank over the resulting edges (Page et al. 1999): the quality
+  * signal a crawl pipeline computes right after ingest (link-farm
+  * demotion, crawl-frontier prioritization, quality-weighted mixing).
+  *
+  * Outlink extraction is a pure codegen'd regex/HOF chain (RE2-safe,
+  * oracle-replayable — the cross-engine-parity convention of
+  * [[graft.functions.TextExtraction]]); PageRank is the standard
+  * distributed shape: per iteration one src-keyed equi-join, one
+  * dst-keyed partial-agg sum, and ONE scalar (the dangling mass)
+  * across the driver — the Lloyd-transfer bound. Iterations
+  * localCheckpoint like the alt-star component loop, so lineage stays
+  * flat at any iteration count. */
+object WebGraph {
+
+  /** href targets of `<a href="...">` anchors, RESOLVED against the
+    * page's own URL: absolute links pass through, protocol-relative
+    * (`//h/p`) take the base's scheme, root-relative (`/p`) take the
+    * base's origin, and everything else resolves against the base's
+    * directory. Fragments drop (an in-page anchor is not an edge);
+    * `../` segments are NOT normalized (a documented regex-class
+    * simplification — the canonicalizer downstream treats the spelled
+    * path as the key either way). Returns array<string>. */
+  def outlinks(html: Column, baseUrl: Column): Column = {
+    val hrefs = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?href=\"([^\"#]*)"), lit(1))
+    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val origin = regexp_extract(baseUrl,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val dir = regexp_replace(regexp_replace(baseUrl, "[?#].*$", ""),
+      "/[^/]*$", "/")
+    filter(
+      transform(hrefs, h =>
+        when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+          .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+          .when(h.startsWith("/"), concat(origin, h))
+          .when(length(h) > 0, concat(dir, h))
+          .otherwise(lit(""))),
+      h => length(h) > 0)
+  }
+
+  /** PageRank over (src, dst) edges for the given node set: `iters`
+    * power iterations at damping `d`, dangling mass redistributed
+    * uniformly (the standard correction — without it rank leaks and
+    * the vector stops summing to 1).
+    *
+    * Per iteration: contributions = edges ⋈ ranks ⋈ out-degrees (one
+    * src-keyed shuffle), summed per dst (partial-agg combinable), the
+    * dangling mass is ONE driver scalar (an anti-join aggregate), and
+    * the new vector localCheckpoints (truncated lineage — the alt-star
+    * recipe; an unbroken 20-iteration plan would be exponential to
+    * analyze). Duplicate edges count once (a page linking twice votes
+    * once — the convention the oracle replays).
+    *
+    * Returns (id, pagerank) — callers round for oracles (unordered
+    * float summation is ulp-stable far below the repo's round-6
+    * convention). */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+               iters: Int = 3, d: Double = 0.85,
+               idCol: String = "id", srcCol: String = "src",
+               dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(d > 0.0 && d < 1.0, s"damping must be in (0,1): $d")
+    val spark = nodes.sparkSession
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ids.count().toDouble
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outdeg.count() // materialize: the loop reuses it every iteration
+    try {
+      var ranks = ids.select(col("id"), lit(1.0 / n).as("pagerank"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        // one scalar across the driver: the rank mass sitting on
+        // dangling (outdegree-0) nodes this iteration
+        val dangling = ranks.join(outdeg,
+            ranks("id") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("pagerank")), lit(0.0)))
+          .head().getDouble(0)
+        val contrib = e
+          .join(ranks, e("src") === ranks("id"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst"), (col("pagerank") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = ids
+          .join(contrib, ids("id") === contrib("dst"), "left")
+          .select(col("id"),
+            (lit((1.0 - d) / n) +
+              lit(d) * (coalesce(col("inflow"), lit(0.0)) +
+                lit(dangling / n))).as("pagerank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally { ids.unpersist(); e.unpersist(); outdeg.unpersist() }
+  }
+}

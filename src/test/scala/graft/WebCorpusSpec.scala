@@ -196,6 +196,50 @@ class WebCorpusSpec extends SparkSpec {
     host("https://plain.example.com/x") shouldBe "plain.example.com"
   }
 
+  // ——— link graph —————————————————————————————————————————————————
+
+  test("outlinks: absolute/protocol-relative/root-relative/relative resolve against the base; fragments drop") {
+    import graft.operators.WebGraph
+    def links(html: String, base: String): Seq[String] =
+      Seq((html, base)).toDF("h", "b")
+        .select(WebGraph.outlinks(col("h"), col("b")))
+        .as[Seq[String]].head()
+    val base = "https://h.example/a/b/page?q=1"
+    links("""<a href="https://x.example/p">1</a>
+             <a href="//cdn.example/l">2</a>
+             <a href="/root">3</a>
+             <a href="sib">4</a>
+             <a href="#frag">5</a>
+             <a name="no-href">6</a>""", base) shouldBe Seq(
+      "https://x.example/p", "https://cdn.example/l",
+      "https://h.example/root", "https://h.example/a/b/sib")
+    links("no anchors here", base) shouldBe Seq.empty
+  }
+
+  test("pageRank: mass conserves under dangling nodes, uniform cycles stay uniform, hubs rank highest") {
+    import graft.operators.WebGraph
+    // a 4-cycle is rank-uniform at any damping/iterations
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val nodes4 = (0L to 3L).toDF("id")
+    val uniform = WebGraph.pageRank(nodes4, cyc, iters = 5)
+      .as[(Long, Double)].collect().toMap
+    uniform.values.foreach(_ shouldBe 0.25 +- 1e-12)
+    // star: leaves → center, center dangling. Mass must still sum to 1
+    // (the uniform dangling redistribution) and the center dominates
+    val star = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val nodes6 = (0L to 5L).toDF("id")
+    val ranks = WebGraph.pageRank(nodes6, star, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    ranks.values.sum shouldBe 1.0 +- 1e-9
+    ranks(0L) should be > 4 * ranks(1L)
+    (1L to 5L).foreach(i => ranks(i) shouldBe ranks(1L) +- 1e-12)
+    // duplicate edges vote once
+    val dup = Seq((1L, 0L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val r3 = WebGraph.pageRank((0L to 2L).toDF("id"), dup, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    r3(0L) shouldBe r3(2L) +- 1e-12
+  }
+
   // ——— HTML extraction ————————————————————————————————————————————
 
   test("stripHtml: machinery drops, structure survives as newlines, entities decode in the safe order") {
