@@ -930,6 +930,119 @@ object QueriesDataOps {
              md5(clean) AS clean_md5
       FROM r WHERE rn <= 30 ORDER BY target_uri""")),
 
+    ("web_robots", (s, dir) => {
+      // robots.txt compliance — the crawl-ethics gate (RFC 9309 core):
+      // parse per-domain robots text into rule groups (consecutive
+      // User-agent lines share a group, comments/blank/empty-value
+      // lines vanish, rules before any UA line drop), select the
+      // crawler's MOST SPECIFIC group (exact agent else '*'), then
+      // longest-prefix precedence with allow winning ties. Three
+      // synthesized robots flavors exercise every branch: an
+      // exact+star domain (exact wins), a star-only with the
+      // empty-Disallow allow-all idiom, and a shared consecutive-UA
+      // group. The oracle replays the parse and the precedence law.
+      import graft.functions.Robots
+      val id = col("doc_id").cast("string")
+      val domain = concat(lit("d"), (col("doc_id") % 3).cast("string"),
+        lit(".example"))
+      val urls = T(s, dir, "documents")
+        .select(col("doc_id"), domain.as("domain"),
+          when(col("doc_id") % 5 === 0, concat(lit("/private/x"), id))
+            .when(col("doc_id") % 5 === 1, concat(lit("/private/ok/"), id))
+            .when(col("doc_id") % 5 === 2, concat(lit("/tmp/"), id))
+            .when(col("doc_id") % 5 === 3, concat(lit("/both/"), id))
+            .otherwise(concat(lit("/pub/"), id)).as("path"))
+      val robots = urls.select(col("domain")).distinct()
+        .withColumn("robots_txt",
+          when(col("domain") === "d0.example",
+            lit("User-agent: ccbot\nDisallow: /private\n" +
+              "Allow: /private/ok\n\nUser-agent: *\nDisallow: /"))
+          .when(col("domain") === "d1.example",
+            lit("# robots\nUser-agent: *\nDisallow: /tmp\nDisallow:\n"))
+          .otherwise(
+            lit("User-agent: ccbot\nUser-agent: googlebot\n" +
+              "Disallow: /both\nUser-agent: *\nAllow: /")))
+      Robots.filterAllowed(urls, Robots.parseRules(robots), "ccbot")
+        .select(col("doc_id"), col("domain"), col("path"), col("allowed"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, 'd' || (doc_id % 3) || '.example' AS domain,
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN '/private/x' || doc_id
+            WHEN 1 THEN '/private/ok/' || doc_id
+            WHEN 2 THEN '/tmp/' || doc_id
+            WHEN 3 THEN '/both/' || doc_id
+            ELSE '/pub/' || doc_id END AS path
+        FROM documents),
+      rb AS (
+        SELECT domain,
+          CASE domain
+            WHEN 'd0.example' THEN 'User-agent: ccbot' || chr(10) ||
+              'Disallow: /private' || chr(10) || 'Allow: /private/ok' ||
+              chr(10) || chr(10) || 'User-agent: *' || chr(10) ||
+              'Disallow: /'
+            WHEN 'd1.example' THEN '# robots' || chr(10) ||
+              'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+              'Disallow:' || chr(10)
+            ELSE 'User-agent: ccbot' || chr(10) ||
+              'User-agent: googlebot' || chr(10) || 'Disallow: /both' ||
+              chr(10) || 'User-agent: *' || chr(10) || 'Allow: /' END
+            AS txt
+        FROM (SELECT DISTINCT domain FROM u)),
+      ln0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rb),
+      ln AS (SELECT domain, unnest(generate_series(1, len(ls))) AS pos, ls
+             FROM ln0),
+      cl AS (SELECT domain, pos,
+                    trim(regexp_replace(ls[pos], '#.*$', '')) AS l
+             FROM ln),
+      kv AS (SELECT domain, pos,
+                    lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1)) AS key,
+                    trim(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1))
+                      AS value
+             FROM cl WHERE length(l) > 0),
+      kept AS (SELECT * FROM kv
+               WHERE key IN ('user-agent', 'allow', 'disallow')),
+      gs AS (SELECT domain, pos, key, value,
+                    CASE WHEN key = 'user-agent' AND
+                         coalesce(lag(key) OVER (PARTITION BY domain
+                           ORDER BY pos), 'x') <> 'user-agent'
+                         THEN 1 ELSE 0 END AS starts_group
+             FROM kept),
+      gr AS (SELECT domain, pos, key, value,
+                    sum(starts_group) OVER (PARTITION BY domain
+                      ORDER BY pos) AS grp
+             FROM gs),
+      ag AS (SELECT domain, grp, lower(value) AS agent FROM gr
+             WHERE key = 'user-agent' AND grp > 0),
+      ru AS (SELECT domain, grp, key AS rule, value AS path FROM gr
+             WHERE key <> 'user-agent' AND grp > 0
+               AND length(value) > 0),
+      rules AS (SELECT ag.domain, ag.agent, ru.rule, ru.path
+                FROM ag JOIN ru ON ru.domain = ag.domain
+                  AND ru.grp = ag.grp),
+      sc0 AS (SELECT * FROM rules WHERE agent IN ('ccbot', '*')),
+      hx AS (SELECT domain,
+                    max(CASE WHEN agent = 'ccbot' THEN 1 ELSE 0 END)
+                      AS has_exact
+             FROM sc0 GROUP BY domain),
+      sc AS (SELECT sc0.domain, sc0.rule, sc0.path AS rule_path
+             FROM sc0 JOIN hx ON hx.domain = sc0.domain
+             WHERE (hx.has_exact = 1 AND sc0.agent = 'ccbot')
+                OR (hx.has_exact = 0 AND sc0.agent = '*')),
+      cand AS (SELECT u.doc_id, u.domain, u.path, sc.rule, sc.rule_path
+               FROM u LEFT JOIN sc ON sc.domain = u.domain
+                 AND starts_with(u.path, sc.rule_path)),
+      win AS (SELECT doc_id, domain, path, rule,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY length(rule_path) DESC,
+                         CASE WHEN rule = 'allow' THEN 0 ELSE 1 END ASC)
+                       AS rn
+              FROM cand)
+      SELECT doc_id, domain, path,
+             (rule IS NULL OR rule = 'allow') AS allowed
+      FROM win WHERE rn = 1 ORDER BY doc_id""")),
+
     ("web_outlinks", (s, dir) => {
       // outlink extraction + resolution — the link-graph builder: href
       // targets of <a> anchors resolved against the page's own URL

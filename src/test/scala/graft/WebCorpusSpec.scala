@@ -240,6 +240,58 @@ class WebCorpusSpec extends SparkSpec {
     r3(0L) shouldBe r3(2L) +- 1e-12
   }
 
+  // ——— robots.txt —————————————————————————————————————————————————
+
+  test("robots: group structure, most-specific-agent selection, longest-prefix precedence, empty-Disallow idiom") {
+    import graft.functions.Robots
+    val robots = Seq(
+      ("a.ex", "Stray: x\nDisallow: /orphan\nUser-agent: ccbot\n" +
+        "Disallow: /private # inline comment\nAllow: /private/ok\n\n" +
+        "User-agent: *\nDisallow: /"),
+      ("b.ex", "User-agent: *\nDisallow: /tmp\nDisallow:\n"),
+      ("c.ex", "User-agent: ccbot\nUser-agent: googlebot\nDisallow: /both"))
+      .toDF("domain", "robots_txt")
+    val rules = Robots.parseRules(robots)
+    // rules before any UA line drop; comments strip; empty Disallow
+    // contributes NO rule (treating it as a ''-prefix would disallow
+    // everything — the inverse of the idiom's meaning)
+    rules.filter(col("path") === "/orphan").count() shouldBe 0L
+    rules.filter(col("domain") === "b.ex").count() shouldBe 1L
+    // consecutive UA lines share the group: both agents carry the rule
+    rules.filter(col("domain") === "c.ex").select("agent")
+      .as[String].collect().sorted.toSeq shouldBe Seq("ccbot", "googlebot")
+    def verdicts(agent: String): Map[String, Boolean] = {
+      val urls = Seq(
+        ("a.ex", "/private/x"), ("a.ex", "/private/ok/1"),
+        ("a.ex", "/pub"), ("b.ex", "/tmp/1"), ("b.ex", "/pub"),
+        ("c.ex", "/both/1"), ("c.ex", "/pub"))
+        .toDF("domain", "path")
+      Robots.filterAllowed(urls, rules, agent)
+        .select(concat(col("domain"), lit(""), col("path")), col("allowed"))
+        .as[(String, Boolean)].collect().toMap
+    }
+    val cc = verdicts("ccbot")
+    cc("a.ex/private/x") shouldBe false   // Disallow: /private
+    cc("a.ex/private/ok/1") shouldBe true // longer Allow wins
+    cc("a.ex/pub") shouldBe true          // exact group only: no '/' rule
+    cc("b.ex/tmp/1") shouldBe false       // star fallback
+    cc("b.ex/pub") shouldBe true          // empty Disallow = allow all
+    cc("c.ex/both/1") shouldBe false
+    cc("c.ex/pub") shouldBe true
+    // an agent with NO exact group on a.ex falls back to '*': everything
+    // under '/' is disallowed
+    val other = verdicts("otherbot")
+    other("a.ex/pub") shouldBe false
+    other("a.ex/private/ok/1") shouldBe false
+    // equal-length prefix tie: allow wins
+    val tie = Robots.filterAllowed(
+      Seq(("t.ex", "/x/1")).toDF("domain", "path"),
+      Robots.parseRules(Seq(("t.ex",
+        "User-agent: *\nDisallow: /x\nAllow: /x")).toDF(
+        "domain", "robots_txt")), "anybot")
+    tie.select(col("allowed")).as[Boolean].head() shouldBe true
+  }
+
   // ——— HTML extraction ————————————————————————————————————————————
 
   test("stripHtml: machinery drops, structure survives as newlines, entities decode in the safe order") {
