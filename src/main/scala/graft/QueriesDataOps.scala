@@ -1108,6 +1108,51 @@ object QueriesDataOps {
       SELECT doc_id, CAST(link_idx AS INT) AS link_idx, link
       FROM k ORDER BY doc_id, link_idx""")),
 
+    ("web_anchor_text", (s, dir) => {
+      // inlink anchor-text aggregation — anchor text describes the
+      // TARGET page better than the target's own boilerplate (the
+      // classic ranking feature, and a retrieval-training pair
+      // augmentation): extract (resolved link, stripped anchor text)
+      // pairs from every page, group by target, emit inlink count +
+      // the sorted distinct anchor vocabulary. One extraction pattern
+      // matched twice keeps hrefs and texts positionally zipped.
+      import graft.operators.WebGraph
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://s"), (col("doc_id") % 5).cast("string"),
+        lit(".example/p/"), id)
+      val html = concat(
+        lit("<p><a href=\"/t/"), ((col("doc_id") * 3) % 40).cast("string"),
+        lit("\">topic <b>"), (col("doc_id") % 7).cast("string"),
+        lit("</b></a> and <a href=\"/t/"),
+        ((col("doc_id") * 5 + 1) % 40).cast("string"),
+        lit("\">guide &amp; notes</a></p>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), base.as("base"),
+          explode(WebGraph.anchorTexts(html, base)).as("a"))
+        .select(col("a.link").as("target"), col("a.text").as("anchor"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("n_inlinks"),
+          array_join(array_sort(collect_set(col("anchor"))), "|")
+            .as("anchors"))
+        .orderBy(col("target"))
+    }, Some("""
+      WITH pg AS (
+        SELECT doc_id,
+          'https://s' || (doc_id % 5) || '.example' AS origin,
+          '/t/' || ((doc_id * 3) % 40) AS l1,
+          'topic ' || (doc_id % 7) AS t1,
+          '/t/' || ((doc_id * 5 + 1) % 40) AS l2,
+          'guide & notes' AS t2
+        FROM documents),
+      pairs AS (
+        SELECT origin || l1 AS target, t1 AS anchor FROM pg
+        UNION ALL
+        SELECT origin || l2 AS target, t2 AS anchor FROM pg)
+      SELECT target, count(*) AS n_inlinks,
+             array_to_string(list_sort(list_distinct(list(anchor))), '|')
+               AS anchors
+      FROM pairs GROUP BY target ORDER BY target""")),
+
     ("web_pagerank", (s, dir) => {
       // PageRank over a deterministic synthetic link graph (3 pseudo-
       // random outlinks per node, every 7th node dangling): 3 power
@@ -4501,6 +4546,51 @@ object QueriesDataOps {
              CAST(len(string_split_regex(chunk, '\s+')) AS INT)
                AS n_tokens
       FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    ("text_readability", (s, dir) => {
+      // Flesch reading ease — the classic fluency gate (very low =
+      // word salad/legalese, implausibly high = fragment spam):
+      // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+      // over exact integer counts (regex words, vowel-group syllables
+      // with a 1-per-word floor, [.!?]-run sentences with a 1 floor).
+      // Sentence variety is injected by doc_id so the denominator is
+      // load-bearing; the float formula is written in ONE fixed order
+      // on both engines and rounded per the repo convention.
+      import graft.functions.TextAnalysis
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(". Short tail! Done?"))
+          .when(col("doc_id") % 3 === 1, lit(". One more sentence here."))
+          .otherwise(lit("")))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.sentenceCount(t).as("n_sentences"),
+          TextAnalysis.syllableCount(t).as("n_syllables"),
+          round(TextAnalysis.fleschReadingEase(t), 4).as("flesch"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, text ||
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN '. Short tail! Done?'
+            WHEN 1 THEN '. One more sentence here.'
+            ELSE '' END AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(t), '[a-z]+')) AS DOUBLE)
+            AS w,
+          CAST(greatest(1, len(list_filter(string_split_regex(t, '[.!?]+'),
+            s -> length(trim(s)) > 0))) AS BIGINT) AS n_sentences,
+          CAST(list_sum(list_transform(regexp_extract_all(lower(t),
+            '[a-z]+'), wd -> greatest(1,
+              len(regexp_extract_all(wd, '[aeiouy]+'))))) AS BIGINT)
+            AS n_syllables
+        FROM t)
+      SELECT doc_id, n_sentences, n_syllables,
+             CASE WHEN w > 0 THEN round(206.835 -
+               1.015 * (w / CAST(n_sentences AS DOUBLE)) -
+               84.6 * (CAST(n_syllables AS DOUBLE) / w), 4) END AS flesch
+      FROM c ORDER BY doc_id""")),
 
     ("text_url_normalize", (s, dir) => {
       // URL canonicalization + registered-domain extraction — the key

@@ -78,7 +78,8 @@ object SparkEntry {
     "text_heavy_hitters", "text_normalize", "text_token_chunks",
     "text_url_normalize", "text_domain_cap", "text_html_extract",
     "text_html_blocks", "text_warc_roundtrip",
-    "web_outlinks", "web_pagerank", "web_robots",
+    "web_outlinks", "web_pagerank", "web_robots", "web_anchor_text",
+    "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",
     "curate_decontaminate", "curate_decontaminate_fuzzy",

@@ -53,6 +53,38 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
 
+  /** Heuristic syllable count: vowel GROUPS per word (min 1 per word) —
+    * the standard regex approximation behind readability scores. */
+  def syllableCount(text: Column): Column = {
+    val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    aggregate(
+      transform(words, w => greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Sentence count: non-empty [.!?]-delimited runs, min 1 — the other
+    * denominator of [[fleschReadingEase]]. */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), size(filter(split(text, "[.!?]+"),
+      s => length(trim(s)) > 0)).cast("long"))
+
+  /** Flesch reading ease (Flesch 1948): 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words) — the classic fluency gate a
+    * quality pipeline thresholds (very low = word salad or legalese,
+    * implausibly high = fragment spam). All three inputs are exact
+    * integer counts; the score's float ops are written in one fixed
+    * order so an oracle replays them IEEE-identically. 0 words → null
+    * (no evidence). */
+  def fleschReadingEase(text: Column): Column = {
+    val w = size(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+      .cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    when(w > 0,
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
+  }
+
   /** Word count via space counting (fast path, exactly matched by the
     * oracle's length/replace arithmetic). */
   def wordCount(text: Column): Column =

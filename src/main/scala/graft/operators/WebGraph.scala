@@ -44,6 +44,35 @@ object WebGraph {
       h => length(h) > 0)
   }
 
+  /** (resolved link, anchor text) pairs of a page's `<a href>`
+    * anchors — the inlink-description signal (anchor text describes
+    * the TARGET better than the target's own boilerplate; the classic
+    * ranking feature and a retrieval-training augmentation). ONE
+    * pattern matched twice (group 1 = href, group 2 = inner text)
+    * guarantees the two arrays zip positionally; resolution is
+    * [[outlinks]]'s law; anchor text is tag-stripped/entity-decoded
+    * inline ([[graft.functions.TextExtraction.blockText]]).
+    * Fragment-only anchors drop. Returns array<struct<link, text>>. */
+  def anchorTexts(html: Column, baseUrl: Column): Column = {
+    val pat = lit("(?is)<a\\b[^>]*?href=\"([^\"#]*)\"[^>]*>(.*?)</a>")
+    val hrefs = regexp_extract_all(html, pat, lit(1))
+    val texts = regexp_extract_all(html, pat, lit(2))
+    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val origin = regexp_extract(baseUrl,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val dir = regexp_replace(regexp_replace(baseUrl, "[?#].*$", ""),
+      "/[^/]*$", "/")
+    filter(
+      zip_with(hrefs, texts, (h, t) => struct(
+        when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+          .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+          .when(h.startsWith("/"), concat(origin, h))
+          .when(length(h) > 0, concat(dir, h))
+          .otherwise(lit("")).as("link"),
+        graft.functions.TextExtraction.blockText(t).as("text"))),
+      p => length(p("link")) > 0)
+  }
+
   /** PageRank over (src, dst) edges for the given node set: `iters`
     * power iterations at damping `d`, dangling mass redistributed
     * uniformly (the standard correction — without it rank leaks and

@@ -216,6 +216,42 @@ class WebCorpusSpec extends SparkSpec {
     links("no anchors here", base) shouldBe Seq.empty
   }
 
+  test("anchorTexts: hrefs and texts stay positionally zipped, inner tags strip, href-less anchors contribute nothing") {
+    import graft.operators.WebGraph
+    def pairs(html: String): Seq[(String, String)] =
+      Seq((html, "https://h.example/a/page")).toDF("h", "b")
+        .select(WebGraph.anchorTexts(col("h"), col("b")))
+        .as[Seq[(String, String)]].head()
+    // the href-LESS anchor between two real ones must not shift the
+    // zip (one pattern, two groups — not two independent extractions)
+    pairs("""<a href="/x">first <b>bold</b></a>
+             <a name="nohref">skipped</a>
+             <a href="y">second &amp; more</a>""") shouldBe Seq(
+      ("https://h.example/x", "first bold"),
+      ("https://h.example/a/y", "second & more"))
+    pairs("""<a href="#only-frag">t</a>""") shouldBe Seq.empty
+  }
+
+  test("flesch reading ease: floors, sentence splitting, and the wordless null") {
+    import graft.functions.TextAnalysis
+    def f(t: String): (Long, Long, Option[Double]) =
+      Seq(t).toDF("t").select(TextAnalysis.sentenceCount(col("t")),
+        TextAnalysis.syllableCount(col("t")),
+        TextAnalysis.fleschReadingEase(col("t")))
+        .as[(Long, Long, Option[Double])].head()
+    // 'the cat sat.' = 3 words, 3 syllables, 1 sentence:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    val (s1, sy1, fl1) = f("the cat sat.")
+    s1 shouldBe 1L; sy1 shouldBe 3L
+    fl1.get shouldBe (206.835 - 1.015 * 3.0 - 84.6 * 1.0) +- 1e-9
+    // consonant-only 'words' floor at 1 syllable; trailing punctuation
+    // runs don't create phantom sentences
+    f("rhythm myth!! ok?")._2 shouldBe 3L
+    f("rhythm myth!! ok?")._1 shouldBe 2L
+    // no words → null score, sentence floor 1
+    f("1234 ...") shouldBe ((1L, 0L, None))
+  }
+
   test("pageRank: mass conserves under dangling nodes, uniform cycles stay uniform, hubs rank highest") {
     import graft.operators.WebGraph
     // a 4-cycle is rank-uniform at any damping/iterations
