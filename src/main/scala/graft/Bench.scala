@@ -349,7 +349,7 @@ object Bench {
     // a typo'd family name must fail loudly, not silently run nothing
     // and emit a malformed (trailing-comma) JSON line
     val known = Set("altstar", "contamination", "span", "fuzzy", "lsh",
-      "lshuncapped")
+      "lshuncapped", "pagerank")
     require(families.nonEmpty && families.subsetOf(known),
       s"scaleProbe: unknown families ${(families -- known).mkString(", ")} " +
         s"(known: ${known.toSeq.sorted.mkString(", ")})")
@@ -449,6 +449,22 @@ object Bench {
           Dedup.minhashLshVerified(lshDocs, "text", "doc_id",
             shingleN = 3, bands = 4, rowsPerBand = 3, threshold = 0.5).count()
         }
+      }
+      // PageRank decade: synthetic 3-out-degree graph (every 7th node
+      // dangling), 3 iterations — per-iteration work is one src join +
+      // one dst sum over 3n edges, so the family's exponent should sit
+      // ≈ 1. No count()-pruning hazard: every iteration localCheckpoints
+      // EAGERLY inside pageRank, so the timed work happens regardless
+      // of what the final action projects (the r12/r14 bench memo).
+      if (families("pagerank")) measured("pagerank") = timed {
+        val nodes = spark.range(n).toDF("id")
+        val edges = spark.range(n).toDF("id")
+          .filter(col("id") % 7 =!= 0)
+          .select(col("id").as("src"), explode(array(
+            pmod(col("id") * 3, lit(n)),
+            pmod(col("id") * 5 + 1, lit(n)),
+            pmod(col("id") * 7 + 2, lit(n)))).as("dst"))
+        graft.operators.WebGraph.pageRank(nodes, edges, iters = 3).count()
       }
       docs.unpersist()
       (inRows, measured.toSeq)
