@@ -749,6 +749,31 @@ object QueriesDataOps {
       GROUP BY tok.doc_id ORDER BY id"""))
   )
 
+  /** One HITS iteration for the web_hits oracle (requires `nodes`,
+    * `e(src,dst)` and `h{k-1}(id,hub)` CTEs): authority half-step then
+    * hub half-step, each L2-normalized via a scalar subquery; a
+    * normless half-step divides by 1 (keeps zeros), matching the
+    * engine's guard. */
+  private def hitsStepSql(k: Int): String = {
+    val p = k - 1
+    s"""a${k}0 AS (SELECT e.dst AS id, sum(h.hub) AS s
+           FROM e JOIN h$p h ON e.src = h.id GROUP BY e.dst),
+      a${k}f AS (SELECT nodes.id, coalesce(a${k}0.s, 0) AS v
+           FROM nodes LEFT JOIN a${k}0 ON a${k}0.id = nodes.id),
+      a${k}n AS (SELECT sqrt(sum(v * v)) AS nrm FROM a${k}f),
+      a$k AS (SELECT id, v / (CASE WHEN (SELECT nrm FROM a${k}n) > 0
+                THEN (SELECT nrm FROM a${k}n) ELSE 1.0 END) AS authority
+           FROM a${k}f),
+      hh${k}0 AS (SELECT e.src AS id, sum(a.authority) AS s
+           FROM e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+      hh${k}f AS (SELECT nodes.id, coalesce(hh${k}0.s, 0) AS v
+           FROM nodes LEFT JOIN hh${k}0 ON hh${k}0.id = nodes.id),
+      hh${k}n AS (SELECT sqrt(sum(v * v)) AS nrm FROM hh${k}f),
+      h$k AS (SELECT id, v / (CASE WHEN (SELECT nrm FROM hh${k}n) > 0
+                THEN (SELECT nrm FROM hh${k}n) ELSE 1.0 END) AS hub
+           FROM hh${k}f)"""
+  }
+
   /** One PageRank power iteration for the web_pagerank oracle
     * (requires `nodes`, `nn(n)`, `e(src,dst)`, `deg(src,deg)` and
     * `r{k-1}(id,pr)` CTEs): dangling mass d{k}, inflow c{k}, new
@@ -1192,6 +1217,43 @@ object QueriesDataOps {
       SELECT nodes.id, round(r3.pr * (SELECT n FROM nn), 6) AS pr_scaled
       FROM nodes JOIN r3 ON r3.id = nodes.id
       ORDER BY nodes.id""")),
+
+    ("web_hits", (s, dir) => {
+      // HITS hubs & authorities (Kleinberg 1999) over the same
+      // synthetic graph as web_pagerank: 2 iterations of a ← Aᵀh,
+      // h ← Aa with L2 normalization per half-step (one driver scalar
+      // each — the Lloyd-transfer bound). The oracle unrolls both
+      // iterations with the norms as scalar subqueries and the same
+      // divide-by-1 guard for a normless half-step.
+      import graft.operators.WebGraph
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("id"))
+      val dsts = array(
+        pmod(col("doc_id") * 3, lit(n)),
+        pmod(col("doc_id") * 5 + 1, lit(n)),
+        pmod(col("doc_id") * 7 + 2, lit(n)))
+      val edges = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"), explode(dsts).as("dst"))
+      WebGraph.hits(nodes, edges, iters = 2)
+        .select(col("id"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy(col("id"))
+    }, Some(s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      e0 AS (SELECT doc_id AS src,
+                    unnest([(doc_id * 3) % (SELECT count(*) FROM documents),
+                            (doc_id * 5 + 1) % (SELECT count(*) FROM documents),
+                            (doc_id * 7 + 2) % (SELECT count(*) FROM documents)])
+                      AS dst
+             FROM documents WHERE doc_id % 7 <> 0),
+      e AS (SELECT DISTINCT src, dst FROM e0),
+      h0 AS (SELECT id, 1.0 AS hub FROM nodes),
+      ${Seq(1, 2).map(hitsStepSql).mkString(",\n      ")}
+      SELECT h2.id, round(h2.hub, 6) AS hub,
+             round(a2.authority, 6) AS authority
+      FROM h2 JOIN a2 ON a2.id = h2.id
+      ORDER BY h2.id""")),
 
     ("curate_prep_e2e", (s, dir) => {
       // the COMPOSED ingest-prep path, hash-checked end to end:

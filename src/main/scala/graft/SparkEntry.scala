@@ -79,6 +79,7 @@ object SparkEntry {
     "text_url_normalize", "text_domain_cap", "text_html_extract",
     "text_html_blocks", "text_warc_roundtrip",
     "web_outlinks", "web_pagerank", "web_robots", "web_anchor_text",
+    "web_hits",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

@@ -73,6 +73,55 @@ object WebGraph {
       p => length(p("link")) > 0)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, JACM): the OTHER classic
+    * link-quality pair — authorities are pages good hubs point AT,
+    * hubs are pages that point at good authorities; iterate
+    * a ← Aᵀh, h ← Aa with L2 normalization after each half-step.
+    * Same distributed shape as [[pageRank]]: per half-step one
+    * edge-keyed join + one partial-agg sum, the L2 norm is ONE driver
+    * scalar, and each half-step localCheckpoints (flat lineage).
+    * Duplicate edges vote once. A normless half-step (no edges) keeps
+    * its zeros instead of dividing by zero. Returns
+    * (id, hub, authority). */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 2,
+           idCol: String = "id", srcCol: String = "src",
+           dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize: reused 2× per iteration
+    def normalized(scored: DataFrame, c: String): DataFrame = {
+      val nrm = math.sqrt(scored.agg(sum(col(c) * col(c)))
+        .head().getDouble(0))
+      val div = if (nrm > 0) nrm else 1.0
+      scored.select(col("id"), (col(c) / lit(div)).as(c))
+        .localCheckpoint(true)
+    }
+    try {
+      var hub = ids.select(col("id"), lit(1.0).as("hub"))
+        .localCheckpoint(true)
+      var auth = ids.select(col("id"), lit(0.0).as("authority"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        val a0 = e.join(hub, e("src") === hub("id"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
+        auth = normalized(ids.join(a0, ids("id") === a0("dst"), "left")
+          .select(ids("id"), coalesce(col("s"), lit(0.0)).as("authority")),
+          "authority")
+        val h0 = e.join(auth, e("dst") === auth("id"))
+          .groupBy(col("src")).agg(sum(col("authority")).as("s"))
+        hub = normalized(ids.join(h0, ids("id") === h0("src"), "left")
+          .select(ids("id"), coalesce(col("s"), lit(0.0)).as("hub")),
+          "hub")
+      }
+      hub.join(auth, Seq("id"))
+        .select(col("id"), col("hub"), col("authority"))
+    } finally { ids.unpersist(); e.unpersist() }
+  }
+
   /** PageRank over (src, dst) edges for the given node set: `iters`
     * power iterations at damping `d`, dangling mass redistributed
     * uniformly (the standard correction — without it rank leaks and

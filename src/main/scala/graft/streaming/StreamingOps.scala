@@ -46,6 +46,27 @@ object StreamingOps {
     dedupWithTtl(docs, textCol, tsCol, ttl)
       .filter(graft.pipeline.CurationPipeline.verdict(col(textCol), cfg) === "keep")
 
+  /** Streaming face of the crawl front half: WARC shards arriving as a
+    * stream (a crawler drops gzip shards; the file source picks them
+    * up) → response rows → extracted text → the curation verdict gate.
+    * Every stage is a STATELESS codegen'd transform (the shard parse
+    * is partition-local mapPartitions), so the one pipeline definition
+    * serves batch backfills and the standing query identically —
+    * WebCorpusSpec pins batch/stream row parity. Emits (target_uri,
+    * text, n_words) for kept pages; compose the URL ops / dedup /
+    * domain-cap stages downstream exactly as in curate_web_e2e. */
+  def webIngestStream(shards: DataFrame,
+                      cfg: graft.pipeline.CurationPipeline.Config =
+                        graft.pipeline.CurationPipeline.Config(),
+                      minWords: Int = 1): DataFrame = {
+    val clean = graft.functions.TextExtraction.stripHtml(col("body_text"))
+    graft.io.Warc.fromShards(shards)
+      .select(col("target_uri"), clean.as("text"))
+      .withColumn("n_words", size(split(col("text"), "[ \n]")))
+      .filter(col("n_words") >= minWords &&
+        graft.pipeline.CurationPipeline.verdict(col("text"), cfg) === "keep")
+  }
+
   /** W1/W2 in streaming: a global updating top-N is unsupported in
     * append mode (SURVEY.md §7.4 #1), so the view is recomputed per
     * micro-batch — 6 rows of state, negligible at any scale since

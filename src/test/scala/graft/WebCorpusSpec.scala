@@ -276,6 +276,59 @@ class WebCorpusSpec extends SparkSpec {
     r3(0L) shouldBe r3(2L) +- 1e-12
   }
 
+  test("webIngestStream: the standing crawl front half matches the batch path wave for wave") {
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-web-stream").toString
+    val shardDir = s"$base/shards"
+    val cfg = graft.pipeline.CurationPipeline.Config(
+      minTokens = 8, langs = Seq("en"))
+    def wave(tag: String, n: Int): Unit = {
+      val docs = (1 to n).map { i =>
+        val body =
+          if (i % 4 == 0) "<p>tiny</p>" // fails the min-tokens gate
+          else s"<p>a clearly english paragraph about the $tag corpus " +
+            s"wave with plenty of ordinary words number $i</p>" +
+            "<script>x()</script>"
+        (s"https://w.example/$tag/$i", body)
+      }.toDF("url", "text").coalesce(1)
+      graft.io.Warc.toShards(docs).write.mode("append").parquet(shardDir)
+    }
+    wave("first", 8)
+    val shardSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("n_records",
+        org.apache.spark.sql.types.LongType)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = StreamingOps.webIngestStream(
+        spark.readStream.schema(shardSchema).parquet(shardDir), cfg)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select(col("target_uri"), col("text"))
+            .as[(String, String)].collect()
+        }: Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      wave("second", 6)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch path over the same shards — one pipeline definition, two
+    // execution models, identical rows
+    val batch = StreamingOps.webIngestStream(
+        spark.read.parquet(shardDir), cfg)
+      .select(col("target_uri"), col("text"))
+      .as[(String, String)].collect()
+    out.sortBy(_._1).toSeq shouldBe batch.sortBy(_._1).toSeq
+    // the gate bit: tiny pages dropped, script bodies stripped
+    out.map(_._1) should not contain "https://w.example/first/4"
+    out.count(_._1.startsWith("https://w.example/second/")) shouldBe 5
+    all(out.map(_._2)) should not include "x()"
+  }
+
   // ——— robots.txt —————————————————————————————————————————————————
 
   test("robots: group structure, most-specific-agent selection, longest-prefix precedence, empty-Disallow idiom") {
@@ -326,6 +379,29 @@ class WebCorpusSpec extends SparkSpec {
         "User-agent: *\nDisallow: /x\nAllow: /x")).toDF(
         "domain", "robots_txt")), "anybot")
     tie.select(col("allowed")).as[Boolean].head() shouldBe true
+  }
+
+  test("HITS: the pointed-at node is the authority, the pointers are the hubs, vectors are unit-L2") {
+    import graft.operators.WebGraph
+    // star: 1..4 → 0. Node 0 is the ONLY authority (auth 1.0), the
+    // leaves are equal hubs (1/2 each at unit L2), and 0 has hub 0
+    val star = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val r = WebGraph.hits((0L to 4L).toDF("id"), star, iters = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    r(0L)._2 shouldBe 1.0 +- 1e-12 // authority
+    r(0L)._1 shouldBe 0.0 +- 1e-12 // hub
+    (1L to 4L).foreach { i =>
+      r(i)._1 shouldBe 0.5 +- 1e-12
+      r(i)._2 shouldBe 0.0 +- 1e-12
+    }
+    math.sqrt(r.values.map(v => v._1 * v._1).sum) shouldBe 1.0 +- 1e-9
+    math.sqrt(r.values.map(v => v._2 * v._2).sum) shouldBe 1.0 +- 1e-9
+    // an edgeless graph keeps zeros instead of dividing by zero
+    val none = WebGraph.hits((0L to 2L).toDF("id"),
+        spark.emptyDataset[(Long, Long)].toDF("src", "dst"), iters = 2)
+      .as[(Long, Double, Double)].collect()
+    all(none.map(_._2)) shouldBe 0.0
   }
 
   // ——— HTML extraction ————————————————————————————————————————————
