@@ -1015,7 +1015,7 @@ object QueriesDataOps {
               chr(10) || 'User-agent: *' || chr(10) || 'Allow: /' END
             AS txt
         FROM (SELECT DISTINCT domain FROM u)),
-      ln0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rb),
+      ln0 AS (SELECT domain, string_split_regex(txt, '\r?\n') AS ls FROM rb),
       ln AS (SELECT domain, unnest(generate_series(1, len(ls))) AS pos, ls
              FROM ln0),
       cl AS (SELECT domain, pos,
@@ -4643,9 +4643,9 @@ object QueriesDataOps {
             AS w,
           CAST(greatest(1, len(list_filter(string_split_regex(t, '[.!?]+'),
             s -> length(trim(s)) > 0))) AS BIGINT) AS n_sentences,
-          CAST(list_sum(list_transform(regexp_extract_all(lower(t),
-            '[a-z]+'), wd -> greatest(1,
-              len(regexp_extract_all(wd, '[aeiouy]+'))))) AS BIGINT)
+          CAST(coalesce(list_sum(list_transform(regexp_extract_all(
+            lower(t), '[a-z]+'), wd -> greatest(1,
+              len(regexp_extract_all(wd, '[aeiouy]+'))))), 0) AS BIGINT)
             AS n_syllables
         FROM t)
       SELECT doc_id, n_sentences, n_syllables,

@@ -35,8 +35,12 @@ object Robots {
   def parseRules(robots: DataFrame, domainCol: String = "domain",
                  txtCol: String = "robots_txt"): DataFrame = {
     val lines = robots
+      // \r?\n: real-world robots.txt is frequently CRLF (Windows-served
+      // files; WARC payloads are CRLF by spec) — splitting on \n alone
+      // leaves a trailing \r on every token, the prefix match never
+      // fires, and the compliance gate FAILS OPEN
       .select(col(domainCol).as("domain"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
       .select(col("domain"), col("pos"),
         trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
       .filter(length(col("l")) > 0)
@@ -85,21 +89,25 @@ object Robots {
       .filter((col("has_exact") === 1 && col("agent") === a) ||
         (col("has_exact") === 0 && col("agent") === "*"))
       .select(col("domain"), col("rule"), col("path").as("rule_path"))
-    // candidate matches: prefix rule paths (''-prefix matches all);
-    // the rules side is tiny — broadcast, per-URL cost one join + one
-    // url-keyed argmax window
-    val cand = urls.join(broadcast(scoped),
-        urls(domainCol) === scoped("domain") &&
+    // candidate matches: prefix rule paths; the rules side is tiny —
+    // broadcast, per-URL cost one join + one argmax window. The window
+    // partitions on a per-ROW tag, not the url columns: duplicate
+    // input rows (a re-crawled page, a projection collapsing distinct
+    // urls onto one path) must each keep their verdict row, never
+    // silently merge
+    val tagged = urls.withColumn("__uid", monotonically_increasing_id())
+    val cand = tagged.join(broadcast(scoped),
+        tagged(domainCol) === scoped("domain") &&
           col(pathCol).startsWith(col("rule_path")), "left")
       .drop(scoped("domain"))
     val w = Window
-      .partitionBy(urls.columns.map(urls(_)).toSeq: _*)
+      .partitionBy(col("__uid"))
       .orderBy(length(col("rule_path")).desc,
         // allow wins ties at equal prefix length
         when(col("rule") === "allow", 0).otherwise(1).asc)
     cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(urls.columns.map(urls(_)) :+
+      .select(urls.columns.map(col) :+
         (col("rule").isNull || col("rule") === "allow").as("allowed"): _*)
   }
 }

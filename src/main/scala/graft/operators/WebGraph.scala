@@ -29,20 +29,34 @@ object WebGraph {
   def outlinks(html: Column, baseUrl: Column): Column = {
     val hrefs = regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?href=\"([^\"#]*)"), lit(1))
-    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    val origin = regexp_extract(baseUrl,
-      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    val dir = regexp_replace(regexp_replace(baseUrl, "[?#].*$", ""),
-      "/[^/]*$", "/")
     filter(
-      transform(hrefs, h =>
-        when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
-          .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-          .when(h.startsWith("/"), concat(origin, h))
-          .when(length(h) > 0, concat(dir, h))
-          .otherwise(lit(""))),
+      zip_with(hrefs, baseCtxPerElement(baseUrl, size(hrefs)),
+        (h, c) => resolve(h, c)),
       h => length(h) > 0)
   }
+
+  /** The base URL's (scheme, origin, dir) struct, repeated to the href
+    * count: Catalyst does NOT CSE across HOF lambda bodies — an
+    * expression referenced inside transform/zip_with re-inlines and
+    * re-evaluates PER ELEMENT, so a 100-link page would pay 300 regex
+    * evaluations of the base URL instead of 3. array_repeat's argument
+    * evaluates once per ROW; the lambda then only reads fields. */
+  private def baseCtxPerElement(baseUrl: Column, n: Column): Column =
+    array_repeat(struct(
+      regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+        .as("scheme"),
+      regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+        .as("origin"),
+      regexp_replace(regexp_replace(baseUrl, "[?#].*$", ""),
+        "/[^/]*$", "/").as("dir")), n)
+
+  /** The resolution law shared by [[outlinks]] and [[anchorTexts]]. */
+  private def resolve(h: Column, ctx: Column): Column =
+    when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+      .when(h.startsWith("//"), concat(ctx("scheme"), lit(":"), h))
+      .when(h.startsWith("/"), concat(ctx("origin"), h))
+      .when(length(h) > 0, concat(ctx("dir"), h))
+      .otherwise(lit(""))
 
   /** (resolved link, anchor text) pairs of a page's `<a href>`
     * anchors — the inlink-description signal (anchor text describes
@@ -54,22 +68,21 @@ object WebGraph {
     * inline ([[graft.functions.TextExtraction.blockText]]).
     * Fragment-only anchors drop. Returns array<struct<link, text>>. */
   def anchorTexts(html: Column, baseUrl: Column): Column = {
-    val pat = lit("(?is)<a\\b[^>]*?href=\"([^\"#]*)\"[^>]*>(.*?)</a>")
+    // the href capture runs to the CLOSING QUOTE ([^"]*), with the
+    // fragment stripped afterwards: a ([^"#]*) capture cannot match a
+    // fragment-carrying href at all (the required '"' sees '#'), so
+    // '<a href="/p#intro">x</a>' would silently lose its anchor text
+    // while outlinks keeps the edge — the two laws must agree
+    val pat = lit("(?is)<a\\b[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>")
     val hrefs = regexp_extract_all(html, pat, lit(1))
     val texts = regexp_extract_all(html, pat, lit(2))
-    val scheme = regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
-    val origin = regexp_extract(baseUrl,
-      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    val dir = regexp_replace(regexp_replace(baseUrl, "[?#].*$", ""),
-      "/[^/]*$", "/")
+    val pairs = zip_with(hrefs, texts, (h, t) =>
+      struct(h.as("h"), t.as("t")))
     filter(
-      zip_with(hrefs, texts, (h, t) => struct(
-        when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
-          .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-          .when(h.startsWith("/"), concat(origin, h))
-          .when(length(h) > 0, concat(dir, h))
-          .otherwise(lit("")).as("link"),
-        graft.functions.TextExtraction.blockText(t).as("text"))),
+      zip_with(pairs, baseCtxPerElement(baseUrl, size(pairs)),
+        (p, c) => struct(
+          resolve(regexp_replace(p("h"), "#.*$", ""), c).as("link"),
+          graft.functions.TextExtraction.blockText(p("t")).as("text"))),
       p => length(p("link")) > 0)
   }
 
@@ -94,7 +107,11 @@ object WebGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize: reused 2× per iteration
     def normalized(scored: DataFrame, c: String): DataFrame = {
-      val nrm = math.sqrt(scored.agg(sum(col(c) * col(c)))
+      // coalesce: sum over ZERO rows (an empty node set) is null, and
+      // getDouble would NPE — pageRank guards its analogous scalar the
+      // same way
+      val nrm = math.sqrt(scored
+        .agg(coalesce(sum(col(c) * col(c)), lit(0.0)))
         .head().getDouble(0))
       val div = if (nrm > 0) nrm else 1.0
       scored.select(col("id"), (col(c) / lit(div)).as(c))

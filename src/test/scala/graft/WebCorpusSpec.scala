@@ -230,6 +230,11 @@ class WebCorpusSpec extends SparkSpec {
       ("https://h.example/x", "first bold"),
       ("https://h.example/a/y", "second & more"))
     pairs("""<a href="#only-frag">t</a>""") shouldBe Seq.empty
+    // a fragment-CARRYING href keeps its anchor text with the fragment
+    // stripped — the ([^"#]*) capture form could not match it at all,
+    // silently losing the text while outlinks kept the edge
+    pairs("""<a href="/docs/page#intro">Guide</a>""") shouldBe Seq(
+      ("https://h.example/docs/page", "Guide"))
   }
 
   test("flesch reading ease: floors, sentence splitting, and the wordless null") {
@@ -379,6 +384,24 @@ class WebCorpusSpec extends SparkSpec {
         "User-agent: *\nDisallow: /x\nAllow: /x")).toDF(
         "domain", "robots_txt")), "anybot")
     tie.select(col("allowed")).as[Boolean].head() shouldBe true
+    // CRLF robots.txt (Windows-served files, WARC payloads) must parse
+    // identically — a trailing \r on tokens made the gate FAIL OPEN
+    val crlf = Robots.filterAllowed(
+      Seq(("w.ex", "/private/x"), ("w.ex", "/pub")).toDF("domain", "path"),
+      Robots.parseRules(Seq(("w.ex",
+        "User-agent: *\r\nDisallow: /private\r\n")).toDF(
+        "domain", "robots_txt")), "anybot")
+      .select(col("path"), col("allowed")).as[(String, Boolean)]
+      .collect().toMap
+    crlf("/private/x") shouldBe false
+    crlf("/pub") shouldBe true
+    // duplicate input rows each keep their verdict row (a re-crawled
+    // page must not silently halve the corpus count)
+    Robots.filterAllowed(
+      Seq(("t.ex", "/x/1"), ("t.ex", "/x/1")).toDF("domain", "path"),
+      Robots.parseRules(Seq(("t.ex",
+        "User-agent: *\nDisallow: /y")).toDF("domain", "robots_txt")),
+      "anybot").count() shouldBe 2L
   }
 
   test("HITS: the pointed-at node is the authority, the pointers are the hubs, vectors are unit-L2") {
