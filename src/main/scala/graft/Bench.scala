@@ -334,6 +334,64 @@ object Bench {
     }
   }
 
+  /** Ingest-throughput probe for the crawl front half: synthetic pages
+    * → gzip WARC shards ON DISK (built once per size, untimed), then
+    * time the production read path — shard parse → HTML→text extract →
+    * word-count gate — at base and 10× base, reporting MB/s of
+    * compressed shard bytes per size plus the decade exponent. THE
+    * headline number for a 100 TB ingest plan: corpus_bytes / (MB/s ×
+    * cores) is the wall-clock floor of the front half. The timed
+    * action aggregates over the extracted text (sum of lengths + row
+    * count), so Catalyst cannot prune the decode/extract work (the
+    * r12/r14 bench memo). Invoked alone via SPARK_GRAFT_BENCH_WEB=1. */
+  def webIngestProbe(spark: SparkSession, base: Long,
+                     reps: Int = 3): String = {
+    import org.apache.spark.sql.types._
+    val out = Seq(base, base * 10).map { n =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-webprobe").toString
+      val shardDir = s"$dir/shards"
+      // stopword filler keeps langid=en so the verdict gate EVALUATES
+      // and PASSES — rows_out must equal the page count or the probe
+      // would time a pipeline that drops everything
+      val pages = syntheticDocs(spark, n / 3).select(
+        concat(lit("https://w.example/p/"), col("doc_id").cast("string"))
+          .as("url"),
+        concat(lit("<html><head><script>var x=1;</script></head><body><h1>T "),
+          col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+          lit(" and the of to in is it for on that this with as at be."),
+          lit("</p><div><a href=\"/n\">next</a></div></body></html>"))
+          .as("text"))
+      // one shard per partition ⇒ shard bytes live in executor memory
+      // while building (the toShards contract: size shards upstream) —
+      // bound shards at ~40k pages each, floor 32 for parallelism
+      graft.io.Warc.toShards(
+          pages.repartition(math.max(32, (n / 40000).toInt)))
+        .write.parquet(shardDir)
+      val shardBytes = spark.read.parquet(shardDir)
+        .agg(sum(length(col("shard")))).head().getLong(0)
+      val rows = spark.read.parquet(shardDir)
+      val cfg = graft.pipeline.CurationPipeline.Config(
+        minQuality = 0.0, minTokens = 1)
+      val t0 = System.nanoTime()
+      var extracted = 0L
+      (1 to reps).foreach { _ =>
+        extracted = graft.streaming.StreamingOps.webIngestStream(rows, cfg)
+          .agg(sum(length(col("text"))), count(lit(1)))
+          .head().getLong(1)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9 / reps
+      deleteQuietly(java.nio.file.Paths.get(dir))
+      (n, shardBytes, sec, extracted, shardBytes / 1e6 / sec)
+    }
+    val pts = out.map { case (n, b, s, r, mbs) =>
+      s"""{"base_n":$n,"shard_mb":${b / 1e6},"sec":$s,""" +
+        s""""rows_out":$r,"mb_per_sec":$mbs}""" }.mkString("[", ",", "]")
+    val exp = math.log(out(1)._3 / out(0)._3) /
+      math.log(out(1)._1.toDouble / out(0)._1)
+    s"""{"metric":"web_ingest_probe","points":$pts,"exponent":$exp}"""
+  }
+
   /** sec-vs-rows scaling probe for the heaviest batch families
     * (alt-star components, contamination report, span removal, fuzzy
     * linkage, incremental fuzzy gate): run each at `base` and
@@ -557,6 +615,13 @@ object Bench {
       indexUpsertProbe(spark, 1000, reps = 2)
       println(indexUpsertProbe(spark,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_IDXUPSERT_BASE", "20000").toLong))
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_WEB").contains("1")) {
+      webIngestProbe(spark, 2000, reps = 2) // warm plan shapes
+      println(webIngestProbe(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_WEB_BASE", "50000").toLong))
       spark.stop()
       return
     }
