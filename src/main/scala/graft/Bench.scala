@@ -364,25 +364,34 @@ object Bench {
           .as("text"))
       // one shard per partition ⇒ shard bytes live in executor memory
       // while building (the toShards contract: size shards upstream) —
-      // bound shards at ~40k pages each, floor 32 for parallelism
-      graft.io.Warc.toShards(
-          pages.repartition(math.max(32, (n / 40000).toInt)))
-        .write.parquet(shardDir)
-      val shardBytes = spark.read.parquet(shardDir)
-        .agg(sum(length(col("shard")))).head().getLong(0)
-      val rows = spark.read.parquet(shardDir)
-      val cfg = graft.pipeline.CurationPipeline.Config(
-        minQuality = 0.0, minTokens = 1)
-      val t0 = System.nanoTime()
-      var extracted = 0L
-      (1 to reps).foreach { _ =>
-        extracted = graft.streaming.StreamingOps.webIngestStream(rows, cfg)
-          .agg(sum(length(col("text"))), count(lit(1)))
-          .head().getLong(1)
-      }
-      val sec = (System.nanoTime() - t0) / 1e9 / reps
-      deleteQuietly(java.nio.file.Paths.get(dir))
-      (n, shardBytes, sec, extracted, shardBytes / 1e6 / sec)
+      // n/40k partitions bounds shards at ≈ 0.47n/(n/40k) ≈ 19k pages
+      // each (syntheticDocs explodes ~1.4 rows per base id); floor 32
+      // for parallelism. The unbounded 32-partition form held ~73k
+      // pages per shard at the 5M run and OOM'd the executor.
+      try {
+        graft.io.Warc.toShards(
+            pages.repartition(math.max(32, (n / 40000).toInt)))
+          .write.parquet(shardDir)
+        val shardBytes = spark.read.parquet(shardDir)
+          .agg(sum(length(col("shard")))).head().getLong(0)
+        val rows = spark.read.parquet(shardDir)
+        val cfg = graft.pipeline.CurationPipeline.Config(
+          minQuality = 0.0, minTokens = 1)
+        val t0 = System.nanoTime()
+        var extracted = 0L
+        (1 to reps).foreach { _ =>
+          extracted = graft.streaming.StreamingOps.webIngestStream(rows, cfg)
+            .agg(sum(length(col("text"))), count(lit(1)))
+            .head().getLong(1)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9 / reps
+        // a gate or parse regression that drops every row would time a
+        // no-op and print an inflated MB/s headline — refuse to report
+        require(extracted > 0,
+          "webIngestProbe: the ingest pipeline emitted ZERO rows — the " +
+            "measured throughput would be a no-op's")
+        (n, shardBytes, sec, extracted, shardBytes / 1e6 / sec)
+      } finally deleteQuietly(java.nio.file.Paths.get(dir))
     }
     val pts = out.map { case (n, b, s, r, mbs) =>
       s"""{"base_n":$n,"shard_mb":${b / 1e6},"sec":$s,""" +

@@ -94,14 +94,21 @@ object Robots {
     // partitions on a per-ROW tag, not the url columns: duplicate
     // input rows (a re-crawled page, a projection collapsing distinct
     // urls onto one path) must each keep their verdict row, never
-    // silently merge
-    val tagged = urls.withColumn("__uid", monotonically_increasing_id())
+    // silently merge. Internal names are guarded loudly: withColumn
+    // would silently OVERWRITE a caller column of the same name, and
+    // the rules side's names would make the final select ambiguous.
+    Seq("__robots_uid", "rule", "rule_path").foreach(n =>
+      require(!urls.columns.contains(n),
+        s"filterAllowed: the urls frame must not carry a column named " +
+          s"'$n' (internal to the verdict computation) — rename it"))
+    val tagged = urls.withColumn("__robots_uid",
+      monotonically_increasing_id())
     val cand = tagged.join(broadcast(scoped),
         tagged(domainCol) === scoped("domain") &&
           col(pathCol).startsWith(col("rule_path")), "left")
       .drop(scoped("domain"))
     val w = Window
-      .partitionBy(col("__uid"))
+      .partitionBy(col("__robots_uid"))
       .orderBy(length(col("rule_path")).desc,
         // allow wins ties at equal prefix length
         when(col("rule") === "allow", 0).otherwise(1).asc)

@@ -29,26 +29,30 @@ object WebGraph {
   def outlinks(html: Column, baseUrl: Column): Column = {
     val hrefs = regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?href=\"([^\"#]*)"), lit(1))
+    // one-element OUTER transform: Catalyst does not CSE across HOF
+    // lambda bodies, so both the base-URL regexes AND the full-page
+    // href scan must be bound ONCE per row — ctx as the outer lambda
+    // var, hrefs referenced inside the outer body (evaluated once for
+    // the single element). A zip_with(hrefs, array_repeat(ctx,
+    // size(hrefs))) form re-evaluates the PAGE scan through size() —
+    // doubling the dominant cost it meant to remove.
     filter(
-      zip_with(hrefs, baseCtxPerElement(baseUrl, size(hrefs)),
-        (h, c) => resolve(h, c)),
+      flatten(transform(array(baseCtx(baseUrl)), c =>
+        transform(hrefs, h => resolve(h, c)))),
       h => length(h) > 0)
   }
 
-  /** The base URL's (scheme, origin, dir) struct, repeated to the href
-    * count: Catalyst does NOT CSE across HOF lambda bodies — an
-    * expression referenced inside transform/zip_with re-inlines and
-    * re-evaluates PER ELEMENT, so a 100-link page would pay 300 regex
-    * evaluations of the base URL instead of 3. array_repeat's argument
-    * evaluates once per ROW; the lambda then only reads fields. */
-  private def baseCtxPerElement(baseUrl: Column, n: Column): Column =
-    array_repeat(struct(
+  /** The base URL's (scheme, origin, dir) struct — always bind it as a
+    * one-element outer-transform lambda var (see [[outlinks]]); used
+    * inline it re-evaluates its three regexes per href. */
+  private def baseCtx(baseUrl: Column): Column =
+    struct(
       regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
         .as("scheme"),
       regexp_extract(baseUrl, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
         .as("origin"),
       regexp_replace(regexp_replace(baseUrl, "[?#].*$", ""),
-        "/[^/]*$", "/").as("dir")), n)
+        "/[^/]*$", "/").as("dir"))
 
   /** The resolution law shared by [[outlinks]] and [[anchorTexts]]. */
   private def resolve(h: Column, ctx: Column): Column =
@@ -76,13 +80,15 @@ object WebGraph {
     val pat = lit("(?is)<a\\b[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>")
     val hrefs = regexp_extract_all(html, pat, lit(1))
     val texts = regexp_extract_all(html, pat, lit(2))
-    val pairs = zip_with(hrefs, texts, (h, t) =>
-      struct(h.as("h"), t.as("t")))
+    // the outlinks one-element-outer-transform recipe: ctx bound once,
+    // and the two full-page scans (hrefs, texts) evaluated once each
+    // inside the outer lambda — the structural floor for a two-group
+    // extraction
     filter(
-      zip_with(pairs, baseCtxPerElement(baseUrl, size(pairs)),
-        (p, c) => struct(
-          resolve(regexp_replace(p("h"), "#.*$", ""), c).as("link"),
-          graft.functions.TextExtraction.blockText(p("t")).as("text"))),
+      flatten(transform(array(baseCtx(baseUrl)), c =>
+        zip_with(hrefs, texts, (h, t) => struct(
+          resolve(regexp_replace(h, "#.*$", ""), c).as("link"),
+          graft.functions.TextExtraction.blockText(t).as("text"))))),
       p => length(p("link")) > 0)
   }
 
