@@ -885,8 +885,12 @@ object QueriesDataOps {
       val clean = TextExtraction.stripHtml(col("body_text"))
       val gated = fetched
         .select(col("target_uri"), clean.as("clean"))
+        // non-empty tokens only (the webIngestStream law): an empty
+        // extraction is 0 words, not 1
         .withColumn("n_words",
-          org.apache.spark.sql.functions.size(split(col("clean"), "[ \n]")))
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.filter(
+              split(col("clean"), "[ \n]"), t => length(t) > 0)))
         .filter(col("n_words") >= 40)
         .withColumn("domain", UrlOps.registeredDomain(
           UrlOps.hostOf(UrlOps.normalizeUrl(col("target_uri")))))
@@ -928,9 +932,11 @@ object QueriesDataOps {
               '^\\n+|\\n+$$', '', 'g')) AS clean
             FROM e),
       g AS (SELECT uri, clean,
-                   len(string_split_regex(clean, '[ \\n]')) AS n_words
+                   len(list_filter(string_split_regex(clean, '[ \\n]'),
+                     t -> len(t) > 0)) AS n_words
             FROM c
-            WHERE len(string_split_regex(clean, '[ \\n]')) >= 40),
+            WHERE len(list_filter(string_split_regex(clean, '[ \\n]'),
+                    t -> len(t) > 0)) >= 40),
       hn AS (SELECT uri, clean, n_words,
                regexp_extract(lower(regexp_replace(uri, '#.*$$', '')),
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)', 1) AS host
@@ -956,27 +962,38 @@ object QueriesDataOps {
       FROM r WHERE rn <= 30 ORDER BY target_uri""")),
 
     ("web_robots", (s, dir) => {
-      // robots.txt compliance — the crawl-ethics gate (RFC 9309 core):
+      // robots.txt compliance — the crawl-ethics gate (RFC 9309):
       // parse per-domain robots text into rule groups (consecutive
       // User-agent lines share a group, comments/blank/empty-value
       // lines vanish, rules before any UA line drop), select the
-      // crawler's MOST SPECIFIC group (exact agent else '*'), then
-      // longest-prefix precedence with allow winning ties. Three
-      // synthesized robots flavors exercise every branch: an
-      // exact+star domain (exact wins), a star-only with the
-      // empty-Disallow allow-all idiom, and a shared consecutive-UA
-      // group. The oracle replays the parse and the precedence law.
+      // crawler's MOST SPECIFIC group (exact agent else '*'; an EMPTY
+      // exact group allows everything rather than falling through),
+      // then most-octets precedence with allow winning ties, with
+      // §2.2.3 `*`/`$` patterns translated to anchored RE2-safe
+      // regexes at parse time. Five synthesized robots flavors
+      // exercise every branch: exact+star (exact wins), star-only
+      // with the empty-Disallow allow-all idiom, a shared
+      // consecutive-UA group, a wildcard domain (wildcard-vs-longer-
+      // literal precedence, end anchor), and a trailing empty exact
+      // group. The oracle replays the parse, the regex translation,
+      // and the precedence law.
       import graft.functions.Robots
       val id = col("doc_id").cast("string")
-      val domain = concat(lit("d"), (col("doc_id") % 3).cast("string"),
+      val domain = concat(lit("d"), (col("doc_id") % 5).cast("string"),
         lit(".example"))
       val urls = T(s, dir, "documents")
         .select(col("doc_id"), domain.as("domain"),
-          when(col("doc_id") % 5 === 0, concat(lit("/private/x"), id))
-            .when(col("doc_id") % 5 === 1, concat(lit("/private/ok/"), id))
-            .when(col("doc_id") % 5 === 2, concat(lit("/tmp/"), id))
-            .when(col("doc_id") % 5 === 3, concat(lit("/both/"), id))
-            .otherwise(concat(lit("/pub/"), id)).as("path"))
+          when(col("doc_id") % 9 === 0, concat(lit("/private/x"), id))
+            .when(col("doc_id") % 9 === 1, concat(lit("/private/ok/"), id))
+            .when(col("doc_id") % 9 === 2, concat(lit("/tmp/"), id))
+            .when(col("doc_id") % 9 === 3, concat(lit("/both/"), id))
+            .when(col("doc_id") % 9 === 4, concat(lit("/pub/"), id))
+            .when(col("doc_id") % 9 === 5,
+              concat(lit("/pub/p?sessionid="), id))
+            .when(col("doc_id") % 9 === 6,
+              concat(lit("/x?sessionid="), id))
+            .when(col("doc_id") % 9 === 7, lit("/ads/"))
+            .otherwise(concat(lit("/ads/x"), id)).as("path"))
       val robots = urls.select(col("domain")).distinct()
         .withColumn("robots_txt",
           when(col("domain") === "d0.example",
@@ -984,6 +1001,11 @@ object QueriesDataOps {
               "Allow: /private/ok\n\nUser-agent: *\nDisallow: /"))
           .when(col("domain") === "d1.example",
             lit("# robots\nUser-agent: *\nDisallow: /tmp\nDisallow:\n"))
+          .when(col("domain") === "d3.example",
+            lit("User-agent: *\nDisallow: /*?sessionid=\n" +
+              "Allow: /pub/p?sessionid=\nAllow: /pub\nDisallow: /ads/$"))
+          .when(col("domain") === "d4.example",
+            lit("User-agent: *\nDisallow: /\nUser-agent: ccbot"))
           .otherwise(
             lit("User-agent: ccbot\nUser-agent: googlebot\n" +
               "Disallow: /both\nUser-agent: *\nAllow: /")))
@@ -992,13 +1014,17 @@ object QueriesDataOps {
         .orderBy(col("doc_id"))
     }, Some("""
       WITH u AS (
-        SELECT doc_id, 'd' || (doc_id % 3) || '.example' AS domain,
-          CASE CAST(doc_id % 5 AS INT)
+        SELECT doc_id, 'd' || (doc_id % 5) || '.example' AS domain,
+          CASE CAST(doc_id % 9 AS INT)
             WHEN 0 THEN '/private/x' || doc_id
             WHEN 1 THEN '/private/ok/' || doc_id
             WHEN 2 THEN '/tmp/' || doc_id
             WHEN 3 THEN '/both/' || doc_id
-            ELSE '/pub/' || doc_id END AS path
+            WHEN 4 THEN '/pub/' || doc_id
+            WHEN 5 THEN '/pub/p?sessionid=' || doc_id
+            WHEN 6 THEN '/x?sessionid=' || doc_id
+            WHEN 7 THEN '/ads/'
+            ELSE '/ads/x' || doc_id END AS path
         FROM documents),
       rb AS (
         SELECT domain,
@@ -1010,6 +1036,12 @@ object QueriesDataOps {
             WHEN 'd1.example' THEN '# robots' || chr(10) ||
               'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
               'Disallow:' || chr(10)
+            WHEN 'd3.example' THEN 'User-agent: *' || chr(10) ||
+              'Disallow: /*?sessionid=' || chr(10) ||
+              'Allow: /pub/p?sessionid=' || chr(10) ||
+              'Allow: /pub' || chr(10) || 'Disallow: /ads/$'
+            WHEN 'd4.example' THEN 'User-agent: *' || chr(10) ||
+              'Disallow: /' || chr(10) || 'User-agent: ccbot'
             ELSE 'User-agent: ccbot' || chr(10) ||
               'User-agent: googlebot' || chr(10) || 'Disallow: /both' ||
               chr(10) || 'User-agent: *' || chr(10) || 'Allow: /' END
@@ -1044,20 +1076,33 @@ object QueriesDataOps {
              WHERE key <> 'user-agent' AND grp > 0
                AND length(value) > 0),
       rules AS (SELECT ag.domain, ag.agent, ru.rule, ru.path
-                FROM ag JOIN ru ON ru.domain = ag.domain
+                FROM ag LEFT JOIN ru ON ru.domain = ag.domain
                   AND ru.grp = ag.grp),
       sc0 AS (SELECT * FROM rules WHERE agent IN ('ccbot', '*')),
       hx AS (SELECT domain,
                     max(CASE WHEN agent = 'ccbot' THEN 1 ELSE 0 END)
                       AS has_exact
              FROM sc0 GROUP BY domain),
-      sc AS (SELECT sc0.domain, sc0.rule, sc0.path AS rule_path
-             FROM sc0 JOIN hx ON hx.domain = sc0.domain
-             WHERE (hx.has_exact = 1 AND sc0.agent = 'ccbot')
-                OR (hx.has_exact = 0 AND sc0.agent = '*')),
+      sc1 AS (SELECT sc0.domain, sc0.rule, sc0.path AS rule_path
+              FROM sc0 JOIN hx ON hx.domain = sc0.domain
+              WHERE ((hx.has_exact = 1 AND sc0.agent = 'ccbot')
+                 OR (hx.has_exact = 0 AND sc0.agent = '*'))
+                AND sc0.path IS NOT NULL),
+      sc AS (SELECT domain, rule, rule_path,
+               (rule_path LIKE '%*%' OR rule_path LIKE '%$') AS is_pattern,
+               '^' || replace(regexp_replace(
+                   CASE WHEN rule_path LIKE '%$'
+                        THEN substr(rule_path, 1, length(rule_path) - 1)
+                        ELSE rule_path END,
+                   '([.^$+?(){}\[\]|\\])', '\\\1', 'g'), '*', '.*')
+                 || CASE WHEN rule_path LIKE '%$' THEN '$' ELSE '' END
+                 AS rule_regex
+             FROM sc1),
       cand AS (SELECT u.doc_id, u.domain, u.path, sc.rule, sc.rule_path
                FROM u LEFT JOIN sc ON sc.domain = u.domain
-                 AND starts_with(u.path, sc.rule_path)),
+                 AND (CASE WHEN sc.is_pattern
+                           THEN regexp_matches(u.path, sc.rule_regex)
+                           ELSE starts_with(u.path, sc.rule_path) END)),
       win AS (SELECT doc_id, domain, path, rule,
                      row_number() OVER (PARTITION BY doc_id
                        ORDER BY length(rule_path) DESC,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,17 +10,24 @@ import org.apache.spark.sql.functions._
   * fetch time, and re-filtering at curation time is the standard
   * belt-and-braces). Implements the core of REP (RFC 9309): group
   * structure (consecutive User-agent lines share a group), the
-  * most-specific-agent-group-wins selection, and longest-path-prefix
-  * rule precedence with allow winning ties. Deliberate, documented
-  * simplifications of a relational implementation: no `*`/`$` wildcard
-  * patterns inside paths (plain prefix match), agent matching is exact
-  * token (or `*`), and `Crawl-delay`/`Sitemap` lines are ignored.
+  * most-specific-agent-group-wins selection — including the empty
+  * matched group, which per §2.2.1 means EVERYTHING is allowed for
+  * that agent (it must not fall through to `*`) — `*`/`$` match
+  * patterns in rule paths (§2.2.3), and most-octets rule precedence
+  * with allow winning ties. Remaining documented simplifications:
+  * agent matching is exact token (or `*`), octet length is
+  * approximated by character length (identical cross-engine; they
+  * differ only on non-ASCII rule paths, which the RFC expects
+  * percent-encoded anyway), and `Crawl-delay`/`Sitemap` lines are
+  * ignored.
   *
   * Everything is joins + windows over one line explode — fully
   * oracle-replayable, shuffles keyed on (domain) and (domain, url):
   * rules tables are tiny relative to the URL corpus, so at 100 TB the
   * rules side BROADCASTS and the per-URL cost is one broadcast join +
-  * one url-keyed argmax window. */
+  * one url-keyed argmax window — or ZERO extra shuffles and no window
+  * at all via the stateless [[rulesByDomain]]/[[allowedCol]] form,
+  * which is also the streaming-legal face. */
 object Robots {
 
   /** Parse (domain, robots.txt text) rows into rule rows:
@@ -31,7 +38,11 @@ object Robots {
     * (`Disallow:` — the classic "allow everything" idiom) contributes
     * NO rule, per RFC 9309's empty-pattern semantics: treating it as a
     * zero-length prefix would instead match — and disallow —
-    * everything. */
+    * everything. A group whose agents carry NO rules (e.g. a trailing
+    * `User-agent: ccbot` at EOF) survives as one (agent, rule = null,
+    * path = null) row per agent: RFC 9309 §2.2.1 makes a matched empty
+    * group mean allow-all, so the group's EXISTENCE must reach
+    * [[filterAllowed]]'s most-specific-group selection. */
   def parseRules(robots: DataFrame, domainCol: String = "domain",
                  txtCol: String = "robots_txt"): DataFrame = {
     val lines = robots
@@ -65,56 +76,171 @@ object Robots {
       .filter(length(col("value")) > 0) // empty pattern = no rule (RFC)
       .select(col("domain"), col("grp"), col("key").as("rule"),
         col("value").as("path"))
-    // a group with UA lines but no rules contributes nothing (inner
-    // join) — matching RFC 9309's empty-group semantics
-    agents.join(rules, Seq("domain", "grp"))
+    // LEFT join: an empty group keeps its (agent, null, null) row so
+    // group selection can see it (RFC empty-group = allow-all; an
+    // inner join made the agent fall through to '*' — over-blocking)
+    agents.join(rules, Seq("domain", "grp"), "left")
       .select(col("domain"), col("agent"), col("rule"), col("path"))
   }
 
-  /** Verdict per URL row for one crawler `agent`: RFC 9309 group
-    * selection (the domain's exact-agent rules when any exist, else
-    * its `*` rules, else everything is allowed) + longest-prefix
-    * precedence with allow winning ties. Input needs (domain, `urlCol`
-    * path); emits the input columns + `allowed` boolean. */
-  def filterAllowed(urls: DataFrame, rules: DataFrame, agent: String,
-                    domainCol: String = "domain",
-                    pathCol: String = "path"): DataFrame = {
+  /** True when a rule path uses RFC 9309 §2.2.3 special characters:
+    * `*` (matches any octet sequence) anywhere, or `$` as the LAST
+    * character (anchors the end of the URL path). Plain rules keep the
+    * codegen'd prefix fast path — no per-row regex compilation. */
+  def isPatternRule(path: Column): Column =
+    path.contains("*") || path.endsWith("$")
+
+  /** Translate one rule path to an anchored regex implementing the RFC
+    * 9309 §2.2.3 match semantics: regex metacharacters escaped, `*` →
+    * `.*`, a trailing `$` becomes the end anchor (a `$` anywhere else
+    * is a literal octet). Escapes ONLY the true metacharacters — a
+    * backslash before an arbitrary letter is an ERROR in
+    * java.util.regex (`\é`), and unescaped `/ - = :` are literals in
+    * both engines — so the translation is RE2-safe and the DuckDB
+    * oracle replays it verbatim (the UrlOps cross-engine-regex-parity
+    * convention). Translation runs once per RULE (the tiny broadcast
+    * side), never per URL. */
+  def rulePathRegex(path: Column): Column = {
+    val anchored = path.endsWith("$")
+    val body = when(anchored, path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val escaped =
+      regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val wild = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** The match predicate shared by both verdict forms: pattern rules
+    * (pre-translated regex) via regexp_like, plain rules via the
+    * codegen'd prefix test. */
+  private def ruleMatches(path: Column, rulePath: Column,
+                          isPattern: Column, regex: Column): Column =
+    when(isPattern, regexp_like(path, regex))
+      .otherwise(path.startsWith(rulePath))
+
+  /** RFC group selection on the rules side: the agent's exact-group
+    * rows when the domain has ANY exact group (even an empty one),
+    * else its `*` rows. Shared by [[filterAllowed]] and
+    * [[rulesByDomain]]. */
+  private def scopedRules(rules: DataFrame, agent: String): DataFrame = {
     val a = lit(agent.toLowerCase)
-    // most-specific-group-wins: domains with exact-agent rules use
-    // ONLY those; others fall back to '*'
     val scoped0 = rules.filter(col("agent") === a || col("agent") === "*")
+    // has_exact judges AGENT rows (null-path empty-group rows count):
+    // an agent whose exact group is empty gets allow-all, not the '*'
+    // fallback
     val hasExact = scoped0.groupBy(col("domain"))
       .agg(max(when(col("agent") === a, 1).otherwise(0)).as("has_exact"))
-    val scoped = scoped0.join(hasExact, Seq("domain"))
+    scoped0.join(hasExact, Seq("domain"))
       .filter((col("has_exact") === 1 && col("agent") === a) ||
         (col("has_exact") === 0 && col("agent") === "*"))
       .select(col("domain"), col("rule"), col("path").as("rule_path"))
-    // candidate matches: prefix rule paths; the rules side is tiny —
-    // broadcast, per-URL cost one join + one argmax window. The window
-    // partitions on a per-ROW tag, not the url columns: duplicate
-    // input rows (a re-crawled page, a projection collapsing distinct
-    // urls onto one path) must each keep their verdict row, never
-    // silently merge. Internal names are guarded loudly: withColumn
-    // would silently OVERWRITE a caller column of the same name, and
-    // the rules side's names would make the final select ambiguous.
-    Seq("__robots_uid", "rule", "rule_path").foreach(n =>
-      require(!urls.columns.contains(n),
+  }
+
+  /** Verdict per URL row for one crawler `agent`: RFC 9309 group
+    * selection (the domain's exact-agent group when one exists — even
+    * empty, which allows everything — else its `*` rules, else
+    * everything is allowed) + most-octets precedence with allow
+    * winning ties; `*`/`$` patterns per §2.2.3. Input needs (domain,
+    * `urlCol` path); emits the input columns + `allowed` boolean. */
+  def filterAllowed(urls: DataFrame, rules: DataFrame, agent: String,
+                    domainCol: String = "domain",
+                    pathCol: String = "path"): DataFrame = {
+    val scoped = scopedRules(rules, agent)
+      .withColumn("is_pattern", isPatternRule(col("rule_path")))
+      .withColumn("rule_regex", rulePathRegex(col("rule_path")))
+    // candidate matches: the rules side is tiny — broadcast, per-URL
+    // cost one join + one argmax window. The window partitions on a
+    // per-ROW tag, not the url columns: duplicate input rows (a
+    // re-crawled page, a projection collapsing distinct urls onto one
+    // path) must each keep their verdict row, never silently merge.
+    // Internal names are guarded loudly: withColumn would silently
+    // OVERWRITE a caller column of the same name, and the rules side's
+    // names would make the final select ambiguous. Empty-group rows
+    // (rule_path null) never match — they exist only to steer group
+    // selection above — so their URLs take the left-join null row:
+    // allowed.
+    Seq("__robots_uid", "rule", "rule_path", "is_pattern", "rule_regex")
+      .foreach(n => require(!urls.columns.contains(n),
         s"filterAllowed: the urls frame must not carry a column named " +
           s"'$n' (internal to the verdict computation) — rename it"))
     val tagged = urls.withColumn("__robots_uid",
       monotonically_increasing_id())
     val cand = tagged.join(broadcast(scoped),
         tagged(domainCol) === scoped("domain") &&
-          col(pathCol).startsWith(col("rule_path")), "left")
+          ruleMatches(col(pathCol), col("rule_path"), col("is_pattern"),
+            col("rule_regex")), "left")
       .drop(scoped("domain"))
+    // most octets wins (wildcards and the $ anchor count — RFC §2.2.2's
+    // "most specific match is the match that has the most octets")
     val w = Window
       .partitionBy(col("__robots_uid"))
       .orderBy(length(col("rule_path")).desc,
-        // allow wins ties at equal prefix length
+        // allow wins ties at equal pattern length
         when(col("rule") === "allow", 0).otherwise(1).asc)
     cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(urls.columns.map(col) :+
         (col("rule").isNull || col("rule") === "allow").as("allowed"): _*)
+  }
+
+  /** The static side of the STREAMING-legal robots gate: the agent's
+    * scoped rules per domain collapsed into one array row
+    * (domain, robots_rules: array<struct<is_allow, path, is_pattern,
+    * regex, plen>>). Group selection — exact agent else `*`, empty
+    * exact group wins as allow-all — resolves here on the tiny rules
+    * side, so the per-URL side needs NO window and NO aggregation:
+    * broadcast-join this frame on `domain` and gate with
+    * [[allowedCol]]. Legal in a stateless streaming chain
+    * (stream-static join + scalar expression) and zero extra shuffles
+    * in batch. Domains whose scoped rules are empty (or absent) simply
+    * have no row — the left join's null array is allow-all. */
+  def rulesByDomain(rules: DataFrame, agent: String): DataFrame =
+    scopedRules(rules, agent)
+      .filter(col("rule_path").isNotNull)
+      .groupBy(col("domain"))
+      .agg(collect_list(struct(
+        (col("rule") === "allow").as("is_allow"),
+        col("rule_path").as("path"),
+        isPatternRule(col("rule_path")).as("is_pattern"),
+        rulePathRegex(col("rule_path")).as("regex"),
+        length(col("rule_path")).as("plen"))).as("robots_rules"))
+
+  /** Verdict for one path against a [[rulesByDomain]] array: the same
+    * most-octets / allow-wins-ties law as [[filterAllowed]], computed
+    * by ONE order-independent aggregate over the rule array (a
+    * strictly longer match replaces the incumbent; at equal length
+    * only allow replaces disallow — two same-length same-verdict rules
+    * are verdict-equal, so no array ordering changes the answer).
+    * Null / empty arrays (unknown domain, no scoped rules) allow. */
+  def allowedCol(path: Column, rules: Column): Column = {
+    val best = aggregate(rules,
+      struct(lit(-1).as("plen"), lit(true).as("is_allow")),
+      (acc, r) => {
+        val m = ruleMatches(path, r("path"), r("is_pattern"), r("regex"))
+        val better = m && (r("plen") > acc("plen") ||
+          (r("plen") === acc("plen") && r("is_allow") && !acc("is_allow")))
+        when(better,
+          struct(r("plen").as("plen"), r("is_allow").as("is_allow")))
+          .otherwise(acc)
+      })
+    coalesce(best("plen") < 0 || best("is_allow"), lit(true))
+  }
+
+  /** [[filterAllowed]]'s verdict via the stateless form: left
+    * broadcast-join [[rulesByDomain]]'s frame and evaluate
+    * [[allowedCol]] per row. Emits the input columns + `allowed` —
+    * byte-identical verdicts to the window form (WebCorpusSpec pins
+    * the equivalence), with no window shuffle and streaming-legal. */
+  def filterAllowedStateless(urls: DataFrame, byDomain: DataFrame,
+                             domainCol: String = "domain",
+                             pathCol: String = "path"): DataFrame = {
+    require(!urls.columns.contains("robots_rules"),
+      "filterAllowedStateless: the urls frame must not carry a column " +
+        "named 'robots_rules' (internal to the verdict) — rename it")
+    urls.join(broadcast(byDomain),
+        urls(domainCol) === byDomain("domain"), "left")
+      .drop(byDomain("domain"))
+      .withColumn("allowed", allowedCol(col(pathCol), col("robots_rules")))
+      .drop("robots_rules")
   }
 }

@@ -68,6 +68,19 @@ object UrlOps {
     regexp_extract(lower(url),
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)", 1)
 
+  /** Path + query of a URL (the robots.txt match target: RFC 9309
+    * matches rules against the path-with-query, never the origin).
+    * '/' for a URL with an empty path, '' for null/schemeless inputs
+    * (regexp_extract's no-match convention — same as [[hostOf]]).
+    * Fragments are excluded (they never reach a server). */
+  def pathOf(url: Column): Column = {
+    val p = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(length(p) > 0, p)
+      .when(length(hostOf(url)) > 0, lit("/"))
+      .otherwise(lit(""))
+  }
+
   /** High-traffic second-level public suffixes: a host ending in one of
     * these keeps THREE labels as its registered domain, anything else
     * two. Bounded by design (see the Scaladoc's PSL note). */

@@ -48,21 +48,48 @@ object StreamingOps {
 
   /** Streaming face of the crawl front half: WARC shards arriving as a
     * stream (a crawler drops gzip shards; the file source picks them
-    * up) → response rows → extracted text → the curation verdict gate.
-    * Every stage is a STATELESS codegen'd transform (the shard parse
-    * is partition-local mapPartitions), so the one pipeline definition
-    * serves batch backfills and the standing query identically —
-    * WebCorpusSpec pins batch/stream row parity. Emits (target_uri,
-    * text, n_words) for kept pages; compose the URL ops / dedup /
-    * domain-cap stages downstream exactly as in curate_web_e2e. */
+    * up) → response rows → robots.txt compliance gate → extracted text
+    * → the curation verdict gate. Every stage is a STATELESS codegen'd
+    * transform (the shard parse is partition-local mapPartitions; the
+    * robots verdict is a stream-static broadcast join + one scalar
+    * aggregate expression — [[graft.functions.Robots.rulesByDomain]]'s
+    * windowless form, the only robots face legal on a stream), so the
+    * one pipeline definition serves batch backfills and the standing
+    * query identically — WebCorpusSpec pins batch/stream row parity
+    * through the robots stage. Word counting skips empty tokens: an
+    * empty extraction is 0 words, so the minWords=1 default really
+    * does drop empty pages. Emits (target_uri, text, n_words) for kept
+    * pages; compose the URL ops / dedup / domain-cap stages downstream
+    * exactly as in curate_web_e2e.
+    *
+    * `robotsRules` is [[graft.functions.Robots.parseRules]] output
+    * keyed by HOST (robots.txt is per-origin); when given, pages whose
+    * (host, path+query) the agent's rules disallow are dropped before
+    * any text work. */
   def webIngestStream(shards: DataFrame,
                       cfg: graft.pipeline.CurationPipeline.Config =
                         graft.pipeline.CurationPipeline.Config(),
-                      minWords: Int = 1): DataFrame = {
+                      minWords: Int = 1,
+                      robotsRules: Option[DataFrame] = None,
+                      agent: String = "*"): DataFrame = {
+    import graft.functions.{Robots, UrlOps}
     val clean = graft.functions.TextExtraction.stripHtml(col("body_text"))
-    graft.io.Warc.fromShards(shards)
+    val rows = graft.io.Warc.fromShards(shards)
+    val polite = robotsRules match {
+      case Some(rules) =>
+        val byDomain = Robots.rulesByDomain(rules, agent)
+        rows.withColumn("__robots_host", UrlOps.hostOf(col("target_uri")))
+          .join(broadcast(byDomain),
+            col("__robots_host") === byDomain("domain"), "left")
+          .filter(Robots.allowedCol(
+            UrlOps.pathOf(col("target_uri")), col("robots_rules")))
+          .drop("__robots_host", "domain", "robots_rules")
+      case None => rows
+    }
+    polite
       .select(col("target_uri"), clean.as("text"))
-      .withColumn("n_words", size(split(col("text"), "[ \n]")))
+      .withColumn("n_words",
+        size(filter(split(col("text"), "[ \n]"), t => length(t) > 0)))
       .filter(col("n_words") >= minWords &&
         graft.pipeline.CurationPipeline.verdict(col("text"), cfg) === "keep")
   }

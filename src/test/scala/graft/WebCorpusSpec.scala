@@ -305,9 +305,15 @@ class WebCorpusSpec extends SparkSpec {
         org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("n_records",
         org.apache.spark.sql.types.LongType)))
+    // the compliance gate rides the SAME stateless chain: host-keyed
+    // rules, one prefix + one wildcard + one end-anchored pattern
+    val robots = graft.functions.Robots.parseRules(Seq(("w.example",
+      "User-agent: *\nDisallow: /first/1$\nDisallow: /*6")).toDF(
+      "domain", "robots_txt"))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val q = StreamingOps.webIngestStream(
-        spark.readStream.schema(shardSchema).parquet(shardDir), cfg)
+        spark.readStream.schema(shardSchema).parquet(shardDir), cfg,
+        robotsRules = Some(robots), agent = "ccbot")
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         out.synchronized {
@@ -322,15 +328,22 @@ class WebCorpusSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     // batch path over the same shards — one pipeline definition, two
-    // execution models, identical rows
+    // execution models, identical rows, robots stage included
     val batch = StreamingOps.webIngestStream(
-        spark.read.parquet(shardDir), cfg)
+        spark.read.parquet(shardDir), cfg,
+        robotsRules = Some(robots), agent = "ccbot")
       .select(col("target_uri"), col("text"))
       .as[(String, String)].collect()
     out.sortBy(_._1).toSeq shouldBe batch.sortBy(_._1).toSeq
     // the gate bit: tiny pages dropped, script bodies stripped
     out.map(_._1) should not contain "https://w.example/first/4"
-    out.count(_._1.startsWith("https://w.example/second/")) shouldBe 5
+    // the robots bits: the end-anchored rule drops exactly /first/1
+    // (not /first/1x had there been one), the wildcard drops both *6
+    out.map(_._1) should not contain "https://w.example/first/1"
+    out.map(_._1) should not contain "https://w.example/first/6"
+    out.map(_._1) should not contain "https://w.example/second/6"
+    out.count(_._1.startsWith("https://w.example/second/")) shouldBe 4
+    out.count(_._1.startsWith("https://w.example/first/")) shouldBe 4
     all(out.map(_._2)) should not include "x()"
   }
 
@@ -402,6 +415,52 @@ class WebCorpusSpec extends SparkSpec {
       Robots.parseRules(Seq(("t.ex",
         "User-agent: *\nDisallow: /y")).toDF("domain", "robots_txt")),
       "anybot").count() shouldBe 2L
+  }
+
+  test("robots: RFC 9309 wildcard/$ patterns, octet precedence, empty exact group, stateless form parity") {
+    import graft.functions.Robots
+    val rules = Robots.parseRules(Seq(
+      ("wc.ex", "User-agent: *\nDisallow: /*?sessionid=\n" +
+        "Allow: /pub/p?sessionid=\nAllow: /pub\nDisallow: /ads/$"),
+      // trailing EMPTY exact group: RFC §2.2.1 — a matched group with
+      // no rules allows everything; it must NOT fall through to '*'
+      ("eg.ex", "User-agent: *\nDisallow: /\nUser-agent: ccbot"))
+      .toDF("domain", "robots_txt"))
+    val urls = Seq(
+      ("wc.ex", "/pub/p?sessionid=7"), // 17-octet literal beats 14-octet wildcard
+      ("wc.ex", "/x?sessionid=1"),     // wildcard disallow only
+      ("wc.ex", "/ads/"),              // end-anchored disallow
+      ("wc.ex", "/ads/x"),             // past the anchor: no rule matches
+      ("wc.ex", "/pub/q"),             // plain prefix allow
+      ("eg.ex", "/anything"), ("eg.ex", "/"))
+      .toDF("domain", "path")
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Boolean] =
+      df.select(col("domain"), col("path"), col("allowed"))
+        .as[(String, String, Boolean)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val cc = toMap(Robots.filterAllowed(urls, rules, "ccbot"))
+    cc(("wc.ex", "/pub/p?sessionid=7")) shouldBe true
+    cc(("wc.ex", "/x?sessionid=1")) shouldBe false
+    cc(("wc.ex", "/ads/")) shouldBe false
+    cc(("wc.ex", "/ads/x")) shouldBe true
+    cc(("wc.ex", "/pub/q")) shouldBe true
+    cc(("eg.ex", "/anything")) shouldBe true
+    cc(("eg.ex", "/")) shouldBe true
+    // an agent WITHOUT an exact group on eg.ex takes the '*' rules
+    val other = toMap(Robots.filterAllowed(urls, rules, "otherbot"))
+    other(("eg.ex", "/anything")) shouldBe false
+    other(("wc.ex", "/x?sessionid=1")) shouldBe false
+    // the stateless (streaming-legal, windowless) form gives
+    // byte-identical verdicts — for both agents, including the
+    // unknown-domain allow-all path
+    val urlsU = urls.union(Seq(("unknown.ex", "/a")).toDF("domain", "path"))
+    Seq("ccbot", "otherbot").foreach { agent =>
+      val win = toMap(Robots.filterAllowed(urlsU, rules, agent))
+      val stateless = toMap(Robots.filterAllowedStateless(
+        urlsU, Robots.rulesByDomain(rules, agent)))
+      stateless shouldBe win
+      stateless(("unknown.ex", "/a")) shouldBe true
+    }
   }
 
   test("HITS: the pointed-at node is the authority, the pointers are the hubs, vectors are unit-L2") {
