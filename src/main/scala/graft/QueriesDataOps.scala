@@ -1118,9 +1118,11 @@ object QueriesDataOps {
       // targets of <a> anchors resolved against the page's own URL
       // (absolute pass through, protocol-relative take the scheme,
       // root-relative the origin, relative the base directory;
-      // fragment-only links drop). Links and bases are synthesized
-      // deterministically; the oracle replays the identical RE2-safe
-      // chain, with link_idx = position among the KEPT links.
+      // fragment-only links drop). Double-quoted, single-quoted, and
+      // unquoted href values all extract (one pattern, one capture).
+      // Links and bases are synthesized deterministically; the oracle
+      // replays the identical RE2-safe chain, with link_idx = position
+      // among the KEPT links.
       import graft.operators.WebGraph
       val id = col("doc_id").cast("string")
       val base = concat(lit("https://site"), (col("doc_id") % 5).cast("string"),
@@ -1130,7 +1132,9 @@ object QueriesDataOps {
         lit("\">x</a> <a href=\"//cdn.example.net/lib/"), id,
         lit("\">y</a> <a class=\"n\" href=\"/root/"), id,
         lit("\">z</a> <a href=\"rel/"), id,
-        lit("\">w</a> <a href=\"#top\">t</a></p>"))
+        lit("\">w</a> <a href='/squote/"), id,
+        lit("'>s</a> <a href=unq/"), id,
+        lit(">u</a> <a href=\"#top\">t</a></p>"))
       T(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(WebGraph.outlinks(html, base)))
@@ -1146,10 +1150,13 @@ object QueriesDataOps {
           '">x</a> <a href="//cdn.example.net/lib/' || doc_id ||
           '">y</a> <a class="n" href="/root/' || doc_id ||
           '">z</a> <a href="rel/' || doc_id ||
-          '">w</a> <a href="#top">t</a></p>' AS html
+          '">w</a> <a href=''/squote/' || doc_id ||
+          '''>s</a> <a href=unq/' || doc_id ||
+          '>u</a> <a href="#top">t</a></p>' AS html
         FROM documents),
       l AS (SELECT doc_id, base,
-              regexp_extract_all(html, '(?is)<a\b[^>]*?href="([^"#]*)', 1)
+              regexp_extract_all(html,
+                '(?is)<a\b[^>]*?\shref\s*=\s*["'']?([^"''#\s>]*)', 1)
                 AS hs
             FROM h),
       p AS (SELECT doc_id, hs,
@@ -1195,7 +1202,11 @@ object QueriesDataOps {
         lit("\">topic <b>"), (col("doc_id") % 7).cast("string"),
         lit("</b></a> and <a href=\"/t/"),
         ((col("doc_id") * 5 + 1) % 40).cast("string"),
-        lit("\">guide &amp; notes</a></p>"))
+        lit("\">guide &amp; notes</a> <a href='/t/"),
+        ((col("doc_id") * 11 + 2) % 40).cast("string"),
+        lit("'>deep dive</a> <a href=/t/"),
+        ((col("doc_id") * 13 + 3) % 40).cast("string"),
+        lit(">plain link</a></p>"))
       T(s, dir, "documents")
         .select(col("doc_id"), base.as("base"),
           explode(WebGraph.anchorTexts(html, base)).as("a"))
@@ -1212,12 +1223,20 @@ object QueriesDataOps {
           '/t/' || ((doc_id * 3) % 40) AS l1,
           'topic ' || (doc_id % 7) AS t1,
           '/t/' || ((doc_id * 5 + 1) % 40) AS l2,
-          'guide & notes' AS t2
+          'guide & notes' AS t2,
+          '/t/' || ((doc_id * 11 + 2) % 40) AS l3,
+          'deep dive' AS t3,
+          '/t/' || ((doc_id * 13 + 3) % 40) AS l4,
+          'plain link' AS t4
         FROM documents),
       pairs AS (
         SELECT origin || l1 AS target, t1 AS anchor FROM pg
         UNION ALL
-        SELECT origin || l2 AS target, t2 AS anchor FROM pg)
+        SELECT origin || l2 AS target, t2 AS anchor FROM pg
+        UNION ALL
+        SELECT origin || l3 AS target, t3 AS anchor FROM pg
+        UNION ALL
+        SELECT origin || l4 AS target, t4 AS anchor FROM pg)
       SELECT target, count(*) AS n_inlinks,
              array_to_string(list_sort(list_distinct(list(anchor))), '|')
                AS anchors

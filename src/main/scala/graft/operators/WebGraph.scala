@@ -18,17 +18,24 @@ import org.apache.spark.sql.functions._
   * flat at any iteration count. */
 object WebGraph {
 
-  /** href targets of `<a href="...">` anchors, RESOLVED against the
-    * page's own URL: absolute links pass through, protocol-relative
-    * (`//h/p`) take the base's scheme, root-relative (`/p`) take the
-    * base's origin, and everything else resolves against the base's
-    * directory. Fragments drop (an in-page anchor is not an edge);
-    * `../` segments are NOT normalized (a documented regex-class
-    * simplification — the canonicalizer downstream treats the spelled
-    * path as the key either way). Returns array<string>. */
+  /** href targets of `<a href=...>` anchors — double-quoted,
+    * single-quoted, AND unquoted values, all common in real HTML —
+    * RESOLVED against the page's own URL: absolute links pass
+    * through, protocol-relative (`//h/p`) take the base's scheme,
+    * root-relative (`/p`) take the base's origin, and everything else
+    * resolves against the base's directory. Fragments drop (an
+    * in-page anchor is not an edge). Documented regex-class
+    * simplifications: `../` segments are NOT normalized (the
+    * canonicalizer downstream treats the spelled path as the key
+    * either way), and a quoted href containing a literal space,
+    * quote, or `>` truncates at it (a matching-quote law needs a
+    * backreference, which RE2 — and therefore the cross-engine oracle
+    * — cannot express; real URLs percent-encode all three). The
+    * `\shref` boundary keeps `data-href=` from matching. Returns
+    * array<string>. */
   def outlinks(html: Column, baseUrl: Column): Column = {
     val hrefs = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href=\"([^\"#]*)"), lit(1))
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']?([^\"'#\\s>]*)"), lit(1))
     // one-element OUTER transform: Catalyst does not CSE across HOF
     // lambda bodies, so both the base-URL regexes AND the full-page
     // href scan must be bound ONCE per row — ctx as the outer lambda
@@ -72,12 +79,15 @@ object WebGraph {
     * inline ([[graft.functions.TextExtraction.blockText]]).
     * Fragment-only anchors drop. Returns array<struct<link, text>>. */
   def anchorTexts(html: Column, baseUrl: Column): Column = {
-    // the href capture runs to the CLOSING QUOTE ([^"]*), with the
-    // fragment stripped afterwards: a ([^"#]*) capture cannot match a
-    // fragment-carrying href at all (the required '"' sees '#'), so
+    // quote law as [[outlinks]] (double/single/unquoted, `\shref`
+    // boundary), but the href capture KEEPS fragments ([#] stays in
+    // the class) and strips them afterwards: a '#'-excluding capture
+    // cannot match a fragment-carrying href at all, so
     // '<a href="/p#intro">x</a>' would silently lose its anchor text
     // while outlinks keeps the edge — the two laws must agree
-    val pat = lit("(?is)<a\\b[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>")
+    val pat =
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']?([^\"'\\s>]*)[\"']?" +
+        "[^>]*>(.*?)</a>")
     val hrefs = regexp_extract_all(html, pat, lit(1))
     val texts = regexp_extract_all(html, pat, lit(2))
     // the outlinks one-element-outer-transform recipe: ctx bound once,

@@ -214,6 +214,15 @@ class WebCorpusSpec extends SparkSpec {
       "https://x.example/p", "https://cdn.example/l",
       "https://h.example/root", "https://h.example/a/b/sib")
     links("no anchors here", base) shouldBe Seq.empty
+    // single-quoted / unquoted / spaced-equals href values — the
+    // variants real HTML uses constantly — and the attribute boundary:
+    // data-href is NOT an href
+    links("""<a href='/sq'>1</a>
+             <a href=unq/2>2</a>
+             <a href = "/sp">3</a>
+             <a data-href="/not-a-link">4</a>""", base) shouldBe Seq(
+      "https://h.example/sq", "https://h.example/a/b/unq/2",
+      "https://h.example/sp")
   }
 
   test("anchorTexts: hrefs and texts stay positionally zipped, inner tags strip, href-less anchors contribute nothing") {
@@ -235,6 +244,10 @@ class WebCorpusSpec extends SparkSpec {
     // silently losing the text while outlinks kept the edge
     pairs("""<a href="/docs/page#intro">Guide</a>""") shouldBe Seq(
       ("https://h.example/docs/page", "Guide"))
+    // quote-variant hrefs keep their anchor text and stay zipped
+    pairs("""<a href='/sq'>single</a> <a href=/unq>bare</a>""") shouldBe
+      Seq(("https://h.example/sq", "single"),
+        ("https://h.example/unq", "bare"))
   }
 
   test("flesch reading ease: floors, sentence splitting, and the wordless null") {
