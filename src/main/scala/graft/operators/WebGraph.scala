@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** The link graph of a web corpus — outlink extraction from HTML and
@@ -107,10 +107,15 @@ object WebGraph {
     * hubs are pages that point at good authorities; iterate
     * a ← Aᵀh, h ← Aa with L2 normalization after each half-step.
     * Same distributed shape as [[pageRank]]: per half-step one
-    * edge-keyed join + one partial-agg sum, the L2 norm is ONE driver
-    * scalar, and each half-step localCheckpoints (flat lineage).
-    * Duplicate edges vote once. A normless half-step (no edges) keeps
-    * its zeros instead of dividing by zero. Returns
+    * edge-keyed join + one partial-agg sum, then ONE localCheckpoint
+    * job (flat lineage) whose action ALSO computes the L2 norm via an
+    * `observe` metric — scores are stored unnormalized with the norm
+    * carried as a driver scalar, and the division folds into the next
+    * half-step's per-element expression, so the emitted values are
+    * bit-identical to dividing eagerly while each half-step costs one
+    * job instead of two (the norm aggregate no longer runs as its own
+    * job). Duplicate edges vote once. A normless half-step (no edges)
+    * keeps its zeros instead of dividing by zero. Returns
     * (id, hub, authority). */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 2,
            idCol: String = "id", srcCol: String = "src",
@@ -122,51 +127,67 @@ object WebGraph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // materialize: reused 2× per iteration
-    def normalized(scored: DataFrame, c: String): DataFrame = {
-      // coalesce: sum over ZERO rows (an empty node set) is null, and
-      // getDouble would NPE — pageRank guards its analogous scalar the
-      // same way
-      val nrm = math.sqrt(scored
-        .agg(coalesce(sum(col(c) * col(c)), lit(0.0)))
-        .head().getDouble(0))
-      val div = if (nrm > 0) nrm else 1.0
-      scored.select(col("id"), (col(c) / lit(div)).as(c))
+    var obsId = 0
+    // one job: checkpoint the raw scores AND observe their sum of
+    // squares (coalesce: sum over ZERO rows — an empty node set — is
+    // null); returns the frame plus the L2 norm (1.0 when normless)
+    def materialize(scored: DataFrame, c: String): (DataFrame, Double) = {
+      obsId += 1
+      val obs = Observation(s"hits_ssq_$obsId")
+      val out = scored
+        .observe(obs, coalesce(sum(col(c) * col(c)), lit(0.0)).as("ssq"))
         .localCheckpoint(true)
+      val nrm = math.sqrt(obs.get("ssq").asInstanceOf[Double])
+      (out, if (nrm > 0) nrm else 1.0)
     }
     try {
       var hub = ids.select(col("id"), lit(1.0).as("hub"))
         .localCheckpoint(true)
+      var hubNorm = 1.0 // the classic init: raw ones, NOT normalized
       var auth = ids.select(col("id"), lit(0.0).as("authority"))
         .localCheckpoint(true)
+      var authNorm = 1.0
       (1 to iters).foreach { _ =>
         val a0 = e.join(hub, e("src") === hub("id"))
-          .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
-        auth = normalized(ids.join(a0, ids("id") === a0("dst"), "left")
-          .select(ids("id"), coalesce(col("s"), lit(0.0)).as("authority")),
+          .groupBy(col("dst"))
+          .agg(sum(col("hub") / lit(hubNorm)).as("s"))
+        val at = materialize(
+          ids.join(a0, ids("id") === a0("dst"), "left")
+            .select(ids("id"), coalesce(col("s"), lit(0.0)).as("authority")),
           "authority")
+        auth = at._1; authNorm = at._2
         val h0 = e.join(auth, e("dst") === auth("id"))
-          .groupBy(col("src")).agg(sum(col("authority")).as("s"))
-        hub = normalized(ids.join(h0, ids("id") === h0("src"), "left")
-          .select(ids("id"), coalesce(col("s"), lit(0.0)).as("hub")),
+          .groupBy(col("src"))
+          .agg(sum(col("authority") / lit(authNorm)).as("s"))
+        val ht = materialize(
+          ids.join(h0, ids("id") === h0("src"), "left")
+            .select(ids("id"), coalesce(col("s"), lit(0.0)).as("hub")),
           "hub")
+        hub = ht._1; hubNorm = ht._2
       }
       hub.join(auth, Seq("id"))
-        .select(col("id"), col("hub"), col("authority"))
+        .select(col("id"), (col("hub") / lit(hubNorm)).as("hub"),
+          (col("authority") / lit(authNorm)).as("authority"))
     } finally { ids.unpersist(); e.unpersist() }
   }
 
   /** PageRank over (src, dst) edges for the given node set: `iters`
-    * power iterations at damping `d`, dangling mass redistributed
-    * uniformly (the standard correction — without it rank leaks and
-    * the vector stops summing to 1).
+    * power iterations at damping `d`, with ALL leaked mass — the rank
+    * on dangling (outdegree-0) nodes AND the rank pushed along edges
+    * whose dst is outside the node set (real crawl graphs constantly
+    * link outside the fetched set) — redistributed uniformly, so the
+    * vector keeps summing to 1.
     *
-    * Per iteration: contributions = edges ⋈ ranks ⋈ out-degrees (one
-    * src-keyed shuffle), summed per dst (partial-agg combinable), the
-    * dangling mass is ONE driver scalar (an anti-join aggregate), and
-    * the new vector localCheckpoints (truncated lineage — the alt-star
-    * recipe; an unbroken 20-iteration plan would be exponential to
-    * analyze). Duplicate edges count once (a page linking twice votes
-    * once — the convention the oracle replays).
+    * Per iteration ONE job: contributions = edges ⋈ ranks ⋈
+    * out-degrees (one src-keyed shuffle), summed per dst (partial-agg
+    * combinable), and the new vector localCheckpoints (truncated
+    * lineage — the alt-star recipe; an unbroken 20-iteration plan
+    * would be exponential to analyze). The redistribution scalar for
+    * the NEXT iteration rides that same checkpoint action as `observe`
+    * metrics over a static per-node (dangling, frac_lost) annotation —
+    * the per-iteration anti-join aggregate job is gone. Duplicate
+    * edges count once (a page linking twice votes once — the
+    * convention the oracle replays).
     *
     * Returns (id, pagerank) — callers round for oracles (unordered
     * float summation is ulp-stable far below the repo's round-6
@@ -177,7 +198,6 @@ object WebGraph {
                dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(d > 0.0 && d < 1.0, s"damping must be in (0,1): $d")
-    val spark = nodes.sparkSession
     val ids = nodes.select(col(idCol).as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = ids.count().toDouble
@@ -186,31 +206,64 @@ object WebGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outdeg.count() // materialize: the loop reuses it every iteration
-    try {
-      var ranks = ids.select(col("id"), lit(1.0 / n).as("pagerank"))
+    // static annotation, computed once: dangling flag + the fraction
+    // of each node's out-edges that leave the node set (their
+    // contributions would otherwise silently vanish from total mass)
+    // lost's key renames: outdeg and lost both descend from e, so a
+    // bare `src` on both sides of flagged's joins is the SAME
+    // attribute id — Spark's ambiguous-self-join check rejects it
+    val lost = e.join(ids, e("dst") === ids("id"), "left_anti")
+      .groupBy(col("src")).agg(count(lit(1)).as("lost_cnt"))
+      .withColumnRenamed("src", "lost_src")
+    val flagged = ids
+      .join(outdeg, ids("id") === outdeg("src"), "left")
+      .join(lost, ids("id") === lost("lost_src"), "left")
+      .select(ids("id"), col("deg").isNull.as("dangling"),
+        (coalesce(col("lost_cnt"), lit(0L)).cast("double") /
+          coalesce(col("deg"), lit(1L)).cast("double")).as("frac_lost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outdeg.count(); flagged.count() // materialize: reused every iteration
+    var obsId = 0
+    // ONE job: checkpoint the vector AND observe next iteration's
+    // redistribution mass (dangling rank as the exact old subset sum —
+    // `when` without otherwise leaves non-dangling rows null, which
+    // sum skips — plus the out-of-set leak)
+    def materialize(df: DataFrame): (DataFrame, Double) = {
+      obsId += 1
+      val obs = Observation(s"pagerank_mass_$obsId")
+      val out = df.observe(obs,
+          coalesce(sum(when(col("dangling"), col("pagerank"))), lit(0.0))
+            .as("dangling_mass"),
+          coalesce(sum(col("pagerank") * col("frac_lost")), lit(0.0))
+            .as("lost_mass"))
         .localCheckpoint(true)
+      val m = obs.get
+      (out, m("dangling_mass").asInstanceOf[Double] +
+        m("lost_mass").asInstanceOf[Double])
+    }
+    try {
+      val init = materialize(flagged.select(col("id"),
+        col("dangling"), col("frac_lost"), lit(1.0 / n).as("pagerank")))
+      var ranks = init._1
+      var mass = init._2
       (1 to iters).foreach { _ =>
-        // one scalar across the driver: the rank mass sitting on
-        // dangling (outdegree-0) nodes this iteration
-        val dangling = ranks.join(outdeg,
-            ranks("id") === outdeg("src"), "left_anti")
-          .agg(coalesce(sum(col("pagerank")), lit(0.0)))
-          .head().getDouble(0)
         val contrib = e
           .join(ranks, e("src") === ranks("id"))
           .join(outdeg, Seq("src"))
           .select(col("dst"), (col("pagerank") / col("deg")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        ranks = ids
-          .join(contrib, ids("id") === contrib("dst"), "left")
-          .select(col("id"),
+        val t = materialize(flagged
+          .join(contrib, flagged("id") === contrib("dst"), "left")
+          .select(flagged("id"), col("dangling"), col("frac_lost"),
             (lit((1.0 - d) / n) +
               lit(d) * (coalesce(col("inflow"), lit(0.0)) +
-                lit(dangling / n))).as("pagerank"))
-          .localCheckpoint(true)
+                lit(mass / n))).as("pagerank")))
+        ranks = t._1; mass = t._2
       }
-      ranks
-    } finally { ids.unpersist(); e.unpersist(); outdeg.unpersist() }
+      ranks.select(col("id"), col("pagerank"))
+    } finally {
+      ids.unpersist(); e.unpersist(); outdeg.unpersist()
+      flagged.unpersist()
+    }
   }
 }

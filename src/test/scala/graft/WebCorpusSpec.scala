@@ -292,6 +292,20 @@ class WebCorpusSpec extends SparkSpec {
     val r3 = WebGraph.pageRank((0L to 2L).toDF("id"), dup, iters = 3)
       .as[(Long, Double)].collect().toMap
     r3(0L) shouldBe r3(2L) +- 1e-12
+    // edges whose dst is OUTSIDE the node set (the norm in real crawl
+    // graphs): their contributions fold into the redistributed mass —
+    // the vector still sums to 1 instead of leaking rank every
+    // iteration
+    val leaky = Seq((0L, 1L), (0L, 99L), (1L, 0L), (1L, 98L), (2L, 97L))
+      .toDF("src", "dst")
+    val rl = WebGraph.pageRank((0L to 2L).toDF("id"), leaky, iters = 7)
+      .as[(Long, Double)].collect().toMap
+    rl.keySet shouldBe Set(0L, 1L, 2L) // unknown dsts gain no rank row
+    rl.values.sum shouldBe 1.0 +- 1e-9
+    // node 2's edges ALL leave the set: it behaves like a dangling
+    // node (only redistribution inflow), so 0 and 1 outrank it
+    rl(0L) should be > rl(2L)
+    rl(1L) should be > rl(2L)
   }
 
   test("webIngestStream: the standing crawl front half matches the batch path wave for wave") {
