@@ -4849,6 +4849,86 @@ object QueriesDataOps {
             FROM dom)
       SELECT doc_id, domain FROM r WHERE rn <= 3 ORDER BY doc_id""")),
 
+    ("text_domain_psl", (s, dir) => {
+      // registered domain via the FULL Public Suffix List algorithm
+      // (publicsuffix.org), as a joinable rule table instead of the
+      // bounded second-level heuristic: among matching rules any
+      // exception prevails, else most labels; public suffix = rule
+      // labels (minus one for an exception), default 1; registered =
+      // suffix + one label, whole host when the host IS a suffix.
+      // Hosts exercise every branch: plain TLD, second-level ccTLD,
+      // the classic *.ck wildcard and !www.ck exception, an unlisted
+      // TLD (default rule), a bare suffix, and a deep subdomain. The
+      // oracle replays the candidate-explode + prevailing-rule law
+      // over the same interpolated rule VALUES. Scale shape: distinct
+      // hosts → candidate explode → broadcast hash join vs the ~10 k
+      // rule table → host-keyed partial-agg max — no per-URL window.
+      import graft.functions.UrlOps
+      import s.implicits._
+      val k = (col("doc_id") % 40).cast("string")
+      val host = when(col("doc_id") % 7 === 0,
+          concat(lit("a.site"), k, lit(".com")))
+        .when(col("doc_id") % 7 === 1, concat(lit("b.news"), k, lit(".co.uk")))
+        .when(col("doc_id") % 7 === 2, concat(lit("c"), k, lit(".www.ck")))
+        .when(col("doc_id") % 7 === 3, concat(lit("d.shop"), k, lit(".ck")))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("e.zone"), k, lit(".unknowntld")))
+        .when(col("doc_id") % 7 === 5, lit("co.uk"))
+        .otherwise(concat(lit("x"), k, lit(".blog.example.org")))
+      val psl = UrlOps.parsePsl(UrlOps.pslSample.toDF("line"))
+      UrlOps.registeredDomainPsl(
+          T(s, dir, "documents").select(col("doc_id"), host.as("host")),
+          psl)
+        .select(col("doc_id"), col("host"),
+          col("registered_domain").as("domain"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH u AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 7 AS INT)
+            WHEN 0 THEN 'a.site' || (doc_id % 40) || '.com'
+            WHEN 1 THEN 'b.news' || (doc_id % 40) || '.co.uk'
+            WHEN 2 THEN 'c' || (doc_id % 40) || '.www.ck'
+            WHEN 3 THEN 'd.shop' || (doc_id % 40) || '.ck'
+            WHEN 4 THEN 'e.zone' || (doc_id % 40) || '.unknowntld'
+            WHEN 5 THEN 'co.uk'
+            ELSE 'x' || (doc_id % 40) || '.blog.example.org' END AS host
+        FROM documents),
+      psl(suffix, rule_labels, is_wildcard, is_exception) AS (VALUES
+        ${graft.functions.UrlOps.pslSampleRules.map { case (sx, nl, w, e) =>
+          s"('$sx', $nl, $w, $e)" }.mkString(",\n        ")}),
+      d AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+                   len(string_split(host, '.')) AS L
+            FROM u),
+      c0 AS (SELECT doc_id, host, L, ls,
+                    unnest(generate_series(1, L)) AS i
+             FROM d),
+      cand AS (SELECT doc_id,
+                      array_to_string(ls[L-i+1:L], '.') AS cand,
+                      CASE WHEN i >= 2
+                           THEN array_to_string(ls[L-i+2:L], '.')
+                           ELSE '' END AS tail
+               FROM c0),
+      m AS (SELECT c.doc_id, p.is_exception, p.rule_labels
+            FROM cand c JOIN psl p
+              ON (NOT p.is_wildcard AND p.suffix = c.cand)
+              OR (p.is_wildcard AND c.tail <> '' AND p.suffix = c.tail)),
+      agg AS (SELECT doc_id,
+                     max(CASE WHEN is_exception THEN 1 ELSE 0 END)
+                       AS any_exc,
+                     max(CASE WHEN is_exception THEN rule_labels END)
+                       AS exc_rl,
+                     max(rule_labels) AS max_rl
+              FROM m GROUP BY doc_id),
+      ps AS (SELECT d.doc_id, d.host, d.L, d.ls,
+                    coalesce(CASE WHEN a.any_exc = 1 THEN a.exc_rl - 1
+                                  ELSE a.max_rl END, 1) AS ps
+             FROM d LEFT JOIN agg a USING (doc_id))
+      SELECT doc_id, host,
+             CASE WHEN L <= ps THEN host
+                  ELSE array_to_string(ls[L-ps:L], '.') END AS domain
+      FROM ps ORDER BY doc_id""")),
+
     ("text_html_extract", (s, dir) => {
       // HTML → visible text (the step between the WARC fetch and every
       // text gate): script/style/comments dropped, block tags become

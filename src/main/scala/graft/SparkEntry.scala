@@ -76,7 +76,8 @@ object SparkEntry {
     "text_mojibake", "text_gopher_rules", "text_ngram_repetition",
     "text_bpe_pairs", "text_bpe_train", "text_bpe_tokenize",
     "text_heavy_hitters", "text_normalize", "text_token_chunks",
-    "text_url_normalize", "text_domain_cap", "text_html_extract",
+    "text_url_normalize", "text_domain_cap", "text_domain_psl",
+    "text_html_extract",
     "text_html_blocks", "text_warc_roundtrip",
     "web_outlinks", "web_pagerank", "web_robots", "web_anchor_text",
     "web_hits",

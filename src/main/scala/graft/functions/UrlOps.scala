@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL hygiene for web-corpus ingestion — the canonicalization pass
@@ -111,5 +111,129 @@ object UrlOps {
     when(n >= 3 && lastTwo.isin(secondLevelSuffixes: _*), lastThree)
       .when(n >= 2, lastTwo)
       .otherwise(host)
+  }
+
+  // ——— full Public Suffix List as a joinable table ————————————————
+
+  /** Parse raw Public Suffix List lines (publicsuffix.org/list format:
+    * `//` comments and blank lines skipped, a rule is the first
+    * whitespace-delimited token, `!` marks an exception, a leading
+    * `*.` a wildcard label) into the rule frame
+    * (suffix, rule_labels, is_wildcard, is_exception) that
+    * [[registeredDomainPsl]] joins. A wildcard rule stores the suffix
+    * WITHOUT the `*.` but counts it in rule_labels (`*.ck` → ("ck", 2,
+    * true, false)): the wildcard matches any host suffix of exactly
+    * rule_labels labels whose tail equals the stored suffix. Only the
+    * leading-label wildcard the published list actually uses is
+    * supported. ~10 k rules — a data table, broadcast everywhere. */
+  def parsePsl(raw: DataFrame, lineCol: String = "line"): DataFrame = {
+    val r = split(trim(col(lineCol)), "\\s+").getItem(0)
+    raw.select(r.as("r"))
+      .filter(length(col("r")) > 0 && !col("r").startsWith("//"))
+      .select(
+        when(col("r").startsWith("!"), expr("substring(r, 2)"))
+          .when(col("r").startsWith("*."), expr("substring(r, 3)"))
+          .otherwise(col("r")).as("suffix"),
+        col("r").startsWith("*.").as("is_wildcard"),
+        col("r").startsWith("!").as("is_exception"))
+      .select(col("suffix"),
+        (size(split(col("suffix"), "\\.")) +
+          when(col("is_wildcard"), 1).otherwise(0)).as("rule_labels"),
+        col("is_wildcard"), col("is_exception"))
+  }
+
+  /** Built-in PSL sample in the published file format: every TLD and
+    * second-level suffix the bounded heuristic covers, plus the
+    * classic wildcard/exception pair (`*.ck` / `!www.ck`) — the
+    * zero-dependency default for tests and oracles. A deployment
+    * loads the real ~10 k-line file with
+    * `parsePsl(spark.read.textFile("public_suffix_list.dat").toDF("line"))`. */
+  val pslSample: Seq[String] = {
+    val tlds = Seq("com", "org", "net", "io") ++
+      secondLevelSuffixes.map(_.split("\\.").last).distinct
+    Seq("// graft built-in PSL sample (publicsuffix.org format)") ++
+      tlds ++ secondLevelSuffixes ++ Seq("*.ck", "!www.ck")
+  }
+
+  /** [[pslSample]] pre-parsed to (suffix, rule_labels, is_wildcard,
+    * is_exception) — the tuple form oracles interpolate as VALUES.
+    * UrlOpsSpec pins this Scala parse equal to [[parsePsl]]'s frame. */
+  val pslSampleRules: Seq[(String, Int, Boolean, Boolean)] = pslSample
+    .map(_.trim.split("\\s+")(0))
+    .filter(l => l.nonEmpty && !l.startsWith("//"))
+    .map { r =>
+      if (r.startsWith("!")) {
+        val s = r.drop(1); (s, s.split("\\.").length, false, true)
+      } else if (r.startsWith("*.")) {
+        val s = r.drop(2); (s, s.split("\\.").length + 1, true, false)
+      } else (r, r.split("\\.").length, false, false)
+    }
+
+  /** Registered domain via the FULL Public Suffix List algorithm
+    * (publicsuffix.org): among all rules matching a suffix of the
+    * host, the prevailing rule is any exception, else the one with the
+    * most labels; the public suffix is the prevailing rule's labels
+    * (minus one for an exception), default 1 when nothing matches; the
+    * registered domain is the public suffix plus one label — or the
+    * whole host when the host IS a public suffix (the
+    * [[registeredDomain]] heuristic's convention, kept for parity).
+    * Adds `outCol` to `df`.
+    *
+    * Scale shape (the operator the bounded heuristic documents): the
+    * host column DEDUPLICATES first (distinct hosts are orders of
+    * magnitude fewer than URLs at crawl scale), each distinct host
+    * explodes into its ≤ label-count candidate suffixes probed twice
+    * (exact key + wildcard-tail key) against the BROADCAST rule table
+    * (one hash join — the OR-of-two-equi-conditions form would
+    * degenerate to a nested-loop join), the prevailing rule is a
+    * host-keyed partial-agg max of a (is_exception, rule_labels)
+    * struct, and the result joins back on host (AQE broadcasts the
+    * host map when it is small). Two shuffles over the DISTINCT-host
+    * frame, one equi-join over the input — no per-URL window. */
+  def registeredDomainPsl(df: DataFrame, psl: DataFrame,
+                          hostCol: String = "host",
+                          outCol: String = "registered_domain"): DataFrame = {
+    Seq(outCol, "__psl_host").foreach(n =>
+      require(!df.columns.contains(n),
+        s"registeredDomainPsl: input must not carry a column named '$n'"))
+    val hosts = df.select(col(hostCol).as("__psl_host")).distinct()
+      .filter(col("__psl_host").isNotNull && length(col("__psl_host")) > 0)
+    val labels = split(col("__psl_host"), "\\.")
+    val n = size(labels)
+    // candidate suffixes: for i = 1..n the last-i-label suffix (exact
+    // rule probe) and its tail after the first label (wildcard probe:
+    // `*.ck` matches a 2-label candidate whose tail is "ck")
+    val cands = hosts.select(col("__psl_host"),
+        explode(transform(sequence(lit(1), n), i => struct(
+          array_join(slice(labels, n - i + 1, i), ".").as("cand"),
+          array_join(slice(labels, n - i + 2, i - 1), ".").as("tail"))))
+          .as("c"))
+      .select(col("__psl_host"), col("c.cand").as("cand"),
+        col("c.tail").as("tail"))
+    val probes = cands
+      .select(col("__psl_host"), col("cand").as("key"),
+        lit(false).as("want_wild"))
+      .union(cands.filter(length(col("tail")) > 0)
+        .select(col("__psl_host"), col("tail").as("key"),
+          lit(true).as("want_wild")))
+    val best = probes.join(broadcast(psl),
+        col("key") === col("suffix") &&
+          col("want_wild") === col("is_wildcard"))
+      .groupBy(col("__psl_host"))
+      .agg(max(struct(col("is_exception").cast("int").as("exc"),
+        col("rule_labels").as("rl"))).as("best"))
+    val resolved = hosts.join(best, Seq("__psl_host"), "left")
+      .select(col("__psl_host"),
+        coalesce(col("best.rl") - col("best.exc"), lit(1)).as("ps"))
+      .select(col("__psl_host"),
+        when(n <= col("ps"), col("__psl_host"))
+          .otherwise(array_join(
+            slice(labels, n - col("ps"), col("ps") + 1), "."))
+          .as(outCol))
+    df.join(resolved, df(hostCol) === resolved("__psl_host"), "left")
+      .drop("__psl_host")
+      // degenerate hosts ('' / null) pass through whole — the
+      // heuristic's totality convention
+      .withColumn(outCol, coalesce(col(outCol), col(hostCol)))
   }
 }

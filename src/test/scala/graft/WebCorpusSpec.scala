@@ -178,6 +178,50 @@ class WebCorpusSpec extends SparkSpec {
       .select(UrlOps.normalizeUrl(col("u"))).collect().head.isNullAt(0) shouldBe true
   }
 
+  test("PSL: wildcard and exception rules follow the official vectors; heuristic parity on covered hosts") {
+    import graft.functions.UrlOps
+    // the file-format parser: comments and blank lines vanish, a rule
+    // is the first whitespace token, flags strip into columns — and
+    // the pre-parsed tuple form (what oracles interpolate) is pinned
+    // equal to the frame the parser builds
+    val psl = UrlOps.parsePsl(UrlOps.pslSample.toDF("line"))
+    psl.as[(String, Int, Boolean, Boolean)].collect().toSet shouldBe
+      UrlOps.pslSampleRules.toSet
+    UrlOps.parsePsl(Seq("// c", "", "  com  trailing junk", "!www.ck",
+        "*.ck").toDF("line"))
+      .as[(String, Int, Boolean, Boolean)].collect().toSet shouldBe Set(
+      ("com", 1, false, false), ("www.ck", 2, false, true),
+      ("ck", 2, true, false))
+    def reg(hosts: String*): Map[String, String] =
+      UrlOps.registeredDomainPsl(hosts.toDF("host"), psl)
+        .as[(String, String)].collect().toMap
+    // the official publicsuffix.org test vectors for the *.ck/!www.ck
+    // pair (hosts that ARE a public suffix return whole — the bounded
+    // heuristic's totality convention, asserted for parity)
+    val r = reg("b.test.ck", "a.b.test.ck", "www.ck", "www.www.ck",
+      "test.ck", "a.site.com", "x.blog.example.org", "b.news.co.uk",
+      "e.zone.unknowntld", "co.uk", "localhost")
+    r("b.test.ck") shouldBe "b.test.ck" // *.ck: test.ck is the suffix
+    r("a.b.test.ck") shouldBe "b.test.ck"
+    r("www.ck") shouldBe "www.ck" // !www.ck: exception beats wildcard
+    r("www.www.ck") shouldBe "www.ck"
+    r("test.ck") shouldBe "test.ck" // host IS a public suffix
+    r("a.site.com") shouldBe "site.com"
+    r("x.blog.example.org") shouldBe "example.org" // deep subdomain
+    r("b.news.co.uk") shouldBe "news.co.uk"
+    r("e.zone.unknowntld") shouldBe "zone.unknowntld" // default rule
+    r("co.uk") shouldBe "co.uk"
+    r("localhost") shouldBe "localhost"
+    // parity with the bounded heuristic on every host the heuristic's
+    // suffix list covers (the PSL form is a strict widening)
+    val covered = UrlOps.secondLevelSuffixes.zipWithIndex.flatMap {
+      case (sfx, i) => Seq(s"a$i.b$i.$sfx", s"b$i.$sfx", s"w.x$i.com")
+    }
+    val both = UrlOps.registeredDomainPsl(covered.toDF("host"), psl)
+      .withColumn("heur", UrlOps.registeredDomain(col("host")))
+    both.filter(col("registered_domain") =!= col("heur")).count() shouldBe 0L
+  }
+
   test("registeredDomain: second-level ccTLD suffixes keep three labels, everything else two") {
     def dom(h: String): String = Seq(h).toDF("h")
       .select(UrlOps.registeredDomain(col("h"))).as[String].head()
