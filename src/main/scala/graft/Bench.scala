@@ -362,15 +362,27 @@ object Bench {
           lit(" and the of to in is it for on that this with as at be."),
           lit("</p><div><a href=\"/n\">next</a></div></body></html>"))
           .as("text"))
-      // one shard per partition ⇒ shard bytes live in executor memory
-      // while building (the toShards contract: size shards upstream) —
-      // n/40k partitions bounds shards at ≈ 0.47n/(n/40k) ≈ 19k pages
-      // each (syntheticDocs explodes ~1.4 rows per base id); floor 32
-      // for parallelism. The unbounded 32-partition form held ~73k
-      // pages per shard at the 5M run and OOM'd the executor.
+      // shard memory is bounded by toShards' maxShardBytes cut (r16):
+      // the probe writes straight from the default 32 partitions — the
+      // configuration whose unbounded form held ~73 k pages per shard
+      // at the 5 M run and OOM'd the executor before the bound existed.
+      // 4 MB shards keep each task's lap small while gzip-member
+      // framing stays negligible. Two read-side confs make fat-binary
+      // parquet behave (both restored after): the vectorized reader
+      // reserves batchSize × row bytes per column batch (4096 rows of
+      // multi-MB shards is an impossible reservation — the Warc
+      // scaladoc note), and the default 128 MB maxPartitionBytes packs
+      // the ~33 MB shard files four-to-a-task, capping read
+      // parallelism at ~n_files/4 — a binary-heavy scan wants split
+      // granularity of a few shards per task.
+      val batchConf = "spark.sql.parquet.columnarReaderBatchSize"
+      val splitConf = "spark.sql.files.maxPartitionBytes"
+      val oldBatch = spark.conf.get(batchConf)
+      val oldSplit = spark.conf.get(splitConf)
       try {
-        graft.io.Warc.toShards(
-            pages.repartition(math.max(32, (n / 40000).toInt)))
+        spark.conf.set(batchConf, "4")
+        spark.conf.set(splitConf, (8L << 20).toString)
+        graft.io.Warc.toShards(pages, maxShardBytes = 4L << 20)
           .write.parquet(shardDir)
         val shardBytes = spark.read.parquet(shardDir)
           .agg(sum(length(col("shard")))).head().getLong(0)
@@ -391,7 +403,11 @@ object Bench {
           "webIngestProbe: the ingest pipeline emitted ZERO rows — the " +
             "measured throughput would be a no-op's")
         (n, shardBytes, sec, extracted, shardBytes / 1e6 / sec)
-      } finally deleteQuietly(java.nio.file.Paths.get(dir))
+      } finally {
+        spark.conf.set(batchConf, oldBatch)
+        spark.conf.set(splitConf, oldSplit)
+        deleteQuietly(java.nio.file.Paths.get(dir))
+      }
     }
     val pts = out.map { case (n, b, s, r, mbs) =>
       s"""{"base_n":$n,"shard_mb":${b / 1e6},"sec":$s,""" +

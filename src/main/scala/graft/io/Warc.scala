@@ -205,11 +205,29 @@ object Warc {
     }
   }
 
-  /** (doc_id, url, text) rows → one gzip WARC shard per partition:
-    * (shard binary, n_records). Partition-local, zero shuffle —
-    * repartition upstream to size shards (the [[WebDataset.toShards]]
-    * convention); null url/text rows are skipped, never a crash. */
-  def toShards(docs: DataFrame): DataFrame = {
+  /** (doc_id, url, text) rows → gzip WARC shards: (shard binary,
+    * n_records). Partition-local, zero shuffle; null url/text rows are
+    * skipped, never a crash. Shard memory is bounded BY CONSTRUCTION:
+    * a new shard starts before a doc would push the current shard's
+    * accumulated payload bytes (uri + UTF-8 body; header overhead is
+    * ~200 B/record on top) past `maxShardBytes`, so a partition of any
+    * size emits a SEQUENCE of bounded shards and peak task memory is
+    * ≈ payload + compressed output per shard — never the whole
+    * partition (the unbounded form OOM'd the ingest probe at ~73 k
+    * pages/shard and was survivable only by caller-side repartition
+    * discipline). A single over-sized doc still emits as its own
+    * shard (the bound can never starve progress). Docs stream through
+    * a buffered iterator — the partition is never materialized.
+    *
+    * Staging shards in PARQUET: cap
+    * `spark.sql.parquet.columnarReaderBatchSize` (default 4096) when
+    * reading them back — the vectorized reader reserves
+    * batchSize × shard bytes per column batch, and 4096 rows of
+    * 128 MB shards is an impossible reservation. A handful of rows
+    * per batch is right for fat binary columns. */
+  def toShards(docs: DataFrame,
+               maxShardBytes: Long = 128L << 20): DataFrame = {
+    require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
     val schema = StructType(Seq(
       StructField("shard", BinaryType),
       StructField("n_records", LongType)))
@@ -220,9 +238,22 @@ object Warc {
         if (r.isNullAt(uIdx) || r.isNullAt(tIdx)) None
         else Some(Doc(r.getString(uIdx),
           r.getString(tIdx).getBytes("UTF-8")))
-      }.toSeq
-      if (ds.isEmpty) Iterator.empty
-      else Iterator(Row(writeWarcGz(ds), ds.length.toLong))
+      }.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = ds.hasNext
+        override def next(): Row = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Doc]
+          var bytes = 0L
+          while (ds.hasNext && (buf.isEmpty ||
+              bytes + ds.head.uri.length + ds.head.body.length
+                <= maxShardBytes)) {
+            val d = ds.next()
+            buf += d
+            bytes += d.uri.length + d.body.length
+          }
+          Row(writeWarcGz(buf.toSeq), buf.length.toLong)
+        }
+      }
     }(E.row(schema))
   }
 

@@ -137,6 +137,34 @@ class WebCorpusSpec extends SparkSpec {
     Warc.fromShards(Warc.toShards(withNull)).count() shouldBe 1
   }
 
+  test("toShards bounds shard memory by construction: one partition cuts into many shards at maxShardBytes") {
+    // 100 docs of ~1 KB payload in ONE partition with a 10 KB bound:
+    // the partition must emit a sequence of bounded shards, never one
+    // partition-sized shard (the unbounded form's 73 k-page OOM)
+    val docs = (1 to 100).map(i =>
+      (s"https://x.example/$i", "z" * 1000)).toDF("url", "text")
+      .coalesce(1)
+    val shards = Warc.toShards(docs, maxShardBytes = 10000L).collect()
+    shards.length should be >= 10
+    shards.map(_.getLong(1)).sum shouldBe 100L
+    // each shard respects the payload bound (~1 KB/doc ⇒ ≤ 9 docs)
+    all(shards.map(_.getLong(1))) should be <= 10L
+    // the full corpus round-trips across the cuts
+    graft.io.Warc.fromShards(
+      spark.createDataFrame(spark.sparkContext.parallelize(shards.toSeq),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("n_records",
+            org.apache.spark.sql.types.LongType))))).count() shouldBe 100L
+    // a single doc LARGER than the bound still emits as its own shard
+    // (the bound can never starve progress)
+    val big = Seq(("https://x.example/big", "z" * 5000))
+      .toDF("url", "text")
+    val b = Warc.toShards(big, maxShardBytes = 10L).collect()
+    b.map(_.getLong(1)).toSeq shouldBe Seq(1L)
+  }
+
   test("parseHttp tolerates content without an HTTP head (resource records read as raw bytes)") {
     val raw = "just bytes".getBytes("UTF-8")
     val (status, body) = Warc.parseHttp(raw)
