@@ -1590,13 +1590,27 @@ object SimilaritySearch {
   // versioned-schema flag (flips once, legacy→versioned), and the
   // cellstats counts (rewritten only by this single writer or a
   // maintenance pass). Each is cached process-wide, keyed by the
-  // QUALIFIED sidecar path, and invalidated by one filesystem stat
-  // (the sidecar dir's modification time — overwrite recreates the
-  // dir's entries, bumping it on local FS and HDFS) instead of a Spark
-  // read+collect job: ~3 fixed jobs per batch become 1–2 metadata RPCs.
-  // Foreign rewrites (compaction, merge, a rebuild in place) change
-  // the stamp and force a re-read; correctness never rides the cache.
-  private case class Stamped[A](stamp: Long, value: A)
+  // QUALIFIED sidecar path, and invalidated by a filesystem stat
+  // stamp instead of a Spark read+collect job: ~3 fixed jobs per batch
+  // become 1–2 metadata RPCs. The stamp is the sidecar dir's mtime
+  // PLUS its entry listing (name:len:mtime per file): coarse mtime
+  // granularity (1 s on some local filesystems and FileSystem
+  // bridges) could let a foreign rewrite land in the same tick as the
+  // cached read, and the part-file names are unique per Spark job, so
+  // the listing catches what the dir mtime alone can miss. Sidecar
+  // dirs hold a handful of files — the listing is one RPC. Foreign
+  // rewrites (compaction, merge, a rebuild in place) change the stamp
+  // and force a re-read; correctness never rides the cache.
+  private case class Stamped[A](stamp: String, value: A)
+
+  /** The invalidation stamp: dir mtime + sorted entry signature. */
+  private def dirStamp(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: org.apache.hadoop.fs.Path): String = {
+    val entries = fs.listStatus(dir).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    s"${fs.getFileStatus(dir).getModificationTime}#$entries"
+  }
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Stamped[Seq[Seq[Float]]]]()
   private val cellstatsCache =
@@ -1639,7 +1653,7 @@ object SimilaritySearch {
         .map(_.getSeq[Float](0).toSeq).toSeq
     val (fs, dir) = qualifiedDir(spark, s"$path/centroids")
     if (!statInvalidationWorks(fs)) return read()
-    val stamp = fs.getFileStatus(dir).getModificationTime
+    val stamp = dirStamp(fs, dir)
     val key = dir.toString
     val hit = centroidCache.get(key)
     if (hit != null && hit.stamp == stamp) hit.value
@@ -1662,7 +1676,7 @@ object SimilaritySearch {
         .collect().toMap
     val (fs, dir) = qualifiedDir(spark, s"$path/cellstats")
     if (!statInvalidationWorks(fs)) return read()
-    val stamp = fs.getFileStatus(dir).getModificationTime
+    val stamp = dirStamp(fs, dir)
     val key = dir.toString
     val hit = cellstatsCache.get(key)
     if (hit != null && hit.stamp == stamp) hit.value
@@ -1696,7 +1710,7 @@ object SimilaritySearch {
     val (fs, dir) = qualifiedDir(spark, s"$path/cellstats")
     if (statInvalidationWorks(fs))
       cellstatsCache.put(dir.toString,
-        Stamped(fs.getFileStatus(dir).getModificationTime, mergedMap.toMap))
+        Stamped(dirStamp(fs, dir), mergedMap.toMap))
   }
 
   /** VERSIONED upsert into a persisted IVF-Flat index — the

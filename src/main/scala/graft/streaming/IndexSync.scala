@@ -144,7 +144,17 @@ object IndexSync {
   /** Claim `<cursor>.lock` atomically (create overwrite=false) before a
     * pull touches the index — see [[syncIndexFromSnapshot]]. A present
     * lock from a FOREIGN writerId raises; this pump's own writerId is a
-    * crashed predecessor's leftover and is reclaimed. */
+    * crashed predecessor's leftover and is reclaimed — by QUARANTINE
+    * (atomic rename to a nonce-suffixed name), never a blind delete:
+    * the delete form had a TOCTOU where a same-writerId twin claiming
+    * between the owner read and the delete had its LIVE lock removed,
+    * both pumps drained, and the tear surfaced only post-commit. The
+    * rename is verified against the bytes read before it — a fresh
+    * twin lock that slipped into the window renames back and the
+    * acquire fails BEFORE anything is written. (Coexisting pumps are
+    * still directed to distinct writerIds; this narrows the
+    * same-writerId misconfiguration from post-commit damage to a
+    * pre-write error.) */
   private def acquirePumpLock(fs: org.apache.hadoop.fs.FileSystem,
                               lockPath: org.apache.hadoop.fs.Path,
                               writerId: String, nonce: String): Unit = {
@@ -155,8 +165,18 @@ object IndexSync {
     // disambiguation, two policies on top of it
     def tryLock(): Boolean =
       StreamingOps.atomicClaimFile(fs, lockPath, body)
+    def readText(p: org.apache.hadoop.fs.Path): Option[String] =
+      scala.util.Try {
+        val in = fs.open(p)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      }.toOption
     if (!tryLock()) {
-      val owner = StreamingOps.claimOwner(fs, lockPath)
+      val staleText = readText(lockPath)
+      val owner = staleText.flatMap(
+        _.split('\n').map(_.trim).find(_.startsWith("writer "))
+          .flatMap(_.split("\\s+").lift(1))) // claimOwner's parse
       if (!owner.forall(_ == writerId)) throw new IllegalStateException(
         s"syncIndexFromSnapshot: the cursor lock $lockPath is held by " +
           s"pump '${owner.getOrElse("<unknown>")}' (this pump is " +
@@ -166,8 +186,32 @@ object IndexSync {
           "staging). This pull wrote nothing; stop one pump, or if " +
           s"the owner crashed, delete $lockPath and retry.")
       // our own crashed predecessor (the standing pump serializes its
-      // ticks, so a live self cannot hold it): reclaim — restarts heal
-      fs.delete(lockPath, false)
+      // ticks, so a live self cannot hold it): quarantine-reclaim
+      val stealPath = new org.apache.hadoop.fs.Path(
+        lockPath.getParent, s"${lockPath.getName}.steal.$nonce")
+      val renamed =
+        scala.util.Try(fs.rename(lockPath, stealPath)).getOrElse(false)
+      if (!renamed) throw new IllegalStateException(
+        s"syncIndexFromSnapshot: the cursor lock $lockPath changed " +
+          "during this pump's crash-leftover reclaim (rename failed — " +
+          "another pump released or re-claimed it). The cursor is " +
+          "single-consumer; this pull wrote nothing — run one pump per " +
+          "cursor (distinct writerIds make the race fail before any " +
+          "write).")
+      if (readText(stealPath) != staleText) {
+        // the window caught a LIVE twin's fresh lock: put it back and
+        // fail pre-write (if the rename-back loses yet another race,
+        // the twin's post-commit nonce check remains the backstop)
+        scala.util.Try(fs.rename(stealPath, lockPath)): Unit
+        throw new IllegalStateException(
+          s"syncIndexFromSnapshot: the cursor lock $lockPath was " +
+            s"re-claimed by a live '$writerId' twin during this pump's " +
+            "crash-leftover reclaim (quarantined bytes differ from the " +
+            "owner read; the twin's lock was restored). The cursor is " +
+            "single-consumer; this pull wrote nothing — run one pump " +
+            "per cursor with distinct writerIds.")
+      }
+      fs.delete(stealPath, false)
       if (!tryLock()) throw new IllegalStateException(
         s"syncIndexFromSnapshot: the cursor lock $lockPath was " +
           "re-claimed by another pump during this pump's crash-leftover " +
