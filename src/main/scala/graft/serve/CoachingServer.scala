@@ -109,13 +109,25 @@ object CoachingBroadcaster {
   *   (reference cache_routes.py:16-103) and the send-message
   *   cached-short-circuit.
   * @param advice the keyword-trigger advice function (reference
-  *   `GET /api/coaching-advice`, api_routes.py:13-22). */
+  *   `GET /api/coaching-advice`, api_routes.py:13-22).
+  * @param indexHtml the UI shell served at `GET /` (reference
+  *   main_routes.py:10-14 renders index.html); None serves a minimal
+  *   embedded page so the route always exists like the reference's.
+  * @param meetingData supplier of the simulated-transcript JSON
+  *   (reference main_routes.py:16-21 + data_utils.load_meeting_data:
+  *   a static JSON document served verbatim).
+  * @param knowledgeRoot directory behind `GET /api/get-document/<path>`
+  *   (reference main_routes.py:23-40: raw markdown fetch under
+  *   sample-data/knowledge_base_markdown with a traversal guard). */
 final class CoachingServer(broadcaster: CoachingBroadcaster,
                            port: Int = 0,
                            bindAddress: String = "127.0.0.1",
                            ingress: Option[String => Unit] = None,
                            cache: Option[CacheBackend] = None,
-                           advice: Option[String => Option[String]] = None) {
+                           advice: Option[String => Option[String]] = None,
+                           indexHtml: Option[String] = None,
+                           meetingData: Option[() => String] = None,
+                           knowledgeRoot: Option[java.nio.file.Path] = None) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private var server: HttpServer = _
@@ -137,6 +149,25 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
       val n = mapper.readTree(body)
       Option(n.get(field)).filterNot(_.isNull).map(_.asText())
     } catch { case _: Exception => None }
+
+  /** `field` inside the nested object `outer` — /cache_interaction's
+    * coaching fields arrive under `coaching_data` (cache_routes.py:
+    * 83-86), unlike /cached_responses' flat body. */
+  private def nestedField(body: String, outer: String,
+                          field: String): Option[String] =
+    try {
+      val n = mapper.readTree(body)
+      Option(n.get(outer)).filter(_.isObject)
+        .flatMap(o => Option(o.get(field)))
+        .filterNot(_.isNull).map(_.asText())
+    } catch { case _: Exception => None }
+
+  private def respondRaw(x: HttpExchange, code: Int, contentType: String,
+                         body: Array[Byte]): Unit = {
+    x.getResponseHeaders.set("Content-Type", contentType)
+    x.sendResponseHeaders(code, body.length)
+    x.getResponseBody.write(body); x.close()
+  }
 
   private def queryParam(x: HttpExchange, name: String): Option[String] =
     Option(x.getRequestURI.getQuery).flatMap(_.split('&').collectFirst {
@@ -282,6 +313,94 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
             "message" -> "GET/POST/DELETE only")))
       }
     })
+    // ---- thin UI routes (reference main_routes.py + cache_routes.py:70-99)
+    // GET / — the index page. HttpServer's "/" context is the fallback
+    // for every path no other context claims, so anything that is not
+    // the index itself 404s here — Flask's unknown-route behavior.
+    server.createContext("/", handler { x =>
+      val p = x.getRequestURI.getPath
+      if (x.getRequestMethod != "GET")
+        respond(x, 405, toJson(Map("status" -> "error",
+          "message" -> "GET only")))
+      else if (p == "/" || p == "/index.html")
+        respondRaw(x, 200, "text/html; charset=utf-8",
+          indexHtml.getOrElse(CoachingServer.DefaultIndexHtml)
+            .getBytes("UTF-8"))
+      else respond(x, 404, toJson(Map("error" -> "not found")))
+    })
+    // GET /api/meeting-data — simulated transcript served verbatim
+    // (main_routes.py:16-21; the supplier is the load_meeting_data
+    // analog, re-read per request like the reference's open+json.load)
+    server.createContext("/api/meeting-data", handler { x =>
+      meetingData match {
+        case Some(load) =>
+          respondRaw(x, 200, "application/json", load().getBytes("UTF-8"))
+        case None =>
+          respond(x, 503, toJson(Map("status" -> "error",
+            "message" -> "no meeting data configured")))
+      }
+    })
+    // GET /api/get-document/<path> — raw knowledge-base document fetch
+    // (main_routes.py:23-40): normalized-path traversal guard → 400,
+    // missing file → 404, else {"content","path"}
+    server.createContext("/api/get-document/", handler { x =>
+      knowledgeRoot match {
+        case None =>
+          respond(x, 503, toJson(Map("status" -> "error",
+            "message" -> "no knowledge root configured")))
+        case Some(root) =>
+          val rel = java.net.URLDecoder.decode(
+            x.getRequestURI.getRawPath.stripPrefix("/api/get-document/"),
+            "UTF-8")
+          val rootN = root.toAbsolutePath.normalize()
+          // resolve-then-normalize + containment check: `../` escapes
+          // collapse and fail the startsWith (the reference's normpath
+          // guard); absolute rel paths resolve to themselves and fail
+          // the same check
+          val full = rootN.resolve(rel).normalize()
+          if (rel.isEmpty || !full.startsWith(rootN))
+            respond(x, 400, toJson(Map("error" -> "Invalid document path")))
+          else if (!java.nio.file.Files.isRegularFile(full))
+            respond(x, 404, toJson(Map("error" -> "Document not found")))
+          else
+            respond(x, 200, toJson(Map(
+              "content" -> new String(
+                java.nio.file.Files.readAllBytes(full), "UTF-8"),
+              "path" -> rel)))
+      }
+    })
+    // POST /cache_interaction — the UI's alternate cache-add wrapper
+    // (cache_routes.py:70-99): coaching fields arrive NESTED under
+    // coaching_data; success echoes only the question. Same
+    // trim-nonEmpty guard as /cached_responses (sanitize would
+    // silently drop a whitespace-only row a 200 just promised).
+    server.createContext("/cache_interaction", handler { x =>
+      (x.getRequestMethod, cache) match {
+        case ("POST", Some(c)) =>
+          val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+          (jsonField(body, "question"), jsonField(body, "response")) match {
+            case (Some(q), Some(r)) if q.trim.nonEmpty && r.trim.nonEmpty =>
+              c.add(q, r,
+                nestedField(body, "coaching_data", "reasoning")
+                  .getOrElse(""),
+                nestedField(body, "coaching_data", "used_excerpts")
+                  .getOrElse(""),
+                nestedField(body, "coaching_data", "rag_sources")
+                  .getOrElse(""))
+              respond(x, 200, toJson(Map("status" -> "success",
+                "question" -> q)))
+            case _ =>
+              respond(x, 400, toJson(Map("status" -> "error",
+                "message" -> "Missing question or response in request body")))
+          }
+        case ("POST", None) =>
+          respond(x, 503, toJson(Map("status" -> "error",
+            "message" -> "no cache configured")))
+        case _ =>
+          respond(x, 405, toJson(Map("status" -> "error",
+            "message" -> "POST only")))
+      }
+    })
     server.createContext("/events", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val (id, q) = broadcaster.subscribe()
@@ -341,6 +460,22 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
 }
 
 object CoachingServer {
+  /** Minimal embedded index shell — served when no UI page is injected
+    * so `GET /` always answers like the reference's rendered template
+    * (main_routes.py:10-14). Lists the live API surface; deployments
+    * with a real front end pass their page via `indexHtml`. */
+  private[serve] val DefaultIndexHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft coach</title></head>
+      |<body><h1>graft coaching server</h1>
+      |<p>API: POST /api/send-message &middot; GET /api/coaching-advice
+      | &middot; GET /api/cached-questions &middot; /cached_responses
+      | (GET/POST/DELETE) &middot; POST /cache_interaction
+      | &middot; GET /api/meeting-data &middot; GET /api/get-document/&lt;path&gt;
+      | &middot; GET /events (SSE) &middot; GET /healthz</p>
+      |</body></html>
+      |""".stripMargin
+
   /** The consumer-thread analog: relay each micro-batch's coached rows
     * into the broadcaster as single-line JSON (message + the generated
     * coaching payload; Spark's JSON generator emits compact single-line

@@ -27,6 +27,11 @@ import graft.streaming.StreamingOps
   * env gate is the honest boundary; everything transport-independent
   * (Avro SR framing, topic-chain semantics, offset bookkeeping) is
   * oracle- or spec-covered against the local topic store.
+  *
+  * Per-round resolution re-check (one cheap attempt each round):
+  *  - r16: still absent — the offline coursier cache carries no
+  *    org/apache/kafka group and no spark-sql-kafka artifact, and
+  *    /opt/spark/jars ships no kafka jar. Gate stays.
   */
 class KafkaIntegrationSpec extends SparkSpec {
 

@@ -422,4 +422,60 @@ class ServeHttpSurfaceSpec extends SparkSpec {
       no shouldBe """{"has_advice":false}"""
     } finally server.stop()
   }
+
+  test("thin UI routes: index, meeting-data, get-document (with traversal guard), cache_interaction") {
+    val kb = java.nio.file.Files.createTempDirectory("graft-kb")
+    java.nio.file.Files.createDirectories(kb.resolve("competitors"))
+    java.nio.file.Files.write(kb.resolve("competitors/competex.md"),
+      "# CompetEx\nDifferentiate on integration depth.".getBytes("UTF-8"))
+    // a file OUTSIDE the root that a traversal would reach
+    java.nio.file.Files.write(kb.getParent.resolve("secret.md"),
+      "nope".getBytes("UTF-8"))
+    val cachePath = java.nio.file.Files
+      .createTempDirectory("graft-http-ci").toString + "/cache"
+    val backend = new graft.serve.CsvCacheBackend(spark, cachePath)
+    val server = new CoachingServer(new CoachingBroadcaster(),
+      cache = Some(backend),
+      meetingData = Some(() => """{"meeting":[{"speaker":"prospect"}]}"""),
+      knowledgeRoot = Some(kb))
+    val port = server.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // GET / serves the HTML shell; unknown paths 404 (Flask routing)
+      val (ic, ib) = req("GET", s"$base/")
+      ic shouldBe 200
+      ib should include("<html>")
+      req("GET", s"$base/no-such-route")._1 shouldBe 404
+      // meeting-data passes the supplier's JSON through verbatim
+      req("GET", s"$base/api/meeting-data") shouldBe
+        (200, """{"meeting":[{"speaker":"prospect"}]}""")
+      // get-document: nested path reads the file; the payload carries
+      // content + the requested path (main_routes.py contract)
+      val (dc, db) = req("GET",
+        s"$base/api/get-document/competitors/competex.md")
+      dc shouldBe 200
+      db should include(""""path":"competitors/competex.md"""")
+      db should include("Differentiate on integration depth.")
+      // traversal guard: ../ escape → 400, never 404 (the path is
+      // judged invalid before existence is consulted); missing → 404
+      req("GET", s"$base/api/get-document/..%2Fsecret.md")._1 shouldBe 400
+      req("GET", s"$base/api/get-document/competitors/none.md")._1 shouldBe 404
+      // cache_interaction: nested coaching_data lands in the CSV row
+      val (cc, cb) = req("POST", s"$base/cache_interaction", Some(
+        """{"question":"What about ROI?","response":"Six months.",
+          |"coaching_data":{"reasoning":"calc","used_excerpts":"ex1"}}"""
+          .stripMargin))
+      cc shouldBe 200
+      cb shouldBe """{"status":"success","question":"What about ROI?"}"""
+      val row = backend.lookup("what about roi?").get
+      row("Response") shouldBe "Six months."
+      row("Reasoning") shouldBe "calc"
+      row("Used Excerpts") shouldBe "ex1"
+      // missing response → 400, reference's exact message
+      val (mc, mb) = req("POST", s"$base/cache_interaction",
+        Some("""{"question":"orphan"}"""))
+      mc shouldBe 400
+      mb should include("Missing question or response in request body")
+    } finally server.stop()
+  }
 }
