@@ -432,7 +432,7 @@ object Bench {
     // a typo'd family name must fail loudly, not silently run nothing
     // and emit a malformed (trailing-comma) JSON line
     val known = Set("altstar", "contamination", "span", "fuzzy", "lsh",
-      "lshuncapped", "pagerank")
+      "lshuncapped", "pagerank", "frontier")
     require(families.nonEmpty && families.subsetOf(known),
       s"scaleProbe: unknown families ${(families -- known).mkString(", ")} " +
         s"(known: ${known.toSeq.sorted.mkString(", ")})")
@@ -539,6 +539,54 @@ object Bench {
       // ≈ 1. No count()-pruning hazard: every iteration localCheckpoints
       // EAGERLY inside pageRank, so the timed work happens regardless
       // of what the final action projects (the r12/r14 bench memo).
+      // Frontier decade: one full crawl cycle over a synthetic n-row
+      // frontier (n/1000 hosts, each its own registered domain so the
+      // admission window never collapses to one partition): politeness
+      // selection (10k batch, 20/host) + the revisit LEFT join over
+      // the whole frontier + admission of 3 child links per fetched
+      // page under a finite domain budget (so the domain-count scan
+      // and window are INCLUDED in the measurement). The batch face
+      // scans the frontier a constant number of times per cycle, so
+      // the family exponent should sit ≈ 1; the store-held face
+      // (recrawlUpdates upserts) replaces those scans at deployment
+      // scale and is probed by its own index/store rows.
+      if (families("frontier")) {
+        import graft.operators.CrawlFrontier
+        val nh = math.max(n / 1000L, 1L)
+        val hostC = concat(lit("h"), pmod(col("id"), lit(nh)), lit(".ex"),
+          pmod(col("id"), lit(nh)), lit(".com"))
+        val frontier = spark.range(n).select(
+            concat(lit("https://"), hostC, lit("/p/"), col("id")).as("url"),
+            hostC.as("host"), lit(0).as("depth"),
+            (pmod(col("id") * 37, lit(100)) / lit(100.0)).as("priority"),
+            lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+            lit(null).cast("long").as("last_fetch_ts"),
+            lit(null).cast("string").as("content_hash"),
+            lit(86400L).as("interval_s"),
+            lit(1754000000L).as("next_fetch_ts"), lit("active").as("state"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        frontier.count() // materialize: the cycle, not gen, is timed from here
+        val t0 = System.nanoTime()
+        val batch = CrawlFrontier.selectBatch(frontier, 1754000000L,
+            batchSize = 10000, perHostCap = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        val fetched = batch.select(col("url"),
+          lit(1754000100L).as("fetch_ts"),
+          when(col("url").endsWith("0"), lit(404)).otherwise(lit(200))
+            .as("status"),
+          md5(col("url")).as("content_hash"))
+        val discovered = batch.select(explode(array(
+            concat(col("url"), lit("/a")), concat(col("url"), lit("/b")),
+            concat(col("url"), lit("/c")))).as("url"), lit(1).as("depth"))
+        val cycleRows = CrawlFrontier.recrawlUpdates(fetched, frontier)
+          .unionByName(CrawlFrontier.admit(frontier, discovered,
+            1754000100L, maxDepth = 3, perDomainCap = 1000000L)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist(); frontier.unpersist()
+        // timed by hand so gen/materialize stays excluded
+        measured("frontier_cycle") = (sec, cycleRows)
+      }
       if (families("pagerank")) measured("pagerank") = timed {
         val nodes = spark.range(n).toDF("id")
         val edges = spark.range(n).toDF("id")

@@ -1,0 +1,579 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Sitemaps
+import graft.operators.CrawlFrontier
+import graft.operators.CrawlFrontier.Revisit
+
+/** The crawl middle half (scheduling loop) as driver-checkable queries:
+  * sitemap parsing, frontier seeding, politeness-bounded batch
+  * selection, adaptive revisit, discovery admission, and the composed
+  * cycle. Fixtures are synthesized deterministically from `documents`
+  * (doc_id), the web-family convention; every oracle replays the
+  * IDENTICAL law — regex chains included — in DuckDB SQL.
+  *
+  * Except for crawl_frontier_seed (whose subject IS canonicalization,
+  * so its oracle replays the full normalizeUrl chain), fixture URLs
+  * are constructed already-canonical: normalizeUrl is the identity on
+  * them, and the oracles use them as-is — the same simplification the
+  * web_anchor_text oracle makes, legal because the regex chains are
+  * oracle-proven in text_url_normalize/crawl_frontier_seed.
+  */
+object QueriesCrawl {
+  import Queries.Q
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val T0 = 1754000000L // fixed 'now' for every crawl fixture
+
+  /** The DuckDB spelling of the registered-domain slicing law
+    * (UrlOps.registeredDomain) over a column named `host` — shared by
+    * the admit/e2e oracles; text_url_normalize proves it equals the
+    * Spark expression. */
+  private val domainSql: String = {
+    val sfx = graft.functions.UrlOps.secondLevelSuffixes
+      .map("'" + _ + "'").mkString(",")
+    s"""CASE WHEN len(string_split(host, '.')) >= 3 AND
+       |          (string_split(host, '.')[-2] || '.' ||
+       |           string_split(host, '.')[-1]) IN ($sfx)
+       |     THEN string_split(host, '.')[-3] || '.' ||
+       |          string_split(host, '.')[-2] || '.' ||
+       |          string_split(host, '.')[-1]
+       |     WHEN len(string_split(host, '.')) >= 2
+       |     THEN string_split(host, '.')[-2] || '.' ||
+       |          string_split(host, '.')[-1]
+       |     ELSE host END""".stripMargin
+  }
+
+  val crawl: Seq[(String, Q, Option[String])] = Seq(
+
+    ("crawl_sitemap_parse", (s, dir) => {
+      // sitemaps.org urlset parsing — the crawl-seed channel: per-doc
+      // XML with entity-escaped locs, mixed-case changefreq, absent
+      // optional tags, out-of-range priorities, and a loc-less entry
+      // that must drop; even docs carry a second entry. The oracle
+      // replays the IDENTICAL RE2 extraction chain (cross-engine regex
+      // parity — for a parser, the semantics). Pure per-row codegen.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val freq = when(d % 7 === 0, lit("daily"))
+        .when(d % 7 === 1, lit("hourly")).when(d % 7 === 2, lit("weekly"))
+        .when(d % 7 === 3, lit("monthly")).when(d % 7 === 4, lit("always"))
+        .when(d % 7 === 5, lit("Never")).otherwise(lit(""))
+      val pr = when(d % 5 === 0, lit("0.8")).when(d % 5 === 1, lit("1.5"))
+        .when(d % 5 === 2, lit("-1")).when(d % 5 === 3, lit(""))
+        .otherwise(lit("0.1"))
+      val xml = concat(
+        lit("<urlset><url><loc> https://h"), k, lit(".ex"), k,
+        lit(".com/p?a=1&amp;id="), id, lit(" </loc><lastmod>2026-01-0"),
+        (d % 9 + 1).cast("string"), lit("</lastmod><changefreq>"), freq,
+        lit("</changefreq><priority>"), pr, lit("</priority></url>"),
+        when(d % 2 === 0, concat(lit("<url><loc>https://h"), k,
+          lit(".ex"), k, lit(".com/q/"), id, lit("</loc></url>")))
+          .otherwise(lit("")),
+        lit("<url><lastmod>2026-01-01</lastmod></url></urlset>"))
+      T(s, dir, "documents")
+        .select(d, posexplode(Sitemaps.urlEntries(xml)))
+        .select(d, (col("pos") + 1).cast("int").as("entry_idx"),
+          col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+          col("col.changefreq").as("changefreq"),
+          Sitemaps.changefreqSeconds(col("col.changefreq"))
+            .as("interval_s"),
+          Sitemaps.priorityValue(col("col.priority")).as("priority_val"))
+        .orderBy(d, col("entry_idx"))
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id,
+          '<urlset><url><loc> https://h' || (doc_id % 7) || '.ex' ||
+          (doc_id % 7) || '.com/p?a=1&amp;id=' || doc_id ||
+          ' </loc><lastmod>2026-01-0' || (doc_id % 9 + 1) ||
+          '</lastmod><changefreq>' ||
+          CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'daily'
+            WHEN 1 THEN 'hourly' WHEN 2 THEN 'weekly'
+            WHEN 3 THEN 'monthly' WHEN 4 THEN 'always'
+            WHEN 5 THEN 'Never' ELSE '' END ||
+          '</changefreq><priority>' ||
+          CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '0.8'
+            WHEN 1 THEN '1.5' WHEN 2 THEN '-1' WHEN 3 THEN ''
+            ELSE '0.1' END ||
+          '</priority></url>' ||
+          CASE WHEN doc_id % 2 = 0
+               THEN '<url><loc>https://h' || (doc_id % 7) || '.ex' ||
+                    (doc_id % 7) || '.com/q/' || doc_id || '</loc></url>'
+               ELSE '' END ||
+          '<url><lastmod>2026-01-01</lastmod></url></urlset>' AS xml
+        FROM documents),
+      blk AS (
+        SELECT doc_id,
+               regexp_extract_all(xml, '(?is)<url\b[^>]*>(.*?)</url>', 1)
+                 AS bs
+        FROM x),
+      ex AS (
+        SELECT doc_id, unnest(generate_series(1, len(bs))) AS i, bs
+        FROM blk),
+      f AS (
+        SELECT doc_id, i,
+          trim(regexp_extract(bs[i], '(?is)<loc>(.*?)</loc>', 1)) AS rawloc,
+          trim(regexp_extract(bs[i], '(?is)<lastmod>(.*?)</lastmod>', 1))
+            AS lastmod,
+          lower(trim(regexp_extract(bs[i],
+            '(?is)<changefreq>(.*?)</changefreq>', 1))) AS changefreq,
+          trim(regexp_extract(bs[i], '(?is)<priority>(.*?)</priority>', 1))
+            AS rawpr
+        FROM ex),
+      dec AS (
+        SELECT doc_id, i, lastmod, changefreq, rawpr,
+          replace(replace(replace(replace(replace(rawloc,
+            '&quot;', '"'), '&apos;', ''''), '&lt;', '<'), '&gt;', '>'),
+            '&amp;', '&') AS loc
+        FROM f),
+      kept AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS INT) AS entry_idx,
+               loc, lastmod, changefreq,
+               CASE changefreq WHEN 'always' THEN 300
+                 WHEN 'hourly' THEN 3600 WHEN 'daily' THEN 86400
+                 WHEN 'weekly' THEN 604800 WHEN 'monthly' THEN 2592000
+                 WHEN 'yearly' THEN 31536000 WHEN 'never' THEN 63072000
+                 ELSE NULL END AS interval_s,
+               CASE WHEN regexp_matches(rawpr, '^-?[0-9]+(\.[0-9]+)?$')
+                    THEN greatest(0.0, least(1.0, CAST(rawpr AS DOUBLE)))
+                    ELSE NULL END AS priority_val
+        FROM dec WHERE length(loc) > 0)
+      SELECT doc_id, entry_idx, loc, lastmod, changefreq,
+             CAST(interval_s AS BIGINT) AS interval_s, priority_val
+      FROM kept ORDER BY doc_id, entry_idx""")),
+
+    ("crawl_frontier_seed", (s, dir) => {
+      // frontier seeding — canonicalize, drop non-fetchable schemes,
+      // collapse spelling variants of one page BEFORE the crawl ever
+      // fetches it twice: consecutive doc pairs spell the same URL two
+      // ways (mixed-case host, default port, tracking params,
+      // fragment), strays are ftp:// and schemeless garbage. The
+      // oracle replays the FULL normalizeUrl chain (this row's subject
+      // is canonicalization) and the dedup-to-frontier law. One
+      // url-keyed shuffle with map-side combine.
+      val d = col("doc_id")
+      val pairBase = (d - d % 2).cast("string")
+      val k = ((d - d % 2) % 7).cast("string")
+      val url = when(d % 13 === 0, lit("ftp://skip.example/x"))
+        .when(d % 17 === 0, lit("not a url"))
+        .when(d % 2 === 0,
+          concat(lit("https://h"), k, lit(".example.com/p?id="), pairBase))
+        .otherwise(
+          concat(lit("HTTPS://H"), k, lit(".EXAMPLE.COM:443/p?id="),
+            pairBase, lit("&utm_source=x#f")))
+      val urls = T(s, dir, "documents").select(url.as("url"))
+      CrawlFrontier.seed(urls, now = T0, defaultIntervalS = 86400L)
+        .orderBy("url")
+    }, Some("""
+      WITH u AS (
+        SELECT CASE
+          WHEN doc_id % 13 = 0 THEN 'ftp://skip.example/x'
+          WHEN doc_id % 17 = 0 THEN 'not a url'
+          WHEN doc_id % 2 = 0 THEN 'https://h' || ((doc_id - doc_id % 2) % 7)
+            || '.example.com/p?id=' || (doc_id - doc_id % 2)
+          ELSE 'HTTPS://H' || ((doc_id - doc_id % 2) % 7) ||
+            '.EXAMPLE.COM:443/p?id=' || (doc_id - doc_id % 2) ||
+            '&utm_source=x#f' END AS url
+        FROM documents),
+      lo AS (
+        SELECT regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head, url
+        FROM u),
+      n0 AS (
+        SELECT lower(head) ||
+               (CASE WHEN length(head) > 0
+                     THEN substr(url, length(head) + 1) ELSE url END) AS t
+        FROM lo),
+      n1 AS (SELECT regexp_replace(regexp_replace(regexp_replace(t,
+               '#.*$', ''),
+               '^(http://[^/:?#]*):80(/|\?|$)', '\1\2'),
+               '^(https://[^/:?#]*):443(/|\?|$)', '\1\2') AS t
+             FROM n0),
+      n2 AS (SELECT regexp_replace(t,
+               '([?&])(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+               '\1', 'g') AS t FROM n1),
+      n3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(t, '\?&+', '?', 'g'), '&&+', '&', 'g'),
+               '[?&]+$', ''), '^(https?://[^/?#]+)/$', '\1') AS url
+             FROM n2),
+      h AS (SELECT url,
+                   regexp_extract(lower(url),
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                     1) AS host
+            FROM n3
+            WHERE regexp_matches(url, '^https?://')),
+      g AS (SELECT url, host FROM h WHERE length(host) > 0
+            GROUP BY url, host)
+      SELECT url, host, CAST(0 AS INT) AS depth, CAST(1.0 AS DOUBLE) AS priority,
+             CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(NULL AS BIGINT) AS last_fetch_ts,
+             CAST(NULL AS VARCHAR) AS content_hash,
+             CAST(86400 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state
+      FROM g ORDER BY url""")),
+
+    ("crawl_select_batch", (s, dir) => {
+      // politeness-bounded batch selection — due active rows, at most
+      // 2 per host (one slow origin must not monopolize a cycle), then
+      // the global best 25 by priority. Plan: ONE host-keyed window
+      // shuffle over the due slice + TakeOrderedAndProject (pinned in
+      // CrawlFrontierSpec) — no full sort at any frontier size.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val frontier = T(s, dir, "documents").select(
+        concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"), id)
+          .as("url"),
+        concat(lit("h"), k, lit(".ex"), k, lit(".com")).as("host"),
+        (d % 4).cast("int").as("depth"),
+        ((d * 37 % 100) / lit(100.0)).as("priority"),
+        (d % 5).cast("bigint").as("fetch_count"),
+        lit(0).as("fail_count"), lit(null).cast("long").as("last_fetch_ts"),
+        lit(null).cast("string").as("content_hash"),
+        lit(3600L).as("interval_s"),
+        (lit(T0) + (d % 3) * 1000).as("next_fetch_ts"),
+        when(d % 11 === 0, lit("dead")).otherwise(lit("active")).as("state"))
+      CrawlFrontier.selectBatch(frontier, now = T0,
+        batchSize = 25, perHostCap = 2)
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.ex' || (doc_id % 7) ||
+                 '.com/p/' || doc_id AS url,
+               'h' || (doc_id % 7) || '.ex' || (doc_id % 7) || '.com'
+                 AS host,
+               CAST(doc_id % 4 AS INT) AS depth,
+               (doc_id * 37 % 100) / 100.0 AS priority,
+               CAST(doc_id % 5 AS BIGINT) AS fetch_count,
+               CAST(0 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(3600 AS BIGINT) AS interval_s,
+               CAST(1754000000 + (doc_id % 3) * 1000 AS BIGINT)
+                 AS next_fetch_ts,
+               CASE WHEN doc_id % 11 = 0 THEN 'dead' ELSE 'active' END
+                 AS state
+        FROM documents),
+      due AS (
+        SELECT * FROM f
+        WHERE state = 'active' AND next_fetch_ts <= 1754000000),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY priority DESC, url) AS hr
+        FROM due)
+      SELECT url, host, depth, priority, fetch_count, fail_count,
+             last_fetch_ts, content_hash, interval_s, next_fetch_ts, state
+      FROM ranked WHERE hr <= 2
+      ORDER BY priority DESC, url LIMIT 25""")),
+
+    ("crawl_recrawl", (s, dir) => {
+      // adaptive revisit (Cho & Garcia-Molina-style multiplicative
+      // adaptation, clamped): a changed page halves its interval, an
+      // unchanged one doubles, transient failures back off and three
+      // in a row — or a 404/410 — kill the row; untouched rows pass
+      // through byte-identical. One url-equi left join (a cycle's
+      // results are tiny next to the frontier → AQE broadcasts).
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"), id)
+          .as("url"),
+        concat(lit("h"), k, lit(".ex"), k, lit(".com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        (d % 7).cast("bigint").as("fetch_count"),
+        (d % 3).cast("int").as("fail_count"),
+        lit(null).cast("long").as("last_fetch_ts"),
+        when(d % 4 === 3, lit(null).cast("string"))
+          .otherwise(md5(id)).as("content_hash"),
+        (lit(3600L) * (d % 5 + 1)).as("interval_s"),
+        lit(T0).as("next_fetch_ts"),
+        when(d % 19 === 0, lit("dead")).otherwise(lit("active")).as("state"))
+      val fetched = docs.filter(d % 2 === 0).select(
+        concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"), id)
+          .as("url"),
+        (lit(T0) + d).as("fetch_ts"),
+        when(d % 8 === 4, lit(503)).when(d % 8 === 6, lit(404))
+          .otherwise(lit(200)).as("status"),
+        when(d % 8 === 0, md5(id))
+          .when(d % 8 === 2, md5(concat(lit("c"), id)))
+          .otherwise(lit(null).cast("string")).as("content_hash"))
+      CrawlFrontier.recrawlSchedule(frontier, fetched,
+        Revisit(minIntervalS = 1800L, maxIntervalS = 604800L,
+          grow = 2.0, shrink = 2.0, maxFails = 3))
+        .orderBy("url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.ex' || (doc_id % 7) ||
+                 '.com/p/' || doc_id AS url,
+               'h' || (doc_id % 7) || '.ex' || (doc_id % 7) || '.com'
+                 AS host,
+               CAST(1 AS INT) AS depth, CAST(0.5 AS DOUBLE) AS priority,
+               CAST(doc_id % 7 AS BIGINT) AS fetch_count,
+               CAST(doc_id % 3 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE md5(CAST(doc_id AS VARCHAR)) END AS content_hash,
+               CAST(3600 * (doc_id % 5 + 1) AS BIGINT) AS interval_s,
+               CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+               CASE WHEN doc_id % 19 = 0 THEN 'dead' ELSE 'active' END
+                 AS state
+        FROM documents),
+      r AS (
+        SELECT 'https://h' || (doc_id % 7) || '.ex' || (doc_id % 7) ||
+                 '.com/p/' || doc_id AS url,
+               CAST(1754000000 + doc_id AS BIGINT) AS f_fetch_ts,
+               CASE WHEN doc_id % 8 = 4 THEN 503
+                    WHEN doc_id % 8 = 6 THEN 404 ELSE 200 END AS f_status,
+               CASE WHEN doc_id % 8 = 0 THEN md5(CAST(doc_id AS VARCHAR))
+                    WHEN doc_id % 8 = 2
+                      THEN md5('c' || CAST(doc_id AS VARCHAR))
+                    ELSE NULL END AS f_content_hash
+        FROM documents WHERE doc_id % 2 = 0),
+      j AS (SELECT f.*, r.f_fetch_ts, r.f_status, r.f_content_hash
+            FROM f LEFT JOIN r ON r.url = f.url),
+      law AS (
+        SELECT *,
+          (f_status BETWEEN 200 AND 299) AS ok,
+          (f_status IN (404, 410)) AS gone,
+          ((f_status BETWEEN 200 AND 299) AND
+           (content_hash IS NULL OR content_hash <> f_content_hash))
+            AS changed
+        FROM j),
+      iv AS (
+        SELECT *,
+          CASE WHEN changed
+                 THEN greatest(1800, CAST(floor(interval_s / 2.0)
+                   AS BIGINT))
+               WHEN gone THEN interval_s
+               ELSE least(604800, CAST(floor(interval_s * 2.0)
+                 AS BIGINT)) END AS new_interval,
+          CASE WHEN ok OR gone THEN 0 ELSE fail_count + 1 END AS new_fails
+        FROM law)
+      SELECT url, host, depth, priority,
+        CASE WHEN f_fetch_ts IS NULL THEN fetch_count
+             ELSE fetch_count + 1 END AS fetch_count,
+        CASE WHEN f_fetch_ts IS NULL THEN fail_count
+             ELSE new_fails END AS fail_count,
+        CASE WHEN f_fetch_ts IS NULL THEN last_fetch_ts
+             ELSE f_fetch_ts END AS last_fetch_ts,
+        CASE WHEN f_fetch_ts IS NULL THEN content_hash
+             WHEN ok THEN f_content_hash
+             ELSE content_hash END AS content_hash,
+        CASE WHEN f_fetch_ts IS NULL THEN interval_s
+             ELSE new_interval END AS interval_s,
+        CASE WHEN f_fetch_ts IS NULL THEN next_fetch_ts
+             ELSE f_fetch_ts + new_interval END AS next_fetch_ts,
+        CASE WHEN f_fetch_ts IS NULL THEN state
+             WHEN gone THEN 'dead'
+             WHEN NOT ok AND new_fails >= 3 THEN 'dead'
+             ELSE state END AS state
+      FROM iv ORDER BY url""")),
+
+    ("crawl_admit", (s, dir) => {
+      // discovery admission — canonicalize, min-depth collapse, depth
+      // bound, drop everything already known (anti join), and enforce
+      // the per-registered-domain budget COUNTING existing rows: the
+      // crawl-mixing guard applied where it's cheapest. Returns the
+      // admitted rows only (an upsert batch for a store-held
+      // frontier). Shuffles: url agg + anti join (same key), one
+      // domain window. The co.uk host exercises the 3-label suffix
+      // slice of registeredDomain.
+      val d = col("doc_id")
+      val k = (d % 7).cast("string")
+      val host = when(d % 7 === 6, lit("h6.ex6.co.uk"))
+        .otherwise(concat(lit("h"), k, lit(".ex"), k, lit(".com")))
+      val knownUrl = concat(lit("https://"), host, lit("/p/"),
+        (d % 40).cast("string"))
+      val discUrl = concat(lit("https://"), host, lit("/p/"),
+        (d % 80).cast("string"))
+      val docs = T(s, dir, "documents")
+      val frontier = docs.filter(d % 3 === 0)
+        .select(knownUrl.as("url"), host.as("host")).distinct()
+        .select(col("url"), col("host"), lit(0).as("depth"),
+          lit(1.0).as("priority"), lit(0L).as("fetch_count"),
+          lit(0).as("fail_count"), lit(null).cast("long").as("last_fetch_ts"),
+          lit(null).cast("string").as("content_hash"),
+          lit(86400L).as("interval_s"), lit(T0).as("next_fetch_ts"),
+          lit("active").as("state"))
+      val discovered = docs.select(discUrl.as("url"),
+        (d % 6).cast("int").as("depth"))
+      CrawlFrontier.admit(frontier, discovered, now = T0,
+        maxDepth = 4, perDomainCap = 50L, defaultIntervalS = 86400L)
+        .orderBy("url")
+    }, Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 6 THEN 'h6.ex6.co.uk'
+               ELSE 'h' || (doc_id % 7) || '.ex' || (doc_id % 7) || '.com'
+          END AS host
+        FROM documents),
+      frontier AS (
+        SELECT DISTINCT
+          'https://' || host || '/p/' || (doc_id % 40) AS url, host
+        FROM base WHERE doc_id % 3 = 0),
+      cand AS (
+        SELECT 'https://' || host || '/p/' || (doc_id % 80) AS url,
+               host, CAST(min(doc_id % 6) AS INT) AS depth
+        FROM base WHERE doc_id % 6 <= 4
+        GROUP BY 1, 2),
+      fresh AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM frontier f WHERE f.url = c.url)),
+      ex AS (
+        SELECT $domainSql AS domain, count(*) AS n_existing
+        FROM frontier GROUP BY 1),
+      rk AS (
+        SELECT f.*, $domainSql AS domain,
+               row_number() OVER (PARTITION BY $domainSql
+                 ORDER BY depth, url) AS rnk
+        FROM fresh f),
+      kept AS (
+        SELECT rk.* FROM rk LEFT JOIN ex ON ex.domain = rk.domain
+        WHERE rk.rnk + coalesce(ex.n_existing, 0) <= 50)
+      SELECT url, host, depth, 1.0 / (depth + 1) AS priority,
+             CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(NULL AS BIGINT) AS last_fetch_ts,
+             CAST(NULL AS VARCHAR) AS content_hash,
+             CAST(86400 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state
+      FROM kept ORDER BY url""")),
+
+    ("crawl_e2e", (s, dir) => {
+      // the composed cycle: seed → politeness-bounded selection →
+      // (deterministic fake fetch: trailing digit picks the outcome) →
+      // revisit updates (inner face: exactly the upsert batch) →
+      // admission of each fetched page's discovered child link →
+      // updated ∪ admitted, the cycle's full write set. Every stage's
+      // law is oracle-proven alone above; this row pins their
+      // composition.
+      val d = col("doc_id")
+      val k = (d % 5).cast("string")
+      val urls = T(s, dir, "documents").select(
+        concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"),
+          (d % 60).cast("string")).as("url"))
+      val frontier = CrawlFrontier.seed(urls, now = T0,
+        defaultIntervalS = 86400L)
+      val batch = CrawlFrontier.selectBatch(frontier, now = T0,
+        batchSize = 40, perHostCap = 10)
+      val fetched = batch.select(col("url"),
+        lit(T0 + 100L).as("fetch_ts"),
+        when(col("url").endsWith("0"), lit(404))
+          .when(col("url").endsWith("1"), lit(503))
+          .otherwise(lit(200)).as("status"),
+        when(col("url").endsWith("0") || col("url").endsWith("1"),
+          lit(null).cast("string")).otherwise(md5(col("url")))
+          .as("content_hash"))
+      val rv = Revisit(minIntervalS = 1800L, maxIntervalS = 604800L,
+        grow = 2.0, shrink = 2.0, maxFails = 3)
+      val updated = CrawlFrontier.recrawlUpdates(fetched, frontier, rv)
+      val discovered = batch.select(
+        concat(col("url"), lit("/c")).as("url"), lit(1).as("depth"))
+      val admitted = CrawlFrontier.admit(frontier, discovered,
+        now = T0 + 100L, maxDepth = 3, perDomainCap = 15L,
+        defaultIntervalS = 86400L)
+      updated.unionByName(admitted).orderBy("url")
+    }, Some(s"""
+      WITH seeded AS (
+        SELECT DISTINCT
+          'https://h' || (doc_id % 5) || '.ex' || (doc_id % 5) ||
+            '.com/p/' || (doc_id % 60) AS url,
+          'h' || (doc_id % 5) || '.ex' || (doc_id % 5) || '.com' AS host
+        FROM documents),
+      frontier AS (
+        SELECT url, host, CAST(0 AS INT) AS depth, CAST(1.0 AS DOUBLE) AS priority,
+               CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(86400 AS BIGINT) AS interval_s,
+               CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+               'active' AS state
+        FROM seeded),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY priority DESC, url) AS hr
+        FROM frontier
+        WHERE state = 'active' AND next_fetch_ts <= 1754000000),
+      batch AS (
+        SELECT url, host, depth, priority, fetch_count, fail_count,
+               last_fetch_ts, content_hash, interval_s, next_fetch_ts,
+               state
+        FROM ranked WHERE hr <= 10
+        ORDER BY priority DESC, url LIMIT 40),
+      fetched AS (
+        SELECT url, CAST(1754000100 AS BIGINT) AS f_fetch_ts,
+               CASE WHEN url LIKE '%0' THEN 404
+                    WHEN url LIKE '%1' THEN 503 ELSE 200 END AS f_status,
+               CASE WHEN url LIKE '%0' OR url LIKE '%1' THEN NULL
+                    ELSE md5(url) END AS f_content_hash
+        FROM batch),
+      law AS (
+        SELECT f.*, r.f_fetch_ts, r.f_status, r.f_content_hash,
+          (r.f_status BETWEEN 200 AND 299) AS ok,
+          (r.f_status IN (404, 410)) AS gone,
+          ((r.f_status BETWEEN 200 AND 299) AND
+           (f.content_hash IS NULL OR f.content_hash <> r.f_content_hash))
+            AS changed
+        FROM fetched r JOIN frontier f ON f.url = r.url),
+      iv AS (
+        SELECT *,
+          CASE WHEN changed
+                 THEN greatest(1800, CAST(floor(interval_s / 2.0)
+                   AS BIGINT))
+               WHEN gone THEN interval_s
+               ELSE least(604800, CAST(floor(interval_s * 2.0)
+                 AS BIGINT)) END AS new_interval,
+          CASE WHEN ok OR gone THEN 0 ELSE fail_count + 1 END AS new_fails
+        FROM law),
+      updated AS (
+        SELECT url, host, depth, priority,
+          fetch_count + 1 AS fetch_count, new_fails AS fail_count,
+          f_fetch_ts AS last_fetch_ts,
+          CASE WHEN ok THEN f_content_hash ELSE content_hash END
+            AS content_hash,
+          new_interval AS interval_s,
+          f_fetch_ts + new_interval AS next_fetch_ts,
+          CASE WHEN gone THEN 'dead'
+               WHEN NOT ok AND new_fails >= 3 THEN 'dead'
+               ELSE state END AS state
+        FROM iv),
+      disc AS (
+        SELECT url || '/c' AS url, host, CAST(1 AS INT) AS depth
+        FROM batch),
+      fresh AS (
+        SELECT d.url, d.host, d.depth FROM disc d
+        WHERE NOT EXISTS (SELECT 1 FROM frontier f WHERE f.url = d.url)),
+      ex AS (
+        SELECT $domainSql AS domain, count(*) AS n_existing
+        FROM frontier GROUP BY 1),
+      rk AS (
+        SELECT f.*, $domainSql AS domain,
+               row_number() OVER (PARTITION BY $domainSql
+                 ORDER BY depth, url) AS rnk
+        FROM fresh f),
+      admitted AS (
+        SELECT rk.url, rk.host, rk.depth,
+               1.0 / (rk.depth + 1) AS priority,
+               CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(86400 AS BIGINT) AS interval_s,
+               CAST(1754000100 AS BIGINT) AS next_fetch_ts,
+               'active' AS state
+        FROM rk LEFT JOIN ex ON ex.domain = rk.domain
+        WHERE rk.rnk + coalesce(ex.n_existing, 0) <= 15)
+      SELECT * FROM updated
+      UNION ALL
+      SELECT * FROM admitted
+      ORDER BY url""")))
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     Queries.relational ++ Queries.rag ++
       QueriesDataOps.dedup ++ QueriesDataOps.curation ++
       QueriesDataOps.similarity ++
-      QueriesDataOps.text ++ QueriesDataOps.multimodal
+      QueriesDataOps.text ++ QueriesDataOps.multimodal ++
+      QueriesCrawl.crawl
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the reference's §3.1 coaching path end-to-end on deterministic
@@ -81,6 +82,8 @@ object SparkEntry {
     "text_html_blocks", "text_warc_roundtrip",
     "web_outlinks", "web_pagerank", "web_robots", "web_anchor_text",
     "web_hits",
+    "crawl_sitemap_parse", "crawl_frontier_seed", "crawl_select_batch",
+    "crawl_recrawl", "crawl_admit", "crawl_e2e",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

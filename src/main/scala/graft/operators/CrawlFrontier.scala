@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlOps
+
+/** The crawl scheduling loop — the middle half between seed discovery
+  * (functions/Sitemaps.scala, WebGraph.outlinks) and the r15 fetch
+  * front half (WARC → robots → extract): a URL frontier as a plain
+  * DataFrame contract plus the four pure operators that drive a crawl
+  * cycle. The reference app has no crawler; this family is the
+  * 100 TB-corpus extension the brief asks for, built from the public
+  * literature (politeness/per-host budgets as in Mercator, Heydon &
+  * Najork 1999; multiplicative revisit adaptation as in Cho &
+  * Garcia-Molina, TOIT 2003).
+  *
+  * Frontier schema (the contract every operator preserves):
+  * {{{
+  *   url            string  canonical (UrlOps.normalizeUrl at admission)
+  *   host           string  UrlOps.hostOf(url)
+  *   depth          int     hops from a seed (seeds = 0)
+  *   priority       double  higher fetches sooner; default 1/(1+depth)
+  *   fetch_count    bigint  completed fetch attempts
+  *   fail_count     int     CONSECUTIVE non-success attempts
+  *   last_fetch_ts  bigint  epoch seconds, null before first fetch
+  *   content_hash   string  last successful body hash, null before
+  *   interval_s     bigint  current revisit interval
+  *   next_fetch_ts  bigint  epoch seconds the row becomes due
+  *   state          string  'active' | 'dead'
+  * }}}
+  *
+  * Scale design (the part that must survive 10^10 URLs):
+  *  - The frontier itself is mutable state; at scale it lives in the
+  *    snapshot store (url-keyed hash buckets, StreamingOps
+  *    snapshotUpsertSink) and these operators produce/consume plain
+  *    frames: [[recrawlUpdates]] and [[admit]] each return exactly the
+  *    rows that changed — an upsert batch, never a full-table rewrite.
+  *  - [[selectBatch]] is one host-keyed window shuffle over the DUE
+  *    subset (a tiny, time-filtered slice of the frontier — partition
+  *    the store by next_fetch day-bucket and the scan prunes) followed
+  *    by a global top-k that plans as TakeOrderedAndProject, never a
+  *    full sort.
+  *  - [[admit]]'s per-domain budget needs existing-row counts per
+  *    registered domain; counting them by scanning the whole frontier
+  *    is the naive path (kept as the default for small frontiers) —
+  *    at scale pass `existingCounts`, a maintained (domain, n) stats
+  *    frame updated incrementally from the same admit batches.
+  *  - Every law is a codegen'd column expression; the DuckDB oracle
+  *    rows replay them verbatim (crawl_* in QueriesCrawl.scala).
+  */
+object CrawlFrontier {
+
+  /** Revisit adaptation policy (Cho & Garcia-Molina 2003's
+    * multiplicative increase/decrease, clamped): a changed page halves
+    * its interval, an unchanged one doubles it, a transient failure
+    * backs off like unchanged, `maxFails` CONSECUTIVE failures — or a
+    * 404/410 — kill the row. */
+  final case class Revisit(minIntervalS: Long = 3600L,
+                           maxIntervalS: Long = 30L * 86400L,
+                           grow: Double = 2.0,
+                           shrink: Double = 2.0,
+                           maxFails: Int = 3) {
+    require(grow >= 1.0 && shrink >= 1.0,
+      s"grow/shrink are multiplicative factors >= 1, got $grow/$shrink")
+    require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
+      s"need 0 < min <= max, got $minIntervalS/$maxIntervalS")
+  }
+
+  private val frontierCols = Seq("url", "host", "depth", "priority",
+    "fetch_count", "fail_count", "last_fetch_ts", "content_hash",
+    "interval_s", "next_fetch_ts", "state")
+
+  /** Admit seed URLs: canonicalize, keep http(s) with a real host,
+    * collapse duplicates (max priority / min interval — deterministic
+    * aggregates, never an arbitrary first()), and stamp the frontier
+    * columns with everything due `now`. `priorityCol`/`intervalCol`
+    * let a sitemap feed carry its own `<priority>`/changefreq values
+    * (null entries fall back to the defaults via coalesce).
+    * One url-keyed shuffle with map-side combine. */
+  def seed(urls: DataFrame, now: Long,
+           urlCol: String = "url",
+           priorityCol: Option[String] = None,
+           intervalCol: Option[String] = None,
+           defaultIntervalS: Long = 86400L,
+           depth: Int = 0): DataFrame = {
+    val defPr = lit(1.0 / (1 + depth))
+    val pr = priorityCol
+      .map(c => coalesce(col(c).cast("double"), defPr)).getOrElse(defPr)
+    val iv = intervalCol
+      .map(c => coalesce(col(c).cast("long"), lit(defaultIntervalS)))
+      .getOrElse(lit(defaultIntervalS))
+    val canon = urls
+      .select(UrlOps.normalizeUrl(col(urlCol)).as("url"),
+        pr.as("priority"), iv.as("interval_s"))
+      .filter(col("url").rlike("^https?://"))
+      .withColumn("host", UrlOps.hostOf(col("url")))
+      .filter(length(col("host")) > 0)
+    canon.groupBy("url", "host")
+      .agg(max("priority").as("priority"),
+        min("interval_s").as("interval_s"))
+      .select(newRowCols(lit(depth).cast("int"), col("priority"),
+        col("interval_s"), now): _*)
+  }
+
+  /** The next fetch batch: due active rows, at most `perHostCap` per
+    * host (politeness — one slow host must not monopolize a cycle;
+    * within a host highest priority first), then the global
+    * `batchSize` best. Plan shape: ONE host-keyed window shuffle over
+    * the due slice, then TakeOrderedAndProject for the global top-k —
+    * no full sort at any scale (pinned in CrawlFrontierSpec). */
+  def selectBatch(frontier: DataFrame, now: Long,
+                  batchSize: Int, perHostCap: Int): DataFrame = {
+    require(batchSize > 0 && perHostCap > 0,
+      s"batchSize/perHostCap must be positive, got $batchSize/$perHostCap")
+    val due = frontier.filter(col("state") === "active" &&
+      col("next_fetch_ts") <= lit(now))
+    val w = Window.partitionBy("host")
+      .orderBy(col("priority").desc, col("url"))
+    due.withColumn("__host_rank", row_number().over(w))
+      .filter(col("__host_rank") <= perHostCap)
+      .drop("__host_rank")
+      .orderBy(col("priority").desc, col("url"))
+      .limit(batchSize)
+  }
+
+  // ---- the revisit law, shared by the batch and streaming faces ----
+  // Inputs: the frontier row's columns + the fetch attempt's
+  // (f_fetch_ts, f_status, f_content_hash). Pure expressions so both
+  // faces and the oracle replay stay identical by construction.
+
+  private def okC(s: Column) = s >= 200 && s <= 299
+  private def goneC(s: Column) = s === 404 || s === 410
+
+  private def lawCols(rv: Revisit, fTs: Column, fStatus: Column,
+                      fHash: Column): Seq[(String, Column)] = {
+    val ok = okC(fStatus)
+    val gone = goneC(fStatus)
+    val changed = ok &&
+      (col("content_hash").isNull || col("content_hash") =!= fHash)
+    // floor-to-long keeps the law exact in both engines (doubles are
+    // exact for any interval below 2^52 seconds)
+    val shrunk = greatest(lit(rv.minIntervalS),
+      floor(col("interval_s") / rv.shrink).cast("long"))
+    val grown = least(lit(rv.maxIntervalS),
+      floor(col("interval_s") * rv.grow).cast("long"))
+    val interval = when(changed, shrunk)
+      .when(gone, col("interval_s"))
+      .otherwise(grown) // unchanged success AND transient failure
+    val fails = when(ok || gone, lit(0))
+      .otherwise(col("fail_count") + 1)
+    val state = when(gone, lit("dead"))
+      .when(!ok && fails >= rv.maxFails, lit("dead"))
+      .otherwise(col("state"))
+    Seq(
+      "fetch_count" -> (col("fetch_count") + 1L),
+      "fail_count" -> fails,
+      "last_fetch_ts" -> fTs,
+      "content_hash" -> when(ok, fHash).otherwise(col("content_hash")),
+      "interval_s" -> interval,
+      "next_fetch_ts" -> (fTs + interval),
+      "state" -> state)
+  }
+
+  private def applyLaw(joined: DataFrame, rv: Revisit,
+                       guard: Option[Column]): DataFrame = {
+    val updated = lawCols(rv, col("f_fetch_ts"),
+      col("f_status"), col("f_content_hash")).toMap
+    joined.select(frontierCols.map { c =>
+      val newC = updated.get(c).map { u =>
+        guard.fold(u)(g => when(g, u).otherwise(col(c)))
+      }.getOrElse(col(c))
+      newC.as(c)
+    }: _*)
+  }
+
+  /** Latest attempt per url — a crawl cycle can retry; the most recent
+    * result is the row's truth. Fully tie-broken, so deterministic. */
+  private def latestFetch(fetched: DataFrame): DataFrame = {
+    val w = Window.partitionBy("url").orderBy(col("f_fetch_ts").desc,
+      col("f_status").desc, col("f_content_hash").desc_nulls_last)
+    fetched
+      .select(col("url"), col("fetch_ts").cast("long").as("f_fetch_ts"),
+        col("status").cast("int").as("f_status"),
+        col("content_hash").cast("string").as("f_content_hash"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Apply one cycle's fetch results to the WHOLE frontier (batch
+    * face): rows with a result take the revisit law, the rest pass
+    * through byte-identical. `fetched` needs (url, fetch_ts, status,
+    * content_hash). One url-equi left join — a cycle's results are
+    * small next to the frontier, so AQE broadcasts them. */
+  def recrawlSchedule(frontier: DataFrame, fetched: DataFrame,
+                      rv: Revisit = Revisit()): DataFrame = {
+    val f = latestFetch(fetched)
+    applyLaw(frontier.join(f, Seq("url"), "left"), rv,
+      guard = Some(col("f_fetch_ts").isNotNull))
+  }
+
+  /** The changed-rows-only face of [[recrawlSchedule]]: inner join, so
+    * the output is exactly the upsert batch for a snapshot-store-held
+    * frontier. Stateless (join + select), so it runs unchanged on a
+    * STREAM of fetch results against a static/broadcast frontier —
+    * each event yields one updated row, replays resolved by the
+    * store's max-seq idempotent upsert (at-least-once is safe). On the
+    * stream face no per-url latest-wins window runs (windows need
+    * state); events apply in arrival order, which the idempotent sink
+    * orders by seq. Batch/stream row parity is pinned in
+    * CrawlFrontierSpec. */
+  def recrawlUpdates(fetched: DataFrame, frontier: DataFrame,
+                     rv: Revisit = Revisit()): DataFrame = {
+    val f = fetched.select(col("url"),
+      col("fetch_ts").cast("long").as("f_fetch_ts"),
+      col("status").cast("int").as("f_status"),
+      col("content_hash").cast("string").as("f_content_hash"))
+    applyLaw(f.join(frontier, Seq("url")), rv, guard = None)
+  }
+
+  /** Admit newly discovered links: canonicalize, depth-bound, collapse
+    * to min depth per url, drop everything already in the frontier
+    * (anti join), and enforce the per-registered-domain budget
+    * COUNTING existing frontier rows — the crawl-mixing guard that
+    * keeps one hot site from eating the corpus (same rule as
+    * text_domain_cap, applied at admission where it's cheapest).
+    * Returns only the ADMITTED rows (frontier-shaped) — an upsert
+    * batch. `discovered` needs (url, depth) where depth is the
+    * parent's + 1; admission priority defaults to 1/(1+depth) (the
+    * breadth-first-ish prior; rescore later from pagerank if needed).
+    *
+    * Shuffles: url-keyed agg + anti join (same key — AQE reuses), one
+    * domain window when capped. Uncapped (the default) skips the
+    * domain machinery entirely. */
+  def admit(frontier: DataFrame, discovered: DataFrame, now: Long,
+            maxDepth: Int = 8,
+            perDomainCap: Long = Long.MaxValue,
+            defaultIntervalS: Long = 86400L,
+            existingCounts: Option[DataFrame] = None): DataFrame = {
+    val cand0 = discovered
+      .select(UrlOps.normalizeUrl(col("url")).as("url"),
+        col("depth").cast("int").as("depth"))
+      .filter(col("url").rlike("^https?://") &&
+        col("depth") <= lit(maxDepth))
+      .withColumn("host", UrlOps.hostOf(col("url")))
+      .filter(length(col("host")) > 0)
+    val cand = cand0.groupBy("url", "host").agg(min("depth").as("depth"))
+    val fresh = cand.join(frontier.select("url"), Seq("url"), "left_anti")
+    val kept =
+      if (perDomainCap == Long.MaxValue) fresh
+      else {
+        val existing = existingCounts.getOrElse(
+          frontier.groupBy(UrlOps.registeredDomain(col("host"))
+            .as("domain")).agg(count(lit(1)).as("n_existing")))
+        fresh.withColumn("domain", UrlOps.registeredDomain(col("host")))
+          .withColumn("__rnk", row_number().over(
+            Window.partitionBy("domain")
+              .orderBy(col("depth"), col("url"))))
+          .join(existing, Seq("domain"), "left")
+          .filter(col("__rnk") + coalesce(col("n_existing"), lit(0L)) <=
+            lit(perDomainCap))
+      }
+    kept.select(newRowCols(col("depth"),
+      lit(1.0) / (col("depth") + 1), lit(defaultIntervalS), now): _*)
+  }
+
+  /** One full crawl cycle over a materialized frontier: apply fetch
+    * results, then union the admitted discoveries — the new frontier.
+    * Store-held frontiers skip this and upsert [[recrawlUpdates]] +
+    * [[admit]] directly. */
+  def step(frontier: DataFrame, fetched: DataFrame,
+           discovered: DataFrame, now: Long,
+           rv: Revisit = Revisit(), maxDepth: Int = 8,
+           perDomainCap: Long = Long.MaxValue,
+           defaultIntervalS: Long = 86400L): DataFrame =
+    recrawlSchedule(frontier, fetched, rv).unionByName(
+      admit(frontier, discovered, now, maxDepth, perDomainCap,
+        defaultIntervalS))
+
+  private def newRowCols(depth: Column, priority: Column,
+                         intervalS: Column, now: Long): Seq[Column] = Seq(
+    col("url"), col("host"), depth.as("depth"), priority.as("priority"),
+    lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+    lit(null).cast("long").as("last_fetch_ts"),
+    lit(null).cast("string").as("content_hash"),
+    intervalS.cast("long").as("interval_s"),
+    lit(now).as("next_fetch_ts"), lit("active").as("state"))
+}

@@ -1,0 +1,405 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sitemaps
+import graft.operators.CrawlFrontier
+import graft.operators.CrawlFrontier.Revisit
+
+/** The crawl middle half: sitemap ingestion and the URL-frontier
+  * scheduling loop (seed → politeness-bounded batch selection →
+  * adaptive revisit → discovery admission). */
+class CrawlFrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ——— sitemaps ————————————————————————————————————————————————————
+
+  test("sitemap urlset entries parse in order with entity-decoded locs; empty locs drop") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url>
+        |  <loc> https://a.example/p?x=1&amp;y=2 </loc>
+        |  <lastmod>2026-01-05</lastmod>
+        |  <changefreq>Daily</changefreq>
+        |  <priority>0.8</priority>
+        | </url>
+        | <url><loc>https://a.example/q</loc></url>
+        | <url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val out = Seq(xml).toDF("xml")
+      .select(explode(Sitemaps.urlEntries(col("xml"))).as("e"))
+      .select(col("e.loc"), col("e.lastmod"), col("e.changefreq"),
+        col("e.priority"))
+      .collect()
+    out.length shouldBe 2 // the loc-less third entry dropped
+    out(0).getString(0) shouldBe "https://a.example/p?x=1&y=2"
+    out(0).getString(1) shouldBe "2026-01-05"
+    out(0).getString(2) shouldBe "daily" // lowercased vocabulary
+    out(0).getString(3) shouldBe "0.8"
+    out(1).getString(0) shouldBe "https://a.example/q"
+    out(1).getString(1) shouldBe "" // absent optional tag → ''
+  }
+
+  test("sitemap index dispatch and child extraction") {
+    val idx =
+      """<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>
+        |</sitemap><sitemap><loc>https://a.example/s2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val df = Seq(("i", idx), ("u", "<urlset><url><loc>x</loc></url></urlset>"))
+      .toDF("k", "xml")
+    val byK = df.select(col("k"), Sitemaps.isIndex(col("xml")).as("i"),
+      Sitemaps.indexEntries(col("xml")).as("c")).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getSeq[String](2))))
+      .toMap
+    byK("i")._1 shouldBe true
+    byK("i")._2 shouldBe Seq("https://a.example/s1.xml",
+      "https://a.example/s2.xml")
+    byK("u")._1 shouldBe false
+    byK("u")._2 shouldBe Seq.empty
+  }
+
+  test("changefreq and priority mappings: vocabulary, clamping, null fallbacks") {
+    val df = Seq("always", "hourly", "daily", "weekly", "monthly",
+      "yearly", "never", "sometimes", "").toDF("cf")
+    val secs = df.select(Sitemaps.changefreqSeconds(col("cf")))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    secs shouldBe Array(300L, 3600L, 86400L, 604800L, 2592000L,
+      31536000L, 63072000L, -1L, -1L)
+    val pr = Seq("0.8", "1.7", "-3", "", "x").toDF("p")
+      .select(Sitemaps.priorityValue(col("p")))
+      .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    pr(0) shouldBe 0.8
+    pr(1) shouldBe 1.0 // clamped
+    pr(2) shouldBe 0.0 // clamped
+    pr(3).isNaN shouldBe true
+    pr(4).isNaN shouldBe true
+  }
+
+  // ——— frontier helpers ————————————————————————————————————————————
+
+  private def mkFrontier(rows: Seq[(String, String, Int, Double, Long, Int,
+      Option[Long], Option[String], Long, Long, String)]): DataFrame =
+    rows.toDF("url", "host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state")
+
+  private def row(url: String, priority: Double = 0.5,
+                  interval: Long = 3600L, next: Long = 1000L,
+                  state: String = "active", hash: Option[String] = None,
+                  fails: Int = 0, fetches: Long = 0L)
+      : (String, String, Int, Double, Long, Int, Option[Long],
+         Option[String], Long, Long, String) = {
+    val host = url.replaceAll("^https?://", "").takeWhile(_ != '/')
+    (url, host, 0, priority, fetches, fails, None, hash, interval, next,
+      state)
+  }
+
+  // ——— seed ————————————————————————————————————————————————————————
+
+  test("seed canonicalizes, drops non-http(s), and collapses spelling variants deterministically") {
+    val urls = Seq(
+      "HTTPS://A.Example/p?utm_source=x&q=1#frag", // variant 1
+      "https://a.example/p?q=1",                   // variant 2 (same page)
+      "ftp://skip.me/x",
+      "not a url",
+      "https://b.example/q").toDF("url")
+    val f = CrawlFrontier.seed(urls, now = 500L, defaultIntervalS = 60L)
+    val got = f.orderBy("url").collect()
+    got.map(_.getString(0)) shouldBe Array(
+      "https://a.example/p?q=1", "https://b.example/q")
+    got.foreach { r =>
+      r.getString(1) should not be empty      // host
+      r.getInt(2) shouldBe 0                  // depth
+      r.getLong(4) shouldBe 0L                // fetch_count
+      r.getLong(8) shouldBe 60L               // interval_s
+      r.getLong(9) shouldBe 500L              // next_fetch_ts
+      r.getString(10) shouldBe "active"
+    }
+  }
+
+  test("seed carries sitemap priority/interval columns; nulls fall back; dup keeps max-priority min-interval") {
+    val entries = Seq(
+      ("https://a.example/p", Some(0.9), Some(600L)),
+      ("https://a.example/p", Some(0.2), Some(60L)), // same url: max pr, min iv
+      ("https://c.example/r", None, None))
+      .toDF("url", "pr", "iv")
+    val f = CrawlFrontier.seed(entries, now = 500L,
+      priorityCol = Some("pr"), intervalCol = Some("iv"),
+      defaultIntervalS = 86400L)
+    val byUrl = f.collect().map(r => r.getString(0) ->
+      ((r.getDouble(3), r.getLong(8)))).toMap
+    byUrl("https://a.example/p") shouldBe ((0.9, 60L))
+    byUrl("https://c.example/r") shouldBe ((1.0, 86400L)) // depth-0 default
+  }
+
+  // ——— selectBatch —————————————————————————————————————————————————
+
+  test("selectBatch: due+active only, per-host politeness cap, global top-k by priority") {
+    val f = mkFrontier(
+      (1 to 5).map(i => row(s"https://hot.example/p$i", priority = 0.9)) ++
+      Seq(
+        row("https://cold.example/a", priority = 0.5),
+        row("https://cold.example/b", priority = 0.4),
+        row("https://late.example/x", priority = 1.0, next = 9999L), // not due
+        row("https://dead.example/y", priority = 1.0, state = "dead")))
+    val batch = CrawlFrontier.selectBatch(f, now = 1000L,
+      batchSize = 4, perHostCap = 2)
+    val urls = batch.collect().map(_.getString(0))
+    urls.length shouldBe 4
+    // hot.example capped at 2 despite 5 due high-priority rows
+    urls.count(_.startsWith("https://hot.example/")) shouldBe 2
+    urls should contain("https://cold.example/a")
+    urls should not contain "https://late.example/x"
+    urls should not contain "https://dead.example/y"
+    // within host: priority desc then url asc → p1, p2 for hot
+    urls.filter(_.startsWith("https://hot.example/")) shouldBe
+      Array("https://hot.example/p1", "https://hot.example/p2")
+  }
+
+  test("selectBatch plans the global top-k as TakeOrderedAndProject, never a full sort") {
+    // more rows than batchSize, or EliminateLimits drops the Limit
+    // node (child maxRows <= limit) and no top-k rewrite can fire
+    val f = mkFrontier((1 to 40).map(i => row(s"https://h$i.example/$i")))
+    val df = CrawlFrontier.selectBatch(f, 1000L, 10, 3)
+    df.collect() // AQE: the final plan carries the top-k rewrite
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    withClue(plan) {
+      plan should include("TakeOrderedAndProject")
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  // ——— revisit law —————————————————————————————————————————————————
+
+  private val rv = Revisit(minIntervalS = 100L, maxIntervalS = 10000L,
+    grow = 2.0, shrink = 2.0, maxFails = 2)
+
+  test("recrawlSchedule: changed halves (clamped), unchanged doubles (clamped), 404 dies, failures back off to dead; untouched rows pass through") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/changed", interval = 1000L, hash = Some("old")),
+      row("https://a.example/floor", interval = 150L, hash = Some("old")),
+      row("https://a.example/same", interval = 1000L, hash = Some("h1")),
+      row("https://a.example/ceil", interval = 9000L, hash = Some("h2")),
+      row("https://a.example/gone", interval = 1000L, hash = Some("h3"),
+        fetches = 7L),
+      row("https://a.example/fail1", interval = 1000L, fails = 0),
+      row("https://a.example/fail2", interval = 1000L, fails = 1),
+      row("https://a.example/untouched", interval = 777L)))
+    val fetched = Seq(
+      ("https://a.example/changed", 2000L, 200, Some("new")),
+      ("https://a.example/floor", 2000L, 200, Some("new")),
+      ("https://a.example/same", 2000L, 200, Some("h1")),
+      ("https://a.example/ceil", 2000L, 200, Some("h2")),
+      ("https://a.example/gone", 2000L, 404, None: Option[String]),
+      ("https://a.example/fail1", 2000L, 503, None: Option[String]),
+      ("https://a.example/fail2", 2000L, 0, None: Option[String]))
+      .toDF("url", "fetch_ts", "status", "content_hash")
+    val out = CrawlFrontier.recrawlSchedule(f, fetched, rv)
+    out.count() shouldBe 8 // full frontier, nothing dropped
+    val m = out.collect().map(r => r.getString(0) -> r).toMap
+    def g(u: String) = m(s"https://a.example/$u")
+    // changed: 1000/2=500, hash updated, next = 2000+500
+    g("changed").getLong(8) shouldBe 500L
+    g("changed").getString(7) shouldBe "new"
+    g("changed").getLong(9) shouldBe 2500L
+    g("changed").getInt(5) shouldBe 0
+    // floor clamp: 150/2=75 → 100
+    g("floor").getLong(8) shouldBe 100L
+    // unchanged: 1000*2=2000
+    g("same").getLong(8) shouldBe 2000L
+    g("same").getString(7) shouldBe "h1"
+    // ceil clamp: 9000*2=18000 → 10000
+    g("ceil").getLong(8) shouldBe 10000L
+    // gone: dead, interval kept, hash kept, fetch_count bumped
+    g("gone").getString(10) shouldBe "dead"
+    g("gone").getLong(8) shouldBe 1000L
+    g("gone").getLong(4) shouldBe 8L
+    // first transient failure: backoff, still active, fail_count 1
+    g("fail1").getString(10) shouldBe "active"
+    g("fail1").getInt(5) shouldBe 1
+    g("fail1").getLong(8) shouldBe 2000L
+    // second consecutive failure hits maxFails=2 → dead
+    g("fail2").getString(10) shouldBe "dead"
+    g("fail2").getInt(5) shouldBe 2
+    // untouched row byte-identical
+    g("untouched").getLong(8) shouldBe 777L
+    g("untouched").getLong(4) shouldBe 0L
+    g("untouched").getString(10) shouldBe "active"
+  }
+
+  test("recrawlSchedule: the LATEST attempt per url wins when a cycle retried") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/p", interval = 1000L, hash = Some("h"))))
+    val fetched = Seq(
+      ("https://a.example/p", 2000L, 503, None: Option[String]),
+      ("https://a.example/p", 3000L, 200, Some("h"))) // retry succeeded
+      .toDF("url", "fetch_ts", "status", "content_hash")
+    val out = CrawlFrontier.recrawlSchedule(f, fetched, rv).collect()(0)
+    out.getString(10) shouldBe "active"
+    out.getInt(5) shouldBe 0
+    out.getLong(9) shouldBe 3000L + 2000L // latest ts + doubled interval
+  }
+
+  test("recrawlUpdates: batch/stream row parity — the stateless law runs unchanged on a fetch-result stream") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/p", interval = 1000L, hash = Some("old")),
+      row("https://a.example/q", interval = 1000L, hash = Some("k"))))
+    val events = Seq(
+      ("https://a.example/p", 2000L, 200, Some("new")),
+      ("https://a.example/q", 2000L, 404, None: Option[String]))
+    val batch = CrawlFrontier.recrawlUpdates(
+      events.toDF("url", "fetch_ts", "status", "content_hash"), f, rv)
+      .orderBy("url").collect().map(_.toString)
+
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long, Int, Option[String])]
+    val stream = CrawlFrontier.recrawlUpdates(
+      input.toDF().toDF("url", "fetch_ts", "status", "content_hash"), f, rv)
+    val q = stream.writeStream.format("memory")
+      .queryName("crawl_updates_parity").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("crawl_updates_parity")
+        .orderBy("url").collect().map(_.toString)
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
+  // ——— admit ———————————————————————————————————————————————————————
+
+  test("admit: canonicalize, min-depth collapse, depth bound, anti-join vs frontier, priority law") {
+    val f = mkFrontier(Seq(row("https://a.ex0.com/existing")))
+    val disc = Seq(
+      ("https://a.ex0.com/existing?utm_source=x", 1), // already known
+      ("https://a.ex0.com/new", 2),
+      ("https://a.ex0.com/new#frag", 1),              // same page, shallower
+      ("https://a.ex0.com/deep", 9),                  // over maxDepth
+      ("mailto:x@y.z", 1))
+      .toDF("url", "depth")
+    val out = CrawlFrontier.admit(f, disc, now = 500L, maxDepth = 8)
+      .collect()
+    out.length shouldBe 1
+    out(0).getString(0) shouldBe "https://a.ex0.com/new"
+    out(0).getInt(2) shouldBe 1                 // min depth won
+    out(0).getDouble(3) shouldBe 0.5            // 1/(1+1)
+    out(0).getLong(9) shouldBe 500L
+  }
+
+  test("admit: per-registered-domain budget counts existing frontier rows; co.uk slices correctly") {
+    val f = mkFrontier(Seq(
+      row("https://x.site1.com/a"), row("https://y.site1.com/b")))
+    val disc = Seq(
+      ("https://z.site1.com/c", 1), // domain site1.com: 2 existing + this
+      ("https://z.site1.com/d", 1), // would be 4th → cut by cap 3
+      ("https://a.b.co.uk/p", 1),   // domain b.co.uk (3-label suffix rule)
+      ("https://c.b.co.uk/q", 1))
+      .toDF("url", "depth")
+    val out = CrawlFrontier.admit(f, disc, now = 500L, maxDepth = 8,
+      perDomainCap = 3L)
+    val urls = out.collect().map(_.getString(0)).sorted
+    // site1.com admits exactly 1 (2 existing + cap 3); b.co.uk has 0
+    // existing so admits up to 3 → both
+    urls shouldBe Array("https://a.b.co.uk/p", "https://c.b.co.uk/q",
+      "https://z.site1.com/c")
+  }
+
+  test("admit: a maintained stats frame replaces the frontier scan; uncapped skips the domain machinery entirely") {
+    val f = mkFrontier(Seq(row("https://x.site1.com/a")))
+    val disc = Seq(("https://z.site1.com/new", 1)).toDF("url", "depth")
+    // stats say site1.com already holds 10 rows → cap 5 admits nothing
+    val stats = Seq(("site1.com", 10L)).toDF("domain", "n_existing")
+    CrawlFrontier.admit(f, disc, 500L, perDomainCap = 5L,
+      existingCounts = Some(stats)).count() shouldBe 0L
+    // uncapped: no Window in the plan (the domain rank never runs)
+    val un = CrawlFrontier.admit(f, disc, 500L)
+    val plan = un.queryExecution.executedPlan.toString
+    withClue(plan) { plan should not include "Window" }
+    un.count() shouldBe 1L
+  }
+
+  test("store-held frontier: revisit updates upsert into the snapshot store, replays converge, untouched rows keep serving") {
+    import graft.streaming.StreamingOps
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fstore")
+      .toString + "/frontier"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-fstore-ck").toString
+    type Ev = (String, Long, String, String, Int, Double, Long, Int,
+      Option[Long], Option[String], Long, Long, String)
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state")
+    // frontier-shaped rows → change events at `seq` (column order is
+    // the frontier contract's)
+    def toEvents(df: DataFrame, seq: Long): Seq[Ev] =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10)) }.toSeq
+    // the encoder derives from the literal tuple type, not the alias
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String)]
+    val query = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        root, idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // cycle 0: seed → initial publish at seq 0
+      val seeds = CrawlFrontier.seed(
+        Seq("https://a.example/p", "https://a.example/q",
+          "https://b.example/r").toDF("url"),
+        now = 1000L, defaultIntervalS = 1000L)
+      input.addData(toEvents(seeds, 0L): _*); query.processAllAvailable()
+      val served = StreamingOps.readSnapshot(spark, root).get
+      served.count() shouldBe 3
+      // cycle 1: one fetch result against the SERVED frontier → the
+      // changed-rows-only face is exactly the next upsert batch
+      val fetched = Seq(("https://a.example/p", 2000L, 200, Some("h1")))
+        .toDF("url", "fetch_ts", "status", "content_hash")
+      val updates = CrawlFrontier.recrawlUpdates(fetched, served, rv)
+      updates.count() shouldBe 1
+      val evs = toEvents(updates, 2000L)
+      input.addData(evs: _*); query.processAllAvailable()
+      def state(): Map[String, (Long, Long, String)] =
+        StreamingOps.readSnapshot(spark, root).get
+          .select("url", "interval_s", "next_fetch_ts", "state")
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val s1 = state()
+      // changed page: interval halved (1000→500), rescheduled from the
+      // fetch time; untouched rows serve their seeded schedule intact
+      s1("https://a.example/p") shouldBe ((500L, 2500L, "active"))
+      s1("https://a.example/q") shouldBe ((1000L, 1000L, "active"))
+      s1("https://b.example/r") shouldBe ((1000L, 1000L, "active"))
+      // at-least-once: replaying the same update batch converges (the
+      // store's max-seq idempotence, the contract recrawlUpdates
+      // documents)
+      input.addData(evs: _*); query.processAllAvailable()
+      state() shouldBe s1
+    } finally query.stop()
+  }
+
+  test("step: updated frontier unions the revisit output with the admitted discoveries") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/p", interval = 1000L, hash = Some("h"))))
+    val fetched = Seq(("https://a.example/p", 2000L, 200, Some("h")))
+      .toDF("url", "fetch_ts", "status", "content_hash")
+    val disc = Seq(("https://a.example/q", 1)).toDF("url", "depth")
+    val out = CrawlFrontier.step(f, fetched, disc, now = 2000L, rv = rv)
+      .orderBy("url").collect()
+    out.length shouldBe 2
+    out(0).getString(0) shouldBe "https://a.example/p"
+    out(0).getLong(8) shouldBe 2000L // doubled
+    out(1).getString(0) shouldBe "https://a.example/q"
+    out(1).getLong(4) shouldBe 0L
+  }
+}
