@@ -575,5 +575,136 @@ object QueriesCrawl {
       SELECT * FROM updated
       UNION ALL
       SELECT * FROM admitted
-      ORDER BY url""")))
+      ORDER BY url""")),
+
+    ("crawl_polite_batch", (s, dir) => {
+      // Crawl-delay politeness — robots' de-facto rate directive
+      // becomes per-host batch budgets: parse per-host Crawl-delay
+      // with the RFC group-selection law (exact agent group wins even
+      // when delay-less — its silence means the crawl DEFAULT, not
+      // the '*' value; junk values contribute nothing; several in
+      // scope take the max), turn delay d into floor(window/d)
+      // fetches-per-window (floored at 1: throttled, never starved),
+      // and let the budget TIGHTEN the global per-host cap inside
+      // batch selection. One broadcast join on top of
+      // crawl_select_batch's plan.
+      import graft.functions.Robots
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val host = concat(lit("h"), k, lit(".dl.com"))
+      val nl = "\n"
+      val txt = when(d % 7 === 0, lit("User-agent: ccbot" + nl +
+          "Crawl-delay: 60" + nl + "User-agent: *" + nl + "Crawl-delay: 1"))
+        .when(d % 7 === 1, lit("User-agent: *" + nl + "Crawl-delay: 120"))
+        .when(d % 7 === 2, lit("User-agent: ccbot" + nl + "Disallow: /x" +
+          nl + "User-agent: *" + nl + "Crawl-delay: 30"))
+        .when(d % 7 === 3, lit("User-agent: *" + nl + "Crawl-delay: abc"))
+        .when(d % 7 === 4, lit("User-agent: *" + nl + "Crawl-delay: 0.5"))
+        .otherwise(lit("User-agent: *" + nl + "Crawl-delay: 400"))
+      val docs = T(s, dir, "documents")
+      val robots = docs.filter(d % 7 =!= 6) // h6 publishes no robots.txt
+        .select(host.as("domain"), txt.as("robots_txt")).distinct()
+      val budgets = CrawlFrontier.politenessBudgets(
+        Robots.crawlDelays(robots, "ccbot"), windowS = 600L)
+      val frontier = docs.select(
+        concat(lit("https://"), host, lit("/p/"), id).as("url"),
+        host.as("host"), lit(0).as("depth"),
+        ((d * 37 % 100) / lit(100.0)).as("priority"),
+        lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+        lit(null).cast("long").as("last_fetch_ts"),
+        lit(null).cast("string").as("content_hash"),
+        lit(3600L).as("interval_s"), lit(T0).as("next_fetch_ts"),
+        lit("active").as("state"))
+      CrawlFrontier.selectBatch(frontier, now = T0, batchSize = 30,
+        perHostCap = 8, hostBudgets = Some(budgets))
+    }, Some("""
+      WITH rb AS (
+        SELECT DISTINCT 'h' || (doc_id % 7) || '.dl.com' AS domain,
+          CASE CAST(doc_id % 7 AS INT)
+            WHEN 0 THEN 'User-agent: ccbot' || chr(10) ||
+              'Crawl-delay: 60' || chr(10) || 'User-agent: *' ||
+              chr(10) || 'Crawl-delay: 1'
+            WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 120'
+            WHEN 2 THEN 'User-agent: ccbot' || chr(10) ||
+              'Disallow: /x' || chr(10) || 'User-agent: *' || chr(10) ||
+              'Crawl-delay: 30'
+            WHEN 3 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: abc'
+            WHEN 4 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5'
+            ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: 400' END
+            AS txt
+        FROM documents WHERE doc_id % 7 <> 6),
+      ln0 AS (SELECT domain, string_split_regex(txt, '\r?\n') AS ls
+              FROM rb),
+      ln AS (SELECT domain, unnest(generate_series(1, len(ls))) AS pos,
+                    ls
+             FROM ln0),
+      cl AS (SELECT domain, pos,
+                    trim(regexp_replace(ls[pos], '#.*$', '')) AS l
+             FROM ln),
+      kv AS (SELECT domain, pos,
+                    lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1))
+                      AS key,
+                    trim(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1))
+                      AS value
+             FROM cl WHERE length(l) > 0),
+      kept AS (SELECT * FROM kv WHERE key <> ''),
+      gs AS (SELECT domain, pos, key, value,
+                    CASE WHEN key = 'user-agent' AND
+                         coalesce(lag(key) OVER (PARTITION BY domain
+                           ORDER BY pos), 'x') <> 'user-agent'
+                         THEN 1 ELSE 0 END AS starts_group
+             FROM kept),
+      gr AS (SELECT domain, pos, key, value,
+                    sum(starts_group) OVER (PARTITION BY domain
+                      ORDER BY pos) AS grp
+             FROM gs),
+      ag AS (SELECT domain, grp, lower(value) AS agent FROM gr
+             WHERE key = 'user-agent' AND grp > 0
+               AND lower(value) IN ('ccbot', '*')),
+      dl AS (SELECT domain, grp, CAST(value AS DOUBLE) AS delay_s
+             FROM gr
+             WHERE key = 'crawl-delay' AND grp > 0
+               AND regexp_matches(value, '^[0-9]+(\.[0-9]+)?$')),
+      hx AS (SELECT domain,
+                    max(CASE WHEN agent = 'ccbot' THEN 1 ELSE 0 END)
+                      AS has_exact
+             FROM ag GROUP BY domain),
+      chosen AS (SELECT ag.domain, ag.grp
+                 FROM ag JOIN hx ON hx.domain = ag.domain
+                 WHERE (hx.has_exact = 1 AND ag.agent = 'ccbot')
+                    OR (hx.has_exact = 0 AND ag.agent = '*')),
+      cd AS (SELECT c.domain, max(dl.delay_s) AS crawl_delay_s
+             FROM chosen c JOIN dl ON dl.domain = c.domain
+               AND dl.grp = c.grp
+             GROUP BY c.domain),
+      bud AS (SELECT domain AS host,
+                     CAST(greatest(1, floor(600.0 / crawl_delay_s))
+                       AS INT) AS cap
+              FROM cd),
+      f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.dl.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 7) || '.dl.com' AS host,
+               CAST(0 AS INT) AS depth,
+               (doc_id * 37 % 100) / 100.0 AS priority,
+               CAST(0 AS BIGINT) AS fetch_count,
+               CAST(0 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(3600 AS BIGINT) AS interval_s,
+               CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+               'active' AS state
+        FROM documents),
+      ranked AS (
+        SELECT f.*, row_number() OVER (PARTITION BY host
+                      ORDER BY priority DESC, url) AS hr
+        FROM f),
+      capped AS (
+        SELECT r.url, r.host, r.depth, r.priority, r.fetch_count,
+               r.fail_count, r.last_fetch_ts, r.content_hash,
+               r.interval_s, r.next_fetch_ts, r.state
+        FROM ranked r LEFT JOIN bud b ON b.host = r.host
+        WHERE r.hr <= least(8, coalesce(b.cap, 8)))
+      SELECT * FROM capped ORDER BY priority DESC, url LIMIT 30""")))
 }

@@ -83,7 +83,7 @@ object SparkEntry {
     "web_outlinks", "web_pagerank", "web_robots", "web_anchor_text",
     "web_hits",
     "crawl_sitemap_parse", "crawl_frontier_seed", "crawl_select_batch",
-    "crawl_recrawl", "crawl_admit", "crawl_e2e",
+    "crawl_recrawl", "crawl_admit", "crawl_e2e", "crawl_polite_batch",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

@@ -83,6 +83,65 @@ object Robots {
       .select(col("domain"), col("agent"), col("rule"), col("path"))
   }
 
+  /** Per-domain Crawl-delay for one crawler `agent` — the de-facto
+    * politeness directive (not in RFC 9309; Bing/Yandex honor it, so a
+    * compliant crawler should too). Same line/grouping law as
+    * [[parseRules]] but keeping `crawl-delay` directives, and with
+    * EVERY directive line participating in run-breaking: a UA line
+    * starts a new group unless the previous directive was also UA, so
+    * `User-agent: ccbot / Disallow: /x / User-agent: *` keeps ccbot
+    * and `*` in SEPARATE groups even though Disallow itself is not a
+    * delay directive (filtering it out before grouping would merge the
+    * two agents into one group and leak `*`'s delay onto the exact
+    * agent). Group selection is [[filterAllowed]]'s law: the
+    * exact-agent group when
+    * one exists (even delay-less — its silence means "no declared
+    * delay", NOT the `*` group's value), else `*`. Values are
+    * fractional seconds behind an ANSI-safe numeric gate (junk lines
+    * contribute nothing); several delays in scope take the MAX — the
+    * most polite reading. Domains with no delay in scope emit no row:
+    * the caller's crawl default applies. */
+  def crawlDelays(robots: DataFrame, agent: String,
+                  domainCol: String = "domain",
+                  txtCol: String = "robots_txt"): DataFrame = {
+    val a = agent.toLowerCase
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
+      .select(col("domain"), col("pos"),
+        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+      .filter(length(col("l")) > 0)
+      .select(col("domain"), col("pos"),
+        lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("key"),
+        trim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1))
+          .as("value"))
+      .filter(length(col("key")) > 0) // every directive run-breaks
+    val byPos = Window.partitionBy(col("domain")).orderBy(col("pos"))
+    val grouped = lines
+      .withColumn("prev_key", lag(col("key"), 1).over(byPos))
+      .withColumn("starts_group",
+        (col("key") === "user-agent") &&
+          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
+      .withColumn("grp",
+        sum(when(col("starts_group"), 1).otherwise(0)).over(byPos))
+      .filter(col("grp") > 0)
+    val agents = grouped.filter(col("key") === "user-agent")
+      .select(col("domain"), col("grp"), lower(col("value")).as("agent"))
+      .filter(col("agent") === a || col("agent") === "*")
+    val delays = grouped.filter(col("key") === "crawl-delay")
+      .filter(col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("domain"), col("grp"),
+        col("value").cast("double").as("delay_s"))
+    val hasExact = agents.groupBy(col("domain"))
+      .agg(max(when(col("agent") === a, 1).otherwise(0)).as("has_exact"))
+    agents.join(hasExact, Seq("domain"))
+      .filter((col("has_exact") === 1 && col("agent") === a) ||
+        (col("has_exact") === 0 && col("agent") === "*"))
+      .join(delays, Seq("domain", "grp"))
+      .groupBy(col("domain"))
+      .agg(max(col("delay_s")).as("crawl_delay_s"))
+  }
+
   /** True when a rule path uses RFC 9309 §2.2.3 special characters:
     * `*` (matches any octet sequence) anywhere, or `$` as the LAST
     * character (anchors the end of the URL path). Plain rules keep the

@@ -111,18 +111,50 @@ object CrawlFrontier {
     * the due slice, then TakeOrderedAndProject for the global top-k —
     * no full sort at any scale (pinned in CrawlFrontierSpec). */
   def selectBatch(frontier: DataFrame, now: Long,
-                  batchSize: Int, perHostCap: Int): DataFrame = {
+                  batchSize: Int, perHostCap: Int,
+                  hostBudgets: Option[DataFrame] = None): DataFrame = {
     require(batchSize > 0 && perHostCap > 0,
       s"batchSize/perHostCap must be positive, got $batchSize/$perHostCap")
     val due = frontier.filter(col("state") === "active" &&
       col("next_fetch_ts") <= lit(now))
     val w = Window.partitionBy("host")
       .orderBy(col("priority").desc, col("url"))
-    due.withColumn("__host_rank", row_number().over(w))
-      .filter(col("__host_rank") <= perHostCap)
-      .drop("__host_rank")
+    val ranked = due.withColumn("__host_rank", row_number().over(w))
+    val capped = hostBudgets match {
+      case None => ranked.filter(col("__host_rank") <= perHostCap)
+      case Some(b) =>
+        // per-host politeness budgets (e.g. [[politenessBudgets]] from
+        // robots Crawl-delay): the budget TIGHTENS the global cap, it
+        // never widens it; unbudgeted hosts keep the global cap. One
+        // broadcast join — budgets are one row per host with a
+        // declared delay, tiny next to the due slice.
+        ranked.join(
+            broadcast(b.select(col("host"), col("cap").cast("int")
+              .as("__host_cap"))), Seq("host"), "left")
+          .filter(col("__host_rank") <=
+            least(lit(perHostCap), coalesce(col("__host_cap"),
+              lit(perHostCap))))
+          .drop("__host_cap")
+    }
+    capped.drop("__host_rank")
+      .select(frontierCols.map(col): _*) // contract order, join moved host
       .orderBy(col("priority").desc, col("url"))
       .limit(batchSize)
+  }
+
+  /** Crawl-delay seconds → per-host batch budgets for [[selectBatch]]:
+    * a host declaring delay `d` gets at most floor(window/d) fetches
+    * per `windowS`-second scheduling window, floored at 1 so a huge
+    * delay throttles but never starves. Input is
+    * [[graft.functions.Robots.crawlDelays]] output keyed by host
+    * (robots.txt is per-origin). */
+  def politenessBudgets(delays: DataFrame, windowS: Long,
+                        hostCol: String = "domain",
+                        delayCol: String = "crawl_delay_s"): DataFrame = {
+    require(windowS > 0, s"windowS must be positive, got $windowS")
+    delays.select(col(hostCol).as("host"),
+      greatest(lit(1L), floor(lit(windowS.toDouble) / col(delayCol)))
+        .cast("int").as("cap"))
   }
 
   // ---- the revisit law, shared by the batch and streaming faces ----

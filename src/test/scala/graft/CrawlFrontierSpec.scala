@@ -173,6 +173,41 @@ class CrawlFrontierSpec extends SparkSpec {
     }
   }
 
+  test("crawlDelays: group selection, max-in-scope, fractional values, junk skipped; an exact delay-less group silences the '*' value") {
+    import graft.functions.Robots
+    val robots = Seq(
+      ("a.ex", "User-agent: ccbot\nCrawl-delay: 60\nUser-agent: *\n" +
+        "Crawl-delay: 1"),
+      ("b.ex", "User-agent: *\nCrawl-delay: 0.5"),
+      // exact group exists but declares no delay: its silence means
+      // the crawl default, NOT the '*' group's 30
+      ("c.ex", "User-agent: ccbot\nDisallow: /x\nUser-agent: *\n" +
+        "Crawl-delay: 30"),
+      ("d.ex", "User-agent: *\nCrawl-delay: abc"),
+      ("e.ex", "User-agent: ccbot\nCrawl-delay: 2\nCrawl-delay: 7"))
+      .toDF("domain", "robots_txt")
+    val got = Robots.crawlDelays(robots, "ccbot").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got shouldBe Map("a.ex" -> 60.0, "b.ex" -> 0.5, "e.ex" -> 7.0)
+  }
+
+  test("politenessBudgets + selectBatch: a declared delay tightens the per-host cap, never widens it") {
+    val delays = Seq(("slow.ex", 300.0), ("fast.ex", 0.5))
+      .toDF("domain", "crawl_delay_s")
+    val budgets = CrawlFrontier.politenessBudgets(delays, windowS = 600)
+    budgets.collect().map(r => r.getString(0) -> r.getInt(1)).toMap shouldBe
+      Map("slow.ex" -> 2, "fast.ex" -> 1200)
+    val f = mkFrontier(
+      (1 to 5).map(i => row(s"https://slow.ex/$i")) ++
+      (1 to 5).map(i => row(s"https://fast.ex/$i")) ++
+      (1 to 5).map(i => row(s"https://none.ex/$i")))
+    val urls = CrawlFrontier.selectBatch(f, 2000L, 100, 3, Some(budgets))
+      .collect().map(_.getString(0))
+    urls.count(_.contains("slow.ex")) shouldBe 2 // 600s / 300s delay
+    urls.count(_.contains("fast.ex")) shouldBe 3 // budget never widens
+    urls.count(_.contains("none.ex")) shouldBe 3 // unbudgeted = global
+  }
+
   // ——— revisit law —————————————————————————————————————————————————
 
   private val rv = Revisit(minIntervalS = 100L, maxIntervalS = 10000L,
