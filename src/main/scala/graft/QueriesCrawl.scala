@@ -599,7 +599,8 @@ object QueriesCrawl {
         .when(d % 7 === 1, lit("User-agent: *" + nl + "Crawl-delay: 120"))
         .when(d % 7 === 2, lit("User-agent: ccbot" + nl + "Disallow: /x" +
           nl + "User-agent: *" + nl + "Crawl-delay: 30"))
-        .when(d % 7 === 3, lit("User-agent: *" + nl + "Crawl-delay: abc"))
+        .when(d % 7 === 3, lit("User-agent: *" + nl + "Crawl-delay: abc" +
+          nl + "Crawl-delay: 0")) // junk skipped; 0 = unthrottled
         .when(d % 7 === 4, lit("User-agent: *" + nl + "Crawl-delay: 0.5"))
         .otherwise(lit("User-agent: *" + nl + "Crawl-delay: 400"))
       val docs = T(s, dir, "documents")
@@ -629,7 +630,8 @@ object QueriesCrawl {
             WHEN 2 THEN 'User-agent: ccbot' || chr(10) ||
               'Disallow: /x' || chr(10) || 'User-agent: *' || chr(10) ||
               'Crawl-delay: 30'
-            WHEN 3 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: abc'
+            WHEN 3 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: abc' ||
+              chr(10) || 'Crawl-delay: 0'
             WHEN 4 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5'
             ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: 400' END
             AS txt
@@ -679,7 +681,11 @@ object QueriesCrawl {
                AND dl.grp = c.grp
              GROUP BY c.domain),
       bud AS (SELECT domain AS host,
-                     CAST(greatest(1, floor(600.0 / crawl_delay_s))
+                     CAST(CASE WHEN crawl_delay_s <= 0
+                               THEN 2147483647
+                               ELSE greatest(1, floor(least(
+                                 2147483647.0,
+                                 600.0 / crawl_delay_s))) END
                        AS INT) AS cap
               FROM cd),
       f AS (

@@ -1134,7 +1134,8 @@ object QueriesDataOps {
         lit("\">z</a> <a href=\"rel/"), id,
         lit("\">w</a> <a href='/squote/"), id,
         lit("'>s</a> <a href=unq/"), id,
-        lit(">u</a> <a href=\"#top\">t</a></p>"))
+        lit(">u</a> <a href=\"/oq/o'brien-"), id,
+        lit("\">q</a> <a href=\"#top\">t</a></p>"))
       T(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(WebGraph.outlinks(html, base)))
@@ -1152,12 +1153,13 @@ object QueriesDataOps {
           '">z</a> <a href="rel/' || doc_id ||
           '">w</a> <a href=''/squote/' || doc_id ||
           '''>s</a> <a href=unq/' || doc_id ||
-          '>u</a> <a href="#top">t</a></p>' AS html
+          '>u</a> <a href="/oq/o''brien-' || doc_id ||
+          '">q</a> <a href="#top">t</a></p>' AS html
         FROM documents),
       l AS (SELECT doc_id, base,
               regexp_extract_all(html,
-                '(?is)<a\b[^>]*?\shref\s*=\s*["'']?([^"''#\s>]*)', 1)
-                AS hs
+                '(?is)<a\b[^>]*?\shref\s*=\s*("[^"#]*|''[^''#]*|[^"''\s>#]+)',
+                1) AS hs
             FROM h),
       p AS (SELECT doc_id, hs,
               regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
@@ -1170,14 +1172,18 @@ object QueriesDataOps {
       ex AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS i,
                     hs, scheme, origin, dir
              FROM p),
+      st AS (SELECT doc_id, i,
+                    regexp_replace(hs[i], '^["'']', '') AS h,
+                    scheme, origin, dir
+             FROM ex),
       r AS (SELECT doc_id, i,
-              CASE WHEN regexp_matches(hs[i], '^[a-zA-Z][a-zA-Z0-9+.-]*://')
-                     THEN hs[i]
-                   WHEN starts_with(hs[i], '//') THEN scheme || ':' || hs[i]
-                   WHEN starts_with(hs[i], '/') THEN origin || hs[i]
-                   WHEN length(hs[i]) > 0 THEN dir || hs[i]
+              CASE WHEN regexp_matches(h, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                     THEN h
+                   WHEN starts_with(h, '//') THEN scheme || ':' || h
+                   WHEN starts_with(h, '/') THEN origin || h
+                   WHEN length(h) > 0 THEN dir || h
                    ELSE '' END AS link
-            FROM ex),
+            FROM st),
       k AS (SELECT doc_id,
                    row_number() OVER (PARTITION BY doc_id ORDER BY i)
                      AS link_idx, link

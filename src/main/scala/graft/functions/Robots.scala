@@ -45,31 +45,8 @@ object Robots {
     * [[filterAllowed]]'s most-specific-group selection. */
   def parseRules(robots: DataFrame, domainCol: String = "domain",
                  txtCol: String = "robots_txt"): DataFrame = {
-    val lines = robots
-      // \r?\n: real-world robots.txt is frequently CRLF (Windows-served
-      // files; WARC payloads are CRLF by spec) — splitting on \n alone
-      // leaves a trailing \r on every token, the prefix match never
-      // fires, and the compliance gate FAILS OPEN
-      .select(col(domainCol).as("domain"),
-        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
-      .select(col("domain"), col("pos"),
-        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
-      .filter(length(col("l")) > 0)
-      .select(col("domain"), col("pos"),
-        lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("key"),
-        trim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
-    val byPos = Window.partitionBy(col("domain")).orderBy(col("pos"))
-    // a User-agent line starts a NEW group unless the previous kept
-    // line was also a User-agent (consecutive UA lines share a group)
-    val grouped = lines
-      .withColumn("prev_key", lag(col("key"), 1).over(byPos))
-      .withColumn("starts_group",
-        (col("key") === "user-agent") &&
-          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
-      .withColumn("grp",
-        sum(when(col("starts_group"), 1).otherwise(0)).over(byPos))
-      .filter(col("grp") > 0) // rules before any UA line: dropped
+    val grouped = directiveGroups(robots, domainCol, txtCol,
+      groupKeys = Some(Seq("user-agent", "allow", "disallow")))
     val agents = grouped.filter(col("key") === "user-agent")
       .select(col("domain"), col("grp"), lower(col("value")).as("agent"))
     val rules = grouped.filter(col("key") =!= "user-agent")
@@ -105,26 +82,8 @@ object Robots {
                   domainCol: String = "domain",
                   txtCol: String = "robots_txt"): DataFrame = {
     val a = agent.toLowerCase
-    val lines = robots
-      .select(col(domainCol).as("domain"),
-        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
-      .select(col("domain"), col("pos"),
-        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
-      .filter(length(col("l")) > 0)
-      .select(col("domain"), col("pos"),
-        lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("key"),
-        trim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1))
-          .as("value"))
-      .filter(length(col("key")) > 0) // every directive run-breaks
-    val byPos = Window.partitionBy(col("domain")).orderBy(col("pos"))
-    val grouped = lines
-      .withColumn("prev_key", lag(col("key"), 1).over(byPos))
-      .withColumn("starts_group",
-        (col("key") === "user-agent") &&
-          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
-      .withColumn("grp",
-        sum(when(col("starts_group"), 1).otherwise(0)).over(byPos))
-      .filter(col("grp") > 0)
+    val grouped = directiveGroups(robots, domainCol, txtCol,
+      groupKeys = None) // every directive run-breaks
     val agents = grouped.filter(col("key") === "user-agent")
       .select(col("domain"), col("grp"), lower(col("value")).as("agent"))
       .filter(col("agent") === a || col("agent") === "*")
@@ -140,6 +99,46 @@ object Robots {
       .join(delays, Seq("domain", "grp"))
       .groupBy(col("domain"))
       .agg(max(col("delay_s")).as("crawl_delay_s"))
+  }
+
+  /** The line→directive→group pipeline shared by [[parseRules]] and
+    * [[crawlDelays]]: CRLF-tolerant split (`\r?\n` — real-world
+    * robots.txt is frequently CRLF; WARC payloads are CRLF by spec,
+    * and a trailing \r would make every prefix match fail OPEN),
+    * comment/blank strip, key:value parse, then group assignment — a
+    * User-agent line starts a NEW group unless the previous KEPT line
+    * was also a User-agent (consecutive UA lines share a group), and
+    * rows before any UA line drop. `groupKeys` decides which
+    * directives exist for run-breaking: parseRules keeps only its
+    * three keys (its oracle-pinned law), crawlDelays keeps every
+    * recognized directive so a Disallow between two UA lines separates
+    * their groups. Output: (domain, pos, key, value, grp). */
+  private def directiveGroups(robots: DataFrame, domainCol: String,
+                              txtCol: String,
+                              groupKeys: Option[Seq[String]]): DataFrame = {
+    val kv = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
+      .select(col("domain"), col("pos"),
+        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+      .filter(length(col("l")) > 0)
+      .select(col("domain"), col("pos"),
+        lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("key"),
+        trim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1))
+          .as("value"))
+    val lines = groupKeys match {
+      case Some(ks) => kv.filter(col("key").isin(ks: _*))
+      case None => kv.filter(length(col("key")) > 0)
+    }
+    val byPos = Window.partitionBy(col("domain")).orderBy(col("pos"))
+    lines
+      .withColumn("prev_key", lag(col("key"), 1).over(byPos))
+      .withColumn("starts_group",
+        (col("key") === "user-agent") &&
+          (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
+      .withColumn("grp",
+        sum(when(col("starts_group"), 1).otherwise(0)).over(byPos))
+      .filter(col("grp") > 0)
   }
 
   /** True when a rule path uses RFC 9309 §2.2.3 special characters:

@@ -152,9 +152,19 @@ object CrawlFrontier {
                         hostCol: String = "domain",
                         delayCol: String = "crawl_delay_s"): DataFrame = {
     require(windowS > 0, s"windowS must be positive, got $windowS")
-    delays.select(col(hostCol).as("host"),
-      greatest(lit(1L), floor(lit(windowS.toDouble) / col(delayCol)))
-        .cast("int").as("cap"))
+    // clamp BEFORE the int cast: 'Crawl-delay: 0' (a real-world idiom
+    // for "no delay") and any delay below window/Int.MaxValue would
+    // otherwise floor to +Infinity/huge and the cast would wrap
+    // negative — permanently STARVING the host, the exact opposite of
+    // the directive. <= 0 or tiny means unthrottled here; selectBatch's
+    // global cap still applies (least, never widened).
+    // the DOUBLE clamps before floor: floor/cast of an overflowing
+    // double is an ANSI runtime error, not a saturation
+    val cap = when(col(delayCol) <= 0.0, lit(Int.MaxValue.toLong))
+      .otherwise(greatest(lit(1L), floor(least(
+        lit(Int.MaxValue.toDouble),
+        lit(windowS.toDouble) / col(delayCol)))))
+    delays.select(col(hostCol).as("host"), cap.cast("int").as("cap"))
   }
 
   // ---- the revisit law, shared by the batch and streaming faces ----

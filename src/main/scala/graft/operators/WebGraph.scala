@@ -24,18 +24,21 @@ object WebGraph {
     * through, protocol-relative (`//h/p`) take the base's scheme,
     * root-relative (`/p`) take the base's origin, and everything else
     * resolves against the base's directory. Fragments drop (an
-    * in-page anchor is not an edge). Documented regex-class
-    * simplifications: `../` segments are NOT normalized (the
-    * canonicalizer downstream treats the spelled path as the key
-    * either way), and a quoted href containing a literal space,
-    * quote, or `>` truncates at it (a matching-quote law needs a
-    * backreference, which RE2 — and therefore the cross-engine oracle
-    * — cannot express; real URLs percent-encode all three). The
-    * `\shref` boundary keeps `data-href=` from matching. Returns
-    * array<string>. */
+    * in-page anchor is not an edge). The value law is quote-AWARE
+    * with ONE capture group (alternation keyed on the opening
+    * delimiter, which rides along in the capture and is stripped
+    * after): a double-quoted value may contain apostrophes
+    * (`href="/o'brien/bio"` — common unencoded) and vice versa, each
+    * quoted form ends only at its own closing quote (or `#`), and
+    * unquoted values end at whitespace/`>`/quote/`#`. Documented
+    * regex-class simplification: `../` segments are NOT normalized
+    * (the canonicalizer downstream treats the spelled path as the key
+    * either way). The `\shref` boundary keeps `data-href=` from
+    * matching. Returns array<string>. */
   def outlinks(html: Column, baseUrl: Column): Column = {
     val hrefs = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']?([^\"'#\\s>]*)"), lit(1))
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*" +
+        "(\"[^\"#]*|'[^'#]*|[^\"'\\s>#]+)"), lit(1))
     // one-element OUTER transform: Catalyst does not CSE across HOF
     // lambda bodies, so both the base-URL regexes AND the full-page
     // href scan must be bound ONCE per row — ctx as the outer lambda
@@ -45,7 +48,8 @@ object WebGraph {
     // doubling the dominant cost it meant to remove.
     filter(
       flatten(transform(array(baseCtx(baseUrl)), c =>
-        transform(hrefs, h => resolve(h, c)))),
+        transform(hrefs, h =>
+          resolve(regexp_replace(h, "^[\"']", ""), c)))),
       h => length(h) > 0)
   }
 
@@ -86,18 +90,20 @@ object WebGraph {
     // '<a href="/p#intro">x</a>' would silently lose its anchor text
     // while outlinks keeps the edge — the two laws must agree
     val pat =
-      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*[\"']?([^\"'\\s>]*)[\"']?" +
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*" +
+        "(\"[^\"]*|'[^']*|[^\"'\\s>]+)[\"']?" +
         "[^>]*>(.*?)</a>")
     val hrefs = regexp_extract_all(html, pat, lit(1))
     val texts = regexp_extract_all(html, pat, lit(2))
     // the outlinks one-element-outer-transform recipe: ctx bound once,
     // and the two full-page scans (hrefs, texts) evaluated once each
     // inside the outer lambda — the structural floor for a two-group
-    // extraction
+    // extraction. The leading delimiter and the fragment strip in one
+    // regexp_replace alternation.
     filter(
       flatten(transform(array(baseCtx(baseUrl)), c =>
         zip_with(hrefs, texts, (h, t) => struct(
-          resolve(regexp_replace(h, "#.*$", ""), c).as("link"),
+          resolve(regexp_replace(h, "^[\"']|#.*$", ""), c).as("link"),
           graft.functions.TextExtraction.blockText(t).as("text"))))),
       p => length(p("link")) > 0)
   }

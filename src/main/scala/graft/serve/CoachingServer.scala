@@ -169,6 +169,26 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
     x.getResponseBody.write(body); x.close()
   }
 
+  /** RFC 3986 percent-decoding of a URL PATH — URLDecoder is the
+    * x-www-form-urlencoded decoder ('+' becomes a space, corrupting
+    * any path with a literal '+', and malformed escapes throw). None
+    * on a malformed %-sequence → the caller's 400, never a 500. */
+  private def percentDecode(s: String): Option[String] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%') {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } else {
+          out.write(c.toString.getBytes("UTF-8")); i += 1
+        }
+      }
+      Some(new String(out.toByteArray, "UTF-8"))
+    } catch { case _: Exception => None }
+
   private def queryParam(x: HttpExchange, name: String): Option[String] =
     Option(x.getRequestURI.getQuery).flatMap(_.split('&').collectFirst {
       case kv if kv.takeWhile(_ != '=') == name =>
@@ -332,41 +352,62 @@ final class CoachingServer(broadcaster: CoachingBroadcaster,
     // (main_routes.py:16-21; the supplier is the load_meeting_data
     // analog, re-read per request like the reference's open+json.load)
     server.createContext("/api/meeting-data", handler { x =>
-      meetingData match {
-        case Some(load) =>
+      (x.getRequestMethod, meetingData) match {
+        case ("GET", Some(load)) =>
           respondRaw(x, 200, "application/json", load().getBytes("UTF-8"))
-        case None =>
+        case ("GET", None) =>
           respond(x, 503, toJson(Map("status" -> "error",
             "message" -> "no meeting data configured")))
+        case _ =>
+          respond(x, 405, toJson(Map("status" -> "error",
+            "message" -> "GET only")))
       }
     })
     // GET /api/get-document/<path> — raw knowledge-base document fetch
     // (main_routes.py:23-40): normalized-path traversal guard → 400,
     // missing file → 404, else {"content","path"}
     server.createContext("/api/get-document/", handler { x =>
-      knowledgeRoot match {
-        case None =>
+      (x.getRequestMethod, knowledgeRoot) match {
+        case (m, _) if m != "GET" =>
+          respond(x, 405, toJson(Map("status" -> "error",
+            "message" -> "GET only")))
+        case (_, None) =>
           respond(x, 503, toJson(Map("status" -> "error",
             "message" -> "no knowledge root configured")))
-        case Some(root) =>
-          val rel = java.net.URLDecoder.decode(
-            x.getRequestURI.getRawPath.stripPrefix("/api/get-document/"),
-            "UTF-8")
-          val rootN = root.toAbsolutePath.normalize()
-          // resolve-then-normalize + containment check: `../` escapes
-          // collapse and fail the startsWith (the reference's normpath
-          // guard); absolute rel paths resolve to themselves and fail
-          // the same check
-          val full = rootN.resolve(rel).normalize()
-          if (rel.isEmpty || !full.startsWith(rootN))
-            respond(x, 400, toJson(Map("error" -> "Invalid document path")))
-          else if (!java.nio.file.Files.isRegularFile(full))
-            respond(x, 404, toJson(Map("error" -> "Document not found")))
-          else
-            respond(x, 200, toJson(Map(
-              "content" -> new String(
-                java.nio.file.Files.readAllBytes(full), "UTF-8"),
-              "path" -> rel)))
+        case (_, Some(root)) =>
+          val raw = x.getRequestURI.getRawPath
+            .stripPrefix("/api/get-document/")
+          percentDecode(raw) match {
+            case None =>
+              respond(x, 400,
+                toJson(Map("error" -> "Invalid document path")))
+            case Some(rel) =>
+              val rootN = root.toAbsolutePath.normalize()
+              // resolve-then-normalize + containment check: `../`
+              // escapes collapse and fail the startsWith (the
+              // reference's normpath guard); absolute rel paths
+              // resolve to themselves and fail the same check. A
+              // filesystem-invalid path (e.g. an encoded NUL) is a
+              // client error, not a 500.
+              val fullOpt =
+                try Some(rootN.resolve(rel).normalize())
+                catch { case _: java.nio.file.InvalidPathException => None }
+              fullOpt match {
+                case Some(full)
+                    if rel.nonEmpty && full.startsWith(rootN) =>
+                  if (!java.nio.file.Files.isRegularFile(full))
+                    respond(x, 404,
+                      toJson(Map("error" -> "Document not found")))
+                  else
+                    respond(x, 200, toJson(Map(
+                      "content" -> new String(
+                        java.nio.file.Files.readAllBytes(full), "UTF-8"),
+                      "path" -> rel)))
+                case _ =>
+                  respond(x, 400,
+                    toJson(Map("error" -> "Invalid document path")))
+              }
+          }
       }
     })
     // POST /cache_interaction — the UI's alternate cache-add wrapper

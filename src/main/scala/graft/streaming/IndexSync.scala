@@ -166,14 +166,33 @@ object IndexSync {
     def tryLock(): Boolean =
       StreamingOps.atomicClaimFile(fs, lockPath, body)
     def readText(p: org.apache.hadoop.fs.Path): Option[String] =
-      scala.util.Try {
+      try {
         val in = fs.open(p)
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
         finally in.close()
-      }.toOption
+      } catch {
+        // vanished = the holder released (claimOwner's contract). Any
+        // OTHER IO error must PROPAGATE: an unreadable LIVE claim must
+        // not be stolen — a transient read failure on a FOREIGN lock
+        // would otherwise parse as ownerless, pass the same-writer
+        // gate, and quarantine a live twin's lock (and a matching
+        // failure on the verification read would None==None its way
+        // past the restore check and delete it).
+        case _: java.io.FileNotFoundException => None
+      }
     if (!tryLock()) {
       val staleText = readText(lockPath)
+      if (staleText.isEmpty) {
+        // the holder released between the failed claim and the read:
+        // take the freed slot, or lose the re-claim race loudly
+        if (!tryLock()) throw new IllegalStateException(
+          s"syncIndexFromSnapshot: the cursor lock $lockPath was " +
+            "released and immediately re-claimed by another pump. The " +
+            "cursor is single-consumer; this pull wrote nothing — run " +
+            "one pump per cursor.")
+        return
+      }
       val owner = staleText.flatMap(
         _.split('\n').map(_.trim).find(_.startsWith("writer "))
           .flatMap(_.split("\\s+").lift(1))) // claimOwner's parse

@@ -192,11 +192,15 @@ class CrawlFrontierSpec extends SparkSpec {
   }
 
   test("politenessBudgets + selectBatch: a declared delay tightens the per-host cap, never widens it") {
-    val delays = Seq(("slow.ex", 300.0), ("fast.ex", 0.5))
+    val delays = Seq(("slow.ex", 300.0), ("fast.ex", 0.5),
+      ("zero.ex", 0.0), ("tiny.ex", 1e-9))
       .toDF("domain", "crawl_delay_s")
     val budgets = CrawlFrontier.politenessBudgets(delays, windowS = 600)
+    // 'Crawl-delay: 0' and any sub-nanosecond delay mean UNTHROTTLED
+    // (Int.MaxValue), never an int overflow that would starve the host
     budgets.collect().map(r => r.getString(0) -> r.getInt(1)).toMap shouldBe
-      Map("slow.ex" -> 2, "fast.ex" -> 1200)
+      Map("slow.ex" -> 2, "fast.ex" -> 1200,
+        "zero.ex" -> Int.MaxValue, "tiny.ex" -> Int.MaxValue)
     val f = mkFrontier(
       (1 to 5).map(i => row(s"https://slow.ex/$i")) ++
       (1 to 5).map(i => row(s"https://fast.ex/$i")) ++

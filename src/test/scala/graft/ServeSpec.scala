@@ -460,6 +460,16 @@ class ServeHttpSurfaceSpec extends SparkSpec {
       // judged invalid before existence is consulted); missing → 404
       req("GET", s"$base/api/get-document/..%2Fsecret.md")._1 shouldBe 400
       req("GET", s"$base/api/get-document/competitors/none.md")._1 shouldBe 404
+      // RFC 3986 path decoding: '+' is a literal in paths (the form
+      // decoder would corrupt it to a space); a malformed %-escape is
+      // the client's error (400), never a 500
+      java.nio.file.Files.write(kb.resolve("c++-guide.md"),
+        "plus plus".getBytes("UTF-8"))
+      req("GET", s"$base/api/get-document/c++-guide.md")._1 shouldBe 200
+      req("GET", s"$base/api/get-document/%zz-bad.md")._1 shouldBe 400
+      // undeclared methods 405 like the Flask reference's routing
+      req("POST", s"$base/api/meeting-data", Some("{}"))._1 shouldBe 405
+      req("DELETE", s"$base/api/get-document/x.md")._1 shouldBe 405
       // cache_interaction: nested coaching_data lands in the CSV row
       val (cc, cb) = req("POST", s"$base/cache_interaction", Some(
         """{"question":"What about ROI?","response":"Six months.",

@@ -295,6 +295,15 @@ class WebCorpusSpec extends SparkSpec {
              <a data-href="/not-a-link">4</a>""", base) shouldBe Seq(
       "https://h.example/sq", "https://h.example/a/b/unq/2",
       "https://h.example/sp")
+    // quote-awareness: a double-quoted value may contain apostrophes
+    // (unencoded — common on real pages) and vice versa; each quoted
+    // form ends only at its own closing quote. A truncated capture
+    // here would emit a phantom edge to /people/o — a WRONG edge, not
+    // a dropped one.
+    links("""<a href="/people/o'brien/bio">1</a>
+             <a href='/say/"hi"/x'>2</a>""", base) shouldBe Seq(
+      "https://h.example/people/o'brien/bio",
+      "https://h.example/say/\"hi\"/x")
   }
 
   test("anchorTexts: hrefs and texts stay positionally zipped, inner tags strip, href-less anchors contribute nothing") {
