@@ -712,5 +712,167 @@ object QueriesCrawl {
                r.interval_s, r.next_fetch_ts, r.state
         FROM ranked r LEFT JOIN bud b ON b.host = r.host
         WHERE r.hr <= least(8, coalesce(b.cap, 8)))
-      SELECT * FROM capped ORDER BY priority DESC, url LIMIT 30""")))
+      SELECT * FROM capped ORDER BY priority DESC, url LIMIT 30""")),
+
+    ("crawl_discovery_e2e", (s, dir) => {
+      // the full DISCOVERY chain in one row: robots.txt → Sitemap:
+      // directives (group-independent, even before the first UA
+      // group, case-insensitive) → fetch the sitemaps (synthesized
+      // deterministically from the directive URL) → urlset entry
+      // extraction → frontier seeding → Crawl-delay budgets → the
+      // politeness-bounded first fetch batch. Every stage's law is
+      // oracle-proven alone; this row pins the composition a real
+      // crawl bootstraps with.
+      import graft.functions.{Robots, Sitemaps}
+      val d = col("doc_id")
+      val k = (d % 5).cast("string")
+      val domain = concat(lit("h"), k, lit(".sm.com"))
+      val nl = "\n"
+      val txt = when(d % 5 === 0, lit("User-agent: ccbot" + nl +
+          "Crawl-delay: 100" + nl + "Sitemap: https://h0.sm.com/map.xml"))
+        .when(d % 5 === 1, lit("Sitemap: https://h1.sm.com/map.xml" + nl +
+          "User-agent: *" + nl + "Allow: /"))
+        .when(d % 5 === 2, lit("User-agent: *" + nl + "Crawl-delay: 300" +
+          nl + "Sitemap: https://h2.sm.com/a.xml" + nl +
+          "Sitemap: https://h2.sm.com/b.xml"))
+        .when(d % 5 === 3, lit("User-agent: *" + nl + "Disallow:"))
+        .otherwise(lit("sitemap: https://h4.sm.com/map.xml"))
+      val docs = T(s, dir, "documents")
+      val robots = docs.select(domain.as("domain"), txt.as("robots_txt"))
+        .distinct()
+      val base = regexp_replace(col("sitemap_url"), "\\.xml$", "")
+      val xml = concat(lit("<urlset><url><loc>"), base,
+        lit("/1</loc></url><url><loc>"), base,
+        lit("/2</loc></url></urlset>"))
+      val entries = Robots.sitemapUrls(robots)
+        .select(explode(Sitemaps.urlEntries(xml)).as("e"))
+        .select(col("e.loc").as("loc"))
+      val frontier = CrawlFrontier.seed(entries, now = T0,
+        urlCol = "loc", defaultIntervalS = 86400L)
+      val budgets = CrawlFrontier.politenessBudgets(
+        Robots.crawlDelays(robots, "ccbot"), windowS = 600L)
+      CrawlFrontier.selectBatch(frontier, now = T0, batchSize = 20,
+        perHostCap = 4, hostBudgets = Some(budgets))
+        .orderBy("url")
+    }, Some("""
+      WITH rb AS (
+        SELECT DISTINCT 'h' || (doc_id % 5) || '.sm.com' AS domain,
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'User-agent: ccbot' || chr(10) ||
+              'Crawl-delay: 100' || chr(10) ||
+              'Sitemap: https://h0.sm.com/map.xml'
+            WHEN 1 THEN 'Sitemap: https://h1.sm.com/map.xml' ||
+              chr(10) || 'User-agent: *' || chr(10) || 'Allow: /'
+            WHEN 2 THEN 'User-agent: *' || chr(10) ||
+              'Crawl-delay: 300' || chr(10) ||
+              'Sitemap: https://h2.sm.com/a.xml' || chr(10) ||
+              'Sitemap: https://h2.sm.com/b.xml'
+            WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+            ELSE 'sitemap: https://h4.sm.com/map.xml' END AS txt
+        FROM documents),
+      ls0 AS (SELECT domain, string_split_regex(txt, '\r?\n') AS ls
+              FROM rb),
+      ln AS (SELECT domain, unnest(generate_series(1, len(ls))) AS pos,
+                    ls
+             FROM ls0),
+      cl AS (SELECT domain, pos,
+                    trim(regexp_replace(ls[pos], '#.*$', '')) AS l
+             FROM ln),
+      sm AS (SELECT domain,
+                    trim(regexp_extract(l, '(?i)^sitemap\s*:(.*)$', 1))
+                      AS sitemap_url
+             FROM cl),
+      smk AS (SELECT * FROM sm WHERE length(sitemap_url) > 0),
+      x AS (SELECT domain,
+              '<urlset><url><loc>' ||
+              regexp_replace(sitemap_url, '\.xml$', '') ||
+              '/1</loc></url><url><loc>' ||
+              regexp_replace(sitemap_url, '\.xml$', '') ||
+              '/2</loc></url></urlset>' AS xml
+            FROM smk),
+      blk AS (SELECT domain,
+                regexp_extract_all(xml, '(?is)<url\b[^>]*>(.*?)</url>', 1)
+                  AS bs
+              FROM x),
+      ub AS (SELECT domain, unnest(bs) AS b FROM blk),
+      loc0 AS (SELECT replace(replace(replace(replace(replace(
+                 trim(regexp_extract(b, '(?is)<loc>(.*?)</loc>', 1)),
+                 '&quot;', '"'), '&apos;', ''''), '&lt;', '<'),
+                 '&gt;', '>'), '&amp;', '&') AS loc
+               FROM ub),
+      locs AS (SELECT loc FROM loc0 WHERE length(loc) > 0),
+      h AS (SELECT loc AS url,
+                   regexp_extract(lower(loc),
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                     1) AS host
+            FROM locs WHERE regexp_matches(loc, '^https?://')),
+      g AS (SELECT url, host FROM h WHERE length(host) > 0
+            GROUP BY url, host),
+      f AS (SELECT url, host, CAST(0 AS INT) AS depth,
+                   CAST(1.0 AS DOUBLE) AS priority,
+                   CAST(0 AS BIGINT) AS fetch_count,
+                   CAST(0 AS INT) AS fail_count,
+                   CAST(NULL AS BIGINT) AS last_fetch_ts,
+                   CAST(NULL AS VARCHAR) AS content_hash,
+                   CAST(86400 AS BIGINT) AS interval_s,
+                   CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+                   'active' AS state
+            FROM g),
+      kv AS (SELECT domain, pos,
+                    lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1))
+                      AS key,
+                    trim(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1))
+                      AS value
+             FROM cl WHERE length(l) > 0),
+      kept AS (SELECT * FROM kv WHERE key <> ''),
+      gs AS (SELECT domain, pos, key, value,
+                    CASE WHEN key = 'user-agent' AND
+                         coalesce(lag(key) OVER (PARTITION BY domain
+                           ORDER BY pos), 'x') <> 'user-agent'
+                         THEN 1 ELSE 0 END AS starts_group
+             FROM kept),
+      gr AS (SELECT domain, pos, key, value,
+                    sum(starts_group) OVER (PARTITION BY domain
+                      ORDER BY pos) AS grp
+             FROM gs),
+      ag AS (SELECT domain, grp, lower(value) AS agent FROM gr
+             WHERE key = 'user-agent' AND grp > 0
+               AND lower(value) IN ('ccbot', '*')),
+      dl AS (SELECT domain, grp, CAST(value AS DOUBLE) AS delay_s
+             FROM gr
+             WHERE key = 'crawl-delay' AND grp > 0
+               AND regexp_matches(value, '^[0-9]+(\.[0-9]+)?$')),
+      hx AS (SELECT domain,
+                    max(CASE WHEN agent = 'ccbot' THEN 1 ELSE 0 END)
+                      AS has_exact
+             FROM ag GROUP BY domain),
+      chosen AS (SELECT ag.domain, ag.grp
+                 FROM ag JOIN hx ON hx.domain = ag.domain
+                 WHERE (hx.has_exact = 1 AND ag.agent = 'ccbot')
+                    OR (hx.has_exact = 0 AND ag.agent = '*')),
+      cd AS (SELECT c.domain, max(dl.delay_s) AS crawl_delay_s
+             FROM chosen c JOIN dl ON dl.domain = c.domain
+               AND dl.grp = c.grp
+             GROUP BY c.domain),
+      bud AS (SELECT domain AS host,
+                     CAST(CASE WHEN crawl_delay_s <= 0
+                               THEN 2147483647
+                               ELSE greatest(1, floor(least(
+                                 2147483647.0,
+                                 600.0 / crawl_delay_s))) END
+                       AS INT) AS cap
+              FROM cd),
+      ranked AS (
+        SELECT f.*, row_number() OVER (PARTITION BY host
+                      ORDER BY priority DESC, url) AS hr
+        FROM f
+        WHERE state = 'active' AND next_fetch_ts <= 1754000000),
+      capped AS (
+        SELECT r.url, r.host, r.depth, r.priority, r.fetch_count,
+               r.fail_count, r.last_fetch_ts, r.content_hash,
+               r.interval_s, r.next_fetch_ts, r.state
+        FROM ranked r LEFT JOIN bud b ON b.host = r.host
+        WHERE r.hr <= least(4, coalesce(b.cap, 4))
+        ORDER BY priority DESC, url LIMIT 20)
+      SELECT * FROM capped ORDER BY url""")))
 }

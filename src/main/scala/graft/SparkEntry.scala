@@ -84,6 +84,7 @@ object SparkEntry {
     "web_hits",
     "crawl_sitemap_parse", "crawl_frontier_seed", "crawl_select_batch",
     "crawl_recrawl", "crawl_admit", "crawl_e2e", "crawl_polite_batch",
+    "crawl_discovery_e2e",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

@@ -395,6 +395,24 @@ private[core] object GraftDdl {
     *    toward the target domain); options 'id', 'text', 'target'
     *    (required, a boolean SQL expression over the table's columns,
     *    e.g. "lang = 'en'").
+    *  - `crawl_seed` → [[graft.operators.CrawlFrontier.seed]] (URL
+    *    rows → the 11-column frontier contract); options 'url', 'now'
+    *    (required, epoch seconds — explicit for deterministic
+    *    replays, like every crawl op), 'interval', 'priority_col',
+    *    'interval_col', 'depth'.
+    *  - `crawl_select` → [[graft.operators.CrawlFrontier.selectBatch]]
+    *    (the politeness-bounded fetch batch); options 'now',
+    *    'batch_size', 'per_host_cap' (all required), 'budgets' (a
+    *    (host, cap) table, e.g. politenessBudgets output).
+    *  - `crawl_recrawl` →
+    *    [[graft.operators.CrawlFrontier.recrawlSchedule]] (the whole
+    *    frontier under the revisit law); options 'fetched' (required,
+    *    the fetch-results table), 'min_interval', 'max_interval',
+    *    'grow', 'shrink', 'max_fails'.
+    *  - `crawl_admit` → [[graft.operators.CrawlFrontier.admit]]
+    *    (admitted discoveries only — an upsert batch); options
+    *    'discovered' (required), 'now' (required), 'max_depth',
+    *    'per_domain_cap', 'interval'.
     *
     * Output schema depends on the op and the table, so like READ
     * SNAPSHOT this resolves to the composed read plan at parse time
@@ -530,14 +548,73 @@ private[core] object GraftDdl {
             "\"lang = 'en'\")"))
         CurationPipeline.dsirScores(df, idCol = id, textCol = text,
           isTarget = org.apache.spark.sql.functions.expr(target))
+      // ---- the crawl-frontier loop (operators/CrawlFrontier). Every
+      // op takes 'now' EXPLICITLY (epoch seconds) — wall-clock inside
+      // a statement would make replays non-deterministic.
+      case "crawl_seed" =>
+        requireKeys(Set("url", "now", "interval", "priority_col",
+          "interval_col", "depth"))
+        graft.operators.CrawlFrontier.seed(df,
+          now = reqLong(stmt, opts, "now"),
+          urlCol = opts.getOrElse("url", "url"),
+          priorityCol = opts.get("priority_col"),
+          intervalCol = opts.get("interval_col"),
+          defaultIntervalS = opts.getOrElse("interval", "86400").toLong,
+          depth = opts.getOrElse("depth", "0").toInt)
+      case "crawl_select" =>
+        requireKeys(Set("now", "batch_size", "per_host_cap", "budgets"))
+        graft.operators.CrawlFrontier.selectBatch(df,
+          now = reqLong(stmt, opts, "now"),
+          batchSize = opts.getOrElse("batch_size", sys.error(
+            s"$stmt: crawl_select requires a 'batch_size' option")).toInt,
+          perHostCap = opts.getOrElse("per_host_cap", sys.error(
+            s"$stmt: crawl_select requires a 'per_host_cap' option"))
+            .toInt,
+          hostBudgets = opts.get("budgets").map(spark.table))
+      case "crawl_recrawl" =>
+        requireKeys(Set("fetched", "min_interval", "max_interval",
+          "grow", "shrink", "max_fails"))
+        val fetched = opts.getOrElse("fetched", sys.error(
+          s"$stmt: crawl_recrawl requires a 'fetched' option (the " +
+            "fetch-results table: url, fetch_ts, status, content_hash)"))
+        graft.operators.CrawlFrontier.recrawlSchedule(df,
+          spark.table(fetched),
+          graft.operators.CrawlFrontier.Revisit(
+            minIntervalS = opts.getOrElse("min_interval", "3600").toLong,
+            maxIntervalS = opts.getOrElse("max_interval",
+              (30L * 86400L).toString).toLong,
+            grow = opts.getOrElse("grow", "2.0").toDouble,
+            shrink = opts.getOrElse("shrink", "2.0").toDouble,
+            maxFails = opts.getOrElse("max_fails", "3").toInt))
+      case "crawl_admit" =>
+        requireKeys(Set("discovered", "now", "max_depth",
+          "per_domain_cap", "interval"))
+        val disc = opts.getOrElse("discovered", sys.error(
+          s"$stmt: crawl_admit requires a 'discovered' option (the " +
+            "discovered-links table: url, depth)"))
+        graft.operators.CrawlFrontier.admit(df, spark.table(disc),
+          now = reqLong(stmt, opts, "now"),
+          maxDepth = opts.getOrElse("max_depth", "8").toInt,
+          perDomainCap = opts.getOrElse("per_domain_cap",
+            Long.MaxValue.toString).toLong,
+          defaultIntervalS = opts.getOrElse("interval", "86400").toLong)
       case other => sys.error(
         s"$stmt: unknown op '$other' (supported: dedup_exact, " +
           "dedup_fuzzy, verdict, split, split_leakage_safe, " +
           "weighted_sample, token_budget, decontaminate, epoch_mix, " +
-          "temperature_mix, pack, shuffle_shard, sample_k, dsir_score)")
+          "temperature_mix, pack, shuffle_shard, sample_k, dsir_score, " +
+          "crawl_seed, crawl_select, crawl_recrawl, crawl_admit)")
     }
     out.queryExecution.logical
   }
+
+  /** An epoch-seconds option the crawl ops REQUIRE (determinism:
+    * wall-clock inside a statement would break replays). */
+  private def reqLong(stmt: String, opts: Map[String, String],
+                      key: String): Long =
+    opts.getOrElse(key, sys.error(
+      s"$stmt: this op requires a '$key' option (epoch seconds — " +
+        "explicit, so replaying the statement is deterministic)")).toLong
 
   /** Parse a 'splits' option ("train:0.8,val:0.1,test:0.1") — shared by
     * the plain and leakage-safe split ops. */

@@ -101,6 +101,25 @@ object Robots {
       .agg(max(col("delay_s")).as("crawl_delay_s"))
   }
 
+  /** `Sitemap:` directives of each domain's robots.txt — the sitemap
+    * DISCOVERY channel (sitemaps.org's robots.txt inclusion; RFC 9309
+    * treats it as an "other record" that belongs to NO group and
+    * applies to all agents, so it extracts independently of UA groups
+    * and even BEFORE the first one — where [[directiveGroups]] would
+    * drop it). Values are absolute URLs per the protocol, emitted
+    * trimmed with their line position (document order). */
+  def sitemapUrls(robots: DataFrame, domainCol: String = "domain",
+                  txtCol: String = "robots_txt"): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("pos", "line")))
+      .select(col("domain"), col("pos"),
+        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+      .select(col("domain"), col("pos"),
+        trim(regexp_extract(col("l"), "(?i)^sitemap\\s*:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(length(col("sitemap_url")) > 0)
+
   /** The line→directive→group pipeline shared by [[parseRules]] and
     * [[crawlDelays]]: CRLF-tolerant split (`\r?\n` — real-world
     * robots.txt is frequently CRLF; WARC payloads are CRLF by spec,

@@ -191,6 +191,21 @@ class CrawlFrontierSpec extends SparkSpec {
     got shouldBe Map("a.ex" -> 60.0, "b.ex" -> 0.5, "e.ex" -> 7.0)
   }
 
+  test("sitemapUrls: Sitemap directives extract group-independently, case-insensitively, in document order") {
+    import graft.functions.Robots
+    val robots = Seq(
+      // before any UA group, after one, multiple, lowercase key,
+      // comment-stripped, and one domain with none
+      ("a.ex", "Sitemap: https://a.ex/pre.xml\nUser-agent: *\n" +
+        "Disallow: /x\nsitemap: https://a.ex/post.xml # main map"),
+      ("b.ex", "User-agent: *\nAllow: /")).toDF("domain", "robots_txt")
+    val got = Robots.sitemapUrls(robots)
+      .orderBy("domain", "pos").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    got shouldBe Array(
+      ("a.ex", "https://a.ex/pre.xml"), ("a.ex", "https://a.ex/post.xml"))
+  }
+
   test("politenessBudgets + selectBatch: a declared delay tightens the per-host cap, never widens it") {
     val delays = Seq(("slow.ex", 300.0), ("fast.ex", 0.5),
       ("zero.ex", 0.0), ("tiny.ex", 1e-9))

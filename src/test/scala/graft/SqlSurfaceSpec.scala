@@ -742,6 +742,70 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("CURATE TABLE no_such_table USING dedup_exact").collect())
   }
 
+  test("CURATE TABLE crawl ops: seed/select/recrawl/admit dispatch to the frontier functions with parity") {
+    import graft.operators.CrawlFrontier
+    import graft.operators.CrawlFrontier.Revisit
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    spark.createDataFrame(Seq(
+        Tuple1("https://A.Example/p?utm_source=x"),
+        Tuple1("https://a.example/p"),
+        Tuple1("https://b.example/q"),
+        Tuple1("ftp://no"))).toDF("url")
+      .createOrReplaceTempView("crawl_sql_urls")
+    val seeded = spark.sql(
+      """CURATE TABLE crawl_sql_urls USING crawl_seed
+        |WITH ('now' = '1000', 'interval' = '600')""".stripMargin)
+    rowsOf(seeded) shouldBe rowsOf(CrawlFrontier.seed(
+      spark.table("crawl_sql_urls"), now = 1000L,
+      defaultIntervalS = 600L))
+    seeded.createOrReplaceTempView("crawl_sql_frontier")
+
+    rowsOf(spark.sql(
+      """CURATE TABLE crawl_sql_frontier USING crawl_select
+        |WITH ('now' = '1000', 'batch_size' = '2',
+        |      'per_host_cap' = '1')""".stripMargin)) shouldBe
+      rowsOf(CrawlFrontier.selectBatch(
+        spark.table("crawl_sql_frontier"), 1000L, 2, 1))
+
+    spark.createDataFrame(Seq(
+        ("https://a.example/p", 2000L, 200, "h")))
+      .toDF("url", "fetch_ts", "status", "content_hash")
+      .createOrReplaceTempView("crawl_sql_fetched")
+    rowsOf(spark.sql(
+      """CURATE TABLE crawl_sql_frontier USING crawl_recrawl
+        |WITH ('fetched' = 'crawl_sql_fetched',
+        |      'min_interval' = '100', 'max_interval' = '10000')"""
+        .stripMargin)) shouldBe
+      rowsOf(CrawlFrontier.recrawlSchedule(
+        spark.table("crawl_sql_frontier"),
+        spark.table("crawl_sql_fetched"),
+        Revisit(minIntervalS = 100L, maxIntervalS = 10000L)))
+
+    spark.createDataFrame(Seq(
+        ("https://a.example/new", 1), ("https://a.example/p", 1)))
+      .toDF("url", "depth")
+      .createOrReplaceTempView("crawl_sql_disc")
+    val adm = spark.sql(
+      """CURATE TABLE crawl_sql_frontier USING crawl_admit
+        |WITH ('discovered' = 'crawl_sql_disc', 'now' = '1000',
+        |      'max_depth' = '3')""".stripMargin)
+    rowsOf(adm) shouldBe rowsOf(CrawlFrontier.admit(
+      spark.table("crawl_sql_frontier"), spark.table("crawl_sql_disc"),
+      1000L, maxDepth = 3))
+    // the already-known url is anti-joined away, the new one admitted
+    adm.collect().map(_.getString(0)) shouldBe
+      Array("https://a.example/new")
+
+    // 'now' is required on every crawl op — a wall-clock default would
+    // make statement replays non-deterministic
+    intercept[Exception](spark.sql(
+      """CURATE TABLE crawl_sql_frontier USING crawl_select
+        |WITH ('batch_size' = '2', 'per_host_cap' = '1')""".stripMargin))
+      .getMessage should include("'now'")
+  }
+
   test("READ SNAPSHOT reads CDC snapshots from SQL: live, time travel, tombstones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
