@@ -1,0 +1,503 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{CrawlFrontier, WebGraph}
+
+/** The crawl back half — what happens to URLs and the link graph AFTER
+  * fetch: redirect-chain resolution (pointer doubling), rel=canonical
+  * extraction, graph contraction through the resolved mapping, the
+  * host/domain-level graph, TrustRank seed propagation, and crawler-
+  * trap detection. Fixtures synthesize deterministically from
+  * `documents` (the web-family convention); every oracle replays the
+  * IDENTICAL law — the redirect walk as a bounded recursive CTE, the
+  * regex chains verbatim — in DuckDB SQL. */
+object QueriesWeb {
+  import Queries.Q
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** u(i) — the shared redirect-fixture URL spelling. */
+  private def u(e: Column): Column =
+    concat(lit("https://r.example.com/p/"), e.cast("string"))
+
+  /** The shared redirect fixture: per doc_id i (mod 5) —
+    * 0: → i+1 (a 2-hop chain head), 1: → i+3 (1 hop to a terminal),
+    * 2: → i (self-loop cycle), 3: mutual 2-cycles (i%10==3 → i+5,
+    * i%10==8 → i-5), 4: terminal (no redirect). i%20==0 adds a
+    * SECOND dst for the same src — the min(dst) collapse law's
+    * fixture. Chain heads at the corpus edge resolve early (their
+    * target falls outside the src set) — both engines share the law,
+    * so the boundary is covered, not avoided. */
+  private def redirectEdges(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val dst = when(d % 5 === 0, u(d + 1))
+      .when(d % 5 === 1, u(d + 3))
+      .when(d % 5 === 2, u(d))
+      .when(d % 10 === 3, u(d + 5))
+      .otherwise(u(d - 5))
+    docs.filter(d % 5 =!= 4)
+      .select(u(d).as("src"), dst.as("dst"))
+      .unionByName(docs.filter(d % 20 === 0)
+        .select(u(d).as("src"), u(d + 2).as("dst")))
+  }
+
+  /** The DuckDB replay of [[redirectEdges]] + the bounded walk:
+    * CTEs `m(u, v)` (the min-collapsed redirect map), `walk` (the
+    * recursive chain, hop-capped at `hopBudget`) and `term(u, cur,
+    * h)` (the unique terminal row per chain, absent when unresolved).
+    * Callers prepend WITH RECURSIVE. */
+  private def redirectWalkSql(hopBudget: Int): String =
+    s"""e0 AS (
+        SELECT 'https://r.example.com/p/' || doc_id AS src,
+               'https://r.example.com/p/' || (CASE
+                  WHEN doc_id % 5 = 0 THEN doc_id + 1
+                  WHEN doc_id % 5 = 1 THEN doc_id + 3
+                  WHEN doc_id % 5 = 2 THEN doc_id
+                  WHEN doc_id % 10 = 3 THEN doc_id + 5
+                  ELSE doc_id - 5 END) AS dst
+        FROM documents WHERE doc_id % 5 <> 4
+        UNION ALL
+        SELECT 'https://r.example.com/p/' || doc_id,
+               'https://r.example.com/p/' || (doc_id + 2)
+        FROM documents WHERE doc_id % 20 = 0),
+      m AS (SELECT src AS u, min(dst) AS v FROM e0 GROUP BY src),
+      walk AS (
+        SELECT u, v AS cur, 1 AS h FROM m
+        UNION ALL
+        SELECT w.u, m.v, w.h + 1 FROM walk w JOIN m ON m.u = w.cur
+        WHERE w.h < $hopBudget),
+      term AS (SELECT w.u, w.cur, w.h FROM walk w
+               LEFT JOIN m ON m.u = w.cur WHERE m.u IS NULL)"""
+
+  /** The DuckDB spelling of hostOf over an expression `e` — the
+    * UrlOps law replay (text_url_normalize proves the Spark side). */
+  private def hostOfSql(e: String): String =
+    s"""regexp_extract(lower($e),
+       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)', 1)"""
+
+  /** The DuckDB spelling of registeredDomain over a COLUMN named `h`
+    * (the crawl-family domainSql convention). */
+  private def domainOfSql(h: String): String = {
+    val sfx = graft.functions.UrlOps.secondLevelSuffixes
+      .map("'" + _ + "'").mkString(",")
+    s"""CASE WHEN len(string_split($h, '.')) >= 3 AND
+              (string_split($h, '.')[-2] || '.' ||
+               string_split($h, '.')[-1]) IN ($sfx)
+         THEN string_split($h, '.')[-3] || '.' ||
+              string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+         WHEN len(string_split($h, '.')) >= 2
+         THEN string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+         ELSE $h END"""
+  }
+
+  /** One TrustRank power iteration for the web_trustrank oracle
+    * (requires `nodes`, `tv(id, v)`, `e(src,dst)`, `deg(src,deg)` and
+    * `t{k-1}(id, tr)` CTEs): dangling mass from the previous vector,
+    * inflow, then t_k = (1-d)·v + d·(inflow + mass·v). This fixture's
+    * edges never leave the node set, so the engine's out-of-set leak
+    * term is identically zero and the oracle replays dangling mass
+    * only. Literals stay in the engine's IEEE order ((1.0 - 0.85),
+    * never a pre-folded 0.15). */
+  private def trStepSql(k: Int): String = {
+    val p = k - 1
+    s"""d$k AS (SELECT coalesce(sum(t.tr), 0) AS dm
+           FROM t$p t LEFT JOIN deg ON deg.src = t.id
+           WHERE deg.src IS NULL),
+      c$k AS (SELECT e.dst, sum(t.tr / deg.deg) AS inflow
+           FROM e JOIN t$p t ON e.src = t.id
+           JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+      t$k AS (SELECT nodes.id,
+             (1.0 - 0.85) * tv.v +
+             0.85 * (coalesce(c$k.inflow, 0) +
+                     (SELECT dm FROM d$k) * tv.v) AS tr
+           FROM nodes JOIN tv ON tv.id = nodes.id
+           LEFT JOIN c$k ON c$k.dst = nodes.id)"""
+  }
+
+  val web: Seq[(String, Q, Option[String])] = Seq(
+
+    ("web_redirects", (s, dir) => {
+      // redirect-chain resolution by pointer doubling — 2-hop chains,
+      // 1-hop redirects, self-loops, mutual 2-cycles and a dup-src
+      // min(dst) collapse, resolved in 3 doubling rounds (hop budget
+      // 8). The oracle replays the walk law as a bounded recursive
+      // CTE: resolved rows carry the EXACT chain length, unresolved
+      // (cycles) carry the budget and a NULL target.
+      WebGraph.resolveRedirects(redirectEdges(T(s, dir, "documents")),
+          rounds = 3)
+        .orderBy("url")
+    }, Some(s"""
+      WITH RECURSIVE ${redirectWalkSql(8)}
+      SELECT m.u AS url, term.cur AS final_url,
+             CAST(coalesce(term.h, 8) AS INT) AS hops,
+             term.u IS NOT NULL AS resolved
+      FROM m LEFT JOIN term ON term.u = m.u
+      ORDER BY url""")),
+
+    ("web_canonical", (s, dir) => {
+      // rel=canonical extraction (RFC 6596): absolute / root-relative
+      // / page-relative / protocol-relative hrefs in all three quote
+      // styles and both attribute orders, mixed-case tag and rel
+      // value, a non-canonical <link> that must NOT match, and a
+      // two-canonical page where the FIRST wins. The oracle replays
+      // the identical RE2 chain (tag scan → rel filter → href quote
+      // law → the outlinks resolution law).
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val base = concat(lit("https://www.example.com/dir/page"), id,
+        lit(".html"))
+      val tag = when(d % 6 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://c.example.com/x/"),
+          id, lit("\">")))
+        .when(d % 6 === 1, concat(
+          lit("<link href='/canon/"), id, lit("' rel='canonical'>")))
+        .when(d % 6 === 2, concat(
+          lit("<link rel=canonical href=canon-"), id, lit(".html>")))
+        .when(d % 6 === 3, lit("<link rel=\"stylesheet\" href=\"/s.css\">"))
+        .when(d % 6 === 4, concat(
+          lit("<LINK REL=\"Canonical\" HREF=\"//cdn.example.org/c/"),
+          id, lit("\">")))
+        .otherwise(concat(
+          lit("<link rel=\"canonical\" href=\"/first/"), id,
+          lit("\"><link rel=\"canonical\" href=\"/second/"), id,
+          lit("\">")))
+      val html = concat(lit("<html><head><title>T</title>"), tag,
+        lit("</head><body><p>Body with <a href=\"/x\">link</a>.</p>" +
+          "</body></html>"))
+      T(s, dir, "documents").select(d.as("doc_id"),
+          WebGraph.canonicalUrl(html, base).as("canonical"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id,
+               'https://www.example.com/dir/page' || doc_id || '.html'
+                 AS base,
+               '<html><head><title>T</title>' ||
+               (CASE
+                 WHEN doc_id % 6 = 0 THEN
+                   '<link rel="canonical" href="https://c.example.com/x/'
+                     || doc_id || '">'
+                 WHEN doc_id % 6 = 1 THEN
+                   '<link href=''/canon/' || doc_id ||
+                     ''' rel=''canonical''>'
+                 WHEN doc_id % 6 = 2 THEN
+                   '<link rel=canonical href=canon-' || doc_id || '.html>'
+                 WHEN doc_id % 6 = 3 THEN
+                   '<link rel="stylesheet" href="/s.css">'
+                 WHEN doc_id % 6 = 4 THEN
+                   '<LINK REL="Canonical" HREF="//cdn.example.org/c/'
+                     || doc_id || '">'
+                 ELSE '<link rel="canonical" href="/first/' || doc_id ||
+                   '"><link rel="canonical" href="/second/' || doc_id ||
+                   '">' END) ||
+               '</head><body><p>Body with <a href="/x">link</a>.</p>' ||
+               '</body></html>' AS html
+        FROM documents),
+      tg AS (SELECT doc_id, base,
+                    regexp_extract_all(html, '(?is)<link\b[^>]*>') AS tags
+             FROM h),
+      cn AS (SELECT doc_id, base,
+                    list_filter(tags, t -> regexp_matches(t,
+                      '(?is)\brel\s*=\s*["'']?canonical')) AS ct
+             FROM tg),
+      hx AS (SELECT doc_id, base,
+                    regexp_replace(regexp_extract(coalesce(ct[1], ''),
+                      '(?is)\shref\s*=\s*("[^"#]*|''[^''#]*|[^"''\s>#]+)',
+                      1), '^["'']', '') AS hr
+             FROM cn),
+      ctx AS (SELECT doc_id, hr,
+                regexp_extract(base,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS scheme,
+                regexp_extract(base,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS origin,
+                regexp_replace(regexp_replace(base, '[?#].*$', ''),
+                  '/[^/]*$', '/') AS dir
+              FROM hx)
+      SELECT doc_id,
+             CASE WHEN regexp_matches(hr,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN hr
+                  WHEN hr LIKE '//%' THEN scheme || ':' || hr
+                  WHEN hr LIKE '/%' THEN origin || hr
+                  WHEN length(hr) > 0 THEN dir || hr
+                  ELSE '' END AS canonical
+      FROM ctx ORDER BY doc_id""")),
+
+    ("web_contract", (s, dir) => {
+      // link-graph contraction through the resolved redirect mapping:
+      // the synthetic 2-outlink graph rewritten so every endpoint is
+      // its chain's terminal, parallel contracted edges summed into
+      // weight, self-loops dropped. Two mapping joins (AQE broadcasts
+      // the resolved map) + one edge-keyed partial-agg sum; the
+      // oracle replays walk + rewrite + aggregate.
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      val d = col("doc_id")
+      val edges = docs.select(u(d).as("src"),
+        explode(array(u(pmod(d * 3, lit(n))),
+          u(pmod(d * 5 + 1, lit(n))))).as("dst"))
+      val mapping = WebGraph
+        .resolveRedirects(redirectEdges(docs), rounds = 3)
+        .filter(col("resolved"))
+      WebGraph.contractEdges(edges, mapping)
+        .orderBy("src", "dst")
+    }, Some(s"""
+      WITH RECURSIVE ${redirectWalkSql(8)},
+      mp AS (SELECT m.u AS url, term.cur AS fin
+             FROM m JOIN term ON term.u = m.u),
+      ed AS (
+        SELECT 'https://r.example.com/p/' || doc_id AS src,
+               'https://r.example.com/p/' ||
+                 ((doc_id * 3) % (SELECT count(*) FROM documents)) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'https://r.example.com/p/' || doc_id,
+               'https://r.example.com/p/' ||
+                 ((doc_id * 5 + 1) % (SELECT count(*) FROM documents))
+        FROM documents),
+      rw AS (SELECT coalesce(m1.fin, ed.src) AS src,
+                    coalesce(m2.fin, ed.dst) AS dst
+             FROM ed LEFT JOIN mp m1 ON m1.url = ed.src
+                     LEFT JOIN mp m2 ON m2.url = ed.dst)
+      SELECT src, dst, count(*) AS weight
+      FROM rw WHERE src <> dst
+      GROUP BY src, dst ORDER BY src, dst""")),
+
+    ("web_host_graph", (s, dir) => {
+      // page graph → registered-domain graph: cross-domain page edges
+      // collapse onto (domain, domain) with weights, intra-domain
+      // edges (site navigation) drop, unparseable endpoints drop, and
+      // co.uk hosts exercise the 3-label suffix slice. One collapsed-
+      // key aggregate; the projection is per-row codegen.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val j = ((d * 3 + 1) % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val srcU = concat(lit("https://h"), k, lit(".ex"), k,
+        lit(".com/p/"), id)
+      val a = docs.select(srcU.as("src"),
+        concat(lit("https://w.ex"), j, lit(".com/q/"),
+          (d % 50).cast("string")).as("dst"))
+      val b = docs.filter(d % 3 === 0).select(srcU.as("src"),
+        concat(lit("https://a.site"), (d % 2).cast("string"),
+          lit(".co.uk/a/"), id).as("dst"))
+      val c = docs.filter(d % 17 === 0)
+        .select(srcU.as("src"), lit("not a url").as("dst"))
+      WebGraph.hostGraph(a.unionByName(b).unionByName(c),
+          byRegisteredDomain = true)
+        .orderBy("src", "dst")
+    }, Some(s"""
+      WITH ed AS (
+        SELECT 'https://h' || (doc_id % 5) || '.ex' || (doc_id % 5) ||
+                 '.com/p/' || doc_id AS src,
+               'https://w.ex' || ((doc_id * 3 + 1) % 5) || '.com/q/' ||
+                 (doc_id % 50) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'https://h' || (doc_id % 5) || '.ex' || (doc_id % 5) ||
+                 '.com/p/' || doc_id,
+               'https://a.site' || (doc_id % 2) || '.co.uk/a/' || doc_id
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 'https://h' || (doc_id % 5) || '.ex' || (doc_id % 5) ||
+                 '.com/p/' || doc_id, 'not a url'
+        FROM documents WHERE doc_id % 17 = 0),
+      hs AS (SELECT ${hostOfSql("ed.src")} AS sh,
+                    ${hostOfSql("ed.dst")} AS dh
+             FROM ed),
+      dm AS (SELECT ${domainOfSql("sh")} AS src,
+                    ${domainOfSql("dh")} AS dst
+             FROM hs)
+      SELECT src, dst, count(*) AS weight
+      FROM dm
+      WHERE length(src) > 0 AND length(dst) > 0 AND src <> dst
+      GROUP BY src, dst ORDER BY src, dst""")),
+
+    ("web_trustrank", (s, dir) => {
+      // TrustRank (Gyöngyi et al. 2004) over the web_pagerank graph
+      // with every 11th node a trusted seed: 3 iterations of
+      // t = (1-d)·v + d·(Aᵀt + mass·v) where v is uniform over seeds
+      // and the dangling mass redistributes to the SEEDS — nodes no
+      // seed reaches stay at exactly 0. The oracle unrolls the three
+      // iterations (the web_pagerank convention); ranks emit n-scaled
+      // and rounded.
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      val d = col("doc_id")
+      val nodes = docs.select(d.as("id"))
+      val dsts = array(
+        pmod(d * 3, lit(n)),
+        pmod(d * 5 + 1, lit(n)),
+        pmod(d * 7 + 2, lit(n)))
+      val edges = docs.filter(d % 7 =!= 0)
+        .select(d.as("src"), explode(dsts).as("dst"))
+      val seeds = docs.filter(d % 11 === 0).select(d.as("id"))
+      WebGraph.trustRank(nodes, edges, seeds, iters = 3, d = 0.85)
+        .select(col("id"),
+          round(col("trustrank") * n.toDouble, 6).as("tr_scaled"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src,
+                    unnest([(doc_id * 3) % (SELECT count(*) FROM documents),
+                            (doc_id * 5 + 1) % (SELECT count(*) FROM documents),
+                            (doc_id * 7 + 2) % (SELECT count(*) FROM documents)])
+                      AS dst
+             FROM documents WHERE doc_id % 7 <> 0),
+      e AS (SELECT DISTINCT src, dst FROM e0),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+              FROM e GROUP BY src),
+      tv AS (SELECT id,
+                    CASE WHEN id % 11 = 0 THEN 1.0 /
+                      (SELECT count(*) FROM nodes WHERE id % 11 = 0)
+                      ELSE 0.0 END AS v
+             FROM nodes),
+      t0 AS (SELECT id, v AS tr FROM tv),
+      ${Seq(1, 2, 3).map(trStepSql).mkString(",\n      ")}
+      SELECT nodes.id,
+             round(t3.tr * (SELECT n FROM nn), 6) AS tr_scaled
+      FROM nodes JOIN t3 ON t3.id = nodes.id
+      ORDER BY nodes.id""")),
+
+    ("crawl_traps", (s, dir) => {
+      // crawler-trap detection: a calendar family (84 distinct URLs,
+      // one template), a hex-object family and a session-style query
+      // family blow past the per-template fanout cap while 40 small
+      // per-host /about/ buckets stay under it. The template law —
+      // hex runs before digit runs before query values — replays in
+      // the oracle verbatim.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val urls = T(s, dir, "documents").select(explode(array(
+        concat(lit("https://trap.ex.com/cal/2026/"),
+          (d % 12 + 1).cast("string"), lit("/"),
+          (d % 28 + 1).cast("string")),
+        concat(lit("https://ok.ex"), (d % 40).cast("string"),
+          lit(".com/about/"), id),
+        concat(lit("https://cdn.ex.com/obj/deadbeef"), id),
+        concat(lit("https://srch.ex.com/find?q=term"),
+          (d % 300).cast("string"), lit("&page="),
+          (d % 7).cast("string")))).as("url"))
+      CrawlFrontier.trapTemplates(urls, maxPerTemplate = 50)
+        .orderBy("host", "template")
+    }, Some("""
+      WITH u AS (
+        SELECT unnest([
+          'https://trap.ex.com/cal/2026/' || (doc_id % 12 + 1) || '/' ||
+            (doc_id % 28 + 1),
+          'https://ok.ex' || (doc_id % 40) || '.com/about/' || doc_id,
+          'https://cdn.ex.com/obj/deadbeef' || doc_id,
+          'https://srch.ex.com/find?q=term' || (doc_id % 300) ||
+            '&page=' || (doc_id % 7)]) AS url
+        FROM documents),
+      t AS (SELECT url,
+              regexp_extract(lower(url),
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                1) AS host,
+              regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
+            FROM u),
+      tpl AS (SELECT url, host,
+                host || regexp_replace(regexp_replace(regexp_replace(
+                  (CASE WHEN length(p) > 0 THEN p
+                        WHEN length(host) > 0 THEN '/' ELSE '' END),
+                  '[0-9a-fA-F]{8,}', 'H', 'g'),
+                  '[0-9]+', 'D', 'g'),
+                  '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template
+              FROM t WHERE length(host) > 0)
+      SELECT host, template, count(DISTINCT url) AS n_urls
+      FROM tpl GROUP BY host, template
+      HAVING count(DISTINCT url) > 50
+      ORDER BY host, template""")),
+
+    ("crawl_trap_gate", (s, dir) => {
+      // the admission gate: templates flagged over the SEEN URL set
+      // drop matching DISCOVERED URLs (a different calendar year
+      // still matches the trap's template — that is the point), while
+      // under-cap families and fresh hosts pass. Template-keyed
+      // anti-join against the tiny flagged set (broadcast).
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val docs = T(s, dir, "documents")
+      val seen = docs.select(explode(array(
+        concat(lit("https://trap.ex.com/cal/2026/"),
+          (d % 12 + 1).cast("string"), lit("/"),
+          (d % 28 + 1).cast("string")),
+        concat(lit("https://ok.ex"), (d % 40).cast("string"),
+          lit(".com/about/"), id),
+        concat(lit("https://cdn.ex.com/obj/deadbeef"), id))).as("url"))
+      val traps = CrawlFrontier.trapTemplates(seen, maxPerTemplate = 50)
+      val discovered = docs.select(explode(array(
+        concat(lit("https://trap.ex.com/cal/2027/"),
+          (d % 12 + 1).cast("string"), lit("/"),
+          (d % 28 + 1).cast("string")),
+        concat(lit("https://ok.ex"), (d % 40).cast("string"),
+          lit(".com/about/"), (d + 1000).cast("string")),
+        concat(lit("https://cdn.ex.com/obj/cafebabe"), id),
+        concat(lit("https://new.ex.com/fresh/"), id))).as("url"))
+      CrawlFrontier.filterTraps(discovered, traps)
+        .orderBy("url")
+    }, Some("""
+      WITH seen AS (
+        SELECT unnest([
+          'https://trap.ex.com/cal/2026/' || (doc_id % 12 + 1) || '/' ||
+            (doc_id % 28 + 1),
+          'https://ok.ex' || (doc_id % 40) || '.com/about/' || doc_id,
+          'https://cdn.ex.com/obj/deadbeef' || doc_id]) AS url
+        FROM documents),
+      disc AS (
+        SELECT unnest([
+          'https://trap.ex.com/cal/2027/' || (doc_id % 12 + 1) || '/' ||
+            (doc_id % 28 + 1),
+          'https://ok.ex' || (doc_id % 40) || '.com/about/' ||
+            (doc_id + 1000),
+          'https://cdn.ex.com/obj/cafebabe' || doc_id,
+          'https://new.ex.com/fresh/' || doc_id]) AS url
+        FROM documents),
+      tp AS (SELECT url,
+               regexp_extract(lower(url),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                 1) AS host,
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
+             FROM seen),
+      tpl AS (SELECT url, host,
+                host || regexp_replace(regexp_replace(regexp_replace(
+                  (CASE WHEN length(p) > 0 THEN p
+                        WHEN length(host) > 0 THEN '/' ELSE '' END),
+                  '[0-9a-fA-F]{8,}', 'H', 'g'),
+                  '[0-9]+', 'D', 'g'),
+                  '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template
+              FROM tp WHERE length(host) > 0),
+      flagged AS (SELECT template FROM tpl
+                  GROUP BY host, template
+                  HAVING count(DISTINCT url) > 50),
+      dp AS (SELECT url,
+               regexp_extract(lower(url),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                 1) AS h0,
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p0
+             FROM disc),
+      dt AS (SELECT url,
+               CASE WHEN length(h0) > 0 THEN h0 ||
+                 regexp_replace(regexp_replace(regexp_replace(
+                   (CASE WHEN length(p0) > 0 THEN p0
+                         ELSE '/' END),
+                   '[0-9a-fA-F]{8,}', 'H', 'g'),
+                   '[0-9]+', 'D', 'g'),
+                   '([?&][^&#=]*=)[^&#]*', '\1V', 'g')
+                 ELSE '' END AS template
+             FROM dp)
+      SELECT dt.url FROM dt
+      LEFT JOIN flagged f ON f.template = dt.template
+      WHERE f.template IS NULL
+      ORDER BY dt.url"""))
+  )
+}

@@ -18,7 +18,7 @@ object SparkEntry {
       QueriesDataOps.dedup ++ QueriesDataOps.curation ++
       QueriesDataOps.similarity ++
       QueriesDataOps.text ++ QueriesDataOps.multimodal ++
-      QueriesCrawl.crawl
+      QueriesCrawl.crawl ++ QueriesWeb.web
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the reference's §3.1 coaching path end-to-end on deterministic
@@ -85,6 +85,8 @@ object SparkEntry {
     "crawl_sitemap_parse", "crawl_frontier_seed", "crawl_select_batch",
     "crawl_recrawl", "crawl_admit", "crawl_e2e", "crawl_polite_batch",
     "crawl_discovery_e2e",
+    "web_redirects", "web_canonical", "web_contract", "web_host_graph",
+    "web_trustrank", "crawl_traps", "crawl_trap_gate",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

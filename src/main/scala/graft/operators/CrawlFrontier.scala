@@ -307,6 +307,67 @@ object CrawlFrontier {
       lit(1.0) / (col("depth") + 1), lit(defaultIntervalS), now): _*)
   }
 
+  /** URL template — the trap-detection key: the URL's host + path +
+    * query with every varying token collapsed, so the infinite URL
+    * families a crawler trap generates (calendars, session ids,
+    * faceted-search permutations) fall into ONE bucket whose fanout
+    * is countable. The collapse law, in order (each stage RE2-safe
+    * and oracle-replayable): (1) hex runs of >= 8 chars → 'H'
+    * (content hashes, uuids — BEFORE the digit stage, which would
+    * split them), (2) digit runs → 'D', (3) every query-param value
+    * → 'V' (keys survive: `?page=` vs `?sessionid=` are different
+    * templates). Scheme is dropped (http/https twins share a
+    * template); the input should already be canonical
+    * ([[UrlOps.normalizeUrl]]). '' for null/schemeless (the hostOf
+    * convention). Pure per-row codegen. */
+  def urlTemplate(url: Column): Column = {
+    val host = UrlOps.hostOf(url)
+    val pathq = UrlOps.pathOf(url)
+    val hexed = regexp_replace(pathq, "[0-9a-fA-F]{8,}", "H")
+    val digited = regexp_replace(hexed, "[0-9]+", "D")
+    val valued = regexp_replace(digited, "([?&][^&#=]*=)[^&#]*", "$1V")
+    when(length(host) > 0, concat(host, valued)).otherwise(lit(""))
+  }
+
+  /** Detect crawler traps: (host, template) buckets whose DISTINCT-URL
+    * fanout exceeds `maxPerTemplate` — no real content family mints
+    * thousands of spellings of one path shape, but calendar pages,
+    * session-id mirrors and faceted search do, and left unchecked
+    * they eat the whole politeness budget of their host. Input is any
+    * URL frame (typically the frontier ∪ the discovery stream);
+    * returns (host, template, n_urls) for the flagged buckets only.
+    * One template-keyed aggregate with map-side combine (the distinct
+    * folds into the same shuffle); the template itself is per-row
+    * codegen. At 10^10 URLs, maintain the counts incrementally like
+    * admit's existingCounts instead of rescanning. */
+  def trapTemplates(urls: DataFrame, maxPerTemplate: Long,
+                    urlCol: String = "url"): DataFrame = {
+    require(maxPerTemplate >= 1,
+      s"maxPerTemplate must be >= 1: $maxPerTemplate")
+    val u = urls.select(col(urlCol).as("__u"))
+      .withColumn("template", urlTemplate(col("__u")))
+      .filter(length(col("template")) > 0)
+      .withColumn("host", UrlOps.hostOf(col("__u")))
+    u.groupBy(col("host"), col("template"))
+      .agg(countDistinct(col("__u")).as("n_urls"))
+      .filter(col("n_urls") > lit(maxPerTemplate))
+  }
+
+  /** Drop discovered URLs whose template is a flagged trap — the
+    * admission gate that keeps trap families out of the frontier.
+    * `traps` is [[trapTemplates]] output (or the incrementally
+    * maintained equivalent); the join is template-keyed against a
+    * frame that is tiny by construction (flagged buckets only) →
+    * AQE broadcasts it. Column set passes through unchanged. */
+  def filterTraps(discovered: DataFrame, traps: DataFrame,
+                  urlCol: String = "url"): DataFrame = {
+    val t = traps.select(col("template").as("__trap_template"))
+    discovered
+      .withColumn("__tpl", urlTemplate(col(urlCol)))
+      .join(t, col("__tpl") === t("__trap_template"), "left_anti")
+      .drop("__tpl")
+  }
+
   /** One full crawl cycle over a materialized frontier: apply fetch
     * results, then union the admitted discoveries — the new frontier.
     * Store-held frontiers skip this and upsert [[recrawlUpdates]] +

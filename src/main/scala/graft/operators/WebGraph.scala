@@ -177,6 +177,245 @@ object WebGraph {
     } finally { ids.unpersist(); e.unpersist() }
   }
 
+  /** The page's `rel=canonical` target (RFC 6596) resolved against its
+    * own URL — the duplicate-consolidation signal a crawl pipeline
+    * honors before dedup/link analysis (the canonical URL is the
+    * cluster key the SITE declares). First matching `<link>` tag wins
+    * (browsers and crawlers take the first); the tag must carry BOTH
+    * `rel=canonical` (any attribute order, any quote style,
+    * case-insensitive) and an `href`; href values follow the
+    * [[outlinks]] quote law and resolve by the same law
+    * ([[resolve]] — absolute pass, `//` takes the base scheme, `/`
+    * the origin, else the base dir; fragments drop). Returns '' when
+    * the page declares no canonical (regexp_extract's no-match
+    * convention). Pure codegen'd RE2-safe chain, oracle-replayable.
+    * Both the tag scan and the base context bind ONCE via the
+    * one-element outer-transform recipe (see [[outlinks]]). */
+  def canonicalUrl(html: Column, baseUrl: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?is)<link\\b[^>]*>"), lit(0))
+    val canon = filter(tags, t =>
+      t.rlike("(?is)\\brel\\s*=\\s*[\"']?canonical"))
+    // '' sentinel when no tag matched: element_at over the padded
+    // array is total, and the href extract of '' is '' → resolve('')
+    // = '' (the no-canonical result)
+    val first = element_at(concat(canon, array(lit(""))), 1)
+    val href = regexp_extract(first,
+      "(?is)\\shref\\s*=\\s*(\"[^\"#]*|'[^'#]*|[^\"'\\s>#]+)", 1)
+    element_at(
+      transform(array(struct(baseCtx(baseUrl).as("c"),
+          regexp_replace(href, "^[\"']", "").as("h"))),
+        p => resolve(p("h"), p("c"))),
+      1)
+  }
+
+  /** Resolve redirect chains to their terminal targets by pointer
+    * doubling — the hop between fetch results and every URL-keyed
+    * stage (dedup keys, link-graph contraction, frontier identity):
+    * a 3xx response contributes (url, location) and the pipeline
+    * needs url → FINAL url, chains and cycles included.
+    *
+    * `redirects` is (src, dst) edges; a src with several dsts (rare:
+    * disagreeing fetch attempts) collapses deterministically to
+    * min(dst). The walk law: follow the redirect function until a
+    * node with no outgoing redirect (terminal), giving
+    * (url, final_url, hops, resolved=true); a chain still unresolved
+    * after 2^rounds hops — a cycle, or a chain longer than the
+    * budget — emits (url, NULL, 2^rounds, resolved=false). Hops are
+    * EXACT chain lengths (the doubling invariant: after round k a
+    * row's target is the node min(2^k, dist-to-terminal) steps away),
+    * so the oracle replays the law as a bounded recursive walk.
+    *
+    * Scale shape: `rounds` self-joins of the redirect MAP (only
+    * redirecting pages — a small fraction of any fetched set), each
+    * one equi-shuffle on the moving target, localCheckpointed so the
+    * plan stays flat (an unbroken doubling plan doubles per round);
+    * 2^rounds = 32 hops at the default covers any real redirect
+    * chain (browsers cap at ~20). log-rounds, never per-hop. */
+  def resolveRedirects(redirects: DataFrame, rounds: Int = 5,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16]: $rounds")
+    var m = redirects
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .groupBy(col("u")).agg(min(col("v")).as("v"))
+      .withColumn("h", lit(1L))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val m2 = m.select(col("u").as("u2"), col("v").as("v2"),
+        col("h").as("h2"))
+      m = m.join(m2, m("v") === m2("u2"), "left")
+        .select(m("u"),
+          coalesce(col("v2"), m("v")).as("v"),
+          (m("h") + coalesce(col("h2"), lit(0L))).as("h"))
+        .localCheckpoint(true)
+    }
+    // a row is terminal iff its target has no redirect of its own
+    val srcs = m.select(col("u").as("t"))
+    m.join(srcs, m("v") === srcs("t"), "left")
+      .select(m("u").as("url"),
+        when(col("t").isNull, m("v")).as("final_url"),
+        m("h").cast("int").as("hops"),
+        col("t").isNull.as("resolved"))
+  }
+
+  /** Rewrite a link graph's endpoints through a URL mapping (the
+    * resolved redirect/canonical function) and re-aggregate — the
+    * contraction that makes PageRank/dedup see ONE node per real
+    * page instead of one per spelling. `mapping` is
+    * (url, final_url); endpoints absent from it map to themselves.
+    * Returns (src, dst, weight) with duplicate contracted edges
+    * summed into weight; self-loops (an edge whose two endpoints
+    * contract together — navigation, not endorsement) drop by
+    * default. Two equi-joins against the mapping (tiny next to the
+    * edge set → AQE broadcasts) + one edge-keyed partial-agg sum. */
+  def contractEdges(edges: DataFrame, mapping: DataFrame,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    urlCol: String = "url",
+                    finalCol: String = "final_url",
+                    dropSelfLoops: Boolean = true): DataFrame = {
+    val m = mapping
+      .select(col(urlCol).as("__m_u"), col(finalCol).as("__m_f"))
+      .filter(col("__m_f").isNotNull)
+    val e = edges.select(col(srcCol).as("__e_s"), col(dstCol).as("__e_d"))
+    val rewritten = e
+      .join(m, e("__e_s") === m("__m_u"), "left")
+      .select(coalesce(col("__m_f"), col("__e_s")).as("src"),
+        col("__e_d"))
+      .join(m, col("__e_d") === m("__m_u"), "left")
+      .select(col("src"), coalesce(col("__m_f"), col("__e_d")).as("dst"))
+    val kept = if (dropSelfLoops) rewritten.filter(col("src") =!= col("dst"))
+               else rewritten
+    kept.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Collapse a page-level link graph to the host (or registered-
+    * domain) level: the graph host-quality signals run on — TrustRank
+    * seeds are hosts, spam mass is per-domain, and at 10^11 pages the
+    * host graph is the one that fits analysis budgets (10^7-ish
+    * nodes). Endpoints with no parseable host drop; intra-host edges
+    * (site navigation, not endorsement) drop by default; parallel
+    * page edges sum into weight. One groupBy shuffle on the collapsed
+    * key — the projection is per-row codegen. */
+  def hostGraph(edges: DataFrame, srcCol: String = "src",
+                dstCol: String = "dst",
+                byRegisteredDomain: Boolean = false,
+                dropIntraHost: Boolean = true): DataFrame = {
+    import graft.functions.UrlOps
+    def key(c: Column) = {
+      val h = UrlOps.hostOf(c)
+      if (byRegisteredDomain) UrlOps.registeredDomain(h) else h
+    }
+    val projected = edges.select(key(col(srcCol)).as("src"),
+        key(col(dstCol)).as("dst"))
+      .filter(length(col("src")) > 0 && length(col("dst")) > 0)
+    val kept = if (dropIntraHost) projected.filter(col("src") =!= col("dst"))
+               else projected
+    kept.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    * PageRank with the teleport vector restricted to a vetted seed
+    * set, so trust flows OUT of known-good nodes and spam that no
+    * good node links to scores ~0 — the classic seed-propagation
+    * quality gate a crawl pipeline runs on the host graph.
+    *
+    * Law: v(u) = 1/|S| on seeds, 0 elsewhere; t₀ = v;
+    * t_k(u) = (1-d)·v(u) + d·(inflow(u) + mass_{k-1}·v(u)) where
+    * mass is the dangling rank plus the out-of-set edge leak of
+    * t_{k-1} — the same conservation law as [[pageRank]] but
+    * redistributed to the SEEDS (biased PageRank's dangling
+    * convention), so total mass stays 1 and unreachable nodes stay
+    * at exactly 0 instead of collecting teleport floor.
+    *
+    * Same distributed shape as [[pageRank]]: per iteration one
+    * src-keyed join + one dst-keyed partial-agg sum + ONE
+    * localCheckpoint job carrying the mass scalars as `observe`
+    * metrics. Seeds not in `nodes` are ignored (inner join); empty
+    * effective seed set refuses loudly (the teleport vector would be
+    * all-zero). Returns (id, trustrank). */
+  def trustRank(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                iters: Int = 3, d: Double = 0.85,
+                idCol: String = "id", srcCol: String = "src",
+                dstCol: String = "dst",
+                seedCol: String = "id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(d > 0.0 && d < 1.0, s"damping must be in (0,1): $d")
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col(seedCol).as("sid")).distinct()
+    val seeded = ids.join(sd, ids("id") === sd("sid"), "left")
+      .select(ids("id"), col("sid").isNotNull.as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seeded.filter(col("is_seed")).count().toDouble
+    require(nSeeds > 0,
+      "trustRank: no seed is present in the node set — the teleport " +
+        "vector would be all-zero; pass at least one in-set seed")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lost = e.join(ids, e("dst") === ids("id"), "left_anti")
+      .groupBy(col("src")).agg(count(lit(1)).as("lost_cnt"))
+      .withColumnRenamed("src", "lost_src")
+    // static per-node annotation: teleport weight v, dangling flag,
+    // out-of-set leak fraction — the pageRank recipe with v in place
+    // of the uniform 1/n
+    val flagged = seeded
+      .join(outdeg, seeded("id") === outdeg("src"), "left")
+      .join(lost, seeded("id") === lost("lost_src"), "left")
+      .select(seeded("id"),
+        when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+          .as("v"),
+        col("deg").isNull.as("dangling"),
+        (coalesce(col("lost_cnt"), lit(0L)).cast("double") /
+          coalesce(col("deg"), lit(1L)).cast("double")).as("frac_lost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outdeg.count(); flagged.count()
+    var obsId = 0
+    def materialize(df: DataFrame): (DataFrame, Double) = {
+      obsId += 1
+      val obs = Observation(s"trustrank_mass_$obsId")
+      val out = df.observe(obs,
+          coalesce(sum(when(col("dangling"), col("trustrank"))), lit(0.0))
+            .as("dangling_mass"),
+          coalesce(sum(col("trustrank") * col("frac_lost")), lit(0.0))
+            .as("lost_mass"))
+        .localCheckpoint(true)
+      val mm = obs.get
+      (out, mm("dangling_mass").asInstanceOf[Double] +
+        mm("lost_mass").asInstanceOf[Double])
+    }
+    try {
+      val init = materialize(flagged.select(col("id"), col("v"),
+        col("dangling"), col("frac_lost"), col("v").as("trustrank")))
+      var ranks = init._1
+      var mass = init._2
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(ranks, e("src") === ranks("id"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst"), (col("trustrank") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val t = materialize(flagged
+          .join(contrib, flagged("id") === contrib("dst"), "left")
+          .select(flagged("id"), col("v"), col("dangling"),
+            col("frac_lost"),
+            (lit(1.0 - d) * col("v") +
+              lit(d) * (coalesce(col("inflow"), lit(0.0)) +
+                lit(mass) * col("v"))).as("trustrank")))
+        ranks = t._1; mass = t._2
+      }
+      ranks.select(col("id"), col("trustrank"))
+    } finally {
+      ids.unpersist(); seeded.unpersist(); e.unpersist()
+      outdeg.unpersist(); flagged.unpersist()
+    }
+  }
+
   /** PageRank over (src, dst) edges for the given node set: `iters`
     * power iterations at damping `d`, with ALL leaked mass — the rank
     * on dangling (outdegree-0) nodes AND the rank pushed along edges

@@ -456,4 +456,60 @@ class CrawlFrontierSpec extends SparkSpec {
     out(1).getString(0) shouldBe "https://a.example/q"
     out(1).getLong(4) shouldBe 0L
   }
+
+  // ——— crawler traps ———————————————————————————————————————————————
+
+  test("urlTemplate: hex before digits, query values collapse but keys survive, scheme drops") {
+    def tpl(u: String): String = Seq(u).toDF("u")
+      .select(CrawlFrontier.urlTemplate(col("u"))).as[String].head()
+    tpl("https://h.ex/cal/2026/8/16") shouldBe "h.ex/cal/D/D/D"
+    // the hex run (hash-like) collapses WHOLE, not as digit fragments
+    tpl("https://h.ex/obj/deadbeef1234") shouldBe "h.ex/obj/H"
+    // short hex-ish tokens (< 8) are NOT hashes: digits only
+    tpl("https://h.ex/v2/beef") shouldBe "h.ex/vD/beef"
+    tpl("https://h.ex/find?q=abc&page=4") shouldBe "h.ex/find?q=V&page=V"
+    // http/https twins share a template; ports belong to the host
+    tpl("http://h.ex/p/1") shouldBe tpl("https://h.ex/p/1")
+    tpl("https://h.ex/") shouldBe "h.ex/"
+    tpl("https://h.ex") shouldBe "h.ex/" // pathOf's '/' fallback
+    tpl("not a url") shouldBe ""
+  }
+
+  test("trapTemplates: fanout above the cap flags, at the cap does not; duplicate spellings count once") {
+    val urls = ((1 to 5).map(i => s"https://t.ex/cal/$i/$i") ++
+      (1 to 4).map(i => s"https://t.ex/page/about$i") ++
+      Seq("https://t.ex/cal/1/1", "https://t.ex/cal/2/2")) // dups
+      .toDF("url")
+    val flagged = CrawlFrontier.trapTemplates(urls, maxPerTemplate = 4)
+      .as[(String, String, Long)].collect()
+    flagged.length shouldBe 1
+    flagged.head shouldBe (("t.ex", "t.ex/cal/D/D", 5L)) // distinct, not 7
+    // cap boundary: exactly 4 distinct is NOT a trap
+    CrawlFrontier.trapTemplates(urls, maxPerTemplate = 5)
+      .count() shouldBe 0L
+  }
+
+  test("filterTraps: flagged templates gate discoveries (new values of the same shape), columns pass through") {
+    val seen = (1 to 60).map(i => s"https://t.ex/cal/2026/$i").toDF("url")
+    val traps = CrawlFrontier.trapTemplates(seen, maxPerTemplate = 50)
+    val disc = Seq(
+      ("https://t.ex/cal/2027/9", 3), // NEW year, SAME template → drop
+      ("https://t.ex/about", 3),
+      ("https://fresh.ex/cal/2026/9", 3)) // other host's template → keep
+      .toDF("url", "depth")
+    val kept = CrawlFrontier.filterTraps(disc, traps)
+      .as[(String, Int)].collect().sortBy(_._1)
+    kept.map(_._1).toSeq shouldBe Seq(
+      "https://fresh.ex/cal/2026/9", "https://t.ex/about")
+    kept.map(_._2).distinct.toSeq shouldBe Seq(3) // depth survived
+    // composed with admission: the gate runs BEFORE admit, so trap
+    // rows never consume the domain budget
+    val frontier = CrawlFrontier.seed(
+      Seq("https://t.ex/about").toDF("url"), now = 1000L)
+    val admitted = CrawlFrontier.admit(frontier,
+      CrawlFrontier.filterTraps(disc, traps), now = 1000L)
+      .select("url").as[String].collect().sorted
+    // the trap row never reached admit; /about was already known
+    admitted.toSeq shouldBe Seq("https://fresh.ex/cal/2026/9")
+  }
 }

@@ -643,4 +643,153 @@ class WebCorpusSpec extends SparkSpec {
     val tiny = blocks.find(_._2 == "tiny").get
     tiny._3 shouldBe 0.0
   }
+
+  // ——— the crawl back half: redirects, canonical, contraction ——————
+
+  test("resolveRedirects: chains carry exact hop counts, cycles stay unresolved, dup srcs collapse to min(dst)") {
+    import graft.operators.WebGraph
+    // a→b→c→T, self-loop s, 2-cycle x↔y, and a dup-src d with two
+    // disagreeing targets (min wins: 'e' < 'f')
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "T"),
+      ("s", "s"), ("x", "y"), ("y", "x"),
+      ("d", "f"), ("d", "e")).toDF("src", "dst")
+    val out = WebGraph.resolveRedirects(edges, rounds = 3)
+      .as[(String, Option[String], Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("a") shouldBe ((Some("T"), 3, true))
+    out("b") shouldBe ((Some("T"), 2, true))
+    out("c") shouldBe ((Some("T"), 1, true))
+    out("s") shouldBe ((None, 8, false)) // 2^rounds hop budget spent
+    out("x") shouldBe ((None, 8, false))
+    out("y") shouldBe ((None, 8, false))
+    out("d") shouldBe ((Some("e"), 1, true)) // min(dst) law
+    out.size shouldBe 7 // one row per distinct src, nothing else
+  }
+
+  test("resolveRedirects: a chain longer than the hop budget is unresolved, one more round resolves it") {
+    import graft.operators.WebGraph
+    // linear chain of 9 edges: n0→n1→…→n9 (terminal n9)
+    val chain = (0 until 9).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("src", "dst")
+    val tight = WebGraph.resolveRedirects(chain, rounds = 3)
+      .as[(String, Option[String], Int, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    tight("n0") shouldBe false // 9 hops > 2^3
+    tight("n1") shouldBe true  // 8 hops fit exactly
+    val wide = WebGraph.resolveRedirects(chain, rounds = 4)
+      .as[(String, Option[String], Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    wide("n0") shouldBe ((Some("n9"), 9, true))
+  }
+
+  test("canonicalUrl: attribute orders, quote styles, case, first-wins, and the no-canonical page") {
+    import graft.operators.WebGraph
+    def c(html: String, base: String = "https://w.ex.com/d/p.html") =
+      Seq((html, base)).toDF("h", "b")
+        .select(WebGraph.canonicalUrl(col("h"), col("b")))
+        .as[String].head()
+    c("""<link rel="canonical" href="https://c.ex/x">""") shouldBe
+      "https://c.ex/x"
+    c("""<link href='/a' rel='canonical'>""") shouldBe
+      "https://w.ex.com/a" // href-first, root-relative
+    c("""<link rel=canonical href=q.html>""") shouldBe
+      "https://w.ex.com/d/q.html" // unquoted, page-relative
+    c("""<LINK REL="Canonical" HREF="//cdn.ex/c">""") shouldBe
+      "https://cdn.ex/c" // case-insensitive, protocol-relative
+    c("""<link rel="canonical" href="/one"><link rel="canonical" href="/two">""") shouldBe
+      "https://w.ex.com/one" // first wins
+    c("""<link rel="stylesheet" href="/s.css">""") shouldBe ""
+    c("""<p>no links at all</p>""") shouldBe ""
+    // a canonical-less <link> before the canonical one must not shadow
+    c("""<link rel="icon" href="/i.png"><link rel="canonical" href="/c">""") shouldBe
+      "https://w.ex.com/c"
+  }
+
+  test("contractEdges: endpoints rewrite through the mapping, weights sum, self-loops drop") {
+    import graft.operators.WebGraph
+    val edges = Seq(("a", "x"), ("b", "x"), ("a2", "x2"), ("x", "a"))
+      .toDF("src", "dst")
+    // a2→a, x2→x: the (a2,x2) edge lands on (a,x); x→a maps to itself
+    val mapping = Seq(("a2", "a"), ("x2", "x")).toDF("url", "final_url")
+    val out = WebGraph.contractEdges(edges, mapping)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out(("a", "x")) shouldBe 2L // original + contracted duplicate
+    out(("b", "x")) shouldBe 1L
+    out(("x", "a")) shouldBe 1L
+    out.size shouldBe 3
+    // a mapping that contracts an edge's two ends together → self-loop
+    // dropped by default, kept on demand
+    val loop = Seq(("p", "q")).toDF("src", "dst")
+    val mm = Seq(("p", "z"), ("q", "z")).toDF("url", "final_url")
+    WebGraph.contractEdges(loop, mm).count() shouldBe 0L
+    WebGraph.contractEdges(loop, mm, dropSelfLoops = false)
+      .as[(String, String, Long)].head() shouldBe (("z", "z", 1L))
+  }
+
+  test("hostGraph: pages collapse to hosts or registered domains, intra-host drops, junk drops") {
+    import graft.operators.WebGraph
+    val edges = Seq(
+      ("https://a.ex.com/1", "https://b.ex.org/2"),
+      ("https://a.ex.com/3", "https://b.ex.org/4"),
+      ("https://a.ex.com/5", "https://a.ex.com/6"), // intra-host
+      ("https://a.ex.com/7", "not a url"),
+      ("https://x.news.co.uk/1", "https://a.ex.com/8"))
+      .toDF("src", "dst")
+    val byHost = WebGraph.hostGraph(edges)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    byHost(("a.ex.com", "b.ex.org")) shouldBe 2L
+    byHost(("x.news.co.uk", "a.ex.com")) shouldBe 1L
+    byHost.size shouldBe 2
+    val byDom = WebGraph.hostGraph(edges, byRegisteredDomain = true)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    byDom(("ex.com", "ex.org")) shouldBe 2L
+    byDom(("news.co.uk", "ex.com")) shouldBe 1L // 3-label ccTLD slice
+    // intra-HOST pairs that differ only by subdomain survive the
+    // host graph but become self-loops at domain level — dropped
+    val sub = Seq(("https://a.ex.com/1", "https://b.ex.com/2"))
+      .toDF("src", "dst")
+    WebGraph.hostGraph(sub).count() shouldBe 1L
+    WebGraph.hostGraph(sub, byRegisteredDomain = true).count() shouldBe 0L
+  }
+
+  test("trustRank: mass conserves, unreachable nodes stay at exactly zero, seeds beat spam") {
+    import graft.operators.WebGraph
+    // seed 0 → 1 → 2; spam cluster 3↔4 no seed can reach
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    // enough iterations to converge: the chain's trust sloshes (seed →
+    // chain → dangling mass → seed) with period 3, decaying by d³ per
+    // cycle — the fixpoint is (0.389, 0.330, 0.281, 0, 0)
+    val tr = WebGraph.trustRank(nodes, edges, seeds, iters = 40)
+      .as[(Long, Double)].collect().toMap
+    tr.values.sum shouldBe 1.0 +- 1e-9
+    tr(3L) shouldBe 0.0
+    tr(4L) shouldBe 0.0 // unreachable: EXACTLY zero, no teleport floor
+    tr(0L) should be > tr(1L)
+    tr(1L) should be > tr(2L)
+    tr(0L) shouldBe 0.3885 +- 0.01
+    // dangling + out-of-set leak: node 2 dangles, node 1 also links
+    // outside the set; mass must still sum to 1
+    val leaky = Seq((0L, 1L), (1L, 2L), (1L, 99L)).toDF("src", "dst")
+    val tl = WebGraph.trustRank((0L to 2L).toDF("id"), leaky, seeds,
+      iters = 7).as[(Long, Double)].collect().toMap
+    tl.values.sum shouldBe 1.0 +- 1e-9
+    // seeds outside the node set are ignored; an all-outside seed set
+    // refuses loudly
+    val e2 = Seq((0L, 1L)).toDF("src", "dst")
+    WebGraph.trustRank((0L to 1L).toDF("id"), e2,
+      Seq(0L, 77L).toDF("id"), iters = 2)
+      .as[(Long, Double)].collect().toMap.values.sum shouldBe 1.0 +- 1e-9
+    val err = intercept[IllegalArgumentException] {
+      WebGraph.trustRank((0L to 1L).toDF("id"), e2,
+        Seq(77L).toDF("id"), iters = 2).collect()
+    }
+    err.getMessage should include("seed")
+  }
 }
