@@ -498,6 +498,179 @@ object QueriesWeb {
       SELECT dt.url FROM dt
       LEFT JOIN flagged f ON f.template = dt.template
       WHERE f.template IS NULL
-      ORDER BY dt.url"""))
+      ORDER BY dt.url""")),
+
+    ("web_mirrors", (s, dir) => {
+      // mirror-site detection — two mirror pairs at 80% and 70%
+      // fingerprint overlap (both flag), a 10%-overlap pair and a
+      // no-overlap solo host (both stay silent), and a boilerplate
+      // fingerprint on 102 hosts that the fanout cap excludes from
+      // evidence while still counting in set sizes (the conservative
+      // under-estimate the Scaladoc documents). The oracle replays
+      // distinct → fanout cap → capped self-join → Jaccard verbatim.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val docs = T(s, dir, "documents")
+      def pg(host: String, fp: Column) = docs.select(
+        concat(lit(s"https://$host/p/"), id).as("url"),
+        fp.as("fingerprint"))
+      val pages = pg("m1.ex.com", concat(lit("c"), id))
+        .unionByName(pg("m2.ex.com", when(d % 5 === 0,
+          concat(lit("x"), id)).otherwise(concat(lit("c"), id))))
+        .unionByName(pg("m3.ex.com", concat(lit("d"), id)))
+        .unionByName(pg("m4.ex.com", when(d % 10 === 0,
+          concat(lit("d"), id)).otherwise(concat(lit("y"), id))))
+        .unionByName(pg("m5.ex.com", concat(lit("e"), id)))
+        .unionByName(pg("m6.ex.com", when(d % 10 < 7,
+          concat(lit("e"), id)).otherwise(concat(lit("z"), id))))
+        .unionByName(pg("solo.ex.com", concat(lit("s"), id)))
+        .unionByName(docs.select(
+          concat(lit("https://b"), (d % 100).cast("string"),
+            lit(".ex.com/p/"), id).as("url"),
+          lit("boiler").as("fingerprint")))
+        .unionByName(docs.select(
+          lit("https://m1.ex.com/boiler").as("url"),
+          lit("boiler").as("fingerprint")))
+        .unionByName(docs.select(
+          lit("https://m2.ex.com/boiler").as("url"),
+          lit("boiler").as("fingerprint")))
+      WebGraph.mirrorHosts(pages, minShared = 2, minJaccard = 0.5,
+          maxHostsPerFp = 64)
+        .select(col("host_a"), col("host_b"), col("shared"),
+          col("n_a"), col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("host_a", "host_b")
+    }, Some(s"""
+      WITH pg AS (
+        SELECT 'https://m1.ex.com/p/' || doc_id AS url,
+               'c' || doc_id AS fp FROM documents
+        UNION ALL
+        SELECT 'https://m2.ex.com/p/' || doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'x' || doc_id
+                    ELSE 'c' || doc_id END FROM documents
+        UNION ALL
+        SELECT 'https://m3.ex.com/p/' || doc_id, 'd' || doc_id
+        FROM documents
+        UNION ALL
+        SELECT 'https://m4.ex.com/p/' || doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'd' || doc_id
+                    ELSE 'y' || doc_id END FROM documents
+        UNION ALL
+        SELECT 'https://m5.ex.com/p/' || doc_id, 'e' || doc_id
+        FROM documents
+        UNION ALL
+        SELECT 'https://m6.ex.com/p/' || doc_id,
+               CASE WHEN doc_id % 10 < 7 THEN 'e' || doc_id
+                    ELSE 'z' || doc_id END FROM documents
+        UNION ALL
+        SELECT 'https://solo.ex.com/p/' || doc_id, 's' || doc_id
+        FROM documents
+        UNION ALL
+        SELECT 'https://b' || (doc_id % 100) || '.ex.com/p/' || doc_id,
+               'boiler' FROM documents
+        UNION ALL
+        SELECT 'https://m1.ex.com/boiler', 'boiler' FROM documents
+        UNION ALL
+        SELECT 'https://m2.ex.com/boiler', 'boiler' FROM documents),
+      h AS (SELECT DISTINCT ${hostOfSql("url")} AS host, fp FROM pg),
+      hh AS (SELECT host, fp FROM h WHERE length(host) > 0),
+      sizes AS (SELECT host, count(*) AS n FROM hh GROUP BY host),
+      fan AS (SELECT fp FROM hh GROUP BY fp HAVING count(*) <= 64),
+      ev AS (SELECT hh.host, hh.fp FROM hh JOIN fan USING (fp)),
+      pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                       count(*) AS shared
+                FROM ev a JOIN ev b
+                  ON a.fp = b.fp AND a.host < b.host
+                GROUP BY a.host, b.host),
+      j AS (SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+                   CAST(shared AS DOUBLE) /
+                     CAST(sa.n + sb.n - shared AS DOUBLE) AS jac
+            FROM pairs
+            JOIN sizes sa ON sa.host = pairs.host_a
+            JOIN sizes sb ON sb.host = pairs.host_b)
+      SELECT host_a, host_b, shared, n_a, n_b, round(jac, 6) AS jaccard
+      FROM j WHERE shared >= 2 AND jac >= 0.5
+      ORDER BY host_a, host_b""")),
+
+    ("text_charset_sniff", (s, dir) => {
+      // charset sniffing + decode through the FULL byte path: bodies
+      // ENCODED in utf-8 (BOM'd, with a LYING latin1 header the BOM
+      // must outrank), windows-1252 (via the WHATWG iso-8859-1 alias
+      // absorption — the body carries a cp1252-only curly quote),
+      // meta-declared utf-8 and iso-8859-1, an undeclared ascii
+      // default, and BOM'd utf-16le — written as real WARC shards and
+      // read back via detectCharset/decodeBody. The oracle replays
+      // the fixture CONTRACT (expected charset verdicts, the decoded
+      // strings via chr() codepoints, and the raw byte accounting) —
+      // the engine must actually decode the bytes to match the hash.
+      import s.implicits._
+      import graft.io.Warc
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val raw = ids.map { id =>
+        val url = s"https://cs.ex.com/p/$id"
+        (id % 6).toInt match {
+          // explicit \u escapes: the fixture's point is the BYTES, so
+          // the source file's own encoding must not be load-bearing
+          case 0 => (url,
+            Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+              s"BOM \u00dcn\u00efcode $id".getBytes("UTF-8"),
+            "text/html; charset=iso-8859-1") // lying header: BOM wins
+          case 1 => (url,
+            s"caf\u00e9 \u201cX$id".getBytes("windows-1252"),
+            "text/html; charset=ISO-8859-1")
+          case 2 => (url,
+            s"<meta charset=\"utf-8\"><p>na\u00efve $id</p>"
+              .getBytes("UTF-8"),
+            "text/html")
+          case 3 => (url,
+            ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+              s"charset=iso-8859-1\"><p>Gr\u00f6\u00dfe $id</p>")
+              .getBytes("windows-1252"),
+            "text/html")
+          case 4 => (url, s"plain $id".getBytes("US-ASCII"), "text/plain")
+          case _ => (url,
+            Array(0xFF, 0xFE).map(_.toByte) ++
+              s"utf16 $id".getBytes("UTF-16LE"),
+            "text/html")
+        }
+      }.toDF("url", "body", "content_type")
+      Warc.fromShardsDecoded(Warc.toShardsRaw(raw.repartition(4)))
+        .select(col("target_uri"), col("content_type"), col("charset"),
+          col("body_text").as("text"), col("n_bytes"))
+        .orderBy("target_uri")
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id, doc_id % 6 AS m,
+               'https://cs.ex.com/p/' || doc_id AS target_uri
+        FROM documents),
+      t AS (
+        SELECT target_uri, m,
+          CASE WHEN m = 4 THEN 'text/plain' ELSE 'text/html' END
+            AS content_type,
+          CASE WHEN m = 0 THEN 'utf-8'
+               WHEN m = 1 THEN 'windows-1252'
+               WHEN m = 2 THEN 'utf-8'
+               WHEN m = 3 THEN 'windows-1252'
+               WHEN m = 4 THEN 'utf-8'
+               ELSE 'utf-16le' END AS charset,
+          CASE WHEN m = 0 THEN
+                 'BOM ' || chr(220) || 'n' || chr(239) || 'code ' || doc_id
+               WHEN m = 1 THEN
+                 'caf' || chr(233) || ' ' || chr(8220) || 'X' || doc_id
+               WHEN m = 2 THEN
+                 '<meta charset="utf-8"><p>na' || chr(239) || 've ' ||
+                   doc_id || '</p>'
+               WHEN m = 3 THEN
+                 '<meta http-equiv="Content-Type" content="text/html; ' ||
+                   'charset=iso-8859-1"><p>Gr' || chr(246) || chr(223) ||
+                   'e ' || doc_id || '</p>'
+               WHEN m = 4 THEN 'plain ' || doc_id
+               ELSE 'utf16 ' || doc_id END AS text
+        FROM x)
+      SELECT target_uri, content_type, charset, text,
+             CAST(CASE WHEN m = 0 THEN 3 + octet_length(encode(text))
+                       WHEN m = 2 THEN octet_length(encode(text))
+                       WHEN m = 5 THEN 2 + 2 * length(text)
+                       ELSE length(text) END AS BIGINT) AS n_bytes
+      FROM t ORDER BY target_uri"""))
   )
 }

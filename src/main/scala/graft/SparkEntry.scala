@@ -86,7 +86,8 @@ object SparkEntry {
     "crawl_recrawl", "crawl_admit", "crawl_e2e", "crawl_polite_batch",
     "crawl_discovery_e2e",
     "web_redirects", "web_canonical", "web_contract", "web_host_graph",
-    "web_trustrank", "crawl_traps", "crawl_trap_gate",
+    "web_trustrank", "crawl_traps", "crawl_trap_gate", "web_mirrors",
+    "text_charset_sniff",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

@@ -205,6 +205,179 @@ object Warc {
     }
   }
 
+  /** Split a response record's HTTP content into (status, head, body);
+    * no HTTP head yields (0, "", whole content) — [[parseHttp]]'s law
+    * with the header block kept for charset/content-type sniffing. */
+  def parseHttpFull(content: Array[Byte]): (Int, String, Array[Byte]) = {
+    val sep = "\r\n\r\n".getBytes("US-ASCII")
+    val at = indexOf(content, sep, 0)
+    if (at < 0) return (0, "", content)
+    val head = new String(content, 0, at, "US-ASCII")
+    if (!head.startsWith("HTTP/")) (0, "", content)
+    else {
+      val status = head.split("\r\n").head.split(" ")
+        .lift(1).flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+      (status, head,
+        java.util.Arrays.copyOfRange(content, at + 4, content.length))
+    }
+  }
+
+  /** Case-insensitive HTTP header lookup over a parsed head; '' when
+    * absent (first occurrence wins). */
+  def httpHeader(head: String, name: String): String =
+    head.split("\r\n").iterator.drop(1)
+      .map(_.split(":", 2))
+      .collectFirst { case Array(k, v)
+        if k.trim.equalsIgnoreCase(name) => v.trim }
+      .getOrElse("")
+
+  // ——— charset sniffing (the WHATWG-shaped subset) ————————————————
+
+  /** Canonical name for an encoding label, WHATWG Encoding-spec
+    * aliases for the four families that cover the real web's long
+    * tail head-on: utf-8, windows-1252 (which ABSORBS iso-8859-1/
+    * latin1/ascii labels — the WHATWG rule, because real pages
+    * labeled latin1 use the 0x80–0x9F cp1252 punctuation), utf-16le
+    * (plain 'utf-16' maps here per the spec) and utf-16be. '' for
+    * labels outside the subset — callers fall through to the next
+    * detection stage rather than crash on 'x-mac-cyrillic'. */
+  def canonicalCharset(label: String): String =
+    label.trim.toLowerCase match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
+      case "windows-1252" | "cp1252" | "x-cp1252" | "iso-8859-1" |
+           "iso8859-1" | "iso_8859-1" | "latin1" | "l1" | "ascii" |
+           "us-ascii" | "ansi_x3.4-1968" | "iso-ir-100" |
+           "csisolatin1" => "windows-1252"
+      case "utf-16" | "utf-16le" => "utf-16le"
+      case "utf-16be" => "utf-16be"
+      case _ => ""
+    }
+
+  private val CharsetParam =
+    "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:\\-]+)".r
+  private val MetaCharset =
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)".r
+
+  /** Detect a response body's charset: BOM (which outranks even a
+    * contradicting header — the bytes don't lie) > the Content-Type
+    * `charset=` parameter > a `<meta ... charset=` declaration in the
+    * first 1024 bytes (scanned through a latin-1 view — every charset
+    * this subset decodes is ASCII-compatible in that window) >
+    * utf-8. Unknown labels at any stage fall through to the next.
+    * Returns a [[canonicalCharset]] name. */
+  def detectCharset(contentType: String, body: Array[Byte]): String = {
+    if (body.length >= 3 && body(0) == 0xEF.toByte &&
+        body(1) == 0xBB.toByte && body(2) == 0xBF.toByte) return "utf-8"
+    if (body.length >= 2 && body(0) == 0xFF.toByte &&
+        body(1) == 0xFE.toByte) return "utf-16le"
+    if (body.length >= 2 && body(0) == 0xFE.toByte &&
+        body(1) == 0xFF.toByte) return "utf-16be"
+    val fromHeader = CharsetParam.findFirstMatchIn(contentType)
+      .map(m => canonicalCharset(m.group(1))).getOrElse("")
+    if (fromHeader.nonEmpty) return fromHeader
+    val prefix = new String(body, 0, math.min(1024, body.length),
+      "ISO-8859-1")
+    val fromMeta = MetaCharset.findFirstMatchIn(prefix)
+      .map(m => canonicalCharset(m.group(1))).getOrElse("")
+    if (fromMeta.nonEmpty) fromMeta else "utf-8"
+  }
+
+  /** Decode a body under a [[canonicalCharset]] name: the charset's
+    * own BOM is stripped (it is a signature, not content), malformed
+    * and unmappable sequences REPLACE (U+FFFD) — a 10⁹-page decode
+    * pass must never throw on mojibake. */
+  def decodeBody(body: Array[Byte], charset: String): String = {
+    val (off, jdk) = charset match {
+      case "utf-8" if body.length >= 3 && body(0) == 0xEF.toByte &&
+        body(1) == 0xBB.toByte && body(2) == 0xBF.toByte => (3, "UTF-8")
+      case "utf-8" => (0, "UTF-8")
+      case "utf-16le" if body.length >= 2 && body(0) == 0xFF.toByte &&
+        body(1) == 0xFE.toByte => (2, "UTF-16LE")
+      case "utf-16le" => (0, "UTF-16LE")
+      case "utf-16be" if body.length >= 2 && body(0) == 0xFE.toByte &&
+        body(1) == 0xFF.toByte => (2, "UTF-16BE")
+      case "utf-16be" => (0, "UTF-16BE")
+      case "windows-1252" => (0, "windows-1252")
+      case other => (0, if (other.isEmpty) "UTF-8" else other)
+    }
+    val dec = java.nio.charset.Charset.forName(jdk).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(body, off, body.length - off))
+      .toString
+  }
+
+  /** Byte-level writer face: (url, body BINARY, content_type) rows →
+    * gzip WARC shards — what a real fetcher has in hand (the string
+    * face [[toShards]] is the synthetic-fixture convenience). Same
+    * bounded shard cutting, zero shuffle; null url/body rows skip. */
+  def toShardsRaw(docs: DataFrame,
+                  maxShardBytes: Long = 128L << 20): DataFrame = {
+    require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
+    val schema = StructType(Seq(
+      StructField("shard", BinaryType),
+      StructField("n_records", LongType)))
+    val uIdx = docs.schema.fieldIndex("url")
+    val bIdx = docs.schema.fieldIndex("body")
+    val cIdx = docs.schema.fieldIndex("content_type")
+    docs.mapPartitions { it =>
+      val ds = it.flatMap { r =>
+        if (r.isNullAt(uIdx) || r.isNullAt(bIdx)) None
+        else Some(Doc(r.getString(uIdx), r.getAs[Array[Byte]](bIdx),
+          if (r.isNullAt(cIdx)) "application/octet-stream"
+          else r.getString(cIdx)))
+      }.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = ds.hasNext
+        override def next(): Row = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Doc]
+          var bytes = 0L
+          while (ds.hasNext && (buf.isEmpty ||
+              bytes + ds.head.uri.length + ds.head.body.length
+                <= maxShardBytes)) {
+            val d = ds.next()
+            buf += d
+            bytes += d.uri.length + d.body.length
+          }
+          Row(writeWarcGz(buf.toSeq), buf.length.toLong)
+        }
+      }
+    }(E.row(schema))
+  }
+
+  /** Charset-aware reader face: gzip WARC shards → (target_uri,
+    * http_status, content_type, charset, body_text, n_bytes) with
+    * content_type the lowercased mime sans parameters, charset the
+    * [[detectCharset]] verdict and body_text decoded accordingly —
+    * [[fromShards]] decodes everything as UTF-8, which silently
+    * garbles the latin1/cp1252 half of a real crawl. n_bytes counts
+    * the RAW body (BOM included): the byte accounting a storage
+    * budget needs. Partition-local, zero shuffle. */
+  def fromShardsDecoded(shards: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("target_uri", StringType),
+      StructField("http_status", IntegerType),
+      StructField("content_type", StringType),
+      StructField("charset", StringType),
+      StructField("body_text", StringType),
+      StructField("n_bytes", LongType)))
+    val sIdx = shards.schema.fieldIndex("shard")
+    shards.mapPartitions { it =>
+      it.flatMap { r =>
+        readWarcGz(r.getAs[Array[Byte]](sIdx))
+          .filter(_.warcType == "response")
+          .map { rec =>
+            val (status, head, body) = parseHttpFull(rec.content)
+            val ctRaw = httpHeader(head, "Content-Type")
+            val mime = ctRaw.takeWhile(_ != ';').trim.toLowerCase
+            val cs = detectCharset(ctRaw, body)
+            Row(rec.targetUri, status, mime, cs, decodeBody(body, cs),
+              body.length.toLong)
+          }
+      }
+    }(E.row(schema))
+  }
+
   /** (doc_id, url, text) rows → gzip WARC shards: (shard binary,
     * n_records). Partition-local, zero shuffle; null url/text rows are
     * skipped, never a crash. Shard memory is bounded BY CONSTRUCTION:

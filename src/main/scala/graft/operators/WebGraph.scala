@@ -316,6 +316,64 @@ object WebGraph {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** Mirror-site detection: host pairs whose content-fingerprint sets
+    * overlap past a Jaccard threshold — crawling a mirror twice buys
+    * nothing and dedup downstream pays for it, so the crawl loop wants
+    * the pair list (keep one, demote the other's frontier priority).
+    *
+    * `pages` is (url, fingerprint) — the fingerprint is the caller's
+    * content key (md5 of normalized text, a simhash band, …). Law:
+    * distinct (host, fp) pairs; fingerprints shared by MORE than
+    * `maxHostsPerFp` hosts are excluded from pair EVIDENCE (a
+    * boilerplate fp on ten thousand hosts is not mirror signal, and
+    * unbounded fanout would make the pair join quadratic in the
+    * hottest key) but still count in each host's set SIZE, so the
+    * Jaccard under-estimates — conservative, never inflating; pairs
+    * need `minShared` shared fingerprints and
+    * jaccard = shared / (n_a + n_b − shared) ≥ `minJaccard`.
+    *
+    * Shape: fp-keyed aggregates with map-side combine, one fp-keyed
+    * self-join whose per-key fanout is capped (≤ maxHostsPerFp² pairs
+    * per fp), one pair-keyed sum, two joins against the tiny host-size
+    * frame. Returns (host_a, host_b, shared, n_a, n_b, jaccard) with
+    * host_a < host_b. */
+  def mirrorHosts(pages: DataFrame, urlCol: String = "url",
+                  fpCol: String = "fingerprint",
+                  minShared: Long = 2, minJaccard: Double = 0.5,
+                  maxHostsPerFp: Int = 64): DataFrame = {
+    import graft.functions.UrlOps
+    require(maxHostsPerFp >= 2, s"maxHostsPerFp must be >= 2 (a pair " +
+      s"needs two hosts): $maxHostsPerFp")
+    require(minJaccard >= 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in [0,1]: $minJaccard")
+    val h = pages
+      .select(UrlOps.hostOf(col(urlCol)).as("host"), col(fpCol).as("fp"))
+      .filter(length(col("host")) > 0)
+      .distinct()
+    val sizes = h.groupBy(col("host")).agg(count(lit(1)).as("n"))
+    val fanout = h.groupBy(col("fp")).agg(count(lit(1)).as("nh"))
+    val evid = h.join(
+      fanout.filter(col("nh") <= maxHostsPerFp).select(col("fp")),
+      Seq("fp"))
+    val a = evid.select(col("fp"), col("host").as("host_a"))
+    val b = evid.select(col("fp").as("fp_b"), col("host").as("host_b"))
+    val pairs = a
+      .join(b, col("fp") === col("fp_b") && col("host_a") < col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")),
+        Seq("host_b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("shared") >= lit(minShared) &&
+        col("jaccard") >= lit(minJaccard))
+      .select(col("host_a"), col("host_b"), col("shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
     * PageRank with the teleport vector restricted to a vetted seed
     * set, so trust flows OUT of known-good nodes and spam that no

@@ -644,6 +644,87 @@ class WebCorpusSpec extends SparkSpec {
     tiny._3 shouldBe 0.0
   }
 
+  // ——— charset sniffing + decode ———————————————————————————————————
+
+  test("detectCharset: BOM outranks a lying header, header outranks meta, unknown labels fall through") {
+    import graft.io.Warc
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "x".getBytes("UTF-8")
+    Warc.detectCharset("text/html; charset=iso-8859-1", bom) shouldBe
+      "utf-8" // the bytes don't lie
+    Warc.detectCharset("text/html; charset=ISO-8859-1",
+      "plain".getBytes("US-ASCII")) shouldBe "windows-1252" // WHATWG alias
+    // header wins over a contradicting meta
+    val metaUtf8 = "<meta charset=\"utf-8\"><p>x</p>".getBytes("US-ASCII")
+    Warc.detectCharset("text/html; charset=latin1", metaUtf8) shouldBe
+      "windows-1252"
+    Warc.detectCharset("text/html", metaUtf8) shouldBe "utf-8"
+    // http-equiv spelling; single quotes; unquoted
+    Warc.detectCharset("", ("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\">").getBytes("US-ASCII"))
+      .shouldBe("windows-1252")
+    Warc.detectCharset("", "<meta charset=utf-8>".getBytes("US-ASCII"))
+      .shouldBe("utf-8")
+    // unknown header label falls through to the meta, then the default
+    Warc.detectCharset("text/html; charset=x-mac-cyrillic", metaUtf8)
+      .shouldBe("utf-8")
+    Warc.detectCharset("text/html; charset=x-mac-cyrillic",
+      "no meta".getBytes("US-ASCII")) shouldBe "utf-8"
+    // a meta BEYOND the first 1024 bytes is invisible (the sniff
+    // window law)
+    val far = (" " * 1100 + "<meta charset=\"utf-8\">").getBytes("US-ASCII")
+    Warc.detectCharset("", far) shouldBe "utf-8" // default, not the meta
+    val farLatin = (" " * 1100 + "<meta charset=\"latin1\">")
+      .getBytes("US-ASCII")
+    Warc.detectCharset("", farLatin) shouldBe "utf-8" // meta NOT seen
+    // utf-16 BOMs
+    Warc.detectCharset("", Array(0xFF, 0xFE).map(_.toByte)) shouldBe
+      "utf-16le"
+    Warc.detectCharset("", Array(0xFE, 0xFF).map(_.toByte)) shouldBe
+      "utf-16be"
+  }
+
+  test("decodeBody: BOMs strip, cp1252 punctuation decodes, malformed bytes replace instead of throwing") {
+    import graft.io.Warc
+    val s0 = "caf\u00e9 \u201cquoted\u201d"
+    Warc.decodeBody(s0.getBytes("windows-1252"), "windows-1252") shouldBe s0
+    val bommed = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "abc".getBytes("UTF-8")
+    Warc.decodeBody(bommed, "utf-8") shouldBe "abc"
+    Warc.decodeBody(Array(0xFF, 0xFE).map(_.toByte) ++
+      "xy".getBytes("UTF-16LE"), "utf-16le") shouldBe "xy"
+    // invalid utf-8 (a bare continuation byte) → U+FFFD, never a throw
+    val bad = Array('a'.toByte, 0x93.toByte, 'b'.toByte)
+    Warc.decodeBody(bad, "utf-8") shouldBe "a\ufffdb"
+    // the same bytes under cp1252 are the curly quote
+    Warc.decodeBody(bad, "windows-1252") shouldBe "a\u201cb"
+  }
+
+  test("fromShardsDecoded: the full byte path round-trips mixed charsets; fromShards would have garbled them") {
+    import graft.io.Warc
+    val cp = "caf\u00e9 \u201cX".getBytes("windows-1252")
+    val rows = Seq(
+      ("https://cs.ex/a", cp, "text/html; charset=ISO-8859-1"),
+      ("https://cs.ex/b",
+        Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "b\u00fck".getBytes("UTF-8"),
+        "text/html"))
+      .toDF("url", "body", "content_type")
+    val out = Warc.fromShardsDecoded(Warc.toShardsRaw(rows))
+      .orderBy("target_uri")
+      .select("target_uri", "content_type", "charset", "body_text",
+        "n_bytes")
+      .as[(String, String, String, String, Long)].collect()
+    out(0) shouldBe (("https://cs.ex/a", "text/html", "windows-1252",
+      "caf\u00e9 \u201cX", cp.length.toLong))
+    out(1) shouldBe (("https://cs.ex/b", "text/html", "utf-8",
+      "b\u00fck", (3 + "b\u00fck".getBytes("UTF-8").length).toLong))
+    // the utf-8-only reader garbles the cp1252 page (the garble is
+    // exactly why the decoded face exists)
+    val naive = Warc.fromShards(Warc.toShardsRaw(rows))
+      .orderBy("target_uri").select("body_text").as[String].head()
+    naive should not be "caf\u00e9 \u201cX"
+  }
+
   // ——— the crawl back half: redirects, canonical, contraction ——————
 
   test("resolveRedirects: chains carry exact hop counts, cycles stay unresolved, dup srcs collapse to min(dst)") {
@@ -754,6 +835,38 @@ class WebCorpusSpec extends SparkSpec {
       .toDF("src", "dst")
     WebGraph.hostGraph(sub).count() shouldBe 1L
     WebGraph.hostGraph(sub, byRegisteredDomain = true).count() shouldBe 0L
+  }
+
+  test("mirrorHosts: overlap flags, the fanout cap excludes boilerplate evidence but keeps it in sizes") {
+    import graft.operators.WebGraph
+    // m1/m2 share 3 of 4 fps; solo shares nothing; 'common' sits on
+    // ALL hosts and must not count as evidence at cap 3 (4 hosts > 3)
+    def rows(host: String, fps: Seq[String]) =
+      fps.map(fp => (s"https://$host/p/$fp", fp))
+    val pages = (rows("m1.ex", Seq("f1", "f2", "f3", "u1", "common")) ++
+      rows("m2.ex", Seq("f1", "f2", "f3", "u2", "common")) ++
+      rows("solo.ex", Seq("q1", "q2", "common")) ++
+      rows("other.ex", Seq("common"))).toDF("url", "fingerprint")
+    val out = WebGraph.mirrorHosts(pages, minShared = 2,
+        minJaccard = 0.4, maxHostsPerFp = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    out.length shouldBe 1
+    val (a, b, shared, na, nb, jac) = out.head
+    (a, b) shouldBe (("m1.ex", "m2.ex"))
+    shared shouldBe 3L // f1,f2,f3 — 'common' capped out of evidence
+    na shouldBe 5L; nb shouldBe 5L // but still counted in sizes
+    jac shouldBe 3.0 / 7.0 +- 1e-12
+    // duplicate spellings of one (host, fp) count once
+    val dup = (rows("d1.ex", Seq("g1", "g1", "g2")) ++
+      rows("d2.ex", Seq("g1", "g2"))).toDF("url", "fingerprint")
+    val d2 = WebGraph.mirrorHosts(dup, minShared = 2, minJaccard = 0.5)
+      .as[(String, String, Long, Long, Long, Double)].head()
+    d2._3 shouldBe 2L; d2._4 shouldBe 2L // distinct fps, not raw rows
+    // hosts below minShared stay silent even at jaccard 1.0
+    val tiny = (rows("t1.ex", Seq("z1")) ++ rows("t2.ex", Seq("z1")))
+      .toDF("url", "fingerprint")
+    WebGraph.mirrorHosts(tiny, minShared = 2, minJaccard = 0.1)
+      .count() shouldBe 0L
   }
 
   test("trustRank: mass conserves, unreachable nodes stay at exactly zero, seeds beat spam") {
