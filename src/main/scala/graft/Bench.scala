@@ -432,7 +432,7 @@ object Bench {
     // a typo'd family name must fail loudly, not silently run nothing
     // and emit a malformed (trailing-comma) JSON line
     val known = Set("altstar", "contamination", "span", "fuzzy", "lsh",
-      "lshuncapped", "pagerank", "frontier")
+      "lshuncapped", "pagerank", "frontier", "redirects", "mirrors")
     require(families.nonEmpty && families.subsetOf(known),
       s"scaleProbe: unknown families ${(families -- known).mkString(", ")} " +
         s"(known: ${known.toSeq.sorted.mkString(", ")})")
@@ -587,6 +587,67 @@ object Bench {
         // timed by hand so gen/materialize stays excluded
         measured("frontier_cycle") = (sec, cycleRows)
       }
+      // REDIRECT resolution decade: the web_redirects law (2-hop
+      // chains, 1-hop redirects, self-loops, mutual 2-cycles) over an
+      // n-src map at the production rounds=5 (hop budget 32). Each
+      // round is ONE equi-join of the map with itself plus an eager
+      // checkpoint, so work ∝ rounds × map size and the exponent
+      // should sit ≈ 1 — chain LENGTH costs log rounds, never rows.
+      if (families("redirects")) measured("redirects") = timed {
+        val d = col("id")
+        def u(e: org.apache.spark.sql.Column) =
+          concat(lit("https://r.ex/p/"), e.cast("string"))
+        val dst = when(d % 5 === 0, u(d + 1))
+          .when(d % 5 === 1, u(d + 3))
+          .when(d % 5 === 2, u(d))
+          .when(d % 10 === 3, u(d + 5))
+          .otherwise(u(d - 5))
+        val edges = spark.range(n).filter(d % 5 =!= 4)
+          .select(u(d).as("src"), dst.as("dst"))
+        graft.operators.WebGraph.resolveRedirects(edges, rounds = 5)
+          .count()
+      }
+      // MIRROR detection decade: n pages over n/1000 host PAIRS at 80%
+      // fingerprint overlap, plus a boilerplate fp planted on every
+      // pair host AND 100 solo hosts so its fanout exceeds the cap in
+      // BOTH decades (the law must not flip between measurements). The
+      // capped self-join emits one pair per shared fp ⇒ exponent ≈ 1;
+      // uncapped, the boiler fp alone would add C(hosts, 2) pairs.
+      if (families("mirrors")) measured("mirrors") = timed {
+        val pairs = math.max(n / 1000L, 1L)
+        val d = col("id")
+        val pairIdx = pmod(d, lit(pairs))
+        // `/` is TRUE division (double) in Spark SQL — the row→(pair,
+        // side, seq) decomposition needs integer div or the shared
+        // fingerprints never coincide and the probe measures a no-op
+        val side = pmod(floor(d / lit(pairs)).cast("long"), lit(2))
+        val seq = floor(d / lit(2L * pairs)).cast("long")
+        val host = concat(lit("m"), side.cast("string"), lit("-"),
+          pairIdx.cast("string"), lit(".ex"))
+        val fp = when(seq % 10 < 8,
+            concat(lit("c"), pairIdx.cast("string"), lit("-"),
+              seq.cast("string")))
+          .otherwise(concat(lit("u"), side.cast("string"), lit("-"),
+            pairIdx.cast("string"), lit("-"), seq.cast("string")))
+        val pages = spark.range(n).select(
+            concat(lit("https://"), host, lit("/p/"), d.cast("string"))
+              .as("url"), fp.as("fingerprint"))
+          .unionByName(spark.range(2L * pairs).select(
+            concat(lit("https://m"), pmod(d, lit(2)).cast("string"),
+              lit("-"), (d / 2).cast("string"), lit(".ex/boiler"))
+              .as("url"), lit("boiler").as("fingerprint")))
+          .unionByName(spark.range(100).select(
+            concat(lit("https://bb"), d.cast("string"), lit(".ex/x"))
+              .as("url"), lit("boiler").as("fingerprint")))
+        graft.operators.WebGraph.mirrorHosts(pages, minShared = 2,
+          minJaccard = 0.3, maxHostsPerFp = 64).count()
+      }
+      // a degenerate mirror corpus (no pair flags) would time the
+      // joins against near-empty evidence — refuse to report it
+      if (families("mirrors"))
+        require(measured("mirrors")._2 > 0,
+          "mirrors probe flagged ZERO pairs — the corpus is degenerate " +
+            "and the measured cost is not the operator's")
       if (families("pagerank")) measured("pagerank") = timed {
         val nodes = spark.range(n).toDF("id")
         val edges = spark.range(n).toDF("id")

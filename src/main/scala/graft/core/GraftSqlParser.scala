@@ -598,12 +598,27 @@ private[core] object GraftDdl {
           perDomainCap = opts.getOrElse("per_domain_cap",
             Long.MaxValue.toString).toLong,
           defaultIntervalS = opts.getOrElse("interval", "86400").toLong)
+      case "crawl_traps" =>
+        requireKeys(Set("url", "max_per_template"))
+        graft.operators.CrawlFrontier.trapTemplates(df,
+          maxPerTemplate = opts.getOrElse("max_per_template", sys.error(
+            s"$stmt: crawl_traps requires a 'max_per_template' option"))
+            .toLong,
+          urlCol = opts.getOrElse("url", "url"))
+      case "crawl_trap_gate" =>
+        requireKeys(Set("url", "traps"))
+        val traps = opts.getOrElse("traps", sys.error(
+          s"$stmt: crawl_trap_gate requires a 'traps' option (the " +
+            "flagged-templates table: host, template, n_urls)"))
+        graft.operators.CrawlFrontier.filterTraps(df,
+          spark.table(traps), urlCol = opts.getOrElse("url", "url"))
       case other => sys.error(
         s"$stmt: unknown op '$other' (supported: dedup_exact, " +
           "dedup_fuzzy, verdict, split, split_leakage_safe, " +
           "weighted_sample, token_budget, decontaminate, epoch_mix, " +
           "temperature_mix, pack, shuffle_shard, sample_k, dsir_score, " +
-          "crawl_seed, crawl_select, crawl_recrawl, crawl_admit)")
+          "crawl_seed, crawl_select, crawl_recrawl, crawl_admit, " +
+          "crawl_traps, crawl_trap_gate)")
     }
     out.queryExecution.logical
   }

@@ -65,16 +65,26 @@ object StreamingOps {
     * `robotsRules` is [[graft.functions.Robots.parseRules]] output
     * keyed by HOST (robots.txt is per-origin); when given, pages whose
     * (host, path+query) the agent's rules disallow are dropped before
-    * any text work. */
+    * any text work. `decodeCharsets` swaps the shard parse to the
+    * charset-sniffing reader ([[graft.io.Warc.fromShardsDecoded]]:
+    * BOM > header > meta > utf-8, cp1252 alias absorption) — still a
+    * stateless partition-local map, so the stream stays legal; off by
+    * default to keep the utf-8 fast path and curate_web_e2e's oracle
+    * law unchanged. */
   def webIngestStream(shards: DataFrame,
                       cfg: graft.pipeline.CurationPipeline.Config =
                         graft.pipeline.CurationPipeline.Config(),
                       minWords: Int = 1,
                       robotsRules: Option[DataFrame] = None,
-                      agent: String = "*"): DataFrame = {
+                      agent: String = "*",
+                      decodeCharsets: Boolean = false): DataFrame = {
     import graft.functions.{Robots, UrlOps}
     val clean = graft.functions.TextExtraction.stripHtml(col("body_text"))
-    val rows = graft.io.Warc.fromShards(shards)
+    val rows =
+      if (decodeCharsets)
+        graft.io.Warc.fromShardsDecoded(shards)
+          .select(col("target_uri"), col("http_status"), col("body_text"))
+      else graft.io.Warc.fromShards(shards)
     val polite = robotsRules match {
       case Some(rules) =>
         val byDomain = Robots.rulesByDomain(rules, agent)

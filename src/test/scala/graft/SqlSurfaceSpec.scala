@@ -806,6 +806,42 @@ class SqlSurfaceSpec extends SparkSpec {
       .getMessage should include("'now'")
   }
 
+  test("CURATE TABLE trap ops: crawl_traps flags templates and crawl_trap_gate filters with parity") {
+    import graft.operators.CrawlFrontier
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    spark.createDataFrame(
+        (1 to 6).map(i => Tuple1(s"https://t.ex/cal/2026/$i")) ++
+          Seq(Tuple1("https://t.ex/about")))
+      .toDF("url").createOrReplaceTempView("trap_sql_seen")
+    val traps = spark.sql(
+      """CURATE TABLE trap_sql_seen USING crawl_traps
+        |WITH ('max_per_template' = '5')""".stripMargin)
+    rowsOf(traps) shouldBe rowsOf(CrawlFrontier.trapTemplates(
+      spark.table("trap_sql_seen"), maxPerTemplate = 5L))
+    traps.createOrReplaceTempView("trap_sql_flagged")
+
+    spark.createDataFrame(Seq(
+        ("https://t.ex/cal/2027/9", 1), ("https://t.ex/contact", 1)))
+      .toDF("url", "depth").createOrReplaceTempView("trap_sql_disc")
+    val gated = spark.sql(
+      """CURATE TABLE trap_sql_disc USING crawl_trap_gate
+        |WITH ('traps' = 'trap_sql_flagged')""".stripMargin)
+    rowsOf(gated) shouldBe rowsOf(CrawlFrontier.filterTraps(
+      spark.table("trap_sql_disc"), spark.table("trap_sql_flagged")))
+    gated.collect().map(_.getString(0)) shouldBe
+      Array("https://t.ex/contact")
+
+    // required options refuse loudly
+    intercept[Exception](spark.sql(
+      "CURATE TABLE trap_sql_seen USING crawl_traps"))
+      .getMessage should include("'max_per_template'")
+    intercept[Exception](spark.sql(
+      "CURATE TABLE trap_sql_disc USING crawl_trap_gate"))
+      .getMessage should include("'traps'")
+  }
+
   test("READ SNAPSHOT reads CDC snapshots from SQL: live, time travel, tombstones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col

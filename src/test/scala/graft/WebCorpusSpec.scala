@@ -455,6 +455,65 @@ class WebCorpusSpec extends SparkSpec {
     all(out.map(_._2)) should not include "x()"
   }
 
+  test("webIngestStream decodeCharsets: the charset-sniffing parse rides the same stateless chain, batch/stream parity holds") {
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-web-cs-stream").toString
+    val shardDir = s"$base/shards"
+    val cfg = graft.pipeline.CurationPipeline.Config(
+      minTokens = 8, langs = Seq("en"))
+    // cp1252 bodies labeled iso-8859-1 next to plain utf-8 ones — the
+    // curly quote survives ONLY through the sniffing reader
+    val prose = "a clearly english paragraph with plenty of ordinary " +
+      "words in it for the gate"
+    val docs = (1 to 6).map { i =>
+      if (i % 2 == 0)
+        (s"https://cs.example/$i",
+          s"<p>$prose \u201cnumber $i\u201d</p>".getBytes("windows-1252"),
+          "text/html; charset=iso-8859-1")
+      else
+        (s"https://cs.example/$i",
+          s"<p>$prose number $i</p>".getBytes("UTF-8"),
+          "text/html; charset=utf-8")
+    }.toDF("url", "body", "content_type").coalesce(1)
+    graft.io.Warc.toShardsRaw(docs).write.mode("append").parquet(shardDir)
+    val shardSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("n_records",
+        org.apache.spark.sql.types.LongType)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = StreamingOps.webIngestStream(
+        spark.readStream.schema(shardSchema).parquet(shardDir), cfg,
+        decodeCharsets = true)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.select(col("target_uri"), col("text"))
+            .as[(String, String)].collect()
+        }: Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = StreamingOps.webIngestStream(
+        spark.read.parquet(shardDir), cfg, decodeCharsets = true)
+      .select(col("target_uri"), col("text"))
+      .as[(String, String)].collect()
+    out.sortBy(_._1).toSeq shouldBe batch.sortBy(_._1).toSeq
+    out.length shouldBe 6
+    // the cp1252 punctuation decoded, not mojibake'd
+    out.filter(_._1.endsWith("/2")).head._2 should
+      include("\u201cnumber 2\u201d")
+    // the utf-8-only path garbles the same shard (the contrast that
+    // justifies the flag)
+    val naive = StreamingOps.webIngestStream(
+        spark.read.parquet(shardDir), cfg)
+      .select(col("target_uri"), col("text"))
+      .as[(String, String)].collect()
+    naive.filter(_._1.endsWith("/2")).head._2 should
+      not include "\u201cnumber 2\u201d"
+  }
+
   // ——— robots.txt —————————————————————————————————————————————————
 
   test("robots: group structure, most-specific-agent selection, longest-prefix precedence, empty-Disallow idiom") {
