@@ -20,6 +20,8 @@ object QueriesWeb {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  private val T0 = 1754000000L // fixed 'now' (the QueriesCrawl clock)
+
   /** u(i) — the shared redirect-fixture URL spelling. */
   private def u(e: Column): Column =
     concat(lit("https://r.example.com/p/"), e.cast("string"))
@@ -590,6 +592,166 @@ object QueriesWeb {
       SELECT host_a, host_b, shared, n_a, n_b, round(jac, 6) AS jaccard
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
+
+    ("crawl_rescore", (s, dir) => {
+      // the loop closure: link-graph quality re-prioritizes the
+      // frontier. A 7-host frontier with the usual priority spread
+      // gets host scores for k ∈ {0,2,4} (k=6 scored zero, odd hosts
+      // unscored → 0), blended at α=0.5 with on-the-fly max
+      // normalization; every non-priority column passes through
+      // byte-identical. The oracle replays the blend law with the max
+      // as a scalar subquery in the engine's IEEE literal order.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val frontier = T(s, dir, "documents").select(
+        concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"), id)
+          .as("url"),
+        concat(lit("h"), k, lit(".ex"), k, lit(".com")).as("host"),
+        (d % 4).cast("int").as("depth"),
+        ((d * 37 % 100) / lit(100.0)).as("priority"),
+        (d % 5).cast("bigint").as("fetch_count"),
+        lit(0).as("fail_count"),
+        lit(null).cast("long").as("last_fetch_ts"),
+        lit(null).cast("string").as("content_hash"),
+        lit(3600L).as("interval_s"),
+        lit(T0).as("next_fetch_ts"), lit("active").as("state"))
+      val scores = s.range(4).select(
+        concat(lit("h"), (col("id") * 2).cast("string"), lit(".ex"),
+          (col("id") * 2).cast("string"), lit(".com")).as("host"),
+        when(col("id") === 3, lit(0.0))
+          .otherwise((col("id") + 1).cast("double") / lit(1000.0))
+          .as("score"))
+      CrawlFrontier.rescorePriorities(frontier, scores, alpha = 0.5)
+        .select(col("url"), col("host"), round(col("priority"), 6)
+          .as("priority"), col("depth"))
+        .orderBy("url")
+    }, Some(s"""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.ex' || (doc_id % 7) ||
+                 '.com/p/' || doc_id AS url,
+               'h' || (doc_id % 7) || '.ex' || (doc_id % 7) || '.com'
+                 AS host,
+               CAST(doc_id % 4 AS INT) AS depth,
+               (doc_id * 37 % 100) / 100.0 AS priority
+        FROM documents),
+      hs AS (SELECT 'h' || (i * 2) || '.ex' || (i * 2) || '.com' AS host,
+                    CASE WHEN i = 3 THEN 0.0
+                         ELSE CAST(i + 1 AS DOUBLE) / 1000.0 END AS score
+             FROM (SELECT unnest(generate_series(0, 3)) AS i)),
+      mx AS (SELECT max(score) AS m FROM hs)
+      SELECT f.url, f.host,
+             round((1.0 - 0.5) * f.priority +
+               0.5 * (coalesce(hs.score, 0.0) / (SELECT m FROM mx)), 6)
+               AS priority,
+             f.depth
+      FROM f LEFT JOIN hs ON hs.host = f.host
+      ORDER BY f.url""")),
+
+    ("web_graph_e2e", (s, dir) => {
+      // the crawl back half COMPOSED and hash-checked end to end:
+      // redirect map (chains/cycles/dup srcs over 20 hosts) → pointer-
+      // doubling resolution → link-graph contraction through the
+      // resolved mapping → host-level collapse → TrustRank from two
+      // seed hosts (2 iterations). The oracle replays every stage —
+      // the bounded recursive walk, the rewrite, the host collapse,
+      // the teleport iterations — as one CTE chain. Host-level rank
+      // runs on the DISTINCT edge face (a host pair votes once,
+      // however many page links carry it).
+      import graft.functions.UrlOps
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      val d = col("doc_id")
+      def v(e: Column) = concat(lit("https://h"),
+        pmod(e, lit(20L)).cast("string"), lit(".ex"),
+        pmod(e, lit(20L)).cast("string"), lit(".com/p/"), e.cast("string"))
+      val rdst = when(d % 5 === 0, v(d + 1))
+        .when(d % 5 === 1, v(d + 3))
+        .when(d % 5 === 2, v(d))
+        .when(d % 10 === 3, v(d + 5))
+        .otherwise(v(d - 5))
+      val redirects = docs.filter(d % 5 =!= 4)
+        .select(v(d).as("src"), rdst.as("dst"))
+        .unionByName(docs.filter(d % 20 === 0)
+          .select(v(d).as("src"), v(d + 2).as("dst")))
+      val mapping = WebGraph.resolveRedirects(redirects, rounds = 3)
+        .filter(col("resolved"))
+      val pageEdges = docs.select(v(d).as("src"),
+        explode(array(v(pmod(d * 3, lit(n))),
+          v(pmod(d * 5 + 1, lit(n))))).as("dst"))
+      val contracted = WebGraph.contractEdges(pageEdges, mapping)
+      val hostEdges = WebGraph.hostGraph(contracted)
+      val hosts = docs.select(UrlOps.hostOf(v(d)).as("id")).distinct()
+      val nh = hosts.count()
+      val seeds = hosts.filter(col("id").isin("h0.ex0.com", "h1.ex1.com"))
+      WebGraph.trustRank(hosts, hostEdges, seeds, iters = 2, d = 0.85)
+        .select(col("id").as("host"),
+          round(col("trustrank") * nh.toDouble, 6).as("tr_scaled"))
+        .orderBy("host")
+    }, Some(s"""
+      WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+      e0 AS (
+        SELECT 'https://h' || (doc_id % 20) || '.ex' || (doc_id % 20) ||
+                 '.com/p/' || doc_id AS src,
+               'https://h' || (x % 20) || '.ex' || (x % 20) ||
+                 '.com/p/' || x AS dst
+        FROM (SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN doc_id + 1
+                     WHEN doc_id % 5 = 1 THEN doc_id + 3
+                     WHEN doc_id % 5 = 2 THEN doc_id
+                     WHEN doc_id % 10 = 3 THEN doc_id + 5
+                     ELSE doc_id - 5 END AS x
+              FROM documents WHERE doc_id % 5 <> 4)
+        UNION ALL
+        SELECT 'https://h' || (doc_id % 20) || '.ex' || (doc_id % 20) ||
+                 '.com/p/' || doc_id,
+               'https://h' || ((doc_id + 2) % 20) || '.ex' ||
+                 ((doc_id + 2) % 20) || '.com/p/' || (doc_id + 2)
+        FROM documents WHERE doc_id % 20 = 0),
+      m AS (SELECT src AS u, min(dst) AS v FROM e0 GROUP BY src),
+      walk AS (
+        SELECT u, v AS cur, 1 AS h FROM m
+        UNION ALL
+        SELECT w.u, m.v, w.h + 1 FROM walk w JOIN m ON m.u = w.cur
+        WHERE w.h < 8),
+      term AS (SELECT w.u, w.cur FROM walk w
+               LEFT JOIN m ON m.u = w.cur WHERE m.u IS NULL),
+      mp AS (SELECT m.u AS url, term.cur AS fin
+             FROM m JOIN term ON term.u = m.u),
+      ed AS (
+        SELECT 'https://h' || (doc_id % 20) || '.ex' || (doc_id % 20) ||
+                 '.com/p/' || doc_id AS src,
+               'https://h' || (y % 20) || '.ex' || (y % 20) ||
+                 '.com/p/' || y AS dst
+        FROM (SELECT doc_id,
+                unnest([(doc_id * 3) % (SELECT n FROM nn),
+                        (doc_id * 5 + 1) % (SELECT n FROM nn)]) AS y
+              FROM documents)),
+      rw AS (SELECT coalesce(m1.fin, ed.src) AS src,
+                    coalesce(m2.fin, ed.dst) AS dst
+             FROM ed LEFT JOIN mp m1 ON m1.url = ed.src
+                     LEFT JOIN mp m2 ON m2.url = ed.dst),
+      he AS (SELECT DISTINCT
+               ${hostOfSql("src")} AS src,
+               ${hostOfSql("dst")} AS dst
+             FROM rw WHERE src <> dst),
+      e AS (SELECT src, dst FROM he
+            WHERE length(src) > 0 AND length(dst) > 0 AND src <> dst),
+      nodes AS (SELECT DISTINCT 'h' || (doc_id % 20) || '.ex' ||
+                  (doc_id % 20) || '.com' AS id
+                FROM documents),
+      nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+              FROM e GROUP BY src),
+      tv AS (SELECT id, CASE WHEN id IN ('h0.ex0.com', 'h1.ex1.com')
+                 THEN 1.0 / 2 ELSE 0.0 END AS v
+             FROM nodes),
+      t0 AS (SELECT id, v AS tr FROM tv),
+      ${Seq(1, 2).map(trStepSql).mkString(",\n      ")}
+      SELECT nodes.id AS host,
+             round(t2.tr * (SELECT n FROM nh), 6) AS tr_scaled
+      FROM nodes JOIN t2 ON t2.id = nodes.id
+      ORDER BY host""")),
 
     ("text_charset_sniff", (s, dir) => {
       // charset sniffing + decode through the FULL byte path: bodies

@@ -87,7 +87,7 @@ object SparkEntry {
     "crawl_discovery_e2e",
     "web_redirects", "web_canonical", "web_contract", "web_host_graph",
     "web_trustrank", "crawl_traps", "crawl_trap_gate", "web_mirrors",
-    "text_charset_sniff",
+    "text_charset_sniff", "crawl_rescore", "web_graph_e2e",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

@@ -368,6 +368,46 @@ object CrawlFrontier {
       .drop("__tpl")
   }
 
+  /** Re-prioritize frontier rows from a host-level quality signal —
+    * the loop closure where the link graph feeds the crawl back
+    * (PageRank/TrustRank output deciding what gets fetched next, the
+    * Cho–Garcia-Molina–Page crawling-order result). `hostScores` is
+    * (host, score) with score ≥ 0 (trustRank/pageRank output collapsed
+    * to hosts); the law: priority' = (1−α)·priority + α·(score /
+    * max score), so scores normalize to [0,1] on the fly (rank masses
+    * are corpus-size-dependent — 1/n-ish — and would otherwise vanish
+    * next to the depth prior), hosts without a score take 0, and
+    * α blends the static prior with the learned signal. Every other
+    * frontier column passes through byte-identical.
+    *
+    * Shape: ONE scalar aggregate over the (tiny) score frame + one
+    * broadcast join against it — the frontier is never shuffled.
+    * An all-zero/empty score frame refuses loudly (the caller wired
+    * the wrong frame; silently zeroing every priority would reorder a
+    * 10^10-row crawl on garbage). */
+  def rescorePriorities(frontier: DataFrame, hostScores: DataFrame,
+                        alpha: Double = 0.5,
+                        hostCol: String = "host",
+                        scoreCol: String = "score"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val hs = hostScores.select(col(hostCol).as("__rs_host"),
+      col(scoreCol).cast("double").as("__rs_score"))
+    val mx = hs.agg(max(col("__rs_score"))).collect()(0)
+    require(!mx.isNullAt(0) && mx.getDouble(0) > 0.0,
+      "rescorePriorities: the score frame is empty or all-zero — " +
+        "refusing to reorder the frontier on a degenerate signal")
+    val mxv = mx.getDouble(0)
+    val passthrough = frontier.columns.filterNot(_ == "priority")
+      .map(frontier(_))
+    frontier.join(broadcast(hs),
+        frontier("host") === col("__rs_host"), "left")
+      .select((passthrough :+
+        (lit(1.0 - alpha) * frontier("priority") +
+          lit(alpha) * (coalesce(col("__rs_score"), lit(0.0)) / lit(mxv)))
+          .as("priority")): _*)
+      .select(frontierCols.map(col): _*)
+  }
+
   /** One full crawl cycle over a materialized frontier: apply fetch
     * results, then union the admitted discoveries — the new frontier.
     * Store-held frontiers skip this and upsert [[recrawlUpdates]] +

@@ -457,6 +457,38 @@ class CrawlFrontierSpec extends SparkSpec {
     out(1).getLong(4) shouldBe 0L
   }
 
+  test("rescorePriorities: the blend normalizes on the fly, unscored hosts take zero, degenerate scores refuse") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/p"), row("https://b.example/q"),
+      row("https://c.example/r")))
+    val scores = Seq(("a.example", 0.004), ("b.example", 0.001))
+      .toDF("host", "score")
+    val out = CrawlFrontier.rescorePriorities(f, scores, alpha = 0.5)
+      .select(col("host"), col("priority"))
+      .as[(String, Double)].collect().toMap
+    // base priority is 0.5 (row()'s default); max score 0.004
+    out("a.example") shouldBe 0.5 * 0.5 + 0.5 * 1.0 +- 1e-12
+    out("b.example") shouldBe 0.5 * 0.5 + 0.5 * 0.25 +- 1e-12
+    out("c.example") shouldBe 0.5 * 0.5 +- 1e-12 // unscored → 0
+    // every other column passes through byte-identical, order kept
+    CrawlFrontier.rescorePriorities(f, scores).drop("priority")
+      .collect().map(_.toString).sorted shouldBe
+      f.drop("priority").collect().map(_.toString).sorted
+    CrawlFrontier.rescorePriorities(f, scores).columns.toSeq shouldBe
+      f.columns.toSeq
+    // alpha=0 keeps the prior; empty/all-zero score frames refuse
+    CrawlFrontier.rescorePriorities(f, scores, alpha = 0.0)
+      .select("priority").as[Double].collect().toSet shouldBe Set(0.5)
+    intercept[IllegalArgumentException] {
+      CrawlFrontier.rescorePriorities(f,
+        Seq(("a.example", 0.0)).toDF("host", "score"))
+    }.getMessage should include("degenerate")
+    intercept[IllegalArgumentException] {
+      CrawlFrontier.rescorePriorities(f,
+        Seq.empty[(String, Double)].toDF("host", "score"))
+    }.getMessage should include("degenerate")
+  }
+
   // ——— crawler traps ———————————————————————————————————————————————
 
   test("urlTemplate: hex before digits, query values collapse but keys survive, scheme drops") {
