@@ -593,6 +593,78 @@ object QueriesWeb {
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
 
+    ("text_wet_roundtrip", (s, dir) => {
+      // WET (the extracted-text derived format CommonCrawl ships next
+      // to its WARCs): documents as `conversion` records in multi-
+      // member gzip shards — warcinfo head, one member per record,
+      // bounded shard cutting — parsed back to (uri, text). The
+      // oracle replays the identity law: text, UTF-8 byte counts and
+      // uris must survive the framing exactly.
+      import graft.io.Warc
+      val docs = T(s, dir, "documents")
+        .select(concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("url"),
+          col("text").as("payload"))
+        .repartition(4)
+      Warc.fromRecordShards(
+          Warc.toRecordShards(docs, "conversion", "text/plain"),
+          "conversion")
+        .select(col("target_uri"), md5(col("payload")).as("text_md5"),
+          col("n_bytes"))
+        .orderBy(col("target_uri"))
+    }, Some("""
+      SELECT 'https://example.org/doc/' || doc_id AS target_uri,
+             md5(text) AS text_md5,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY target_uri""")),
+
+    ("text_wat_extract", (s, dir) => {
+      // WAT (the metadata derived format): per-fetch JSON envelopes as
+      // `metadata` records — the envelope built with to_json upstream
+      // (the codec stays byte-level), shipped through the gzip shard
+      // framing, read back, and a field re-extracted from the JSON on
+      // the read side. The oracle replays the envelope STRING law
+      // (Spark's compact to_json spelling) and the identity hop.
+      import graft.io.Warc
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val meta = T(s, dir, "documents").select(
+        concat(lit("https://w.ex"), (d % 5).cast("string"),
+          lit(".com/p/"), id).as("url"),
+        when(d % 7 === 0, lit(301)).when(d % 11 === 0, lit(404))
+          .otherwise(lit(200)).as("status"),
+        when(d % 3 === 0, lit("application/pdf"))
+          .otherwise(lit("text/html")).as("mime"),
+        (d % 7).cast("int").as("n_links"))
+      val wat = meta.select(col("url"),
+        to_json(struct(col("url"), col("status"), col("mime"),
+          col("n_links"))).as("payload"))
+        .repartition(4)
+      Warc.fromRecordShards(
+          Warc.toRecordShards(wat, "metadata", "application/json"),
+          "metadata")
+        .select(col("target_uri"), col("payload"),
+          get_json_object(col("payload"), "$.status").cast("int")
+            .as("status"))
+        .orderBy(col("target_uri"))
+    }, Some("""
+      WITH m AS (
+        SELECT 'https://w.ex' || (doc_id % 5) || '.com/p/' || doc_id
+                 AS target_uri,
+               CASE WHEN doc_id % 7 = 0 THEN 301
+                    WHEN doc_id % 11 = 0 THEN 404
+                    ELSE 200 END AS status,
+               CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+                    ELSE 'text/html' END AS mime,
+               doc_id % 7 AS n_links
+        FROM documents)
+      SELECT target_uri,
+             '{"url":"' || target_uri || '","status":' || status ||
+               ',"mime":"' || mime || '","n_links":' || n_links || '}'
+               AS payload,
+             CAST(status AS INT) AS status
+      FROM m ORDER BY target_uri""")),
+
     ("crawl_rescore", (s, dir) => {
       // the loop closure: link-graph quality re-prioritizes the
       // frontier. A 7-host frontier with the usual priority spread

@@ -345,6 +345,96 @@ object Warc {
     }(E.row(schema))
   }
 
+  /** One multi-member gzip shard of NON-response records — the shape
+    * of CommonCrawl's DERIVED formats: WET shards are `conversion`
+    * records whose content is the extracted text (Content-Type
+    * text/plain), WAT shards are `metadata` records whose content is
+    * a JSON envelope (application/json). Same layout laws as
+    * [[writeWarcGz]]: warcinfo first, one gzip member per record,
+    * deterministic ids. */
+  def writeRecordShardGz(recs: Seq[(String, Array[Byte])],
+                         warcType: String,
+                         contentType: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(rec: Array[Byte]): Unit = {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec); gz.finish(); gz.close()
+    }
+    member(record("warcinfo", None,
+      Seq("Content-Type" -> "application/warc-fields"),
+      s"software: graft$Crlf".getBytes("US-ASCII")))
+    recs.foreach { case (uri, payload) =>
+      member(record(warcType, Some(uri),
+        Seq("Content-Type" -> contentType), payload))
+    }
+    out.toByteArray
+  }
+
+  /** (url, payload STRING) rows → gzip shards of `warcType` records —
+    * the derived-format writer face: `toRecordShards(pages,
+    * "conversion", "text/plain")` emits WET, `toRecordShards(meta,
+    * "metadata", "application/json")` emits WAT (build the JSON
+    * envelope with to_json upstream; the codec stays byte-level).
+    * Same bounded shard cutting as [[toShards]] (a partition of any
+    * size emits a SEQUENCE of bounded shards); null rows skip. */
+  def toRecordShards(docs: DataFrame, warcType: String,
+                     contentType: String,
+                     maxShardBytes: Long = 128L << 20): DataFrame = {
+    require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
+    require(warcType.nonEmpty && warcType != "warcinfo",
+      s"warcType must be a non-warcinfo record type: '$warcType'")
+    val schema = StructType(Seq(
+      StructField("shard", BinaryType),
+      StructField("n_records", LongType)))
+    val uIdx = docs.schema.fieldIndex("url")
+    val pIdx = docs.schema.fieldIndex("payload")
+    docs.mapPartitions { it =>
+      val ds = it.flatMap { r =>
+        if (r.isNullAt(uIdx) || r.isNullAt(pIdx)) None
+        else Some((r.getString(uIdx),
+          r.getString(pIdx).getBytes("UTF-8")))
+      }.buffered
+      new Iterator[Row] {
+        override def hasNext: Boolean = ds.hasNext
+        override def next(): Row = {
+          val buf = scala.collection.mutable
+            .ArrayBuffer.empty[(String, Array[Byte])]
+          var bytes = 0L
+          while (ds.hasNext && (buf.isEmpty ||
+              bytes + ds.head._1.length + ds.head._2.length
+                <= maxShardBytes)) {
+            val d = ds.next()
+            buf += d
+            bytes += d._1.length + d._2.length
+          }
+          Row(writeRecordShardGz(buf.toSeq, warcType, contentType),
+            buf.length.toLong)
+        }
+      }
+    }(E.row(schema))
+  }
+
+  /** Gzip shards of `warcType` records → (target_uri, payload,
+    * n_bytes) with the payload decoded as UTF-8 — the WET/WAT reader
+    * face (both derived formats are UTF-8 by construction; raw fetch
+    * bytes live in the WARC, not here). Other record types — the
+    * warcinfo head included — drop. Partition-local, zero shuffle. */
+  def fromRecordShards(shards: DataFrame, warcType: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("target_uri", StringType),
+      StructField("payload", StringType),
+      StructField("n_bytes", LongType)))
+    val sIdx = shards.schema.fieldIndex("shard")
+    shards.mapPartitions { it =>
+      it.flatMap { r =>
+        readWarcGz(r.getAs[Array[Byte]](sIdx))
+          .filter(_.warcType == warcType)
+          .map(rec => Row(rec.targetUri,
+            new String(rec.content, "UTF-8"), rec.content.length.toLong))
+      }
+    }(E.row(schema))
+  }
+
   /** Charset-aware reader face: gzip WARC shards → (target_uri,
     * http_status, content_type, charset, body_text, n_bytes) with
     * content_type the lowercased mime sans parameters, charset the
