@@ -593,6 +593,72 @@ object QueriesWeb {
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
 
+    ("web_mirror_dedup", (s, dir) => {
+      // the composed mirror gate: detect pairs over the web_mirrors
+      // corpus, then drop the dominated hosts' documents — m2, m6 (the
+      // flagged pairs' host_b) lose their pages, everything else
+      // survives intact. Emitted as per-host survivor counts so the
+      // hash checks both directions of the gate.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val docs = T(s, dir, "documents")
+      def pg(host: String, fp: Column) = docs.select(
+        concat(lit(s"https://$host/p/"), id).as("url"),
+        fp.as("fingerprint"))
+      val pages = pg("m1.ex.com", concat(lit("c"), id))
+        .unionByName(pg("m2.ex.com", when(d % 5 === 0,
+          concat(lit("x"), id)).otherwise(concat(lit("c"), id))))
+        .unionByName(pg("m5.ex.com", concat(lit("e"), id)))
+        .unionByName(pg("m6.ex.com", when(d % 10 < 7,
+          concat(lit("e"), id)).otherwise(concat(lit("z"), id))))
+        .unionByName(pg("solo.ex.com", concat(lit("s"), id)))
+      val mirrors = WebGraph.mirrorHosts(pages, minShared = 2,
+        minJaccard = 0.5, maxHostsPerFp = 64)
+      import graft.functions.UrlOps
+      WebGraph.dropMirroredDocs(pages, mirrors)
+        .groupBy(UrlOps.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("host")
+    }, Some(s"""
+      WITH pg AS (
+        SELECT 'https://m1.ex.com/p/' || doc_id AS url,
+               'c' || doc_id AS fp FROM documents
+        UNION ALL
+        SELECT 'https://m2.ex.com/p/' || doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'x' || doc_id
+                    ELSE 'c' || doc_id END FROM documents
+        UNION ALL
+        SELECT 'https://m5.ex.com/p/' || doc_id, 'e' || doc_id
+        FROM documents
+        UNION ALL
+        SELECT 'https://m6.ex.com/p/' || doc_id,
+               CASE WHEN doc_id % 10 < 7 THEN 'e' || doc_id
+                    ELSE 'z' || doc_id END FROM documents
+        UNION ALL
+        SELECT 'https://solo.ex.com/p/' || doc_id, 's' || doc_id
+        FROM documents),
+      h AS (SELECT DISTINCT ${hostOfSql("url")} AS host, fp FROM pg),
+      hh AS (SELECT host, fp FROM h WHERE length(host) > 0),
+      sizes AS (SELECT host, count(*) AS n FROM hh GROUP BY host),
+      fan AS (SELECT fp FROM hh GROUP BY fp HAVING count(*) <= 64),
+      ev AS (SELECT hh.host, hh.fp FROM hh JOIN fan USING (fp)),
+      pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                       count(*) AS shared
+                FROM ev a JOIN ev b ON a.fp = b.fp AND a.host < b.host
+                GROUP BY a.host, b.host),
+      j AS (SELECT host_b FROM pairs
+            JOIN sizes sa ON sa.host = pairs.host_a
+            JOIN sizes sb ON sb.host = pairs.host_b
+            WHERE shared >= 2 AND
+              CAST(shared AS DOUBLE) /
+                CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5),
+      kept AS (SELECT ${hostOfSql("pg.url")} AS host FROM pg
+               LEFT JOIN (SELECT DISTINCT host_b FROM j) dom
+                 ON dom.host_b = ${hostOfSql("pg.url")}
+               WHERE dom.host_b IS NULL)
+      SELECT host, count(*) AS n_docs
+      FROM kept GROUP BY host ORDER BY host""")),
+
     ("text_wet_roundtrip", (s, dir) => {
       // WET (the extracted-text derived format CommonCrawl ships next
       // to its WARCs): documents as `conversion` records in multi-
@@ -824,6 +890,84 @@ object QueriesWeb {
              round(t2.tr * (SELECT n FROM nh), 6) AS tr_scaled
       FROM nodes JOIN t2 ON t2.id = nodes.id
       ORDER BY host""")),
+
+    ("crawl_trap_stats", (s, dir) => {
+      // incrementally maintained trap stats: wave 1 (2026 calendar +
+      // per-host /about/ pages) seeds the stats frame, wave 2 (2027
+      // calendar — SAME template, so the counts SUM — plus a brand-new
+      // host) folds in via updateTrapStats without rescanning wave 1;
+      // the oracle replays both waves' distinct counts and the
+      // full-outer merge, flag included.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val docs = T(s, dir, "documents")
+      val wave1 = docs.select(explode(array(
+        concat(lit("https://trap.ex.com/cal/2026/"),
+          (d % 12 + 1).cast("string"), lit("/"),
+          (d % 28 + 1).cast("string")),
+        concat(lit("https://ok.ex"), (d % 40).cast("string"),
+          lit(".com/about/"), id))).as("url"))
+      val wave2 = docs.select(explode(array(
+        concat(lit("https://trap.ex.com/cal/2027/"),
+          (d % 12 + 1).cast("string"), lit("/"),
+          (d % 28 + 1).cast("string")),
+        concat(lit("https://new.ex.com/fresh/"), id))).as("url"))
+      val stats = CrawlFrontier.updateTrapStats(
+        CrawlFrontier.trapStats(wave1), wave2)
+      stats.select(col("host"), col("template"), col("n_urls"),
+          (col("n_urls") > 100).as("is_trap"))
+        .orderBy("host", "template")
+    }, Some("""
+      WITH w1 AS (
+        SELECT unnest([
+          'https://trap.ex.com/cal/2026/' || (doc_id % 12 + 1) || '/' ||
+            (doc_id % 28 + 1),
+          'https://ok.ex' || (doc_id % 40) || '.com/about/' || doc_id])
+          AS url
+        FROM documents),
+      w2 AS (
+        SELECT unnest([
+          'https://trap.ex.com/cal/2027/' || (doc_id % 12 + 1) || '/' ||
+            (doc_id % 28 + 1),
+          'https://new.ex.com/fresh/' || doc_id]) AS url
+        FROM documents),
+      t1 AS (SELECT url,
+               regexp_extract(lower(url),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                 1) AS host,
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
+             FROM w1),
+      s1 AS (SELECT host,
+               host || regexp_replace(regexp_replace(regexp_replace(
+                 (CASE WHEN length(p) > 0 THEN p ELSE '/' END),
+                 '[0-9a-fA-F]{8,}', 'H', 'g'),
+                 '[0-9]+', 'D', 'g'),
+                 '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template,
+               count(DISTINCT url) AS n
+             FROM t1 WHERE length(host) > 0 GROUP BY 1, 2),
+      t2 AS (SELECT url,
+               regexp_extract(lower(url),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
+                 1) AS host,
+               regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
+             FROM w2),
+      s2 AS (SELECT host,
+               host || regexp_replace(regexp_replace(regexp_replace(
+                 (CASE WHEN length(p) > 0 THEN p ELSE '/' END),
+                 '[0-9a-fA-F]{8,}', 'H', 'g'),
+                 '[0-9]+', 'D', 'g'),
+                 '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template,
+               count(DISTINCT url) AS n
+             FROM t2 WHERE length(host) > 0 GROUP BY 1, 2),
+      mg AS (SELECT coalesce(s1.host, s2.host) AS host,
+                    coalesce(s1.template, s2.template) AS template,
+                    coalesce(s1.n, 0) + coalesce(s2.n, 0) AS n_urls
+             FROM s1 FULL OUTER JOIN s2
+               ON s1.host = s2.host AND s1.template = s2.template)
+      SELECT host, template, n_urls, n_urls > 100 AS is_trap
+      FROM mg ORDER BY host, template""")),
 
     ("text_charset_sniff", (s, dir) => {
       // charset sniffing + decode through the FULL byte path: bodies

@@ -612,13 +612,23 @@ private[core] object GraftDdl {
             "flagged-templates table: host, template, n_urls)"))
         graft.operators.CrawlFrontier.filterTraps(df,
           spark.table(traps), urlCol = opts.getOrElse("url", "url"))
+      case "crawl_rescore" =>
+        requireKeys(Set("scores", "alpha", "host", "score"))
+        val scoresTbl = opts.getOrElse("scores", sys.error(
+          s"$stmt: crawl_rescore requires a 'scores' option (the " +
+            "host-quality table: host, score)"))
+        graft.operators.CrawlFrontier.rescorePriorities(df,
+          spark.table(scoresTbl),
+          alpha = opts.getOrElse("alpha", "0.5").toDouble,
+          hostCol = opts.getOrElse("host", "host"),
+          scoreCol = opts.getOrElse("score", "score"))
       case other => sys.error(
         s"$stmt: unknown op '$other' (supported: dedup_exact, " +
           "dedup_fuzzy, verdict, split, split_leakage_safe, " +
           "weighted_sample, token_budget, decontaminate, epoch_mix, " +
           "temperature_mix, pack, shuffle_shard, sample_k, dsir_score, " +
           "crawl_seed, crawl_select, crawl_recrawl, crawl_admit, " +
-          "crawl_traps, crawl_trap_gate)")
+          "crawl_traps, crawl_trap_gate, crawl_rescore)")
     }
     out.queryExecution.logical
   }

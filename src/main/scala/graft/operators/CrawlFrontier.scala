@@ -329,6 +329,41 @@ object CrawlFrontier {
     when(length(host) > 0, concat(host, valued)).otherwise(lit(""))
   }
 
+  /** Per-(host, template) DISTINCT-URL fanout over a URL frame — the
+    * unfiltered stats face behind [[trapTemplates]], and the frame
+    * [[updateTrapStats]] maintains incrementally so a 10^10-row
+    * frontier is never rescanned. One template-keyed aggregate with
+    * map-side combine; the template is per-row codegen. Returns
+    * (host, template, n_urls). */
+  def trapStats(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = urls.select(col(urlCol).as("__u"))
+      .withColumn("template", urlTemplate(col("__u")))
+      .filter(length(col("template")) > 0)
+      .withColumn("host", UrlOps.hostOf(col("__u")))
+    u.groupBy(col("host"), col("template"))
+      .agg(countDistinct(col("__u")).as("n_urls"))
+  }
+
+  /** Fold an ADMIT batch into a maintained trap-stats frame: the
+    * delta's per-template distinct counts merge by full-outer sum, so
+    * the stats stay exact WITHOUT rescanning the frontier — exactness
+    * rides on the batch being genuinely new URLs, which [[admit]]'s
+    * anti-join guarantees (feeding raw discoveries would double-count
+    * re-sightings). One aggregate over the batch + one stats-keyed
+    * merge join; the frontier itself is never touched. Flag traps off
+    * the maintained frame with `stats.filter(n_urls > cap)` — the
+    * same shape [[trapTemplates]] returns. */
+  def updateTrapStats(stats: DataFrame, admitted: DataFrame,
+                      urlCol: String = "url"): DataFrame = {
+    val delta = trapStats(admitted, urlCol)
+      .withColumnRenamed("n_urls", "__delta")
+    stats.select(col("host"), col("template"), col("n_urls"))
+      .join(delta, Seq("host", "template"), "full_outer")
+      .select(col("host"), col("template"),
+        (coalesce(col("n_urls"), lit(0L)) +
+          coalesce(col("__delta"), lit(0L))).as("n_urls"))
+  }
+
   /** Detect crawler traps: (host, template) buckets whose DISTINCT-URL
     * fanout exceeds `maxPerTemplate` — no real content family mints
     * thousands of spellings of one path shape, but calendar pages,
@@ -336,21 +371,13 @@ object CrawlFrontier {
     * they eat the whole politeness budget of their host. Input is any
     * URL frame (typically the frontier ∪ the discovery stream);
     * returns (host, template, n_urls) for the flagged buckets only.
-    * One template-keyed aggregate with map-side combine (the distinct
-    * folds into the same shuffle); the template itself is per-row
-    * codegen. At 10^10 URLs, maintain the counts incrementally like
-    * admit's existingCounts instead of rescanning. */
+    * At 10^10 URLs, maintain the counts incrementally via
+    * [[updateTrapStats]] instead of rescanning. */
   def trapTemplates(urls: DataFrame, maxPerTemplate: Long,
                     urlCol: String = "url"): DataFrame = {
     require(maxPerTemplate >= 1,
       s"maxPerTemplate must be >= 1: $maxPerTemplate")
-    val u = urls.select(col(urlCol).as("__u"))
-      .withColumn("template", urlTemplate(col("__u")))
-      .filter(length(col("template")) > 0)
-      .withColumn("host", UrlOps.hostOf(col("__u")))
-    u.groupBy(col("host"), col("template"))
-      .agg(countDistinct(col("__u")).as("n_urls"))
-      .filter(col("n_urls") > lit(maxPerTemplate))
+    trapStats(urls, urlCol).filter(col("n_urls") > lit(maxPerTemplate))
   }
 
   /** Drop discovered URLs whose template is a flagged trap — the
@@ -367,6 +394,37 @@ object CrawlFrontier {
       .join(t, col("__tpl") === t("__trap_template"), "left_anti")
       .drop("__tpl")
   }
+
+  /** Persist a frontier partitioned by next-fetch DAY — the layout
+    * that turns [[selectBatch]]'s due filter into PARTITION PRUNING:
+    * at 10^10 rows the due slice is a handful of day directories, so
+    * the scheduling scan reads due rows, not the frontier (until now
+    * this was the Scaladoc's deployment claim; here it is engineered
+    * and plan-pinned). The helper column `next_fetch_day` =
+    * floor(next_fetch_ts / 86400) exists only on disk. Mode is the
+    * caller's (a store-held frontier upserts via the snapshot store
+    * instead — this face is for the materialized-frontier deployments
+    * and for backfills). */
+  def writeDayBucketed(frontier: DataFrame, path: String,
+                       mode: String = "overwrite"): Unit =
+    frontier
+      .withColumn("next_fetch_day",
+        floor(col("next_fetch_ts") / lit(86400L)).cast("long"))
+      .write.partitionBy("next_fetch_day").mode(mode).parquet(path)
+
+  /** Read back the due-or-overdue slice of a day-bucketed frontier:
+    * the `next_fetch_day <= floor(now/86400)` predicate hits the
+    * PARTITION column (pruned at planning, pinned in the spec), and
+    * the exact row-level `next_fetch_ts <= now` gate stays
+    * [[selectBatch]]'s job — this returns the boundary day whole (a
+    * row due this evening is in today's directory). The helper
+    * column drops; the 11-column contract comes back. */
+  def loadDue(spark: org.apache.spark.sql.SparkSession, path: String,
+              now: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("next_fetch_day") <= lit(now / 86400L))
+      .drop("next_fetch_day")
+      .select(frontierCols.map(col): _*)
 
   /** Re-prioritize frontier rows from a host-level quality signal —
     * the loop closure where the link graph feeds the crawl back

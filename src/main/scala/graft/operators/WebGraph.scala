@@ -374,6 +374,25 @@ object WebGraph {
         col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** The curation gate over [[mirrorHosts]] output: drop documents
+    * hosted on the DOMINATED side of any flagged mirror pair (pairs
+    * carry host_a < host_b, so the lexicographic-min host of a mirror
+    * clique survives and every dominated host drops — deterministic,
+    * and for a chain a~b~c without the a~c pair, a survives while b
+    * and c drop: conservative in the keep-one direction). One
+    * broadcast anti-join against the tiny dominated-host set; columns
+    * pass through unchanged. */
+  def dropMirroredDocs(docs: DataFrame, mirrors: DataFrame,
+                       urlCol: String = "url"): DataFrame = {
+    import graft.functions.UrlOps
+    val dominated = mirrors.select(col("host_b").as("__dom_host"))
+      .distinct()
+    docs.withColumn("__doc_host", UrlOps.hostOf(col(urlCol)))
+      .join(broadcast(dominated),
+        col("__doc_host") === col("__dom_host"), "left_anti")
+      .drop("__doc_host")
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
     * PageRank with the teleport vector restricted to a vetted seed
     * set, so trust flows OUT of known-good nodes and spam that no

@@ -489,6 +489,37 @@ class CrawlFrontierSpec extends SparkSpec {
     }.getMessage should include("degenerate")
   }
 
+  test("day-bucketed frontier: the due filter is partition pruning, the boundary day comes back whole") {
+    val day = 86400L
+    val f = mkFrontier(Seq(
+      row("https://d1.example/a", next = 1 * day + 10),   // overdue
+      row("https://d2.example/b", next = 2 * day + 10),   // boundary day
+      row("https://d2.example/c", next = 2 * day + 9000), // same day, later
+      row("https://d9.example/d", next = 9 * day)))       // future
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-frontier-days").toString + "/f"
+    CrawlFrontier.writeDayBucketed(f, path)
+    // directory layout: one partition dir per next-fetch day
+    new java.io.File(path).list().count(_.startsWith("next_fetch_day="))
+      .shouldBe(3)
+    val now = 2 * day + 100
+    val due = CrawlFrontier.loadDue(spark, path, now)
+    // the boundary day comes back WHOLE (row-exact gating is
+    // selectBatch's job); the future day never loads
+    due.select("url").as[String].collect().sorted.toSeq shouldBe Seq(
+      "https://d1.example/a", "https://d2.example/b",
+      "https://d2.example/c")
+    due.columns.toSeq shouldBe f.columns.toSeq // contract restored
+    // the plan PRUNES: a non-empty PartitionFilters on the day column
+    val plan = due.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*next_fetch_day"
+    // and the composed face: selectBatch over the pruned slice applies
+    // the exact gate (d2's 9000-offset row is beyond `now`)
+    CrawlFrontier.selectBatch(due, now, batchSize = 10, perHostCap = 5)
+      .select("url").as[String].collect().sorted.toSeq shouldBe Seq(
+      "https://d1.example/a", "https://d2.example/b")
+  }
+
   // ——— crawler traps ———————————————————————————————————————————————
 
   test("urlTemplate: hex before digits, query values collapse but keys survive, scheme drops") {
@@ -519,6 +550,24 @@ class CrawlFrontierSpec extends SparkSpec {
     // cap boundary: exactly 4 distinct is NOT a trap
     CrawlFrontier.trapTemplates(urls, maxPerTemplate = 5)
       .count() shouldBe 0L
+  }
+
+  test("updateTrapStats: admit batches fold in by full-outer sum; flagging off the maintained frame matches a rescan") {
+    val w1 = (1 to 4).map(i => s"https://t.ex/cal/$i").toDF("url")
+    val w2 = (Seq("https://t.ex/cal/99", "https://t.ex/cal/99") ++ // dup within batch counts once
+      Seq("https://n.ex/p/1")).toDF("url")
+    val s1 = CrawlFrontier.trapStats(w1)
+    val s2 = CrawlFrontier.updateTrapStats(s1, w2)
+    val m = s2.as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    m(("t.ex", "t.ex/cal/D")) shouldBe 5L // 4 + 1 distinct new
+    m(("n.ex", "n.ex/p/D")) shouldBe 1L   // brand-new key inserted
+    m.size shouldBe 2
+    // the maintained frame flags exactly what a full rescan would
+    val rescan = CrawlFrontier.trapTemplates(
+      w1.unionByName(w2), maxPerTemplate = 4)
+    s2.filter(col("n_urls") > 4).collect().map(_.toString).sorted shouldBe
+      rescan.collect().map(_.toString).sorted
   }
 
   test("filterTraps: flagged templates gate discoveries (new values of the same shape), columns pass through") {

@@ -842,6 +842,28 @@ class SqlSurfaceSpec extends SparkSpec {
       .getMessage should include("'traps'")
   }
 
+  test("CURATE TABLE crawl_rescore: link-quality blending dispatches with parity") {
+    import graft.operators.CrawlFrontier
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    CrawlFrontier.seed(spark.createDataFrame(Seq(
+        Tuple1("https://a.example/p"), Tuple1("https://b.example/q")))
+      .toDF("url"), now = 1000L)
+      .createOrReplaceTempView("rescore_sql_frontier")
+    spark.createDataFrame(Seq(("a.example", 0.002)))
+      .toDF("host", "score").createOrReplaceTempView("rescore_sql_scores")
+    rowsOf(spark.sql(
+      """CURATE TABLE rescore_sql_frontier USING crawl_rescore
+        |WITH ('scores' = 'rescore_sql_scores', 'alpha' = '0.25')"""
+        .stripMargin)) shouldBe
+      rowsOf(CrawlFrontier.rescorePriorities(
+        spark.table("rescore_sql_frontier"),
+        spark.table("rescore_sql_scores"), alpha = 0.25))
+    intercept[Exception](spark.sql(
+      "CURATE TABLE rescore_sql_frontier USING crawl_rescore"))
+      .getMessage should include("'scores'")
+  }
+
   test("READ SNAPSHOT reads CDC snapshots from SQL: live, time travel, tombstones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col

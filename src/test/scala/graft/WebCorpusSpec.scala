@@ -978,6 +978,27 @@ class WebCorpusSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("dropMirroredDocs: dominated hosts' docs drop, the min host survives, chains keep only the head") {
+    import graft.operators.WebGraph
+    val docs = Seq("https://a.ex/1", "https://a.ex/2", "https://b.ex/1",
+      "https://c.ex/1", "https://solo.ex/1")
+      .map(u => (u, "t")).toDF("url", "text")
+    // clique a~b plus chain pair b~c (no a~c row): b and c both
+    // dominated, a and solo survive
+    val mirrors = Seq(("a.ex", "b.ex"), ("b.ex", "c.ex"))
+      .map { case (x, y) => (x, y, 3L, 4L, 4L, 0.6) }
+      .toDF("host_a", "host_b", "shared", "n_a", "n_b", "jaccard")
+    val kept = WebGraph.dropMirroredDocs(docs, mirrors)
+      .select("url").as[String].collect().sorted
+    kept.toSeq shouldBe Seq("https://a.ex/1", "https://a.ex/2",
+      "https://solo.ex/1")
+    // columns pass through; an empty mirror set drops nothing
+    WebGraph.dropMirroredDocs(docs, mirrors).columns.toSeq shouldBe
+      Seq("url", "text")
+    WebGraph.dropMirroredDocs(docs,
+      mirrors.filter(col("shared") > 100)).count() shouldBe 5L
+  }
+
   test("trustRank: mass conserves, unreachable nodes stay at exactly zero, seeds beat spam") {
     import graft.operators.WebGraph
     // seed 0 → 1 → 2; spam cluster 3↔4 no seed can reach
