@@ -634,7 +634,8 @@ object Bench {
               .as("url"), fp.as("fingerprint"))
           .unionByName(spark.range(2L * pairs).select(
             concat(lit("https://m"), pmod(d, lit(2)).cast("string"),
-              lit("-"), (d / 2).cast("string"), lit(".ex/boiler"))
+              lit("-"), floor(d / lit(2)).cast("long").cast("string"),
+              lit(".ex/boiler"))
               .as("url"), lit("boiler").as("fingerprint")))
           .unionByName(spark.range(100).select(
             concat(lit("https://bb"), d.cast("string"), lit(".ex/x"))

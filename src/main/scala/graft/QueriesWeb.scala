@@ -96,6 +96,20 @@ object QueriesWeb {
          ELSE $h END"""
   }
 
+  /** The DuckDB spelling of [[graft.operators.CrawlFrontier
+    * .urlTemplate]] over host/path-with-query columns `h`/`p` — ONE
+    * helper for every trap-family oracle so the collapse law (hex
+    * before digit before query-value, pathOf's '/' fallback, '' when
+    * hostless) can never drift between rows. */
+  private def templateSql(h: String, p: String): String =
+    s"""(CASE WHEN length($h) > 0 THEN $h ||
+         regexp_replace(regexp_replace(regexp_replace(
+           (CASE WHEN length($p) > 0 THEN $p ELSE '/' END),
+           '[0-9a-fA-F]{8,}', 'H', 'g'),
+           '[0-9]+', 'D', 'g'),
+           '([?&][^&#=]*=)[^&#]*', '\\1V', 'g')
+       ELSE '' END)"""
+
   /** One TrustRank power iteration for the web_trustrank oracle
     * (requires `nodes`, `tv(id, v)`, `e(src,dst)`, `deg(src,deg)` and
     * `t{k-1}(id, tr)` CTEs): dangling mass from the previous vector,
@@ -165,7 +179,8 @@ object QueriesWeb {
           lit("<LINK REL=\"Canonical\" HREF=\"//cdn.example.org/c/"),
           id, lit("\">")))
         .otherwise(concat(
-          lit("<link rel=\"canonical\" href=\"/first/"), id,
+          lit("<link rel=\"canonical\">" +
+            "<link rel=\"canonical\" href=\"/first/"), id,
           lit("\"><link rel=\"canonical\" href=\"/second/"), id,
           lit("\">")))
       val html = concat(lit("<html><head><title>T</title>"), tag,
@@ -194,7 +209,8 @@ object QueriesWeb {
                  WHEN doc_id % 6 = 4 THEN
                    '<LINK REL="Canonical" HREF="//cdn.example.org/c/'
                      || doc_id || '">'
-                 ELSE '<link rel="canonical" href="/first/' || doc_id ||
+                 ELSE '<link rel="canonical">' ||
+                   '<link rel="canonical" href="/first/' || doc_id ||
                    '"><link rel="canonical" href="/second/' || doc_id ||
                    '">' END) ||
                '</head><body><p>Body with <a href="/x">link</a>.</p>' ||
@@ -205,7 +221,8 @@ object QueriesWeb {
              FROM h),
       cn AS (SELECT doc_id, base,
                     list_filter(tags, t -> regexp_matches(t,
-                      '(?is)\brel\s*=\s*["'']?canonical')) AS ct
+                      '(?is)\brel\s*=\s*["'']?canonical')
+                      AND regexp_matches(t, '(?is)\shref\s*=')) AS ct
              FROM tg),
       hx AS (SELECT doc_id, base,
                     regexp_replace(regexp_extract(coalesce(ct[1], ''),
@@ -388,7 +405,7 @@ object QueriesWeb {
           (d % 7).cast("string")))).as("url"))
       CrawlFrontier.trapTemplates(urls, maxPerTemplate = 50)
         .orderBy("host", "template")
-    }, Some("""
+    }, Some(s"""
       WITH u AS (
         SELECT unnest([
           'https://trap.ex.com/cal/2026/' || (doc_id % 12 + 1) || '/' ||
@@ -406,12 +423,7 @@ object QueriesWeb {
                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
             FROM u),
       tpl AS (SELECT url, host,
-                host || regexp_replace(regexp_replace(regexp_replace(
-                  (CASE WHEN length(p) > 0 THEN p
-                        WHEN length(host) > 0 THEN '/' ELSE '' END),
-                  '[0-9a-fA-F]{8,}', 'H', 'g'),
-                  '[0-9]+', 'D', 'g'),
-                  '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template
+                ${templateSql("host", "p")} AS template
               FROM t WHERE length(host) > 0)
       SELECT host, template, count(DISTINCT url) AS n_urls
       FROM tpl GROUP BY host, template
@@ -445,7 +457,7 @@ object QueriesWeb {
         concat(lit("https://new.ex.com/fresh/"), id))).as("url"))
       CrawlFrontier.filterTraps(discovered, traps)
         .orderBy("url")
-    }, Some("""
+    }, Some(s"""
       WITH seen AS (
         SELECT unnest([
           'https://trap.ex.com/cal/2026/' || (doc_id % 12 + 1) || '/' ||
@@ -470,12 +482,7 @@ object QueriesWeb {
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
              FROM seen),
       tpl AS (SELECT url, host,
-                host || regexp_replace(regexp_replace(regexp_replace(
-                  (CASE WHEN length(p) > 0 THEN p
-                        WHEN length(host) > 0 THEN '/' ELSE '' END),
-                  '[0-9a-fA-F]{8,}', 'H', 'g'),
-                  '[0-9]+', 'D', 'g'),
-                  '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template
+                ${templateSql("host", "p")} AS template
               FROM tp WHERE length(host) > 0),
       flagged AS (SELECT template FROM tpl
                   GROUP BY host, template
@@ -488,14 +495,7 @@ object QueriesWeb {
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p0
              FROM disc),
       dt AS (SELECT url,
-               CASE WHEN length(h0) > 0 THEN h0 ||
-                 regexp_replace(regexp_replace(regexp_replace(
-                   (CASE WHEN length(p0) > 0 THEN p0
-                         ELSE '/' END),
-                   '[0-9a-fA-F]{8,}', 'H', 'g'),
-                   '[0-9]+', 'D', 'g'),
-                   '([?&][^&#=]*=)[^&#]*', '\1V', 'g')
-                 ELSE '' END AS template
+               ${templateSql("h0", "p0")} AS template
              FROM dp)
       SELECT dt.url FROM dt
       LEFT JOIN flagged f ON f.template = dt.template
@@ -777,13 +777,14 @@ object QueriesWeb {
                     CASE WHEN i = 3 THEN 0.0
                          ELSE CAST(i + 1 AS DOUBLE) / 1000.0 END AS score
              FROM (SELECT unnest(generate_series(0, 3)) AS i)),
-      mx AS (SELECT max(score) AS m FROM hs)
+      hx AS (SELECT host, max(score) AS score FROM hs GROUP BY host),
+      mx AS (SELECT max(score) AS m FROM hx)
       SELECT f.url, f.host,
              round((1.0 - 0.5) * f.priority +
-               0.5 * (coalesce(hs.score, 0.0) / (SELECT m FROM mx)), 6)
+               0.5 * (coalesce(hx.score, 0.0) / (SELECT m FROM mx)), 6)
                AS priority,
              f.depth
-      FROM f LEFT JOIN hs ON hs.host = f.host
+      FROM f LEFT JOIN hx ON hx.host = f.host
       ORDER BY f.url""")),
 
     ("web_graph_e2e", (s, dir) => {
@@ -917,7 +918,7 @@ object QueriesWeb {
       stats.select(col("host"), col("template"), col("n_urls"),
           (col("n_urls") > 100).as("is_trap"))
         .orderBy("host", "template")
-    }, Some("""
+    }, Some(s"""
       WITH w1 AS (
         SELECT unnest([
           'https://trap.ex.com/cal/2026/' || (doc_id % 12 + 1) || '/' ||
@@ -939,11 +940,7 @@ object QueriesWeb {
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
              FROM w1),
       s1 AS (SELECT host,
-               host || regexp_replace(regexp_replace(regexp_replace(
-                 (CASE WHEN length(p) > 0 THEN p ELSE '/' END),
-                 '[0-9a-fA-F]{8,}', 'H', 'g'),
-                 '[0-9]+', 'D', 'g'),
-                 '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template,
+               ${templateSql("host", "p")} AS template,
                count(DISTINCT url) AS n
              FROM t1 WHERE length(host) > 0 GROUP BY 1, 2),
       t2 AS (SELECT url,
@@ -954,11 +951,7 @@ object QueriesWeb {
                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS p
              FROM w2),
       s2 AS (SELECT host,
-               host || regexp_replace(regexp_replace(regexp_replace(
-                 (CASE WHEN length(p) > 0 THEN p ELSE '/' END),
-                 '[0-9a-fA-F]{8,}', 'H', 'g'),
-                 '[0-9]+', 'D', 'g'),
-                 '([?&][^&#=]*=)[^&#]*', '\1V', 'g') AS template,
+               ${templateSql("host", "p")} AS template,
                count(DISTINCT url) AS n
              FROM t2 WHERE length(host) > 0 GROUP BY 1, 2),
       mg AS (SELECT coalesce(s1.host, s2.host) AS host,

@@ -92,21 +92,12 @@ object Warc {
   }
 
   /** Docs → a multi-member gzip WARC shard (one member per record —
-    * the CommonCrawl layout; see the Scaladoc's splittability note). */
-  def writeWarcGz(docs: Seq[Doc]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def member(rec: Array[Byte]): Unit = {
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(rec); gz.finish(); gz.close()
-    }
-    member(record("warcinfo", None,
-      Seq("Content-Type" -> "application/warc-fields"),
-      s"software: graft$Crlf".getBytes("US-ASCII")))
-    docs.foreach(d => member(record("response", Some(d.uri),
-      Seq("Content-Type" -> "application/http;msgtype=response"),
-      httpResponse(d))))
-    out.toByteArray
-  }
+    * the CommonCrawl layout; see the Scaladoc's splittability note).
+    * The one framing writer: [[writeRecordShardGz]] over the docs'
+    * HTTP response messages. */
+  def writeWarcGz(docs: Seq[Doc]): Array[Byte] =
+    writeRecordShardGz(docs.map(d => (d.uri, httpResponse(d))),
+      "response", "application/http;msgtype=response")
 
   /** First index of `sub` in `bytes` at or after `from`, -1 if absent —
     * the one byte-substring search [[readWarc]] and [[parseHttp]]
@@ -314,35 +305,48 @@ object Warc {
   def toShardsRaw(docs: DataFrame,
                   maxShardBytes: Long = 128L << 20): DataFrame = {
     require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
-    val schema = StructType(Seq(
-      StructField("shard", BinaryType),
-      StructField("n_records", LongType)))
     val uIdx = docs.schema.fieldIndex("url")
     val bIdx = docs.schema.fieldIndex("body")
     val cIdx = docs.schema.fieldIndex("content_type")
     docs.mapPartitions { it =>
-      val ds = it.flatMap { r =>
+      cutBounded[Doc](it.flatMap { r =>
         if (r.isNullAt(uIdx) || r.isNullAt(bIdx)) None
         else Some(Doc(r.getString(uIdx), r.getAs[Array[Byte]](bIdx),
           if (r.isNullAt(cIdx)) "application/octet-stream"
           else r.getString(cIdx)))
-      }.buffered
-      new Iterator[Row] {
-        override def hasNext: Boolean = ds.hasNext
-        override def next(): Row = {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Doc]
-          var bytes = 0L
-          while (ds.hasNext && (buf.isEmpty ||
-              bytes + ds.head.uri.length + ds.head.body.length
-                <= maxShardBytes)) {
-            val d = ds.next()
-            buf += d
-            bytes += d.uri.length + d.body.length
-          }
-          Row(writeWarcGz(buf.toSeq), buf.length.toLong)
+      }, d => d.uri.length.toLong + d.body.length, maxShardBytes,
+        buf => Row(writeWarcGz(buf), buf.length.toLong))
+    }(E.row(shardSchema))
+  }
+
+  private val shardSchema = StructType(Seq(
+    StructField("shard", BinaryType),
+    StructField("n_records", LongType)))
+
+  /** The ONE bounded shard-cutting law every writer face shares: cut a
+    * new shard before an element would push the accumulated payload
+    * bytes past `maxShardBytes` (a single over-sized element still
+    * emits alone — the bound never starves progress); elements stream
+    * through a buffered iterator, the partition is never
+    * materialized. */
+  private def cutBounded[T](it: Iterator[T], sz: T => Long,
+                            maxShardBytes: Long,
+                            build: Seq[T] => Row): Iterator[Row] = {
+    val ds = it.buffered
+    new Iterator[Row] {
+      override def hasNext: Boolean = ds.hasNext
+      override def next(): Row = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+        var bytes = 0L
+        while (ds.hasNext && (buf.isEmpty ||
+            bytes + sz(ds.head) <= maxShardBytes)) {
+          val d = ds.next()
+          buf += d
+          bytes += sz(d)
         }
+        build(buf.toSeq)
       }
-    }(E.row(schema))
+    }
   }
 
   /** One multi-member gzip shard of NON-response records — the shape
@@ -383,35 +387,17 @@ object Warc {
     require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
     require(warcType.nonEmpty && warcType != "warcinfo",
       s"warcType must be a non-warcinfo record type: '$warcType'")
-    val schema = StructType(Seq(
-      StructField("shard", BinaryType),
-      StructField("n_records", LongType)))
     val uIdx = docs.schema.fieldIndex("url")
     val pIdx = docs.schema.fieldIndex("payload")
     docs.mapPartitions { it =>
-      val ds = it.flatMap { r =>
+      cutBounded[(String, Array[Byte])](it.flatMap { r =>
         if (r.isNullAt(uIdx) || r.isNullAt(pIdx)) None
         else Some((r.getString(uIdx),
           r.getString(pIdx).getBytes("UTF-8")))
-      }.buffered
-      new Iterator[Row] {
-        override def hasNext: Boolean = ds.hasNext
-        override def next(): Row = {
-          val buf = scala.collection.mutable
-            .ArrayBuffer.empty[(String, Array[Byte])]
-          var bytes = 0L
-          while (ds.hasNext && (buf.isEmpty ||
-              bytes + ds.head._1.length + ds.head._2.length
-                <= maxShardBytes)) {
-            val d = ds.next()
-            buf += d
-            bytes += d._1.length + d._2.length
-          }
-          Row(writeRecordShardGz(buf.toSeq, warcType, contentType),
-            buf.length.toLong)
-        }
-      }
-    }(E.row(schema))
+      }, d => d._1.length.toLong + d._2.length, maxShardBytes,
+        buf => Row(writeRecordShardGz(buf, warcType, contentType),
+          buf.length.toLong))
+    }(E.row(shardSchema))
   }
 
   /** Gzip shards of `warcType` records → (target_uri, payload,
@@ -491,33 +477,16 @@ object Warc {
   def toShards(docs: DataFrame,
                maxShardBytes: Long = 128L << 20): DataFrame = {
     require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
-    val schema = StructType(Seq(
-      StructField("shard", BinaryType),
-      StructField("n_records", LongType)))
     val uIdx = docs.schema.fieldIndex("url")
     val tIdx = docs.schema.fieldIndex("text")
     docs.mapPartitions { it =>
-      val ds = it.flatMap { r =>
+      cutBounded[Doc](it.flatMap { r =>
         if (r.isNullAt(uIdx) || r.isNullAt(tIdx)) None
         else Some(Doc(r.getString(uIdx),
           r.getString(tIdx).getBytes("UTF-8")))
-      }.buffered
-      new Iterator[Row] {
-        override def hasNext: Boolean = ds.hasNext
-        override def next(): Row = {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Doc]
-          var bytes = 0L
-          while (ds.hasNext && (buf.isEmpty ||
-              bytes + ds.head.uri.length + ds.head.body.length
-                <= maxShardBytes)) {
-            val d = ds.next()
-            buf += d
-            bytes += d.uri.length + d.body.length
-          }
-          Row(writeWarcGz(buf.toSeq), buf.length.toLong)
-        }
-      }
-    }(E.row(schema))
+      }, d => d.uri.length.toLong + d.body.length, maxShardBytes,
+        buf => Row(writeWarcGz(buf), buf.length.toLong))
+    }(E.row(shardSchema))
   }
 
   /** Gzip WARC shards → response rows: (target_uri, http_status,

@@ -448,8 +448,15 @@ object CrawlFrontier {
                         hostCol: String = "host",
                         scoreCol: String = "score"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    // collapse duplicate host rows (unioned score feeds, page-level
+    // rank fed without aggregating) by max BEFORE the join: a
+    // duplicated key would otherwise fan the left join out and
+    // silently DUPLICATE frontier rows — selectBatch would schedule
+    // the same URL twice
     val hs = hostScores.select(col(hostCol).as("__rs_host"),
-      col(scoreCol).cast("double").as("__rs_score"))
+        col(scoreCol).cast("double").as("__rs_score"))
+      .groupBy(col("__rs_host"))
+      .agg(max(col("__rs_score")).as("__rs_score"))
     val mx = hs.agg(max(col("__rs_score"))).collect()(0)
     require(!mx.isNullAt(0) && mx.getDouble(0) > 0.0,
       "rescorePriorities: the score frame is empty or all-zero — " +

@@ -193,8 +193,12 @@ object WebGraph {
     * one-element outer-transform recipe (see [[outlinks]]). */
   def canonicalUrl(html: Column, baseUrl: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<link\\b[^>]*>"), lit(0))
+    // BOTH attributes must be present to count as a declaration: an
+    // href-less rel=canonical tag (malformed but real markup) must not
+    // SHADOW a later valid one by winning first place with no target
     val canon = filter(tags, t =>
-      t.rlike("(?is)\\brel\\s*=\\s*[\"']?canonical"))
+      t.rlike("(?is)\\brel\\s*=\\s*[\"']?canonical") &&
+        t.rlike("(?is)\\shref\\s*="))
     // '' sentinel when no tag matched: element_at over the padded
     // array is total, and the href extract of '' is '' → resolve('')
     // = '' (the no-canonical result)
@@ -236,8 +240,13 @@ object WebGraph {
                        dstCol: String = "dst"): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16]: $rounds")
+    // a redirect recorded without a target (a 3xx fetch missing its
+    // Location header) is NOT an edge: dropped here, so its source is
+    // simply absent from the output instead of emitting the
+    // contradiction (resolved=true, final_url=NULL) the law forbids
     var m = redirects
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .groupBy(col("u")).agg(min(col("v")).as("v"))
       .withColumn("h", lit(1L))
       .localCheckpoint(true)

@@ -483,6 +483,14 @@ class CrawlFrontierSpec extends SparkSpec {
       CrawlFrontier.rescorePriorities(f,
         Seq(("a.example", 0.0)).toDF("host", "score"))
     }.getMessage should include("degenerate")
+    // duplicate host rows in the score feed collapse by max instead of
+    // fanning the join out and duplicating frontier rows
+    val dup = CrawlFrontier.rescorePriorities(f,
+      Seq(("a.example", 0.002), ("a.example", 0.004))
+        .toDF("host", "score"))
+    dup.count() shouldBe f.count()
+    dup.filter(col("host") === "a.example").select("priority")
+      .as[Double].head() shouldBe 0.5 * 0.5 + 0.5 * 1.0 +- 1e-12
     intercept[IllegalArgumentException] {
       CrawlFrontier.rescorePriorities(f,
         Seq.empty[(String, Double)].toDF("host", "score"))

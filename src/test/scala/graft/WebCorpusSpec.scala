@@ -855,6 +855,13 @@ class WebCorpusSpec extends SparkSpec {
     out("y") shouldBe ((None, 8, false))
     out("d") shouldBe ((Some("e"), 1, true)) // min(dst) law
     out.size shouldBe 7 // one row per distinct src, nothing else
+    // a redirect recorded WITHOUT a target (3xx missing its Location)
+    // is not an edge: its source is absent, never (resolved, NULL)
+    val withNull = edges.unionByName(
+      Seq((Some("z"), Option.empty[String])).toDF("src", "dst"))
+    val r2 = WebGraph.resolveRedirects(withNull, rounds = 3)
+    r2.filter(col("url") === "z").count() shouldBe 0L
+    r2.count() shouldBe 7L
   }
 
   test("resolveRedirects: a chain longer than the hop budget is unresolved, one more round resolves it") {
@@ -894,6 +901,10 @@ class WebCorpusSpec extends SparkSpec {
     // a canonical-less <link> before the canonical one must not shadow
     c("""<link rel="icon" href="/i.png"><link rel="canonical" href="/c">""") shouldBe
       "https://w.ex.com/c"
+    // an HREF-less canonical tag (malformed but real) must not shadow
+    // a later valid declaration either — both attributes are required
+    c("""<link rel="canonical"><link rel="canonical" href="/real">""") shouldBe
+      "https://w.ex.com/real"
   }
 
   test("contractEdges: endpoints rewrite through the mapping, weights sum, self-loops drop") {
