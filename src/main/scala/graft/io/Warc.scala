@@ -182,23 +182,22 @@ object Warc {
 
   /** Split a response record's HTTP content into (status, body); a
     * content block without an HTTP head yields (0, whole content) —
-    * resource records and exotic captures stay readable as raw bytes. */
+    * resource records and exotic captures stay readable as raw bytes.
+    * Delegates to [[parseHttpFull]], so chunked bodies de-chunk here
+    * too. */
   def parseHttp(content: Array[Byte]): (Int, Array[Byte]) = {
-    val sep = "\r\n\r\n".getBytes("US-ASCII")
-    val at = indexOf(content, sep, 0)
-    if (at < 0) return (0, content)
-    val head = new String(content, 0, at, "US-ASCII")
-    if (!head.startsWith("HTTP/")) (0, content)
-    else {
-      val status = head.split("\r\n").head.split(" ")
-        .lift(1).flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
-      (status, java.util.Arrays.copyOfRange(content, at + 4, content.length))
-    }
+    val (status, _, body) = parseHttpFull(content)
+    (status, body)
   }
 
   /** Split a response record's HTTP content into (status, head, body);
     * no HTTP head yields (0, "", whole content) — [[parseHttp]]'s law
-    * with the header block kept for charset/content-type sniffing. */
+    * with the header block kept for charset/content-type sniffing.
+    * A `Transfer-Encoding: chunked` body is DE-CHUNKED (raw WARC
+    * captures keep the wire framing, and hex size lines inside the
+    * payload would poison every downstream text stage); malformed
+    * chunk framing salvages the chunks before the damage — the
+    * truncation convention. */
   def parseHttpFull(content: Array[Byte]): (Int, String, Array[Byte]) = {
     val sep = "\r\n\r\n".getBytes("US-ASCII")
     val at = indexOf(content, sep, 0)
@@ -208,9 +207,42 @@ object Warc {
     else {
       val status = head.split("\r\n").head.split(" ")
         .lift(1).flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
-      (status, head,
-        java.util.Arrays.copyOfRange(content, at + 4, content.length))
+      val raw = java.util.Arrays.copyOfRange(content, at + 4,
+        content.length)
+      val body =
+        if (httpHeader(head, "Transfer-Encoding").toLowerCase
+            .contains("chunked")) dechunk(raw)
+        else raw
+      (status, head, body)
     }
+  }
+
+  /** Decode RFC 9112 §7.1 chunked framing: hex-size line (chunk
+    * extensions after ';' ignored), size bytes, CRLF, …, a 0-size
+    * chunk ends the body (trailers ignored). Malformed framing — a
+    * non-hex size line, a chunk running past the buffer — stops the
+    * walk and returns the chunks already decoded. */
+  private def dechunk(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    val crlf = Crlf.getBytes("US-ASCII")
+    var pos = 0
+    var walking = true
+    while (walking) {
+      val eol = indexOf(raw, crlf, pos)
+      if (eol < 0) walking = false
+      else {
+        val line = new String(raw, pos, eol - pos, "US-ASCII")
+        val hexPart = line.takeWhile(_ != ';').trim
+        scala.util.Try(java.lang.Long.parseLong(hexPart, 16)).toOption match {
+          case Some(0L) => walking = false // terminal chunk; trailers drop
+          case Some(n) if n > 0 && eol + 2 + n + 2 <= raw.length =>
+            out.write(raw, eol + 2, n.toInt)
+            pos = (eol + 2 + n + 2).toInt // skip the chunk's own CRLF
+          case _ => walking = false // malformed/truncated: salvage
+        }
+      }
+    }
+    out.toByteArray
   }
 
   /** Case-insensitive HTTP header lookup over a parsed head; '' when

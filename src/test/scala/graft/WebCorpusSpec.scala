@@ -703,6 +703,39 @@ class WebCorpusSpec extends SparkSpec {
     tiny._3 shouldBe 0.0
   }
 
+  test("chunked transfer-encoding de-chunks: extensions and trailers drop, malformed framing salvages, raw bodies untouched") {
+    def http(head: String, body: String): Array[Byte] =
+      (head + "\r\n\r\n" + body).getBytes("ISO-8859-1")
+    val chunkedHead = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/plain\r\nTransfer-Encoding: chunked"
+    // the canonical RFC example, plus a chunk extension and a trailer
+    val (s1, b1) = Warc.parseHttp(http(chunkedHead,
+      "4;ext=v\r\nWiki\r\n5\r\npedia\r\n0\r\nX-Trailer: t\r\n\r\n"))
+    s1 shouldBe 200
+    new String(b1, "UTF-8") shouldBe "Wikipedia"
+    // malformed size line after a good chunk: salvage the prefix
+    val (_, b2) = Warc.parseHttp(http(chunkedHead,
+      "4\r\nWiki\r\nZZ\r\njunk"))
+    new String(b2, "UTF-8") shouldBe "Wiki"
+    // a chunk claiming more bytes than remain: salvage, never throw
+    val (_, b3) = Warc.parseHttp(http(chunkedHead, "4\r\nWiki\r\nFF\r\nx"))
+    new String(b3, "UTF-8") shouldBe "Wiki"
+    // un-chunked responses pass through byte-identical
+    val (_, b4) = Warc.parseHttp(http(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain", "4\r\nWiki\r\n"))
+    new String(b4, "UTF-8") shouldBe "4\r\nWiki\r\n"
+    // the sniffing face sees the de-chunked payload: the meta charset
+    // declaration is only visible once the framing is gone
+    val metaBody = "<meta charset=\"latin1\"><p>x</p>"
+    val rec = http(chunkedHead,
+      f"${metaBody.length}%x\r\n$metaBody\r\n0\r\n\r\n")
+    val (st, head, body) = Warc.parseHttpFull(rec)
+    st shouldBe 200
+    new String(body, "US-ASCII") shouldBe metaBody
+    Warc.detectCharset(Warc.httpHeader(head, "Content-Type"), body)
+      .shouldBe("windows-1252") // found the meta THROUGH the de-chunk
+  }
+
   // ——— derived formats: WET / WAT record shards ———————————————————
 
   test("record shards (WET/WAT): framing cross-validates, types filter, bounded cutting, multi-byte payloads survive") {
