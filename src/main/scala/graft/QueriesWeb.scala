@@ -593,6 +593,96 @@ object QueriesWeb {
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
 
+    ("web_anchor_bm25", (s, dir) => {
+      // anchor text as a RETRIEVAL field (the classic ranking signal:
+      // inlink anchors describe the target better than its own
+      // boilerplate): extract (target, anchor) pairs from every page,
+      // concatenate each target's inlink anchors into its anchor
+      // document — BM25 is bag-of-words, so the nondeterministic
+      // collect order cannot move a score — and run Okapi BM25 top-5
+      // for four query strings over the anchor corpus. The oracle
+      // replays the pair CONTRACT (the web_anchor_text convention;
+      // extraction is oracle-proven in web_outlinks/web_anchor_text)
+      // and the FULL BM25 law in the ann_bm25_topk spelling.
+      import s.implicits._
+      import graft.operators.{Lexical, WebGraph}
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val base = concat(lit("https://s"), (d % 5).cast("string"),
+        lit(".example/p/"), id)
+      val html = concat(
+        lit("<p><a href=\"/t/"), ((d * 3) % 40).cast("string"),
+        lit("\">topic <b>"), (d % 7).cast("string"),
+        lit("</b></a> and <a href=\"/t/"),
+        ((d * 5 + 1) % 40).cast("string"),
+        lit("\">guide &amp; notes</a> <a href='/t/"),
+        ((d * 11 + 2) % 40).cast("string"),
+        lit("'>deep dive</a></p>"))
+      val anchorDocs = T(s, dir, "documents")
+        .select(explode(WebGraph.anchorTexts(html, base)).as("a"))
+        .select(col("a.link").as("target"), col("a.text").as("anchor"))
+        .groupBy(col("target"))
+        .agg(concat_ws(" ", collect_list(col("anchor"))).as("text"))
+      val queries = Seq((1, "topic 3"), (2, "guide notes"),
+        (3, "deep dive"), (4, "plain missing words"))
+        .toDF("qid", "text")
+      Lexical.bm25TopK(queries, anchorDocs, k = 5,
+          qId = "qid", cId = "target")
+        .orderBy(col("qid"), col("rank"))
+    }, Some("""
+      WITH pg AS (
+        SELECT doc_id,
+          'https://s' || (doc_id % 5) || '.example' AS origin,
+          '/t/' || ((doc_id * 3) % 40) AS l1,
+          'topic ' || (doc_id % 7) AS t1,
+          '/t/' || ((doc_id * 5 + 1) % 40) AS l2,
+          'guide & notes' AS t2,
+          '/t/' || ((doc_id * 11 + 2) % 40) AS l3,
+          'deep dive' AS t3
+        FROM documents),
+      pairs AS (
+        SELECT origin || l1 AS target, t1 AS anchor FROM pg
+        UNION ALL
+        SELECT origin || l2 AS target, t2 AS anchor FROM pg
+        UNION ALL
+        SELECT origin || l3 AS target, t3 AS anchor FROM pg),
+      corp AS (SELECT target AS nid, string_agg(anchor, ' ') AS text
+               FROM pairs GROUP BY target),
+      qs AS (SELECT * FROM (VALUES (1, 'topic 3'), (2, 'guide notes'),
+               (3, 'deep dive'), (4, 'plain missing words'))
+               AS v(qid, text)),
+      post AS (SELECT nid, t AS term, count(*) AS tf FROM (
+                 SELECT nid, unnest(regexp_extract_all(lower(text),
+                   '[a-z0-9]+')) AS t FROM corp)
+               GROUP BY nid, t),
+      dls AS (SELECT nid, sum(tf) AS dl FROM post GROUP BY nid),
+      stats AS (SELECT count(*) AS n_docs,
+                       avg(coalesce(dl, 0)) AS avgdl
+                FROM corp LEFT JOIN dls USING (nid)),
+      idf AS (SELECT term,
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                     avgdl
+              FROM (SELECT term, count(DISTINCT nid) AS df FROM post
+                    GROUP BY term)
+              CROSS JOIN stats),
+      qt AS (SELECT DISTINCT qid, t AS term FROM (
+               SELECT qid, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) AS t FROM qs)),
+      contrib AS (SELECT qt.qid, post.nid,
+                         idf.idf * (post.tf * (1.2 + 1.0)) /
+                           (post.tf + 1.2 * ((1.0 - 0.75) +
+                             0.75 * CAST(dls.dl AS DOUBLE) / idf.avgdl))
+                           AS c
+                  FROM post JOIN qt USING (term) JOIN idf USING (term)
+                  JOIN dls USING (nid)),
+      sc AS (SELECT qid, nid, round(sum(c), 6) AS score
+             FROM contrib GROUP BY qid, nid),
+      ranked AS (SELECT qid, nid, score, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+                 FROM sc)
+      SELECT qid, nid, CAST(rank AS INT) AS rank, score FROM ranked
+      WHERE rank <= 5 ORDER BY qid, rank""")),
+
     ("web_mirror_dedup", (s, dir) => {
       // the composed mirror gate: detect pairs over the web_mirrors
       // corpus, then drop the dominated hosts' documents — m2, m6 (the

@@ -578,6 +578,53 @@ class CrawlFrontierSpec extends SparkSpec {
       rescan.collect().map(_.toString).sorted
   }
 
+  test("standing trap stats: a stream of admit batches maintains the frame; the result equals a full rescan") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-trap-stats").toString
+    val statsDir = s"$dir/stats"
+    val input = MemoryStream[String]
+    // read-modify-write per micro-batch: the stats frame is SMALL by
+    // nature (templates, not URLs), so the standing face is a plain
+    // foreachBatch merge — the same updateTrapStats law as batch
+    val q = input.toDF().toDF("url").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged =
+          if (new java.io.File(statsDir).exists())
+            CrawlFrontier.updateTrapStats(spark.read.parquet(statsDir), b)
+          else CrawlFrontier.trapStats(b)
+        val tmp = s"$statsDir.next"
+        merged.write.mode("overwrite").parquet(tmp)
+        // atomic-enough swap for the spec; a production pump uses the
+        // snapshot store's claim machinery
+        val old = new java.io.File(statsDir)
+        if (old.exists()) {
+          val bak = new java.io.File(s"$statsDir.old")
+          old.renameTo(bak)
+          new java.io.File(tmp).renameTo(old)
+          org.apache.commons.io.FileUtils.deleteDirectory(bak)
+        } else new java.io.File(tmp).renameTo(old)
+        (): Unit
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val w1 = (1 to 60).map(i => s"https://t.ex/cal/2026/$i")
+    val w2 = (1 to 10).map(i => s"https://t.ex/cal/2027/$i") ++
+      Seq("https://n.ex/about")
+    try {
+      input.addData(w1: _*); q.processAllAvailable()
+      input.addData(w2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val standing = spark.read.parquet(statsDir)
+      .collect().map(_.toString).sorted
+    val rescan = CrawlFrontier.trapStats((w1 ++ w2).toDF("url"))
+      .collect().map(_.toString).sorted
+    standing shouldBe rescan
+    spark.read.parquet(statsDir).filter(col("n_urls") > 50)
+      .select("template").as[String].collect().toSeq shouldBe
+      Seq("t.ex/cal/D/D")
+  }
+
   test("filterTraps: flagged templates gate discoveries (new values of the same shape), columns pass through") {
     val seen = (1 to 60).map(i => s"https://t.ex/cal/2026/$i").toDF("url")
     val traps = CrawlFrontier.trapTemplates(seen, maxPerTemplate = 50)
