@@ -593,6 +593,56 @@ object QueriesWeb {
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
 
+    ("web_nofollow", (s, dir) => {
+      // the Robots Exclusion Protocol's page- and link-level layers:
+      // <meta name=robots> in both attribute orders and quote styles
+      // plus 'none' shorthand, an X-Robots-Tag header value, a DECOY
+      // meta (name="robotsx") that must not match, a decoy token
+      // ('noindexing') that must not flag, and anchors whose
+      // rel=nofollow (among other tokens, any quote style) drop from
+      // the followed edge set while plain and rel="external" anchors
+      // survive. The oracle replays the fixture contract — a law slip
+      // anywhere flips a flag or a count and the hash catches it.
+      import graft.functions.TextExtraction
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val base = concat(lit("https://n.ex"), (d % 5).cast("string"),
+        lit(".com/p/"), id)
+      val meta = when(d % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(d % 4 === 1, lit("<meta content='nofollow' name='robots'>"))
+        .when(d % 4 === 2, lit("<meta name=\"robots\" content=\"none\">"))
+        .otherwise(lit("<meta name=\"robotsx\" content=\"noindex\">"))
+      val html = concat(lit("<html><head>"), meta, lit("</head><body>"),
+        lit("<a href=\"/f/"), ((d * 3) % 40).cast("string"),
+        lit("\">one</a>"),
+        lit("<a rel=\"nofollow noopener\" href=\"/g/"), id,
+        lit("\">two</a>"),
+        lit("<a href='/h/"), (d % 9).cast("string"),
+        lit("' rel=nofollow>three</a>"),
+        lit("<a rel=\"external\" href=\"/k/"), (d % 11).cast("string"),
+        lit("\">four</a>"),
+        lit("</body></html>"))
+      val xrobots = concat_ws(",",
+        when(d % 7 === 0, lit("nofollow")),
+        when(d % 11 === 0, lit("noindexing")))
+      val flags = TextExtraction.robotsFlags(concat_ws(",",
+        TextExtraction.robotsMetaContent(html), xrobots))
+      T(s, dir, "documents").select(d.as("doc_id"),
+          flags("noindex").as("noindex"),
+          flags("nofollow").as("nofollow"),
+          size(WebGraph.outlinks(html, base)).as("n_all"),
+          size(WebGraph.followedOutlinks(html, base)).as("n_followed"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             (doc_id % 4 = 0 OR doc_id % 4 = 2) AS noindex,
+             (doc_id % 4 = 1 OR doc_id % 4 = 2 OR doc_id % 7 = 0)
+               AS nofollow,
+             CAST(4 AS INT) AS n_all,
+             CAST(2 AS INT) AS n_followed
+      FROM documents ORDER BY doc_id""")),
+
     ("web_anchor_bm25", (s, dir) => {
       // anchor text as a RETRIEVAL field (the classic ranking signal:
       // inlink anchors describe the target better than its own

@@ -90,4 +90,41 @@ object TextExtraction {
     when(total > 0, linkChars.cast("double") / total.cast("double"))
       .otherwise(lit(0.0))
   }
+
+  // ——— page-level robots directives (REP meta/header layer) ————————
+
+  /** The comma-joined, lowercased content of every
+    * `<meta name=robots content=...>` tag — the page-level half of the
+    * Robots Exclusion Protocol (robots.txt governs FETCHING; these
+    * govern indexing and link following AFTER the fetch). Attribute
+    * order and quote style free; name matching is exact-token
+    * `robots` (a `name="robotsx"` tag must not match); '' when the
+    * page declares nothing. Pure codegen'd RE2-safe chain. */
+  def robotsMetaContent(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    val robots = filter(tags, t =>
+      t.rlike("(?is)\\bname\\s*=\\s*[\"']?robots[\"'\\s>]"))
+    // the quoted captures keep their delimiters (the one-group quote
+    // law) — strip them, or the token-boundary matching downstream
+    // would see '"noindex' instead of 'noindex'
+    lower(concat_ws(",",
+      transform(robots, t => regexp_replace(regexp_extract(t,
+        "(?is)\\bcontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)", 1),
+        "^[\"']|[\"']$", ""))))
+  }
+
+  /** (noindex, nofollow) flags from a combined directive-token string
+    * — meta content plus the `X-Robots-Tag` header value, comma-
+    * joined by the caller: token-boundary matching (an hypothetical
+    * 'noindexing' token must not flag), `none` implies BOTH (the REP
+    * shorthand), case already lowered by [[robotsMetaContent]] but
+    * lowered again here so raw header values work too. Returns
+    * struct<noindex, nofollow>. */
+  def robotsFlags(tokens: Column): Column = {
+    val t = lower(tokens)
+    val none = t.rlike("(^|[,;\\s])none($|[,;\\s])")
+    struct(
+      (none || t.rlike("(^|[,;\\s])noindex($|[,;\\s])")).as("noindex"),
+      (none || t.rlike("(^|[,;\\s])nofollow($|[,;\\s])")).as("nofollow"))
+  }
 }

@@ -53,6 +53,31 @@ object WebGraph {
       h => length(h) > 0)
   }
 
+  /** [[outlinks]] restricted to FOLLOWED anchors: an `<a>` whose `rel`
+    * attribute carries the `nofollow` token (alone or among others —
+    * `rel="nofollow noopener"`, any quote style, either attribute
+    * order) contributes no edge, per the Robots Exclusion Protocol's
+    * anchor-level layer — the endorsement signal PageRank/TrustRank
+    * should see excludes the links their authors disavowed. Tag-wise
+    * scan (one `<a ...>` tag array, rel-filter, per-tag href pull)
+    * instead of the one-pattern form, because the rel filter needs the
+    * whole tag; href quote/resolution/fragment laws are [[outlinks]]'s
+    * exactly. Page-level nofollow ([[graft.functions.TextExtraction
+    * .robotsFlags]]) is the CALLER's gate — this handles the per-link
+    * layer. */
+  def followedOutlinks(html: Column, baseUrl: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
+    val kept = filter(tags, t => !t.rlike(
+      "(?is)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
+    filter(
+      flatten(transform(array(baseCtx(baseUrl)), c =>
+        transform(kept, t =>
+          resolve(regexp_replace(regexp_extract(t,
+            "(?is)\\shref\\s*=\\s*(\"[^\"#]*|'[^'#]*|[^\"'\\s>#]+)", 1),
+            "^[\"']", ""), c)))),
+      h => length(h) > 0)
+  }
+
   /** The base URL's (scheme, origin, dir) struct — always bind it as a
     * one-element outer-transform lambda var (see [[outlinks]]); used
     * inline it re-evaluates its three regexes per href. */

@@ -990,6 +990,50 @@ class WebCorpusSpec extends SparkSpec {
     WebGraph.hostGraph(sub, byRegisteredDomain = true).count() shouldBe 0L
   }
 
+  test("page-level robots: meta/name token exactness, 'none' shorthand, header tokens, rel=nofollow edge filtering") {
+    import graft.operators.WebGraph
+    def flags(html: String, extra: String = "") = {
+      val f = TextExtraction.robotsFlags(concat_ws(",",
+        TextExtraction.robotsMetaContent(col("h")), col("x")))
+      Seq((html, extra)).toDF("h", "x")
+        .select(f("noindex"), f("nofollow"))
+        .as[(Boolean, Boolean)].head()
+    }
+    flags("""<meta name="robots" content="noindex">""") shouldBe
+      ((true, false))
+    flags("""<meta content='nofollow' name='robots'>""") shouldBe
+      ((false, true))
+    flags("""<meta name=robots content=none>""") shouldBe ((true, true))
+    // exact-token name: robotsx is NOT robots; content tokens are
+    // boundary-matched: 'noindexing' flags nothing
+    flags("""<meta name="robotsx" content="noindex">""") shouldBe
+      ((false, false))
+    flags("<p>n</p>", "noindexing") shouldBe ((false, false))
+    flags("<p>n</p>", "NOINDEX") shouldBe ((true, false)) // header case
+    // two meta tags both contribute
+    flags("""<meta name="robots" content="noindex">""" +
+      """<meta name="robots" content="nofollow">""") shouldBe
+      ((true, true))
+    // rel=nofollow anchors drop from the followed set only
+    val html = """<a href="/a">x</a>""" +
+      """<a rel="nofollow noopener" href="/b">y</a>""" +
+      """<a href='/c' rel=nofollow>z</a>""" +
+      """<a rel="external" href="/d">w</a>"""
+    val (all, followed) = Seq((html, "https://h.ex/p")).toDF("h", "b")
+      .select(WebGraph.outlinks(col("h"), col("b")),
+        WebGraph.followedOutlinks(col("h"), col("b")))
+      .as[(Seq[String], Seq[String])].head()
+    all shouldBe Seq("https://h.ex/a", "https://h.ex/b",
+      "https://h.ex/c", "https://h.ex/d")
+    followed shouldBe Seq("https://h.ex/a", "https://h.ex/d")
+    // href-less anchors and fragment-only hrefs still contribute
+    // nothing to either set
+    Seq(("""<a rel="x">t</a><a href="#top">u</a>""", "https://h.ex/p"))
+      .toDF("h", "b")
+      .select(WebGraph.followedOutlinks(col("h"), col("b")))
+      .as[Seq[String]].head() shouldBe Seq.empty
+  }
+
   test("mirrorHosts: overlap flags, the fanout cap excludes boilerplate evidence but keeps it in sizes") {
     import graft.operators.WebGraph
     // m1/m2 share 3 of 4 fps; solo shares nothing; 'common' sits on
