@@ -593,6 +593,57 @@ object QueriesWeb {
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
 
+    ("web_redirect_ingest", (s, dir) => {
+      // the fetch→redirect glue END TO END from real shards: 301s
+      // (chains, some landing on a 302 self-loop — unresolvable) and
+      // 200s written with status + Location through toShardsRaw, read
+      // back via the decoded face, the 3xx rows' (uri, Location)
+      // pairs fed to pointer doubling. The oracle replays the edge
+      // contract and the bounded walk — the WARC hop is the identity
+      // text_warc_roundtrip pins.
+      import graft.io.Warc
+      val d = col("doc_id")
+      def w(e: Column) = concat(lit("https://rd.ex.com/p/"),
+        e.cast("string"))
+      val pages = T(s, dir, "documents").select(
+        w(d).as("url"),
+        when(d % 3 === 0 || d % 9 === 4, lit(Array.empty[Byte]))
+          .otherwise(concat(lit("ok "), d.cast("string")).cast("binary"))
+          .as("body"),
+        lit("text/html").as("content_type"),
+        when(d % 3 === 0, lit(301)).when(d % 9 === 4, lit(302))
+          .otherwise(lit(200)).as("status"),
+        when(d % 3 === 0, w(d + 1)).when(d % 9 === 4, w(d))
+          .as("location"))
+      val fetched = Warc.fromShardsDecoded(
+        Warc.toShardsRaw(pages.repartition(4)))
+      val edges = fetched
+        .filter(col("http_status") >= 300 && col("http_status") < 400 &&
+          length(col("location")) > 0)
+        .select(col("target_uri").as("src"), col("location").as("dst"))
+      WebGraph.resolveRedirects(edges, rounds = 3)
+        .orderBy("url")
+    }, Some(s"""
+      WITH RECURSIVE e0 AS (
+        SELECT 'https://rd.ex.com/p/' || doc_id AS src,
+               'https://rd.ex.com/p/' ||
+                 (CASE WHEN doc_id % 3 = 0 THEN doc_id + 1
+                       ELSE doc_id END) AS dst
+        FROM documents WHERE doc_id % 3 = 0 OR doc_id % 9 = 4),
+      m AS (SELECT src AS u, min(dst) AS v FROM e0 GROUP BY src),
+      walk AS (
+        SELECT u, v AS cur, 1 AS h FROM m
+        UNION ALL
+        SELECT w.u, m.v, w.h + 1 FROM walk w JOIN m ON m.u = w.cur
+        WHERE w.h < 8),
+      term AS (SELECT w.u, w.cur, w.h FROM walk w
+               LEFT JOIN m ON m.u = w.cur WHERE m.u IS NULL)
+      SELECT m.u AS url, term.cur AS final_url,
+             CAST(coalesce(term.h, 8) AS INT) AS hops,
+             term.u IS NOT NULL AS resolved
+      FROM m LEFT JOIN term ON term.u = m.u
+      ORDER BY url""")),
+
     ("web_nofollow", (s, dir) => {
       // the Robots Exclusion Protocol's page- and link-level layers:
       // <meta name=robots> in both attribute orders and quote styles

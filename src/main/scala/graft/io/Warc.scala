@@ -37,7 +37,8 @@ object Warc {
   /** One fetched page: the writer's input, the reader's output. */
   final case class Doc(uri: String, body: Array[Byte],
                        contentType: String = "text/html; charset=utf-8",
-                       status: Int = 200)
+                       status: Int = 200,
+                       location: Option[String] = None)
 
   /** A parsed record: WARC headers + raw content block. */
   final case class Record(warcType: String, targetUri: String,
@@ -69,6 +70,7 @@ object Warc {
   private def httpResponse(d: Doc): Array[Byte] = {
     val head = (s"HTTP/1.1 ${d.status} OK$Crlf" +
       s"Content-Type: ${d.contentType}$Crlf" +
+      d.location.map(l => s"Location: $l$Crlf").getOrElse("") +
       s"Content-Length: ${d.body.length}$Crlf" + Crlf)
       .getBytes("US-ASCII")
     val out = new java.io.ByteArrayOutputStream(head.length + d.body.length)
@@ -340,12 +342,21 @@ object Warc {
     val uIdx = docs.schema.fieldIndex("url")
     val bIdx = docs.schema.fieldIndex("body")
     val cIdx = docs.schema.fieldIndex("content_type")
+    // optional fetch metadata: a `status` int column and a `location`
+    // string column (3xx redirect targets) ride into the HTTP head
+    // when present — the writer face a fetcher recording redirects
+    // needs; absent columns keep the 200/no-Location defaults
+    val sIdx = scala.util.Try(docs.schema.fieldIndex("status")).toOption
+    val lIdx = scala.util.Try(docs.schema.fieldIndex("location")).toOption
     docs.mapPartitions { it =>
       cutBounded[Doc](it.flatMap { r =>
         if (r.isNullAt(uIdx) || r.isNullAt(bIdx)) None
         else Some(Doc(r.getString(uIdx), r.getAs[Array[Byte]](bIdx),
           if (r.isNullAt(cIdx)) "application/octet-stream"
-          else r.getString(cIdx)))
+          else r.getString(cIdx),
+          status = sIdx.filterNot(r.isNullAt).map(r.getInt)
+            .getOrElse(200),
+          location = lIdx.filterNot(r.isNullAt).map(r.getString)))
       }, d => d.uri.length.toLong + d.body.length, maxShardBytes,
         buf => Row(writeWarcGz(buf), buf.length.toLong))
     }(E.row(shardSchema))
@@ -467,6 +478,7 @@ object Warc {
       StructField("http_status", IntegerType),
       StructField("content_type", StringType),
       StructField("charset", StringType),
+      StructField("location", StringType),
       StructField("body_text", StringType),
       StructField("n_bytes", LongType)))
     val sIdx = shards.schema.fieldIndex("shard")
@@ -479,7 +491,10 @@ object Warc {
             val ctRaw = httpHeader(head, "Content-Type")
             val mime = ctRaw.takeWhile(_ != ';').trim.toLowerCase
             val cs = detectCharset(ctRaw, body)
-            Row(rec.targetUri, status, mime, cs, decodeBody(body, cs),
+            // the Location header ('' when absent): 3xx rows feed the
+            // redirect map (resolveRedirects) straight from shards
+            Row(rec.targetUri, status, mime, cs,
+              httpHeader(head, "Location"), decodeBody(body, cs),
               body.length.toLong)
           }
       }

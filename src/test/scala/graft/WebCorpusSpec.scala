@@ -865,6 +865,21 @@ class WebCorpusSpec extends SparkSpec {
     val naive = Warc.fromShards(Warc.toShardsRaw(rows))
       .orderBy("target_uri").select("body_text").as[String].head()
     naive should not be "caf\u00e9 \u201cX"
+    // optional status/location columns ride the HTTP head both ways:
+    // a 301's Location comes back through the decoded face, a row
+    // without them keeps the 200/'' defaults
+    val redir = Seq(
+      ("https://r.ex/old", Array.empty[Byte], "text/html", 301,
+        "https://r.ex/new"),
+      ("https://r.ex/ok", "fine".getBytes("UTF-8"), "text/html", 200,
+        null.asInstanceOf[String]))
+      .toDF("url", "body", "content_type", "status", "location")
+    val got = Warc.fromShardsDecoded(Warc.toShardsRaw(redir))
+      .orderBy("target_uri")
+      .select("target_uri", "http_status", "location")
+      .as[(String, Int, String)].collect()
+    got(0) shouldBe (("https://r.ex/ok", 200, ""))
+    got(1) shouldBe (("https://r.ex/old", 301, "https://r.ex/new"))
   }
 
   // ——— the crawl back half: redirects, canonical, contraction ——————
