@@ -593,6 +593,60 @@ object QueriesWeb {
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
 
+    ("text_soft404", (s, dir) => {
+      // soft-404 detection over stripped page text: short error shells
+      // in the standard phrase family flag, a LONG page quoting '404'
+      // does not (content, not an error), a short page with no error
+      // phrase does not, and the phrase must sit in the first 200
+      // chars (boilerplate headers put it there; a trailing footer
+      // mention is not an error shell). The oracle replays the exact
+      // regex + both thresholds.
+      import graft.functions.TextExtraction
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val text = when(d % 5 === 0,
+          concat(lit("Error: page not found. The resource "), id,
+            lit(" is gone.")))
+        .when(d % 5 === 1,
+          concat(lit("HTTP 404 - this page does not exist ("), id,
+            lit(")")))
+        .when(d % 5 === 2, concat(lit("short fine page "), id))
+        .when(d % 5 === 3,
+          // long article ABOUT 404s: phrase present, length >= 500
+          concat(lit("A history of the 404 status code. "),
+            lit(("The error code has a long story. " * 20)), id))
+        .otherwise(
+          // error phrase but BEYOND the 200-char window
+          concat(lit("x" * 210), lit(" page not found "), id))
+      T(s, dir, "documents")
+        .select(d.as("doc_id"),
+          TextExtraction.isSoft404(text).as("soft404"),
+          length(text).cast("int").as("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN
+                 'Error: page not found. The resource ' || doc_id ||
+                   ' is gone.'
+               WHEN doc_id % 5 = 1 THEN
+                 'HTTP 404 - this page does not exist (' || doc_id || ')'
+               WHEN doc_id % 5 = 2 THEN 'short fine page ' || doc_id
+               WHEN doc_id % 5 = 3 THEN
+                 'A history of the 404 status code. ' ||
+                   repeat('The error code has a long story. ', 20) ||
+                   doc_id
+               ELSE repeat('x', 210) || ' page not found ' || doc_id
+               END AS text
+        FROM documents)
+      SELECT doc_id,
+             (regexp_matches(lower(substr(text, 1, 200)),
+                'page not found|\b404\b|no longer available|' ||
+                'does not exist|page cannot be found|page unavailable')
+              AND length(text) < 500) AS soft404,
+             CAST(length(text) AS INT) AS n_chars
+      FROM t ORDER BY doc_id""")),
+
     ("web_redirect_ingest", (s, dir) => {
       // the fetch→redirect glue END TO END from real shards: 301s
       // (chains, some landing on a 302 self-loop — unresolvable) and

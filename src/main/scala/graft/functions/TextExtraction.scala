@@ -91,6 +91,26 @@ object TextExtraction {
       .otherwise(lit(0.0))
   }
 
+  /** Soft-404 heuristic: a 200-status page whose VISIBLE text reads
+    * like an error page — the real web serves 'not found' with 200
+    * constantly, and uncaught soft 404s poison dedup (thousands of
+    * near-identical error shells), the link graph (rank flows into
+    * dead ends) and the corpus itself. Law over the stripped text
+    * (run AFTER [[stripHtml]]): an error phrase from the standard
+    * family ('page not found', '404', 'no longer available', 'does
+    * not exist', 'page cannot be found', 'page unavailable') within
+    * the first 200 characters of a SHORT page (< 500 chars — a long
+    * article QUOTING '404' is content, not an error shell). Both
+    * thresholds are the published heuristic shape (Bar-Yossef et al.
+    * WWW'04 detect soft 404s behaviorally; content-shape is the
+    * scan-time approximation). Pure codegen, oracle-replayable. */
+  def isSoft404(text: Column): Column = {
+    val head = lower(substring(text, 1, 200))
+    head.rlike("page not found|\\b404\\b|no longer available|" +
+      "does not exist|page cannot be found|page unavailable") &&
+      length(text) < 500
+  }
+
   // ——— page-level robots directives (REP meta/header layer) ————————
 
   /** The comma-joined, lowercased content of every
