@@ -652,9 +652,13 @@ object QueriesWeb {
       // (chains, some landing on a 302 self-loop — unresolvable) and
       // 200s written with status + Location through toShardsRaw, read
       // back via the decoded face, the 3xx rows' (uri, Location)
-      // pairs fed to pointer doubling. The oracle replays the edge
-      // contract and the bounded walk — the WARC hop is the identity
-      // text_warc_roundtrip pins.
+      // pairs fed to pointer doubling. Locations are written
+      // ROOT-RELATIVE (RFC 9110 allows relative Location and the real
+      // web uses it constantly) and resolved against the request URI
+      // at edge building — skip the resolution and every edge's dst
+      // is '/p/N', nothing terminates, and the hash catches it. The
+      // oracle replays the edge contract and the bounded walk — the
+      // WARC hop is the identity text_warc_roundtrip pins.
       import graft.io.Warc
       val d = col("doc_id")
       def w(e: Column) = concat(lit("https://rd.ex.com/p/"),
@@ -667,14 +671,17 @@ object QueriesWeb {
         lit("text/html").as("content_type"),
         when(d % 3 === 0, lit(301)).when(d % 9 === 4, lit(302))
           .otherwise(lit(200)).as("status"),
-        when(d % 3 === 0, w(d + 1)).when(d % 9 === 4, w(d))
+        when(d % 3 === 0, concat(lit("/p/"), (d + 1).cast("string")))
+          .when(d % 9 === 4, concat(lit("/p/"), d.cast("string")))
           .as("location"))
       val fetched = Warc.fromShardsDecoded(
         Warc.toShardsRaw(pages.repartition(4)))
       val edges = fetched
         .filter(col("http_status") >= 300 && col("http_status") < 400 &&
           length(col("location")) > 0)
-        .select(col("target_uri").as("src"), col("location").as("dst"))
+        .select(col("target_uri").as("src"),
+          WebGraph.resolveUrl(col("location"), col("target_uri"))
+            .as("dst"))
       WebGraph.resolveRedirects(edges, rounds = 3)
         .orderBy("url")
     }, Some(s"""

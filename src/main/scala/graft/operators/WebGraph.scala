@@ -78,6 +78,19 @@ object WebGraph {
       h => length(h) > 0)
   }
 
+  /** Resolve ONE reference against a base URL — the [[outlinks]]
+    * resolution law as a public scalar (absolute pass, `//` takes the
+    * base scheme, `/` the origin, else the base directory; '' for
+    * empty input): what a relative `Location` header (RFC 9110 §10.2.2
+    * allows them and the real web uses them constantly) needs before
+    * it can be a redirect edge. Base context and reference bind once
+    * via the one-element outer-transform recipe. */
+  def resolveUrl(href: Column, baseUrl: Column): Column =
+    element_at(
+      transform(array(struct(baseCtx(baseUrl).as("c"), href.as("h"))),
+        p => resolve(p("h"), p("c"))),
+      1)
+
   /** The base URL's (scheme, origin, dir) struct — always bind it as a
     * one-element outer-transform lambda var (see [[outlinks]]); used
     * inline it re-evaluates its three regexes per href. */

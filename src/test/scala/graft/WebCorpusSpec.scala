@@ -928,6 +928,21 @@ class WebCorpusSpec extends SparkSpec {
     wide("n0") shouldBe ((Some("n9"), 9, true))
   }
 
+  test("resolveUrl: the public resolution scalar follows the outlinks law exactly") {
+    import graft.operators.WebGraph
+    def r(href: String, base: String = "https://w.ex.com/d/p.html") =
+      Seq((href, base)).toDF("h", "b")
+        .select(WebGraph.resolveUrl(col("h"), col("b")))
+        .as[String].head()
+    r("https://o.ex/abs") shouldBe "https://o.ex/abs"
+    r("//cdn.ex/x") shouldBe "https://cdn.ex/x"
+    r("/root") shouldBe "https://w.ex.com/root"
+    r("sib.html") shouldBe "https://w.ex.com/d/sib.html"
+    r("") shouldBe ""
+    // the relative-Location use: resolve against the REQUEST uri
+    r("/p/7", "https://rd.ex.com/p/6") shouldBe "https://rd.ex.com/p/7"
+  }
+
   test("canonicalUrl: attribute orders, quote styles, case, first-wins, and the no-canonical page") {
     import graft.operators.WebGraph
     def c(html: String, base: String = "https://w.ex.com/d/p.html") =
