@@ -168,5 +168,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else Some(literalArg("vector_search_diverse", children, 4,
             "num_candidates", _.toString.toInt)))
       }))
+    webFunctions.foreach(ext.injectFunction)
   }
+
+  /** The r16 web/crawl scalar laws as SQL functions — COMPOSED column
+    * expressions registered through the Expression↔Column bridge, so
+    * `spark.sql` users run the exact codegen'd chains the DataFrame
+    * API runs (no UDF detour, identical results by construction —
+    * SqlSurfaceSpec pins the parity). */
+  private def composed(name: String, arity: Int, doc: String)(
+      law: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(doc, name),
+    (children: Seq[Expression]) => {
+      require(children.length == arity,
+        s"$name takes $arity argument(s), got ${children.length}")
+      import org.apache.spark.sql.graft.VectorExpressions.{toColumn, toExpression}
+      toExpression(law(children.map(toColumn)))
+    })
+
+  private val webFunctions = Seq(
+    composed("url_normalize", 1, "graft.functions.UrlOps")(c =>
+      graft.functions.UrlOps.normalizeUrl(c(0))),
+    composed("url_host", 1, "graft.functions.UrlOps")(c =>
+      graft.functions.UrlOps.hostOf(c(0))),
+    composed("url_path", 1, "graft.functions.UrlOps")(c =>
+      graft.functions.UrlOps.pathOf(c(0))),
+    composed("registered_domain", 1, "graft.functions.UrlOps")(c =>
+      graft.functions.UrlOps.registeredDomain(c(0))),
+    composed("url_template", 1, "graft.operators.CrawlFrontier")(c =>
+      graft.operators.CrawlFrontier.urlTemplate(c(0))),
+    composed("resolve_url", 2, "graft.operators.WebGraph")(c =>
+      graft.operators.WebGraph.resolveUrl(c(0), c(1))),
+    composed("canonical_url", 2, "graft.operators.WebGraph")(c =>
+      graft.operators.WebGraph.canonicalUrl(c(0), c(1))),
+    composed("outlinks", 2, "graft.operators.WebGraph")(c =>
+      graft.operators.WebGraph.outlinks(c(0), c(1))),
+    composed("followed_outlinks", 2, "graft.operators.WebGraph")(c =>
+      graft.operators.WebGraph.followedOutlinks(c(0), c(1))),
+    composed("html_text", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.stripHtml(c(0))),
+    composed("is_soft404", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.isSoft404(c(0))),
+    composed("robots_meta", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.robotsMetaContent(c(0))),
+    // the two REP flags as boolean scalars (not the struct form:
+    // field extraction on a bridge-composed struct does not resolve
+    // from SQL, and two booleans are the better SQL ergonomics anyway)
+    composed("robots_noindex", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.robotsFlags(c(0))("noindex")),
+    composed("robots_nofollow", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.robotsFlags(c(0))("nofollow")))
 }

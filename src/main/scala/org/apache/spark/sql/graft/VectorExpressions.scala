@@ -260,4 +260,19 @@ object VectorExpressions {
   def sqDist(a: Column, b: Column): Column =
     ExpressionUtils.column(SquaredL2Float(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Public Expression↔Column bridge for packages outside
+    * org.apache.spark.sql (ExpressionUtils is private[sql]): lets the
+    * function registry expose COMPOSED column laws as SQL functions
+    * without a UDF detour. */
+  def toColumn(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = ExpressionUtils.column(e)
+  // EAGER node→expression conversion (ColumnNodeToExpressionConverter),
+  // not ExpressionUtils.expression's lazy ColumnNodeExpression wrapper:
+  // an injected SQL function must hand the analyzer a real Catalyst
+  // tree — the lazy wrapper only converts on the Dataset API path and
+  // dies in codegen when reached through the function registry.
+  def toExpression(c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -842,6 +842,52 @@ class SqlSurfaceSpec extends SparkSpec {
       .getMessage should include("'traps'")
   }
 
+  test("web/crawl scalar laws run from SQL with DataFrame parity (composed expressions, no UDF detour)") {
+    import graft.functions.{TextExtraction, UrlOps}
+    import graft.operators.{CrawlFrontier, WebGraph}
+    import org.apache.spark.sql.functions.col
+    spark.createDataFrame(Seq((
+        "HTTPS://A.Example.COM:443/p?id=1&utm_source=x#f",
+        "<html><head><link rel=\"canonical\" href=\"/c\">" +
+          "<meta name=\"robots\" content=\"noindex\"></head><body>" +
+          "<a href=\"/f\">one</a><a rel=\"nofollow\" href=\"/g\">two" +
+          "</a><p>page not found</p></body></html>",
+        "https://news.site.co.uk/cal/2026/8?q=1")))
+      .toDF("u", "h", "b").createOrReplaceTempView("websql_t")
+    val viaSql = spark.sql("""
+      SELECT url_normalize(u) AS n, url_host(u) AS ho, url_path(u) AS pa,
+             registered_domain(url_host(b)) AS rd, url_template(b) AS tp,
+             resolve_url('/x', b) AS rv, canonical_url(h, b) AS cu,
+             outlinks(h, b) AS ol, followed_outlinks(h, b) AS fo,
+             html_text(h) AS tx, is_soft404(html_text(h)) AS s4,
+             robots_meta(h) AS rm, robots_noindex(robots_meta(h)) AS ni
+      FROM websql_t""").collect()(0)
+    val viaApi = spark.table("websql_t").select(
+      UrlOps.normalizeUrl(col("u")), UrlOps.hostOf(col("u")),
+      UrlOps.pathOf(col("u")),
+      UrlOps.registeredDomain(UrlOps.hostOf(col("b"))),
+      CrawlFrontier.urlTemplate(col("b")),
+      WebGraph.resolveUrl(org.apache.spark.sql.functions.lit("/x"), col("b")),
+      WebGraph.canonicalUrl(col("h"), col("b")),
+      WebGraph.outlinks(col("h"), col("b")),
+      WebGraph.followedOutlinks(col("h"), col("b")),
+      TextExtraction.stripHtml(col("h")),
+      TextExtraction.isSoft404(TextExtraction.stripHtml(col("h"))),
+      TextExtraction.robotsMetaContent(col("h")),
+      TextExtraction.robotsFlags(
+        TextExtraction.robotsMetaContent(col("h")))("noindex")).collect()(0)
+    viaSql.toSeq shouldBe viaApi.toSeq
+    // spot-check a few values so the parity is not vacuous
+    viaSql.getString(0) shouldBe "https://a.example.com/p?id=1"
+    viaSql.getString(3) shouldBe "site.co.uk"
+    viaSql.getString(4) shouldBe "news.site.co.uk/cal/D/D?q=V"
+    viaSql.getBoolean(10) shouldBe true // soft404: short + phrase
+    viaSql.getBoolean(12) shouldBe true // noindex via meta
+    // arity errors name the function
+    intercept[Exception](spark.sql("SELECT url_host('a', 'b')"))
+      .getMessage should include("url_host")
+  }
+
   test("CURATE TABLE crawl_rescore: link-quality blending dispatches with parity") {
     import graft.operators.CrawlFrontier
     def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
