@@ -122,14 +122,20 @@ object TextExtraction {
     * page declares nothing. Pure codegen'd RE2-safe chain. */
   def robotsMetaContent(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    // exact-token name match, honestly: each quoted form must be
+    // EXACTLY robots (name="robots next" is some other meta, not a
+    // directive), the unquoted form ends at whitespace/'/'/'>' (the
+    // self-closing <meta name=robots content=x/> spelling is real),
+    // and the \\sname boundary keeps data-name= from matching
     val robots = filter(tags, t =>
-      t.rlike("(?is)\\bname\\s*=\\s*[\"']?robots[\"'\\s>]"))
+      t.rlike("(?is)\\sname\\s*=\\s*" +
+        "(\"robots\"|'robots'|robots(?=[\\s/>]))"))
     // the quoted captures keep their delimiters (the one-group quote
     // law) — strip them, or the token-boundary matching downstream
     // would see '"noindex' instead of 'noindex'
     lower(concat_ws(",",
       transform(robots, t => regexp_replace(regexp_extract(t,
-        "(?is)\\bcontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)", 1),
+        "(?is)\\bcontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s/>]+)", 1),
         "^[\"']|[\"']$", ""))))
   }
 

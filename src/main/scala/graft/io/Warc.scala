@@ -66,11 +66,26 @@ object Warc {
     out.toByteArray
   }
 
+  /** A header-safe spelling of an arbitrary value: CR/LF stripped (a
+    * crafted Location with embedded CRLF would otherwise terminate the
+    * head early and inject fake headers into the written record) and
+    * non-ASCII/control bytes percent-encoded as UTF-8 (RFC 3986's own
+    * spelling for non-ASCII URL bytes — US-ASCII getBytes would mangle
+    * an internationalized Location to '?' and the read-back edge
+    * would point at the wrong URL). */
+  private def headerSafe(v: String): String = v.flatMap {
+    case c if c == '\r' || c == '\n' => ""
+    case c if c < 0x20 || c > 0x7E =>
+      c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
+    case c => c.toString
+  }
+
   /** HTTP/1.1 response message for a response record's content. */
   private def httpResponse(d: Doc): Array[Byte] = {
     val head = (s"HTTP/1.1 ${d.status} OK$Crlf" +
       s"Content-Type: ${d.contentType}$Crlf" +
-      d.location.map(l => s"Location: $l$Crlf").getOrElse("") +
+      d.location.map(l => s"Location: ${headerSafe(l)}$Crlf")
+        .getOrElse("") +
       s"Content-Length: ${d.body.length}$Crlf" + Crlf)
       .getBytes("US-ASCII")
     val out = new java.io.ByteArrayOutputStream(head.length + d.body.length)
@@ -236,10 +251,14 @@ object Warc {
         val line = new String(raw, pos, eol - pos, "US-ASCII")
         val hexPart = line.takeWhile(_ != ';').trim
         scala.util.Try(java.lang.Long.parseLong(hexPart, 16)).toOption match {
+          // the data bytes must be present; the chunk's own trailing
+          // CRLF need NOT be (a capture cut exactly after the data is
+          // a normal truncation and the salvage convention keeps
+          // everything before the cut) — the skip clamps instead
           case Some(0L) => walking = false // terminal chunk; trailers drop
-          case Some(n) if n > 0 && eol + 2 + n + 2 <= raw.length =>
+          case Some(n) if n > 0 && eol + 2 + n <= raw.length =>
             out.write(raw, eol + 2, n.toInt)
-            pos = (eol + 2 + n + 2).toInt // skip the chunk's own CRLF
+            pos = math.min(eol + 2 + n + 2, raw.length.toLong).toInt
           case _ => walking = false // malformed/truncated: salvage
         }
       }
@@ -345,10 +364,27 @@ object Warc {
     // optional fetch metadata: a `status` int column and a `location`
     // string column (3xx redirect targets) ride into the HTTP head
     // when present — the writer face a fetcher recording redirects
-    // needs; absent columns keep the 200/no-Location defaults
-    val sIdx = scala.util.Try(docs.schema.fieldIndex("status")).toOption
-    val lIdx = scala.util.Try(docs.schema.fieldIndex("location")).toOption
-    docs.mapPartitions { it =>
+    // needs; absent columns keep the 200/no-Location defaults.
+    // Detected by name but normalized by CAST at plan time: a JSON-
+    // sourced fetch log infers status as BIGINT and a raw getInt would
+    // ClassCastException inside every task with an error naming
+    // neither the column nor the fix
+    val hasStatus = docs.columns.contains("status")
+    val hasLocation = docs.columns.contains("location")
+    val normalized = {
+      import org.apache.spark.sql.functions.col
+      var df = docs
+      if (hasStatus) df = df.withColumn("status", col("status").cast("int"))
+      if (hasLocation)
+        df = df.withColumn("location", col("location").cast("string"))
+      df
+    }
+    val sIdx =
+      if (hasStatus) Some(normalized.schema.fieldIndex("status")) else None
+    val lIdx =
+      if (hasLocation) Some(normalized.schema.fieldIndex("location"))
+      else None
+    normalized.mapPartitions { it =>
       cutBounded[Doc](it.flatMap { r =>
         if (r.isNullAt(uIdx) || r.isNullAt(bIdx)) None
         else Some(Doc(r.getString(uIdx), r.getAs[Array[Byte]](bIdx),
@@ -470,8 +506,11 @@ object Warc {
     * [[detectCharset]] verdict and body_text decoded accordingly —
     * [[fromShards]] decodes everything as UTF-8, which silently
     * garbles the latin1/cp1252 half of a real crawl. n_bytes counts
-    * the RAW body (BOM included): the byte accounting a storage
-    * budget needs. Partition-local, zero shuffle. */
+    * the PAYLOAD bytes the parse hands to the decoder — BOM included,
+    * chunked transfer framing (size lines, chunk CRLFs, trailers)
+    * already removed: the corpus-content accounting, which for
+    * chunked captures is smaller than the stored wire bytes.
+    * Partition-local, zero shuffle. */
   def fromShardsDecoded(shards: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("target_uri", StringType),

@@ -67,16 +67,30 @@ object WebGraph {
     * layer. */
   def followedOutlinks(html: Column, baseUrl: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
-    val kept = filter(tags, t => !t.rlike(
-      "(?is)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
+    // the REL token law in two honest steps (a single fused regex had
+    // three boundary holes the r16 review caught: \\b matched after
+    // data-rel's hyphen, an unquoted value ran across whitespace into
+    // later attributes, and 'nofollowers' matched): pull the rel
+    // VALUE under the href quote law — \\srel boundary, each quoted
+    // form ends at its own quote, unquoted at whitespace/> — then
+    // token-boundary match 'nofollow' inside the value only
+    val kept = filter(tags, t => !regexp_replace(
+      regexp_extract(t,
+        "(?is)\\srel\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s/>]+)", 1),
+      "^[\"']|[\"']$", "")
+      .rlike("(?i)(^|\\s)nofollow($|\\s)"))
     filter(
       flatten(transform(array(baseCtx(baseUrl)), c =>
         transform(kept, t =>
-          resolve(regexp_replace(regexp_extract(t,
-            "(?is)\\shref\\s*=\\s*(\"[^\"#]*|'[^'#]*|[^\"'\\s>#]+)", 1),
+          resolve(regexp_replace(regexp_extract(t, HrefValuePattern, 1),
             "^[\"']", ""), c)))),
       h => length(h) > 0)
   }
+
+  /** The one href value law ([[outlinks]]'s quote-aware single-capture
+    * form) shared by every per-tag href pull. */
+  private val HrefValuePattern =
+    "(?is)\\shref\\s*=\\s*(\"[^\"#]*|'[^'#]*|[^\"'\\s>#]+)"
 
   /** Resolve ONE reference against a base URL — the [[outlinks]]
     * resolution law as a public scalar (absolute pass, `//` takes the
@@ -241,13 +255,8 @@ object WebGraph {
     // array is total, and the href extract of '' is '' → resolve('')
     // = '' (the no-canonical result)
     val first = element_at(concat(canon, array(lit(""))), 1)
-    val href = regexp_extract(first,
-      "(?is)\\shref\\s*=\\s*(\"[^\"#]*|'[^'#]*|[^\"'\\s>#]+)", 1)
-    element_at(
-      transform(array(struct(baseCtx(baseUrl).as("c"),
-          regexp_replace(href, "^[\"']", "").as("h"))),
-        p => resolve(p("h"), p("c"))),
-      1)
+    val href = regexp_extract(first, HrefValuePattern, 1)
+    resolveUrl(regexp_replace(href, "^[\"']", ""), baseUrl)
   }
 
   /** Resolve redirect chains to their terminal targets by pointer

@@ -724,6 +724,11 @@ class WebCorpusSpec extends SparkSpec {
     val (_, b4) = Warc.parseHttp(http(
       "HTTP/1.1 200 OK\r\nContent-Type: text/plain", "4\r\nWiki\r\n"))
     new String(b4, "UTF-8") shouldBe "4\r\nWiki\r\n"
+    // a capture cut EXACTLY after the chunk data (its trailing CRLF
+    // truncated away) still salvages the fully-present chunk — the
+    // salvage-before-the-cut convention
+    val (_, b5) = Warc.parseHttp(http(chunkedHead, "4\r\nWiki"))
+    new String(b5, "UTF-8") shouldBe "Wiki"
     // the sniffing face sees the de-chunked payload: the meta charset
     // declaration is only visible once the framing is gone
     val metaBody = "<meta charset=\"latin1\"><p>x</p>"
@@ -880,6 +885,24 @@ class WebCorpusSpec extends SparkSpec {
       .as[(String, Int, String)].collect()
     got(0) shouldBe (("https://r.ex/ok", 200, ""))
     got(1) shouldBe (("https://r.ex/old", 301, "https://r.ex/new"))
+    // header safety: a crafted CRLF Location cannot inject fake
+    // headers or truncate the head, and non-ASCII Locations percent-
+    // encode losslessly instead of mangling to '?'; a LongType status
+    // column (what a JSON fetch log infers) casts instead of crashing
+    val nasty = Seq(
+      ("https://r.ex/evil", Array.empty[Byte], "text/html", 301L,
+        "https://r.ex/a\r\nX-Fake: h\r\n\r\ngarbage"),
+      ("https://r.ex/intl", Array.empty[Byte], "text/html", 302L,
+        "https://r.ex/caf\u00e9"))
+      .toDF("url", "body", "content_type", "status", "location")
+    val back = Warc.fromShardsDecoded(Warc.toShardsRaw(nasty))
+      .orderBy("target_uri")
+      .select("target_uri", "http_status", "location", "n_bytes")
+      .as[(String, Int, String, Long)].collect()
+    back(0)._2 shouldBe 301
+    back(0)._3 shouldBe "https://r.ex/aX-Fake: hgarbage" // CRLF gone
+    back(0)._4 shouldBe 0L // the injection never reached the body
+    back(1)._3 shouldBe "https://r.ex/caf%C3%A9" // RFC 3986 spelling
   }
 
   // ——— the crawl back half: redirects, canonical, contraction ——————
@@ -1062,6 +1085,31 @@ class WebCorpusSpec extends SparkSpec {
       .toDF("h", "b")
       .select(WebGraph.followedOutlinks(col("h"), col("b")))
       .as[Seq[String]].head() shouldBe Seq.empty
+    // the rel TOKEN law's boundary cases (each silently dropped real
+    // edges under a fused regex): data-rel is not rel; an unquoted rel
+    // value ends at whitespace and must not run into an href that
+    // merely CONTAINS 'nofollow'; 'nofollowers' is not the token
+    val tricky = """<a href="/p1" data-rel="nofollow">a</a>""" +
+      """<a rel=tag href=/how-to-nofollow>b</a>""" +
+      """<a rel="nofollowers" href="/p2">c</a>""" +
+      """<a rel="a nofollow b" href="/p3">d</a>"""
+    Seq((tricky, "https://h.ex/p")).toDF("h", "b")
+      .select(WebGraph.followedOutlinks(col("h"), col("b")))
+      .as[Seq[String]].head() shouldBe Seq("https://h.ex/p1",
+      "https://h.ex/how-to-nofollow", "https://h.ex/p2")
+  }
+
+  test("robotsMetaContent name law: exact quoted token, self-closing unquoted, multi-token name is not robots") {
+    def meta(html: String): String = Seq(html).toDF("h")
+      .select(TextExtraction.robotsMetaContent(col("h")))
+      .as[String].head()
+    // 'robots next' is some OTHER meta, not a directive
+    meta("""<meta name="robots next" content="noindex">""") shouldBe ""
+    // the self-closing unquoted spelling is real markup and must match
+    meta("<meta name=robots content=noindex/>") shouldBe "noindex"
+    meta("<meta name=robots content=nofollow />") shouldBe "nofollow"
+    // data-name is not name
+    meta("""<meta data-name="robots" content="noindex">""") shouldBe ""
   }
 
   test("mirrorHosts: overlap flags, the fanout cap excludes boilerplate evidence but keeps it in sizes") {
