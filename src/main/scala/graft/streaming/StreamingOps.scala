@@ -77,7 +77,8 @@ object StreamingOps {
                       minWords: Int = 1,
                       robotsRules: Option[DataFrame] = None,
                       agent: String = "*",
-                      decodeCharsets: Boolean = false): DataFrame = {
+                      decodeCharsets: Boolean = false,
+                      dropSoft404: Boolean = false): DataFrame = {
     import graft.functions.{Robots, UrlOps}
     val clean = graft.functions.TextExtraction.stripHtml(col("body_text"))
     val rows =
@@ -96,12 +97,19 @@ object StreamingOps {
           .drop("__robots_host", "domain", "robots_rules")
       case None => rows
     }
-    polite
+    val extracted = polite
       .select(col("target_uri"), clean.as("text"))
       .withColumn("n_words",
         size(filter(split(col("text"), "[ \n]"), t => length(t) > 0)))
       .filter(col("n_words") >= minWords &&
         graft.pipeline.CurationPipeline.verdict(col("text"), cfg) === "keep")
+    // the soft-404 gate (200-status error shells) rides the same
+    // stateless chain — AFTER extraction, where the heuristic's
+    // visible-text law is defined
+    if (dropSoft404)
+      extracted.filter(
+        !graft.functions.TextExtraction.isSoft404(col("text")))
+    else extracted
   }
 
   /** W1/W2 in streaming: a global updating top-N is unsupported in

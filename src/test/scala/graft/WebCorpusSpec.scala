@@ -455,6 +455,65 @@ class WebCorpusSpec extends SparkSpec {
     all(out.map(_._2)) should not include "x()"
   }
 
+  test("webIngestStream: checkpoint restart resumes mid-corpus without re-emitting, soft-404 shells gate out") {
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-web-restart").toString
+    val shardDir = s"$base/shards"
+    val cfg = graft.pipeline.CurationPipeline.Config(
+      minTokens = 5, langs = Seq("en"))
+    val prose = "a clearly english page with plenty of ordinary words"
+    def wave(tag: String, n: Int): Unit = {
+      val docs = (1 to n).map { i =>
+        val body =
+          if (i % 3 == 0) "<p>Error: page not found here</p>" // shell
+          else s"<p>$prose $tag $i</p>"
+        (s"https://w.example/$tag/$i", body)
+      }.toDF("url", "text").coalesce(1)
+      graft.io.Warc.toShards(docs).write.mode("append").parquet(shardDir)
+    }
+    val shardSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("n_records",
+        org.apache.spark.sql.types.LongType)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(): Unit = {
+      val q = StreamingOps.webIngestStream(
+          spark.readStream.schema(shardSchema).parquet(shardDir), cfg,
+          dropSoft404 = true)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.synchronized {
+            out ++= b.select(col("target_uri")).as[String].collect()
+          }: Unit
+        }
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    wave("first", 6)
+    run() // first incarnation consumes wave 1, then STOPS
+    val afterFirst = out.sorted.toSeq
+    wave("second", 6)
+    run() // a NEW query on the same checkpoint resumes mid-corpus
+    val afterSecond = out.sorted.toSeq
+    // no wave-1 row re-emitted on restart (the file source's offset
+    // log carries the position across incarnations)
+    afterSecond.count(_.contains("/first/")) shouldBe
+      afterFirst.count(_.contains("/first/"))
+    // wave 2's survivors arrived exactly once; the soft-404 shells
+    // (every 3rd page) gated out of BOTH waves
+    afterSecond.count(_.contains("/second/")) shouldBe 4
+    afterFirst.length shouldBe 4
+    afterSecond.filter(_.endsWith("/3")) shouldBe Seq.empty
+    afterSecond.filter(_.endsWith("/6")) shouldBe Seq.empty
+    // batch face with the same flag agrees
+    StreamingOps.webIngestStream(spark.read.parquet(shardDir), cfg,
+        dropSoft404 = true)
+      .select("target_uri").as[String].collect().sorted.toSeq shouldBe
+      afterSecond
+  }
+
   test("webIngestStream decodeCharsets: the charset-sniffing parse rides the same stateless chain, batch/stream parity holds") {
     import graft.streaming.StreamingOps
     val base = java.nio.file.Files
