@@ -103,8 +103,9 @@ object QueriesWeb {
     * hostless) can never drift between rows. */
   private def templateSql(h: String, p: String): String =
     s"""(CASE WHEN length($h) > 0 THEN $h ||
-         regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            (CASE WHEN length($p) > 0 THEN $p ELSE '/' END),
+           '[0-9a-zA-Z]{16,}', 'S', 'g'),
            '[0-9a-fA-F]{8,}', 'H', 'g'),
            '[0-9]+', 'D', 'g'),
            '([?&][^&#=]*=)[^&#]*', '\\1V', 'g')

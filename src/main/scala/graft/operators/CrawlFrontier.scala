@@ -312,18 +312,22 @@ object CrawlFrontier {
     * families a crawler trap generates (calendars, session ids,
     * faceted-search permutations) fall into ONE bucket whose fanout
     * is countable. The collapse law, in order (each stage RE2-safe
-    * and oracle-replayable): (1) hex runs of >= 8 chars → 'H'
-    * (content hashes, uuids — BEFORE the digit stage, which would
-    * split them), (2) digit runs → 'D', (3) every query-param value
-    * → 'V' (keys survive: `?page=` vs `?sessionid=` are different
-    * templates). Scheme is dropped (http/https twins share a
-    * template); the input should already be canonical
-    * ([[UrlOps.normalizeUrl]]). '' for null/schemeless (the hostOf
-    * convention). Pure per-row codegen. */
+    * and oracle-replayable): (1) alphanumeric runs of >= 16 chars →
+    * 'S' (base64-ish path session tokens — a LETTER-only or
+    * mixed-case token defeats the digit stage, so without this rule
+    * every spelling mints its own template and the trap is missed),
+    * (2) hex runs of >= 8 chars → 'H' (content hashes, uuids —
+    * BEFORE the digit stage, which would split them), (3) digit runs
+    * → 'D', (4) every query-param value → 'V' (keys survive:
+    * `?page=` vs `?sessionid=` are different templates). Scheme is
+    * dropped (http/https twins share a template); the input should
+    * already be canonical ([[UrlOps.normalizeUrl]]). '' for
+    * null/schemeless (the hostOf convention). Pure per-row codegen. */
   def urlTemplate(url: Column): Column = {
     val host = UrlOps.hostOf(url)
     val pathq = UrlOps.pathOf(url)
-    val hexed = regexp_replace(pathq, "[0-9a-fA-F]{8,}", "H")
+    val tokened = regexp_replace(pathq, "[0-9a-zA-Z]{16,}", "S")
+    val hexed = regexp_replace(tokened, "[0-9a-fA-F]{8,}", "H")
     val digited = regexp_replace(hexed, "[0-9]+", "D")
     val valued = regexp_replace(digited, "([?&][^&#=]*=)[^&#]*", "$1V")
     when(length(host) > 0, concat(host, valued)).otherwise(lit(""))

@@ -536,6 +536,14 @@ class CrawlFrontierSpec extends SparkSpec {
     tpl("https://h.ex/cal/2026/8/16") shouldBe "h.ex/cal/D/D/D"
     // the hex run (hash-like) collapses WHOLE, not as digit fragments
     tpl("https://h.ex/obj/deadbeef1234") shouldBe "h.ex/obj/H"
+    // a LETTER-bearing session token defeats the digit stage — the
+    // 16+-alnum rule collapses it (base64-ish path ids), and it runs
+    // FIRST so a 16+ all-hex run is 'S' too, never split
+    tpl("https://h.ex/s/AbCdEfGhIjKlMnOp") shouldBe "h.ex/s/S"
+    tpl("https://h.ex/s/deadbeefdeadbeef") shouldBe "h.ex/s/S"
+    // 15 alnum chars are NOT a session token; a real word neither
+    tpl("https://h.ex/s/AbCdEfGhIjKlMnO") shouldBe "h.ex/s/AbCdEfGhIjKlMnO"
+    tpl("https://h.ex/documentation") shouldBe "h.ex/documentation"
     // short hex-ish tokens (< 8) are NOT hashes: digits only
     tpl("https://h.ex/v2/beef") shouldBe "h.ex/vD/beef"
     tpl("https://h.ex/find?q=abc&page=4") shouldBe "h.ex/find?q=V&page=V"
