@@ -153,6 +153,80 @@ class CodecPropertySpec extends AnyFunSuite with Matchers {
         _(Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt(256).toByte)))
     }
   }
+
+  test("chunked transfer framing round-trips arbitrary payloads under random chunk splits; truncation salvages a prefix") {
+    import graft.io.Warc
+    val rnd = new scala.util.Random(20260816L)
+    def frame(payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var pos = 0
+      while (pos < payload.length) {
+        val n = 1 + rnd.nextInt(math.min(40, payload.length - pos))
+        val ext = if (rnd.nextBoolean()) ";x=" + rnd.nextInt(9) else ""
+        out.write(f"$n%x$ext\r\n".getBytes("US-ASCII"))
+        out.write(payload, pos, n)
+        out.write("\r\n".getBytes("US-ASCII"))
+        pos += n
+      }
+      out.write("0\r\n\r\n".getBytes("US-ASCII"))
+      out.toByteArray
+    }
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes("US-ASCII")
+    (1 to 200).foreach { _ =>
+      val payload = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val wire = frame(payload)
+      val (status, body) = Warc.parseHttp(head ++ wire)
+      status shouldBe 200
+      body.toSeq shouldBe payload.toSeq
+      // a random cut anywhere in the wire bytes salvages a PREFIX of
+      // the payload (whole chunks before the cut), never garbage and
+      // never a throw
+      val cut = rnd.nextInt(wire.length + 1)
+      val (_, salvaged) = Warc.parseHttp(head ++ wire.take(cut))
+      payload.take(salvaged.length).toSeq shouldBe salvaged.toSeq
+    }
+  }
+
+  test("record-shard codec round-trips arbitrary uri/payload batches; Location headers stay head-safe under hostile values") {
+    import graft.io.Warc
+    val rnd = new scala.util.Random(777L)
+    (1 to 40).foreach { _ =>
+      val recs = (0 until rnd.nextInt(8)).map { i =>
+        val uri = s"https://p$i.ex/" + rnd.alphanumeric.take(
+          rnd.nextInt(20)).mkString
+        val payload = Array.fill(rnd.nextInt(200))(
+          rnd.nextInt(256).toByte)
+        (uri, payload)
+      }
+      val back = Warc.readWarcGz(
+        Warc.writeRecordShardGz(recs, "conversion", "text/plain"))
+        .filter(_.warcType == "conversion")
+      back.map(_.targetUri) shouldBe recs.map(_._1)
+      back.map(_.content.toSeq) shouldBe recs.map(_._2.toSeq)
+    }
+    // hostile Location values: CRLF injection, controls, non-ASCII —
+    // the read-back head NEVER tears and the location is ASCII-clean
+    (1 to 100).foreach { _ =>
+      val loc = new String(Array.fill(1 + rnd.nextInt(30)) {
+        rnd.nextInt(5) match {
+          case 0 => Seq('\r', '\n')(rnd.nextInt(2))
+          case 1 => rnd.nextInt(0x20).toChar
+          case 2 => (0x80 + rnd.nextInt(0x2000)).toChar
+          case _ => rnd.nextPrintableChar()
+        }
+      })
+      val body = s"b${rnd.nextInt(100)}".getBytes("UTF-8")
+      val shard = Warc.writeWarcGz(Seq(Warc.Doc("https://h.ex/p", body,
+        "text/html", 301, Some(loc))))
+      val rec = Warc.readWarcGz(shard).find(_.warcType == "response").get
+      val (status, head, got) = Warc.parseHttpFull(rec.content)
+      status shouldBe 301
+      got.toSeq shouldBe body.toSeq // the body never absorbs header junk
+      val readLoc = Warc.httpHeader(head, "Location")
+      readLoc.forall(c => c >= ' ' && c <= '~') shouldBe true
+    }
+  }
 }
 
 /** Seeded-random properties for the TFRecord container + tf.Example
