@@ -111,6 +111,26 @@ object QueriesWeb {
            '([?&][^&#=]*=)[^&#]*', '\\1V', 'g')
        ELSE '' END)"""
 
+  /** The DuckDB replay of [[graft.functions.UrlOps.removeDotSegments]]
+    * over a SQL expression: the identical split + 12-pass chain (each
+    * pass: /./ collapse, /seg/../ collapse, above-root absorption),
+    * global flags throughout. */
+  private def dotSegSql(expr: String): String = {
+    val qf = "regexp_extract(" + expr + ", '([?#].*)$', 1)"
+    val noQf = "regexp_replace(" + expr + ", '[?#].*$', '')"
+    val origin = "regexp_extract(" + noQf +
+      ", '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)"
+    val p0 = "(CASE WHEN length(" + origin + ") > 0 THEN substr(" +
+      noQf + ", length(" + origin + ") + 1) ELSE " + noQf + " END)"
+    val norm = (1 to 12).foldLeft(p0) { (u, _) =>
+      val a = "regexp_replace(" + u + ", '/\\.(/|$)', '/', 'g')"
+      val b = "regexp_replace(" + a +
+        ", '/[^/]+/\\.\\.(/|$)', '/', 'g')"
+      "regexp_replace(" + b + ", '^/\\.\\.(/|$)', '/', 'g')"
+    }
+    origin + " || " + norm + " || " + qf
+  }
+
   /** One TrustRank power iteration for the web_trustrank oracle
     * (requires `nodes`, `tv(id, v)`, `e(src,dst)`, `deg(src,deg)` and
     * `t{k-1}(id, tr)` CTEs): dangling mass from the previous vector,
@@ -593,6 +613,46 @@ object QueriesWeb {
       SELECT host_a, host_b, shared, n_a, n_b, round(jac, 6) AS jaccard
       FROM j WHERE shared >= 2 AND jac >= 0.5
       ORDER BY host_a, host_b""")),
+
+    ("text_dot_segments", (s, dir) => {
+      // RFC 3986 remove_dot_segments — the canonicalization stage
+      // normalizeUrl documents away: ./ and nested ../ collapse,
+      // above-root ../ absorbs at the origin, a trailing /.. keeps
+      // its slash (the RFC's own output), dot-shaped QUERY values
+      // pass through untouched, and dotfile segments (.well-known)
+      // are not dot segments. The oracle replays the identical
+      // split + 12-pass global-replace chain.
+      import graft.functions.UrlOps
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val u = when(d % 6 === 0,
+          concat(lit("https://d.ex.com/a/./b/../c/p"), id))
+        .when(d % 6 === 1, concat(lit("https://d.ex.com/x/y/../../z"), id))
+        .when(d % 6 === 2, concat(lit("https://d.ex.com/../up"), id))
+        .when(d % 6 === 3, concat(lit("https://d.ex.com/a"), id,
+          lit("/b/..")))
+        .when(d % 6 === 4, concat(lit("https://d.ex.com/a/../b?next=../up&i="),
+          id))
+        .otherwise(concat(lit("https://d.ex.com/.well-known/x"), id))
+      T(s, dir, "documents").select(d.as("doc_id"), u.as("url"),
+          UrlOps.removeDotSegments(u).as("normalized"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH x AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 = 0 THEN
+                 'https://d.ex.com/a/./b/../c/p' || doc_id
+               WHEN doc_id % 6 = 1 THEN
+                 'https://d.ex.com/x/y/../../z' || doc_id
+               WHEN doc_id % 6 = 2 THEN 'https://d.ex.com/../up' || doc_id
+               WHEN doc_id % 6 = 3 THEN
+                 'https://d.ex.com/a' || doc_id || '/b/..'
+               WHEN doc_id % 6 = 4 THEN
+                 'https://d.ex.com/a/../b?next=../up&i=' || doc_id
+               ELSE 'https://d.ex.com/.well-known/x' || doc_id END AS url
+        FROM documents)
+      SELECT doc_id, url, ${dotSegSql("url")} AS normalized
+      FROM x ORDER BY doc_id""")),
 
     ("text_soft404", (s, dir) => {
       // soft-404 detection over stripped page text: short error shells

@@ -90,7 +90,7 @@ object SparkEntry {
     "text_charset_sniff", "crawl_rescore", "web_graph_e2e",
     "text_wet_roundtrip", "text_wat_extract", "web_mirror_dedup",
     "crawl_trap_stats", "web_anchor_bm25", "web_nofollow",
-    "web_redirect_ingest", "text_soft404",
+    "web_redirect_ingest", "text_soft404", "text_dot_segments",
     "text_readability",
     "dedup_clusters_altstar",
     "curate_sample", "curate_sample_k", "curate_weighted_sample",

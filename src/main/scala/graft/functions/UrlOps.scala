@@ -59,6 +59,43 @@ object UrlOps {
     regexp_replace(tidySep, "^(https?://[^/?#]+)/$", "$1")
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over a URL's PATH (query and
+    * fragment pass through untouched — dot-shaped query values like
+    * `?next=../up` are data, not path) — the canonicalization stage
+    * [[normalizeUrl]] deliberately leaves out (its Scaladoc's
+    * documented simplification): `/a/./b/../c` and `/a/c` are the
+    * same resource, and unnormalized spellings split dedup keys and
+    * frontier identity. An OPT-IN stage, composed after normalizeUrl
+    * where relative-path spellings occur (server-side links resolve
+    * most of them before a crawler ever sees the URL).
+    *
+    * Law, replayed verbatim by the oracle: split off `[?#].*`, then
+    * 12 passes of (1) `/./` and trailing `/.` collapse, (2)
+    * `/segment/../` and trailing `/segment/..` collapse, (3)
+    * above-root `/../` absorption at the origin — each a global
+    * RE2-safe replace, so up to 12 nesting levels fully normalize
+    * (deeper paths keep their residual: real paths never nest that
+    * far, and what does is trap fodder the template law buckets
+    * anyway). */
+  def removeDotSegments(url: Column): Column = {
+    val qf = regexp_extract(url, "([?#].*)$", 1)
+    val noQf = regexp_replace(url, "[?#].*$", "")
+    // normalize the PATH in isolation: the `/seg/../` pass run over
+    // the whole URL would happily match `/h.ex/../` ACROSS the `://`
+    // authority boundary and eat the host
+    val origin = regexp_extract(noQf,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    val path0 = when(length(origin) > 0,
+        substring(noQf, length(origin) + 1, lit(Int.MaxValue)))
+      .otherwise(noQf)
+    val normalized = (1 to 12).foldLeft(path0) { (u, _) =>
+      val dot = regexp_replace(u, "/\\.(/|$)", "/")
+      val dotdot = regexp_replace(dot, "/[^/]+/\\.\\.(/|$)", "/")
+      regexp_replace(dotdot, "^/\\.\\.(/|$)", "/")
+    }
+    concat(origin, normalized, qf)
+  }
+
   /** Host of a URL, '' for null/schemeless (regexp_extract's no-match
     * convention — callers filter or group the empty bucket away).
     * Userinfo is skipped: 'https://user:pw@h.example/x' — and the

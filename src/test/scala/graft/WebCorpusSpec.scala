@@ -1010,6 +1010,30 @@ class WebCorpusSpec extends SparkSpec {
     wide("n0") shouldBe ((Some("n9"), 9, true))
   }
 
+  test("removeDotSegments: the RFC 3986 examples, above-root absorption, query immunity, dotfiles") {
+    def n(u: String): String = Seq(u).toDF("u")
+      .select(UrlOps.removeDotSegments(col("u"))).as[String].head()
+    // RFC 3986 §5.2.4's own examples (as absolute URLs)
+    n("https://h.ex/a/b/c/./../../g") shouldBe "https://h.ex/a/g"
+    n("https://h.ex/mid/content=5/../6") shouldBe "https://h.ex/mid/6"
+    n("https://h.ex/a/./b/../c") shouldBe "https://h.ex/a/c"
+    n("https://h.ex/a/b/..") shouldBe "https://h.ex/a/" // RFC keeps /
+    n("https://h.ex/a/b/.") shouldBe "https://h.ex/a/b/"
+    // above-root ../ absorbs instead of leaking upward
+    n("https://h.ex/../../x") shouldBe "https://h.ex/x"
+    n("https://h.ex/a/../../b") shouldBe "https://h.ex/b"
+    // query and fragment are data, not path
+    n("https://h.ex/a/../b?next=../up#f/./g") shouldBe
+      "https://h.ex/b?next=../up#f/./g"
+    // dotfile segments are not dot segments
+    n("https://h.ex/.well-known/../x/.hidden") shouldBe
+      "https://h.ex/x/.hidden"
+    // already-normal URLs are fixpoints
+    n("https://h.ex/a/b/c") shouldBe "https://h.ex/a/b/c"
+    // deep nests fully collapse inside the 12-pass bound
+    n("https://h.ex" + "/s/.." * 10 + "/end") shouldBe "https://h.ex/end"
+  }
+
   test("resolveUrl: the public resolution scalar follows the outlinks law exactly") {
     import graft.operators.WebGraph
     def r(href: String, base: String = "https://w.ex.com/d/p.html") =
