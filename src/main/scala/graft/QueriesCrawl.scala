@@ -110,7 +110,7 @@ object QueriesCrawl {
         FROM documents),
       blk AS (
         SELECT doc_id,
-               regexp_extract_all(xml, '(?is)<url\b[^>]*>(.*?)</url>', 1)
+               regexp_extract_all(xml, '(?is)<(?:[a-zA-Z0-9]+:)?url\b[^>]*>(.*?)</(?:[a-zA-Z0-9]+:)?url>', 1)
                  AS bs
         FROM x),
       ex AS (
@@ -118,12 +118,12 @@ object QueriesCrawl {
         FROM blk),
       f AS (
         SELECT doc_id, i,
-          trim(regexp_extract(bs[i], '(?is)<loc>(.*?)</loc>', 1)) AS rawloc,
-          trim(regexp_extract(bs[i], '(?is)<lastmod>(.*?)</lastmod>', 1))
+          trim(regexp_extract(bs[i], '(?is)<(?:[a-zA-Z0-9]+:)?loc>(.*?)</(?:[a-zA-Z0-9]+:)?loc>', 1)) AS rawloc,
+          trim(regexp_extract(bs[i], '(?is)<(?:[a-zA-Z0-9]+:)?lastmod>(.*?)</(?:[a-zA-Z0-9]+:)?lastmod>', 1))
             AS lastmod,
           lower(trim(regexp_extract(bs[i],
-            '(?is)<changefreq>(.*?)</changefreq>', 1))) AS changefreq,
-          trim(regexp_extract(bs[i], '(?is)<priority>(.*?)</priority>', 1))
+            '(?is)<(?:[a-zA-Z0-9]+:)?changefreq>(.*?)</(?:[a-zA-Z0-9]+:)?changefreq>', 1))) AS changefreq,
+          trim(regexp_extract(bs[i], '(?is)<(?:[a-zA-Z0-9]+:)?priority>(.*?)</(?:[a-zA-Z0-9]+:)?priority>', 1))
             AS rawpr
         FROM ex),
       dec AS (
@@ -150,14 +150,106 @@ object QueriesCrawl {
              CAST(interval_s AS BIGINT) AS interval_s, priority_val
       FROM kept ORDER BY doc_id, entry_idx""")),
 
+    ("crawl_sitemap_gz", (s, dir) => {
+      // REAL-WIRE sitemap feeds: namespace-prefixed tags (`<sm:url>`,
+      // the common generator output) and gzip payloads (`.xml.gz`,
+      // the protocol-blessed wire format) — even docs are prefixed
+      // INDEX feeds shipped plain, odd docs prefixed urlset feeds
+      // shipped gzipped; decodeFeeds magic-sniffs and inflates the
+      // mixed column in one stateless partition-local map, isIndex
+      // dispatches, and the prefixed-tag patterns extract. The oracle
+      // replays the CONTENT law (inflation is the round-trip identity
+      // — the text_wet_roundtrip convention; tag extraction parity is
+      // crawl_sitemap_parse's subject).
+      import s.implicits._
+      val feeds = T(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val k = id % 5
+          val host = s"h$k.ex$k.com"
+          val xml =
+            if (id % 2 == 0)
+              "<sm:sitemapindex xmlns:sm=\"http://www.sitemaps.org/" +
+                "schemas/sitemap/0.9\">" +
+                s"<sm:sitemap><sm:loc>https://$host/sitemap-$id-1.xml.gz" +
+                "</sm:loc></sm:sitemap>" +
+                s"<sm:sitemap><sm:loc>https://$host/sitemap-$id-2.xml.gz" +
+                "</sm:loc></sm:sitemap></sm:sitemapindex>"
+            else
+              "<sm:urlset xmlns:sm=\"http://www.sitemaps.org/schemas/" +
+                "sitemap/0.9\">" +
+                s"<sm:url><sm:loc>https://$host/p/$id</sm:loc>" +
+                "<sm:lastmod>2026-01-02</sm:lastmod>" +
+                "<sm:changefreq>Daily</sm:changefreq>" +
+                "<sm:priority>0.8</sm:priority></sm:url>" +
+                s"<sm:url><sm:loc>https://$host/q/$id?a=1&amp;b=2" +
+                "</sm:loc></sm:url></sm:urlset>"
+          val bytes =
+            if (id % 2 == 1) graft.io.Warc.gzipBytes(xml.getBytes("UTF-8"))
+            else xml.getBytes("UTF-8")
+          (id, bytes)
+        }.toDF("doc_id", "body")
+      val xmlDf = Sitemaps.decodeFeeds(feeds)
+      val idxRows = xmlDf.filter(Sitemaps.isIndex(col("xml")))
+        .select(col("doc_id"), lit(true).as("is_index"),
+          posexplode(Sitemaps.indexEntries(col("xml"))))
+        .select(col("doc_id"), col("is_index"),
+          (col("pos") + 1).cast("int").as("entry_idx"),
+          col("col").as("loc"), lit("").as("lastmod"),
+          lit("").as("changefreq"),
+          lit(null).cast("long").as("interval_s"),
+          lit(null).cast("double").as("priority_val"))
+      val urlRows = xmlDf.filter(!Sitemaps.isIndex(col("xml")))
+        .select(col("doc_id"), lit(false).as("is_index"),
+          posexplode(Sitemaps.urlEntries(col("xml"))))
+        .select(col("doc_id"), col("is_index"),
+          (col("pos") + 1).cast("int").as("entry_idx"),
+          col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+          col("col.changefreq").as("changefreq"),
+          Sitemaps.changefreqSeconds(col("col.changefreq"))
+            .as("interval_s"),
+          Sitemaps.priorityValue(col("col.priority")).as("priority_val"))
+      idxRows.unionByName(urlRows).orderBy("doc_id", "entry_idx")
+    }, Some("""
+      WITH n AS (
+        SELECT doc_id,
+               'h' || (doc_id % 5) || '.ex' || (doc_id % 5) || '.com'
+                 AS host
+        FROM documents),
+      e AS (SELECT doc_id, host, unnest([1, 2]) AS entry_idx FROM n)
+      SELECT doc_id,
+             (doc_id % 2 = 0) AS is_index,
+             CAST(entry_idx AS INT) AS entry_idx,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'https://' || host || '/sitemap-' || doc_id ||
+                       '-' || entry_idx || '.xml.gz'
+                  WHEN entry_idx = 1 THEN 'https://' || host || '/p/' ||
+                       doc_id
+                  ELSE 'https://' || host || '/q/' || doc_id || '?a=1&b=2'
+                  END AS loc,
+             CASE WHEN doc_id % 2 = 1 AND entry_idx = 1
+                  THEN '2026-01-02' ELSE '' END AS lastmod,
+             CASE WHEN doc_id % 2 = 1 AND entry_idx = 1
+                  THEN 'daily' ELSE '' END AS changefreq,
+             CASE WHEN doc_id % 2 = 1 AND entry_idx = 1
+                  THEN CAST(86400 AS BIGINT)
+                  ELSE CAST(NULL AS BIGINT) END AS interval_s,
+             CASE WHEN doc_id % 2 = 1 AND entry_idx = 1
+                  THEN CAST(0.8 AS DOUBLE)
+                  ELSE CAST(NULL AS DOUBLE) END AS priority_val
+      FROM e ORDER BY doc_id, entry_idx""")),
+
     ("crawl_frontier_seed", (s, dir) => {
       // frontier seeding — canonicalize, drop non-fetchable schemes,
       // collapse spelling variants of one page BEFORE the crawl ever
       // fetches it twice: consecutive doc pairs spell the same URL two
       // ways (mixed-case host, default port, tracking params,
-      // fragment), strays are ftp:// and schemeless garbage. The
-      // oracle replays the FULL normalizeUrl chain (this row's subject
-      // is canonicalization) and the dedup-to-frontier law. One
+      // fragment, AND an RFC 3986 dot segment — server-unresolved
+      // relative links are the highest-frequency dup spelling a
+      // frontier sees), strays are ftp:// and schemeless garbage. The
+      // oracle replays the FULL frontier-identity chain — dot-segment
+      // removal THEN normalizeUrl (this row's subject is
+      // canonicalization) — and the dedup-to-frontier law. One
       // url-keyed shuffle with map-side combine.
       val d = col("doc_id")
       val pairBase = (d - d % 2).cast("string")
@@ -167,22 +259,23 @@ object QueriesCrawl {
         .when(d % 2 === 0,
           concat(lit("https://h"), k, lit(".example.com/p?id="), pairBase))
         .otherwise(
-          concat(lit("HTTPS://H"), k, lit(".EXAMPLE.COM:443/p?id="),
+          concat(lit("HTTPS://H"), k, lit(".EXAMPLE.COM:443/a/../p?id="),
             pairBase, lit("&utm_source=x#f")))
       val urls = T(s, dir, "documents").select(url.as("url"))
       CrawlFrontier.seed(urls, now = T0, defaultIntervalS = 86400L)
         .orderBy("url")
-    }, Some("""
-      WITH u AS (
+    }, Some(raw"""
+      WITH u0 AS (
         SELECT CASE
           WHEN doc_id % 13 = 0 THEN 'ftp://skip.example/x'
           WHEN doc_id % 17 = 0 THEN 'not a url'
           WHEN doc_id % 2 = 0 THEN 'https://h' || ((doc_id - doc_id % 2) % 7)
             || '.example.com/p?id=' || (doc_id - doc_id % 2)
           ELSE 'HTTPS://H' || ((doc_id - doc_id % 2) % 7) ||
-            '.EXAMPLE.COM:443/p?id=' || (doc_id - doc_id % 2) ||
+            '.EXAMPLE.COM:443/a/../p?id=' || (doc_id - doc_id % 2) ||
             '&utm_source=x#f' END AS url
         FROM documents),
+      u AS (SELECT ${QueriesWeb.dotSegSql("url")} AS url FROM u0),
       lo AS (
         SELECT regexp_extract(url,
                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head, url
@@ -193,16 +286,16 @@ object QueriesCrawl {
                      THEN substr(url, length(head) + 1) ELSE url END) AS t
         FROM lo),
       n1 AS (SELECT regexp_replace(regexp_replace(regexp_replace(t,
-               '#.*$', ''),
-               '^(http://[^/:?#]*):80(/|\?|$)', '\1\2'),
-               '^(https://[^/:?#]*):443(/|\?|$)', '\1\2') AS t
+               '#.*$$', ''),
+               '^(http://[^/:?#]*):80(/|\?|$$)', '\1\2'),
+               '^(https://[^/:?#]*):443(/|\?|$$)', '\1\2') AS t
              FROM n0),
       n2 AS (SELECT regexp_replace(t,
                '([?&])(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
                '\1', 'g') AS t FROM n1),
       n3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(t, '\?&+', '?', 'g'), '&&+', '&', 'g'),
-               '[?&]+$', ''), '^(https?://[^/?#]+)/$', '\1') AS url
+               '[?&]+$$', ''), '^(https?://[^/?#]+)/$$', '\1') AS url
              FROM n2),
       h AS (SELECT url,
                    regexp_extract(lower(url),
@@ -385,17 +478,24 @@ object QueriesCrawl {
       // the per-registered-domain budget COUNTING existing rows: the
       // crawl-mixing guard applied where it's cheapest. Returns the
       // admitted rows only (an upsert batch for a store-held
-      // frontier). Shuffles: url agg + anti join (same key), one
-      // domain window. The co.uk host exercises the 3-label suffix
-      // slice of registeredDomain.
+      // frontier). Every 4th discovery spells its URL with an RFC
+      // 3986 dot segment (`/x/../p/N`): frontier identity removes it,
+      // so the spelling collapses onto the plain twin in the
+      // min-depth agg AND the anti join still catches known URLs
+      // discovered through a dotted spelling. Shuffles: url agg +
+      // anti join (same key), one domain window. The co.uk host
+      // exercises the 3-label suffix slice of registeredDomain.
       val d = col("doc_id")
       val k = (d % 7).cast("string")
       val host = when(d % 7 === 6, lit("h6.ex6.co.uk"))
         .otherwise(concat(lit("h"), k, lit(".ex"), k, lit(".com")))
       val knownUrl = concat(lit("https://"), host, lit("/p/"),
         (d % 40).cast("string"))
-      val discUrl = concat(lit("https://"), host, lit("/p/"),
-        (d % 80).cast("string"))
+      val discUrl = when(d % 4 === 1,
+          concat(lit("https://"), host, lit("/x/../p/"),
+            (d % 80).cast("string")))
+        .otherwise(concat(lit("https://"), host, lit("/p/"),
+          (d % 80).cast("string")))
       val docs = T(s, dir, "documents")
       val frontier = docs.filter(d % 3 === 0)
         .select(knownUrl.as("url"), host.as("host")).distinct()
@@ -422,7 +522,14 @@ object QueriesCrawl {
           'https://' || host || '/p/' || (doc_id % 40) AS url, host
         FROM base WHERE doc_id % 3 = 0),
       cand AS (
-        SELECT 'https://' || host || '/p/' || (doc_id % 80) AS url,
+        -- the dotted spelling replays frontier identity: dot-segment
+        -- removal maps /x/../p/N onto /p/N (normalizeUrl is the
+        -- identity on these fixtures — the file-header convention)
+        SELECT ${QueriesWeb.dotSegSql(
+          """(CASE WHEN doc_id % 4 = 1
+               THEN 'https://' || host || '/x/../p/' || (doc_id % 80)
+               ELSE 'https://' || host || '/p/' || (doc_id % 80)
+               END)""")} AS url,
                host, CAST(min(doc_id % 6) AS INT) AS depth
         FROM base WHERE doc_id % 6 <= 4
         GROUP BY 1, 2),
@@ -440,6 +547,122 @@ object QueriesCrawl {
       kept AS (
         SELECT rk.* FROM rk LEFT JOIN ex ON ex.domain = rk.domain
         WHERE rk.rnk + coalesce(ex.n_existing, 0) <= 50)
+      SELECT url, host, depth, 1.0 / (depth + 1) AS priority,
+             CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(NULL AS BIGINT) AS last_fetch_ts,
+             CAST(NULL AS VARCHAR) AS content_hash,
+             CAST(86400 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state
+      FROM kept ORDER BY url""")),
+
+    ("crawl_admit_robots", (s, dir) => {
+      // the RFC 9309 compliance gate at ADMISSION (gateRobots →
+      // admit): a disallowed URL is never admitted, never consumes
+      // the per-domain budget, and is never scheduled or fetched —
+      // the ingest-time gate sees a page only AFTER the fetch, too
+      // late for compliance or politeness budget. Rules per host:
+      // h0 disallows /private, h1 disallows everything except /pub
+      // (longest-match allow), h2 declares nothing (allow-all), h3
+      // disallows the single page /p/9, h4 carries an allow/disallow
+      // precedence pair. Every 4th discovery spells a disallowed
+      // path through a dot segment — the verdict must ride the
+      // CANONICAL identity. The oracle replays verdict (most-octets
+      // argmax, allow wins ties — plain prefix rules, the law
+      // web_robots proves wholesale) → gate → the full admit chain
+      // with a binding domain budget.
+      import s.implicits._
+      import graft.functions.Robots
+      val d = col("doc_id")
+      val k = (d % 5).cast("string")
+      val host = concat(lit("h"), k, lit(".ex"), k, lit(".com"))
+      val tail = (d % 20).cast("string")
+      val path = when(d % 4 === 0, concat(lit("/pub/"), tail))
+        .when(d % 4 === 1, concat(lit("/private/"), tail))
+        .when(d % 4 === 2, concat(lit("/p/"), tail))
+        .otherwise(concat(lit("/x/../private/"), tail))
+      val docs = T(s, dir, "documents")
+      val discovered = docs.select(
+        concat(lit("https://"), host, path).as("url"),
+        ((d % 3) + 1).cast("int").as("depth"))
+      val frontier = docs.filter(d % 7 === 0)
+        .select(concat(lit("https://"), host, lit("/pub/"), tail)
+          .as("url"), host.as("host")).distinct()
+        .select(col("url"), col("host"), lit(0).as("depth"),
+          lit(1.0).as("priority"), lit(0L).as("fetch_count"),
+          lit(0).as("fail_count"),
+          lit(null).cast("long").as("last_fetch_ts"),
+          lit(null).cast("string").as("content_hash"),
+          lit(86400L).as("interval_s"), lit(T0).as("next_fetch_ts"),
+          lit("active").as("state"))
+      val robots = Seq(
+        ("h0.ex0.com", "User-agent: *\nDisallow: /private\n"),
+        ("h1.ex1.com", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
+        ("h3.ex3.com", "User-agent: *\nDisallow: /p/9\n"),
+        ("h4.ex4.com",
+          "User-agent: *\nAllow: /private/open\nDisallow: /private\n"))
+        .toDF("domain", "robots_txt")
+      val byHost = Robots.rulesByDomain(Robots.parseRules(robots),
+        "graftbot")
+      val gated = CrawlFrontier.gateRobots(discovered, byHost)
+      CrawlFrontier.admit(frontier, gated, now = T0, maxDepth = 4,
+        perDomainCap = 25L).orderBy("url")
+    }, Some(s"""
+      WITH rules(rdomain, is_allow, rpath) AS (VALUES
+        ('h0.ex0.com', FALSE, '/private'),
+        ('h1.ex1.com', FALSE, '/'), ('h1.ex1.com', TRUE, '/pub'),
+        ('h3.ex3.com', FALSE, '/p/9'),
+        ('h4.ex4.com', TRUE, '/private/open'),
+        ('h4.ex4.com', FALSE, '/private')),
+      base AS (
+        SELECT doc_id,
+               'h' || (doc_id % 5) || '.ex' || (doc_id % 5) || '.com'
+                 AS host
+        FROM documents),
+      d0 AS (
+        SELECT doc_id, host,
+               'https://' || host ||
+               (CASE WHEN doc_id % 4 = 0 THEN '/pub/' || (doc_id % 20)
+                     WHEN doc_id % 4 = 1 THEN '/private/' || (doc_id % 20)
+                     WHEN doc_id % 4 = 2 THEN '/p/' || (doc_id % 20)
+                     ELSE '/x/../private/' || (doc_id % 20) END) AS url
+        FROM base),
+      dc AS (SELECT doc_id, host,
+                    ${QueriesWeb.dotSegSql("url")} AS url
+             FROM d0),
+      vr AS (
+        SELECT doc_id, host, url,
+               coalesce((SELECT r.is_allow FROM rules r
+                         WHERE r.rdomain = dc.host
+                           AND starts_with(
+                             regexp_extract(dc.url,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)',
+                               1), r.rpath)
+                         ORDER BY length(r.rpath) DESC, r.is_allow DESC
+                         LIMIT 1), TRUE) AS allowed
+        FROM dc),
+      frontier AS (
+        SELECT DISTINCT
+          'https://' || host || '/pub/' || (doc_id % 20) AS url, host
+        FROM base WHERE doc_id % 7 = 0),
+      cand AS (
+        SELECT url, host, CAST(min((doc_id % 3) + 1) AS INT) AS depth
+        FROM vr WHERE allowed
+        GROUP BY url, host),
+      fresh AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM frontier f WHERE f.url = c.url)),
+      ex AS (
+        SELECT $domainSql AS domain, count(*) AS n_existing
+        FROM frontier GROUP BY 1),
+      rk AS (
+        SELECT f.*, $domainSql AS domain,
+               row_number() OVER (PARTITION BY $domainSql
+                 ORDER BY depth, url) AS rnk
+        FROM fresh f),
+      kept AS (
+        SELECT rk.* FROM rk LEFT JOIN ex ON ex.domain = rk.domain
+        WHERE rk.rnk + coalesce(ex.n_existing, 0) <= 25)
       SELECT url, host, depth, 1.0 / (depth + 1) AS priority,
              CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
              CAST(NULL AS BIGINT) AS last_fetch_ts,
@@ -791,12 +1014,12 @@ object QueriesCrawl {
               '/2</loc></url></urlset>' AS xml
             FROM smk),
       blk AS (SELECT domain,
-                regexp_extract_all(xml, '(?is)<url\b[^>]*>(.*?)</url>', 1)
+                regexp_extract_all(xml, '(?is)<(?:[a-zA-Z0-9]+:)?url\b[^>]*>(.*?)</(?:[a-zA-Z0-9]+:)?url>', 1)
                   AS bs
               FROM x),
       ub AS (SELECT domain, unnest(bs) AS b FROM blk),
       loc0 AS (SELECT replace(replace(replace(replace(replace(
-                 trim(regexp_extract(b, '(?is)<loc>(.*?)</loc>', 1)),
+                 trim(regexp_extract(b, '(?is)<(?:[a-zA-Z0-9]+:)?loc>(.*?)</(?:[a-zA-Z0-9]+:)?loc>', 1)),
                  '&quot;', '"'), '&apos;', ''''), '&lt;', '<'),
                  '&gt;', '>'), '&amp;', '&') AS loc
                FROM ub),

@@ -115,7 +115,7 @@ object QueriesWeb {
     * over a SQL expression: the identical split + 12-pass chain (each
     * pass: /./ collapse, /seg/../ collapse, above-root absorption),
     * global flags throughout. */
-  private def dotSegSql(expr: String): String = {
+  private[graft] def dotSegSql(expr: String): String = {
     val qf = "regexp_extract(" + expr + ", '([?#].*)$', 1)"
     val noQf = "regexp_replace(" + expr + ", '[?#].*$', '')"
     val origin = "regexp_extract(" + noQf +
@@ -180,29 +180,46 @@ object QueriesWeb {
       // rel=canonical extraction (RFC 6596): absolute / root-relative
       // / page-relative / protocol-relative hrefs in all three quote
       // styles and both attribute orders, mixed-case tag and rel
-      // value, a non-canonical <link> that must NOT match, and a
-      // two-canonical page where the FIRST wins. The oracle replays
-      // the identical RE2 chain (tag scan → rel filter → href quote
-      // law → the outlinks resolution law).
+      // value, a non-canonical <link> that must NOT match, a
+      // two-canonical page where the FIRST wins, and the rel-token
+      // boundary family (data-rel= decoy, a canonical-foo prefix
+      // decoy, the token-list rel="alternate canonical"). The oracle
+      // replays the identical RE2 chain (tag scan → rel VALUE pull
+      // under the quote law → token-boundary match → href quote law →
+      // the outlinks resolution law).
       val d = col("doc_id")
       val id = d.cast("string")
       val base = concat(lit("https://www.example.com/dir/page"), id,
         lit(".html"))
-      val tag = when(d % 6 === 0, concat(
+      val tag = when(d % 9 === 0, concat(
           lit("<link rel=\"canonical\" href=\"https://c.example.com/x/"),
           id, lit("\">")))
-        .when(d % 6 === 1, concat(
+        .when(d % 9 === 1, concat(
           lit("<link href='/canon/"), id, lit("' rel='canonical'>")))
-        .when(d % 6 === 2, concat(
+        .when(d % 9 === 2, concat(
           lit("<link rel=canonical href=canon-"), id, lit(".html>")))
-        .when(d % 6 === 3, lit("<link rel=\"stylesheet\" href=\"/s.css\">"))
-        .when(d % 6 === 4, concat(
+        .when(d % 9 === 3, lit("<link rel=\"stylesheet\" href=\"/s.css\">"))
+        .when(d % 9 === 4, concat(
           lit("<LINK REL=\"Canonical\" HREF=\"//cdn.example.org/c/"),
           id, lit("\">")))
-        .otherwise(concat(
+        .when(d % 9 === 5, concat(
           lit("<link rel=\"canonical\">" +
             "<link rel=\"canonical\" href=\"/first/"), id,
           lit("\"><link rel=\"canonical\" href=\"/second/"), id,
+          lit("\">")))
+        .when(d % 9 === 6, concat(
+          // data-rel must NOT be a declaration (the \srel boundary);
+          // the real one later in the page wins
+          lit("<link data-rel=\"canonical\" href=\"/decoy/"), id,
+          lit("\"><link rel=\"canonical\" href=\"/real/"), id,
+          lit("\">")))
+        .when(d % 9 === 7, concat(
+          // prefix decoy: 'canonical-foo' is some other rel token
+          lit("<link rel=\"canonical-foo\" href=\"/nope/"), id,
+          lit("\">")))
+        .otherwise(concat(
+          // token list: canonical among other rel tokens still counts
+          lit("<link rel=\"alternate canonical\" href=\"/multi/"), id,
           lit("\">")))
       val html = concat(lit("<html><head><title>T</title>"), tag,
         lit("</head><body><p>Body with <a href=\"/x\">link</a>.</p>" +
@@ -217,23 +234,31 @@ object QueriesWeb {
                  AS base,
                '<html><head><title>T</title>' ||
                (CASE
-                 WHEN doc_id % 6 = 0 THEN
+                 WHEN doc_id % 9 = 0 THEN
                    '<link rel="canonical" href="https://c.example.com/x/'
                      || doc_id || '">'
-                 WHEN doc_id % 6 = 1 THEN
+                 WHEN doc_id % 9 = 1 THEN
                    '<link href=''/canon/' || doc_id ||
                      ''' rel=''canonical''>'
-                 WHEN doc_id % 6 = 2 THEN
+                 WHEN doc_id % 9 = 2 THEN
                    '<link rel=canonical href=canon-' || doc_id || '.html>'
-                 WHEN doc_id % 6 = 3 THEN
+                 WHEN doc_id % 9 = 3 THEN
                    '<link rel="stylesheet" href="/s.css">'
-                 WHEN doc_id % 6 = 4 THEN
+                 WHEN doc_id % 9 = 4 THEN
                    '<LINK REL="Canonical" HREF="//cdn.example.org/c/'
                      || doc_id || '">'
-                 ELSE '<link rel="canonical">' ||
+                 WHEN doc_id % 9 = 5 THEN '<link rel="canonical">' ||
                    '<link rel="canonical" href="/first/' || doc_id ||
                    '"><link rel="canonical" href="/second/' || doc_id ||
-                   '">' END) ||
+                   '">'
+                 WHEN doc_id % 9 = 6 THEN
+                   '<link data-rel="canonical" href="/decoy/' || doc_id ||
+                   '"><link rel="canonical" href="/real/' || doc_id || '">'
+                 WHEN doc_id % 9 = 7 THEN
+                   '<link rel="canonical-foo" href="/nope/' || doc_id ||
+                   '">'
+                 ELSE '<link rel="alternate canonical" href="/multi/' ||
+                   doc_id || '">' END) ||
                '</head><body><p>Body with <a href="/x">link</a>.</p>' ||
                '</body></html>' AS html
         FROM documents),
@@ -241,8 +266,11 @@ object QueriesWeb {
                     regexp_extract_all(html, '(?is)<link\b[^>]*>') AS tags
              FROM h),
       cn AS (SELECT doc_id, base,
-                    list_filter(tags, t -> regexp_matches(t,
-                      '(?is)\brel\s*=\s*["'']?canonical')
+                    list_filter(tags, t -> regexp_matches(
+                      regexp_replace(regexp_extract(t,
+                        '(?is)\srel\s*=\s*("[^"]*"|''[^'']*''|[^"''\s/>]+)',
+                        1), '^["'']|["'']$', '', 'g'),
+                      '(?i)(^|\s)canonical($|\s)')
                       AND regexp_matches(t, '(?is)\shref\s*=')) AS ct
              FROM tg),
       hx AS (SELECT doc_id, base,
@@ -357,6 +385,53 @@ object QueriesWeb {
       FROM dm
       WHERE length(src) > 0 AND length(dst) > 0 AND src <> dst
       GROUP BY src, dst ORDER BY src, dst""")),
+
+    ("web_host_weights", (s, dir) => {
+      // weight propagation through COMPOSED graph collapses: pages
+      // with '-alt' spellings contract onto their base page (parallel
+      // edges summing into weight), then the host graph SUMS those
+      // contracted weights — page-level edge multiplicity must reach
+      // the host weights, not reset to contracted-edge counts. The
+      // oracle replays rewrite → count → host collapse → sum; a
+      // count(1) re-aggregation anywhere in the chain changes the
+      // weights and the hash catches it.
+      val d = col("doc_id")
+      val k = (d % 5).cast("string")
+      val j = ((d * 3 + 1) % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val sBase = concat(lit("https://h"), k, lit(".ex.com/s/"),
+        (d % 8).cast("string"))
+      val src = when(d % 2 === 0, sBase)
+        .otherwise(concat(sBase, lit("-alt")))
+      val dst = concat(lit("https://w"), j, lit(".ex.org/t/"),
+        (d % 6).cast("string"))
+      val edges = docs.select(src.as("src"), dst.as("dst"))
+      val mapping = docs
+        .select(concat(sBase, lit("-alt")).as("url"),
+          sBase.as("final_url")).distinct()
+      val contracted = WebGraph.contractEdges(edges, mapping)
+      WebGraph.hostGraph(contracted).orderBy("src", "dst")
+    }, Some(s"""
+      WITH ed AS (
+        SELECT CASE WHEN doc_id % 2 = 0
+                 THEN 'https://h' || (doc_id % 5) || '.ex.com/s/' ||
+                      (doc_id % 8)
+                 ELSE 'https://h' || (doc_id % 5) || '.ex.com/s/' ||
+                      (doc_id % 8) || '-alt' END AS src,
+               'https://w' || ((doc_id * 3 + 1) % 5) || '.ex.org/t/' ||
+                 (doc_id % 6) AS dst
+        FROM documents),
+      rw AS (SELECT regexp_replace(src, '-alt$$', '') AS src, dst
+             FROM ed),
+      ct AS (SELECT src, dst, count(*) AS w
+             FROM rw WHERE src <> dst GROUP BY src, dst),
+      hg AS (SELECT ${hostOfSql("src")} AS sh,
+                    ${hostOfSql("dst")} AS dh, w
+             FROM ct)
+      SELECT sh AS src, dh AS dst, CAST(sum(w) AS BIGINT) AS weight
+      FROM hg
+      WHERE length(sh) > 0 AND length(dh) > 0 AND sh <> dh
+      GROUP BY sh, dh ORDER BY src, dst""")),
 
     ("web_trustrank", (s, dir) => {
       // TrustRank (Gyöngyi et al. 2004) over the web_pagerank graph
@@ -658,27 +733,36 @@ object QueriesWeb {
       // soft-404 detection over stripped page text: short error shells
       // in the standard phrase family flag, a LONG page quoting '404'
       // does not (content, not an error), a short page with no error
-      // phrase does not, and the phrase must sit in the first 200
-      // chars (boilerplate headers put it there; a trailing footer
-      // mention is not an error shell). The oracle replays the exact
+      // phrase does not, the phrase must sit in the first 200 chars
+      // (boilerplate headers put it there; a trailing footer mention
+      // is not an error shell), and the NUMERIC form needs error
+      // context — a short page with a bare '404' (street address,
+      // product name) must NOT flag. The oracle replays the exact
       // regex + both thresholds.
       import graft.functions.TextExtraction
       val d = col("doc_id")
       val id = d.cast("string")
-      val text = when(d % 5 === 0,
+      val text = when(d % 7 === 0,
           concat(lit("Error: page not found. The resource "), id,
             lit(" is gone.")))
-        .when(d % 5 === 1,
+        .when(d % 7 === 1,
           concat(lit("HTTP 404 - this page does not exist ("), id,
             lit(")")))
-        .when(d % 5 === 2, concat(lit("short fine page "), id))
-        .when(d % 5 === 3,
+        .when(d % 7 === 2, concat(lit("short fine page "), id))
+        .when(d % 7 === 3,
           // long article ABOUT 404s: phrase present, length >= 500
           concat(lit("A history of the 404 status code. "),
             lit(("The error code has a long story. " * 20)), id))
-        .otherwise(
+        .when(d % 7 === 4,
           // error phrase but BEYOND the 200-char window
           concat(lit("x" * 210), lit(" page not found "), id))
+        .when(d % 7 === 5,
+          // bare number, no error context — a street address is not
+          // an error shell
+          concat(lit("Visit us at 404 Main Street, office "), id))
+        .otherwise(
+          // the contextual numeric form flags
+          concat(lit("error 404: nothing here ("), id, lit(")")))
       T(s, dir, "documents")
         .select(d.as("doc_id"),
           TextExtraction.isSoft404(text).as("soft404"),
@@ -687,22 +771,27 @@ object QueriesWeb {
     }, Some("""
       WITH t AS (
         SELECT doc_id,
-          CASE WHEN doc_id % 5 = 0 THEN
+          CASE WHEN doc_id % 7 = 0 THEN
                  'Error: page not found. The resource ' || doc_id ||
                    ' is gone.'
-               WHEN doc_id % 5 = 1 THEN
+               WHEN doc_id % 7 = 1 THEN
                  'HTTP 404 - this page does not exist (' || doc_id || ')'
-               WHEN doc_id % 5 = 2 THEN 'short fine page ' || doc_id
-               WHEN doc_id % 5 = 3 THEN
+               WHEN doc_id % 7 = 2 THEN 'short fine page ' || doc_id
+               WHEN doc_id % 7 = 3 THEN
                  'A history of the 404 status code. ' ||
                    repeat('The error code has a long story. ', 20) ||
                    doc_id
-               ELSE repeat('x', 210) || ' page not found ' || doc_id
+               WHEN doc_id % 7 = 4 THEN
+                 repeat('x', 210) || ' page not found ' || doc_id
+               WHEN doc_id % 7 = 5 THEN
+                 'Visit us at 404 Main Street, office ' || doc_id
+               ELSE 'error 404: nothing here (' || doc_id || ')'
                END AS text
         FROM documents)
       SELECT doc_id,
              (regexp_matches(lower(substr(text, 1, 200)),
-                'page not found|\b404\b|no longer available|' ||
+                'page not found|(error|http)\s*404|' ||
+                '404\s*(not found|error)|no longer available|' ||
                 'does not exist|page cannot be found|page unavailable')
               AND length(text) < 500) AS soft404,
              CAST(length(text) AS INT) AS n_chars

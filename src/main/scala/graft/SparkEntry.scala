@@ -82,10 +82,13 @@ object SparkEntry {
     "text_html_blocks", "text_warc_roundtrip",
     "web_outlinks", "web_pagerank", "web_robots", "web_anchor_text",
     "web_hits",
-    "crawl_sitemap_parse", "crawl_frontier_seed", "crawl_select_batch",
-    "crawl_recrawl", "crawl_admit", "crawl_e2e", "crawl_polite_batch",
+    "crawl_sitemap_parse", "crawl_sitemap_gz", "crawl_frontier_seed",
+    "crawl_select_batch",
+    "crawl_recrawl", "crawl_admit", "crawl_admit_robots", "crawl_e2e",
+    "crawl_polite_batch",
     "crawl_discovery_e2e",
     "web_redirects", "web_canonical", "web_contract", "web_host_graph",
+    "web_host_weights",
     "web_trustrank", "crawl_traps", "crawl_trap_gate", "web_mirrors",
     "text_charset_sniff", "crawl_rescore", "web_graph_e2e",
     "text_wet_roundtrip", "text_wat_extract", "web_mirror_dedup",

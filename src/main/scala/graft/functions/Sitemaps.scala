@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Encoders => E}
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.functions._
 
 /** Sitemap ingestion (sitemaps.org XML, the crawl-seed channel next to
@@ -22,9 +24,18 @@ import org.apache.spark.sql.functions._
   *    machine-generated, schema-fixed, and size-capped by the protocol
   *    (50 k URLs / 50 MB uncompressed), so `<loc>`/`<lastmod>`/
   *    `<changefreq>`/`<priority>` tag pulls — case-insensitive, with
-  *    `(?s)` for pretty-printed newlines — are the whole grammar. A
-  *    namespace-prefixed feed (`<sm:url>`) is out of scope, stated
-  *    here rather than half-handled.
+  *    `(?s)` for pretty-printed newlines — are the whole grammar.
+  *    Namespace-PREFIXED feeds (`<sm:url>`, common in generator
+  *    output) parse via a `(?:[a-z0-9]+:)?` prefix alternative in
+  *    every tag pattern — still one RE2-safe pattern per tag.
+  *
+  * The one non-Column entry point is [[decodeFeeds]]: real sitemap
+  * feeds are overwhelmingly shipped gzipped (`sitemap.xml.gz` — the
+  * protocol blesses it), and inflation cannot be a codegen'd
+  * expression, so the decode is a stateless partition-local row map
+  * (the io/Warc shard-read shape): gzip members are magic-sniffed and
+  * inflated, plain XML passes through — one call decodes a mixed
+  * plain/.gz feed column, batch or stream.
   */
 object Sitemaps {
 
@@ -38,20 +49,29 @@ object Sitemaps {
       regexp_replace(acc, java.util.regex.Pattern.quote(from), to) }
   }
 
+  /** The optional namespace prefix every tag pattern tolerates
+    * (`<sm:loc>`): one label and a colon, non-capturing so entry
+    * group indexes stay stable. */
+  private val Ns = "(?:[a-zA-Z0-9]+:)?"
+
   /** True when the body is a sitemap INDEX (a list of child sitemaps)
-    * rather than a urlset — the dispatch test for recursive fetch. */
+    * rather than a urlset — the dispatch test for recursive fetch.
+    * Prefix-tolerant (`<sm:sitemapindex>` dispatches too). */
   def isIndex(xml: Column): Column =
-    lower(xml).contains("<sitemapindex")
+    xml.rlike(s"(?is)<${Ns}sitemapindex")
 
   /** Child sitemap locations of a `<sitemapindex>` body, in document
-    * order; array<string>. Empty/absent `<loc>`s drop. */
+    * order; array<string>. Empty/absent `<loc>`s drop. The `\b` after
+    * `sitemap` keeps `<sitemapindex>` itself from matching as an
+    * entry, prefixed or not. */
   def indexEntries(xml: Column): Column =
     filter(
       transform(
         regexp_extract_all(xml,
-          lit("(?is)<sitemap\\b[^>]*>(.*?)</sitemap>"), lit(1)),
+          lit(s"(?is)<${Ns}sitemap\\b[^>]*>(.*?)</${Ns}sitemap>"),
+          lit(1)),
         b => decodeXmlEntities(trim(
-          regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1)))),
+          regexp_extract(b, s"(?is)<${Ns}loc>(.*?)</${Ns}loc>", 1)))),
       l => length(l) > 0)
 
   /** `<url>` entries of a `<urlset>` body, in document order:
@@ -64,15 +84,19 @@ object Sitemaps {
     filter(
       transform(
         regexp_extract_all(xml,
-          lit("(?is)<url\\b[^>]*>(.*?)</url>"), lit(1)),
+          lit(s"(?is)<${Ns}url\\b[^>]*>(.*?)</${Ns}url>"), lit(1)),
         b => struct(
           decodeXmlEntities(trim(
-            regexp_extract(b, "(?is)<loc>(.*?)</loc>", 1))).as("loc"),
-          trim(regexp_extract(b, "(?is)<lastmod>(.*?)</lastmod>", 1))
+            regexp_extract(b, s"(?is)<${Ns}loc>(.*?)</${Ns}loc>", 1)))
+            .as("loc"),
+          trim(regexp_extract(b,
+            s"(?is)<${Ns}lastmod>(.*?)</${Ns}lastmod>", 1))
             .as("lastmod"),
           lower(trim(regexp_extract(b,
-            "(?is)<changefreq>(.*?)</changefreq>", 1))).as("changefreq"),
-          trim(regexp_extract(b, "(?is)<priority>(.*?)</priority>", 1))
+            s"(?is)<${Ns}changefreq>(.*?)</${Ns}changefreq>", 1)))
+            .as("changefreq"),
+          trim(regexp_extract(b,
+            s"(?is)<${Ns}priority>(.*?)</${Ns}priority>", 1))
             .as("priority"))),
       e => length(e("loc")) > 0)
 
@@ -101,4 +125,32 @@ object Sitemaps {
     when(p.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
       greatest(lit(0.0), least(lit(1.0), p.cast("double"))))
       .otherwise(lit(null).cast("double"))
+
+  /** Decode a fetched feed column to XML text: gzip payloads
+    * (`sitemap.xml.gz` — the wire format the protocol blesses and
+    * real feeds overwhelmingly use) are magic-sniffed (0x1f 0x8b) and
+    * inflated via the multi-member salvage reader io/Warc already
+    * carries; anything else decodes as UTF-8 directly, so ONE call
+    * handles a mixed plain/.gz column. Null bodies yield ''. Appends
+    * `outCol`; every input column passes through unchanged. A
+    * stateless partition-local row map (the [[graft.io.Warc]] shard
+    * shape — inflation cannot be a codegen'd expression), so the
+    * same decode is legal on a standing feed stream. Per-row cost
+    * O(len); the protocol caps a feed at 50 MB uncompressed. */
+  def decodeFeeds(feeds: DataFrame, bytesCol: String = "body",
+                  outCol: String = "xml"): DataFrame = {
+    require(!feeds.columns.contains(outCol),
+      s"decodeFeeds: input already carries a column named '$outCol'")
+    val schema = feeds.schema.add(outCol, StringType)
+    val idx = feeds.schema.fieldIndex(bytesCol)
+    feeds.mapPartitions { it =>
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        val xml =
+          if (b == null) ""
+          else new String(graft.io.Warc.gunzipAuto(b), "UTF-8")
+        Row.fromSeq(r.toSeq :+ xml)
+      }
+    }(E.row(schema))
+  }
 }

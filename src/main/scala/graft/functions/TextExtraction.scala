@@ -106,7 +106,13 @@ object TextExtraction {
     * scan-time approximation). Pure codegen, oracle-replayable. */
   def isSoft404(text: Column): Column = {
     val head = lower(substring(text, 1, 200))
-    head.rlike("page not found|\\b404\\b|no longer available|" +
+    // the numeric form needs error CONTEXT ('error 404', 'http 404',
+    // '404 not found', '404 error'): a bare \b404\b flagged any short
+    // page mentioning the number — street addresses, room numbers,
+    // product names ('Peugeot 404') — well outside the error-shell
+    // family the phrase alternatives target
+    head.rlike("page not found|(error|http)\\s*404|" +
+      "404\\s*(not found|error)|no longer available|" +
       "does not exist|page cannot be found|page unavailable") &&
       length(text) < 500
   }

@@ -72,12 +72,17 @@ object Warc {
     * non-ASCII/control bytes percent-encoded as UTF-8 (RFC 3986's own
     * spelling for non-ASCII URL bytes — US-ASCII getBytes would mangle
     * an internationalized Location to '?' and the read-back edge
-    * would point at the wrong URL). */
-  private def headerSafe(v: String): String = v.flatMap {
-    case c if c == '\r' || c == '\n' => ""
-    case c if c < 0x20 || c > 0x7E =>
-      c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
-    case c => c.toString
+    * would point at the wrong URL). The WHOLE string encodes as one
+    * UTF-8 byte sequence: a per-UTF-16-char flatMap would hand each
+    * half of a non-BMP surrogate pair to getBytes alone, which maps a
+    * lone surrogate to '?' — destroying the URL instead of encoding
+    * it. */
+  private def headerSafe(v: String): String = {
+    val stripped = v.filter(c => c != '\r' && c != '\n')
+    stripped.getBytes("UTF-8").map { b =>
+      val u = b & 0xff
+      if (u >= 0x20 && u <= 0x7E) u.toChar.toString else f"%%$u%02X"
+    }.mkString
   }
 
   /** HTTP/1.1 response message for a response record's content. */
@@ -184,6 +189,35 @@ object Warc {
     * stream error, and those records are salvaged — a damaged 1 GB
     * crawl shard contributes everything before the cut, not zero.
     * Garbage (non-gzip bytes) yields no records. */
+  /** One gzip member wrapping `bytes` — shared by the WET/sitemap
+    * fixtures and anything that ships a single-member `.gz` payload. */
+  def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  /** Magic-sniffed inflate: gzip payloads (0x1f 0x8b — multi-member
+    * streams inflate whole, truncation salvages every complete
+    * earlier member, [[readWarcGz]]'s policy) inflate; anything else
+    * passes through UNCHANGED, so one call handles a mixed plain/.gz
+    * column (the sitemap-feed shape). Null yields empty. */
+  def gunzipAuto(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return Array.empty
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
+        (bytes(1) & 0xff) != 0x8b) return bytes
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () } // salvage
+    out.toByteArray
+  }
+
   def readWarcGz(bytes: Array[Byte]): Seq[Record] = {
     if (bytes == null) return Seq.empty
     val out = new java.io.ByteArrayOutputStream()

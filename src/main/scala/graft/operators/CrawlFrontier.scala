@@ -18,7 +18,9 @@ import graft.functions.UrlOps
   *
   * Frontier schema (the contract every operator preserves):
   * {{{
-  *   url            string  canonical (UrlOps.normalizeUrl at admission)
+  *   url            string  canonical ([[canonicalUrl]]: RFC 3986
+  *                          dot-segment removal then normalizeUrl,
+  *                          applied at seed/admit)
   *   host           string  UrlOps.hostOf(url)
   *   depth          int     hops from a seed (seeds = 0)
   *   priority       double  higher fetches sooner; default 1/(1+depth)
@@ -72,6 +74,19 @@ object CrawlFrontier {
     "fetch_count", "fail_count", "last_fetch_ts", "content_hash",
     "interval_s", "next_fetch_ts", "state")
 
+  /** Frontier URL identity: RFC 3986 §5.2.4 dot-segment removal, THEN
+    * [[UrlOps.normalizeUrl]] — in that order, so `/x/../` spellings
+    * whose residual path is bare `/` still take normalizeUrl's
+    * trailing-slash collapse (`http://a.com/x/../` and
+    * `http://a.com` mint ONE row). Without the dot stage,
+    * `http://a.com/x/../y` and `http://a.com/y` minted two frontier
+    * rows and two fetches — the crawl family's highest-frequency dup
+    * miss (relative links a server never resolved). Shared by
+    * [[seed]] and [[admit]]; both chains are pure codegen and the
+    * seed/admit oracles replay them verbatim. */
+  def canonicalUrl(url: Column): Column =
+    UrlOps.normalizeUrl(UrlOps.removeDotSegments(url))
+
   /** Admit seed URLs: canonicalize, keep http(s) with a real host,
     * collapse duplicates (max priority / min interval — deterministic
     * aggregates, never an arbitrary first()), and stamp the frontier
@@ -92,7 +107,7 @@ object CrawlFrontier {
       .map(c => coalesce(col(c).cast("long"), lit(defaultIntervalS)))
       .getOrElse(lit(defaultIntervalS))
     val canon = urls
-      .select(UrlOps.normalizeUrl(col(urlCol)).as("url"),
+      .select(canonicalUrl(col(urlCol)).as("url"),
         pr.as("priority"), iv.as("interval_s"))
       .filter(col("url").rlike("^https?://"))
       .withColumn("host", UrlOps.hostOf(col("url")))
@@ -281,7 +296,7 @@ object CrawlFrontier {
             defaultIntervalS: Long = 86400L,
             existingCounts: Option[DataFrame] = None): DataFrame = {
     val cand0 = discovered
-      .select(UrlOps.normalizeUrl(col("url")).as("url"),
+      .select(canonicalUrl(col("url")).as("url"),
         col("depth").cast("int").as("depth"))
       .filter(col("url").rlike("^https?://") &&
         col("depth") <= lit(maxDepth))
@@ -321,7 +336,8 @@ object CrawlFrontier {
     * → 'D', (4) every query-param value → 'V' (keys survive:
     * `?page=` vs `?sessionid=` are different templates). Scheme is
     * dropped (http/https twins share a template); the input should
-    * already be canonical ([[UrlOps.normalizeUrl]]). '' for
+    * already be canonical ([[canonicalUrl]] — dot segments removed,
+    * so `/x/../y` spellings template as `/y`). '' for
     * null/schemeless (the hostOf convention). Pure per-row codegen. */
   def urlTemplate(url: Column): Column = {
     val host = UrlOps.hostOf(url)
@@ -397,6 +413,42 @@ object CrawlFrontier {
       .withColumn("__tpl", urlTemplate(col(urlCol)))
       .join(t, col("__tpl") === t("__trap_template"), "left_anti")
       .drop("__tpl")
+  }
+
+  /** Drop discovered URLs the host's robots.txt disallows — the RFC
+    * 9309 compliance gate at ADMISSION, where it belongs: a
+    * disallowed URL must never be admitted, never consume domain
+    * budget, never be scheduled, and above all never be FETCHED
+    * (not fetching disallowed URLs is the protocol's whole point —
+    * an ingest-time gate sees the page only after the fetch already
+    * happened, a compliance violation in spirit and wasted
+    * politeness budget). `robotsByHost` is
+    * [[graft.functions.Robots.rulesByDomain]] output keyed by HOST
+    * (robots.txt is per-origin — the webIngestStream convention);
+    * hosts without a row allow everything, per
+    * [[graft.functions.Robots.allowedCol]]'s null-array law. The
+    * verdict evaluates against the CANONICAL identity
+    * ([[canonicalUrl]]) — the path the crawler would actually
+    * request; input columns pass through unchanged (the
+    * [[filterTraps]] convention), so the gate composes anywhere in
+    * the pre-admit chain. One broadcast join + one scalar aggregate
+    * expression — stateless and windowless, so the identical gate is
+    * legal on a standing discovery STREAM (stream-static join), and
+    * zero extra shuffles in batch. */
+  def gateRobots(discovered: DataFrame, robotsByHost: DataFrame,
+                 urlCol: String = "url"): DataFrame = {
+    import graft.functions.Robots
+    require(!discovered.columns.contains("robots_rules"),
+      "gateRobots: the discovered frame must not carry a column named " +
+        "'robots_rules' (internal to the verdict) — rename it")
+    val canon = canonicalUrl(col(urlCol))
+    discovered
+      .join(broadcast(robotsByHost),
+        UrlOps.hostOf(canon) === robotsByHost("domain"), "left")
+      .filter(Robots.allowedCol(UrlOps.pathOf(canon),
+        col("robots_rules")))
+      .drop(robotsByHost("domain"))
+      .drop("robots_rules")
   }
 
   /** Persist a frontier partitioned by next-fetch DAY — the layout

@@ -247,9 +247,21 @@ object WebGraph {
     val tags = regexp_extract_all(html, lit("(?is)<link\\b[^>]*>"), lit(0))
     // BOTH attributes must be present to count as a declaration: an
     // href-less rel=canonical tag (malformed but real markup) must not
-    // SHADOW a later valid one by winning first place with no target
+    // SHADOW a later valid one by winning first place with no target.
+    // The rel law mirrors [[followedOutlinks]]'s two honest steps (the
+    // fused \brel=["']?canonical form had the same boundary holes the
+    // r16 review closed there: \b matched after data-rel's hyphen,
+    // rel="canonical-foo" prefix-matched, and the token-list
+    // rel="alternate canonical" was missed): pull the rel VALUE under
+    // the href quote law — \srel boundary, each quoted form ends at
+    // its own quote, unquoted at whitespace/'/'/'>' — then
+    // token-boundary match 'canonical' inside the value only.
     val canon = filter(tags, t =>
-      t.rlike("(?is)\\brel\\s*=\\s*[\"']?canonical") &&
+      regexp_replace(
+        regexp_extract(t,
+          "(?is)\\srel\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s/>]+)", 1),
+        "^[\"']|[\"']$", "")
+        .rlike("(?i)(^|\\s)canonical($|\\s)") &&
         t.rlike("(?is)\\shref\\s*="))
     // '' sentinel when no tag matched: element_at over the padded
     // array is total, and the href extract of '' is '' → resolve('')
@@ -323,8 +335,13 @@ object WebGraph {
     * Returns (src, dst, weight) with duplicate contracted edges
     * summed into weight; self-loops (an edge whose two endpoints
     * contract together — navigation, not endorsement) drop by
-    * default. Two equi-joins against the mapping (tiny next to the
-    * edge set → AQE broadcasts) + one edge-keyed partial-agg sum. */
+    * default. An incoming `weight` column PROPAGATES — the contracted
+    * weight is sum(coalesce(weight, 1)), so composing contractions
+    * (or feeding this one's own output back in) keeps page-level edge
+    * multiplicity instead of silently resetting every edge to 1;
+    * unweighted inputs keep the count-of-edges law. Two equi-joins
+    * against the mapping (tiny next to the edge set → AQE broadcasts)
+    * + one edge-keyed partial-agg sum. */
   def contractEdges(edges: DataFrame, mapping: DataFrame,
                     srcCol: String = "src", dstCol: String = "dst",
                     urlCol: String = "url",
@@ -333,17 +350,22 @@ object WebGraph {
     val m = mapping
       .select(col(urlCol).as("__m_u"), col(finalCol).as("__m_f"))
       .filter(col("__m_f").isNotNull)
-    val e = edges.select(col(srcCol).as("__e_s"), col(dstCol).as("__e_d"))
+    val hasW = edges.columns.contains("weight")
+    val w = if (hasW) coalesce(col("weight").cast("long"), lit(1L))
+            else lit(1L)
+    val e = edges.select(col(srcCol).as("__e_s"), col(dstCol).as("__e_d"),
+      w.as("__e_w"))
     val rewritten = e
       .join(m, e("__e_s") === m("__m_u"), "left")
       .select(coalesce(col("__m_f"), col("__e_s")).as("src"),
-        col("__e_d"))
+        col("__e_d"), col("__e_w"))
       .join(m, col("__e_d") === m("__m_u"), "left")
-      .select(col("src"), coalesce(col("__m_f"), col("__e_d")).as("dst"))
+      .select(col("src"), coalesce(col("__m_f"), col("__e_d")).as("dst"),
+        col("__e_w"))
     val kept = if (dropSelfLoops) rewritten.filter(col("src") =!= col("dst"))
                else rewritten
     kept.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("weight"))
+      .agg(sum(col("__e_w")).as("weight"))
   }
 
   /** Collapse a page-level link graph to the host (or registered-
@@ -352,8 +374,12 @@ object WebGraph {
     * host graph is the one that fits analysis budgets (10^7-ish
     * nodes). Endpoints with no parseable host drop; intra-host edges
     * (site navigation, not endorsement) drop by default; parallel
-    * page edges sum into weight. One groupBy shuffle on the collapsed
-    * key — the projection is per-row codegen. */
+    * page edges sum into weight — an incoming `weight` column
+    * PROPAGATES as sum(coalesce(weight, 1)) (composing hostGraph over
+    * [[contractEdges]] output keeps page-level multiplicity in the
+    * host weights), unweighted inputs keep the count law. One groupBy
+    * shuffle on the collapsed key — the projection is per-row
+    * codegen. */
   def hostGraph(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst",
                 byRegisteredDomain: Boolean = false,
@@ -363,13 +389,16 @@ object WebGraph {
       val h = UrlOps.hostOf(c)
       if (byRegisteredDomain) UrlOps.registeredDomain(h) else h
     }
+    val hasW = edges.columns.contains("weight")
+    val w = if (hasW) coalesce(col("weight").cast("long"), lit(1L))
+            else lit(1L)
     val projected = edges.select(key(col(srcCol)).as("src"),
-        key(col(dstCol)).as("dst"))
+        key(col(dstCol)).as("dst"), w.as("__e_w"))
       .filter(length(col("src")) > 0 && length(col("dst")) > 0)
     val kept = if (dropIntraHost) projected.filter(col("src") =!= col("dst"))
                else projected
     kept.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("weight"))
+      .agg(sum(col("__e_w")).as("weight"))
   }
 
   /** Mirror-site detection: host pairs whose content-fingerprint sets

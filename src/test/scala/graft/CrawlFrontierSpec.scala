@@ -61,6 +61,64 @@ class CrawlFrontierSpec extends SparkSpec {
     byK("u")._2 shouldBe Seq.empty
   }
 
+  test("namespace-prefixed sitemaps parse identically: <sm:url>/<sm:loc> entries, prefixed index dispatch, <sitemapindex> never an entry") {
+    val xml =
+      """<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sm:url><sm:loc>https://p.ex/a?x=1&amp;y=2</sm:loc>
+        |<sm:lastmod>2026-02-01</sm:lastmod>
+        |<sm:changefreq>Weekly</sm:changefreq>
+        |<sm:priority>0.4</sm:priority></sm:url>
+        |<sm:url><sm:loc>https://p.ex/b</sm:loc></sm:url>
+        |</sm:urlset>""".stripMargin
+    val out = Seq(xml).toDF("xml")
+      .select(explode(Sitemaps.urlEntries(col("xml"))).as("e"))
+      .select(col("e.loc"), col("e.lastmod"), col("e.changefreq"),
+        col("e.priority")).collect()
+    out.length shouldBe 2
+    out(0).getString(0) shouldBe "https://p.ex/a?x=1&y=2"
+    out(0).getString(1) shouldBe "2026-02-01"
+    out(0).getString(2) shouldBe "weekly"
+    out(0).getString(3) shouldBe "0.4"
+    out(1).getString(0) shouldBe "https://p.ex/b"
+    // prefixed index: dispatch flag + child locs; the <sm:sitemapindex>
+    // wrapper tag must not match the <sm:sitemap> entry pattern
+    val idx = "<sm:sitemapindex><sm:sitemap><sm:loc>https://p.ex/s1.xml.gz" +
+      "</sm:loc></sm:sitemap></sm:sitemapindex>"
+    val got = Seq(idx).toDF("xml")
+      .select(Sitemaps.isIndex(col("xml")),
+        Sitemaps.indexEntries(col("xml"))).collect()(0)
+    got.getBoolean(0) shouldBe true
+    got.getSeq[String](1) shouldBe Seq("https://p.ex/s1.xml.gz")
+    // an UNPREFIXED urlset must not dispatch as an index
+    Seq("<urlset><url><loc>x</loc></url></urlset>").toDF("xml")
+      .select(Sitemaps.isIndex(col("xml"))).as[Boolean]
+      .head() shouldBe false
+  }
+
+  test("decodeFeeds: gzip payloads magic-sniff and inflate, plain XML passes through, nulls yield '', truncation salvages, columns survive") {
+    import graft.io.Warc
+    val xml = "<urlset><url><loc>https://g.ex/p</loc></url></urlset>"
+    val gz = Warc.gzipBytes(xml.getBytes("UTF-8"))
+    val truncated = gz.take(gz.length - 6) // cut inside the member
+    val feeds = Seq(
+      ("gz", gz), ("plain", xml.getBytes("UTF-8")),
+      ("null", null.asInstanceOf[Array[Byte]]),
+      ("cut", truncated))
+      .toDF("tag", "body")
+    val out = Sitemaps.decodeFeeds(feeds)
+      .select(col("tag"), col("xml")).as[(String, String)]
+      .collect().toMap
+    out("gz") shouldBe xml
+    out("plain") shouldBe xml
+    out("null") shouldBe ""
+    // the cut member salvages a PREFIX (possibly empty), never throws
+    xml.startsWith(out("cut")) shouldBe true
+    // the decoded face feeds the parsers directly
+    Sitemaps.decodeFeeds(feeds).filter(col("tag") === "gz")
+      .select(explode(Sitemaps.urlEntries(col("xml"))).as("e"))
+      .select(col("e.loc")).as[String].head() shouldBe "https://g.ex/p"
+  }
+
   test("changefreq and priority mappings: vocabulary, clamping, null fallbacks") {
     val df = Seq("always", "hourly", "daily", "weekly", "monthly",
       "yearly", "never", "sometimes", "").toDF("cf")
@@ -103,6 +161,8 @@ class CrawlFrontierSpec extends SparkSpec {
     val urls = Seq(
       "HTTPS://A.Example/p?utm_source=x&q=1#frag", // variant 1
       "https://a.example/p?q=1",                   // variant 2 (same page)
+      "https://a.example/x/../p?q=1",              // variant 3: dot segment
+      "https://b.example/./q",                     // dot segment, same page
       "ftp://skip.me/x",
       "not a url",
       "https://b.example/q").toDF("url")
@@ -330,8 +390,10 @@ class CrawlFrontierSpec extends SparkSpec {
     val f = mkFrontier(Seq(row("https://a.ex0.com/existing")))
     val disc = Seq(
       ("https://a.ex0.com/existing?utm_source=x", 1), // already known
+      ("https://a.ex0.com/sub/../existing", 1),       // known, dot-spelled
       ("https://a.ex0.com/new", 2),
       ("https://a.ex0.com/new#frag", 1),              // same page, shallower
+      ("https://a.ex0.com/./x/../new", 3),            // same page, dotted
       ("https://a.ex0.com/deep", 9),                  // over maxDepth
       ("mailto:x@y.z", 1))
       .toDF("url", "depth")
@@ -552,6 +614,16 @@ class CrawlFrontierSpec extends SparkSpec {
     tpl("https://h.ex/") shouldBe "h.ex/"
     tpl("https://h.ex") shouldBe "h.ex/" // pathOf's '/' fallback
     tpl("not a url") shouldBe ""
+    // the trap law under the r17 frontier identity: dot-segment
+    // spellings reach the template ALREADY collapsed (canonicalUrl
+    // runs dot removal before normalizeUrl), so /x/../y and /y share
+    // one bucket instead of minting two templates
+    def ctpl(u: String): String = Seq(u).toDF("u")
+      .select(CrawlFrontier.urlTemplate(
+        CrawlFrontier.canonicalUrl(col("u")))).as[String].head()
+    ctpl("https://h.ex/x/../cal/2026/8") shouldBe
+      ctpl("https://h.ex/cal/2026/8")
+    ctpl("https://h.ex/x/../cal/2026/8") shouldBe "h.ex/cal/D/D"
   }
 
   test("trapTemplates: fanout above the cap flags, at the cap does not; duplicate spellings count once") {
@@ -655,5 +727,82 @@ class CrawlFrontierSpec extends SparkSpec {
       .select("url").as[String].collect().sorted
     // the trap row never reached admit; /about was already known
     admitted.toSeq shouldBe Seq("https://fresh.ex/cal/2026/9")
+  }
+
+  // ——— robots gate at admission ————————————————————————————————————
+
+  private def robotsByHost(pairs: (String, String)*) = {
+    import graft.functions.Robots
+    Robots.rulesByDomain(
+      Robots.parseRules(pairs.toDF("domain", "robots_txt")), "graftbot")
+  }
+
+  test("gateRobots: disallowed URLs drop pre-admit, verdicts ride the canonical identity, unknown hosts allow, columns pass through") {
+    val byHost = robotsByHost(
+      "a.ex.com" -> "User-agent: *\nDisallow: /private\n")
+    val disc = Seq(
+      ("https://a.ex.com/pub/1", 2),
+      ("https://a.ex.com/private/1", 1),
+      // a dotted spelling of a disallowed path: the verdict must see
+      // the CANONICAL path the crawler would fetch, not the spelling
+      ("https://a.ex.com/x/../private/2", 1),
+      ("https://other.ex.com/private/9", 3)) // no rules → allowed
+      .toDF("url", "depth")
+    val kept = CrawlFrontier.gateRobots(disc, byHost)
+      .as[(String, Int)].collect().sortBy(_._1)
+    kept.map(_._1).toSeq shouldBe Seq(
+      "https://a.ex.com/pub/1", "https://other.ex.com/private/9")
+    kept.map(_._2).toSeq shouldBe Seq(2, 3) // depth passed through
+  }
+
+  test("gateRobots + admit: a disallowed URL never consumes the domain budget (tighten-only, never reorder)") {
+    val byHost = robotsByHost(
+      "a.site1.com" -> "User-agent: *\nDisallow: /blocked\n")
+    val f = mkFrontier(Seq.empty)
+    // the disallowed row sorts FIRST in admit's (depth, url) rank, so
+    // an admit WITHOUT the gate spends a budget slot on it and cuts
+    // the last allowed URL — the gate must prevent exactly that
+    val disc = Seq(
+      ("https://a.site1.com/blocked/0", 1),
+      ("https://a.site1.com/keep/1", 1),
+      ("https://a.site1.com/keep/2", 1))
+      .toDF("url", "depth")
+    val unGated = CrawlFrontier.admit(f, disc, now = 500L,
+      perDomainCap = 2L).select("url").as[String].collect().sorted
+    unGated.toSeq shouldBe Seq("https://a.site1.com/blocked/0",
+      "https://a.site1.com/keep/1") // the compliance violation
+    val gated = CrawlFrontier.admit(f,
+        CrawlFrontier.gateRobots(disc, byHost), now = 500L,
+        perDomainCap = 2L)
+      .select("url").as[String].collect().sorted
+    gated.toSeq shouldBe Seq("https://a.site1.com/keep/1",
+      "https://a.site1.com/keep/2")
+  }
+
+  test("gateRobots: batch/stream parity — the stateless gate runs unchanged on a standing discovery stream") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val byHost = robotsByHost(
+      "a.ex.com" -> "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+    val urls = Seq(
+      "https://a.ex.com/pub/1", "https://a.ex.com/private/1",
+      "https://a.ex.com/private/ok/2", "https://a.ex.com/y/../private/3",
+      "https://b.ex.com/anything")
+    val batchKept = CrawlFrontier.gateRobots(
+        urls.toDF("url").withColumn("depth", lit(1)), byHost)
+      .select("url").as[String].collect().sorted.toSeq
+    val input = MemoryStream[String]
+    val q = CrawlFrontier.gateRobots(
+        input.toDF().toDF("url").withColumn("depth", lit(1)), byHost)
+      .writeStream.format("memory").queryName("gate_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(urls: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.table("gate_parity")
+      .select("url").as[String].collect().sorted.toSeq
+    streamKept shouldBe batchKept
+    batchKept shouldBe Seq("https://a.ex.com/private/ok/2",
+      "https://a.ex.com/pub/1", "https://b.ex.com/anything")
   }
 }

@@ -962,6 +962,14 @@ class WebCorpusSpec extends SparkSpec {
     back(0)._3 shouldBe "https://r.ex/aX-Fake: hgarbage" // CRLF gone
     back(0)._4 shouldBe 0L // the injection never reached the body
     back(1)._3 shouldBe "https://r.ex/caf%C3%A9" // RFC 3986 spelling
+    // a NON-BMP code point (one UTF-16 surrogate pair) must encode as
+    // its real 4-byte UTF-8 sequence, not per-surrogate '?' → %3F%3F
+    val emoji = Seq(("https://r.ex/bmp", Array.empty[Byte], "text/html",
+        302L, "https://r.ex/p😀x"))
+      .toDF("url", "body", "content_type", "status", "location")
+    Warc.fromShardsDecoded(Warc.toShardsRaw(emoji))
+      .select("location").as[String].head() shouldBe
+      "https://r.ex/p%F0%9F%98%80x"
   }
 
   // ——— the crawl back half: redirects, canonical, contraction ——————
@@ -1074,6 +1082,17 @@ class WebCorpusSpec extends SparkSpec {
     // a later valid declaration either — both attributes are required
     c("""<link rel="canonical"><link rel="canonical" href="/real">""") shouldBe
       "https://w.ex.com/real"
+    // the rel-token boundary family (same holes followedOutlinks
+    // closed): data-rel= is not a rel attribute, 'canonical-foo' is a
+    // different token, and 'alternate canonical' carries the token
+    c("""<link data-rel="canonical" href="/decoy"><link rel="canonical" href="/real">""") shouldBe
+      "https://w.ex.com/real"
+    c("""<link data-rel="canonical" href="/decoy">""") shouldBe ""
+    c("""<link rel="canonical-foo" href="/nope">""") shouldBe ""
+    c("""<link rel="alternate canonical" href="/multi">""") shouldBe
+      "https://w.ex.com/multi"
+    c("""<link rel='alternate canonical' href="/multi2">""") shouldBe
+      "https://w.ex.com/multi2"
   }
 
   test("contractEdges: endpoints rewrite through the mapping, weights sum, self-loops drop") {
@@ -1096,6 +1115,16 @@ class WebCorpusSpec extends SparkSpec {
     WebGraph.contractEdges(loop, mm).count() shouldBe 0L
     WebGraph.contractEdges(loop, mm, dropSelfLoops = false)
       .as[(String, String, Long)].head() shouldBe (("z", "z", 1L))
+    // an incoming weight column PROPAGATES: contracting a graph that
+    // already carries multiplicities sums them (nulls count as 1),
+    // instead of resetting every contracted edge to its edge count
+    val weighted = Seq(("a", "x", Some(3L)), ("a2", "x2", Some(4L)),
+      ("b", "x", None)).toDF("src", "dst", "weight")
+    val wOut = WebGraph.contractEdges(weighted, mapping)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    wOut(("a", "x")) shouldBe 7L // 3 + the contracted 4
+    wOut(("b", "x")) shouldBe 1L // null weight counts as 1
   }
 
   test("hostGraph: pages collapse to hosts or registered domains, intra-host drops, junk drops") {
@@ -1124,6 +1153,16 @@ class WebCorpusSpec extends SparkSpec {
       .toDF("src", "dst")
     WebGraph.hostGraph(sub).count() shouldBe 1L
     WebGraph.hostGraph(sub, byRegisteredDomain = true).count() shouldBe 0L
+    // composing hostGraph over contractEdges output keeps page-level
+    // multiplicity: the incoming weight column sums instead of each
+    // contracted edge counting 1
+    val wEdges = Seq(
+      ("https://a.ex.com/1", "https://b.ex.org/2", 5L),
+      ("https://a.ex.com/3", "https://b.ex.org/4", 2L))
+      .toDF("src", "dst", "weight")
+    WebGraph.hostGraph(wEdges)
+      .as[(String, String, Long)].head() shouldBe
+      (("a.ex.com", "b.ex.org", 7L))
   }
 
   test("page-level robots: meta/name token exactness, 'none' shorthand, header tokens, rel=nofollow edge filtering") {
