@@ -4076,7 +4076,110 @@ object QueriesDataOps {
               FROM s${i - 1} CROSS JOIN p$i)"""
     }.mkString(",\n")
 
+  /** The synthetic 3-language corpus behind text_langid_nb: disjoint
+    * 6-word vocabularies with distinct character distributions, one
+    * language per doc_id%3 class, 8 words per doc chosen by
+    * (doc_id·j)%6 — deterministic in both engines. */
+  private val nbVocab: Seq[(String, Seq[String])] = Seq(
+    "aa" -> Seq("alpha", "apple", "anchor", "arrow", "axis", "amber"),
+    "bb" -> Seq("birke", "blume", "brot", "bach", "berg", "busch"),
+    "cc" -> Seq("chien", "chat", "cheval", "chou", "chemin", "chose"))
+
   val text: Seq[(String, Q, Option[String])] = Seq(
+
+    ("text_langid_nb", (s, dir) => {
+      // TRAINED language ID: hashed char-trigram multinomial Naive
+      // Bayes, trained IN the engine (256 md5-prefix buckets — the
+      // DSIR bucket law — add-one smoothing, doc-count priors) on the
+      // doc_id%5≠0 slice of a synthetic 3-language corpus, then the
+      // held-out %5=0 slice classified under the trained model — the
+      // trained upgrade of text_langid's marker heuristic, in the
+      // curate_quality_lr in-engine-training convention. The oracle
+      // replays BOTH halves mechanically: trigram explode → count →
+      // priors → per-(doc,lang) smoothed log-likelihood → argmax with
+      // the (score desc, lang asc) tie-break. round(6) float parity.
+      val d = col("doc_id")
+      def wordAt(ws: Seq[String], j: Int) = element_at(
+        array(ws.map(lit): _*), (pmod(d * j, lit(6)) + 1).cast("int"))
+      val textExpr = concat_ws(" ", (1 to 8).map { j =>
+        when(d % 3 === 0, wordAt(nbVocab(0)._2, j))
+          .when(d % 3 === 1, wordAt(nbVocab(1)._2, j))
+          .otherwise(wordAt(nbVocab(2)._2, j))
+      }: _*)
+      val langExpr = when(d % 3 === 0, lit("aa"))
+        .when(d % 3 === 1, lit("bb")).otherwise(lit("cc"))
+      val corpus = T(s, dir, "documents")
+        .select(d.as("doc_id"), langExpr.as("lang"), textExpr.as("text"))
+      val model = TextAnalysis.langIdNbTrain(
+        corpus.filter(col("doc_id") % 5 =!= 0))
+      val hold = corpus.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.langIdNbClassify(hold, model)
+        .join(hold.select(col("doc_id"), col("lang").as("lang_true")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("score"))
+        .orderBy("doc_id")
+    }, Some {
+      def lst(ws: Seq[String]) =
+        "[" + ws.map("'" + _ + "'").mkString(",") + "]"
+      val word = (1 to 8).map { j =>
+        s"""(CASE WHEN doc_id % 3 = 0
+             THEN (${lst(nbVocab(0)._2)})[(doc_id*$j) % 6 + 1]
+             WHEN doc_id % 3 = 1
+             THEN (${lst(nbVocab(1)._2)})[(doc_id*$j) % 6 + 1]
+             ELSE (${lst(nbVocab(2)._2)})[(doc_id*$j) % 6 + 1] END)"""
+      }.mkString(" || ' ' || ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'aa'
+                    WHEN doc_id % 3 = 1 THEN 'bb' ELSE 'cc' END AS lang,
+               $word AS text
+        FROM documents),
+      pd AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+             FROM corpus),
+      ttri AS (
+        SELECT lang, substring(md5(substr(p, i, 3)), 1, 2) AS b
+        FROM (SELECT lang, p,
+                     unnest(generate_series(1, length(p) - 2)) AS i
+              FROM pd WHERE doc_id % 5 <> 0)),
+      cnts AS (SELECT lang, b, count(*) AS n FROM ttri GROUP BY lang, b),
+      pri AS (SELECT lang, count(*) AS n_docs FROM pd
+              WHERE doc_id % 5 <> 0 GROUP BY lang),
+      tot AS (SELECT lang, sum(n) AS t_l FROM cnts GROUP BY lang),
+      nall AS (SELECT sum(n_docs) AS n_all FROM pri),
+      htri AS (
+        SELECT doc_id, substring(md5(substr(p, i, 3)), 1, 2) AS b
+        FROM (SELECT doc_id, p,
+                     unnest(generate_series(1, length(p) - 2)) AS i
+              FROM pd WHERE doc_id % 5 = 0)),
+      hb AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS cnt
+             FROM htri GROUP BY doc_id, b),
+      ll AS (
+        SELECT hb.doc_id, pri.lang,
+               sum(hb.cnt * (ln(coalesce(c.n, 0) + 1.0) -
+                             ln(tot.t_l + 256.0))) AS ll,
+               any_value(pri.n_docs) AS n_docs
+        FROM hb CROSS JOIN pri
+        JOIN tot ON tot.lang = pri.lang
+        LEFT JOIN cnts c ON c.lang = pri.lang AND c.b = hb.b
+        GROUP BY hb.doc_id, pri.lang),
+      sc AS (SELECT doc_id, lang,
+                    ln(CAST(n_docs AS DOUBLE)) -
+                    ln(CAST((SELECT n_all FROM nall) AS DOUBLE)) + ll
+                      AS score
+             FROM ll),
+      rk AS (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, lang ASC) AS r
+             FROM sc)
+      SELECT h.doc_id, h.lang AS lang_true, rk.lang AS lang_pred,
+             round(rk.score, 6) AS score
+      FROM rk JOIN (SELECT doc_id, lang FROM pd WHERE doc_id % 5 = 0) h
+        ON h.doc_id = rk.doc_id
+      WHERE rk.r = 1
+      ORDER BY h.doc_id"""
+    }),
 
     ("text_langid", (s, dir) => {
       // n-gram-heuristic language ID: per-language function-word marker

@@ -223,6 +223,102 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  // ——— trained language ID (hashed char-trigram Naive Bayes) ———————
+
+  /** Per-row hashed char-TRIGRAM bucket keys of ' '||lower(text)||' '
+    * (padding captures word-boundary trigrams — the strongest
+    * language signal), hashed to 256 buckets by md5 prefix (the DSIR
+    * bucket law, [[graft.pipeline.CurationPipeline]]'s dsirScores /
+    * qualityLrTrain convention — string keys both engines hash
+    * identically). array<string>; '' texts yield an empty array (the
+    * sequence guard — Spark's sequence(1, 0) would COUNT DOWN). */
+  private def triBuckets(text: Column): Column = {
+    val p = concat(lit(" "), lower(text), lit(" "))
+    when(length(p) >= 3,
+      transform(sequence(lit(1), length(p) - 2),
+        i => substring(md5(p.substr(i, lit(3))), 1, 2)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train a multinomial Naive Bayes language identifier IN the
+    * engine from labeled (lang, text) rows — the trained upgrade of
+    * the [[langId]] marker heuristic, same oracle convention as the
+    * other in-engine training paths (curate_quality_lr's GD steps,
+    * BPE's merge rounds): every step is relational, so the DuckDB
+    * oracle replays train AND classify end to end.
+    *
+    * Model frame (lang, bucket, n): bucket-keyed rows carry hashed
+    * char-trigram OCCURRENCE counts per language; one bucket='' row
+    * per language carries its DOC count (the prior's numerator).
+    * Two aggregates with map-side combine over the exploded trigram
+    * stream; the model is ≤ langs×257 rows — broadcast everywhere. */
+  def langIdNbTrain(docs: DataFrame, langCol: String = "lang",
+                    textCol: String = "text"): DataFrame = {
+    val tri = docs.select(col(langCol).as("lang"),
+        explode(triBuckets(col(textCol))).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val priors = docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), lit("").as("bucket"), col("n"))
+    tri.unionByName(priors)
+  }
+
+  /** Classify texts under a [[langIdNbTrain]] model: per (doc, lang)
+    * score = ln(n_docs_l/N) + Σ_buckets cnt·(ln(n_lb+1) − ln(T_l+256))
+    * (add-one smoothing over the 256 hashed buckets; unseen buckets
+    * take the smoothed floor via coalesce(n,0)), argmax per doc with
+    * the deterministic (score desc, lang asc) tie-break. Returns
+    * (idCol, lang_pred, score) with score rounded to 6 (the
+    * cross-engine float convention).
+    *
+    * Plan: doc-keyed trigram-count aggregate → cross join the
+    * HANDFUL of language rows → one broadcast hash join against the
+    * ≤ langs×257-row model → doc-keyed sum → per-doc argmax window
+    * (partitioned by doc — uniform, never global). Docs with no
+    * trigrams (empty text) score on priors alone. */
+  def langIdNbClassify(docs: DataFrame, model: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val counts = model.filter(col("bucket") =!= "")
+    val priors = model.filter(col("bucket") === "")
+      .select(col("lang"), col("n").as("n_docs"))
+    val totals = counts.groupBy(col("lang")).agg(sum("n").as("t_l"))
+    val nAll = priors.agg(sum(col("n_docs")).as("n_all"))
+    val langs = priors.join(totals, Seq("lang"), "left")
+      .crossJoin(nAll)
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("t_l"), lit(0L)).as("t_l"), col("n_all"))
+    val docB = docs.select(col(idCol).as("__nb_id"),
+        explode(triBuckets(col(textCol))).as("bucket"))
+      .groupBy(col("__nb_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val scoredParts = docB
+      .crossJoin(broadcast(langs))
+      .join(broadcast(counts.withColumnRenamed("n", "n_lb")),
+        Seq("lang", "bucket"), "left")
+      .groupBy(col("__nb_id"), col("lang"), col("n_docs"), col("t_l"),
+        col("n_all"))
+      .agg(sum(col("cnt") * (log(coalesce(col("n_lb"), lit(0L)) + 1.0) -
+        log(col("t_l") + lit(256.0)))).as("ll"))
+    // empty-text docs produce no docB rows: score them on priors
+    // alone via a left join from the doc list × langs
+    val allPairs = docs.select(col(idCol).as("__nb_id")).distinct()
+      .crossJoin(broadcast(langs))
+    val scored = allPairs
+      .join(scoredParts,
+        Seq("__nb_id", "lang", "n_docs", "t_l", "n_all"), "left")
+      .select(col("__nb_id"), col("lang"),
+        (log(col("n_docs").cast("double")) - log(col("n_all")
+          .cast("double")) + coalesce(col("ll"), lit(0.0))).as("score"))
+    val w = Window.partitionBy(col("__nb_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("__nb_rk", row_number().over(w))
+      .filter(col("__nb_rk") === 1)
+      .select(col("__nb_id").as(idCol), col("lang").as("lang_pred"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Per-document character-level Shannon entropy over [a-z0-9] of the
     * lowercased text, in nats — near-zero for single-character runs,
     * ~ln(26) for uniform letter soup; real prose sits in a stable band,

@@ -504,6 +504,110 @@ class CrawlFrontierSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("standing crawl loop: store-held cycles (loadDue face → selectBatch → fetch → recrawlUpdates+admit upserts) run wave-for-wave equal to step() across 3 cycles with a crash-restart and an at-least-once replay") {
+    import graft.streaming.StreamingOps
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-scl")
+      .toString + "/frontier"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scl-ck").toString
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state")
+    val contract = "url" +: payloadCols
+    def toEvents(df: DataFrame, seq: Long) =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10)) }.toSeq
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String)]
+    def startSink() = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        root, idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", ckpt).start()
+    // the deterministic fake fetcher: trailing digit picks the
+    // outcome — '1' a hard 404 (dies), '2' a 503 (backs off, dies at
+    // the 2nd consecutive failure under rv.maxFails=2), anything
+    // else 200 with a PER-CYCLE hash (the page keeps changing, so
+    // the revisit law keeps halving)
+    def fakeFetch(batch: DataFrame, now: Long, k: Int): DataFrame =
+      batch.select(col("url"), lit(now + 10L).as("fetch_ts"),
+        when(col("url").endsWith("1"), lit(404))
+          .when(col("url").endsWith("2"), lit(503))
+          .otherwise(lit(200)).as("status"),
+        when(col("url").endsWith("1") || col("url").endsWith("2"),
+          lit(null).cast("string"))
+          .otherwise(concat(lit(s"h$k-"), col("url"))).as("content_hash"))
+    def discoveries(batch: DataFrame, k: Int): DataFrame =
+      batch.select(concat(col("url"), lit(s"/c$k")).as("url"),
+        (col("depth") + 1).as("depth"))
+    def served(): DataFrame =
+      StreamingOps.readSnapshot(spark, root).get
+        .select(contract.map(col): _*)
+    def rows(df: DataFrame): Seq[String] =
+      df.select(contract.map(col): _*).collect()
+        .map(_.toString).sorted.toSeq
+    val seeds = CrawlFrontier.seed(
+      Seq("https://a.example/p0", "https://a.example/p1",
+        "https://a.example/p2", "https://b.example/q0",
+        "https://b.example/q1", "https://b.example/q2").toDF("url"),
+      now = 1000L, defaultIntervalS = 1000L)
+    var mat = seeds // the materialized twin, advanced by step()
+    var q = startSink()
+    try {
+      input.addData(toEvents(seeds, 1000L): _*); q.processAllAvailable()
+      rows(served()) shouldBe rows(mat)
+      var replayEvents: Seq[(String, Long, String, String, Int, Double,
+        Long, Int, Option[Long], Option[String], Long, Long, String)] =
+        Seq.empty
+      Seq((1, 2000L), (2, 5000L), (3, 12000L)).foreach { case (k, now) =>
+        val sv = served()
+        // the scheduling wave comes off the SERVED frontier and must
+        // match the materialized twin's wave exactly
+        val batch = CrawlFrontier.selectBatch(sv, now,
+          batchSize = 4, perHostCap = 2)
+        rows(batch) shouldBe rows(CrawlFrontier.selectBatch(mat, now,
+          batchSize = 4, perHostCap = 2))
+        val fetched = fakeFetch(batch, now, k).persist()
+        val disc = discoveries(batch, k)
+        // the store face: changed rows + admitted rows, ONE upsert
+        // batch — never a full-table rewrite
+        val updates = CrawlFrontier.recrawlUpdates(fetched, sv, rv)
+        val admits = CrawlFrontier.admit(sv, disc, now)
+        val evs = toEvents(updates.unionByName(admits), now)
+        if (k == 2) replayEvents = evs
+        input.addData(evs: _*); q.processAllAvailable()
+        mat = CrawlFrontier.step(mat, fetched, disc, now, rv)
+          .localCheckpoint(true)
+        rows(served()) shouldBe rows(mat)
+        if (k == 1) {
+          // crash-restart: kill the standing sink and bring it back
+          // on the same checkpoint — the loop must not notice
+          q.stop(); q = startSink()
+        }
+        if (k == 2) {
+          // at-least-once: the whole cycle-2 upsert batch redelivers
+          // (a crashed fetcher re-emits); max-seq idempotence holds
+          input.addData(replayEvents: _*); q.processAllAvailable()
+          rows(served()) shouldBe rows(mat)
+        }
+        fetched.unpersist()
+      }
+      // the loop actually exercised the laws: deaths by 404 and by
+      // consecutive 503s, halving revisits, and per-cycle admits
+      val fin = served().collect()
+        .map(r => r.getString(0) -> r.getString(10)).toMap
+      fin("https://a.example/p1") shouldBe "dead" // 404 on cycle 1
+      fin("https://a.example/p2") shouldBe "dead" // 503 at cycles 2+3
+      fin("https://a.example/p0") shouldBe "active"
+      fin.keys.count(_.contains("/c")) should be >= 8 // admits landed
+    } finally q.stop()
+  }
+
   test("step: updated frontier unions the revisit output with the admitted discoveries") {
     val f = mkFrontier(Seq(
       row("https://a.example/p", interval = 1000L, hash = Some("h"))))
@@ -585,9 +689,14 @@ class CrawlFrontierSpec extends SparkSpec {
     plan should include regex "PartitionFilters: \\[[^\\]]*next_fetch_day"
     // and the composed face: selectBatch over the pruned slice applies
     // the exact gate (d2's 9000-offset row is beyond `now`)
-    CrawlFrontier.selectBatch(due, now, batchSize = 10, perHostCap = 5)
-      .select("url").as[String].collect().sorted.toSeq shouldBe Seq(
+    val composed = CrawlFrontier.selectBatch(due, now,
+      batchSize = 10, perHostCap = 5)
+    composed.select("url").as[String].collect().sorted.toSeq shouldBe Seq(
       "https://d1.example/a", "https://d2.example/b")
+    // the pruning pin SURVIVES the composition: the window + top-k
+    // plan still reads a day-pruned scan, not the whole frontier
+    val cPlan = composed.queryExecution.executedPlan.toString
+    cPlan should include regex "PartitionFilters: \\[[^\\]]*next_fetch_day"
   }
 
   // ——— crawler traps ———————————————————————————————————————————————

@@ -32,6 +32,8 @@ import graft.streaming.StreamingOps
   *  - r16: still absent — the offline coursier cache carries no
   *    org/apache/kafka group and no spark-sql-kafka artifact, and
   *    /opt/spark/jars ships no kafka jar. Gate stays.
+  *  - r17: still absent — same two locations re-checked, no
+  *    org/apache/kafka group, no kafka jar. Gate stays.
   */
 class KafkaIntegrationSpec extends SparkSpec {
 

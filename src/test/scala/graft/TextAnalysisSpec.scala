@@ -174,4 +174,38 @@ class TextAnalysisSpec extends SparkSpec {
     rows(1)._2.get shouldBe "abc d e f"
     rows(2)._2 shouldBe None
   }
+
+  test("langIdNb: trained on a labeled split, the model separates held-out docs perfectly; priors decide empty texts; ties break deterministically") {
+    import graft.functions.TextAnalysis.{langIdNbTrain, langIdNbClassify}
+    val en = Seq("the", "house", "with", "garden", "stands", "here")
+    val de = Seq("das", "haus", "mit", "garten", "steht", "hier")
+    def doc(ws: Seq[String], seed: Int): String =
+      (1 to 10).map(j => ws((seed * j) % ws.length)).mkString(" ")
+    // 40 labeled training docs (24 en / 16 de \u2014 asymmetric priors)
+    val train = ((1 to 24).map(i => ("en", doc(en, i))) ++
+      (1 to 16).map(i => ("de", doc(de, i)))).toDF("lang", "text")
+    val model = langIdNbTrain(train)
+    // the model frame is broadcast-sized: \u2264 langs \u00d7 257 rows
+    model.count() should be <= (2L * 257L)
+    // held-out docs built with a DIFFERENT seed law classify 100%
+    val hold = ((101 to 110).map(i => (i.toLong, "en", doc(en, i * 7))) ++
+      (201 to 210).map(i => (i.toLong, "de", doc(de, i * 7))))
+      .toDF("doc_id", "lang_true", "text")
+    val got = langIdNbClassify(hold, model)
+      .join(hold.select(col("doc_id"), col("lang_true")), Seq("doc_id"))
+      .select(col("lang_true"), col("lang_pred"))
+      .as[(String, String)].collect()
+    got.length shouldBe 20
+    got.count { case (t, p) => t == p } shouldBe 20 // holdout separation
+    // an EMPTY text has no trigrams: the argmax is the prior alone \u2014
+    // 'en' trained on more docs, so it wins
+    langIdNbClassify(Seq((1L, "")).toDF("doc_id", "text"), model)
+      .select(col("lang_pred")).as[String].head() shouldBe "en"
+    // deterministic tie-break: symmetric priors + an empty text score
+    // identically for both langs \u2192 lang asc wins
+    val sym = langIdNbTrain(Seq(("bb", "xyz"), ("aa", "qrs"))
+      .toDF("lang", "text"))
+    langIdNbClassify(Seq((1L, "")).toDF("doc_id", "text"), sym)
+      .select(col("lang_pred")).as[String].head() shouldBe "aa"
+  }
 }
