@@ -114,7 +114,9 @@ object QueriesWeb {
   /** The DuckDB replay of [[graft.functions.UrlOps.removeDotSegments]]
     * over a SQL expression: the identical split + 12-pass chain (each
     * pass: /./ collapse, /seg/../ collapse, above-root absorption),
-    * global flags throughout. */
+    * global flags throughout, including the r17 contains('/.') guard
+    * around the fold (a dotless path skips the 36 passes in both
+    * engines — verbatim chain parity preserved). */
   private[graft] def dotSegSql(expr: String): String = {
     val qf = "regexp_extract(" + expr + ", '([?#].*)$', 1)"
     val noQf = "regexp_replace(" + expr + ", '[?#].*$', '')"
@@ -128,7 +130,8 @@ object QueriesWeb {
         ", '/[^/]+/\\.\\.(/|$)', '/', 'g')"
       "regexp_replace(" + b + ", '^/\\.\\.(/|$)', '/', 'g')"
     }
-    origin + " || " + norm + " || " + qf
+    origin + " || (CASE WHEN contains(" + p0 + ", '/.') THEN " +
+      norm + " ELSE " + p0 + " END) || " + qf
   }
 
   /** One TrustRank power iteration for the web_trustrank oracle

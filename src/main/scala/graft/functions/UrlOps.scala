@@ -76,25 +76,38 @@ object UrlOps {
     * RE2-safe replace, so up to 12 nesting levels fully normalize
     * (deeper paths keep their residual: real paths never nest that
     * far, and what does is trap fodder the template law buckets
-    * anyway). */
-  def removeDotSegments(url: Column): Column = {
-    val qf = regexp_extract(url, "([?#].*)$", 1)
-    val noQf = regexp_replace(url, "[?#].*$", "")
-    // normalize the PATH in isolation: the `/seg/../` pass run over
-    // the whole URL would happily match `/h.ex/../` ACROSS the `://`
-    // authority boundary and eat the host
-    val origin = regexp_extract(noQf,
-      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
-    val path0 = when(length(origin) > 0,
-        substring(noQf, length(origin) + 1, lit(Int.MaxValue)))
-      .otherwise(noQf)
-    val normalized = (1 to 12).foldLeft(path0) { (u, _) =>
-      val dot = regexp_replace(u, "/\\.(/|$)", "/")
-      val dotdot = regexp_replace(dot, "/[^/]+/\\.\\.(/|$)", "/")
-      regexp_replace(dotdot, "^/\\.\\.(/|$)", "/")
-    }
-    concat(origin, normalized, qf)
-  }
+    * anyway). Two r17 cost bounds, now that this stage rides the
+    * frontier-identity hot path: (1) the 36-replace fold is GUARDED
+    * by one contains('/.') test — every pass needs a '/.' substring
+    * to fire, so a dotless path (the overwhelming case at crawl
+    * scale) pays one substring scan; the oracle replays the guard
+    * too, so the chains stay verbatim-identical; (2) the whole chain
+    * binds its input ONCE via the one-element outer-transform recipe
+    * (the [[graft.operators.WebGraph]] outlinks convention) — inlined
+    * naively, Catalyst's projection collapse re-expands the ~60-node
+    * chain at every downstream reference (host key, scheme filter,
+    * group key …) and the composed crawl plans paid 4-6× in
+    * planning + codegen for identical results. */
+  def removeDotSegments(url: Column): Column =
+    element_at(transform(array(url), u => {
+      val qf = regexp_extract(u, "([?#].*)$", 1)
+      val noQf = regexp_replace(u, "[?#].*$", "")
+      // normalize the PATH in isolation: the `/seg/../` pass run over
+      // the whole URL would happily match `/h.ex/../` ACROSS the `://`
+      // authority boundary and eat the host
+      val origin = regexp_extract(noQf,
+        "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+      val path0 = when(length(origin) > 0,
+          substring(noQf, length(origin) + 1, lit(Int.MaxValue)))
+        .otherwise(noQf)
+      val normalized = (1 to 12).foldLeft(path0) { (p, _) =>
+        val dot = regexp_replace(p, "/\\.(/|$)", "/")
+        val dotdot = regexp_replace(dot, "/[^/]+/\\.\\.(/|$)", "/")
+        regexp_replace(dotdot, "^/\\.\\.(/|$)", "/")
+      }
+      concat(origin, when(path0.contains("/."), normalized)
+        .otherwise(path0), qf)
+    }), 1)
 
   /** Host of a URL, '' for null/schemeless (regexp_extract's no-match
     * convention — callers filter or group the empty bucket away).

@@ -83,9 +83,15 @@ object CrawlFrontier {
     * rows and two fetches — the crawl family's highest-frequency dup
     * miss (relative links a server never resolved). Shared by
     * [[seed]] and [[admit]]; both chains are pure codegen and the
-    * seed/admit oracles replay them verbatim. */
+    * seed/admit oracles replay them verbatim. Both stages bind their
+    * input once via the one-element outer-transform recipe (the
+    * UrlOps/WebGraph convention): normalizeUrl internally references
+    * its argument several times, and handed the raw dot-segment tree
+    * it would re-expand it per reference — the r17 probe measured the
+    * naive composition at 4-6× on the composed crawl plans. */
   def canonicalUrl(url: Column): Column =
-    UrlOps.normalizeUrl(UrlOps.removeDotSegments(url))
+    element_at(transform(array(UrlOps.removeDotSegments(url)),
+      d => UrlOps.normalizeUrl(d)), 1)
 
   /** Admit seed URLs: canonicalize, keep http(s) with a real host,
     * collapse duplicates (max priority / min interval — deterministic
@@ -438,17 +444,23 @@ object CrawlFrontier {
   def gateRobots(discovered: DataFrame, robotsByHost: DataFrame,
                  urlCol: String = "url"): DataFrame = {
     import graft.functions.Robots
-    require(!discovered.columns.contains("robots_rules"),
-      "gateRobots: the discovered frame must not carry a column named " +
-        "'robots_rules' (internal to the verdict) — rename it")
-    val canon = canonicalUrl(col(urlCol))
+    Seq("robots_rules", "__rg_canon").foreach(n =>
+      require(!discovered.columns.contains(n),
+        s"gateRobots: the discovered frame must not carry a column " +
+          s"named '$n' (internal to the verdict) — rename it"))
+    // materialize the canonical identity ONCE per row (a projection
+    // column, not an inline expansion): hostOf and pathOf both
+    // consume it, and the canonicalization chain is the expensive
+    // part — inlined twice it would double the per-row regex cost
     discovered
+      .withColumn("__rg_canon", canonicalUrl(col(urlCol)))
       .join(broadcast(robotsByHost),
-        UrlOps.hostOf(canon) === robotsByHost("domain"), "left")
-      .filter(Robots.allowedCol(UrlOps.pathOf(canon),
+        UrlOps.hostOf(col("__rg_canon")) === robotsByHost("domain"),
+        "left")
+      .filter(Robots.allowedCol(UrlOps.pathOf(col("__rg_canon")),
         col("robots_rules")))
       .drop(robotsByHost("domain"))
-      .drop("robots_rules")
+      .drop("robots_rules", "__rg_canon")
   }
 
   /** Persist a frontier partitioned by next-fetch DAY — the layout
