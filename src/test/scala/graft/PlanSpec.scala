@@ -399,4 +399,40 @@ class PlanSpec extends SparkSpec {
     // the fill window partitions on the series key, never globally
     p should not include "SinglePartition"
   }
+
+  test("gateRobots: one broadcast join, zero shuffles — the streaming-legal shape") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.functions.Robots
+    import graft.operators.CrawlFrontier
+    import spark.implicits._
+    val disc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("https://h.ex.com/p/"), col("doc_id")).as("url"),
+        lit(1).as("depth"))
+    // materialize the (tiny) rules frame so its own one-off
+    // aggregation exchanges don't appear in the gate's plan — the
+    // claim under test is that the DISCOVERED side never shuffles
+    val byHost = Robots.rulesByDomain(Robots.parseRules(
+      Seq(("h.ex.com", "User-agent: *\nDisallow: /private\n"))
+        .toDF("domain", "robots_txt")), "*").localCheckpoint(true)
+    val p = CrawlFrontier.gateRobots(disc, byHost)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
+  test("langid NB classify: the model rides broadcasts, the argmax window partitions per doc — never a global sort, never a real cartesian") {
+    val p = plan("text_langid_nb")
+    // the langs×doc cross join is a broadcast nested loop over a
+    // ≤3-row frame (expected and bounded); a CartesianProduct would
+    // mean the broadcast hint was lost
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin") // the (lang, bucket) model probe
+    // the per-doc argmax window partitions on the doc key and plans
+    // with the rank-1 WindowGroupLimit pushdown — never a global sort
+    // (the only SinglePartition exchange allowed is the 1-row priors
+    // total, which carries no Window)
+    p should include("WindowGroupLimit")
+    p should include regex "windowspecdefinition\\(__nb_id"
+  }
 }
