@@ -413,6 +413,18 @@ private[core] object GraftDdl {
     *    (admitted discoveries only — an upsert batch); options
     *    'discovered' (required), 'now' (required), 'max_depth',
     *    'per_domain_cap', 'interval'.
+    *  - `crawl_gate_robots` →
+    *    [[graft.operators.CrawlFrontier.gateRobots]] (discovered rows
+    *    whose canonical identity the host's robots rules allow — the
+    *    RFC 9309 pre-admit compliance gate); options 'url', 'rules'
+    *    (required, a Robots.parseRules output table keyed by host),
+    *    'agent'.
+    *  - `langid_nb` →
+    *    [[graft.functions.TextAnalysis.langIdNbClassify]] under a
+    *    model trained in the SAME statement from a labeled table via
+    *    [[graft.functions.TextAnalysis.langIdNbTrain]] (id, lang_pred,
+    *    score); options 'id', 'text', 'train' (required, the labeled
+    *    table), 'train_lang', 'train_text'.
     *
     * Output schema depends on the op and the table, so like READ
     * SNAPSHOT this resolves to the composed read plan at parse time
@@ -622,13 +634,37 @@ private[core] object GraftDdl {
           alpha = opts.getOrElse("alpha", "0.5").toDouble,
           hostCol = opts.getOrElse("host", "host"),
           scoreCol = opts.getOrElse("score", "score"))
+      case "crawl_gate_robots" =>
+        requireKeys(Set("url", "rules", "agent"))
+        val rulesTbl = opts.getOrElse("rules", sys.error(
+          s"$stmt: crawl_gate_robots requires a 'rules' option (the " +
+            "parsed robots-rules table keyed by HOST: " +
+            "domain, agent, rule, path — Robots.parseRules output)"))
+        graft.operators.CrawlFrontier.gateRobots(df,
+          graft.functions.Robots.rulesByDomain(spark.table(rulesTbl),
+            opts.getOrElse("agent", "*")),
+          urlCol = opts.getOrElse("url", "url"))
+      case "langid_nb" =>
+        requireKeys(Set("id", "text", "train", "train_lang",
+          "train_text"))
+        val trainTbl = opts.getOrElse("train", sys.error(
+          s"$stmt: langid_nb requires a 'train' option (the labeled " +
+            "training table: lang, text)"))
+        graft.functions.TextAnalysis.langIdNbClassify(df,
+          graft.functions.TextAnalysis.langIdNbTrain(
+            spark.table(trainTbl),
+            langCol = opts.getOrElse("train_lang", "lang"),
+            textCol = opts.getOrElse("train_text", "text")),
+          idCol = opts.getOrElse("id", "doc_id"),
+          textCol = opts.getOrElse("text", "text"))
       case other => sys.error(
         s"$stmt: unknown op '$other' (supported: dedup_exact, " +
           "dedup_fuzzy, verdict, split, split_leakage_safe, " +
           "weighted_sample, token_budget, decontaminate, epoch_mix, " +
           "temperature_mix, pack, shuffle_shard, sample_k, dsir_score, " +
-          "crawl_seed, crawl_select, crawl_recrawl, crawl_admit, " +
-          "crawl_traps, crawl_trap_gate, crawl_rescore)")
+          "langid_nb, crawl_seed, crawl_select, crawl_recrawl, " +
+          "crawl_admit, crawl_traps, crawl_trap_gate, " +
+          "crawl_gate_robots, crawl_rescore)")
     }
     out.queryExecution.logical
   }

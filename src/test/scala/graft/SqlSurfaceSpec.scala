@@ -806,6 +806,58 @@ class SqlSurfaceSpec extends SparkSpec {
       .getMessage should include("'now'")
   }
 
+  test("CURATE TABLE r17 ops: crawl_gate_robots and langid_nb dispatch with DataFrame parity") {
+    import graft.functions.{Robots, TextAnalysis}
+    import graft.operators.CrawlFrontier
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // robots gate at admission, from SQL
+    spark.createDataFrame(Seq(
+        ("h.ex.com", "User-agent: *\nDisallow: /private\n")))
+      .toDF("domain", "robots_txt")
+      .createOrReplaceTempView("robots_sql_raw")
+    Robots.parseRules(spark.table("robots_sql_raw"))
+      .createOrReplaceTempView("robots_sql_rules")
+    spark.createDataFrame(Seq(
+        ("https://h.ex.com/pub/1", 1),
+        ("https://h.ex.com/private/1", 1),
+        ("https://h.ex.com/x/../private/2", 1)))
+      .toDF("url", "depth")
+      .createOrReplaceTempView("robots_sql_disc")
+    val gated = spark.sql(
+      """CURATE TABLE robots_sql_disc USING crawl_gate_robots
+        |WITH ('rules' = 'robots_sql_rules')""".stripMargin)
+    rowsOf(gated) shouldBe rowsOf(CrawlFrontier.gateRobots(
+      spark.table("robots_sql_disc"),
+      Robots.rulesByDomain(spark.table("robots_sql_rules"), "*")))
+    gated.collect().map(_.getString(0)) shouldBe
+      Array("https://h.ex.com/pub/1") // dotted spelling gated too
+    intercept[Exception](spark.sql(
+      "CURATE TABLE robots_sql_disc USING crawl_gate_robots"))
+      .getMessage should include("'rules'")
+
+    // trained language ID, train + classify in one statement
+    spark.createDataFrame(Seq(
+        ("en", "the house with garden"), ("en", "garden the with house"),
+        ("de", "das haus mit garten"), ("de", "garten das mit haus")))
+      .toDF("lang", "text").createOrReplaceTempView("langid_sql_train")
+    spark.createDataFrame(Seq(
+        (1L, "the garden house"), (2L, "das garten haus")))
+      .toDF("doc_id", "text").createOrReplaceTempView("langid_sql_docs")
+    val cls = spark.sql(
+      """CURATE TABLE langid_sql_docs USING langid_nb
+        |WITH ('train' = 'langid_sql_train')""".stripMargin)
+    rowsOf(cls) shouldBe rowsOf(TextAnalysis.langIdNbClassify(
+      spark.table("langid_sql_docs"),
+      TextAnalysis.langIdNbTrain(spark.table("langid_sql_train"))))
+    cls.orderBy("doc_id").collect().map(_.getString(1)) shouldBe
+      Array("en", "de")
+    intercept[Exception](spark.sql(
+      "CURATE TABLE langid_sql_docs USING langid_nb"))
+      .getMessage should include("'train'")
+  }
+
   test("CURATE TABLE trap ops: crawl_traps flags templates and crawl_trap_gate filters with parity") {
     import graft.operators.CrawlFrontier
     def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
