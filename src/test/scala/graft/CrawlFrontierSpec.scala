@@ -117,6 +117,21 @@ class CrawlFrontierSpec extends SparkSpec {
     Sitemaps.decodeFeeds(feeds).filter(col("tag") === "gz")
       .select(explode(Sitemaps.urlEntries(col("xml"))).as("e"))
       .select(col("e.loc")).as[String].head() shouldBe "https://g.ex/p"
+    // the stateless map is STREAMING-legal (the Scaladoc's claim):
+    // the same decode+parse chain on a feed stream matches batch
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Array[Byte])]
+    val q = Sitemaps.decodeFeeds(input.toDF().toDF("tag", "body"))
+      .select(col("tag"), explode(Sitemaps.urlEntries(col("xml"))).as("e"))
+      .select(col("tag"), col("e.loc").as("loc"))
+      .writeStream.format("memory").queryName("feeds_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(("gz", gz), ("plain", xml.getBytes("UTF-8")))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("feeds_parity").select("loc").as[String]
+      .collect().toSeq shouldBe Seq.fill(2)("https://g.ex/p")
   }
 
   test("changefreq and priority mappings: vocabulary, clamping, null fallbacks") {
