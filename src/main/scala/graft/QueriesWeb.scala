@@ -124,10 +124,11 @@ object QueriesWeb {
       ", '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)"
     val p0 = "(CASE WHEN length(" + origin + ") > 0 THEN substr(" +
       noQf + ", length(" + origin + ") + 1) ELSE " + noQf + " END)"
+    val seg = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
     val norm = (1 to 12).foldLeft(p0) { (u, _) =>
       val a = "regexp_replace(" + u + ", '/\\.(/|$)', '/', 'g')"
       val b = "regexp_replace(" + a +
-        ", '/[^/]+/\\.\\.(/|$)', '/', 'g')"
+        ", '/" + seg + "/\\.\\.(/|$)', '/', 'g')"
       "regexp_replace(" + b + ", '^/\\.\\.(/|$)', '/', 'g')"
     }
     origin + " || (CASE WHEN contains(" + p0 + ", '/.') THEN " +

@@ -71,7 +71,9 @@ object UrlOps {
     *
     * Law, replayed verbatim by the oracle: split off `[?#].*`, then
     * 12 passes of (1) `/./` and trailing `/.` collapse, (2)
-    * `/segment/../` and trailing `/segment/..` collapse, (3)
+    * `/segment/../` and trailing `/segment/..` collapse where the
+    * popped segment is not itself a dot segment (r17: a plain [^/]+
+    * ate a not-yet-collapsed '.' — see the pass comment), (3)
     * above-root `/../` absorption at the origin — each a global
     * RE2-safe replace, so up to 12 nesting levels fully normalize
     * (deeper paths keep their residual: real paths never nest that
@@ -102,7 +104,14 @@ object UrlOps {
         .otherwise(noQf)
       val normalized = (1 to 12).foldLeft(path0) { (p, _) =>
         val dot = regexp_replace(p, "/\\.(/|$)", "/")
-        val dotdot = regexp_replace(dot, "/[^/]+/\\.\\.(/|$)", "/")
+        // the popped segment must not ITSELF be a dot segment: global
+        // replace leaves every other '/./' of a consecutive run for
+        // the next pass (overlapping slashes), and a plain [^/]+ here
+        // would eat a surviving '.' as the segment '..' pops —
+        // '/a/././../b' popped '.' instead of 'a' (caught by the
+        // WebCorpusSpec RFC-reference property test)
+        val seg = "(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+        val dotdot = regexp_replace(dot, s"/$seg/\\.\\.(/|$$)", "/")
         regexp_replace(dotdot, "^/\\.\\.(/|$)", "/")
       }
       concat(origin, when(path0.contains("/."), normalized)

@@ -1057,6 +1057,62 @@ class WebCorpusSpec extends SparkSpec {
     r("/p/7", "https://rd.ex.com/p/6") shouldBe "https://rd.ex.com/p/7"
   }
 
+  test("removeDotSegments matches an RFC 3986 §5.2.4 reference on random dotted paths (non-empty segments, nesting within the pass budget)") {
+    // the independent stack-machine reference, straight from the RFC's
+    // pseudo-code, for absolute paths with non-empty segments (an
+    // empty segment before /.. — '//..' — is the chain's one
+    // documented deviation: the seg/../ pass requires a non-empty
+    // segment, so degenerate '//' paths keep their residual)
+    def ref(p: String): String = {
+      var in = p
+      val out = new StringBuilder
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../")) {
+          in = "/" + in.substring(4)
+          val i = out.lastIndexOf("/"); out.setLength(math.max(i, 0))
+        } else if (in == "/..") {
+          in = "/"
+          val i = out.lastIndexOf("/"); out.setLength(math.max(i, 0))
+        } else if (in == "." || in == "..") in = ""
+        else {
+          val j = in.indexOf('/', 1)
+          val (seg, rest) = if (j >= 0) in.splitAt(j) else (in, "")
+          out.append(seg); in = rest
+        }
+      }
+      out.toString
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val plain = Seq("a", "bb", "c.d", ".well-known", "..x", "x..")
+    val cases = (1 to 400).map { _ =>
+      val n = 1 + rnd.nextInt(10)
+      val body = (1 to n).map { _ =>
+        rnd.nextInt(10) match {
+          case 0 | 1 => "."
+          case 2 | 3 => ".."
+          case _ => plain(rnd.nextInt(plain.length))
+        }
+      }.mkString("/")
+      val path = "/" + body + (if (rnd.nextBoolean()) "/" else "")
+      val qf = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => "?next=../up"
+        case _ => "#f/./g"
+      }
+      ("https://h.ex" + path + qf, "https://h.ex" + ref(path) + qf)
+    }.distinct
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), UrlOps.removeDotSegments(col("u")))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      withClue(u)(got(u) shouldBe want)
+    }
+  }
+
   test("canonicalUrl: attribute orders, quote styles, case, first-wins, and the no-canonical page") {
     import graft.operators.WebGraph
     def c(html: String, base: String = "https://w.ex.com/d/p.html") =
