@@ -432,7 +432,8 @@ object Bench {
     // a typo'd family name must fail loudly, not silently run nothing
     // and emit a malformed (trailing-comma) JSON line
     val known = Set("altstar", "contamination", "span", "fuzzy", "lsh",
-      "lshuncapped", "pagerank", "frontier", "redirects", "mirrors")
+      "lshuncapped", "pagerank", "frontier", "redirects", "mirrors",
+      "storeloop")
     require(families.nonEmpty && families.subsetOf(known),
       s"scaleProbe: unknown families ${(families -- known).mkString(", ")} " +
         s"(known: ${known.toSeq.sorted.mkString(", ")})")
@@ -586,6 +587,59 @@ object Bench {
         batch.unpersist(); frontier.unpersist()
         // timed by hand so gen/materialize stays excluded
         measured("frontier_cycle") = (sec, cycleRows)
+      }
+      // STORE-HELD scheduling cycle decade (r17): the day-bucketed
+      // deployment read path — loadDue (partition-pruned) →
+      // selectBatch → recrawlUpdates upsert batch — with the DUE
+      // SLICE held CONSTANT (base/10 rows due today) while the
+      // frontier grows 10×, the rest spread over 99 future day
+      // buckets. The engineered claim is that the scheduling scan
+      // reads due rows, not the frontier, so the decade exponent
+      // should sit ≈ 0 (flat); without pruning it would read ≈ 1.
+      // Admission's anti-join rides the url-hash-bucketed store face,
+      // probed by the `frontier` family (exponent 1.04) — this one
+      // isolates the SCHEDULING read. Write/gen excluded from timing
+      // (backfill cost, not cycle cost).
+      if (families("storeloop")) {
+        import graft.operators.CrawlFrontier
+        val dueRows = math.max(base / 10L, 1L)
+        val day = 86400L
+        val nowTs = 1754000000L
+        val nh = math.max(n / 1000L, 1L)
+        val hostC = concat(lit("h"), pmod(col("id"), lit(nh)), lit(".ex"),
+          pmod(col("id"), lit(nh)), lit(".com"))
+        val nextTs = when(col("id") < dueRows, lit(nowTs))
+          .otherwise(lit(nowTs) + (pmod(col("id"), lit(99L)) + 1L) * day)
+        val frontier = spark.range(n).select(
+          concat(lit("https://"), hostC, lit("/p/"), col("id")).as("url"),
+          hostC.as("host"), lit(0).as("depth"),
+          (pmod(col("id") * 37, lit(100)) / lit(100.0)).as("priority"),
+          lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+          lit(null).cast("long").as("last_fetch_ts"),
+          lit(null).cast("string").as("content_hash"),
+          lit(86400L).as("interval_s"),
+          nextTs.as("next_fetch_ts"), lit("active").as("state"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bench-storeloop").toString
+        val path = s"$dir/f$n"
+        CrawlFrontier.writeDayBucketed(frontier, path)
+        val t0 = System.nanoTime()
+        val due = CrawlFrontier.loadDue(spark, path, nowTs)
+        val batch = CrawlFrontier.selectBatch(due, nowTs,
+            batchSize = 10000, perHostCap = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        val fetched = batch.select(col("url"),
+          lit(nowTs + 100L).as("fetch_ts"),
+          when(col("url").endsWith("0"), lit(404)).otherwise(lit(200))
+            .as("status"),
+          md5(col("url")).as("content_hash"))
+        val cycleRows = CrawlFrontier.recrawlUpdates(fetched, due).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+        measured("storeloop_cycle") = (sec, cycleRows)
       }
       // REDIRECT resolution decade: the web_redirects law (2-hop
       // chains, 1-hop redirects, self-loops, mutual 2-cycles) over an

@@ -78,7 +78,10 @@ object UrlOps {
     * RE2-safe replace, so up to 12 nesting levels fully normalize
     * (deeper paths keep their residual: real paths never nest that
     * far, and what does is trap fodder the template law buckets
-    * anyway). Two r17 cost bounds, now that this stage rides the
+    * anyway; one more documented deviation: '..' after an EMPTY
+    * segment — '//..' — is not popped, because the seg pattern
+    * requires a non-empty non-dot segment; degenerate '//' paths
+    * keep their residual). Two r17 cost bounds, now that this stage rides the
     * frontier-identity hot path: (1) the 36-replace fold is GUARDED
     * by one contains('/.') test — every pass needs a '/.' substring
     * to fire, so a dotless path (the overwhelming case at crawl
