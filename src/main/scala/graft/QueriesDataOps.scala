@@ -4085,51 +4085,38 @@ object QueriesDataOps {
     "bb" -> Seq("birke", "blume", "brot", "bach", "berg", "busch"),
     "cc" -> Seq("chien", "chat", "cheval", "chou", "chemin", "chose"))
 
-  val text: Seq[(String, Q, Option[String])] = Seq(
+  /** The [[nbVocab]] corpus as a frame: (doc_id, lang, text). */
+  private def nbCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def wordAt(ws: Seq[String], j: Int) = element_at(
+      array(ws.map(lit): _*), (pmod(d * j, lit(6)) + 1).cast("int"))
+    val textExpr = concat_ws(" ", (1 to 8).map { j =>
+      when(d % 3 === 0, wordAt(nbVocab(0)._2, j))
+        .when(d % 3 === 1, wordAt(nbVocab(1)._2, j))
+        .otherwise(wordAt(nbVocab(2)._2, j))
+    }: _*)
+    val langExpr = when(d % 3 === 0, lit("aa"))
+      .when(d % 3 === 1, lit("bb")).otherwise(lit("cc"))
+    T(s, dir, "documents")
+      .select(d.as("doc_id"), langExpr.as("lang"), textExpr.as("text"))
+  }
 
-    ("text_langid_nb", (s, dir) => {
-      // TRAINED language ID: hashed char-trigram multinomial Naive
-      // Bayes, trained IN the engine (256 md5-prefix buckets — the
-      // DSIR bucket law — add-one smoothing, doc-count priors) on the
-      // doc_id%5≠0 slice of a synthetic 3-language corpus, then the
-      // held-out %5=0 slice classified under the trained model — the
-      // trained upgrade of text_langid's marker heuristic, in the
-      // curate_quality_lr in-engine-training convention. The oracle
-      // replays BOTH halves mechanically: trigram explode → count →
-      // priors → per-(doc,lang) smoothed log-likelihood → argmax with
-      // the (score desc, lang asc) tie-break. round(6) float parity.
-      val d = col("doc_id")
-      def wordAt(ws: Seq[String], j: Int) = element_at(
-        array(ws.map(lit): _*), (pmod(d * j, lit(6)) + 1).cast("int"))
-      val textExpr = concat_ws(" ", (1 to 8).map { j =>
-        when(d % 3 === 0, wordAt(nbVocab(0)._2, j))
-          .when(d % 3 === 1, wordAt(nbVocab(1)._2, j))
-          .otherwise(wordAt(nbVocab(2)._2, j))
-      }: _*)
-      val langExpr = when(d % 3 === 0, lit("aa"))
-        .when(d % 3 === 1, lit("bb")).otherwise(lit("cc"))
-      val corpus = T(s, dir, "documents")
-        .select(d.as("doc_id"), langExpr.as("lang"), textExpr.as("text"))
-      val model = TextAnalysis.langIdNbTrain(
-        corpus.filter(col("doc_id") % 5 =!= 0))
-      val hold = corpus.filter(col("doc_id") % 5 === 0)
-      TextAnalysis.langIdNbClassify(hold, model)
-        .join(hold.select(col("doc_id"), col("lang").as("lang_true")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
-          col("score"))
-        .orderBy("doc_id")
-    }, Some {
-      def lst(ws: Seq[String]) =
-        "[" + ws.map("'" + _ + "'").mkString(",") + "]"
-      val word = (1 to 8).map { j =>
-        s"""(CASE WHEN doc_id % 3 = 0
-             THEN (${lst(nbVocab(0)._2)})[(doc_id*$j) % 6 + 1]
-             WHEN doc_id % 3 = 1
-             THEN (${lst(nbVocab(1)._2)})[(doc_id*$j) % 6 + 1]
-             ELSE (${lst(nbVocab(2)._2)})[(doc_id*$j) % 6 + 1] END)"""
-      }.mkString(" || ' ' || ")
-      s"""
+  /** The ONE DuckDB replay of NB-langid train (on the doc_id%5≠0
+    * slice) + classify (the %5=0 holdout) — shared verbatim by
+    * text_langid_nb and text_langid_nb_inc, because the incremental
+    * face's law IS batch-retrain equality (counts are a sufficient
+    * statistic; the update is an exact full-outer sum). */
+  private val nbOracleSql: String = {
+    def lst(ws: Seq[String]) =
+      "[" + ws.map("'" + _ + "'").mkString(",") + "]"
+    val word = (1 to 8).map { j =>
+      s"""(CASE WHEN doc_id % 3 = 0
+           THEN (${lst(nbVocab(0)._2)})[(doc_id*$j) % 6 + 1]
+           WHEN doc_id % 3 = 1
+           THEN (${lst(nbVocab(1)._2)})[(doc_id*$j) % 6 + 1]
+           ELSE (${lst(nbVocab(2)._2)})[(doc_id*$j) % 6 + 1] END)"""
+    }.mkString(" || ' ' || ")
+    s"""
       WITH corpus AS (
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'aa'
@@ -4179,7 +4166,57 @@ object QueriesDataOps {
         ON h.doc_id = rk.doc_id
       WHERE rk.r = 1
       ORDER BY h.doc_id"""
-    }),
+  }
+
+  val text: Seq[(String, Q, Option[String])] = Seq(
+
+    ("text_langid_nb", (s, dir) => {
+      // TRAINED language ID: hashed char-trigram multinomial Naive
+      // Bayes, trained IN the engine (256 md5-prefix buckets — the
+      // DSIR bucket law — add-one smoothing, doc-count priors) on the
+      // doc_id%5≠0 slice of a synthetic 3-language corpus, then the
+      // held-out %5=0 slice classified under the trained model — the
+      // trained upgrade of text_langid's marker heuristic, in the
+      // curate_quality_lr in-engine-training convention. The oracle
+      // replays BOTH halves mechanically: trigram explode → count →
+      // priors → per-(doc,lang) smoothed log-likelihood → argmax with
+      // the (score desc, lang asc) tie-break. round(6) float parity.
+      val corpus = nbCorpus(s, dir)
+      val model = TextAnalysis.langIdNbTrain(
+        corpus.filter(col("doc_id") % 5 =!= 0))
+      val hold = corpus.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.langIdNbClassify(hold, model)
+        .join(hold.select(col("doc_id"), col("lang").as("lang_true")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("score"))
+        .orderBy("doc_id")
+    }, Some(nbOracleSql)),
+
+    ("text_langid_nb_inc", (s, dir) => {
+      // INCREMENTAL NB-langid training: wave 1 (doc_id%5 ∈ {1,2})
+      // trains, wave 2 (%5 ∈ {3,4}) folds in via langIdNbUpdate — the
+      // old corpus is never rescanned — and the holdout classifies
+      // under the merged model. The LAW is batch equality (counts are
+      // a sufficient statistic; the update is an exact full-outer
+      // sum), so the oracle is text_langid_nb's VERBATIM train-on-
+      // the-union SQL: a drift anywhere in the merge and the hash
+      // catches it.
+      val corpus = nbCorpus(s, dir)
+      val m1 = TextAnalysis.langIdNbTrain(
+        corpus.filter(col("doc_id") % 5 === 1 ||
+          col("doc_id") % 5 === 2))
+      val model = TextAnalysis.langIdNbUpdate(m1,
+        corpus.filter(col("doc_id") % 5 === 3 ||
+          col("doc_id") % 5 === 4))
+      val hold = corpus.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.langIdNbClassify(hold, model)
+        .join(hold.select(col("doc_id"), col("lang").as("lang_true")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("score"))
+        .orderBy("doc_id")
+    }, Some(nbOracleSql)),
 
     ("text_langid", (s, dir) => {
       // n-gram-heuristic language ID: per-language function-word marker

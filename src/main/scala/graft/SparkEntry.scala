@@ -71,8 +71,8 @@ object SparkEntry {
     "ann_matryoshka_topk", "ann_maxsim_topk", "ann_maxsim_rerank",
     "ann_filtered_topk", "emb_mean_pool", "emb_safetensors_roundtrip",
     "emb_pca_project", "emb_dim_profile", "ann_ivfpq_opq_index",
-    "text_quality", "text_langid", "text_langid_nb", "text_token_count",
-    "text_winnowing",
+    "text_quality", "text_langid", "text_langid_nb", "text_langid_nb_inc",
+    "text_token_count", "text_winnowing",
     "text_tfidf", "text_pii_redact", "text_repetition",
     "text_unigram_surprisal", "text_bigram_surprisal", "text_char_entropy",
     "text_mojibake", "text_gopher_rules", "text_ngram_repetition",

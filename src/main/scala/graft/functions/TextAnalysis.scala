@@ -264,6 +264,28 @@ object TextAnalysis {
     tri.unionByName(priors)
   }
 
+  /** Fold a NEW labeled batch into a trained [[langIdNbTrain]] model
+    * WITHOUT rescanning the old corpus: counts merge by full-outer
+    * sum (the updateTrapStats convention) — EXACT, not approximate,
+    * because the model frame is a sufficient statistic (trigram
+    * occurrence counts + doc-count priors), so incremental-update
+    * equals retrain-on-the-union row for row. The standing face is
+    * the same read-modify-write loop the trap stats use: a stream of
+    * labeled batches maintains the model at two tiny aggregates per
+    * batch, the old corpus never re-read. One aggregate over the
+    * batch + one (lang, bucket)-keyed merge join against the
+    * ≤ langs×257-row model. */
+  def langIdNbUpdate(model: DataFrame, newDocs: DataFrame,
+                     langCol: String = "lang",
+                     textCol: String = "text"): DataFrame = {
+    val delta = langIdNbTrain(newDocs, langCol, textCol)
+      .withColumnRenamed("n", "__nb_delta")
+    model.join(delta, Seq("lang", "bucket"), "full_outer")
+      .select(col("lang"), col("bucket"),
+        (coalesce(col("n"), lit(0L)) +
+          coalesce(col("__nb_delta"), lit(0L))).as("n"))
+  }
+
   /** Classify texts under a [[langIdNbTrain]] model: per (doc, lang)
     * score = ln(n_docs_l/N) + Σ_buckets cnt·(ln(n_lb+1) − ln(T_l+256))
     * (add-one smoothing over the 256 hashed buckets; unseen buckets

@@ -208,4 +208,18 @@ class TextAnalysisSpec extends SparkSpec {
     langIdNbClassify(Seq((1L, "")).toDF("doc_id", "text"), sym)
       .select(col("lang_pred")).as[String].head() shouldBe "aa"
   }
+
+  test("langIdNbUpdate: folding a new labeled batch in equals retraining on the union, row for row — including a brand-new language") {
+    import graft.functions.TextAnalysis.{langIdNbTrain, langIdNbUpdate}
+    val w1 = Seq(("en", "the house stands here"), ("de", "das haus hier"))
+      .toDF("lang", "text")
+    // wave 2 extends a seen language AND introduces an unseen one
+    val w2 = Seq(("en", "garden with the house"),
+      ("fr", "la maison avec jardin")).toDF("lang", "text")
+    val incremental = langIdNbUpdate(langIdNbTrain(w1), w2)
+      .collect().map(_.toString).sorted.toSeq
+    val retrained = langIdNbTrain(w1.unionByName(w2))
+      .collect().map(_.toString).sorted.toSeq
+    incremental shouldBe retrained
+  }
 }
