@@ -141,6 +141,12 @@ object Sitemaps {
                   outCol: String = "xml"): DataFrame = {
     require(!feeds.columns.contains(outCol),
       s"decodeFeeds: input already carries a column named '$outCol'")
+    require(feeds.schema(bytesCol).dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"decodeFeeds: '$bytesCol' must be BINARY (got " +
+        s"${feeds.schema(bytesCol).dataType.simpleString}) — a string " +
+        "column has already been decoded; pass it to the parsers " +
+        "directly")
     val schema = feeds.schema.add(outCol, StringType)
     val idx = feeds.schema.fieldIndex(bytesCol)
     feeds.mapPartitions { it =>

@@ -302,8 +302,15 @@ object TextAnalysis {
   def langIdNbClassify(docs: DataFrame, model: DataFrame,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val counts = model.filter(col("bucket") =!= "")
-    val priors = model.filter(col("bucket") === "")
+    // merge duplicate (lang, bucket) rows on entry: a caller handing
+    // a UNION of model frames (instead of langIdNbUpdate's summed
+    // merge) would otherwise fan the weight join out and silently
+    // corrupt every score — summing makes union-of-models ≡ update,
+    // and is free on well-formed models (≤ langs×257 rows)
+    val m = model.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val counts = m.filter(col("bucket") =!= "")
+    val priors = m.filter(col("bucket") === "")
       .select(col("lang"), col("n").as("n_docs"))
     val totals = counts.groupBy(col("lang")).agg(sum("n").as("t_l"))
     val nAll = priors.agg(sum(col("n_docs")).as("n_all"))

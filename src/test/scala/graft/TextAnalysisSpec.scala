@@ -221,5 +221,18 @@ class TextAnalysisSpec extends SparkSpec {
     val retrained = langIdNbTrain(w1.unionByName(w2))
       .collect().map(_.toString).sorted.toSeq
     incremental shouldBe retrained
+    // classify merges duplicate model rows on entry, so a raw UNION
+    // of model frames scores identically to the proper update — a
+    // duplicated (lang, bucket) key must never fan the join out
+    import graft.functions.TextAnalysis.langIdNbClassify
+    val docs = Seq((1L, "the garden house"), (2L, "la maison ici"))
+      .toDF("doc_id", "text")
+    val viaUnion = langIdNbClassify(docs,
+      langIdNbTrain(w1).unionByName(langIdNbTrain(w2)))
+      .collect().map(_.toString).sorted.toSeq
+    val viaUpdate = langIdNbClassify(docs,
+      langIdNbUpdate(langIdNbTrain(w1), w2))
+      .collect().map(_.toString).sorted.toSeq
+    viaUnion shouldBe viaUpdate
   }
 }
