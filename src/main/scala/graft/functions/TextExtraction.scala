@@ -138,10 +138,13 @@ object TextExtraction {
         "(\"robots\"|'robots'|robots(?=[\\s/>]))"))
     // the quoted captures keep their delimiters (the one-group quote
     // law) — strip them, or the token-boundary matching downstream
-    // would see '"noindex' instead of 'noindex'
+    // would see '"noindex' instead of 'noindex'. \scontent boundary
+    // (r17): \b matched after a hyphen, so a data-content= decoy
+    // attribute read as the directive value — the same hole class the
+    // r16/r17 reviews closed in \shref/\sname/\srel
     lower(concat_ws(",",
       transform(robots, t => regexp_replace(regexp_extract(t,
-        "(?is)\\bcontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s/>]+)", 1),
+        "(?is)\\scontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s/>]+)", 1),
         "^[\"']|[\"']$", ""))))
   }
 

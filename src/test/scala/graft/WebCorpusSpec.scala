@@ -1239,6 +1239,10 @@ class WebCorpusSpec extends SparkSpec {
     // boundary-matched: 'noindexing' flags nothing
     flags("""<meta name="robotsx" content="noindex">""") shouldBe
       ((false, false))
+    // a data-content= decoy is NOT the directive value (the \scontent
+    // boundary — same hole class as data-rel/data-href/data-name)
+    flags("""<meta name="robots" data-content="noindex">""") shouldBe
+      ((false, false))
     flags("<p>n</p>", "noindexing") shouldBe ((false, false))
     flags("<p>n</p>", "NOINDEX") shouldBe ((true, false)) // header case
     // two meta tags both contribute
