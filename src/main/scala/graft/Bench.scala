@@ -564,7 +564,9 @@ object Bench {
             lit(null).cast("long").as("last_fetch_ts"),
             lit(null).cast("string").as("content_hash"),
             lit(86400L).as("interval_s"),
-            lit(1754000000L).as("next_fetch_ts"), lit("active").as("state"))
+            lit(1754000000L).as("next_fetch_ts"), lit("active").as("state"),
+            lit(null).cast("string").as("etag"),
+            lit(null).cast("long").as("last_modified"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         frontier.count() // materialize: the cycle, not gen, is timed from here
         val t0 = System.nanoTime()
@@ -618,7 +620,9 @@ object Bench {
           lit(null).cast("long").as("last_fetch_ts"),
           lit(null).cast("string").as("content_hash"),
           lit(86400L).as("interval_s"),
-          nextTs.as("next_fetch_ts"), lit("active").as("state"))
+          nextTs.as("next_fetch_ts"), lit("active").as("state"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("long").as("last_modified"))
         val dir = java.nio.file.Files
           .createTempDirectory("graft-bench-storeloop").toString
         val path = s"$dir/f$n"

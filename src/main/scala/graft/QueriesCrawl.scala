@@ -249,8 +249,13 @@ object QueriesCrawl {
       // frontier sees), strays are ftp:// and schemeless garbage. The
       // oracle replays the FULL frontier-identity chain — dot-segment
       // removal THEN normalizeUrl (this row's subject is
-      // canonicalization) — and the dedup-to-frontier law. One
-      // url-keyed shuffle with map-side combine.
+      // canonicalization) — and the dedup-to-frontier law. Sitemap
+      // <lastmod> hints ride in (r18): even rows carry a W3C date
+      // (datetime suffix tolerated at day resolution), odd rows junk
+      // or nothing — the strict-shape gate drops the junk, the pair
+      // collapse takes MAX per url, and the value lands in the
+      // last_modified validator column (due-now scheduling is
+      // untouched). One url-keyed shuffle with map-side combine.
       val d = col("doc_id")
       val pairBase = (d - d % 2).cast("string")
       val k = ((d - d % 2) % 7).cast("string")
@@ -261,8 +266,15 @@ object QueriesCrawl {
         .otherwise(
           concat(lit("HTTPS://H"), k, lit(".EXAMPLE.COM:443/a/../p?id="),
             pairBase, lit("&utm_source=x#f")))
-      val urls = T(s, dir, "documents").select(url.as("url"))
-      CrawlFrontier.seed(urls, now = T0, defaultIntervalS = 86400L)
+      val lastmod = when(d % 2 === 0,
+          concat(lit("2026-01-0"), (d % 9 + 1).cast("string"),
+            when(d % 4 === 0, lit("T08:30:00Z")).otherwise(lit(""))))
+        .when(d % 5 === 0, lit("last tuesday")) // junk: shape-gated out
+        .otherwise(lit(null).cast("string"))
+      val urls = T(s, dir, "documents")
+        .select(url.as("url"), lastmod.as("lastmod"))
+      CrawlFrontier.seed(urls, now = T0, defaultIntervalS = 86400L,
+        lastmodCol = Some("lastmod"))
         .orderBy("url")
     }, Some(raw"""
       WITH u0 AS (
@@ -273,37 +285,51 @@ object QueriesCrawl {
             || '.example.com/p?id=' || (doc_id - doc_id % 2)
           ELSE 'HTTPS://H' || ((doc_id - doc_id % 2) % 7) ||
             '.EXAMPLE.COM:443/a/../p?id=' || (doc_id - doc_id % 2) ||
-            '&utm_source=x#f' END AS url
+            '&utm_source=x#f' END AS url,
+          CASE WHEN doc_id % 2 = 0 THEN '2026-01-0' || (doc_id % 9 + 1) ||
+                 (CASE WHEN doc_id % 4 = 0 THEN 'T08:30:00Z' ELSE '' END)
+               WHEN doc_id % 5 = 0 THEN 'last tuesday'
+               ELSE NULL END AS lastmod
         FROM documents),
-      u AS (SELECT ${QueriesWeb.dotSegSql("url")} AS url FROM u0),
+      u AS (SELECT ${QueriesWeb.dotSegSql("url")} AS url,
+                   CASE WHEN regexp_matches(substr(lastmod, 1, 10),
+                          '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')
+                        THEN CAST(epoch(TRY_CAST(substr(lastmod, 1, 10)
+                          AS TIMESTAMP)) AS BIGINT)
+                        ELSE NULL END AS lm
+            FROM u0),
       lo AS (
         SELECT regexp_extract(url,
-                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head, url
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head, url,
+               lm
         FROM u),
       n0 AS (
         SELECT lower(head) ||
                (CASE WHEN length(head) > 0
-                     THEN substr(url, length(head) + 1) ELSE url END) AS t
+                     THEN substr(url, length(head) + 1) ELSE url END) AS t,
+               lm
         FROM lo),
       n1 AS (SELECT regexp_replace(regexp_replace(regexp_replace(t,
                '#.*$$', ''),
                '^(http://[^/:?#]*):80(/|\?|$$)', '\1\2'),
-               '^(https://[^/:?#]*):443(/|\?|$$)', '\1\2') AS t
+               '^(https://[^/:?#]*):443(/|\?|$$)', '\1\2') AS t, lm
              FROM n0),
       n2 AS (SELECT regexp_replace(t,
                '([?&])(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
-               '\1', 'g') AS t FROM n1),
+               '\1', 'g') AS t, lm FROM n1),
       n3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(t, '\?&+', '?', 'g'), '&&+', '&', 'g'),
-               '[?&]+$$', ''), '^(https?://[^/?#]+)/$$', '\1') AS url
+               '[?&]+$$', ''), '^(https?://[^/?#]+)/$$', '\1') AS url, lm
              FROM n2),
       h AS (SELECT url,
                    regexp_extract(lower(url),
                      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)',
-                     1) AS host
+                     1) AS host,
+                   lm
             FROM n3
             WHERE regexp_matches(url, '^https?://')),
-      g AS (SELECT url, host FROM h WHERE length(host) > 0
+      g AS (SELECT url, host, max(lm) AS last_modified
+            FROM h WHERE length(host) > 0
             GROUP BY url, host)
       SELECT url, host, CAST(0 AS INT) AS depth, CAST(1.0 AS DOUBLE) AS priority,
              CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
@@ -311,7 +337,9 @@ object QueriesCrawl {
              CAST(NULL AS VARCHAR) AS content_hash,
              CAST(86400 AS BIGINT) AS interval_s,
              CAST(1754000000 AS BIGINT) AS next_fetch_ts,
-             'active' AS state
+             'active' AS state,
+             CAST(NULL AS VARCHAR) AS etag,
+             CAST(last_modified AS BIGINT) AS last_modified
       FROM g ORDER BY url""")),
 
     ("crawl_select_batch", (s, dir) => {
@@ -334,7 +362,13 @@ object QueriesCrawl {
         lit(null).cast("string").as("content_hash"),
         lit(3600L).as("interval_s"),
         (lit(T0) + (d % 3) * 1000).as("next_fetch_ts"),
-        when(d % 11 === 0, lit("dead")).otherwise(lit("active")).as("state"))
+        when(d % 11 === 0, lit("dead")).otherwise(lit("active")).as("state"),
+        // validators pass through selection untouched (the fetch loop
+        // reads them off the batch to send If-None-Match/-Since)
+        when(d % 3 === 0, concat(lit("W/\""), id, lit("\"")))
+          .otherwise(lit(null).cast("string")).as("etag"),
+        when(d % 2 === 0, lit(T0) - d).otherwise(lit(null).cast("long"))
+          .as("last_modified"))
       CrawlFrontier.selectBatch(frontier, now = T0,
         batchSize = 25, perHostCap = 2)
     }, Some("""
@@ -353,7 +387,12 @@ object QueriesCrawl {
                CAST(1754000000 + (doc_id % 3) * 1000 AS BIGINT)
                  AS next_fetch_ts,
                CASE WHEN doc_id % 11 = 0 THEN 'dead' ELSE 'active' END
-                 AS state
+                 AS state,
+               CASE WHEN doc_id % 3 = 0 THEN 'W/"' || doc_id || '"'
+                    ELSE NULL END AS etag,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(1754000000 - doc_id AS BIGINT)
+                    ELSE NULL END AS last_modified
         FROM documents),
       due AS (
         SELECT * FROM f
@@ -363,7 +402,8 @@ object QueriesCrawl {
                     ORDER BY priority DESC, url) AS hr
         FROM due)
       SELECT url, host, depth, priority, fetch_count, fail_count,
-             last_fetch_ts, content_hash, interval_s, next_fetch_ts, state
+             last_fetch_ts, content_hash, interval_s, next_fetch_ts, state,
+             etag, last_modified
       FROM ranked WHERE hr <= 2
       ORDER BY priority DESC, url LIMIT 25""")),
 
@@ -372,8 +412,15 @@ object QueriesCrawl {
       // adaptation, clamped): a changed page halves its interval, an
       // unchanged one doubles, transient failures back off and three
       // in a row — or a 404/410 — kill the row; untouched rows pass
-      // through byte-identical. One url-equi left join (a cycle's
-      // results are tiny next to the frontier → AQE broadcasts).
+      // through byte-identical. The CONDITIONAL-revisit regime (r18)
+      // rides the same law: d%16==8 answers 304 (the validators we
+      // sent still match — zero body bytes), which grows the interval,
+      // resets the fail streak and KEEPS hash + validators; a 200
+      // replaces the stored validators with the response's — including
+      // replacing with NULL when the server stopped sending one
+      // (holding a stale ETag would mint wrong 304s forever). One
+      // url-equi left join (a cycle's results are tiny next to the
+      // frontier → AQE broadcasts).
       val d = col("doc_id")
       val id = d.cast("string")
       val k = (d % 7).cast("string")
@@ -390,16 +437,25 @@ object QueriesCrawl {
           .otherwise(md5(id)).as("content_hash"),
         (lit(3600L) * (d % 5 + 1)).as("interval_s"),
         lit(T0).as("next_fetch_ts"),
-        when(d % 19 === 0, lit("dead")).otherwise(lit("active")).as("state"))
+        when(d % 19 === 0, lit("dead")).otherwise(lit("active")).as("state"),
+        when(d % 3 === 0, concat(lit("\""), id, lit("-v1\"")))
+          .otherwise(lit(null).cast("string")).as("etag"),
+        when(d % 2 === 1, lit(T0) - 1000L)
+          .otherwise(lit(null).cast("long")).as("last_modified"))
       val fetched = docs.filter(d % 2 === 0).select(
         concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"), id)
           .as("url"),
         (lit(T0) + d).as("fetch_ts"),
-        when(d % 8 === 4, lit(503)).when(d % 8 === 6, lit(404))
+        when(d % 16 === 8, lit(304))
+          .when(d % 8 === 4, lit(503)).when(d % 8 === 6, lit(404))
           .otherwise(lit(200)).as("status"),
-        when(d % 8 === 0, md5(id))
+        when(d % 16 === 0, md5(id))
           .when(d % 8 === 2, md5(concat(lit("c"), id)))
-          .otherwise(lit(null).cast("string")).as("content_hash"))
+          .otherwise(lit(null).cast("string")).as("content_hash"),
+        when(d % 8 === 2, concat(lit("\""), id, lit("-v2\"")))
+          .otherwise(lit(null).cast("string")).as("etag"),
+        when(d % 8 === 2, lit(T0) - 10L)
+          .otherwise(lit(null).cast("long")).as("last_modified"))
       CrawlFrontier.recrawlSchedule(frontier, fetched,
         Revisit(minIntervalS = 1800L, maxIntervalS = 604800L,
           grow = 2.0, shrink = 2.0, maxFails = 3))
@@ -419,25 +475,38 @@ object QueriesCrawl {
                CAST(3600 * (doc_id % 5 + 1) AS BIGINT) AS interval_s,
                CAST(1754000000 AS BIGINT) AS next_fetch_ts,
                CASE WHEN doc_id % 19 = 0 THEN 'dead' ELSE 'active' END
-                 AS state
+                 AS state,
+               CASE WHEN doc_id % 3 = 0 THEN '"' || doc_id || '-v1"'
+                    ELSE NULL END AS etag,
+               CASE WHEN doc_id % 2 = 1
+                    THEN CAST(1754000000 - 1000 AS BIGINT)
+                    ELSE NULL END AS last_modified
         FROM documents),
       r AS (
         SELECT 'https://h' || (doc_id % 7) || '.ex' || (doc_id % 7) ||
                  '.com/p/' || doc_id AS url,
                CAST(1754000000 + doc_id AS BIGINT) AS f_fetch_ts,
-               CASE WHEN doc_id % 8 = 4 THEN 503
+               CASE WHEN doc_id % 16 = 8 THEN 304
+                    WHEN doc_id % 8 = 4 THEN 503
                     WHEN doc_id % 8 = 6 THEN 404 ELSE 200 END AS f_status,
-               CASE WHEN doc_id % 8 = 0 THEN md5(CAST(doc_id AS VARCHAR))
+               CASE WHEN doc_id % 16 = 0 THEN md5(CAST(doc_id AS VARCHAR))
                     WHEN doc_id % 8 = 2
                       THEN md5('c' || CAST(doc_id AS VARCHAR))
-                    ELSE NULL END AS f_content_hash
+                    ELSE NULL END AS f_content_hash,
+               CASE WHEN doc_id % 8 = 2 THEN '"' || doc_id || '-v2"'
+                    ELSE NULL END AS f_etag,
+               CASE WHEN doc_id % 8 = 2
+                    THEN CAST(1754000000 - 10 AS BIGINT)
+                    ELSE NULL END AS f_last_modified
         FROM documents WHERE doc_id % 2 = 0),
-      j AS (SELECT f.*, r.f_fetch_ts, r.f_status, r.f_content_hash
+      j AS (SELECT f.*, r.f_fetch_ts, r.f_status, r.f_content_hash,
+                   r.f_etag, r.f_last_modified
             FROM f LEFT JOIN r ON r.url = f.url),
       law AS (
         SELECT *,
           (f_status BETWEEN 200 AND 299) AS ok,
           (f_status IN (404, 410)) AS gone,
+          (f_status = 304) AS notmod,
           ((f_status BETWEEN 200 AND 299) AND
            (content_hash IS NULL OR content_hash <> f_content_hash))
             AS changed
@@ -450,7 +519,8 @@ object QueriesCrawl {
                WHEN gone THEN interval_s
                ELSE least(604800, CAST(floor(interval_s * 2.0)
                  AS BIGINT)) END AS new_interval,
-          CASE WHEN ok OR gone THEN 0 ELSE fail_count + 1 END AS new_fails
+          CASE WHEN ok OR gone OR notmod THEN 0
+               ELSE fail_count + 1 END AS new_fails
         FROM law)
       SELECT url, host, depth, priority,
         CASE WHEN f_fetch_ts IS NULL THEN fetch_count
@@ -468,8 +538,13 @@ object QueriesCrawl {
              ELSE f_fetch_ts + new_interval END AS next_fetch_ts,
         CASE WHEN f_fetch_ts IS NULL THEN state
              WHEN gone THEN 'dead'
-             WHEN NOT ok AND new_fails >= 3 THEN 'dead'
-             ELSE state END AS state
+             WHEN NOT ok AND NOT notmod AND new_fails >= 3 THEN 'dead'
+             ELSE state END AS state,
+        CASE WHEN f_fetch_ts IS NULL THEN etag
+             WHEN ok THEN f_etag ELSE etag END AS etag,
+        CASE WHEN f_fetch_ts IS NULL THEN last_modified
+             WHEN ok THEN f_last_modified
+             ELSE last_modified END AS last_modified
       FROM iv ORDER BY url""")),
 
     ("crawl_admit", (s, dir) => {
@@ -504,7 +579,9 @@ object QueriesCrawl {
           lit(0).as("fail_count"), lit(null).cast("long").as("last_fetch_ts"),
           lit(null).cast("string").as("content_hash"),
           lit(86400L).as("interval_s"), lit(T0).as("next_fetch_ts"),
-          lit("active").as("state"))
+          lit("active").as("state"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("long").as("last_modified"))
       val discovered = docs.select(discUrl.as("url"),
         (d % 6).cast("int").as("depth"))
       CrawlFrontier.admit(frontier, discovered, now = T0,
@@ -553,7 +630,9 @@ object QueriesCrawl {
              CAST(NULL AS VARCHAR) AS content_hash,
              CAST(86400 AS BIGINT) AS interval_s,
              CAST(1754000000 AS BIGINT) AS next_fetch_ts,
-             'active' AS state
+             'active' AS state,
+             CAST(NULL AS VARCHAR) AS etag,
+             CAST(NULL AS BIGINT) AS last_modified
       FROM kept ORDER BY url""")),
 
     ("crawl_admit_robots", (s, dir) => {
@@ -594,7 +673,9 @@ object QueriesCrawl {
           lit(null).cast("long").as("last_fetch_ts"),
           lit(null).cast("string").as("content_hash"),
           lit(86400L).as("interval_s"), lit(T0).as("next_fetch_ts"),
-          lit("active").as("state"))
+          lit("active").as("state"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("long").as("last_modified"))
       val robots = Seq(
         ("h0.ex0.com", "User-agent: *\nDisallow: /private\n"),
         ("h1.ex1.com", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
@@ -669,7 +750,9 @@ object QueriesCrawl {
              CAST(NULL AS VARCHAR) AS content_hash,
              CAST(86400 AS BIGINT) AS interval_s,
              CAST(1754000000 AS BIGINT) AS next_fetch_ts,
-             'active' AS state
+             'active' AS state,
+             CAST(NULL AS VARCHAR) AS etag,
+             CAST(NULL AS BIGINT) AS last_modified
       FROM kept ORDER BY url""")),
 
     ("crawl_e2e", (s, dir) => {
@@ -720,7 +803,9 @@ object QueriesCrawl {
                CAST(NULL AS VARCHAR) AS content_hash,
                CAST(86400 AS BIGINT) AS interval_s,
                CAST(1754000000 AS BIGINT) AS next_fetch_ts,
-               'active' AS state
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
         FROM seeded),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY host
@@ -730,7 +815,7 @@ object QueriesCrawl {
       batch AS (
         SELECT url, host, depth, priority, fetch_count, fail_count,
                last_fetch_ts, content_hash, interval_s, next_fetch_ts,
-               state
+               state, etag, last_modified
         FROM ranked WHERE hr <= 10
         ORDER BY priority DESC, url LIMIT 40),
       fetched AS (
@@ -768,7 +853,9 @@ object QueriesCrawl {
           f_fetch_ts + new_interval AS next_fetch_ts,
           CASE WHEN gone THEN 'dead'
                WHEN NOT ok AND new_fails >= 3 THEN 'dead'
-               ELSE state END AS state
+               ELSE state END AS state,
+          CAST(NULL AS VARCHAR) AS etag,
+          CAST(NULL AS BIGINT) AS last_modified
         FROM iv),
       disc AS (
         SELECT url || '/c' AS url, host, CAST(1 AS INT) AS depth
@@ -792,7 +879,9 @@ object QueriesCrawl {
                CAST(NULL AS VARCHAR) AS content_hash,
                CAST(86400 AS BIGINT) AS interval_s,
                CAST(1754000100 AS BIGINT) AS next_fetch_ts,
-               'active' AS state
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
         FROM rk LEFT JOIN ex ON ex.domain = rk.domain
         WHERE rk.rnk + coalesce(ex.n_existing, 0) <= 15)
       SELECT * FROM updated
@@ -839,7 +928,9 @@ object QueriesCrawl {
         lit(null).cast("long").as("last_fetch_ts"),
         lit(null).cast("string").as("content_hash"),
         lit(3600L).as("interval_s"), lit(T0).as("next_fetch_ts"),
-        lit("active").as("state"))
+        lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
       CrawlFrontier.selectBatch(frontier, now = T0, batchSize = 30,
         perHostCap = 8, hostBudgets = Some(budgets))
     }, Some("""
@@ -923,7 +1014,9 @@ object QueriesCrawl {
                CAST(NULL AS VARCHAR) AS content_hash,
                CAST(3600 AS BIGINT) AS interval_s,
                CAST(1754000000 AS BIGINT) AS next_fetch_ts,
-               'active' AS state
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
         FROM documents),
       ranked AS (
         SELECT f.*, row_number() OVER (PARTITION BY host
@@ -932,7 +1025,8 @@ object QueriesCrawl {
       capped AS (
         SELECT r.url, r.host, r.depth, r.priority, r.fetch_count,
                r.fail_count, r.last_fetch_ts, r.content_hash,
-               r.interval_s, r.next_fetch_ts, r.state
+               r.interval_s, r.next_fetch_ts, r.state, r.etag,
+               r.last_modified
         FROM ranked r LEFT JOIN bud b ON b.host = r.host
         WHERE r.hr <= least(8, coalesce(b.cap, 8)))
       SELECT * FROM capped ORDER BY priority DESC, url LIMIT 30""")),
@@ -1039,7 +1133,9 @@ object QueriesCrawl {
                    CAST(NULL AS VARCHAR) AS content_hash,
                    CAST(86400 AS BIGINT) AS interval_s,
                    CAST(1754000000 AS BIGINT) AS next_fetch_ts,
-                   'active' AS state
+                   'active' AS state,
+                   CAST(NULL AS VARCHAR) AS etag,
+                   CAST(NULL AS BIGINT) AS last_modified
             FROM g),
       kv AS (SELECT domain, pos,
                     lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1))
@@ -1093,7 +1189,8 @@ object QueriesCrawl {
       capped AS (
         SELECT r.url, r.host, r.depth, r.priority, r.fetch_count,
                r.fail_count, r.last_fetch_ts, r.content_hash,
-               r.interval_s, r.next_fetch_ts, r.state
+               r.interval_s, r.next_fetch_ts, r.state, r.etag,
+               r.last_modified
         FROM ranked r LEFT JOIN bud b ON b.host = r.host
         WHERE r.hr <= least(4, coalesce(b.cap, 4))
         ORDER BY priority DESC, url LIMIT 20)

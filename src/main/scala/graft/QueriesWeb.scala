@@ -1159,7 +1159,9 @@ object QueriesWeb {
         lit(null).cast("long").as("last_fetch_ts"),
         lit(null).cast("string").as("content_hash"),
         lit(3600L).as("interval_s"),
-        lit(T0).as("next_fetch_ts"), lit("active").as("state"))
+        lit(T0).as("next_fetch_ts"), lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
       val scores = s.range(4).select(
         concat(lit("h"), (col("id") * 2).cast("string"), lit(".ex"),
           (col("id") * 2).cast("string"), lit(".com")).as("host"),

@@ -303,6 +303,97 @@ object Robots {
     coalesce(best("plen") < 0 || best("is_allow"), lit(true))
   }
 
+  // ——— the robots.txt lifecycle: fetch-status → rules (RFC 9309) ———
+
+  /** The synthetic complete-disallow rule array (§2.3.1.4: a robots
+    * fetch failing on server/network errors means the crawler MUST
+    * assume total disallow until a definitive answer arrives). One
+    * `Disallow: /` rule in [[rulesByDomain]]'s struct shape, so
+    * [[allowedCol]]/[[gateRobots]] consume it like any parsed rule. */
+  private def disallowAllRules: Column =
+    array(struct(lit(false).as("is_allow"), lit("/").as("path"),
+      lit(false).as("is_pattern"), lit("^/").as("regex"),
+      lit(1).as("plen")))
+
+  /** RFC 9309 §2.3.1 fetch-status semantics over one cycle's
+    * robots.txt fetch results — the stage between the fetch loop and
+    * the maintained rules frame. Input rows: (domain, status,
+    * robots_txt, fetch_ts), at most one per domain per cycle (route
+    * retries through the frontier's latest-wins convention upstream).
+    * Output: (domain, robots_rules, robots_status, fetched_at) —
+    * [[rulesByDomain]]'s shape plus the lifecycle metadata, consumed
+    * unchanged by CrawlFrontier.gateRobots and maintained by
+    * [[updateRules]]. The status law:
+    *  - 2xx → parse and scope the body for `agent` ('rules'); a body
+    *    whose scoped rules are empty keeps the null array = allow-all
+    *    (a published robots.txt that allows everything);
+    *  - 3xx/4xx → 'allow_all', null rules: §2.3.1.2-3 — "unavailable"
+    *    (404 and friends) means unrestricted access, and a redirect
+    *    the fetcher did not resolve (it SHOULD follow ≥ 5 hops
+    *    upstream) falls to the same MAY-assume-unavailable clause;
+    *  - anything else (5xx, status ≤ 0 = network error/timeout) →
+    *    'disallow_all' with the synthetic Disallow:/ rule — §2.3.1.4's
+    *    temporarily-assume-total-disallow.
+    * One parse over the 2xx slice (tiny — one row per fetched host) +
+    * one domain-keyed left join. */
+  def rulesFromFetch(fetched: DataFrame, agent: String,
+                     domainCol: String = "domain",
+                     statusCol: String = "status",
+                     txtCol: String = "robots_txt",
+                     tsCol: String = "fetch_ts"): DataFrame = {
+    val base = fetched.select(col(domainCol).as("domain"),
+      col(statusCol).cast("int").as("__rf_status"),
+      col(txtCol).cast("string").as("__rf_txt"),
+      col(tsCol).cast("long").as("fetched_at"))
+    val ok = col("__rf_status") >= 200 && col("__rf_status") <= 299
+    val soft = col("__rf_status") >= 300 && col("__rf_status") <= 499
+    val parsed = rulesByDomain(
+      parseRules(base.filter(ok)
+        .select(col("domain"), coalesce(col("__rf_txt"), lit(""))
+          .as("robots_txt"))), agent)
+      .withColumnRenamed("robots_rules", "__rf_rules")
+    base.join(parsed, Seq("domain"), "left")
+      .select(col("domain"),
+        when(ok, col("__rf_rules"))
+          .when(soft, lit(null).cast(
+            "array<struct<is_allow:boolean,path:string," +
+              "is_pattern:boolean,regex:string,plen:int>>"))
+          .otherwise(disallowAllRules).as("robots_rules"),
+        when(ok, lit("rules")).when(soft, lit("allow_all"))
+          .otherwise(lit("disallow_all")).as("robots_status"),
+        col("fetched_at"))
+  }
+
+  /** Fold a fresh [[rulesFromFetch]] batch into the maintained
+    * per-domain rules frame: rules REPLACE (they are a snapshot, not a
+    * count — the updateTrapStats convention's merge join, but
+    * latest-fetched_at-wins instead of summed). Ties go to the fresh
+    * side (a redelivered batch converges — at-least-once safe), and a
+    * stale redelivery of an OLD batch loses to the maintained row, so
+    * the merge is order-insensitive across replays. One domain-keyed
+    * full-outer merge join over two frames that are one-row-per-host
+    * tiny next to any URL corpus. */
+  def updateRules(maintained: DataFrame, fresh: DataFrame): DataFrame = {
+    val m = maintained.select(col("domain"),
+      col("robots_rules").as("__m_rules"),
+      col("robots_status").as("__m_status"),
+      col("fetched_at").as("__m_at"))
+    val f = fresh.select(col("domain"),
+      col("robots_rules").as("__f_rules"),
+      col("robots_status").as("__f_status"),
+      col("fetched_at").as("__f_at"))
+    val freshWins = col("__m_at").isNull ||
+      (col("__f_at").isNotNull && col("__f_at") >= col("__m_at"))
+    m.join(f, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        when(freshWins, col("__f_rules")).otherwise(col("__m_rules"))
+          .as("robots_rules"),
+        when(freshWins, col("__f_status")).otherwise(col("__m_status"))
+          .as("robots_status"),
+        when(freshWins, col("__f_at")).otherwise(col("__m_at"))
+          .as("fetched_at"))
+  }
+
   /** [[filterAllowed]]'s verdict via the stateless form: left
     * broadcast-join [[rulesByDomain]]'s frame and evaluate
     * [[allowedCol]] per row. Emits the input columns + `allowed` —

@@ -31,7 +31,21 @@ import graft.functions.UrlOps
   *   interval_s     bigint  current revisit interval
   *   next_fetch_ts  bigint  epoch seconds the row becomes due
   *   state          string  'active' | 'dead'
+  *   etag           string  HTTP ETag validator of the last 2xx body,
+  *                          null before / when the server sends none
+  *   last_modified  bigint  epoch seconds: HTTP Last-Modified of the
+  *                          last 2xx body, or the sitemap <lastmod>
+  *                          hint at seed time; null when unknown
   * }}}
+  * (the two validator columns append AFTER `state` so positional
+  * consumers of the r17 11-column contract keep their indexes).
+  *
+  * The validators are what make revisits CHEAP at 10^10 rows: a fetch
+  * loop reads (etag, last_modified) off the selected batch, sends
+  * If-None-Match/If-Modified-Since, and a 304 answer costs zero body
+  * bytes — the revisit law treats 304 as "unchanged" (interval grows,
+  * fail count resets, content hash and validators keep), which at
+  * steady state is MOST answers.
   *
   * Scale design (the part that must survive 10^10 URLs):
   *  - The frontier itself is mutable state; at scale it lives in the
@@ -72,7 +86,7 @@ object CrawlFrontier {
 
   private val frontierCols = Seq("url", "host", "depth", "priority",
     "fetch_count", "fail_count", "last_fetch_ts", "content_hash",
-    "interval_s", "next_fetch_ts", "state")
+    "interval_s", "next_fetch_ts", "state", "etag", "last_modified")
 
   /** Frontier URL identity: RFC 3986 §5.2.4 dot-segment removal, THEN
     * [[UrlOps.normalizeUrl]] — in that order, so `/x/../` spellings
@@ -93,36 +107,90 @@ object CrawlFrontier {
     element_at(transform(array(UrlOps.removeDotSegments(url)),
       d => UrlOps.normalizeUrl(d)), 1)
 
+  /** W3C-datetime `<lastmod>` → epoch seconds at DAY resolution — the
+    * granularity revisit scheduling needs; sitemap lastmods are
+    * date-only far more often than not, and day resolution sidesteps
+    * the timezone-offset forms entirely. The shape gate (strictly
+    * zero-padded `YYYY-MM-DD` prefix) runs BEFORE the parse in both
+    * engines, so non-padded spellings that one engine's cast would
+    * tolerate never reach it (cross-engine parity); an in-shape but
+    * impossible date (2026-02-31) yields null via the try parse.
+    * Null/absent/junk → null: the caller's coalesce default applies. */
+  def lastmodEpoch(lastmod: Column): Column = {
+    val day = substring(lastmod, 1, 10)
+    when(day.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+      try_to_timestamp(day, lit("yyyy-MM-dd")).cast("long"))
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** Admit seed URLs: canonicalize, keep http(s) with a real host,
-    * collapse duplicates (max priority / min interval — deterministic
-    * aggregates, never an arbitrary first()), and stamp the frontier
-    * columns with everything due `now`. `priorityCol`/`intervalCol`
-    * let a sitemap feed carry its own `<priority>`/changefreq values
-    * (null entries fall back to the defaults via coalesce).
+    * collapse duplicates (max priority / min interval / max lastmod —
+    * deterministic aggregates, never an arbitrary first()), and stamp
+    * the frontier columns with everything due `now`.
+    * `priorityCol`/`intervalCol`/`lastmodCol` let a sitemap feed carry
+    * its own `<priority>`/changefreq/`<lastmod>` values (null entries
+    * fall back to the defaults via coalesce; lastmod parses via
+    * [[lastmodEpoch]] into the `last_modified` validator column, so a
+    * first fetch can already send If-Modified-Since — and [[reseed]]
+    * can tell a re-announced entry from a changed one).
     * One url-keyed shuffle with map-side combine. */
   def seed(urls: DataFrame, now: Long,
            urlCol: String = "url",
            priorityCol: Option[String] = None,
            intervalCol: Option[String] = None,
            defaultIntervalS: Long = 86400L,
-           depth: Int = 0): DataFrame = {
+           depth: Int = 0,
+           lastmodCol: Option[String] = None): DataFrame = {
     val defPr = lit(1.0 / (1 + depth))
     val pr = priorityCol
       .map(c => coalesce(col(c).cast("double"), defPr)).getOrElse(defPr)
     val iv = intervalCol
       .map(c => coalesce(col(c).cast("long"), lit(defaultIntervalS)))
       .getOrElse(lit(defaultIntervalS))
+    val lm = lastmodCol.map(c => lastmodEpoch(col(c)))
+      .getOrElse(lit(null).cast("long"))
     val canon = urls
       .select(canonicalUrl(col(urlCol)).as("url"),
-        pr.as("priority"), iv.as("interval_s"))
+        pr.as("priority"), iv.as("interval_s"), lm.as("last_modified"))
       .filter(col("url").rlike("^https?://"))
       .withColumn("host", UrlOps.hostOf(col("url")))
       .filter(length(col("host")) > 0)
     canon.groupBy("url", "host")
       .agg(max("priority").as("priority"),
-        min("interval_s").as("interval_s"))
+        min("interval_s").as("interval_s"),
+        max("last_modified").as("last_modified"))
       .select(newRowCols(lit(depth).cast("int"), col("priority"),
-        col("interval_s"), now): _*)
+        col("interval_s"), now,
+        lastModified = Some(col("last_modified"))): _*)
+  }
+
+  /** Fold a RE-announced seed wave (a sitemap re-read) into an existing
+    * frontier: the changed-rows-only merge that keeps a nightly
+    * sitemap pass from resetting a 10^10-row schedule. A known row is
+    * pulled due `now` ONLY when the seed's lastmod claims a change
+    * SINCE our last fetch (seed.last_modified > last_fetch_ts) and the
+    * row isn't already due — a lastmod older than the row's last fetch
+    * is a re-announcement, not news, and emits nothing. Dead rows stay
+    * dead (a 410'd page re-listed by a stale sitemap must not
+    * resurrect). Returns ONLY the updated rows (frontier-shaped, an
+    * upsert batch — the [[recrawlUpdates]] convention); NEW urls are
+    * [[admit]]'s job (`seeds.select(url, depth)` through the anti-join
+    * gate). One url-equi inner join; the seed wave is small next to
+    * the frontier, so AQE broadcasts it. */
+  def reseed(frontier: DataFrame, seeds: DataFrame, now: Long): DataFrame = {
+    val sd = seeds
+      .filter(col("last_modified").isNotNull)
+      .groupBy(col("url"))
+      .agg(max(col("last_modified")).as("__seed_lm"))
+    frontier.join(sd, Seq("url"))
+      .filter(col("state") === "active" &&
+        col("last_fetch_ts").isNotNull &&
+        col("__seed_lm") > col("last_fetch_ts") &&
+        col("next_fetch_ts") > lit(now))
+      .withColumn("next_fetch_ts", lit(now))
+      .withColumn("last_modified",
+        greatest(col("last_modified"), col("__seed_lm")))
+      .select(frontierCols.map(col): _*)
   }
 
   /** The next fetch batch: due active rows, at most `perHostCap` per
@@ -190,16 +258,26 @@ object CrawlFrontier {
 
   // ---- the revisit law, shared by the batch and streaming faces ----
   // Inputs: the frontier row's columns + the fetch attempt's
-  // (f_fetch_ts, f_status, f_content_hash). Pure expressions so both
-  // faces and the oracle replay stay identical by construction.
+  // (f_fetch_ts, f_status, f_content_hash, f_etag, f_last_modified).
+  // Pure expressions so both faces and the oracle replay stay
+  // identical by construction.
 
   private def okC(s: Column) = s >= 200 && s <= 299
   private def goneC(s: Column) = s === 404 || s === 410
+  private def notModC(s: Column) = s === 304
 
   private def lawCols(rv: Revisit, fTs: Column, fStatus: Column,
-                      fHash: Column): Seq[(String, Column)] = {
+                      fHash: Column, fEtag: Column,
+                      fLastMod: Column): Seq[(String, Column)] = {
     val ok = okC(fStatus)
     val gone = goneC(fStatus)
+    // the 304 regime (RFC 9110 §15.4.5): the validators we sent still
+    // match, so the page is UNCHANGED by definition — zero body bytes
+    // crossed the wire. Interval grows (the unchanged law), the fail
+    // streak resets (304 is a healthy answer, not a failure), and
+    // content hash + validators keep their stored values (a 304
+    // carries no body to hash and re-asserts the validators we hold).
+    val notMod = notModC(fStatus)
     val changed = ok &&
       (col("content_hash").isNull || col("content_hash") =!= fHash)
     // floor-to-long keeps the law exact in both engines (doubles are
@@ -210,17 +288,24 @@ object CrawlFrontier {
       floor(col("interval_s") * rv.grow).cast("long"))
     val interval = when(changed, shrunk)
       .when(gone, col("interval_s"))
-      .otherwise(grown) // unchanged success AND transient failure
-    val fails = when(ok || gone, lit(0))
+      .otherwise(grown) // unchanged success, 304, transient failure
+    val fails = when(ok || gone || notMod, lit(0))
       .otherwise(col("fail_count") + 1)
     val state = when(gone, lit("dead"))
-      .when(!ok && fails >= rv.maxFails, lit("dead"))
+      .when(!ok && !notMod && fails >= rv.maxFails, lit("dead"))
       .otherwise(col("state"))
     Seq(
       "fetch_count" -> (col("fetch_count") + 1L),
       "fail_count" -> fails,
       "last_fetch_ts" -> fTs,
       "content_hash" -> when(ok, fHash).otherwise(col("content_hash")),
+      // on a 2xx the response's validators REPLACE the stored ones —
+      // null replaces too (the server stopped sending one; holding a
+      // stale validator would mint wrong 304s forever); every other
+      // outcome keeps what we hold
+      "etag" -> when(ok, fEtag).otherwise(col("etag")),
+      "last_modified" -> when(ok, fLastMod)
+        .otherwise(col("last_modified")),
       "interval_s" -> interval,
       "next_fetch_ts" -> (fTs + interval),
       "state" -> state)
@@ -229,7 +314,8 @@ object CrawlFrontier {
   private def applyLaw(joined: DataFrame, rv: Revisit,
                        guard: Option[Column]): DataFrame = {
     val updated = lawCols(rv, col("f_fetch_ts"),
-      col("f_status"), col("f_content_hash")).toMap
+      col("f_status"), col("f_content_hash"), col("f_etag"),
+      col("f_last_modified")).toMap
     joined.select(frontierCols.map { c =>
       val newC = updated.get(c).map { u =>
         guard.fold(u)(g => when(g, u).otherwise(col(c)))
@@ -238,15 +324,28 @@ object CrawlFrontier {
     }: _*)
   }
 
+  /** The fetch-result projection both revisit faces share: the contract
+    * columns cast, plus the OPTIONAL validator columns (a fetcher that
+    * doesn't record them — every pre-r18 caller — gets nulls; the law's
+    * keep-on-non-2xx branch never sees them anyway). */
+  private def fetchProjection(fetched: DataFrame): DataFrame = {
+    val fe = if (fetched.columns.contains("etag"))
+      col("etag").cast("string") else lit(null).cast("string")
+    val fl = if (fetched.columns.contains("last_modified"))
+      col("last_modified").cast("long") else lit(null).cast("long")
+    fetched.select(col("url"),
+      col("fetch_ts").cast("long").as("f_fetch_ts"),
+      col("status").cast("int").as("f_status"),
+      col("content_hash").cast("string").as("f_content_hash"),
+      fe.as("f_etag"), fl.as("f_last_modified"))
+  }
+
   /** Latest attempt per url — a crawl cycle can retry; the most recent
     * result is the row's truth. Fully tie-broken, so deterministic. */
   private def latestFetch(fetched: DataFrame): DataFrame = {
     val w = Window.partitionBy("url").orderBy(col("f_fetch_ts").desc,
       col("f_status").desc, col("f_content_hash").desc_nulls_last)
-    fetched
-      .select(col("url"), col("fetch_ts").cast("long").as("f_fetch_ts"),
-        col("status").cast("int").as("f_status"),
-        col("content_hash").cast("string").as("f_content_hash"))
+    fetchProjection(fetched)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -274,13 +373,9 @@ object CrawlFrontier {
     * orders by seq. Batch/stream row parity is pinned in
     * CrawlFrontierSpec. */
   def recrawlUpdates(fetched: DataFrame, frontier: DataFrame,
-                     rv: Revisit = Revisit()): DataFrame = {
-    val f = fetched.select(col("url"),
-      col("fetch_ts").cast("long").as("f_fetch_ts"),
-      col("status").cast("int").as("f_status"),
-      col("content_hash").cast("string").as("f_content_hash"))
-    applyLaw(f.join(frontier, Seq("url")), rv, guard = None)
-  }
+                     rv: Revisit = Revisit()): DataFrame =
+    applyLaw(fetchProjection(fetched).join(frontier, Seq("url")), rv,
+      guard = None)
 
   /** Admit newly discovered links: canonicalize, depth-bound, collapse
     * to min depth per url, drop everything already in the frontier
@@ -437,7 +532,11 @@ object CrawlFrontier {
     * ([[canonicalUrl]]) — the path the crawler would actually
     * request; input columns pass through unchanged (the
     * [[filterTraps]] convention), so the gate composes anywhere in
-    * the pre-admit chain. One broadcast join + one scalar aggregate
+    * the pre-admit chain. The rules frame is PROJECTED to
+    * (domain, robots_rules) before the broadcast, so the lifecycle
+    * frame [[graft.functions.Robots.rulesFromFetch]] maintains —
+    * which carries robots_status/fetched_at metadata — feeds the gate
+    * unchanged. One broadcast join + one scalar aggregate
     * expression — stateless and windowless, so the identical gate is
     * legal on a standing discovery STREAM (stream-static join), and
     * zero extra shuffles in batch. */
@@ -448,19 +547,93 @@ object CrawlFrontier {
       require(!discovered.columns.contains(n),
         s"gateRobots: the discovered frame must not carry a column " +
           s"named '$n' (internal to the verdict) — rename it"))
+    val rules = robotsByHost.select(col("domain"), col("robots_rules"))
     // materialize the canonical identity ONCE per row (a projection
     // column, not an inline expansion): hostOf and pathOf both
     // consume it, and the canonicalization chain is the expensive
     // part — inlined twice it would double the per-row regex cost
     discovered
       .withColumn("__rg_canon", canonicalUrl(col(urlCol)))
-      .join(broadcast(robotsByHost),
-        UrlOps.hostOf(col("__rg_canon")) === robotsByHost("domain"),
+      .join(broadcast(rules),
+        UrlOps.hostOf(col("__rg_canon")) === rules("domain"),
         "left")
+      .drop(rules("domain"))
       .filter(Robots.allowedCol(UrlOps.pathOf(col("__rg_canon")),
         col("robots_rules")))
-      .drop(robotsByHost("domain"))
       .drop("robots_rules", "__rg_canon")
+  }
+
+  // ——— the robots.txt LIFECYCLE (RFC 9309 §2.3-2.4) ————————————————
+  // Rules aren't static: a compliant crawler FETCHES each origin's
+  // /robots.txt, refreshes it on a ~24 h cadence (§2.4 allows caching
+  // up to that order), and maps fetch failures to verdicts (§2.3.1).
+  // The robots URL is just another frontier row with a FIXED revisit
+  // interval; its fetch results feed Robots.rulesFromFetch →
+  // Robots.updateRules (the read-modify-write convention) and the
+  // maintained frame feeds [[gateRobots]] unchanged.
+
+  /** True when a canonical URL is an origin's robots.txt — the router
+    * that splits a mixed fetch-result stream between the page law
+    * ([[recrawlUpdates]]) and the robots law
+    * ([[robotsRecrawlUpdates]]). Matches the exact path (RFC 9309
+    * §2.3: the file lives at /robots.txt, nowhere else). */
+  def isRobotsUrl(url: Column): Column =
+    UrlOps.pathOf(url) === "/robots.txt"
+
+  /** Frontier rows for each host's robots.txt, due `now`: priority 2.0
+    * (above every page row's ≤ 1.0 prior, so a due robots fetch leads
+    * its host's batch — rules must land before the pages they govern)
+    * and a FIXED `refreshIntervalS` revisit (~24 h default, the §2.4
+    * cache bound). `hosts` needs a `hostCol` column; scheme is https
+    * (the modern default; a real fetcher follows the 301 to http-only
+    * origins, and [[robotsRecrawlUpdates]] treats an unresolved
+    * redirect like any non-2xx answer). Dedups by host. */
+  def robotsSeeds(hosts: DataFrame, now: Long,
+                  hostCol: String = "host",
+                  refreshIntervalS: Long = 86400L): DataFrame = {
+    require(refreshIntervalS > 0,
+      s"refreshIntervalS must be positive: $refreshIntervalS")
+    seed(hosts.select(concat(lit("https://"), col(hostCol),
+        lit("/robots.txt")).as("url"), lit(2.0).as("__rb_pr"),
+        lit(refreshIntervalS).as("__rb_iv")),
+      now, priorityCol = Some("__rb_pr"), intervalCol = Some("__rb_iv"))
+  }
+
+  /** The robots-row revisit law — [[recrawlUpdates]]' shape (inner
+    * join, changed-rows-only upsert batch, stateless and
+    * streaming-legal) under the lifecycle's OWN policy: the next fetch
+    * is always `fetch_ts + refreshIntervalS` (a fixed cadence — rules
+    * freshness is a compliance bound, not an adaptation target), and
+    * the row NEVER dies — a 404 means allow-all TODAY (§2.3.1.3) but
+    * the host may publish rules tomorrow, so unlike a page row the
+    * robots row must outlive every failure and keep refreshing.
+    * fail_count still counts consecutive non-answers (2xx/3xx/4xx all
+    * reset it — each is a definitive §2.3.1 verdict; 5xx/unreachable
+    * increment) so a monitor can see a host whose robots.txt never
+    * answers. Content hash and validators follow the page law (a 304
+    * robots answer is as good as an unchanged 200 — and far
+    * cheaper). */
+  def robotsRecrawlUpdates(fetched: DataFrame, frontier: DataFrame,
+                           refreshIntervalS: Long = 86400L): DataFrame = {
+    require(refreshIntervalS > 0,
+      s"refreshIntervalS must be positive: $refreshIntervalS")
+    val joined = fetchProjection(fetched).join(frontier, Seq("url"))
+    val ok = okC(col("f_status"))
+    val answered = col("f_status") >= 200 && col("f_status") <= 499
+    joined.select(
+      col("url"), col("host"), col("depth"), col("priority"),
+      (col("fetch_count") + 1L).as("fetch_count"),
+      when(answered, lit(0)).otherwise(col("fail_count") + 1)
+        .as("fail_count"),
+      col("f_fetch_ts").as("last_fetch_ts"),
+      when(ok, col("f_content_hash")).otherwise(col("content_hash"))
+        .as("content_hash"),
+      lit(refreshIntervalS).as("interval_s"),
+      (col("f_fetch_ts") + refreshIntervalS).as("next_fetch_ts"),
+      lit("active").as("state"),
+      when(ok, col("f_etag")).otherwise(col("etag")).as("etag"),
+      when(ok, col("f_last_modified")).otherwise(col("last_modified"))
+        .as("last_modified"))
   }
 
   /** Persist a frontier partitioned by next-fetch DAY — the layout
@@ -555,11 +728,15 @@ object CrawlFrontier {
         defaultIntervalS))
 
   private def newRowCols(depth: Column, priority: Column,
-                         intervalS: Column, now: Long): Seq[Column] = Seq(
-    col("url"), col("host"), depth.as("depth"), priority.as("priority"),
-    lit(0L).as("fetch_count"), lit(0).as("fail_count"),
-    lit(null).cast("long").as("last_fetch_ts"),
-    lit(null).cast("string").as("content_hash"),
-    intervalS.cast("long").as("interval_s"),
-    lit(now).as("next_fetch_ts"), lit("active").as("state"))
+                         intervalS: Column, now: Long,
+                         lastModified: Option[Column] = None): Seq[Column] =
+    Seq(
+      col("url"), col("host"), depth.as("depth"), priority.as("priority"),
+      lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+      lit(null).cast("long").as("last_fetch_ts"),
+      lit(null).cast("string").as("content_hash"),
+      intervalS.cast("long").as("interval_s"),
+      lit(now).as("next_fetch_ts"), lit("active").as("state"),
+      lit(null).cast("string").as("etag"),
+      lastModified.getOrElse(lit(null).cast("long")).as("last_modified"))
 }

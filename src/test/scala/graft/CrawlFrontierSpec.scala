@@ -153,11 +153,16 @@ class CrawlFrontierSpec extends SparkSpec {
 
   // ——— frontier helpers ————————————————————————————————————————————
 
+  // the r17 11-column shape plus null validators (the r18 contract
+  // appends etag/last_modified; most scheduling tests don't exercise
+  // them — the validator laws have their own tests and oracle rows)
   private def mkFrontier(rows: Seq[(String, String, Int, Double, Long, Int,
       Option[Long], Option[String], Long, Long, String)]): DataFrame =
     rows.toDF("url", "host", "depth", "priority", "fetch_count",
       "fail_count", "last_fetch_ts", "content_hash", "interval_s",
       "next_fetch_ts", "state")
+      .withColumn("etag", lit(null).cast("string"))
+      .withColumn("last_modified", lit(null).cast("long"))
 
   private def row(url: String, priority: Double = 0.5,
                   interval: Long = 3600L, next: Long = 1000L,
@@ -461,10 +466,11 @@ class CrawlFrontierSpec extends SparkSpec {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-fstore-ck").toString
     type Ev = (String, Long, String, String, Int, Double, Long, Int,
-      Option[Long], Option[String], Long, Long, String)
+      Option[Long], Option[String], Long, Long, String, Option[String],
+      Option[Long])
     val payloadCols = Seq("host", "depth", "priority", "fetch_count",
       "fail_count", "last_fetch_ts", "content_hash", "interval_s",
-      "next_fetch_ts", "state")
+      "next_fetch_ts", "state", "etag", "last_modified")
     // frontier-shaped rows → change events at `seq` (column order is
     // the frontier contract's)
     def toEvents(df: DataFrame, seq: Long): Seq[Ev] =
@@ -473,10 +479,13 @@ class CrawlFrontierSpec extends SparkSpec {
         r.getInt(5),
         if (r.isNullAt(6)) None else Some(r.getLong(6)),
         if (r.isNullAt(7)) None else Some(r.getString(7)),
-        r.getLong(8), r.getLong(9), r.getString(10)) }.toSeq
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
     // the encoder derives from the literal tuple type, not the alias
     val input = MemoryStream[(String, Long, String, String, Int, Double,
-      Long, Int, Option[Long], Option[String], Long, Long, String)]
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
     val query = StreamingOps.snapshotUpsertSink(
         input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
         root, idCol = "url", seqCol = "seq", opCol = "op",
@@ -528,7 +537,7 @@ class CrawlFrontierSpec extends SparkSpec {
       .createTempDirectory("graft-scl-ck").toString
     val payloadCols = Seq("host", "depth", "priority", "fetch_count",
       "fail_count", "last_fetch_ts", "content_hash", "interval_s",
-      "next_fetch_ts", "state")
+      "next_fetch_ts", "state", "etag", "last_modified")
     val contract = "url" +: payloadCols
     def toEvents(df: DataFrame, seq: Long) =
       df.collect().map { r => (r.getString(0), seq, "upsert",
@@ -536,9 +545,12 @@ class CrawlFrontierSpec extends SparkSpec {
         r.getInt(5),
         if (r.isNullAt(6)) None else Some(r.getLong(6)),
         if (r.isNullAt(7)) None else Some(r.getString(7)),
-        r.getLong(8), r.getLong(9), r.getString(10)) }.toSeq
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
     val input = MemoryStream[(String, Long, String, String, Int, Double,
-      Long, Int, Option[Long], Option[String], Long, Long, String)]
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
     def startSink() = StreamingOps.snapshotUpsertSink(
         input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
         root, idCol = "url", seqCol = "seq", opCol = "op",
@@ -548,15 +560,21 @@ class CrawlFrontierSpec extends SparkSpec {
     // outcome — '1' a hard 404 (dies), '2' a 503 (backs off, dies at
     // the 2nd consecutive failure under rv.maxFails=2), anything
     // else 200 with a PER-CYCLE hash (the page keeps changing, so
-    // the revisit law keeps halving)
-    def fakeFetch(batch: DataFrame, now: Long, k: Int): DataFrame =
+    // the revisit law keeps halving) and a per-cycle ETag. Cycle 3 is
+    // the CONDITIONAL-REVISIT wave: the would-be-200 pages answer 304
+    // (validators matched — zero body bytes), which must keep the
+    // cycle-2 hash AND etag, reset fails, and grow the interval.
+    def fakeFetch(batch: DataFrame, now: Long, k: Int): DataFrame = {
+      val ok200 = !col("url").endsWith("1") && !col("url").endsWith("2")
       batch.select(col("url"), lit(now + 10L).as("fetch_ts"),
         when(col("url").endsWith("1"), lit(404))
           .when(col("url").endsWith("2"), lit(503))
-          .otherwise(lit(200)).as("status"),
-        when(col("url").endsWith("1") || col("url").endsWith("2"),
-          lit(null).cast("string"))
-          .otherwise(concat(lit(s"h$k-"), col("url"))).as("content_hash"))
+          .otherwise(lit(if (k == 3) 304 else 200)).as("status"),
+        when(ok200 && lit(k) =!= 3, concat(lit(s"h$k-"), col("url")))
+          .otherwise(lit(null).cast("string")).as("content_hash"),
+        when(ok200 && lit(k) =!= 3, concat(lit(s"E$k-"), col("url")))
+          .otherwise(lit(null).cast("string")).as("etag"))
+    }
     def discoveries(batch: DataFrame, k: Int): DataFrame =
       batch.select(concat(col("url"), lit(s"/c$k")).as("url"),
         (col("depth") + 1).as("depth"))
@@ -577,8 +595,8 @@ class CrawlFrontierSpec extends SparkSpec {
       input.addData(toEvents(seeds, 1000L): _*); q.processAllAvailable()
       rows(served()) shouldBe rows(mat)
       var replayEvents: Seq[(String, Long, String, String, Int, Double,
-        Long, Int, Option[Long], Option[String], Long, Long, String)] =
-        Seq.empty
+        Long, Int, Option[Long], Option[String], Long, Long, String,
+        Option[String], Option[Long])] = Seq.empty
       Seq((1, 2000L), (2, 5000L), (3, 12000L)).foreach { case (k, now) =>
         val sv = served()
         // the scheduling wave comes off the SERVED frontier and must
@@ -613,12 +631,20 @@ class CrawlFrontierSpec extends SparkSpec {
         fetched.unpersist()
       }
       // the loop actually exercised the laws: deaths by 404 and by
-      // consecutive 503s, halving revisits, and per-cycle admits
+      // consecutive 503s, halving revisits, per-cycle admits, and the
+      // cycle-3 304 wave (hash + ETag keep their cycle-2 values, the
+      // fail streak stays reset, the row stays alive)
       val fin = served().collect()
-        .map(r => r.getString(0) -> r.getString(10)).toMap
-      fin("https://a.example/p1") shouldBe "dead" // 404 on cycle 1
-      fin("https://a.example/p2") shouldBe "dead" // 503 at cycles 2+3
-      fin("https://a.example/p0") shouldBe "active"
+        .map(r => r.getString(0) ->
+          ((r.getString(10),
+            if (r.isNullAt(7)) null else r.getString(7),
+            if (r.isNullAt(11)) null else r.getString(11),
+            r.getInt(5)))).toMap
+      fin("https://a.example/p1")._1 shouldBe "dead" // 404 on cycle 1
+      fin("https://a.example/p2")._1 shouldBe "dead" // 503 at cycles 2+3
+      fin("https://a.example/p0") shouldBe
+        (("active", "h2-https://a.example/p0", "E2-https://a.example/p0",
+          0)) // 304'd on cycle 3: cycle-2 validators survive
       fin.keys.count(_.contains("/c")) should be >= 8 // admits landed
     } finally q.stop()
   }
