@@ -755,6 +755,69 @@ object QueriesCrawl {
              CAST(NULL AS BIGINT) AS last_modified
       FROM kept ORDER BY url""")),
 
+    ("crawl_robots_lifecycle", (s, dir) => {
+      // the robots.txt LIFECYCLE's status law (RFC 9309 §2.3.1):
+      // robots fetch results → per-host rules via rulesFromFetch —
+      // 200 with rules parses ('rules'), 200 with only an empty
+      // Disallow: allows everything (the empty-pattern law, still
+      // 'rules'), 404 means unrestricted access ('allow_all'),
+      // 503 and a network error (status 0) mean temporarily assume
+      // COMPLETE disallow ('disallow_all'), an unresolved 301 falls
+      // to the MAY-assume-unavailable clause ('allow_all') — and the
+      // maintained frame feeds gateRobots UNCHANGED, lifecycle
+      // metadata riding along. The oracle replays status→verdict →
+      // gate; rule parsing/precedence parity is web_robots' and
+      // crawl_admit_robots' subject.
+      import graft.functions.Robots
+      val d = col("doc_id")
+      val k = (d % 6).cast("string")
+      val host = concat(lit("h"), k, lit(".rl.com"))
+      val status = when(d % 6 === 0 || d % 6 === 1, lit(200))
+        .when(d % 6 === 2, lit(404)).when(d % 6 === 3, lit(503))
+        .when(d % 6 === 4, lit(0)).otherwise(lit(301))
+      val txt = when(d % 6 === 0,
+          lit("User-agent: *\nDisallow: /private\n"))
+        .when(d % 6 === 1, lit("User-agent: *\nDisallow:\n"))
+        .otherwise(lit(null).cast("string"))
+      val docs = T(s, dir, "documents")
+      val robotsFetched = docs.select(host.as("domain"),
+        status.as("status"), txt.as("robots_txt"),
+        lit(T0).as("fetch_ts")).distinct()
+      val rules = Robots.rulesFromFetch(robotsFetched, "graftbot")
+      val discovered = docs.select(
+        concat(lit("https://"), host,
+          when(d % 2 === 0, concat(lit("/pub/"), (d % 10).cast("string")))
+            .otherwise(concat(lit("/private/"),
+              (d % 10).cast("string")))).as("url"),
+        host.as("host"), lit(1).as("depth"))
+      CrawlFrontier.gateRobots(discovered, rules)
+        .join(rules.select(col("domain").as("host"),
+          col("robots_status"), col("fetched_at")), Seq("host"))
+        .select(col("url"), col("host"), col("depth"),
+          col("robots_status"), col("fetched_at"))
+        .orderBy("url")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               'h' || (doc_id % 6) || '.rl.com' AS host,
+               CAST(doc_id % 6 AS INT) AS k,
+               CASE WHEN doc_id % 2 = 0 THEN '/pub/' || (doc_id % 10)
+                    ELSE '/private/' || (doc_id % 10) END AS path
+        FROM documents),
+      v AS (
+        SELECT doc_id, host, path,
+          CASE WHEN k IN (3, 4) THEN FALSE
+               WHEN k = 0 THEN NOT starts_with(path, '/private')
+               ELSE TRUE END AS allowed,
+          CASE WHEN k IN (0, 1) THEN 'rules'
+               WHEN k IN (2, 5) THEN 'allow_all'
+               ELSE 'disallow_all' END AS robots_status
+        FROM base)
+      SELECT 'https://' || host || path AS url, host,
+             CAST(1 AS INT) AS depth, robots_status,
+             CAST(1754000000 AS BIGINT) AS fetched_at
+      FROM v WHERE allowed ORDER BY url""")),
+
     ("crawl_e2e", (s, dir) => {
       // the composed cycle: seed → politeness-bounded selection →
       // (deterministic fake fetch: trailing digit picks the outcome) →

@@ -955,4 +955,168 @@ class CrawlFrontierSpec extends SparkSpec {
     batchKept shouldBe Seq("https://a.ex.com/private/ok/2",
       "https://a.ex.com/pub/1", "https://b.ex.com/anything")
   }
+
+  // ——— the robots.txt LIFECYCLE (RFC 9309 §2.3.1-2.4) ——————————————
+
+  test("rulesFromFetch: the §2.3.1 status law — 2xx parses, 4xx/unresolved-3xx allow all, 5xx/network assume complete disallow") {
+    import graft.functions.Robots
+    val fetched = Seq(
+      ("rules.ex", 200, "User-agent: *\nDisallow: /private\n", 100L),
+      ("empty.ex", 200, "User-agent: *\nDisallow:\n", 100L),
+      ("gone.ex", 404, null.asInstanceOf[String], 100L),
+      ("moved.ex", 301, null.asInstanceOf[String], 100L),
+      ("down.ex", 503, null.asInstanceOf[String], 100L),
+      ("dark.ex", 0, null.asInstanceOf[String], 100L))
+      .toDF("domain", "status", "robots_txt", "fetch_ts")
+    val rules = Robots.rulesFromFetch(fetched, "graftbot")
+    val byDomain = rules.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    byDomain shouldBe Map("rules.ex" -> "rules", "empty.ex" -> "rules",
+      "gone.ex" -> "allow_all", "moved.ex" -> "allow_all",
+      "down.ex" -> "disallow_all", "dark.ex" -> "disallow_all")
+    // the verdicts the gate derives: /private blocked only on rules.ex;
+    // the disallow_all hosts block EVERYTHING, /robots.txt included
+    val disc = byDomain.keys.toSeq.flatMap(h => Seq(
+      (s"https://$h/private/1", 1), (s"https://$h/pub/1", 1)))
+      .toDF("url", "depth")
+    val kept = CrawlFrontier.gateRobots(disc, rules)
+      .select("url").as[String].collect().sorted.toSeq
+    kept shouldBe Seq(
+      "https://empty.ex/private/1", "https://empty.ex/pub/1",
+      "https://gone.ex/private/1", "https://gone.ex/pub/1",
+      "https://moved.ex/private/1", "https://moved.ex/pub/1",
+      "https://rules.ex/pub/1")
+    rules.columns.toSeq shouldBe
+      Seq("domain", "robots_rules", "robots_status", "fetched_at")
+  }
+
+  test("updateRules: rules REPLACE latest-fetched-at-wins; redelivery converges; stale redelivery loses") {
+    import graft.functions.Robots
+    def fetchAt(ts: Long, status: Int, txt: String) = Robots.rulesFromFetch(
+      Seq(("a.ex", status, txt, ts)).toDF("domain", "status",
+        "robots_txt", "fetch_ts"), "graftbot")
+    val day1 = fetchAt(100L, 503, null) // outage: assume disallow-all
+    val day2 = fetchAt(200L, 200, "User-agent: *\nDisallow: /private\n")
+    val m1 = Robots.updateRules(
+      Robots.rulesFromFetch(Seq.empty[(String, Int, String, Long)]
+        .toDF("domain", "status", "robots_txt", "fetch_ts"), "graftbot"),
+      day1)
+    m1.select("robots_status").as[String].head() shouldBe "disallow_all"
+    val m2 = Robots.updateRules(m1, day2)
+    m2.select("robots_status").as[String].head() shouldBe "rules"
+    // at-least-once: redelivering day2 converges (ties → fresh)
+    val m2r = Robots.updateRules(m2, day2)
+    m2r.collect().map(_.toString).sorted shouldBe
+      m2.collect().map(_.toString).sorted
+    // a STALE redelivery (day1 arriving after day2 applied) loses
+    val m2s = Robots.updateRules(m2, day1)
+    m2s.select("robots_status").as[String].head() shouldBe "rules"
+    // a brand-new domain inserts alongside
+    val other = fetchAt(150L, 404, null).withColumn("domain", lit("b.ex"))
+    Robots.updateRules(m2, other).count() shouldBe 2L
+  }
+
+  test("robotsSeeds + isRobotsUrl + robotsRecrawlUpdates: fixed cadence, priority above page rows, never dies, 304/validators ride") {
+    val seeds = CrawlFrontier.robotsSeeds(
+      Seq("a.ex", "a.ex", "b.ex").toDF("host"), now = 1000L,
+      refreshIntervalS = 86400L)
+    val got = seeds.orderBy("url").collect()
+    got.map(_.getString(0)) shouldBe Array(
+      "https://a.ex/robots.txt", "https://b.ex/robots.txt") // deduped
+    got.foreach { r =>
+      r.getDouble(3) shouldBe 2.0   // above every 1/(1+depth) page prior
+      r.getLong(8) shouldBe 86400L  // the refresh cadence
+      r.getLong(9) shouldBe 1000L   // due now
+    }
+    Seq("https://a.ex/robots.txt", "https://a.ex/p/robots.txt",
+      "https://a.ex/p").toDF("u")
+      .select(CrawlFrontier.isRobotsUrl(col("u"))).as[Boolean]
+      .collect().toSeq shouldBe Seq(true, false, false)
+    // a robots row outlives a 404 (the host may publish tomorrow) and
+    // keeps the FIXED cadence; a 200 stamps hash + validators; a 304
+    // keeps them; a 503 counts the fail but never kills
+    def fetch(ts: Long, status: Int, hash: Option[String],
+              etag: Option[String]) =
+      Seq(("https://a.ex/robots.txt", ts, status, hash, etag))
+        .toDF("url", "fetch_ts", "status", "content_hash", "etag")
+    var f = seeds.filter(col("host") === "a.ex")
+    def step(ts: Long, status: Int, hash: Option[String] = None,
+             etag: Option[String] = None): org.apache.spark.sql.Row = {
+      val up = CrawlFrontier.robotsRecrawlUpdates(
+        fetch(ts, status, hash, etag), f, refreshIntervalS = 86400L)
+      f = up.localCheckpoint(true)
+      up.collect()(0)
+    }
+    val r200 = step(2000L, 200, Some("h1"), Some("\"v1\""))
+    (r200.getInt(5), r200.getString(7), r200.getLong(9),
+      r200.getString(10), r200.getString(11)) shouldBe
+      ((0, "h1", 2000L + 86400L, "active", "\"v1\""))
+    val r304 = step(90000L, 304)
+    (r304.getInt(5), r304.getString(7), r304.getLong(9),
+      r304.getString(11)) shouldBe
+      ((0, "h1", 90000L + 86400L, "\"v1\"")) // validators kept
+    val r404 = step(180000L, 404)
+    (r404.getInt(5), r404.getString(10)) shouldBe ((0, "active"))
+    val r503a = step(270000L, 503)
+    val r503b = step(360000L, 503)
+    (r503a.getInt(5), r503b.getInt(5)) shouldBe ((1, 2)) // counted...
+    r503b.getString(10) shouldBe "active" // ...but NEVER lethal
+    r503b.getLong(9) shouldBe 360000L + 86400L // cadence holds
+  }
+
+  test("standing robots lifecycle: a mid-loop robots change flips the next wave's admission; the maintained frame feeds gateRobots unchanged") {
+    import graft.functions.Robots
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-robots-loop").toString
+    val rulesDir = s"$dir/rules"
+    // the read-modify-write standing face (the trap-stats convention):
+    // each micro-batch of robots fetch results folds into the
+    // maintained per-host frame via rulesFromFetch → updateRules
+    val input = MemoryStream[(String, Int, String, Long)]
+    val q = input.toDF()
+      .toDF("domain", "status", "robots_txt", "fetch_ts").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val fresh = Robots.rulesFromFetch(b, "graftbot")
+        val merged =
+          if (new java.io.File(rulesDir).exists())
+            Robots.updateRules(spark.read.parquet(rulesDir), fresh)
+          else fresh
+        val tmp = s"$rulesDir.next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(rulesDir)
+        if (old.exists()) {
+          val bak = new java.io.File(s"$rulesDir.old")
+          old.renameTo(bak)
+          new java.io.File(tmp).renameTo(old)
+          org.apache.commons.io.FileUtils.deleteDirectory(bak)
+        } else new java.io.File(tmp).renameTo(old)
+        (): Unit
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val disc = Seq(("https://a.ex/private/1", 1),
+      ("https://a.ex/pub/1", 1)).toDF("url", "depth")
+    def admitted(): Seq[String] = CrawlFrontier.admit(mkFrontier(Seq.empty),
+      CrawlFrontier.gateRobots(disc, spark.read.parquet(rulesDir)),
+      now = 500L).select("url").as[String].collect().sorted.toSeq
+    try {
+      // wave 1: the host's robots.txt allows everything
+      input.addData(("a.ex", 200, "User-agent: *\nDisallow:\n", 100L))
+      q.processAllAvailable()
+      admitted() shouldBe Seq("https://a.ex/private/1",
+        "https://a.ex/pub/1")
+      // wave 2: the ~24 h refresh fetches a CHANGED robots.txt — the
+      // next admission wave must flip /private to blocked
+      input.addData(
+        ("a.ex", 200, "User-agent: *\nDisallow: /private\n", 86500L))
+      q.processAllAvailable()
+      admitted() shouldBe Seq("https://a.ex/pub/1")
+      // wave 3: the host goes DARK (503) — §2.3.1 flips to complete
+      // disallow until a definitive answer returns
+      input.addData(("a.ex", 503, null.asInstanceOf[String], 173000L))
+      q.processAllAvailable()
+      admitted() shouldBe Seq.empty
+    } finally q.stop()
+  }
 }
