@@ -1450,6 +1450,84 @@ object QueriesWeb {
                        WHEN m = 2 THEN octet_length(encode(text))
                        WHEN m = 5 THEN 2 + 2 * length(text)
                        ELSE length(text) END AS BIGINT) AS n_bytes
-      FROM t ORDER BY target_uri"""))
+      FROM t ORDER BY target_uri""")),
+
+    ("text_content_encoding", (s, dir) => {
+      // Content-Encoding decode through the FULL raw-capture path —
+      // the content-coding analog of de-chunking (r16): raw captures
+      // keep the wire bytes, and a gzip/deflate body left compressed
+      // poisons every downstream text stage as binary slush. Hand-
+      // built HTTP messages (the writer faces never emit the header —
+      // the raw capture IS the subject) per doc: gzip, zlib deflate,
+      // RAW deflate (the wild serves both spellings), identity,
+      // br (NO JDK codec → the loud empty-body refusal), chunked+gzip
+      // (order pin: de-chunk THEN decode, RFC 9112 §6.1), and a LYING
+      // gzip header over plain bytes (gunzipAuto's magic-sniff
+      // passthrough salvages it). The oracle replays the fixture
+      // CONTRACT (decode is the round-trip identity — the
+      // text_charset_sniff convention); n_bytes counts the DECODED
+      // payload handed to the charset stage.
+      import s.implicits._
+      import graft.io.Warc
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val shards = ids.map { id =>
+        val url = s"https://ce.ex.com/p/$id"
+        val text = s"enc page $id"
+        val plain = text.getBytes("UTF-8")
+        def zlib(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+          d.setInput(b); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end(); out.toByteArray
+        }
+        def chunked(b: Array[Byte]): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          val cut = b.length / 2
+          Seq(b.slice(0, cut), b.slice(cut, b.length)).foreach { c =>
+            out.write(s"${c.length.toHexString}\r\n".getBytes("US-ASCII"))
+            out.write(c); out.write("\r\n".getBytes("US-ASCII"))
+          }
+          out.write("0\r\n\r\n".getBytes("US-ASCII"))
+          out.toByteArray
+        }
+        val (headers, body) = (id % 7) match {
+          case 0 => ("Content-Encoding: gzip\r\n", Warc.gzipBytes(plain))
+          case 1 => ("Content-Encoding: deflate\r\n",
+            zlib(plain, nowrap = false))
+          case 2 => ("Content-Encoding: deflate\r\n",
+            zlib(plain, nowrap = true))
+          case 3 => ("", plain)
+          case 4 => ("Content-Encoding: br\r\n", plain) // refused
+          case 5 => ("Transfer-Encoding: chunked\r\n" +
+            "Content-Encoding: gzip\r\n", chunked(Warc.gzipBytes(plain)))
+          case _ => ("Content-Encoding: gzip\r\n", plain) // lying header
+        }
+        val msg = new java.io.ByteArrayOutputStream()
+        msg.write(("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n" + headers +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII"))
+        msg.write(body)
+        (id, Warc.writeRecordShardGz(Seq((url, msg.toByteArray)),
+          "response", "application/http;msgtype=response"))
+      }.toDF("doc_id", "shard")
+      Warc.fromShardsDecoded(shards)
+        .select(col("target_uri"), col("http_status"), col("charset"),
+          col("body_text").as("text"), col("n_bytes"))
+        .orderBy("target_uri")
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id, doc_id % 7 AS m,
+               'https://ce.ex.com/p/' || doc_id AS target_uri,
+               'enc page ' || doc_id AS base
+        FROM documents)
+      SELECT target_uri, CAST(200 AS INT) AS http_status,
+             'utf-8' AS charset,
+             CASE WHEN m = 4 THEN '' ELSE base END AS text,
+             CAST(CASE WHEN m = 4 THEN 0 ELSE length(base) END AS BIGINT)
+               AS n_bytes
+      FROM x ORDER BY target_uri"""))
   )
 }

@@ -202,8 +202,16 @@ object Warc {
     * streams inflate whole, truncation salvages every complete
     * earlier member, [[readWarcGz]]'s policy) inflate; anything else
     * passes through UNCHANGED, so one call handles a mixed plain/.gz
-    * column (the sitemap-feed shape). Null yields empty. */
-  def gunzipAuto(bytes: Array[Byte]): Array[Byte] = {
+    * column (the sitemap-feed shape). Null yields empty. The inflate
+    * loop is BOUNDED at `maxBytes` (default: the sitemap protocol's
+    * 50 MB uncompressed cap): these are attacker-controlled feed
+    * bytes, and a kB-sized gzip bomb would otherwise expand to
+    * gigabytes inside one task's ByteArrayOutputStream and OOM the
+    * executor — past the bound the walk stops and salvages the prefix
+    * (the truncation convention; a protocol-legal feed never gets
+    * there). */
+  def gunzipAuto(bytes: Array[Byte],
+                 maxBytes: Long = 50L << 20): Array[Byte] = {
     if (bytes == null) return Array.empty
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
         (bytes(1) & 0xff) != 0x8b) return bytes
@@ -213,9 +221,49 @@ object Warc {
         new java.io.ByteArrayInputStream(bytes))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() <= maxBytes) {
+        out.write(buf, 0, n); n = in.read(buf)
+      }
     } catch { case _: java.io.IOException => () } // salvage
-    out.toByteArray
+    if (out.size() > maxBytes)
+      java.util.Arrays.copyOf(out.toByteArray, maxBytes.toInt)
+    else out.toByteArray
+  }
+
+  /** Bounded zlib/raw-deflate inflate — `Content-Encoding: deflate`'s
+    * decoder. The wild serves BOTH spellings under that name (RFC 9110
+    * says zlib-wrapped; enough servers ship raw DEFLATE that every
+    * browser sniffs), so a zlib attempt that fails on the first block
+    * retries raw. Same bomb bound and salvage-prefix policy as
+    * [[gunzipAuto]]; garbage yields empty (never a throw — the
+    * 10⁹-page policy). */
+  def inflateAuto(bytes: Array[Byte],
+                  maxBytes: Long = 50L << 20): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty
+    def run(nowrap: Boolean): (Array[Byte], Boolean) = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var failed = false
+      try {
+        // n == 0 means finished, truncated input, or a preset-dict
+        // demand — with the whole input already set, each is a stop
+        var n = inf.inflate(buf)
+        while (n > 0 && out.size() <= maxBytes) {
+          out.write(buf, 0, n); n = inf.inflate(buf)
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          failed = out.size() == 0 // mid-stream damage → salvage prefix
+      } finally inf.end()
+      val b = if (out.size() > maxBytes)
+        java.util.Arrays.copyOf(out.toByteArray, maxBytes.toInt)
+      else out.toByteArray
+      (b, failed)
+    }
+    val (zlib, zlibFailed) = run(nowrap = false)
+    if (!zlibFailed) zlib else run(nowrap = true)._1
   }
 
   def readWarcGz(bytes: Array[Byte]): Seq[Record] = {
@@ -248,7 +296,18 @@ object Warc {
     * captures keep the wire framing, and hex size lines inside the
     * payload would poison every downstream text stage); malformed
     * chunk framing salvages the chunks before the damage — the
-    * truncation convention. */
+    * truncation convention. Then `Content-Encoding` DECODES — in that
+    * order, per RFC 9110 §6.4.1/RFC 9112 §6.1 (transfer coding wraps
+    * the content coding on the wire): a raw capture whose body is
+    * gzip/deflate-compressed would otherwise reach every downstream
+    * text stage as binary slush, the exact poison de-chunking fixed
+    * for the framing layer. gzip/x-gzip inflate via [[gunzipAuto]]
+    * (whose non-gzip passthrough also salvages the real web's
+    * lying-header servers), deflate via [[inflateAuto]] (zlib or raw),
+    * identity passes; any OTHER coding (br, zstd, compress — no JDK
+    * codec) yields an EMPTY body: undecodable compressed bytes must
+    * not enter a corpus as text, and an empty body is the loud,
+    * filterable refusal. Multi-coding lists apply last-to-first. */
   def parseHttpFull(content: Array[Byte]): (Int, String, Array[Byte]) = {
     val sep = "\r\n\r\n".getBytes("US-ASCII")
     val at = indexOf(content, sep, 0)
@@ -260,10 +319,19 @@ object Warc {
         .lift(1).flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
       val raw = java.util.Arrays.copyOfRange(content, at + 4,
         content.length)
-      val body =
+      val unframed =
         if (httpHeader(head, "Transfer-Encoding").toLowerCase
             .contains("chunked")) dechunk(raw)
         else raw
+      val codings = httpHeader(head, "Content-Encoding").toLowerCase
+        .split(",").map(_.trim).filter(c => c.nonEmpty && c != "identity")
+      val body = codings.foldRight(unframed) { (c, b) =>
+        c match {
+          case "gzip" | "x-gzip" => gunzipAuto(b)
+          case "deflate" => inflateAuto(b)
+          case _ => Array.empty[Byte] // br/zstd/…: refuse, don't garble
+        }
+      }
       (status, head, body)
     }
   }

@@ -800,6 +800,90 @@ class WebCorpusSpec extends SparkSpec {
       .shouldBe("windows-1252") // found the meta THROUGH the de-chunk
   }
 
+  test("content-encoding decodes after de-chunking: gzip/deflate(raw+zlib) inflate, br refuses empty, lying gzip header salvages, garble contrast") {
+    def http(head: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write((head + "\r\n\r\n").getBytes("US-ASCII"))
+      out.write(body); out.toByteArray
+    }
+    def deflate(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val text = "the réal page body"
+    val plain = text.getBytes("UTF-8")
+    def head(enc: String) = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Encoding: $enc"
+    // the GARBLE CONTRAST: without the decode stage the gzip body
+    // reaches the text layer as binary slush — with it, the text
+    val undecoded = Warc.gzipBytes(plain)
+    new String(undecoded, "UTF-8") should not be text
+    val (s1, b1) = Warc.parseHttp(http(head("gzip"), undecoded))
+    s1 shouldBe 200
+    new String(b1, "UTF-8") shouldBe text
+    // both deflate spellings under one name (the wild ships both)
+    new String(Warc.parseHttp(http(head("deflate"),
+      deflate(plain, nowrap = false)))._2, "UTF-8") shouldBe text
+    new String(Warc.parseHttp(http(head("deflate"),
+      deflate(plain, nowrap = true)))._2, "UTF-8") shouldBe text
+    // x-gzip alias; identity and absent pass through
+    new String(Warc.parseHttp(http(head("x-gzip"),
+      Warc.gzipBytes(plain)))._2, "UTF-8") shouldBe text
+    new String(Warc.parseHttp(http(head("identity"), plain))._2,
+      "UTF-8") shouldBe text
+    // br has no JDK codec: refuse EMPTY, never emit slush
+    Warc.parseHttp(http(head("br"), plain))._2 shouldBe empty
+    // a LYING gzip header over plain bytes: magic-sniff passthrough
+    new String(Warc.parseHttp(http(head("gzip"), plain))._2,
+      "UTF-8") shouldBe text
+    // order pin (RFC 9112 §6.1): de-chunk THEN decode
+    val gz = Warc.gzipBytes(plain)
+    val cut = gz.length / 2
+    val chunked = new java.io.ByteArrayOutputStream()
+    Seq(gz.slice(0, cut), gz.slice(cut, gz.length)).foreach { c =>
+      chunked.write(s"${c.length.toHexString}\r\n".getBytes("US-ASCII"))
+      chunked.write(c); chunked.write("\r\n".getBytes("US-ASCII"))
+    }
+    chunked.write("0\r\n\r\n".getBytes("US-ASCII"))
+    new String(Warc.parseHttp(http("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Encoding: gzip", chunked.toByteArray))._2,
+      "UTF-8") shouldBe text
+    // truncated gzip body: salvage the inflated prefix, never throw
+    val truncated = Warc.parseHttp(http(head("gzip"),
+      gz.take(gz.length - 4)))._2
+    text.startsWith(new String(truncated, "UTF-8")) shouldBe true
+  }
+
+  test("gunzipAuto/inflateAuto bound the inflate (bomb guard): output truncates at maxBytes instead of OOMing the task") {
+    // a 1 MB-of-zeros bomb compresses to ~1 kB; a 4 kB bound must stop
+    // the expansion at the bound, salvaging the prefix
+    val bomb = Warc.gzipBytes(new Array[Byte](1 << 20))
+    bomb.length should be < 4096
+    val out = Warc.gunzipAuto(bomb, maxBytes = 4096L)
+    out.length shouldBe 4096
+    // same guard on the deflate path
+    val d = new java.util.zip.Deflater()
+    d.setInput(new Array[Byte](1 << 20)); d.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zout.write(buf, 0, d.deflate(buf))
+    d.end()
+    Warc.inflateAuto(zout.toByteArray, maxBytes = 4096L)
+      .length shouldBe 4096
+    // protocol-legal payloads never hit the bound
+    val legit = "normal sitemap".getBytes("UTF-8")
+    Warc.gunzipAuto(Warc.gzipBytes(legit)) shouldBe legit
+    // garbage deflate yields empty, never a throw
+    Warc.inflateAuto("not deflate at all".getBytes("UTF-8")) shouldBe empty
+  }
+
   // ——— derived formats: WET / WAT record shards ———————————————————
 
   test("record shards (WET/WAT): framing cross-validates, types filter, bounded cutting, multi-byte payloads survive") {
