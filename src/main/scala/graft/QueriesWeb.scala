@@ -741,29 +741,38 @@ object QueriesWeb {
       // (boilerplate headers put it there; a trailing footer mention
       // is not an error shell), and the NUMERIC form needs error
       // context — a short page with a bare '404' (street address,
-      // product name) must NOT flag. The oracle replays the exact
-      // regex + both thresholds.
+      // product name) must NOT flag, but PROXIMITY counts (r18):
+      // punctuation-separated shells ('404 — Not Found',
+      // 'Error… (404)') flag, because \W bridges punctuation and
+      // never words. The oracle replays the exact regex + both
+      // thresholds.
       import graft.functions.TextExtraction
       val d = col("doc_id")
       val id = d.cast("string")
-      val text = when(d % 7 === 0,
+      val text = when(d % 9 === 0,
           concat(lit("Error: page not found. The resource "), id,
             lit(" is gone.")))
-        .when(d % 7 === 1,
+        .when(d % 9 === 1,
           concat(lit("HTTP 404 - this page does not exist ("), id,
             lit(")")))
-        .when(d % 7 === 2, concat(lit("short fine page "), id))
-        .when(d % 7 === 3,
+        .when(d % 9 === 2, concat(lit("short fine page "), id))
+        .when(d % 9 === 3,
           // long article ABOUT 404s: phrase present, length >= 500
           concat(lit("A history of the 404 status code. "),
             lit(("The error code has a long story. " * 20)), id))
-        .when(d % 7 === 4,
+        .when(d % 9 === 4,
           // error phrase but BEYOND the 200-char window
           concat(lit("x" * 210), lit(" page not found "), id))
-        .when(d % 7 === 5,
+        .when(d % 9 === 5,
           // bare number, no error context — a street address is not
-          // an error shell
+          // an error shell (words break the proximity bridge)
           concat(lit("Visit us at 404 Main Street, office "), id))
+        .when(d % 9 === 6,
+          // punctuation-separated numeric shell: flags via proximity
+          concat(lit("404 -- Not Found ("), id, lit(")")))
+        .when(d % 9 === 7,
+          // reversed order, parenthesized: 'Error. (404)' flags too
+          concat(lit("Error. (404) page "), id))
         .otherwise(
           // the contextual numeric form flags
           concat(lit("error 404: nothing here ("), id, lit(")")))
@@ -775,27 +784,31 @@ object QueriesWeb {
     }, Some("""
       WITH t AS (
         SELECT doc_id,
-          CASE WHEN doc_id % 7 = 0 THEN
+          CASE WHEN doc_id % 9 = 0 THEN
                  'Error: page not found. The resource ' || doc_id ||
                    ' is gone.'
-               WHEN doc_id % 7 = 1 THEN
+               WHEN doc_id % 9 = 1 THEN
                  'HTTP 404 - this page does not exist (' || doc_id || ')'
-               WHEN doc_id % 7 = 2 THEN 'short fine page ' || doc_id
-               WHEN doc_id % 7 = 3 THEN
+               WHEN doc_id % 9 = 2 THEN 'short fine page ' || doc_id
+               WHEN doc_id % 9 = 3 THEN
                  'A history of the 404 status code. ' ||
                    repeat('The error code has a long story. ', 20) ||
                    doc_id
-               WHEN doc_id % 7 = 4 THEN
+               WHEN doc_id % 9 = 4 THEN
                  repeat('x', 210) || ' page not found ' || doc_id
-               WHEN doc_id % 7 = 5 THEN
+               WHEN doc_id % 9 = 5 THEN
                  'Visit us at 404 Main Street, office ' || doc_id
+               WHEN doc_id % 9 = 6 THEN
+                 '404 -- Not Found (' || doc_id || ')'
+               WHEN doc_id % 9 = 7 THEN
+                 'Error. (404) page ' || doc_id
                ELSE 'error 404: nothing here (' || doc_id || ')'
                END AS text
         FROM documents)
       SELECT doc_id,
              (regexp_matches(lower(substr(text, 1, 200)),
-                'page not found|(error|http)\s*404|' ||
-                '404\s*(not found|error)|no longer available|' ||
+                'page not found|(error|http|not found)\W{0,12}404|' ||
+                '404\W{0,12}(error|not found)|no longer available|' ||
                 'does not exist|page cannot be found|page unavailable')
               AND length(text) < 500) AS soft404,
              CAST(length(text) AS INT) AS n_chars

@@ -106,13 +106,17 @@ object TextExtraction {
     * scan-time approximation). Pure codegen, oracle-replayable. */
   def isSoft404(text: Column): Column = {
     val head = lower(substring(text, 1, 200))
-    // the numeric form needs error CONTEXT ('error 404', 'http 404',
-    // '404 not found', '404 error'): a bare \b404\b flagged any short
-    // page mentioning the number — street addresses, room numbers,
-    // product names ('Peugeot 404') — well outside the error-shell
-    // family the phrase alternatives target
-    head.rlike("page not found|(error|http)\\s*404|" +
-      "404\\s*(not found|error)|no longer available|" +
+    // the numeric form needs error CONTEXT: a bare \b404\b flagged any
+    // short page mentioning the number — street addresses, room
+    // numbers, product names ('Peugeot 404') — well outside the
+    // error-shell family. Context is PROXIMITY (\W{0,12}), not strict
+    // adjacency (r18): real shells separate the number from the word
+    // with punctuation ('404 — Not Found', 'Error… (404)'), which the
+    // adjacency form missed; \W admits no letters, so 'at 404 Main
+    // Street' still stays clean — words between the tokens break the
+    // bridge
+    head.rlike("page not found|(error|http|not found)\\W{0,12}404|" +
+      "404\\W{0,12}(error|not found)|no longer available|" +
       "does not exist|page cannot be found|page unavailable") &&
       length(text) < 500
   }

@@ -335,24 +335,29 @@ object WebGraph {
     * Returns (src, dst, weight) with duplicate contracted edges
     * summed into weight; self-loops (an edge whose two endpoints
     * contract together — navigation, not endorsement) drop by
-    * default. An incoming `weight` column PROPAGATES — the contracted
+    * default. An incoming weight column PROPAGATES — the contracted
     * weight is sum(coalesce(weight, 1)), so composing contractions
     * (or feeding this one's own output back in) keeps page-level edge
     * multiplicity instead of silently resetting every edge to 1;
-    * unweighted inputs keep the count-of-edges law. Two equi-joins
-    * against the mapping (tiny next to the edge set → AQE broadcasts)
-    * + one edge-keyed partial-agg sum. */
+    * unweighted inputs keep the count-of-edges law. `weightCol` makes
+    * the switch explicit at the call site: Some(c) uses column c WHEN
+    * PRESENT (the default Some("weight") preserves the opportunistic
+    * pickup composition relies on), None forces the count law — the
+    * opt-out for an edge frame whose 'weight' column means something
+    * unrelated. Two equi-joins against the mapping (tiny next to the
+    * edge set → AQE broadcasts) + one edge-keyed partial-agg sum. */
   def contractEdges(edges: DataFrame, mapping: DataFrame,
                     srcCol: String = "src", dstCol: String = "dst",
                     urlCol: String = "url",
                     finalCol: String = "final_url",
-                    dropSelfLoops: Boolean = true): DataFrame = {
+                    dropSelfLoops: Boolean = true,
+                    weightCol: Option[String] = Some("weight")): DataFrame = {
     val m = mapping
       .select(col(urlCol).as("__m_u"), col(finalCol).as("__m_f"))
       .filter(col("__m_f").isNotNull)
-    val hasW = edges.columns.contains("weight")
-    val w = if (hasW) coalesce(col("weight").cast("long"), lit(1L))
-            else lit(1L)
+    val w = weightCol.filter(edges.columns.contains)
+      .map(c => coalesce(col(c).cast("long"), lit(1L)))
+      .getOrElse(lit(1L))
     val e = edges.select(col(srcCol).as("__e_s"), col(dstCol).as("__e_d"),
       w.as("__e_w"))
     val rewritten = e
@@ -374,24 +379,26 @@ object WebGraph {
     * host graph is the one that fits analysis budgets (10^7-ish
     * nodes). Endpoints with no parseable host drop; intra-host edges
     * (site navigation, not endorsement) drop by default; parallel
-    * page edges sum into weight — an incoming `weight` column
+    * page edges sum into weight — an incoming weight column
     * PROPAGATES as sum(coalesce(weight, 1)) (composing hostGraph over
     * [[contractEdges]] output keeps page-level multiplicity in the
-    * host weights), unweighted inputs keep the count law. One groupBy
-    * shuffle on the collapsed key — the projection is per-row
-    * codegen. */
+    * host weights), unweighted inputs keep the count law; `weightCol`
+    * is [[contractEdges]]' explicit switch (Some(c) = use when
+    * present, None = force the count law). One groupBy shuffle on the
+    * collapsed key — the projection is per-row codegen. */
   def hostGraph(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst",
                 byRegisteredDomain: Boolean = false,
-                dropIntraHost: Boolean = true): DataFrame = {
+                dropIntraHost: Boolean = true,
+                weightCol: Option[String] = Some("weight")): DataFrame = {
     import graft.functions.UrlOps
     def key(c: Column) = {
       val h = UrlOps.hostOf(c)
       if (byRegisteredDomain) UrlOps.registeredDomain(h) else h
     }
-    val hasW = edges.columns.contains("weight")
-    val w = if (hasW) coalesce(col("weight").cast("long"), lit(1L))
-            else lit(1L)
+    val w = weightCol.filter(edges.columns.contains)
+      .map(c => coalesce(col(c).cast("long"), lit(1L)))
+      .getOrElse(lit(1L))
     val projected = edges.select(key(col(srcCol)).as("src"),
         key(col(dstCol)).as("dst"), w.as("__e_w"))
       .filter(length(col("src")) > 0 && length(col("dst")) > 0)

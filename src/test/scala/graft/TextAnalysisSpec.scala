@@ -235,4 +235,54 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     viaUnion shouldBe viaUpdate
   }
+
+  test("standing langIdNb: a stream of labeled batches maintains the model read-modify-write; the result equals a batch retrain") {
+    // the Scaladoc's claim made true by test: the incremental model
+    // runs as the same foreachBatch read-modify-write loop the trap
+    // stats use — counts are a sufficient statistic, so the standing
+    // face converges to the retrain exactly, wave for wave
+    import graft.functions.TextAnalysis.{langIdNbTrain, langIdNbUpdate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nb-standing").toString
+    val modelDir = s"$dir/model"
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("lang", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged =
+          if (new java.io.File(modelDir).exists())
+            langIdNbUpdate(spark.read.parquet(modelDir), b)
+          else langIdNbTrain(b)
+        val tmp = s"$modelDir.next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val old = new java.io.File(modelDir)
+        if (old.exists()) {
+          val bak = new java.io.File(s"$modelDir.old")
+          old.renameTo(bak)
+          new java.io.File(tmp).renameTo(old)
+          org.apache.commons.io.FileUtils.deleteDirectory(bak)
+        } else new java.io.File(tmp).renameTo(old)
+        (): Unit
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val w1 = Seq(("en", "the house stands here"), ("de", "das haus hier"))
+    val w2 = Seq(("en", "garden with the house"),
+      ("fr", "la maison avec jardin"))
+    val w3 = Seq(("de", "der garten am haus"))
+    try {
+      Seq(w1, w2, w3).zipWithIndex.foreach { case (w, i) =>
+        input.addData(w: _*); q.processAllAvailable()
+        // wave-for-wave: the maintained frame equals a retrain on
+        // everything seen so far
+        val seen = (w1 ++ w2 ++ w3).take(w1.size + (if (i >= 1) w2.size
+          else 0) + (if (i >= 2) w3.size else 0))
+        spark.read.parquet(modelDir).collect().map(_.toString)
+          .sorted.toSeq shouldBe
+          langIdNbTrain(seen.toDF("lang", "text"))
+            .collect().map(_.toString).sorted.toSeq
+      }
+    } finally q.stop()
+  }
 }

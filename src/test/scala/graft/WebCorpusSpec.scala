@@ -1265,6 +1265,27 @@ class WebCorpusSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     wOut(("a", "x")) shouldBe 7L // 3 + the contracted 4
     wOut(("b", "x")) shouldBe 1L // null weight counts as 1
+    // the explicit opt-out: a caller whose 'weight' column means
+    // something unrelated forces the count-of-edges law with None;
+    // a named column routes through even off the default name
+    val wNone = WebGraph.contractEdges(weighted, mapping,
+        weightCol = None)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    wNone(("a", "x")) shouldBe 2L // edges counted, weights ignored
+    val renamed = weighted.withColumnRenamed("weight", "multiplicity")
+    val wNamed = WebGraph.contractEdges(renamed, mapping,
+        weightCol = Some("multiplicity"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    wNamed(("a", "x")) shouldBe 7L
+    // hostGraph honors the same switch
+    val hEdges = Seq(("https://a.ex/1", "https://b.ex/2", 5L))
+      .toDF("src", "dst", "weight")
+    WebGraph.hostGraph(hEdges).as[(String, String, Long)]
+      .head()._3 shouldBe 5L
+    WebGraph.hostGraph(hEdges, weightCol = None)
+      .as[(String, String, Long)].head()._3 shouldBe 1L
   }
 
   test("hostGraph: pages collapse to hosts or registered domains, intra-host drops, junk drops") {
