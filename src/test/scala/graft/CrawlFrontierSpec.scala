@@ -200,6 +200,51 @@ class CrawlFrontierSpec extends SparkSpec {
     }
   }
 
+  test("seed parses <lastmod> into last_modified (strict shape, day resolution, max per url); reseed pulls only genuinely-changed known rows") {
+    val entries = Seq(
+      ("https://a.ex/p", "2026-01-05"),              // date form
+      ("https://a.ex/p", "2026-01-07T09:30:00Z"),    // datetime → its day
+      ("https://a.ex/q", "last tuesday"),            // junk → null
+      ("https://a.ex/r", "2026-2-3"),                // non-padded → null
+      ("https://a.ex/s", null)).toDF("url", "lastmod")
+    val f = CrawlFrontier.seed(entries, now = 1000L,
+      lastmodCol = Some("lastmod"))
+    val lm = f.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(12)) None else Some(r.getLong(12)))).toMap
+    lm("https://a.ex/p") shouldBe Some(1767744000L) // 2026-01-07 (max)
+    lm("https://a.ex/q") shouldBe None
+    lm("https://a.ex/r") shouldBe None
+    lm("https://a.ex/s") shouldBe None
+    // every row still schedules due-now (lastmod is a validator HINT,
+    // not a schedule override)
+    f.select("next_fetch_ts").as[Long].collect().toSet shouldBe Set(1000L)
+    // reseed: only a known row whose seed lastmod is NEWER than its
+    // last fetch — and not already due — pulls forward; everything
+    // else (older lastmod, unfetched, already-due, dead, unknown)
+    // emits nothing (changed-rows-only)
+    val frontier = mkFrontier(Seq(
+      row("https://a.ex/old", next = 9999L),   // fetched, stale lastmod
+      row("https://a.ex/new", next = 9999L),   // fetched, fresh lastmod
+      row("https://a.ex/unfetched", next = 9999L),
+      row("https://a.ex/due", next = 10L),     // fresh lastmod, but due
+      row("https://a.ex/dead", next = 9999L, state = "dead")))
+      .withColumn("last_fetch_ts",
+        when(col("url") =!= "https://a.ex/unfetched", lit(5000L)))
+    val seeds = CrawlFrontier.seed(Seq(
+        ("https://a.ex/old", "1970-01-01"),  // epoch 0 < last_fetch
+        ("https://a.ex/new", "2026-01-05"),
+        ("https://a.ex/unfetched", "2026-01-05"),
+        ("https://a.ex/due", "2026-01-05"),
+        ("https://a.ex/dead", "2026-01-05"),
+        ("https://a.ex/unknown", "2026-01-05")).toDF("url", "lastmod"),
+      now = 6000L, lastmodCol = Some("lastmod"))
+    val out = CrawlFrontier.reseed(frontier, seeds, now = 6000L).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("https://a.ex/new")
+    out(0).getLong(9) shouldBe 6000L       // pulled due-now
+    out(0).getLong(12) shouldBe 1767571200L // the seed's claim recorded
+    out(0).getString(10) shouldBe "active"
+  }
+
   test("seed carries sitemap priority/interval columns; nulls fall back; dup keeps max-priority min-interval") {
     val entries = Seq(
       ("https://a.example/p", Some(0.9), Some(600L)),

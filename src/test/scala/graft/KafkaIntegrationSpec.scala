@@ -34,6 +34,8 @@ import graft.streaming.StreamingOps
   *    /opt/spark/jars ships no kafka jar. Gate stays.
   *  - r17: still absent — same two locations re-checked, no
   *    org/apache/kafka group, no kafka jar. Gate stays.
+  *  - r18: still absent — /opt/spark/jars and the coursier/ivy caches
+  *    re-searched for any kafka artifact: zero hits. Gate stays.
   */
 class KafkaIntegrationSpec extends SparkSpec {
 
