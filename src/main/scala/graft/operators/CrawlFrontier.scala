@@ -341,10 +341,14 @@ object CrawlFrontier {
   }
 
   /** Latest attempt per url — a crawl cycle can retry; the most recent
-    * result is the row's truth. Fully tie-broken, so deterministic. */
+    * result is the row's truth. Fully tie-broken (the validator
+    * columns included — two same-ts same-status attempts differing
+    * only in ETag must still pick deterministically), so
+    * deterministic. */
   private def latestFetch(fetched: DataFrame): DataFrame = {
     val w = Window.partitionBy("url").orderBy(col("f_fetch_ts").desc,
-      col("f_status").desc, col("f_content_hash").desc_nulls_last)
+      col("f_status").desc, col("f_content_hash").desc_nulls_last,
+      col("f_etag").desc_nulls_last, col("f_last_modified").desc_nulls_last)
     fetchProjection(fetched)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
