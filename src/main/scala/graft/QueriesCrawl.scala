@@ -755,6 +755,99 @@ object QueriesCrawl {
              CAST(NULL AS BIGINT) AS last_modified
       FROM kept ORDER BY url""")),
 
+    ("crawl_reseed", (s, dir) => {
+      // re-announced seed waves (a nightly sitemap re-read) merge
+      // changed-rows-only: a known ACTIVE row pulls due-now ONLY when
+      // the seed's <lastmod> claims a change SINCE our last fetch and
+      // the row isn't already due — stale lastmods, unfetched rows,
+      // already-due rows and dead rows all emit nothing, so the pass
+      // never resets a big frontier's schedule. The recorded
+      // last_modified takes the NEWER of the stored claim and the
+      // seed's (spelled as an explicit CASE — no engine-specific
+      // null-in-greatest semantics). One url-keyed seed aggregate +
+      // one url-equi inner join (the seed wave broadcasts).
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".rs.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".rs.com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        lit(2L).as("fetch_count"), lit(0).as("fail_count"),
+        when(d % 3 === 0, lit(null).cast("long"))
+          .otherwise(lit(T0) - 5000L).as("last_fetch_ts"),
+        md5(id).as("content_hash"),
+        lit(86400L).as("interval_s"),
+        when(d % 4 === 0, lit(T0) - 100L).otherwise(lit(T0) + 5000L)
+          .as("next_fetch_ts"),
+        when(d % 11 === 0, lit("dead")).otherwise(lit("active"))
+          .as("state"),
+        lit(null).cast("string").as("etag"),
+        when(d % 7 === 0, lit(T0) + 1000000000L)
+          .otherwise(lit(null).cast("long")).as("last_modified"))
+      val seedUrls = docs.filter(d % 2 === 0).select(
+        concat(lit("https://h"), k, lit(".rs.com/p/"), id).as("url"),
+        when(d % 5 === 0, lit("1970-01-02")) // stale: long before fetch
+          .when(d % 10 === 2, lit("junk date")) // shape-gated → null
+          .otherwise(lit("2026-01-05")).as("lastmod"))
+      val seeds = CrawlFrontier.seed(seedUrls, now = T0,
+        lastmodCol = Some("lastmod"))
+      CrawlFrontier.reseed(frontier, seeds, now = T0).orderBy("url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 5) || '.rs.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 5) || '.rs.com' AS host,
+               CAST(1 AS INT) AS depth, CAST(0.5 AS DOUBLE) AS priority,
+               CAST(2 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE CAST(1754000000 - 5000 AS BIGINT) END
+                 AS last_fetch_ts,
+               md5(CAST(doc_id AS VARCHAR)) AS content_hash,
+               CAST(86400 AS BIGINT) AS interval_s,
+               CASE WHEN doc_id % 4 = 0
+                    THEN CAST(1754000000 - 100 AS BIGINT)
+                    ELSE CAST(1754000000 + 5000 AS BIGINT) END
+                 AS next_fetch_ts,
+               CASE WHEN doc_id % 11 = 0 THEN 'dead' ELSE 'active' END
+                 AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CASE WHEN doc_id % 7 = 0
+                    THEN CAST(1754000000 AS BIGINT) + 1000000000
+                    ELSE NULL END AS last_modified
+        FROM documents),
+      sd0 AS (
+        SELECT 'https://h' || (doc_id % 5) || '.rs.com/p/' || doc_id
+                 AS url,
+               CASE WHEN doc_id % 5 = 0 THEN '1970-01-02'
+                    WHEN doc_id % 10 = 2 THEN 'junk date'
+                    ELSE '2026-01-05' END AS lastmod
+        FROM documents WHERE doc_id % 2 = 0),
+      sd AS (
+        SELECT url,
+               max(CASE WHEN regexp_matches(substr(lastmod, 1, 10),
+                          '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                        THEN CAST(epoch(TRY_CAST(substr(lastmod, 1, 10)
+                          AS TIMESTAMP)) AS BIGINT)
+                        ELSE NULL END) AS seed_lm
+        FROM sd0 GROUP BY url),
+      j AS (
+        SELECT f.*, sd.seed_lm
+        FROM f JOIN sd ON sd.url = f.url
+        WHERE sd.seed_lm IS NOT NULL
+          AND f.state = 'active'
+          AND f.last_fetch_ts IS NOT NULL
+          AND sd.seed_lm > f.last_fetch_ts
+          AND f.next_fetch_ts > 1754000000)
+      SELECT url, host, depth, priority, fetch_count, fail_count,
+             last_fetch_ts, content_hash, interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts, state, etag,
+             CASE WHEN last_modified IS NULL THEN seed_lm
+                  WHEN last_modified > seed_lm THEN last_modified
+                  ELSE seed_lm END AS last_modified
+      FROM j ORDER BY url""")),
+
     ("crawl_robots_lifecycle", (s, dir) => {
       // the robots.txt LIFECYCLE's status law (RFC 9309 §2.3.1):
       // robots fetch results → per-host rules via rulesFromFetch —

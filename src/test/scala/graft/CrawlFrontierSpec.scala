@@ -1109,6 +1109,85 @@ class CrawlFrontierSpec extends SparkSpec {
     r503b.getLong(9) shouldBe 360000L + 86400L // cadence holds
   }
 
+  test("composed crawl loop with robots routing: robots rows lead their host's wave, results route by isRobotsUrl, the maintained rules gate admission, the refresh cadence holds") {
+    import graft.functions.Robots
+    val t0 = 1000L
+    val hour = 3600L
+    val day = 86400L
+    // ONE frontier holds both row kinds: the origin's robots.txt at
+    // priority 2.0 / fixed 24 h cadence, and its pages
+    var frontier = CrawlFrontier.robotsSeeds(
+        Seq("a.ex").toDF("host"), now = t0)
+      .unionByName(CrawlFrontier.seed(
+        Seq("https://a.ex/ok/0", "https://a.ex/blocked/0").toDF("url"),
+        now = t0, defaultIntervalS = 1000L))
+    var rules: DataFrame = null
+    def cycle(now: Long, robotsTxt: Option[(Int, String)])
+        : (Seq[String], Seq[String]) = {
+      val batch = CrawlFrontier.selectBatch(frontier, now,
+        batchSize = 10, perHostCap = 10).localCheckpoint(true)
+      val isR = CrawlFrontier.isRobotsUrl(col("url"))
+      // the router: robots rows to the lifecycle, pages to the law
+      val robotsBatch = batch.filter(isR)
+      val pageBatch = batch.filter(!isR)
+      robotsTxt.foreach { case (status, txt) =>
+        val fetched = robotsBatch.select(col("host").as("domain"),
+          lit(status).as("status"), lit(txt).as("robots_txt"),
+          lit(now + 1L).as("fetch_ts"))
+        val fresh = Robots.rulesFromFetch(fetched, "graftbot")
+        rules = (if (rules == null) fresh
+                 else Robots.updateRules(rules, fresh))
+          .localCheckpoint(true)
+        val robotsResults = robotsBatch.select(col("url"),
+          lit(now + 1L).as("fetch_ts"), lit(status).as("status"),
+          lit(null).cast("string").as("content_hash"))
+        frontier = CrawlFrontier.robotsRecrawlUpdates(robotsResults,
+            frontier)
+          .unionByName(frontier.join(robotsResults.select("url"),
+            Seq("url"), "left_anti"))
+      }
+      val pageResults = pageBatch.select(col("url"),
+        lit(now + 2L).as("fetch_ts"), lit(200).as("status"),
+        md5(concat(lit(now.toString), col("url"))).as("content_hash"))
+      val disc = pageBatch.select(
+        regexp_replace(col("url"), "/[0-9]+$", s"/$now").as("url"),
+        (col("depth") + 1).as("depth"))
+      val admitted = CrawlFrontier.admit(frontier,
+        CrawlFrontier.gateRobots(disc, rules), now)
+      frontier = CrawlFrontier.recrawlUpdates(pageResults, frontier)
+        .unionByName(admitted)
+        .unionByName(frontier.join(
+          pageResults.select("url").unionByName(admitted.select("url")),
+          Seq("url"), "left_anti"))
+        .localCheckpoint(true)
+      (batch.select("url").as[String].collect().sorted.toSeq,
+        admitted.select("url").as[String].collect().sorted.toSeq)
+    }
+    // wave 1: robots row LEADS (priority 2.0 beats the pages' 1.0),
+    // rules arrive disallowing /blocked — the admission gate holds
+    val (b1, a1) = cycle(t0, Some((200,
+      "User-agent: *\nDisallow: /blocked\n")))
+    b1 should contain("https://a.ex/robots.txt")
+    b1.head shouldBe "https://a.ex/blocked/0" // sorted; batch HAS all 3
+    a1 shouldBe Seq(s"https://a.ex/ok/$t0") // /blocked/1000 gated out
+    // wave 2 an hour later: the robots row is NOT due (24 h cadence) —
+    // only pages fetch; the maintained rules still gate
+    val (b2, a2) = cycle(t0 + hour, None)
+    b2 should not contain "https://a.ex/robots.txt"
+    a2.foreach(u => u should not include "/blocked")
+    // wave 3 past the cadence: the refresh fetches a CHANGED robots.txt
+    // (allow-all) — the SAME admission chain now admits /blocked paths
+    val (b3, a3) = cycle(t0 + day + 2 * hour, Some((200,
+      "User-agent: *\nDisallow:\n")))
+    b3 should contain("https://a.ex/robots.txt")
+    a3.exists(_.contains("/blocked")) shouldBe true
+    // the robots row survived every wave, still on the fixed cadence
+    val rrow = frontier.filter(CrawlFrontier.isRobotsUrl(col("url")))
+      .collect()(0)
+    rrow.getString(10) shouldBe "active"
+    rrow.getLong(9) shouldBe (t0 + day + 2 * hour + 1L + day)
+  }
+
   test("standing robots lifecycle: a mid-loop robots change flips the next wave's admission; the maintained frame feeds gateRobots unchanged") {
     import graft.functions.Robots
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
