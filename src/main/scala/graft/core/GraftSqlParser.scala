@@ -396,10 +396,23 @@ private[core] object GraftDdl {
     *    (required, a boolean SQL expression over the table's columns,
     *    e.g. "lang = 'en'").
     *  - `crawl_seed` → [[graft.operators.CrawlFrontier.seed]] (URL
-    *    rows → the 11-column frontier contract); options 'url', 'now'
+    *    rows → the 13-column frontier contract); options 'url', 'now'
     *    (required, epoch seconds — explicit for deterministic
     *    replays, like every crawl op), 'interval', 'priority_col',
-    *    'interval_col', 'depth'.
+    *    'interval_col', 'lastmod_col' (sitemap <lastmod> → the
+    *    last_modified validator), 'depth'.
+    *  - `crawl_reseed` → [[graft.operators.CrawlFrontier.reseed]]
+    *    (the changed-rows-only merge of a re-announced seed wave —
+    *    known rows pull due-now only on a lastmod newer than their
+    *    last fetch); options 'seeds' (required, a crawl_seed output
+    *    table), 'now' (required).
+    *  - `crawl_robots_rules` →
+    *    [[graft.functions.Robots.rulesFromFetch]] (robots.txt fetch
+    *    results → the per-host rules frame under RFC 9309 §2.3.1's
+    *    status law), optionally folded into a maintained frame via
+    *    [[graft.functions.Robots.updateRules]] (latest-fetched_at
+    *    wins); options 'agent', 'maintained' (the current rules
+    *    table to merge into).
     *  - `crawl_select` → [[graft.operators.CrawlFrontier.selectBatch]]
     *    (the politeness-bounded fetch batch); options 'now',
     *    'batch_size', 'per_host_cap' (all required), 'budgets' (a
@@ -565,14 +578,30 @@ private[core] object GraftDdl {
       // a statement would make replays non-deterministic.
       case "crawl_seed" =>
         requireKeys(Set("url", "now", "interval", "priority_col",
-          "interval_col", "depth"))
+          "interval_col", "lastmod_col", "depth"))
         graft.operators.CrawlFrontier.seed(df,
           now = reqLong(stmt, opts, "now"),
           urlCol = opts.getOrElse("url", "url"),
           priorityCol = opts.get("priority_col"),
           intervalCol = opts.get("interval_col"),
           defaultIntervalS = opts.getOrElse("interval", "86400").toLong,
-          depth = opts.getOrElse("depth", "0").toInt)
+          depth = opts.getOrElse("depth", "0").toInt,
+          lastmodCol = opts.get("lastmod_col"))
+      case "crawl_reseed" =>
+        requireKeys(Set("seeds", "now"))
+        val seedsTbl = opts.getOrElse("seeds", sys.error(
+          s"$stmt: crawl_reseed requires a 'seeds' option (a " +
+            "crawl_seed output table — the re-announced wave)"))
+        graft.operators.CrawlFrontier.reseed(df, spark.table(seedsTbl),
+          now = reqLong(stmt, opts, "now"))
+      case "crawl_robots_rules" =>
+        requireKeys(Set("agent", "maintained"))
+        val fresh = graft.functions.Robots.rulesFromFetch(df,
+          opts.getOrElse("agent", "*"))
+        opts.get("maintained")
+          .map(t => graft.functions.Robots.updateRules(spark.table(t),
+            fresh))
+          .getOrElse(fresh)
       case "crawl_select" =>
         requireKeys(Set("now", "batch_size", "per_host_cap", "budgets"))
         graft.operators.CrawlFrontier.selectBatch(df,
@@ -662,9 +691,9 @@ private[core] object GraftDdl {
           "dedup_fuzzy, verdict, split, split_leakage_safe, " +
           "weighted_sample, token_budget, decontaminate, epoch_mix, " +
           "temperature_mix, pack, shuffle_shard, sample_k, dsir_score, " +
-          "langid_nb, crawl_seed, crawl_select, crawl_recrawl, " +
-          "crawl_admit, crawl_traps, crawl_trap_gate, " +
-          "crawl_gate_robots, crawl_rescore)")
+          "langid_nb, crawl_seed, crawl_reseed, crawl_select, " +
+          "crawl_recrawl, crawl_admit, crawl_traps, crawl_trap_gate, " +
+          "crawl_gate_robots, crawl_robots_rules, crawl_rescore)")
     }
     out.queryExecution.logical
   }

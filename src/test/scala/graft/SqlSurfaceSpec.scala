@@ -806,6 +806,71 @@ class SqlSurfaceSpec extends SparkSpec {
       .getMessage should include("'now'")
   }
 
+  test("CURATE TABLE r18 ops: crawl_reseed and crawl_robots_rules dispatch with DataFrame parity") {
+    import graft.functions.Robots
+    import graft.operators.CrawlFrontier
+    import org.apache.spark.sql.functions.{col, lit}
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // a fetched-then-scheduled frontier row + a re-announced seed wave
+    // whose lastmod is news: the SQL face must pull exactly that row
+    spark.createDataFrame(Seq(
+        Tuple2("https://a.ex/p", "2026-01-05"),
+        Tuple2("https://a.ex/q", "1970-01-01"))) // epoch 0 < last fetch
+      .toDF("url", "lastmod").createOrReplaceTempView("reseed_sql_urls")
+    spark.sql(
+      """CURATE TABLE reseed_sql_urls USING crawl_seed
+        |WITH ('now' = '6000', 'lastmod_col' = 'lastmod')""".stripMargin)
+      .createOrReplaceTempView("reseed_sql_seeds")
+    // the frontier: both urls known, fetched at 5000, next due 9999
+    val f = CrawlFrontier.seed(spark.table("reseed_sql_urls"),
+        now = 1000L)
+      .withColumn("last_fetch_ts", lit(5000L))
+      .withColumn("next_fetch_ts", lit(9999L))
+    f.createOrReplaceTempView("reseed_sql_frontier")
+    val out = spark.sql(
+      """CURATE TABLE reseed_sql_frontier USING crawl_reseed
+        |WITH ('seeds' = 'reseed_sql_seeds', 'now' = '6000')"""
+        .stripMargin)
+    rowsOf(out) shouldBe rowsOf(CrawlFrontier.reseed(f,
+      spark.table("reseed_sql_seeds"), now = 6000L))
+    out.collect().map(_.getString(0)) shouldBe
+      Array("https://a.ex/p") // the stale-lastmod twin emits nothing
+    intercept[Exception](spark.sql(
+      "CURATE TABLE reseed_sql_frontier USING crawl_reseed " +
+        "WITH ('now' = '6000')")).getMessage should include("'seeds'")
+
+    // robots lifecycle rules from SQL: status law + maintained merge
+    spark.createDataFrame(Seq(
+        ("a.ex", 200, "User-agent: *\nDisallow: /private\n", 100L),
+        ("b.ex", 503, null.asInstanceOf[String], 100L)))
+      .toDF("domain", "status", "robots_txt", "fetch_ts")
+      .createOrReplaceTempView("robots_sql_fetch1")
+    val r1 = spark.sql(
+      """CURATE TABLE robots_sql_fetch1 USING crawl_robots_rules
+        |WITH ('agent' = 'graftbot')""".stripMargin)
+    rowsOf(r1) shouldBe rowsOf(Robots.rulesFromFetch(
+      spark.table("robots_sql_fetch1"), "graftbot"))
+    r1.createOrReplaceTempView("robots_sql_maintained")
+    // the refresh: b.ex answers 404 now (allow-all replaces the
+    // outage's disallow-all) — merged via the 'maintained' option
+    spark.createDataFrame(Seq(
+        ("b.ex", 404, null.asInstanceOf[String], 200L)))
+      .toDF("domain", "status", "robots_txt", "fetch_ts")
+      .createOrReplaceTempView("robots_sql_fetch2")
+    val r2 = spark.sql(
+      """CURATE TABLE robots_sql_fetch2 USING crawl_robots_rules
+        |WITH ('agent' = 'graftbot',
+        |      'maintained' = 'robots_sql_maintained')""".stripMargin)
+    rowsOf(r2) shouldBe rowsOf(Robots.updateRules(r1,
+      Robots.rulesFromFetch(spark.table("robots_sql_fetch2"),
+        "graftbot")))
+    r2.filter(col("domain") === "b.ex").select("robots_status")
+      .collect()(0).getString(0) shouldBe "allow_all"
+    r2.count() shouldBe 2L
+  }
+
   test("CURATE TABLE r17 ops: crawl_gate_robots and langid_nb dispatch with DataFrame parity") {
     import graft.functions.{Robots, TextAnalysis}
     import graft.operators.CrawlFrontier
