@@ -543,22 +543,31 @@ object CrawlFrontier {
     * unchanged. One broadcast join + one scalar aggregate
     * expression — stateless and windowless, so the identical gate is
     * legal on a standing discovery STREAM (stream-static join), and
-    * zero extra shuffles in batch. */
+    * zero extra shuffles in batch. `broadcastRules` is the scale
+    * escape hatch (the ANN family's oversize-LUT convention): the
+    * default broadcast is right for any per-agent rules frame that
+    * fits an executor (most crawls — one row per RULED host), but a
+    * frontier spanning 10^8 ruled hosts carries a rules frame no
+    * driver should materialize — pass false and the gate degrades to
+    * a host-keyed partitioned join (one shuffle of each side, same
+    * verdicts, still stream-static-legal) instead of OOM-broadcasting. */
   def gateRobots(discovered: DataFrame, robotsByHost: DataFrame,
-                 urlCol: String = "url"): DataFrame = {
+                 urlCol: String = "url",
+                 broadcastRules: Boolean = true): DataFrame = {
     import graft.functions.Robots
     Seq("robots_rules", "__rg_canon").foreach(n =>
       require(!discovered.columns.contains(n),
         s"gateRobots: the discovered frame must not carry a column " +
           s"named '$n' (internal to the verdict) — rename it"))
-    val rules = robotsByHost.select(col("domain"), col("robots_rules"))
+    val rules0 = robotsByHost.select(col("domain"), col("robots_rules"))
+    val rules = if (broadcastRules) broadcast(rules0) else rules0
     // materialize the canonical identity ONCE per row (a projection
     // column, not an inline expansion): hostOf and pathOf both
     // consume it, and the canonicalization chain is the expensive
     // part — inlined twice it would double the per-row regex cost
     discovered
       .withColumn("__rg_canon", canonicalUrl(col(urlCol)))
-      .join(broadcast(rules),
+      .join(rules,
         UrlOps.hostOf(col("__rg_canon")) === rules("domain"),
         "left")
       .drop(rules("domain"))

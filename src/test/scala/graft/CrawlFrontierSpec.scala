@@ -948,6 +948,30 @@ class CrawlFrontierSpec extends SparkSpec {
     kept.map(_._1).toSeq shouldBe Seq(
       "https://a.ex.com/pub/1", "https://other.ex.com/private/9")
     kept.map(_._2).toSeq shouldBe Seq(2, 3) // depth passed through
+    // the scale escape hatch: broadcastRules=false drops the FORCED
+    // hint so the planner chooses by SIZE — a tiny frame still
+    // broadcasts (fine), a 10^8-host frame would shuffle instead of
+    // OOM-broadcasting. Verdict parity either way; with the size
+    // gate closed the partitioned path actually runs and agrees.
+    val keptPart = CrawlFrontier.gateRobots(disc, byHost,
+        broadcastRules = false)
+      .as[(String, Int)].collect().sortBy(_._1)
+    keptPart shouldBe kept
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = CrawlFrontier.gateRobots(disc, byHost,
+        broadcastRules = false)
+      gated.as[(String, Int)].collect().sortBy(_._1) shouldBe kept
+      val plan = gated.queryExecution.executedPlan.toString
+      withClue(plan) { plan should not include "BroadcastHashJoin" }
+      // the default path keeps its forced broadcast even with the
+      // size gate closed (the zero-shuffle streaming shape)
+      val forced = CrawlFrontier.gateRobots(disc, byHost)
+        .queryExecution.executedPlan.toString
+      withClue(forced) { forced should include("BroadcastHashJoin") }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("gateRobots + admit: a disallowed URL never consumes the domain budget (tighten-only, never reorder)") {
