@@ -1045,6 +1045,124 @@ object QueriesCrawl {
       SELECT * FROM admitted
       ORDER BY url""")),
 
+    ("crawl_conditional_e2e", (s, dir) => {
+      // the conditional-revisit loop COMPOSED across two fetch waves:
+      // wave 1 is unconditional (every page 200s with a body hash,
+      // an ETag and a Last-Modified — the validators land in the
+      // frontier), wave 2 is the conditional pass a real fetcher runs
+      // off those validators — a third of the pages answer 304 (the
+      // validators matched: hash AND both validators must survive
+      // from wave 1, interval grows, streak resets), a third 200 with
+      // a changed body (validators REPLACE), a third 503 (keep
+      // everything, count the fail). Each wave's law is oracle-proven
+      // alone (crawl_recrawl); this row pins validator PERSISTENCE
+      // across the composition — the thing the fetch loop relies on.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val urls = T(s, dir, "documents").select(
+        concat(lit("https://h"), k, lit(".ce.com/p/"), id).as("url"))
+      val frontier0 = CrawlFrontier.seed(urls, now = T0,
+        defaultIntervalS = 86400L)
+      val rv = Revisit(minIntervalS = 1800L, maxIntervalS = 604800L,
+        grow = 2.0, shrink = 2.0, maxFails = 3)
+      val fetched1 = urls.select(col("url"),
+        lit(T0 + 100L).as("fetch_ts"), lit(200).as("status"),
+        md5(col("url")).as("content_hash"),
+        concat(lit("\""), md5(col("url")), lit("-v1\"")).as("etag"),
+        (lit(T0) - 50L).as("last_modified"))
+      val f1 = CrawlFrontier.recrawlSchedule(frontier0, fetched1, rv)
+      val m3 = substring(md5(col("url")), 1, 1)
+      val isNotMod = m3.isin("0", "1", "2", "3", "4", "5")
+      val isChanged = m3.isin("6", "7", "8", "9", "a")
+      val fetched2 = urls.select(col("url"),
+        lit(T0 + 100000L).as("fetch_ts"),
+        when(isNotMod, lit(304)).when(isChanged, lit(200))
+          .otherwise(lit(503)).as("status"),
+        when(isChanged, md5(concat(lit("w2"), col("url"))))
+          .otherwise(lit(null).cast("string")).as("content_hash"),
+        when(isChanged, concat(lit("\""), md5(col("url")),
+          lit("-v2\""))).otherwise(lit(null).cast("string")).as("etag"),
+        when(isChanged, lit(T0) + 99000L)
+          .otherwise(lit(null).cast("long")).as("last_modified"))
+      CrawlFrontier.recrawlSchedule(f1, fetched2, rv).orderBy("url")
+    }, Some("""
+      WITH u AS (
+        SELECT DISTINCT
+          'https://h' || (doc_id % 5) || '.ce.com/p/' || doc_id AS url,
+          'h' || (doc_id % 5) || '.ce.com' AS host
+        FROM documents),
+      -- wave 1: every page 200s; seed interval 86400 halves to 43200
+      -- (hash was null -> changed), validators land
+      f1 AS (
+        SELECT url, host, CAST(0 AS INT) AS depth,
+               CAST(1.0 AS DOUBLE) AS priority,
+               CAST(1 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CAST(1754000100 AS BIGINT) AS last_fetch_ts,
+               md5(url) AS content_hash,
+               CAST(43200 AS BIGINT) AS interval_s,
+               CAST(1754000100 + 43200 AS BIGINT) AS next_fetch_ts,
+               'active' AS state,
+               '"' || md5(url) || '-v1"' AS etag,
+               CAST(1754000000 - 50 AS BIGINT) AS last_modified
+        FROM u),
+      -- wave 2: the conditional pass off the stored validators
+      r2 AS (
+        SELECT url,
+               CAST(1754100000 AS BIGINT) AS f_fetch_ts,
+               CASE WHEN substr(md5(url), 1, 1) IN
+                      ('0','1','2','3','4','5') THEN 304
+                    WHEN substr(md5(url), 1, 1) IN
+                      ('6','7','8','9','a') THEN 200
+                    ELSE 503 END AS f_status,
+               CASE WHEN substr(md5(url), 1, 1) IN
+                      ('6','7','8','9','a')
+                    THEN md5('w2' || url) ELSE NULL END AS f_content_hash,
+               CASE WHEN substr(md5(url), 1, 1) IN
+                      ('6','7','8','9','a')
+                    THEN '"' || md5(url) || '-v2"' ELSE NULL END AS f_etag,
+               CASE WHEN substr(md5(url), 1, 1) IN
+                      ('6','7','8','9','a')
+                    THEN CAST(1754000000 + 99000 AS BIGINT)
+                    ELSE NULL END AS f_last_modified
+        FROM u),
+      law AS (
+        SELECT f1.*, r2.f_fetch_ts, r2.f_status, r2.f_content_hash,
+               r2.f_etag, r2.f_last_modified,
+          (r2.f_status BETWEEN 200 AND 299) AS ok,
+          (r2.f_status IN (404, 410)) AS gone,
+          (r2.f_status = 304) AS notmod,
+          ((r2.f_status BETWEEN 200 AND 299) AND
+           (f1.content_hash IS NULL OR
+            f1.content_hash <> r2.f_content_hash)) AS changed
+        FROM f1 JOIN r2 ON r2.url = f1.url),
+      iv AS (
+        SELECT *,
+          CASE WHEN changed
+                 THEN greatest(1800, CAST(floor(interval_s / 2.0)
+                   AS BIGINT))
+               WHEN gone THEN interval_s
+               ELSE least(604800, CAST(floor(interval_s * 2.0)
+                 AS BIGINT)) END AS new_interval,
+          CASE WHEN ok OR gone OR notmod THEN 0
+               ELSE fail_count + 1 END AS new_fails
+        FROM law)
+      SELECT url, host, depth, priority,
+        fetch_count + 1 AS fetch_count,
+        new_fails AS fail_count,
+        f_fetch_ts AS last_fetch_ts,
+        CASE WHEN ok THEN f_content_hash ELSE content_hash END
+          AS content_hash,
+        new_interval AS interval_s,
+        f_fetch_ts + new_interval AS next_fetch_ts,
+        CASE WHEN gone THEN 'dead'
+             WHEN NOT ok AND NOT notmod AND new_fails >= 3 THEN 'dead'
+             ELSE state END AS state,
+        CASE WHEN ok THEN f_etag ELSE etag END AS etag,
+        CASE WHEN ok THEN f_last_modified ELSE last_modified END
+          AS last_modified
+      FROM iv ORDER BY url""")),
+
     ("crawl_polite_batch", (s, dir) => {
       // Crawl-delay politeness — robots' de-facto rate directive
       // becomes per-host batch budgets: parse per-host Crawl-delay

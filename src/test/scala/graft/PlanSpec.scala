@@ -435,4 +435,39 @@ class PlanSpec extends SparkSpec {
     p should include("WindowGroupLimit")
     p should include regex "windowspecdefinition\\(__nb_id"
   }
+
+  test("reseed: one url-equi join over the frontier, no window, no cartesian — the seed wave broadcasts") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.operators.CrawlFrontier
+    val urls = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("https://h.ex.com/p/"), col("doc_id")).as("url"),
+        lit("2026-01-05").as("lastmod"))
+    val frontier = CrawlFrontier.seed(urls, now = 1000L)
+      .withColumn("last_fetch_ts", lit(5000L))
+      .withColumn("next_fetch_ts", lit(99999L))
+      .localCheckpoint(true)
+    val seeds = CrawlFrontier.seed(urls, now = 6000L,
+      lastmodCol = Some("lastmod")).localCheckpoint(true)
+    val p = CrawlFrontier.reseed(frontier, seeds, now = 6000L)
+      .queryExecution.executedPlan.toString
+    // the frontier side takes ONE equi join against the (small,
+    // aggregated) seed wave — never a window, never a cartesian; the
+    // only exchanges belong to the seed side's url aggregate
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include regex "(BroadcastHashJoin|SortMergeJoin)"
+  }
+
+  test("seed with lastmod keeps the single url-keyed shuffle (the parse is a per-row map inside the aggregate)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.operators.CrawlFrontier
+    val urls = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(lit("https://h.ex.com/p/"), col("doc_id")).as("url"),
+        lit("2026-01-05").as("lastmod"))
+    val p = CrawlFrontier.seed(urls, now = 1000L,
+        lastmodCol = Some("lastmod"))
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Window"
+  }
 }
