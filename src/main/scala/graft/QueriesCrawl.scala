@@ -755,6 +755,143 @@ object QueriesCrawl {
              CAST(NULL AS BIGINT) AS last_modified
       FROM kept ORDER BY url""")),
 
+    ("crawl_retry_after", (s, dir) => {
+      // Retry-After politeness (RFC 9110 §10.2.3): a 429/503 host
+      // DECLARING its backoff is believed when it asks for MORE than
+      // the law's own doubled interval — the declaration only ever
+      // POSTPONES (greatest, never earlier), only on failing answers,
+      // and the stored interval keeps the multiplicative backoff (the
+      // header speaks to THIS retry, not the page's change rate). The
+      // header VALUE parses in-plan via retryAfterSeconds: the
+      // delta-seconds form (whitespace-tolerant, numeric-gated), the
+      // HTTP-date form nulls out (the fetcher's clock's job), junk
+      // nulls out — and null falls back to the backoff via coalesce.
+      // The oracle replays parse + law.
+      import graft.functions.TextExtraction
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".ra.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".ra.com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        (d % 7).cast("bigint").as("fetch_count"),
+        lit(0).as("fail_count"),
+        lit(null).cast("long").as("last_fetch_ts"),
+        md5(id).as("content_hash"),
+        (lit(3600L) * (d % 5 + 1)).as("interval_s"),
+        lit(T0).as("next_fetch_ts"), lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
+      val status = when(d % 4 === 2, lit(503))
+        .when(d % 8 === 0, lit(429)).otherwise(lit(200))
+      val raRaw = when(d % 4 === 2,
+          when(d % 3 === 0, lit("7200"))
+            .when(d % 3 === 1, lit("Fri, 31 Dec 1999 23:59:59 GMT"))
+            .otherwise(lit(" 120 ")))
+        .when(d % 8 === 0, lit("999999"))
+        .otherwise(lit(null).cast("string"))
+      val fetched = docs.filter(d % 2 === 0).select(
+        concat(lit("https://h"), k, lit(".ra.com/p/"), id).as("url"),
+        (lit(T0) + d).as("fetch_ts"), status.as("status"),
+        when(status === 200, md5(id)).otherwise(lit(null).cast("string"))
+          .as("content_hash"),
+        TextExtraction.retryAfterSeconds(raRaw).as("retry_after"))
+      CrawlFrontier.recrawlSchedule(frontier, fetched,
+        Revisit(minIntervalS = 1800L, maxIntervalS = 604800L,
+          grow = 2.0, shrink = 2.0, maxFails = 3))
+        .orderBy("url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.ra.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 7) || '.ra.com' AS host,
+               CAST(1 AS INT) AS depth, CAST(0.5 AS DOUBLE) AS priority,
+               CAST(doc_id % 7 AS BIGINT) AS fetch_count,
+               CAST(0 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               md5(CAST(doc_id AS VARCHAR)) AS content_hash,
+               CAST(3600 * (doc_id % 5 + 1) AS BIGINT) AS interval_s,
+               CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
+        FROM documents),
+      r0 AS (
+        SELECT doc_id,
+               'https://h' || (doc_id % 7) || '.ra.com/p/' || doc_id
+                 AS url,
+               CAST(1754000000 + doc_id AS BIGINT) AS f_fetch_ts,
+               CASE WHEN doc_id % 4 = 2 THEN 503
+                    WHEN doc_id % 8 = 0 THEN 429 ELSE 200 END AS f_status,
+               CASE WHEN doc_id % 4 = 2 THEN
+                      CASE WHEN doc_id % 3 = 0 THEN '7200'
+                           WHEN doc_id % 3 = 1
+                             THEN 'Fri, 31 Dec 1999 23:59:59 GMT'
+                           ELSE ' 120 ' END
+                    WHEN doc_id % 8 = 0 THEN '999999'
+                    ELSE NULL END AS ra_raw
+        FROM documents WHERE doc_id % 2 = 0),
+      r AS (
+        SELECT url, f_fetch_ts, f_status,
+               CASE WHEN f_status = 200
+                    THEN md5(CAST(doc_id AS VARCHAR))
+                    ELSE NULL END AS f_content_hash,
+               CASE WHEN regexp_matches(trim(ra_raw), '^[0-9]{1,9}$')
+                    THEN CAST(trim(ra_raw) AS BIGINT)
+                    ELSE NULL END AS f_retry_after
+        FROM r0),
+      j AS (SELECT f.*, r.f_fetch_ts, r.f_status, r.f_content_hash,
+                   r.f_retry_after
+            FROM f LEFT JOIN r ON r.url = f.url),
+      law AS (
+        SELECT *,
+          (f_status BETWEEN 200 AND 299) AS ok,
+          (f_status IN (404, 410)) AS gone,
+          (f_status = 304) AS notmod,
+          ((f_status BETWEEN 200 AND 299) AND
+           (content_hash IS NULL OR content_hash <> f_content_hash))
+            AS changed
+        FROM j),
+      iv AS (
+        SELECT *,
+          CASE WHEN changed
+                 THEN greatest(1800, CAST(floor(interval_s / 2.0)
+                   AS BIGINT))
+               WHEN gone THEN interval_s
+               ELSE least(604800, CAST(floor(interval_s * 2.0)
+                 AS BIGINT)) END AS new_interval,
+          CASE WHEN ok OR gone OR notmod THEN 0
+               ELSE fail_count + 1 END AS new_fails
+        FROM law),
+      w AS (
+        SELECT *,
+          CASE WHEN NOT ok AND NOT gone AND NOT notmod
+                    AND f_retry_after IS NOT NULL
+               THEN greatest(new_interval, f_retry_after)
+               ELSE new_interval END AS wait
+        FROM iv)
+      SELECT url, host, depth, priority,
+        CASE WHEN f_fetch_ts IS NULL THEN fetch_count
+             ELSE fetch_count + 1 END AS fetch_count,
+        CASE WHEN f_fetch_ts IS NULL THEN fail_count
+             ELSE new_fails END AS fail_count,
+        CASE WHEN f_fetch_ts IS NULL THEN last_fetch_ts
+             ELSE f_fetch_ts END AS last_fetch_ts,
+        content_hash,
+        CASE WHEN f_fetch_ts IS NULL THEN interval_s
+             ELSE new_interval END AS interval_s,
+        CASE WHEN f_fetch_ts IS NULL THEN next_fetch_ts
+             ELSE f_fetch_ts + wait END AS next_fetch_ts,
+        CASE WHEN f_fetch_ts IS NULL THEN state
+             WHEN gone THEN 'dead'
+             WHEN NOT ok AND NOT notmod AND new_fails >= 3 THEN 'dead'
+             ELSE state END AS state,
+        etag,
+        CAST(NULL AS BIGINT) AS last_modified
+      FROM w ORDER BY url""")),
+
     ("crawl_reseed", (s, dir) => {
       // re-announced seed waves (a nightly sitemap re-read) merge
       // changed-rows-only: a known ACTIVE row pulls due-now ONLY when

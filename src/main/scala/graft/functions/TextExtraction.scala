@@ -152,6 +152,30 @@ object TextExtraction {
         "^[\"']|[\"']$", ""))))
   }
 
+  /** `Retry-After` header value → seconds (RFC 9110 §10.2.3): the
+    * delta-seconds form parses behind an ANSI-safe numeric-shape gate;
+    * the HTTP-date form yields NULL — date arithmetic against the
+    * response's own Date header is the fetcher's job (it knows the
+    * wall clock; a scan-time parse of IMF-fixdate cross-engine would
+    * buy little and cost parity), and NULL falls back to the revisit
+    * law's own backoff via coalesce. Negative/junk → NULL. */
+  def retryAfterSeconds(v: Column): Column =
+    when(trim(v).rlike("^[0-9]{1,9}$"), trim(v).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** `Cache-Control` header value → max-age seconds: the one directive
+    * a robots refresh cadence may honor (RFC 9309 §2.4 caps caching at
+    * ~24 h "unless the crawler has a cache-control signal saying
+    * otherwise"). Token-boundary match (s-maxage and a hypothetical
+    * x-max-age must not match), first occurrence wins, value behind
+    * the numeric-shape gate; absent/junk → NULL (the caller's default
+    * cadence applies). Pure RE2-safe codegen. */
+  def cacheControlMaxAge(v: Column): Column = {
+    val m = regexp_extract(lower(v),
+      "(^|[,\\s])max-age\\s*=\\s*\"?([0-9]{1,9})\"?", 2)
+    when(length(m) > 0, m.cast("long")).otherwise(lit(null).cast("long"))
+  }
+
   /** (noindex, nofollow) flags from a combined directive-token string
     * — meta content plus the `X-Robots-Tag` header value, comma-
     * joined by the caller: token-boundary matching (an hypothetical

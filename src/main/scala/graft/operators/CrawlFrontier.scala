@@ -267,8 +267,8 @@ object CrawlFrontier {
   private def notModC(s: Column) = s === 304
 
   private def lawCols(rv: Revisit, fTs: Column, fStatus: Column,
-                      fHash: Column, fEtag: Column,
-                      fLastMod: Column): Seq[(String, Column)] = {
+                      fHash: Column, fEtag: Column, fLastMod: Column,
+                      fRetryAfter: Column): Seq[(String, Column)] = {
     val ok = okC(fStatus)
     val gone = goneC(fStatus)
     // the 304 regime (RFC 9110 §15.4.5): the validators we sent still
@@ -294,6 +294,17 @@ object CrawlFrontier {
     val state = when(gone, lit("dead"))
       .when(!ok && !notMod && fails >= rv.maxFails, lit("dead"))
       .otherwise(col("state"))
+    // Retry-After (RFC 9110 §10.2.3): a failing host DECLARING its
+    // backoff (429/503 with the header) must be believed when it asks
+    // for MORE than the law's own doubled interval — hammering at the
+    // multiplicative schedule while the server says "not for an hour"
+    // is the classic politeness failure. It only ever POSTPONES the
+    // next fetch (greatest, never earlier), only on non-ok non-gone
+    // answers, and the stored interval keeps the backoff law (the
+    // declaration is about THIS retry, not the page's change rate).
+    val failing = !ok && !gone && !notMod
+    val wait = when(failing && fRetryAfter.isNotNull,
+      greatest(interval, fRetryAfter)).otherwise(interval)
     Seq(
       "fetch_count" -> (col("fetch_count") + 1L),
       "fail_count" -> fails,
@@ -307,7 +318,7 @@ object CrawlFrontier {
       "last_modified" -> when(ok, fLastMod)
         .otherwise(col("last_modified")),
       "interval_s" -> interval,
-      "next_fetch_ts" -> (fTs + interval),
+      "next_fetch_ts" -> (fTs + wait),
       "state" -> state)
   }
 
@@ -315,7 +326,7 @@ object CrawlFrontier {
                        guard: Option[Column]): DataFrame = {
     val updated = lawCols(rv, col("f_fetch_ts"),
       col("f_status"), col("f_content_hash"), col("f_etag"),
-      col("f_last_modified")).toMap
+      col("f_last_modified"), col("f_retry_after")).toMap
     joined.select(frontierCols.map { c =>
       val newC = updated.get(c).map { u =>
         guard.fold(u)(g => when(g, u).otherwise(col(c)))
@@ -325,19 +336,20 @@ object CrawlFrontier {
   }
 
   /** The fetch-result projection both revisit faces share: the contract
-    * columns cast, plus the OPTIONAL validator columns (a fetcher that
-    * doesn't record them — every pre-r18 caller — gets nulls; the law's
-    * keep-on-non-2xx branch never sees them anyway). */
+    * columns cast, plus the OPTIONAL validator and Retry-After columns
+    * (a fetcher that doesn't record them — every pre-r18 caller — gets
+    * nulls; the law's keep/fallback branches never see them). */
   private def fetchProjection(fetched: DataFrame): DataFrame = {
-    val fe = if (fetched.columns.contains("etag"))
-      col("etag").cast("string") else lit(null).cast("string")
-    val fl = if (fetched.columns.contains("last_modified"))
-      col("last_modified").cast("long") else lit(null).cast("long")
+    def opt(name: String, tpe: String) =
+      if (fetched.columns.contains(name)) col(name).cast(tpe)
+      else lit(null).cast(tpe)
     fetched.select(col("url"),
       col("fetch_ts").cast("long").as("f_fetch_ts"),
       col("status").cast("int").as("f_status"),
       col("content_hash").cast("string").as("f_content_hash"),
-      fe.as("f_etag"), fl.as("f_last_modified"))
+      opt("etag", "string").as("f_etag"),
+      opt("last_modified", "long").as("f_last_modified"),
+      opt("retry_after", "long").as("f_retry_after"))
   }
 
   /** Latest attempt per url — a crawl cycle can retry; the most recent
@@ -348,7 +360,8 @@ object CrawlFrontier {
   private def latestFetch(fetched: DataFrame): DataFrame = {
     val w = Window.partitionBy("url").orderBy(col("f_fetch_ts").desc,
       col("f_status").desc, col("f_content_hash").desc_nulls_last,
-      col("f_etag").desc_nulls_last, col("f_last_modified").desc_nulls_last)
+      col("f_etag").desc_nulls_last, col("f_last_modified").desc_nulls_last,
+      col("f_retry_after").desc_nulls_last)
     fetchProjection(fetched)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -625,14 +638,41 @@ object CrawlFrontier {
     * increment) so a monitor can see a host whose robots.txt never
     * answers. Content hash and validators follow the page law (a 304
     * robots answer is as good as an unchanged 200 — and far
-    * cheaper). */
+    * cheaper). An optional `max_age` column on `fetched` (seconds —
+    * [[graft.functions.TextExtraction.cacheControlMaxAge]] over the
+    * response's Cache-Control value) OVERRIDES the default cadence
+    * per row, floored at `minRefreshS`: §2.4 caps robots caching at
+    * ~24 h "unless a cache-control signal says otherwise", so a host
+    * declaring max-age=3600 refreshes hourly and one declaring a week
+    * is believed — while the floor keeps a hostile max-age=0 from
+    * turning the refresh loop into a hammer. */
   def robotsRecrawlUpdates(fetched: DataFrame, frontier: DataFrame,
-                           refreshIntervalS: Long = 86400L): DataFrame = {
+                           refreshIntervalS: Long = 86400L,
+                           minRefreshS: Long = 300L): DataFrame = {
     require(refreshIntervalS > 0,
       s"refreshIntervalS must be positive: $refreshIntervalS")
-    val joined = fetchProjection(fetched).join(frontier, Seq("url"))
+    require(minRefreshS > 0 && minRefreshS <= refreshIntervalS,
+      s"need 0 < minRefreshS <= refreshIntervalS, got " +
+        s"$minRefreshS/$refreshIntervalS")
+    val maxAge =
+      if (fetched.columns.contains("max_age")) col("max_age").cast("long")
+      else lit(null).cast("long")
+    val f = fetched.select(col("url"),
+      col("fetch_ts").cast("long").as("f_fetch_ts"),
+      col("status").cast("int").as("f_status"),
+      col("content_hash").cast("string").as("f_content_hash"),
+      (if (fetched.columns.contains("etag")) col("etag").cast("string")
+       else lit(null).cast("string")).as("f_etag"),
+      (if (fetched.columns.contains("last_modified"))
+         col("last_modified").cast("long")
+       else lit(null).cast("long")).as("f_last_modified"),
+      maxAge.as("__rb_max_age"))
+    val joined = f.join(frontier, Seq("url"))
     val ok = okC(col("f_status"))
     val answered = col("f_status") >= 200 && col("f_status") <= 499
+    val refresh = when(col("__rb_max_age").isNotNull,
+      greatest(lit(minRefreshS), col("__rb_max_age")))
+      .otherwise(lit(refreshIntervalS))
     joined.select(
       col("url"), col("host"), col("depth"), col("priority"),
       (col("fetch_count") + 1L).as("fetch_count"),
@@ -641,8 +681,8 @@ object CrawlFrontier {
       col("f_fetch_ts").as("last_fetch_ts"),
       when(ok, col("f_content_hash")).otherwise(col("content_hash"))
         .as("content_hash"),
-      lit(refreshIntervalS).as("interval_s"),
-      (col("f_fetch_ts") + refreshIntervalS).as("next_fetch_ts"),
+      refresh.as("interval_s"),
+      (col("f_fetch_ts") + refresh).as("next_fetch_ts"),
       lit("active").as("state"),
       when(ok, col("f_etag")).otherwise(col("etag")).as("etag"),
       when(ok, col("f_last_modified")).otherwise(col("last_modified"))

@@ -1131,6 +1131,58 @@ class CrawlFrontierSpec extends SparkSpec {
     (r503a.getInt(5), r503b.getInt(5)) shouldBe ((1, 2)) // counted...
     r503b.getString(10) shouldBe "active" // ...but NEVER lethal
     r503b.getLong(9) shouldBe 360000L + 86400L // cadence holds
+    // Cache-Control max-age overrides the cadence per row (§2.4's
+    // "unless a cache-control signal says otherwise"), floored so a
+    // hostile max-age=0 cannot turn the refresh loop into a hammer
+    def fetchMa(ts: Long, ma: Option[Long]) =
+      Seq(("https://a.ex/robots.txt", ts, 200,
+        Some("h2"), Option.empty[String], ma))
+        .toDF("url", "fetch_ts", "status", "content_hash", "etag",
+          "max_age")
+    val rMa = CrawlFrontier.robotsRecrawlUpdates(
+      fetchMa(450000L, Some(3600L)), f).collect()(0)
+    (rMa.getLong(8), rMa.getLong(9)) shouldBe ((3600L, 450000L + 3600L))
+    val rMa0 = CrawlFrontier.robotsRecrawlUpdates(
+      fetchMa(450000L, Some(0L)), f).collect()(0)
+    rMa0.getLong(8) shouldBe 300L // the floor
+    val rMaAbsent = CrawlFrontier.robotsRecrawlUpdates(
+      fetchMa(450000L, None), f).collect()(0)
+    rMaAbsent.getLong(8) shouldBe 86400L // default cadence
+  }
+
+  test("retryAfterSeconds / cacheControlMaxAge: numeric-gated, token-bounded, date/junk forms null out") {
+    import graft.functions.TextExtraction.{retryAfterSeconds,
+      cacheControlMaxAge}
+    Seq("120", " 7200 ", "Fri, 31 Dec 1999 23:59:59 GMT", "-5", "abc",
+      "", "12.5")
+      .toDF("v").select(retryAfterSeconds(col("v"))).as[Option[Long]]
+      .collect().toSeq shouldBe Seq(Some(120L), Some(7200L), None, None,
+        None, None, None)
+    Seq("max-age=3600", "public, max-age=600, must-revalidate",
+      "MAX-AGE=60", "max-age=\"120\"", "s-maxage=99", "x-max-age=99",
+      "max-age=abc", "no-cache")
+      .toDF("v").select(cacheControlMaxAge(col("v"))).as[Option[Long]]
+      .collect().toSeq shouldBe Seq(Some(3600L), Some(600L), Some(60L),
+        Some(120L), None, None, None, None)
+    // Retry-After only POSTPONES, only on failing answers: a declared
+    // 7200 beats the doubled 3600-seeded interval; a declared 10 does
+    // not shorten it; a 200 ignores the header entirely
+    val f = mkFrontier(Seq(
+      row("https://ra.ex/a", interval = 3600L),
+      row("https://ra.ex/b", interval = 3600L),
+      row("https://ra.ex/c", interval = 3600L, hash = Some("h"))))
+    val fetched = Seq(
+      ("https://ra.ex/a", 2000L, 503, Option.empty[String], Some(99999L)),
+      ("https://ra.ex/b", 2000L, 429, Option.empty[String], Some(10L)),
+      ("https://ra.ex/c", 2000L, 200, Some("h"), Some(99999L)))
+      .toDF("url", "fetch_ts", "status", "content_hash", "retry_after")
+    val out = CrawlFrontier.recrawlSchedule(f, fetched, rv)
+      .orderBy("url").collect()
+    // rv: min 100 max 10000; 3600 doubles to 7200
+    out(0).getLong(9) shouldBe 2000L + 99999L // declared wait wins
+    out(0).getLong(8) shouldBe 7200L          // stored backoff unchanged
+    out(1).getLong(9) shouldBe 2000L + 7200L  // never shortens
+    out(2).getLong(9) shouldBe 2000L + 7200L  // ok: header ignored
   }
 
   test("composed crawl loop with robots routing: robots rows lead their host's wave, results route by isRobotsUrl, the maintained rules gate admission, the refresh cadence holds") {
