@@ -219,5 +219,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("robots_noindex", 1, "graft.functions.TextExtraction")(c =>
       graft.functions.TextExtraction.robotsFlags(c(0))("noindex")),
     composed("robots_nofollow", 1, "graft.functions.TextExtraction")(c =>
-      graft.functions.TextExtraction.robotsFlags(c(0))("nofollow")))
+      graft.functions.TextExtraction.robotsFlags(c(0))("nofollow")),
+    // the r18 politeness-header scalars (fetch loops parse these
+    // in-plan: Retry-After delta-seconds, Cache-Control max-age)
+    composed("retry_after_seconds", 1,
+      "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.retryAfterSeconds(c(0))),
+    composed("cache_max_age", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.cacheControlMaxAge(c(0))))
 }

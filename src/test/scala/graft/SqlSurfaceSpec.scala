@@ -1000,6 +1000,12 @@ class SqlSurfaceSpec extends SparkSpec {
     viaSql.getString(4) shouldBe "news.site.co.uk/cal/D/D?q=V"
     viaSql.getBoolean(10) shouldBe true // soft404: short + phrase
     viaSql.getBoolean(12) shouldBe true // noindex via meta
+    // the r18 politeness-header scalars
+    spark.sql("""SELECT retry_after_seconds('120') AS ra,
+                        retry_after_seconds('Fri, 31 Dec 1999') AS rd,
+                        cache_max_age('public, max-age=600') AS ma,
+                        cache_max_age('s-maxage=99') AS sm""")
+      .collect()(0).toSeq shouldBe Seq(120L, null, 600L, null)
     // arity errors name the function
     intercept[Exception](spark.sql("SELECT url_host('a', 'b')"))
       .getMessage should include("url_host")
