@@ -755,6 +755,62 @@ object QueriesCrawl {
              CAST(NULL AS BIGINT) AS last_modified
       FROM kept ORDER BY url""")),
 
+    ("crawl_fetch_requests", (s, dir) => {
+      // the conditional-request face: a due wave rendered as what the
+      // fetcher SENDS — If-None-Match echoes the stored ETag verbatim
+      // (RFC 9110 §13.1.2), If-Modified-Since renders last_modified
+      // as an IMF-fixdate (§5.6.7: always GMT, English names — the
+      // session runs UTC so the rendering is deterministic and the
+      // oracle replays it with strftime), validator-less rows go
+      // unconditional (nulls). Composes selectBatch → fetchRequests;
+      // pure per-row codegen over the wave.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val frontier = T(s, dir, "documents").select(
+        concat(lit("https://h"), k, lit(".fr.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".fr.com")).as("host"),
+        lit(1).as("depth"),
+        ((d * 37 % 100) / lit(100.0)).as("priority"),
+        lit(1L).as("fetch_count"), lit(0).as("fail_count"),
+        (lit(T0) - 5000L).as("last_fetch_ts"),
+        md5(id).as("content_hash"),
+        lit(3600L).as("interval_s"), lit(T0).as("next_fetch_ts"),
+        lit("active").as("state"),
+        when(d % 3 === 0, concat(lit("W/\""), md5(id), lit("\"")))
+          .otherwise(lit(null).cast("string")).as("etag"),
+        when(d % 2 === 0, lit(T0) - d * 1000L)
+          .otherwise(lit(null).cast("long")).as("last_modified"))
+      val batch = CrawlFrontier.selectBatch(frontier, now = T0,
+        batchSize = 200, perHostCap = 40)
+      CrawlFrontier.fetchRequests(batch).orderBy("url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.fr.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 7) || '.fr.com' AS host,
+               (doc_id * 37 % 100) / 100.0 AS priority,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'W/"' || md5(CAST(doc_id AS VARCHAR)) || '"'
+                    ELSE NULL END AS etag,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(1754000000 AS BIGINT) - doc_id * 1000
+                    ELSE NULL END AS last_modified
+        FROM documents),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY priority DESC, url) AS hr
+        FROM f),
+      batch AS (
+        SELECT * FROM ranked WHERE hr <= 40
+        ORDER BY priority DESC, url LIMIT 200)
+      SELECT url, host, etag AS if_none_match,
+             CASE WHEN last_modified IS NOT NULL
+                  THEN strftime(to_timestamp(last_modified),
+                                '%a, %d %b %Y %H:%M:%S GMT')
+                  ELSE NULL END AS if_modified_since
+      FROM batch ORDER BY url""")),
+
     ("crawl_retry_after", (s, dir) => {
       // Retry-After politeness (RFC 9110 §10.2.3): a 429/503 host
       // DECLARING its backoff is believed when it asks for MORE than

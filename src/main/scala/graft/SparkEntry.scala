@@ -85,7 +85,8 @@ object SparkEntry {
     "web_hits",
     "crawl_sitemap_parse", "crawl_sitemap_gz", "crawl_frontier_seed",
     "crawl_select_batch",
-    "crawl_recrawl", "crawl_retry_after", "crawl_reseed", "crawl_admit",
+    "crawl_recrawl", "crawl_retry_after", "crawl_fetch_requests",
+    "crawl_reseed", "crawl_admit",
     "crawl_admit_robots",
     "crawl_robots_lifecycle", "crawl_e2e", "crawl_conditional_e2e",
     "crawl_polite_batch",

@@ -440,6 +440,25 @@ object CrawlFrontier {
       lit(1.0) / (col("depth") + 1), lit(defaultIntervalS), now): _*)
   }
 
+  /** The conditional-request face of a [[selectBatch]] wave: what the
+    * fetcher actually sends — (url, host, if_none_match,
+    * if_modified_since) with If-None-Match the stored ETag verbatim
+    * (RFC 9110 §13.1.2: the validator echoes back exactly as
+    * received) and If-Modified-Since the stored last_modified epoch
+    * rendered as an IMF-fixdate (§5.6.7's only currently-generated
+    * form, always GMT, English day/month names); rows holding neither
+    * validator emit nulls — an unconditional fetch. Pure per-row
+    * codegen over the batch (the session runs UTC, so the rendering
+    * is deterministic); closes the loop the 304 regime of the revisit
+    * law answers. */
+  def fetchRequests(batch: DataFrame): DataFrame =
+    batch.select(col("url"), col("host"),
+      col("etag").as("if_none_match"),
+      when(col("last_modified").isNotNull,
+        date_format(timestamp_seconds(col("last_modified")),
+          "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+        .otherwise(lit(null).cast("string")).as("if_modified_since"))
+
   /** URL template — the trap-detection key: the URL's host + path +
     * query with every varying token collapsed, so the infinite URL
     * families a crawler trap generates (calendars, session ids,
