@@ -1465,6 +1465,59 @@ object QueriesWeb {
                        ELSE length(text) END AS BIGINT) AS n_bytes
       FROM t ORDER BY target_uri""")),
 
+    ("crawl_ingest_validators", (s, dir) => {
+      // the capture→frontier VALIDATOR loop closed at ingest: a
+      // fetcher records ETag/Last-Modified, the raw writer rides them
+      // into the HTTP head, the decoded reader exposes both raw, and
+      // imfFixdateEpoch parses the date form at day-ignoring strict
+      // shape — a strong ETag, a weak one (W/ prefix verbatim per
+      // RFC 9110 §8.8.3), an obsolete RFC-850 Last-Modified (raw
+      // survives, the epoch parse refuses), and header-less rows (''
+      // — the httpHeader convention). The oracle replays the fixture
+      // contract + the full parse law (month-name CASE included).
+      import graft.functions.TextExtraction
+      import graft.io.Warc
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val lmValid = concat(lit("Mon, 0"), (d % 9 + 1).cast("string"),
+        lit(" Jan 2026 10:30:0"), (d % 10).cast("string"), lit(" GMT"))
+      val etag = when(d % 4 === 0, concat(lit("\"e-"), id, lit("\"")))
+        .when(d % 4 === 1, concat(lit("W/\"x-"), id, lit("\"")))
+        .otherwise(lit(null).cast("string"))
+      val lm = when(d % 4 === 0, lmValid)
+        .when(d % 4 === 2, lit("Sunday, 06-Nov-94 08:49:37 GMT"))
+        .otherwise(lit(null).cast("string"))
+      val raw = T(s, dir, "documents").select(
+        concat(lit("https://iv.ex.com/p/"), id).as("url"),
+        encode(concat(lit("v "), id), "UTF-8").as("body"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        etag.as("etag"), lm.as("last_modified"))
+      Warc.fromShardsDecoded(Warc.toShardsRaw(raw.repartition(4)))
+        .select(col("target_uri"), col("etag"), col("last_modified"),
+          TextExtraction.imfFixdateEpoch(col("last_modified"))
+            .as("last_modified_ts"))
+        .orderBy("target_uri")
+    }, Some("""
+      WITH x AS (
+        SELECT doc_id, doc_id % 4 AS m,
+               'https://iv.ex.com/p/' || doc_id AS target_uri,
+               'Mon, 0' || (doc_id % 9 + 1) || ' Jan 2026 10:30:0' ||
+                 (doc_id % 10) || ' GMT' AS lm_valid
+        FROM documents)
+      SELECT target_uri,
+             CASE WHEN m = 0 THEN '"e-' || doc_id || '"'
+                  WHEN m = 1 THEN 'W/"x-' || doc_id || '"'
+                  ELSE '' END AS etag,
+             CASE WHEN m = 0 THEN lm_valid
+                  WHEN m = 2 THEN 'Sunday, 06-Nov-94 08:49:37 GMT'
+                  ELSE '' END AS last_modified,
+             CASE WHEN m = 0 THEN
+                    CAST(epoch(TRY_CAST(
+                      '2026-01-0' || (doc_id % 9 + 1) || ' 10:30:0' ||
+                        (doc_id % 10) AS TIMESTAMP)) AS BIGINT)
+                  ELSE NULL END AS last_modified_ts
+      FROM x ORDER BY target_uri""")),
+
     ("text_content_encoding", (s, dir) => {
       // Content-Encoding decode through the FULL raw-capture path —
       // the content-coding analog of de-chunking (r16): raw captures

@@ -94,7 +94,8 @@ object SparkEntry {
     "web_redirects", "web_canonical", "web_contract", "web_host_graph",
     "web_host_weights",
     "web_trustrank", "crawl_traps", "crawl_trap_gate", "web_mirrors",
-    "text_charset_sniff", "text_content_encoding", "crawl_rescore",
+    "text_charset_sniff", "text_content_encoding",
+    "crawl_ingest_validators", "crawl_rescore",
     "web_graph_e2e",
     "text_wet_roundtrip", "text_wat_extract", "web_mirror_dedup",
     "crawl_trap_stats", "web_anchor_bm25", "web_nofollow",

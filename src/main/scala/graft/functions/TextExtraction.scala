@@ -163,6 +163,37 @@ object TextExtraction {
     when(trim(v).rlike("^[0-9]{1,9}$"), trim(v).cast("long"))
       .otherwise(lit(null).cast("long"))
 
+  /** IMF-fixdate → epoch seconds (RFC 9110 §5.6.7, the only
+    * currently-generated HTTP date form: 'Sun, 06 Nov 1994 08:49:37
+    * GMT'). The weekday is deliberately IGNORED, not validated — the
+    * engines disagree on whether a wrong weekday voids the parse, and
+    * a validator's job is the instant, not the calendar trivia — so
+    * the law extracts day/month/year/time by regex, maps the month
+    * name, and try-parses the rebuilt ISO string: in-shape impossible
+    * dates (Feb 31) null out identically cross-engine, off-shape
+    * forms (RFC 850, asctime — obsolete; senders MUST NOT generate
+    * them) null out at the shape gate. Null falls through the
+    * caller's coalesce. */
+  def imfFixdateEpoch(v: Column): Column = {
+    val t = trim(v)
+    val pat = "^[A-Za-z]{3}, ([0-9]{2}) ([A-Za-z]{3}) ([0-9]{4}) " +
+      "([0-9]{2}:[0-9]{2}:[0-9]{2}) GMT$"
+    val mon = lower(regexp_extract(t, pat, 2))
+    val monNum = when(mon === "jan", lit("01")).when(mon === "feb", lit("02"))
+      .when(mon === "mar", lit("03")).when(mon === "apr", lit("04"))
+      .when(mon === "may", lit("05")).when(mon === "jun", lit("06"))
+      .when(mon === "jul", lit("07")).when(mon === "aug", lit("08"))
+      .when(mon === "sep", lit("09")).when(mon === "oct", lit("10"))
+      .when(mon === "nov", lit("11")).when(mon === "dec", lit("12"))
+      .otherwise(lit(null).cast("string"))
+    val iso = concat(regexp_extract(t, pat, 3), lit("-"), monNum,
+      lit("-"), regexp_extract(t, pat, 1), lit(" "),
+      regexp_extract(t, pat, 4))
+    when(t.rlike(pat) && monNum.isNotNull,
+      try_to_timestamp(iso, lit("yyyy-MM-dd HH:mm:ss")).cast("long"))
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** `Cache-Control` header value → max-age seconds: the one directive
     * a robots refresh cadence may honor (RFC 9309 §2.4 caps caching at
     * ~24 h "unless the crawler has a cache-control signal saying

@@ -38,7 +38,9 @@ object Warc {
   final case class Doc(uri: String, body: Array[Byte],
                        contentType: String = "text/html; charset=utf-8",
                        status: Int = 200,
-                       location: Option[String] = None)
+                       location: Option[String] = None,
+                       etag: Option[String] = None,
+                       lastModified: Option[String] = None)
 
   /** A parsed record: WARC headers + raw content block. */
   final case class Record(warcType: String, targetUri: String,
@@ -90,6 +92,9 @@ object Warc {
     val head = (s"HTTP/1.1 ${d.status} OK$Crlf" +
       s"Content-Type: ${d.contentType}$Crlf" +
       d.location.map(l => s"Location: ${headerSafe(l)}$Crlf")
+        .getOrElse("") +
+      d.etag.map(e => s"ETag: ${headerSafe(e)}$Crlf").getOrElse("") +
+      d.lastModified.map(m => s"Last-Modified: ${headerSafe(m)}$Crlf")
         .getOrElse("") +
       s"Content-Length: ${d.body.length}$Crlf" + Crlf)
       .getBytes("US-ASCII")
@@ -473,19 +478,30 @@ object Warc {
     // neither the column nor the fix
     val hasStatus = docs.columns.contains("status")
     val hasLocation = docs.columns.contains("location")
+    // fetch-validator headers (r18): optional `etag`/`last_modified`
+    // STRING columns ride into the HTTP head the same way — a fetcher
+    // recording them makes the capture→frontier validator loop
+    // closable at ingest (fromShardsDecoded exposes both back)
+    val hasEtag = docs.columns.contains("etag")
+    val hasLastMod = docs.columns.contains("last_modified")
     val normalized = {
       import org.apache.spark.sql.functions.col
       var df = docs
       if (hasStatus) df = df.withColumn("status", col("status").cast("int"))
       if (hasLocation)
         df = df.withColumn("location", col("location").cast("string"))
+      if (hasEtag) df = df.withColumn("etag", col("etag").cast("string"))
+      if (hasLastMod)
+        df = df.withColumn("last_modified",
+          col("last_modified").cast("string"))
       df
     }
-    val sIdx =
-      if (hasStatus) Some(normalized.schema.fieldIndex("status")) else None
-    val lIdx =
-      if (hasLocation) Some(normalized.schema.fieldIndex("location"))
-      else None
+    def idxOf(name: String, has: Boolean) =
+      if (has) Some(normalized.schema.fieldIndex(name)) else None
+    val sIdx = idxOf("status", hasStatus)
+    val lIdx = idxOf("location", hasLocation)
+    val eIdx = idxOf("etag", hasEtag)
+    val mIdx = idxOf("last_modified", hasLastMod)
     normalized.mapPartitions { it =>
       cutBounded[Doc](it.flatMap { r =>
         if (r.isNullAt(uIdx) || r.isNullAt(bIdx)) None
@@ -494,7 +510,9 @@ object Warc {
           else r.getString(cIdx),
           status = sIdx.filterNot(r.isNullAt).map(r.getInt)
             .getOrElse(200),
-          location = lIdx.filterNot(r.isNullAt).map(r.getString)))
+          location = lIdx.filterNot(r.isNullAt).map(r.getString),
+          etag = eIdx.filterNot(r.isNullAt).map(r.getString),
+          lastModified = mIdx.filterNot(r.isNullAt).map(r.getString)))
       }, d => d.uri.length.toLong + d.body.length, maxShardBytes,
         buf => Row(writeWarcGz(buf), buf.length.toLong))
     }(E.row(shardSchema))
@@ -620,6 +638,8 @@ object Warc {
       StructField("content_type", StringType),
       StructField("charset", StringType),
       StructField("location", StringType),
+      StructField("etag", StringType),
+      StructField("last_modified", StringType),
       StructField("body_text", StringType),
       StructField("n_bytes", LongType)))
     val sIdx = shards.schema.fieldIndex("shard")
@@ -633,9 +653,15 @@ object Warc {
             val mime = ctRaw.takeWhile(_ != ';').trim.toLowerCase
             val cs = detectCharset(ctRaw, body)
             // the Location header ('' when absent): 3xx rows feed the
-            // redirect map (resolveRedirects) straight from shards
+            // redirect map (resolveRedirects) straight from shards;
+            // ETag/Last-Modified ride RAW (r18 — epoch parsing is
+            // TextExtraction.imfFixdateEpoch's job downstream) so the
+            // ingest path can feed the frontier's validator columns
             Row(rec.targetUri, status, mime, cs,
-              httpHeader(head, "Location"), decodeBody(body, cs),
+              httpHeader(head, "Location"),
+              httpHeader(head, "ETag"),
+              httpHeader(head, "Last-Modified"),
+              decodeBody(body, cs),
               body.length.toLong)
           }
       }

@@ -1150,6 +1150,39 @@ class CrawlFrontierSpec extends SparkSpec {
     rMaAbsent.getLong(8) shouldBe 86400L // default cadence
   }
 
+  test("fetchRequests ∘ imfFixdateEpoch round-trips: the rendered If-Modified-Since parses back to the stored epoch; validator-less rows go unconditional") {
+    import graft.functions.TextExtraction.imfFixdateEpoch
+    val f = mkFrontier(Seq(
+        row("https://rt.ex/a", hash = Some("h")),
+        row("https://rt.ex/b")))
+      .withColumn("etag",
+        when(col("url").endsWith("a"), lit("W/\"v7\"")))
+      .withColumn("last_modified",
+        when(col("url").endsWith("a"), lit(1767744000L))) // 2026-01-07
+    val req = CrawlFrontier.fetchRequests(f).orderBy("url").collect()
+    req(0).getString(2) shouldBe "W/\"v7\"" // ETag echoes verbatim
+    req(0).getString(3) shouldBe "Wed, 07 Jan 2026 00:00:00 GMT"
+    req(1).isNullAt(2) shouldBe true // unconditional
+    req(1).isNullAt(3) shouldBe true
+    // the round trip: render → parse = identity (day-ignoring parse,
+    // UTC session)
+    CrawlFrontier.fetchRequests(f)
+      .filter(col("if_modified_since").isNotNull)
+      .select(imfFixdateEpoch(col("if_modified_since"))).as[Long]
+      .head() shouldBe 1767744000L
+    // the parse law alone: wrong weekday tolerated (the instant is
+    // the validator, not the calendar), RFC-850/asctime/junk refuse
+    Seq("Sun, 06 Nov 1994 08:49:37 GMT",   // the RFC example
+      "Xxx, 06 Nov 1994 08:49:37 GMT",     // wrong weekday: tolerated
+      "Mon, 31 Feb 2026 00:00:00 GMT",     // in-shape impossible date
+      "Sunday, 06-Nov-94 08:49:37 GMT",    // RFC 850: obsolete
+      "Sun Nov  6 08:49:37 1994",          // asctime: obsolete
+      "junk").toDF("v")
+      .select(imfFixdateEpoch(col("v"))).as[Option[Long]]
+      .collect().toSeq shouldBe Seq(Some(784111777L), Some(784111777L),
+        None, None, None, None)
+  }
+
   test("retryAfterSeconds / cacheControlMaxAge: numeric-gated, token-bounded, date/junk forms null out") {
     import graft.functions.TextExtraction.{retryAfterSeconds,
       cacheControlMaxAge}
