@@ -70,7 +70,15 @@ object StreamingOps {
     * BOM > header > meta > utf-8, cp1252 alias absorption) — still a
     * stateless partition-local map, so the stream stays legal; off by
     * default to keep the utf-8 fast path and curate_web_e2e's oracle
-    * law unchanged. */
+    * law unchanged. `carryValidators` (requires decodeCharsets — the
+    * plain reader does not expose headers) rides the capture's
+    * ETag/Last-Modified through the whole gate chain and emits them
+    * as `etag` (raw, null when the capture had none) and
+    * `last_modified` (IMF-fixdate parsed to epoch seconds via
+    * [[graft.functions.TextExtraction.imfFixdateEpoch]]; obsolete
+    * forms null) — exactly the frontier's validator columns, so the
+    * standing ingest can feed recrawlUpdates without a second shard
+    * pass. */
   def webIngestStream(shards: DataFrame,
                       cfg: graft.pipeline.CurationPipeline.Config =
                         graft.pipeline.CurationPipeline.Config(),
@@ -78,13 +86,25 @@ object StreamingOps {
                       robotsRules: Option[DataFrame] = None,
                       agent: String = "*",
                       decodeCharsets: Boolean = false,
-                      dropSoft404: Boolean = false): DataFrame = {
+                      dropSoft404: Boolean = false,
+                      carryValidators: Boolean = false): DataFrame = {
     import graft.functions.{Robots, UrlOps}
+    require(!carryValidators || decodeCharsets,
+      "webIngestStream: carryValidators needs decodeCharsets=true — " +
+        "the utf-8 fast-path reader does not expose response headers")
     val clean = graft.functions.TextExtraction.stripHtml(col("body_text"))
+    val validatorCols =
+      if (carryValidators)
+        Seq(when(length(col("etag")) > 0, col("etag"))
+            .otherwise(lit(null).cast("string")).as("etag"),
+          graft.functions.TextExtraction
+            .imfFixdateEpoch(col("last_modified")).as("last_modified"))
+      else Seq.empty[org.apache.spark.sql.Column]
     val rows =
       if (decodeCharsets)
         graft.io.Warc.fromShardsDecoded(shards)
-          .select(col("target_uri"), col("http_status"), col("body_text"))
+          .select(Seq(col("target_uri"), col("http_status"),
+            col("body_text")) ++ validatorCols: _*)
       else graft.io.Warc.fromShards(shards)
     val polite = robotsRules match {
       case Some(rules) =>
@@ -97,8 +117,11 @@ object StreamingOps {
           .drop("__robots_host", "domain", "robots_rules")
       case None => rows
     }
+    val carried =
+      if (carryValidators) Seq(col("etag"), col("last_modified"))
+      else Seq.empty[org.apache.spark.sql.Column]
     val extracted = polite
-      .select(col("target_uri"), clean.as("text"))
+      .select(Seq(col("target_uri"), clean.as("text")) ++ carried: _*)
       .withColumn("n_words",
         size(filter(split(col("text"), "[ \n]"), t => length(t) > 0)))
       .filter(col("n_words") >= minWords &&

@@ -1183,6 +1183,42 @@ class CrawlFrontierSpec extends SparkSpec {
         None, None, None, None)
   }
 
+  test("IMF-fixdate render+parse match a java.time reference on 200 seeded random epochs (rightness, not just cross-engine sameness)") {
+    // the oracle proves the two ENGINES agree; this proves they agree
+    // with the CALENDAR — the render (fetchRequests' date_format) and
+    // the parse (imfFixdateEpoch's rebuilt-ISO law) both checked
+    // against java.time with correct weekdays, leap days included
+    import graft.functions.TextExtraction.imfFixdateEpoch
+    import java.time.format.DateTimeFormatter
+    import java.time.{Instant, ZoneOffset}
+    import java.util.Locale
+    val ref = DateTimeFormatter
+      .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", Locale.US)
+      .withZone(ZoneOffset.UTC)
+    val rnd = new scala.util.Random(20260816L)
+    val epochs = Seq.fill(200)(rnd.nextLong(4102444800L)) :+ // to 2100
+      951782400L :+ 4107542400L // 2000-02-29 and 2100-02-28 edges
+    val rendered = epochs.map(e => (e, ref.format(Instant.ofEpochSecond(e))))
+    // parse side: the Column law recovers every reference rendering
+    val parsed = rendered.toDF("epoch", "s")
+      .select(col("epoch"), imfFixdateEpoch(col("s")).as("got"))
+      .as[(Long, Long)].collect()
+    parsed.foreach { case (e, got) => got shouldBe e }
+    // render side: fetchRequests' date_format equals the reference
+    // string (weekday and month names included — Spark's US-locale
+    // pattern vs java.time's must not drift)
+    val f = rendered.toDF("epoch", "expected")
+      .select(concat(lit("https://pt.ex/"), col("epoch")).as("url"),
+        lit("pt.ex").as("host"), col("expected"),
+        lit(null).cast("string").as("etag"),
+        col("epoch").as("last_modified"))
+    CrawlFrontier.fetchRequests(f)
+      .join(rendered.toDF("epoch", "expected"),
+        col("url") === concat(lit("https://pt.ex/"), col("epoch")))
+      .filter(col("if_modified_since") =!= col("expected"))
+      .count() shouldBe 0L
+  }
+
   test("retryAfterSeconds / cacheControlMaxAge: numeric-gated, token-bounded, date/junk forms null out") {
     import graft.functions.TextExtraction.{retryAfterSeconds,
       cacheControlMaxAge}

@@ -573,6 +573,49 @@ class WebCorpusSpec extends SparkSpec {
       not include "\u201cnumber 2\u201d"
   }
 
+  test("webIngestStream carryValidators: the capture's ETag/Last-Modified reach the output as the frontier's validator columns; the fast path refuses") {
+    import graft.streaming.StreamingOps
+    val cfg = graft.pipeline.CurationPipeline.Config(
+      minTokens = 8, langs = Seq("en"))
+    val prose = "a clearly english paragraph with plenty of ordinary " +
+      "words in it for the gate"
+    val docs = Seq(
+      ("https://iv.example/1", s"<p>$prose one</p>".getBytes("UTF-8"),
+        "text/html; charset=utf-8", "\"e1\"",
+        "Wed, 07 Jan 2026 00:00:00 GMT"),
+      ("https://iv.example/2", s"<p>$prose two</p>".getBytes("UTF-8"),
+        "text/html; charset=utf-8", null.asInstanceOf[String],
+        null.asInstanceOf[String]))
+      .toDF("url", "body", "content_type", "etag", "last_modified")
+      .coalesce(1)
+    val shards = graft.io.Warc.toShardsRaw(docs)
+    val out = StreamingOps.webIngestStream(shards, cfg,
+        decodeCharsets = true, carryValidators = true)
+      .orderBy("target_uri").collect()
+    out.length shouldBe 2
+    out(0).getString(out(0).fieldIndex("etag")) shouldBe "\"e1\""
+    out(0).getLong(out(0).fieldIndex("last_modified")) shouldBe
+      1767744000L // parsed to epoch \u2014 recrawlUpdates-ready
+    out(1).isNullAt(out(1).fieldIndex("etag")) shouldBe true
+    out(1).isNullAt(out(1).fieldIndex("last_modified")) shouldBe true
+    // the wiring the flag exists for: the ingest output feeds the
+    // revisit law's validator columns directly
+    val frontier = graft.operators.CrawlFrontier.seed(
+      docs.select(col("url")), now = 1000L)
+    val fetched = StreamingOps.webIngestStream(shards, cfg,
+        decodeCharsets = true, carryValidators = true)
+      .select(col("target_uri").as("url"), lit(2000L).as("fetch_ts"),
+        lit(200).as("status"), md5(col("text")).as("content_hash"),
+        col("etag"), col("last_modified"))
+    val updated = graft.operators.CrawlFrontier
+      .recrawlUpdates(fetched, frontier).orderBy("url").collect()
+    updated(0).getString(11) shouldBe "\"e1\""
+    updated(0).getLong(12) shouldBe 1767744000L
+    intercept[IllegalArgumentException] {
+      StreamingOps.webIngestStream(shards, cfg, carryValidators = true)
+    }.getMessage should include("decodeCharsets")
+  }
+
   // ——— robots.txt —————————————————————————————————————————————————
 
   test("robots: group structure, most-specific-agent selection, longest-prefix precedence, empty-Disallow idiom") {
