@@ -749,30 +749,34 @@ object QueriesWeb {
       import graft.functions.TextExtraction
       val d = col("doc_id")
       val id = d.cast("string")
-      val text = when(d % 9 === 0,
+      val text = when(d % 10 === 0,
           concat(lit("Error: page not found. The resource "), id,
             lit(" is gone.")))
-        .when(d % 9 === 1,
+        .when(d % 10 === 1,
           concat(lit("HTTP 404 - this page does not exist ("), id,
             lit(")")))
-        .when(d % 9 === 2, concat(lit("short fine page "), id))
-        .when(d % 9 === 3,
+        .when(d % 10 === 2, concat(lit("short fine page "), id))
+        .when(d % 10 === 3,
           // long article ABOUT 404s: phrase present, length >= 500
           concat(lit("A history of the 404 status code. "),
             lit(("The error code has a long story. " * 20)), id))
-        .when(d % 9 === 4,
+        .when(d % 10 === 4,
           // error phrase but BEYOND the 200-char window
           concat(lit("x" * 210), lit(" page not found "), id))
-        .when(d % 9 === 5,
+        .when(d % 10 === 5,
           // bare number, no error context — a street address is not
           // an error shell (words break the proximity bridge)
           concat(lit("Visit us at 404 Main Street, office "), id))
-        .when(d % 9 === 6,
+        .when(d % 10 === 6,
           // punctuation-separated numeric shell: flags via proximity
           concat(lit("404 -- Not Found ("), id, lit(")")))
-        .when(d % 9 === 7,
+        .when(d % 10 === 7,
           // reversed order, parenthesized: 'Error. (404)' flags too
           concat(lit("Error. (404) page "), id))
+        .when(d % 10 === 8,
+          // a URL MENTION is not an error context: 'http' must not
+          // bridge '://' into the number (the r18 review's hole)
+          concat(lit("See http://404.example.com for details "), id))
         .otherwise(
           // the contextual numeric form flags
           concat(lit("error 404: nothing here ("), id, lit(")")))
@@ -784,30 +788,33 @@ object QueriesWeb {
     }, Some("""
       WITH t AS (
         SELECT doc_id,
-          CASE WHEN doc_id % 9 = 0 THEN
+          CASE WHEN doc_id % 10 = 0 THEN
                  'Error: page not found. The resource ' || doc_id ||
                    ' is gone.'
-               WHEN doc_id % 9 = 1 THEN
+               WHEN doc_id % 10 = 1 THEN
                  'HTTP 404 - this page does not exist (' || doc_id || ')'
-               WHEN doc_id % 9 = 2 THEN 'short fine page ' || doc_id
-               WHEN doc_id % 9 = 3 THEN
+               WHEN doc_id % 10 = 2 THEN 'short fine page ' || doc_id
+               WHEN doc_id % 10 = 3 THEN
                  'A history of the 404 status code. ' ||
                    repeat('The error code has a long story. ', 20) ||
                    doc_id
-               WHEN doc_id % 9 = 4 THEN
+               WHEN doc_id % 10 = 4 THEN
                  repeat('x', 210) || ' page not found ' || doc_id
-               WHEN doc_id % 9 = 5 THEN
+               WHEN doc_id % 10 = 5 THEN
                  'Visit us at 404 Main Street, office ' || doc_id
-               WHEN doc_id % 9 = 6 THEN
+               WHEN doc_id % 10 = 6 THEN
                  '404 -- Not Found (' || doc_id || ')'
-               WHEN doc_id % 9 = 7 THEN
+               WHEN doc_id % 10 = 7 THEN
                  'Error. (404) page ' || doc_id
+               WHEN doc_id % 10 = 8 THEN
+                 'See http://404.example.com for details ' || doc_id
                ELSE 'error 404: nothing here (' || doc_id || ')'
                END AS text
         FROM documents)
       SELECT doc_id,
              (regexp_matches(lower(substr(text, 1, 200)),
-                'page not found|(error|http|not found)\W{0,12}404|' ||
+                'page not found|(error|not found)\W{0,12}404|' ||
+                'http[\s:]{0,8}404|' ||
                 '404\W{0,12}(error|not found)|no longer available|' ||
                 'does not exist|page cannot be found|page unavailable')
               AND length(text) < 500) AS soft404,

@@ -377,13 +377,20 @@ object Robots {
     val m = maintained.select(col("domain"),
       col("robots_rules").as("__m_rules"),
       col("robots_status").as("__m_status"),
-      col("fetched_at").as("__m_at"))
+      col("fetched_at").as("__m_at"), lit(true).as("__m_present"))
     val f = fresh.select(col("domain"),
       col("robots_rules").as("__f_rules"),
       col("robots_status").as("__f_status"),
-      col("fetched_at").as("__f_at"))
-    val freshWins = col("__m_at").isNull ||
-      (col("__f_at").isNotNull && col("__f_at") >= col("__m_at"))
+      col("fetched_at").as("__f_at"), lit(true).as("__f_present"))
+    // row PRESENCE is judged by its own marker, never by fetched_at
+    // being null: a maintained row whose fetched_at is null (an
+    // undated fetch upstream) must lose to a dated fresh row, not be
+    // WIPED to all-null fields when no fresh row arrived at all —
+    // null robots_rules means allow-all downstream, so that wipe
+    // would silently open a host held at complete-disallow
+    val freshWins = col("__f_present").isNotNull &&
+      (col("__m_present").isNull || col("__m_at").isNull ||
+        (col("__f_at").isNotNull && col("__f_at") >= col("__m_at")))
     m.join(f, Seq("domain"), "full_outer")
       .select(col("domain"),
         when(freshWins, col("__f_rules")).otherwise(col("__m_rules"))

@@ -114,8 +114,13 @@ object TextExtraction {
     // with punctuation ('404 — Not Found', 'Error… (404)'), which the
     // adjacency form missed; \W admits no letters, so 'at 404 Main
     // Street' still stays clean — words between the tokens break the
-    // bridge
-    head.rlike("page not found|(error|http|not found)\\W{0,12}404|" +
+    // bridge. The http token bridges only space/colon ([\s:], never
+    // '/'): a generic \W bridge made 'http' + '://' + '404' match, so
+    // a short page merely LINKING to http://404.example.com or
+    // /404-guide flagged as an error shell — a URL mention is not an
+    // error context
+    head.rlike("page not found|(error|not found)\\W{0,12}404|" +
+      "http[\\s:]{0,8}404|" +
       "404\\W{0,12}(error|not found)|no longer available|" +
       "does not exist|page cannot be found|page unavailable") &&
       length(text) < 500

@@ -335,10 +335,12 @@ object CrawlFrontier {
     }: _*)
   }
 
-  /** The fetch-result projection both revisit faces share: the contract
-    * columns cast, plus the OPTIONAL validator and Retry-After columns
-    * (a fetcher that doesn't record them — every pre-r18 caller — gets
-    * nulls; the law's keep/fallback branches never see them). */
+  /** The fetch-result projection every revisit face shares (the page
+    * law AND the robots law — one place to extend the fetch contract):
+    * the required columns cast, plus the OPTIONAL validator,
+    * Retry-After and Cache-Control-max-age columns (a fetcher that
+    * doesn't record them — every pre-r18 caller — gets nulls; each
+    * law's keep/fallback branches never see them). */
   private def fetchProjection(fetched: DataFrame): DataFrame = {
     def opt(name: String, tpe: String) =
       if (fetched.columns.contains(name)) col(name).cast(tpe)
@@ -349,7 +351,8 @@ object CrawlFrontier {
       col("content_hash").cast("string").as("f_content_hash"),
       opt("etag", "string").as("f_etag"),
       opt("last_modified", "long").as("f_last_modified"),
-      opt("retry_after", "long").as("f_retry_after"))
+      opt("retry_after", "long").as("f_retry_after"),
+      opt("max_age", "long").as("f_max_age"))
   }
 
   /** Latest attempt per url — a crawl cycle can retry; the most recent
@@ -660,11 +663,14 @@ object CrawlFrontier {
     * cheaper). An optional `max_age` column on `fetched` (seconds —
     * [[graft.functions.TextExtraction.cacheControlMaxAge]] over the
     * response's Cache-Control value) OVERRIDES the default cadence
-    * per row, floored at `minRefreshS`: §2.4 caps robots caching at
-    * ~24 h "unless a cache-control signal says otherwise", so a host
-    * declaring max-age=3600 refreshes hourly and one declaring a week
-    * is believed — while the floor keeps a hostile max-age=0 from
-    * turning the refresh loop into a hammer. */
+    * per row, floored at `minRefreshS` — but ONLY on a 2xx/304
+    * answer: §2.4's cache-control exception speaks to a successfully
+    * fetched robots file, and honoring a 5xx error page's max-age
+    * (CDN error shells routinely declare a week) would let an OUTAGE
+    * postpone the disallow-all recovery arbitrarily — the failure
+    * cadence stays the default so the host re-checks on schedule.
+    * The floor keeps a hostile max-age=0 from turning the refresh
+    * loop into a hammer. */
   def robotsRecrawlUpdates(fetched: DataFrame, frontier: DataFrame,
                            refreshIntervalS: Long = 86400L,
                            minRefreshS: Long = 300L): DataFrame = {
@@ -673,24 +679,12 @@ object CrawlFrontier {
     require(minRefreshS > 0 && minRefreshS <= refreshIntervalS,
       s"need 0 < minRefreshS <= refreshIntervalS, got " +
         s"$minRefreshS/$refreshIntervalS")
-    val maxAge =
-      if (fetched.columns.contains("max_age")) col("max_age").cast("long")
-      else lit(null).cast("long")
-    val f = fetched.select(col("url"),
-      col("fetch_ts").cast("long").as("f_fetch_ts"),
-      col("status").cast("int").as("f_status"),
-      col("content_hash").cast("string").as("f_content_hash"),
-      (if (fetched.columns.contains("etag")) col("etag").cast("string")
-       else lit(null).cast("string")).as("f_etag"),
-      (if (fetched.columns.contains("last_modified"))
-         col("last_modified").cast("long")
-       else lit(null).cast("long")).as("f_last_modified"),
-      maxAge.as("__rb_max_age"))
-    val joined = f.join(frontier, Seq("url"))
+    val joined = fetchProjection(fetched).join(frontier, Seq("url"))
     val ok = okC(col("f_status"))
     val answered = col("f_status") >= 200 && col("f_status") <= 499
-    val refresh = when(col("__rb_max_age").isNotNull,
-      greatest(lit(minRefreshS), col("__rb_max_age")))
+    val refresh = when((ok || notModC(col("f_status"))) &&
+        col("f_max_age").isNotNull,
+      greatest(lit(minRefreshS), col("f_max_age")))
       .otherwise(lit(refreshIntervalS))
     joined.select(
       col("url"), col("host"), col("depth"), col("priority"),
@@ -731,13 +725,25 @@ object CrawlFrontier {
     * the exact row-level `next_fetch_ts <= now` gate stays
     * [[selectBatch]]'s job — this returns the boundary day whole (a
     * row due this evening is in today's directory). The helper
-    * column drops; the 11-column contract comes back. */
+    * column drops; the 13-column contract comes back — a frontier
+    * PERSISTED under the r17 11-column contract (a long-lived store
+    * written before the validator columns existed) reads back with
+    * null validators instead of failing the select: on-disk state
+    * outlives code versions, and null is exactly what "no validator
+    * recorded yet" means (the first post-upgrade fetch goes
+    * unconditional and the 2xx stamps real ones). */
   def loadDue(spark: org.apache.spark.sql.SparkSession, path: String,
-              now: Long): DataFrame =
-    spark.read.parquet(path)
+              now: Long): DataFrame = {
+    val raw = spark.read.parquet(path)
       .filter(col("next_fetch_day") <= lit(now / 86400L))
       .drop("next_fetch_day")
-      .select(frontierCols.map(col): _*)
+    val compat = Seq("etag" -> "string", "last_modified" -> "long")
+      .foldLeft(raw) { case (df, (c, t)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(t))
+      }
+    compat.select(frontierCols.map(col): _*)
+  }
 
   /** Re-prioritize frontier rows from a host-level quality signal —
     * the loop closure where the link graph feeds the crawl back

@@ -783,6 +783,22 @@ class CrawlFrontierSpec extends SparkSpec {
     // plan still reads a day-pruned scan, not the whole frontier
     val cPlan = composed.queryExecution.executedPlan.toString
     cPlan should include regex "PartitionFilters: \\[[^\\]]*next_fetch_day"
+    // ON-DISK COMPAT: a frontier persisted under the r17 11-column
+    // contract (before the validator columns existed) reads back with
+    // null validators instead of failing the contract select — the
+    // store outlives code versions
+    val path17 = java.nio.file.Files
+      .createTempDirectory("graft-frontier-r17").toString + "/f"
+    CrawlFrontier.writeDayBucketed(
+      f.drop("etag", "last_modified"), path17)
+    val legacy = spark.read.parquet(path17)
+    legacy.columns should not contain "etag"
+    val due17 = CrawlFrontier.loadDue(spark, path17, now)
+    due17.columns.toSeq shouldBe f.columns.toSeq
+    due17.filter(col("etag").isNotNull).count() shouldBe 0L
+    // and the r18 law runs over it unchanged
+    CrawlFrontier.selectBatch(due17, now, batchSize = 10,
+      perHostCap = 5).count() shouldBe 2L
   }
 
   // ——— crawler traps ———————————————————————————————————————————————
@@ -1083,6 +1099,20 @@ class CrawlFrontierSpec extends SparkSpec {
     // a brand-new domain inserts alongside
     val other = fetchAt(150L, 404, null).withColumn("domain", lit("b.ex"))
     Robots.updateRules(m2, other).count() shouldBe 2L
+    // an UNDATED maintained row (fetched_at null — a malformed
+    // upstream stamp) must survive a merge that brings no fresh row
+    // for its domain: wiping it to all-null fields would read as
+    // allow-all downstream and silently open a disallow-all host
+    val undated = m1.withColumn("fetched_at",
+      lit(null).cast("long"))
+    val merged = Robots.updateRules(undated, other)
+    val aRow = merged.filter(col("domain") === "a.ex").collect()(0)
+    aRow.getString(2) shouldBe "disallow_all" // kept, not wiped
+    aRow.getSeq[org.apache.spark.sql.Row](1) should not be null
+    // ...and it LOSES to a dated fresh row for the same domain
+    Robots.updateRules(undated, day2)
+      .filter(col("domain") === "a.ex")
+      .select("robots_status").as[String].head() shouldBe "rules"
   }
 
   test("robotsSeeds + isRobotsUrl + robotsRecrawlUpdates: fixed cadence, priority above page rows, never dies, 304/validators ride") {
@@ -1148,6 +1178,18 @@ class CrawlFrontierSpec extends SparkSpec {
     val rMaAbsent = CrawlFrontier.robotsRecrawlUpdates(
       fetchMa(450000L, None), f).collect()(0)
     rMaAbsent.getLong(8) shouldBe 86400L // default cadence
+    // a FAILED fetch's max-age is ignored (a CDN error shell
+    // declaring max-age=1 week must not postpone the disallow-all
+    // recovery) — the failure cadence stays the default
+    def fetch503Ma(ts: Long, ma: Long) =
+      Seq(("https://a.ex/robots.txt", ts, 503,
+        Option.empty[String], Option.empty[String], Some(ma)))
+        .toDF("url", "fetch_ts", "status", "content_hash", "etag",
+          "max_age")
+    val rErr = CrawlFrontier.robotsRecrawlUpdates(
+      fetch503Ma(540000L, 604800L), f).collect()(0)
+    (rErr.getLong(8), rErr.getLong(9), rErr.getString(10)) shouldBe
+      ((86400L, 540000L + 86400L, "active"))
   }
 
   test("fetchRequests ∘ imfFixdateEpoch round-trips: the rendered If-Modified-Since parses back to the stored epoch; validator-less rows go unconditional") {
