@@ -642,9 +642,9 @@ object CrawlFrontier {
     require(refreshIntervalS > 0,
       s"refreshIntervalS must be positive: $refreshIntervalS")
     seed(hosts.select(concat(lit("https://"), col(hostCol),
-        lit("/robots.txt")).as("url"), lit(2.0).as("__rb_pr"),
-        lit(refreshIntervalS).as("__rb_iv")),
-      now, priorityCol = Some("__rb_pr"), intervalCol = Some("__rb_iv"))
+        lit("/robots.txt")).as("url"), lit(2.0).as("__rb_pr")),
+      now, priorityCol = Some("__rb_pr"),
+      defaultIntervalS = refreshIntervalS)
   }
 
   /** The robots-row revisit law — [[recrawlUpdates]]' shape (inner
