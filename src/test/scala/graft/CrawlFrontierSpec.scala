@@ -573,6 +573,124 @@ class CrawlFrontierSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("store-held standing loop WITH robots rows: both row kinds live in the snapshot store, results route by isRobotsUrl, the rules frame maintains read-modify-write, a robots change flips admission through the store") {
+    import graft.functions.Robots
+    import graft.streaming.StreamingOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scl-robots").toString
+    val root = s"$base/frontier"
+    val rulesDir = s"$base/rules"
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state", "etag", "last_modified")
+    val contract = "url" +: payloadCols
+    def toEvents(df: DataFrame, seq: Long) =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
+    val q = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        root, idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def served(): DataFrame = StreamingOps.readSnapshot(spark, root).get
+      .select(contract.map(col): _*)
+    def saveRules(df: DataFrame): Unit = {
+      val tmp = s"$rulesDir.next"
+      df.write.mode("overwrite").parquet(tmp)
+      val old = new java.io.File(rulesDir)
+      if (old.exists()) {
+        val bak = new java.io.File(s"$rulesDir.old")
+        old.renameTo(bak)
+        new java.io.File(tmp).renameTo(old)
+        org.apache.commons.io.FileUtils.deleteDirectory(bak)
+      } else new java.io.File(tmp).renameTo(old)
+    }
+    // one store seeds BOTH kinds: the origin's robots row (priority
+    // 2.0, fixed 24 h cadence) and its pages
+    val seeds = CrawlFrontier.robotsSeeds(Seq("a.ex").toDF("host"),
+        now = 1000L)
+      .unionByName(CrawlFrontier.seed(
+        Seq("https://a.ex/ok/0", "https://a.ex/blocked/0").toDF("url"),
+        now = 1000L, defaultIntervalS = 1000L))
+    def cycle(now: Long, robotsTxt: Option[(Int, String)])
+        : (Seq[String], Seq[String]) = {
+      val sv = served().localCheckpoint(true)
+      val batch = CrawlFrontier.selectBatch(sv, now,
+        batchSize = 10, perHostCap = 10).localCheckpoint(true)
+      val isR = CrawlFrontier.isRobotsUrl(col("url"))
+      val robotsBatch = batch.filter(isR)
+      val pageBatch = batch.filter(!isR)
+      var events = Seq.empty[(String, Long, String, String, Int, Double,
+        Long, Int, Option[Long], Option[String], Long, Long, String,
+        Option[String], Option[Long])]
+      robotsTxt.foreach { case (status, txt) =>
+        val fetched = robotsBatch.select(col("host").as("domain"),
+          lit(status).as("status"), lit(txt).as("robots_txt"),
+          lit(now + 1L).as("fetch_ts"))
+        val fresh = Robots.rulesFromFetch(fetched, "graftbot")
+        saveRules(if (new java.io.File(rulesDir).exists())
+          Robots.updateRules(spark.read.parquet(rulesDir), fresh)
+        else fresh)
+        events ++= toEvents(CrawlFrontier.robotsRecrawlUpdates(
+          robotsBatch.select(col("url"), lit(now + 1L).as("fetch_ts"),
+            lit(status).as("status"),
+            lit(null).cast("string").as("content_hash")), sv), now)
+      }
+      val pageResults = pageBatch.select(col("url"),
+        lit(now + 2L).as("fetch_ts"), lit(200).as("status"),
+        md5(concat(lit(now.toString), col("url"))).as("content_hash"))
+      val disc = pageBatch.select(
+        regexp_replace(col("url"), "/[0-9]+$", s"/$now").as("url"),
+        (col("depth") + 1).as("depth"))
+      val admitted = CrawlFrontier.admit(sv,
+        CrawlFrontier.gateRobots(disc, spark.read.parquet(rulesDir)),
+        now).localCheckpoint(true)
+      events ++= toEvents(
+        CrawlFrontier.recrawlUpdates(pageResults, sv)
+          .unionByName(admitted), now)
+      input.addData(events: _*); q.processAllAvailable()
+      (batch.select("url").as[String].collect().sorted.toSeq,
+        admitted.select("url").as[String].collect().sorted.toSeq)
+    }
+    try {
+      // seed at seq 0: wave events carry seq=now, and the max-seq
+      // upsert must see every wave STRICTLY after the seed
+      input.addData(toEvents(seeds, 0L): _*); q.processAllAvailable()
+      // wave 1: robots row leads through the STORE's served frontier;
+      // rules land disallowing /blocked — the admit gate holds
+      val (b1, a1) = cycle(1000L, Some((200,
+        "User-agent: *\nDisallow: /blocked\n")))
+      b1 should contain("https://a.ex/robots.txt")
+      a1 shouldBe Seq("https://a.ex/ok/1000")
+      // wave 2 two hours on: robots not due (24 h cadence held by the
+      // store's row), pages due; the MAINTAINED rules still gate
+      val (b2, a2) = cycle(1000L + 7200L, None)
+      b2 should not contain "https://a.ex/robots.txt"
+      a2.foreach(u => u should not include "/blocked")
+      // wave 3 past the cadence: the refresh reads a CHANGED
+      // robots.txt (allow-all) — the same chain now admits /blocked
+      val (b3, a3) = cycle(1000L + 86400L + 7300L, Some((200,
+        "User-agent: *\nDisallow:\n")))
+      b3 should contain("https://a.ex/robots.txt")
+      a3.exists(_.contains("/blocked")) shouldBe true
+      // the robots row survived in the STORE on its fixed cadence
+      val rrow = served().filter(CrawlFrontier.isRobotsUrl(col("url")))
+        .collect()(0)
+      rrow.getString(10) shouldBe "active"
+      rrow.getLong(9) shouldBe (1000L + 86400L + 7300L + 1L + 86400L)
+    } finally q.stop()
+  }
+
   test("standing crawl loop: store-held cycles (loadDue face → selectBatch → fetch → recrawlUpdates+admit upserts) run wave-for-wave equal to step() across 3 cycles with a crash-restart and an at-least-once replay") {
     import graft.streaming.StreamingOps
     implicit val ctx = spark.sqlContext
