@@ -818,6 +818,10 @@ object QueriesCrawl {
       // POSTPONES (greatest, never earlier), only on failing answers,
       // and the stored interval keeps the multiplicative backoff (the
       // header speaks to THIS retry, not the page's change rate). The
+      // honored value CLAMPS at the law's own maxIntervalS — the
+      // fixture's 999999 (11.6 days vs the 7-day ceiling) pins that a
+      // hostile declaration cannot freeze a row past the law's own
+      // longest wait. The
       // header VALUE parses in-plan via retryAfterSeconds: the
       // delta-seconds form (whitespace-tolerant, numeric-gated), the
       // HTTP-date form nulls out (the fetcher's clock's job), junk
@@ -925,7 +929,7 @@ object QueriesCrawl {
         SELECT *,
           CASE WHEN NOT ok AND NOT gone AND NOT notmod
                     AND f_retry_after IS NOT NULL
-               THEN greatest(new_interval, f_retry_after)
+               THEN greatest(new_interval, least(f_retry_after, 604800))
                ELSE new_interval END AS wait
         FROM iv)
       SELECT url, host, depth, priority,
@@ -1047,8 +1051,11 @@ object QueriesCrawl {
       // 200 with rules parses ('rules'), 200 with only an empty
       // Disallow: allows everything (the empty-pattern law, still
       // 'rules'), 404 means unrestricted access ('allow_all'),
-      // 503 and a network error (status 0) mean temporarily assume
-      // COMPLETE disallow ('disallow_all'), an unresolved 301 falls
+      // 503, a network error (status 0) AND a 429 mean temporarily
+      // assume COMPLETE disallow ('disallow_all' — rate-limited is
+      // §2.3.1.4's "unreachable": no verdict was delivered, and
+      // reading it as unrestricted access would open a host BECAUSE
+      // it throttled us), an unresolved 301 falls
       // to the MAY-assume-unavailable clause ('allow_all') — and the
       // maintained frame feeds gateRobots UNCHANGED, lifecycle
       // metadata riding along. The oracle replays status→verdict →
@@ -1056,14 +1063,15 @@ object QueriesCrawl {
       // crawl_admit_robots' subject.
       import graft.functions.Robots
       val d = col("doc_id")
-      val k = (d % 6).cast("string")
+      val k = (d % 7).cast("string")
       val host = concat(lit("h"), k, lit(".rl.com"))
-      val status = when(d % 6 === 0 || d % 6 === 1, lit(200))
-        .when(d % 6 === 2, lit(404)).when(d % 6 === 3, lit(503))
-        .when(d % 6 === 4, lit(0)).otherwise(lit(301))
-      val txt = when(d % 6 === 0,
+      val status = when(d % 7 === 0 || d % 7 === 1, lit(200))
+        .when(d % 7 === 2, lit(404)).when(d % 7 === 3, lit(503))
+        .when(d % 7 === 4, lit(0)).when(d % 7 === 6, lit(429))
+        .otherwise(lit(301))
+      val txt = when(d % 7 === 0,
           lit("User-agent: *\nDisallow: /private\n"))
-        .when(d % 6 === 1, lit("User-agent: *\nDisallow:\n"))
+        .when(d % 7 === 1, lit("User-agent: *\nDisallow:\n"))
         .otherwise(lit(null).cast("string"))
       val docs = T(s, dir, "documents")
       val robotsFetched = docs.select(host.as("domain"),
@@ -1085,14 +1093,14 @@ object QueriesCrawl {
     }, Some("""
       WITH base AS (
         SELECT doc_id,
-               'h' || (doc_id % 6) || '.rl.com' AS host,
-               CAST(doc_id % 6 AS INT) AS k,
+               'h' || (doc_id % 7) || '.rl.com' AS host,
+               CAST(doc_id % 7 AS INT) AS k,
                CASE WHEN doc_id % 2 = 0 THEN '/pub/' || (doc_id % 10)
                     ELSE '/private/' || (doc_id % 10) END AS path
         FROM documents),
       v AS (
         SELECT doc_id, host, path,
-          CASE WHEN k IN (3, 4) THEN FALSE
+          CASE WHEN k IN (3, 4, 6) THEN FALSE
                WHEN k = 0 THEN NOT starts_with(path, '/private')
                ELSE TRUE END AS allowed,
           CASE WHEN k IN (0, 1) THEN 'rules'
@@ -1103,6 +1111,411 @@ object QueriesCrawl {
              CAST(1 AS INT) AS depth, robots_status,
              CAST(1754000000 AS BIGINT) AS fetched_at
       FROM v WHERE allowed ORDER BY url""")),
+
+    ("crawl_sitemap_fold", (s, dir) => {
+      // the sitemap lifecycle's BODY half: one cycle's parsed feed
+      // entries fold into the frontier — a known row pulls due ONLY
+      // when the announced <lastmod> claims a change since our last
+      // fetch (the reseed law: stale re-announcements, never-fetched
+      // rows emit NOTHING — a nightly feed pass must not churn the
+      // schedule), and unknown URLs seed fresh at depth 0 with the
+      // publisher's declared priority/changefreq/lastmod riding into
+      // the row. Entry parsing is crawl_sitemap_parse's subject; this
+      // oracle replays the fixture CONTRACT + the fold laws (the
+      // text_content_encoding convention).
+      import graft.functions.Sitemaps
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".sf.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".sf.com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        lit(2L).as("fetch_count"), lit(0).as("fail_count"),
+        when(d % 3 === 0, lit(null).cast("long"))
+          .otherwise(lit(T0) - 5000L).as("last_fetch_ts"),
+        md5(id).as("content_hash"),
+        lit(86400L).as("interval_s"),
+        (lit(T0) + 5000L).as("next_fetch_ts"),
+        lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
+      val xml = concat(
+        lit("<urlset><url><loc>https://h"), k, lit(".sf.com/p/"), id,
+        lit("</loc><lastmod>"),
+        when(d % 2 === 0, lit("2026-01-05")).otherwise(lit("1970-01-02")),
+        lit("</lastmod></url><url><loc>https://h"), k,
+        lit(".sf.com/n/"), id,
+        lit("</loc><lastmod>2026-01-0"), (d % 9 + 1).cast("string"),
+        lit("</lastmod><changefreq>hourly</changefreq>"),
+        lit("<priority>0.8</priority></url></urlset>"))
+      val entries = docs.select(explode(Sitemaps.urlEntries(xml)))
+        .select(col("col.*"))
+      CrawlFrontier.sitemapFold(frontier, entries, now = T0)
+        .orderBy("url")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, 'h' || (doc_id % 5) || '.sf.com' AS host
+        FROM documents),
+      known AS (
+        SELECT doc_id, host,
+               'https://' || host || '/p/' || doc_id AS url
+        FROM base
+        WHERE doc_id % 2 = 0       -- lastmod 2026-01-05: changed
+          AND doc_id % 3 <> 0),    -- never-fetched rows emit nothing
+      new_rows AS (
+        SELECT doc_id, host,
+               'https://' || host || '/n/' || doc_id AS url
+        FROM base)
+      SELECT url, host, CAST(1 AS INT) AS depth,
+             CAST(0.5 AS DOUBLE) AS priority,
+             CAST(2 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(1754000000 - 5000 AS BIGINT) AS last_fetch_ts,
+             md5(CAST(doc_id AS VARCHAR)) AS content_hash,
+             CAST(86400 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state, CAST(NULL AS VARCHAR) AS etag,
+             CAST(epoch(TRY_CAST('2026-01-05' AS TIMESTAMP)) AS BIGINT)
+               AS last_modified
+      FROM known
+      UNION ALL
+      SELECT url, host, CAST(0 AS INT) AS depth,
+             CAST(0.8 AS DOUBLE) AS priority,
+             CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(NULL AS BIGINT) AS last_fetch_ts,
+             CAST(NULL AS VARCHAR) AS content_hash,
+             CAST(3600 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state, CAST(NULL AS VARCHAR) AS etag,
+             CAST(epoch(TRY_CAST('2026-01-0' || (doc_id % 9 + 1)
+               AS TIMESTAMP)) AS BIGINT) AS last_modified
+      FROM new_rows
+      ORDER BY url""")),
+
+    ("crawl_polite_waves", (s, dir) => {
+      // per-host politeness ACROSS waves: a 60-second cycle against a
+      // 600-second budget window must not re-grant the declared
+      // budget every wave. Wave 1 spends against the full caps; the
+      // maintained usage frame carries spend over the boundary, so
+      // wave 2 (same window) grants budgeted hosts only what is
+      // LEFT — exhausted hosts sit it out — while unbudgeted hosts
+      // keep the global cap. The oracle replays both waves' select
+      // law + the usage/remaining arithmetic.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 7).cast("string")
+      val host = concat(lit("h"), k, lit(".pw.com"))
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://"), host, lit("/p/"), id).as("url"),
+        host.as("host"), lit(0).as("depth"),
+        ((d * 37 % 100) / lit(100.0)).as("priority"),
+        lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+        lit(null).cast("long").as("last_fetch_ts"),
+        lit(null).cast("string").as("content_hash"),
+        lit(3600L).as("interval_s"), lit(T0).as("next_fetch_ts"),
+        lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
+      val budgets = docs.filter(d % 7 < 4)
+        .select(host.as("host"), (d % 7 + 1).cast("int").as("cap"))
+        .distinct()
+      val emptyUsage = budgets.select(col("host"),
+        lit(0L).as("window_start"), lit(0L).as("used")).filter(lit(false))
+      val w1 = CrawlFrontier.selectBatch(frontier, now = T0,
+        batchSize = 30, perHostCap = 8,
+        hostBudgets = Some(CrawlFrontier.remainingBudgets(budgets,
+          emptyUsage, now = T0, windowS = 600L)))
+      val usage1 = CrawlFrontier.updateHostUsage(emptyUsage, w1,
+        now = T0, windowS = 600L)
+      val f2 = frontier.join(w1.select("url"), Seq("url"), "left_anti")
+      val w2 = CrawlFrontier.selectBatch(f2, now = T0 + 60L,
+        batchSize = 30, perHostCap = 8,
+        hostBudgets = Some(CrawlFrontier.remainingBudgets(budgets,
+          usage1, now = T0 + 60L, windowS = 600L)))
+      w1.select(lit(1).as("wave"), col("url"), col("host"),
+          col("priority"))
+        .unionByName(w2.select(lit(2).as("wave"), col("url"),
+          col("host"), col("priority")))
+        .orderBy("wave", "url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 7) || '.pw.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 7) || '.pw.com' AS host,
+               (doc_id * 37 % 100) / 100.0 AS priority
+        FROM documents),
+      bud AS (
+        SELECT DISTINCT 'h' || (doc_id % 7) || '.pw.com' AS host,
+               CAST(doc_id % 7 + 1 AS BIGINT) AS cap
+        FROM documents WHERE doc_id % 7 < 4),
+      r1 AS (
+        SELECT f.*, row_number() OVER (PARTITION BY host
+                 ORDER BY priority DESC, url) AS hr
+        FROM f),
+      w1 AS (
+        SELECT r1.url, r1.host, r1.priority FROM r1
+        LEFT JOIN bud ON bud.host = r1.host
+        WHERE r1.hr <= least(8, coalesce(bud.cap, 8))
+        ORDER BY r1.priority DESC, r1.url LIMIT 30),
+      use1 AS (SELECT host, count(*) AS used FROM w1 GROUP BY host),
+      eff AS (
+        SELECT bud.host,
+               greatest(0, bud.cap - coalesce(use1.used, 0)) AS cap
+        FROM bud LEFT JOIN use1 ON use1.host = bud.host),
+      f2 AS (
+        SELECT * FROM f
+        WHERE url NOT IN (SELECT url FROM w1)),
+      r2 AS (
+        SELECT f2.*, row_number() OVER (PARTITION BY host
+                 ORDER BY priority DESC, url) AS hr
+        FROM f2),
+      w2 AS (
+        SELECT r2.url, r2.host, r2.priority FROM r2
+        LEFT JOIN eff ON eff.host = r2.host
+        WHERE r2.hr <= least(8, coalesce(eff.cap, 8))
+        ORDER BY r2.priority DESC, r2.url LIMIT 30)
+      SELECT CAST(1 AS INT) AS wave, url, host, priority FROM w1
+      UNION ALL
+      SELECT CAST(2 AS INT) AS wave, url, host, priority FROM w2
+      ORDER BY wave, url""")),
+
+    ("crawl_redirects", (s, dir) => {
+      // the 3xx regime of the revisit law (RFC 9110 §15.4): a
+      // permanent redirect (301/308 with Location) RETIRES the source
+      // row as 'redirected' — a healthy answer, never a failure, so
+      // the moved page stops burning politeness budget — and its
+      // target is admitted at the SOURCE's depth (an alias is the
+      // same page, not a deeper discovery) through admit's full gate:
+      // a target already in the frontier (the 308 slice here) mints
+      // nothing. A temporary redirect (302/307) keeps the row on the
+      // unchanged schedule with the fail streak reset; a 3xx MISSING
+      // its Location is malformed and stays a transient failure (the
+      // k=3 slice arrives at fail_count 2 and dies at maxFails 3).
+      // One wave: recrawlSchedule over the whole frontier ∪ the
+      // redirect admissions — the cycle's full write set.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".rd.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".rd.com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        lit(1L).as("fetch_count"),
+        when(d % 6 === 3, lit(2)).otherwise(lit(0)).as("fail_count"),
+        (lit(T0) - 5000L).as("last_fetch_ts"),
+        md5(id).as("content_hash"),
+        (lit(3600L) * (d % 3 + 1)).as("interval_s"),
+        lit(T0).as("next_fetch_ts"), lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
+      val status = when(d % 6 === 0, lit(301)).when(d % 6 === 1, lit(308))
+        .when(d % 6 === 2, lit(302)).when(d % 6 === 3, lit(301))
+        .when(d % 6 === 4, lit(200)).otherwise(lit(307))
+      val location = when(d % 6 === 0,
+          concat(lit("https://h"), k, lit(".rd.com/new/"), id))
+        .when(d % 6 === 1, // points at an EXISTING row: admit blocks
+          concat(lit("https://h"), ((d - 1) % 5).cast("string"),
+            lit(".rd.com/p/"), (d - 1).cast("string")))
+        .when(d % 6 === 2 || d % 6 === 5,
+          concat(lit("https://h"), k, lit(".rd.com/tmp/"), id))
+        .otherwise(lit(null).cast("string")) // the malformed 301
+      val fetched = docs.select(
+        concat(lit("https://h"), k, lit(".rd.com/p/"), id).as("url"),
+        lit(T0 + 100L).as("fetch_ts"), status.as("status"),
+        when(status === 200, md5(concat(lit("w1-"), id)))
+          .otherwise(lit(null).cast("string")).as("content_hash"),
+        location.as("location"))
+      val updated = CrawlFrontier.recrawlSchedule(frontier, fetched)
+      val admitted = CrawlFrontier.redirectAdmissions(fetched, frontier,
+        now = T0 + 100L)
+      updated.unionByName(admitted).orderBy("url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 5) || '.rd.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 5) || '.rd.com' AS host,
+               CAST(1 AS INT) AS depth, CAST(0.5 AS DOUBLE) AS priority,
+               CAST(1 AS BIGINT) AS fetch_count,
+               CASE WHEN doc_id % 6 = 3 THEN 2 ELSE 0 END AS fail_count,
+               CAST(1754000000 - 5000 AS BIGINT) AS last_fetch_ts,
+               md5(CAST(doc_id AS VARCHAR)) AS content_hash,
+               CAST(3600 * (doc_id % 3 + 1) AS BIGINT) AS interval_s,
+               CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
+        FROM documents),
+      r AS (
+        SELECT 'https://h' || (doc_id % 5) || '.rd.com/p/' || doc_id
+                 AS url,
+               CAST(1754000100 AS BIGINT) AS f_fetch_ts,
+               CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 301
+                 WHEN 1 THEN 308 WHEN 2 THEN 302 WHEN 3 THEN 301
+                 WHEN 4 THEN 200 ELSE 307 END AS f_status,
+               CASE WHEN doc_id % 6 = 4
+                    THEN md5('w1-' || doc_id) ELSE NULL END
+                 AS f_content_hash,
+               CASE CAST(doc_id % 6 AS INT)
+                 WHEN 0 THEN 'https://h' || (doc_id % 5) ||
+                   '.rd.com/new/' || doc_id
+                 WHEN 1 THEN 'https://h' || ((doc_id - 1) % 5) ||
+                   '.rd.com/p/' || (doc_id - 1)
+                 WHEN 2 THEN 'https://h' || (doc_id % 5) ||
+                   '.rd.com/tmp/' || doc_id
+                 WHEN 5 THEN 'https://h' || (doc_id % 5) ||
+                   '.rd.com/tmp/' || doc_id
+                 ELSE NULL END AS f_location,
+               doc_id
+        FROM documents),
+      law AS (
+        SELECT f.*, r.f_fetch_ts, r.f_status, r.f_content_hash,
+               r.f_location,
+          (r.f_status BETWEEN 200 AND 299) AS ok,
+          (r.f_status IN (404, 410)) AS gone,
+          (r.f_status = 304) AS notmod,
+          (r.f_status IN (301, 308) AND r.f_location IS NOT NULL)
+            AS perm,
+          (r.f_status IN (302, 303, 307) AND r.f_location IS NOT NULL)
+            AS tmp,
+          ((r.f_status BETWEEN 200 AND 299) AND
+           (f.content_hash IS NULL OR f.content_hash <> r.f_content_hash))
+            AS changed
+        FROM f JOIN r ON r.url = f.url),
+      iv AS (
+        SELECT *,
+          CASE WHEN changed
+                 THEN greatest(3600, CAST(floor(interval_s / 2.0)
+                   AS BIGINT))
+               WHEN gone OR perm THEN interval_s
+               ELSE least(2592000, CAST(floor(interval_s * 2.0)
+                 AS BIGINT)) END AS new_interval,
+          CASE WHEN ok OR gone OR notmod OR perm OR tmp THEN 0
+               ELSE fail_count + 1 END AS new_fails
+        FROM law),
+      upd AS (
+        SELECT url, host, depth, priority,
+          fetch_count + 1 AS fetch_count, new_fails AS fail_count,
+          f_fetch_ts AS last_fetch_ts,
+          CASE WHEN ok THEN f_content_hash ELSE content_hash END
+            AS content_hash,
+          new_interval AS interval_s,
+          f_fetch_ts + new_interval AS next_fetch_ts,
+          CASE WHEN gone THEN 'dead'
+               WHEN perm THEN 'redirected'
+               WHEN NOT ok AND NOT notmod AND NOT tmp
+                    AND new_fails >= 3 THEN 'dead'
+               ELSE state END AS state,
+          CAST(NULL AS VARCHAR) AS etag,
+          CAST(NULL AS BIGINT) AS last_modified
+        FROM iv),
+      adm AS (
+        SELECT DISTINCT l.f_location AS url,
+               'h' || (l.doc_id % 5) || '.rd.com' AS host,
+               l.depth
+        FROM (SELECT law.*, r2.doc_id FROM law
+              JOIN r r2 ON r2.url = law.url) l
+        WHERE l.perm
+          AND NOT EXISTS (SELECT 1 FROM f WHERE f.url = l.f_location)),
+      admitted AS (
+        SELECT url, host, depth, 1.0 / (depth + 1) AS priority,
+               CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CAST(NULL AS BIGINT) AS last_fetch_ts,
+               CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(86400 AS BIGINT) AS interval_s,
+               CAST(1754000100 AS BIGINT) AS next_fetch_ts,
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
+        FROM adm)
+      SELECT * FROM upd
+      UNION ALL SELECT * FROM admitted
+      ORDER BY url""")),
+
+    ("crawl_redirect_e2e", (s, dir) => {
+      // the 301 law COMPOSED across two waves: wave 1's permanent
+      // redirect retires the source and mints the target's row due
+      // immediately; wave 2's scheduling pass picks EXACTLY those
+      // targets (redirected sources are unselectable by state, the
+      // wave-1 200s sleep on their halved schedule) and their 200s
+      // land content at the source's depth. Output: the wave-2 upsert
+      // batch ∪ the retired sources — the alias chain's full ledger.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".re.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".re.com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        lit(0L).as("fetch_count"), lit(0).as("fail_count"),
+        lit(null).cast("long").as("last_fetch_ts"),
+        lit(null).cast("string").as("content_hash"),
+        lit(86400L).as("interval_s"), lit(T0).as("next_fetch_ts"),
+        lit("active").as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
+      val fetched1 = docs.select(
+        concat(lit("https://h"), k, lit(".re.com/p/"), id).as("url"),
+        lit(T0 + 100L).as("fetch_ts"),
+        when(d % 2 === 0, lit(301)).otherwise(lit(200)).as("status"),
+        when(d % 2 === 0, lit(null).cast("string"))
+          .otherwise(md5(concat(lit("w1-"), id))).as("content_hash"),
+        when(d % 2 === 0,
+          concat(lit("https://h"), k, lit(".re.com/m/"), id))
+          .otherwise(lit(null).cast("string")).as("location"))
+      val frontier2 = CrawlFrontier.recrawlSchedule(frontier, fetched1)
+        .unionByName(CrawlFrontier.redirectAdmissions(fetched1, frontier,
+          now = T0 + 100L))
+      val batch2 = CrawlFrontier.selectBatch(frontier2, now = T0 + 200L,
+        batchSize = 1 << 30, perHostCap = 1 << 30)
+      val fetched2 = batch2.select(col("url"),
+        lit(T0 + 200L).as("fetch_ts"), lit(200).as("status"),
+        md5(concat(lit("w2-"), col("url"))).as("content_hash"))
+      CrawlFrontier.recrawlUpdates(fetched2, frontier2)
+        .unionByName(frontier2.filter(col("state") === "redirected"))
+        .orderBy("url")
+    }, Some("""
+      WITH src AS (
+        SELECT doc_id,
+               'https://h' || (doc_id % 5) || '.re.com/p/' || doc_id
+                 AS url,
+               'h' || (doc_id % 5) || '.re.com' AS host
+        FROM documents),
+      redirected AS (
+        SELECT url, host, CAST(1 AS INT) AS depth,
+               CAST(0.5 AS DOUBLE) AS priority,
+               CAST(1 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CAST(1754000100 AS BIGINT) AS last_fetch_ts,
+               CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(86400 AS BIGINT) AS interval_s,
+               CAST(1754000100 + 86400 AS BIGINT) AS next_fetch_ts,
+               'redirected' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
+        FROM src WHERE doc_id % 2 = 0),
+      targets AS (
+        SELECT 'https://h' || (doc_id % 5) || '.re.com/m/' || doc_id
+                 AS url,
+               'h' || (doc_id % 5) || '.re.com' AS host
+        FROM src WHERE doc_id % 2 = 0),
+      wave2 AS (
+        SELECT url, host, CAST(1 AS INT) AS depth,
+               CAST(0.5 AS DOUBLE) AS priority,
+               CAST(1 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+               CAST(1754000200 AS BIGINT) AS last_fetch_ts,
+               md5('w2-' || url) AS content_hash,
+               CAST(43200 AS BIGINT) AS interval_s,
+               CAST(1754000200 + 43200 AS BIGINT) AS next_fetch_ts,
+               'active' AS state,
+               CAST(NULL AS VARCHAR) AS etag,
+               CAST(NULL AS BIGINT) AS last_modified
+        FROM targets)
+      SELECT * FROM wave2
+      UNION ALL SELECT * FROM redirected
+      ORDER BY url""")),
 
     ("crawl_e2e", (s, dir) => {
       // the composed cycle: seed → politeness-bounded selection →

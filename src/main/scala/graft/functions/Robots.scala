@@ -318,8 +318,12 @@ object Robots {
   /** RFC 9309 §2.3.1 fetch-status semantics over one cycle's
     * robots.txt fetch results — the stage between the fetch loop and
     * the maintained rules frame. Input rows: (domain, status,
-    * robots_txt, fetch_ts), at most one per domain per cycle (route
-    * retries through the frontier's latest-wins convention upstream).
+    * robots_txt, fetch_ts); duplicate domains (retries within one
+    * cycle, unioned fetcher shards) collapse HERE, latest-fetch_ts
+    * wins with full deterministic tie-breaks — enforced, not a doc
+    * precondition, because a duplicate per-domain row would ride the
+    * full-outer merge into [[updateRules]] and then FAN OUT every
+    * discovered URL of that host through gateRobots' join.
     * Output: (domain, robots_rules, robots_status, fetched_at) —
     * [[rulesByDomain]]'s shape plus the lifecycle metadata, consumed
     * unchanged by CrawlFrontier.gateRobots and maintained by
@@ -327,26 +331,37 @@ object Robots {
     *  - 2xx → parse and scope the body for `agent` ('rules'); a body
     *    whose scoped rules are empty keeps the null array = allow-all
     *    (a published robots.txt that allows everything);
-    *  - 3xx/4xx → 'allow_all', null rules: §2.3.1.2-3 — "unavailable"
-    *    (404 and friends) means unrestricted access, and a redirect
-    *    the fetcher did not resolve (it SHOULD follow ≥ 5 hops
-    *    upstream) falls to the same MAY-assume-unavailable clause;
-    *  - anything else (5xx, status ≤ 0 = network error/timeout) →
+    *  - 3xx/4xx EXCEPT 429 → 'allow_all', null rules: §2.3.1.2-3 —
+    *    "unavailable" (404 and friends) means unrestricted access,
+    *    and a redirect the fetcher did not resolve (it SHOULD follow
+    *    ≥ 5 hops upstream) falls to the same MAY-assume-unavailable
+    *    clause;
+    *  - 429, 5xx, status ≤ 0 (network error/timeout) →
     *    'disallow_all' with the synthetic Disallow:/ rule — §2.3.1.4's
-    *    temporarily-assume-total-disallow.
+    *    temporarily-assume-total-disallow. 429 sits here, NOT in
+    *    allow-all: rate-limited means the server delivered no verdict
+    *    and explicitly asked not to be asked again yet — reading it
+    *    as "unrestricted access" would open a host BECAUSE it
+    *    throttled us.
     * One parse over the 2xx slice (tiny — one row per fetched host) +
-    * one domain-keyed left join. */
+    * one domain-keyed window + left join. */
   def rulesFromFetch(fetched: DataFrame, agent: String,
                      domainCol: String = "domain",
                      statusCol: String = "status",
                      txtCol: String = "robots_txt",
                      tsCol: String = "fetch_ts"): DataFrame = {
-    val base = fetched.select(col(domainCol).as("domain"),
+    val base0 = fetched.select(col(domainCol).as("domain"),
       col(statusCol).cast("int").as("__rf_status"),
       col(txtCol).cast("string").as("__rf_txt"),
       col(tsCol).cast("long").as("fetched_at"))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("fetched_at").desc_nulls_last,
+        col("__rf_status").desc, col("__rf_txt").desc_nulls_last)
+    val base = base0.withColumn("__rf_rn", row_number().over(w))
+      .filter(col("__rf_rn") === 1).drop("__rf_rn")
     val ok = col("__rf_status") >= 200 && col("__rf_status") <= 299
-    val soft = col("__rf_status") >= 300 && col("__rf_status") <= 499
+    val soft = col("__rf_status") >= 300 && col("__rf_status") <= 499 &&
+      col("__rf_status") =!= 429
     val parsed = rulesByDomain(
       parseRules(base.filter(ok)
         .select(col("domain"), coalesce(col("__rf_txt"), lit(""))

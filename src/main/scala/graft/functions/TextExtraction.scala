@@ -174,8 +174,10 @@ object TextExtraction {
     * engines disagree on whether a wrong weekday voids the parse, and
     * a validator's job is the instant, not the calendar trivia — so
     * the law extracts day/month/year/time by regex, maps the month
-    * name, and try-parses the rebuilt ISO string: in-shape impossible
-    * dates (Feb 31) null out identically cross-engine, off-shape
+    * name, try-parses the rebuilt ISO DATE and assembles the epoch by
+    * zone-free arithmetic (GMT is GMT in every session timezone):
+    * in-shape impossible dates (Feb 31) null out identically
+    * cross-engine, off-shape
     * forms (RFC 850, asctime — obsolete; senders MUST NOT generate
     * them) null out at the shape gate. Null falls through the
     * caller's coalesce. */
@@ -191,11 +193,28 @@ object TextExtraction {
       .when(mon === "sep", lit("09")).when(mon === "oct", lit("10"))
       .when(mon === "nov", lit("11")).when(mon === "dec", lit("12"))
       .otherwise(lit(null).cast("string"))
-    val iso = concat(regexp_extract(t, pat, 3), lit("-"), monNum,
-      lit("-"), regexp_extract(t, pat, 1), lit(" "),
-      regexp_extract(t, pat, 4))
-    when(t.rlike(pat) && monNum.isNotNull,
-      try_to_timestamp(iso, lit("yyyy-MM-dd HH:mm:ss")).cast("long"))
+    // epoch = days-since-1970 × 86400 + second-of-day, assembled on
+    // zone-free types (DATE + integer arithmetic): a try_to_timestamp
+    // of the full datetime would parse the wall clock in the SESSION
+    // zone, so a non-UTC caller got an epoch off by the zone offset
+    // while the header says GMT. The calendar part still validates
+    // through the try parse (Feb 31 nulls identically cross-engine;
+    // the midnight instant round-trips to the same DATE in any zone);
+    // the clock part range-gates explicitly (what the HH:mm:ss parse
+    // pattern enforced before — zero-padded strings compare
+    // lexicographically = numerically).
+    val isoDate = concat(regexp_extract(t, pat, 3), lit("-"), monNum,
+      lit("-"), regexp_extract(t, pat, 1))
+    val d = try_to_timestamp(isoDate, lit("yyyy-MM-dd")).cast("date")
+    val epochDays = datediff(d, to_date(lit("1970-01-01"))).cast("long")
+    val tm = regexp_extract(t, pat, 4)
+    val timeOk = substring(tm, 1, 2) <= lit("23") &&
+      substring(tm, 4, 2) <= lit("59") && substring(tm, 7, 2) <= lit("59")
+    when(t.rlike(pat) && monNum.isNotNull && d.isNotNull && timeOk,
+      epochDays * 86400L +
+        substring(tm, 1, 2).cast("long") * 3600L +
+        substring(tm, 4, 2).cast("long") * 60L +
+        substring(tm, 7, 2).cast("long"))
       .otherwise(lit(null).cast("long"))
   }
 

@@ -238,19 +238,25 @@ object Warc {
   /** Bounded zlib/raw-deflate inflate — `Content-Encoding: deflate`'s
     * decoder. The wild serves BOTH spellings under that name (RFC 9110
     * says zlib-wrapped; enough servers ship raw DEFLATE that every
-    * browser sniffs), so a zlib attempt that fails on the first block
-    * retries raw. Same bomb bound and salvage-prefix policy as
-    * [[gunzipAuto]]; garbage yields empty (never a throw — the
-    * 10⁹-page policy). */
+    * browser sniffs), so ANY zlib attempt that hits damage — first
+    * block or mid-stream — retries raw: ~1/500 of raw-DEFLATE streams
+    * open with two bytes that happen to form a valid zlib header, and
+    * those throw mid-stream with a garbage partial, so gating the
+    * retry on zero-output would return that garbage as "the body". A
+    * clean raw pass wins over a damaged zlib salvage; when BOTH
+    * attempts hit damage (a genuinely truncated stream) the longer
+    * salvage wins (zlib on a tie — the spec'd spelling). Same bomb
+    * bound and salvage-prefix policy as [[gunzipAuto]]; garbage
+    * yields empty (never a throw — the 10⁹-page policy). */
   def inflateAuto(bytes: Array[Byte],
                   maxBytes: Long = 50L << 20): Array[Byte] = {
     if (bytes == null || bytes.isEmpty) return Array.empty
-    def run(nowrap: Boolean): (Array[Byte], Boolean) = {
+    def run(nowrap: Boolean): (Array[Byte], Boolean, Boolean) = {
       val inf = new java.util.zip.Inflater(nowrap)
       inf.setInput(bytes)
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 * 1024)
-      var failed = false
+      var damaged = false
       try {
         // n == 0 means finished, truncated input, or a preset-dict
         // demand — with the whole input already set, each is a stop
@@ -259,16 +265,29 @@ object Warc {
           out.write(buf, 0, n); n = inf.inflate(buf)
         }
       } catch {
-        case _: java.util.zip.DataFormatException =>
-          failed = out.size() == 0 // mid-stream damage → salvage prefix
-      } finally inf.end()
+        case _: java.util.zip.DataFormatException => damaged = true
+      }
+      val fin = inf.finished()
+      inf.end()
       val b = if (out.size() > maxBytes)
         java.util.Arrays.copyOf(out.toByteArray, maxBytes.toInt)
       else out.toByteArray
-      (b, failed)
+      (b, damaged, fin)
     }
-    val (zlib, zlibFailed) = run(nowrap = false)
-    if (!zlibFailed) zlib else run(nowrap = true)._1
+    val (zlib, zDamaged, _) = run(nowrap = false)
+    // no damage = clean finish, a truncated-stream salvage, or the
+    // bomb cap — each keeps the zlib reading (the spec'd spelling).
+    // Damage ANYWHERE = the stream was never zlib (or is corrupt):
+    // retry raw, trust a raw pass that runs CLEAN TO THE END (the
+    // coincidental-header case decodes fully), otherwise keep the
+    // longer salvage of the two damaged attempts, zlib on ties.
+    if (!zDamaged) zlib
+    else {
+      val (raw, rDamaged, rFinished) = run(nowrap = true)
+      if (!rDamaged && rFinished) raw
+      else if (raw.length > zlib.length) raw
+      else zlib
+    }
   }
 
   def readWarcGz(bytes: Array[Byte]): Seq[Record] = {
@@ -641,7 +660,9 @@ object Warc {
       StructField("etag", StringType),
       StructField("last_modified", StringType),
       StructField("body_text", StringType),
-      StructField("n_bytes", LongType)))
+      StructField("n_bytes", LongType),
+      StructField("retry_after", StringType),
+      StructField("cache_control", StringType)))
     val sIdx = shards.schema.fieldIndex("shard")
     shards.mapPartitions { it =>
       it.flatMap { r =>
@@ -656,13 +677,19 @@ object Warc {
             // redirect map (resolveRedirects) straight from shards;
             // ETag/Last-Modified ride RAW (r18 — epoch parsing is
             // TextExtraction.imfFixdateEpoch's job downstream) so the
-            // ingest path can feed the frontier's validator columns
+            // ingest path can feed the frontier's validator columns;
+            // Retry-After/Cache-Control ride raw too (r19 — appended
+            // LAST so positional consumers keep their indexes), so the
+            // wire face carries the COMPLETE fetch contract
+            // (CrawlFrontier.fetchResults is the bridge)
             Row(rec.targetUri, status, mime, cs,
               httpHeader(head, "Location"),
               httpHeader(head, "ETag"),
               httpHeader(head, "Last-Modified"),
               decodeBody(body, cs),
-              body.length.toLong)
+              body.length.toLong,
+              httpHeader(head, "Retry-After"),
+              httpHeader(head, "Cache-Control"))
           }
       }
     }(E.row(schema))

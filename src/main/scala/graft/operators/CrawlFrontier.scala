@@ -30,7 +30,9 @@ import graft.functions.UrlOps
   *   content_hash   string  last successful body hash, null before
   *   interval_s     bigint  current revisit interval
   *   next_fetch_ts  bigint  epoch seconds the row becomes due
-  *   state          string  'active' | 'dead'
+  *   state          string  'active' | 'dead' | 'redirected' (301/308
+  *                          retired the row; its Location target got
+  *                          its own row via [[redirectAdmissions]])
   *   etag           string  HTTP ETag validator of the last 2xx body,
   *                          null before / when the server sends none
   *   last_modified  bigint  epoch seconds: HTTP Last-Modified of the
@@ -256,6 +258,60 @@ object CrawlFrontier {
     delays.select(col(hostCol).as("host"), cap.cast("int").as("cap"))
   }
 
+  // ——— politeness ACROSS waves ————————————————————————————————————
+  // politenessBudgets caps a host within ONE scheduling window; when
+  // cycles run faster than the window (a 30 s loop against a 600 s
+  // budget window) each wave re-granted the full budget — a host
+  // declaring Crawl-delay 60 got hit every 30 s. The fix is a tiny
+  // maintained (host, window_start, used) frame: the budget a wave
+  // may spend is cap MINUS what earlier waves of the SAME window
+  // already spent, and the frame folds each selected wave back in.
+  // Both operators are host-keyed aggregates/joins over frames that
+  // are one-row-per-declared-host tiny; the frontier never shuffles.
+
+  /** The budget still unspent in `now`'s window: `budgets` is
+    * [[politenessBudgets]] output (host, cap); `usage` the maintained
+    * frame (host, window_start, used). A usage row from an OLDER
+    * window grants the full cap again (windows reset); remaining
+    * floors at 0 (a host that filled its window sits the wave out,
+    * it is never granted negative). Feed the result to
+    * [[selectBatch]]'s `hostBudgets` — unbudgeted hosts keep the
+    * global cap there, exactly as before. */
+  def remainingBudgets(budgets: DataFrame, usage: DataFrame,
+                       now: Long, windowS: Long): DataFrame = {
+    require(windowS > 0, s"windowS must be positive, got $windowS")
+    val curWin = (now / windowS) * windowS
+    val u = usage.filter(col("window_start") === lit(curWin))
+      .select(col("host"), col("used"))
+    budgets.select(col("host"), col("cap").cast("long").as("__pb_cap"))
+      .join(u, Seq("host"), "left")
+      .select(col("host"),
+        greatest(lit(0L),
+          col("__pb_cap") - coalesce(col("used"), lit(0L))).as("cap"))
+  }
+
+  /** Fold a selected wave into the usage frame: counts add within the
+    * current window, a window rollover resets the count, and rows
+    * from older windows with no new activity DROP (the frame stays
+    * one-row-per-recently-active-host — at 10^10 URLs it is bounded
+    * by hosts-with-declared-delays, not by the frontier). Replaying
+    * the same wave double-counts — run it once per wave inside the
+    * loop's read-modify-write step (the maintained-rules
+    * convention). */
+  def updateHostUsage(usage: DataFrame, batch: DataFrame,
+                      now: Long, windowS: Long): DataFrame = {
+    require(windowS > 0, s"windowS must be positive, got $windowS")
+    val curWin = (now / windowS) * windowS
+    val delta = batch.groupBy(col("host"))
+      .agg(count(lit(1)).as("__hu_delta"))
+    usage.filter(col("window_start") === lit(curWin))
+      .select(col("host"), col("used"))
+      .join(delta, Seq("host"), "full_outer")
+      .select(col("host"), lit(curWin).as("window_start"),
+        (coalesce(col("used"), lit(0L)) +
+          coalesce(col("__hu_delta"), lit(0L))).as("used"))
+  }
+
   // ---- the revisit law, shared by the batch and streaming faces ----
   // Inputs: the frontier row's columns + the fetch attempt's
   // (f_fetch_ts, f_status, f_content_hash, f_etag, f_last_modified).
@@ -265,10 +321,14 @@ object CrawlFrontier {
   private def okC(s: Column) = s >= 200 && s <= 299
   private def goneC(s: Column) = s === 404 || s === 410
   private def notModC(s: Column) = s === 304
+  // permanent vs temporary redirect statuses (RFC 9110 §15.4): 301/308
+  // change the resource's identity; 302/303/307 speak to THIS request
+  private def permRedirC(s: Column) = s === 301 || s === 308
+  private def tempRedirC(s: Column) = s === 302 || s === 303 || s === 307
 
   private def lawCols(rv: Revisit, fTs: Column, fStatus: Column,
                       fHash: Column, fEtag: Column, fLastMod: Column,
-                      fRetryAfter: Column): Seq[(String, Column)] = {
+                      fRetryAfter: Column, fLocation: Column): Seq[(String, Column)] = {
     val ok = okC(fStatus)
     val gone = goneC(fStatus)
     // the 304 regime (RFC 9110 §15.4.5): the validators we sent still
@@ -278,6 +338,22 @@ object CrawlFrontier {
     // content hash + validators keep their stored values (a 304
     // carries no body to hash and re-asserts the validators we hold).
     val notMod = notModC(fStatus)
+    // the redirect regime (RFC 9110 §15.4): a 3xx WITH a Location is a
+    // healthy answer, not a failure — without this, a 301'd page burns
+    // maxFails politeness-budgeted fetches, dies, and its target is
+    // never admitted (the 10^10-URL crawl's largest systematic loss:
+    // ~3% of real fetches redirect). 301/308 RETIRE the source row
+    // (state 'redirected' — selectBatch never picks it again; the
+    // Location target is [[redirectAdmissions]]' job, admitted at the
+    // source's depth so the alias costs one row, not a recrawl tree);
+    // 302/303/307 keep the row on the unchanged schedule — the target
+    // answers THIS request only, so the fetcher SHOULD have followed
+    // it inline (bounded hops) and reported the final status against
+    // the source; one surfacing here means the hop budget ran out,
+    // still an answer, not a failure. A 3xx MISSING its Location is
+    // malformed and stays in the transient-failure class.
+    val perm = permRedirC(fStatus) && fLocation.isNotNull
+    val temp = tempRedirC(fStatus) && fLocation.isNotNull
     val changed = ok &&
       (col("content_hash").isNull || col("content_hash") =!= fHash)
     // floor-to-long keeps the law exact in both engines (doubles are
@@ -287,12 +363,13 @@ object CrawlFrontier {
     val grown = least(lit(rv.maxIntervalS),
       floor(col("interval_s") * rv.grow).cast("long"))
     val interval = when(changed, shrunk)
-      .when(gone, col("interval_s"))
-      .otherwise(grown) // unchanged success, 304, transient failure
-    val fails = when(ok || gone || notMod, lit(0))
+      .when(gone || perm, col("interval_s")) // retired rows keep theirs
+      .otherwise(grown) // unchanged success, 304, temp redirect, failure
+    val fails = when(ok || gone || notMod || perm || temp, lit(0))
       .otherwise(col("fail_count") + 1)
     val state = when(gone, lit("dead"))
-      .when(!ok && !notMod && fails >= rv.maxFails, lit("dead"))
+      .when(perm, lit("redirected"))
+      .when(!ok && !notMod && !temp && fails >= rv.maxFails, lit("dead"))
       .otherwise(col("state"))
     // Retry-After (RFC 9110 §10.2.3): a failing host DECLARING its
     // backoff (429/503 with the header) must be believed when it asks
@@ -302,9 +379,14 @@ object CrawlFrontier {
     // next fetch (greatest, never earlier), only on non-ok non-gone
     // answers, and the stored interval keeps the backoff law (the
     // declaration is about THIS retry, not the page's change rate).
-    val failing = !ok && !gone && !notMod
+    // The honored value is CLAMPED at maxIntervalS — politeness means
+    // believing a server's backoff, not letting a hostile/misconfigured
+    // `Retry-After: 999999999` freeze a row for decades; the law never
+    // waits longer than its own ceiling for any other reason either.
+    val failing = !ok && !gone && !notMod && !perm && !temp
     val wait = when(failing && fRetryAfter.isNotNull,
-      greatest(interval, fRetryAfter)).otherwise(interval)
+      greatest(interval, least(fRetryAfter, lit(rv.maxIntervalS))))
+      .otherwise(interval)
     Seq(
       "fetch_count" -> (col("fetch_count") + 1L),
       "fail_count" -> fails,
@@ -326,7 +408,8 @@ object CrawlFrontier {
                        guard: Option[Column]): DataFrame = {
     val updated = lawCols(rv, col("f_fetch_ts"),
       col("f_status"), col("f_content_hash"), col("f_etag"),
-      col("f_last_modified"), col("f_retry_after")).toMap
+      col("f_last_modified"), col("f_retry_after"),
+      col("f_location")).toMap
     joined.select(frontierCols.map { c =>
       val newC = updated.get(c).map { u =>
         guard.fold(u)(g => when(g, u).otherwise(col(c)))
@@ -338,9 +421,11 @@ object CrawlFrontier {
   /** The fetch-result projection every revisit face shares (the page
     * law AND the robots law — one place to extend the fetch contract):
     * the required columns cast, plus the OPTIONAL validator,
-    * Retry-After and Cache-Control-max-age columns (a fetcher that
-    * doesn't record them — every pre-r18 caller — gets nulls; each
-    * law's keep/fallback branches never see them). */
+    * Retry-After, Cache-Control-max-age and Location columns (a
+    * fetcher that doesn't record them — every pre-r18 caller — gets
+    * nulls; each law's keep/fallback branches never see them).
+    * Location should arrive ABSOLUTE — io/Warc.fromShardsDecoded
+    * already resolves relative spellings against the request URL. */
   private def fetchProjection(fetched: DataFrame): DataFrame = {
     def opt(name: String, tpe: String) =
       if (fetched.columns.contains(name)) col(name).cast(tpe)
@@ -352,7 +437,14 @@ object CrawlFrontier {
       opt("etag", "string").as("f_etag"),
       opt("last_modified", "long").as("f_last_modified"),
       opt("retry_after", "long").as("f_retry_after"),
-      opt("max_age", "long").as("f_max_age"))
+      opt("max_age", "long").as("f_max_age"),
+      // empty-string guard: a header-bag caller ('' = absent, the
+      // httpHeader convention) must not turn a Location-less 301 into
+      // a retire-with-no-target — the redirect classes key on
+      // isNotNull, so '' must BE null here
+      { val l = opt("location", "string")
+        when(length(trim(l)) > 0, l).otherwise(lit(null).cast("string"))
+      }.as("f_location"))
   }
 
   /** Latest attempt per url — a crawl cycle can retry; the most recent
@@ -364,7 +456,8 @@ object CrawlFrontier {
     val w = Window.partitionBy("url").orderBy(col("f_fetch_ts").desc,
       col("f_status").desc, col("f_content_hash").desc_nulls_last,
       col("f_etag").desc_nulls_last, col("f_last_modified").desc_nulls_last,
-      col("f_retry_after").desc_nulls_last)
+      col("f_retry_after").desc_nulls_last,
+      col("f_max_age").desc_nulls_last, col("f_location").desc_nulls_last)
     fetchProjection(fetched)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -451,16 +544,130 @@ object CrawlFrontier {
     * rendered as an IMF-fixdate (§5.6.7's only currently-generated
     * form, always GMT, English day/month names); rows holding neither
     * validator emit nulls — an unconditional fetch. Pure per-row
-    * codegen over the batch (the session runs UTC, so the rendering
-    * is deterministic); closes the loop the 304 regime of the revisit
-    * law answers. */
-  def fetchRequests(batch: DataFrame): DataFrame =
+    * codegen over the batch, and SESSION-TIMEZONE-FREE: the epoch is
+    * split into UTC day + second-of-day arithmetically, the calendar
+    * part renders off a DATE (dates carry no zone — `date_format` on
+    * a date round-trips its own fields in any session zone) and the
+    * clock part is integer arithmetic — a non-UTC caller session gets
+    * the same GMT instant, never a local time wearing a GMT label
+    * (which would be a validator off by the zone offset and silently
+    * wrong 304s). Closes the loop the 304 regime of the revisit law
+    * answers. */
+  def fetchRequests(batch: DataFrame): DataFrame = {
+    val lm = col("last_modified")
+    val days = floor(lm / 86400.0).cast("long")
+    val secs = lm - days * 86400L
+    val d = date_add(to_date(lit("1970-01-01")), days.cast("int"))
+    val two = (c: Column) => lpad(c.cast("string"), 2, "0")
+    val fixdate = concat(
+      date_format(d, "EEE, dd MMM yyyy"), lit(" "),
+      two(floor(secs / 3600.0).cast("long")), lit(":"),
+      two(floor((secs % 3600L) / 60.0).cast("long")), lit(":"),
+      two(secs % 60L), lit(" GMT"))
     batch.select(col("url"), col("host"),
       col("etag").as("if_none_match"),
-      when(col("last_modified").isNotNull,
-        date_format(timestamp_seconds(col("last_modified")),
-          "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+      when(lm.isNotNull, fixdate)
         .otherwise(lit(null).cast("string")).as("if_modified_since"))
+  }
+
+  /** The wire→law bridge: one cycle's decoded raw captures
+    * (io/Warc.fromShardsDecoded — status, raw validator/politeness
+    * headers, Location, charset-decoded body) → the fetch-result
+    * contract every revisit face consumes. The column laws, in one
+    * place so a deployment cannot wire them inconsistently:
+    * content_hash = md5 over the DECODED body text on 2xx only (
+    * charset-normalized, so two captures of one page in different
+    * charsets hash equal; a 304/3xx/error body — usually an error
+    * shell — must not read as "content changed"); etag rides verbatim
+    * ('' → null, the header-bag absence convention); Last-Modified
+    * parses via the zone-free imfFixdateEpoch; Retry-After /
+    * Cache-Control parse via their numeric-gated scalars; Location
+    * resolves RELATIVE forms against the request URI (RFC 9110
+    * §10.2.2 allows them, the real web uses them constantly) — an
+    * unresolved relative Location would mint a garbage admission.
+    * `fetchTs` is the cycle clock (WARC capture dates stay in the
+    * archive layer). Pure per-row codegen over the decoded frame;
+    * feeds [[recrawlUpdates]]/[[recrawlSchedule]]/
+    * [[redirectAdmissions]]/[[robotsRecrawlUpdates]] unchanged. */
+  def fetchResults(decoded: DataFrame, fetchTs: Long): DataFrame = {
+    import graft.functions.TextExtraction
+    val loc = trim(col("location"))
+    decoded.select(
+      col("target_uri").as("url"),
+      lit(fetchTs).as("fetch_ts"),
+      col("http_status").as("status"),
+      when(okC(col("http_status")), md5(col("body_text")))
+        .otherwise(lit(null).cast("string")).as("content_hash"),
+      when(length(trim(col("etag"))) > 0, col("etag"))
+        .otherwise(lit(null).cast("string")).as("etag"),
+      TextExtraction.imfFixdateEpoch(col("last_modified"))
+        .as("last_modified"),
+      TextExtraction.retryAfterSeconds(col("retry_after"))
+        .as("retry_after"),
+      TextExtraction.cacheControlMaxAge(col("cache_control"))
+        .as("max_age"),
+      when(length(loc) > 0,
+        graft.operators.WebGraph.resolveUrl(col("location"),
+          col("target_uri")))
+        .otherwise(lit(null).cast("string")).as("location"))
+  }
+
+  /** Permanent-redirect edges out of one cycle's fetch results:
+    * (src, dst) with both endpoints canonical, one row per redirecting
+    * source (latest attempt wins), 301/308-with-Location only — the
+    * frame [[graft.operators.WebGraph.resolveRedirects]] walks and
+    * [[graft.operators.WebGraph.contractEdges]] contracts, fed
+    * straight from the crawl loop instead of a separate ingest pass.
+    * Temporary redirects (302/303/307) are deliberately absent: they
+    * speak to one request, not the resource's identity, so aliasing
+    * on them would merge pages that are not the same page. */
+  def redirectEdges(fetched: DataFrame): DataFrame =
+    latestFetch(fetched)
+      .filter(permRedirC(col("f_status")) && col("f_location").isNotNull)
+      .select(canonicalUrl(col("url")).as("src"),
+        canonicalUrl(col("f_location")).as("dst"))
+      .filter(col("dst").rlike("^https?://"))
+
+  /** Admit the Location targets of this cycle's PERMANENT redirects —
+    * the other half of the 301 law ([[lawCols]] retires the source as
+    * 'redirected'; this mints the target's row, so the content moves
+    * instead of vanishing). The target inherits the SOURCE's depth
+    * (an alias is the same page, not a deeper discovery — charging a
+    * hop would push a moved site past maxDepth one directory at a
+    * time), and admission runs through [[admit]] entire: canonical
+    * identity, the frontier anti-join (a target already known — in
+    * any state — mints nothing), the per-domain budget, trap-family
+    * economics. A redirect CHAIN resolves one hop per wave, each hop
+    * one admitted row bounded by the anti-join (a cycle terminates
+    * the moment it points back at any known row, so a↔b costs two
+    * rows total, ever); collapse long chains offline with
+    * [[graft.operators.WebGraph.resolveRedirects]] over
+    * [[redirectEdges]] when contraction needs the terminal URL NOW.
+    * One url-equi join against the (tiny) redirect slice + admit's
+    * own shuffles. */
+  def redirectAdmissions(fetched: DataFrame, frontier: DataFrame,
+                         now: Long, maxDepth: Int = 8,
+                         perDomainCap: Long = Long.MaxValue,
+                         defaultIntervalS: Long = 86400L,
+                         existingCounts: Option[DataFrame] = None)
+      : DataFrame =
+    admit(frontier, redirectTargets(fetched, frontier), now, maxDepth,
+      perDomainCap, defaultIntervalS, existingCounts)
+
+  /** The (url, depth) admission candidates behind
+    * [[redirectAdmissions]] — exposed so a cycle admitting BOTH link
+    * discoveries and redirect targets can union the two frames into
+    * ONE [[admit]] call ([[step]] does): separate admit calls would
+    * each count the domain budget blind to the other and could mint
+    * the same URL twice when a page links to where another page just
+    * moved. */
+  def redirectTargets(fetched: DataFrame, frontier: DataFrame): DataFrame =
+    latestFetch(fetched)
+      .filter(permRedirC(col("f_status")) && col("f_location").isNotNull)
+      .select(col("url").as("__rd_src"), col("f_location"))
+      .join(frontier.select(col("url").as("__rd_src"), col("depth")),
+        Seq("__rd_src"))
+      .select(col("f_location").as("url"), col("depth"))
 
   /** URL template — the trap-detection key: the URL's host + path +
     * query with every varying token collapsed, so the infinite URL
@@ -655,10 +862,10 @@ object CrawlFrontier {
     * the row NEVER dies — a 404 means allow-all TODAY (§2.3.1.3) but
     * the host may publish rules tomorrow, so unlike a page row the
     * robots row must outlive every failure and keep refreshing.
-    * fail_count still counts consecutive non-answers (2xx/3xx/4xx all
-    * reset it — each is a definitive §2.3.1 verdict; 5xx/unreachable
-    * increment) so a monitor can see a host whose robots.txt never
-    * answers. Content hash and validators follow the page law (a 304
+    * fail_count still counts consecutive non-answers (2xx/3xx/4xx
+    * EXCEPT 429 reset it — each is a definitive §2.3.1 verdict;
+    * 429/5xx/unreachable increment) so a monitor can see a host whose
+    * robots.txt never answers. Content hash and validators follow the page law (a 304
     * robots answer is as good as an unchanged 200 — and far
     * cheaper). An optional `max_age` column on `fetched` (seconds —
     * [[graft.functions.TextExtraction.cacheControlMaxAge]] over the
@@ -670,7 +877,17 @@ object CrawlFrontier {
     * postpone the disallow-all recovery arbitrarily — the failure
     * cadence stays the default so the host re-checks on schedule.
     * The floor keeps a hostile max-age=0 from turning the refresh
-    * loop into a hammer. */
+    * loop into a hammer, and the 7×-cadence CEILING keeps a hostile
+    * `max-age: 999999999` from freezing a host's rules refresh for
+    * decades — a week-stale robots.txt is the most §2.4 can be read
+    * to bless. 429 is carved OUT of the answered class: rate-limited
+    * means NO verdict was delivered (§2.3.1.4's "unreachable", an
+    * explicit don't-retry-yet — [[graft.functions.Robots.rulesFromFetch]]
+    * files it as complete-disallow, not allow-all), so it counts the
+    * failure and keeps the default cadence. Retries within one cycle
+    * collapse latest-wins BEFORE the law (the [[recrawlSchedule]]
+    * routing), so two attempts for one robots URL emit ONE upsert
+    * row, never two conflicting ones. */
   def robotsRecrawlUpdates(fetched: DataFrame, frontier: DataFrame,
                            refreshIntervalS: Long = 86400L,
                            minRefreshS: Long = 300L): DataFrame = {
@@ -679,13 +896,28 @@ object CrawlFrontier {
     require(minRefreshS > 0 && minRefreshS <= refreshIntervalS,
       s"need 0 < minRefreshS <= refreshIntervalS, got " +
         s"$minRefreshS/$refreshIntervalS")
-    val joined = fetchProjection(fetched).join(frontier, Seq("url"))
+    fixedCadenceUpdates(fetched, frontier, lit(refreshIntervalS),
+      minRefreshS)
+  }
+
+  /** The never-dies fixed-cadence law [[robotsRecrawlUpdates]] and
+    * [[sitemapRecrawlUpdates]] share: next fetch = fetch_ts + cadence
+    * (per-row when the cadence expression reads a row column),
+    * max-age honored only on 2xx/304 and clamped to [minRefreshS,
+    * 7×cadence], 429 carved out of the answered class, the row always
+    * stays 'active', retries collapsed latest-wins upstream. */
+  private def fixedCadenceUpdates(fetched: DataFrame, frontier: DataFrame,
+                                  cadence: Column,
+                                  minRefreshS: Long): DataFrame = {
+    val joined = latestFetch(fetched).join(frontier, Seq("url"))
     val ok = okC(col("f_status"))
-    val answered = col("f_status") >= 200 && col("f_status") <= 499
+    val answered = col("f_status") >= 200 && col("f_status") <= 499 &&
+      col("f_status") =!= 429
     val refresh = when((ok || notModC(col("f_status"))) &&
         col("f_max_age").isNotNull,
-      greatest(lit(minRefreshS), col("f_max_age")))
-      .otherwise(lit(refreshIntervalS))
+      greatest(lit(minRefreshS),
+        least(col("f_max_age"), lit(7L) * cadence)))
+      .otherwise(cadence)
     joined.select(
       col("url"), col("host"), col("depth"), col("priority"),
       (col("fetch_count") + 1L).as("fetch_count"),
@@ -700,6 +932,96 @@ object CrawlFrontier {
       when(ok, col("f_etag")).otherwise(col("etag")).as("etag"),
       when(ok, col("f_last_modified")).otherwise(col("last_modified"))
         .as("last_modified"))
+  }
+
+  // ——— the sitemap LIFECYCLE: feeds as frontier rows ———————————————
+  // r18 put robots.txt rows in the frontier so rules refresh through
+  // the loop itself; sitemaps get the same treatment: the feed URL is
+  // a frontier row on its own cadence (the publisher's <changefreq>,
+  // or daily), its fetched BODY routes through Sitemaps.urlEntries →
+  // [[sitemapFold]] inside the same cycle — re-announcements emit
+  // nothing, changed lastmods pull their page rows due, new URLs seed
+  // — so a standing crawl keeps absorbing publisher schedules with
+  // zero schedule churn for the unchanged rest.
+
+  /** True when a canonical URL looks like a sitemap feed by PATH SHAPE
+    * — anything under /sitemap… ending .xml or .xml.gz (the
+    * convention virtually every publisher follows: /sitemap.xml,
+    * /sitemap_index.xml, /sitemaps/part1.xml.gz). The router that
+    * splits a mixed fetch-result stream toward the sitemap law, the
+    * [[isRobotsUrl]] sibling. Sitemaps announced at arbitrary paths
+    * by a robots `Sitemap:` directive won't match a shape test BY
+    * DESIGN — route those by membership against
+    * [[graft.functions.Robots.sitemapUrls]]' url set (a semi-join in
+    * the loop), and OR the two verdicts. */
+  def isSitemapUrl(url: Column): Column =
+    UrlOps.pathOf(url).rlike("(?i)^/sitemap[^?#]*\\.xml(\\.gz)?$")
+
+  /** Frontier rows for sitemap feed URLs, due `now`: priority 1.5 —
+    * above every page row's ≤ 1.0 prior (announcements should land
+    * before the pages they announce) but below robots' 2.0 (rules
+    * govern whether the feed itself may be fetched). Cadence comes
+    * from `intervalCol` when the caller knows the publisher's
+    * changefreq (pass Sitemaps.changefreqSeconds output), else
+    * `refreshIntervalS` (~daily — sitemaps.org's own suggested
+    * re-read order). Dedups by url via [[seed]]. */
+  def sitemapSeeds(feeds: DataFrame, now: Long,
+                   urlCol: String = "url",
+                   intervalCol: Option[String] = None,
+                   refreshIntervalS: Long = 86400L): DataFrame = {
+    require(refreshIntervalS > 0,
+      s"refreshIntervalS must be positive: $refreshIntervalS")
+    seed(feeds.select(col(urlCol).as("url"), lit(1.5).as("__sm_pr"),
+        intervalCol.map(col).getOrElse(lit(null).cast("long"))
+          .as("__sm_iv")),
+      now, priorityCol = Some("__sm_pr"), intervalCol = Some("__sm_iv"),
+      defaultIntervalS = refreshIntervalS)
+  }
+
+  /** The sitemap-row revisit law: [[robotsRecrawlUpdates]]' shape
+    * under the row's OWN cadence — `interval_s` as stamped by
+    * [[sitemapSeeds]] (the publisher's changefreq), not a global
+    * constant, so a news sitemap on 'hourly' and an archive on
+    * 'monthly' coexist in one frontier. Same politeness envelope:
+    * max-age honored on 2xx/304 within [minRefreshS, 7×cadence], 429
+    * counts the failure, the row never dies (a 404'd feed may
+    * reappear; the fetch costs one conditional request a cadence). */
+  def sitemapRecrawlUpdates(fetched: DataFrame, frontier: DataFrame,
+                            minRefreshS: Long = 300L): DataFrame = {
+    require(minRefreshS > 0, s"minRefreshS must be positive: $minRefreshS")
+    fixedCadenceUpdates(fetched, frontier, col("interval_s"), minRefreshS)
+  }
+
+  /** Fold one cycle's fetched-and-parsed sitemap ENTRIES into the
+    * frontier — the body half of the sitemap lifecycle ([[
+    * sitemapRecrawlUpdates]] reschedules the feed row; this routes
+    * what the feed SAID). `entries` is Sitemaps.urlEntries exploded:
+    * (loc, lastmod, changefreq, priority) raw strings per announced
+    * URL. Known rows take [[reseed]]'s changed-rows-only law (a
+    * re-announcement emits NOTHING; a lastmod newer than our fetch
+    * pulls the row due `now`); unknown URLs seed fresh at depth 0
+    * with the publisher's declared priority/changefreq/lastmod riding
+    * into the row — they are announcements by the host itself, not
+    * link discoveries, so they take [[seed]]'s path, not [[admit]]'s
+    * depth accounting. Returns ONLY changed/new rows (an upsert
+    * batch). An untrusted feed composes the usual gates upstream
+    * (gateRobots / filterTraps / a domain cap on the entries frame).
+    * Shuffles: seed's url-keyed agg + reseed's equi join + one
+    * anti join — every one keyed on url, AQE broadcasts the feed
+    * side. */
+  def sitemapFold(frontier: DataFrame, entries: DataFrame, now: Long,
+                  defaultIntervalS: Long = 86400L): DataFrame = {
+    import graft.functions.Sitemaps
+    val seeds = seed(
+      entries.select(col("loc").as("url"),
+        Sitemaps.priorityValue(col("priority")).as("__sf_pr"),
+        Sitemaps.changefreqSeconds(col("changefreq")).as("__sf_iv"),
+        col("lastmod").as("__sf_lm")),
+      now, priorityCol = Some("__sf_pr"), intervalCol = Some("__sf_iv"),
+      defaultIntervalS = defaultIntervalS, lastmodCol = Some("__sf_lm"))
+    reseed(frontier, seeds, now)
+      .unionByName(
+        seeds.join(frontier.select("url"), Seq("url"), "left_anti"))
   }
 
   /** Persist a frontier partitioned by next-fetch DAY — the layout
@@ -793,17 +1115,22 @@ object CrawlFrontier {
   }
 
   /** One full crawl cycle over a materialized frontier: apply fetch
-    * results, then union the admitted discoveries — the new frontier.
-    * Store-held frontiers skip this and upsert [[recrawlUpdates]] +
-    * [[admit]] directly. */
+    * results, then union the admitted discoveries AND the cycle's
+    * permanent-redirect targets (one admit call over both candidate
+    * frames, so the domain budget sees the whole wave and a URL that
+    * is both linked-to and moved-to mints ONE row) — the new
+    * frontier. Store-held frontiers skip this and upsert
+    * [[recrawlUpdates]] + [[admit]] directly. */
   def step(frontier: DataFrame, fetched: DataFrame,
            discovered: DataFrame, now: Long,
            rv: Revisit = Revisit(), maxDepth: Int = 8,
            perDomainCap: Long = Long.MaxValue,
            defaultIntervalS: Long = 86400L): DataFrame =
     recrawlSchedule(frontier, fetched, rv).unionByName(
-      admit(frontier, discovered, now, maxDepth, perDomainCap,
-        defaultIntervalS))
+      admit(frontier,
+        discovered.select(col("url"), col("depth").cast("int").as("depth"))
+          .unionByName(redirectTargets(fetched, frontier)),
+        now, maxDepth, perDomainCap, defaultIntervalS))
 
   private def newRowCols(depth: Column, priority: Column,
                          intervalS: Column, now: Long,

@@ -56,6 +56,18 @@ object MongoAtlasStore {
       s"""{"$$vectorSearch":{"index":"${esc(cfg.indexName)}","path":"${esc(cfg.embeddingPath)}","queryVector":${floats(query)},"numCandidates":$numCandidates,"limit":$k}},""" +
       s"""{"$$project":{"_id":0,"document_id":1,"chunks":1,"score":{"$$meta":"vectorSearchScore"}}}]}"""
 
+  /** The vector-search INDEX definition the `$vectorSearch` pipeline
+    * requires — the Atlas Search JSON-editor shape the reference emits
+    * for manual creation (main.tf:658-669: one vector field over the
+    * embedding path, numDimensions=1536, similarity=cosine). Rendered
+    * here so the full search contract — index AND query — is
+    * regression-locked offline even though a live cluster (where this
+    * body is POSTed/pasted) is environment-blocked. */
+  def indexDefinitionBody(cfg: MongoAtlasConfig,
+                          numDimensions: Int = 1536,
+                          similarity: String = "cosine"): String =
+    s"""{"fields":[{"type":"vector","path":"${esc(cfg.embeddingPath)}","numDimensions":$numDimensions,"similarity":"${esc(similarity)}"}]}"""
+
   /** One idempotent upsert for POST {baseUrl}/action/updateOne: filter on
     * the content key, $set the full document, upsert=true — replays of the
     * same (id, chunks) overwrite in place. */

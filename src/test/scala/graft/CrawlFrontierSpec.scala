@@ -354,6 +354,46 @@ class CrawlFrontierSpec extends SparkSpec {
 
   // ——— revisit law —————————————————————————————————————————————————
 
+  test("politeness budgets carry ACROSS waves: a second wave in the same window gets only the remainder, a window rollover re-grants, stale usage rows drop") {
+    def mk(host: String, n: Int): Seq[(String, String, Int, Double, Long,
+        Int, Option[Long], Option[String], Long, Long, String)] =
+      (0 until n).map(i => row(s"https://$host/p$i",
+        priority = 1.0 - i * 0.1))
+    val f = mkFrontier(mk("a.ex", 5) ++ mk("b.ex", 5) ++ mk("c.ex", 5))
+    val budgets = Seq(("a.ex", 3), ("b.ex", 2)).toDF("host", "cap")
+    val empty = budgets.select(col("host"), lit(0L).as("window_start"),
+      lit(0L).as("used")).filter(lit(false))
+    def hostsOf(b: DataFrame): Map[String, Int] =
+      b.groupBy("host").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    // wave 1 (window [600,1200)): full budgets; c.ex unbudgeted →
+    // the global cap
+    val w1 = CrawlFrontier.selectBatch(f, now = 1000L, batchSize = 100,
+      perHostCap = 4, hostBudgets = Some(
+        CrawlFrontier.remainingBudgets(budgets, empty, 1000L, 600L)))
+    hostsOf(w1) shouldBe Map("a.ex" -> 3, "b.ex" -> 2, "c.ex" -> 4)
+    val usage1 = CrawlFrontier.updateHostUsage(empty, w1, 1000L, 600L)
+    // wave 2, SAME window: budgeted hosts exhausted — they sit it
+    // out; the unbudgeted host just keeps the global cap
+    val f2 = f.join(w1.select("url"), Seq("url"), "left_anti")
+    val w2 = CrawlFrontier.selectBatch(f2, now = 1100L, batchSize = 100,
+      perHostCap = 4, hostBudgets = Some(
+        CrawlFrontier.remainingBudgets(budgets, usage1, 1100L, 600L)))
+    hostsOf(w2) shouldBe Map("c.ex" -> 1)
+    // wave 3 crosses into window [1200,1800): budgets re-grant
+    val f3 = f2.join(w2.select("url"), Seq("url"), "left_anti")
+    val usage2 = CrawlFrontier.updateHostUsage(usage1, w2, 1100L, 600L)
+    val w3 = CrawlFrontier.selectBatch(f3, now = 1300L, batchSize = 100,
+      perHostCap = 4, hostBudgets = Some(
+        CrawlFrontier.remainingBudgets(budgets, usage2, 1300L, 600L)))
+    hostsOf(w3) shouldBe Map("a.ex" -> 2, "b.ex" -> 2)
+    // the maintained frame: new-window counts only, stale rows gone
+    val u3 = CrawlFrontier.updateHostUsage(usage2, w3, 1300L, 600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    u3 shouldBe Map("a.ex" -> ((1200L, 2L)), "b.ex" -> ((1200L, 2L)))
+  }
+
   private val rv = Revisit(minIntervalS = 100L, maxIntervalS = 10000L,
     grow = 2.0, shrink = 2.0, maxFails = 2)
 
@@ -447,6 +487,198 @@ class CrawlFrontierSpec extends SparkSpec {
         .orderBy("url").collect().map(_.toString)
       streamed shouldBe batch
     } finally q.stop()
+  }
+
+  // ——— the 3xx regime ——————————————————————————————————————————————
+
+  test("redirect law: 301/308 retire the row as 'redirected' (healthy answer), 302/307 keep it on the unchanged schedule, a 3xx missing Location stays a transient failure") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/p301", interval = 1000L, fails = 1,
+        hash = Some("h1")),
+      row("https://a.example/p308", interval = 1000L, fails = 0),
+      row("https://a.example/p302", interval = 1000L, fails = 1,
+        hash = Some("h2")),
+      row("https://a.example/p307", interval = 1000L, fails = 0),
+      row("https://a.example/noloc", interval = 1000L, fails = 1)))
+    val fetched = Seq(
+      ("https://a.example/p301", 2000L, 301,
+        Some("https://a.example/t1")),
+      ("https://a.example/p308", 2000L, 308,
+        Some("https://a.example/t2")),
+      ("https://a.example/p302", 2000L, 302,
+        Some("https://a.example/elsewhere")),
+      ("https://a.example/p307", 2000L, 307,
+        Some("https://a.example/elsewhere")),
+      ("https://a.example/noloc", 2000L, 301, None: Option[String]))
+      .toDF("url", "fetch_ts", "status", "location")
+      .withColumn("content_hash", lit(null).cast("string"))
+    val m = CrawlFrontier.recrawlSchedule(f, fetched, rv).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def g(u: String) = m(s"https://a.example/$u")
+    Seq("p301", "p308").foreach { u =>
+      g(u).getString(10) shouldBe "redirected"
+      g(u).getInt(5) shouldBe 0          // healthy answer: fails reset
+      g(u).getLong(8) shouldBe 1000L     // retired row keeps interval
+      g(u).getLong(4) shouldBe 1L        // the attempt still counts
+    }
+    g("p301").getString(7) shouldBe "h1" // content kept, not wiped
+    Seq("p302", "p307").foreach { u =>
+      g(u).getString(10) shouldBe "active"
+      g(u).getInt(5) shouldBe 0
+      g(u).getLong(8) shouldBe 2000L     // unchanged law: interval grows
+      g(u).getLong(9) shouldBe 2000L + 2000L
+    }
+    // malformed 301 (no Location): second consecutive failure at
+    // maxFails=2 → dead, exactly the pre-redirect law
+    g("noloc").getString(10) shouldBe "dead"
+    g("noloc").getInt(5) shouldBe 2
+  }
+
+  test("redirectAdmissions: targets admitted at the SOURCE's depth through admit's full gate; known targets and temp redirects mint nothing; latest attempt wins; a 2-cycle terminates") {
+    val f = mkFrontier(Seq(
+      row("https://a.example/moved"), row("https://a.example/known"),
+      row("https://a.example/temp"), row("https://a.example/retry"),
+      row("https://a.example/cyc1"), row("https://a.example/cyc2")))
+      .withColumn("depth", when(col("url").endsWith("moved"), lit(3))
+        .otherwise(lit(0)))
+    val fetched = Seq(
+      ("https://a.example/moved", 2000L, 301,
+        Some("https://a.example/target")),
+      ("https://a.example/known", 2000L, 308,
+        Some("https://a.example/temp")),      // already a frontier row
+      ("https://a.example/temp", 2000L, 302,
+        Some("https://a.example/tmp-target")), // temporary: no admission
+      ("https://a.example/retry", 2000L, 301,
+        Some("https://a.example/stale")),
+      ("https://a.example/retry", 3000L, 301,
+        Some("https://a.example/fresh")),      // latest attempt wins
+      ("https://a.example/cyc1", 2000L, 301,
+        Some("https://a.example/cyc2")),       // both ends known:
+      ("https://a.example/cyc2", 2000L, 301,
+        Some("https://a.example/cyc1")))       // the cycle mints nothing
+      .toDF("url", "fetch_ts", "status", "location")
+      .withColumn("content_hash", lit(null).cast("string"))
+    val adm = CrawlFrontier.redirectAdmissions(fetched, f, now = 5000L)
+      .orderBy("url").collect()
+    adm.map(_.getString(0)) shouldBe Array(
+      "https://a.example/fresh", "https://a.example/target")
+    val byUrl = adm.map(r => r.getString(0) -> r).toMap
+    val t = byUrl("https://a.example/target")
+    t.getInt(2) shouldBe 3                  // the SOURCE's depth
+    t.getDouble(3) shouldBe 0.25            // 1/(1+3)
+    t.getLong(9) shouldBe 5000L             // due now
+    t.getString(10) shouldBe "active"
+    byUrl("https://a.example/fresh").getInt(2) shouldBe 0
+    // the permanent-alias edge frame: canonical endpoints, temp
+    // redirects absent, latest-wins — resolveRedirects-ready
+    val edges = CrawlFrontier.redirectEdges(fetched).orderBy("src")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    edges shouldBe Array(
+      ("https://a.example/cyc1", "https://a.example/cyc2"),
+      ("https://a.example/cyc2", "https://a.example/cyc1"),
+      ("https://a.example/known", "https://a.example/temp"),
+      ("https://a.example/moved", "https://a.example/target"),
+      ("https://a.example/retry", "https://a.example/fresh"))
+  }
+
+  test("fetchResults: the wire→law bridge — decoded raw captures drive the revisit law, redirect admissions, the robots cadence and the politeness headers end to end") {
+    import graft.io.Warc
+    def http(status: String, headers: String, body: String): Array[Byte] = {
+      val b = body.getBytes("UTF-8")
+      (s"HTTP/1.1 $status\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" + headers +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes("US-ASCII") ++ b
+    }
+    val shard = Warc.writeRecordShardGz(Seq(
+      ("https://w.ex/ok", http("200 OK",
+        "ETag: \"v1\"\r\nLast-Modified: Wed, 07 Jan 2026 00:00:00 GMT\r\n",
+        "hello")),
+      ("https://w.ex/moved", http("301 Moved Permanently",
+        "Location: /target\r\n", "")), // RELATIVE — must resolve
+      ("https://w.ex/nolocation", http("301 Moved Permanently", "", "")),
+      ("https://w.ex/busy", http("503 Service Unavailable",
+        "Retry-After: 7200\r\n", "")),
+      ("https://w.ex/robots.txt", http("200 OK",
+        "Cache-Control: public, max-age=7200\r\n",
+        "User-agent: *\nDisallow:\n"))),
+      "response", "application/http;msgtype=response")
+    val fr = CrawlFrontier.fetchResults(
+      Warc.fromShardsDecoded(Seq((1L, shard)).toDF("id", "shard")),
+      fetchTs = 2000L).localCheckpoint(true)
+    val m = fr.collect().map(r => r.getString(0) -> r).toMap
+    // (url, fetch_ts, status, content_hash, etag, last_modified,
+    //  retry_after, max_age, location)
+    val ok = m("https://w.ex/ok")
+    ok.getInt(2) shouldBe 200
+    ok.getString(3) shouldBe java.security.MessageDigest
+      .getInstance("MD5").digest("hello".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    ok.getString(4) shouldBe "\"v1\"" // verbatim, quotes included
+    ok.getLong(5) shouldBe 1767744000L
+    m("https://w.ex/moved").getString(8) shouldBe "https://w.ex/target"
+    m("https://w.ex/moved").isNullAt(3) shouldBe true // no hash off 3xx
+    m("https://w.ex/nolocation").isNullAt(8) shouldBe true // '' → null
+    m("https://w.ex/busy").getLong(6) shouldBe 7200L
+    m("https://w.ex/robots.txt").getLong(7) shouldBe 7200L
+    // and the laws consume it UNCHANGED: revisit + redirect + robots
+    val f = mkFrontier(Seq(row("https://w.ex/ok", interval = 3600L),
+      row("https://w.ex/moved"), row("https://w.ex/nolocation"),
+      row("https://w.ex/busy", interval = 3600L),
+      row("https://w.ex/robots.txt")))
+    val isR = CrawlFrontier.isRobotsUrl(col("url"))
+    val upd = CrawlFrontier.recrawlUpdates(fr.filter(!isR), f, rv)
+      .collect().map(r => r.getString(0) -> r).toMap
+    upd("https://w.ex/ok").getString(11) shouldBe "\"v1\""
+    upd("https://w.ex/ok").getLong(12) shouldBe 1767744000L
+    upd("https://w.ex/moved").getString(10) shouldBe "redirected"
+    upd("https://w.ex/nolocation").getString(10) shouldBe "active"
+    upd("https://w.ex/nolocation").getInt(5) shouldBe 1 // a failure
+    // Retry-After 7200 beats the doubled 3600 exactly at par → 9200
+    upd("https://w.ex/busy").getLong(9) shouldBe 2000L + 7200L
+    CrawlFrontier.redirectAdmissions(fr, f, now = 2500L)
+      .select("url").as[String].collect().toSeq shouldBe
+      Seq("https://w.ex/target")
+    val rb = CrawlFrontier.robotsRecrawlUpdates(fr.filter(isR), f,
+      refreshIntervalS = 86400L).collect()(0)
+    rb.getLong(8) shouldBe 7200L // the declared max-age IS the cadence
+    rb.getLong(9) shouldBe 2000L + 7200L
+  }
+
+  test("fetchRequests + imfFixdateEpoch are session-timezone-free: a non-UTC session renders and parses the same GMT instants") {
+    import graft.functions.TextExtraction.imfFixdateEpoch
+    import java.time.format.DateTimeFormatter
+    import java.time.{Instant, ZoneOffset}
+    import java.util.Locale
+    val ref = DateTimeFormatter
+      .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", Locale.US)
+      .withZone(ZoneOffset.UTC)
+    // winter (EST, -5), summer (EDT, -4), and epochs landing inside
+    // the US DST transitions — the offsets a session-zone leak would
+    // shift by
+    val epochs = Seq(1767744000L, 1754000000L, 1772930000L, 1761040000L,
+      0L, 86399L)
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val f = epochs.toDF("epoch").select(
+        concat(lit("https://tz.ex/"), col("epoch")).as("url"),
+        lit("tz.ex").as("host"),
+        lit(null).cast("string").as("etag"),
+        col("epoch").as("last_modified"))
+      val got = CrawlFrontier.fetchRequests(f)
+        .select(col("url"), col("if_modified_since"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      epochs.foreach { e =>
+        got(s"https://tz.ex/$e") shouldBe
+          ref.format(Instant.ofEpochSecond(e))
+      }
+      // parse side under the same non-UTC session
+      val parsed = epochs.map(e => ref.format(Instant.ofEpochSecond(e)))
+        .toDF("s").select(imfFixdateEpoch(col("s"))).as[Long]
+        .collect().toSeq
+      parsed shouldBe epochs
+    } finally spark.conf.set(tzKey, saved)
   }
 
   // ——— admit ———————————————————————————————————————————————————————
@@ -691,6 +923,194 @@ class CrawlFrontierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("store-held standing loop WITH sitemap rows: the feed row routes by isSitemapUrl, its body folds through reseed+seed in the same cycle, a changed lastmod pulls EXACTLY its page row due with zero churn for the re-announced rest, the feed cadence holds") {
+    import graft.streaming.StreamingOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scl-sitemap").toString
+    val root = s"$base/frontier"
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state", "etag", "last_modified")
+    val contract = "url" +: payloadCols
+    def toEvents(df: DataFrame, seq: Long) =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
+    val q = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        root, idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def served(): DataFrame = StreamingOps.readSnapshot(spark, root).get
+      .select(contract.map(col): _*)
+    val T0 = 1754000000L
+    // a feed body: p1's lastmod varies per wave, p2's stays 2025-01-01
+    // (older than any fetch in the test — a pure re-announcement)
+    def body(p1Lastmod: String): String =
+      s"""<urlset>
+         |<url><loc>https://a.ex/p1</loc><lastmod>$p1Lastmod</lastmod>
+         |<changefreq>monthly</changefreq></url>
+         |<url><loc>https://a.ex/p2</loc><lastmod>2025-01-01</lastmod>
+         |<changefreq>monthly</changefreq></url>
+         |</urlset>""".stripMargin
+    // one cycle: select off the SERVED store, route by isSitemapUrl,
+    // feed rows take the sitemap law + their body folds entries in the
+    // same step, page rows take the page law
+    def cycle(now: Long, p1Lastmod: String)
+        : (Seq[String], Seq[String]) = {
+      val sv = served().localCheckpoint(true)
+      val batch = CrawlFrontier.selectBatch(sv, now,
+        batchSize = 10, perHostCap = 10).localCheckpoint(true)
+      val isSm = CrawlFrontier.isSitemapUrl(col("url"))
+      val smBatch = batch.filter(isSm)
+      val pageBatch = batch.filter(!isSm)
+      var events = toEvents(CrawlFrontier.recrawlUpdates(
+        pageBatch.select(col("url"), lit(now + 1L).as("fetch_ts"),
+          lit(200).as("status"),
+          md5(concat(lit(now.toString), col("url"))).as("content_hash")),
+        sv), now)
+      var folded = Seq.empty[String]
+      if (smBatch.count() > 0) {
+        events ++= toEvents(CrawlFrontier.sitemapRecrawlUpdates(
+          smBatch.select(col("url"), lit(now + 1L).as("fetch_ts"),
+            lit(200).as("status"),
+            md5(lit(p1Lastmod)).as("content_hash")), sv), now)
+        val entries = Seq(body(p1Lastmod)).toDF("xml")
+          .select(explode(Sitemaps.urlEntries(col("xml"))))
+          .select(col("col.*"))
+        val fold = CrawlFrontier.sitemapFold(sv, entries, now)
+          .localCheckpoint(true)
+        folded = fold.select("url").as[String].collect().sorted.toSeq
+        events ++= toEvents(fold, now)
+      }
+      input.addData(events: _*); q.processAllAvailable()
+      (batch.select("url").as[String].collect().sorted.toSeq, folded)
+    }
+    try {
+      val seeds = CrawlFrontier.sitemapSeeds(
+        Seq("https://a.ex/sitemap.xml").toDF("url"), now = T0)
+      input.addData(toEvents(seeds, 0L): _*); q.processAllAvailable()
+      // wave 1: only the feed row exists; its body seeds p1+p2 due now
+      val (b1, f1) = cycle(T0, "2025-01-01")
+      b1 shouldBe Seq("https://a.ex/sitemap.xml")
+      f1 shouldBe Seq("https://a.ex/p1", "https://a.ex/p2")
+      // wave 2: pages fetch (monthly changefreq → 30 d interval,
+      // halved by the changed law); the feed row holds its cadence
+      val (b2, f2) = cycle(T0 + 600L, "2025-01-01")
+      b2 shouldBe Seq("https://a.ex/p1", "https://a.ex/p2")
+      f2 shouldBe empty
+      // wave 3, past the feed cadence: the re-read announces a NEWER
+      // p1 lastmod; the fold pulls EXACTLY p1 due — p2's
+      // re-announcement emits nothing (zero schedule churn)
+      val now3 = T0 + 86400L + 700L
+      val (b3, f3) = cycle(now3, "2026-02-01")
+      b3 shouldBe Seq("https://a.ex/sitemap.xml")
+      f3 shouldBe Seq("https://a.ex/p1")
+      // wave 4: the pulled row — and ONLY it — schedules next
+      val b4 = CrawlFrontier.selectBatch(served(), now3 + 10L,
+        batchSize = 10, perHostCap = 10)
+        .select("url").as[String].collect().toSeq
+      b4 shouldBe Seq("https://a.ex/p1")
+      // the store's feed row kept its 24 h cadence through wave 3
+      val sm = served()
+        .filter(CrawlFrontier.isSitemapUrl(col("url"))).collect()(0)
+      sm.getString(10) shouldBe "active"
+      sm.getLong(9) shouldBe (now3 + 1L + 86400L)
+      // and p1's pulled row carries the announced lastmod validator
+      val p1 = served().filter(col("url") === "https://a.ex/p1")
+        .collect()(0)
+      p1.getLong(9) shouldBe now3
+      p1.getLong(12) shouldBe 1769904000L // 2026-02-01 UTC midnight
+    } finally q.stop()
+  }
+
+  test("store-held standing loop with a redirect wave: a 301 retires the source row IN THE STORE and mints the target, which fetches next wave at the source's depth") {
+    import graft.streaming.StreamingOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scl-redirect").toString
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state", "etag", "last_modified")
+    def toEvents(df: DataFrame, seq: Long) =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
+    val q = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        s"$base/frontier", idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def served(): DataFrame =
+      StreamingOps.readSnapshot(spark, s"$base/frontier").get
+        .select(("url" +: payloadCols).map(col): _*)
+    try {
+      // /old sits at depth 2 (an admitted discovery, not a seed)
+      val seeds = CrawlFrontier.seed(
+          Seq("https://a.ex/q").toDF("url"), now = 1000L,
+          defaultIntervalS = 1000L)
+        .unionByName(CrawlFrontier.admit(
+          CrawlFrontier.seed(Seq("https://a.ex/q").toDF("url"), 1000L),
+          Seq(("https://a.ex/old", 2)).toDF("url", "depth"), now = 1000L,
+          defaultIntervalS = 1000L))
+      input.addData(toEvents(seeds, 0L): _*); q.processAllAvailable()
+      // wave 1: /old answers 301 → /new, /q answers 200; the upsert
+      // batch is the law output ∪ the redirect admissions
+      val sv1 = served().localCheckpoint(true)
+      val b1 = CrawlFrontier.selectBatch(sv1, 1000L, 10, 10)
+      val fetched1 = b1.select(col("url"),
+        lit(1001L).as("fetch_ts"),
+        when(col("url").endsWith("old"), lit(301)).otherwise(lit(200))
+          .as("status"),
+        when(col("url").endsWith("old"), lit(null).cast("string"))
+          .otherwise(md5(col("url"))).as("content_hash"),
+        when(col("url").endsWith("old"), lit("https://a.ex/new"))
+          .otherwise(lit(null).cast("string")).as("location"))
+        .localCheckpoint(true)
+      input.addData(toEvents(
+        CrawlFrontier.recrawlUpdates(fetched1, sv1)
+          .unionByName(CrawlFrontier.redirectAdmissions(fetched1, sv1,
+            now = 1000L)), 1000L): _*)
+      q.processAllAvailable()
+      val s1 = served().collect().map(r => r.getString(0) -> r).toMap
+      s1("https://a.ex/old").getString(10) shouldBe "redirected"
+      s1("https://a.ex/new").getString(10) shouldBe "active"
+      s1("https://a.ex/new").getInt(2) shouldBe 2 // the source's depth
+      // wave 2: the target — and only it — is due; its fetch lands
+      // content ('redirected' rows are unselectable by state)
+      val sv2 = served().localCheckpoint(true)
+      val b2 = CrawlFrontier.selectBatch(sv2, 1010L, 10, 10)
+      b2.select("url").as[String].collect().toSeq shouldBe
+        Seq("https://a.ex/new")
+      input.addData(toEvents(CrawlFrontier.recrawlUpdates(
+        b2.select(col("url"), lit(1011L).as("fetch_ts"),
+          lit(200).as("status"), md5(col("url")).as("content_hash")),
+        sv2), 1010L): _*)
+      q.processAllAvailable()
+      val n2 = served().collect().map(r => r.getString(0) -> r).toMap
+      n2("https://a.ex/new").getString(7) should not be null
+      n2("https://a.ex/new").getLong(4) shouldBe 1L
+      n2("https://a.ex/old").getString(10) shouldBe "redirected"
+    } finally q.stop()
+  }
+
   test("standing crawl loop: store-held cycles (loadDue face → selectBatch → fetch → recrawlUpdates+admit upserts) run wave-for-wave equal to step() across 3 cycles with a crash-restart and an at-least-once replay") {
     import graft.streaming.StreamingOps
     implicit val ctx = spark.sqlContext
@@ -825,6 +1245,22 @@ class CrawlFrontierSpec extends SparkSpec {
     out(0).getLong(8) shouldBe 2000L // doubled
     out(1).getString(0) shouldBe "https://a.example/q"
     out(1).getLong(4) shouldBe 0L
+    // a 301 in the cycle's results: the retired source AND its target
+    // ride the same step() output, through ONE admit call — a URL
+    // that is both linked-to and moved-to mints one row, not two
+    val f2 = mkFrontier(Seq(
+      row("https://a.example/moved", interval = 1000L)))
+    val redirected = Seq(
+      ("https://a.example/moved", 2000L, 301, Option.empty[String],
+        Some("https://a.example/t")))
+      .toDF("url", "fetch_ts", "status", "content_hash", "location")
+    val disc2 = Seq(("https://a.example/t", 4)).toDF("url", "depth")
+    val out2 = CrawlFrontier.step(f2, redirected, disc2, now = 2000L,
+      rv = rv).orderBy("url").collect()
+    out2.length shouldBe 2
+    out2(0).getString(10) shouldBe "redirected"
+    out2(1).getString(0) shouldBe "https://a.example/t"
+    out2(1).getInt(2) shouldBe 0 // min(link depth 4, source depth 0)
   }
 
   test("rescorePriorities: the blend normalizes on the fly, unscored hosts take zero, degenerate scores refuse") {
@@ -1193,6 +1629,58 @@ class CrawlFrontierSpec extends SparkSpec {
       Seq("domain", "robots_rules", "robots_status", "fetched_at")
   }
 
+  test("rulesFromFetch: 429 files as complete-disallow (no verdict was delivered), and duplicate domains collapse latest-fetch-wins before the merge") {
+    import graft.functions.Robots
+    val fetched = Seq(
+      ("throttled.ex", 429, null.asInstanceOf[String], 100L),
+      // two attempts for one domain in one cycle: the later 404 must
+      // win, and exactly ONE row may reach updateRules/gateRobots —
+      // a duplicate would fan out every discovered URL of the host
+      ("dup.ex", 200, "User-agent: *\nDisallow: /\n", 100L),
+      ("dup.ex", 404, null.asInstanceOf[String], 200L))
+      .toDF("domain", "status", "robots_txt", "fetch_ts")
+    val rules = Robots.rulesFromFetch(fetched, "graftbot")
+    rules.count() shouldBe 2 // one row per domain, enforced
+    val byDomain = rules.collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    byDomain("throttled.ex")._1 shouldBe "disallow_all"
+    byDomain("dup.ex") shouldBe (("allow_all", 200L))
+    // the 429 verdict gates like an outage: nothing admitted
+    val kept = CrawlFrontier.gateRobots(
+      Seq(("https://throttled.ex/pub/1", 1), ("https://dup.ex/pub/1", 1))
+        .toDF("url", "depth"), rules)
+      .select("url").as[String].collect().toSeq
+    kept shouldBe Seq("https://dup.ex/pub/1")
+  }
+
+  test("robotsRecrawlUpdates: 429 counts the failure and keeps the default cadence; retries dedup to one upsert row; max-age clamps at 7× the cadence") {
+    val f = mkFrontier(Seq(
+      row("https://a.ex/robots.txt", interval = 86400L, fails = 1),
+      row("https://b.ex/robots.txt", interval = 86400L, fails = 1)))
+    // a.ex: a 500 then a 429 retry in ONE cycle — latest wins, ONE row
+    // out, the 429 is not an answer (fail streak continues), cadence
+    // stays the default. b.ex: a 200 declaring a decades-long max-age
+    // — honored only up to 7× the refresh cadence.
+    val fetched = Seq(
+      ("https://a.ex/robots.txt", 100L, 500, None, None),
+      ("https://a.ex/robots.txt", 200L, 429, None, None),
+      ("https://b.ex/robots.txt", 200L, 200, Some("h"),
+        Some(999999999L)))
+      .toDF("url", "fetch_ts", "status", "content_hash", "max_age")
+    val out = CrawlFrontier.robotsRecrawlUpdates(fetched, f,
+      refreshIntervalS = 86400L).orderBy("url").collect()
+    out.length shouldBe 2
+    val a = out(0); val b = out(1)
+    a.getString(0) shouldBe "https://a.ex/robots.txt"
+    a.getInt(5) shouldBe 2                  // 429: failure counted
+    a.getLong(8) shouldBe 86400L            // default cadence held
+    a.getLong(9) shouldBe 200L + 86400L     // latest attempt's clock
+    a.getString(10) shouldBe "active"       // the row never dies
+    b.getInt(5) shouldBe 0
+    b.getLong(8) shouldBe 7L * 86400L       // clamped, not 31 years
+    b.getLong(9) shouldBe 200L + 7L * 86400L
+  }
+
   test("updateRules: rules REPLACE latest-fetched-at-wins; redelivery converges; stale redelivery loses") {
     import graft.functions.Robots
     def fetchAt(ts: Long, status: Int, txt: String) = Robots.rulesFromFetch(
@@ -1394,24 +1882,30 @@ class CrawlFrontierSpec extends SparkSpec {
       .collect().toSeq shouldBe Seq(Some(3600L), Some(600L), Some(60L),
         Some(120L), None, None, None, None)
     // Retry-After only POSTPONES, only on failing answers: a declared
-    // 7200 beats the doubled 3600-seeded interval; a declared 10 does
-    // not shorten it; a 200 ignores the header entirely
+    // 8000 beats the doubled 3600-seeded interval but a declared
+    // 99999 clamps at the law's own maxIntervalS (a hostile header
+    // cannot freeze a row past the longest wait the law itself ever
+    // takes); a declared 10 does not shorten it; a 200 ignores the
+    // header entirely
     val f = mkFrontier(Seq(
       row("https://ra.ex/a", interval = 3600L),
       row("https://ra.ex/b", interval = 3600L),
-      row("https://ra.ex/c", interval = 3600L, hash = Some("h"))))
+      row("https://ra.ex/c", interval = 3600L, hash = Some("h")),
+      row("https://ra.ex/d", interval = 3600L)))
     val fetched = Seq(
       ("https://ra.ex/a", 2000L, 503, Option.empty[String], Some(99999L)),
       ("https://ra.ex/b", 2000L, 429, Option.empty[String], Some(10L)),
-      ("https://ra.ex/c", 2000L, 200, Some("h"), Some(99999L)))
+      ("https://ra.ex/c", 2000L, 200, Some("h"), Some(99999L)),
+      ("https://ra.ex/d", 2000L, 503, Option.empty[String], Some(8000L)))
       .toDF("url", "fetch_ts", "status", "content_hash", "retry_after")
     val out = CrawlFrontier.recrawlSchedule(f, fetched, rv)
       .orderBy("url").collect()
     // rv: min 100 max 10000; 3600 doubles to 7200
-    out(0).getLong(9) shouldBe 2000L + 99999L // declared wait wins
+    out(0).getLong(9) shouldBe 2000L + 10000L // declared wait, clamped
     out(0).getLong(8) shouldBe 7200L          // stored backoff unchanged
     out(1).getLong(9) shouldBe 2000L + 7200L  // never shortens
     out(2).getLong(9) shouldBe 2000L + 7200L  // ok: header ignored
+    out(3).getLong(9) shouldBe 2000L + 8000L  // in-range declaration wins
   }
 
   test("composed crawl loop with robots routing: robots rows lead their host's wave, results route by isRobotsUrl, the maintained rules gate admission, the refresh cadence holds") {

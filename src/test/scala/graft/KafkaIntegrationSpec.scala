@@ -36,6 +36,8 @@ import graft.streaming.StreamingOps
   *    org/apache/kafka group, no kafka jar. Gate stays.
   *  - r18: still absent — /opt/spark/jars and the coursier/ivy caches
   *    re-searched for any kafka artifact: zero hits. Gate stays.
+  *  - r19: still absent — a filesystem-wide jar search plus the
+  *    coursier/ivy cache roots: zero kafka artifacts. Gate stays.
   */
 class KafkaIntegrationSpec extends SparkSpec {
 

@@ -29,6 +29,29 @@ class MongoAtlasStoreSpec extends AnyFunSuite with Matchers {
     body should include(""""score":{"$meta":"vectorSearchScore"}""")
   }
 
+  test("the full $vectorSearch request at the reference defaults is byte-pinned, and the index definition locks cosine/1536") {
+    // the live Atlas path is environment-blocked, so the CONTRACT is
+    // the regression surface: the aggregation exactly as the reference
+    // app sends it (generate_personalized_commands.sh:304 — k=3 from
+    // numCandidates=150) and the index shape it requires
+    // (main.tf:658-669 — vector field, numDimensions=1536, cosine)
+    MongoAtlasStore.searchBody(cfg, Array(0.25f, -1.0f), k = 3,
+      numCandidates = 150) shouldBe
+      """{"dataSource":"Cluster0","database":"meetingcoach","collection":"knowledge_embeddings","pipeline":[""" +
+      """{"$vectorSearch":{"index":"vector_index","path":"embedding","queryVector":[0.25,-1.0],"numCandidates":150,"limit":3}},""" +
+      """{"$project":{"_id":0,"document_id":1,"chunks":1,"score":{"$meta":"vectorSearchScore"}}}]}"""
+    MongoAtlasStore.indexDefinitionBody(cfg) shouldBe
+      """{"fields":[{"type":"vector","path":"embedding","numDimensions":1536,"similarity":"cosine"}]}"""
+    // and a default search() through the store really sends 150
+    var sent = ""
+    val fake = (_: String, body: String, _: Map[String, String]) => {
+      sent = body; """{"documents":[]}"""
+    }
+    new MongoAtlasStore(cfg, fake).search(Array(1f), k = 3)
+    sent should include(""""numCandidates":150""")
+    sent should include(""""limit":3""")
+  }
+
   test("upsertOneBody keys on (document_id, chunk_hash) with upsert=true") {
     val body = MongoAtlasStore.upsertOneBody(cfg, "dir/doc.md", "some text",
       Array(0.5f))

@@ -927,6 +927,69 @@ class WebCorpusSpec extends SparkSpec {
     Warc.inflateAuto("not deflate at all".getBytes("UTF-8")) shouldBe empty
   }
 
+  test("inflateAuto: raw-deflate whose first bytes coincidentally form a valid zlib header decodes fully — mid-stream zlib damage retries raw instead of returning the garbage prefix") {
+    // hand-built RAW deflate from stored blocks, engineered so the
+    // zlib reading ALSO parses for a while: header bytes 0x08 0x1D
+    // pass the zlib check (CM=8, (0x081D % 31) == 0, FDICT clear),
+    // the zlib-view stored block then emits 65,506 garbage bytes and
+    // hits an invalid block type (0x06) — the coincidence class
+    // (~1/500 of raw streams) where gating the raw retry on
+    // zero-output returned the garbage prefix as "the body".
+    val p1 = Array.tabulate[Byte](29)(i => ((i * 7 + 3) % 251).toByte)
+    p1(0) = 0x1D; p1(1) = 0x00 // zlib-view NLEN for its LEN=0xFFE2
+    val p2 = Array.tabulate[Byte](65535)(i => ((i * 13 + 5) % 251).toByte)
+    // the zlib reading's SECOND stored block rides inside raw block 2's
+    // data (so the zlib-view output crosses the decoder's 64 KiB read
+    // buffer — the damage must land in a LATER inflate() call, or the
+    // partial output never reaches the caller's tally in either code
+    // path): header at zlib offset 65513, LEN=1000, NLEN=~1000
+    p2(65474) = 0x00
+    p2(65475) = 0xE8.toByte; p2(65476) = 0x03 // LEN = 1000
+    p2(65477) = 0x17; p2(65478) = 0xFC.toByte // NLEN
+    val p3 = Array.tabulate[Byte](1000)(i => ((i * 11 + 9) % 251).toByte)
+    p3(939) = 0x06 // zlib-view next-block header: BTYPE=11 → damage
+    val s = new java.io.ByteArrayOutputStream()
+    s.write(0x08)                // stored, non-final (padding bit set)
+    s.write(0x1D); s.write(0x00) // LEN = 29
+    s.write(0xE2); s.write(0xFF) // NLEN = ~29
+    s.write(p1)
+    s.write(0x00)                // stored, non-final
+    s.write(0xFF); s.write(0xFF) // LEN = 65535
+    s.write(0x00); s.write(0x00) // NLEN
+    s.write(p2)
+    s.write(0x00)                // stored, non-final
+    s.write(0xE8); s.write(0x03) // LEN = 1000
+    s.write(0x17); s.write(0xFC) // NLEN
+    s.write(p3)
+    s.write(0x01)                // stored, FINAL, LEN = 0
+    s.write(0x00); s.write(0x00)
+    s.write(0xFF); s.write(0xFF)
+    val bytes = s.toByteArray
+    // pin the trap really is armed: the zlib attempt emits output
+    // and THEN throws — the exact shape the zero-output gate missed
+    val probe = new java.util.zip.Inflater(false)
+    probe.setInput(bytes)
+    val buf = new Array[Byte](1 << 16)
+    var emitted = 0L
+    intercept[java.util.zip.DataFormatException] {
+      var n = probe.inflate(buf)
+      while (n > 0) { emitted += n; n = probe.inflate(buf) }
+    }
+    probe.end()
+    emitted should be > 0L
+    Warc.inflateAuto(bytes) shouldBe (p1 ++ p2 ++ p3)
+    // a genuinely corrupt zlib stream still never throws
+    val d = new java.util.zip.Deflater()
+    d.setInput(("x" * 5000).getBytes("UTF-8")); d.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](8192)
+    while (!d.finished()) zout.write(zbuf, 0, d.deflate(zbuf))
+    d.end()
+    val corrupt = zout.toByteArray
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x55).toByte
+    noException should be thrownBy Warc.inflateAuto(corrupt)
+  }
+
   // ——— derived formats: WET / WAT record shards ———————————————————
 
   test("record shards (WET/WAT): framing cross-validates, types filter, bounded cutting, multi-byte payloads survive") {
