@@ -1193,6 +1193,66 @@ object QueriesCrawl {
       FROM new_rows
       ORDER BY url""")),
 
+    ("crawl_sitemap_index", (s, dir) => {
+      // the sitemap BODY dispatch at the top of a real feed tree: big
+      // publishers serve a <sitemapindex>, not a urlset — index
+      // bodies seed their CHILD feeds as new sitemap rows (priority
+      // 1.5, feed cadence; a child already in the frontier keeps its
+      // own schedule via the anti-join — the parent re-announcing
+      // itself every fetch must not reset it), urlset bodies take the
+      // sitemapFold laws unchanged. Even docs serve an index (child
+      // c{d} new + the parent itself, dropped), odd docs a urlset
+      // (one new page with weekly changefreq + declared priority).
+      // The oracle replays the fixture contract (the
+      // crawl_sitemap_fold convention; isIndex/indexEntries regex
+      // parity is crawl_sitemap_parse's subject).
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val feed = concat(lit("https://h"), k, lit(".si.com/sitemap.xml"))
+      val docs = T(s, dir, "documents")
+      val frontier = CrawlFrontier.sitemapSeeds(
+        docs.select(feed.as("url")), now = T0 - 500L)
+      val xml = when(d % 2 === 0, concat(
+          lit("<sitemapindex><sitemap><loc>https://h"), k,
+          lit(".si.com/sitemaps/c"), id, lit(".xml</loc></sitemap>"),
+          lit("<sitemap><loc>https://h"), k,
+          lit(".si.com/sitemap.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>https://h"), k, lit(".si.com/n/"), id,
+          lit("</loc><changefreq>weekly</changefreq>"),
+          lit("<priority>0.3</priority></url></urlset>")))
+      CrawlFrontier.sitemapBodiesFold(frontier,
+        docs.select(feed.as("url"), xml.as("xml")), now = T0)
+        .orderBy("url")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, 'h' || (doc_id % 5) || '.si.com' AS host
+        FROM documents)
+      SELECT 'https://' || host || '/n/' || doc_id AS url, host,
+             CAST(0 AS INT) AS depth, CAST(0.3 AS DOUBLE) AS priority,
+             CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(NULL AS BIGINT) AS last_fetch_ts,
+             CAST(NULL AS VARCHAR) AS content_hash,
+             CAST(604800 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state, CAST(NULL AS VARCHAR) AS etag,
+             CAST(NULL AS BIGINT) AS last_modified
+      FROM base WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 'https://' || host || '/sitemaps/c' || doc_id || '.xml'
+               AS url, host,
+             CAST(0 AS INT) AS depth, CAST(1.5 AS DOUBLE) AS priority,
+             CAST(0 AS BIGINT) AS fetch_count, CAST(0 AS INT) AS fail_count,
+             CAST(NULL AS BIGINT) AS last_fetch_ts,
+             CAST(NULL AS VARCHAR) AS content_hash,
+             CAST(86400 AS BIGINT) AS interval_s,
+             CAST(1754000000 AS BIGINT) AS next_fetch_ts,
+             'active' AS state, CAST(NULL AS VARCHAR) AS etag,
+             CAST(NULL AS BIGINT) AS last_modified
+      FROM base WHERE doc_id % 2 = 0
+      ORDER BY url""")),
+
     ("crawl_polite_waves", (s, dir) => {
       // per-host politeness ACROSS waves: a 60-second cycle against a
       // 600-second budget window must not re-grant the declared

@@ -90,7 +90,7 @@ object SparkEntry {
     "crawl_admit_robots",
     "crawl_robots_lifecycle", "crawl_e2e", "crawl_conditional_e2e",
     "crawl_polite_batch", "crawl_redirects", "crawl_redirect_e2e",
-    "crawl_sitemap_fold", "crawl_polite_waves",
+    "crawl_sitemap_fold", "crawl_sitemap_index", "crawl_polite_waves",
     "crawl_discovery_e2e",
     "web_redirects", "web_canonical", "web_contract", "web_host_graph",
     "web_host_weights",

@@ -226,5 +226,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft.functions.TextExtraction")(c =>
       graft.functions.TextExtraction.retryAfterSeconds(c(0))),
     composed("cache_max_age", 1, "graft.functions.TextExtraction")(c =>
-      graft.functions.TextExtraction.cacheControlMaxAge(c(0))))
+      graft.functions.TextExtraction.cacheControlMaxAge(c(0))),
+    // the r19 loop routers (a SQL-built crawl cycle splits its fetch
+    // results between the page / robots / sitemap laws with these)
+    composed("is_robots_url", 1, "graft.operators.CrawlFrontier")(c =>
+      graft.operators.CrawlFrontier.isRobotsUrl(c(0))),
+    composed("is_sitemap_url", 1, "graft.operators.CrawlFrontier")(c =>
+      graft.operators.CrawlFrontier.isSitemapUrl(c(0))),
+    // and the IMF-fixdate validator parse (zone-free)
+    composed("http_date_epoch", 1, "graft.functions.TextExtraction")(c =>
+      graft.functions.TextExtraction.imfFixdateEpoch(c(0))))
 }

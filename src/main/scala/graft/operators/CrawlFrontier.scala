@@ -1024,6 +1024,38 @@ object CrawlFrontier {
         seeds.join(frontier.select("url"), Seq("url"), "left_anti"))
   }
 
+  /** Fold one cycle's fetched sitemap BODIES whole — the dispatch over
+    * [[sitemapFold]] a real crawl needs because big publishers serve
+    * a `<sitemapindex>` at the top, not a urlset: index bodies yield
+    * their CHILD FEED locations, seeded as new sitemap rows
+    * ([[sitemapSeeds]]' law — priority 1.5, the feed cadence, the
+    * anti-join keeps known children on their own schedule), so the
+    * tree walks itself one level per cadence tick through the
+    * standing loop; urlset bodies take [[sitemapFold]] unchanged.
+    * `bodies` is (urlCol, xmlCol) — decoded text; route `.xml.gz`
+    * payloads through Sitemaps.decodeFeeds first. Returns one upsert
+    * batch. The parse stages are the codegen'd Sitemaps pulls; the
+    * dispatch adds no shuffle beyond the two folds'. */
+  def sitemapBodiesFold(frontier: DataFrame, bodies: DataFrame,
+                        now: Long,
+                        urlCol: String = "url", xmlCol: String = "xml",
+                        defaultIntervalS: Long = 86400L,
+                        feedRefreshIntervalS: Long = 86400L): DataFrame = {
+    import graft.functions.Sitemaps
+    val b = bodies.select(col(urlCol).as("__sb_url"),
+      col(xmlCol).as("__sb_xml"))
+    val children = b.filter(Sitemaps.isIndex(col("__sb_xml")))
+      .select(explode(Sitemaps.indexEntries(col("__sb_xml"))).as("url"))
+    val childSeeds = sitemapSeeds(children, now,
+        refreshIntervalS = feedRefreshIntervalS)
+      .join(frontier.select("url"), Seq("url"), "left_anti")
+    val entries = b.filter(!Sitemaps.isIndex(col("__sb_xml")))
+      .select(explode(Sitemaps.urlEntries(col("__sb_xml"))))
+      .select(col("col.*"))
+    sitemapFold(frontier, entries, now, defaultIntervalS)
+      .unionByName(childSeeds)
+  }
+
   /** Persist a frontier partitioned by next-fetch DAY — the layout
     * that turns [[selectBatch]]'s due filter into PARTITION PRUNING:
     * at 10^10 rows the due slice is a handful of day directories, so

@@ -1033,6 +1033,161 @@ class CrawlFrontierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sitemapBodiesFold: index bodies seed their CHILD feeds (known children keep their schedule), urlset bodies take the fold laws — one dispatch, one upsert batch") {
+    val T0 = 1754000000L
+    // frontier: one known child feed, one known fetched page
+    val f = CrawlFrontier.sitemapSeeds(
+        Seq("https://a.ex/sitemaps/c1.xml").toDF("url"), now = T0 - 500L)
+      .unionByName(mkFrontier(Seq(
+        row("https://a.ex/p1", next = T0 + 5000L, hash = Some("h"))))
+        .withColumn("last_fetch_ts", lit(T0 - 5000L)))
+    val index =
+      """<sitemapindex>
+        |<sitemap><loc>https://a.ex/sitemaps/c1.xml</loc></sitemap>
+        |<sitemap><loc>https://a.ex/sitemaps/c2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val urlset =
+      """<urlset>
+        |<url><loc>https://a.ex/p1</loc><lastmod>2026-01-05</lastmod></url>
+        |<url><loc>https://a.ex/p2</loc><changefreq>hourly</changefreq>
+        |</url></urlset>""".stripMargin
+    val out = CrawlFrontier.sitemapBodiesFold(f,
+      Seq(("https://a.ex/sitemap.xml", index),
+        ("https://a.ex/sitemaps/c1.xml", urlset)).toDF("url", "xml"),
+      now = T0).orderBy("url").collect()
+    out.map(_.getString(0)) shouldBe Array(
+      "https://a.ex/p1",              // known page pulled (lastmod > fetch)
+      "https://a.ex/p2",              // new page seeded
+      "https://a.ex/sitemaps/c2.xml") // NEW child feed only — c1 known
+    val m = out.map(r => r.getString(0) -> r).toMap
+    m("https://a.ex/p1").getLong(9) shouldBe T0        // pulled due
+    m("https://a.ex/p2").getLong(8) shouldBe 3600L     // hourly
+    val c2 = m("https://a.ex/sitemaps/c2.xml")
+    c2.getDouble(3) shouldBe 1.5                       // feed priority
+    c2.getLong(8) shouldBe 86400L                      // feed cadence
+  }
+
+  test("the full composition: robots (2.0) → sitemap (1.5) → pages in ONE frontier, results routed by isRobotsUrl/isSitemapUrl, the maintained rules gating what the sitemap announces") {
+    import graft.functions.Robots
+    var frontier = CrawlFrontier.robotsSeeds(Seq("a.ex").toDF("host"),
+        now = 1000L)
+      .unionByName(CrawlFrontier.sitemapSeeds(
+        Seq("https://a.ex/sitemap.xml").toDF("url"), now = 1000L))
+      .localCheckpoint(true)
+    def nextUp(now: Long): DataFrame =
+      CrawlFrontier.selectBatch(frontier, now, batchSize = 1,
+        perHostCap = 10)
+    // wave 1: the robots row LEADS — rules must land before the feed
+    // that announces pages, which lands before the pages
+    val b1 = nextUp(1000L)
+    b1.select("url").as[String].head() shouldBe "https://a.ex/robots.txt"
+    val rules = Robots.rulesFromFetch(
+      b1.select(col("host").as("domain"), lit(200).as("status"),
+        lit("User-agent: *\nDisallow: /blocked\n").as("robots_txt"),
+        lit(1001L).as("fetch_ts")), "graftbot").localCheckpoint(true)
+    // fold each law's upsert batch into the materialized frontier by
+    // anti-join + union (the read-modify-write a store does by key)
+    def upsert(f: DataFrame, batch: DataFrame): DataFrame =
+      f.join(batch.select("url"), Seq("url"), "left_anti")
+        .unionByName(batch).localCheckpoint(true)
+    frontier = upsert(frontier, CrawlFrontier.robotsRecrawlUpdates(
+      b1.select(col("url"), lit(1001L).as("fetch_ts"),
+        lit(200).as("status"), md5(col("url")).as("content_hash")),
+      frontier))
+    // wave 2: the sitemap row is next; its body announces one allowed
+    // and one robots-BLOCKED page — the gate holds at the fold
+    val b2 = nextUp(1010L)
+    b2.select("url").as[String].head() shouldBe "https://a.ex/sitemap.xml"
+    val xml = """<urlset><url><loc>https://a.ex/ok/1</loc></url>
+                |<url><loc>https://a.ex/blocked/1</loc></url>
+                |</urlset>""".stripMargin
+    val entries = Seq(xml).toDF("x")
+      .select(explode(Sitemaps.urlEntries(col("x")))).select(col("col.*"))
+    val gated = CrawlFrontier.gateRobots(entries, rules, urlCol = "loc")
+    val folded = CrawlFrontier.sitemapFold(frontier, gated, now = 1010L)
+    folded.select("url").as[String].collect().toSeq shouldBe
+      Seq("https://a.ex/ok/1")
+    frontier = upsert(frontier, CrawlFrontier.sitemapRecrawlUpdates(
+      b2.select(col("url"), lit(1011L).as("fetch_ts"),
+        lit(200).as("status"), md5(col("url")).as("content_hash")),
+      frontier).unionByName(folded))
+    // wave 3: the allowed page — and only it — is what's left due
+    nextUp(1020L).select("url").as[String].head() shouldBe
+      "https://a.ex/ok/1"
+    // both governance rows held their cadence through the loop
+    val byUrl = frontier.collect().map(r => r.getString(0) -> r).toMap
+    byUrl("https://a.ex/robots.txt").getLong(9) shouldBe 1001L + 86400L
+    byUrl("https://a.ex/sitemap.xml").getLong(9) shouldBe 1011L + 86400L
+  }
+
+  test("store-held standing loop with carried politeness budgets: a declared Crawl-delay budget spans the wave boundary — the mid-window wave gets only the remainder, the next window re-grants") {
+    import graft.streaming.StreamingOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scl-budget").toString
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state", "etag", "last_modified")
+    def toEvents(df: DataFrame, seq: Long) =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
+    val q = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        s"$base/frontier", idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def served(): DataFrame =
+      StreamingOps.readSnapshot(spark, s"$base/frontier").get
+        .select(("url" +: payloadCols).map(col): _*)
+    // a.ex declares Crawl-delay 300 → cap floor(600/300)=2 per window
+    val budgets = graft.operators.CrawlFrontier.politenessBudgets(
+      Seq(("a.ex", 300.0)).toDF("domain", "crawl_delay_s"),
+      windowS = 600L).localCheckpoint(true)
+    // the usage ledger lives beside the store, read-modify-write per
+    // wave (the maintained-rules convention)
+    var usage = budgets.select(col("host"), lit(0L).as("window_start"),
+      lit(0L).as("used")).filter(lit(false)).localCheckpoint(true)
+    def wave(now: Long): Seq[String] = {
+      val sv = served().localCheckpoint(true)
+      val batch = CrawlFrontier.selectBatch(sv, now, batchSize = 10,
+        perHostCap = 10, hostBudgets = Some(
+          CrawlFrontier.remainingBudgets(budgets, usage, now, 600L)))
+        .localCheckpoint(true)
+      usage = CrawlFrontier.updateHostUsage(usage, batch, now, 600L)
+        .localCheckpoint(true)
+      input.addData(toEvents(CrawlFrontier.recrawlUpdates(
+        batch.select(col("url"), lit(now + 1L).as("fetch_ts"),
+          lit(200).as("status"), md5(col("url")).as("content_hash")),
+        sv), now): _*)
+      q.processAllAvailable()
+      batch.select("url").as[String].collect().sorted.toSeq
+    }
+    try {
+      input.addData(toEvents(CrawlFrontier.seed(
+        (0 until 5).map(i => s"https://a.ex/p$i").toDF("url"),
+        now = 1000L, defaultIntervalS = 50000L), 0L): _*)
+      q.processAllAvailable()
+      // window [600,1200): wave 1 spends the whole budget of 2
+      wave(1000L).size shouldBe 2
+      // wave 2, same window, 3 rows still due: the carried ledger
+      // leaves NOTHING — without it this wave re-granted 2 more
+      wave(1100L) shouldBe empty
+      // wave 3 in window [1200,1800): re-granted in full
+      wave(1300L).size shouldBe 2
+      // and the frontier really advanced only where waves fetched
+      served().filter(col("fetch_count") === 1L).count() shouldBe 4
+    } finally q.stop()
+  }
+
   test("store-held standing loop with a redirect wave: a 301 retires the source row IN THE STORE and mints the target, which fetches next wave at the source's depth") {
     import graft.streaming.StreamingOps
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

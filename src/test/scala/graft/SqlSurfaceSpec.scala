@@ -1006,6 +1006,15 @@ class SqlSurfaceSpec extends SparkSpec {
                         cache_max_age('public, max-age=600') AS ma,
                         cache_max_age('s-maxage=99') AS sm""")
       .collect()(0).toSeq shouldBe Seq(120L, null, 600L, null)
+    // the r19 loop routers + the zone-free validator parse
+    spark.sql("""SELECT is_robots_url('https://a.ex/robots.txt') AS r1,
+                        is_robots_url('https://a.ex/p/robots.txt') AS r2,
+                        is_sitemap_url('https://a.ex/sitemap_news.xml.gz') AS s1,
+                        is_sitemap_url('https://a.ex/feed.xml') AS s2,
+                        http_date_epoch('Wed, 07 Jan 2026 00:00:00 GMT') AS e1,
+                        http_date_epoch('junk') AS e2""")
+      .collect()(0).toSeq shouldBe
+      Seq(true, false, true, false, 1767744000L, null)
     // arity errors name the function
     intercept[Exception](spark.sql("SELECT url_host('a', 'b')"))
       .getMessage should include("url_host")
