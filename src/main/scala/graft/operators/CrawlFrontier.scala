@@ -469,11 +469,13 @@ object CrawlFrontier {
     * content_hash). One url-equi left join — a cycle's results are
     * small next to the frontier, so AQE broadcasts them. */
   def recrawlSchedule(frontier: DataFrame, fetched: DataFrame,
-                      rv: Revisit = Revisit()): DataFrame = {
-    val f = latestFetch(fetched)
-    applyLaw(frontier.join(f, Seq("url"), "left"), rv,
+                      rv: Revisit = Revisit()): DataFrame =
+    recrawlFromLatest(frontier, latestFetch(fetched), rv)
+
+  private def recrawlFromLatest(frontier: DataFrame, latest: DataFrame,
+                                rv: Revisit): DataFrame =
+    applyLaw(frontier.join(latest, Seq("url"), "left"), rv,
       guard = Some(col("f_fetch_ts").isNotNull))
-  }
 
   /** The changed-rows-only face of [[recrawlSchedule]]: inner join, so
     * the output is exactly the upsert batch for a snapshot-store-held
@@ -662,7 +664,11 @@ object CrawlFrontier {
     * the same URL twice when a page links to where another page just
     * moved. */
   def redirectTargets(fetched: DataFrame, frontier: DataFrame): DataFrame =
-    latestFetch(fetched)
+    targetsFromLatest(latestFetch(fetched), frontier)
+
+  private def targetsFromLatest(latest: DataFrame,
+                                frontier: DataFrame): DataFrame =
+    latest
       .filter(permRedirC(col("f_status")) && col("f_location").isNotNull)
       .select(col("url").as("__rd_src"), col("f_location"))
       .join(frontier.select(col("url").as("__rd_src"), col("depth")),
@@ -855,8 +861,13 @@ object CrawlFrontier {
   }
 
   /** The robots-row revisit law — [[recrawlUpdates]]' shape (inner
-    * join, changed-rows-only upsert batch, stateless and
-    * streaming-legal) under the lifecycle's OWN policy: the next fetch
+    * join, changed-rows-only upsert batch) under the lifecycle's OWN
+    * policy. NOT a pure-stream operator since r19: retries collapse
+    * latest-wins through a per-url window, so apply it per cycle
+    * inside foreachBatch (where every standing composition runs it —
+    * the window is legal on the cycle's batch frame); the window-free
+    * stream face remains [[recrawlUpdates]], whose page law this
+    * deliberately is not. The policy: the next fetch
     * is always `fetch_ts + refreshIntervalS` (a fixed cadence — rules
     * freshness is a compliance bound, not an adaptation target), and
     * the row NEVER dies — a 404 means allow-all TODAY (§2.3.1.3) but
@@ -869,8 +880,9 @@ object CrawlFrontier {
     * robots answer is as good as an unchanged 200 — and far
     * cheaper). An optional `max_age` column on `fetched` (seconds —
     * [[graft.functions.TextExtraction.cacheControlMaxAge]] over the
-    * response's Cache-Control value) OVERRIDES the default cadence
-    * per row, floored at `minRefreshS` — but ONLY on a 2xx/304
+    * response's Cache-Control value) postpones THIS refresh (the
+    * stored cadence never changes), floored at `minRefreshS` — but
+    * ONLY on a 2xx/304
     * answer: §2.4's cache-control exception speaks to a successfully
     * fetched robots file, and honoring a 5xx error page's max-age
     * (CDN error shells routinely declare a week) would let an OUTAGE
@@ -901,11 +913,17 @@ object CrawlFrontier {
   }
 
   /** The never-dies fixed-cadence law [[robotsRecrawlUpdates]] and
-    * [[sitemapRecrawlUpdates]] share: next fetch = fetch_ts + cadence
-    * (per-row when the cadence expression reads a row column),
-    * max-age honored only on 2xx/304 and clamped to [minRefreshS,
-    * 7×cadence], 429 carved out of the answered class, the row always
-    * stays 'active', retries collapsed latest-wins upstream. */
+    * [[sitemapRecrawlUpdates]] share: next fetch = fetch_ts + wait,
+    * where wait is the cadence unless a 2xx/304 declared a max-age —
+    * honored within [minRefreshS, 7×cadence] but postponing only
+    * THIS refresh: `interval_s` stays the CADENCE itself, never the
+    * honored wait, because for the sitemap law the cadence is read
+    * back from the row — storing the wait would let a hostile feed
+    * compound its own ceiling 7× per fetch (604800 → 4233600 → …)
+    * until the row is frozen for decades, precisely what the clamp
+    * exists to prevent. 429 carved out of the answered class, the
+    * row always stays 'active', retries collapsed latest-wins
+    * upstream. */
   private def fixedCadenceUpdates(fetched: DataFrame, frontier: DataFrame,
                                   cadence: Column,
                                   minRefreshS: Long): DataFrame = {
@@ -913,7 +931,7 @@ object CrawlFrontier {
     val ok = okC(col("f_status"))
     val answered = col("f_status") >= 200 && col("f_status") <= 499 &&
       col("f_status") =!= 429
-    val refresh = when((ok || notModC(col("f_status"))) &&
+    val wait = when((ok || notModC(col("f_status"))) &&
         col("f_max_age").isNotNull,
       greatest(lit(minRefreshS),
         least(col("f_max_age"), lit(7L) * cadence)))
@@ -926,8 +944,8 @@ object CrawlFrontier {
       col("f_fetch_ts").as("last_fetch_ts"),
       when(ok, col("f_content_hash")).otherwise(col("content_hash"))
         .as("content_hash"),
-      refresh.as("interval_s"),
-      (col("f_fetch_ts") + refresh).as("next_fetch_ts"),
+      cadence.as("interval_s"),
+      (col("f_fetch_ts") + wait).as("next_fetch_ts"),
       lit("active").as("state"),
       when(ok, col("f_etag")).otherwise(col("etag")).as("etag"),
       when(ok, col("f_last_modified")).otherwise(col("last_modified"))
@@ -947,7 +965,13 @@ object CrawlFrontier {
   /** True when a canonical URL looks like a sitemap feed by PATH SHAPE
     * — anything under /sitemap… ending .xml or .xml.gz (the
     * convention virtually every publisher follows: /sitemap.xml,
-    * /sitemap_index.xml, /sitemaps/part1.xml.gz). The router that
+    * /sitemap_index.xml, /sitemaps/part1.xml.gz — and the paginated
+    * children real index trees emit, `/sitemap_products_1.xml?from=1`,
+    * whose QUERY must not defeat the anchor: pathOf carries
+    * path+query, so the .xml(.gz) suffix matches immediately before
+    * '?' too, else the loop would route a seeded child feed to the
+    * PAGE law, silently lose every URL it announces, and eventually
+    * kill a row the sitemap law says never dies). The router that
     * splits a mixed fetch-result stream toward the sitemap law, the
     * [[isRobotsUrl]] sibling. Sitemaps announced at arbitrary paths
     * by a robots `Sitemap:` directive won't match a shape test BY
@@ -955,7 +979,7 @@ object CrawlFrontier {
     * [[graft.functions.Robots.sitemapUrls]]' url set (a semi-join in
     * the loop), and OR the two verdicts. */
   def isSitemapUrl(url: Column): Column =
-    UrlOps.pathOf(url).rlike("(?i)^/sitemap[^?#]*\\.xml(\\.gz)?$")
+    UrlOps.pathOf(url).rlike("(?i)^/sitemap[^?#]*\\.xml(\\.gz)?(\\?.*)?$")
 
   /** Frontier rows for sitemap feed URLs, due `now`: priority 1.5 —
     * above every page row's ≤ 1.0 prior (announcements should land
@@ -1052,7 +1076,14 @@ object CrawlFrontier {
     val entries = b.filter(!Sitemaps.isIndex(col("__sb_xml")))
       .select(explode(Sitemaps.urlEntries(col("__sb_xml"))))
       .select(col("col.*"))
+    // one row per URL per batch: when an index lists a URL as a child
+    // FEED and a urlset announces the same URL as a PAGE in the same
+    // cycle, the feed row wins (it is governance — the page reading
+    // would strip the 1.5 priority and the feed cadence) — without
+    // the anti-join both rows reach the store under one seq and an
+    // arbitrary one survives
     sitemapFold(frontier, entries, now, defaultIntervalS)
+      .join(childSeeds.select("url"), Seq("url"), "left_anti")
       .unionByName(childSeeds)
   }
 
@@ -1157,12 +1188,17 @@ object CrawlFrontier {
            discovered: DataFrame, now: Long,
            rv: Revisit = Revisit(), maxDepth: Int = 8,
            perDomainCap: Long = Long.MaxValue,
-           defaultIntervalS: Long = 86400L): DataFrame =
-    recrawlSchedule(frontier, fetched, rv).unionByName(
+           defaultIntervalS: Long = 86400L): DataFrame = {
+    // ONE latest-wins pass over the cycle's results feeds both the
+    // law and the redirect targets — the per-url window is the
+    // cycle's only shuffle over the fetch frame
+    val latest = latestFetch(fetched)
+    recrawlFromLatest(frontier, latest, rv).unionByName(
       admit(frontier,
         discovered.select(col("url"), col("depth").cast("int").as("depth"))
-          .unionByName(redirectTargets(fetched, frontier)),
+          .unionByName(targetsFromLatest(latest, frontier)),
         now, maxDepth, perDomainCap, defaultIntervalS))
+  }
 
   private def newRowCols(depth: Column, priority: Column,
                          intervalS: Column, now: Long,

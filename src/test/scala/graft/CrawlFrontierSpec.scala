@@ -640,8 +640,8 @@ class CrawlFrontierSpec extends SparkSpec {
       Seq("https://w.ex/target")
     val rb = CrawlFrontier.robotsRecrawlUpdates(fr.filter(isR), f,
       refreshIntervalS = 86400L).collect()(0)
-    rb.getLong(8) shouldBe 7200L // the declared max-age IS the cadence
-    rb.getLong(9) shouldBe 2000L + 7200L
+    rb.getLong(8) shouldBe 86400L // the cadence survives the max-age
+    rb.getLong(9) shouldBe 2000L + 7200L // …which postpones this once
   }
 
   test("fetchRequests + imfFixdateEpoch are session-timezone-free: a non-UTC session renders and parses the same GMT instants") {
@@ -1046,11 +1046,15 @@ class CrawlFrontierSpec extends SparkSpec {
         |<sitemap><loc>https://a.ex/sitemaps/c1.xml</loc></sitemap>
         |<sitemap><loc>https://a.ex/sitemaps/c2.xml</loc></sitemap>
         |</sitemapindex>""".stripMargin
+    // the urlset ALSO announces c2 as a page — a conflicting role in
+    // the same batch; the feed reading must win with ONE row
     val urlset =
       """<urlset>
         |<url><loc>https://a.ex/p1</loc><lastmod>2026-01-05</lastmod></url>
         |<url><loc>https://a.ex/p2</loc><changefreq>hourly</changefreq>
-        |</url></urlset>""".stripMargin
+        |</url>
+        |<url><loc>https://a.ex/sitemaps/c2.xml</loc></url>
+        |</urlset>""".stripMargin
     val out = CrawlFrontier.sitemapBodiesFold(f,
       Seq(("https://a.ex/sitemap.xml", index),
         ("https://a.ex/sitemaps/c1.xml", urlset)).toDF("url", "xml"),
@@ -1832,8 +1836,31 @@ class CrawlFrontierSpec extends SparkSpec {
     a.getLong(9) shouldBe 200L + 86400L     // latest attempt's clock
     a.getString(10) shouldBe "active"       // the row never dies
     b.getInt(5) shouldBe 0
-    b.getLong(8) shouldBe 7L * 86400L       // clamped, not 31 years
-    b.getLong(9) shouldBe 200L + 7L * 86400L
+    b.getLong(8) shouldBe 86400L            // the cadence survives
+    b.getLong(9) shouldBe 200L + 7L * 86400L // clamped, not 31 years
+  }
+
+  test("sitemapRecrawlUpdates: a declared max-age postpones ONE refresh at the 7x ceiling but never compounds — the stored cadence is the clamp's base every time") {
+    var f = CrawlFrontier.sitemapSeeds(
+      Seq("https://a.ex/sitemap.xml").toDF("url"), now = 1000L)
+    def hit(ts: Long): org.apache.spark.sql.Row = {
+      val up = CrawlFrontier.sitemapRecrawlUpdates(
+        Seq(("https://a.ex/sitemap.xml", ts, 200, Some("h"),
+          Some(999999999L)))
+          .toDF("url", "fetch_ts", "status", "content_hash", "max_age"),
+        f)
+      f = up.localCheckpoint(true)
+      up.collect()(0)
+    }
+    val r1 = hit(2000L)
+    (r1.getLong(8), r1.getLong(9)) shouldBe
+      ((86400L, 2000L + 7L * 86400L))
+    // second hostile answer: the ceiling is STILL 7×86400 — were the
+    // honored wait stored as the cadence, this would be 7×604800 and
+    // each fetch would escalate 7× toward decades
+    val r2 = hit(700000L)
+    (r2.getLong(8), r2.getLong(9)) shouldBe
+      ((86400L, 700000L + 7L * 86400L))
   }
 
   test("updateRules: rules REPLACE latest-fetched-at-wins; redelivery converges; stale redelivery loses") {
@@ -1922,9 +1949,11 @@ class CrawlFrontierSpec extends SparkSpec {
     (r503a.getInt(5), r503b.getInt(5)) shouldBe ((1, 2)) // counted...
     r503b.getString(10) shouldBe "active" // ...but NEVER lethal
     r503b.getLong(9) shouldBe 360000L + 86400L // cadence holds
-    // Cache-Control max-age overrides the cadence per row (§2.4's
+    // Cache-Control max-age postpones THIS refresh per row (§2.4's
     // "unless a cache-control signal says otherwise"), floored so a
-    // hostile max-age=0 cannot turn the refresh loop into a hammer
+    // hostile max-age=0 cannot turn the refresh loop into a hammer;
+    // the STORED cadence (interval_s) never changes — the honored
+    // wait must not become the next ceiling's base
     def fetchMa(ts: Long, ma: Option[Long]) =
       Seq(("https://a.ex/robots.txt", ts, 200,
         Some("h2"), Option.empty[String], ma))
@@ -1932,13 +1961,13 @@ class CrawlFrontierSpec extends SparkSpec {
           "max_age")
     val rMa = CrawlFrontier.robotsRecrawlUpdates(
       fetchMa(450000L, Some(3600L)), f).collect()(0)
-    (rMa.getLong(8), rMa.getLong(9)) shouldBe ((3600L, 450000L + 3600L))
+    (rMa.getLong(8), rMa.getLong(9)) shouldBe ((86400L, 450000L + 3600L))
     val rMa0 = CrawlFrontier.robotsRecrawlUpdates(
       fetchMa(450000L, Some(0L)), f).collect()(0)
-    rMa0.getLong(8) shouldBe 300L // the floor
+    rMa0.getLong(9) shouldBe 450000L + 300L // the floor
     val rMaAbsent = CrawlFrontier.robotsRecrawlUpdates(
       fetchMa(450000L, None), f).collect()(0)
-    rMaAbsent.getLong(8) shouldBe 86400L // default cadence
+    rMaAbsent.getLong(9) shouldBe 450000L + 86400L // default cadence
     // a FAILED fetch's max-age is ignored (a CDN error shell
     // declaring max-age=1 week must not postpone the disallow-all
     // recovery) — the failure cadence stays the default

@@ -1011,10 +1011,11 @@ class SqlSurfaceSpec extends SparkSpec {
                         is_robots_url('https://a.ex/p/robots.txt') AS r2,
                         is_sitemap_url('https://a.ex/sitemap_news.xml.gz') AS s1,
                         is_sitemap_url('https://a.ex/feed.xml') AS s2,
+                        is_sitemap_url('https://s.ex/sitemap_products_1.xml?from=1&to=250') AS s3,
                         http_date_epoch('Wed, 07 Jan 2026 00:00:00 GMT') AS e1,
                         http_date_epoch('junk') AS e2""")
       .collect()(0).toSeq shouldBe
-      Seq(true, false, true, false, 1767744000L, null)
+      Seq(true, false, true, false, true, 1767744000L, null)
     // arity errors name the function
     intercept[Exception](spark.sql("SELECT url_host('a', 'b')"))
       .getMessage should include("url_host")
