@@ -1341,6 +1341,63 @@ object QueriesCrawl {
       SELECT CAST(2 AS INT) AS wave, url, host, priority FROM w2
       ORDER BY wave, url""")),
 
+    ("crawl_compact", (s, dir) => {
+      // frontier GC: dead rows past the retention horizon retire
+      // (admit re-learns a re-linked URL with a fresh budget — one
+      // re-probe per horizon beats carrying the corpse in every
+      // admission anti-join forever); 'redirected' rows keep at ANY
+      // age (they are the alias map), active rows always keep,
+      // never-fetched dead rows (no last_fetch_ts) keep — age
+      // unknown. Both faces in one output: kept ∪ deletes, tagged.
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val k = (d % 5).cast("string")
+      val docs = T(s, dir, "documents")
+      val state = when(d % 4 === 0 || d % 4 === 1, lit("dead"))
+        .when(d % 4 === 2, lit("redirected")).otherwise(lit("active"))
+      val lastFetch = when(d % 8 === 0, lit(null).cast("long"))
+        .when(d % 2 === 0, lit(T0) - 100L * 86400L) // past the horizon
+        .otherwise(lit(T0) - 10L * 86400L)          // inside it
+      val frontier = docs.select(
+        concat(lit("https://h"), k, lit(".gc.com/p/"), id).as("url"),
+        concat(lit("h"), k, lit(".gc.com")).as("host"),
+        lit(1).as("depth"), lit(0.5).as("priority"),
+        lit(3L).as("fetch_count"), lit(0).as("fail_count"),
+        lastFetch.as("last_fetch_ts"),
+        md5(id).as("content_hash"), lit(86400L).as("interval_s"),
+        lit(T0).as("next_fetch_ts"), state.as("state"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("long").as("last_modified"))
+      val deletes = CrawlFrontier.compactionDeletes(frontier, now = T0,
+        deadRetentionS = 90L * 86400L)
+      val kept = CrawlFrontier.compactFrontier(frontier, now = T0,
+        deadRetentionS = 90L * 86400L)
+      kept.select(col("url"), col("state"), lit("keep").as("verdict"))
+        .unionByName(deletes.select(col("url"), col("state"),
+          lit("delete").as("verdict")))
+        .orderBy("url")
+    }, Some("""
+      WITH f AS (
+        SELECT 'https://h' || (doc_id % 5) || '.gc.com/p/' || doc_id
+                 AS url,
+               CASE WHEN doc_id % 4 IN (0, 1) THEN 'dead'
+                    WHEN doc_id % 4 = 2 THEN 'redirected'
+                    ELSE 'active' END AS state,
+               CASE WHEN doc_id % 8 = 0 THEN NULL
+                    WHEN doc_id % 2 = 0
+                      THEN CAST(1754000000 AS BIGINT) - 100 * 86400
+                    ELSE CAST(1754000000 AS BIGINT) - 10 * 86400 END
+                 AS last_fetch_ts
+        FROM documents),
+      v AS (
+        SELECT url, state,
+               CASE WHEN state = 'dead' AND last_fetch_ts IS NOT NULL
+                         AND last_fetch_ts <
+                           1754000000 - CAST(90 * 86400 AS BIGINT)
+                    THEN 'delete' ELSE 'keep' END AS verdict
+        FROM f)
+      SELECT url, state, verdict FROM v ORDER BY url""")),
+
     ("crawl_redirects", (s, dir) => {
       // the 3xx regime of the revisit law (RFC 9110 §15.4): a
       // permanent redirect (301/308 with Location) RETIRES the source

@@ -1110,6 +1110,70 @@ object QueriesWeb {
              CAST(strlen(text) AS BIGINT) AS n_bytes
       FROM documents ORDER BY target_uri""")),
 
+    ("crawl_archive_revisit", (s, dir) => {
+      // WARC 1.1 revisit records (§6.7.2, identical-payload-digest):
+      // the archive face of the recrawl law's "unchanged" verdict — a
+      // second wave stores ~300 bytes of linkage per unchanged page
+      // instead of the body, so archive growth is proportional to
+      // CHANGED bytes (at steady state, MOST answers are unchanged —
+      // the dominant storage win a recrawl has). Wave 1 captures
+      // every page; wave 2 writes revisit records for the unchanged
+      // half and fresh response records for the changed half; the
+      // read side RESOLVES each revisit to its held capture by the
+      // WARC-Refers-To-Target-URI join — the whole corpus comes back,
+      // provenance and profile riding along. The oracle replays the
+      // round-trip contract.
+      import graft.io.Warc
+      val d = col("doc_id")
+      val id = d.cast("string")
+      val url = concat(lit("https://rv.ex.com/p/"), id)
+      val docs = T(s, dir, "documents")
+      val wave1 = docs.select(url.as("url"),
+        concat(lit("page "), id, lit(" v1")).as("payload"))
+      val held = Warc.fromRecordShards(
+          Warc.toRecordShards(wave1.repartition(4), "response",
+            "text/plain"), "response")
+        .select(col("target_uri").as("refers_to"),
+          col("payload").as("held_text"))
+      val revisits = docs.filter(d % 2 === 0).select(url.as("url"),
+        url.as("refers_to"),
+        concat(lit("sha1:"),
+          md5(concat(lit("page "), id, lit(" v1"))))
+          .as("payload_digest"))
+      val changed = docs.filter(d % 2 === 1).select(url.as("url"),
+        concat(lit("page "), id, lit(" v2")).as("payload"))
+      val resolved = Warc.fromRevisitShards(
+          Warc.toRevisitShards(revisits.repartition(2)))
+        .join(held, Seq("refers_to"))
+        .select(col("target_uri").as("url"),
+          col("held_text").as("text"), lit("revisit").as("source"),
+          col("payload_digest"), col("profile"))
+      val fresh = Warc.fromRecordShards(
+          Warc.toRecordShards(changed.repartition(2), "response",
+            "text/plain"), "response")
+        .select(col("target_uri").as("url"), col("payload").as("text"),
+          lit("response").as("source"),
+          lit(null).cast("string").as("payload_digest"),
+          lit(null).cast("string").as("profile"))
+      resolved.unionByName(fresh).orderBy("url")
+    }, Some("""
+      SELECT 'https://rv.ex.com/p/' || doc_id AS url,
+             'page ' || doc_id || ' v1' AS text,
+             'revisit' AS source,
+             'sha1:' || md5('page ' || doc_id || ' v1')
+               AS payload_digest,
+             'http://netpreserve.org/warc/1.1/revisit/identical-payload-digest'
+               AS profile
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://rv.ex.com/p/' || doc_id AS url,
+             'page ' || doc_id || ' v2' AS text,
+             'response' AS source,
+             CAST(NULL AS VARCHAR) AS payload_digest,
+             CAST(NULL AS VARCHAR) AS profile
+      FROM documents WHERE doc_id % 2 = 1
+      ORDER BY url""")),
+
     ("text_wat_extract", (s, dir) => {
       // WAT (the metadata derived format): per-fetch JSON envelopes as
       // `metadata` records — the envelope built with to_json upstream

@@ -98,8 +98,9 @@ object SparkEntry {
     "text_charset_sniff", "text_content_encoding",
     "crawl_ingest_validators", "crawl_rescore",
     "web_graph_e2e",
-    "text_wet_roundtrip", "text_wat_extract", "web_mirror_dedup",
-    "crawl_trap_stats", "web_anchor_bm25", "web_nofollow",
+    "text_wet_roundtrip", "text_wat_extract", "crawl_archive_revisit",
+    "web_mirror_dedup",
+    "crawl_trap_stats", "crawl_compact", "web_anchor_bm25", "web_nofollow",
     "web_redirect_ingest", "text_soft404", "text_dot_segments",
     "text_readability",
     "dedup_clusters_altstar",

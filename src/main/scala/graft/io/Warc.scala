@@ -42,9 +42,26 @@ object Warc {
                        etag: Option[String] = None,
                        lastModified: Option[String] = None)
 
-  /** A parsed record: WARC headers + raw content block. */
+  /** A parsed record: WARC headers + raw content block. `extra`
+    * carries the revisit-linkage headers when present (WARC-Profile,
+    * WARC-Payload-Digest, WARC-Refers-To-Target-URI,
+    * WARC-Refers-To-Date) — a bounded 0-4-entry map, never the whole
+    * header bag (a 10⁹-record scan must not allocate a map per
+    * record for headers nothing reads). */
   final case class Record(warcType: String, targetUri: String,
-                          recordId: String, content: Array[Byte])
+                          recordId: String, content: Array[Byte],
+                          extra: Map[String, String] = Map.empty)
+
+  /** The WARC headers [[readWarc]] preserves beyond the identity trio
+    * — the revisit-record linkage set (WARC 1.1 §6.7.2). */
+  private val ExtraKeys = Seq("WARC-Profile", "WARC-Payload-Digest",
+    "WARC-Refers-To-Target-URI", "WARC-Refers-To-Date")
+
+  /** The identical-payload-digest revisit profile URI (WARC 1.1
+    * §6.7.2-1): "I fetched this again; the payload digest matched a
+    * capture I already hold, so no body is stored." */
+  val RevisitIdenticalDigest =
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -177,7 +194,9 @@ object Warc {
                 he + 4, he + 4 + l)
               recs += Record(hs.getOrElse("WARC-Type", ""),
                 hs.getOrElse("WARC-Target-URI", ""),
-                hs.getOrElse("WARC-Record-ID", ""), content)
+                hs.getOrElse("WARC-Record-ID", ""), content,
+                extra = ExtraKeys.flatMap(k => hs.get(k).map(k -> _))
+                  .toMap)
               pos = he + 4 + l + 4 // skip the record separator CRLFCRLF
             case _ => walking = false // truncated or unframed: stop clean
           }
@@ -590,6 +609,87 @@ object Warc {
         Seq("Content-Type" -> contentType), payload))
     }
     out.toByteArray
+  }
+
+  /** One gzip shard of WARC 1.1 `revisit` records (§6.7.2,
+    * identical-payload-digest profile) — what the archive writes for
+    * an UNCHANGED page instead of re-storing its body: a revisit
+    * fetch whose payload digest matches a held capture (or that
+    * answered 304) costs ~300 bytes of linkage headers, not the
+    * body, so archive growth is proportional to CHANGED bytes — at
+    * steady state (most answers unchanged) the dominant storage win
+    * a 10⁹-page recrawl has. Each element is (uri, refersToUri,
+    * payloadDigest); WARC-Refers-To-Date is the deterministic fixed
+    * date (the codec convention — real deployments stamp the
+    * original capture's date). Content block is empty: the profile
+    * requires no payload, and the response headers live with the
+    * frontier's validator columns, not the archive. Layout laws of
+    * [[writeRecordShardGz]] (warcinfo head, one member per record). */
+  def writeRevisitShardGz(revisits: Seq[(String, String, String)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(rec: Array[Byte]): Unit = {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec); gz.finish(); gz.close()
+    }
+    member(record("warcinfo", None,
+      Seq("Content-Type" -> "application/warc-fields"),
+      s"software: graft$Crlf".getBytes("US-ASCII")))
+    revisits.foreach { case (uri, refersTo, digest) =>
+      member(record("revisit", Some(headerSafe(uri)), Seq(
+        "WARC-Profile" -> RevisitIdenticalDigest,
+        "WARC-Payload-Digest" -> headerSafe(digest),
+        "WARC-Refers-To-Target-URI" -> headerSafe(refersTo),
+        "WARC-Refers-To-Date" -> FixedDate), Array.empty[Byte]))
+    }
+    out.toByteArray
+  }
+
+  /** (url, refers_to, payload_digest) rows → gzip shards of revisit
+    * records — the DataFrame writer face of [[writeRevisitShardGz]],
+    * with [[toShards]]' bounded cutting; null rows skip. Feed it the
+    * unchanged slice of a recrawl cycle (the revisit law's ok-and-
+    * same-hash / 304 rows joined to their prior capture). */
+  def toRevisitShards(docs: DataFrame,
+                      maxShardBytes: Long = 128L << 20): DataFrame = {
+    require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
+    val uIdx = docs.schema.fieldIndex("url")
+    val rIdx = docs.schema.fieldIndex("refers_to")
+    val dIdx = docs.schema.fieldIndex("payload_digest")
+    docs.mapPartitions { it =>
+      cutBounded[(String, String, String)](it.flatMap { r =>
+        if (r.isNullAt(uIdx) || r.isNullAt(rIdx) || r.isNullAt(dIdx)) None
+        else Some((r.getString(uIdx), r.getString(rIdx),
+          r.getString(dIdx)))
+      }, d => d._1.length.toLong + d._2.length + d._3.length + 200L,
+        maxShardBytes,
+        buf => Row(writeRevisitShardGz(buf), buf.length.toLong))
+    }(E.row(shardSchema))
+  }
+
+  /** Gzip shards → the revisit-linkage frame (target_uri, refers_to,
+    * payload_digest, profile): join refers_to against the held
+    * captures' target_uri to RESOLVE each unchanged page to its
+    * stored body — the read side of the storage-∝-changed-bytes
+    * contract. Non-revisit records drop. Partition-local, zero
+    * shuffle. */
+  def fromRevisitShards(shards: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("target_uri", StringType),
+      StructField("refers_to", StringType),
+      StructField("payload_digest", StringType),
+      StructField("profile", StringType)))
+    val sIdx = shards.schema.fieldIndex("shard")
+    shards.mapPartitions { it =>
+      it.flatMap { r =>
+        readWarcGz(r.getAs[Array[Byte]](sIdx))
+          .filter(_.warcType == "revisit")
+          .map(rec => Row(rec.targetUri,
+            rec.extra.getOrElse("WARC-Refers-To-Target-URI", ""),
+            rec.extra.getOrElse("WARC-Payload-Digest", ""),
+            rec.extra.getOrElse("WARC-Profile", "")))
+      }
+    }(E.row(schema))
   }
 
   /** (url, payload STRING) rows → gzip shards of `warcType` records —

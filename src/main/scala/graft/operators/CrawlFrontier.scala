@@ -1087,6 +1087,44 @@ object CrawlFrontier {
       .unionByName(childSeeds)
   }
 
+  /** Frontier garbage collection — the retention policy that keeps a
+    * years-old frontier from being mostly corpses: DEAD rows older
+    * than `deadRetentionS` (by last_fetch_ts) are retired — a URL
+    * dead that long is forgotten, and if the web still links it,
+    * [[admit]] re-learns it with a fresh failure budget (one
+    * re-probe per horizon is the standard trade every long-lived
+    * crawler makes; keeping the corpse forever costs anti-join scan
+    * width on every admission wave instead). 'redirected' rows KEEP
+    * — they are the alias map (dropping one would let the moved
+    * spelling re-enter as a duplicate identity and re-fetch), and
+    * they are a far smaller population. Active rows always keep.
+    * Returns the rows to RETIRE (url + the row, an op='delete' batch
+    * for the snapshot-store face; a materialized deployment
+    * anti-joins it away instead). Pure filter — on the day-bucketed
+    * layout a dead row's next_fetch_day froze at its death cycle, so
+    * the scan prunes to old buckets. */
+  def compactionDeletes(frontier: DataFrame, now: Long,
+                        deadRetentionS: Long = 90L * 86400L): DataFrame = {
+    require(deadRetentionS > 0,
+      s"deadRetentionS must be positive: $deadRetentionS")
+    frontier.filter(col("state") === "dead" &&
+      col("last_fetch_ts").isNotNull &&
+      col("last_fetch_ts") < lit(now - deadRetentionS))
+  }
+
+  /** The kept face of [[compactionDeletes]] — the frontier with
+    * expired corpses dropped, for materialized deployments that
+    * rewrite (day-bucketed stores rewrite only the pruned old
+    * buckets). */
+  def compactFrontier(frontier: DataFrame, now: Long,
+                      deadRetentionS: Long = 90L * 86400L): DataFrame = {
+    require(deadRetentionS > 0,
+      s"deadRetentionS must be positive: $deadRetentionS")
+    frontier.filter(!(col("state") === "dead" &&
+      col("last_fetch_ts").isNotNull &&
+      col("last_fetch_ts") < lit(now - deadRetentionS)))
+  }
+
   /** Persist a frontier partitioned by next-fetch DAY — the layout
     * that turns [[selectBatch]]'s due filter into PARTITION PRUNING:
     * at 10^10 rows the due slice is a handful of day directories, so

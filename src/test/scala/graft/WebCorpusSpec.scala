@@ -990,6 +990,43 @@ class WebCorpusSpec extends SparkSpec {
     noException should be thrownBy Warc.inflateAuto(corrupt)
   }
 
+  test("revisit records: linkage headers round-trip byte-exactly, content is empty, non-revisit readers skip them, header injection cannot forge a reference") {
+    import graft.io.Warc
+    val shard = Warc.writeRevisitShardGz(Seq(
+      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123"),
+      // CRLF in a crafted refers-to must not inject a fake header
+      ("https://a.ex/q", "https://evil.ex/x\r\nWARC-Type: response",
+        "sha1:def456")))
+    val recs = Warc.readWarcGz(shard)
+    recs.map(_.warcType) shouldBe Seq("warcinfo", "revisit", "revisit")
+    val r = recs(1)
+    r.targetUri shouldBe "https://a.ex/p"
+    r.content shouldBe empty // the profile stores no payload
+    r.extra("WARC-Profile") shouldBe Warc.RevisitIdenticalDigest
+    r.extra("WARC-Payload-Digest") shouldBe "sha1:abc123"
+    r.extra("WARC-Refers-To-Target-URI") shouldBe "https://a.ex/p"
+    recs(2).extra("WARC-Refers-To-Target-URI") shouldBe
+      "https://evil.ex/xWARC-Type: response" // CRLF stripped, one header
+    recs(2).warcType shouldBe "revisit"
+    // the DataFrame faces: writer → reader identity; response readers
+    // see nothing (revisit records are not content)
+    val df = Seq(
+      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123"),
+      ("https://a.ex/q", "https://a.ex/q0", "sha1:def456"))
+      .toDF("url", "refers_to", "payload_digest")
+    val shards = Warc.toRevisitShards(df.repartition(2))
+    val back = Warc.fromRevisitShards(shards).orderBy("target_uri")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+    back shouldBe Array(
+      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123",
+        Warc.RevisitIdenticalDigest),
+      ("https://a.ex/q", "https://a.ex/q0", "sha1:def456",
+        Warc.RevisitIdenticalDigest))
+    Warc.fromRecordShards(shards, "response").count() shouldBe 0L
+    Warc.fromShards(shards).count() shouldBe 0L
+  }
+
   // ——— derived formats: WET / WAT record shards ———————————————————
 
   test("record shards (WET/WAT): framing cross-validates, types filter, bounded cutting, multi-byte payloads survive") {
