@@ -100,7 +100,8 @@ object SparkEntry {
     "web_graph_e2e",
     "text_wet_roundtrip", "text_wat_extract", "crawl_archive_revisit",
     "web_mirror_dedup",
-    "crawl_trap_stats", "crawl_compact", "web_anchor_bm25", "web_nofollow",
+    "crawl_trap_stats", "crawl_compact", "crawl_archive_plan",
+    "web_anchor_bm25", "web_nofollow",
     "web_redirect_ingest", "text_soft404", "text_dot_segments",
     "text_readability",
     "dedup_clusters_altstar",

@@ -1087,6 +1087,40 @@ object CrawlFrontier {
       .unionByName(childSeeds)
   }
 
+  /** The archive write decision for one cycle — the glue between the
+    * revisit law's verdicts and the WARC writers (io/Warc): per
+    * answered fetch, `kind` says what the archive stores —
+    *  - 'response': a 2xx whose hash differs from the held capture
+    *    (or a first capture) → store the body
+    *    (io/Warc.toShardsRaw/toRecordShards);
+    *  - 'revisit': a 304, or a 2xx whose hash MATCHES the held
+    *    capture → store ~300 B of linkage instead
+    *    (io/Warc.toRevisitShards over the url/refers_to/
+    *    payload_digest columns emitted here) — at steady state this
+    *    is MOST rows, the storage-∝-changed-bytes contract;
+    *  - errors/redirects emit nothing (the frontier law handles
+    *    them; an error shell is not corpus content).
+    * `refers_to` is the same URL (the prior capture of this page);
+    * `payload_digest` is `md5:` + the unchanged hash. One url-equi
+    * join of the cycle's latest results against the frontier's held
+    * hashes — the same shape as the law itself. */
+  def archivePlan(fetched: DataFrame, frontier: DataFrame): DataFrame = {
+    val ok = okC(col("f_status"))
+    val unchanged = notModC(col("f_status")) ||
+      (ok && col("content_hash").isNotNull &&
+        col("f_content_hash") === col("content_hash"))
+    latestFetch(fetched)
+      .join(frontier.select(col("url"), col("content_hash")), Seq("url"))
+      .filter(ok || notModC(col("f_status")))
+      .select(col("url"),
+        when(unchanged, lit("revisit")).otherwise(lit("response"))
+          .as("kind"),
+        when(unchanged, col("url")).otherwise(lit(null).cast("string"))
+          .as("refers_to"),
+        when(unchanged, concat(lit("md5:"), col("content_hash")))
+          .otherwise(lit(null).cast("string")).as("payload_digest"))
+  }
+
   /** Frontier garbage collection — the retention policy that keeps a
     * years-old frontier from being mostly corpses: DEAD rows older
     * than `deadRetentionS` (by last_fetch_ts) are retired — a URL

@@ -644,6 +644,40 @@ class CrawlFrontierSpec extends SparkSpec {
     rb.getLong(9) shouldBe 2000L + 7200L // …which postpones this once
   }
 
+  test("archivePlan → revisit writer: the cycle's unchanged half becomes linkage records, the changed half keeps its body, errors store nothing") {
+    import graft.io.Warc
+    val f = mkFrontier(Seq(
+      row("https://ar.ex/same", hash = Some("h1")),
+      row("https://ar.ex/cond", hash = Some("h2")),
+      row("https://ar.ex/changed", hash = Some("h3")),
+      row("https://ar.ex/first"),
+      row("https://ar.ex/err", hash = Some("h5"))))
+    val fetched = Seq(
+      ("https://ar.ex/same", 2000L, 200, Some("h1")),   // same hash
+      ("https://ar.ex/cond", 2000L, 304, None),          // validator hit
+      ("https://ar.ex/changed", 2000L, 200, Some("NEW")),
+      ("https://ar.ex/first", 2000L, 200, Some("h4")),
+      ("https://ar.ex/err", 2000L, 503, None))
+      .toDF("url", "fetch_ts", "status", "content_hash")
+    val plan = CrawlFrontier.archivePlan(fetched, f)
+      .orderBy("url").collect()
+    plan.map(r => (r.getString(0), r.getString(1))) shouldBe Array(
+      ("https://ar.ex/changed", "response"),
+      ("https://ar.ex/cond", "revisit"),
+      ("https://ar.ex/first", "response"),
+      ("https://ar.ex/same", "revisit"))
+    // the revisit slice feeds the WARC writer directly and resolves
+    // back to its own prior capture
+    val back = Warc.fromRevisitShards(Warc.toRevisitShards(
+      CrawlFrontier.archivePlan(fetched, f)
+        .filter(col("kind") === "revisit")
+        .select("url", "refers_to", "payload_digest")))
+      .orderBy("target_uri").collect()
+    back.map(r => (r.getString(0), r.getString(1), r.getString(2))) shouldBe
+      Array(("https://ar.ex/cond", "https://ar.ex/cond", "md5:h2"),
+        ("https://ar.ex/same", "https://ar.ex/same", "md5:h1"))
+  }
+
   test("fetchRequests + imfFixdateEpoch are session-timezone-free: a non-UTC session renders and parses the same GMT instants") {
     import graft.functions.TextExtraction.imfFixdateEpoch
     import java.time.format.DateTimeFormatter
