@@ -1401,12 +1401,14 @@ object QueriesCrawl {
     ("crawl_archive_plan", (s, dir) => {
       // the archive write decision off one cycle's results: 2xx with
       // a NEW hash (or a first capture) → store the body
-      // ('response'); 304, or 2xx whose hash matches the held
-      // capture → store the ~300 B revisit linkage instead
-      // ('revisit', refers_to = the page's own prior capture, digest
-      // = md5:held-hash); errors/redirects store nothing. The oracle
-      // replays the verdict law; the writer/reader round-trip is
-      // crawl_archive_revisit's subject.
+      // ('response'); a 2xx whose hash matches the held capture →
+      // the identical-payload-digest revisit; a 304 against a held
+      // capture → the server-not-modified revisit (WARC 1.1 §6.7.3 —
+      // nothing was hashed this fetch, so the byte-identity profile
+      // would be a false claim); errors/redirects store nothing, and
+      // so does a 304 with NO held capture (nothing to refer to).
+      // The oracle replays the verdict law; the writer/reader
+      // round-trip is crawl_archive_revisit's subject.
       val d = col("doc_id")
       val id = d.cast("string")
       val k = (d % 5).cast("string")
@@ -1417,39 +1419,46 @@ object QueriesCrawl {
         lit(1).as("depth"), lit(0.5).as("priority"),
         lit(1L).as("fetch_count"), lit(0).as("fail_count"),
         (lit(T0) - 5000L).as("last_fetch_ts"),
-        when(d % 7 === 1, lit(null).cast("string")).otherwise(md5(id))
-          .as("content_hash"),
+        when(d % 8 === 1 || d % 8 === 7, lit(null).cast("string"))
+          .otherwise(md5(id)).as("content_hash"),
         lit(86400L).as("interval_s"), lit(T0).as("next_fetch_ts"),
         lit("active").as("state"),
         lit(null).cast("string").as("etag"),
         lit(null).cast("long").as("last_modified"))
-      val status = when(d % 7 === 2, lit(304))
-        .when(d % 7 === 3, lit(404)).when(d % 7 === 4, lit(503))
-        .when(d % 7 === 5, lit(301)).otherwise(lit(200))
+      val status = when(d % 8 === 2 || d % 8 === 7, lit(304))
+        .when(d % 8 === 3, lit(404)).when(d % 8 === 4, lit(503))
+        .when(d % 8 === 5, lit(301)).otherwise(lit(200))
       val fetched = docs.select(url.as("url"),
         (lit(T0) + 100L).as("fetch_ts"), status.as("status"),
         when(status === 200,
-          when(d % 7 === 6, md5(concat(lit("new-"), id)))
+          when(d % 8 === 6, md5(concat(lit("new-"), id)))
             .otherwise(md5(id)))
           .otherwise(lit(null).cast("string")).as("content_hash"))
       CrawlFrontier.archivePlan(fetched, frontier).orderBy("url")
     }, Some("""
       WITH base AS (
-        SELECT doc_id, CAST(doc_id % 7 AS INT) AS m,
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS m,
                'https://h' || (doc_id % 5) || '.ap.com/p/' || doc_id
                  AS url,
-               CASE WHEN doc_id % 7 = 1 THEN NULL
+               CASE WHEN doc_id % 8 IN (1, 7) THEN NULL
                     ELSE md5(CAST(doc_id AS VARCHAR)) END AS held
         FROM documents)
       SELECT url,
-             -- m=2: 304; m=0: 200 with the held hash → revisit;
+             -- m=0: 200 with the held hash → identical-digest revisit;
+             -- m=2: 304 with a held capture → server-not-modified;
              -- m=1: first capture; m=6: 200 with a new hash → response;
-             -- m=3/4/5 (404/503/301) store nothing
+             -- m=3/4/5 (404/503/301) and m=7 (304, no held capture)
+             -- store nothing
              CASE WHEN m IN (0, 2) THEN 'revisit'
                   ELSE 'response' END AS kind,
              CASE WHEN m IN (0, 2) THEN url ELSE NULL END AS refers_to,
              CASE WHEN m IN (0, 2) THEN 'md5:' || held
-                  ELSE NULL END AS payload_digest
+                  ELSE NULL END AS payload_digest,
+             CASE WHEN m = 0 THEN
+               'http://netpreserve.org/warc/1.1/revisit/identical-payload-digest'
+                  WHEN m = 2 THEN
+               'http://netpreserve.org/warc/1.1/revisit/server-not-modified'
+                  ELSE NULL END AS profile
       FROM base WHERE m IN (0, 1, 2, 6)
       ORDER BY url""")),
 

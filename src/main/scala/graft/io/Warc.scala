@@ -63,19 +63,40 @@ object Warc {
   val RevisitIdenticalDigest =
     "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 
+  /** The server-not-modified revisit profile URI (WARC 1.1 §6.7.3):
+    * "the server answered 304 to my validators" — a weaker claim than
+    * byte-identity (nothing was hashed this fetch), recorded as such
+    * so replay tools don't trust an identity nobody verified. */
+  val RevisitServerNotModified =
+    "http://netpreserve.org/warc/1.1/revisit/server-not-modified"
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def record(warcType: String, uri: Option[String],
                      headers: Seq[(String, String)],
-                     content: Array[Byte]): Array[Byte] = {
-    val id = s"<urn:md5:${md5hex(uri.getOrElse(warcType))}>"
+                     content: Array[Byte],
+                     version: String = "1.0",
+                     idSeed: Option[String] = None): Array[Byte] = {
+    // the target URI goes through headerSafe HERE, for every writer:
+    // the head is US-ASCII, so a raw non-ASCII URI would mangle to
+    // '?' in one writer face while another percent-encoded it — two
+    // spellings of one identity that break the revisit refers_to →
+    // target_uri resolution join (and the CRLF strip closes header
+    // injection on every face, not just the ones that remembered).
+    // headerSafe is idempotent, so call-site encoding stays legal.
+    val safeUri = uri.map(headerSafe)
+    // idSeed discriminates record types sharing a URI: a revisit and
+    // the response it refers to must not collide on WARC-Record-ID
+    // (uniqueness within an archive; CDX/dedup consumers key on it)
+    val id =
+      s"<urn:md5:${md5hex(idSeed.getOrElse(safeUri.getOrElse(warcType)))}>"
     val hs = Seq("WARC-Type" -> warcType,
         "WARC-Record-ID" -> id, "WARC-Date" -> FixedDate) ++
-      uri.map("WARC-Target-URI" -> _) ++ headers ++
+      safeUri.map("WARC-Target-URI" -> _) ++ headers ++
       Seq("Content-Length" -> content.length.toString)
-    val head = (s"WARC/1.0$Crlf" +
+    val head = (s"WARC/$version$Crlf" +
       hs.map { case (k, v) => s"$k: $v$Crlf" }.mkString + Crlf)
       .getBytes("US-ASCII")
     val out = new java.io.ByteArrayOutputStream(
@@ -595,21 +616,11 @@ object Warc {
     * deterministic ids. */
   def writeRecordShardGz(recs: Seq[(String, Array[Byte])],
                          warcType: String,
-                         contentType: String): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def member(rec: Array[Byte]): Unit = {
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(rec); gz.finish(); gz.close()
-    }
-    member(record("warcinfo", None,
-      Seq("Content-Type" -> "application/warc-fields"),
-      s"software: graft$Crlf".getBytes("US-ASCII")))
-    recs.foreach { case (uri, payload) =>
-      member(record(warcType, Some(uri),
-        Seq("Content-Type" -> contentType), payload))
-    }
-    out.toByteArray
-  }
+                         contentType: String): Array[Byte] =
+    shardOfMembers(recs.map { case (uri, payload) =>
+      record(warcType, Some(uri),
+        Seq("Content-Type" -> contentType), payload)
+    })
 
   /** One gzip shard of WARC 1.1 `revisit` records (§6.7.2,
     * identical-payload-digest profile) — what the archive writes for
@@ -623,10 +634,36 @@ object Warc {
     * date (the codec convention — real deployments stamp the
     * original capture's date). Content block is empty: the profile
     * requires no payload, and the response headers live with the
-    * frontier's validator columns, not the archive. Layout laws of
-    * [[writeRecordShardGz]] (warcinfo head, one member per record). */
-  def writeRevisitShardGz(revisits: Seq[(String, String, String)])
-      : Array[Byte] = {
+    * frontier's validator columns, not the archive. Per element the
+    * optional 4th slot picks the profile — [[RevisitIdenticalDigest]]
+    * (the default when the digest matched a held capture) or
+    * [[RevisitServerNotModified]] (a 304: the SERVER asserted
+    * validator equality; no byte-identity was verified this fetch, so
+    * claiming the identical-digest profile would put a false claim in
+    * the archive) — and a null/empty digest omits the
+    * WARC-Payload-Digest header (§6.7.3 allows it). Records declare
+    * WARC/1.1 (the profiles are 1.1-namespace; strict validators flag
+    * a 1.1 profile on a 1.0 record) with a type-discriminated
+    * record id (a revisit must not collide with the response it
+    * refers to). Layout laws of [[writeRecordShardGz]] (warcinfo
+    * head, one member per record — one shared assembler). */
+  def writeRevisitShardGz(
+      revisits: Seq[(String, String, String, String)]): Array[Byte] =
+    shardOfMembers(revisits.map { case (uri, refersTo, digest, profile) =>
+      val dig = Option(digest).filter(_.nonEmpty)
+        .map(d => "WARC-Payload-Digest" -> headerSafe(d))
+      record("revisit", Some(uri), Seq(
+          "WARC-Profile" -> (if (profile == null || profile.isEmpty)
+            RevisitIdenticalDigest else headerSafe(profile))) ++
+        dig ++ Seq(
+          "WARC-Refers-To-Target-URI" -> headerSafe(refersTo),
+          "WARC-Refers-To-Date" -> FixedDate), Array.empty[Byte],
+        version = "1.1", idSeed = Some(s"revisit:$uri"))
+    })
+
+  /** One multi-member gzip shard: the warcinfo head + one member per
+    * record — the layout law every record-shard writer shares. */
+  private def shardOfMembers(records: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(rec: Array[Byte]): Unit = {
       val gz = new java.util.zip.GZIPOutputStream(out)
@@ -635,33 +672,36 @@ object Warc {
     member(record("warcinfo", None,
       Seq("Content-Type" -> "application/warc-fields"),
       s"software: graft$Crlf".getBytes("US-ASCII")))
-    revisits.foreach { case (uri, refersTo, digest) =>
-      member(record("revisit", Some(headerSafe(uri)), Seq(
-        "WARC-Profile" -> RevisitIdenticalDigest,
-        "WARC-Payload-Digest" -> headerSafe(digest),
-        "WARC-Refers-To-Target-URI" -> headerSafe(refersTo),
-        "WARC-Refers-To-Date" -> FixedDate), Array.empty[Byte]))
-    }
+    records.foreach(member)
     out.toByteArray
   }
 
-  /** (url, refers_to, payload_digest) rows → gzip shards of revisit
-    * records — the DataFrame writer face of [[writeRevisitShardGz]],
-    * with [[toShards]]' bounded cutting; null rows skip. Feed it the
-    * unchanged slice of a recrawl cycle (the revisit law's ok-and-
-    * same-hash / 304 rows joined to their prior capture). */
+  /** (url, refers_to, payload_digest[, profile]) rows → gzip shards
+    * of revisit records — the DataFrame writer face of
+    * [[writeRevisitShardGz]], with [[toShards]]' bounded cutting.
+    * `profile` is optional (absent column or null value → the
+    * identical-payload-digest default); a NULL digest writes a
+    * digest-less record (§6.7.3's server-not-modified shape — the
+    * 304 case where nothing was hashed this fetch), so only
+    * null url/refers_to rows skip (no record could be linked). Feed
+    * it [[graft.operators.CrawlFrontier.archivePlan]]'s revisit
+    * slice. */
   def toRevisitShards(docs: DataFrame,
                       maxShardBytes: Long = 128L << 20): DataFrame = {
     require(maxShardBytes > 0, s"maxShardBytes must be > 0: $maxShardBytes")
     val uIdx = docs.schema.fieldIndex("url")
     val rIdx = docs.schema.fieldIndex("refers_to")
     val dIdx = docs.schema.fieldIndex("payload_digest")
+    val pIdx = if (docs.columns.contains("profile"))
+      Some(docs.schema.fieldIndex("profile")) else None
     docs.mapPartitions { it =>
-      cutBounded[(String, String, String)](it.flatMap { r =>
-        if (r.isNullAt(uIdx) || r.isNullAt(rIdx) || r.isNullAt(dIdx)) None
+      cutBounded[(String, String, String, String)](it.flatMap { r =>
+        if (r.isNullAt(uIdx) || r.isNullAt(rIdx)) None
         else Some((r.getString(uIdx), r.getString(rIdx),
-          r.getString(dIdx)))
-      }, d => d._1.length.toLong + d._2.length + d._3.length + 200L,
+          if (r.isNullAt(dIdx)) null else r.getString(dIdx),
+          pIdx.filterNot(r.isNullAt).map(r.getString).orNull))
+      }, d => d._1.length.toLong + d._2.length +
+        Option(d._3).fold(0)(_.length) + 200L,
         maxShardBytes,
         buf => Row(writeRevisitShardGz(buf), buf.length.toLong))
     }(E.row(shardSchema))
@@ -686,7 +726,9 @@ object Warc {
           .filter(_.warcType == "revisit")
           .map(rec => Row(rec.targetUri,
             rec.extra.getOrElse("WARC-Refers-To-Target-URI", ""),
-            rec.extra.getOrElse("WARC-Payload-Digest", ""),
+            // a digest-less record (§6.7.3) reads back as NULL — a
+            // meaningful absence, not an empty digest
+            rec.extra.get("WARC-Payload-Digest").orNull,
             rec.extra.getOrElse("WARC-Profile", "")))
       }
     }(E.row(schema))

@@ -1093,32 +1093,49 @@ object CrawlFrontier {
     *  - 'response': a 2xx whose hash differs from the held capture
     *    (or a first capture) → store the body
     *    (io/Warc.toShardsRaw/toRecordShards);
-    *  - 'revisit': a 304, or a 2xx whose hash MATCHES the held
-    *    capture → store ~300 B of linkage instead
-    *    (io/Warc.toRevisitShards over the url/refers_to/
-    *    payload_digest columns emitted here) — at steady state this
-    *    is MOST rows, the storage-∝-changed-bytes contract;
+    *  - 'revisit': a 2xx whose hash MATCHES the held capture (the
+    *    identical-payload-digest profile — byte identity verified
+    *    this fetch) or a 304 against a held capture (the
+    *    server-not-modified profile, WARC 1.1 §6.7.3 — the SERVER
+    *    asserted validator equality; nothing was hashed this fetch,
+    *    and claiming byte-identity would put a false claim in the
+    *    archive) → store ~300 B of linkage instead
+    *    (io/Warc.toRevisitShards consumes these columns verbatim) —
+    *    at steady state this is MOST rows, the
+    *    storage-∝-changed-bytes contract;
     *  - errors/redirects emit nothing (the frontier law handles
-    *    them; an error shell is not corpus content).
+    *    them; an error shell is not corpus content), and so does a
+    *    304 with NO held capture (validators seeded without content —
+    *    a sitemap-lastmod first fetch answering 304; there is nothing
+    *    to refer to, and emitting a linkage row pointing at a capture
+    *    that does not exist would silently drop at the writer while
+    *    the plan claimed 'revisit').
     * `refers_to` is the same URL (the prior capture of this page);
-    * `payload_digest` is `md5:` + the unchanged hash. One url-equi
-    * join of the cycle's latest results against the frontier's held
-    * hashes — the same shape as the law itself. */
+    * `payload_digest` is `md5:` + the held hash — the REFERRED
+    * capture's digest, known for both profiles. One url-equi join of
+    * the cycle's latest results against the frontier's held hashes —
+    * the same shape as the law itself. */
   def archivePlan(fetched: DataFrame, frontier: DataFrame): DataFrame = {
     val ok = okC(col("f_status"))
-    val unchanged = notModC(col("f_status")) ||
-      (ok && col("content_hash").isNotNull &&
-        col("f_content_hash") === col("content_hash"))
+    val notMod = notModC(col("f_status"))
+    val held = col("content_hash").isNotNull
+    val sameHash = ok && held &&
+      col("f_content_hash") === col("content_hash")
+    val unchanged = (notMod && held) || sameHash
     latestFetch(fetched)
       .join(frontier.select(col("url"), col("content_hash")), Seq("url"))
-      .filter(ok || notModC(col("f_status")))
+      .filter(ok || (notMod && held))
       .select(col("url"),
         when(unchanged, lit("revisit")).otherwise(lit("response"))
           .as("kind"),
         when(unchanged, col("url")).otherwise(lit(null).cast("string"))
           .as("refers_to"),
         when(unchanged, concat(lit("md5:"), col("content_hash")))
-          .otherwise(lit(null).cast("string")).as("payload_digest"))
+          .otherwise(lit(null).cast("string")).as("payload_digest"),
+        when(sameHash, lit(graft.io.Warc.RevisitIdenticalDigest))
+          .when(notMod && held,
+            lit(graft.io.Warc.RevisitServerNotModified))
+          .otherwise(lit(null).cast("string")).as("profile"))
   }
 
   /** Frontier garbage collection — the retention policy that keeps a
@@ -1134,29 +1151,49 @@ object CrawlFrontier {
     * they are a far smaller population. Active rows always keep.
     * Returns the rows to RETIRE (url + the row, an op='delete' batch
     * for the snapshot-store face; a materialized deployment
-    * anti-joins it away instead). Pure filter — on the day-bucketed
-    * layout a dead row's next_fetch_day froze at its death cycle, so
-    * the scan prunes to old buckets. */
+    * anti-joins it away instead). The filter itself reads row
+    * columns, not the partition column, so a day-bucketed deployment
+    * pairs it with [[compactionDayBound]]'s read-side partition
+    * predicate — without it GC is a full scan. */
   def compactionDeletes(frontier: DataFrame, now: Long,
                         deadRetentionS: Long = 90L * 86400L): DataFrame = {
     require(deadRetentionS > 0,
       s"deadRetentionS must be positive: $deadRetentionS")
-    frontier.filter(col("state") === "dead" &&
-      col("last_fetch_ts").isNotNull &&
-      col("last_fetch_ts") < lit(now - deadRetentionS))
+    frontier.filter(expiredC(now, deadRetentionS))
   }
 
   /** The kept face of [[compactionDeletes]] — the frontier with
     * expired corpses dropped, for materialized deployments that
-    * rewrite (day-bucketed stores rewrite only the pruned old
-    * buckets). */
+    * rewrite. The two faces partition the frontier exactly (shared
+    * predicate — kept ∪ deletes = input by construction). */
   def compactFrontier(frontier: DataFrame, now: Long,
                       deadRetentionS: Long = 90L * 86400L): DataFrame = {
     require(deadRetentionS > 0,
       s"deadRetentionS must be positive: $deadRetentionS")
-    frontier.filter(!(col("state") === "dead" &&
-      col("last_fetch_ts").isNotNull &&
-      col("last_fetch_ts") < lit(now - deadRetentionS)))
+    frontier.filter(!expiredC(now, deadRetentionS))
+  }
+
+  /** The ONE expiry predicate both GC faces share — a drift between
+    * the keep and delete spellings would silently lose or
+    * double-count rows against the kept-∪-deletes invariant. */
+  private def expiredC(now: Long, deadRetentionS: Long): Column =
+    col("state") === "dead" && col("last_fetch_ts").isNotNull &&
+      col("last_fetch_ts") < lit(now - deadRetentionS)
+
+  /** The day-bucket bound that makes GC prune instead of full-scan: a
+    * dead row's next_fetch_ts froze at death_ts + wait, and the wait
+    * never exceeds `maxIntervalS` (the Retry-After clamp guarantees
+    * it), so EVERY row [[compactionDeletes]] would retire has
+    * next_fetch_day ≤ this bound — read the day-bucketed frontier
+    * with `next_fetch_day <= compactionDayBound(...)` (the loadDue
+    * convention) and the GC pass touches only the old buckets where
+    * corpses froze, never the live schedule. Sound, not tight: a few
+    * live rows share those buckets and simply pass the row filter. */
+  def compactionDayBound(now: Long, deadRetentionS: Long,
+                         maxIntervalS: Long): Long = {
+    require(deadRetentionS > 0 && maxIntervalS > 0,
+      s"need positive retention/interval: $deadRetentionS/$maxIntervalS")
+    (now - deadRetentionS + maxIntervalS) / 86400L
   }
 
   /** Persist a frontier partitioned by next-fetch DAY — the layout

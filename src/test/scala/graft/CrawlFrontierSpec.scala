@@ -651,31 +651,45 @@ class CrawlFrontierSpec extends SparkSpec {
       row("https://ar.ex/cond", hash = Some("h2")),
       row("https://ar.ex/changed", hash = Some("h3")),
       row("https://ar.ex/first"),
+      row("https://ar.ex/condfirst"), // 304 but NO held capture
       row("https://ar.ex/err", hash = Some("h5"))))
     val fetched = Seq(
       ("https://ar.ex/same", 2000L, 200, Some("h1")),   // same hash
       ("https://ar.ex/cond", 2000L, 304, None),          // validator hit
       ("https://ar.ex/changed", 2000L, 200, Some("NEW")),
       ("https://ar.ex/first", 2000L, 200, Some("h4")),
+      ("https://ar.ex/condfirst", 2000L, 304, None),
       ("https://ar.ex/err", 2000L, 503, None))
       .toDF("url", "fetch_ts", "status", "content_hash")
     val plan = CrawlFrontier.archivePlan(fetched, f)
       .orderBy("url").collect()
+    // condfirst absent: a 304 with nothing to refer to stores nothing
     plan.map(r => (r.getString(0), r.getString(1))) shouldBe Array(
       ("https://ar.ex/changed", "response"),
       ("https://ar.ex/cond", "revisit"),
       ("https://ar.ex/first", "response"),
       ("https://ar.ex/same", "revisit"))
+    val byUrl = plan.map(r => r.getString(0) -> r).toMap
+    // the 2xx-verified identity vs the server's 304 assertion carry
+    // DIFFERENT profiles — §6.7.2 vs §6.7.3
+    byUrl("https://ar.ex/same").getString(4) shouldBe
+      Warc.RevisitIdenticalDigest
+    byUrl("https://ar.ex/cond").getString(4) shouldBe
+      Warc.RevisitServerNotModified
     // the revisit slice feeds the WARC writer directly and resolves
-    // back to its own prior capture
+    // back to its own prior capture, profile riding
     val back = Warc.fromRevisitShards(Warc.toRevisitShards(
       CrawlFrontier.archivePlan(fetched, f)
         .filter(col("kind") === "revisit")
-        .select("url", "refers_to", "payload_digest")))
+        .select("url", "refers_to", "payload_digest", "profile")))
       .orderBy("target_uri").collect()
-    back.map(r => (r.getString(0), r.getString(1), r.getString(2))) shouldBe
-      Array(("https://ar.ex/cond", "https://ar.ex/cond", "md5:h2"),
-        ("https://ar.ex/same", "https://ar.ex/same", "md5:h1"))
+    back.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))) shouldBe
+      Array(
+        ("https://ar.ex/cond", "https://ar.ex/cond", "md5:h2",
+          Warc.RevisitServerNotModified),
+        ("https://ar.ex/same", "https://ar.ex/same", "md5:h1",
+          Warc.RevisitIdenticalDigest))
   }
 
   test("fetchRequests + imfFixdateEpoch are session-timezone-free: a non-UTC session renders and parses the same GMT instants") {

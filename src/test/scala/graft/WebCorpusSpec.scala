@@ -993,12 +993,16 @@ class WebCorpusSpec extends SparkSpec {
   test("revisit records: linkage headers round-trip byte-exactly, content is empty, non-revisit readers skip them, header injection cannot forge a reference") {
     import graft.io.Warc
     val shard = Warc.writeRevisitShardGz(Seq(
-      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123"),
+      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123", null),
       // CRLF in a crafted refers-to must not inject a fake header
       ("https://a.ex/q", "https://evil.ex/x\r\nWARC-Type: response",
-        "sha1:def456")))
+        "sha1:def456", null),
+      // a 304's record: server-not-modified profile, no digest header
+      ("https://a.ex/r", "https://a.ex/r", null,
+        Warc.RevisitServerNotModified)))
     val recs = Warc.readWarcGz(shard)
-    recs.map(_.warcType) shouldBe Seq("warcinfo", "revisit", "revisit")
+    recs.map(_.warcType) shouldBe
+      Seq("warcinfo", "revisit", "revisit", "revisit")
     val r = recs(1)
     r.targetUri shouldBe "https://a.ex/p"
     r.content shouldBe empty // the profile stores no payload
@@ -1008,12 +1012,26 @@ class WebCorpusSpec extends SparkSpec {
     recs(2).extra("WARC-Refers-To-Target-URI") shouldBe
       "https://evil.ex/xWARC-Type: response" // CRLF stripped, one header
     recs(2).warcType shouldBe "revisit"
-    // the DataFrame faces: writer → reader identity; response readers
-    // see nothing (revisit records are not content)
+    recs(3).extra("WARC-Profile") shouldBe Warc.RevisitServerNotModified
+    recs(3).extra.contains("WARC-Payload-Digest") shouldBe false
+    // the revisit and the response it refers to must not share a
+    // record id (archive-wide uniqueness; CDX/dedup key on it), and
+    // the revisit member declares WARC/1.1 (its profiles are 1.1)
+    val resp = Warc.readWarcGz(Warc.writeRecordShardGz(
+      Seq(("https://a.ex/p", "body".getBytes("UTF-8"))),
+      "response", "text/plain"))(1)
+    resp.recordId should not be r.recordId
+    new String(Warc.gunzipAuto(shard), "ISO-8859-1") should
+      include("WARC/1.1\r\nWARC-Type: revisit")
+    // the DataFrame faces: writer → reader identity (digest-less rows
+    // round-trip as NULL, the optional profile column rides); response
+    // readers see nothing (revisit records are not content)
     val df = Seq(
-      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123"),
-      ("https://a.ex/q", "https://a.ex/q0", "sha1:def456"))
-      .toDF("url", "refers_to", "payload_digest")
+      ("https://a.ex/p", "https://a.ex/p", "sha1:abc123",
+        Warc.RevisitIdenticalDigest),
+      ("https://a.ex/q", "https://a.ex/q0", null,
+        Warc.RevisitServerNotModified))
+      .toDF("url", "refers_to", "payload_digest", "profile")
     val shards = Warc.toRevisitShards(df.repartition(2))
     val back = Warc.fromRevisitShards(shards).orderBy("target_uri")
       .collect().map(r => (r.getString(0), r.getString(1),
@@ -1021,8 +1039,8 @@ class WebCorpusSpec extends SparkSpec {
     back shouldBe Array(
       ("https://a.ex/p", "https://a.ex/p", "sha1:abc123",
         Warc.RevisitIdenticalDigest),
-      ("https://a.ex/q", "https://a.ex/q0", "sha1:def456",
-        Warc.RevisitIdenticalDigest))
+      ("https://a.ex/q", "https://a.ex/q0", null,
+        Warc.RevisitServerNotModified))
     Warc.fromRecordShards(shards, "response").count() shouldBe 0L
     Warc.fromShards(shards).count() shouldBe 0L
   }
