@@ -184,6 +184,53 @@ object Bench {
     }
   }
 
+  /** Crawl-cycle scaling probe — MEASURES the frontier family's core
+    * 10^10-row claim instead of asserting it: one scheduling cycle
+    * (day-bucketed loadDue → selectBatch → the revisit law on the
+    * selected wave) over a synthetic frontier of `n` rows whose DUE
+    * population is FIXED at `dueRows` (parked in overdue day buckets;
+    * the rest scheduled across 30 future days). Run at n and 10n with
+    * the same dueRows: a flat ratio means the cycle rides the due
+    * slice through partition pruning, not the frontier — the number
+    * behind "a 10^10-row frontier schedules from a handful of day
+    * directories". Returns (updated rows, seconds). */
+  def crawlCycleProbe(spark: SparkSession, n: Long, dueRows: Long)
+      : (Long, Double) = {
+    import graft.operators.CrawlFrontier
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-probe")
+    val path = s"$dir/frontier"
+    val now = 1754000000L
+    val host = concat(lit("h"), pmod(col("id"), lit(997)).cast("string"),
+      lit(".pr.com"))
+    val f = spark.range(n).select(
+      concat(lit("https://"), host, lit("/p/"), col("id").cast("string"))
+        .as("url"),
+      host.as("host"), lit(0).as("depth"),
+      (pmod(xxhash64(col("id")), lit(1000)) / lit(1000.0)).as("priority"),
+      lit(1L).as("fetch_count"), lit(0).as("fail_count"),
+      lit(now - 86400L).as("last_fetch_ts"),
+      md5(col("id").cast("string")).as("content_hash"),
+      lit(86400L).as("interval_s"),
+      when(col("id") < dueRows, lit(now - 10L))
+        .otherwise(lit(now) + lit(86400L) * (pmod(col("id"), lit(30)) + 1))
+        .as("next_fetch_ts"),
+      lit("active").as("state"),
+      lit(null).cast("string").as("etag"),
+      lit(null).cast("long").as("last_modified"))
+    try {
+      CrawlFrontier.writeDayBucketed(f, path)
+      val t0 = System.nanoTime()
+      val due = CrawlFrontier.loadDue(spark, path, now)
+      val batch = CrawlFrontier.selectBatch(due, now,
+        batchSize = 5000, perHostCap = 16).localCheckpoint(true)
+      val fetched = batch.select(col("url"),
+        lit(now + 1L).as("fetch_ts"), lit(200).as("status"),
+        md5(concat(lit("w"), col("url"))).as("content_hash"))
+      val nUp = CrawlFrontier.recrawlUpdates(fetched, due).count()
+      ((nUp, (System.nanoTime() - t0) / 1e9))
+    } finally deleteQuietly(dir)
+  }
+
   /** Synthetic documents table for superlinearity spot-checks ABOVE the
     * generated sf dirs (r11 ask #7): deterministic word-hash text with
     * the docsWithDups-style near-dup variants (one-in-five exact /
@@ -1013,7 +1060,22 @@ object Bench {
         System.err.println(s"[bench] state probe failed: ${e.getMessage}")
         ""","state_probe":null"""
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$streamingIndexed$stateProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}"""
+    // one scheduling cycle at 200k and 2M frontier rows with the SAME
+    // 10k-row due slice: the ratio evidences cycle-cost ∝ due slice
+    // (day-bucket pruning), the frontier family's scale claim
+    val crawlProbe =
+      if (sys.env.get("SPARK_GRAFT_BENCH_CRAWL").contains("0"))
+        ""","crawl_probe":null"""
+      else try {
+        val (upS, secS) = crawlCycleProbe(spark, 200000L, 10000L)
+        val (upL, secL) = crawlCycleProbe(spark, 2000000L, 10000L)
+        val ratio = if (secS > 0) secL / secS else 0.0
+        s""","crawl_probe":{"rows_small":200000,"rows_large":2000000,"due_rows":10000,"updated_small":$upS,"updated_large":$upL,"sec_small":$secS,"sec_large":$secL,"decade_ratio":$ratio}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] crawl probe failed: ${e.getMessage}")
+        ""","crawl_probe":null"""
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$streamingIndexed$stateProbe$crawlProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}"""
     println(line)
     // full-book artifact (BENCH_r*.json retains only a tail): when
     // SPARK_GRAFT_BENCH_BOOK names a path, the complete line also lands
