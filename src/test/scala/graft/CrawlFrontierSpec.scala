@@ -1318,6 +1318,160 @@ class CrawlFrontierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the COMPLETE standing crawler in one store-held loop: robots rules gate a sitemap's announcements, budgets carry across waves, a 301 aliases through the store, and the archive plan tracks first-capture vs revisit") {
+    import graft.functions.Robots
+    import graft.streaming.StreamingOps
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scl-full").toString
+    val payloadCols = Seq("host", "depth", "priority", "fetch_count",
+      "fail_count", "last_fetch_ts", "content_hash", "interval_s",
+      "next_fetch_ts", "state", "etag", "last_modified")
+    def toEvents(df: DataFrame, seq: Long) =
+      df.collect().map { r => (r.getString(0), seq, "upsert",
+        r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+        r.getInt(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        r.getLong(8), r.getLong(9), r.getString(10),
+        if (r.isNullAt(11)) None else Some(r.getString(11)),
+        if (r.isNullAt(12)) None else Some(r.getLong(12))) }.toSeq
+    val input = MemoryStream[(String, Long, String, String, Int, Double,
+      Long, Int, Option[Long], Option[String], Long, Long, String,
+      Option[String], Option[Long])]
+    val q = StreamingOps.snapshotUpsertSink(
+        input.toDF().toDF(("url" +: "seq" +: "op" +: payloadCols): _*),
+        s"$base/frontier", idCol = "url", seqCol = "seq", opCol = "op",
+        payloadCols = payloadCols, numBuckets = 4)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    def served(): DataFrame =
+      StreamingOps.readSnapshot(spark, s"$base/frontier").get
+        .select(("url" +: payloadCols).map(col): _*)
+    val T0 = 1754000000L
+    val budgets = Seq(("a.ex", 3)).toDF("host", "cap")
+    var usage = budgets.select(col("host"), lit(0L).as("window_start"),
+      lit(0L).as("used")).filter(lit(false)).localCheckpoint(true)
+    var rules: DataFrame = null
+    val urlset =
+      """<urlset>
+        |<url><loc>https://a.ex/ok1</loc><lastmod>2025-01-01</lastmod>
+        |<changefreq>monthly</changefreq></url>
+        |<url><loc>https://a.ex/blocked/1</loc></url>
+        |<url><loc>https://a.ex/moved</loc>
+        |<changefreq>monthly</changefreq></url>
+        |</urlset>""".stripMargin
+    // one cycle of the COMPLETE loop: budgeted select → route by the
+    // two routers → per-kind laws → rules/usage read-modify-write →
+    // one upsert batch into the store; returns (batch urls, the
+    // archive plan's (url, kind) pairs for the page slice)
+    def cycle(now: Long): (Seq[String], Seq[(String, String)]) = {
+      val sv = served().localCheckpoint(true)
+      val batch = CrawlFrontier.selectBatch(sv, now, batchSize = 10,
+        perHostCap = 10, hostBudgets = Some(
+          CrawlFrontier.remainingBudgets(budgets, usage, now, 600L)))
+        .localCheckpoint(true)
+      usage = CrawlFrontier.updateHostUsage(usage, batch, now, 600L)
+        .localCheckpoint(true)
+      val isR = CrawlFrontier.isRobotsUrl(col("url"))
+      val isS = CrawlFrontier.isSitemapUrl(col("url"))
+      var events = Seq.empty[(String, Long, String, String, Int, Double,
+        Long, Int, Option[Long], Option[String], Long, Long, String,
+        Option[String], Option[Long])]
+      val robotsBatch = batch.filter(isR).localCheckpoint(true)
+      if (robotsBatch.count() > 0) {
+        val fetched = robotsBatch.select(col("host").as("domain"),
+          lit(200).as("status"),
+          lit("User-agent: *\nDisallow: /blocked\n").as("robots_txt"),
+          lit(now + 1L).as("fetch_ts"))
+        val fresh = Robots.rulesFromFetch(fetched, "graftbot")
+        rules = (if (rules == null) fresh
+          else Robots.updateRules(rules, fresh)).localCheckpoint(true)
+        events ++= toEvents(CrawlFrontier.robotsRecrawlUpdates(
+          robotsBatch.select(col("url"), lit(now + 1L).as("fetch_ts"),
+            lit(200).as("status"),
+            lit(null).cast("string").as("content_hash")), sv), now)
+      }
+      val smBatch = batch.filter(isS).localCheckpoint(true)
+      if (smBatch.count() > 0) {
+        events ++= toEvents(CrawlFrontier.sitemapRecrawlUpdates(
+          smBatch.select(col("url"), lit(now + 1L).as("fetch_ts"),
+            lit(200).as("status"), md5(lit("sm")).as("content_hash")),
+          sv), now)
+        val entries = Seq(urlset).toDF("x")
+          .select(explode(Sitemaps.urlEntries(col("x"))))
+          .select(col("col.*"))
+        events ++= toEvents(CrawlFrontier.sitemapFold(sv,
+          CrawlFrontier.gateRobots(entries, rules, urlCol = "loc"),
+          now), now)
+      }
+      val pageBatch = batch.filter(!isR && !isS).localCheckpoint(true)
+      var plan = Seq.empty[(String, String)]
+      if (pageBatch.count() > 0) {
+        val fetched = pageBatch.select(col("url"),
+          lit(now + 1L).as("fetch_ts"),
+          when(col("url").endsWith("moved"), lit(301)).otherwise(lit(200))
+            .as("status"),
+          when(col("url").endsWith("moved"), lit(null).cast("string"))
+            .otherwise(md5(col("url"))).as("content_hash"),
+          when(col("url").endsWith("moved"), lit("https://a.ex/target"))
+            .otherwise(lit(null).cast("string")).as("location"))
+          .localCheckpoint(true)
+        plan = CrawlFrontier.archivePlan(fetched, sv).collect()
+          .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+        events ++= toEvents(CrawlFrontier.recrawlUpdates(fetched, sv)
+          .unionByName(CrawlFrontier.redirectAdmissions(fetched, sv,
+            now)), now)
+      }
+      input.addData(events: _*); q.processAllAvailable()
+      (batch.select("url").as[String].collect().sorted.toSeq, plan)
+    }
+    try {
+      input.addData(toEvents(CrawlFrontier.robotsSeeds(
+          Seq("a.ex").toDF("host"), now = T0)
+        .unionByName(CrawlFrontier.sitemapSeeds(
+          Seq("https://a.ex/sitemap.xml").toDF("url"), now = T0)),
+        0L): _*)
+      q.processAllAvailable()
+      // wave 1: governance first — robots (2.0) then sitemap (1.5),
+      // both within the budget; the feed's announcements arrive
+      // gated (/blocked never enters the store)
+      val (b1, _) = cycle(T0)
+      b1 shouldBe Seq("https://a.ex/robots.txt", "https://a.ex/sitemap.xml")
+      served().filter(col("url").contains("/blocked")).count() shouldBe 0
+      // wave 2, same window: ONE unit of budget left (cap 3, 2 spent)
+      // → one page; the 301 retires it and mints /target; the archive
+      // plan stores nothing for a redirect
+      val (b2, p2) = cycle(T0 + 60L)
+      b2 shouldBe Seq("https://a.ex/moved")
+      p2 shouldBe empty
+      // wave 3, same window: budget exhausted — due rows wait
+      val (b3, _) = cycle(T0 + 120L)
+      b3 shouldBe empty
+      // wave 4, next window: re-granted; the remaining page AND the
+      // redirect target fetch; both are first captures
+      val (b4, p4) = cycle(T0 + 700L)
+      b4 shouldBe Seq("https://a.ex/ok1", "https://a.ex/target")
+      p4 shouldBe Seq(("https://a.ex/ok1", "response"),
+        ("https://a.ex/target", "response"))
+      // the store's ledger: the alias retired, the target carries
+      // content at the source's depth, governance rows on cadence
+      val m = served().collect().map(r => r.getString(0) -> r).toMap
+      m("https://a.ex/moved").getString(10) shouldBe "redirected"
+      m("https://a.ex/target").getString(7) should not be null
+      m("https://a.ex/robots.txt").getLong(9) shouldBe T0 + 1L + 86400L
+      m("https://a.ex/sitemap.xml").getLong(9) shouldBe T0 + 1L + 86400L
+      // and a re-fetch of unchanged content would archive as a
+      // REVISIT against the held capture
+      CrawlFrontier.archivePlan(
+        Seq(("https://a.ex/ok1", T0 + 1300L, 200,
+          Some(m("https://a.ex/ok1").getString(7))))
+          .toDF("url", "fetch_ts", "status", "content_hash"),
+        served()).collect().map(r => (r.getString(1), r.getString(4)))
+        .toSeq shouldBe Seq(("revisit",
+          graft.io.Warc.RevisitIdenticalDigest))
+    } finally q.stop()
+  }
+
   test("standing crawl loop: store-held cycles (loadDue face → selectBatch → fetch → recrawlUpdates+admit upserts) run wave-for-wave equal to step() across 3 cycles with a crash-restart and an at-least-once replay") {
     import graft.streaming.StreamingOps
     implicit val ctx = spark.sqlContext
