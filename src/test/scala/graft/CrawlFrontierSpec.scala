@@ -1716,6 +1716,56 @@ class CrawlFrontierSpec extends SparkSpec {
       perHostCap = 5).count() shouldBe 2L
   }
 
+  test("frontier GC on the day-bucketed layout: compactionDayBound's read predicate PRUNES to the old buckets, is sound (finds every expired corpse), and the two faces partition the frontier exactly") {
+    val day = 86400L
+    val now = 400L * day
+    val retention = 90L * day
+    val maxInterval = 30L * day
+    val f = mkFrontier(Seq(
+      // died long ago: frozen next ≈ death + wait, deep in old buckets
+      row("https://g.ex/olddead", next = 200L * day, state = "dead"),
+      // died recently: inside retention, must keep
+      row("https://g.ex/newdead", next = 396L * day, state = "dead"),
+      // the alias map keeps at ANY age
+      row("https://g.ex/alias", next = 200L * day, state = "redirected"),
+      // live schedule: future buckets the GC scan must never read
+      row("https://g.ex/live", next = 401L * day)))
+      .withColumn("last_fetch_ts",
+        when(col("url").endsWith("olddead") ||
+          col("url").endsWith("alias"), lit(200L * day - 3600L))
+        .when(col("url").endsWith("newdead"), lit(395L * day))
+        .otherwise(lit(399L * day)))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-gc-days").toString + "/f"
+    CrawlFrontier.writeDayBucketed(f, path)
+    val bound = CrawlFrontier.compactionDayBound(now, retention,
+      maxInterval)
+    // soundness: every row the UNBOUNDED pass would retire sits at or
+    // below the bound (frozen next ≤ death + maxInterval)
+    val allDeletes = CrawlFrontier.compactionDeletes(f, now, retention)
+    allDeletes.filter(floor(col("next_fetch_ts") / lit(day)) > bound)
+      .count() shouldBe 0L
+    // the pruned GC pass: read only old buckets, same deletes
+    val pruned = spark.read.parquet(path)
+      .filter(col("next_fetch_day") <= lit(bound))
+      .drop("next_fetch_day")
+    val prunedDeletes = CrawlFrontier.compactionDeletes(
+      pruned.select(f.columns.map(col): _*), now, retention)
+    prunedDeletes.select("url").as[String].collect().toSeq shouldBe
+      Seq("https://g.ex/olddead")
+    // and the plan really pruned on the partition column
+    prunedDeletes.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[[^\\]]*next_fetch_day"
+    // the two faces partition the frontier exactly: kept ∪ deletes =
+    // input, disjoint
+    val kept = CrawlFrontier.compactFrontier(f, now, retention)
+    kept.count() + allDeletes.count() shouldBe 4L
+    kept.join(allDeletes.select("url"), Seq("url"), "inner")
+      .count() shouldBe 0L
+    kept.select("url").as[String].collect().sorted.toSeq shouldBe Seq(
+      "https://g.ex/alias", "https://g.ex/live", "https://g.ex/newdead")
+  }
+
   // ——— crawler traps ———————————————————————————————————————————————
 
   test("urlTemplate: hex before digits, query values collapse but keys survive, scheme drops") {
