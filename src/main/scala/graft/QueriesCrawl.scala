@@ -535,6 +535,8 @@ object QueriesCrawl {
         CASE WHEN f_fetch_ts IS NULL THEN interval_s
              ELSE new_interval END AS interval_s,
         CASE WHEN f_fetch_ts IS NULL THEN next_fetch_ts
+             WHEN gone OR (NOT ok AND NOT notmod AND new_fails >= 3)
+               THEN f_fetch_ts -- a retiring row's clock stops at death
              ELSE f_fetch_ts + new_interval END AS next_fetch_ts,
         CASE WHEN f_fetch_ts IS NULL THEN state
              WHEN gone THEN 'dead'
@@ -1583,7 +1585,10 @@ object QueriesCrawl {
           CASE WHEN ok THEN f_content_hash ELSE content_hash END
             AS content_hash,
           new_interval AS interval_s,
-          f_fetch_ts + new_interval AS next_fetch_ts,
+          CASE WHEN gone OR perm OR (NOT ok AND NOT notmod AND NOT tmp
+                    AND new_fails >= 3)
+               THEN f_fetch_ts -- a retiring row's clock stops
+               ELSE f_fetch_ts + new_interval END AS next_fetch_ts,
           CASE WHEN gone THEN 'dead'
                WHEN perm THEN 'redirected'
                WHEN NOT ok AND NOT notmod AND NOT tmp
@@ -1672,7 +1677,7 @@ object QueriesCrawl {
                CAST(1754000100 AS BIGINT) AS last_fetch_ts,
                CAST(NULL AS VARCHAR) AS content_hash,
                CAST(86400 AS BIGINT) AS interval_s,
-               CAST(1754000100 + 86400 AS BIGINT) AS next_fetch_ts,
+               CAST(1754000100 AS BIGINT) AS next_fetch_ts,
                'redirected' AS state,
                CAST(NULL AS VARCHAR) AS etag,
                CAST(NULL AS BIGINT) AS last_modified
@@ -1793,7 +1798,8 @@ object QueriesCrawl {
           CASE WHEN ok THEN f_content_hash ELSE content_hash END
             AS content_hash,
           new_interval AS interval_s,
-          f_fetch_ts + new_interval AS next_fetch_ts,
+          CASE WHEN gone THEN f_fetch_ts -- the retired clock stops
+               ELSE f_fetch_ts + new_interval END AS next_fetch_ts,
           CASE WHEN gone THEN 'dead'
                WHEN NOT ok AND new_fails >= 3 THEN 'dead'
                ELSE state END AS state,

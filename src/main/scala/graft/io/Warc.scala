@@ -87,11 +87,13 @@ object Warc {
     // injection on every face, not just the ones that remembered).
     // headerSafe is idempotent, so call-site encoding stays legal.
     val safeUri = uri.map(headerSafe)
-    // idSeed discriminates record types sharing a URI: a revisit and
-    // the response it refers to must not collide on WARC-Record-ID
-    // (uniqueness within an archive; CDX/dedup consumers key on it)
-    val id =
-      s"<urn:md5:${md5hex(idSeed.getOrElse(safeUri.getOrElse(warcType)))}>"
+    // the id derivation discriminates by RECORD TYPE: a revisit, a
+    // WET conversion and the response they all refer to share a URI
+    // but must not collide on WARC-Record-ID (uniqueness within an
+    // archive; CDX/dedup consumers key on it). idSeed is the escape
+    // hatch for callers needing a different discriminator.
+    val id = s"<urn:md5:${md5hex(idSeed.getOrElse(
+      s"$warcType:${safeUri.getOrElse(warcType)}"))}>"
     val hs = Seq("WARC-Type" -> warcType,
         "WARC-Record-ID" -> id, "WARC-Date" -> FixedDate) ++
       safeUri.map("WARC-Target-URI" -> _) ++ headers ++
@@ -658,12 +660,16 @@ object Warc {
         dig ++ Seq(
           "WARC-Refers-To-Target-URI" -> headerSafe(refersTo),
           "WARC-Refers-To-Date" -> FixedDate), Array.empty[Byte],
-        version = "1.1", idSeed = Some(s"revisit:$uri"))
-    })
+        version = "1.1")
+    }, version = "1.1")
 
   /** One multi-member gzip shard: the warcinfo head + one member per
-    * record — the layout law every record-shard writer shares. */
-  private def shardOfMembers(records: Seq[Array[Byte]]): Array[Byte] = {
+    * record — the layout law every record-shard writer shares. The
+    * warcinfo head takes the SAME version as the members (a WARC/1.0
+    * head describing WARC/1.1 records is exactly the mixed-version
+    * file strict validators flag). */
+  private def shardOfMembers(records: Seq[Array[Byte]],
+                             version: String = "1.0"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(rec: Array[Byte]): Unit = {
       val gz = new java.util.zip.GZIPOutputStream(out)
@@ -671,7 +677,7 @@ object Warc {
     }
     member(record("warcinfo", None,
       Seq("Content-Type" -> "application/warc-fields"),
-      s"software: graft$Crlf".getBytes("US-ASCII")))
+      s"software: graft$Crlf".getBytes("US-ASCII"), version = version))
     records.foreach(member)
     out.toByteArray
   }

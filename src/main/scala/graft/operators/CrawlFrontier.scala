@@ -29,7 +29,11 @@ import graft.functions.UrlOps
   *   last_fetch_ts  bigint  epoch seconds, null before first fetch
   *   content_hash   string  last successful body hash, null before
   *   interval_s     bigint  current revisit interval
-  *   next_fetch_ts  bigint  epoch seconds the row becomes due
+  *   next_fetch_ts  bigint  epoch seconds the row becomes due; FROZEN
+  *                          at the death fetch for dead/redirected
+  *                          rows (they are never selected again, and
+  *                          the freeze drops corpses into the
+  *                          death-day bucket — the GC pruning law)
   *   state          string  'active' | 'dead' | 'redirected' (301/308
   *                          retired the row; its Location target got
   *                          its own row via [[redirectAdmissions]])
@@ -387,6 +391,16 @@ object CrawlFrontier {
     val wait = when(failing && fRetryAfter.isNotNull,
       greatest(interval, least(fRetryAfter, lit(rv.maxIntervalS))))
       .otherwise(interval)
+    // a RETIRING row's clock stops at death: dead and redirected rows
+    // are never selected again, so next_fetch_ts carries no schedule —
+    // freezing it at the death fetch drops every corpse into the
+    // death-day bucket, which is what makes [[compactionDayBound]]'s
+    // GC pruning UNCONDITIONALLY sound (a frozen next = death + wait
+    // would sit up to the row's own interval PAST the retention
+    // horizon — and seeded intervals, e.g. a sitemap changefreq
+    // 'never' = 2 years, are legitimately larger than any law clamp)
+    val retires = gone || perm ||
+      (failing && fails >= rv.maxFails)
     Seq(
       "fetch_count" -> (col("fetch_count") + 1L),
       "fail_count" -> fails,
@@ -400,7 +414,7 @@ object CrawlFrontier {
       "last_modified" -> when(ok, fLastMod)
         .otherwise(col("last_modified")),
       "interval_s" -> interval,
-      "next_fetch_ts" -> (fTs + wait),
+      "next_fetch_ts" -> when(retires, fTs).otherwise(fTs + wait),
       "state" -> state)
   }
 
@@ -1180,20 +1194,27 @@ object CrawlFrontier {
     col("state") === "dead" && col("last_fetch_ts").isNotNull &&
       col("last_fetch_ts") < lit(now - deadRetentionS)
 
-  /** The day-bucket bound that makes GC prune instead of full-scan: a
-    * dead row's next_fetch_ts froze at death_ts + wait, and the wait
-    * never exceeds `maxIntervalS` (the Retry-After clamp guarantees
-    * it), so EVERY row [[compactionDeletes]] would retire has
-    * next_fetch_day ≤ this bound — read the day-bucketed frontier
-    * with `next_fetch_day <= compactionDayBound(...)` (the loadDue
-    * convention) and the GC pass touches only the old buckets where
-    * corpses froze, never the live schedule. Sound, not tight: a few
-    * live rows share those buckets and simply pass the row filter. */
+  /** The day-bucket bound that makes GC prune instead of full-scan:
+    * the revisit law FREEZES a retiring row's next_fetch_ts at its
+    * death fetch, so every expired corpse (last_fetch_ts < now −
+    * retention, and last_fetch = death for a dead row) sits in a
+    * bucket at or below `(now − retention)/86400` — read the
+    * day-bucketed frontier with `next_fetch_day <=
+    * compactionDayBound(...)` (the loadDue convention) and the GC
+    * pass touches only the old buckets where corpses froze, never
+    * the live schedule. Unconditionally sound BECAUSE of the freeze:
+    * no interval, clamp, or seeded cadence enters the bound.
+    * `legacyMaxWaitS` is the on-disk compat slack for frontiers
+    * persisted BEFORE the freeze (their corpses sit at death + wait):
+    * pass the largest interval any row could have carried (the law's
+    * maxIntervalS, or the largest seeded cadence — changefreq
+    * 'never' is 2 years) and those corpses stay in range too. */
   def compactionDayBound(now: Long, deadRetentionS: Long,
-                         maxIntervalS: Long): Long = {
-    require(deadRetentionS > 0 && maxIntervalS > 0,
-      s"need positive retention/interval: $deadRetentionS/$maxIntervalS")
-    (now - deadRetentionS + maxIntervalS) / 86400L
+                         legacyMaxWaitS: Long = 0L): Long = {
+    require(deadRetentionS > 0 && legacyMaxWaitS >= 0,
+      s"need positive retention, non-negative slack: " +
+        s"$deadRetentionS/$legacyMaxWaitS")
+    (now - deadRetentionS + legacyMaxWaitS) / 86400L
   }
 
   /** Persist a frontier partitioned by next-fetch DAY — the layout

@@ -433,17 +433,21 @@ class CrawlFrontierSpec extends SparkSpec {
     g("same").getString(7) shouldBe "h1"
     // ceil clamp: 9000*2=18000 → 10000
     g("ceil").getLong(8) shouldBe 10000L
-    // gone: dead, interval kept, hash kept, fetch_count bumped
+    // gone: dead, interval kept, hash kept, fetch_count bumped, and
+    // the clock FROZEN at the death fetch (corpses land in the
+    // death-day bucket — what makes GC's day bound sound)
     g("gone").getString(10) shouldBe "dead"
     g("gone").getLong(8) shouldBe 1000L
     g("gone").getLong(4) shouldBe 8L
+    g("gone").getLong(9) shouldBe 2000L
     // first transient failure: backoff, still active, fail_count 1
     g("fail1").getString(10) shouldBe "active"
     g("fail1").getInt(5) shouldBe 1
     g("fail1").getLong(8) shouldBe 2000L
-    // second consecutive failure hits maxFails=2 → dead
+    // second consecutive failure hits maxFails=2 → dead, clock frozen
     g("fail2").getString(10) shouldBe "dead"
     g("fail2").getInt(5) shouldBe 2
+    g("fail2").getLong(9) shouldBe 2000L
     // untouched row byte-identical
     g("untouched").getLong(8) shouldBe 777L
     g("untouched").getLong(4) shouldBe 0L
@@ -520,6 +524,7 @@ class CrawlFrontierSpec extends SparkSpec {
       g(u).getInt(5) shouldBe 0          // healthy answer: fails reset
       g(u).getLong(8) shouldBe 1000L     // retired row keeps interval
       g(u).getLong(4) shouldBe 1L        // the attempt still counts
+      g(u).getLong(9) shouldBe 2000L     // the retired clock stops
     }
     g("p301").getString(7) shouldBe "h1" // content kept, not wiped
     Seq("p302", "p307").foreach { u =>
@@ -529,9 +534,11 @@ class CrawlFrontierSpec extends SparkSpec {
       g(u).getLong(9) shouldBe 2000L + 2000L
     }
     // malformed 301 (no Location): second consecutive failure at
-    // maxFails=2 → dead, exactly the pre-redirect law
+    // maxFails=2 → dead, exactly the pre-redirect law — and the dead
+    // row's clock freezes at the death fetch (the GC day-bucket law)
     g("noloc").getString(10) shouldBe "dead"
     g("noloc").getInt(5) shouldBe 2
+    g("noloc").getLong(9) shouldBe 2000L
   }
 
   test("redirectAdmissions: targets admitted at the SOURCE's depth through admit's full gate; known targets and temp redirects mint nothing; latest attempt wins; a 2-cycle terminates") {
@@ -1720,9 +1727,9 @@ class CrawlFrontierSpec extends SparkSpec {
     val day = 86400L
     val now = 400L * day
     val retention = 90L * day
-    val maxInterval = 30L * day
     val f = mkFrontier(Seq(
-      // died long ago: frozen next ≈ death + wait, deep in old buckets
+      // died long ago: the law froze next at the death fetch, so the
+      // corpse sits in the death-day bucket
       row("https://g.ex/olddead", next = 200L * day, state = "dead"),
       // died recently: inside retention, must keep
       row("https://g.ex/newdead", next = 396L * day, state = "dead"),
@@ -1738,10 +1745,10 @@ class CrawlFrontierSpec extends SparkSpec {
     val path = java.nio.file.Files
       .createTempDirectory("graft-gc-days").toString + "/f"
     CrawlFrontier.writeDayBucketed(f, path)
-    val bound = CrawlFrontier.compactionDayBound(now, retention,
-      maxInterval)
+    val bound = CrawlFrontier.compactionDayBound(now, retention)
     // soundness: every row the UNBOUNDED pass would retire sits at or
-    // below the bound (frozen next ≤ death + maxInterval)
+    // below the bound (the law freezes a retiring row's next at its
+    // death fetch, so expired ⇒ frozen next < now − retention)
     val allDeletes = CrawlFrontier.compactionDeletes(f, now, retention)
     allDeletes.filter(floor(col("next_fetch_ts") / lit(day)) > bound)
       .count() shouldBe 0L
