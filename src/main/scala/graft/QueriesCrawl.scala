@@ -1652,9 +1652,13 @@ object QueriesCrawl {
         when(d % 2 === 0,
           concat(lit("https://h"), k, lit(".re.com/m/"), id))
           .otherwise(lit(null).cast("string")).as("location"))
+      // wave 2 reads frontier2 three times (selection, the revisit
+      // join, the retired-sources union) — materialize the wave
+      // boundary once instead of re-running wave 1's law per reference
       val frontier2 = CrawlFrontier.recrawlSchedule(frontier, fetched1)
         .unionByName(CrawlFrontier.redirectAdmissions(fetched1, frontier,
           now = T0 + 100L))
+        .localCheckpoint(true)
       val batch2 = CrawlFrontier.selectBatch(frontier2, now = T0 + 200L,
         batchSize = 1 << 30, perHostCap = 1 << 30)
       val fetched2 = batch2.select(col("url"),
@@ -1716,10 +1720,16 @@ object QueriesCrawl {
       val urls = T(s, dir, "documents").select(
         concat(lit("https://h"), k, lit(".ex"), k, lit(".com/p/"),
           (d % 60).cast("string")).as("url"))
+      // materialize the two frames every later stage re-reads: the
+      // seeded frontier feeds selection, the revisit join AND
+      // admission (3 references), the selected batch feeds the fake
+      // fetch and discovery (2) — inlined, Catalyst re-executed the
+      // seed aggregate per reference (a 153k-char plan; the store-held
+      // deployment loop materializes exactly these boundaries too)
       val frontier = CrawlFrontier.seed(urls, now = T0,
-        defaultIntervalS = 86400L)
+        defaultIntervalS = 86400L).localCheckpoint(true)
       val batch = CrawlFrontier.selectBatch(frontier, now = T0,
-        batchSize = 40, perHostCap = 10)
+        batchSize = 40, perHostCap = 10).localCheckpoint(true)
       val fetched = batch.select(col("url"),
         lit(T0 + 100L).as("fetch_ts"),
         when(col("url").endsWith("0"), lit(404))

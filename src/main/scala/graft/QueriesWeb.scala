@@ -1031,6 +1031,10 @@ object QueriesWeb {
       def pg(host: String, fp: Column) = docs.select(
         concat(lit(s"https://$host/p/"), id).as("url"),
         fp.as("fingerprint"))
+      // the page corpus feeds mirror DETECTION and the drop gate —
+      // materialize the 5-way union once instead of inlining it into
+      // both consumers (the detection side alone re-read it per
+      // internal reference before mirrorHosts grew its own cut)
       val pages = pg("m1.ex.com", concat(lit("c"), id))
         .unionByName(pg("m2.ex.com", when(d % 5 === 0,
           concat(lit("x"), id)).otherwise(concat(lit("c"), id))))
@@ -1038,6 +1042,7 @@ object QueriesWeb {
         .unionByName(pg("m6.ex.com", when(d % 10 < 7,
           concat(lit("e"), id)).otherwise(concat(lit("z"), id))))
         .unionByName(pg("solo.ex.com", concat(lit("s"), id)))
+        .localCheckpoint(true)
       val mirrors = WebGraph.mirrorHosts(pages, minShared = 2,
         minJaccard = 0.5, maxHostsPerFp = 64)
       import graft.functions.UrlOps

@@ -306,9 +306,16 @@ object TextAnalysis {
     // a UNION of model frames (instead of langIdNbUpdate's summed
     // merge) would otherwise fan the weight join out and silently
     // corrupt every score — summing makes union-of-models ≡ update,
-    // and is free on well-formed models (≤ langs×257 rows)
+    // and is free on well-formed models (≤ langs×257 rows).
+    // localCheckpoint materializes the merged model ONCE: counts,
+    // priors, totals and n_all below all re-reference this frame, and
+    // without the cut Catalyst inlines the caller's whole model
+    // lineage (the training aggregates) once PER REFERENCE — the
+    // trained-on-the-fly queries paid the corpus explode+count 5×
+    // (a 61-Exchange plan for the incremental face; 9 after the cut)
     val m = model.groupBy(col("lang"), col("bucket"))
       .agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
     val counts = m.filter(col("bucket") =!= "")
     val priors = m.filter(col("bucket") === "")
       .select(col("lang"), col("n").as("n_docs"))

@@ -424,9 +424,15 @@ object WebGraph {
     * need `minShared` shared fingerprints and
     * jaccard = shared / (n_a + n_b − shared) ≥ `minJaccard`.
     *
-    * Shape: fp-keyed aggregates with map-side combine, one fp-keyed
-    * self-join whose per-key fanout is capped (≤ maxHostsPerFp² pairs
-    * per fp), one pair-keyed sum, two joins against the tiny host-size
+    * Shape: the distinct (host, fp) frame materializes ONCE
+    * (localCheckpoint — sizes, fanout and the evidence join all
+    * re-read it; inlined, the caller's page lineage re-executed per
+    * reference), then fp-keyed aggregates with map-side combine and
+    * ONE fp-keyed group whose capped host list (≤ maxHostsPerFp,
+    * enforced BEFORE the collect) expands to ordered pairs
+    * partition-locally — the former fp self-join re-shuffled the
+    * evidence frame twice for the same ≤ C(cap,2)-bounded expansion —
+    * then one pair-keyed sum and two joins against the tiny host-size
     * frame. Returns (host_a, host_b, shared, n_a, n_b, jaccard) with
     * host_a < host_b. */
   def mirrorHosts(pages: DataFrame, urlCol: String = "url",
@@ -442,15 +448,25 @@ object WebGraph {
       .select(UrlOps.hostOf(col(urlCol)).as("host"), col(fpCol).as("fp"))
       .filter(length(col("host")) > 0)
       .distinct()
+      .localCheckpoint(true)
     val sizes = h.groupBy(col("host")).agg(count(lit(1)).as("n"))
     val fanout = h.groupBy(col("fp")).agg(count(lit(1)).as("nh"))
     val evid = h.join(
       fanout.filter(col("nh") <= maxHostsPerFp).select(col("fp")),
       Seq("fp"))
-    val a = evid.select(col("fp"), col("host").as("host_a"))
-    val b = evid.select(col("fp").as("fp_b"), col("host").as("host_b"))
-    val pairs = a
-      .join(b, col("fp") === col("fp_b") && col("host_a") < col("host_b"))
+    // ordered-pair expansion per fp: the host list is DISTINCT (h is)
+    // and its size is capped by the fanout filter above, so the
+    // collect_list is bounded at maxHostsPerFp and the expansion at
+    // C(maxHostsPerFp, 2) rows per fp — sort_array + slice emits each
+    // unordered pair exactly once as host_a < host_b (binary string
+    // order, matching the former self-join's `<` predicate)
+    val pairs = evid.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("host"))).as("__hs"))
+      .select(explode(flatten(transform(col("__hs"), (a, i) =>
+        transform(slice(col("__hs"), i + lit(2),
+            coalesce(size(col("__hs")), lit(0))),
+          b => struct(a.as("host_a"), b.as("host_b")))))).as("__p"))
+      .select(col("__p.host_a"), col("__p.host_b"))
       .groupBy(col("host_a"), col("host_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
