@@ -1285,10 +1285,13 @@ object QueriesCrawl {
         .distinct()
       val emptyUsage = budgets.select(col("host"),
         lit(0L).as("window_start"), lit(0L).as("used")).filter(lit(false))
+      // wave 1's batch feeds the usage merge, the wave-2 anti-join AND
+      // the final union — ≤ batchSize rows, materialized once
       val w1 = CrawlFrontier.selectBatch(frontier, now = T0,
         batchSize = 30, perHostCap = 8,
         hostBudgets = Some(CrawlFrontier.remainingBudgets(budgets,
           emptyUsage, now = T0, windowS = 600L)))
+        .localCheckpoint(true)
       val usage1 = CrawlFrontier.updateHostUsage(emptyUsage, w1,
         now = T0, windowS = 600L)
       val f2 = frontier.join(w1.select("url"), Seq("url"), "left_anti")
@@ -2132,8 +2135,11 @@ object QueriesCrawl {
         .when(d % 5 === 3, lit("User-agent: *" + nl + "Disallow:"))
         .otherwise(lit("sitemap: https://h4.sm.com/map.xml"))
       val docs = T(s, dir, "documents")
+      // read twice (Sitemap: directive extraction AND Crawl-delay
+      // budgets) — materialize the per-host-tiny frame once
       val robots = docs.select(domain.as("domain"), txt.as("robots_txt"))
         .distinct()
+        .localCheckpoint(true)
       val base = regexp_replace(col("sitemap_url"), "\\.xml$", "")
       val xml = concat(lit("<urlset><url><loc>"), base,
         lit("/1</loc></url><url><loc>"), base,
