@@ -277,9 +277,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair projection ONCE before the both-directions
+    // union: the union's two arms otherwise inline the caller's whole
+    // pair lineage twice, and pairs are usually an LSH band expansion —
+    // the most expensive subtree in the query (guide: don't compute
+    // things twice). Released after the edge set materializes.
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    unpersistCheckpoint(p0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var converged = false
@@ -546,11 +554,18 @@ object Dedup {
   private[graft] def altStarWithRounds(pairs: DataFrame, aCol: String,
                                        bCol: String,
                                        maxIters: Int): (DataFrame, Int) = {
-    val allNodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id"))).distinct().localCheckpoint()
-    var edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
+    // materialize the pair projection ONCE: allNodes and the edge set
+    // below otherwise each inline the caller's whole pair lineage —
+    // usually an LSH band expansion, the most expensive subtree in the
+    // query — so it executed twice. Released after both deriveds land.
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint()
+    val allNodes = p0.select(col("u").as("id"))
+      .union(p0.select(col("v").as("id"))).distinct().localCheckpoint()
+    var edges = p0
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    unpersistCheckpoint(p0)
+    var edgeCount = edges.count()
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -562,9 +577,13 @@ object Dedup {
       // set equality of two DISTINCT edge sets: equal counts + empty
       // one-way difference. left_anti is one equi-join over the already
       // materialized checkpoints — except() would re-distinct both sides
-      // and was the dominant per-round cost at bench scale
-      converged = next.count() == edges.count() &&
+      // and was the dominant per-round cost at bench scale. The previous
+      // round's count is carried in a var (it was this round's
+      // next.count()) instead of re-scanned every round.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edgeCount = nextCount
       // `next` is eagerly materialized and the convergence check has
       // consumed the last read of the PREVIOUS round's blocks — release
       // them, or the job retains O(rounds) edge-set copies in the block
