@@ -58,14 +58,25 @@ object Lexical {
     // by the id contract, so any representative is right.
     val c = corpus.select(col(cId).as("__cid"), col(cText).as("__ctext"))
       .dropDuplicates("__cid")
+    // the postings table feeds doc lengths, idf AND the query join —
+    // materialize it once (localCheckpoint): inlined, the corpus
+    // tokenize + groupBy (the one corpus-sized aggregate in this
+    // operator) re-executed per reference, three times per query run.
+    // dls deliberately stays lazy: it is one cheap aggregate over the
+    // materialized postings, and a second barrier measured slower than
+    // the recompute it saves.
     val postings = toks(c, col("__cid"), col("__ctext"))
       .groupBy(col("__id").as("nid"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dls = postings.groupBy(col("nid")).agg(sum(col("tf")).as("dl"))
     // corpus stats: one row (N docs, avg doc length) — always broadcast.
     // N counts ALL corpus docs (token-less ones included): df/N is a
-    // corpus-fraction, and dropping empty docs would inflate idf.
-    val stats = c.select(col("__cid").as("nid"))
+    // corpus-fraction, and dropping empty docs would inflate idf. The
+    // id set comes from a NARROW distinct over the raw corpus (same
+    // rows as c's per-id dedup) so this pass prunes to the id column
+    // instead of re-running the text-carrying dropDuplicates.
+    val stats = corpus.select(col(cId).as("nid")).distinct()
       .join(dls, Seq("nid"), "left")
       .agg(count(lit(1)).as("n_docs"),
         avg(coalesce(col("dl"), lit(0L))).as("avgdl"))

@@ -844,7 +844,16 @@ object CurationPipeline {
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     def key(c: Column): Column = coalesce(md5(c), lit("[null]"))
+    // materialize the delta rows of the diff once: both arms of
+    // `touched` filter this frame, so the full-outer snapshot diff —
+    // a both-corpora-sized join — otherwise executed twice; the
+    // non-unchanged slice is changed-rows-sized by construction
     val diff = snapshotDiff(oldDocs, newDocs, textCol, idCol)
+      .filter(col("status") =!= "unchanged")
+      .localCheckpoint(true)
+    // materialize the touched-hash set once: its two broadcasts below
+    // (the semi and the anti join) each re-ran the diff + both union
+    // arms otherwise — also changed-rows-sized
     val touched = oldDocs.join(
         diff.filter(col("status").isin("removed", "changed")), Seq(idCol))
       .select(key(col(textCol)).as("h"))
@@ -852,6 +861,7 @@ object CurationPipeline {
           diff.filter(col("status").isin("added", "changed")), Seq(idCol))
         .select(key(col(textCol)).as("h")))
       .distinct()
+      .localCheckpoint(true)
     val affected = newDocs.join(broadcast(touched),
       key(col(textCol)) === col("h"), "left_semi")
     val carried = oldAnnotated.join(broadcast(touched),
