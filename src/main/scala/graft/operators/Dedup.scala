@@ -518,25 +518,31 @@ object Dedup {
     * each round, so planning the final labels would show only the last
     * scan, not the joins this guard exists for). */
   private[graft] def altStarRound(edges: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val bi = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    // min of the CLOSED neighbourhood, computed once per node and
-    // equi-joined back — no neighbour-list materialization
-    val closedMin = bi.groupBy(col("u"))
-      .agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // min of the CLOSED neighbourhood as ONE u-keyed window over the
+    // bidirectional list — the former per-node aggregate joined back
+    // onto bi re-evaluated the bi subtree per reference and paid a
+    // second u-shuffle for the join; the window is the same hash
+    // partitioning once, per-row least() covers the "closed" part
     // large-star: (v, m(u)) for every neighbour v > u. Every output row
     // (v, m) already has v > u ≥ m, so the edge set is big→small
     // oriented as-is — exactly the orientation small-star needs.
-    val large = bi.join(closedMin, "u")
+    val large = bi
+      .withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v")).distinct()
     // small-star: (v, m(u)) for every smaller neighbour v plus u itself
-    val smallMin = large.groupBy(col("u"))
-      .agg(min(col("v")).as("m"))
-    val joined = large.join(smallMin, "u")
-    joined.select(col("v").as("u"), col("m").as("v"))
-      .union(joined.select(col("u"), col("m").as("v")))
+    // — same window form (large is u > v oriented, so the plain min
+    // equals the closed-neighbourhood min), and the two output arms
+    // ride one explode so the large-star subtree evaluates ONCE (the
+    // former self-join + two-arm union re-ran it four times per round)
+    val joined = large.withColumn("m", min(col("v")).over(w))
+    joined.select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("__p"))
+      .select(col("__p.u"), col("__p.v"))
       .filter(col("u") =!= col("v")).distinct()
   }
 

@@ -261,16 +261,21 @@ class PlanSpec extends SparkSpec {
     p should not include "SinglePartition"
   }
 
-  test("altstar components: per-round equi joins only, never a cartesian") {
+  test("altstar components: per-round u-keyed windows only, never a cartesian") {
     // plan ONE ROUND BODY directly: the loop localCheckpoints each round,
     // so planning the final labels would show only the last scan — a
-    // vacuous guard over the joins this test exists to pin
+    // vacuous guard over the shuffles this test exists to pin. The round
+    // computes both stars' neighbourhood minima as u-partitioned windows
+    // (one hash shuffle each, single evaluation of the subtree) — the
+    // former agg+self-join form re-ran the large-star subtree 4x/round
     import org.apache.spark.sql.functions.col
     val edges = spark.range(100).select(col("id").as("u"),
       (col("id") + 1).as("v"))
     val p = graft.operators.Dedup.altStarRound(edges)
       .queryExecution.executedPlan.toString
-    p should include("Join")                 // the round genuinely joins
+    p should include("Window")
+    p should include regex "windowspecdefinition\\(u"
+    p should not include "Join"              // min rides the window now
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
