@@ -301,18 +301,24 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
         .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
         .select(col("src").as("id"), col("nbr_comp"))
+      // convergence rides the SAME checkpoint job as an observed
+      // changed-labels count (the pageRank mass recipe) — the former
+      // next⋈labels isEmpty probe was one extra join job per round
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iters")
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("__cc_prev"))
+        .observe(obs, coalesce(sum(
+          when(col("comp") =!= col("__cc_prev"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
         .localCheckpoint()
-      converged = next.select(col("id"), col("comp").as("next_comp"))
-        .join(labels, "id")
-        .filter(col("next_comp") =!= col("comp"))
-        .isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      unpersistCheckpoint(labels)
       labels = next
     }
-    labels
+    labels.select(col("id"), col("comp"))
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
