@@ -91,29 +91,32 @@ object Bpe {
     * words frame is re-persisted per round so round k+1 does not
     * recompute rounds 1..k's replaces over the corpus. */
   def train(df: DataFrame, textCol: String, steps: Int): Seq[(String, String)] = {
-    var words = wordFreq(df, textCol)
+    // ONE persisted frame for the whole run: each round folds the
+    // merges learned so far into a chained codegen'd replace expression
+    // over the base symbols instead of persisting + counting a new
+    // frame per round — the vocab table is read k times either way, but
+    // the per-round materialization job, block writes and cache churn
+    // are gone (one job per round: the pair-count argmax)
+    val base = wordFreq(df, textCol)
       .select(toSymbols(col("word")).as("syms"), col("freq"))
       .persist()
-    words.count() // materialize before the base frame goes cold
+    base.count() // materialize before the base frame goes cold
     val merges = Seq.newBuilder[(String, String)]
     try {
+      var symsExpr: Column = col("syms")
       var i = 0
       var exhausted = false
       while (i < steps && !exhausted) {
+        val words = base.select(symsExpr.as("syms"), col("freq"))
         topMerge(pairCounts(words)) match {
           case Some((l, r)) =>
             merges += ((l, r))
-            val next = words
-              .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
-              .persist()
-            next.count()
-            words.unpersist()
-            words = next
+            symsExpr = applyMerge(symsExpr, l, r)
           case None => exhausted = true
         }
         i += 1
       }
-    } finally words.unpersist()
+    } finally base.unpersist()
     merges.result()
   }
 
