@@ -24,6 +24,15 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (guide §3.1/§9): both sides still shuffle
+      // on the equi key, but the per-partition build replaces two
+      // sorts. Scale-safe: the planner only chooses SHJ when a
+      // build-side partition provably fits its local hash map, and the
+      // bound scales with shuffle.partitions (= $SPARK_GRAFT_CPUS here,
+      // executors x cores on a cluster), so this is the same setting a
+      // production deployment would run with — not a local[32] tune.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.core.GraftExtensions")

@@ -460,7 +460,10 @@ class PlanSpec extends SparkSpec {
     // only exchanges belong to the seed side's url aggregate
     p should not include "Window"
     p should not include "CartesianProduct"
-    p should include regex "(BroadcastHashJoin|SortMergeJoin)"
+    // any EQUI join strategy satisfies the pin (the session prefers
+    // shuffled-hash over sort-merge since r19) — the guard is against
+    // a cartesian/window regression, not a particular hash family
+    p should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
   }
 
   test("seed with lastmod keeps the single url-keyed shuffle (the parse is a per-row map inside the aggregate)") {
