@@ -198,10 +198,19 @@ object Dedup {
     * most documents with any duplicate ARE candidates, and the measured
     * full-book cost of the extra broadcast/semi stages was 2.5x
     * (dedup_lsh_verified 1.02-1.32 band → 3.28 restricted) with no
-    * shuffle saved — the equi-join already touches only matching ids. */
+    * shuffle saved — the equi-join already touches only matching ids.
+    *
+    * `aCounts0`/`bCounts0` optionally supply the per-doc shingle
+    * counts as (id_a, n_a) / (id_b, n_b) frames: the shingle UDF
+    * returns DISTINCT shingles, so `size(shinglesUdf(text))` per row
+    * equals the exploded frame's per-id count — callers that still
+    * hold the doc frame pass the per-row form and the two shuffled
+    * count aggregates here disappear (two exchanges less per run). */
   private def verifyJaccard(cand0: DataFrame, aSh: DataFrame, bSh: DataFrame,
                             threshold: Double,
-                            restrictToCandidates: Boolean = false): DataFrame = {
+                            restrictToCandidates: Boolean = false,
+                            aCounts0: Option[DataFrame] = None,
+                            bCounts0: Option[DataFrame] = None): DataFrame = {
     val cand =
       if (restrictToCandidates)
         cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -216,8 +225,10 @@ object Dedup {
         bSh.join(broadcast(cand.select(col("id_b")).distinct()),
           Seq("id_b"), "left_semi")
       else bSh
-    val aCounts = aS.groupBy(col("id_a")).agg(count(lit(1)).as("n_a"))
-    val bCounts = bS.groupBy(col("id_b")).agg(count(lit(1)).as("n_b"))
+    val aCounts = aCounts0.getOrElse(
+      aS.groupBy(col("id_a")).agg(count(lit(1)).as("n_a")))
+    val bCounts = bCounts0.getOrElse(
+      bS.groupBy(col("id_b")).agg(count(lit(1)).as("n_b")))
     val bS2 = bS.select(col("id_b").as("b_id"), col("sh").as("b_sh"))
     val inter = cand
       .join(aS, "id_a")
@@ -249,11 +260,19 @@ object Dedup {
                          maxBucketSize: Int = 0): DataFrame = {
     val cand = minhashLshPairs(df, textCol, idCol, shingleN, bands,
       rowsPerBand, maxBucketSize)
+    val shUdf = Hashing.shinglesUdf(shingleN)
     val sh = df.select(col(idCol).as("id"),
-      explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
+      explode(shUdf(col(textCol))).as("sh"))
+    // per-doc shingle counts as a per-row map over the doc frame (the
+    // UDF output is distinct, so size() == the exploded per-id count):
+    // the verify stage then skips its two shuffled count aggregates
+    val nSh = df.select(col(idCol).as("id"),
+      size(shUdf(col(textCol))).cast("long").as("n"))
     verifyJaccard(cand,
         sh.select(col("id").as("id_a"), col("sh")),
-        sh.select(col("id").as("id_b"), col("sh")), threshold)
+        sh.select(col("id").as("id_b"), col("sh")), threshold,
+        aCounts0 = Some(nSh.select(col("id").as("id_a"), col("n").as("n_a"))),
+        bCounts0 = Some(nSh.select(col("id").as("id_b"), col("n").as("n_b"))))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -900,7 +919,13 @@ object Dedup {
           explode(shUdf(col(textCol))).as("sh")),
         index.select(col(idCol).as("id_b"),
           explode(shUdf(col(textCol))).as("sh")), threshold,
-        restrictToCandidates)
+        restrictToCandidates,
+        // per-row counts (distinct-shingle UDF ⇒ size == exploded
+        // count): the verify stage skips both shuffled count aggregates
+        aCounts0 = Some(batch.select(col(idCol).as("id_a"),
+          size(shUdf(col(textCol))).cast("long").as("n_a"))),
+        bCounts0 = Some(index.select(col(idCol).as("id_b"),
+          size(shUdf(col(textCol))).cast("long").as("n_b"))))
       .select(col("id_a").as(idCol)).distinct()
     (dup0, caches.toSeq)
   }

@@ -335,10 +335,12 @@ class DedupSpec extends SparkSpec {
     opt.collect { case m: org.apache.spark.sql.execution.columnar
       .InMemoryRelation => m }.size shouldBe 4
     // and the live plan evaluates NO band-key explode outside the
-    // cache: its only Generates are the verify stage's shingle explodes
-    // (2 consumers × 2 sides)
+    // cache: its only Generates are the verify stage's INTERSECTION
+    // shingle explodes (one per side — the per-doc counts ride per-row
+    // size(shinglesUdf) maps since r19, so the former count-side
+    // explode+aggregate pair is gone from the plan entirely)
     opt.collect { case g: org.apache.spark.sql.catalyst.plans.logical
-      .Generate => g }.size shouldBe 4
+      .Generate => g }.size shouldBe 2
     caches.foreach(_.unpersist(true))
     // the PUBLIC gate releases every cache it registered before
     // returning (a standing pipeline calls it per micro-batch —
