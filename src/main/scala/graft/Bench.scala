@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Benchmark main — driver runs this per-round with
-  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and records the single JSON
-  * line against BASELINE.md. Runs the headline (scale-sensitive) subset
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and records the JSON output
+  * against BASELINE.md: first the full contract line (metric/value/
+  * queries/...), then a compact summary line sized to survive the
+  * driver's ~2000-char stdout tail. Runs the headline (scale-sensitive) subset
   * of SparkEntry.queries (each timing covers plan + execution to a
   * count), then the standing 4-stage streaming chain for a rows/s
   * throughput figure.
@@ -1077,17 +1079,42 @@ object Bench {
       }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$streaming$streamingIndexed$stateProbe$crawlProbe$anchor,"noise_median_over_min":$noise,"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir"}"""
     println(line)
-    // full-book artifact (BENCH_r*.json retains only a tail): when
-    // SPARK_GRAFT_BENCH_BOOK names a path, the complete line also lands
-    // there so per-query cross-round diffs are mechanical — the
-    // round-closing bench writes BENCH_BOOK_r<N>.json and commits it.
+    // full-book artifact (BENCH_r*.json retains only a tail): the
+    // complete line ALWAYS lands in a book file so per-query cross-round
+    // diffs stay mechanical — SPARK_GRAFT_BENCH_BOOK overrides the path
+    // (the round-closing bench writes BENCH_BOOK_r<N>.json and commits
+    // it); otherwise BENCH_BOOK_last.json in the working directory.
     // Best-effort: a book-write failure must never fail the bench.
-    sys.env.get("SPARK_GRAFT_BENCH_BOOK").foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        line + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] book write failed: ${e.getMessage}") }
+    val bookPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BOOK",
+      "BENCH_BOOK_last.json")
+    val bookAbs =
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(bookPath),
+          line + "\n")
+        java.nio.file.Paths.get(bookPath).toAbsolutePath.toString
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] book write failed: ${e.getMessage}")
+        ""
+      }
+    // Compact summary as the LAST stdout line: the full line above is
+    // ~8 KB (207 queries) and the driver retains only a ~2000-char
+    // stdout tail, so for two rounds PERF_r*.json carried no parseable
+    // bench figures at all (both parses null — the line was cut
+    // mid-object). This line stays well under the tail window and
+    // carries the totals, probe summaries, noise evidence and the book
+    // path holding the untruncated per-query map. Additions only: the
+    // full contract line is untouched, no `queries` entry is removed or
+    // renamed.
+    val failedNames = results.collect { case (k, _, false, _) => k }
+    val failedCompact = failedNames.take(20)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    def probeNum(json: String, key: String): String = {
+      // pull one numeric field out of an already-rendered probe fragment
+      val m = (s""""$key":(-?[0-9.Ee+-]+)""").r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse("null")
     }
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"total_sec":$total,"n_failed":${failedNames.size},"failed":$failedCompact$anchor,"noise":$noise,"noise_median_over_min":$noise,"streaming_rps":${probeNum(streaming, "rows_per_sec")},"streaming_indexed_rps":${probeNum(streamingIndexed, "rows_per_sec")},"state_probe_sec":${probeNum(stateProbe, "sec")},"crawl_decade_ratio":${probeNum(crawlProbe, "decade_ratio")},"load_avg":$loadAvg,"load_avg_pre":$loadAvgPre,"contended":$contendedFinal,"contended_pre":$contended,"sf":"$sfDir","book":"$bookAbs"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -27,12 +27,18 @@ object Sessions {
       // let the planner pick shuffled-hash over sort-merge when its
       // size conditions hold (guide §3.1/§9): both sides still shuffle
       // on the equi key, but the per-partition build replaces two
-      // sorts. Scale-safe: the planner only chooses SHJ when a
-      // build-side partition provably fits its local hash map, and the
-      // bound scales with shuffle.partitions (= $SPARK_GRAFT_CPUS here,
-      // executors x cores on a cluster), so this is the same setting a
-      // production deployment would run with — not a local[32] tune.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // sorts. The planner only chooses SHJ when a build-side
+      // partition's ESTIMATED size fits its local hash map (estimates
+      // can be wrong after UDFs/explodes, and SHJ's build side does
+      // not spill), and the bound scales with shuffle.partitions
+      // (= $SPARK_GRAFT_CPUS here, executors x cores on a cluster).
+      // SPARK_GRAFT_PREFER_SMJ=1 reverts to sort-merge preference
+      // without a rebuild — the deployment escape hatch for workloads
+      // where size misestimates make SHJ's non-spilling build risky,
+      // and the lever for same-binary A/B measurement.
+      .config("spark.sql.join.preferSortMergeJoin",
+        if (sys.env.get("SPARK_GRAFT_PREFER_SMJ").contains("1")) "true"
+        else "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.core.GraftExtensions")
