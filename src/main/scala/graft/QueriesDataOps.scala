@@ -1259,17 +1259,24 @@ object QueriesDataOps {
       // never a pre-folded 0.15), ranks emit n-scaled and rounded.
       import graft.operators.WebGraph
       val docs = T(s, dir, "documents")
-      val n = docs.count() // driver scalar: the node count both engines share
+      // node count as a broadcast one-row frame instead of a driver
+      // count() job (ReuseExchange collapses its two uses into one
+      // broadcast); pmod/multiply against the column are the same
+      // long/double ops the old literal performed — identical output
+      val nrow = docs.agg(count(lit(1)).as("__nl"))
       val nodes = docs.select(col("doc_id").as("id"))
       val dsts = array(
-        pmod(col("doc_id") * 3, lit(n)),
-        pmod(col("doc_id") * 5 + 1, lit(n)),
-        pmod(col("doc_id") * 7 + 2, lit(n)))
+        pmod(col("doc_id") * 3, col("__nl")),
+        pmod(col("doc_id") * 5 + 1, col("__nl")),
+        pmod(col("doc_id") * 7 + 2, col("__nl")))
       val edges = docs.filter(col("doc_id") % 7 =!= 0)
+        .crossJoin(broadcast(nrow))
         .select(col("doc_id").as("src"), explode(dsts).as("dst"))
       WebGraph.pageRank(nodes, edges, iters = 3, d = 0.85)
+        .crossJoin(broadcast(nrow))
         .select(col("id"),
-          round(col("pagerank") * n.toDouble, 6).as("pr_scaled"))
+          round(col("pagerank") * col("__nl").cast("double"), 6)
+            .as("pr_scaled"))
         .orderBy(col("id"))
     }, Some(s"""
       WITH nodes AS (SELECT doc_id AS id FROM documents),
@@ -1297,13 +1304,16 @@ object QueriesDataOps {
       // divide-by-1 guard for a normless half-step.
       import graft.operators.WebGraph
       val docs = T(s, dir, "documents")
-      val n = docs.count()
+      // node count folded in as a broadcast one-row frame — no driver
+      // count() job (same convention as web_pagerank)
+      val nrow = docs.agg(count(lit(1)).as("__nl"))
       val nodes = docs.select(col("doc_id").as("id"))
       val dsts = array(
-        pmod(col("doc_id") * 3, lit(n)),
-        pmod(col("doc_id") * 5 + 1, lit(n)),
-        pmod(col("doc_id") * 7 + 2, lit(n)))
+        pmod(col("doc_id") * 3, col("__nl")),
+        pmod(col("doc_id") * 5 + 1, col("__nl")),
+        pmod(col("doc_id") * 7 + 2, col("__nl")))
       val edges = docs.filter(col("doc_id") % 7 =!= 0)
+        .crossJoin(broadcast(nrow))
         .select(col("doc_id").as("src"), explode(dsts).as("dst"))
       WebGraph.hits(nodes, edges, iters = 2)
         .select(col("id"), round(col("hub"), 6).as("hub"),

@@ -307,11 +307,14 @@ object QueriesWeb {
       // the resolved map) + one edge-keyed partial-agg sum; the
       // oracle replays walk + rewrite + aggregate.
       val docs = T(s, dir, "documents")
-      val n = docs.count()
+      // node count folded in as a broadcast one-row frame — no driver
+      // count() job (same convention as web_pagerank)
+      val nrow = docs.agg(count(lit(1)).as("__nl"))
       val d = col("doc_id")
-      val edges = docs.select(u(d).as("src"),
-        explode(array(u(pmod(d * 3, lit(n))),
-          u(pmod(d * 5 + 1, lit(n))))).as("dst"))
+      val edges = docs.crossJoin(broadcast(nrow))
+        .select(u(d).as("src"),
+          explode(array(u(pmod(d * 3, col("__nl"))),
+            u(pmod(d * 5 + 1, col("__nl"))))).as("dst"))
       val mapping = WebGraph
         .resolveRedirects(redirectEdges(docs), rounds = 3)
         .filter(col("resolved"))
@@ -446,19 +449,24 @@ object QueriesWeb {
       // iterations (the web_pagerank convention); ranks emit n-scaled
       // and rounded.
       val docs = T(s, dir, "documents")
-      val n = docs.count()
+      // node count folded in as a broadcast one-row frame — no driver
+      // count() job (same convention as web_pagerank)
+      val nrow = docs.agg(count(lit(1)).as("__nl"))
       val d = col("doc_id")
       val nodes = docs.select(d.as("id"))
       val dsts = array(
-        pmod(d * 3, lit(n)),
-        pmod(d * 5 + 1, lit(n)),
-        pmod(d * 7 + 2, lit(n)))
+        pmod(d * 3, col("__nl")),
+        pmod(d * 5 + 1, col("__nl")),
+        pmod(d * 7 + 2, col("__nl")))
       val edges = docs.filter(d % 7 =!= 0)
+        .crossJoin(broadcast(nrow))
         .select(d.as("src"), explode(dsts).as("dst"))
       val seeds = docs.filter(d % 11 === 0).select(d.as("id"))
       WebGraph.trustRank(nodes, edges, seeds, iters = 3, d = 0.85)
+        .crossJoin(broadcast(nrow))
         .select(col("id"),
-          round(col("trustrank") * n.toDouble, 6).as("tr_scaled"))
+          round(col("trustrank") * col("__nl").cast("double"), 6)
+            .as("tr_scaled"))
         .orderBy("id")
     }, Some(s"""
       WITH nodes AS (SELECT doc_id AS id FROM documents),
@@ -1296,7 +1304,10 @@ object QueriesWeb {
       // however many page links carry it).
       import graft.functions.UrlOps
       val docs = T(s, dir, "documents")
-      val n = docs.count()
+      // both scaling constants (corpus size, distinct host count) ride
+      // the plan as broadcast one-row frames instead of two driver
+      // count() jobs per invocation (guide §2.4/§5)
+      val nrow = docs.agg(count(lit(1)).as("__nl"))
       val d = col("doc_id")
       def v(e: Column) = concat(lit("https://h"),
         pmod(e, lit(20L)).cast("string"), lit(".ex"),
@@ -1312,17 +1323,20 @@ object QueriesWeb {
           .select(v(d).as("src"), v(d + 2).as("dst")))
       val mapping = WebGraph.resolveRedirects(redirects, rounds = 3)
         .filter(col("resolved"))
-      val pageEdges = docs.select(v(d).as("src"),
-        explode(array(v(pmod(d * 3, lit(n))),
-          v(pmod(d * 5 + 1, lit(n))))).as("dst"))
+      val pageEdges = docs.crossJoin(broadcast(nrow))
+        .select(v(d).as("src"),
+          explode(array(v(pmod(d * 3, col("__nl"))),
+            v(pmod(d * 5 + 1, col("__nl"))))).as("dst"))
       val contracted = WebGraph.contractEdges(pageEdges, mapping)
       val hostEdges = WebGraph.hostGraph(contracted)
       val hosts = docs.select(UrlOps.hostOf(v(d)).as("id")).distinct()
-      val nh = hosts.count()
+      val nhrow = hosts.agg(count(lit(1)).as("__nh"))
       val seeds = hosts.filter(col("id").isin("h0.ex0.com", "h1.ex1.com"))
       WebGraph.trustRank(hosts, hostEdges, seeds, iters = 2, d = 0.85)
+        .crossJoin(broadcast(nhrow))
         .select(col("id").as("host"),
-          round(col("trustrank") * nh.toDouble, 6).as("tr_scaled"))
+          round(col("trustrank") * col("__nh").cast("double"), 6)
+            .as("tr_scaled"))
         .orderBy("host")
     }, Some(s"""
       WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),

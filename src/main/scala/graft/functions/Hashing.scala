@@ -26,9 +26,20 @@ object Hashing {
   private val TokenRe = java.util.regex.Pattern.compile("[a-z0-9]+")
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // one MessageDigest per executor thread, reset per call (digest()
+  // resets): getInstance() walks the JCA provider list per call, which
+  // dominated the per-token cost of the simhash/minhash UDFs (guide
+  // §4.5 — initialise heavyweight state once per task, not per row)
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(s: String): Array[Byte] =
+    Md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Bytes(s)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -108,12 +119,70 @@ object Hashing {
   def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => shinglesScala(t, n))
 
+  /** Rolling k-token gram hashes over a pre-split token array: element
+    * i = md5 hex of the space-joined tokens [i, i+k) — byte-identical
+    * to Catalyst's md5(array_join(slice(toks, i+1, k), " ")) but one
+    * JIT-compiled call per ROW (ThreadLocal digest, §4.5) instead of a
+    * per-position interpreted HOF chain with a slice+join allocation
+    * each. Fewer than k tokens → empty array. */
+  def gramHashesScala(toks: Seq[String], k: Int): Array[String] = {
+    if (toks == null || toks.length < k) return Array.empty
+    val ts = toks.toIndexedSeq
+    val n = ts.length - k + 1
+    val out = new Array[String](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(i + j))
+        j += 1
+      }
+      out(i) = md5Hex(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  def gramHashesUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((ts: Seq[String]) => gramHashesScala(ts, k))
+
   /** Band-key UDF: one call per row, exploded directly — keeping the whole
     * signature computation in one JIT-compiled call avoids Catalyst
     * re-evaluating a nested UDF once per band inside a lambda. */
   def bandKeysUdf(shingleN: Int, bands: Int,
                   rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => bandKeysScala(t, shingleN, bands, rowsPerBand))
+
+  // per-thread token → vote-bitmask cache for [[simhashScala]]: corpus
+  // tokens are Zipf-distributed, so most md5 calls repeat earlier
+  // tokens; the mask is a pure function of the token (deterministic
+  // across rows/tasks/retries), so memoizing it per executor thread is
+  // semantics-free (guide §4.5 per-task state). Bounded: cleared when
+  // it reaches 64k entries.
+  private val TokenMask = new ThreadLocal[java.util.HashMap[String, Integer]] {
+    override def initialValue(): java.util.HashMap[String, Integer] =
+      new java.util.HashMap[String, Integer](1 << 14)
+  }
+
+  /** Bit j (0-based, j < 32) set iff hex digit j of md5(tok) >= '8' —
+    * i.e. the top bit of nibble j — computed straight from the digest
+    * bytes, skipping the 32-char hex rendering per token. */
+  private def tokenVoteMask(tok: String): Int = {
+    val d = md5Bytes(tok)
+    var mask = 0
+    var j = 0
+    while (j < 32) {
+      val nib =
+        if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf
+        else d(j >> 1) & 0xf
+      if (nib >= 8) mask |= 1 << j
+      j += 1
+    }
+    mask
+  }
 
   /** SimHash in plain Scala — identical semantics to [[simhash]] below
     * (asserted equal in HashingSpec), used by Dedup so the per-token vote
@@ -122,12 +191,20 @@ object Hashing {
     require(bits >= 1 && bits <= 32)
     if (text == null) return "0" * bits
     val votes = new Array[Int](bits)
+    val cache = TokenMask.get()
     val m = TokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
     while (m.find()) {
-      val h = md5Hex(m.group())
+      val tok = m.group()
+      var mask = cache.get(tok)
+      if (mask == null) {
+        if (cache.size >= (1 << 16)) cache.clear()
+        mask = Integer.valueOf(tokenVoteMask(tok))
+        cache.put(tok, mask)
+      }
+      val mv = mask.intValue
       var j = 0
       while (j < bits) {
-        if (h.charAt(j) >= '8') votes(j) += 1 else votes(j) -= 1
+        if (((mv >>> j) & 1) == 1) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
     }

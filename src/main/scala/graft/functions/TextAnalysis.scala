@@ -171,21 +171,36 @@ object TextAnalysis {
     * high = rare-token soup/gibberish, mid-band = prose worth keeping.
     * Rounded to 6 decimals (cross-engine float convention).
     *
-    * Plan: token explode → term-count aggregate (map-side combinable)
-    * → high-cardinality equi-join tokens×counts → broadcast 1-row
-    * total → per-doc mean. Same shape as tf-idf: three doc/term-keyed
-    * shuffles, nothing quadratic. */
+    * Plan: token explode → ONE (doc, term)-count aggregate
+    * (map-side combinable, materialized once) → term-count and total
+    * derived from it → equi-join over the aggregated pairs →
+    * broadcast 1-row total → per-doc tf-weighted mean. Same shape as
+    * tf-idf: doc/term-keyed shuffles over aggregated rows, nothing
+    * quadratic. */
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
         .as("term"))
-    val termCount = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(termCount, "term")
+    // aggregate to per-(doc, term) counts FIRST and materialize once:
+    // the former shape re-executed the corpus tokenize+explode three
+    // times (term counts, total, join) and shuffled every token
+    // INSTANCE through the term join; this shape runs the explode once
+    // and joins the aggregated pairs (guide §2.3/§2.4). The per-doc
+    // mean is the tf-weighted mean over distinct terms — identical up
+    // to float summation order, far below the round-6 convention.
+    // Bounded intermediate (distinct (doc, term) pairs); eager local
+    // checkpoint, same caveats as [[tfidfTopTerms]].
+    val tc = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint(true)
+    val termCount = tc.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val total = tc.agg(sum(col("tf")).as("n_total"))
+    tc.join(termCount, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("c").cast("double") / col("n_total"))), 6)
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(
+          sum(col("tf") * -log(col("c").cast("double") / col("n_total"))) /
+            sum(col("tf")), 6)
           .as("surprisal"))
   }
 
@@ -199,12 +214,13 @@ object TextAnalysis {
     * decimals (cross-engine float convention).
     *
     * Plan: per-row adjacent-pair zip (`zip_with` over two slices — no
-    * window, no positional shuffle) → pair explode → two map-side-
-    * combinable count aggregates (bigram and left-context) → equi-joins
-    * back to the pairs → per-doc mean. All shuffles are key-uniform
-    * aggregates/joins, nothing quadratic; the model tables are
-    * corpus-bounded aggregates, the same class as [[tfIdf]]'s term
-    * table. */
+    * window, no positional shuffle) → pair explode → ONE
+    * (doc, l, r)-count aggregate (map-side combinable, materialized
+    * once) → bigram and left-context counts derived from it →
+    * equi-joins over the aggregated pairs → per-doc count-weighted
+    * mean. All shuffles are key-uniform aggregates/joins, nothing
+    * quadratic; the model tables are corpus-bounded aggregates, the
+    * same class as [[tfIdf]]'s term table. */
   def bigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("ts"))
@@ -214,12 +230,25 @@ object TextAnalysis {
         slice(col("ts"), lit(2), size(col("ts")) - 1),
         (l, r) => struct(l.as("l"), r.as("r")))).as("bg"))
       .select(col("doc_id"), col("bg.l").as("l"), col("bg.r").as("r"))
-    val bgCount = pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c_lr"))
-    val leftCount = pairs.groupBy(col("l")).agg(count(lit(1)).as("c_l"))
-    pairs.join(bgCount, Seq("l", "r")).join(leftCount, Seq("l"))
+    // aggregate to per-(doc, l, r) counts FIRST and materialize once:
+    // the former shape re-executed the corpus tokenize+zip+explode
+    // three times (bigram counts, left counts, join) and shuffled every
+    // pair INSTANCE through the model joins; this shape runs the
+    // explode once and joins the aggregated pairs (guide §2.3/§2.4).
+    // The per-doc mean is the count-weighted mean over distinct
+    // bigrams — identical up to float summation order, far below the
+    // round-6 convention. Bounded intermediate; eager local
+    // checkpoint, same caveats as [[tfidfTopTerms]].
+    val pc = pairs.groupBy(col("doc_id"), col("l"), col("r"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val bgCount = pc.groupBy(col("l"), col("r")).agg(sum(col("n")).as("c_lr"))
+    val leftCount = pc.groupBy(col("l")).agg(sum(col("n")).as("c_l"))
+    pc.join(bgCount, Seq("l", "r")).join(leftCount, Seq("l"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(col("c_lr").cast("double") / col("c_l"))), 6)
+      .agg(sum(col("n")).as("n_bigrams"),
+        round(
+          sum(col("n") * -log(col("c_lr").cast("double") / col("c_l"))) /
+            sum(col("n")), 6)
           .as("surprisal"))
   }
 
@@ -529,8 +558,16 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
         .as("term"))
+    // tf is read twice (df aggregate AND the scored join): materialize
+    // it once so the corpus tokenize+explode+aggregate lineage is not
+    // re-executed per reference (guide §2.4 — the bm25 postings
+    // pattern). Bounded: one row per distinct (doc, term), the
+    // aggregated face of the corpus, far smaller than the token
+    // explode. Eager local checkpoint: construction runs a job;
+    // executor loss on a cluster fails the query instead of recomputing
+    // lineage (acceptable for a bounded intermediate).
     val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint(true)
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(docFreq, "term")

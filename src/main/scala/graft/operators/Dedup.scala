@@ -693,7 +693,16 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         explode(Hashing.shinglesUdf(shingleN)(col(textCol))).as("sh"))
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // per-doc sizes as a per-row map instead of a shuffled aggregate
+    // over the exploded frame: the shingle UDF returns DISTINCT
+    // shingles, so size(shinglesUdf(text)) per row equals the exploded
+    // frame's per-id count (ids are one-row-per-doc here) — one fewer
+    // shingle-lineage execution and one fewer exchange (the
+    // verifyJaccard count form). Zero-shingle docs contribute inert
+    // (id, 0) rows the inner joins below never match.
+    val counts = df.select(col(idCol).as("id"),
+      size(Hashing.shinglesUdf(shingleN)(col(textCol))).cast("long")
+        .as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
         col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
@@ -1047,16 +1056,20 @@ object Dedup {
 
   /** The rolling k-token gram table of a corpus: one row per gram start,
     * (id, pos, gh) with 0-based `pos` and `gh` = md5 of the
-    * space-joined k tokens (engine-portable — the oracle replays it).
-    * Pure Catalyst HOFs (split → sequence/transform slices →
-    * posexplode), no UDF; docs shorter than k tokens emit no grams. */
+    * space-joined k tokens (engine-portable — the oracle replays it;
+    * Hashing.gramHashesScala is byte-identical to the former Catalyst
+    * md5(array_join(slice(...))) chain). Tokenization stays the
+    * Catalyst split; the per-position hash loop runs as ONE
+    * JIT-compiled UDF call per row — the interpreted HOF chain
+    * (transform → slice → array_join → md5 per position) dominated the
+    * span queries' per-task CPU (guide §4.2). Docs shorter than k
+    * tokens emit no grams. */
   private def gramStarts(df: DataFrame, textCol: String, idCol: String,
                          k: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     df.filter(size(toks) >= k)
-      .select(col(idCol).as("id"), posexplode(
-        transform(sequence(lit(0), size(toks) - k),
-          i => md5(array_join(slice(toks, i + 1, lit(k)), " ")))))
+      .select(col(idCol).as("id"),
+        posexplode(Hashing.gramHashesUdf(k)(toks)))
       .select(col("id"), col("pos"), col("col").as("gh"))
   }
 

@@ -80,8 +80,11 @@ object Lexical {
       .join(dls, Seq("nid"), "left")
       .agg(count(lit(1)).as("n_docs"),
         avg(coalesce(col("dl"), lit(0L))).as("avgdl"))
+    // df: postings carries one row per (nid, term) — the groupBy above
+    // made it so — hence a plain combinable count equals the former
+    // countDistinct(nid) without its two-phase distinct expansion
     val idf = postings.groupBy(col("term"))
-      .agg(countDistinct(col("nid")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("term"),
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /

